@@ -1,0 +1,23 @@
+"""starknet_etl_spark — a PySpark-native analytics engine.
+
+Re-expresses the full capability surface of the reference blockchain
+ETL + analytics pipeline (ManhHung1501/starknet-etl, surveyed in
+/root/repo/SURVEY.md) as an idiomatic Spark engine:
+
+- explicit ``StructType`` schemas (``schemas``)
+- Parquet-backed tables with ReplacingMergeTree-style keyed dedup on
+  write (``io``)
+- pure ``DataFrame -> DataFrame`` operators planned by Catalyst
+  (``operators``), column-expression builders (``functions``)
+- end-to-end query plans mirroring the reference DAGs (``plans``)
+- chunked/paginated incremental ingest sources (``sources``)
+- a Structured Streaming ingest variant (``streaming``)
+- LLM-data-pipeline extensions: dedup (exact / MinHash-LSH / SimHash
+  / Jaccard), embedding similarity search, text analysis
+  (``operators.dedup``, ``operators.similarity``, ``operators.text``)
+
+Design stance (SURVEY.md §7.0): builtins first, ``pandas_udf`` for
+anything vectorizable that remains, row-at-a-time UDFs never.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,23 @@
+"""Column-expression builders for the reference's scalar surface.
+
+Every row-wise Python lambda in the reference maps to a JVM-side
+builtin composition here (SURVEY.md §2.2/§2.9) — no Python UDFs, so
+everything stays inside whole-stage codegen.
+"""
+
+from .hexnum import hex_to_decimal, hex_to_double, hex_to_long, normalize_address
+from .json_arrays import json_array, json_array_element
+from .pairs import canonical_pair
+from .timeutils import epoch_to_timestamp, in_sliding_window
+
+__all__ = [
+    "hex_to_decimal",
+    "hex_to_double",
+    "hex_to_long",
+    "normalize_address",
+    "json_array",
+    "json_array_element",
+    "canonical_pair",
+    "epoch_to_timestamp",
+    "in_sliding_window",
+]

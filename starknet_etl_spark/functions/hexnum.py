@@ -1,0 +1,93 @@
+"""Hex felt/u256 numeric decoding (P6) and address normalization (P11).
+
+The reference decodes on-chain ``0x…`` hex strings with Python
+``int(x, 16)`` (/root/reference/generate_report_dag.py:88,102 —
+arbitrary precision) and immediately does Float64 math (:103).
+
+Spark's ``conv`` is unsigned-64-bit only (ANSI mode raises
+ARITHMETIC_OVERFLOW past 2^64; legacy mode silently wraps — worse),
+but Starknet felts are < 2^252. So the decoders here split the hex
+body into 16-digit (64-bit) chunks, decode each with ``conv``, and
+recombine with positional arithmetic — pure builtins, codegen'd, no
+UDF, ANSI-safe at any width up to 64 hex digits (256 bits).
+
+Overflow policy (SURVEY.md §7.3):
+
+- ``hex_to_long``: exact for < 2^63 (flags, small counters); NULL
+  above (``try_cast``), never an exception.
+- ``hex_to_decimal``: DECIMAL(38,0), exact to 38 digits; wider
+  values → NULL via ``try_multiply``/``try_add`` (detectable, never
+  silently wrong).
+- ``hex_to_double``: never NULLs, ~15 significant digits — matches
+  the reference's end-to-end Float64 precision; the right type for
+  the volume arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_HEX_WIDTH = 64  # 256 bits — covers felt252 and u256
+_CHUNK = 16  # hex digits per conv() call (64 bits)
+_N_CHUNKS = _HEX_WIDTH // _CHUNK
+
+
+def _strip0x(c: Column) -> Column:
+    return F.regexp_replace(F.lower(c), "^0x", "")
+
+
+def _chunks(c: Column) -> list[Column]:
+    """Big-endian 64-bit chunks of the (zero-padded) hex body,
+    each as conv()'s base-10 digit string."""
+    body = F.lpad(_strip0x(c), _HEX_WIDTH, "0")
+    return [
+        F.conv(F.substring(body, 1 + i * _CHUNK, _CHUNK), 16, 10)
+        for i in range(_N_CHUNKS)
+    ]
+
+
+def hex_to_long(c: Column) -> Column:
+    """``int(x, 16)`` for values < 2^63; NULL above."""
+    hi = [ch.try_cast("decimal(20,0)") for ch in _chunks(c)[:-1]]
+    low = _chunks(c)[-1].try_cast("long")
+    overflow = None
+    for h in hi:
+        cond = h > 0
+        overflow = cond if overflow is None else (overflow | cond)
+    return F.when(overflow, F.lit(None).cast("long")).otherwise(low)
+
+
+def hex_to_decimal(c: Column) -> Column:
+    """``int(x, 16)`` exact to DECIMAL(38,0); NULL beyond (documented).
+
+    Horner recombination with ``try_multiply``/``try_add`` so a >38
+    digit value yields NULL regardless of the session's ANSI setting.
+    """
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")  # 2^64
+    acc: Column | None = None
+    for ch in _chunks(c):
+        d = ch.try_cast("decimal(38,0)")
+        acc = d if acc is None else F.try_add(F.try_multiply(acc, two64), d)
+    assert acc is not None
+    return acc.cast("decimal(38,0)")
+
+
+def hex_to_double(c: Column) -> Column:
+    """Float64 decode — reference end-to-end precision (report math).
+    Positional double sum; exact for < 2^53, ~1 ulp drift above."""
+    two64 = F.lit(float(2**64))
+    acc: Column | None = None
+    for ch in _chunks(c):
+        d = ch.cast("double")
+        acc = d if acc is None else acc * two64 + d
+    assert acc is not None
+    return acc
+
+
+def normalize_address(c: Column, width: int = 64) -> Column:
+    """Zero-pad a hex address to ``0x`` + ``width`` chars.
+
+    Parity with ``format_address`` (/root/reference/starknetetl/
+    parse_data.py:9-18) which left-pads the hex body to 64 digits.
+    """
+    return F.concat(F.lit("0x"), F.lpad(_strip0x(c), width, "0"))

@@ -1,0 +1,31 @@
+"""JSON-encoded array columns (P2/P3).
+
+The reference stores event ``keys``/``data`` as JSON-encoded
+``Array(String)`` (/root/reference/export_blocks_and_events_dag.py:71-72),
+re-parses with ``JSONExtract(data, 'Array(String)')``
+(/root/reference/generate_report_dag.py:46) and indexes 1-based with
+``arrayElement`` (:38-41). Spark's ``from_json`` + ``element_at``
+match those semantics exactly (1-based, NULL out-of-range with ANSI
+indexing disabled — we use try_element_at so it holds either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+_ARRAY_OF_STRING = T.ArrayType(T.StringType())
+
+
+def json_array(c: Column) -> Column:
+    """Parse a JSON-encoded array-of-strings column into ARRAY<STRING>."""
+    return F.from_json(c, _ARRAY_OF_STRING)
+
+
+def json_array_element(c: Column, index: int) -> Column:
+    """1-based element access, NULL when out of range.
+
+    Parity with ClickHouse ``arrayElement(parsed, n)``
+    (generate_report_dag.py:38-41).
+    """
+    return F.try_element_at(json_array(c), F.lit(index))

@@ -1,0 +1,14 @@
+"""Canonical pair key (P10).
+
+Parity with ``'/'.join(sorted([symbol0, symbol1]))``
+(/root/reference/generate_report_dag.py:106): an order-independent
+pair identifier built from pure builtins (codegen'd, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def canonical_pair(a: Column, b: Column, sep: str = "/") -> Column:
+    return F.concat_ws(sep, F.array_sort(F.array(a, b)))

@@ -1,0 +1,39 @@
+"""Time expressions (P4/P5).
+
+Epoch-seconds → timestamp and the sliding 24 h report window. The
+reference bakes ``now()`` into its SQL
+(/root/reference/generate_report_dag.py:45,51); per SURVEY.md §7.3
+the engine takes ``now`` as an explicit parameter (default
+``current_timestamp()``) so every query is oracle-testable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, functions as F
+
+
+def epoch_to_timestamp(c: Column) -> Column:
+    """``toDateTime(block_timestamp)`` parity (generate_report_dag.py:45)."""
+    return F.timestamp_seconds(c)
+
+
+def in_sliding_window(
+    ts: Column,
+    now: Column | datetime | str | None = None,
+    *,
+    days: int = 1,
+) -> Column:
+    """``BETWEEN now() - INTERVAL n DAY AND now()`` (generate_report_dag.py:51).
+
+    ``now=None`` reproduces the reference's wall-clock behavior;
+    tests/oracles pass an explicit instant.
+    """
+    now_col = (
+        F.current_timestamp()
+        if now is None
+        else (now if isinstance(now, Column) else F.lit(now).cast("timestamp"))
+    )
+    lo = now_col - F.expr(f"INTERVAL {int(days)} DAY")
+    return ts.between(lo, now_col)

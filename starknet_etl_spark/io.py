@@ -1,0 +1,124 @@
+"""Parquet-backed table IO with keyed-dedup write semantics.
+
+Replaces the reference's ClickHouse sink
+(/root/reference/starknetetl/clickhouse.py:13-65):
+
+- ``generate_create_table_query`` (:13-48, pandas-dtype-inferred DDL)
+  → schemas travel with the DataFrame; nothing is inferred.
+- ``load_df`` insert + ``OPTIMIZE TABLE FINAL`` on keyed tables
+  (:56-60, ReplacingMergeTree upsert-compaction) → ``save_table``
+  with ``dedup_keys`` (O-D1): latest row per key wins,
+  *deterministically* via an explicit version ordering — stronger
+  than ReplacingMergeTree's merge-time "any latest" (SURVEY.md §7.3).
+- swallowed sink errors (:64-65) → we raise (documented divergence).
+- TRUNCATE + reload (generate_report_dag.py:118-120) → overwrite mode.
+
+Scale notes: keyed dedup is one shuffle on the key (hash partition +
+per-partition window); append is shuffle-free. For 100 TB event
+tables, pass ``partition_by`` (e.g. a block-range bucket or date) so
+downstream range predicates prune partitions at the source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .schemas import TESTDATA_DDL, TESTDATA_TABLES
+
+
+def dedup_latest(
+    df: DataFrame, keys: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """Keep the latest row per key (ReplacingMergeTree semantics, O-D1).
+
+    ``order_by``: version columns, highest wins (ties broken by every
+    remaining column for full determinism). Single shuffle on ``keys``;
+    map-side nothing to combine, but AQE handles skewed keys.
+    """
+    order_cols = [F.col(c).desc_nulls_last() for c in (order_by or [])]
+    # Deterministic tie-break: all non-key, non-version columns.
+    rest = [
+        c for c in df.columns if c not in keys and c not in (order_by or [])
+    ]
+    order_cols += [F.col(c).desc_nulls_last() for c in rest]
+    if not order_cols:  # key-only table: any row is "the" row
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def save_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    dedup_keys: list[str] | None = None,
+    version_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write ``df`` to ``path`` as parquet.
+
+    ``dedup_keys`` → keyed-table semantics: merge with the existing
+    table and keep the latest row per key (version order =
+    ``version_cols`` desc), then atomically overwrite. Without keys:
+    plain append / overwrite.
+    """
+    if dedup_keys:
+        spark = df.sparkSession
+        if _exists(spark, path):
+            existing = spark.read.parquet(path)
+            df = existing.unionByName(df, allowMissingColumns=True)
+        df = dedup_latest(df, dedup_keys, version_cols)
+        mode = "overwrite"
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def load_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if os.path.exists(path):  # local fs fast path
+        return True
+    try:  # hadoop fs (s3/hdfs) — public Hadoop FileSystem API
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------------
+# TESTDATA catalog helpers
+# --------------------------------------------------------------------------
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one TESTDATA table with its declared schema.
+
+    Passing the explicit schema (FIXTURES.md §B) skips footer-based
+    inference on wide scans and guarantees stable column types.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ddl = TESTDATA_DDL.get(name)
+    reader = spark.read
+    if ddl:
+        reader = reader.schema(ddl)
+    return reader.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every TESTDATA table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_testdata(spark, sf_dir, name).createOrReplaceTempView(name)

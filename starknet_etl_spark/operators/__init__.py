@@ -1,0 +1,2 @@
+"""Pure ``DataFrame -> DataFrame`` operators (SURVEY.md §2 inventory
+plus the LLM-data-pipeline extensions)."""

@@ -1,0 +1,86 @@
+"""Aggregation operators (SURVEY.md §2.4, §2.6).
+
+- ``grouped_report``: the reference's groupby sum/size
+  (/root/reference/generate_report_dag.py:109-112) as a partial+final
+  hash aggregate.
+- ``top_k``: sort_values().head(n) (:115) as ``TakeOrderedAndProject``
+  — true distributed top-k, no global sort.
+- ``nested_collect``: the dead-code swap-step nesting
+  (/root/reference/starknetetl/parse_data.py:23-49) with
+  *deterministic* step order. The reference preserves arrival order
+  implicitly via an O(n²) linear scan (:28); a distributed engine
+  must carry an explicit order column — we sort the collected structs
+  by a leading order field (SURVEY.md §7.3).
+- ``high_watermark``: MAX-with-fallback incremental checkpoint
+  (/root/reference/export_blocks_and_events_dag.py:31-37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def grouped_report(
+    df: DataFrame,
+    key: str | Column,
+    value_col: str,
+    *,
+    key_name: str = "pair",
+    sum_name: str = "vol_24h",
+    count_name: str = "txn_24h",
+) -> DataFrame:
+    """groupby(key).agg(sum(value), count(*)) — hash agg, map-side partials."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.groupBy(key_col.alias(key_name)).agg(
+        F.sum(value_col).alias(sum_name),
+        F.count(F.lit(1)).alias(count_name),
+    )
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """orderBy(...).limit(k) — Spark plans TakeOrderedAndProject:
+    each partition keeps a k-heap, driver merges; no global shuffle.
+    Pass a deterministic tie-breaker as the last order column."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def nested_collect(
+    df: DataFrame,
+    group_keys: list[str],
+    order_col: str,
+    step_cols: list[str],
+    *,
+    out_col: str = "swap_steps",
+) -> DataFrame:
+    """Group rows into an ordered array-of-structs (A5, swaps shape).
+
+    One shuffle on ``group_keys``; ``collect_list`` order is
+    partition-dependent so the struct leads with ``order_col`` and is
+    ``array_sort``-ed, then the order field is dropped from the
+    output structs. Replaces the reference's O(n²) duplicate-tx scan
+    (parse_data.py:28) with a hash aggregate.
+    """
+    struct_cols = [F.col(order_col).alias("__ord")] + [
+        F.col(c) for c in step_cols
+    ]
+    collected = df.groupBy(*group_keys).agg(
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("__steps")
+    )
+    strip = F.transform(
+        F.col("__steps"),
+        lambda s: F.struct(*[s[c].alias(c) for c in step_cols]),
+    )
+    return collected.withColumn(out_col, strip).drop("__steps")
+
+
+def high_watermark(
+    df: DataFrame, col: str, *, fallback: int = 1_000_000
+) -> int:
+    """MAX(col) with genesis fallback on empty/NULL
+    (export_blocks_and_events_dag.py:31-37)."""
+    try:
+        row = df.agg(F.max(col).alias("hw")).first()
+        hw = row["hw"] if row else None
+    except Exception:
+        hw = None
+    return int(hw) if hw is not None else fallback

@@ -1,0 +1,78 @@
+"""Join operators (SURVEY.md §2.3).
+
+- ``join_dimension``: the ×2 aliased left joins to the token dim
+  (/root/reference/generate_report_dag.py:63-64) as broadcast hash
+  joins — the dim is small, the fact side never shuffles.
+- ``missing_keys``: the scrape-on-miss pattern (:69-85) as a
+  left-anti join: compute the set of fact keys absent from the
+  dimension *before* doing any external work (dedup-before-work
+  replaces the reference's memoization cache, SURVEY.md A6/J4).
+- ``enrich_prices``: the per-row price dict lookup (:98-99) as a left
+  broadcast join + coalesce-to-0 default (get_token_price.py:71-74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def join_dimension(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    prefix: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Left-join ``dim`` onto ``fact``; dim columns renamed ``prefix_*``.
+
+    Renaming (instead of aliasing table names) lets the same dim be
+    probed twice (token_0 / token_1 style) without ambiguity.
+    """
+    renamed = dim.select(
+        [F.col(c).alias(f"{prefix}_{c}") for c in dim.columns]
+    )
+    if broadcast_dim:
+        renamed = F.broadcast(renamed)
+    cond = F.col(fact_key) == F.col(f"{prefix}_{dim_key}")
+    return fact.join(renamed, cond, how).drop(f"{prefix}_{dim_key}")
+
+
+def missing_keys(
+    fact: DataFrame, keys: list[str], dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Distinct fact key values absent from the dimension (J4).
+
+    UNION ALL the key columns, distinct, then left-anti against the
+    dim. Returns a single-column DataFrame named ``dim_key`` — the
+    small work-list handed to the external resolver (scraper).
+    """
+    stacked = None
+    for k in keys:
+        part = fact.select(F.col(k).alias(dim_key))
+        stacked = part if stacked is None else stacked.unionAll(part)
+    assert stacked is not None
+    universe = stacked.filter(F.col(dim_key).isNotNull()).distinct()
+    return universe.join(F.broadcast(dim.select(dim_key)), dim_key, "left_anti")
+
+
+def enrich_prices(
+    df: DataFrame,
+    prices: DataFrame,
+    *,
+    fact_key: str = "token_address",
+    price_key: str = "token_address",
+    price_col: str = "price_usd",
+    default: float = 0.0,
+) -> DataFrame:
+    """Broadcast price join with get_price's 0.0 default
+    (get_token_price.py:71-74)."""
+    dim = prices.select(
+        F.col(price_key).alias("__pk"), F.col(price_col).alias("price")
+    )
+    out = df.join(F.broadcast(dim), F.col(fact_key) == F.col("__pk"), "left")
+    return out.withColumn(
+        "price", F.coalesce(F.col("price"), F.lit(default))
+    ).drop("__pk")

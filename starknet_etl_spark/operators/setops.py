@@ -1,0 +1,23 @@
+"""Set operators (SURVEY.md §2.7).
+
+``unpivot_union`` is the token-universe stack
+(/root/reference/crawl_token_dag.py:41-45): UNION ALL of N columns
+into one, optionally distinct. INTERSECT / EXCEPT come free from
+Spark (`intersect`, `exceptAll`) and are exposed through the query
+catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unpivot_union(
+    df: DataFrame, cols: list[str], *, out: str, distinct: bool = True
+) -> DataFrame:
+    out_df = None
+    for c in cols:
+        part = df.select(F.col(c).alias(out))
+        out_df = part if out_df is None else out_df.unionAll(part)
+    assert out_df is not None
+    return out_df.distinct() if distinct else out_df

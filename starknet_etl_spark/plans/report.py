@@ -1,0 +1,144 @@
+"""The analytical core: 24 h top-trading-pair report.
+
+Re-expresses ``generate_top_token_24h``
+(/root/reference/generate_report_dag.py:28-120) as ONE lazy DataFrame
+chain — scan → JSON/array projections → 24 h filter → events⋈blocks →
+token dim joins ×2 → price enrichment → vectorized arithmetic →
+hash agg → top-k → overwrite sink. The reference splits this across
+a ClickHouse SQL string (:34-66), iterrows scraping (:68-86), and
+row-wise pandas applies (:88-106); here Catalyst plans the whole
+thing: filters/projections push into the parquet scan, dim joins
+broadcast, the aggregate runs partial+final, and the top-k is
+TakeOrderedAndProject.
+
+Swap event ``data`` layout (1-based, generate_report_dag.py:38-41):
+  [2]=token_0  [3]=token_1  [7]=amount  [9]=is_token1
+
+Scale: the only shuffle on the fact side is events⋈blocks (both
+large, sort-merge; AQE may flip to broadcast when the block range is
+small) and the final pair aggregate. Token/price dims broadcast.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import (
+    canonical_pair,
+    epoch_to_timestamp,
+    hex_to_double,
+    hex_to_long,
+    in_sliding_window,
+    json_array,
+)
+from ..operators.aggregates import grouped_report, top_k
+from ..operators.joins import enrich_prices, join_dimension
+
+
+def extract_swap_events(
+    events: DataFrame,
+    blocks: DataFrame,
+    *,
+    now: Column | datetime | str | None = None,
+    window_days: int = 1,
+) -> DataFrame:
+    """The extraction CTE (generate_report_dag.py:35-52).
+
+    JSON parse + 1-based array index + epoch cast + sliding window
+    filter + events⋈blocks inner join.
+    """
+    parsed = events.select(
+        json_array(F.col("data")).alias("d"),
+        "block_number",
+        "transaction_hash",
+    ).select(
+        F.try_element_at("d", F.lit(2)).alias("token_0"),
+        F.try_element_at("d", F.lit(3)).alias("token_1"),
+        F.try_element_at("d", F.lit(7)).alias("amount"),
+        F.try_element_at("d", F.lit(9)).alias("is_token1"),
+        "block_number",
+        "transaction_hash",
+    )
+    stamped = parsed.join(
+        blocks.select(
+            "block_number",
+            epoch_to_timestamp(F.col("block_timestamp")).alias("event_date"),
+        ),
+        "block_number",
+        "inner",
+    )
+    return stamped.filter(
+        in_sliding_window(F.col("event_date"), now, days=window_days)
+    )
+
+
+def build_top_pair_report(
+    events: DataFrame,
+    blocks: DataFrame,
+    token: DataFrame,
+    prices: DataFrame,
+    *,
+    top_type: str = "vol",
+    top_n: int = 30,
+    now: Column | datetime | str | None = None,
+) -> DataFrame:
+    """Full report plan (generate_report_dag.py:53-115) → top-N pairs.
+
+    Output schema: (pair STRING, vol_24h DOUBLE, txn_24h BIGINT),
+    ordered by the chosen metric desc — schemas.TOP_TOKEN_REPORT.
+    """
+    swaps = extract_swap_events(events, blocks, now=now)
+
+    # ×2 aliased probes of the token dim (:63-64) — broadcast.
+    enriched = join_dimension(
+        swaps, token, "token_0", "token", prefix="t0"
+    )
+    enriched = join_dimension(
+        enriched, token, "token_1", "token", prefix="t1"
+    )
+
+    # Dim-miss defaults: the reference scrape-fills NaN symbols
+    # (:69-85); a failed scrape defaults name/symbol/decimals to
+    # 'No Name'/'No Symbol'/0 (scrape_token.py:11-16). The engine's
+    # equivalent when no resolver ran: coalesce to those defaults
+    # (decimals 0 rows then drop at the :91 filter).
+    # Conditional decimals/address (np.where :88-90), zero filter (:91).
+    flag = hex_to_long(F.col("is_token1"))
+    resolved = enriched.select(
+        F.coalesce(
+            F.when(flag == 1, F.col("t1_decimals")).otherwise(
+                F.col("t0_decimals")
+            ),
+            F.lit(0),
+        ).alias("decimals"),
+        F.when(flag == 1, F.col("token_1"))
+        .otherwise(F.col("token_0"))
+        .alias("token_address"),
+        F.coalesce(F.col("t0_symbol"), F.lit("No Symbol")).alias("symbol0"),
+        F.coalesce(F.col("t1_symbol"), F.lit("No Symbol")).alias("symbol1"),
+        "amount",
+    ).filter(F.col("decimals") != 0)
+
+    # Price lookup dict → broadcast join + 0 default (:98-99); the
+    # reference's `price != None` is a no-op (SURVEY.md bug list) —
+    # intent is NOT NULL, which coalesce-to-0 + !=0 covers.
+    priced = enrich_prices(resolved, prices).filter(F.col("price") != 0)
+
+    # Hex amount decode (:102, Float64 end-to-end) + volume (:103)
+    # + canonical pair key (:106).
+    computed = priced.select(
+        canonical_pair(F.col("symbol0"), F.col("symbol1")).alias("pair"),
+        (
+            hex_to_double(F.col("amount"))
+            / F.pow(F.lit(10.0), F.col("decimals"))
+            * F.col("price")
+        ).alias("volumn"),  # sic — reference column name :103
+    )
+
+    # groupby sum/size (:109-112) → top-k (:115). Pair name is the
+    # deterministic tie-breaker.
+    report = grouped_report(computed, "pair", "volumn")
+    metric = "vol_24h" if top_type == "vol" else "txn_24h"
+    return top_k(report, [F.desc(metric), F.asc("pair")], top_n)

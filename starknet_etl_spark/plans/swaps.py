@@ -1,0 +1,45 @@
+"""Nested swap-step records (the dead-code capability, A5).
+
+Parity with ``parse_event`` (/root/reference/starknetetl/
+parse_data.py:8-51): one row per transaction with ordered
+``swap_steps`` array-of-structs. ``data`` layout here follows the
+parser's 0-based reads [1],[2],[12],[14] (parse_data.py:24-27) →
+1-based elements 2,3,13,15. Addresses are zero-padded to 66 chars
+(format_address, :9-18). Step order = event arrival order, carried
+explicitly as ``event_index`` (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import json_array, normalize_address
+from ..operators.aggregates import nested_collect
+
+
+def parse_swaps(events: DataFrame, blocks: DataFrame) -> DataFrame:
+    steps = events.select(
+        "transaction_hash",
+        "block_number",
+        "event_index",
+        json_array(F.col("data")).alias("d"),
+    ).select(
+        "transaction_hash",
+        "block_number",
+        "event_index",
+        normalize_address(F.try_element_at("d", F.lit(2))).alias("token0"),
+        normalize_address(F.try_element_at("d", F.lit(3))).alias("token1"),
+        F.try_element_at("d", F.lit(13)).alias("amount0"),
+        F.try_element_at("d", F.lit(15)).alias("amount1"),
+    )
+    stamped = steps.join(
+        blocks.select("block_number", "block_timestamp"),
+        "block_number",
+        "inner",
+    )
+    return nested_collect(
+        stamped,
+        ["transaction_hash", "block_number", "block_timestamp"],
+        "event_index",
+        ["token0", "token1", "amount0", "amount1"],
+    )

@@ -1,0 +1,22 @@
+"""Token-universe discovery query.
+
+Parity with the two-CTE chain at /root/reference/crawl_token_dag.py:33-47:
+parse ``data``, take 1-based elements 2/3 (token_0/token_1), stack
+with UNION ALL, DISTINCT. Feeds the dimension-maintenance anti-join
+(operators.joins.missing_keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import json_array
+from ..operators.setops import unpivot_union
+
+
+def token_universe(events: DataFrame) -> DataFrame:
+    pairs = events.select(json_array(F.col("data")).alias("d")).select(
+        F.try_element_at("d", F.lit(2)).alias("token_0"),
+        F.try_element_at("d", F.lit(3)).alias("token_1"),
+    )
+    return unpivot_union(pairs, ["token_0", "token_1"], out="token")

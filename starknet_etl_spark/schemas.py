@@ -1,0 +1,143 @@
+"""Explicit schemas — the single source of truth for every table.
+
+The reference infers DDL from pandas dtypes at load time
+(/root/reference/starknetetl/clickhouse.py:13-34, with the lossy
+``int64 -> UInt64`` quirk at :18). Here every table has one explicit
+``StructType``; sinks never infer. Domain tables mirror the
+reference's landed shapes (SURVEY.md §1.1); TESTDATA schemas mirror
+/root/repo/FIXTURES.md §B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Domain tables (reference-shaped; citations into /root/reference/)
+# --------------------------------------------------------------------------
+
+#: fetch_data.py:35-41 — one row per block, 3 projected fields.
+#: Keyed table: dedup on block_number, latest wins (clickhouse.py:43-46).
+BLOCKS = T.StructType(
+    [
+        T.StructField("block_number", T.LongType(), False),
+        T.StructField("block_hash", T.StringType(), True),
+        T.StructField("block_timestamp", T.LongType(), True),
+    ]
+)
+
+#: Raw starknet_getEvents rows appended verbatim (fetch_data.py:88-89);
+#: keys/data JSON-encoded before landing
+#: (export_blocks_and_events_dag.py:71-72). Append-only, unkeyed
+#: (clickhouse.py:46 — ORDER BY tuple()).
+RAW_EVENTS = T.StructType(
+    [
+        T.StructField("from_address", T.StringType(), True),
+        T.StructField("keys", T.StringType(), True),
+        T.StructField("data", T.StringType(), True),
+        T.StructField("block_hash", T.StringType(), True),
+        T.StructField("block_number", T.LongType(), True),
+        T.StructField("transaction_hash", T.StringType(), True),
+        # Engine addition (SURVEY.md §7.3): arrival index within the
+        # (block, tx) so nested collects are deterministic. The
+        # reference relies on implicit row order (parse_data.py:28-35)
+        # which a distributed engine must carry explicitly.
+        T.StructField("event_index", T.LongType(), True),
+    ]
+)
+
+#: scrape_token.py:11-16 / crawl_token_dag.py:55. Keyed on token.
+TOKEN = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("symbol", T.StringType(), True),
+        T.StructField("decimals", T.LongType(), True),
+    ]
+)
+
+#: Stand-in for the GeckoTerminal price dict (get_token_price.py:43-69).
+TOKEN_PRICES = T.StructType(
+    [
+        T.StructField("token_address", T.StringType(), False),
+        T.StructField("price_usd", T.DoubleType(), True),
+    ]
+)
+
+#: Nested swaps shape (parse_data.py:23-49, dead code but declared
+#: capability — SURVEY.md §2.9 / A5).
+SWAP_STEP = T.StructType(
+    [
+        T.StructField("token0", T.StringType(), True),
+        T.StructField("token1", T.StringType(), True),
+        T.StructField("amount0", T.StringType(), True),
+        T.StructField("amount1", T.StringType(), True),
+    ]
+)
+SWAPS = T.StructType(
+    [
+        T.StructField("block_number", T.LongType(), True),
+        T.StructField("block_timestamp", T.LongType(), True),
+        T.StructField("transaction_hash", T.StringType(), False),
+        T.StructField("swap_steps", T.ArrayType(SWAP_STEP), True),
+    ]
+)
+
+#: Report shape (generate_report_dag.py:106-120). One table per metric
+#: in the reference (top_txn_/top_vol_token_report); same shape here.
+TOP_TOKEN_REPORT = T.StructType(
+    [
+        T.StructField("pair", T.StringType(), False),
+        T.StructField("vol_24h", T.DoubleType(), True),
+        T.StructField("txn_24h", T.LongType(), True),
+    ]
+)
+
+# --------------------------------------------------------------------------
+# TESTDATA tables (/root/testdata/sf*/; FIXTURES.md §B)
+# --------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+TESTDATA_DDL: dict[str, str] = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ),
+    "supplier": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    "part": (
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE"
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
+        "l_linestatus STRING, l_shipdate TIMESTAMP"
+    ),
+    "events": (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ),
+    "documents": (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ),
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}

@@ -1,0 +1,119 @@
+"""Shared fixtures: one small local SparkSession + reference-shaped
+domain fixtures (FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from starknet_etl_spark import schemas
+from starknet_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_T2 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    yield s
+
+
+def _hex(n: int) -> str:
+    return hex(n)
+
+
+@pytest.fixture(scope="session")
+def blocks_df(spark):
+    # Duplicate block 101 (dedup path); timestamps monotone.
+    rows = [
+        (100, "0x" + "a" * 64, 1_700_000_000),
+        (101, "0x" + "b" * 64, 1_700_000_010),
+        (101, "0x" + "b2".ljust(64, "0"), 1_700_000_011),  # replaces
+        (102, "0x" + "c" * 64, 1_700_000_020),
+        (103, "0x" + "d" * 64, 1_700_086_400),  # > 24h after 100
+    ]
+    return spark.createDataFrame(rows, schemas.BLOCKS)
+
+
+def _event(block, tx, idx, t0, t1, amount, is_token1):
+    data = [
+        "0xpoolid",  # 1
+        t0,  # 2: token_0
+        t1,  # 3: token_1
+        "0x0",
+        "0x0",
+        "0x0",
+        amount,  # 7: amount
+        "0x0",
+        is_token1,  # 9: is_token1
+        "0x0",
+        "0x0",
+        "0x0",
+        amount,  # 13: amount0 (parser layout)
+        "0x0",
+        amount,  # 15: amount1
+    ]
+    return (
+        "0x" + "e" * 64,
+        json.dumps(["0x157717"]),
+        json.dumps(data),
+        "0xblockhash",
+        block,
+        tx,
+        idx,
+    )
+
+
+TOK_A = "0x" + "1".rjust(64, "0")
+TOK_B = "0x" + "2".rjust(64, "0")
+TOK_C = "0x" + "3".rjust(64, "0")
+TOK_MISSING = "0x" + "9".rjust(64, "0")  # absent from token dim
+
+
+@pytest.fixture(scope="session")
+def events_df(spark):
+    rows = [
+        # block 101: two swaps in one tx (nesting), A/B pair
+        _event(101, "0xtx1", 0, TOK_A, TOK_B, hex(10**18), "0x0"),
+        _event(101, "0xtx1", 1, TOK_A, TOK_B, hex(2 * 10**18), "0x1"),
+        # block 102: B/C pair
+        _event(102, "0xtx2", 0, TOK_B, TOK_C, hex(5 * 10**6), "0x0"),
+        # block 102: missing token (join-miss / anti-join path)
+        _event(102, "0xtx3", 0, TOK_MISSING, TOK_A, hex(7), "0x1"),
+        # block 103: outside 24h window of "now"=1700000100
+        _event(103, "0xtx4", 0, TOK_A, TOK_B, hex(10**18), "0x0"),
+        # block 999: no matching block row (inner-join drop)
+        _event(999, "0xtx5", 0, TOK_A, TOK_B, hex(10**18), "0x0"),
+        # amount beyond decimal(38,0): ~2^252 (overflow → NULL decimal)
+        _event(102, "0xtx6", 0, TOK_A, TOK_B, hex(2**252), "0x0"),
+    ]
+    return spark.createDataFrame(rows, schemas.RAW_EVENTS)
+
+
+@pytest.fixture(scope="session")
+def token_df(spark):
+    rows = [
+        (TOK_A, "Alpha", "ALF", 18),
+        (TOK_B, "Beta", "BET", 18),
+        (TOK_C, "Gamma", "GAM", 6),
+        ("0x" + "4".rjust(64, "0"), "ZeroDec", "ZDC", 0),  # filtered
+    ]
+    return spark.createDataFrame(rows, schemas.TOKEN)
+
+
+@pytest.fixture(scope="session")
+def prices_df(spark):
+    rows = [
+        (TOK_A, 2.0),
+        (TOK_B, 3.0),
+        (TOK_C, 0.0),  # zero price → filtered
+        # TOK_MISSING absent → default 0 → filtered
+    ]
+    return spark.createDataFrame(rows, schemas.TOKEN_PRICES)

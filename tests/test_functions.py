@@ -1,0 +1,91 @@
+"""Per-operator parity tests for the scalar expression surface
+(SURVEY.md §2.2 → §5.2 unit tests): each builtin composition must
+match the reference's Python semantics exactly."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from starknet_etl_spark.functions import (
+    canonical_pair,
+    epoch_to_timestamp,
+    hex_to_decimal,
+    hex_to_double,
+    hex_to_long,
+    in_sliding_window,
+    json_array,
+    json_array_element,
+    normalize_address,
+)
+
+
+def _one(spark, col, value=None, schema=None):
+    df = spark.createDataFrame([(value,)], schema or "v string")
+    return df.select(col.alias("out")).first()["out"]
+
+
+def test_hex_to_long_parity(spark):
+    for s in ["0x0", "0x1", "0xff", "0xDEADBEEF", hex(2**62)]:
+        assert _one(spark, hex_to_long(F.col("v")), s) == int(s, 16)
+
+
+def test_hex_to_decimal_exact_and_overflow(spark):
+    assert _one(spark, hex_to_decimal(F.col("v")), hex(2**126)) == 2**126
+    # 10^38-1 is the widest decimal(38,0) value
+    assert _one(spark, hex_to_decimal(F.col("v")), hex(10**38 - 1)) == (
+        10**38 - 1
+    )
+    # beyond 38 digits (u128 max needs 39) → NULL, never wraps
+    assert _one(spark, hex_to_decimal(F.col("v")), hex(2**127 - 1)) is None
+    assert _one(spark, hex_to_decimal(F.col("v")), hex(2**252)) is None
+
+
+def test_hex_to_double_reference_precision(spark):
+    v = 123456789 * 10**18
+    got = _one(spark, hex_to_double(F.col("v")), hex(v))
+    assert abs(got - float(v)) / float(v) < 1e-12
+
+
+def test_normalize_address_parity(spark):
+    # format_address (parse_data.py:9-18): pad body to 64 chars
+    assert (
+        _one(spark, normalize_address(F.col("v")), "0x1")
+        == "0x" + "1".rjust(64, "0")
+    )
+    full = "0x" + "a" * 64
+    assert _one(spark, normalize_address(F.col("v")), full) == full
+
+
+def test_json_array_element_one_based(spark):
+    payload = json.dumps(["a", "b", "c"])
+    assert _one(spark, json_array_element(F.col("v"), 1), payload) == "a"
+    assert _one(spark, json_array_element(F.col("v"), 3), payload) == "c"
+    # out of range → NULL (arrayElement parity)
+    assert _one(spark, json_array_element(F.col("v"), 9), payload) is None
+    assert _one(spark, F.size(json_array(F.col("v"))), payload) == 3
+
+
+def test_canonical_pair_parity(spark):
+    df = spark.createDataFrame([("ETH", "ABC"), ("ABC", "ETH")], "a string, b string")
+    got = [
+        r["p"]
+        for r in df.select(
+            canonical_pair(F.col("a"), F.col("b")).alias("p")
+        ).collect()
+    ]
+    assert got == ["/".join(sorted(["ETH", "ABC"]))] * 2
+
+
+def test_epoch_and_window(spark):
+    df = spark.createDataFrame([Row(t=1_700_000_000)])
+    out = df.select(
+        epoch_to_timestamp(F.col("t")).alias("ts")
+    ).select(
+        in_sliding_window(F.col("ts"), "2023-11-14 23:00:00").alias("inside"),
+        in_sliding_window(F.col("ts"), "2023-11-16 23:00:00").alias("outside"),
+    ).first()
+    # 1700000000 = 2023-11-14 22:13:20 UTC
+    assert out["inside"] is True
+    assert out["outside"] is False

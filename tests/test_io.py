@@ -1,0 +1,54 @@
+"""Keyed-dedup sink semantics (O-D1) — round-trip + idempotence
+(SURVEY.md §7.2 phase 1 gate)."""
+
+from __future__ import annotations
+
+from starknet_etl_spark import schemas
+from starknet_etl_spark.io import dedup_latest, load_table, save_table
+
+
+def test_dedup_latest_latest_wins(spark, blocks_df):
+    out = dedup_latest(blocks_df, ["block_number"], ["block_timestamp"])
+    rows = {r["block_number"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[101]["block_timestamp"] == 1_700_000_011  # replaced
+
+
+def test_dedup_idempotent(spark, blocks_df):
+    once = dedup_latest(blocks_df, ["block_number"], ["block_timestamp"])
+    twice = dedup_latest(once, ["block_number"], ["block_timestamp"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_save_table_keyed_upsert(spark, blocks_df, tmp_path):
+    path = str(tmp_path / "blocks")
+    save_table(
+        blocks_df,
+        path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+    )
+    assert load_table(spark, path).count() == 4
+
+    # Re-ingesting an overlapping range must not double-count
+    # (ReplacingMergeTree re-ingest safety, SURVEY.md ST7).
+    newer = spark.createDataFrame(
+        [(102, "0x" + "f" * 64, 1_700_000_099)], schemas.BLOCKS
+    )
+    save_table(
+        newer,
+        path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+    )
+    out = load_table(spark, path)
+    assert out.count() == 4
+    got = out.filter("block_number = 102").first()
+    assert got["block_timestamp"] == 1_700_000_099
+
+
+def test_save_table_overwrite(spark, blocks_df, tmp_path):
+    path = str(tmp_path / "report")
+    save_table(blocks_df, path, mode="overwrite")
+    save_table(blocks_df, path, mode="overwrite")  # truncate+reload parity
+    assert load_table(spark, path).count() == blocks_df.count()

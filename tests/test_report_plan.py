@@ -1,0 +1,82 @@
+"""Golden pipeline test for the analytical core (SURVEY.md §7.1):
+hand-computed expected output over the domain fixtures, exercising
+JSON parse, 1-based indexing, epoch cast, 24 h filter, inner join,
+dim joins, conditional decimals, zero filters, hex decode, volume
+math, pair key, agg, top-k."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.io import dedup_latest
+from starknet_etl_spark.operators.joins import missing_keys
+from starknet_etl_spark.plans.report import build_top_pair_report
+from starknet_etl_spark.plans.swaps import parse_swaps
+from starknet_etl_spark.plans.token_universe import token_universe
+
+NOW = "2023-11-14 22:15:00"  # epoch 1700000100, inside blocks 100-102
+
+
+@pytest.fixture(scope="module")
+def clean_blocks(blocks_df):
+    # blocks is a keyed table: the sink dedups on write (O-D1); plans
+    # consume the deduped view.
+    return dedup_latest(blocks_df, ["block_number"], ["block_timestamp"])
+
+
+def test_top_pair_report_vol(clean_blocks, events_df, token_df, prices_df):
+    blocks_df = clean_blocks
+    out = build_top_pair_report(
+        events_df, blocks_df, token_df, prices_df, top_type="vol", now=NOW
+    ).collect()
+    got = {r["pair"]: (r["vol_24h"], r["txn_24h"]) for r in out}
+
+    # tx1 step1: is_token1=0 → token A, dec 18, price 2 → 1e18/1e18*2 = 2
+    # tx1 step2: is_token1=1 → token B, dec 18, price 3 → 2e18/1e18*3 = 6
+    # tx6: 2^252 amount, A side, double decode → huge but finite
+    # tx2 (B/C): price(C-side? is_token1=0 → token B) dec18 price3 →
+    #   5e6/1e18*3 ≈ 1.5e-11
+    # tx3: t0 missing from dim → symbol defaults to 'No Symbol'
+    #   (scrape-failure default); is_token1=1 side IS known (A, dec
+    #   18, price 2) → kept: 7/1e18*2
+    # tx4: outside window; tx5: no block row
+    assert set(got) == {"ALF/BET", "BET/GAM", "ALF/No Symbol"}
+    vol_ab, txn_ab = got["ALF/BET"]
+    assert txn_ab == 3
+    expected_ab = 2.0 + 6.0 + float(2**252) / 1e18 * 2.0
+    assert abs(vol_ab - expected_ab) / expected_ab < 1e-9
+    assert got["BET/GAM"][1] == 1
+
+    # txn ordering variant
+    out_txn = build_top_pair_report(
+        events_df, blocks_df, token_df, prices_df, top_type="txn", now=NOW
+    ).collect()
+    assert out_txn[0]["pair"] == "ALF/BET"
+
+
+def test_token_universe(events_df):
+    toks = {r["token"] for r in token_universe(events_df).collect()}
+    # distinct addresses across token_0/token_1: A, B, C, MISSING
+    assert len(toks) == 4
+
+
+def test_missing_keys_anti_join(events_df, token_df):
+    uni = token_universe(events_df)
+    missing = missing_keys(
+        uni, ["token"], token_df, "token"
+    ).collect()
+    assert [r["token"] for r in missing] == [
+        "0x" + "9".rjust(64, "0")
+    ]
+
+
+def test_parse_swaps_ordered_nesting(events_df, blocks_df):
+    out = parse_swaps(events_df, blocks_df)
+    row = {r["transaction_hash"]: r for r in out.collect()}["0xtx1"]
+    steps = row["swap_steps"]
+    # arrival order preserved (event_index 0 then 1)
+    assert len(steps) == 2
+    assert int(steps[0]["amount0"], 16) == 10**18
+    assert int(steps[1]["amount0"], 16) == 2 * 10**18
+    # addresses zero-padded to 66 chars
+    assert len(steps[0]["token0"]) == 66
