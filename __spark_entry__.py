@@ -3,36 +3,56 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``starknet_etl_spark`` package; the
+catalog (starknet_etl_spark/catalog/) is the single source of truth
+for the query surface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from starknet_etl_spark.catalog import QUERIES  # noqa: E402
+from starknet_etl_spark.session import tune  # noqa: E402
+
+_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune(spark)
+    return QUERIES["top_pair_report_vol"].builder(spark, _SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(name):
+        spec = QUERIES[name]
+
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return spec.builder(spark, sf_dir)
+
+        run.__doc__ = spec.doc
+        return run
+
+    return {name: wrap(name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted only for
+    non-SQL-expressible ops → driver records a rows-only check)."""
+    return {
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver-side result transfer skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from starknet_etl_spark.catalog import QUERIES  # noqa: E402
+from starknet_etl_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the flagship report + one representative per operator
+#: family (joins/agg, window, nested collect, JSON, dedup families,
+#: text stats, vector search).
+HEADLINE = (
+    "top_pair_report_vol",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "events_last_day",
+    "latest_event_per_user",
+    "user_journeys",
+    "running_total",
+    "doc_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_text_stats",
+    "emb_knn_bruteforce",
+    "emb_near_dup_pairs",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        spec.builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB over the
+same sf directory, compares row count, column names, and
+order-insensitive canonical values (columns sorted by name, rows
+sorted, doubles rounded). Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from starknet_etl_spark.catalog import QUERIES  # noqa: E402
+from starknet_etl_spark.io import TESTDATA_TABLES  # noqa: E402
+from starknet_etl_spark.session import get_spark  # noqa: E402
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{round(v, 6):.6f}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        "oracle-check", shuffle_partitions=16,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if spec.oracle is None:
+            print(f"SKIP {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            d_cols = [c for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        status = []
+        if len(s_rows) != len(d_rows):
+            status.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            status.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not status:
+            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            if cs != cd:
+                diff = next(
+                    (i for i, (x, y) in enumerate(zip(cs, cd)) if x != y), -1
+                )
+                status.append(
+                    f"values differ at sorted row {diff}: "
+                    f"{cs[diff] if diff >= 0 else ''} vs "
+                    f"{cd[diff] if diff >= 0 else ''}"
+                )
+        took = time.time() - t0
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)} ({took:.1f}s)")
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows, {took:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,48 @@
+"""Query catalog — the engine's public query surface.
+
+One entry per operator family from SURVEY.md §2 (plus the LLM-data
+extensions), instantiated over the TESTDATA tables so the driver can
+differential-test every query against a DuckDB oracle
+(CORRECTNESS_r{N}.json). Each spec pairs:
+
+- ``builder(spark, sf_dir) -> DataFrame`` — the Spark-first plan,
+  built from the engine's operator library;
+- ``oracle`` — equivalent SQL runnable by DuckDB over the same
+  parquet (views pre-registered per table), or ``None`` for ops that
+  aren't SQL-expressible (driver then records a rows-only check).
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing). Doubles that aggregate
+are rounded on both sides so cross-engine summation-order drift can't
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """A catalog entry: Spark builder + DuckDB oracle + coverage note."""
+
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _merged() -> dict[str, QuerySpec]:
+    from . import events, relational, text, vectors
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, events, text, vectors):
+        overlap = out.keys() & mod.QUERIES.keys()
+        assert not overlap, f"duplicate catalog keys: {overlap}"
+        out.update(mod.QUERIES)
+    return out
+
+
+QUERIES: dict[str, QuerySpec] = _merged()

@@ -1,0 +1,278 @@
+"""Event-stream coverage — the reference's incremental + report
+semantics (SURVEY.md §2.10) over the TESTDATA ``events`` table:
+high-watermark (A1/ST1), sliding time window (P5/ST6), JSON props
+extraction (P2), keyed dedup (O-D1), ordered nested collect (A5),
+plus window functions (engine surface beyond reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_testdata
+from ..operators.aggregates import nested_collect
+from . import QuerySpec
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "events")
+
+
+def _high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-with-fallback checkpoint (export_blocks_and_events_dag.py:31-37).
+
+    The genesis fallback (1,000,000 in the reference) applies when the
+    sink is empty — expressed as COALESCE so the whole thing stays one
+    Catalyst plan.
+    """
+    return _ev(spark, sf_dir).agg(
+        F.coalesce(F.max("event_id"), F.lit(1_000_000)).alias("high_watermark")
+    )
+
+
+_HW_ORACLE = (
+    "SELECT COALESCE(MAX(event_id), 1000000) AS high_watermark FROM events"
+)
+
+
+def _events_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24 h window relative to the data's max(ts) — the
+    reference's now()-anchored filter (P5) with `now` made explicit
+    (SURVEY.md §7.3) so the query is deterministic and oracle-testable.
+    The scalar max is a broadcast cross join — one tiny row, no
+    driver round-trip, stays one lazy plan."""
+    ev = _ev(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("ts").between(
+                F.col("mx") - F.expr("INTERVAL 1 DAY"), F.col("mx")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_LAST_DAY_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts BETWEEN (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+             AND (SELECT MAX(ts) FROM events)
+GROUP BY event_type
+"""
+
+
+def _latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, latest wins (O-D1 — ReplacingMergeTree semantics,
+    clickhouse.py:59-60): one row per user_id by (ts, event_id) desc."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+_LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ROUND(value, 2) AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def _user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered nested collect (A5 — parse_data.py:23-49): per-user
+    event sequence in arrival order, via the engine's deterministic
+    nested_collect (struct-led sort on the order column)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "__order", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    nested = nested_collect(
+        ev.select("user_id", "__order", "event_type"),
+        ["user_id"],
+        "__order",
+        ["event_type"],
+        out_col="steps",
+    )
+    return nested.select(
+        "user_id",
+        F.size("steps").alias("n_events"),
+        F.array_join(
+            F.transform(F.col("steps"), lambda s: s["event_type"]), ","
+        ).alias("journey"),
+    )
+
+
+_USER_JOURNEYS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
+def _props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (P2 — JSONExtract parity): props is a JSON
+    object; pull $.k and aggregate."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate — batch shape of the streaming
+    windowed agg (ST6); day key emitted as a string for engine-neutral
+    comparison."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_DAILY_STATS_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def _running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user — window function, engine surface beyond
+    reference (SURVEY.md §2.5)."""
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+_RUNNING_TOTAL_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events
+"""
+
+
+def _top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() top-N per group — window function beyond reference."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+_TOP3_ORACLE = """
+SELECT event_type, rnk, event_id, value
+FROM (SELECT event_type, event_id, value,
+             RANK() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events)
+WHERE rnk <= 3
+"""
+
+
+def _value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per user — window function beyond reference."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.lag("value").over(w), 2
+        ).alias("value_delta"),
+    )
+
+
+_VALUE_DELTA_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 2)
+       AS value_delta
+FROM events
+"""
+
+
+QUERIES = {
+    "high_watermark": QuerySpec(
+        _high_watermark, _HW_ORACLE, "MAX + genesis fallback (A1/ST1)"
+    ),
+    "events_last_day": QuerySpec(
+        _events_last_day, _EVENTS_LAST_DAY_ORACLE, "sliding 24h window (P5/ST6)"
+    ),
+    "latest_event_per_user": QuerySpec(
+        _latest_event_per_user, _LATEST_EVENT_ORACLE, "keyed dedup latest-wins (O-D1)"
+    ),
+    "user_journeys": QuerySpec(
+        _user_journeys, _USER_JOURNEYS_ORACLE, "ordered nested collect (A5)"
+    ),
+    "props_by_type": QuerySpec(
+        _props_by_type, _PROPS_ORACLE, "JSON props extraction (P2)"
+    ),
+    "daily_stats": QuerySpec(
+        _daily_stats, _DAILY_STATS_ORACLE, "tumbling-day aggregate (ST6 batch shape)"
+    ),
+    "running_total": QuerySpec(
+        _running_total, _RUNNING_TOTAL_ORACLE, "window running sum"
+    ),
+    "top3_per_type": QuerySpec(_top3_per_type, _TOP3_ORACLE, "window rank top-N"),
+    "value_delta": QuerySpec(_value_delta, _VALUE_DELTA_ORACLE, "window lag delta"),
+}

@@ -1,0 +1,456 @@
+"""Relational operator coverage over the TPC-H-ish TESTDATA tables.
+
+Maps the reference's relational surface (SURVEY.md §2) onto the
+driver's star schema: projections/filters/expressions (P*), inner +
+broadcast dim joins (J1/J2), semi/anti joins (J4), aggregation (A2),
+DISTINCT (A3/A4), UNION-ALL unpivot (U1), CTEs (C1/C2), top-k (T2),
+high-watermark MAX (A1), dedup-by-key (O-D1 — see events.py), plus
+Spark-native extras the reference lacks (window functions, ROLLUP,
+CUBE, INTERSECT/EXCEPT) marked "engine surface beyond reference".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import canonical_pair, hex_to_decimal, hex_to_long, normalize_address
+from ..io import load_testdata
+from ..operators.aggregates import grouped_report, top_k
+from ..operators.joins import join_dimension
+from ..operators.setops import unpivot_union
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: the 24 h top-pair report shape (generate_report_dag.py:34-115)
+# mapped onto the star schema — pair = canonically-ordered
+# (customer-nation, supplier-nation), vol = discounted revenue,
+# txn = lineitem count, top 30 by metric.
+# --------------------------------------------------------------------------
+
+
+def _nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+
+def _pair_volume_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _nation_dim(spark, sf_dir)
+
+    # Big⋈big on the order key (SMJ / AQE), everything else broadcast.
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    fact = fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+    fact = fact.join(F.broadcast(supp), fact.l_suppkey == supp.s_suppkey)
+    fact = join_dimension(
+        fact, nation, "c_nationkey", "n_nationkey", prefix="cn", how="inner"
+    )
+    fact = join_dimension(
+        fact, nation, "s_nationkey", "n_nationkey", prefix="sn", how="inner"
+    )
+    return fact.select(
+        canonical_pair(F.col("cn_n_name"), F.col("sn_n_name")).alias("pair"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+
+
+def _top_pair(metric: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rpt = grouped_report(
+            _pair_volume_fact(spark, sf_dir),
+            "pair",
+            "vol",
+            sum_name="vol_total",
+            count_name="txn_total",
+        )
+        rpt = rpt.withColumn("vol_total", F.round("vol_total", 2))
+        return top_k(rpt, [F.desc(metric), F.asc("pair")], 30)
+
+    return build
+
+
+_TOP_PAIR_ORACLE = """
+WITH fact AS (
+  SELECT concat_ws('/', least(cn.n_name, sn.n_name),
+                        greatest(cn.n_name, sn.n_name)) AS pair,
+         l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+)
+SELECT pair, ROUND(SUM(vol), 2) AS vol_total,
+       COUNT(*) AS txn_total
+FROM fact GROUP BY pair
+ORDER BY {metric} DESC, pair ASC LIMIT 30
+"""
+
+# --------------------------------------------------------------------------
+# The classic operator-coverage queries
+# --------------------------------------------------------------------------
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate with filter pushdown (A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain, local-supplier condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue per customer, top 20 (T2)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return top_k(rev, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def _order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (free with the engine,
+    SURVEY.md §2.3)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the scrape-on-miss pattern (J4,
+    generate_report_dag.py:69-85) over the star schema."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _key_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-ALL unpivot + DISTINCT (U1/A3 — crawl_token_dag.py:41-46)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot_union(li, ["l_partkey", "l_suppkey"], out="key")
+
+
+_KEY_UNIVERSE_ORACLE = """
+WITH a AS (SELECT l_partkey AS key FROM lineitem
+           UNION ALL SELECT l_suppkey FROM lineitem)
+SELECT DISTINCT key FROM a
+"""
+
+
+def _brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (J2) + multi-agg per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_BRAND_STATS_ORACLE = """
+SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS total_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def _rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — engine surface beyond reference."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS total_price, COUNT(*) AS n_items
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — engine surface beyond reference."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — exact distinct aggregation (A3/A4 family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+_DISTINCT_PARTS_ORACLE = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _status_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — engine surface beyond reference (SURVEY.md §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersect(f)
+
+
+_STATUS_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def _status_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — engine surface beyond reference."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.subtract(f)  # set EXCEPT (distinct semantics)
+
+
+_STATUS_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def _hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex decode (P6) + address normalization (P11) parity on real
+    keys: encode o_orderkey to hex, decode with the engine's chunked
+    conv, pad to a 66-char address."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    hexed = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("0x"), F.lower(F.hex("o_orderkey"))).alias("h"),
+    )
+    return hexed.select(
+        "o_orderkey",
+        hex_to_long(F.col("h")).alias("decoded"),
+        hex_to_decimal(F.col("h")).alias("decoded_dec"),
+        normalize_address(F.col("h")).alias("addr"),
+    )
+
+
+_HEX_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey, o_orderkey AS decoded,
+       CAST(o_orderkey AS DECIMAL(38,0)) AS decoded_dec,
+       '0x' || lpad(lower(to_hex(o_orderkey)), 64, '0') AS addr
+FROM orders
+"""
+
+
+QUERIES = {
+    "top_pair_report_vol": QuerySpec(
+        _top_pair("vol_total"),
+        _TOP_PAIR_ORACLE.format(metric="vol_total"),
+        "Flagship: reference report by volume (J1,J2,P10,A2,T2)",
+    ),
+    "top_pair_report_txn": QuerySpec(
+        _top_pair("txn_total"),
+        _TOP_PAIR_ORACLE.format(metric="txn_total"),
+        "Reference report by txn count (generate_report_dag.py:109-115)",
+    ),
+    "pricing_summary": QuerySpec(
+        _pricing_summary, _PRICING_ORACLE, "TPC-H Q1 multi-aggregate"
+    ),
+    "revenue_by_nation": QuerySpec(
+        _revenue_by_nation, _REVENUE_BY_NATION_ORACLE, "TPC-H Q5 join chain"
+    ),
+    "top_customers": QuerySpec(
+        _top_customers, _TOP_CUSTOMERS_ORACLE, "TPC-H Q10 top-k revenue"
+    ),
+    "order_priority_semi": QuerySpec(
+        _order_priority_semi, _ORDER_PRIORITY_ORACLE, "left-semi join (EXISTS)"
+    ),
+    "customers_without_orders": QuerySpec(
+        _customers_without_orders,
+        _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "left-anti join (J4 scrape-on-miss pattern)",
+    ),
+    "key_universe": QuerySpec(
+        _key_universe, _KEY_UNIVERSE_ORACLE, "UNION ALL unpivot + DISTINCT (U1/A3)"
+    ),
+    "brand_stats": QuerySpec(
+        _brand_stats, _BRAND_STATS_ORACLE, "broadcast dim join + agg (J2/A2)"
+    ),
+    "rollup_sales": QuerySpec(_rollup_sales, _ROLLUP_ORACLE, "ROLLUP"),
+    "cube_orders": QuerySpec(_cube_orders, _CUBE_ORACLE, "CUBE"),
+    "distinct_parts_per_flag": QuerySpec(
+        _distinct_parts_per_flag, _DISTINCT_PARTS_ORACLE, "COUNT DISTINCT"
+    ),
+    "status_intersect": QuerySpec(
+        _status_intersect, _STATUS_INTERSECT_ORACLE, "INTERSECT"
+    ),
+    "status_except": QuerySpec(_status_except, _STATUS_EXCEPT_ORACLE, "EXCEPT"),
+    "hex_roundtrip": QuerySpec(
+        _hex_roundtrip, _HEX_ROUNDTRIP_ORACLE, "hex decode + address pad (P6/P11)"
+    ),
+}

@@ -1,0 +1,249 @@
+"""LLM-data text coverage over the TESTDATA ``documents`` table:
+exact dedup, n-gram Jaccard near-dup, MinHash-LSH, SimHash, text
+stats / token counting / language-ID / fingerprinting — each backed
+by the engine operators in operators/{dedup,text}.py with an exact
+DuckDB oracle replicating the same deterministic constructions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_testdata
+from ..operators import dedup as D
+from ..operators import text as X
+from . import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "documents")
+
+
+# Shared oracle CTE: distinct 3-word shingles per doc.
+_SHINGLES_CTE = r"""
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+"""
+
+
+def _exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_EXACT_DUPS_ORACLE = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+_JACCARD_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       ROUND(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+"""
+)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=8,
+        band_size=2,
+        threshold=0.8,
+    )
+
+
+# Mirror of the engine construction: 8 md5-min hashes, 4 bands of 2.
+_MINHASH_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+mins AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+    MIN(CASE WHEN seed = 0 THEN mh END) AS m0,
+    MIN(CASE WHEN seed = 1 THEN mh END) AS m1,
+    MIN(CASE WHEN seed = 2 THEN mh END) AS m2,
+    MIN(CASE WHEN seed = 3 THEN mh END) AS m3,
+    MIN(CASE WHEN seed = 4 THEN mh END) AS m4,
+    MIN(CASE WHEN seed = 5 THEN mh END) AS m5,
+    MIN(CASE WHEN seed = 6 THEN mh END) AS m6,
+    MIN(CASE WHEN seed = 7 THEN mh END) AS m7
+  FROM mins GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, COUNT(*) AS i
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_1
+  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       ROUND(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+"""
+)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir), "doc_id", "text", n=3, bits=16)
+
+
+_SIMHASH_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+bits AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef',
+            substr(substr(md5(shingle), 1, 4),
+                   CAST(i // 4 AS INT) + 1, 1)) - 1) AS digit
+  FROM sh, unnest(generate_series(0, 15)) AS t(i)
+),
+votes AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN CAST(FLOOR(digit / POW(2, i % 4)) AS BIGINT) % 2 = 1
+             THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, i
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = X.with_text_stats(_docs(spark, sf_dir))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+_TEXT_STATS_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, n_chars, text,
+    length(text) AS len_c,
+    len(string_split_regex(trim(text), '\s+')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS n_stop,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words, n_tokens,
+  ROUND(n_punct * 1.0 / len_c, 6) AS punct_ratio,
+  ROUND(n_stop * 1.0 / n_words, 6) AS stopword_ratio,
+  ROUND((len_c - (n_words - 1)) * 1.0 / n_words, 6) AS mean_word_len,
+  CASE
+    WHEN greatest(n_stop, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+    WHEN n_stop = greatest(n_stop, s_de, s_fr, s_es, s_zh) THEN 'en'
+    WHEN s_de = greatest(n_stop, s_de, s_fr, s_es, s_zh) THEN 'de'
+    WHEN s_fr = greatest(n_stop, s_de, s_fr, s_es, s_zh) THEN 'fr'
+    WHEN s_es = greatest(n_stop, s_de, s_fr, s_es, s_zh) THEN 'es'
+    ELSE 'zh'
+  END AS lang_guess,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM f
+"""
+
+
+def _lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup by labeled lang — the filter-stage
+    aggregate a data pipeline runs before dropping low-quality docs."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(X.word_count(t)), 4).alias("avg_words"),
+        F.round(F.avg(X.token_count(t)), 4).alias("avg_tokens"),
+    )
+
+
+_LANG_QUALITY_ORACLE = r"""
+SELECT lang, COUNT(*) AS n_docs,
+  ROUND(AVG(n_chars), 4) AS avg_chars,
+  ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_words,
+  ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+    AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES = {
+    "doc_exact_dup_groups": QuerySpec(
+        _exact_dups, _EXACT_DUPS_ORACLE, "exact dedup (hash groupBy)"
+    ),
+    "doc_jaccard_pairs": QuerySpec(
+        _jaccard_pairs, _JACCARD_ORACLE, "3-gram Jaccard near-dup (inverted index)"
+    ),
+    "doc_minhash_lsh_pairs": QuerySpec(
+        _minhash_pairs, _MINHASH_ORACLE, "MinHash+LSH banding, verified"
+    ),
+    "doc_simhash": QuerySpec(_simhash, _SIMHASH_ORACLE, "SimHash fingerprints"),
+    "doc_text_stats": QuerySpec(
+        _text_stats,
+        _TEXT_STATS_ORACLE,
+        "per-doc stats: tokens, quality, lang-ID, fingerprint",
+    ),
+    "lang_quality_summary": QuerySpec(
+        _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+}

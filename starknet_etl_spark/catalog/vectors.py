@@ -1,0 +1,117 @@
+"""Embedding similarity coverage over the TESTDATA ``embeddings``
+table: brute-force cosine top-k (exact baseline), IVF-cell ANN (the
+scale path), embedding-cosine near-dup pairs, per-cell centroids —
+backed by operators/similarity.py. Oracles compute the identical
+double-precision dot products by index join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_testdata
+from ..operators import similarity as S
+from . import QuerySpec
+
+DIM = 64
+_QUERY_ID = 0  # probe vector: vec_id 0 (label 2 in TESTDATA)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "embeddings")
+
+
+# Oracle helper: per-pair cosine via an index join, all math in DOUBLE.
+_COS_PAIR = """
+  SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+  / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+   * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+"""
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_bruteforce(
+        emb.filter(F.col("vec_id") != _QUERY_ID), query, k=10
+    )
+
+
+_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT b.vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id = {_QUERY_ID} AND b.vec_id <> {_QUERY_ID},
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_ivf(
+        emb.filter(F.col("vec_id") != _QUERY_ID), query, k=5
+    )
+
+
+_KNN_IVF_ORACLE = f"""
+WITH scored AS (
+  SELECT b.vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.vec_id = {_QUERY_ID} AND b.vec_id <> {_QUERY_ID}
+   AND b.label = a.label,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
+def _near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_1, id_2, ROUND(cos, 6) AS cos_sim FROM pairs
+WHERE ROUND(cos, 6) >= 0.4
+"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.centroids(_emb(spark, sf_dir), cell_col="label", dim=DIM)
+
+
+_CENTROIDS_ORACLE = f"""
+SELECT label AS cell, i AS dim_i,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+GROUP BY label, i
+"""
+
+
+QUERIES = {
+    "emb_knn_bruteforce": QuerySpec(
+        _knn, _KNN_ORACLE, "exact cosine top-10 (brute-force baseline)"
+    ),
+    "emb_knn_ivf": QuerySpec(
+        _knn_ivf, _KNN_IVF_ORACLE, "IVF-cell ANN top-5 (scale path)"
+    ),
+    "emb_near_dup_pairs": QuerySpec(
+        _near_dup, _NEAR_DUP_ORACLE, "embedding-cosine near-dup pairs"
+    ),
+    "emb_centroids": QuerySpec(
+        _centroids, _CENTROIDS_ORACLE, "per-cell mean vectors (IVF training step)"
+    ),
+}

@@ -115,7 +115,15 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader = spark.read
     if ddl:
         reader = reader.schema(ddl)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) → read as long ns (legacy conf in
+        # session.py), truncate to micros. `div` keeps the math in
+        # 64-bit integers (a double round-trip would lose precision).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,337 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Engine surface beyond the reference (north-star extensions): exact
+dedup, n-gram (shingle) Jaccard via an inverted-index self-join,
+MinHash + LSH banding, and SimHash — all as pure DataFrame operators
+built from deterministic builtins (md5-based hashing), so results
+are reproducible across engines and oracle-testable in SQL.
+
+Scale design (100 TB):
+- the shingle inverted index is the canonical distributed approach:
+  explode → self-join on shingle → count; the join shuffles on the
+  shingle hash, so hot (stop-)shingles are the skew risk — cap them
+  with ``max_df``.
+- MinHash-LSH replaces the quadratic verify set with per-band hash
+  buckets: only bucket-colliding pairs are verified. Band/bucket
+  join keys hash-partition evenly by construction.
+- md5-as-permutation: ``min(md5(seed || shingle))`` over the string
+  ordering is a valid min-wise hash family proxy and is available in
+  every engine, which keeps the oracle differential exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------
+# Shingling
+# --------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    posexplode + lead() window instead of a higher-order ``transform``:
+    HOFs are interpreted per element while the window stays inside
+    whole-stage codegen (~5x faster at sf0.1, and the doc-partitioned
+    window shuffle is the same partitioning the downstream distinct
+    needs).
+    """
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "__pos", "__w0"
+        ),
+    )
+    parts = [F.col("__w0")] + [
+        F.lead("__w0", j).over(w).alias(f"__w{j}") for j in range(1, n)
+    ]
+    tok = tok.select(id_col, *parts)
+    return (
+        tok.filter(F.col(f"__w{n - 1}").isNotNull())
+        .select(
+            id_col,
+            F.concat_ws(" ", *[f"__w{j}" for j in range(n)]).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Hash-groupBy exact dedup: md5(text) groups with > 1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (inverted index)
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: pairs are generated only for docs
+    sharing ≥ 1 shingle — never a cross join. ``max_df`` drops
+    shingles appearing in more than that many docs (stop-shingle
+    skew cap for web-scale corpora).
+    """
+    sh = shingles(df, id_col, text_col, n=n).select(
+        id_col,
+        # join on the 64-bit hash, not the string: ~5x less shuffle
+        # volume; collision odds are ~n_pairs/2^64, irrelevant.
+        F.xxhash64("shingle").alias("sh_h"),
+    ).persist()  # consumed 3x below (sizes + both join sides)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh_h")
+        )
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_1"), "sh_h")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh_h")
+    inter = (
+        a.join(b, "sh_h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(
+        F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1")
+    )
+    sz2 = sizes.select(
+        F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2")
+    )
+    jac = (
+        inter.join(sz1, "id_1")
+        .join(sz2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("n_inter")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, signature ARRAY<STRING>) — element s is
+    min(md5(s || '|' || shingle)) over the doc's shingle set.
+
+    All num_hashes mins are computed as parallel aggregates in ONE
+    hash aggregation (map-side partials shrink each group to
+    num_hashes values before the shuffle) — no seed explode, no
+    (id, seed) shuffle."""
+    sh = shingles(df, id_col, text_col, n=n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(
+            f"__m{s}"
+        )
+        for s in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified by true Jaccard.
+
+    shingle → minhash → band → bucket-join → verify: candidates are
+    pairs sharing ≥ 1 LSH band bucket; each candidate's true shingle
+    Jaccard is then computed and thresholded, so the output has no
+    false positives (bands only bound recall).
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sig = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    )
+    bands = sig.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "signature",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                "",
+                F.slice(
+                    F.col("signature"),
+                    F.col("band") * band_size + 1,
+                    band_size,
+                ),
+            )
+        ).alias("bucket"),
+    )
+    left = bands.select(F.col(id_col).alias("id_1"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("id_2"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+    # Verify candidates with exact shingle Jaccard over the inverted
+    # index, restricted to candidate docs first (semi-join) so only
+    # the (tiny) candidate set pays the verification cost.
+    cands = cands.persist()
+    cand_ids = (
+        cands.select(F.col("id_1").alias(id_col))
+        .union(cands.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df, id_col, text_col, n=n).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    ).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        cands.join(a, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
+    sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
+    verified = (
+        inter.join(F.broadcast(sz1), "id_1")
+        .join(F.broadcast(sz2), "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("n_inter")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash BIGINT) — bit-vote fingerprint over shingle md5s.
+
+    Bit i comes from hex digit i//4 (bit i%4) of the shingle's md5;
+    per-doc majority vote per bit, packed little-endian. ``bits``
+    must be ≤ 128 (md5 width); 16 keeps the oracle SQL tractable
+    while demonstrating the full construction.
+    """
+    assert bits % 4 == 0 and bits <= 128
+    sh = shingles(df, id_col, text_col, n=n).withColumn(
+        "h", F.substring(F.md5(F.col("shingle")), 1, bits // 4)
+    )
+
+    # One codegen'd projection computes all per-bit votes per shingle
+    # (no bit explode, no (id, bit) shuffle); one hash aggregation
+    # sums them; one final expression packs the fingerprint.
+    def bit_vote(i: int):
+        digit = (
+            F.instr(
+                F.lit(_HEX_DIGITS), F.substring(F.col("h"), i // 4 + 1, 1)
+            )
+            - 1
+        )
+        bit = F.shiftright(digit, i % 4) % 2
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    votes = sh.groupBy(id_col).agg(
+        *[F.sum(bit_vote(i)).alias(f"__v{i}") for i in range(bits)]
+    )
+    packed = sum(
+        F.when(F.col(f"__v{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return votes.select(id_col, packed.cast("long").alias("simhash"))
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Drop exact duplicates, keeping the lowest id per text hash."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias("__keep"))
+    )
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .join(w_min, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+Engine surface beyond the reference (north-star extensions,
+SURVEY.md §7.2 phase 8): language ID, quality scoring, token
+counting, document fingerprinting. Everything is built from JVM-side
+builtins (regexp_count / split / md5) so the hot path stays inside
+whole-stage codegen — no Python UDFs — and every formula is
+deterministic and SQL-replicable for oracle differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: BPE-ish tokenization: letter runs, digit runs, single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword marker lists (public common words).
+#: Heuristic n-gram/stopword language ID — scores are marker-word
+#: occurrence counts; argmax with a fixed precedence order.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+    "zh": r"[一-鿿]",
+}
+_LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish regex token count (letters/digits/punct classes)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase canonical form."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (A content-defined rolling hash reduces to the same md5-of-
+    canonical-form at document granularity; chunk-level rolling
+    fingerprints belong to the dedup operators.)
+    """
+    return F.md5(normalize_text(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, words, punctuation ratio,
+    stopword ratio, mean word length. Combine/threshold downstream."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.round(n_punct / n_chars, 6),
+        "stopword_ratio": F.round(n_stop / n_words, 6),
+        "mean_word_len": F.round((n_chars - (n_words - 1)) / n_words, 6),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.regexp_count(low, F.lit(pat))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax marker-count language guess; 'und' when all zero.
+
+    Fixed precedence (_LANG_ORDER) breaks ties deterministically.
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out: Column = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        out = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family to a document table."""
+    t = F.col(text_col)
+    qf = quality_features(t)
+    out = df.withColumn("n_words", qf["n_words"]).withColumn(
+        "n_tokens", token_count(t)
+    )
+    for name in ("punct_ratio", "stopword_ratio", "mean_word_len"):
+        out = out.withColumn(name, qf[name])
+    return out.withColumn("lang_guess", lang_guess(t)).withColumn(
+        "fingerprint", fingerprint(t)
+    )

@@ -132,8 +132,10 @@ TESTDATA_DDL: dict[str, str] = {
         "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, "
         "l_linestatus STRING, l_shipdate TIMESTAMP"
     ),
+    # ts lands as parquet TIMESTAMP(NANOS): declared BIGINT for the
+    # scan, converted to TimestampType by io.load_testdata.
     "events": (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     ),
     "documents": (

@@ -28,6 +28,9 @@ _RUNTIME_CONF = {
     # small enough that a 100 TB table still yields ~800k tasks that
     # AQE can coalesce; matches parquet row-group sizing.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # TESTDATA events.parquet stores ts as TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read as long + convert (io.load_testdata).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 _STATIC_CONF = {
