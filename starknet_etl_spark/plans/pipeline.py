@@ -1,0 +1,203 @@
+"""End-to-end pipeline: incremental ingest → enrich → report.
+
+The Spark re-expression of the reference's DAG chain (ST5,
+export_blocks_and_events_dag.py:117: load_config >> etl_events >>
+etl_blocks >> trigger_report):
+
+1. ``run_ingest`` — high-watermark incremental scan (ST1: next run
+   starts at MAX(block_number)+1, genesis fallback; ST2: upper bound
+   head-1; ST3: manual range override — with the reference's
+   ``to_block``-assigns-``from_block`` bug (:45) FIXED, documented
+   divergence), landing ``blocks`` (keyed dedup) and ``events``
+   (append; idempotent by watermark discipline, ST7).
+2. ``maintain_token_dim`` — the scrape-on-miss enrichment
+   (generate_report_dag.py:68-86) as distinct → anti-join → resolve →
+   keyed upsert. The resolver is pluggable (S7 Selenium scraper in
+   production, a stub in tests — SURVEY.md §7.3 external fetchers).
+3. ``run_report`` — the 24 h top-pair report (plans.report), written
+   overwrite (S10 truncate-and-reload parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..io import load_table, save_table
+from ..operators.aggregates import high_watermark
+from ..operators.joins import missing_keys
+from ..schemas import TOKEN
+from ..sources.datasource import register_sources
+from ..sources.rpc import fetch_latest_block
+from .report import build_top_pair_report
+from .token_universe import token_universe
+
+GENESIS_BLOCK = 1_000_000  # export_blocks_and_events_dag.py:35-37
+
+#: Resolver: token addresses in → metadata rows out
+#: (token, name, symbol, decimals). Production impl wraps the
+#: starkscan scrape (scrape_token.py:7-39); tests use stubs.
+TokenResolver = Callable[[list[str]], Iterable[tuple[str, str, int]]]
+
+
+def default_token_resolver(addresses: list[str]):
+    """Scrape-failure defaults (scrape_token.py:11-16): every address
+    resolves to 'No Name'/'No Symbol'/0 — the honest offline behavior."""
+    return [(a, "No Name", "No Symbol", 0) for a in addresses]
+
+
+def run_ingest(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    blocks_path: str,
+    events_path: str,
+    address: str = "0xekubo",
+    from_block: int | None = None,
+    to_block: int | None = None,
+    batch_size: int = 10_000,
+) -> tuple[int, int]:
+    """Incremental extract → land. Returns the (lo, hi) range ingested."""
+    register_sources(spark)
+    if from_block is None:
+        try:
+            lo = high_watermark(
+                load_table(spark, events_path),
+                "block_number",
+                fallback=GENESIS_BLOCK - 1,
+            ) + 1
+        except Exception:
+            lo = GENESIS_BLOCK
+    else:
+        lo = from_block
+    hi = to_block if to_block is not None else fetch_latest_block(endpoint) - 1
+    if hi < lo:
+        return lo, hi  # nothing new
+
+    events = (
+        spark.read.format("starknet_events")
+        .option("endpoint", endpoint)
+        .option("address", address)
+        .option("from_block", lo)
+        .option("to_block", hi)
+        .option("batch_size", batch_size)
+        .load()
+    )
+    blocks = (
+        spark.read.format("starknet_blocks")
+        .option("endpoint", endpoint)
+        .option("from_block", lo)
+        .option("to_block", hi)
+        .option("batch_size", batch_size)
+        .load()
+    )
+    # events: append-only (MergeTree ORDER BY tuple() parity);
+    # blocks: keyed, latest wins (ReplacingMergeTree parity).
+    save_table(events, events_path, mode="append")
+    save_table(
+        blocks,
+        blocks_path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+    )
+    return lo, hi
+
+
+def maintain_token_dim(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    token_path: str,
+    resolver: TokenResolver = default_token_resolver,
+) -> int:
+    """Dimension maintenance: resolve tokens seen in events but absent
+    from the dim (J4 as a left-anti join; dedup-before-work replaces
+    the reference's in-loop memo cache). Returns #resolved."""
+    events = load_table(spark, events_path)
+    universe = token_universe(events)
+    try:
+        token = load_table(spark, token_path)
+    except Exception:
+        token = spark.createDataFrame([], TOKEN)
+    missing = [
+        r["token"]
+        for r in missing_keys(universe, ["token"], token, "token").collect()
+    ]
+    if not missing:
+        return 0
+    resolved = spark.createDataFrame(list(resolver(missing)), TOKEN)
+    save_table(resolved, token_path, dedup_keys=["token"])
+    return len(missing)
+
+
+def run_report(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    blocks_path: str,
+    token_path: str,
+    prices: DataFrame,
+    report_path: str,
+    top_type: str = "vol",
+    top_n: int = 30,
+    now: Column | datetime | str | None = None,
+) -> DataFrame:
+    """Recompute + overwrite the report (S10 truncate-and-reload)."""
+    report = build_top_pair_report(
+        load_table(spark, events_path),
+        load_table(spark, blocks_path),
+        load_table(spark, token_path),
+        prices,
+        top_type=top_type,
+        top_n=top_n,
+        now=now,
+    )
+    save_table(report, f"{report_path}/top_{top_type}_token_report", mode="overwrite")
+    return load_table(spark, f"{report_path}/top_{top_type}_token_report")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    warehouse: str,
+    prices: DataFrame,
+    resolver: TokenResolver = default_token_resolver,
+    address: str = "0xekubo",
+    now: Column | datetime | str | None = None,
+) -> dict[str, DataFrame]:
+    """One scheduled tick: ingest → maintain dim → both reports (ST5)."""
+    paths = {
+        "blocks": f"{warehouse}/blocks",
+        "events": f"{warehouse}/events",
+        "token": f"{warehouse}/token",
+        "report": f"{warehouse}/reports",
+    }
+    run_ingest(
+        spark,
+        endpoint,
+        blocks_path=paths["blocks"],
+        events_path=paths["events"],
+        address=address,
+    )
+    maintain_token_dim(
+        spark,
+        events_path=paths["events"],
+        token_path=paths["token"],
+        resolver=resolver,
+    )
+    out = {}
+    for top_type in ("vol", "txn"):  # parallel tasks in the reference DAG
+        out[top_type] = run_report(
+            spark,
+            events_path=paths["events"],
+            blocks_path=paths["blocks"],
+            token_path=paths["token"],
+            prices=prices,
+            report_path=paths["report"],
+            top_type=top_type,
+            now=now,
+        )
+    return out

@@ -1,0 +1,1 @@
+"""HTTP serving layer over the precomputed report tables."""

@@ -1,0 +1,70 @@
+"""Serving endpoints (S11 — /root/reference/api/ekubo_api.py:25-66).
+
+Same response surface as the reference: two GET endpoints returning
+the precomputed top-N report ordered by metric, the "No data"
+message on an empty table (:39-41), and a 500 wrapper on error
+(:44-45). FastAPI is optional (import-gated); ``top_report_rows`` is
+the framework-free core so the serving logic is testable without an
+HTTP stack.
+
+The report is ≤ 30 rows and precomputed (S10), so handlers read the
+parquet directly — one engine for compute, a zero-Spark read path
+for serving latency.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def top_report_rows(report_dir: str, top_type: str) -> list[dict[str, Any]]:
+    """Read + order the report (ORDER BY metric DESC — ekubo_api.py:31-33,
+    52-54)."""
+    metric = f"{top_type}_24h"
+    table = pq.read_table(f"{report_dir}/top_{top_type}_token_report")
+    rows = table.to_pylist()
+    rows.sort(key=lambda r: (-(r[metric] or 0), r["pair"]))
+    return [{"pair": r["pair"], metric: r[metric]} for r in rows]
+
+
+def response_for(report_dir: str, top_type: str) -> dict[str, Any]:
+    """Reference response shape incl. empty-table message (:39-41)."""
+    try:
+        rows = top_report_rows(report_dir, top_type)
+    except Exception as e:  # 500 parity (:44-45) — surfaced by the app layer
+        raise RuntimeError(f"report read failed: {e}") from e
+    if not rows:
+        return {"message": "No data available"}
+    return {"data": rows}
+
+
+def create_app(report_dir: str):
+    """FastAPI app with the reference's two endpoints. Import-gated:
+    raises a clear error if fastapi isn't installed."""
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "fastapi is not installed; use top_report_rows()/"
+            "response_for() directly"
+        ) from e
+
+    app = FastAPI(title="starknet-etl-spark reports")
+
+    def handler(top_type: str):
+        try:
+            return response_for(report_dir, top_type)
+        except RuntimeError as e:
+            raise HTTPException(status_code=500, detail=str(e)) from e
+
+    @app.get("/top_n_txn_token")
+    def top_txn():  # ekubo_api.py:25-45
+        return handler("txn")
+
+    @app.get("/top_n_vol_token")
+    def top_vol():  # ekubo_api.py:47-66
+        return handler("vol")
+
+    return app

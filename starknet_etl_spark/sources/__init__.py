@@ -1,0 +1,5 @@
+"""Ingest sources: chunked/paginated/retrying Starknet JSON-RPC
+readers (SURVEY.md §2.1 S1-S4) as Spark 4 Python DataSources +
+mapInPandas readers, with a deterministic mock transport for offline
+correctness proofs (§7.3: engine correctness provable with fixtures,
+never live endpoints)."""

@@ -1,0 +1,202 @@
+"""Spark 4 Python DataSources for the Starknet chain.
+
+The reference hand-schedules its extraction (chunk loops in the DAG,
+export_blocks_and_events_dag.py:56-67); here each 10k-block chunk is
+an ``InputPartition``, so Spark schedules, retries, and parallelizes
+the fetch — and the contract-address/event-key filter travels inside
+the partition reader (source-level predicate pushdown, the part
+Catalyst can't do for HTTP — SURVEY.md §4.1).
+
+Usage:
+    register_sources(spark)
+    blocks = (spark.read.format("starknet_blocks")
+        .option("endpoint", "mock://head=1000120")
+        .option("from_block", 1000000).option("to_block", 1000100)
+        .load())
+
+A ``SimpleDataSourceStreamReader`` exposes the same event source to
+Structured Streaming with block-height offsets (ST1's high-watermark
+becomes a real streaming offset with checkpointLocation).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from ..schemas import BLOCKS, RAW_EVENTS
+from . import rpc
+
+_BLOCKS_SCHEMA = BLOCKS
+_EVENTS_SCHEMA = RAW_EVENTS
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+def _chunks(lo: int, hi: int, size: int) -> list[_ChunkPartition]:
+    return [
+        _ChunkPartition(b, min(b + size - 1, hi))
+        for b in range(lo, hi + 1, size)
+    ]
+
+
+class StarknetBlocksDataSource(DataSource):
+    """S2 — batched block scan, one RPC payload per chunk partition."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "starknet_blocks"
+
+    def schema(self) -> StructType:
+        return _BLOCKS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BlocksReader(self.options)
+
+
+class _BlocksReader(DataSourceReader):
+    def __init__(self, options):
+        self.endpoint = options.get("endpoint", "mock://")
+        self.lo = int(options.get("from_block", 0))
+        self.hi = int(options.get("to_block", self.lo))
+        self.batch = int(options.get("batch_size", 10_000))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _chunks(self.lo, self.hi, self.batch)
+
+    def read(self, part: _ChunkPartition) -> Iterator[tuple]:
+        transport = rpc.transport_for(self.endpoint)
+        out = transport(rpc.blocks_batch_payload(part.lo, part.hi))
+        for resp in out:
+            yield rpc.parse_block(resp["result"])
+
+
+class StarknetEventsDataSource(DataSource):
+    """S3 — paginated event scan with pushed-down address/key filter."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "starknet_events"
+
+    def schema(self) -> StructType:
+        return _EVENTS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _EventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _EventsStreamReader(self.options)
+
+
+def _event_rows(
+    transport, address, event_key, lo, hi, chunk_size
+) -> Iterator[tuple]:
+    """Shared pagination loop (fetch_data.py:90-97): follow
+    continuation_token until exhausted; carry an explicit arrival
+    index so nested collects are deterministic (SURVEY.md §7.3)."""
+    token: str | None = None
+    idx = 0
+    while True:
+        out = transport(
+            rpc.events_page_payload(
+                address, lo, hi, chunk_size, event_key, token
+            )
+        )
+        result = out["result"]
+        for e in result["events"]:
+            yield (
+                e["from_address"],
+                json.dumps(e["keys"]),
+                json.dumps(e["data"]),
+                e["block_hash"],
+                int(e["block_number"]),
+                e["transaction_hash"],
+                idx,
+            )
+            idx += 1
+        token = result.get("continuation_token")
+        if token is None:
+            return
+
+
+class _EventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.endpoint = options.get("endpoint", "mock://")
+        self.address = options.get("address", "0xekubo")
+        self.event_key = options.get("event_key", rpc.DEFAULT_EVENT_KEY)
+        self.lo = int(options.get("from_block", 0))
+        self.hi = int(options.get("to_block", self.lo))
+        self.batch = int(options.get("batch_size", 10_000))
+        self.chunk_size = int(options.get("chunk_size", 5000))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _chunks(self.lo, self.hi, self.batch)
+
+    def read(self, part: _ChunkPartition) -> Iterator[tuple]:
+        transport = rpc.transport_for(self.endpoint)
+        yield from _event_rows(
+            transport,
+            self.address,
+            self.event_key,
+            part.lo,
+            part.hi,
+            self.chunk_size,
+        )
+
+
+class _EventsStreamReader(SimpleDataSourceStreamReader):
+    """Structured Streaming offsets = block heights (ST1 as a real
+    stream): each microbatch reads (last_ingested, head - 1] — the
+    reference's "never read the in-progress head block" bound (ST2,
+    export_blocks_and_events_dag.py:39)."""
+
+    def __init__(self, options):
+        self.endpoint = options.get("endpoint", "mock://")
+        self.address = options.get("address", "0xekubo")
+        self.event_key = options.get("event_key", rpc.DEFAULT_EVENT_KEY)
+        self.start_block = int(options.get("from_block", 1_000_000))
+        self.chunk_size = int(options.get("chunk_size", 5000))
+        self.max_blocks = int(options.get("max_blocks_per_batch", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"next_block": self.start_block}
+
+    def read(self, start: dict):
+        lo = int(start["next_block"])
+        transport = rpc.transport_for(self.endpoint)
+        head = int(transport(rpc.latest_block_payload())["result"])
+        hi = min(head - 1, lo + self.max_blocks - 1)
+        if hi < lo:
+            return iter([]), {"next_block": lo}
+        rows = list(
+            _event_rows(
+                transport, self.address, self.event_key, lo, hi, self.chunk_size
+            )
+        )
+        return iter(rows), {"next_block": hi + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start["next_block"]), int(end["next_block"]) - 1
+        if hi < lo:
+            return iter([])
+        transport = rpc.transport_for(self.endpoint)
+        return _event_rows(
+            transport, self.address, self.event_key, lo, hi, self.chunk_size
+        )
+
+
+def register_sources(spark) -> None:
+    spark.dataSource.register(StarknetBlocksDataSource)
+    spark.dataSource.register(StarknetEventsDataSource)

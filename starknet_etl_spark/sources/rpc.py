@@ -1,0 +1,259 @@
+"""Starknet JSON-RPC protocol layer.
+
+Pure payload builders / response parsers mirroring the reference's
+extraction semantics (/root/reference/starknetetl/fetch_data.py):
+
+- S1 latest-block probe (:5-16) — ``starknet_blockNumber``
+- S2 batched block scan (:18-47) — ONE batched payload of
+  ``starknet_getBlockWithTxHashes`` per block-range chunk
+- S3 paginated event scan (:49-101) — ``starknet_getEvents`` with the
+  contract-address + event-key filter pushed into the request
+  (source-level predicate pushdown) and ``continuation_token`` paging
+- S4 retry wrapper (send_request.py:3-16) — 5 attempts, 5 s backoff,
+  10 s timeout, JSON ``error`` field treated as failure
+
+Transports are picklable and constructed executor-side from an
+endpoint string, so readers ship no live connections through
+serialization. ``mock://`` endpoints serve a deterministic synthetic
+chain — the offline fixture required by SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import urllib.request
+from typing import Any
+
+#: Ekubo Swap event key hard-coded in the reference (fetch_data.py:74-77).
+DEFAULT_EVENT_KEY = "0x157717768aca88da4ac4279765f09f4d0151823d573537f4c6b05976e167a870"
+
+# ---------------------------------------------------------------------------
+# Payload builders / parsers (pure)
+# ---------------------------------------------------------------------------
+
+
+def latest_block_payload() -> dict:
+    return {
+        "jsonrpc": "2.0",
+        "method": "starknet_blockNumber",
+        "params": [],
+        "id": 1,
+    }
+
+
+def blocks_batch_payload(from_block: int, to_block: int) -> list[dict]:
+    """One batched JSON-RPC payload for the whole range
+    (fetch_data.py:21-29)."""
+    return [
+        {
+            "jsonrpc": "2.0",
+            "method": "starknet_getBlockWithTxHashes",
+            "params": [{"block_number": b}],
+            "id": b,
+        }
+        for b in range(from_block, to_block + 1)
+    ]
+
+
+def parse_block(result: dict) -> tuple[int, str, int]:
+    """Project the 3 landed fields (fetch_data.py:35-41)."""
+    return (
+        int(result["block_number"]),
+        str(result["block_hash"]),
+        int(result["timestamp"]),
+    )
+
+
+def events_page_payload(
+    address: str,
+    from_block: int,
+    to_block: int,
+    chunk_size: int = 5000,
+    event_key: str | None = DEFAULT_EVENT_KEY,
+    continuation_token: str | None = None,
+) -> dict:
+    """Event filter pushed into the RPC call (fetch_data.py:59-88)."""
+    flt: dict[str, Any] = {
+        "from_block": {"block_number": from_block},
+        "to_block": {"block_number": to_block},
+        "address": address,
+        "chunk_size": chunk_size,
+    }
+    if event_key:
+        flt["keys"] = [[event_key]]
+    if continuation_token is not None:
+        flt["continuation_token"] = continuation_token
+    return {
+        "jsonrpc": "2.0",
+        "method": "starknet_getEvents",
+        "params": [flt],
+        "id": 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+
+class HttpTransport:
+    """POST with retry — parity with send_request.py:3-16 (5 attempts,
+    5 s sleep, 10 s timeout, JSON ``error`` treated as failure)."""
+
+    def __init__(
+        self,
+        url: str,
+        *,
+        max_retries: int = 5,
+        backoff_s: float = 5.0,
+        timeout_s: float = 10.0,
+    ):
+        self.url = url
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+
+    def __call__(self, payload: dict | list) -> Any:
+        body = json.dumps(payload).encode()
+        last: Exception | None = None
+        for _ in range(self.max_retries):
+            try:
+                req = urllib.request.Request(
+                    self.url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    out = json.loads(r.read())
+                if isinstance(out, dict) and "error" in out:
+                    raise RuntimeError(f"rpc error: {out['error']}")
+                return out
+            except Exception as e:  # noqa: BLE001 — retry everything, like the reference
+                last = e
+                time.sleep(self.backoff_s)
+        raise RuntimeError(f"rpc failed after {self.max_retries} tries: {last}")
+
+
+class MockTransport:
+    """Deterministic synthetic Starknet chain, pure function of the
+    payload — the offline stand-in for a node (no network, no state).
+
+    Chain model (endpoint ``mock://head=N&events_per_block=K``):
+    - head block = N (default 1_000_120)
+    - block b: hash = 0x + sha256(b)[:64], timestamp = 1_700_000_000 + 12*b
+    - each block emits K (default 2) swap events from ``address``;
+      events i=0,1 of a block share one transaction (multi-step swap);
+      ``data`` is a 15-felt array with tokens cycling over 4 addresses,
+      amount = (b*K+i+1) * 10^15 hex-encoded, is_token1 = i % 2.
+    """
+
+    N_TOKENS = 4
+
+    def __init__(self, endpoint: str):
+        opts = {}
+        if "://" in endpoint:
+            for kv in endpoint.split("://", 1)[1].split("&"):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    opts[k] = v
+        self.head = int(opts.get("head", 1_000_120))
+        self.epb = int(opts.get("events_per_block", 2))
+
+    # -- chain derivation (all pure) --
+    @staticmethod
+    def block_hash(b: int) -> str:
+        return "0x" + hashlib.sha256(f"block-{b}".encode()).hexdigest()[:64]
+
+    @staticmethod
+    def tx_hash(b: int, group: int) -> str:
+        return "0x" + hashlib.sha256(f"tx-{b}-{group}".encode()).hexdigest()[:64]
+
+    @classmethod
+    def token(cls, i: int) -> str:
+        return "0x" + f"{i % cls.N_TOKENS + 1:064x}"
+
+    def block_events(self, b: int, address: str, event_key: str | None):
+        out = []
+        for i in range(self.epb):
+            amount = hex((b * self.epb + i + 1) * 10**15)
+            data = ["0x0"] * 15
+            data[1] = self.token(b + i)  # token_0 (1-based elem 2)
+            data[2] = self.token(b + i + 1)  # token_1 (elem 3)
+            data[6] = amount  # amount   (elem 7)
+            data[8] = hex(i % 2)  # is_token1 (elem 9)
+            data[12] = amount  # amount0 (parser layout, elem 13)
+            data[14] = amount  # amount1 (elem 15)
+            out.append(
+                {
+                    "from_address": address,
+                    "keys": [event_key or DEFAULT_EVENT_KEY],
+                    "data": data,
+                    "block_hash": self.block_hash(b),
+                    "block_number": b,
+                    "transaction_hash": self.tx_hash(b, i // 2),
+                }
+            )
+        return out
+
+    # -- JSON-RPC surface --
+    def __call__(self, payload: dict | list) -> Any:
+        if isinstance(payload, list):
+            return [self._one(p) for p in payload]
+        return self._one(payload)
+
+    def _one(self, p: dict) -> dict:
+        method = p["method"]
+        if method == "starknet_blockNumber":
+            return {"jsonrpc": "2.0", "id": p["id"], "result": self.head}
+        if method == "starknet_getBlockWithTxHashes":
+            b = p["params"][0]["block_number"]
+            return {
+                "jsonrpc": "2.0",
+                "id": p["id"],
+                "result": {
+                    "block_number": b,
+                    "block_hash": self.block_hash(b),
+                    "timestamp": 1_700_000_000 + 12 * b,
+                },
+            }
+        if method == "starknet_getEvents":
+            return {
+                "jsonrpc": "2.0",
+                "id": p["id"],
+                "result": self._events_page(p["params"][0]),
+            }
+        raise ValueError(f"mock: unknown method {method}")
+
+    def _events_page(self, flt: dict) -> dict:
+        lo = flt["from_block"]["block_number"]
+        hi = min(flt["to_block"]["block_number"], self.head)
+        address = flt["address"]
+        keys = flt.get("keys")
+        event_key = keys[0][0] if keys else None
+        chunk = int(flt.get("chunk_size", 5000))
+        start = int(flt.get("continuation_token", 0) or 0)
+        all_events = [
+            e
+            for b in range(lo, hi + 1)
+            for e in self.block_events(b, address, event_key)
+        ]
+        page = all_events[start : start + chunk]
+        out: dict[str, Any] = {"events": page}
+        if start + chunk < len(all_events):
+            out["continuation_token"] = str(start + chunk)
+        return out
+
+
+def transport_for(endpoint: str):
+    """Executor-side transport factory — endpoint string in, callable out."""
+    if endpoint.startswith("mock://") or endpoint == "mock":
+        return MockTransport(endpoint)
+    return HttpTransport(endpoint)
+
+
+def fetch_latest_block(endpoint: str) -> int:
+    """S1 — driver-side probe sizing the ingest range (fetch_data.py:5-16)."""
+    out = transport_for(endpoint)(latest_block_payload())
+    return int(out["result"])

@@ -1,0 +1,1 @@
+"""Structured Streaming variant of the ingest + report pipeline."""

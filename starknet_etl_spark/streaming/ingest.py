@@ -1,0 +1,142 @@
+"""Structured Streaming ingest (SURVEY.md §2.10 streaming variant).
+
+The reference is hourly micro-batch with a hand-rolled high-watermark
+(ST1/ST5). Here the same event source is a real stream: the
+``starknet_events`` DataSource's SimpleStreamReader advances
+block-height offsets, checkpointLocation replaces the MAX(block_number)
+query, and ``foreachBatch`` lands each micro-batch through the same
+keyed/append sinks the batch path uses — so batch and streaming share
+one write path and one report implementation.
+
+Watermarking note (ST2): block time is monotone non-decreasing, so
+late data cannot occur; a 0-second watermark on ``event_date`` is
+semantically exact for the windowed variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import epoch_to_timestamp, json_array
+from ..io import save_table
+from ..sources.datasource import register_sources
+
+
+def stream_events(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    address: str = "0xekubo",
+    from_block: int = 1_000_000,
+    max_blocks_per_batch: int = 10_000,
+) -> DataFrame:
+    """Unbounded events DataFrame with block-height offsets."""
+    register_sources(spark)
+    return (
+        spark.readStream.format("starknet_events")
+        .option("endpoint", endpoint)
+        .option("address", address)
+        .option("from_block", from_block)
+        .option("max_blocks_per_batch", max_blocks_per_batch)
+        .load()
+    )
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    events_path: str,
+    checkpoint: str,
+    address: str = "0xekubo",
+    from_block: int = 1_000_000,
+    trigger_once: bool = False,
+    processing_time: str = "1 hour",
+):
+    """Stream → append-only events table via foreachBatch.
+
+    ``trigger_once`` runs exactly one micro-batch (the hourly-cron
+    equivalent, and what tests use); otherwise the reference's hourly
+    cadence becomes ``trigger(processingTime=...)``.
+    """
+    src = stream_events(
+        spark, endpoint, address=address, from_block=from_block
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        save_table(batch_df, events_path, mode="append")
+
+    writer = src.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_sliding_volume_stream(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    checkpoint: str,
+    out_path: str,
+    address: str = "0xekubo",
+    from_block: int = 1_000_000,
+    window: str = "1 day",
+    slide: str = "1 hour",
+    max_blocks_per_batch: int = 10_000,
+    processing_time: str | None = None,
+):
+    """Streaming alternative to the batch 24 h report (ST6): sliding
+    window counts per pair-leg, exact thanks to monotone block time
+    (watermark 0 s). Append mode emits a window once the watermark
+    passes its end — i.e. one micro-batch later; semantics differ
+    from the batch recompute at the trigger boundary (documented
+    divergence, SURVEY.md ST6)."""
+    src = stream_events(
+        spark,
+        endpoint,
+        address=address,
+        from_block=from_block,
+        max_blocks_per_batch=max_blocks_per_batch,
+    )
+    parsed = src.select(
+        json_array(F.col("data")).alias("d"), "block_number"
+    ).select(
+        F.try_element_at("d", F.lit(2)).alias("token_0"),
+        F.try_element_at("d", F.lit(3)).alias("token_1"),
+        # stream-side event time derived from block number (12 s
+        # cadence in the mock chain); production joins the blocks dim.
+        epoch_to_timestamp(
+            F.lit(1_700_000_000) + F.col("block_number") * F.lit(12)
+        ).alias("event_date"),
+    )
+    agg = (
+        parsed.withWatermark("event_date", "0 seconds")
+        .groupBy(
+            F.window("event_date", window, slide).alias("w"),
+            "token_0",
+            "token_1",
+        )
+        .agg(F.count(F.lit(1)).alias("txn"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token_0",
+            "token_1",
+            "txn",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""End-to-end pipeline gates (SURVEY.md §7.2 phases 4-5): incremental
+ingest with high-watermark, idempotent re-run, dimension maintenance
+via resolver, report over landed tables."""
+
+from __future__ import annotations
+
+from starknet_etl_spark import schemas
+from starknet_etl_spark.io import load_table
+from starknet_etl_spark.plans import pipeline as P
+
+ENDPOINT = "mock://head=1000011&events_per_block=2"
+# mock chain: blocks 1_000_000..1_000_010 ingestable (head-1)
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    prices = spark.createDataFrame(
+        [(f"0x{i + 1:064x}", float(i + 1)) for i in range(4)],
+        schemas.TOKEN_PRICES,
+    )
+
+    def resolver(addresses):
+        return [
+            (a, f"Token{int(a, 16)}", f"T{int(a, 16)}", 18) for a in addresses
+        ]
+
+    reports = P.run_pipeline(
+        spark,
+        ENDPOINT,
+        warehouse=wh,
+        prices=prices,
+        resolver=resolver,
+        # mock block time = 1.7e9 + 12*block ≈ epoch 1.712e9; this is
+        # a bit after block 1_000_010's timestamp, inside the 24h window
+        now="2024-04-01 19:36:40",
+    )
+
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 22  # 11 blocks x 2 events
+    blocks = load_table(spark, f"{wh}/blocks")
+    assert blocks.count() == 11
+
+    token = load_table(spark, f"{wh}/token")
+    assert token.count() == 4  # mock chain cycles 4 token addresses
+    assert token.filter("decimals = 18").count() == 4
+
+    vol = reports["vol"].collect()
+    assert len(vol) > 0
+    assert all("/" in r["pair"] for r in vol)
+    # all tokens resolved → no 'No Symbol' legs
+    assert not any("No Symbol" in r["pair"] for r in vol)
+
+    # Idempotence: re-running ingests nothing (watermark at head-1)
+    lo, hi = P.run_ingest(
+        spark,
+        ENDPOINT,
+        blocks_path=f"{wh}/blocks",
+        events_path=f"{wh}/events",
+    )
+    assert hi < lo  # nothing new
+    assert load_table(spark, f"{wh}/events").count() == 22
+    assert load_table(spark, f"{wh}/blocks").count() == 11
+
+
+def test_ingest_incremental_watermark(spark, tmp_path):
+    wh = str(tmp_path / "wh2")
+    lo1, hi1 = P.run_ingest(
+        spark,
+        ENDPOINT,
+        blocks_path=f"{wh}/blocks",
+        events_path=f"{wh}/events",
+        from_block=1_000_000,
+        to_block=1_000_004,
+    )
+    assert (lo1, hi1) == (1_000_000, 1_000_004)
+    # next run resumes at watermark+1 and stops at head-1
+    lo2, hi2 = P.run_ingest(
+        spark,
+        ENDPOINT,
+        blocks_path=f"{wh}/blocks",
+        events_path=f"{wh}/events",
+    )
+    assert (lo2, hi2) == (1_000_005, 1_000_010)
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 22
+    # no double-counted block range
+    assert events.select("block_number").distinct().count() == 11
+
+
+def test_manual_range_override_bugfix(spark, tmp_path):
+    """ST3: the reference assigns to_block from conf['from_block']
+    (export_blocks_and_events_dag.py:45). We honor both — divergence."""
+    wh = str(tmp_path / "wh3")
+    lo, hi = P.run_ingest(
+        spark,
+        ENDPOINT,
+        blocks_path=f"{wh}/blocks",
+        events_path=f"{wh}/events",
+        from_block=1_000_002,
+        to_block=1_000_003,
+    )
+    assert (lo, hi) == (1_000_002, 1_000_003)
+    assert load_table(spark, f"{wh}/events").count() == 4

@@ -1,0 +1,48 @@
+"""Serving layer (S11): response shapes incl. the empty-table message
+(ekubo_api.py:39-41)."""
+
+from __future__ import annotations
+
+from starknet_etl_spark import schemas
+from starknet_etl_spark.io import save_table
+from starknet_etl_spark.serving.api import response_for, top_report_rows
+
+
+def _write_report(spark, path, rows):
+    df = spark.createDataFrame(rows, schemas.TOP_TOKEN_REPORT)
+    save_table(df, f"{path}/top_vol_token_report", mode="overwrite")
+
+
+def test_top_report_rows_ordered(spark, tmp_path):
+    rd = str(tmp_path / "reports")
+    _write_report(
+        spark,
+        rd,
+        [("A/B", 10.0, 3), ("B/C", 30.0, 1), ("C/D", 20.0, 2)],
+    )
+    rows = top_report_rows(rd, "vol")
+    assert [r["pair"] for r in rows] == ["B/C", "C/D", "A/B"]
+    assert rows[0] == {"pair": "B/C", "vol_24h": 30.0}
+    assert response_for(rd, "vol") == {"data": rows}
+
+
+def test_empty_report_message(spark, tmp_path):
+    rd = str(tmp_path / "reports")
+    _write_report(spark, rd, [])
+    assert response_for(rd, "vol") == {"message": "No data available"}
+
+
+def test_fastapi_endpoints_if_available(spark, tmp_path):
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.api import create_app
+    except ImportError:
+        import pytest
+
+        pytest.skip("fastapi not installed")
+    rd = str(tmp_path / "reports")
+    _write_report(spark, rd, [("A/B", 10.0, 3)])
+    client = TestClient(create_app(rd))
+    out = client.get("/top_n_vol_token").json()
+    assert out == {"data": [{"pair": "A/B", "vol_24h": 10.0}]}

@@ -1,0 +1,71 @@
+"""Ingest source tests against the deterministic mock chain
+(SURVEY.md §7.2 phase 4 gates: idempotent re-run, overlap dedup)."""
+
+from __future__ import annotations
+
+import json
+
+from starknet_etl_spark.sources import rpc
+from starknet_etl_spark.sources.datasource import register_sources
+
+ENDPOINT = "mock://head=1000020&events_per_block=2"
+
+
+def test_mock_latest_block():
+    assert rpc.fetch_latest_block(ENDPOINT) == 1_000_020
+
+
+def test_blocks_datasource(spark):
+    register_sources(spark)
+    df = (
+        spark.read.format("starknet_blocks")
+        .option("endpoint", ENDPOINT)
+        .option("from_block", 1_000_000)
+        .option("to_block", 1_000_009)
+        .option("batch_size", 4)  # 3 partitions: 4+4+2
+        .load()
+    )
+    rows = sorted(df.collect(), key=lambda r: r["block_number"])
+    assert len(rows) == 10
+    assert rows[0]["block_number"] == 1_000_000
+    assert rows[0]["block_timestamp"] == 1_700_000_000 + 12 * 1_000_000
+    assert rows[0]["block_hash"].startswith("0x")
+    assert df.rdd.getNumPartitions() == 3  # partition-per-chunk
+
+
+def test_events_datasource_pagination(spark):
+    register_sources(spark)
+    df = (
+        spark.read.format("starknet_events")
+        .option("endpoint", ENDPOINT)
+        .option("from_block", 1_000_000)
+        .option("to_block", 1_000_009)
+        .option("chunk_size", 3)  # force continuation-token paging
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 20  # 10 blocks x 2 events
+    d = json.loads(rows[0]["data"])
+    assert len(d) == 15 and d[6].startswith("0x")
+    # two events of a block share a transaction (multi-step swap)
+    by_tx = {}
+    for r in rows:
+        by_tx.setdefault(r["transaction_hash"], []).append(r)
+    assert max(len(v) for v in by_tx.values()) == 2
+
+
+def test_events_filter_pushdown_shapes():
+    """The address/key filter must live INSIDE the RPC request."""
+    p = rpc.events_page_payload("0xabc", 5, 9, 100, "0xkey", "7")
+    flt = p["params"][0]
+    assert flt["address"] == "0xabc"
+    assert flt["keys"] == [["0xkey"]]
+    assert flt["continuation_token"] == "7"
+    assert flt["from_block"] == {"block_number": 5}
+
+
+def test_mock_transport_is_pure():
+    t1 = rpc.MockTransport(ENDPOINT)
+    t2 = rpc.MockTransport(ENDPOINT)
+    p = rpc.events_page_payload("0xe", 1_000_000, 1_000_001, 10)
+    assert t1(p) == t2(p)

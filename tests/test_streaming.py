@@ -1,0 +1,92 @@
+"""Structured Streaming variant gates (SURVEY.md §7.2 phase 6):
+offset-checkpointed ingest resumes where it left off; windowed agg
+runs with availableNow."""
+
+from __future__ import annotations
+
+from starknet_etl_spark.io import load_table
+from starknet_etl_spark.streaming.ingest import (
+    start_ingest_stream,
+    start_sliding_volume_stream,
+)
+
+ENDPOINT = "mock://head=1000006&events_per_block=2"
+
+
+def test_stream_ingest_checkpoint_resume(spark, tmp_path):
+    events_path = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_ingest_stream(
+        spark,
+        ENDPOINT,
+        events_path=events_path,
+        checkpoint=ckpt,
+        from_block=1_000_000,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = load_table(spark, events_path)
+    assert got.count() == 12  # blocks 1_000_000..1_000_005 (head-1) x 2
+
+    # restart with the SAME checkpoint: offsets say nothing new → no dupes
+    q2 = start_ingest_stream(
+        spark,
+        ENDPOINT,
+        events_path=events_path,
+        checkpoint=ckpt,
+        from_block=1_000_000,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert load_table(spark, events_path).count() == 12
+
+    # chain grows (new head) → only the delta lands
+    q3 = start_ingest_stream(
+        spark,
+        "mock://head=1000008&events_per_block=2",
+        events_path=events_path,
+        checkpoint=ckpt,
+        from_block=1_000_000,
+        trigger_once=True,
+    )
+    q3.awaitTermination(120)
+    got3 = load_table(spark, events_path)
+    assert got3.count() == 16  # +blocks 1_000_006..1_000_007
+    assert got3.select("block_number").distinct().count() == 8
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    out = str(tmp_path / "winagg")
+    ckpt = str(tmp_path / "ckpt2")
+    # small per-batch block budget → several micro-batches, so the
+    # watermark advances and earlier windows close (append mode emits
+    # a window one batch after it ends)
+    q = start_sliding_volume_stream(
+        spark,
+        ENDPOINT,
+        checkpoint=ckpt,
+        out_path=out,
+        from_block=1_000_000,
+        window="10 seconds",
+        slide="5 seconds",
+        max_blocks_per_batch=2,
+        processing_time="1 second",
+    )
+    import time
+
+    got = None
+    try:
+        for _ in range(60):
+            time.sleep(2)
+            try:
+                got = load_table(spark, out)
+                if got.count() > 0:
+                    break
+            except Exception:
+                continue
+    finally:
+        q.stop()
+    assert got is not None and got.count() > 0
+    cols = set(got.columns)
+    assert {"window_start", "window_end", "token_0", "token_1", "txn"} <= cols
