@@ -1,0 +1,144 @@
+"""Multimodal columns for training-data pipelines (north-star
+extension): images/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing is real and tested — schemas, partitioning,
+UDF signatures, batch shapes. The codec step itself is STUBBED:
+image/audio libraries are not in this container, so ``decode_fn``
+defaults to a deterministic fake that derives "features" from the
+bytes; wire Pillow/torchaudio/ffmpeg at deployment by passing a real
+``decode_fn``.
+
+Scale design: binary payloads never enter a shuffle — all kernels
+are narrow mapInPandas over the scan, so the only data movement is
+the parquet read itself. Metadata-only columns split into a slim
+table for planning-time pruning (``split_metadata``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+#: A multimodal asset table schema: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = "asset_id bigint, n_bytes int, sha_prefix string, feature array<double>"
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: a dim-length
+    'feature vector' derived from byte statistics. Replace with a
+    real codec (Pillow resize, mel spectrogram, frame sample) in
+    deployment."""
+    if not payload:
+        return [0.0] * dim
+    step = max(1, len(payload) // dim)
+    return [
+        sum(payload[i : i + step]) / (255.0 * step)
+        for i in range(0, step * dim, step)
+    ]
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    dim: int = 8,
+) -> DataFrame:
+    """payload → feature vector, Arrow-batched, binary stays columnar.
+
+    ``decode_fn=None`` uses the deterministic fake (container has no
+    codec libs); a real decoder drops in without touching the plan.
+    """
+    import hashlib
+
+    fn = decode_fn or (lambda b: fake_decode(b, dim))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "sha_prefix": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()[:16]
+                    ),
+                    "feature": payloads.map(lambda b: fn(b or b"")),
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
+
+
+def resize_stub(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes payload through an Arrow kernel
+    that would hold the codec; here it re-emits the payload and stamps
+    the target dims (real impl: Pillow/libvips per batch)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf[["asset_id", "payload"]].copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        kernel, "asset_id bigint, payload binary, width int, height int"
+    )
+
+
+def frame_sample_stub(
+    df: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp (real impl: ffmpeg keyframe extraction per batch).
+    Timestamps derive from duration metadata — no decode needed to
+    plan the fan-out, which is the part that matters at scale."""
+    frames = df.filter(F.col("kind") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.coalesce(F.col("duration_ms"), F.lit(0)) - 1)
+                    .cast("long"),
+                    F.lit(0),
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames.withColumn(
+        "frame_payload",
+        F.lit(None).cast("binary"),  # real impl fills via decode kernel
+    )
+
+
+def split_metadata(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(slim metadata table, payload table) — planners scan the slim
+    side; payloads are fetched by asset_id join only where needed."""
+    meta = df.select(
+        "asset_id", "kind", "mime", "width", "height", "duration_ms"
+    )
+    payloads = df.select("asset_id", "payload")
+    return meta, payloads

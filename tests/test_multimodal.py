@@ -1,0 +1,63 @@
+"""Multimodal plumbing gates: schema, Arrow batch shape, determinism
+of the stub decode, frame fan-out arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", b"\x89PNG" + bytes(range(64)), "image/png", 8, 8, None),
+        (2, "image", b"\xff\xd8" + bytes(100), "image/jpeg", 10, 10, None),
+        (3, "audio", bytes(range(200)), "audio/wav", None, None, 2500),
+        (4, "video", bytes(50), "video/mp4", 640, 480, 3500),
+        (5, "image", None, "image/png", 1, 1, None),  # NULL payload
+    ]
+    return spark.createDataFrame(rows, M.ASSET_SCHEMA)
+
+
+def test_extract_features_shape_and_determinism(assets):
+    out = M.extract_features(assets, dim=8)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert len(rows[1]["feature"]) == 8
+    assert rows[5]["n_bytes"] == 0 and rows[5]["feature"] == [0.0] * 8
+    again = {r["asset_id"]: r for r in M.extract_features(assets, dim=8).collect()}
+    assert rows[1]["sha_prefix"] == again[1]["sha_prefix"]
+    assert rows[1]["feature"] == again[1]["feature"]
+
+
+def test_custom_decoder_plugs_in(assets):
+    out = M.extract_features(
+        assets, decode_fn=lambda b: [float(len(b))], dim=1
+    )
+    got = {r["asset_id"]: r["feature"] for r in out.collect()}
+    assert got[3] == [200.0]
+
+
+def test_resize_stub_filters_to_images(assets):
+    out = M.resize_stub(assets, width=32, height=32).collect()
+    assert {r["asset_id"] for r in out} == {1, 2, 5}
+    assert all(r["width"] == 32 for r in out)
+
+
+def test_frame_sample_fanout(assets):
+    out = M.frame_sample_stub(assets, every_ms=1000).collect()
+    # video asset 4: duration 3500ms → frames at 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in sorted(out, key=lambda r: r["frame_ts_ms"])] == [
+        0,
+        1000,
+        2000,
+        3000,
+    ]
+
+
+def test_split_metadata(assets):
+    meta, payloads = M.split_metadata(assets)
+    assert "payload" not in meta.columns
+    assert set(payloads.columns) == {"asset_id", "payload"}
+    assert meta.count() == payloads.count() == 5

@@ -1,0 +1,122 @@
+"""Property-based spot checks (SURVEY.md §5.2): engine invariants
+that must hold for any input — hex parity vs int(x,16), dedup
+idempotence, groupby-sum invariance under repartition, pair-key
+symmetry, union-distinct == set union."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.functions import canonical_pair, hex_to_decimal, normalize_address
+from starknet_etl_spark.io import dedup_latest
+from starknet_etl_spark.operators.setops import unpivot_union
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(values=st.lists(st.integers(min_value=0, max_value=10**38 - 1), min_size=1, max_size=24))
+@settings(**_SETTINGS)
+def test_hex_decimal_parity_with_python_int(spark, values):
+    df = spark.createDataFrame([(hex(v),) for v in values], "v string")
+    got = [
+        int(r["d"]) for r in
+        df.select(hex_to_decimal(F.col("v")).alias("d")).collect()
+    ]
+    assert sorted(got) == sorted(values)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.integers(0, 100),
+            st.text(alphabet="ab", min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_latest_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ver int, payload string")
+    once = dedup_latest(df, ["k"], ["ver"])
+    got = once.collect()
+    # one row per key, and it carries the max version
+    expected = {}
+    for k, ver, _ in rows:
+        expected[k] = max(ver, expected.get(k, -1))
+    assert {(r["k"], r["ver"]) for r in got} == set(expected.items())
+    twice = dedup_latest(once, ["k"], ["ver"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, got))
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_groupby_sum_invariant_under_repartition(spark, data, parts):
+    df = spark.createDataFrame(data, "k int, x double")
+    base = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("x").alias("s")).collect()
+    }
+    rep = {
+        r["k"]: r["s"]
+        for r in df.repartition(parts, "k")
+        .groupBy("k")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    }
+    assert base.keys() == rep.keys()
+    for k in base:
+        assert abs(base[k] - rep[k]) <= 1e-9 * max(1.0, abs(base[k]))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.text("XYZ", min_size=1, max_size=4), st.text("XYZ", min_size=1, max_size=4)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_canonical_pair_symmetric(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    fwd = df.select(canonical_pair(F.col("a"), F.col("b")).alias("p")).collect()
+    rev = df.select(canonical_pair(F.col("b"), F.col("a")).alias("p")).collect()
+    assert [r["p"] for r in fwd] == [r["p"] for r in rev]
+    assert [r["p"] for r in fwd] == ["/".join(sorted([a, b])) for a, b in pairs]
+
+
+@given(
+    xs=st.lists(st.integers(0, 9), min_size=1, max_size=25),
+    ys=st.lists(st.integers(0, 9), min_size=1, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_unpivot_union_distinct_is_set_union(spark, xs, ys):
+    n = max(len(xs), len(ys))
+    xs = xs + [xs[-1]] * (n - len(xs))
+    ys = ys + [ys[-1]] * (n - len(ys))
+    df = spark.createDataFrame(list(zip(xs, ys)), "x int, y int")
+    got = {r["k"] for r in unpivot_union(df, ["x", "y"], out="k").collect()}
+    assert got == set(xs) | set(ys)
+
+
+@given(addr=st.integers(min_value=0, max_value=2**252))
+@settings(**_SETTINGS)
+def test_normalize_address_width(spark, addr):
+    df = spark.createDataFrame([(hex(addr),)], "v string")
+    got = df.select(normalize_address(F.col("v")).alias("a")).first()["a"]
+    assert got == "0x" + hex(addr)[2:].rjust(64, "0")
+    assert len(got) == 66
