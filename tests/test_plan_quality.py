@@ -1,0 +1,93 @@
+"""Physical-plan quality gates — the scale properties that must
+survive refactors: predicate pushdown into parquet, column pruning,
+broadcast dim joins, TakeOrderedAndProject top-k, bounded shuffle
+counts. These are the 100 TB design invariants (brief: 'would this
+plan survive a 100x scale-up?') asserted, not hoped for."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.catalog import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].builder(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section (details repeat every node name)."""
+    return plan.split("\n\n")[0]
+
+
+def test_flagship_plan_shape(spark):
+    plan = _plan(spark, "top_pair_report_vol")
+    # ship-date filter reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # all five dimension joins broadcast — no fact-side shuffle joins
+    # (tree lines read "BroadcastHashJoin Inner BuildRight"; the
+    # detail section repeats each node without the join type)
+    assert plan.count("BroadcastHashJoin Inner") == 5
+    assert "SortMergeJoin" not in plan
+    # top-k is a real top-k, not global sort + limit
+    assert "TakeOrderedAndProject" in plan
+    # exactly one shuffle: the pair aggregate
+    assert plan.count("+- Exchange") + plan.count(": +- Exchange") <= 1
+
+
+def test_pricing_summary_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: l_orderkey/l_partkey etc. never read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+    # partial + final hash aggregation around a single exchange
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_brand_stats_broadcasts_dim(spark):
+    plan = _plan(spark, "brand_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_customers_is_takeordered(spark):
+    plan = _plan(spark, "top_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_semi_and_anti_join_operators(spark):
+    semi = _plan(spark, "order_priority_semi")
+    assert "LeftSemi" in semi
+    anti = _plan(spark, "customers_without_orders")
+    assert "LeftAnti" in anti
+
+
+def test_latest_event_single_window_shuffle(spark):
+    plan = _plan(spark, "latest_event_per_user")
+    # rank-dedup needs exactly one shuffle (hash partition on the key)
+    assert _tree(plan).count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_last_day", "props_by_type", "daily_stats"]
+)
+def test_events_scans_prune_columns(spark, name):
+    plan = _plan(spark, name)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, "no parquet scan found"
+    # the wide 'props' JSON column is only read by the JSON query
+    if name != "props_by_type":
+        assert all("props" not in r for r in reads)
