@@ -251,7 +251,46 @@ FROM events
 """
 
 
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — engine surface beyond
+    reference (matches SQL-standard PERCENTILE_CONT semantics)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — algorithm-specific values,
+    so no SQL oracle (driver records a rows-only check); the exact
+    twin is distinct_parts_per_flag / events_last_day.n_users."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
+    "value_percentiles": QuerySpec(
+        _value_percentiles, _PERCENTILES_ORACLE, "exact percentiles (p50/p90/p99)"
+    ),
+    "approx_distinct_users": QuerySpec(
+        _approx_distinct_users,
+        None,
+        "approx_count_distinct (HLL++; rows-only check)",
+    ),
     "high_watermark": QuerySpec(
         _high_watermark, _HW_ORACLE, "MAX + genesis fallback (A1/ST1)"
     ),

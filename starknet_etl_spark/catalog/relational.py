@@ -407,6 +407,63 @@ FROM orders
 """
 
 
+def _acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (avg/min/max/sample stddev/variance) —
+    engine surface beyond reference."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("stddev_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+    )
+
+
+_ACCTBAL_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       ROUND(AVG(c_acctbal), 4) AS avg_bal,
+       ROUND(MIN(c_acctbal), 4) AS min_bal,
+       ROUND(MAX(c_acctbal), 4) AS max_bal,
+       ROUND(STDDEV_SAMP(c_acctbal), 4) AS stddev_bal,
+       ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _sql_cte_market_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface (C1/C2): every table is a registered view,
+    the reference's WITH-chain shape runs verbatim through
+    ``spark.sql`` — same Catalyst planning as the DataFrame path."""
+    from ..io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment AS seg, o_orderkey
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        big AS (
+          SELECT seg, COUNT(*) AS n_orders
+          FROM seg GROUP BY seg
+        )
+        SELECT seg, n_orders FROM big
+        """
+    )
+
+
+_SQL_CTE_ORACLE = """
+WITH seg AS (
+  SELECT c_mktsegment AS seg, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+big AS (SELECT seg, COUNT(*) AS n_orders FROM seg GROUP BY seg)
+SELECT seg, n_orders FROM big
+"""
+
+
 QUERIES = {
     "top_pair_report_vol": QuerySpec(
         _top_pair("vol_total"),
@@ -452,5 +509,11 @@ QUERIES = {
     "status_except": QuerySpec(_status_except, _STATUS_EXCEPT_ORACLE, "EXCEPT"),
     "hex_roundtrip": QuerySpec(
         _hex_roundtrip, _HEX_ROUNDTRIP_ORACLE, "hex decode + address pad (P6/P11)"
+    ),
+    "acctbal_stats": QuerySpec(
+        _acctbal_stats, _ACCTBAL_ORACLE, "statistical aggregates (stddev/var)"
+    ),
+    "sql_cte_market_pairs": QuerySpec(
+        _sql_cte_market_pairs, _SQL_CTE_ORACLE, "CTE chain via spark.sql (C1/C2)"
     ),
 }
