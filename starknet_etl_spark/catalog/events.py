@@ -115,7 +115,7 @@ def _user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nested.select(
         "user_id",
-        F.size("steps").alias("n_events"),
+        F.size("steps").cast("long").alias("n_events"),
         F.array_join(
             F.transform(F.col("steps"), lambda s: s["event_type"]), ","
         ).alias("journey"),
@@ -213,7 +213,7 @@ def _top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").desc(), F.col("event_id").asc()
     )
     return (
-        ev.withColumn("rnk", F.rank().over(w))
+        ev.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("event_type", "rnk", "event_id", "value")
     )

@@ -175,11 +175,15 @@ def centroids(
     addressable for the oracle; the wide→long shape also avoids
     array-equality hashing issues across engines.
     """
-    idx = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("dim_i")
+    idx = F.explode(F.sequence(F.lit(1), F.lit(dim)).cast("array<long>")).alias(
+        "dim_i"
+    )
     long = df.select(F.col(cell_col).alias("cell"), idx, F.col(vec_col)).select(
         "cell",
         "dim_i",
-        F.element_at(F.col(vec_col), F.col("dim_i")).cast("double").alias("x"),
+        F.element_at(F.col(vec_col), F.col("dim_i").cast("int"))
+        .cast("double")
+        .alias("x"),
     )
     return long.groupBy("cell", "dim_i").agg(
         F.round(F.avg("x"), 6).alias("centroid")

@@ -29,13 +29,13 @@ _LANG_ORDER = ("en", "de", "fr", "es", "zh")
 
 
 def word_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count (BIGINT — cross-engine schema parity)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
 
 
 def token_count(text: Column) -> Column:
     """BPE-ish regex token count (letters/digits/punct classes)."""
-    return F.regexp_count(text, F.lit(TOKEN_RE))
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
 
 
 def normalize_text(text: Column) -> Column:
