@@ -48,8 +48,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timed region.
+    # Warm the JVM, codegen, and the parquet read path (footers,
+    # column readers) outside the timed region — the bench measures
+    # steady-state engine throughput, not JVM cold start.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from starknet_etl_spark.io import TESTDATA_TABLES, load_testdata
+
+    for t in TESTDATA_TABLES:
+        load_testdata(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

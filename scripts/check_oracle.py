@@ -42,12 +42,29 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(
-        "oracle-check", shuffle_partitions=16,
-        extra_conf={"spark.ui.enabled": "false"},
-    )
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if plain:
+        # Mimic the driver: a default session with none of the engine
+        # conf — every query must self-tune via the catalog wrappers.
+        from pyspark.sql import SparkSession
+
+        from starknet_etl_spark.session import tune
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        tune(spark)
+    else:
+        spark = get_spark(
+            "oracle-check", shuffle_partitions=16,
+            extra_conf={"spark.ui.enabled": "false"},
+        )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:

@@ -168,7 +168,12 @@ def minhash_signatures(
     hash aggregation (map-side partials shrink each group to
     num_hashes values before the shuffle) — no seed explode, no
     (id, seed) shuffle."""
-    sh = shingles(df, id_col, text_col, n=n)
+    return _signatures_from(
+        shingles(df, id_col, text_col, n=n), id_col, num_hashes
+    )
+
+
+def _signatures_from(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(
             f"__m{s}"
@@ -203,9 +208,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sig = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
-    )
+    # One shingle pass feeds both the signatures and the verification
+    # index — persisted, since the window + distinct is the dominant
+    # cost and would otherwise run twice.
+    sh_all = shingles(df, id_col, text_col, n=n).persist()
+    sig = _signatures_from(sh_all, id_col, num_hashes)
     bands = sig.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
@@ -242,9 +249,7 @@ def minhash_lsh_pairs(
         .union(cands.select(F.col("id_2").alias(id_col)))
         .distinct()
     )
-    sh = shingles(df, id_col, text_col, n=n).join(
-        F.broadcast(cand_ids), id_col, "left_semi"
-    ).persist()
+    sh = sh_all.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")

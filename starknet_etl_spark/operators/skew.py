@@ -1,0 +1,46 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew
+at runtime; ``salted_join`` is the explicit fallback for the cases
+AQE can't fix — e.g. a broadcast-ineligible dimension probed by a
+fact table whose key distribution is pathological (one hot key owning
+half the rows, the classic blockchain hot-contract shape).
+
+Mechanics: the fact side gets a deterministic salt in [0, S); the
+build side is replicated S×; the join key becomes (key, salt), so a
+hot key's rows spread over S reducers. Replication cost is S× the
+build side — use only when the build side is small-ish but above the
+broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    build: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with the build side salted against fact-key skew.
+
+    Row-level deterministic salt: hash of the whole fact row modulo
+    S (no rand() — plans stay replayable/retryable, which matters
+    for task retries at scale).
+    """
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    build_s = build.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = fact_s.join(build_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,163 @@
+"""Operator-level unit tests for the LLM-data family: planted
+near-duplicates must be found, non-dups must not; salted join must
+equal the plain join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators import dedup as D
+from starknet_etl_spark.operators import similarity as S
+from starknet_etl_spark.operators import text as X
+from starknet_etl_spark.operators.skew import salted_join
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the morning sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("morning", "evening")),  # near-dup of 1
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution at large scale"),
+        (5, "short text"),  # fewer than 3 words after shingling edge
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dup_groups_and_dedup(docs):
+    groups = D.exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+    kept = D.dedup_exact(docs, "doc_id", "text")
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    lsh = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id_1"], r["id_2"])
+        for r in D.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # banding bounds recall but verification kills false positives:
+    # lsh ⊆ exact, and the identical pair must always survive
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[4]
+    assert 0 <= got[1] < 2**16
+
+
+def test_shingles_short_doc_empty(docs):
+    sh = D.shingles(docs, "doc_id", "text")
+    assert sh.filter(F.col("doc_id") == 5).count() == 0  # "short text" < 3 words
+
+
+def test_knn_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # identical to query
+        (2, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal
+        (3, [0.9, 0.1, 0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = S.knn_bruteforce(
+        df.filter("vec_id != 0"), df.filter("vec_id = 0"), k=2
+    ).collect()
+    assert out[0]["vec_id"] == 1 and out[0]["cos_sim"] == 1.0
+    assert out[1]["vec_id"] == 3
+
+
+def test_cosine_near_dup_blocked_matches_naive(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(40)
+    ]
+    rows.append((100, rows[5][1], 0))  # exact duplicate vector of id 5
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in S.cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    # naive check in python
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = {i: v for i, v, _ in rows}
+    expected = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and round(cos(vecs[a], vecs[b]), 6) >= 0.95
+    }
+    assert got == expected
+    assert (5, 100) in got
+
+
+def test_lang_guess_markers(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "der hund und die katze das ist gut"),
+        (3, "le chat et la maison est grande"),
+        (4, "xyz qrs tuv"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", X.lang_guess(F.col("text")).alias("g")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], "k int, x double"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k int, name string"
+    )
+    plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, "k", salt_buckets=4).collect()))
+    assert plain == salted
+    # left join parity incl. misses
+    plain_l = sorted(map(tuple, fact.join(dim, "k", "left").collect()))
+    salted_l = sorted(
+        map(tuple, salted_join(fact, dim, "k", how="left", salt_buckets=4).collect())
+    )
+    assert plain_l == salted_l
