@@ -282,7 +282,75 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity closes a session) —
+    the batch twin of the stateful streaming sessionizer
+    (streaming/sessionize.py): lag → gap flag → running sum = session
+    index; then per-user session stats. Window-function composition,
+    one shuffle on user_id."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+        ).alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.round(F.max("duration_s"), 2).alias("max_session_s"),
+    )
+
+
+_USER_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+           OR LAG(ts) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_s
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_events_per_session,
+       ROUND(MAX(duration_s), 2) AS max_session_s
+FROM per_session GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "user_sessions": QuerySpec(
+        _user_sessions,
+        _USER_SESSIONS_ORACLE,
+        "gap-based sessionization (batch twin of the stateful stream)",
+    ),
     "value_percentiles": QuerySpec(
         _value_percentiles, _PERCENTILES_ORACLE, "exact percentiles (p50/p90/p99)"
     ),

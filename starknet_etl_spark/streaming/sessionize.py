@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (the batch twin with identical semantics
+is the ``user_sessions`` catalog query).
+
+State per user: (session_start, last_seen, n_events). An event whose
+gap from ``last_seen`` exceeds the timeout closes the open session
+(emitting it) and starts a new one; processing-time timeout flushes
+sessions for users who go quiet. This is the canonical shape for any
+custom stateful operator the built-in windowed aggregates can't
+express — the engine's extension point for bespoke streaming logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed_by string"
+)
+STATE_SCHEMA = "start double, last double, n bigint"
+
+
+def _sessionize_group(
+    key, pdfs, state: GroupState, *, gap_s: float
+):
+    (user_id,) = key
+    sessions: list[tuple] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            sessions.append((user_id, start, last, n, "timeout"))
+            state.remove()
+    else:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        ts_all: list[float] = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["ts"].astype("int64").to_numpy() / 1e9)
+        for t in sorted(ts_all):
+            if last is not None and t - last > gap_s:
+                sessions.append((user_id, start, last, n, "gap"))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(int(gap_s * 1000))
+
+    if sessions:
+        out = pd.DataFrame(
+            sessions,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "closed_by",
+            ],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+        yield out
+
+
+def sessionize_stream(
+    events: DataFrame, *, gap_s: float = 1800.0
+) -> DataFrame:
+    """events stream (user_id, ts, …) → closed-session records."""
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_group(key, pdfs, state, gap_s=gap_s)
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,53 @@
+"""Stateful streaming sessionizer gate: sessions emitted by the
+applyInPandasWithState operator must match the batch gap rule."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from starknet_etl_spark.streaming.sessionize import sessionize_stream
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_stateful_sessionizer_gap_semantics(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # user 1: two sessions split by a 2h gap; user 2: one session
+    rows = [
+        (1, T0),
+        (1, T0 + timedelta(minutes=10)),
+        (1, T0 + timedelta(hours=3)),  # gap > 30min → new session
+        (1, T0 + timedelta(hours=3, minutes=5)),
+        (2, T0 + timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.parquet(
+        src_dir
+    )
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+        src_dir
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800.0)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    # one batch: only the gap-closed session is emitted (open sessions
+    # wait for the processing-time timeout)
+    assert len(got) == 1
+    s = got[0]
+    assert s["user_id"] == 1
+    assert s["n_events"] == 2
+    assert s["closed_by"] == "gap"
+    assert s["session_start"] == T0
+    assert s["session_end"] == T0 + timedelta(minutes=10)
