@@ -1,0 +1,124 @@
+"""CLI — the operational entry points of the reference, one command each.
+
+    python -m starknet_etl_spark ingest --endpoint mock://head=1000120 \
+        --warehouse /tmp/wh
+    python -m starknet_etl_spark report --warehouse /tmp/wh --top-type vol
+    python -m starknet_etl_spark pipeline --endpoint ... --warehouse ...
+    python -m starknet_etl_spark serve --warehouse /tmp/wh --port 8000
+
+`ingest`/`report`/`pipeline` mirror the reference DAGs
+(export_blocks_and_events_dag, generate_report_dag); `serve` is the
+FastAPI app (api/ekubo_api.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="starknet_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="incremental extract -> land")
+    ing.add_argument("--endpoint", required=True)
+    ing.add_argument("--warehouse", required=True)
+    ing.add_argument("--address", default="0xekubo")
+    ing.add_argument("--from-block", type=int, default=None)
+    ing.add_argument("--to-block", type=int, default=None)
+
+    rep = sub.add_parser("report", help="recompute the 24h top-pair report")
+    rep.add_argument("--warehouse", required=True)
+    rep.add_argument("--top-type", choices=["vol", "txn"], default="vol")
+    rep.add_argument("--now", default=None)
+
+    pipe = sub.add_parser("pipeline", help="ingest -> enrich -> both reports")
+    pipe.add_argument("--endpoint", required=True)
+    pipe.add_argument("--warehouse", required=True)
+    pipe.add_argument("--address", default="0xekubo")
+    pipe.add_argument("--now", default=None)
+
+    srv = sub.add_parser("serve", help="HTTP endpoints over the reports")
+    srv.add_argument("--warehouse", required=True)
+    srv.add_argument("--port", type=int, default=8000)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        import uvicorn
+
+        from .serving.api import create_app
+
+        uvicorn.run(
+            create_app(f"{args.warehouse}/reports"),
+            host="127.0.0.1",
+            port=args.port,
+        )
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("starknet-etl-cli")
+    if args.cmd == "ingest":
+        from .plans.pipeline import run_ingest
+
+        lo, hi = run_ingest(
+            spark,
+            args.endpoint,
+            blocks_path=f"{args.warehouse}/blocks",
+            events_path=f"{args.warehouse}/events",
+            address=args.address,
+            from_block=args.from_block,
+            to_block=args.to_block,
+        )
+        print(json.dumps({"ingested_from": lo, "ingested_to": hi}))
+    elif args.cmd == "report":
+        from .io import load_table
+        from .plans.pipeline import run_report
+        from .schemas import TOKEN_PRICES
+
+        try:
+            prices = load_table(spark, f"{args.warehouse}/prices")
+        except Exception:
+            prices = spark.createDataFrame([], TOKEN_PRICES)
+        out = run_report(
+            spark,
+            events_path=f"{args.warehouse}/events",
+            blocks_path=f"{args.warehouse}/blocks",
+            token_path=f"{args.warehouse}/token",
+            prices=prices,
+            report_path=f"{args.warehouse}/reports",
+            top_type=args.top_type,
+            now=args.now,
+        )
+        for r in out.collect():
+            print(json.dumps(r.asDict()))
+    elif args.cmd == "pipeline":
+        from .io import load_table
+        from .plans.pipeline import run_pipeline
+        from .schemas import TOKEN_PRICES
+
+        try:
+            prices = load_table(spark, f"{args.warehouse}/prices")
+        except Exception:
+            prices = spark.createDataFrame([], TOKEN_PRICES)
+        reports = run_pipeline(
+            spark,
+            args.endpoint,
+            warehouse=args.warehouse,
+            prices=prices,
+            address=args.address,
+            now=args.now,
+        )
+        print(
+            json.dumps(
+                {t: df.count() for t, df in reports.items()}
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

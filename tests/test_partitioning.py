@@ -1,0 +1,46 @@
+"""Partitioned-table write + partition pruning: the 100 TB events
+table is written partitioned (date / block bucket) so range
+predicates prune at the source — asserted in the physical plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.io import load_table, save_table
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path, events_df):
+    path = str(tmp_path / "events_parted")
+    parted = events_df.withColumn(
+        "block_bucket", (F.col("block_number") / 100).cast("long")
+    )
+    save_table(parted, path, partition_by=["block_bucket"])
+
+    df = load_table(spark, path).filter(F.col("block_bucket") == 1)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the bucket predicate must be a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert "block_bucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    rows = df.collect()
+    assert all(r["block_number"] // 100 == 1 for r in rows)
+
+
+def test_partitioned_keyed_dedup_roundtrip(spark, tmp_path, blocks_df):
+    path = str(tmp_path / "blocks_parted")
+    parted = blocks_df.withColumn(
+        "bucket", (F.col("block_number") / 2).cast("long")
+    )
+    save_table(
+        parted,
+        path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+        partition_by=["bucket"],
+    )
+    out = load_table(spark, path)
+    assert out.count() == 4  # dup block 101 collapsed
+    assert out.filter("block_number = 101").first()["block_timestamp"] == 1_700_000_011
