@@ -345,7 +345,75 @@ FROM per_session GROUP BY user_id
 """
 
 
+def _last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks it natively): each
+    click event gains the user's most recent prior-or-equal purchase
+    value. Union-sort-carry form (operators/asof.py), one shuffle;
+    the DuckDB oracle uses its native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_value"],
+        suffix="",
+    )
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+_ASOF_ORACLE = """
+SELECT c.event_id, c.user_id, ROUND(p.value, 2) AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _pivot_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — engine surface beyond reference: per-user event-type
+    value matrix (explicit value list keeps the plan single-pass)."""
+    ev = _ev(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    renamed = pivoted.select(
+        "user_id", *[F.col(t).alias(f"{t}_value") for t in types]
+    )
+    return renamed
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+  ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click_value,
+  ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view_value,
+  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_value,
+  ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup_value,
+  ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "last_purchase_asof": QuerySpec(
+        _last_purchase_asof, _ASOF_ORACLE, "as-of join (union-sort-carry)"
+    ),
+    "pivot_type_values": QuerySpec(
+        _pivot_type_values, _PIVOT_ORACLE, "PIVOT per-user type matrix"
+    ),
     "user_sessions": QuerySpec(
         _user_sessions,
         _USER_SESSIONS_ORACLE,

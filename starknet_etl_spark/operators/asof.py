@@ -1,0 +1,75 @@
+"""As-of join — for each left row, the latest right row whose time
+is ≤ the left row's time, per key.
+
+Spark has no native as-of join; the naive formulation (inequality
+join + row_number) explodes to a range product. This operator uses
+the scalable union-sort-carry form:
+
+1. union left probes and right updates into one stream, tagged;
+2. one shuffle on the key, one sort on (time, tag);
+3. ``last_value(…, ignoreNulls)`` carries the most recent right
+   payload forward onto each probe row.
+
+Cost: exactly one hash partition + per-partition sort — the same
+price as a window function, independent of how many right rows
+precede each probe. This is the standard time-series engine design
+(the tag orders updates before probes at equal timestamps, giving
+inclusive ≤ semantics, which matches SQL ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: ``left`` rows keep all columns; each gains
+    ``<value_col><suffix>`` from the latest ``right`` row with
+    ``right_time <= left_time`` on the same ``on`` key (NULL when no
+    prior right row exists)."""
+    lt = F.col(left_time).alias("__t")
+    probes = left.select(
+        F.col(on).alias("__k"),
+        lt,
+        F.lit(1).alias("__tag"),  # probes sort AFTER updates at equal t
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    updates = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.lit(None)
+        .cast(probes.schema["__row"].dataType)
+        .alias("__row"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    merged = probes.unionByName(updates)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "__row",
+        "__tag",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__tag") == 1)
+    out_cols = [F.col(f"__row.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
+    return carried.select(*out_cols)

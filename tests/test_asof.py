@@ -1,0 +1,44 @@
+"""As-of join operator edge cases: inclusive equality, no-prior NULL,
+carry across multiple probes, per-key isolation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from starknet_etl_spark.operators.asof import asof_join
+
+T = lambda s: datetime(2024, 1, 1, 12, 0, s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(5)),   # after right@3 → 30.0
+            (2, 10, T(3)),   # equal ts → inclusive → 30.0
+            (3, 10, T(1)),   # before any right → NULL
+            (4, 20, T(9)),   # other key → its own right row
+            (5, 30, T(9)),   # key with no right rows → NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2), 10.0),
+            (10, T(3), 30.0),   # latest ≤ t for probes 1,2
+            (10, T(7), 70.0),   # future for all probes
+            (20, T(4), 40.0),
+        ],
+        "user_id bigint, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert out == {1: 30.0, 2: 30.0, 3: None, 4: 40.0, 5: None}
