@@ -89,6 +89,59 @@ WHERE ROUND(cos, 6) >= 0.4
 """
 
 
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_lsh(
+        emb.filter(F.col("vec_id") != _QUERY_ID),
+        query,
+        dim=DIM,
+        planes=4,
+        k=10,
+    )
+
+
+# Oracle mirrors the SRP construction: ±1 weights from md5('p|d'),
+# bucket = packed sign bits, candidates share the query's bucket.
+_KNN_LSH_ORACLE = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS d),
+planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+w AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.p,
+         SUM(w.wt * CAST(e.embedding[w.d] AS DOUBLE)) AS s
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT b FROM buckets WHERE vec_id = {_QUERY_ID}),
+cand AS (
+  SELECT vec_id FROM buckets, qb
+  WHERE buckets.b = qb.b AND vec_id <> {_QUERY_ID}
+),
+scored AS (
+  SELECT b.vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id = {_QUERY_ID}
+   AND b.vec_id IN (SELECT vec_id FROM cand),
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.centroids(_emb(spark, sf_dir), cell_col="label", dim=DIM)
 
@@ -107,6 +160,9 @@ QUERIES = {
     ),
     "emb_knn_ivf": QuerySpec(
         _knn_ivf, _KNN_IVF_ORACLE, "IVF-cell ANN top-5 (scale path)"
+    ),
+    "emb_knn_lsh": QuerySpec(
+        _knn_lsh, _KNN_LSH_ORACLE, "SRP-LSH bucketed ANN top-10"
     ),
     "emb_near_dup_pairs": QuerySpec(
         _near_dup, _NEAR_DUP_ORACLE, "embedding-cosine near-dup pairs"

@@ -162,6 +162,66 @@ def cosine_near_dup_pairs(
     )
 
 
+def _srp_weight(plane: int, d: int) -> int:
+    """Deterministic Rademacher (±1) weight for (plane, dim): +1 when
+    md5('p|d') leads with hex digit ≥ 8 (its top bit). Reproducible
+    in any engine with md5 — which keeps the oracle differential
+    exact."""
+    import hashlib
+
+    first = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0]
+    return 1 if first in "89abcdef" else -1
+
+
+def srp_bucket(
+    vec: Column, *, dim: int, planes: int = 4
+) -> Column:
+    """Signed-random-projection LSH bucket id in [0, 2^planes).
+
+    Bit p = sign(Σ_d w_{p,d}·x_d) with fixed ±1 hyperplanes — cosine
+    LSH. Weights inline as literal arrays, so the dot products are
+    codegen'd zip_with/aggregate, no Python at run time.
+    """
+    bucket: Column = F.lit(0)
+    for p in range(planes):
+        w = F.array(
+            *[F.lit(float(_srp_weight(p, d))) for d in range(1, dim + 1)]
+        )
+        proj = dot(vec, w)
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def knn_lsh(
+    df: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    planes: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors sharing the query's SRP
+    bucket. With the corpus written partitioned by bucket, the bucket
+    equality is partition pruning — a 1/2^planes scan. (Production
+    raises recall with multi-probe: also score buckets at Hamming
+    distance 1; single-probe here keeps the oracle exact.)"""
+    b = srp_bucket(F.col(vec_col), dim=dim, planes=planes)
+    corpus = df.withColumn("__b", b)
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__q"),
+            srp_bucket(F.col(vec_col), dim=dim, planes=planes).alias("__qb"),
+        )
+    )
+    scored = corpus.join(q, F.col("__b") == F.col("__qb")).select(
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def centroids(
     df: DataFrame,
     *,
