@@ -1,0 +1,59 @@
+"""Multimodal plumbing coverage — driver-visible proof that the
+binary-column path works end-to-end: documents' text re-encoded as
+opaque binary payloads, pushed through the Arrow-batched feature
+kernel (operators/multimodal.py), with the deterministic metadata
+columns (byte length, sha256 prefix) oracle-checked against DuckDB.
+The feature vector itself comes from the stubbed codec (no image
+libs in-container) and is covered by rows-only + unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_testdata
+from ..operators.multimodal import extract_features
+from . import QuerySpec
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def _mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_payloads(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha_prefix",
+    )
+
+
+_MM_META_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents
+"""
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kernel output incl. the stubbed feature vector — not
+    SQL-expressible (codec stand-in), so rows-only check; determinism
+    is unit-tested (test_multimodal.py)."""
+    return extract_features(_payloads(spark, sf_dir), dim=8)
+
+
+QUERIES = {
+    "multimodal_meta": QuerySpec(
+        _mm_meta,
+        _MM_META_ORACLE,
+        "binary payload metadata through the Arrow kernel",
+    ),
+    "multimodal_features": QuerySpec(
+        _mm_features, None, "stub-decoded feature vectors (rows-only)"
+    ),
+}
