@@ -464,7 +464,48 @@ SELECT seg, n_orders FROM big
 """
 
 
+def _similar_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with no equality key (|size_a - size_b| ≤ 1):
+    bucketized equi-join (operators/rangejoin.py) instead of the
+    nested-loop plan Spark would otherwise pick."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_size").cast("double").alias("size_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_size").cast("double").alias("size_b"),
+    )
+    pairs = bucketed_range_join(
+        a,
+        b,
+        left_val="size_a",
+        right_val="size_b",
+        width=1.0,
+        extra_on=F.col("pk_a") < F.col("pk_b"),
+    )
+    return pairs.groupBy(
+        F.col("size_a").cast("int").alias("p_size")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_SIMILAR_SIZE_ORACLE = """
+SELECT CAST(a.p_size AS INTEGER) AS p_size, COUNT(*) AS n_pairs
+FROM part a JOIN part b
+  ON abs(a.p_size - b.p_size) <= 1 AND a.p_partkey < b.p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "similar_size_parts": QuerySpec(
+        _similar_size_parts,
+        _SIMILAR_SIZE_ORACLE,
+        "bucketized range join (no equi key)",
+    ),
     "top_pair_report_vol": QuerySpec(
         _top_pair("vol_total"),
         _TOP_PAIR_ORACLE.format(metric="vol_total"),

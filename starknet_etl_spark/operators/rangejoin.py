@@ -1,0 +1,57 @@
+"""Bucketized range join — equi-join machinery for inequality
+predicates.
+
+A naive range join (``a.v BETWEEN b.v - w AND b.v + w`` with no
+equality key) plans as BroadcastNestedLoopJoin: O(N·M) comparisons
+and a broadcast that doesn't scale. The bucketized form maps each row
+to ``floor(v / w)`` buckets, probes each bucket and its neighbors
+(every within-``w`` pair shares or straddles adjacent buckets —
+replication factor 3, constant), equi-joins on the bucket id, and
+re-applies the exact predicate. The shuffle is a plain hash join on
+bucket ids: linear data movement, skew bounded by value clustering
+(split hot buckets by halving ``w`` or salting).
+
+The same construction handles time-interval joins (bucket = epoch
+div window) and numeric bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_val: str,
+    right_val: str,
+    width: float,
+    extra_on: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Pairs with ``|left_val - right_val| <= width``.
+
+    Columns of both inputs survive (same-named columns must be
+    disambiguated by the caller beforehand). ``extra_on`` adds a
+    conjunct evaluated after the bucket equi-join.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(width)).cast("long")
+    l_b = left.withColumn("__lb", lb)
+    # right side replicated to its own and both neighbor buckets
+    r_b = right.withColumn(
+        "__rb0", F.floor(F.col(right_val) / F.lit(width)).cast("long")
+    ).withColumn(
+        "__rb",
+        F.explode(
+            F.array(
+                F.col("__rb0") - 1, F.col("__rb0"), F.col("__rb0") + 1
+            )
+        ),
+    ).drop("__rb0")
+    cond = (F.col("__lb") == F.col("__rb")) & (
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(width)
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l_b.join(r_b, cond, how).drop("__lb", "__rb")

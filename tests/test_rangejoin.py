@@ -1,0 +1,51 @@
+"""Bucketized range join: exact parity with the naive inequality
+join, including values straddling bucket boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.rangejoin import bucketed_range_join
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    vals = [0.0, 0.4, 0.99, 1.0, 1.01, 2.5, 3.0, 9.9, 10.0, 10.05]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ida int, va double"
+    )
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idb int, vb double"
+    )
+    got = {
+        (r["ida"], r["idb"])
+        for r in bucketed_range_join(
+            a,
+            b,
+            left_val="va",
+            right_val="vb",
+            width=1.0,
+            extra_on=F.col("ida") < F.col("idb"),
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, vi in enumerate(vals)
+        for j, vj in enumerate(vals)
+        if i < j and abs(vi - vj) <= 1.0
+    }
+    assert got == expected
+
+
+def test_bucketed_range_join_plan_is_hash_join(spark):
+    a = spark.range(100).selectExpr("id ida", "cast(id as double) va")
+    b = spark.range(100).selectExpr("id idb", "cast(id as double) vb")
+    df = bucketed_range_join(
+        a, b, left_val="va", right_val="vb", width=2.0
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "NestedLoop" not in plan  # the whole point
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
