@@ -72,10 +72,24 @@ def save_table(
     """
     if dedup_keys:
         spark = df.sparkSession
-        if _exists(spark, path):
+        merging = _exists(spark, path)
+        if merging:
             existing = spark.read.parquet(path)
             df = existing.unionByName(df, allowMissingColumns=True)
         df = dedup_latest(df, dedup_keys, version_cols)
+        if merging:
+            # The merged plan READS from `path`; overwriting the same
+            # path from a lazy plan is a self-overwrite (files can be
+            # deleted before they're consumed). Write to a sibling
+            # temp dir, then atomically swap. At warehouse scale this
+            # becomes partition-scoped rewrite (SCALING.md).
+            tmp = f"{path}__tmp_swap"
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            _replace_dir(spark, path, tmp)
+            return
         mode = "overwrite"
     writer = df.write.mode(mode)
     if partition_by:
@@ -85,6 +99,24 @@ def save_table(
 
 def load_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` (local fast path; hadoop FS
+    rename otherwise)."""
+    if os.path.isdir(tmp) and not path.startswith(("s3", "hdfs", "gs")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    t = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+    fs.rename(t, p)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
