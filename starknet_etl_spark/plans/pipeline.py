@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable
 from datetime import datetime
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..io import load_table, save_table
 from ..operators.aggregates import high_watermark
@@ -84,6 +84,12 @@ def run_ingest(
         .option("to_block", hi)
         .option("batch_size", batch_size)
         .load()
+        # land bucketed by block range so time/range predicates prune
+        # partitions at report time (block time is monotone)
+        .withColumn(
+            "block_bucket",
+            (F.col("block_number") / F.lit(10_000)).cast("long"),
+        )
     )
     blocks = (
         spark.read.format("starknet_blocks")
@@ -95,7 +101,9 @@ def run_ingest(
     )
     # events: append-only (MergeTree ORDER BY tuple() parity);
     # blocks: keyed, latest wins (ReplacingMergeTree parity).
-    save_table(events, events_path, mode="append")
+    save_table(
+        events, events_path, mode="append", partition_by=["block_bucket"]
+    )
     save_table(
         blocks,
         blocks_path,
@@ -144,15 +152,49 @@ def run_report(
     top_n: int = 30,
     now: Column | datetime | str | None = None,
 ) -> DataFrame:
-    """Recompute + overwrite the report (S10 truncate-and-reload)."""
+    """Recompute + overwrite the report (S10 truncate-and-reload).
+
+    Scale path: the report window is first resolved to a block range
+    on the (small) blocks dim — block time is monotone, so the range
+    filter is exact — then pushed into the events scan as a
+    block_bucket partition filter + block_number min/max, so the scan
+    touches one day of a bucketed 100 TB table, not all of it.
+    """
+    events = load_table(spark, events_path)
+    blocks = load_table(spark, blocks_path)
+
+    from ..functions import epoch_to_timestamp, in_sliding_window
+
+    bounds = (
+        blocks.filter(
+            in_sliding_window(
+                epoch_to_timestamp(F.col("block_timestamp")), now
+            )
+        )
+        .agg(
+            F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
+        )
+        .first()
+    )
+    block_range = None
+    if bounds and bounds["lo"] is not None:
+        block_range = (int(bounds["lo"]), int(bounds["hi"]))
+        if "block_bucket" in events.columns:  # partition pruning
+            events = events.filter(
+                F.col("block_bucket").between(
+                    block_range[0] // 10_000, block_range[1] // 10_000
+                )
+            )
+
     report = build_top_pair_report(
-        load_table(spark, events_path),
-        load_table(spark, blocks_path),
+        events,
+        blocks,
         load_table(spark, token_path),
         prices,
         top_type=top_type,
         top_n=top_n,
         now=now,
+        block_range=block_range,
     )
     save_table(report, f"{report_path}/top_{top_type}_token_report", mode="overwrite")
     return load_table(spark, f"{report_path}/top_{top_type}_token_report")

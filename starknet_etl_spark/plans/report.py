@@ -43,12 +43,24 @@ def extract_swap_events(
     *,
     now: Column | datetime | str | None = None,
     window_days: int = 1,
+    block_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The extraction CTE (generate_report_dag.py:35-52).
 
     JSON parse + 1-based array index + epoch cast + sliding window
     filter + events⋈blocks inner join.
+
+    ``block_range``: optional (lo, hi) pre-resolved from the blocks
+    dim for the time window. Block time is monotone, so the range
+    filter is equivalent to the timestamp filter — but it pushes into
+    the events scan (and prunes partitions when the table is written
+    bucketed by block), instead of filtering after the join. At
+    100 TB this is the difference between scanning a day and scanning
+    the table (SCALING.md).
     """
+    if block_range is not None:
+        lo, hi = block_range
+        events = events.filter(F.col("block_number").between(lo, hi))
     parsed = events.select(
         json_array(F.col("data")).alias("d"),
         "block_number",
@@ -83,13 +95,16 @@ def build_top_pair_report(
     top_type: str = "vol",
     top_n: int = 30,
     now: Column | datetime | str | None = None,
+    block_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Full report plan (generate_report_dag.py:53-115) → top-N pairs.
 
     Output schema: (pair STRING, vol_24h DOUBLE, txn_24h BIGINT),
     ordered by the chosen metric desc — schemas.TOP_TOKEN_REPORT.
     """
-    swaps = extract_swap_events(events, blocks, now=now)
+    swaps = extract_swap_events(
+        events, blocks, now=now, block_range=block_range
+    )
 
     # ×2 aliased probes of the token dim (:63-64) — broadcast.
     enriched = join_dimension(

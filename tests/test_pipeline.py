@@ -37,6 +37,16 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     events = load_table(spark, f"{wh}/events")
     assert events.count() == 22  # 11 blocks x 2 events
+    # events landed bucketed by block range → report-time pruning
+    assert "block_bucket" in events.columns
+    pruned = events.filter("block_bucket = 100")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part_line = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "block_bucket" in part_line
     blocks = load_table(spark, f"{wh}/blocks")
     assert blocks.count() == 11
 
