@@ -76,6 +76,92 @@ def start_ingest_stream(
     return writer.start()
 
 
+def start_pipeline_stream(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    warehouse: str,
+    prices,
+    resolver=None,
+    checkpoint: str,
+    address: str = "0xekubo",
+    from_block: int = 1_000_000,
+    now=None,
+    trigger_once: bool = False,
+    processing_time: str = "1 hour",
+):
+    """Streaming ST5: every micro-batch lands events, syncs the blocks
+    dim for the batch's range, maintains the token dim, and refreshes
+    both reports — the reference's ingest-DAG → TriggerDagRunOperator
+    → report-DAG chain collapsed into one checkpointed foreachBatch."""
+    from ..plans.pipeline import (
+        default_token_resolver,
+        maintain_token_dim,
+        run_report,
+    )
+    from ..sources.datasource import register_sources as _reg
+
+    resolver = resolver or default_token_resolver
+    paths = {
+        "blocks": f"{warehouse}/blocks",
+        "events": f"{warehouse}/events",
+        "token": f"{warehouse}/token",
+        "report": f"{warehouse}/reports",
+    }
+    src = stream_events(
+        spark, endpoint, address=address, from_block=from_block
+    )
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.withColumn(
+            "block_bucket", (F.col("block_number") / F.lit(10_000)).cast("long")
+        )
+        bounds = batch_df.agg(
+            F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
+        ).first()
+        save_table(
+            batch_df, paths["events"], mode="append",
+            partition_by=["block_bucket"],
+        )
+        blocks = (
+            spark.read.format("starknet_blocks")
+            .option("endpoint", endpoint)
+            .option("from_block", int(bounds["lo"]))
+            .option("to_block", int(bounds["hi"]))
+            .load()
+        )
+        save_table(
+            blocks, paths["blocks"],
+            dedup_keys=["block_number"], version_cols=["block_timestamp"],
+        )
+        maintain_token_dim(
+            spark, events_path=paths["events"], token_path=paths["token"],
+            resolver=resolver,
+        )
+        for top_type in ("vol", "txn"):
+            run_report(
+                spark,
+                events_path=paths["events"],
+                blocks_path=paths["blocks"],
+                token_path=paths["token"],
+                prices=prices,
+                report_path=paths["report"],
+                top_type=top_type,
+                now=now,
+            )
+
+    writer = src.writeStream.foreachBatch(tick).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_sliding_volume_stream(
     spark: SparkSession,
     endpoint: str,

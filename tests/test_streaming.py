@@ -7,6 +7,7 @@ from __future__ import annotations
 from starknet_etl_spark.io import load_table
 from starknet_etl_spark.streaming.ingest import (
     start_ingest_stream,
+    start_pipeline_stream,
     start_sliding_volume_stream,
 )
 
@@ -54,6 +55,37 @@ def test_stream_ingest_checkpoint_resume(spark, tmp_path):
     got3 = load_table(spark, events_path)
     assert got3.count() == 16  # +blocks 1_000_006..1_000_007
     assert got3.select("block_number").distinct().count() == 8
+
+
+def test_streaming_pipeline_refreshes_report(spark, tmp_path):
+    from starknet_etl_spark import schemas
+
+    wh = str(tmp_path / "wh")
+    prices = spark.createDataFrame(
+        [(f"0x{i + 1:064x}", float(i + 1)) for i in range(4)],
+        schemas.TOKEN_PRICES,
+    )
+
+    def resolver(addresses):
+        return [(a, "Tok", f"T{int(a, 16)}", 18) for a in addresses]
+
+    q = start_pipeline_stream(
+        spark,
+        ENDPOINT,
+        warehouse=wh,
+        prices=prices,
+        resolver=resolver,
+        checkpoint=str(tmp_path / "ckpt"),
+        from_block=1_000_000,
+        now="2024-04-01 19:36:40",
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 12
+    report = load_table(spark, f"{wh}/reports/top_vol_token_report")
+    rows = report.collect()
+    assert rows and all("/" in r["pair"] for r in rows)
 
 
 def test_sliding_window_stream(spark, tmp_path):
