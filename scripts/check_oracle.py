@@ -101,6 +101,23 @@ def main() -> int:
             status.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             status.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            # dtype drift warning (duckdb type → expected spark type)
+            dmap = {
+                "BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+                "VARCHAR": "string", "TIMESTAMP": "timestamp",
+                "DECIMAL(38,0)": "decimal(38,0)", "BOOLEAN": "boolean",
+                "FLOAT": "float", "HUGEINT": "int128",
+            }
+            s_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+            d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            for c in s_cols:
+                want = dmap.get(d_types.get(c, ""), d_types.get(c, "?"))
+                if want != "?" and s_types[c] != want:
+                    print(
+                        f"  WARN {name}.{c}: spark={s_types[c]} "
+                        f"duckdb={d_types[c]}"
+                    )
         if not status:
             cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
             if cs != cd:

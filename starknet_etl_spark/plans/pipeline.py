@@ -113,6 +113,17 @@ def run_ingest(
     return lo, hi
 
 
+def harden_events_exactly_once(events: DataFrame) -> DataFrame:
+    """Optional ST7 hardening (SURVEY.md §2.10): the events table is
+    append-only and relies on watermark discipline for exactly-once;
+    an out-of-band overlapping backfill would double-count. This
+    dedup on the natural event identity (transaction_hash,
+    event_index — unique per event within a tx by construction) makes
+    downstream aggregates idempotent under re-ingest. Off by default
+    to mirror the reference's semantics."""
+    return events.dropDuplicates(["transaction_hash", "event_index"])
+
+
 def maintain_token_dim(
     spark: SparkSession,
     *,

@@ -97,6 +97,24 @@ def test_ingest_incremental_watermark(spark, tmp_path):
     assert events.select("block_number").distinct().count() == 11
 
 
+def test_harden_events_exactly_once(spark, tmp_path):
+    """An overlapping out-of-band backfill double-lands events; the
+    ST7 hardening makes downstream counts idempotent."""
+    wh = str(tmp_path / "whh")
+    for _ in range(2):  # same explicit range twice → duplicates land
+        P.run_ingest(
+            spark,
+            ENDPOINT,
+            blocks_path=f"{wh}/blocks",
+            events_path=f"{wh}/events",
+            from_block=1_000_000,
+            to_block=1_000_002,
+        )
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 12  # 2x duplicated
+    assert P.harden_events_exactly_once(events).count() == 6
+
+
 def test_manual_range_override_bugfix(spark, tmp_path):
     """ST3: the reference assigns to_block from conf['from_block']
     (export_blocks_and_events_dag.py:45). We honor both — divergence."""
