@@ -33,7 +33,7 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{round(v, 6):.6f}"
+            return f"{round(v, 6) + 0.0:.6f}"  # +0.0 folds -0.0 → 0.0
         if isinstance(v, bool):
             return str(int(v))
         return str(v)

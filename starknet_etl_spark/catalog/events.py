@@ -72,14 +72,13 @@ GROUP BY event_type
 
 def _latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup, latest wins (O-D1 — ReplacingMergeTree semantics,
-    clickhouse.py:59-60): one row per user_id by (ts, event_id) desc."""
+    clickhouse.py:59-60): one row per user_id by (ts, event_id) desc —
+    the engine's io.dedup_latest applied to the events table."""
+    from ..io import dedup_latest
+
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        dedup_latest(ev, ["user_id"], ["ts", "event_id"])
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),

@@ -36,6 +36,12 @@ def _strip0x(c: Column) -> Column:
     return F.regexp_replace(F.lower(c), "^0x", "")
 
 
+def _overlong(c: Column) -> Column:
+    """Inputs wider than 256 bits are outside the felt/u256 domain:
+    NULL, never a silently truncated value (module contract)."""
+    return F.length(_strip0x(c)) > _HEX_WIDTH
+
+
 def _chunks(c: Column) -> list[Column]:
     """Big-endian 64-bit chunks of the (zero-padded) hex body,
     each as conv()'s base-10 digit string."""
@@ -50,10 +56,9 @@ def hex_to_long(c: Column) -> Column:
     """``int(x, 16)`` for values < 2^63; NULL above."""
     hi = [ch.try_cast("decimal(20,0)") for ch in _chunks(c)[:-1]]
     low = _chunks(c)[-1].try_cast("long")
-    overflow = None
+    overflow = _overlong(c)
     for h in hi:
-        cond = h > 0
-        overflow = cond if overflow is None else (overflow | cond)
+        overflow = overflow | (h > 0)
     return F.when(overflow, F.lit(None).cast("long")).otherwise(low)
 
 
@@ -69,19 +74,22 @@ def hex_to_decimal(c: Column) -> Column:
         d = ch.try_cast("decimal(38,0)")
         acc = d if acc is None else F.try_add(F.try_multiply(acc, two64), d)
     assert acc is not None
-    return acc.cast("decimal(38,0)")
+    return F.when(_overlong(c), F.lit(None)).otherwise(acc).cast(
+        "decimal(38,0)"
+    )
 
 
 def hex_to_double(c: Column) -> Column:
     """Float64 decode — reference end-to-end precision (report math).
-    Positional double sum; exact for < 2^53, ~1 ulp drift above."""
+    Positional double sum; exact for < 2^53, ~1 ulp drift above.
+    NULL only for >256-bit inputs (outside the felt/u256 domain)."""
     two64 = F.lit(float(2**64))
     acc: Column | None = None
     for ch in _chunks(c):
         d = ch.cast("double")
         acc = d if acc is None else acc * two64 + d
     assert acc is not None
-    return acc
+    return F.when(_overlong(c), F.lit(None)).otherwise(acc).cast("double")
 
 
 def normalize_address(c: Column, width: int = 64) -> Column:

@@ -37,13 +37,24 @@ def asof_join(
     ``<value_col><suffix>`` from the latest ``right`` row with
     ``right_time <= left_time`` on the same ``on`` key (NULL when no
     prior right row exists)."""
-    lt = F.col(left_time).alias("__t")
+    # The carried payload is the whole right row as ONE struct, NULL
+    # only on probe rows — so last(ignorenulls) always takes the
+    # latest right ROW atomically: a genuine NULL inside a value
+    # column survives (no stale-value substitution), and multiple
+    # value columns can never mix fields from different right rows.
+    payload_t = F.struct(
+        *[F.col(c).alias(c) for c in value_cols]
+    )
     probes = left.select(
         F.col(on).alias("__k"),
-        lt,
+        F.col(left_time).alias("__t"),
         F.lit(1).alias("__tag"),  # probes sort AFTER updates at equal t
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            right.select(payload_t.alias("p")).schema["p"].dataType
+        )
+        .alias("__payload"),
     )
     updates = right.select(
         F.col(on).alias("__k"),
@@ -52,7 +63,7 @@ def asof_join(
         F.lit(None)
         .cast(probes.schema["__row"].dataType)
         .alias("__row"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        payload_t.alias("__payload"),
     )
     merged = probes.unionByName(updates)
     w = (
@@ -63,13 +74,10 @@ def asof_join(
     carried = merged.select(
         "__row",
         "__tag",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__c"),
     ).filter(F.col("__tag") == 1)
     out_cols = [F.col(f"__row.{c}").alias(c) for c in left.columns]
     out_cols += [
-        F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols
+        F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in value_cols
     ]
     return carried.select(*out_cols)

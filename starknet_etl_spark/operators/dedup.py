@@ -100,6 +100,11 @@ def jaccard_pairs(
     sharing ≥ 1 shingle — never a cross join. ``max_df`` drops
     shingles appearing in more than that many docs (stop-shingle
     skew cap for web-scale corpora).
+
+    Note: the shingle index is ``persist()``-ed (consumed 3x in one
+    plan) and released by Spark's cache eviction, not explicitly —
+    long-lived sessions calling this repeatedly should
+    ``spark.catalog.clearCache()`` between corpora.
     """
     sh = shingles(df, id_col, text_col, n=n).select(
         id_col,

@@ -45,16 +45,15 @@ def missing_keys(
 ) -> DataFrame:
     """Distinct fact key values absent from the dimension (J4).
 
-    UNION ALL the key columns, distinct, then left-anti against the
-    dim. Returns a single-column DataFrame named ``dim_key`` — the
-    small work-list handed to the external resolver (scraper).
+    UNION ALL the key columns (setops.unpivot_union), drop NULLs,
+    then left-anti against the dim. Returns a single-column DataFrame
+    named ``dim_key`` — the small work-list handed to the external
+    resolver (scraper).
     """
-    stacked = None
-    for k in keys:
-        part = fact.select(F.col(k).alias(dim_key))
-        stacked = part if stacked is None else stacked.unionAll(part)
-    assert stacked is not None
-    universe = stacked.filter(F.col(dim_key).isNotNull()).distinct()
+    from .setops import unpivot_union
+
+    universe = unpivot_union(fact, keys, out=dim_key, distinct=False)
+    universe = universe.filter(F.col(dim_key).isNotNull()).distinct()
     return universe.join(F.broadcast(dim.select(dim_key)), dim_key, "left_anti")
 
 

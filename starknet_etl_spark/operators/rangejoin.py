@@ -35,7 +35,16 @@ def bucketed_range_join(
     Columns of both inputs survive (same-named columns must be
     disambiguated by the caller beforehand). ``extra_on`` adds a
     conjunct evaluated after the bucket equi-join.
+
+    ``how`` is restricted to left-preserving joins: the right side is
+    replicated 3x, so right/full outer would null-extend each
+    unmatched right row three times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"bucketed_range_join: unsupported how={how!r} "
+            "(right side is replicated; use a left-preserving join)"
+        )
     lb = F.floor(F.col(left_val) / F.lit(width)).cast("long")
     l_b = left.withColumn("__lb", lb)
     # right side replicated to its own and both neighbor buckets

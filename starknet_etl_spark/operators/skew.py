@@ -31,7 +31,16 @@ def salted_join(
     Row-level deterministic salt: hash of the whole fact row modulo
     S (no rand() — plans stay replayable/retryable, which matters
     for task retries at scale).
+
+    ``how`` is restricted to fact-preserving joins: the build side is
+    replicated S×, so right/full outer would null-extend each
+    unmatched build row S times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: unsupported how={how!r} "
+            "(build side is replicated; use a fact-preserving join)"
+        )
     fact_s = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)).cast(

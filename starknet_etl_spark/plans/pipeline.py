@@ -31,7 +31,6 @@ from ..operators.joins import missing_keys
 from ..schemas import TOKEN
 from ..sources.datasource import register_sources
 from ..sources.rpc import fetch_latest_block
-from .report import build_top_pair_report
 from .token_universe import token_universe
 
 GENESIS_BLOCK = 1_000_000  # export_blocks_and_events_dag.py:35-37
@@ -39,7 +38,7 @@ GENESIS_BLOCK = 1_000_000  # export_blocks_and_events_dag.py:35-37
 #: Resolver: token addresses in → metadata rows out
 #: (token, name, symbol, decimals). Production impl wraps the
 #: starkscan scrape (scrape_token.py:7-39); tests use stubs.
-TokenResolver = Callable[[list[str]], Iterable[tuple[str, str, int]]]
+TokenResolver = Callable[[list[str]], Iterable[tuple[str, str, str, int]]]
 
 
 def default_token_resolver(addresses: list[str]):
@@ -130,11 +129,21 @@ def maintain_token_dim(
     events_path: str,
     token_path: str,
     resolver: TokenResolver = default_token_resolver,
+    universe_events: DataFrame | None = None,
 ) -> int:
     """Dimension maintenance: resolve tokens seen in events but absent
     from the dim (J4 as a left-anti join; dedup-before-work replaces
-    the reference's in-loop memo cache). Returns #resolved."""
-    events = load_table(spark, events_path)
+    the reference's in-loop memo cache). Returns #resolved.
+
+    ``universe_events``: restrict token discovery to a subset (e.g.
+    the current micro-batch) — any token already in the dim is
+    filtered by the anti-join anyway, so scanning history is wasted
+    work on an incremental tick."""
+    events = (
+        universe_events
+        if universe_events is not None
+        else load_table(spark, events_path)
+    )
     universe = token_universe(events)
     try:
         token = load_table(spark, token_path)
@@ -151,26 +160,17 @@ def maintain_token_dim(
     return len(missing)
 
 
-def run_report(
+def _window_scoped_inputs(
     spark: SparkSession,
-    *,
     events_path: str,
     blocks_path: str,
-    token_path: str,
-    prices: DataFrame,
-    report_path: str,
-    top_type: str = "vol",
-    top_n: int = 30,
-    now: Column | datetime | str | None = None,
-) -> DataFrame:
-    """Recompute + overwrite the report (S10 truncate-and-reload).
-
-    Scale path: the report window is first resolved to a block range
-    on the (small) blocks dim — block time is monotone, so the range
-    filter is exact — then pushed into the events scan as a
-    block_bucket partition filter + block_number min/max, so the scan
-    touches one day of a bucketed 100 TB table, not all of it.
-    """
+    now: Column | datetime | str | None,
+) -> tuple[DataFrame, DataFrame, tuple[int, int] | None]:
+    """Resolve the report window to a block range on the (small)
+    blocks dim — block time is monotone, so the range filter is exact
+    — and push it into the events scan as a block_bucket partition
+    filter + block_number bounds: the scan touches one day of a
+    bucketed 100 TB table, not all of it (SCALING.md)."""
     events = load_table(spark, events_path)
     blocks = load_table(spark, blocks_path)
 
@@ -196,19 +196,75 @@ def run_report(
                     block_range[0] // 10_000, block_range[1] // 10_000
                 )
             )
+    return events, blocks, block_range
 
-    report = build_top_pair_report(
+
+def run_reports(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    blocks_path: str,
+    token_path: str,
+    prices: DataFrame,
+    report_path: str,
+    top_types: tuple[str, ...] = ("vol", "txn"),
+    top_n: int = 30,
+    now: Column | datetime | str | None = None,
+) -> dict[str, DataFrame]:
+    """Recompute + overwrite all reports (S10 truncate-and-reload).
+
+    ONE pair aggregate feeds every metric's top-k (the reference
+    reruns the whole extraction per metric as parallel DAG tasks,
+    generate_report_dag.py:144-157 — here the expensive part runs
+    once)."""
+    from .report import build_pair_aggregate, top_pair_report
+
+    events, blocks, block_range = _window_scoped_inputs(
+        spark, events_path, blocks_path, now
+    )
+    agg = build_pair_aggregate(
         events,
         blocks,
         load_table(spark, token_path),
         prices,
-        top_type=top_type,
-        top_n=top_n,
         now=now,
         block_range=block_range,
-    )
-    save_table(report, f"{report_path}/top_{top_type}_token_report", mode="overwrite")
-    return load_table(spark, f"{report_path}/top_{top_type}_token_report")
+    ).persist()
+    out = {}
+    for top_type in top_types:
+        report = top_pair_report(agg, top_type=top_type, top_n=top_n)
+        path = f"{report_path}/top_{top_type}_token_report"
+        save_table(report, path, mode="overwrite")
+        out[top_type] = load_table(spark, path)
+    agg.unpersist()
+    return out
+
+
+def run_report(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    blocks_path: str,
+    token_path: str,
+    prices: DataFrame,
+    report_path: str,
+    top_type: str = "vol",
+    top_n: int = 30,
+    now: Column | datetime | str | None = None,
+) -> DataFrame:
+    """Single-metric report (see run_reports for the shared-aggregate
+    multi-metric path)."""
+    return run_reports(
+        spark,
+        events_path=events_path,
+        blocks_path=blocks_path,
+        token_path=token_path,
+        prices=prices,
+        report_path=report_path,
+        top_types=(top_type,),
+        top_n=top_n,
+        now=now,
+    )[top_type]
 
 
 def run_pipeline(
@@ -241,16 +297,14 @@ def run_pipeline(
         token_path=paths["token"],
         resolver=resolver,
     )
-    out = {}
-    for top_type in ("vol", "txn"):  # parallel tasks in the reference DAG
-        out[top_type] = run_report(
-            spark,
-            events_path=paths["events"],
-            blocks_path=paths["blocks"],
-            token_path=paths["token"],
-            prices=prices,
-            report_path=paths["report"],
-            top_type=top_type,
-            now=now,
-        )
-    return out
+    # both metrics from ONE aggregate (the reference reruns the whole
+    # query per metric as parallel DAG tasks)
+    return run_reports(
+        spark,
+        events_path=paths["events"],
+        blocks_path=paths["blocks"],
+        token_path=paths["token"],
+        prices=prices,
+        report_path=paths["report"],
+        now=now,
+    )

@@ -86,22 +86,19 @@ def extract_swap_events(
     )
 
 
-def build_top_pair_report(
+def build_pair_aggregate(
     events: DataFrame,
     blocks: DataFrame,
     token: DataFrame,
     prices: DataFrame,
     *,
-    top_type: str = "vol",
-    top_n: int = 30,
     now: Column | datetime | str | None = None,
     block_range: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Full report plan (generate_report_dag.py:53-115) → top-N pairs.
-
-    Output schema: (pair STRING, vol_24h DOUBLE, txn_24h BIGINT),
-    ordered by the chosen metric desc — schemas.TOP_TOKEN_REPORT.
-    """
+    """The full per-pair aggregate (pair, vol_24h, txn_24h) BEFORE
+    top-k — one aggregate serves both report orderings (the reference
+    recomputes the whole query per metric, generate_report_dag.py:
+    144-157; here callers top-k the same aggregate twice)."""
     swaps = extract_swap_events(
         events, blocks, now=now, block_range=block_range
     )
@@ -152,8 +149,36 @@ def build_top_pair_report(
         ).alias("volumn"),  # sic — reference column name :103
     )
 
-    # groupby sum/size (:109-112) → top-k (:115). Pair name is the
-    # deterministic tie-breaker.
-    report = grouped_report(computed, "pair", "volumn")
+    # groupby sum/size (:109-112). Pair name is the deterministic
+    # tie-breaker applied by top_pair_report.
+    return grouped_report(computed, "pair", "volumn")
+
+
+def top_pair_report(
+    aggregate: DataFrame, *, top_type: str = "vol", top_n: int = 30
+) -> DataFrame:
+    """top-k (:115) over a prebuilt pair aggregate."""
     metric = "vol_24h" if top_type == "vol" else "txn_24h"
-    return top_k(report, [F.desc(metric), F.asc("pair")], top_n)
+    return top_k(aggregate, [F.desc(metric), F.asc("pair")], top_n)
+
+
+def build_top_pair_report(
+    events: DataFrame,
+    blocks: DataFrame,
+    token: DataFrame,
+    prices: DataFrame,
+    *,
+    top_type: str = "vol",
+    top_n: int = 30,
+    now: Column | datetime | str | None = None,
+    block_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Full report plan (generate_report_dag.py:53-115) → top-N pairs.
+
+    Output schema: (pair STRING, vol_24h DOUBLE, txn_24h BIGINT),
+    ordered by the chosen metric desc — schemas.TOP_TOKEN_REPORT.
+    """
+    agg = build_pair_aggregate(
+        events, blocks, token, prices, now=now, block_range=block_range
+    )
+    return top_pair_report(agg, top_type=top_type, top_n=top_n)

@@ -39,9 +39,11 @@ RAW_EVENTS = T.StructType(
         T.StructField("block_number", T.LongType(), True),
         T.StructField("transaction_hash", T.StringType(), True),
         # Engine addition (SURVEY.md §7.3): arrival index within the
-        # (block, tx) so nested collects are deterministic. The
-        # reference relies on implicit row order (parse_data.py:28-35)
-        # which a distributed engine must carry explicitly.
+        # event's block (emission order) — stable across re-ingests,
+        # so nested collects are deterministic and (transaction_hash,
+        # event_index) is a reliable event identity. The reference
+        # relies on implicit row order (parse_data.py:28-35), which a
+        # distributed engine must carry explicitly.
         T.StructField("event_index", T.LongType(), True),
     ]
 )

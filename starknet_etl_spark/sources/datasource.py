@@ -104,9 +104,17 @@ def _event_rows(
     transport, address, event_key, lo, hi, chunk_size
 ) -> Iterator[tuple]:
     """Shared pagination loop (fetch_data.py:90-97): follow
-    continuation_token until exhausted; carry an explicit arrival
-    index so nested collects are deterministic (SURVEY.md §7.3)."""
+    continuation_token until exhausted.
+
+    ``event_index`` is the arrival position WITHIN the event's block
+    (the node returns a block's events in emission order), not a
+    per-fetch counter — so it is stable across re-ingests regardless
+    of chunk alignment, making (transaction_hash, event_index) a
+    reliable event identity for exactly-once hardening and
+    deterministic nested collects (SURVEY.md §7.3).
+    """
     token: str | None = None
+    cur_block: int | None = None
     idx = 0
     while True:
         out = transport(
@@ -116,12 +124,15 @@ def _event_rows(
         )
         result = out["result"]
         for e in result["events"]:
+            b = int(e["block_number"])
+            if b != cur_block:
+                cur_block, idx = b, 0
             yield (
                 e["from_address"],
                 json.dumps(e["keys"]),
                 json.dumps(e["data"]),
                 e["block_hash"],
-                int(e["block_number"]),
+                b,
                 e["transaction_hash"],
                 idx,
             )

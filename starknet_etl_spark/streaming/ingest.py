@@ -97,7 +97,7 @@ def start_pipeline_stream(
     from ..plans.pipeline import (
         default_token_resolver,
         maintain_token_dim,
-        run_report,
+        run_reports,
     )
     from ..sources.datasource import register_sources as _reg
 
@@ -136,21 +136,22 @@ def start_pipeline_stream(
             blocks, paths["blocks"],
             dedup_keys=["block_number"], version_cols=["block_timestamp"],
         )
+        # token discovery only over the batch (anti-join filters known
+        # tokens), and both reports from one aggregate — tick cost is
+        # O(batch) + O(report window), not O(history).
         maintain_token_dim(
             spark, events_path=paths["events"], token_path=paths["token"],
-            resolver=resolver,
+            resolver=resolver, universe_events=batch_df,
         )
-        for top_type in ("vol", "txn"):
-            run_report(
-                spark,
-                events_path=paths["events"],
-                blocks_path=paths["blocks"],
-                token_path=paths["token"],
-                prices=prices,
-                report_path=paths["report"],
-                top_type=top_type,
-                now=now,
-            )
+        run_reports(
+            spark,
+            events_path=paths["events"],
+            blocks_path=paths["blocks"],
+            token_path=paths["token"],
+            prices=prices,
+            report_path=paths["report"],
+            now=now,
+        )
 
     writer = src.writeStream.foreachBatch(tick).option(
         "checkpointLocation", checkpoint
@@ -174,13 +175,23 @@ def start_sliding_volume_stream(
     slide: str = "1 hour",
     max_blocks_per_batch: int = 10_000,
     processing_time: str | None = None,
+    blocks_df: DataFrame | None = None,
+    genesis_ts: int = 1_700_000_000,
+    block_interval_s: int = 12,
 ):
     """Streaming alternative to the batch 24 h report (ST6): sliding
     window counts per pair-leg, exact thanks to monotone block time
     (watermark 0 s). Append mode emits a window once the watermark
     passes its end — i.e. one micro-batch later; semantics differ
     from the batch recompute at the trigger boundary (documented
-    divergence, SURVEY.md ST6)."""
+    divergence, SURVEY.md ST6).
+
+    Event time: pass ``blocks_df`` (the landed blocks dim) for real
+    chains — a stream-static join attaches true block timestamps.
+    Without it, time is modeled as ``genesis_ts + block_interval_s *
+    block_number`` (the mock chain's clock; only valid for chains
+    with that cadence).
+    """
     src = stream_events(
         spark,
         endpoint,
@@ -193,12 +204,28 @@ def start_sliding_volume_stream(
     ).select(
         F.try_element_at("d", F.lit(2)).alias("token_0"),
         F.try_element_at("d", F.lit(3)).alias("token_1"),
-        # stream-side event time derived from block number (12 s
-        # cadence in the mock chain); production joins the blocks dim.
-        epoch_to_timestamp(
-            F.lit(1_700_000_000) + F.col("block_number") * F.lit(12)
-        ).alias("event_date"),
+        "block_number",
     )
+    if blocks_df is not None:
+        # stream-static join: exact block timestamps from the dim
+        parsed = parsed.join(
+            blocks_df.select(
+                "block_number",
+                epoch_to_timestamp(F.col("block_timestamp")).alias(
+                    "event_date"
+                ),
+            ),
+            "block_number",
+        )
+    else:
+        parsed = parsed.withColumn(
+            "event_date",
+            epoch_to_timestamp(
+                F.lit(genesis_ts)
+                + F.col("block_number") * F.lit(block_interval_s)
+            ),
+        )
+    parsed = parsed.drop("block_number")
     agg = (
         parsed.withWatermark("event_date", "0 seconds")
         .groupBy(

@@ -42,3 +42,28 @@ def test_asof_semantics(spark):
         ).collect()
     }
     assert out == {1: 30.0, 2: 30.0, 3: None, 4: 40.0, 5: None}
+
+
+def test_asof_null_value_in_latest_right_row(spark):
+    """A genuine NULL in the latest matching right row must surface
+    as NULL (row-atomic carry), not be replaced by a stale value —
+    matches SQL ASOF JOIN semantics."""
+    left = spark.createDataFrame(
+        [(1, 10, T(30))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, T(10), 5.0, "a"), (10, T(20), None, "b")],
+        "user_id bigint, ts timestamp, v double, tag string",
+    )
+    row = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["v", "tag"],
+    ).first()
+    # latest right row is (NULL, 'b'): v must be NULL, and the two
+    # carried fields must come from the SAME right row
+    assert row["v_asof"] is None
+    assert row["tag_asof"] == "b"

@@ -42,6 +42,18 @@ def test_hex_to_decimal_exact_and_overflow(spark):
     assert _one(spark, hex_to_decimal(F.col("v")), hex(2**252)) is None
 
 
+def test_hex_overlong_nulls_never_truncates(spark):
+    # 65 hex digits (> 256 bits): NULL, never a silently truncated value
+    overlong = "0x1" + "0" * 64
+    assert _one(spark, hex_to_decimal(F.col("v")), overlong) is None
+    assert _one(spark, hex_to_long(F.col("v")), overlong) is None
+    assert _one(spark, hex_to_double(F.col("v")), overlong) is None
+    # 64 digits (= 2^256-ish) still decodes in double
+    top = "0x" + "f" * 64
+    got = _one(spark, hex_to_double(F.col("v")), top)
+    assert abs(got - float(2**256 - 1)) / float(2**256) < 1e-9
+
+
 def test_hex_to_double_reference_precision(spark):
     v = 123456789 * 10**18
     got = _one(spark, hex_to_double(F.col("v")), hex(v))

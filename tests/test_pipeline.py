@@ -114,6 +114,22 @@ def test_harden_events_exactly_once(spark, tmp_path):
     assert events.count() == 12  # 2x duplicated
     assert P.harden_events_exactly_once(events).count() == 6
 
+    # the harder case: a MISALIGNED backfill (different chunk start).
+    # event_index is per-block arrival order, so identity is stable
+    # regardless of fetch alignment.
+    P.run_ingest(
+        spark,
+        ENDPOINT,
+        blocks_path=f"{wh}/blocks",
+        events_path=f"{wh}/events",
+        from_block=1_000_001,  # overlaps tail of the original range
+        to_block=1_000_004,
+    )
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 12 + 8  # blocks 1,2 re-landed + 3,4 new
+    hardened = P.harden_events_exactly_once(events)
+    assert hardened.count() == 10  # 5 distinct blocks x 2 events
+
 
 def test_manual_range_override_bugfix(spark, tmp_path):
     """ST3: the reference assigns to_block from conf['from_block']
