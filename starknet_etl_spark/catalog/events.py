@@ -250,6 +250,61 @@ FROM events
 """
 
 
+def _props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType + explode: props parsed as MAP<STRING,BIGINT>, entries
+    exploded to rows — the JSON-object counterpart of the reference's
+    JSON-array parse (P2)."""
+    ev = _ev(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("prop_key", "prop_value"),
+    )
+    return parsed.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prop_value").alias("total"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+_PROPS_MAP_ORACLE = """
+WITH entries AS (
+  SELECT event_id, unnest(json_keys(props)) AS prop_key, props
+  FROM events
+)
+SELECT prop_key, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+            AS BIGINT) AS total,
+       MIN(event_id) AS first_event_id
+FROM entries GROUP BY prop_key
+"""
+
+
+def _grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql — finer-grained than
+    rollup/cube (engine surface beyond reference)."""
+    from ..io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT event_type, user_id % 10 AS user_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — engine surface beyond
     reference (matches SQL-standard PERCENTILE_CONT semantics)."""
@@ -420,6 +475,12 @@ QUERIES = {
     ),
     "value_percentiles": QuerySpec(
         _value_percentiles, _PERCENTILES_ORACLE, "exact percentiles (p50/p90/p99)"
+    ),
+    "props_map_entries": QuerySpec(
+        _props_map_entries, _PROPS_MAP_ORACLE, "MapType parse + explode"
+    ),
+    "grouping_sets_sales": QuerySpec(
+        _grouping_sets_sales, _GROUPING_SETS_ORACLE, "explicit GROUPING SETS"
     ),
     "approx_distinct_users": QuerySpec(
         _approx_distinct_users,
