@@ -35,10 +35,10 @@ class QuerySpec:
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import events, multimodal, relational, text, vectors
+    from . import domain, events, multimodal, relational, text, vectors
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, events, text, vectors, multimodal):
+    for mod in (relational, events, text, vectors, multimodal, domain):
         overlap = out.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate catalog keys: {overlap}"
         out.update(mod.QUERIES)

@@ -1,0 +1,248 @@
+"""Domain-pipeline coverage under the driver gate.
+
+The reference's own queries (24 h top-pair report, token universe,
+nested swaps) operate on blocks/events/token tables that TESTDATA
+doesn't ship — so these catalog entries DERIVE domain-shaped tables
+from TESTDATA deterministically (lineitem rows become swap events
+with hex-encoded JSON payloads, orders become blocks, a synthetic
+token dim with join-miss and zero-decimals cases), then run the REAL
+plans from ``plans/`` end-to-end: JSON encode → parse → 1-based
+indexing → epoch cast → window filter → joins → hex decode → pair
+key → aggregate → top-k.
+
+The oracles do NOT mimic the mechanism: they compute the expected
+results directly from the raw numeric columns — an independent
+derivation path, which makes the differential a true end-to-end
+check of the encode/decode/join/aggregate machinery.
+
+Construction (shared by both sides):
+- block_number = o_orderkey; block_timestamp = epoch(o_orderdate)
+- one event per lineitem row: tx = '0xt'||l_orderkey,
+  event_index = l_linenumber, data[2]=hex(l_partkey%40),
+  data[3]=hex(l_partkey%40+1), data[7]=hex(l_extendedprice*100),
+  data[9]=hex(l_linenumber%2), data[13]=data[7]
+- token dim t ∈ 0..38 (39/40 missing → 'No Symbol' join-miss path):
+  symbol='T'||t, decimals = 0 if t=0 else 1 (zero-dec filter; dec=1
+  keeps every volume an exact multiple of 0.01, so ROUND(...,2) can
+  never sit on a half-cent boundary where engines round differently)
+- price(t) = ((t*7) % 11) / 10.0  (zero for t=0 → price filter)
+- now = MAX(o_orderdate), window = the reference's 24 h
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_testdata
+from ..schemas import TOKEN, TOKEN_PRICES
+from . import QuerySpec
+
+_N_TOK = 40
+_DIM_MAX = 38  # tokens above this are absent from the dim (join miss)
+
+
+def _hex_addr(c):
+    return F.concat(F.lit("0x"), F.lower(F.hex(c)))
+
+
+def _domain_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(events, blocks, token, prices) derived from TESTDATA."""
+    orders = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+
+    blocks = orders.select(
+        F.col("o_orderkey").alias("block_number"),
+        _hex_addr(F.col("o_orderkey")).alias("block_hash"),
+        F.unix_timestamp("o_orderdate").alias("block_timestamp"),
+    )
+
+    t0 = F.col("l_partkey") % _N_TOK
+    # round-then-cast: a bare cast truncates in Spark but rounds in
+    # DuckDB — the explicit round keeps the derivation engine-neutral
+    amount = _hex_addr(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    )
+    data = F.array(
+        F.lit("0xpool"),
+        _hex_addr(t0),  # [2] token_0 (1-based)
+        _hex_addr(t0 + 1),  # [3] token_1
+        F.lit("0x0"),
+        F.lit("0x0"),
+        F.lit("0x0"),
+        amount,  # [7] amount
+        F.lit("0x0"),
+        _hex_addr(F.col("l_linenumber") % 2),  # [9] is_token1
+        F.lit("0x0"),
+        F.lit("0x0"),
+        F.lit("0x0"),
+        amount,  # [13] amount0 (parser layout)
+        F.lit("0x0"),
+        amount,  # [15] amount1
+    )
+    events = li.select(
+        F.lit("0xekubo").alias("from_address"),
+        F.to_json(F.array(F.lit("0xkey"))).alias("keys"),
+        F.to_json(data).alias("data"),
+        F.lit("0xbh").alias("block_hash"),
+        F.col("l_orderkey").alias("block_number"),
+        F.concat(F.lit("0xt"), F.col("l_orderkey")).alias(
+            "transaction_hash"
+        ),
+        F.col("l_linenumber").cast("long").alias("event_index"),
+    )
+
+    t = F.col("id")
+    token = spark.range(0, _DIM_MAX + 1).select(
+        _hex_addr(t).alias("token"),
+        F.concat(F.lit("Token"), t).alias("name"),
+        F.concat(F.lit("T"), t).alias("symbol"),
+        F.when(t == 0, F.lit(0)).otherwise(F.lit(1)).cast("long").alias(
+            "decimals"
+        ),
+    )
+    prices = spark.range(0, _N_TOK + 1).select(
+        _hex_addr(t).alias("token_address"),
+        (((t * 7) % 11) / 10.0).alias("price_usd"),
+    )
+    for df, schema in ((token, TOKEN), (prices, TOKEN_PRICES)):
+        assert df.schema.fieldNames() == schema.fieldNames()
+    return events, blocks, token, prices
+
+
+def _now_col(spark: SparkSession, sf_dir: str):
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.agg(F.max("o_orderdate")).first()[0]
+
+
+def _domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference report plan (plans/report.py) over the
+    derived tables: 24 h window anchored at max(o_orderdate), top 30
+    by volume, vol rounded for cross-engine hashing."""
+    from ..operators.aggregates import top_k
+    from ..plans.report import build_pair_aggregate
+
+    events, blocks, token, prices = _domain_tables(spark, sf_dir)
+    agg = build_pair_aggregate(
+        events, blocks, token, prices, now=_now_col(spark, sf_dir)
+    )
+    return top_k(
+        agg.withColumn("vol_24h", F.round("vol_24h", 2)),
+        [F.desc("vol_24h"), F.asc("pair")],
+        30,
+    )
+
+
+_DOMAIN_REPORT_ORACLE = f"""
+WITH mx AS (SELECT MAX(o_orderdate) AS now FROM orders),
+ev AS (
+  SELECT l.l_partkey % {_N_TOK} AS t0,
+         (l.l_partkey % {_N_TOK}) + 1 AS t1,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS amt,
+         l.l_linenumber % 2 AS flag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey, mx
+  WHERE o.o_orderdate BETWEEN mx.now - INTERVAL 1 DAY AND mx.now
+),
+resolved AS (
+  SELECT
+    CASE WHEN flag = 1 THEN t1 ELSE t0 END AS side,
+    CASE WHEN t0 <= {_DIM_MAX} THEN 'T' || t0 ELSE 'No Symbol' END AS sym0,
+    CASE WHEN t1 <= {_DIM_MAX} THEN 'T' || t1 ELSE 'No Symbol' END AS sym1,
+    amt
+  FROM ev
+),
+priced AS (
+  SELECT sym0, sym1, side, amt,
+    CASE WHEN side > {_DIM_MAX} THEN 0
+         WHEN side = 0 THEN 0
+         ELSE 1 END AS dec,
+    ((side * 7) % 11) / 10.0 AS price
+  FROM resolved
+),
+volumed AS (
+  SELECT concat_ws('/', least(sym0, sym1), greatest(sym0, sym1)) AS pair,
+         CAST(amt AS DOUBLE) / POW(10.0, dec) * price AS vol
+  FROM priced WHERE dec <> 0 AND price <> 0
+)
+SELECT pair, ROUND(SUM(vol), 2) AS vol_24h, COUNT(*) AS txn_24h
+FROM volumed GROUP BY pair
+ORDER BY vol_24h DESC, pair ASC LIMIT 30
+"""
+
+
+def _domain_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.token_universe import token_universe
+
+    events, _, _, _ = _domain_tables(spark, sf_dir)
+    return token_universe(events)
+
+
+_DOMAIN_UNIVERSE_ORACLE = f"""
+WITH toks AS (
+  SELECT l_partkey % {_N_TOK} AS t FROM lineitem
+  UNION ALL SELECT (l_partkey % {_N_TOK}) + 1 FROM lineitem
+)
+SELECT DISTINCT '0x' || lower(to_hex(t)) AS token FROM toks
+"""
+
+
+def _domain_swaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested swaps plan (parse_data parity): ordered array of
+    steps per tx, emitted as a csv of amount0 values + padded token0
+    of the first step (order + normalization both hash-checked)."""
+    from ..plans.swaps import parse_swaps
+
+    events, blocks, _, _ = _domain_tables(spark, sf_dir)
+    nested = parse_swaps(events, blocks)
+    return nested.select(
+        "transaction_hash",
+        "block_number",
+        F.size("swap_steps").cast("long").alias("n_steps"),
+        F.array_join(
+            F.transform(F.col("swap_steps"), lambda s: s["amount0"]), ","
+        ).alias("amounts_csv"),
+        F.element_at(F.col("swap_steps"), 1)["token0"].alias("first_token0"),
+    )
+
+
+# TESTDATA lineitem repeats l_linenumber within an order, so the
+# order key replicates nested_collect's full struct comparison:
+# (event_index, token0, token1, amount0) — ties resolved identically
+# by both engines on the padded hex strings.
+_DOMAIN_SWAPS_ORACLE = f"""
+WITH ev AS (
+  SELECT l_orderkey, l_linenumber,
+    '0x' || lpad(lower(to_hex(l_partkey % {_N_TOK})), 64, '0') AS tok0,
+    '0x' || lpad(lower(to_hex((l_partkey % {_N_TOK}) + 1)), 64, '0') AS tok1,
+    '0x' || lower(to_hex(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))) AS amt
+  FROM lineitem
+)
+SELECT '0xt' || l_orderkey AS transaction_hash,
+       l_orderkey AS block_number,
+       COUNT(*) AS n_steps,
+       string_agg(amt, ',' ORDER BY l_linenumber, tok0, tok1, amt)
+         AS amounts_csv,
+       (array_agg(tok0 ORDER BY l_linenumber, tok0, tok1, amt))[1]
+         AS first_token0
+FROM ev GROUP BY l_orderkey
+"""
+
+
+QUERIES = {
+    "domain_top_pair_report": QuerySpec(
+        _domain_report,
+        _DOMAIN_REPORT_ORACLE,
+        "the reference 24h report plan end-to-end (encode→parse→joins→hex→agg→topk)",
+    ),
+    "domain_token_universe": QuerySpec(
+        _domain_universe,
+        _DOMAIN_UNIVERSE_ORACLE,
+        "crawl_token_dag universe plan over derived events",
+    ),
+    "domain_swaps_nested": QuerySpec(
+        _domain_swaps,
+        _DOMAIN_SWAPS_ORACLE,
+        "parse_data nested swaps plan (ordered steps + address pad)",
+    ),
+}
