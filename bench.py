@@ -24,6 +24,7 @@ from starknet_etl_spark.session import get_spark  # noqa: E402
 #: family (joins/agg, window, nested collect, JSON, dedup families,
 #: text stats, vector search).
 HEADLINE = (
+    "domain_top_pair_report",
     "top_pair_report_vol",
     "pricing_summary",
     "revenue_by_nation",
@@ -31,12 +32,15 @@ HEADLINE = (
     "events_last_day",
     "latest_event_per_user",
     "user_journeys",
+    "user_sessions",
+    "last_purchase_asof",
     "running_total",
     "doc_jaccard_pairs",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
     "doc_text_stats",
     "emb_knn_bruteforce",
+    "emb_knn_lsh",
     "emb_near_dup_pairs",
 )
 

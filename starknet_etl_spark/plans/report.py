@@ -61,19 +61,11 @@ def extract_swap_events(
     if block_range is not None:
         lo, hi = block_range
         events = events.filter(F.col("block_number").between(lo, hi))
-    parsed = events.select(
-        json_array(F.col("data")).alias("d"),
-        "block_number",
-        "transaction_hash",
-    ).select(
-        F.try_element_at("d", F.lit(2)).alias("token_0"),
-        F.try_element_at("d", F.lit(3)).alias("token_1"),
-        F.try_element_at("d", F.lit(7)).alias("amount"),
-        F.try_element_at("d", F.lit(9)).alias("is_token1"),
-        "block_number",
-        "transaction_hash",
-    )
-    stamped = parsed.join(
+    # Join + time-filter BEFORE parsing: the JSON decode is the
+    # expensive expression, so it runs only on rows inside the window
+    # (filter early, parse late — Catalyst won't hoist a projection
+    # above a join on its own).
+    stamped = events.select("data", "block_number", "transaction_hash").join(
         blocks.select(
             "block_number",
             epoch_to_timestamp(F.col("block_timestamp")).alias("event_date"),
@@ -81,8 +73,22 @@ def extract_swap_events(
         "block_number",
         "inner",
     )
-    return stamped.filter(
+    windowed = stamped.filter(
         in_sliding_window(F.col("event_date"), now, days=window_days)
+    )
+    return windowed.select(
+        json_array(F.col("data")).alias("d"),
+        "block_number",
+        "transaction_hash",
+        "event_date",
+    ).select(
+        F.try_element_at("d", F.lit(2)).alias("token_0"),
+        F.try_element_at("d", F.lit(3)).alias("token_1"),
+        F.try_element_at("d", F.lit(7)).alias("amount"),
+        F.try_element_at("d", F.lit(9)).alias("is_token1"),
+        "block_number",
+        "transaction_hash",
+        "event_date",
     )
 
 
