@@ -31,6 +31,10 @@ _RUNTIME_CONF = {
     # TESTDATA events.parquet stores ts as TIMESTAMP(NANOS), which the
     # vectorized reader rejects; read as long + convert (io.load_testdata).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime-settable: right-size shuffles even on sessions we didn't
+    # build (the driver's default 200 wastes task overhead at test SF;
+    # AQE coalesces further). Deployments override per cluster size.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 _STATIC_CONF = {
@@ -39,7 +43,6 @@ _STATIC_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 

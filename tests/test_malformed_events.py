@@ -1,0 +1,51 @@
+"""Malformed-input robustness: the report plan degrades gracefully
+where the reference would crash (int(None, 16) on a bad payload)."""
+
+from __future__ import annotations
+
+import json
+
+from starknet_etl_spark import schemas
+from starknet_etl_spark.io import dedup_latest
+from starknet_etl_spark.plans.report import build_top_pair_report
+
+
+def test_report_survives_malformed_events(
+    spark, blocks_df, token_df, prices_df
+):
+    good_data = json.dumps(
+        ["0xpool", "0x" + "1".rjust(64, "0"), "0x" + "2".rjust(64, "0"),
+         "0x0", "0x0", "0x0", hex(10**18), "0x0", "0x0",
+         "0x0", "0x0", "0x0", "0x0", "0x0", "0x0"]
+    )
+    rows = [
+        # valid event
+        ("0xe", "[]", good_data, "0xbh", 101, "0xok", 0),
+        # data is not JSON at all
+        ("0xe", "[]", "garbage{{{", "0xbh", 101, "0xbad1", 0),
+        # valid JSON but too few elements (indexes 7/9 out of range)
+        ("0xe", "[]", json.dumps(["0xpool", "0xa"]), "0xbh", 101, "0xbad2", 0),
+        # NULL data
+        ("0xe", "[]", None, "0xbh", 101, "0xbad3", 0),
+        # amount not hex → decode NULL → volume NULL → excluded
+        ("0xe", "[]", json.dumps(
+            ["0xpool", "0x" + "1".rjust(64, "0"), "0x" + "2".rjust(64, "0"),
+             "0x0", "0x0", "0x0", "not-hex", "0x0", "0x0",
+             "0x0", "0x0", "0x0", "0x0", "0x0", "0x0"]
+        ), "0xbh", 101, "0xbad4", 0),
+    ]
+    events = spark.createDataFrame(rows, schemas.RAW_EVENTS)
+    blocks = dedup_latest(blocks_df, ["block_number"], ["block_timestamp"])
+    out = build_top_pair_report(
+        events, blocks, token_df, prices_df,
+        now="2023-11-14 22:15:00",
+    ).collect()
+    got = {r["pair"]: r for r in out}
+    # the one valid event survives with its correct volume;
+    # malformed rows fall out via NULL propagation, no exception.
+    assert "ALF/BET" in got
+    assert abs(got["ALF/BET"]["vol_24h"] - 2.0) < 1e-9
+    # bad4's tokens resolve (ALF/BET) but its NULL volume must not
+    # poison the sum; the txn count includes rows that reached the
+    # aggregate with a resolvable pair
+    assert got["ALF/BET"]["txn_24h"] >= 1
