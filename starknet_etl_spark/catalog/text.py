@@ -227,7 +227,108 @@ FROM documents GROUP BY lang
 """
 
 
+def _multi_signal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup audit: MinHash-LSH text pairs joined with
+    the pair's embedding cosine (vec_id ↔ doc_id) — the
+    corroborate-text-dedup-with-embeddings pattern a training
+    pipeline runs before dropping documents."""
+    from ..io import load_testdata
+    from ..operators.similarity import cosine
+
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+    )
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2")
+    )
+    return (
+        pairs.join(e1, "id_1")
+        .join(e2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "jaccard",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+        )
+    )
+
+
+_MULTI_SIGNAL_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+mins AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+    MIN(CASE WHEN seed = 0 THEN mh END) AS m0,
+    MIN(CASE WHEN seed = 1 THEN mh END) AS m1,
+    MIN(CASE WHEN seed = 2 THEN mh END) AS m2,
+    MIN(CASE WHEN seed = 3 THEN mh END) AS m3,
+    MIN(CASE WHEN seed = 4 THEN mh END) AS m4,
+    MIN(CASE WHEN seed = 5 THEN mh END) AS m5,
+    MIN(CASE WHEN seed = 6 THEN mh END) AS m6,
+    MIN(CASE WHEN seed = 7 THEN mh END) AS m7
+  FROM mins GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, COUNT(*) AS i
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_1
+  JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_1, id_2,
+         ROUND(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+),
+cos AS (
+  SELECT v.id_1, v.id_2,
+    SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+    / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+     * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+      AS c
+  FROM verified v
+  JOIN embeddings a ON a.vec_id = v.id_1
+  JOIN embeddings b ON b.vec_id = v.id_2,
+  unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY v.id_1, v.id_2
+)
+SELECT v.id_1, v.id_2, v.jaccard, ROUND(cos.c, 6) AS cos_sim
+FROM verified v JOIN cos ON cos.id_1 = v.id_1 AND cos.id_2 = v.id_2
+"""
+)
+
+
 QUERIES = {
+    "multi_signal_dup_audit": QuerySpec(
+        _multi_signal_dup,
+        _MULTI_SIGNAL_ORACLE,
+        "MinHash pairs corroborated with embedding cosine",
+    ),
     "doc_exact_dup_groups": QuerySpec(
         _exact_dups, _EXACT_DUPS_ORACLE, "exact dedup (hash groupBy)"
     ),
