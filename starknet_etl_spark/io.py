@@ -101,6 +101,47 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a table into ~target-sized files (small-file compaction).
+
+    Hourly appends (the reference's cadence) leave the events table
+    with one small file per micro-batch per partition; scan task
+    count then tracks file count, not data size. Compaction sizes
+    output files to the scan split size so one task reads one file.
+    Atomic via the same temp-swap as keyed writes. Returns the
+    file count after compaction.
+    """
+    df = spark.read.parquet(path)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path}__tmp_compact"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = df.repartition(n_files, *partition_by).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _replace_dir(spark, path, tmp)
+    out = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return out
+
+
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
     """Replace ``path`` with ``tmp`` (local fast path; hadoop FS
     rename otherwise)."""

@@ -47,6 +47,25 @@ def test_save_table_keyed_upsert(spark, blocks_df, tmp_path):
     assert got["block_timestamp"] == 1_700_000_099
 
 
+def test_compact_table(spark, blocks_df, tmp_path):
+    from starknet_etl_spark.io import compact_table
+
+    path = str(tmp_path / "frag")
+    # simulate many tiny appends (hourly micro-batches)
+    for _ in range(5):
+        save_table(blocks_df.repartition(4), path, mode="append")
+    import os
+
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert before >= 10  # a file per non-empty partition per append
+    n_rows = load_table(spark, path).count()
+    after = compact_table(spark, path, target_file_mb=128)
+    assert after < before
+    assert load_table(spark, path).count() == n_rows
+
+
 def test_save_table_overwrite(spark, blocks_df, tmp_path):
     path = str(tmp_path / "report")
     save_table(blocks_df, path, mode="overwrite")
