@@ -1,0 +1,83 @@
+"""S4 retry semantics against a real local HTTP server: transient
+failures retried with backoff, JSON-RPC error field treated as
+failure, hard failure after budget exhaustion
+(send_request.py:3-16 parity)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from starknet_etl_spark.sources.rpc import HttpTransport
+
+
+class _Handler(BaseHTTPRequestHandler):
+    fail_first = 0
+    rpc_error = False
+    calls = 0
+
+    def do_POST(self):
+        cls = type(self)
+        cls.calls += 1
+        self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if cls.calls <= cls.fail_first:
+            self.send_response(500)
+            self.end_headers()
+            return
+        body = (
+            {"jsonrpc": "2.0", "id": 1, "error": {"code": -1}}
+            if cls.rpc_error
+            else {"jsonrpc": "2.0", "id": 1, "result": 42}
+        )
+        payload = json.dumps(body).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture
+def server():
+    httpd = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    _Handler.calls = 0
+    _Handler.fail_first = 0
+    _Handler.rpc_error = False
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _payload():
+    return {"jsonrpc": "2.0", "method": "m", "params": [], "id": 1}
+
+
+def test_retries_transient_failures(server):
+    _Handler.fail_first = 2
+    t = HttpTransport(server, max_retries=5, backoff_s=0.01, timeout_s=2)
+    out = t(_payload())
+    assert out["result"] == 42
+    assert _Handler.calls == 3  # 2 failures + 1 success
+
+
+def test_rpc_error_field_is_failure(server):
+    _Handler.rpc_error = True
+    t = HttpTransport(server, max_retries=2, backoff_s=0.01, timeout_s=2)
+    with pytest.raises(RuntimeError, match="rpc failed after 2"):
+        t(_payload())
+    assert _Handler.calls == 2
+
+
+def test_budget_exhaustion_raises(server):
+    _Handler.fail_first = 99
+    t = HttpTransport(server, max_retries=3, backoff_s=0.01, timeout_s=2)
+    with pytest.raises(RuntimeError, match="rpc failed after 3"):
+        t(_payload())
+    assert _Handler.calls == 3

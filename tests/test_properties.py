@@ -113,6 +113,44 @@ def test_unpivot_union_distinct_is_set_union(spark, xs, ys):
     assert got == set(xs) | set(ys)
 
 
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    from starknet_etl_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    }
+    # brute force in python: distinct 3-gram shingle sets
+    sets = {
+        i: {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        for i, ws in enumerate(docs)
+    }
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                expected[(a, b)] = round(
+                    len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6
+                )
+    assert got == expected
+
+
 @given(addr=st.integers(min_value=0, max_value=2**252))
 @settings(**_SETTINGS)
 def test_normalize_address_width(spark, addr):
