@@ -407,6 +407,43 @@ FROM orders
 """
 
 
+def _small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (each lineitem
+    compared against ITS part's average quantity) — Catalyst
+    decorrelates it into an aggregate + join; DuckDB runs the same
+    SQL text, so this checks the decorrelation semantics end-to-end."""
+    from ..io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               ROUND(SUM(l_extendedprice), 2) AS small_revenue
+        FROM lineitem
+        WHERE l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        GROUP BY l_partkey
+        """
+    )
+
+
+_SMALL_QTY_ORACLE = """
+SELECT l_partkey, COUNT(*) AS n_small,
+       ROUND(SUM(l_extendedprice), 2) AS small_revenue
+FROM lineitem
+WHERE l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+)
+GROUP BY l_partkey
+"""
+
+
 def _acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (avg/min/max/sample stddev/variance) —
     engine surface beyond reference."""
@@ -550,6 +587,11 @@ QUERIES = {
     "status_except": QuerySpec(_status_except, _STATUS_EXCEPT_ORACLE, "EXCEPT"),
     "hex_roundtrip": QuerySpec(
         _hex_roundtrip, _HEX_ROUNDTRIP_ORACLE, "hex decode + address pad (P6/P11)"
+    ),
+    "small_quantity_revenue": QuerySpec(
+        _small_quantity_revenue,
+        _SMALL_QTY_ORACLE,
+        "correlated scalar subquery (Q17 shape, Catalyst decorrelation)",
     ),
     "acctbal_stats": QuerySpec(
         _acctbal_stats, _ACCTBAL_ORACLE, "statistical aggregates (stddev/var)"
