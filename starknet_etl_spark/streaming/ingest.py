@@ -99,8 +99,6 @@ def start_pipeline_stream(
         maintain_token_dim,
         run_reports,
     )
-    from ..sources.datasource import register_sources as _reg
-
     resolver = resolver or default_token_resolver
     paths = {
         "blocks": f"{warehouse}/blocks",
