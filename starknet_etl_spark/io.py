@@ -62,8 +62,10 @@ def save_table(
     dedup_keys: list[str] | None = None,
     version_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    format: str = "parquet",
 ) -> None:
-    """Write ``df`` to ``path`` as parquet.
+    """Write ``df`` to ``path`` (parquet by default; csv/json for
+    interchange — the reference's unimplemented csv_utils.py intent).
 
     ``dedup_keys`` → keyed-table semantics: merge with the existing
     table and keep the latest row per key (version order =
@@ -74,7 +76,7 @@ def save_table(
         spark = df.sparkSession
         merging = _exists(spark, path)
         if merging:
-            existing = spark.read.parquet(path)
+            existing = load_table(spark, path, format=format, schema=df.schema)
             df = existing.unionByName(df, allowMissingColumns=True)
         df = dedup_latest(df, dedup_keys, version_cols)
         if merging:
@@ -87,18 +89,36 @@ def save_table(
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(tmp)
+            if format == "csv":
+                w = w.option("header", "true")
+            w.format(format).save(tmp)
             _replace_dir(spark, path, tmp)
             return
         mode = "overwrite"
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if format == "csv":
+        writer = writer.option("header", "true")
+    writer.format(format).save(path)
 
 
-def load_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def load_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """Read a table. Non-parquet interchange formats (csv/json) need
+    an explicit schema — the engine never infers (schemas.py stance).
+    CSV is read with a header to keep round-trips symmetric."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(format).load(path)
 
 
 def compact_table(

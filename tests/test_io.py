@@ -47,6 +47,31 @@ def test_save_table_keyed_upsert(spark, blocks_df, tmp_path):
     assert got["block_timestamp"] == 1_700_000_099
 
 
+def test_csv_json_roundtrip(spark, blocks_df, tmp_path):
+    """Interchange formats (csv_utils.py intent in the reference —
+    an empty stub there): explicit-schema round-trips, keyed dedup
+    composes with the format."""
+    from starknet_etl_spark import schemas
+
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"blocks_{fmt}")
+        save_table(
+            blocks_df,
+            path,
+            dedup_keys=["block_number"],
+            version_cols=["block_timestamp"],
+            format=fmt,
+        )
+        back = load_table(spark, path, format=fmt, schema=schemas.BLOCKS)
+        assert back.count() == 4
+        # nullability flags are reader-dependent; names+types must hold
+        assert [(f.name, f.dataType) for f in back.schema] == [
+            (f.name, f.dataType) for f in schemas.BLOCKS
+        ]
+        got = back.filter("block_number = 101").first()
+        assert got["block_timestamp"] == 1_700_000_011
+
+
 def test_compact_table(spark, blocks_df, tmp_path):
     from starknet_etl_spark.io import compact_table
 
