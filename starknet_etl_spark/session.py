@@ -35,6 +35,15 @@ _RUNTIME_CONF = {
     # build (the driver's default 200 wastes task overhead at test SF;
     # AQE coalesces further). Deployments override per cluster size.
     "spark.sql.shuffle.partitions": "32",
+    # Constraint propagation infers isnotnull(<join key expr>) filters
+    # and pushes them below joins. When the join key is an expensive
+    # derived expression (JSON parse + hex decode on the fact side —
+    # the engine's core pattern), the inferred filter re-evaluates
+    # that whole expression at the scan for every row: measured 6.6x
+    # slowdown on the flagship report. Our plans carry explicit
+    # filters, so the inference only costs. (Documented Spark knob
+    # for exactly this plan shape.)
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 _STATIC_CONF = {
