@@ -75,6 +75,37 @@ def save_table(
     if dedup_keys:
         spark = df.sparkSession
         merging = _exists(spark, path)
+        if merging and partition_by:
+            # Partition-scoped rewrite: merge ONLY the partitions the
+            # new batch touches. An hourly upsert against a 100 TB
+            # table then costs O(batch ∪ touched partitions), not a
+            # full-table rewrite. Requires the partition columns to be
+            # derived from the dedup keys (e.g. block bucket from
+            # block_number) so a key can never have rows in an
+            # untouched partition — same contract as Hive/Delta
+            # dynamic-partition upserts.
+            touched = df.select(*partition_by).distinct().collect()
+            pred = F.lit(False)
+            for row in touched:
+                m = F.lit(True)
+                for c in partition_by:
+                    m = m & F.col(c).eqNullSafe(F.lit(row[c]))
+                pred = pred | m
+            existing = load_table(
+                spark, path, format=format, schema=df.schema
+            ).filter(pred)  # partition filter → pruned scan
+            merged = dedup_latest(
+                existing.unionByName(df, allowMissingColumns=True),
+                dedup_keys,
+                version_cols,
+            )
+            tmp = f"{path}__tmp_swap"
+            w = merged.write.mode("overwrite").partitionBy(*partition_by)
+            if format == "csv":
+                w = w.option("header", "true")
+            w.format(format).save(tmp)
+            _swap_partitions(spark, path, tmp, depth=len(partition_by))
+            return
         if merging:
             existing = load_table(spark, path, format=format, schema=df.schema)
             df = existing.unionByName(df, allowMissingColumns=True)
@@ -83,12 +114,9 @@ def save_table(
             # The merged plan READS from `path`; overwriting the same
             # path from a lazy plan is a self-overwrite (files can be
             # deleted before they're consumed). Write to a sibling
-            # temp dir, then atomically swap. At warehouse scale this
-            # becomes partition-scoped rewrite (SCALING.md).
+            # temp dir, then atomically swap.
             tmp = f"{path}__tmp_swap"
             w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
             if format == "csv":
                 w = w.option("header", "true")
             w.format(format).save(tmp)
@@ -160,6 +188,71 @@ def compact_table(
         if f.endswith(".parquet")
     )
     return out
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as a bucketed table (hash-clustered on
+    ``bucket_by`` into ``num_buckets`` files).
+
+    Two fact tables bucketed on the same key with the same bucket
+    count join with NO shuffle exchange — the co-partitioning the
+    SMJ would otherwise build at runtime is baked in at write time.
+    This is the 100 TB move for lineitem⋈orders-shaped fact joins
+    (SCALING.md): pay the clustering once per table, delete it from
+    every downstream join. With matching ``sort_by`` the merge-join
+    sort is elided too.
+
+    The pre-``repartition`` gives exactly one file per bucket —
+    required for Spark to trust per-bucket sortedness, and what
+    keeps scan tasks = buckets instead of tasks × buckets files.
+    Read back via ``spark.table(name)`` (bucket metadata lives in
+    the catalog, not the files).
+    """
+    clustered = df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
+    w = (
+        clustered.write.format(format)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def _swap_partitions(
+    spark: SparkSession, path: str, tmp: str, *, depth: int
+) -> None:
+    """Move every ``col=value`` partition dir found in ``tmp`` into
+    ``path``, replacing only those partitions; leave the rest of
+    ``path`` untouched. Hadoop FileSystem API → works on local, HDFS
+    and object-store paths alike."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_p.getFileSystem(conf)
+    tmp_q = fs.makeQualified(tmp_p).toString()
+    glob = jvm.org.apache.hadoop.fs.Path("/".join([tmp] + ["*=*"] * depth))
+    for status in fs.globStatus(glob):
+        if not status.isDirectory():
+            continue
+        rel = status.getPath().toString()[len(tmp_q) :].lstrip("/")
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.delete(dest, True)
+        fs.mkdirs(dest.getParent())
+        fs.rename(status.getPath(), dest)
+    fs.delete(tmp_p, True)
 
 
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:

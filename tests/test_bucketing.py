@@ -1,0 +1,86 @@
+"""Bucketed co-partitioned fact tables: the 100 TB move for
+lineitem⋈orders-shaped joins (SCALING.md) — pay the hash-clustering
+once at write, then every downstream equi-join on the bucket key
+runs with NO shuffle exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.io import save_bucketed
+
+
+def _plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the SMJ path so the test exercises the shuffle the
+    bucketing is supposed to delete."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    facts = spark.range(0, 1000).selectExpr(
+        "id as orderkey", "id % 7 as qty"
+    )
+    dims = spark.range(0, 500).selectExpr(
+        "id as orderkey", "cast(id % 3 as string) as status"
+    )
+    save_bucketed(
+        facts,
+        "t_lineitem_b",
+        bucket_by=["orderkey"],
+        num_buckets=4,
+        sort_by=["orderkey"],
+        path=str(tmp_path / "li_b"),
+    )
+    save_bucketed(
+        dims,
+        "t_orders_b",
+        bucket_by=["orderkey"],
+        num_buckets=4,
+        sort_by=["orderkey"],
+        path=str(tmp_path / "or_b"),
+    )
+    try:
+        joined = spark.table("t_lineitem_b").join(
+            spark.table("t_orders_b"), "orderkey"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-partitioning baked in at write
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_bucketed_vs_plain_join_same_rows(spark, tmp_path, no_broadcast):
+    facts = spark.range(0, 300).selectExpr("id as k", "id * 2 as v")
+    save_bucketed(
+        facts,
+        "t_fact_b2",
+        bucket_by=["k"],
+        num_buckets=3,
+        path=str(tmp_path / "f_b2"),
+    )
+    try:
+        got = sorted(
+            spark.table("t_fact_b2")
+            .join(facts.selectExpr("k", "v as v2"), "k")
+            .collect()
+        )
+        assert len(got) == 300
+        assert all(r["v"] == r["v2"] for r in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fact_b2")

@@ -44,3 +44,65 @@ def test_partitioned_keyed_dedup_roundtrip(spark, tmp_path, blocks_df):
     out = load_table(spark, path)
     assert out.count() == 4  # dup block 101 collapsed
     assert out.filter("block_number = 101").first()["block_timestamp"] == 1_700_000_011
+
+
+def _files(root):
+    import os
+
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, n), root)
+                out[rel] = os.path.getmtime(os.path.join(dirpath, n))
+    return out
+
+
+def test_partition_scoped_upsert_rewrites_only_touched(
+    spark, tmp_path, blocks_df
+):
+    """Keyed upsert with partition_by rewrites ONLY the partitions the
+    batch touches: untouched partition files survive byte-for-byte
+    (same part-file names, same mtimes) — the O(batch) upsert the
+    100 TB table needs."""
+    path = str(tmp_path / "blocks_scoped")
+    parted = blocks_df.withColumn(
+        "bucket", (F.col("block_number") / 2).cast("long")
+    )
+    save_table(
+        parted,
+        path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+        partition_by=["bucket"],
+    )
+    before = _files(path)
+
+    # batch touches bucket 51 (block 102: replace) and a NEW bucket 52
+    batch = spark.createDataFrame(
+        [
+            (102, "0x" + "c2".ljust(64, "0"), 1_700_000_021, 51),
+            (105, "0x" + "e" * 64, 1_700_000_030, 52),
+        ],
+        parted.schema,
+    )
+    save_table(
+        batch,
+        path,
+        dedup_keys=["block_number"],
+        version_cols=["block_timestamp"],
+        partition_by=["bucket"],
+    )
+    after = _files(path)
+
+    untouched_before = {k: v for k, v in before.items() if "bucket=51" not in k}
+    untouched_after = {k: v for k, v in after.items() if "bucket=51" not in k and "bucket=52" not in k}
+    assert untouched_before == untouched_after  # not rewritten
+
+    out = load_table(spark, path)
+    assert out.count() == 5  # 4 originals (101 dup collapsed) + new 105
+    assert (
+        out.filter("block_number = 102").first()["block_timestamp"]
+        == 1_700_000_021
+    )  # replaced in touched partition
+    assert out.filter("block_number = 105").count() == 1  # new partition
