@@ -537,6 +537,112 @@ GROUP BY 1
 """
 
 
+def _order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side
+    predicate (kept ON the join, not a post-filter — outer semantics
+    differ), per-customer count including zero, then the distribution
+    of those counts. Two agg levels, the second over a tiny domain."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_ORDER_COUNT_DIST_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-subquery MAX over it —
+    the view is computed once (plan reuse), the scalar max broadcasts
+    against it. At 100 TB the view agg is the only shuffle; the max
+    probe is free."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("supplier_no", "total_revenue")
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT supplier_no, total_revenue FROM revenue
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def _rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average)
+    + NOT EXISTS anti-join (customers above the average balance with
+    no urgent order). The scalar broadcasts; the anti-join builds on
+    the filtered orders key set."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+_RICH_IDLE_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "similar_size_parts": QuerySpec(
         _similar_size_parts,
@@ -598,5 +704,20 @@ QUERIES = {
     ),
     "sql_cte_market_pairs": QuerySpec(
         _sql_cte_market_pairs, _SQL_CTE_ORACLE, "CTE chain via spark.sql (C1/C2)"
+    ),
+    "order_count_distribution": QuerySpec(
+        _order_count_distribution,
+        _ORDER_COUNT_DIST_ORACLE,
+        "outer join w/ join-side predicate + two-level agg (Q13 shape)",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        _top_supplier_revenue,
+        _TOP_SUPPLIER_ORACLE,
+        "agg view + scalar MAX over it (Q15 shape)",
+    ),
+    "rich_idle_customers": QuerySpec(
+        _rich_idle_customers,
+        _RICH_IDLE_ORACLE,
+        "global-avg scalar + NOT EXISTS anti-join (Q22 shape)",
     ),
 }
