@@ -72,6 +72,22 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def _knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index variant of emb_knn_ivf: corpus written
+    partitioned by cell (build_ann_index), probe reads ONE cell
+    directory via a static partition filter. Same result set as the
+    join-filter formulation — the oracle is shared."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = f"{tempfile.gettempdir()}/ann_index_catalog"
+    S.build_ann_index(
+        emb.filter(F.col("vec_id") != _QUERY_ID), path, cell_col="label"
+    )
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_ivf_indexed(spark, path, query, k=5)
+
+
 def _near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -160,6 +176,11 @@ QUERIES = {
     ),
     "emb_knn_ivf": QuerySpec(
         _knn_ivf, _KNN_IVF_ORACLE, "IVF-cell ANN top-5 (scale path)"
+    ),
+    "emb_knn_ivf_indexed": QuerySpec(
+        _knn_ivf_indexed,
+        _KNN_IVF_ORACLE,
+        "cell-partitioned ANN index probe (partition-pruned scan)",
     ),
     "emb_knn_lsh": QuerySpec(
         _knn_lsh, _KNN_LSH_ORACLE, "SRP-LSH bucketed ANN top-10"

@@ -88,6 +88,52 @@ def knn_ivf(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "label",
+) -> None:
+    """Materialize the corpus as a cell-partitioned ANN index.
+
+    One directory per IVF cell; a probe then reads exactly its cell's
+    partition (see ``knn_ivf_indexed``). Build cost is one shuffle on
+    the cell id; at 100 TB this is the once-per-corpus investment that
+    turns every subsequent probe into a 1/n_cells scan.
+    """
+    from ..io import save_table
+
+    save_table(df, path, mode="overwrite", partition_by=[cell_col])
+
+
+def knn_ivf_indexed(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Probe a cell-partitioned ANN index (``build_ann_index``).
+
+    The query is one row by contract, so its cell id is collected
+    driver-side (O(1)) and becomes a LITERAL partition filter — the
+    scan prunes to 1/n_cells of the corpus at planning time (static
+    ``PartitionFilters``, asserted in tests), then exact top-k within
+    the cell. This is the scan-term reduction SCALING.md describes
+    for the 100 TB ANN path.
+    """
+    cell = query.select(F.col(cell_col)).first()[0]
+    corpus = spark.read.parquet(index_path).filter(
+        F.col(cell_col) == F.lit(cell)
+    )
+    return knn_bruteforce(
+        corpus, query, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

@@ -161,3 +161,34 @@ def test_salted_join_equals_plain_join(spark):
         map(tuple, salted_join(fact, dim, "k", how="left", salt_buckets=4).collect())
     )
     assert plain_l == salted_l
+
+
+def test_knn_ivf_indexed_prunes_partitions(spark, tmp_path):
+    """build_ann_index + knn_ivf_indexed: the probe's cell becomes a
+    static partition filter — the index scan reads one cell directory,
+    not the corpus."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.8, 0.2, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),  # other cell: must not be scanned
+        (4, [0.0, 0.9, 0.1, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "ann_index")
+    S.build_ann_index(df, path, cell_col="label")
+
+    query = df.filter("vec_id = 0")
+    out = S.knn_ivf_indexed(spark, path, query, k=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part_line = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "label" in part_line  # literal cell filter prunes at the scan
+    got = out.collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    assert got[0]["cos_sim"] == 1.0
