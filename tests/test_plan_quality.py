@@ -91,3 +91,33 @@ def test_events_scans_prune_columns(spark, name):
     # the wide 'props' JSON column is only read by the JSON query
     if name != "props_by_type":
         assert all("props" not in r for r in reads)
+
+
+def test_order_count_distribution_two_shuffles(spark):
+    """Q13 shape: one exchange per agg level, no more. The outer join
+    keeps its join-side predicate ON the join (a post-filter would
+    change semantics AND show as a Filter above the join)."""
+    plan = _plan(spark, "order_count_distribution")
+    tree = _tree(plan)
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 2
+    assert "left_outer" in plan.lower() or "LeftOuter" in plan
+
+
+def test_top_supplier_revenue_single_fact_scan_shape(spark):
+    """Q15 shape: the revenue view aggregates once (one exchange);
+    the MAX over it broadcasts back — no second fact shuffle."""
+    plan = _plan(spark, "top_supplier_revenue")
+    tree = _tree(plan)
+    # pushdown of the ship-date filter into the fact scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_rich_idle_customers_broadcast_anti(spark):
+    """Q22 shape: the NOT EXISTS runs as a broadcast left-anti join
+    (orders key set is small after the priority filter); the global
+    average is a broadcast scalar, not a shuffle."""
+    plan = _plan(spark, "rich_idle_customers")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
