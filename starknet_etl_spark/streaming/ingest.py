@@ -161,6 +161,45 @@ def start_pipeline_stream(
     return writer.start()
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    time_col: str = "event_date",
+    keys: tuple[str, ...] = ("token_0", "token_1"),
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "0 seconds",
+):
+    """Watermarked (sliding) window counts per key — the general
+    event-time aggregate for ANY late-data discipline, not just the
+    chain's monotone clock.
+
+    ``watermark`` bounds state and lateness: rows arriving more than
+    ``watermark`` behind the max observed event time are dropped; in
+    append mode a window emits once the watermark passes its end, so
+    results are final. State size is windows-in-flight × keys — set
+    by ``watermark``/``slide``, independent of stream length (the
+    property that matters at 100 TB/day). Works identically on a
+    batch DataFrame (the watermark is a no-op there) — used by
+    start_sliding_volume_stream with the chain's exact 0 s watermark.
+    """
+    agg = (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(time_col, window, slide or window).alias("w"),
+            *keys,
+        )
+        .agg(F.count(F.lit(1)).alias("txn"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "txn",
+        )
+    )
+    return agg
+
+
 def start_sliding_volume_stream(
     spark: SparkSession,
     endpoint: str,
@@ -224,21 +263,13 @@ def start_sliding_volume_stream(
             ),
         )
     parsed = parsed.drop("block_number")
-    agg = (
-        parsed.withWatermark("event_date", "0 seconds")
-        .groupBy(
-            F.window("event_date", window, slide).alias("w"),
-            "token_0",
-            "token_1",
-        )
-        .agg(F.count(F.lit(1)).alias("txn"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "token_0",
-            "token_1",
-            "txn",
-        )
+    agg = windowed_event_counts(
+        parsed,
+        time_col="event_date",
+        keys=("token_0", "token_1"),
+        window=window,
+        slide=slide,
+        watermark="0 seconds",  # block time is monotone: exact
     )
     writer = (
         agg.writeStream.outputMode("append")

@@ -122,3 +122,58 @@ def test_sliding_window_stream(spark, tmp_path):
     assert got is not None and got.count() > 0
     cols = set(got.columns)
     assert {"window_start", "window_end", "token_0", "token_1", "txn"} <= cols
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """General late-data discipline (beyond the chain's monotone
+    clock): a row arriving later than the watermark bound is dropped;
+    closed windows emit exactly once with only on-time rows. Two
+    availableNow runs over one checkpoint make the micro-batch
+    boundary (and thus the watermark advance) deterministic."""
+    import datetime as dt
+
+    from starknet_etl_spark.streaming.ingest import windowed_event_counts
+
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "k string, event_date timestamp"
+
+    def ts(s):
+        return dt.datetime.fromisoformat(f"2024-04-01 10:{s}")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_event_counts(
+            stream,
+            time_col="event_date",
+            keys=("k",),
+            window="10 seconds",
+            watermark="5 seconds",
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two on-time rows in [10:00:00,10:00:10) + one row that
+    # pushes max event time to 10:00:30 → watermark after batch = 10:00:25
+    run_batch([("a", ts("00:00")), ("a", ts("00:02")), ("b", ts("00:30"))])
+    # batch 2: a LATE row for the first window (10:00:05 < watermark) —
+    # must be dropped — plus a fresh row advancing the clock so the
+    # first window's emission is observable
+    run_batch([("a", ts("00:05")), ("b", ts("01:00"))])
+
+    got = {
+        (r["k"], r["window_start"].isoformat()): r["txn"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("a", "2024-04-01T10:00:00")] == 2  # late row NOT counted
