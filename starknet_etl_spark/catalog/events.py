@@ -461,7 +461,35 @@ FROM events GROUP BY user_id
 """
 
 
+def _hourly_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed aggregate (ST6): tumbling
+    1 h event-time windows per event type via the SAME operator the
+    stream uses (`streaming.ingest.windowed_event_counts` — the
+    watermark is a no-op on a batch frame), so the driver's oracle
+    gate covers the streaming aggregate's arithmetic."""
+    from ..streaming.ingest import windowed_event_counts
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return windowed_event_counts(
+        ev, time_col="ts", keys=("event_type",), window="1 hour"
+    )
+
+
+_HOURLY_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS txn
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "events_hourly_windows": QuerySpec(
+        _hourly_window_counts,
+        _HOURLY_WINDOW_ORACLE,
+        "tumbling event-time windows via the streaming operator (ST6 batch twin)",
+    ),
     "last_purchase_asof": QuerySpec(
         _last_purchase_asof, _ASOF_ORACLE, "as-of join (union-sort-carry)"
     ),
