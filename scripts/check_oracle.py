@@ -25,9 +25,17 @@ from starknet_etl_spark.session import get_spark  # noqa: E402
 
 
 def canon(rows, cols):
+    """Order-insensitive canonical form, mirroring the DRIVER's
+    pandas-based hashing: both engines are materialized through pandas
+    first (see main), so numpy scalars arrive here. A DuckDB DECIMAL
+    that pandas widens to float64 ('1.000000') will NOT match a Spark
+    Decimal ('1') — intentionally, because it doesn't on the driver
+    either (round-1 hex_roundtrip lesson)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
+        if hasattr(v, "item") and type(v).__module__ == "numpy":
+            v = v.item()  # numpy scalar → python (bool_ → bool, etc.)
         if v is None:
             return "∅"
         if isinstance(v, float):
@@ -80,7 +88,14 @@ def main() -> int:
         try:
             sdf = spec.builder(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # Through pandas, like the driver — not .collect(): the
+            # driver hashes pandas frames, and pandas type coercion
+            # (Decimal→object, null int→NaN) is part of what we must
+            # reproduce for local green to predict driver green.
+            s_pdf = sdf.toPandas()
+            s_rows = [
+                tuple(r) for r in s_pdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
@@ -91,7 +106,10 @@ def main() -> int:
         try:
             rel = con.sql(spec.oracle)
             d_cols = [c for c in rel.columns]
-            d_rows = rel.fetchall()
+            d_pdf = rel.df()  # pandas path, like the driver
+            d_rows = [
+                tuple(r) for r in d_pdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")

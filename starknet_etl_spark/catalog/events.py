@@ -326,14 +326,36 @@ FROM events GROUP BY event_type
 
 
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — algorithm-specific values,
-    so no SQL oracle (driver records a rows-only check); the exact
-    twin is distinct_parts_per_flag / events_last_day.n_users."""
+    """HyperLogLog++ approximate distinct, gated hash-checkably: the
+    approx value itself is algorithm-specific, so the OUTPUT carries
+    the exact twin (COUNT DISTINCT, oracle-computable) plus a boolean
+    asserting |approx − exact| ≤ 15 % · exact (3σ of the default
+    rsd=0.05). HLL++ hashing is deterministic and register-max is
+    commutative, so the flag is stable across partitionings; the
+    oracle emits TRUE, so a drifting sketch flips the hash red.
+    A tighter 5 % bound is property-tested in tests."""
     ev = _ev(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (err <= 0.15 * F.col("exact_users")).alias("approx_within_15pct"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS approx_within_15pct
+FROM events GROUP BY event_type
+"""
 
 
 def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,8 +534,8 @@ QUERIES = {
     ),
     "approx_distinct_users": QuerySpec(
         _approx_distinct_users,
-        None,
-        "approx_count_distinct (HLL++; rows-only check)",
+        _APPROX_DISTINCT_ORACLE,
+        "approx_count_distinct (HLL++) gated vs exact twin + error bound",
     ),
     "high_watermark": QuerySpec(
         _high_watermark, _HW_ORACLE, "MAX + genesis fallback (A1/ST1)"

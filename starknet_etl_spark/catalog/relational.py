@@ -391,17 +391,22 @@ def _hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.concat(F.lit("0x"), F.lower(F.hex("o_orderkey"))).alias("h"),
     )
+    # decoded_dec goes through the >64-bit-safe DECIMAL(38,0) decoder
+    # (functions/hexnum.py), then is cast to STRING on BOTH sides: the
+    # driver's pandas canonicalization materializes DuckDB DECIMAL as
+    # float64 ('1.0') vs Spark Decimal ('1'), so a decimal-typed result
+    # can never hash-match cross-engine even when numerically equal.
     return hexed.select(
         "o_orderkey",
         hex_to_long(F.col("h")).alias("decoded"),
-        hex_to_decimal(F.col("h")).alias("decoded_dec"),
+        hex_to_decimal(F.col("h")).cast("string").alias("decoded_dec"),
         normalize_address(F.col("h")).alias("addr"),
     )
 
 
 _HEX_ROUNDTRIP_ORACLE = """
 SELECT o_orderkey, o_orderkey AS decoded,
-       CAST(o_orderkey AS DECIMAL(38,0)) AS decoded_dec,
+       CAST(CAST(o_orderkey AS DECIMAL(38,0)) AS VARCHAR) AS decoded_dec,
        '0x' || lpad(lower(to_hex(o_orderkey)), 64, '0') AS addr
 FROM orders
 """

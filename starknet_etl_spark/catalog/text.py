@@ -40,20 +40,46 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
+def _jaccard_cap(n_docs: int) -> int:
+    """Stop-shingle skew cap: a shingle present in >10 % of the corpus
+    (floor, min 25 docs) carries no near-dup signal at a 0.8
+    threshold but makes the inverted-index self-join quadratic in its
+    document frequency — the one scale hole flagged in round 1. The
+    floor keeps tiny corpora uncapped."""
+    return max(25, int(0.10 * n_docs))
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
     return D.jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        max_df=_jaccard_cap(docs.count()),
     )
 
 
+# The hot/shc CTEs mirror the operator's max_df broadcast anti-join:
+# same 10 %-of-corpus (min 25) cap, sizes and intersections both
+# computed on the CAPPED shingle set.
 _JACCARD_ORACLE = (
     "WITH "
     + _SHINGLES_CTE
     + r""",
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_1, id_2,

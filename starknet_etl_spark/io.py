@@ -84,13 +84,40 @@ def save_table(
             # block_number) so a key can never have rows in an
             # untouched partition — same contract as Hive/Delta
             # dynamic-partition upserts.
+            _assert_partitions_derived(df, dedup_keys, partition_by)
             touched = df.select(*partition_by).distinct().collect()
-            pred = F.lit(False)
-            for row in touched:
-                m = F.lit(True)
-                for c in partition_by:
-                    m = m & F.col(c).eqNullSafe(F.lit(row[c]))
-                pred = pred | m
+            # ONE struct-IN predicate, not a chained-OR tree: thousands
+            # of touched partitions stay a single In expression (flat
+            # value list) and still reach PartitionFilters for static
+            # pruning — a nested Or tree bloats analysis and can hit
+            # tree-size limits.
+            if touched and not any(
+                row[c] is None for row in touched for c in partition_by
+            ):
+                # literals cast to the column types — struct IN does
+                # no coercion (INT literal vs BIGINT col fails analysis)
+                ptypes = {
+                    f.name: f.dataType
+                    for f in df.select(*partition_by).schema.fields
+                }
+                pred = F.struct(*[F.col(c) for c in partition_by]).isin(
+                    *[
+                        F.struct(
+                            *[
+                                F.lit(row[c]).cast(ptypes[c])
+                                for c in partition_by
+                            ]
+                        )
+                        for row in touched
+                    ]
+                )
+            else:  # empty batch / NULL partition values: null-safe OR
+                pred = F.lit(False)
+                for row in touched:
+                    m = F.lit(True)
+                    for c in partition_by:
+                        m = m & F.col(c).eqNullSafe(F.lit(row[c]))
+                    pred = pred | m
             existing = load_table(
                 spark, path, format=format, schema=df.schema
             ).filter(pred)  # partition filter → pruned scan
@@ -131,6 +158,69 @@ def save_table(
     writer.format(format).save(path)
 
 
+def append_once(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    *,
+    partition_by: list[str] | None = None,
+    format: str = "parquet",
+) -> bool:
+    """Exactly-once append for foreachBatch sinks.
+
+    Structured Streaming's foreachBatch is at-least-once: after a
+    failure the checkpoint replays the last batch, and a plain append
+    that already committed would double-write every row. This guards
+    the append with a per-batch marker under ``<path>/_batches/`` —
+    written only AFTER the append commits, checked before appending.
+    Replays of a committed batch become no-ops; a batch that failed
+    before job commit left no data files (FileOutputCommitter moves
+    files at job commit), so re-appending it is safe. The underscore
+    dir is invisible to Spark's file readers. Returns True when the
+    append ran, False when skipped as a replay.
+    """
+    spark = df.sparkSession
+    marker = f"{path}/_batches/{batch_id}"
+    if _exists(spark, marker):
+        return False
+    save_table(df, path, mode="append", partition_by=partition_by,
+               format=format)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = p.getFileSystem(conf)
+    fs.create(p, True).close()
+    return True
+
+
+def _assert_partitions_derived(
+    df: DataFrame, dedup_keys: list[str], partition_by: list[str]
+) -> None:
+    """Enforce the partition-scoped-upsert contract at call time: each
+    dedup key must map to exactly ONE partition tuple within the batch
+    (partition cols derived from the keys). A violation would let a
+    key's old row survive in an untouched partition after the merge —
+    silent duplicate. Batch-scoped check, one small aggregation on the
+    incoming (micro-)batch."""
+    bad = (
+        df.groupBy(*dedup_keys)
+        .agg(
+            F.count_distinct(*[F.col(c) for c in partition_by]).alias("__np")
+        )
+        .filter(F.col("__np") > 1)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"partition columns {partition_by} are not derived from dedup "
+            f"keys {dedup_keys}: key {tuple(bad[0][k] for k in dedup_keys)} "
+            f"maps to {bad[0]['__np']} partition tuples — a keyed "
+            "partition-scoped upsert would leave stale rows in untouched "
+            "partitions"
+        )
+
+
 def load_table(
     spark: SparkSession,
     path: str,
@@ -166,12 +256,10 @@ def compact_table(
     file count after compaction.
     """
     df = spark.read.parquet(path)
-    n_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if not f.startswith(("_", "."))
-    )
+    # Hadoop FileSystem API, not os.walk: os.path.getsize returns
+    # nothing for hdfs:// / s3a:// / gs:// paths, which would silently
+    # compact a remote 100 TB table into ONE file.
+    n_bytes = _dir_bytes(spark, path)
     n_files = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
     tmp = f"{path}__tmp_compact"
     writer = df.repartition(n_files).write.mode("overwrite")
@@ -181,13 +269,7 @@ def compact_table(
         ).partitionBy(*partition_by)
     writer.parquet(tmp)
     _replace_dir(spark, path, tmp)
-    out = sum(
-        1
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    return out
+    return _count_files(spark, path, suffix=".parquet")
 
 
 def save_bucketed(
@@ -229,6 +311,31 @@ def save_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(name)
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` via Hadoop getContentSummary —
+    correct on local, HDFS and object-store paths alike (unlike
+    os.walk, which silently returns 0 off the local fs)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return int(fs.getContentSummary(p).getLength())
+
+
+def _count_files(spark: SparkSession, path: str, *, suffix: str) -> int:
+    """Recursive file count via Hadoop listFiles (remote-safe)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
 
 
 def _swap_partitions(

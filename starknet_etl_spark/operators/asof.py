@@ -66,9 +66,17 @@ def asof_join(
         payload_t.alias("__payload"),
     )
     merged = probes.unionByName(updates)
+    # The payload struct is the deterministic tie-breaker: when
+    # multiple right rows share (key, time), plain (__t, __tag)
+    # ordering would leave their relative order partition-dependent
+    # and last() would carry an arbitrary one. Ordering by the payload
+    # itself (struct compare = lexicographic by field) pins the
+    # carried row to the greatest payload — stable across shuffles,
+    # partitionings and reruns. Probes' NULL payload sorts first, so
+    # it never interleaves into the update ordering.
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__tag")
+        .orderBy("__t", "__tag", F.col("__payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

@@ -61,6 +61,23 @@ def shingles(
     )
 
 
+def _eager_release(
+    out: DataFrame, cached: list[DataFrame], eager: bool
+) -> DataFrame:
+    """Materialize ``out`` (small: the near-dup pair set), then
+    unpersist the big intermediate caches deterministically — the
+    round-1 'persist without unpersist' leak fix for long-lived
+    sessions. ``eager=False`` restores fully-lazy behavior (caches
+    then live until Spark's eviction)."""
+    if not eager:
+        return out
+    out = out.persist()
+    out.count()
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -93,6 +110,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    eager_release: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
@@ -101,10 +119,9 @@ def jaccard_pairs(
     shingles appearing in more than that many docs (stop-shingle
     skew cap for web-scale corpora).
 
-    Note: the shingle index is ``persist()``-ed (consumed 3x in one
-    plan) and released by Spark's cache eviction, not explicitly —
-    long-lived sessions calling this repeatedly should
-    ``spark.catalog.clearCache()`` between corpora.
+    The shingle index is ``persist()``-ed (consumed 3x in one plan);
+    with ``eager_release`` (default) the result materializes inside
+    this call and the index cache is released immediately.
     """
     sh = shingles(df, id_col, text_col, n=n).select(
         id_col,
@@ -148,9 +165,10 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    out = jac.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
+    return _eager_release(out, [sh], eager_release)
 
 
 # --------------------------------------------------------------------------
@@ -203,6 +221,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by true Jaccard.
 
@@ -278,9 +297,10 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
+    out = verified.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
+    return _eager_release(out, [sh_all, cands], eager_release)
 
 
 # --------------------------------------------------------------------------

@@ -267,17 +267,58 @@ def run_report(
     )[top_type]
 
 
+def run_scheduled(
+    spark: SparkSession,
+    endpoint: str,
+    *,
+    warehouse: str,
+    interval_s: float = 3600.0,
+    max_ticks: int | None = None,
+    sleep=None,
+    **pipeline_kw,
+) -> int:
+    """The reference's hourly Airflow cadence
+    (export_blocks_and_events_dag.py:93 ``schedule='@hourly'``, task
+    chain :117) as a thin driver loop: one ``run_pipeline`` tick per
+    interval. Each tick is incremental (high-watermark resume, ST1)
+    and idempotent (keyed/append-with-watermark sinks, ST7), so a
+    crashed loop simply restarts and picks up at the watermark — the
+    same recovery story as the Airflow scheduler's. ``max_ticks``
+    bounds the loop (tests / one-shot backfills); the streaming
+    equivalent is streaming/ingest.start_pipeline_stream with
+    ``trigger(processingTime=...)``. Returns ticks run."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        run_pipeline(spark, endpoint, warehouse=warehouse, **pipeline_kw)
+        ticks += 1
+        if max_ticks is not None and ticks >= max_ticks:
+            break
+        sleep(interval_s)
+    return ticks
+
+
 def run_pipeline(
     spark: SparkSession,
     endpoint: str,
     *,
     warehouse: str,
-    prices: DataFrame,
+    prices: DataFrame | None = None,
+    price_client=None,
     resolver: TokenResolver = default_token_resolver,
     address: str = "0xekubo",
     now: Column | datetime | str | None = None,
 ) -> dict[str, DataFrame]:
-    """One scheduled tick: ingest → maintain dim → both reports (ST5)."""
+    """One scheduled tick: ingest → maintain dim → both reports (ST5).
+
+    Prices come from either a pre-built ``prices`` DataFrame (offline
+    / test path) or a live ``price_client`` (sources.prices.PriceClient,
+    S5): after the token dim is maintained, the dim's addresses — a
+    small dimension, same set the reference collects in
+    generate_report_dag.py — are fetched in 30-address batches and the
+    result broadcasts into the report's price join."""
     paths = {
         "blocks": f"{warehouse}/blocks",
         "events": f"{warehouse}/events",
@@ -297,6 +338,14 @@ def run_pipeline(
         token_path=paths["token"],
         resolver=resolver,
     )
+    if prices is None:
+        if price_client is None:
+            raise ValueError("run_pipeline needs `prices` or `price_client`")
+        from ..sources.prices import fetch_prices_df
+
+        dim = load_table(spark, paths["token"])
+        addrs = [r["token"] for r in dim.select("token").collect()]
+        prices = fetch_prices_df(spark, price_client, addrs)
     # both metrics from ONE aggregate (the reference reruns the whole
     # query per metric as parallel DAG tasks)
     return run_reports(

@@ -1,0 +1,118 @@
+"""S5 — batched REST price source (reference get_token_price.py).
+
+Reference semantics reproduced exactly:
+
+- addresses fetched in batches of 30, comma-joined into the URL path
+  (get_token_price.py:45-48);
+- per-batch retry: 3 attempts, 10 s sleep between them
+  (get_token_price.py:52-68); an exhausted batch is LOGGED AND
+  SKIPPED — its addresses simply stay absent from the result map, so
+  the downstream join's 0-default applies (the reference's behavior,
+  not an exception);
+- a present-but-falsy price resolves to 0.0 (get_token_price.py:60-62);
+- lookup default 0 for unknown addresses (get_token_price.py:71-74)
+  — provided Spark-side by ``operators.joins.enrich_prices``.
+
+Driver-side by design: the price universe is the token DIMENSION
+(hundreds-to-thousands of rows at Starknet scale), not the fact
+table; one driver thread doing ceil(n/30) GETs is the right shape
+even at 100 TB of events, and the result broadcasts into the join.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import urllib.request
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
+
+
+class PriceClient:
+    """GET-with-retry price fetcher over a geckoterminal-shaped API.
+
+    ``base_url`` is the endpoint prefix; the comma-joined address
+    batch is appended as the final path segment, exactly like the
+    reference's f-string URL (get_token_price.py:48).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        batch_size: int = 30,
+        max_retries: int = 3,
+        backoff_s: float = 10.0,
+        timeout_s: float = 10.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.batch_size = batch_size
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+
+    # -- transport (one GET; non-200 raises) --
+    def _get(self, url: str) -> dict:
+        req = urllib.request.Request(
+            url, headers={"accept": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            return json.loads(r.read())
+
+    def fetch(self, addresses: Iterable[str]) -> dict[str, float]:
+        """Address list → {address: price}; exhausted batches omitted."""
+        addrs = list(addresses)
+        out: dict[str, float] = {}
+        for i in range(0, len(addrs), self.batch_size):
+            batch = addrs[i : i + self.batch_size]
+            url = f"{self.base_url}/{','.join(batch)}"
+            for attempt in range(self.max_retries):
+                try:
+                    data = self._get(url)
+                except Exception as e:  # noqa: BLE001 — retry everything
+                    log.warning(
+                        "price fetch %d/%d failed: %s",
+                        attempt + 1,
+                        self.max_retries,
+                        e,
+                    )
+                    if attempt == self.max_retries - 1:
+                        log.error("exhausted retries for batch: %s", batch)
+                        break
+                    time.sleep(self.backoff_s)
+                    continue
+                prices = data["data"]["attributes"]["token_prices"]
+                for token, price in prices.items():
+                    out[token] = float(price) if price else 0.0
+                break
+        return out
+
+    __call__ = fetch
+
+
+def prices_dataframe(
+    spark: SparkSession,
+    price_map: dict[str, float],
+    *,
+    key_col: str = "token_address",
+    price_col: str = "price_usd",
+) -> DataFrame:
+    """Price map → the 2-column dim ``enrich_prices`` broadcasts."""
+    rows = [(k, float(v)) for k, v in price_map.items()]
+    return spark.createDataFrame(
+        rows, schema=f"{key_col} string, {price_col} double"
+    )
+
+
+def fetch_prices_df(
+    spark: SparkSession,
+    client: PriceClient,
+    addresses: Iterable[str],
+    **df_kw,
+) -> DataFrame:
+    """fetch + dataframe in one step — the run_pipeline hook."""
+    return prices_dataframe(spark, client.fetch(addresses), **df_kw)

@@ -1,0 +1,128 @@
+"""S7 — starkscan token-page scraper adapter (TokenResolver impl).
+
+Re-expresses the reference's Selenium scraper
+(/root/reference/scraper/scrape_token.py:7-39) behind the engine's
+pluggable ``TokenResolver`` boundary (plans/pipeline.py): the driver
+object is INJECTED (anything with Selenium's ``get`` /
+``find_elements`` duck-type), so the parsing + retry semantics are
+unit-testable offline with a fake driver, and the real Chrome driver
+is import-gated (``make_selenium_driver``, scrape_utils.py:7-31) —
+selenium isn't in this container and must never be a hard dependency.
+
+Reference parity:
+- page URL ``{base}/{token}`` (scrape_token.py:10);
+- defaults 'No Name' / 'No Symbol' / 0 pre-filled, overwritten by any
+  dt/dd rows found (scrape_token.py:11-16,20-29);
+- per-token retry ×3, errors logged and retried (scrape_token.py:8,37-39);
+- FIXED divergence: the reference returns ``None`` after exhausting
+  retries (the loop falls through with no return — upstream would
+  insert a None row); here an exhausted token yields the defaults
+  row, matching the engine's ``default_token_resolver`` contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import time
+from collections.abc import Iterable
+
+log = logging.getLogger(__name__)
+
+#: selenium.webdriver.common.by.By values, inlined so the parse path
+#: needs no selenium import (By.CSS_SELECTOR / By.XPATH literals).
+BY_CSS = "css selector"
+BY_XPATH = "xpath"
+_DT_SELECTOR = "dl div dt"  # scrape_token.py:20
+_DD_SIBLING = "following-sibling::dd"  # scrape_token.py:23
+
+
+class StarkscanScraper:
+    """TokenResolver backed by a (duck-typed) Selenium WebDriver."""
+
+    def __init__(
+        self,
+        driver,
+        *,
+        base_url: str = "https://starkscan.co/token",
+        retries: int = 3,
+        sleep_range: tuple[float, float] = (1.0, 2.0),
+        sleep=time.sleep,
+    ):
+        self.driver = driver
+        self.base_url = base_url.rstrip("/")
+        self.retries = retries
+        self.sleep_range = sleep_range
+        self.sleep = sleep
+
+    def crawl(self, token: str) -> dict:
+        """One token page → metadata dict (scrape_token.py:7-39)."""
+        detail = {
+            "token": token,
+            "name": "No Name",
+            "symbol": "No Symbol",
+            "decimals": 0,
+        }
+        for attempt in range(self.retries):
+            try:
+                self.driver.get(f"{self.base_url}/{token}")
+                found = dict(detail)
+                self.sleep(random.uniform(*self.sleep_range))
+                for el in self.driver.find_elements(BY_CSS, _DT_SELECTOR):
+                    key = el.text.strip().lower()
+                    if key in ("name", "symbol", "decimals"):
+                        dd = el.find_element(BY_XPATH, _DD_SIBLING)
+                        val = dd.text.strip()
+                        found[key] = int(val) if key == "decimals" else val
+                for k in ("name", "symbol", "decimals"):
+                    if found[k] == detail[k]:
+                        log.warning("failed to get %s for %s", k, token)
+                return found
+            except Exception as e:  # noqa: BLE001 — retry, like the reference
+                log.warning(
+                    "get token %s error attempt %d/%d: %s",
+                    token,
+                    attempt + 1,
+                    self.retries,
+                    e,
+                )
+        log.error("exhausted retries for %s — defaults row", token)
+        return detail  # divergence: defaults, not the reference's None
+
+    # -- TokenResolver surface --
+    def __call__(
+        self, addresses: list[str]
+    ) -> Iterable[tuple[str, str, str, int]]:
+        for a in addresses:
+            d = self.crawl(a)
+            yield (d["token"], d["name"], d["symbol"], d["decimals"])
+
+
+def make_selenium_driver(chrome_driver_path: str = "/usr/bin/chromedriver"):
+    """Import-gated real Chrome driver (scrape_utils.py:7-31). Raises
+    a clear error when selenium isn't installed — the engine and its
+    tests never require it."""
+    try:
+        from selenium import webdriver
+        from selenium.webdriver.chrome.options import Options
+        from selenium.webdriver.chrome.service import Service
+    except ImportError as e:  # pragma: no cover — selenium absent here
+        raise RuntimeError(
+            "selenium is not installed; StarkscanScraper accepts any "
+            "driver object with get/find_elements — inject your own"
+        ) from e
+    options = Options()  # pragma: no cover — needs selenium
+    for arg in (
+        "--headless",
+        "--disable-gpu",
+        "--no-sandbox",
+        "--disable-dev-shm-usage",
+        "--blink-settings=imagesEnabled=false",
+        "--disable-javascript",
+        "--ignore-certificate-errors",
+        "--disable-extensions",
+        "window-size=1200x600",
+    ):
+        options.add_argument(arg)
+    service = Service(executable_path=chrome_driver_path)
+    return webdriver.Chrome(service=service, options=options)

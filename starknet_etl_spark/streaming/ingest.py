@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import epoch_to_timestamp, json_array
-from ..io import save_table
+from ..io import append_once, save_table
 from ..sources.datasource import register_sources
 
 
@@ -64,7 +64,9 @@ def start_ingest_stream(
     )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        save_table(batch_df, events_path, mode="append")
+        # foreachBatch is at-least-once; the per-batch marker makes
+        # the append exactly-once under checkpoint replay (io.py).
+        append_once(batch_df, events_path, batch_id)
 
     writer = src.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint
@@ -119,8 +121,13 @@ def start_pipeline_stream(
         bounds = batch_df.agg(
             F.min("block_number").alias("lo"), F.max("block_number").alias("hi")
         ).first()
-        save_table(
-            batch_df, paths["events"], mode="append",
+        # The append is the only non-idempotent step in the tick —
+        # marker-guard it against checkpoint replay (exactly-once);
+        # the keyed blocks/token upserts and overwrite reports below
+        # re-run safely and DO re-run on replay, so a tick that died
+        # after landing events still completes its downstream half.
+        append_once(
+            batch_df, paths["events"], batch_id,
             partition_by=["block_bucket"],
         )
         blocks = (

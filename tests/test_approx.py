@@ -1,0 +1,41 @@
+"""approx_distinct_users gate: the catalog query's error-bound flag
+plus a tighter 5 % property on the raw HLL++ sketch (default
+rsd=0.05), so the 15 % oracle bound has real headroom."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.catalog import QUERIES
+from starknet_etl_spark.io import load_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_users_flag_and_exact_twin(spark):
+    out = QUERIES["approx_distinct_users"].builder(spark, SF_DIR).collect()
+    assert out, "expected per-event_type rows"
+    assert all(r["approx_within_15pct"] for r in out)
+    # exact twin must equal a directly computed COUNT(DISTINCT)
+    ev = load_testdata(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["exact_users"] for r in out} == exact
+
+
+def test_hll_within_5pct_on_testdata(spark):
+    ev = load_testdata(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("a"),
+            F.count_distinct("user_id").alias("e"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["a"] - r["e"]) <= 0.05 * r["e"], r

@@ -67,3 +67,23 @@ def test_asof_null_value_in_latest_right_row(spark):
     # carried fields must come from the SAME right row
     assert row["v_asof"] is None
     assert row["tag_asof"] == "b"
+
+
+def test_asof_duplicate_right_timestamps_deterministic(spark):
+    """Multiple right rows sharing (key, time): the carried payload is
+    pinned to the greatest payload struct — identical across
+    partitionings (the round-1 nondeterminism fix)."""
+    left = spark.createDataFrame([("k", 10)], "id string, t int")
+    right_rows = [("k", 10, v) for v in ("a", "c", "b")]
+
+    def run(parts):
+        right = spark.createDataFrame(
+            right_rows, "id string, t int, v string"
+        ).repartition(parts)
+        return asof_join(
+            left, right, on="id", left_time="t", right_time="t",
+            value_cols=["v"],
+        ).collect()[0]["v_asof"]
+
+    got = {run(p) for p in (1, 2, 3, 7)}
+    assert got == {"c"}  # max payload, every partitioning

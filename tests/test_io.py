@@ -96,3 +96,40 @@ def test_save_table_overwrite(spark, blocks_df, tmp_path):
     save_table(blocks_df, path, mode="overwrite")
     save_table(blocks_df, path, mode="overwrite")  # truncate+reload parity
     assert load_table(spark, path).count() == blocks_df.count()
+
+
+def test_append_once_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch replay semantics: same batch_id appends once; a
+    new batch_id appends; the marker dir is invisible to readers."""
+    from starknet_etl_spark.io import append_once, load_table
+
+    path = str(tmp_path / "ev")
+    batch = spark.range(10).withColumnRenamed("id", "n")
+    assert append_once(batch, path, 0) is True
+    assert append_once(batch, path, 0) is False  # replay → no-op
+    assert load_table(spark, path).count() == 10
+    assert append_once(batch, path, 1) is True
+    assert load_table(spark, path).count() == 20
+
+
+def test_partition_contract_violation_raises(spark, tmp_path):
+    """Keyed partition-scoped upsert asserts partition cols are
+    derived from the dedup keys — a key spanning two partitions in
+    one batch is rejected, not silently duplicated."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import save_table
+
+    path = str(tmp_path / "t")
+    ok = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k int, p int, v string"
+    )
+    save_table(ok, path, dedup_keys=["k"], version_cols=["v"],
+               partition_by=["p"])
+    bad = spark.createDataFrame(
+        [(3, 30, "c"), (3, 31, "d")], "k int, p int, v string"
+    )
+    with _pytest.raises(ValueError, match="not derived from dedup keys"):
+        save_table(bad, path, dedup_keys=["k"], version_cols=["v"],
+                   partition_by=["p"])

@@ -192,3 +192,47 @@ def test_knn_ivf_indexed_prunes_partitions(spark, tmp_path):
     got = out.collect()
     assert [r["vec_id"] for r in got] == [0, 1]
     assert got[0]["cos_sim"] == 1.0
+
+
+def test_jaccard_max_df_bounds_hot_shingle_join(spark):
+    """Skewed corpus: every doc shares one stop-shingle. Uncapped, the
+    inverted-index self-join generates O(N^2) rows for that shingle;
+    with max_df the hot shingle is dropped from the index BEFORE the
+    join, so candidate pairs come only from genuine overlap — and
+    near-dup pairs (which share many rare shingles) still surface."""
+    n = 40
+    stop = "the quick brown fox"  # one 4-word run → two hot 3-shingles
+    rows = [(i, f"{stop} unique{i}a unique{i}b unique{i}c") for i in range(n)]
+    # planted near-dup pair sharing rare shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = D.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=10
+    )
+    got = {(r["id_1"], r["id_2"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot-shingle docs produce NO pairs
+
+    # the capped inverted index really dropped the hot shingles
+    sh = D.shingles(docs, "doc_id", "text", n=3)
+    df_counts = sh.groupBy("shingle").count().filter(F.col("count") > 10)
+    assert df_counts.count() == 2  # 'the quick brown', 'quick brown fox'
+    # and without the cap those two shingles alone imply n*(n-1)/2 joins
+    uncapped = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert {(r["id_1"], r["id_2"]) for r in uncapped.collect()} >= got
+
+
+def test_knn_gemm_scorer_agrees_with_hof(spark):
+    """The Arrow-GEMM scorer returns the same neighbors as the
+    interpreted-HOF oracle path (scores equal to ~1e-6 — summation
+    order may flip the last rounded digit, ids must match)."""
+    from starknet_etl_spark.io import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.orderBy("vec_id").limit(1)
+    hof = S.knn_bruteforce(emb, q, k=10, scorer="hof").collect()
+    gem = S.knn_bruteforce(emb, q, k=10, scorer="gemm").collect()
+    assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in gem]
+    for a, b in zip(hof, gem):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 2e-6

@@ -145,3 +145,29 @@ def test_manual_range_override_bugfix(spark, tmp_path):
     )
     assert (lo, hi) == (1_000_002, 1_000_003)
     assert load_table(spark, f"{wh}/events").count() == 4
+
+
+def test_run_scheduled_ticks_and_resumes(spark, tmp_path):
+    """Batch cadence wrapper: two ticks over a growing mock chain —
+    incremental watermark resume means tick 2 ingests only new blocks
+    (here: none, chain static → idempotent no-op), sleep injected."""
+    wh = str(tmp_path / "wh")
+    prices = spark.createDataFrame(
+        [(f"0x{i + 1:064x}", float(i + 1)) for i in range(4)],
+        schemas.TOKEN_PRICES,
+    )
+    slept = []
+    ticks = P.run_scheduled(
+        spark,
+        ENDPOINT,
+        warehouse=wh,
+        interval_s=0.5,
+        max_ticks=2,
+        sleep=slept.append,
+        prices=prices,
+        now="2024-04-01 19:36:40",
+    )
+    assert ticks == 2
+    assert slept == [0.5]  # no sleep after the final tick
+    events = load_table(spark, f"{wh}/events")
+    assert events.count() == 22  # second tick added nothing (no new blocks)

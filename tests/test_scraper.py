@@ -1,0 +1,121 @@
+"""S7 scraper adapter against a fake Selenium driver: dt/dd parsing,
+scrape-failure defaults, retry ×3, exhausted → defaults row (fixed
+divergence from scrape_token.py's implicit None), TokenResolver
+wiring into maintain_token_dim."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.sources.scraper import (
+    BY_CSS,
+    BY_XPATH,
+    StarkscanScraper,
+    make_selenium_driver,
+)
+
+
+class _El:
+    def __init__(self, dt: str, dd: str):
+        self.text = dt
+        self._dd = dd
+
+    def find_element(self, by, sel):
+        assert by == BY_XPATH and sel == "following-sibling::dd"
+        return _El(self._dd, "")
+
+
+class FakeDriver:
+    """Duck-typed WebDriver: pages maps token → [(dt, dd), ...];
+    fail_first N gets raise (timeout simulation)."""
+
+    def __init__(self, pages: dict, fail_first: int = 0):
+        self.pages = pages
+        self.fail_first = fail_first
+        self.gets = 0
+        self._current = None
+
+    def get(self, url: str):
+        self.gets += 1
+        if self.gets <= self.fail_first:
+            raise TimeoutError("page load timed out")
+        self._current = url.rsplit("/", 1)[-1]
+
+    def find_elements(self, by, sel):
+        assert by == BY_CSS and sel == "dl div dt"
+        return [_El(dt, dd) for dt, dd in self.pages.get(self._current, [])]
+
+
+def _scraper(driver):
+    return StarkscanScraper(driver, sleep_range=(0, 0), sleep=lambda s: None)
+
+
+def test_parses_name_symbol_decimals():
+    drv = FakeDriver(
+        {"0xa": [("Name", "Ether"), ("Symbol", "ETH"), ("Decimals", "18"), ("Other", "x")]}
+    )
+    out = list(_scraper(drv)(["0xa"]))
+    assert out == [("0xa", "Ether", "ETH", 18)]
+
+
+def test_missing_fields_default():
+    drv = FakeDriver({"0xb": [("Symbol", "TOK")]})
+    out = list(_scraper(drv)(["0xb"]))
+    assert out == [("0xb", "No Name", "TOK", 0)]
+
+
+def test_retries_then_succeeds():
+    drv = FakeDriver({"0xc": [("Name", "N"), ("Symbol", "S"), ("Decimals", "6")]}, fail_first=2)
+    out = list(_scraper(drv)(["0xc"]))
+    assert out == [("0xc", "N", "S", 6)]
+    assert drv.gets == 3
+
+
+def test_exhausted_retries_yield_defaults_row():
+    drv = FakeDriver({}, fail_first=99)
+    out = list(_scraper(drv)(["0xd"]))
+    assert out == [("0xd", "No Name", "No Symbol", 0)]
+    assert drv.gets == 3  # retries honored, no exception escapes
+
+
+def test_case_insensitive_dt_labels():
+    drv = FakeDriver({"0xe": [("  name ", "Tok"), ("SYMBOL", "T"), ("decimals", "9")]})
+    out = list(_scraper(drv)(["0xe"]))
+    assert out == [("0xe", "Tok", "T", 9)]
+
+
+def test_make_selenium_driver_import_gated():
+    with pytest.raises(RuntimeError, match="selenium is not installed"):
+        make_selenium_driver()
+
+
+def test_resolver_wiring_into_token_dim(spark, tmp_path):
+    """The scraper IS a TokenResolver: maintain_token_dim resolves the
+    mock chain's missing tokens through it."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.plans.pipeline import maintain_token_dim, run_ingest
+
+    wh = tmp_path / "wh"
+    run_ingest(
+        spark,
+        "mock://head=1000005&events_per_block=2",
+        blocks_path=str(wh / "blocks"),
+        events_path=str(wh / "events"),
+    )
+    tokens = [f"0x{i + 1:064x}" for i in range(4)]
+    drv = FakeDriver(
+        {t: [("Name", f"N{i}"), ("Symbol", f"S{i}"), ("Decimals", "18")] for i, t in enumerate(tokens)}
+    )
+    n = maintain_token_dim(
+        spark,
+        events_path=str(wh / "events"),
+        token_path=str(wh / "token"),
+        resolver=_scraper(drv),
+    )
+    assert n == 4
+    from starknet_etl_spark.io import load_table
+
+    dim = load_table(spark, str(wh / "token"))
+    assert dim.count() == 4
+    assert dim.filter(F.col("symbol").startswith("S")).count() == 4
