@@ -349,6 +349,43 @@ FROM verified v JOIN cos ON cos.id_1 = v.id_1 AND cos.id_2 = v.id_2
 )
 
 
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_signals(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# Mirrors the operator exactly: word/bigram multiplicity per doc,
+# fractions rounded to 6 dp on both sides.
+_REPETITION_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+per AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS nd, MAX(c) AS topc
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM words
+),
+bgc AS (
+  SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT g) AS nd_bg
+  FROM bg WHERE g IS NOT NULL GROUP BY doc_id
+)
+SELECT per.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(1 - CAST(nd AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       ROUND(CAST(topc AS DOUBLE) / n_words, 6) AS top_word_frac,
+       COALESCE(ROUND(1 - CAST(nd_bg AS DOUBLE) / n_bg, 6), 0.0)
+         AS dup_bigram_frac
+FROM per LEFT JOIN bgc USING (doc_id)
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -372,5 +409,10 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_repetition_signals": QuerySpec(
+        _repetition,
+        _REPETITION_ORACLE,
+        "Gopher-style repetition quality gate (dup word/bigram fractions)",
     ),
 }

@@ -92,6 +92,68 @@ def lang_guess(text: Column) -> Column:
     return out
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document — the standard
+    quality gate for LLM pretraining corpora (repetitive docs are
+    low-value and skew the loss):
+
+    - ``dup_word_frac``   — 1 − distinct_words / total_words;
+    - ``top_word_frac``   — occurrences of the modal word / total;
+    - ``dup_bigram_frac`` — 1 − distinct_bigrams / total_bigrams
+      (0.0 for single-word docs).
+
+    Plan shape (scale notes): one narrow posexplode, then every
+    shuffle is keyed by ``id_col`` (or ``id_col, word``) — fully
+    parallel across documents, no global state, map-side partial
+    aggregation on both groupBys. Bigrams come from a per-doc window
+    ``lead`` (sort within doc only), never a self-join. Cost is
+    linear in corpus token count regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    did = F.col(id_col)
+    words = df.select(
+        did,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("nd"),
+        F.max("c").alias("topc"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead("w").over(w)
+    grams = words.select(
+        did,
+        F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("w"), nxt)).alias(
+            "g"
+        ),
+    ).filter(F.col("g").isNotNull())
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_doc_g = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_bg"), F.count("*").alias("nd_bg")
+    )
+    joined = per_doc.join(per_doc_g, on=id_col, how="left")
+    return joined.select(
+        did,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1 - F.col("nd") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("topc") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.coalesce(
+            F.round(1 - F.col("nd_bg") / F.col("n_bg"), 6), F.lit(0.0)
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family to a document table."""
     t = F.col(text_col)

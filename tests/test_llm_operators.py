@@ -236,3 +236,29 @@ def test_knn_gemm_scorer_agrees_with_hof(spark):
     assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in gem]
     for a, b in zip(hof, gem):
         assert abs(a["cos_sim"] - b["cos_sim"]) < 2e-6
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Fractions on docs small enough to verify by hand."""
+    rows = [
+        (1, "a a a a"),          # 4 words, 1 distinct, 3 bigrams all "a a"
+        (2, "a b c d"),          # no repetition at all
+        (3, "a b a b a"),        # 5 words {a:3,b:2}; bigrams: ab,ba,ab,ba
+        (4, "solo"),             # single word -> no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in X.repetition_signals(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.6
+    assert got[3]["top_word_frac"] == 0.6
+    assert got[3]["dup_bigram_frac"] == 0.5
+    assert got[4]["n_words"] == 1 and got[4]["dup_bigram_frac"] == 0.0
