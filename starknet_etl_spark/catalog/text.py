@@ -386,6 +386,52 @@ FROM per LEFT JOIN bgc USING (doc_id)
 """
 
 
+def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    return ngram_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.2,
+    )
+
+
+# Same distinct-5-gram construction on both sides; `contaminated`
+# compares the UNROUNDED fraction (an exact double division of the
+# same two integers on both engines — bit-identical).
+_CONTAMINATION_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM words, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+tr AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM tr JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(ov.n_overlap, 0) * 1.0 / t.n_ngrams, 6)
+         AS overlap_frac,
+       COALESCE(ov.n_overlap, 0) * 1.0 / t.n_ngrams >= 0.2
+         AS contaminated
+FROM tot t LEFT JOIN ov USING (doc_id)
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -409,6 +455,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_contamination": QuerySpec(
+        _contamination,
+        _CONTAMINATION_ORACLE,
+        "benchmark decontamination: 5-gram overlap vs held-out set",
     ),
     "doc_repetition_signals": QuerySpec(
         _repetition,

@@ -1,0 +1,69 @@
+"""Benchmark-contamination detection for training corpora.
+
+The standard decontamination gate before LLM pretraining: a training
+document is contaminated when too many of its word n-grams also
+appear in a held-out benchmark/eval set (the n-gram-overlap method
+used by public LLM data pipelines; engine surface beyond the
+reference, same family as operators/dedup.py).
+
+Scale design (100 TB): the benchmark side is an eval set — thousands
+to millions of n-grams, not billions — so its distinct n-gram set is
+``broadcast`` and the train side is ONE scan + one per-doc
+aggregation (shuffles keyed by doc id only). If the benchmark ever
+outgrows broadcast, drop the hint and the same plan degrades to a
+shuffled hash join on the n-gram key; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles
+
+
+def ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    threshold: float = 0.2,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-train-doc benchmark overlap: ``(id, n_ngrams, n_overlap,
+    overlap_frac, contaminated)``.
+
+    Distinct word ``n``-grams per document on both sides
+    (dedup.shingles — posexplode + lead window, codegen'd); overlap
+    counted via an inner join against the benchmark's distinct n-gram
+    set; docs shorter than ``n`` words have no n-grams and are not
+    emitted (no signal either way).
+    """
+    tr = shingles(train, id_col, text_col, n=n)
+    bench = shingles(benchmark, id_col, text_col, n=n).select(
+        "shingle"
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    totals = tr.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    overlaps = (
+        tr.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    joined = totals.join(overlaps, on=id_col, how="left").select(
+        id_col,
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("n_overlap"), F.lit(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    frac = F.col("n_overlap") / F.col("n_ngrams")
+    return joined.select(
+        id_col,
+        "n_ngrams",
+        "n_overlap",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -262,3 +262,35 @@ def test_repetition_signals_hand_computed(spark):
     assert got[3]["top_word_frac"] == 0.6
     assert got[3]["dup_bigram_frac"] == 0.5
     assert got[4]["n_words"] == 1 and got[4]["dup_bigram_frac"] == 0.0
+
+
+def test_ngram_overlap_planted_contamination(spark):
+    """A train doc embedding a benchmark sentence verbatim must flag;
+    an unrelated doc must report zero overlap; a doc shorter than n
+    words is not emitted."""
+    from starknet_etl_spark.operators.contamination import ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and its river is the seine")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "quiz answer the capital of france is paris obviously"),
+            (2, "entirely unrelated words about spark shuffle plans here"),
+            (3, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_overlap(
+            train, bench, n=5, threshold=0.2
+        ).collect()
+    }
+    # doc 1: 2 of its five 5-grams lie inside the benchmark sentence
+    # ("the capital of france is", "capital of france is paris")
+    assert got[1]["n_ngrams"] == 5 and got[1]["n_overlap"] == 2
+    assert got[1]["overlap_frac"] == 0.4 and got[1]["contaminated"]
+    assert got[2]["n_overlap"] == 0 and not got[2]["contaminated"]
+    assert 3 not in got
