@@ -432,6 +432,31 @@ FROM tot t LEFT JOIN ov USING (doc_id)
 """
 
 
+def _train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id"
+    ).select("doc_id", "bucket", "split")
+
+
+# Identical md5-prefix decode on both engines (DuckDB casts '0x....'
+# hex strings natively); thresholds 900/950 per-mille = 90/5/5.
+_TRAIN_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -455,6 +480,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_train_split": QuerySpec(
+        _train_split,
+        _TRAIN_SPLIT_ORACLE,
+        "append-stable hash-bucket train/val/test split (90/5/5)",
     ),
     "doc_contamination": QuerySpec(
         _contamination,

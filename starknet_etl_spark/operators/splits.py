@@ -1,0 +1,69 @@
+"""Deterministic dataset splitting for training pipelines.
+
+Hash-based train/val/test assignment: the split is a pure function
+of the row's id (plus an optional salt), so it is reproducible
+across runs, engines and cluster layouts, and APPEND-STABLE — new
+documents never reassign old ones (unlike ``randomSplit``, which
+reshuffles everything when the input grows). This is the standard
+design for holdout splits over ever-growing corpora.
+
+The bucket is the first 4 hex digits of ``md5(id || salt)`` decoded
+to an integer, taken mod 1000 (per-mille granularity). md5 and the
+hex decode are bit-identical in Spark and DuckDB, so the assignment
+is exactly oracle-checkable. Pure column expressions — codegen'd,
+no shuffle at all: splitting 100 TB is a single map-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: name -> per-mille weight; order matters (cumulative thresholds).
+DEFAULT_WEIGHTS: dict[str, int] = {"train": 900, "val": 50, "test": 50}
+
+
+def split_bucket(id_col: Column, salt: str = "") -> Column:
+    """Per-mille bucket in [0, 1000): decode the first 4 hex chars of
+    md5 (16 bits — conv() is ANSI-safe at this width) mod 1000."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1000
+    ).alias("bucket")
+
+
+def split_assign(
+    id_col: Column,
+    *,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> Column:
+    """Split-name column from cumulative per-mille thresholds."""
+    weights = weights or DEFAULT_WEIGHTS
+    total = sum(weights.values())
+    if total != 1000:
+        raise ValueError(f"weights must sum to 1000 per-mille, got {total}")
+    b = split_bucket(id_col, salt)
+    out: Column | None = None
+    cum = 0
+    for name, w in weights.items():
+        cum += w
+        cond = b < F.lit(cum)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+    assert out is not None
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Attach ``bucket`` (per-mille) and ``split`` columns."""
+    c = F.col(id_col)
+    return df.withColumn("bucket", split_bucket(c, salt)).withColumn(
+        "split", split_assign(c, weights=weights, salt=salt)
+    )

@@ -294,3 +294,31 @@ def test_ngram_overlap_planted_contamination(spark):
     assert got[1]["overlap_frac"] == 0.4 and got[1]["contaminated"]
     assert got[2]["n_overlap"] == 0 and not got[2]["contaminated"]
     assert 3 not in got
+
+
+def test_hash_split_stable_and_weighted(spark):
+    """Split assignment is append-stable (old ids keep their split
+    when the corpus doubles), respects weights roughly, and rejects
+    weights that don't sum to 1000."""
+    from starknet_etl_spark.operators.splits import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"]
+               for r in hash_split(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in hash_split(big, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())  # stable
+    from collections import Counter
+    c = Counter(s_big.values())
+    assert c["train"] > 800 and 10 <= c["val"] and 10 <= c["test"]
+    assert set(c) == {"train", "val", "test"}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_split(small, "doc_id", weights={"train": 1, "val": 1})
+
+    # salt re-rolls the assignment
+    salted = {r["doc_id"]: r["split"]
+              for r in hash_split(small, "doc_id", salt="v2").collect()}
+    assert any(salted[k] != s_small[k] for k in salted)
