@@ -457,6 +457,38 @@ FROM b
 """
 
 
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences, pack_summary
+
+    toks = _docs(spark, sf_dir).select(
+        "source", "doc_id", X.word_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        toks, "doc_id", "n_tokens", budget=512, part_col="source"
+    )
+    return pack_summary(packed, "n_tokens", part_col="source")
+
+
+_PACK_ORACLE = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT source, CAST(start_offset // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY source, CAST(start_offset // 512 AS BIGINT)
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -480,6 +512,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_pack_sequences": QuerySpec(
+        _pack,
+        _PACK_ORACLE,
+        "concat-and-split token packing, per-source (budget 512)",
     ),
     "doc_train_split": QuerySpec(
         _train_split,

@@ -1,0 +1,60 @@
+"""Sequence packing for LLM pretraining batches.
+
+Concat-and-split packing: documents are laid end-to-end in a
+deterministic order and the token stream is cut every ``budget``
+tokens; each document belongs to the sequence its FIRST token lands
+in. This is the standard pretraining batch construction (packing
+avoids pad waste); computing the assignment in the engine keeps the
+tokenizer step embarrassingly parallel downstream.
+
+Scale design (100 TB): the only state is a running token sum, i.e. a
+window sum. With ``part_col`` set (shard/source/split), each
+partition packs independently — the window shuffle is keyed by
+``part_col`` and no global order exists, which is what a real corpus
+wants (sequences never straddle shards). ``part_col=None`` means ONE
+global ordering = a single-partition window sort; it exists for
+small corpora and tests only — always pass ``part_col`` at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Attach ``start_offset`` (tokens before this doc within its
+    partition) and ``seq_id`` (= start_offset // budget)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(part_col) if part_col else Window.partitionBy()
+    ).orderBy(id_col)
+    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    return df.withColumn("start_offset", start).withColumn(
+        # floor division (Spark cast-to-long truncates, DuckDB CAST
+        # rounds — floor is the one spelling both engines agree on)
+        "seq_id",
+        F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+    )
+
+
+def pack_summary(
+    packed: DataFrame,
+    token_col: str,
+    *,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Per-sequence rollup: (part, seq_id, n_docs, total_tokens)."""
+    keys = ([part_col] if part_col else []) + ["seq_id"]
+    return packed.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("total_tokens"),
+    )

@@ -322,3 +322,28 @@ def test_hash_split_stable_and_weighted(spark):
     salted = {r["doc_id"]: r["split"]
               for r in hash_split(small, "doc_id", salt="v2").collect()}
     assert any(salted[k] != s_small[k] for k in salted)
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Budget 10, one partition: docs of 4/5/3/9/2 tokens start at
+    offsets 0/4/9/12/21 -> seqs 0,0,0,1,2; summary must agree."""
+    from starknet_etl_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+
+    rows = [(i, "p0", n) for i, n in enumerate([4, 5, 3, 9, 2])]
+    df = spark.createDataFrame(rows, "doc_id int, part string, n_tokens long")
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", budget=10, part_col="part"
+    )
+    got = {r["doc_id"]: (r["start_offset"], r["seq_id"])
+           for r in packed.collect()}
+    assert got == {0: (0, 0), 1: (4, 0), 2: (9, 0), 3: (12, 1), 4: (21, 2)}
+    summ = {r["seq_id"]: (r["n_docs"], r["total_tokens"])
+            for r in pack_summary(packed, "n_tokens", part_col="part").collect()}
+    assert summ == {0: (3, 12), 1: (1, 9), 2: (1, 2)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)
