@@ -489,6 +489,44 @@ FROM c GROUP BY source, CAST(start_offset // 512 AS BIGINT)
 """
 
 
+def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import with_pii
+
+    scanned = with_pii(_docs(spark, sf_dir), "text")
+    return scanned.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "has_pii",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+def _pii_oracle() -> str:
+    """Built from PII_PATTERNS so the two sides can never drift; the
+    patterns live in the Java-regex ∩ RE2 subset by construction."""
+    from ..operators.pii import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat, _ in PII_PATTERNS.values()
+    )
+    red = "text"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (
+        f"SELECT doc_id,\n  {counts},\n  ({total}) > 0 AS has_pii,\n"
+        f"  md5({red}) AS redacted_fp\nFROM documents"
+    )
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -512,6 +550,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_pii_scan": QuerySpec(
+        _pii_scan,
+        _pii_oracle(),
+        "PII counts + redacted-text fingerprint (email/ssn/phone/ipv4)",
     ),
     "doc_pack_sequences": QuerySpec(
         _pack,

@@ -1,0 +1,60 @@
+"""PII detection and redaction for training corpora.
+
+Regex-family PII scrubbing (emails, US-style SSNs/phones, IPv4) —
+the standard pre-release hygiene pass over web text. Patterns stay
+inside the Java-regex ∩ RE2 common subset (no lookaround, no
+backrefs) so the exact same pattern text runs on Spark (hot path,
+codegen'd ``regexp_count``/``regexp_replace``) and on DuckDB (oracle
+differential). Pure column expressions: scanning 100 TB is one
+map-only pass, no shuffle, no Python.
+
+Redaction order is fixed (email → ssn → phone → ipv4): SSNs would
+otherwise partially match the phone pattern, so the more specific
+pattern must fire first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: name -> (pattern, replacement tag); insertion order = redaction order.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (BIGINT for cross-engine parity)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """All PII spans replaced by their kind tag, in PII_PATTERNS order."""
+    out = text
+    for pat, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``n_<kind>`` counts, ``has_pii``, and ``redacted``."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    total = sum(
+        (F.col(f"n_{n}") for n in counts), F.lit(0).cast("long")
+    )
+    return out.withColumn("has_pii", total > 0).withColumn(
+        "redacted", redact_pii(t)
+    )

@@ -347,3 +347,34 @@ def test_pack_sequences_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_pii_detect_and_redact(spark):
+    """Planted PII of every kind is counted and redacted; SSN fires
+    before the phone pattern; clean text is untouched."""
+    from starknet_etl_spark.operators.pii import with_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or bob@sub.domain.org"),
+        (2, "ssn 123-45-6789 but phone 555-867-5309 and 555.867.5309"),
+        (3, "server at 10.0.255.1 and 192.168.1.100 responded"),
+        (4, "perfectly clean text with numbers 12345 and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in with_pii(df, "text").collect()}
+
+    assert got[1]["n_email"] == 2 and got[1]["has_pii"]
+    assert "[EMAIL]" in got[1]["redacted"]
+    assert "@" not in got[1]["redacted"]
+
+    # the SSN must NOT be eaten by the phone pattern
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 2
+    assert "[SSN]" in got[2]["redacted"]
+    assert got[2]["redacted"].count("[PHONE]") == 2
+    assert "6789" not in got[2]["redacted"]
+
+    assert got[3]["n_ipv4"] == 2
+    assert got[3]["redacted"] == "server at [IP] and [IP] responded"
+
+    assert not got[4]["has_pii"]
+    assert got[4]["redacted"] == rows[3][1]
