@@ -527,6 +527,43 @@ def _pii_oracle() -> str:
     )
 
 
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    capped Jaccard pair graph (iterative min-label propagation; the
+    step every dedup pipeline needs between detection and drop)."""
+    from ..operators.components import connected_components
+
+    cc = connected_components(
+        _jaccard_pairs(spark, sf_dir), "id_1", "id_2"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+# Transitive closure by recursive CTE over the SAME capped pair set;
+# cluster id = min reachable node — identical to the fixpoint of
+# min-label propagation.
+_DUP_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _JACCARD_ORACLE
+    + """
+),
+e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+)
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -550,6 +587,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_dup_clusters": QuerySpec(
+        _dup_clusters,
+        _DUP_CLUSTERS_ORACLE,
+        "dedup clusters: connected components over near-dup pairs",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,

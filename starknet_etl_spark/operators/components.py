@@ -1,0 +1,92 @@
+"""Connected components over a pair graph — dedup cluster formation.
+
+Near-dup detection (Jaccard / MinHash-LSH / SimHash) emits PAIRS;
+deduplication needs CLUSTERS (keep one representative per component
+of the pair graph). This is the step between "found similar pairs"
+and "dropped the duplicates" in every large-scale dedup pipeline.
+
+Algorithm: iterative min-label propagation. Every node starts
+labeled with itself; each round every node takes the minimum label
+in its neighborhood; fixpoint = each component labeled by its
+smallest member. The result is deterministic (a pure function of the
+edge set — iteration order can't change a min).
+
+Scale notes (100 TB): each round is one join + one min-aggregation,
+both keyed by node id — no driver-side graph state, labels stay
+distributed. Rounds needed = graph diameter, and near-dup components
+are shallow (dup clusters are dense), so a handful of rounds
+converges; ``localCheckpoint`` truncates the growing lineage each
+round (iterative-plan hygiene). For adversarially long chain graphs
+the alternating large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce") converges in O(log n) rounds —
+same per-round plan shape, more bookkeeping; min-label is the right
+default for dedup graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``edges``;
+    ``component`` is the smallest node id in the connected component.
+
+    Raises if the graph hasn't converged after ``max_iter`` rounds
+    (diameter > max_iter) rather than returning a wrong answer.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    try:
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("b"),
+                        F.col("label").alias("nbl"),
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbl").alias("nl"))
+            )
+            stepped = labels.join(
+                nbr_min.select(F.col("a").alias("node"), "nl"), "node"
+            ).select(
+                "node",
+                "label",
+                F.least("label", "nl").alias("new_label"),
+            )
+            # one action per round: materialize + truncate lineage
+            stepped = stepped.localCheckpoint()
+            changed = stepped.filter(
+                F.col("new_label") < F.col("label")
+            ).count()
+            labels = stepped.select(
+                "node", F.col("new_label").alias("label")
+            )
+            if changed == 0:
+                return labels.select(
+                    "node", F.col("label").alias("component")
+                )
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds"
+        )
+    finally:
+        sym.unpersist()

@@ -378,3 +378,29 @@ def test_pii_detect_and_redact(spark):
 
     assert not got[4]["has_pii"]
     assert got[4]["redacted"] == rows[3][1]
+
+
+def test_connected_components_chain_cycle_pair(spark):
+    """Multi-hop chain, cycle, and isolated pair all collapse to the
+    min-id component; convergence is detected, not assumed."""
+    from starknet_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6),            # path + pair
+         (10, 11), (11, 12), (12, 13),      # 4-chain (needs >1 round)
+         (20, 21), (21, 22), (22, 20)],     # cycle
+        "id_1 bigint, id_2 bigint",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
