@@ -648,6 +648,222 @@ GROUP BY c_mktsegment
 """
 
 
+def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — two aliased probes of the nation dim (both broadcast,
+    pre-filtered to the two nations so the disjunction prunes early)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1k"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2k"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                     AND TIMESTAMP '1997-12-31'
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def _late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_commitdate/l_shipmode in TESTDATA, so
+    lateness = shipped >90 days after order date): per-bucket CASE
+    counts of high/low order priorities."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(late, F.lit("late")).otherwise(F.lit("ontime")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_LATE_SHIPMENTS_ORACLE = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+            THEN 'late' ELSE 'ontime' END AS bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def _promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one ship month —
+    conditional aggregate ratio, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-02-01'
+"""
+
+
+def _disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three (brand AND size AND quantity)
+    predicate groups across the join — Catalyst extracts the common
+    per-side conjuncts (brand/size to the part scan, quantity range
+    to the lineitem scan) so both scans prune before the join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    groups = (
+        ((brand == "Brand#11") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#22") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#13") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(groups)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250 —
+    HAVING-filtered aggregate joined back to orders + customer. The
+    qty aggregate and the fact⋈fact join share the l_orderkey /
+    o_orderkey key, so one Exchange serves both at scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+_LARGE_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "similar_size_parts": QuerySpec(
         _similar_size_parts,
@@ -696,6 +912,31 @@ QUERIES = {
         _status_intersect, _STATUS_INTERSECT_ORACLE, "INTERSECT"
     ),
     "status_except": QuerySpec(_status_except, _STATUS_EXCEPT_ORACLE, "EXCEPT"),
+    "volume_shipping": QuerySpec(
+        _volume_shipping,
+        _VOLUME_SHIPPING_ORACLE,
+        "TPC-H Q7 bilateral trade (nation dim aliased x2, broadcast)",
+    ),
+    "late_shipments": QuerySpec(
+        _late_shipments,
+        _LATE_SHIPMENTS_ORACLE,
+        "TPC-H Q12 shape: lateness buckets x CASE priority counts",
+    ),
+    "promo_revenue": QuerySpec(
+        _promo_revenue,
+        _PROMO_REVENUE_ORACLE,
+        "TPC-H Q14 conditional-aggregate ratio",
+    ),
+    "disjunctive_part_revenue": QuerySpec(
+        _disjunctive_revenue,
+        _DISJUNCTIVE_ORACLE,
+        "TPC-H Q19 disjunctive predicate groups (per-side pushdown)",
+    ),
+    "large_order_customers": QuerySpec(
+        _large_order_customers,
+        _LARGE_ORDERS_ORACLE,
+        "TPC-H Q18 HAVING aggregate joined back to orders+customer",
+    ),
     "hex_roundtrip": QuerySpec(
         _hex_roundtrip, _HEX_ROUNDTRIP_ORACLE, "hex decode + address pad (P6/P11)"
     ),

@@ -121,3 +121,36 @@ def test_rich_idle_customers_broadcast_anti(spark):
     plan = _plan(spark, "rich_idle_customers")
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19 shape: Catalyst must extract the per-side common conjuncts
+    from the OR groups — the quantity range reaches the lineitem scan
+    and the brand/size disjunction reaches the part scan, so both
+    prune BEFORE the join."""
+    plan = _plan(spark, "disjunctive_part_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li_push = [ln for ln in pushed if "l_quantity" in ln]
+    part_push = [ln for ln in pushed if "p_brand" in ln]
+    assert li_push, "quantity bounds not pushed to lineitem scan"
+    assert part_push, "brand disjunction not pushed to part scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_all_dims_broadcast(spark):
+    """Q7 shape: only the lineitem⋈orders fact join may shuffle (at
+    tiny SF it broadcasts too); customer/supplier and both nation
+    probes always broadcast — never a fact-side shuffle join."""
+    plan = _plan(spark, "volume_shipping")
+    assert plan.count("BroadcastHashJoin Inner") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_large_orders_single_fact_exchange_key(spark):
+    """Q18 shape: the qty aggregate and the join back to orders both
+    key on the order key — no TakeOrdered/global sort, broadcast
+    customer dim."""
+    plan = _plan(spark, "large_order_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(l_orderkey" in plan
