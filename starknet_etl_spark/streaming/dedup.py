@@ -1,0 +1,42 @@
+"""Streaming dedup: drop re-delivered events inside the watermark.
+
+The batch pipeline's keyed upsert (io.save_table dedup_keys) and the
+exactly-once batch replay (io.append_once) cover at-rest dedup; this
+operator covers IN-FLIGHT dedup — an at-least-once upstream (RPC
+retries, replayed micro-batches) re-delivers the same
+(transaction_hash, event_index) and the stream must emit it once.
+
+``dropDuplicatesWithinWatermark`` keeps key state ONLY until the
+watermark passes the key's event time, so state is bounded by the
+lateness budget × arrival rate — unlike ``dropDuplicates`` on a
+stream, whose state grows forever. That bounded-state property is
+the whole design at 100 TB/day: the dedup window is an explicit
+memory budget, and anything later than the watermark is the batch
+layer's job (io.append_once on landing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: The event identity (CLAUDE.md): arrival index within the block is
+#: stable across re-ingests.
+EVENT_KEYS = ["transaction_hash", "event_index"]
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-within-watermark event stream.
+
+    ``events`` must carry an event-time column; re-deliveries of the
+    same key whose event times fall inside the watermark window are
+    dropped (the first arrival wins).
+    """
+    return events.withWatermark(
+        event_time, watermark
+    ).dropDuplicatesWithinWatermark(keys or EVENT_KEYS)

@@ -177,3 +177,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got[("a", "2024-04-01T10:00:00")] == 2  # late row NOT counted
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (transaction_hash, event_index) rows are emitted
+    once; distinct keys all survive."""
+    from datetime import datetime, timedelta
+
+    from starknet_etl_spark.streaming.dedup import dedup_stream
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("0xa", 0, t0),
+        ("0xa", 0, t0),                            # same-batch dupe
+        ("0xa", 1, t0 + timedelta(seconds=1)),
+        ("0xb", 0, t0 + timedelta(seconds=2)),
+        ("0xb", 0, t0 + timedelta(seconds=3)),     # re-delivery, later ts
+    ]
+    src = str(tmp_path / "src")
+    schema = "transaction_hash string, event_index bigint, ts timestamp"
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(
+            spark.readStream.schema(schema).parquet(src),
+            watermark="10 minutes",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["transaction_hash"], r["event_index"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("0xa", 0), ("0xa", 1), ("0xb", 0)]
