@@ -564,6 +564,72 @@ FROM reach GROUP BY a
 )
 
 
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.clean_corpus(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        min_words=20,
+        max_dup_word_frac=0.7,
+        langs=("en",),
+    )
+
+
+# Full audit parity: same repetition fractions, same marker-count
+# lang argmax (fixed precedence), same min-id exact-dup rule, same
+# reason precedence. Thresholds compare the ROUNDED dup fraction on
+# both sides.
+_CLEAN_CORPUS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, ws FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+    FROM documents)
+),
+rep AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+           AS dup_word_frac
+  FROM words
+),
+lg AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
+    doc_id > MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CASE
+      WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      ELSE 'zh'
+    END AS lang_guess,
+    is_exact_dup
+  FROM lg
+),
+verdict AS (
+  SELECT b.doc_id, r.n_words, r.dup_word_frac, b.lang_guess,
+         b.is_exact_dup,
+         CASE WHEN b.is_exact_dup THEN 'exact_dup'
+              WHEN r.n_words < 20 THEN 'too_short'
+              WHEN r.dup_word_frac > 0.7 THEN 'repetitive'
+              WHEN b.lang_guess <> 'en' THEN 'lang'
+              ELSE NULL END AS drop_reason
+  FROM base b JOIN rep r ON r.doc_id = b.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, lang_guess, is_exact_dup,
+       drop_reason IS NULL AS keep, drop_reason
+FROM verdict
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -587,6 +653,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_clean_corpus": QuerySpec(
+        _clean_corpus,
+        _CLEAN_CORPUS_ORACLE,
+        "end-to-end cleaning audit: dedup+length+repetition+lang",
     ),
     "doc_dup_clusters": QuerySpec(
         _dup_clusters,

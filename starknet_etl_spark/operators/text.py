@@ -154,6 +154,66 @@ def repetition_signals(
     )
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_dup_word_frac: float = 0.7,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """C4/Gopher-style corpus cleaning as ONE auditable pass: exact
+    dedup (keep the smallest id per identical text), length floor,
+    repetition ceiling, language allowlist. Emits a verdict for EVERY
+    document — ``keep`` plus the first failing ``drop_reason`` in
+    fixed precedence (exact_dup → too_short → repetitive → lang) — so
+    the filter chain is debuggable, not a silent shrink.
+
+    Scale: repetition_signals (doc-keyed shuffles) + one window over
+    the text hash (dedup) + codegen'd lang/threshold expressions.
+    No all-pairs anything; linear in corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    rep = repetition_signals(df, id_col, text_col).select(
+        id_col, "n_words", "dup_word_frac"
+    )
+    t = F.col(text_col)
+    w = Window.partitionBy("__h")
+    base = (
+        df.select(
+            F.col(id_col),
+            lang_guess(t).alias("lang_guess"),
+            F.md5(t).alias("__h"),
+        )
+        .withColumn(
+            "is_exact_dup", F.col(id_col) > F.min(id_col).over(w)
+        )
+        .drop("__h")
+    )
+    joined = base.join(rep, id_col)
+    reason = (
+        F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(
+            F.col("dup_word_frac") > max_dup_word_frac,
+            F.lit("repetitive"),
+        )
+        .when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return joined.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        "lang_guess",
+        "is_exact_dup",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family to a document table."""
     t = F.col(text_col)

@@ -404,3 +404,29 @@ def test_connected_components_chain_cycle_pair(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError):
         connected_components(edges, max_iter=1)
+
+
+def test_clean_corpus_reasons_and_precedence(spark):
+    """One doc per failure mode + a clean keeper; the dup of the
+    repetitive doc reports exact_dup (precedence over repetitive)."""
+    good = ("the cat and the dog of a house went to the market and "
+            "bought a fine fish for the table there today")
+    rep = "the " * 25 + "end"
+    rows = [
+        (1, good),                       # keep
+        (2, rep),                        # repetitive (26 words, dup frac high)
+        (3, rep),                        # exact dup of 2 (beats repetitive)
+        (4, "the and of to a short"),    # too_short (<20 words)
+        (5, "der hund und die katze das ist gut aber der hund und die "
+            "katze das ist nicht so gut heute morgen"),  # lang=de
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in X.clean_corpus(
+        df, min_words=20, max_dup_word_frac=0.7, langs=("en",)
+    ).collect()}
+    assert got[1]["keep"] and got[1]["drop_reason"] is None
+    assert got[2]["drop_reason"] == "repetitive"
+    assert got[3]["drop_reason"] == "exact_dup" and got[3]["is_exact_dup"]
+    assert got[4]["drop_reason"] == "too_short"
+    assert got[5]["drop_reason"] == "lang" and got[5]["lang_guess"] == "de"
+    assert [k for k in got if got[k]["keep"]] == [1]
