@@ -630,6 +630,28 @@ FROM verdict
 """
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        "doc_id",
+        k=5,
+    ).select("source", "doc_id", "sample_rank")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT source, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS sample_rank
+FROM documents
+QUALIFY sample_rank <= 5
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -653,6 +675,11 @@ QUERIES = {
     ),
     "lang_quality_summary": QuerySpec(
         _lang_quality_summary, _LANG_QUALITY_ORACLE, "corpus quality rollup"
+    ),
+    "doc_stratified_sample": QuerySpec(
+        _stratified_sample,
+        _STRATIFIED_SAMPLE_ORACLE,
+        "deterministic k-per-stratum sample (hash-ranked)",
     ),
     "doc_clean_corpus": QuerySpec(
         _clean_corpus,

@@ -55,6 +55,38 @@ def split_assign(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sample: within each
+    stratum, rank rows by ``md5(id || salt)`` (id as tie-break) and
+    keep the first ``k``. Unlike ``sampleBy`` this is exactly
+    reproducible across runs/engines and yields EXACTLY k per stratum
+    (or the whole stratum if smaller) — the shape eval-set and
+    inspection sampling actually need.
+
+    Scale: one shuffle keyed by the stratum + per-stratum sort.
+    Strata are natural shards (source/lang/date), so no single sort
+    is global; a skewed mega-stratum can be pre-reduced by filtering
+    on the hash prefix before ranking.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -430,3 +430,32 @@ def test_clean_corpus_reasons_and_precedence(spark):
     assert got[4]["drop_reason"] == "too_short"
     assert got[5]["drop_reason"] == "lang" and got[5]["lang_guess"] == "de"
     assert [k for k in got if got[k]["keep"]] == [1]
+
+
+def test_stratified_sample_exact_k_and_stable(spark):
+    """Exactly k per stratum, whole stratum when smaller than k,
+    identical picks across runs, different picks under a new salt."""
+    from starknet_etl_spark.operators.splits import stratified_sample
+
+    rows = [(i, "big") for i in range(50)] + [(100, "tiny"), (101, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, stratum string")
+    s1 = stratified_sample(df, "stratum", "doc_id", k=5)
+    got1 = sorted((r["stratum"], r["doc_id"]) for r in s1.collect())
+    counts = {}
+    for st, _ in got1:
+        counts[st] = counts.get(st, 0) + 1
+    assert counts == {"big": 5, "tiny": 2}
+
+    got2 = sorted(
+        (r["stratum"], r["doc_id"])
+        for r in stratified_sample(df, "stratum", "doc_id", k=5).collect()
+    )
+    assert got1 == got2  # deterministic
+
+    salted = sorted(
+        (r["stratum"], r["doc_id"])
+        for r in stratified_sample(
+            df, "stratum", "doc_id", k=5, salt="v2"
+        ).collect()
+    )
+    assert salted != got1  # salt re-rolls
