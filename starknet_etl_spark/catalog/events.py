@@ -506,11 +506,59 @@ GROUP BY 1, 2, 3
 """
 
 
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/joins.py::interval_join (identical
+    code path — the watermark no-ops on batch input): each click
+    matched to the user's purchases within the next 30 minutes."""
+    from ..streaming.joins import interval_join
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        max_delay="30 minutes",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        F.col("r_event_id").alias("purchase_id"),
+        F.round(
+            F.col("r_ts").cast("double") - F.col("ts").cast("double"), 6
+        ).alias("delay_s"),
+        F.round("r_value", 2).alias("purchase_value"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       ROUND(epoch(p.ts) - epoch(c.ts), 6) AS delay_s,
+       ROUND(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "events_hourly_windows": QuerySpec(
         _hourly_window_counts,
         _HOURLY_WINDOW_ORACLE,
         "tumbling event-time windows via the streaming operator (ST6 batch twin)",
+    ),
+    "click_purchase_attribution": QuerySpec(
+        _attribution,
+        _ATTRIBUTION_ORACLE,
+        "interval join (stream-stream twin): purchase within 30 min",
     ),
     "last_purchase_asof": QuerySpec(
         _last_purchase_asof, _ASOF_ORACLE, "as-of join (union-sort-carry)"

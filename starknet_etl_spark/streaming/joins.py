@@ -1,0 +1,55 @@
+"""Watermarked stream-stream interval join.
+
+The attribution/conversion shape: match each left event with right
+events for the same key whose event time falls in
+``[left_time, left_time + max_delay]`` (click → purchase within an
+hour). Batch twin with identical semantics: the ``click_purchase_
+attribution`` catalog query (oracle-checked), same pattern as
+sessionize_stream / user_sessions.
+
+Scale design: Spark keeps join state for BOTH sides; the watermark
+plus the explicit time-range condition let it evict state as event
+time advances — state is bounded by (watermark + max_delay) ×
+arrival rate, independent of stream lifetime. Without the range
+condition an equality-only stream-stream join must retain every row
+forever; this operator makes the bound non-optional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner join: same ``on`` key and ``right_time`` within
+    ``[left_time, left_time + max_delay]``. Right columns are
+    prefixed. Works identically on batch and streaming inputs (the
+    watermark is a no-op in batch — that's the twin-query property).
+    """
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    lw = left.withWatermark(left_time, watermark) if left.isStreaming else left
+    rw = (
+        r.withWatermark(f"{right_prefix}{right_time}", watermark)
+        if right.isStreaming
+        else r
+    )
+    lt = F.col(left_time)
+    rt = F.col(f"{right_prefix}{right_time}")
+    cond = (
+        (F.col(on) == F.col(f"{right_prefix}{on}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -218,3 +218,65 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [("0xa", 0), ("0xa", 1), ("0xb", 0)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases within 30
+    min of a click match; later ones don't; streaming result equals
+    the batch twin on identical input."""
+    from datetime import datetime, timedelta
+
+    from starknet_etl_spark.streaming.joins import interval_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    clicks = [(1, 10, t0), (2, 11, t0 + timedelta(minutes=5))]
+    purchases = [
+        (1, 20, t0 + timedelta(minutes=10), 9.99),   # within 30min of 10
+        (1, 21, t0 + timedelta(hours=2), 5.0),       # too late
+        (2, 22, t0 + timedelta(minutes=4), 7.0),     # BEFORE the click
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    cschema = "user_id bigint, click_id bigint, ts timestamp"
+    pschema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    spark.createDataFrame(clicks, cschema).write.parquet(cdir)
+    spark.createDataFrame(purchases, pschema).write.parquet(pdir)
+
+    out = str(tmp_path / "out")
+    q = (
+        interval_join(
+            spark.readStream.schema(cschema).parquet(cdir),
+            spark.readStream.schema(pschema).parquet(pdir),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="30 minutes",
+        )
+        .select("user_id", "click_id", "r_event_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["click_id"], r["r_event_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 10, 20)]
+
+    # batch twin: the same operator on batch frames gives the same rows
+    batch = sorted(
+        (r["user_id"], r["click_id"], r["r_event_id"])
+        for r in interval_join(
+            spark.read.parquet(cdir),
+            spark.read.parquet(pdir),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="30 minutes",
+        ).select("user_id", "click_id", "r_event_id").collect()
+    )
+    assert batch == got
