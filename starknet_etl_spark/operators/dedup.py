@@ -222,6 +222,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.8,
     eager_release: bool = True,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by true Jaccard.
 
@@ -229,6 +230,15 @@ def minhash_lsh_pairs(
     pairs sharing ≥ 1 LSH band bucket; each candidate's true shingle
     Jaccard is then computed and thresholded, so the output has no
     false positives (bands only bound recall).
+
+    ``broadcast_candidates``: the verification side-tables (candidate
+    id set + per-doc sizes) broadcast when small. ``None`` (default)
+    leaves the decision to AQE, which reads the ACTUAL runtime size
+    of the candidate shuffle and flips to broadcast only when it
+    fits — so a dup-heavy 100 TB corpus (candidates ≈ corpus) gets
+    shuffled joins instead of OOMing the driver on a forced
+    broadcast, with no extra driver action. ``True`` forces the
+    round-1 behavior for corpora known to be dup-sparse.
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
@@ -268,12 +278,16 @@ def minhash_lsh_pairs(
     # index, restricted to candidate docs first (semi-join) so only
     # the (tiny) candidate set pays the verification cost.
     cands = cands.persist()
+
+    def _side(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if broadcast_candidates else d
+
     cand_ids = (
         cands.select(F.col("id_1").alias(id_col))
         .union(cands.select(F.col("id_2").alias(id_col)))
         .distinct()
     )
-    sh = sh_all.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = sh_all.join(_side(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")
@@ -286,8 +300,8 @@ def minhash_lsh_pairs(
     sz1 = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1"))
     sz2 = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2"))
     verified = (
-        inter.join(F.broadcast(sz1), "id_1")
-        .join(F.broadcast(sz2), "id_2")
+        inter.join(_side(sz1), "id_1")
+        .join(_side(sz2), "id_2")
         .select(
             "id_1",
             "id_2",
