@@ -35,10 +35,10 @@ class QuerySpec:
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import domain, events, multimodal, relational, text, vectors
+    from . import analytics, domain, events, multimodal, relational, text, vectors
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, events, text, vectors, multimodal, domain):
+    for mod in (relational, analytics, events, text, vectors, multimodal, domain):
         overlap = out.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate catalog keys: {overlap}"
         out.update(mod.QUERIES)

@@ -1,0 +1,470 @@
+"""Analytical breadth beyond the reference — classic star-schema shapes.
+
+Round-2 continuation: the remaining TPC-H query shapes the TESTDATA
+schema supports (no partsupp table, no l_commitdate/l_receiptdate →
+Q4/Q21 lateness is adapted to ship-vs-order-date lag; shapes and
+plan structure preserved). Every query is oracle-checked; plan
+invariants (pushdown, broadcast dims, top-k) asserted in
+tests/test_plan_quality.py where the shape has a scale contract.
+
+Scale notes per query live in SCALING.md; the common posture:
+lineitem⋈orders is the only big⋈big join (SMJ under AQE, or
+exchange-free via io.save_bucketed), every dim is broadcast, filters
+sit before joins so parquet pushdown prunes the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_testdata
+from ..operators.aggregates import top_k
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: revenue of unshipped-at-cutoff orders for one
+# market segment, top 10. customer is a broadcast semi-filter, the only
+# shuffle is lineitem⋈orders + the (orderkey, orderdate) aggregate.
+# --------------------------------------------------------------------------
+
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    fact = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+    fact = li.join(fact, li.l_orderkey == F.col("o_orderkey"))
+    agg = fact.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return top_k(
+        agg,
+        [F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority check: orders in one quarter with at least one
+# slow lineitem (shipped >60 days after order; TESTDATA has no
+# commit/receipt dates). Correlated EXISTS → left-semi join with a
+# mixed equi + range condition; counts by priority.
+# --------------------------------------------------------------------------
+
+
+def _order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_ORDER_PRIORITY_EXISTS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: revenue where customer and supplier share
+# a nation inside one region, one order year. The c_nationkey ==
+# s_nationkey equality rides the same row after both broadcast dim
+# joins — no extra shuffle.
+# --------------------------------------------------------------------------
+
+
+def _local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region.r_regionkey,
+            "left_semi",
+        )
+        .select("n_nationkey", "n_name")
+    )
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return fact.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure scan + filter + global aggregate.
+# The whole predicate set pushes to the parquet scan (asserted in
+# test_plan_quality.py); at 100 TB this is the min-stat/max-stat
+# row-group skipping showcase.
+# --------------------------------------------------------------------------
+
+
+def _forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share: one nation's share of regional revenue for one
+# part type, by order year. Conditional aggregate over a 6-table join;
+# the big⋈big is lineitem⋈orders, everything else broadcast.
+# --------------------------------------------------------------------------
+
+
+def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cnation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region.r_regionkey,
+            "left_semi",
+        )
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    snation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        fact.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+  AND c_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'AMERICA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned items: revenue lost to returns per customer in one
+# quarter, top 20. Two-sided date/flag filters push to both scans;
+# customer + nation broadcast onto the aggregate output (post-agg
+# join keeps the shuffle narrow: aggregate first, enrich after).
+# --------------------------------------------------------------------------
+
+
+def _returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = agg.join(
+        F.broadcast(cust), agg.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    out = enriched.select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+    return top_k(out, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+_RETURNED_ITEMS_ORACLE = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: "late" = shipped
+# >90 days after order date; no receipt/commit dates in TESTDATA).
+# For finished orders: the supplier's lineitem is late, the order has
+# at least one OTHER supplier's lineitem (multi-supplier order), and
+# NO other supplier's lineitem is late — the sole-blocker pattern.
+# EXISTS → left-semi, NOT EXISTS → left-anti, both with a mixed
+# equi(orderkey) + non-equi(suppkey ≠) condition, so they stay
+# shuffle-partitioned on l_orderkey — one shuffle family, no
+# cartesian anywhere.
+# --------------------------------------------------------------------------
+
+
+def _waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+            "is_late"
+        ),
+    )
+    l1 = base.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    others = base.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "is_late",
+    )
+    # EXISTS: some other supplier on the same order.
+    l1 = l1.join(
+        others,
+        (l1.l_orderkey == others.o2_orderkey)
+        & (l1.l_suppkey != others.o2_suppkey),
+        "left_semi",
+    )
+    late_others = base.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    # NOT EXISTS: no other supplier late on the same order.
+    l1 = l1.join(
+        late_others,
+        (l1.l_orderkey == F.col("o3_orderkey"))
+        & (l1.l_suppkey != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counted = (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(counted, [F.desc("numwait"), F.asc("s_name")], 20)
+
+
+_WAITING_SUPPLIERS_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM base l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "shipping_priority": QuerySpec(
+        _shipping_priority,
+        _SHIPPING_PRIORITY_ORACLE,
+        "Q3 shape: segment semi-filter, big join, grouped top-10",
+    ),
+    "order_priority_exists": QuerySpec(
+        _order_priority_exists,
+        _ORDER_PRIORITY_EXISTS_ORACLE,
+        "Q4 shape: correlated EXISTS as mixed-condition left-semi",
+    ),
+    "local_supplier_volume": QuerySpec(
+        _local_supplier_volume,
+        _LOCAL_SUPPLIER_VOLUME_ORACLE,
+        "Q5 shape: 6-table star join, same-nation filter",
+    ),
+    "forecast_revenue": QuerySpec(
+        _forecast_revenue,
+        _FORECAST_REVENUE_ORACLE,
+        "Q6 shape: full-pushdown scan aggregate",
+    ),
+    "market_share": QuerySpec(
+        _market_share,
+        _MARKET_SHARE_ORACLE,
+        "Q8 shape: conditional share over 6-table join by year",
+    ),
+    "returned_items": QuerySpec(
+        _returned_items,
+        _RETURNED_ITEMS_ORACLE,
+        "Q10 shape: returns revenue per customer, aggregate-then-enrich",
+    ),
+    "waiting_suppliers": QuerySpec(
+        _waiting_suppliers,
+        _WAITING_SUPPLIERS_ORACLE,
+        "Q21 shape: EXISTS + NOT EXISTS self-joins, sole-late-supplier",
+    ),
+}

@@ -154,3 +154,64 @@ def test_large_orders_single_fact_exchange_key(spark):
     plan = _plan(spark, "large_order_customers")
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    """Q6 shape: every predicate (ship date, discount bounds, qty)
+    reaches the parquet scan — at 100 TB this is row-group skipping
+    on min/max stats; none of the filter may run post-scan-only."""
+    plan = _plan(spark, "forecast_revenue")
+    pushed = "".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    # global agg = partial + final around one single-row exchange
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 2
+
+
+def test_shipping_priority_semi_broadcast_topk(spark):
+    """Q3 shape: customer segment filter is a broadcast left-semi
+    (never shuffles the fact), date filters push to both scans,
+    result is a real top-k."""
+    plan = _plan(spark, "shipping_priority")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = "".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_waiting_suppliers_no_nested_loop(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS self-joins carry an equi key
+    (l_orderkey) plus a non-equi suppkey≠ residual — they must plan
+    as hash/SMJ semi/anti joins, never a nested-loop/cartesian."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_returned_items_aggregate_before_enrich(spark):
+    """Q10 shape: aggregate on o_custkey FIRST, broadcast-enrich the
+    ~20-row-bound output after — the customer/nation joins must sit
+    above the aggregate, not below it (joining dims into the fact
+    pre-agg would widen the shuffled rows for nothing)."""
+    plan = _plan(spark, "returned_items")
+    tree = _tree(plan)
+    agg_line = min(
+        i for i, ln in enumerate(tree.splitlines())
+        if "HashAggregate" in ln
+    )
+    bhj_lines = [
+        i for i, ln in enumerate(tree.splitlines())
+        if "BroadcastHashJoin" in ln
+    ]
+    # enrichment joins appear ABOVE (smaller line index than) the
+    # final aggregate in the printed tree
+    assert any(i < agg_line for i in bhj_lines)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
