@@ -431,6 +431,293 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier (adapted: TESTDATA has no partsupp, so the
+# part⇄supplier cost relation is derived from lineitem unit prices;
+# the correlated MIN subquery becomes a row_number window over the
+# probe side). One shuffle: the per-part window; every dim broadcast.
+# --------------------------------------------------------------------------
+
+
+def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region.r_regionkey,
+            "left_semi",
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == nation.n_nationkey,
+        "inner",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    best = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+    return top_k(best, [F.desc("s_acctbal"), F.asc("p_partkey")], 100)
+
+
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH ranked AS (
+  SELECT l_partkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size = 15 AND p_type = 'STANDARD')
+)
+SELECT l_partkey AS p_partkey, s_name, s_acctbal, n_name,
+       ROUND(unit_cost, 6) AS unit_cost
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit (adapted: supply cost proxied as 10 % of
+# p_retailprice per unit; no partsupp in TESTDATA). LIKE filter on
+# p_name, 6-table join, (nation, year) aggregate. lineitem⋈orders is
+# the only big⋈big; part/supplier/nation broadcast.
+# --------------------------------------------------------------------------
+
+
+def _product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    fact = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return fact.groupBy(
+        "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(F.round(F.sum(amount), 2).alias("profit"))
+
+
+_PRODUCT_PROFIT_ORACLE = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock (adapted: per-part shipped value from one
+# nation's suppliers stands in for partsupp inventory value). The
+# HAVING > global-fraction scalar is a 1-row broadcast cross join —
+# the aggregate is computed once, not per group.
+# --------------------------------------------------------------------------
+
+
+def _important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey, "left_semi")
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    vals = li.groupBy("l_partkey").agg(F.sum("v").alias("value"))
+    total = vals.agg(F.sum("value").alias("grand_total"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand_total") * 0.001)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+_IMPORTANT_PARTS_ORACLE = """
+WITH vals AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM vals
+WHERE value > (SELECT SUM(value) * 0.001 FROM vals)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier relationship (adapted: part⇄supplier pairs from
+# lineitem; "complaint" suppliers proxied by negative account
+# balance). NOT IN → broadcast anti-join; COUNT(DISTINCT supplier)
+# per (brand, type, size).
+# --------------------------------------------------------------------------
+
+
+def _parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaint = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(complaint),
+            F.col("l_suppkey") == complaint.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    return li.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_PARTS_SUPPLIER_COUNTS_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: "has excess stock" becomes
+# "shipped > 300 units of the target parts in the window" — partsupp
+# availqty is proxied by shipped quantity). Nested IN subqueries →
+# semi-join chain: parts → qualifying shipments (grouped HAVING) →
+# suppliers, restricted to one nation.
+# --------------------------------------------------------------------------
+
+
+def _promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+    )
+    heavy = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+            "left_semi",
+        )
+        .join(F.broadcast(heavy), F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+    )
+    return supp.select("s_name", "s_acctbal")
+
+
+_PROMOTION_SUPPLIERS_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%blue%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 300)
+"""
+
+
 QUERIES = {
     "shipping_priority": QuerySpec(
         _shipping_priority,
@@ -466,5 +753,30 @@ QUERIES = {
         _waiting_suppliers,
         _WAITING_SUPPLIERS_ORACLE,
         "Q21 shape: EXISTS + NOT EXISTS self-joins, sole-late-supplier",
+    ),
+    "min_cost_supplier": QuerySpec(
+        _min_cost_supplier,
+        _MIN_COST_SUPPLIER_ORACLE,
+        "Q2 shape: correlated MIN as per-part window, dims broadcast",
+    ),
+    "product_profit": QuerySpec(
+        _product_profit,
+        _PRODUCT_PROFIT_ORACLE,
+        "Q9 shape: LIKE-filtered 6-table profit by nation/year",
+    ),
+    "important_parts": QuerySpec(
+        _important_parts,
+        _IMPORTANT_PARTS_ORACLE,
+        "Q11 shape: HAVING vs global-fraction scalar (broadcast cross join)",
+    ),
+    "parts_supplier_counts": QuerySpec(
+        _parts_supplier_counts,
+        _PARTS_SUPPLIER_COUNTS_ORACLE,
+        "Q16 shape: NOT IN anti-join + COUNT DISTINCT per part class",
+    ),
+    "promotion_suppliers": QuerySpec(
+        _promotion_suppliers,
+        _PROMOTION_SUPPLIERS_ORACLE,
+        "Q20 shape: nested IN chain as semi-joins with grouped HAVING",
     ),
 }

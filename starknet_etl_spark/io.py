@@ -410,13 +410,35 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         reader = reader.schema(ddl)
     df = reader.parquet(path)
     if name == "events":
-        # parquet TIMESTAMP(NANOS) → read as long ns (legacy conf in
-        # session.py), truncate to micros. `div` keeps the math in
-        # 64-bit integers (a double round-trip would lose precision).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # ts is declared BIGINT for the scan (schemas.py) so the same
+        # read works whatever physical unit the generator emitted —
+        # TIMESTAMP(NANOS) needs the legacy nanosAsLong conf (session.py),
+        # finer units arrive as their raw integer. Sniff the footer unit
+        # and rescale to micros with integer math (`div` — a double
+        # round-trip would lose precision past 2^53).
+        unit = _parquet_ts_unit(path)
+        scale = {"s": "ts * 1000000", "ms": "ts * 1000", "us": "ts",
+                 "ns": "ts div 1000"}[unit]
+        df = df.withColumn("ts", F.timestamp_micros(F.expr(scale)))
     return df
+
+
+def _parquet_ts_unit(path: str) -> str:
+    """Physical unit of the events `ts` column ('s'|'ms'|'us'|'ns').
+
+    The driver regenerates TESTDATA between rounds and has already
+    switched ts from timestamp[ns] to timestamp[us] once; sniffing the
+    footer keeps the loader correct under either encoding. Defaults to
+    'us' (the current generator) when the footer can't be read (e.g. a
+    non-local path, where pyarrow would need a filesystem handle).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        return getattr(t, "unit", "us") or "us"
+    except Exception:
+        return "us"
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:

@@ -215,3 +215,58 @@ def test_returned_items_aggregate_before_enrich(spark):
     assert any(i < agg_line for i in bhj_lines)
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_min_cost_supplier_one_window_shuffle(spark):
+    """Q2 shape: the correlated-MIN window partitions on l_partkey —
+    one Exchange for the window, no pre-aggregation shuffle, every
+    dim (part filter, region suppliers) broadcast, real top-k."""
+    plan = _plan(spark, "min_cost_supplier")
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # window shuffle + top-k only; the semi/inner dim joins broadcast
+    assert tree.count("Exchange") <= 2
+
+
+def test_product_profit_single_fact_join_shuffle(spark):
+    """Q9 shape: lineitem⋈orders is the only shuffle join; part,
+    supplier, nation all broadcast; the p_name LIKE filter prunes the
+    part build side before it ships."""
+    plan = _plan(spark, "product_profit")
+    assert plan.count("BroadcastHashJoin") == 3
+    pushed = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "p_name" in pushed  # LIKE '%red%' → StringContains pushdown
+
+
+def test_important_parts_scalar_is_broadcast_cross(spark):
+    """Q11 shape: the HAVING-fraction scalar joins back as a 1-row
+    broadcast (BroadcastNestedLoopJoin over a single row is the right
+    plan here — NOT a shuffled join, NOT a per-group recompute)."""
+    plan = _plan(spark, "important_parts")
+    tree = _tree(plan)
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    # per-part aggregate + global total: two aggregate families max
+    assert "SortMergeJoin" not in plan
+
+
+def test_parts_supplier_counts_anti_broadcast(spark):
+    """Q16 shape: the NOT-IN complaint-supplier exclusion is a
+    broadcast anti-join on the fact scan, never a shuffle."""
+    plan = _plan(spark, "parts_supplier_counts")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_promotion_suppliers_semi_chain(spark):
+    """Q20 shape: both nested INs plan as semi-joins; the grouped
+    HAVING aggregate runs on the (pre-filtered, semi-joined) fact
+    once; supplier side never shuffles."""
+    plan = _plan(spark, "promotion_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    pushed = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_shipdate" in pushed
