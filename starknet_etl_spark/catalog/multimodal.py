@@ -41,10 +41,49 @@ FROM documents
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full kernel output incl. the stubbed feature vector — not
-    SQL-expressible (codec stand-in), so rows-only check; determinism
-    is unit-tested (test_multimodal.py)."""
-    return extract_features(_payloads(spark, sf_dir), dim=8)
+    """Full kernel output incl. the stubbed feature vector, projected
+    to hashable columns: the 8 feature elements unpacked as rounded
+    doubles so the driver gets rows+schema+hash (arrays stringify
+    differently across engines' pandas paths). fake_decode is a pure
+    function of payload bytes, and the test corpus is ASCII, so the
+    oracle replicates it exactly from character codes."""
+    feats = extract_features(_payloads(spark, sf_dir), dim=8)
+    return feats.select(
+        "asset_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha_prefix",
+        *[
+            F.round(F.col("feature")[j], 6).alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
+
+
+# Replicates operators/multimodal.fake_decode: step = max(1, len//8),
+# feature[j] = sum(bytes[j*step : j*step+step]) / (255*step); slices
+# past the end sum to 0 (list_sum of empty → NULL → coalesce). ASCII
+# corpus ⇒ byte value == ascii(char) (asserted by the n_bytes =
+# octet_length = length(text) equality the meta oracle already pins).
+_MM_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id AS asset_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS bs,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         substr(sha256(text), 1, 16) AS sha_prefix
+  FROM documents
+), s AS (
+  SELECT asset_id, bs, n_bytes, sha_prefix,
+         greatest(1, n_bytes // 8) AS step
+  FROM b
+)
+SELECT asset_id, n_bytes, sha_prefix,
+""" + ",\n".join(
+    f"  ROUND(coalesce(list_sum(bs[{j}*step+1 : {j}*step+step]), 0)"
+    f" / (255.0 * step), 6) AS f{j}"
+    for j in range(8)
+) + """
+FROM s
+"""
 
 
 QUERIES = {
@@ -54,6 +93,8 @@ QUERIES = {
         "binary payload metadata through the Arrow kernel",
     ),
     "multimodal_features": QuerySpec(
-        _mm_features, None, "stub-decoded feature vectors (rows-only)"
+        _mm_features,
+        _MM_FEATURES_ORACLE,
+        "stub-decoded feature vectors, unpacked + oracle-checked",
     ),
 }

@@ -40,24 +40,20 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
-def _jaccard_cap(n_docs: int) -> int:
-    """Stop-shingle skew cap: a shingle present in >10 % of the corpus
-    (floor, min 25 docs) carries no near-dup signal at a 0.8
-    threshold but makes the inverted-index self-join quadratic in its
-    document frequency — the one scale hole flagged in round 1. The
-    floor keeps tiny corpora uncapped."""
-    return max(25, int(0.10 * n_docs))
-
-
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # Stop-shingle skew cap: a shingle present in >10 % of the corpus
+    # (floor, min 25 docs) carries no near-dup signal at a 0.8
+    # threshold but makes the inverted-index self-join quadratic in
+    # its document frequency. max_df_frac resolves the cap inside the
+    # plan (1-row broadcast scalar) — building this query triggers no
+    # Spark job.
     return D.jaccard_pairs(
-        docs,
+        _docs(spark, sf_dir),
         "doc_id",
         "text",
         n=3,
         threshold=0.8,
-        max_df=_jaccard_cap(docs.count()),
+        max_df_frac=0.10,
     )
 
 

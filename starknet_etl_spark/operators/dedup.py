@@ -110,6 +110,8 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
+    min_df_cap: int = 25,
     eager_release: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
@@ -117,25 +119,43 @@ def jaccard_pairs(
     Inverted-index self-join: pairs are generated only for docs
     sharing ≥ 1 shingle — never a cross join. ``max_df`` drops
     shingles appearing in more than that many docs (stop-shingle
-    skew cap for web-scale corpora).
+    skew cap for web-scale corpora). ``max_df_frac`` is the scale
+    form of the same cap: drop shingles present in more than
+    ``max(min_df_cap, floor(max_df_frac * n_docs))`` docs, with
+    n_docs resolved INSIDE the plan (a 1-row broadcast scalar) — no
+    eager driver-side count action at build time.
 
     The shingle index is ``persist()``-ed (consumed 3x in one plan);
     with ``eager_release`` (default) the result materializes inside
     this call and the index cache is released immediately.
     """
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
     sh = shingles(df, id_col, text_col, n=n).select(
         id_col,
         # join on the 64-bit hash, not the string: ~5x less shuffle
         # volume; collision odds are ~n_pairs/2^64, irrelevant.
         F.xxhash64("shingle").alias("sh_h"),
     ).persist()  # consumed 3x below (sizes + both join sides)
-    if max_df is not None:
-        hot = (
-            sh.groupBy("sh_h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh_h")
-        )
+    if max_df is not None or max_df_frac is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            hot = dfreq.filter(F.col("df") > max_df).select("sh_h")
+        else:
+            # count(*) over the corpus as a 1-row broadcast — the cap
+            # stays in-plan, the column-pruned count scan is ~free
+            # next to the shingle index build it gates.
+            cap = df.agg(
+                F.greatest(
+                    F.lit(min_df_cap).cast("long"),
+                    F.floor(F.lit(max_df_frac) * F.count(F.lit(1))),
+                ).alias("__cap")
+            )
+            hot = (
+                dfreq.join(F.broadcast(cap))
+                .filter(F.col("df") > F.col("__cap"))
+                .select("sh_h")
+            )
         sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -22,6 +22,15 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Keep AQE's post-shuffle coalescing from under-parallelizing
+    # CPU-heavy small shuffles: with the default 1 MiB floor, the
+    # ~3 MiB compressed token shuffle behind simhash/shingles ran as
+    # 3 tasks on 32 cores (measured 2x slowdown). parallelismFirst
+    # targets max(total/parallelism, minPartitionSize); at cluster
+    # scale total/parallelism dominates, so a 256 KiB floor only
+    # affects exactly these small CPU-bound stages.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "zstd",
     # 128 MiB input splits: big enough to amortize task overhead,

@@ -226,18 +226,40 @@ def test_min_cost_supplier_one_window_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # window shuffle + top-k only; the semi/inner dim joins broadcast
-    assert tree.count("Exchange") <= 2
+    # window shuffle + top-k only; the semi/inner dim joins broadcast.
+    # "Exchange" alone also matches BroadcastExchange nodes (the dim
+    # broadcasts we WANT) — count only shuffle exchanges.
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 2, tree
 
 
 def test_product_profit_single_fact_join_shuffle(spark):
-    """Q9 shape: lineitem⋈orders is the only shuffle join; part,
-    supplier, nation all broadcast; the p_name LIKE filter prunes the
-    part build side before it ships."""
+    """Q9 shape: part, supplier, nation all broadcast (at fixture
+    scale the planner may legitimately broadcast orders too — that's
+    optimal there, so assert >=, not ==, and count tree lines only:
+    the details section repeats every node name); the p_name LIKE
+    filter prunes the part build side before it ships."""
     plan = _plan(spark, "product_profit")
-    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("BroadcastHashJoin Inner") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     pushed = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
     assert "p_name" in pushed  # LIKE '%red%' → StringContains pushdown
+
+
+def test_product_profit_degrades_to_smj_without_broadcast(spark):
+    """The 100 TB intent behind Q9: every join carries equi keys, so
+    when nothing fits in a broadcast (threshold -1 ≈ facts at scale)
+    the whole plan degrades to sort-merge joins — never a nested
+    loop or cartesian product."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "product_profit")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_important_parts_scalar_is_broadcast_cross(spark):

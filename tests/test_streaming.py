@@ -57,6 +57,48 @@ def test_stream_ingest_checkpoint_resume(spark, tmp_path):
     assert got3.select("block_number").distinct().count() == 8
 
 
+def test_stream_ingest_replayed_batch_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: if the sink commit marker is
+    lost after the data landed, restart re-executes the SAME batch_id.
+    The default ingest path must swallow the replay (io.append_once
+    ledger), not double-append. Simulated by deleting the checkpoint's
+    commits/ entry while keeping offsets/ — the real failure mode."""
+    import os
+    import shutil
+
+    events_path = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_ingest_stream(
+        spark,
+        ENDPOINT,
+        events_path=events_path,
+        checkpoint=ckpt,
+        from_block=1_000_000,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert load_table(spark, events_path).count() == 12
+
+    # crash window: batch 0's data landed but its commit marker didn't
+    commits = os.path.join(ckpt, "commits")
+    assert os.listdir(commits)  # sanity: the engine wrote commit files
+    shutil.rmtree(commits)
+
+    q2 = start_ingest_stream(
+        spark,
+        ENDPOINT,
+        events_path=events_path,
+        checkpoint=ckpt,
+        from_block=1_000_000,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    got = load_table(spark, events_path)
+    assert got.count() == 12  # replayed batch 0 appended nothing
+    assert got.select("block_number", "event_index").distinct().count() == 12
+
+
 def test_streaming_pipeline_refreshes_report(spark, tmp_path):
     from starknet_etl_spark import schemas
 
