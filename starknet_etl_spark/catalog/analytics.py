@@ -590,9 +590,15 @@ def _important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = li.groupBy("l_partkey").agg(F.sum("v").alias("value"))
     total = vals.agg(F.sum("value").alias("grand_total"))
+    # Compare ROUNDED value against a ROUNDED threshold (identically
+    # in the oracle): a part sitting at the raw threshold could flip
+    # in/out across engines on float summation-order drift.
     return (
         vals.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("grand_total") * 0.001)
+        .filter(
+            F.round("value", 2)
+            > F.round(F.col("grand_total") * 0.001, 2)
+        )
         .select("l_partkey", F.round("value", 2).alias("value"))
     )
 
@@ -608,7 +614,7 @@ WITH vals AS (
 )
 SELECT l_partkey, ROUND(value, 2) AS value
 FROM vals
-WHERE value > (SELECT SUM(value) * 0.001 FROM vals)
+WHERE ROUND(value, 2) > ROUND((SELECT SUM(value) * 0.001 FROM vals), 2)
 """
 
 

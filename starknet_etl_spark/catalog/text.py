@@ -648,6 +648,52 @@ QUALIFY sample_rank <= 5
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import mix_corpus
+
+    out = mix_corpus(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        weights=_MIX_WEIGHTS,
+    )
+    return out.select("doc_id", "lang", "mix_rank")
+
+
+# Mirrors the operator: budget T = min_g floor(n_g / w_g), target
+# k_g = floor(w_g * T), keep the first k_g per group by md5 rank.
+# Weights CAST to DOUBLE — DuckDB's VALUES would otherwise type them
+# DECIMAL and divide with different rounding than Spark's doubles.
+_DOMAIN_MIX_ORACLE = (
+    "WITH w(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"('{g}', CAST({x} AS DOUBLE))" for g, x in _MIX_WEIGHTS.items()
+    )
+    + """),
+cnt AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT cnt.grp, n, wt FROM cnt JOIN w ON cnt.grp = w.grp),
+budget AS (SELECT MIN(CAST(floor(n / wt) AS BIGINT)) AS T FROM j),
+targets AS (
+  SELECT grp, CAST(floor(wt * T) AS BIGINT) AS k FROM j, budget
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.mix_rank
+FROM ranked r JOIN targets t ON r.lang = t.grp
+WHERE r.mix_rank <= t.k
+"""
+)
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -676,6 +722,11 @@ QUERIES = {
         _stratified_sample,
         _STRATIFIED_SAMPLE_ORACLE,
         "deterministic k-per-stratum sample (hash-ranked)",
+    ),
+    "doc_domain_mix": QuerySpec(
+        _domain_mix,
+        _DOMAIN_MIX_ORACLE,
+        "domain-mixture resampler (largest corpus at target weights)",
     ),
     "doc_clean_corpus": QuerySpec(
         _clean_corpus,

@@ -158,6 +158,131 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def _knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_lsh(
+        emb.filter(F.col("vec_id") != _QUERY_ID),
+        query,
+        dim=DIM,
+        planes=4,
+        k=10,
+        hamming_probe=1,
+    )
+
+
+# Single-probe oracle + the 4 buckets one hyperplane flip away
+# (xor with each plane bit) — the multi-probe candidate set.
+_KNN_LSH_MULTIPROBE_ORACLE = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS d),
+planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+w AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.p,
+         SUM(w.wt * CAST(e.embedding[w.d] AS DOUBLE)) AS s
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT b FROM buckets WHERE vec_id = {_QUERY_ID}),
+probe AS (
+  SELECT b FROM qb
+  UNION
+  SELECT xor(qb.b, CAST(POW(2, p) AS BIGINT)) FROM qb, planes
+),
+cand AS (
+  SELECT vec_id FROM buckets
+  WHERE b IN (SELECT b FROM probe) AND vec_id <> {_QUERY_ID}
+),
+scored AS (
+  SELECT b.vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id = {_QUERY_ID}
+   AND b.vec_id IN (SELECT vec_id FROM cand),
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_ivf(
+        emb.filter(F.col("vec_id") != _QUERY_ID),
+        query,
+        k=10,
+        n_probes=2,
+        dim=DIM,
+    )
+
+
+# Cells ranked by centroid·query / |centroid| (query norm is constant
+# across cells, so it can't change the ranking), best 2 scanned.
+# Centroids are computed over the corpus WITHOUT the query row,
+# mirroring the operator input.
+_KNN_IVF_MULTIPROBE_ORACLE = f"""
+WITH cent AS (
+  SELECT label AS cell, i AS dim_i,
+         ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id <> {_QUERY_ID}
+  GROUP BY label, i
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}),
+cell_scores AS (
+  SELECT cell,
+         SUM(c * CAST(q.embedding[dim_i] AS DOUBLE))
+         / SQRT(SUM(c * c)) AS s
+  FROM cent, q GROUP BY cell
+),
+probe AS (SELECT cell FROM cell_scores ORDER BY s DESC, cell ASC LIMIT 2),
+scored AS (
+  SELECT b.vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id = {_QUERY_ID} AND b.vec_id <> {_QUERY_ID}
+   AND b.label IN (SELECT cell FROM probe),
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _near_dup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-scale near-dup composition: blocked GEMM restricted to
+    IVF cells (Σ_c N_c² instead of N²); exact within cells."""
+    return S.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, cell_col="label"
+    )
+
+
+_NEAR_DUP_CELL_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_1, id_2, ROUND(cos, 6) AS cos_sim FROM pairs
+WHERE ROUND(cos, 6) >= 0.4
+"""
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.centroids(_emb(spark, sf_dir), cell_col="label", dim=DIM)
 
@@ -185,8 +310,23 @@ QUERIES = {
     "emb_knn_lsh": QuerySpec(
         _knn_lsh, _KNN_LSH_ORACLE, "SRP-LSH bucketed ANN top-10"
     ),
+    "emb_knn_lsh_multiprobe": QuerySpec(
+        _knn_lsh_multiprobe,
+        _KNN_LSH_MULTIPROBE_ORACLE,
+        "multi-probe SRP-LSH ANN (Hamming-1 buckets, recall lever)",
+    ),
+    "emb_knn_ivf_multiprobe": QuerySpec(
+        _knn_ivf_multiprobe,
+        _KNN_IVF_MULTIPROBE_ORACLE,
+        "multi-probe IVF ANN (centroid-ranked 2-cell scan)",
+    ),
     "emb_near_dup_pairs": QuerySpec(
         _near_dup, _NEAR_DUP_ORACLE, "embedding-cosine near-dup pairs"
+    ),
+    "emb_near_dup_cells": QuerySpec(
+        _near_dup_cell,
+        _NEAR_DUP_CELL_ORACLE,
+        "near-dup pairs within IVF cells (the N² -> sum N_c² path)",
     ),
     "emb_centroids": QuerySpec(
         _centroids, _CENTROIDS_ORACLE, "per-cell mean vectors (IVF training step)"

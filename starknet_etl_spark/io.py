@@ -437,7 +437,18 @@ def _parquet_ts_unit(path: str) -> str:
 
         t = pq.read_schema(path).field("ts").type
         return getattr(t, "unit", "us") or "us"
-    except Exception:
+    except Exception as exc:
+        # Falling back blind is dangerous: if the generator flips back
+        # to timestamp[ns] in an environment where the footer can't be
+        # read, every ts would be silently off by 1000x. Make the
+        # guess loud so a bad conversion is traceable.
+        import warnings
+
+        warnings.warn(
+            f"could not sniff parquet ts unit from {path!r} ({exc}); "
+            "assuming 'us' — verify event timestamps look sane",
+            stacklevel=2,
+        )
         return "us"
 
 

@@ -1,0 +1,82 @@
+"""Domain-mixture resampling for training corpora.
+
+A training run wants the corpus in TARGET proportions (so much web,
+so much code, so much reference text), not whatever proportions the
+crawl happened to produce. ``mix_corpus`` downsamples each group to
+the largest total corpus that honors the target weights exactly
+(never upsampling): budget ``T = min_g floor(n_g / w_g)``, per-group
+target ``k_g = floor(w_g * T)``, and within each group the kept rows
+are the first ``k_g`` by ``md5(id || salt)`` rank — the same
+deterministic, engine-reproducible, append-bounded selection as
+``splits.stratified_sample``.
+
+Scale design: group counts, the budget scalar, and per-group targets
+are all computed IN-PLAN (the group-count aggregate is n_groups rows
+— index metadata — and joins back as a broadcast); the only big-data
+moves are one count aggregate over the corpus and one rank window
+shuffled by the group key. Groups are natural shards (source, lang),
+so no global sort exists anywhere. Re-running after an append only
+grows ``T`` monotonically, so previously-kept rows can only be
+re-kept or displaced by hash order — never reshuffled wholesale the
+way ``randomSplit``/``sampleBy`` would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def mix_corpus(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to the target mixture ``weights`` over ``group_col``.
+
+    ``weights`` maps group value -> target fraction (must be > 0 and
+    sum to ~1). Groups absent from ``weights`` are dropped. Output
+    keeps every input column plus ``mix_rank`` (1-based hash rank
+    within the group — rows with ``mix_rank <= k_g`` survive).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    tot = sum(weights.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {tot}")
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    cnt = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", wmap[F.col(group_col)])
+        .filter(F.col("__w").isNotNull())
+    )
+    # Largest total honoring the mixture without upsampling any group.
+    budget = cnt.agg(
+        F.min(F.floor(F.col("__n") / F.col("__w"))).alias("__T")
+    )
+    targets = (
+        cnt.join(F.broadcast(budget))
+        .select(
+            group_col,
+            F.floor(F.col("__w") * F.col("__T")).cast("long").alias("__k"),
+        )
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    ranked = df.withColumn(
+        "mix_rank", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(targets), group_col)
+        .filter(F.col("mix_rank") <= F.col("__k"))
+        .drop("__k")
+    )

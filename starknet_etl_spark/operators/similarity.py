@@ -116,21 +116,65 @@ def knn_ivf(
     vec_col: str = "embedding",
     cell_col: str = "label",
     k: int = 10,
+    n_probes: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: restrict the scan to the query's cell.
+    """IVF-style ANN: restrict the scan to the query's cell(s).
 
     ``cell_col`` is the inverted-file cell id (a cluster label /
     centroid assignment). With the corpus written partitioned by
     cell, the filter becomes partition pruning — the 1/n_cells scan
-    is free. Exact within the probed cell.
+    is free. Exact within the probed cells.
+
+    ``n_probes=1`` probes the query's own cell. ``n_probes>1`` is
+    the standard recall lever: rank cells by centroid cosine against
+    the query and scan the best ``n_probes`` (requires ``dim``). The
+    centroid ranking is O(n_cells) — index metadata, computed
+    distributed then collected driver-side like any partition-prune
+    key; the corpus scan stays n_probes/n_cells of the data.
     """
-    qcell = F.broadcast(
-        query.select(
-            F.col(vec_col).alias("__q"), F.col(cell_col).alias("__qc")
+    if n_probes <= 1:
+        qcell = F.broadcast(
+            query.select(
+                F.col(vec_col).alias("__q"), F.col(cell_col).alias("__qc")
+            )
         )
+        scored = (
+            df.join(qcell, F.col(cell_col) == F.col("__qc"))
+            .select(
+                id_col,
+                F.round(
+                    cosine(F.col(vec_col), F.col("__q")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+    assert dim is not None, "n_probes > 1 needs dim for centroid ranking"
+    qvec = [float(x) for x in query.select(vec_col).first()[0]]
+    cents = centroids(df, vec_col=vec_col, cell_col=cell_col, dim=dim)
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    cell_scores = (
+        cents.withColumn(
+            "__x",
+            F.col("centroid")
+            * F.element_at(qarr, F.col("dim_i").cast("int")),
+        )
+        .groupBy("cell")
+        .agg(
+            (
+                F.sum("__x")
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
+            ).alias("__s")
+        )
+        .orderBy(F.desc("__s"), F.asc("cell"))
+        .limit(n_probes)
     )
+    probe_cells = [r["cell"] for r in cell_scores.collect()]
+    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
     scored = (
-        df.join(qcell, F.col(cell_col) == F.col("__qc"))
+        df.filter(F.col(cell_col).isin(probe_cells))
+        .crossJoin(q)
         .select(
             id_col,
             F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
@@ -193,6 +237,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_blocks: int = 8,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup), exact.
 
@@ -204,11 +249,19 @@ def cosine_near_dup_pairs(
     design: work is N²/2 dot products no matter what; blocking turns
     it into B(B+1)/2 dense GEMM tasks (perfectly parallel, data
     replicated B× at shuffle), which beats a row-pair join by ~100×
-    constant factor. For web-scale N, compose with an LSH/IVF
-    pre-filter (see knn_ivf) so only candidate blocks are scored.
+    constant factor.
+
+    ``cell_col`` is the web-scale composition: restrict pairs to
+    rows sharing an IVF cell (cluster label), turning N² into
+    Σ_c N_c² — the cell id simply joins the cogroup key, so every
+    block-pair GEMM is per-cell and cross-cell pairs are never
+    materialized. Exact within cells; recall across cells is the
+    IVF assignment's quality (see knn_ivf / test_ann_recall.py).
     """
+    key_cols = [F.col(cell_col).alias("c")] if cell_col else []
     nrm = norm(F.col(vec_col))
     normed = df.select(
+        *key_cols,
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col), lambda x: x.cast("double") / nrm
@@ -231,7 +284,7 @@ def cosine_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
-        i, j = key
+        i, j = key[-2:]  # key may lead with the cell id (cell_col)
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame(
                 {"id_1": [], "id_2": [], "cos_sim": []}
@@ -253,9 +306,10 @@ def cosine_near_dup_pairs(
             {"id_1": lo, "id_2": hi, "cos_sim": C[ii, jj]}
         )
 
+    gkey = (["c"] if cell_col else [])
     return (
-        left.groupBy("b", "pj")
-        .cogroup(right.groupBy("pi", "b"))
+        left.groupBy(*gkey, "b", "pj")
+        .cogroup(right.groupBy(*gkey, "pi", "b"))
         .applyInPandas(score, "id_1 bigint, id_2 bigint, cos_sim double")
     )
 
@@ -299,21 +353,39 @@ def knn_lsh(
     dim: int,
     planes: int = 4,
     k: int = 10,
+    hamming_probe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: score only vectors sharing the query's SRP
     bucket. With the corpus written partitioned by bucket, the bucket
-    equality is partition pruning — a 1/2^planes scan. (Production
-    raises recall with multi-probe: also score buckets at Hamming
-    distance 1; single-probe here keeps the oracle exact.)"""
+    equality is partition pruning — a 1/2^planes scan.
+
+    ``hamming_probe=1`` is multi-probe LSH: also score the ``planes``
+    buckets at Hamming distance 1 from the query's (neighbors split
+    by a single hyperplane land there), trading a (planes+1)/2^planes
+    scan for much higher recall. The probe set explodes on the
+    BROADCAST query side, so the corpus join stays a bucket
+    equi-join — still partition pruning on a bucketed layout, never a
+    corpus-side fan-out.
+    """
+    assert hamming_probe in (0, 1), "only Hamming-distance-1 probing"
     b = srp_bucket(F.col(vec_col), dim=dim, planes=planes)
     corpus = df.withColumn("__b", b)
-    q = F.broadcast(
-        query.select(
-            F.col(vec_col).alias("__q"),
-            srp_bucket(F.col(vec_col), dim=dim, planes=planes).alias("__qb"),
-        )
+    q0 = query.select(
+        F.col(vec_col).alias("__q"),
+        srp_bucket(F.col(vec_col), dim=dim, planes=planes).alias("__qb0"),
     )
-    scored = corpus.join(q, F.col("__b") == F.col("__qb")).select(
+    if hamming_probe:
+        probes = F.array(
+            F.col("__qb0"),
+            *[
+                F.col("__qb0").bitwiseXOR(F.lit(2**p))
+                for p in range(planes)
+            ],
+        )
+        q = q0.select("__q", F.explode(probes).alias("__qb"))
+    else:
+        q = q0.select("__q", F.col("__qb0").alias("__qb"))
+    scored = corpus.join(F.broadcast(q), F.col("__b") == F.col("__qb")).select(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
     )

@@ -1,0 +1,77 @@
+"""Domain-mixture resampler (operators/mixing.py) + the cell-scoped
+near-dup composition (similarity.cosine_near_dup_pairs(cell_col=…))."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.io import load_testdata
+from starknet_etl_spark.operators.mixing import mix_corpus
+from starknet_etl_spark.operators.similarity import cosine_near_dup_pairs
+from tests.conftest import SF_DIR
+
+WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def _docs(spark):
+    return load_testdata(spark, SF_DIR, "documents").select("doc_id", "lang")
+
+
+def test_mix_hits_target_proportions_exactly(spark):
+    docs = _docs(spark)
+    n = {r["lang"]: r["cnt"] for r in
+         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    budget = min(math.floor(n[g] / w) for g, w in WEIGHTS.items())
+    expect = {g: math.floor(w * budget) for g, w in WEIGHTS.items()}
+
+    out = mix_corpus(docs, "lang", "doc_id", weights=WEIGHTS)
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == expect
+    # no group was upsampled
+    assert all(got[g] <= n[g] for g in got)
+
+
+def test_mix_is_deterministic_and_drops_unweighted(spark):
+    docs = _docs(spark)
+    a = sorted(r["doc_id"] for r in
+               mix_corpus(docs, "lang", "doc_id", weights=WEIGHTS).collect())
+    b = sorted(r["doc_id"] for r in
+               mix_corpus(docs, "lang", "doc_id", weights=WEIGHTS).collect())
+    assert a == b and len(a) > 0
+
+    just_en = mix_corpus(docs, "lang", "doc_id", weights={"en": 1.0})
+    assert just_en.select("lang").distinct().collect()[0]["lang"] == "en"
+
+
+def test_mix_weight_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        mix_corpus(docs, "lang", "doc_id", weights={})
+    with pytest.raises(ValueError):
+        mix_corpus(docs, "lang", "doc_id", weights={"en": 0.5, "de": -0.1})
+    with pytest.raises(ValueError):
+        mix_corpus(docs, "lang", "doc_id", weights={"en": 0.5})
+
+
+def test_cell_near_dup_is_the_same_cell_subset(spark):
+    """cell_col=label must yield exactly the same-label subset of the
+    exact all-pairs result — no lost or phantom within-cell pairs."""
+    emb = load_testdata(spark, SF_DIR, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+
+    all_pairs = {(r.id_1, r.id_2): r.cos_sim for r in
+                 cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    cell_pairs = {(r.id_1, r.id_2): r.cos_sim for r in
+                  cosine_near_dup_pairs(
+                      emb, threshold=0.4, cell_col="label"
+                  ).collect()}
+
+    expect = {p: c for p, c in all_pairs.items()
+              if labels[p[0]] == labels[p[1]]}
+    assert cell_pairs == expect
+    assert len(cell_pairs) > 0
