@@ -675,9 +675,11 @@ _DOMAIN_MIX_ORACLE = (
     + """),
 cnt AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
 j AS (SELECT cnt.grp, n, wt FROM cnt JOIN w ON cnt.grp = w.grp),
-budget AS (SELECT MIN(CAST(floor(n / wt) AS BIGINT)) AS T FROM j),
 targets AS (
-  SELECT grp, CAST(floor(wt * T) AS BIGINT) AS k FROM j, budget
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM j
 ),
 ranked AS (
   SELECT doc_id, lang,

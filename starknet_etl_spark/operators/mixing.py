@@ -59,16 +59,20 @@ def mix_corpus(
         .withColumn("__w", wmap[F.col(group_col)])
         .filter(F.col("__w").isNotNull())
     )
-    # Largest total honoring the mixture without upsampling any group.
-    budget = cnt.agg(
-        F.min(F.floor(F.col("__n") / F.col("__w"))).alias("__T")
-    )
-    targets = (
-        cnt.join(F.broadcast(budget))
-        .select(
-            group_col,
-            F.floor(F.col("__w") * F.col("__T")).cast("long").alias("__k"),
+    # Largest total honoring the mixture without upsampling any group:
+    # T = min_g floor(n_g / w_g), as a global window over cnt — cnt is
+    # n_groups rows (index metadata), so the unpartitioned window is a
+    # single tiny task, and the corpus is scanned ONCE for counts
+    # (a scalar-subquery join here would re-scan it per consumer).
+    wall = Window.partitionBy()
+    targets = cnt.select(
+        group_col,
+        F.floor(
+            F.col("__w")
+            * F.min(F.floor(F.col("__n") / F.col("__w"))).over(wall)
         )
+        .cast("long")
+        .alias("__k"),
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))

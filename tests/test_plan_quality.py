@@ -292,3 +292,46 @@ def test_promotion_suppliers_semi_chain(spark):
     assert "CartesianProduct" not in plan
     pushed = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
     assert "l_shipdate" in pushed
+
+
+def test_knn_lsh_multiprobe_bucket_equijoin(spark):
+    """Multi-probe LSH: the probe-set explode sits on the BROADCAST
+    query side, the corpus side joins on bucket equality — never a
+    nested loop / cartesian over the corpus."""
+    plan = _plan(spark, "emb_knn_lsh_multiprobe")
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the Generate (explode) must feed the BroadcastExchange, i.e.
+    # appear in the build-side subtree, not above the join
+    lines = tree.splitlines()
+    bx = min(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    gen = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    assert gen and all(i > bx for i in gen), tree
+
+
+def test_domain_mix_single_rank_shuffle(spark):
+    """mix_corpus: one shuffle for the per-group rank window; the
+    group-count/budget/target side-tables come back as broadcasts
+    (they are n_groups rows — index metadata)."""
+    plan = _plan(spark, "doc_domain_mix")
+    tree = _tree(plan)
+    assert "Window" in tree
+    assert "SortMergeJoin" not in plan
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    # rank window + the tiny count-aggregate exchanges; the corpus
+    # itself is shuffled exactly once (the window)
+    assert shuffles <= 3, tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_near_dup_cells_cogroup_no_cartesian(spark):
+    """Cell-scoped near-dup: the blocked GEMM runs as cogrouped
+    Arrow kernels keyed by (cell, block-pair) — no cartesian or
+    nested-loop join anywhere in the plan."""
+    plan = _plan(spark, "emb_near_dup_cells")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
