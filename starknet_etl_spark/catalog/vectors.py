@@ -262,6 +262,35 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.knn_batch(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+    )
+
+
+# Independent derivation: per-(query, corpus) cosine by index join,
+# global top-5 per query over the identical (rounded desc, id asc)
+# total order the operator's local prune + final window use.
+_KNN_BATCH_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < 5 AND b.vec_id >= 5,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def _near_dup_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-scale near-dup composition: blocked GEMM restricted to
     IVF cells (Σ_c N_c² instead of N²); exact within cells."""
@@ -298,6 +327,11 @@ GROUP BY label, i
 QUERIES = {
     "emb_knn_bruteforce": QuerySpec(
         _knn, _KNN_ORACLE, "exact cosine top-10 (brute-force baseline)"
+    ),
+    "emb_knn_batch": QuerySpec(
+        _knn_batch,
+        _KNN_BATCH_ORACLE,
+        "batched multi-query exact kNN (GEMM + local top-k prune)",
     ),
     "emb_knn_ivf": QuerySpec(
         _knn_ivf, _KNN_IVF_ORACLE, "IVF-cell ANN top-5 (scale path)"

@@ -31,6 +31,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -106,6 +107,82 @@ def knn_bruteforce(
             F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
         )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a SET of queries in one corpus
+    pass — the retrieval shape real pipelines run (Q probe vectors at
+    once, not one).
+
+    Design: the query matrix is driver-collected (a probe set is
+    driver-sized by contract) and broadcast into an Arrow
+    ``mapInPandas`` kernel; each corpus batch computes one Q×batch
+    GEMM and keeps only its LOCAL top-k rows per query, so the
+    shuffle after the scan carries ≤ tasks·Q·k candidate rows — never
+    the corpus. A final window (rounded score desc, id asc — a total
+    order, identical in the oracle) picks the global top-k per query.
+    Local pruning uses the same total order, so it can never evict a
+    global winner. One scan, one tiny shuffle, GEMM throughput.
+    """
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(q_id_col).cast("long"), F.col(q_vec_col)
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids, qn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            cid = pdf[id_col].to_numpy()
+            S = np.round(qn @ M.T, 6)  # Q x batch
+            kk = min(k, S.shape[1])
+            out_q, out_i, out_s = [], [], []
+            for qi in range(S.shape[0]):
+                # total order (score desc, id asc) == the final window
+                order = np.lexsort((cid, -S[qi]))[:kk]
+                out_q.append(np.full(kk, qids[qi]))
+                out_i.append(cid[order])
+                out_s.append(S[qi][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        kernel, f"query_id bigint, {id_col} bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_ivf(

@@ -37,6 +37,14 @@ _RUNTIME_CONF = {
     # small enough that a 100 TB table still yields ~800k tasks that
     # AQE can coalesce; matches parquet row-group sizing.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # The scan-split floor is max(openCostInBytes, bytes/parallelism):
+    # the 4 MiB default ran a 10 MiB compressed table as 3 tasks on 32
+    # cores (CPU-heavy decode/encode underparallelized; measured 25%
+    # on scan-bound queries). 512 KiB keeps small-file packing while
+    # letting mid-size files use the cores; large scans are governed
+    # by bytes/parallelism and maxPartitionBytes, so the 100 TB task
+    # count is unchanged.
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
     # TESTDATA events.parquet stores ts as TIMESTAMP(NANOS), which the
     # vectorized reader rejects; read as long + convert (io.load_testdata).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

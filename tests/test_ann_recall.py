@@ -128,3 +128,21 @@ def test_uniform_data_recall_matches_scan_fraction(spark):
         assert 0.0 <= r <= 0.6
     finally:
         emb.unpersist()
+
+
+def test_knn_batch_exact_across_partitions(spark, clustered_emb):
+    """knn_batch's per-partition top-k prune must never evict a
+    global winner: with the corpus split across many partitions, the
+    result must equal per-query knn_bruteforce exactly."""
+    from pyspark.sql import functions as F
+
+    corpus = clustered_emb.filter(F.col("vec_id") >= 10).repartition(16)
+    queries = clustered_emb.filter(F.col("vec_id") < 3)
+    got = {}
+    for r in S.knn_batch(corpus, queries, k=K).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    for qid in range(3):
+        q = clustered_emb.filter(F.col("vec_id") == qid)
+        bf = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(
+            S.knn_bruteforce(corpus, q, k=K).collect())]
+        assert sorted(got[qid]) == bf, qid
