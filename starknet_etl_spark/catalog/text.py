@@ -540,8 +540,10 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Transitive closure by recursive CTE over the SAME capped pair set;
 # cluster id = min reachable node — identical to the fixpoint of
-# min-label propagation.
-_DUP_CLUSTERS_ORACLE = (
+# min-label propagation. Shared prefix: doc_dup_clusters reads the
+# cluster map, doc_cluster_representatives composes survivor
+# selection on top.
+_CLUSTERS_PREFIX = (
     "WITH RECURSIVE pairs AS (\n"
     + _JACCARD_ORACLE
     + """
@@ -552,10 +554,53 @@ reach(a, b) AS (
   SELECT a, b FROM e
   UNION
   SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
 )
-SELECT CAST(a AS BIGINT) AS doc_id,
-       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
-FROM reach GROUP BY a
+"""
+)
+
+_DUP_CLUSTERS_ORACLE = (
+    _CLUSTERS_PREFIX
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM clusters
+"""
+)
+
+
+def _cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: per dup-cluster keep the doc
+    with the most characters (tie: min id); unclustered docs are
+    their own cluster and survive."""
+    from ..operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    cc = connected_components(_jaccard_pairs(spark, sf_dir), "id_1", "id_2")
+    out = cluster_representatives(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        cc,
+        "doc_id",
+        "n_chars",
+    )
+    return out.select("doc_id", "cluster_id", "is_rep")
+
+
+_CLUSTER_REPS_ORACLE = (
+    _CLUSTERS_PREFIX
+    + """
+SELECT d.doc_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+              ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 """
 )
 
@@ -648,6 +693,25 @@ QUALIFY sample_rank <= 5
 """
 
 
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.char_entropy(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, c
+  FROM documents, unnest(string_split(text, '')) AS t(c)
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+)
+SELECT doc_id,
+       ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6)
+         AS char_entropy
+FROM counts GROUP BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 
 
@@ -730,10 +794,20 @@ QUERIES = {
         _DOMAIN_MIX_ORACLE,
         "domain-mixture resampler (largest corpus at target weights)",
     ),
+    "doc_char_entropy": QuerySpec(
+        _char_entropy,
+        _CHAR_ENTROPY_ORACLE,
+        "per-doc character Shannon entropy (gibberish signal)",
+    ),
     "doc_clean_corpus": QuerySpec(
         _clean_corpus,
         _CLEAN_CORPUS_ORACLE,
         "end-to-end cleaning audit: dedup+length+repetition+lang",
+    ),
+    "doc_cluster_representatives": QuerySpec(
+        _cluster_reps,
+        _CLUSTER_REPS_ORACLE,
+        "quality-aware dedup survivors (best doc per dup cluster)",
     ),
     "doc_dup_clusters": QuerySpec(
         _dup_clusters,

@@ -90,3 +90,48 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def cluster_representatives(
+    items: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Survivor selection — the step AFTER clustering in a dedup
+    pipeline: every item tagged with its ``cluster_id`` (its own id
+    when it belongs to no dup cluster) and ``is_rep`` = 1 for the one
+    member that survives the drop: highest ``score_col``, ties to the
+    smallest id. Filtering ``is_rep = 1`` yields the deduped corpus
+    with the BEST copy kept (not an arbitrary one — the difference
+    between min-id keep and quality-aware keep).
+
+    Scale: one broadcast-or-shuffle join against the cluster labels
+    (|clusters| ≤ |dup nodes| ≪ corpus) and one window keyed by
+    cluster id — no self-joins, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    lab = clusters.select(
+        F.col(node_col).alias(id_col), F.col(comp_col).alias("__c")
+    )
+    joined = (
+        items.join(lab, id_col, "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("__c"), F.col(id_col)).cast("long"),
+        )
+        .drop("__c")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn(
+        "is_rep",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

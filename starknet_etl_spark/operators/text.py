@@ -226,3 +226,32 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", lang_guess(t)).withColumn(
         "fingerprint", fingerprint(t)
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, char_entropy): Shannon entropy (bits) of the document's
+    character distribution — the classic gibberish/boilerplate signal
+    (natural language sits ~4-4.5 bits; runs of one character → 0,
+    random bytes → ~log2(alphabet)).
+
+    H = log2(N) - (Σ c·log2(c))/N over per-char counts c, computed as
+    two aggregations both keyed by the doc id (the second reuses the
+    first's partitioning — one shuffle of the exploded chars, one
+    narrow re-agg). Linear in corpus characters.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c"),
+            6,
+        ).alias("char_entropy")
+    )

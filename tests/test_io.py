@@ -133,3 +133,49 @@ def test_partition_contract_violation_raises(spark, tmp_path):
     with _pytest.raises(ValueError, match="not derived from dedup keys"):
         save_table(bad, path, dedup_keys=["k"], version_cols=["v"],
                    partition_by=["p"])
+
+
+def test_save_table_cluster_by_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by must range-cluster the layout: parquet files carry
+    DISJOINT ranges of the cluster column and rows inside each file
+    are sorted — the stats layout that makes range predicates skip
+    row groups/files at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from starknet_etl_spark.io import load_table, save_table
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "pmod(hash(id), 1000000) AS ts", "id AS v"
+    ).repartition(8)  # scrambled input
+    path = str(tmp_path / "clustered")
+    save_table(df, path, mode="overwrite", cluster_by=["ts"])
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 1, "want multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        # row groups inside a file are sorted (non-overlapping chain)
+        for a_max, b_min in zip(maxs, mins[1:]):
+            assert a_max <= b_min, (f, maxs, mins)
+        ranges.append((min(mins), max(maxs)))
+    # files carry disjoint ranges
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(
+        sorted(ranges), sorted(ranges)[1:]
+    ):
+        assert a_hi <= b_lo, ranges
+
+    # content is intact
+    assert load_table(spark, path).count() == n
