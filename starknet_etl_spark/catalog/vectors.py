@@ -312,6 +312,56 @@ WHERE ROUND(cos, 6) >= 0.4
 """
 
 
+def _near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup with an SRP-LSH pre-filter: the blocked GEMM scoped
+    to SRP buckets instead of IVF cells — same composition, label-free
+    (works on corpora with no cluster assignment)."""
+    emb = _emb(spark, sf_dir)
+    bucketed = emb.withColumn(
+        "srp_b", S.srp_bucket(F.col("embedding"), dim=DIM, planes=4)
+    )
+    return S.cosine_near_dup_pairs(
+        bucketed, threshold=0.4, cell_col="srp_b"
+    )
+
+
+# Same-bucket pairs only (buckets CTE identical to the LSH knn
+# oracle), then the exact pair cosine.
+_NEAR_DUP_LSH_ORACLE = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS d),
+planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+w AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.p,
+         SUM(w.wt * CAST(e.embedding[w.d] AS DOUBLE)) AS s
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.b = ba.b
+  JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_1, id_2, ROUND(cos, 6) AS cos_sim FROM pairs
+WHERE ROUND(cos, 6) >= 0.4
+"""
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.centroids(_emb(spark, sf_dir), cell_col="label", dim=DIM)
 
@@ -361,6 +411,11 @@ QUERIES = {
         _near_dup_cell,
         _NEAR_DUP_CELL_ORACLE,
         "near-dup pairs within IVF cells (the N² -> sum N_c² path)",
+    ),
+    "emb_near_dup_lsh": QuerySpec(
+        _near_dup_lsh,
+        _NEAR_DUP_LSH_ORACLE,
+        "near-dup pairs within SRP-LSH buckets (label-free pre-filter)",
     ),
     "emb_centroids": QuerySpec(
         _centroids, _CENTROIDS_ORACLE, "per-cell mean vectors (IVF training step)"

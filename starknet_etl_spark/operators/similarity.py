@@ -173,8 +173,14 @@ def knn_batch(
                 }
             )
 
-    cand = df.select(id_col, vec_col).mapInPandas(
-        kernel, f"query_id bigint, {id_col} bigint, cos_sim double"
+    cand = (
+        df.select(id_col, vec_col)
+        # a NULL vector would crash the vstack; at the semantic level
+        # it simply has no similarity to anything — drop it
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            kernel, f"query_id bigint, {id_col} bigint, cos_sim double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -340,7 +346,9 @@ def cosine_near_dup_pairs(
     # a JVM-side F.transform(x / norm) is an interpreted HOF evaluated
     # per element — measured 2.5x slower end-to-end than one
     # vectorized row-normalize inside the GEMM kernel (same float64
-    # ops, bit-identical output).
+    # ops, bit-identical output). NULL vectors are dropped (they'd
+    # crash the vstack and have no defined similarity).
+    df = df.filter(F.col(vec_col).isNotNull())
     normed = df.select(
         *key_cols,
         F.col(id_col).alias("id"),

@@ -146,3 +146,24 @@ def test_knn_batch_exact_across_partitions(spark, clustered_emb):
         bf = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(
             S.knn_bruteforce(corpus, q, k=K).collect())]
         assert sorted(got[qid]) == bf, qid
+
+
+def test_vector_kernels_tolerate_null_embeddings(spark, clustered_emb):
+    """A NULL embedding row must be dropped, not crash the Arrow
+    kernels (np.vstack would raise on a None)."""
+    from pyspark.sql import functions as F
+
+    with_null = clustered_emb.unionByName(
+        spark.createDataFrame(
+            [(99999, 0, None)],
+            "vec_id long, label long, embedding array<double>",
+        )
+    )
+    corpus = with_null.filter(F.col("vec_id") >= 10)
+    queries = with_null.filter(F.col("vec_id") < 2)
+    out = S.knn_batch(corpus, queries, k=5).collect()
+    assert len(out) == 10
+    assert all(r.vec_id != 99999 for r in out)
+
+    pairs = S.cosine_near_dup_pairs(with_null, threshold=0.9).collect()
+    assert all(99999 not in (r.id_1, r.id_2) for r in pairs)
