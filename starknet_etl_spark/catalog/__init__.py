@@ -119,10 +119,15 @@ _FIRST_50: tuple[str, ...] = (
 
 
 def _ordered(merged: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    # Hard raises, not asserts: the window contract must hold under
+    # python -O too.
     missing = [name for name in _FIRST_50 if name not in merged]
-    assert not missing, f"priority catalog entries not found: {missing}"
-    assert len(_FIRST_50) == len(set(_FIRST_50)), "duplicate priority entries"
-    assert len(_FIRST_50) == 50, f"priority window is {len(_FIRST_50)}, want 50"
+    if missing:
+        raise KeyError(f"priority catalog entries not found: {missing}")
+    if len(_FIRST_50) != len(set(_FIRST_50)):
+        raise ValueError("duplicate priority entries")
+    if len(_FIRST_50) != 50:
+        raise ValueError(f"priority window is {len(_FIRST_50)}, want 50")
     out = {name: merged[name] for name in _FIRST_50}
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out

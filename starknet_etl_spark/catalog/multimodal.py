@@ -61,16 +61,27 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Replicates operators/multimodal.fake_decode: step = max(1, len//8),
 # feature[j] = sum(bytes[j*step : j*step+step]) / (255*step); slices
-# past the end sum to 0 (list_sum of empty → NULL → coalesce). ASCII
-# corpus ⇒ byte value == ascii(char) (asserted by the n_bytes =
-# octet_length = length(text) equality the meta oracle already pins).
+# past the end sum to 0 (list_sum of empty → NULL → coalesce). Byte
+# values decode from hex(encode(text)) — the true UTF-8 bytes the
+# kernel sees — so the oracle stays exact on ANY charset, not just
+# the current ASCII corpus (the driver regenerates TESTDATA between
+# rounds).
 _MM_FEATURES_ORACLE = """
-WITH b AS (
+WITH h AS (
   SELECT doc_id AS asset_id,
-         list_transform(string_split(text, ''), c -> ascii(c)) AS bs,
+         hex(encode(text)) AS hx,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          substr(sha256(text), 1, 16) AS sha_prefix
   FROM documents
+), b AS (
+  SELECT asset_id, n_bytes, sha_prefix,
+         list_transform(
+           generate_series(1, CAST(n_bytes AS INT)),
+           i -> (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+                  * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+         ) AS bs
+  FROM h
 ), s AS (
   SELECT asset_id, bs, n_bytes, sha_prefix,
          greatest(1, n_bytes // 8) AS step

@@ -701,6 +701,8 @@ _CHAR_ENTROPY_ORACLE = """
 WITH chars AS (
   SELECT doc_id, c
   FROM documents, unnest(string_split(text, '')) AS t(c)
+  WHERE c <> ''  -- string_split('','') yields ['']: an empty doc has
+                 -- no chars and (like the Spark side) emits no row
 ),
 counts AS (
   SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
@@ -738,7 +740,8 @@ _DOMAIN_MIX_ORACLE = (
     )
     + """),
 cnt AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
-j AS (SELECT cnt.grp, n, wt FROM cnt JOIN w ON cnt.grp = w.grp),
+j AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+      FROM w LEFT JOIN cnt ON cnt.grp = w.grp),
 targets AS (
   SELECT grp,
          CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())

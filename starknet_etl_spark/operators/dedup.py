@@ -260,7 +260,8 @@ def minhash_lsh_pairs(
     broadcast, with no extra driver action. ``True`` forces the
     round-1 behavior for corpora known to be dup-sparse.
     """
-    assert num_hashes % band_size == 0
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
     n_bands = num_hashes // band_size
     # One shingle pass feeds both the signatures and the verification
     # index — persisted, since the window + distinct is the dominant
@@ -359,7 +360,8 @@ def simhash(
     must be ≤ 128 (md5 width); 16 keeps the oracle SQL tractable
     while demonstrating the full construction.
     """
-    assert bits % 4 == 0 and bits <= 128
+    if bits % 4 != 0 or bits > 128:
+        raise ValueError("bits must be a multiple of 4, at most 128")
     sh = shingles(df, id_col, text_col, n=n).withColumn(
         "h", F.substring(F.md5(F.col("shingle")), 1, bits // 4)
     )

@@ -50,14 +50,27 @@ def mix_corpus(
     if abs(tot - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {tot}")
 
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
+    # Weights as a (tiny, literal) DataFrame LEFT-joined with the
+    # observed counts: a weighted group with ZERO corpus rows must
+    # surface as n=0 — it drives T to 0 (nothing can honor a mixture
+    # that demands an absent group), not silently drop out of the
+    # min. (A map-lookup over observed groups had exactly that hole.)
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    wdf = spark.createDataFrame(
+        [(g, float(x)) for g, x in weights.items()],
+        f"{group_col} {gtype}, __w double",
+    )
+    observed = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n0")
     )
     cnt = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__w", wmap[F.col(group_col)])
-        .filter(F.col("__w").isNotNull())
+        wdf.join(observed, group_col, "left")
+        .select(
+            group_col,
+            F.coalesce(F.col("__n0"), F.lit(0)).alias("__n"),
+            "__w",
+        )
     )
     # Largest total honoring the mixture without upsampling any group:
     # T = min_g floor(n_g / w_g), as a global window over cnt — cnt is

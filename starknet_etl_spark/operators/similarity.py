@@ -14,9 +14,14 @@ Two scorers:
 - ``gemm``: one Arrow-batched numpy float64 matmul per partition
   (``cosine_scores_gemm``) — measured ~4× faster at 10^5 rows × 64
   dims and widening with scale; the hot-path choice for large
-  corpora. Summation order differs from sequential, so 6-dp roundings
-  can differ in the last digit — which is why it's not the oracle
-  path.
+  corpora. GEMM-backed queries (knn_batch, cosine_near_dup_pairs)
+  ARE oracle-checked: the kernels round with ``_sql_round6``
+  (half-away-from-zero, the Spark/DuckDB ROUND convention, NOT
+  numpy's half-even), which removes the rounding-rule divergence.
+  The residual cross-engine risk is BLAS pairwise- vs sequential-
+  summation drift (~1 ulp) landing exactly on a 5e-7 boundary —
+  possible in principle, not observed; knn_bruteforce's default
+  scorer stays ``hof`` (bit-sequential) as the zero-risk baseline.
 
 Scale design (100 TB): brute force is O(N) per query but pure scan —
 it parallelizes perfectly and is the right baseline below ~10^7 rows
@@ -32,6 +37,16 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _sql_round6(a):
+    """Round half-AWAY-from-zero at 6 dp — the Spark ROUND / DuckDB
+    ROUND convention. numpy's np.round is half-to-even, which would
+    diverge from the oracle exactly on boundary values; the numpy
+    kernels must round the way the SQL sides do."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -73,7 +88,7 @@ def cosine_scores_gemm(
     def _score(v: pd.Series) -> pd.Series:
         M = np.vstack(v.to_numpy()).astype(np.float64)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        return pd.Series(np.round(Mn @ qn, 6))
+        return pd.Series(_sql_round6(Mn @ qn))
 
     return df.select(
         F.col(id_col), _score(F.col(vec_col)).alias("cos_sim")
@@ -135,11 +150,15 @@ def knn_batch(
     """
     import numpy as np
 
-    qrows = queries.select(
-        F.col(q_id_col).cast("long"), F.col(q_vec_col)
-    ).collect()
+    qrows = [
+        r
+        for r in queries.select(
+            F.col(q_id_col).cast("long"), F.col(q_vec_col)
+        ).collect()
+        if r[1] is not None  # NULL query vectors: same drop policy
+    ]
     if not qrows:
-        raise ValueError("queries is empty")
+        raise ValueError("queries is empty (or all query vectors NULL)")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -156,7 +175,7 @@ def knn_batch(
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             cid = pdf[id_col].to_numpy()
-            S = np.round(qn @ M.T, 6)  # Q x batch
+            S = _sql_round6(qn @ M.T)  # Q x batch
             kk = min(k, S.shape[1])
             out_q, out_i, out_s = [], [], []
             for qi in range(S.shape[0]):
@@ -233,30 +252,43 @@ def knn_ivf(
         )
         return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
-    assert dim is not None, "n_probes > 1 needs dim for centroid ranking"
-    qvec = [float(x) for x in query.select(vec_col).first()[0]]
+    if dim is None:
+        raise ValueError("n_probes > 1 needs dim for centroid ranking")
+    # Everything stays IN-PLAN — no query-vector collect, no eager
+    # centroid job at build time: the query explodes by dimension and
+    # joins the centroid long form (broadcast: dim rows), the cell
+    # ranking is a global window over the n_cells-row score table
+    # (index metadata), and the probe set semi-joins the corpus.
+    qd = query.select(
+        F.posexplode(F.col(vec_col)).alias("__d0", "__qx")
+    ).select(
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
     cents = centroids(df, vec_col=vec_col, cell_col=cell_col, dim=dim)
-    qarr = F.array(*[F.lit(x) for x in qvec])
-    cell_scores = (
-        cents.withColumn(
-            "__x",
-            F.col("centroid")
-            * F.element_at(qarr, F.col("dim_i").cast("int")),
-        )
+    scores = (
+        cents.join(F.broadcast(qd), "dim_i")
         .groupBy("cell")
         .agg(
             (
-                F.sum("__x")
+                F.sum(F.col("centroid") * F.col("__qx"))
                 / F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
             ).alias("__s")
         )
-        .orderBy(F.desc("__s"), F.asc("cell"))
-        .limit(n_probes)
     )
-    probe_cells = [r["cell"] for r in cell_scores.collect()]
+    wall = Window.partitionBy().orderBy(F.desc("__s"), F.asc("cell"))
+    probe = (
+        scores.withColumn("__r", F.row_number().over(wall))
+        .filter(F.col("__r") <= n_probes)
+        .select(F.col("cell").alias("__pc"))
+    )
     q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
     scored = (
-        df.filter(F.col(cell_col).isin(probe_cells))
+        df.join(
+            F.broadcast(probe),
+            F.col(cell_col) == F.col("__pc"),
+            "left_semi",
+        )
         .crossJoin(q)
         .select(
             id_col,
@@ -347,8 +379,12 @@ def cosine_near_dup_pairs(
     # per element — measured 2.5x slower end-to-end than one
     # vectorized row-normalize inside the GEMM kernel (same float64
     # ops, bit-identical output). NULL vectors are dropped (they'd
-    # crash the vstack and have no defined similarity).
+    # crash the vstack and have no defined similarity); with cell_col,
+    # NULL-cell rows are dropped too — an unassigned row is in NO
+    # cell, it must not form its own NULL-keyed cogroup.
     df = df.filter(F.col(vec_col).isNotNull())
+    if cell_col:
+        df = df.filter(F.col(cell_col).isNotNull())
     normed = df.select(
         *key_cols,
         F.col(id_col).alias("id"),
@@ -382,7 +418,7 @@ def cosine_near_dup_pairs(
         B /= np.linalg.norm(B, axis=1, keepdims=True)
         aid = lpdf["id"].to_numpy()
         bid = rpdf["id"].to_numpy()
-        C = np.round(A @ B.T, 6)
+        C = _sql_round6(A @ B.T)
         mask = C >= threshold
         if i == j:
             # within a block each unordered pair appears twice —
@@ -456,7 +492,8 @@ def knn_lsh(
     equi-join — still partition pruning on a bucketed layout, never a
     corpus-side fan-out.
     """
-    assert hamming_probe in (0, 1), "only Hamming-distance-1 probing"
+    if hamming_probe not in (0, 1):
+        raise ValueError("hamming_probe must be 0 or 1 (Hamming-1 only)")
     b = srp_bucket(F.col(vec_col), dim=dim, planes=planes)
     corpus = df.withColumn("__b", b)
     q0 = query.select(

@@ -167,3 +167,56 @@ def test_vector_kernels_tolerate_null_embeddings(spark, clustered_emb):
 
     pairs = S.cosine_near_dup_pairs(with_null, threshold=0.9).collect()
     assert all(99999 not in (r.id_1, r.id_2) for r in pairs)
+
+
+def test_null_cell_rows_excluded_from_cell_near_dup(spark, clustered_emb):
+    """A NULL cell id means 'in no cell': such rows must not cogroup
+    into a NULL-keyed block and emit pairs."""
+    from pyspark.sql import functions as F
+
+    twin = clustered_emb.limit(2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.lit(None).cast("long").alias("label"),
+        "embedding",
+    )
+    with_null_cell = clustered_emb.unionByName(twin)
+    pairs = S.cosine_near_dup_pairs(
+        with_null_cell, threshold=0.9, cell_col="label"
+    ).collect()
+    assert all(
+        r.id_1 < 100000 and r.id_2 < 100000 for r in pairs
+    )
+
+
+def test_knn_batch_null_query_vectors_dropped(spark, clustered_emb):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    good = clustered_emb.filter(F.col("vec_id") < 2)
+    nullq = spark.createDataFrame(
+        [(7, 0, None)], "vec_id long, label long, embedding array<double>"
+    )
+    out = S.knn_batch(
+        clustered_emb.filter(F.col("vec_id") >= 10),
+        good.unionByName(nullq),
+        k=3,
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    with _pytest.raises(ValueError):
+        S.knn_batch(clustered_emb, nullq, k=3)
+
+
+def test_knn_ivf_multiprobe_builds_lazily(spark, clustered_emb):
+    """n_probes>1 must not run Spark jobs at build time (the eager
+    query-vector collect + centroid job were removed): building the
+    plan must finish without touching the (empty-on-purpose) corpus
+    triggering errors, and an empty QUERY yields an empty result,
+    not a crash."""
+    from pyspark.sql import functions as F
+
+    empty_q = clustered_emb.filter(F.col("vec_id") < 0)
+    out = S.knn_ivf(
+        clustered_emb, empty_q, k=5, n_probes=2, dim=DIM
+    )
+    assert out.count() == 0

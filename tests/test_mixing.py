@@ -75,3 +75,15 @@ def test_cell_near_dup_is_the_same_cell_subset(spark):
               if labels[p[0]] == labels[p[1]]}
     assert cell_pairs == expect
     assert len(cell_pairs) > 0
+
+
+def test_mix_weighted_group_with_no_rows_yields_empty(spark):
+    """A weighted group absent from the corpus makes the mixture
+    unsatisfiable: T = min includes n=0 -> every target is 0 and the
+    output is EMPTY — not a silently wrong mixture that ignores the
+    absent group."""
+    docs = _docs(spark)
+    out = mix_corpus(
+        docs, "lang", "doc_id", weights={"en": 0.5, "xx": 0.5}
+    )
+    assert out.count() == 0
