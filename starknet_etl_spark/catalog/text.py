@@ -714,6 +714,26 @@ FROM counts GROUP BY doc_id
 """
 
 
+def _unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_UNIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS s(t)
+  WHERE t <> ''
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab)
+SELECT doc_id,
+       ROUND(AVG(log2(CAST(c AS DOUBLE) / n)), 6) AS unigram_logprob
+FROM toks JOIN vocab USING (t), tot
+GROUP BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 
 
@@ -801,6 +821,11 @@ QUERIES = {
         _char_entropy,
         _CHAR_ENTROPY_ORACLE,
         "per-doc character Shannon entropy (gibberish signal)",
+    ),
+    "doc_unigram_logprob": QuerySpec(
+        _unigram_logprob,
+        _UNIGRAM_LOGPROB_ORACLE,
+        "mean corpus-unigram log2 prob per doc (perplexity proxy)",
     ),
     "doc_clean_corpus": QuerySpec(
         _clean_corpus,

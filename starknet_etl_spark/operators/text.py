@@ -255,3 +255,37 @@ def char_entropy(
             6,
         ).alias("char_entropy")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, unigram_logprob): mean log2 corpus-unigram probability of
+    the document's tokens — the cheap stand-in for LM-perplexity
+    quality scoring (rare-token-heavy gibberish scores low, fluent
+    text built from common tokens scores high).
+
+    Scale: token explode → corpus vocab aggregate (token-keyed), the
+    corpus token total as a 1-row broadcast (NOT a global window —
+    vocab can be 10^8 rows at web scale), token→probability join
+    (token-keyed, reuses the vocab partitioning), per-doc average.
+    Linear in corpus tokens; the only wide rows are (token, count).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    vocab = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    probs = vocab.join(F.broadcast(total))
+    return (
+        toks.join(probs, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log2(F.col("__c") / F.col("__n"))), 6
+            ).alias("unigram_logprob")
+        )
+    )
