@@ -158,3 +158,57 @@ def test_normalize_address_width(spark, addr):
     got = df.select(normalize_address(F.col("v")).alias("a")).first()["a"]
     assert got == "0x" + hex(addr)[2:].rjust(64, "0")
     assert len(got) == 66
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-2.0,
+            max_value=2.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_sql_round6_matches_duckdb_round(xs):
+    """The GEMM kernels' _sql_round6 must round exactly like the SQL
+    sides (half away from zero), including negatives — the invariant
+    the oracle-checked GEMM queries rest on."""
+    import duckdb
+    import numpy as np
+
+    from starknet_etl_spark.operators.similarity import _sql_round6
+
+    got = _sql_round6(np.array(xs, dtype=np.float64))
+    con = duckdb.connect()
+    want = [
+        con.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 6)").fetchone()[0]
+        for x in xs
+    ]
+    assert got.tolist() == want, (xs, got.tolist(), want)
+
+
+@given(
+    n1=st.integers(min_value=5, max_value=40),
+    n2=st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=10, deadline=None)
+def test_hash_split_append_stable(spark, n1, n2):
+    """Appending rows must never reassign existing rows' splits — the
+    property that makes hash_split safe for ever-growing corpora."""
+    from starknet_etl_spark.operators.splits import hash_split
+
+    base = spark.range(n1).withColumnRenamed("id", "doc_id")
+    first = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(base, "doc_id").collect()
+    }
+    grown = spark.range(n1 + n2).withColumnRenamed("id", "doc_id")
+    second = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(grown, "doc_id").collect()
+    }
+    assert all(second[k] == v for k, v in first.items())
