@@ -692,7 +692,9 @@ def _promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 300)
+        # rounded threshold on BOTH sides: cross-engine summation-order
+        # drift must not flip a sum sitting exactly on the boundary
+        .filter(F.round("qty", 2) > 300)
         .select("l_suppkey")
     )
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
@@ -720,7 +722,7 @@ WHERE n_name = 'NATION_2'
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY l_suppkey
-    HAVING SUM(l_quantity) > 300)
+    HAVING ROUND(SUM(l_quantity), 2) > 300)
 """
 
 

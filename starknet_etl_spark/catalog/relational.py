@@ -624,8 +624,11 @@ def _rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
+    # threshold rounded to 4 dp on BOTH sides: the float AVG can
+    # drift ~1e-12 across engines; a 2-dp balance exactly at the
+    # unrounded average could flip in/out (important_parts lesson)
     rich = cust.join(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("avg_bal")
+        F.col("c_acctbal") > F.round(F.col("avg_bal"), 4)
     )
     idle = rich.join(
         urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
@@ -640,7 +643,8 @@ _RICH_IDLE_ORACLE = """
 SELECT c_mktsegment, COUNT(*) AS n_cust,
        ROUND(SUM(c_acctbal), 2) AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > ROUND((SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0), 4)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -834,7 +838,8 @@ def _large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 250)
+        # rounded threshold on BOTH sides (see promotion_suppliers note)
+        .filter(F.round("total_qty", 2) > 250)
     )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -858,7 +863,8 @@ SELECT c_custkey, c_name, o_orderkey,
        ROUND(o_totalprice, 2) AS o_totalprice,
        ROUND(total_qty, 2) AS total_qty
 FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > 250) big
 JOIN orders   ON o_orderkey = big.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """
