@@ -198,6 +198,14 @@ def append_once(
     files at job commit), so re-appending it is safe. The underscore
     dir is invisible to Spark's file readers. Returns True when the
     append ran, False when skipped as a replay.
+
+    HONEST LIMIT: there is a one-metadata-op crash window — if the
+    process dies after the append's job commit but before the marker
+    create, the replay re-appends that batch. Closing it needs a sink
+    whose data+metadata commit is one atomic operation (Delta/Iceberg
+    transaction log, or a staging-dir rename protocol); with plain
+    parquet dirs this marker is the strongest cheap guard. The window
+    is one FS call wide, vs. the whole batch write without it.
     """
     spark = df.sparkSession
     marker = f"{path}/_batches/{batch_id}"
@@ -284,9 +292,16 @@ def compact_table(
     tmp = f"{path}__tmp_compact"
     writer = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
-        writer = df.repartition(n_files, *partition_by).write.mode(
-            "overwrite"
-        ).partitionBy(*partition_by)
+        # Repartitioning by the partition columns ALONE would hash
+        # every row of one partition value into a single task → one
+        # giant file per partition dir regardless of target_file_mb
+        # (and a straggler/OOM task at write). A uniform salt spreads
+        # each partition's rows over the task budget while partitionBy
+        # still routes rows to the right directories.
+        salted = df.repartition(
+            n_files, *partition_by, F.floor(F.rand(42) * n_files)
+        )
+        writer = salted.write.mode("overwrite").partitionBy(*partition_by)
     writer.parquet(tmp)
     _replace_dir(spark, path, tmp)
     return _count_files(spark, path, suffix=".parquet")
@@ -383,33 +398,49 @@ def _swap_partitions(
 
 
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
-    """Replace ``path`` with ``tmp`` (local fast path; hadoop FS
-    rename otherwise)."""
+    """Replace ``path`` with ``tmp`` via a tombstone rename, never
+    delete-then-rename: with the tombstone, a crash at ANY step leaves
+    a complete copy of the table on disk (live at ``path`` or parked
+    at ``<path>__old_swap``) — recoverable by a rename, not data loss.
+    """
+    old = f"{path}__old_swap"
     if os.path.isdir(tmp) and not path.startswith(("s3", "hdfs", "gs")):
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         return
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     t = jvm.org.apache.hadoop.fs.Path(tmp)
+    o = jvm.org.apache.hadoop.fs.Path(old)
     fs = p.getFileSystem(conf)
-    fs.delete(p, True)
+    fs.delete(o, True)
+    if fs.exists(p):
+        fs.rename(p, o)
     fs.rename(t, p)
+    fs.delete(o, True)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
     if os.path.exists(path):  # local fs fast path
         return True
-    try:  # hadoop fs (s3/hdfs) — public Hadoop FileSystem API
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(conf).exists(p)
-    except Exception:
+    if "://" not in path:
+        # scheme-less path: local-only, genuinely absent (the default
+        # Hadoop FS in local mode is the local FS — skip the JVM trip)
         return False
+    # hadoop fs (s3/hdfs/gs) — exists() returns False for a genuine
+    # not-found and RAISES on transport/credential errors. Propagate
+    # those: swallowing one here would make save_table believe a live
+    # keyed table is absent and OVERWRITE it with just the new batch.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
 
 # --------------------------------------------------------------------------

@@ -77,10 +77,13 @@ def high_watermark(
     df: DataFrame, col: str, *, fallback: int = 1_000_000
 ) -> int:
     """MAX(col) with genesis fallback on empty/NULL
-    (export_blocks_and_events_dag.py:31-37)."""
-    try:
-        row = df.agg(F.max(col).alias("hw")).first()
-        hw = row["hw"] if row else None
-    except Exception:
-        hw = None
+    (export_blocks_and_events_dag.py:31-37).
+
+    Only an EMPTY table falls back. A failing query (transport error,
+    corrupt footer, executor loss) RAISES: swallowing it would return
+    the genesis fallback and make the caller re-ingest — and, on an
+    append-only sink, duplicate — the entire history.
+    """
+    row = df.agg(F.max(col).alias("hw")).first()
+    hw = row["hw"] if row else None
     return int(hw) if hw is not None else fallback

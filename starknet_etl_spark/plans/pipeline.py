@@ -27,8 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..io import load_table, save_table
 from ..operators.aggregates import high_watermark
-from ..operators.joins import missing_keys
-from ..schemas import TOKEN
+from ..schemas import BLOCK_BUCKET_WIDTH, TOKEN
 from ..sources.datasource import register_sources
 from ..sources.rpc import fetch_latest_block
 from .token_universe import token_universe
@@ -61,14 +60,21 @@ def run_ingest(
     """Incremental extract → land. Returns the (lo, hi) range ingested."""
     register_sources(spark)
     if from_block is None:
+        from pyspark.errors import AnalysisException
+
+        # Only a MISSING events table means "first run, start at
+        # genesis". Any other failure (transport, corrupt footer,
+        # executor loss during the MAX) must raise: falling back there
+        # would re-ingest the whole chain into an append-only sink —
+        # silent duplication of every row.
         try:
-            lo = high_watermark(
-                load_table(spark, events_path),
-                "block_number",
-                fallback=GENESIS_BLOCK - 1,
-            ) + 1
-        except Exception:
+            existing = load_table(spark, events_path)
+        except AnalysisException:
             lo = GENESIS_BLOCK
+        else:
+            lo = high_watermark(
+                existing, "block_number", fallback=GENESIS_BLOCK - 1
+            ) + 1
     else:
         lo = from_block
     hi = to_block if to_block is not None else fetch_latest_block(endpoint) - 1
@@ -87,7 +93,7 @@ def run_ingest(
         # partitions at report time (block time is monotone)
         .withColumn(
             "block_bucket",
-            (F.col("block_number") / F.lit(10_000)).cast("long"),
+            (F.col("block_number") / F.lit(BLOCK_BUCKET_WIDTH)).cast("long"),
         )
     )
     blocks = (
@@ -98,16 +104,21 @@ def run_ingest(
         .option("batch_size", batch_size)
         .load()
     )
-    # events: append-only (MergeTree ORDER BY tuple() parity);
-    # blocks: keyed, latest wins (ReplacingMergeTree parity).
-    save_table(
-        events, events_path, mode="append", partition_by=["block_bucket"]
-    )
+    # blocks: keyed, latest wins (ReplacingMergeTree parity);
+    # events: append-only (MergeTree ORDER BY tuple() parity).
+    # ORDER MATTERS: the resume watermark derives from EVENTS, so
+    # blocks must land first — a crash between the writes then leaves
+    # blocks without events (refetched next tick: the keyed upsert is
+    # idempotent), never events whose [lo,hi] the watermark skips
+    # forever and whose block rows no report join can find.
     save_table(
         blocks,
         blocks_path,
         dedup_keys=["block_number"],
         version_cols=["block_timestamp"],
+    )
+    save_table(
+        events, events_path, mode="append", partition_by=["block_bucket"]
     )
     return lo, hi
 
@@ -145,13 +156,23 @@ def maintain_token_dim(
         else load_table(spark, events_path)
     )
     universe = token_universe(events)
+    # Missing dim table = first run. Other read failures raise — an
+    # empty-dim fallback there would mark EVERY token missing and
+    # hammer the resolver/scraper with the full universe each tick.
+    from pyspark.errors import AnalysisException
+
     try:
         token = load_table(spark, token_path)
-    except Exception:
+    except AnalysisException:
         token = spark.createDataFrame([], TOKEN)
+    # token_universe already emits the distinct single-column token
+    # set — anti-join it directly (missing_keys would unpivot and
+    # run a SECOND distinct over the same column).
     missing = [
         r["token"]
-        for r in missing_keys(universe, ["token"], token, "token").collect()
+        for r in universe.filter(F.col("token").isNotNull())
+        .join(F.broadcast(token.select("token")), "token", "left_anti")
+        .collect()
     ]
     if not missing:
         return 0
@@ -193,7 +214,8 @@ def _window_scoped_inputs(
         if "block_bucket" in events.columns:  # partition pruning
             events = events.filter(
                 F.col("block_bucket").between(
-                    block_range[0] // 10_000, block_range[1] // 10_000
+                    block_range[0] // BLOCK_BUCKET_WIDTH,
+                    block_range[1] // BLOCK_BUCKET_WIDTH,
                 )
             )
     return events, blocks, block_range

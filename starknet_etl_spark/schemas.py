@@ -145,3 +145,10 @@ TESTDATA_DDL: dict[str, str] = {
     ),
     "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
 }
+
+#: Width of the events table's block-range partition buckets.
+#: Every write site (batch + streaming ingest) and the report-time
+#: partition filter derive buckets from THIS constant — if they
+#: disagreed, partition pruning would silently select the wrong
+#: buckets and reports would drop (or rescan) data with no error.
+BLOCK_BUCKET_WIDTH = 10_000

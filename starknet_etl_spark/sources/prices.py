@@ -73,6 +73,16 @@ class PriceClient:
             for attempt in range(self.max_retries):
                 try:
                     data = self._get(url)
+                    # Parse INSIDE the retry: a 200 response with an
+                    # unexpected body (rate-limit page, error JSON
+                    # without data.attributes) must count as a failed
+                    # attempt and end in log-and-skip, not escape as a
+                    # KeyError that kills the whole pipeline tick.
+                    prices = data["data"]["attributes"]["token_prices"]
+                    parsed = {
+                        token: float(price) if price else 0.0
+                        for token, price in prices.items()
+                    }
                 except Exception as e:  # noqa: BLE001 — retry everything
                     log.warning(
                         "price fetch %d/%d failed: %s",
@@ -85,9 +95,7 @@ class PriceClient:
                         break
                     time.sleep(self.backoff_s)
                     continue
-                prices = data["data"]["attributes"]["token_prices"]
-                for token, price in prices.items():
-                    out[token] = float(price) if price else 0.0
+                out.update(parsed)
                 break
         return out
 

@@ -129,6 +129,20 @@ class HttpTransport:
                     out = json.loads(r.read())
                 if isinstance(out, dict) and "error" in out:
                     raise RuntimeError(f"rpc error: {out['error']}")
+                if isinstance(out, list):
+                    # batched request: a PER-ELEMENT error (pruned
+                    # block, rate limit) must fail the attempt here,
+                    # inside the retry loop — not surface later as a
+                    # bare KeyError on resp['result'] in an executor
+                    bad = [
+                        el for el in out
+                        if isinstance(el, dict) and "error" in el
+                    ]
+                    if bad:
+                        raise RuntimeError(
+                            f"rpc batch error ({len(bad)}/{len(out)} "
+                            f"elements): {bad[0]['error']}"
+                        )
                 return out
             except Exception as e:  # noqa: BLE001 — retry everything, like the reference
                 last = e

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import epoch_to_timestamp, json_array
 from ..io import append_once, save_table
+from ..schemas import BLOCK_BUCKET_WIDTH
 from ..sources.datasource import register_sources
 
 
@@ -116,7 +117,8 @@ def start_pipeline_stream(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.withColumn(
-            "block_bucket", (F.col("block_number") / F.lit(10_000)).cast("long")
+            "block_bucket",
+            (F.col("block_number") / F.lit(BLOCK_BUCKET_WIDTH)).cast("long"),
         )
         bounds = batch_df.agg(
             F.min("block_number").alias("lo"), F.max("block_number").alias("hi")

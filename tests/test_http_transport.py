@@ -17,6 +17,7 @@ from starknet_etl_spark.sources.rpc import HttpTransport
 class _Handler(BaseHTTPRequestHandler):
     fail_first = 0
     rpc_error = False
+    list_error = False
     calls = 0
 
     def do_POST(self):
@@ -27,11 +28,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(500)
             self.end_headers()
             return
-        body = (
-            {"jsonrpc": "2.0", "id": 1, "error": {"code": -1}}
-            if cls.rpc_error
-            else {"jsonrpc": "2.0", "id": 1, "result": 42}
-        )
+        if cls.list_error:
+            body = [
+                {"jsonrpc": "2.0", "id": 1, "result": 42},
+                {"jsonrpc": "2.0", "id": 2, "error": {"code": -32000}},
+            ]
+        elif cls.rpc_error:
+            body = {"jsonrpc": "2.0", "id": 1, "error": {"code": -1}}
+        else:
+            body = {"jsonrpc": "2.0", "id": 1, "result": 42}
         payload = json.dumps(body).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -81,3 +86,16 @@ def test_budget_exhaustion_raises(server):
     with pytest.raises(RuntimeError, match="rpc failed after 3"):
         t(_payload())
     assert _Handler.calls == 3
+
+
+def test_batched_list_element_error_is_failure(server):
+    """A batched (list) response with a per-element error must fail
+    the attempt inside the retry loop — not reach the reader and
+    surface as a KeyError on resp['result'] in an executor."""
+    _Handler.list_error = True
+    try:
+        t = HttpTransport(server, max_retries=2, backoff_s=0.01, timeout_s=2)
+        with pytest.raises(RuntimeError, match="rpc failed after 2"):
+            t([_payload(), _payload()])
+    finally:
+        _Handler.list_error = False

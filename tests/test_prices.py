@@ -26,6 +26,7 @@ class _PriceHandler(BaseHTTPRequestHandler):
     #: addresses → price (None ⇒ API null); unknown addresses omitted
     book: dict = {}
     fail_first = 0  # first N requests answer 500
+    malformed = False  # 200 with a body missing data.attributes
     calls = 0
     paths: list = []
 
@@ -39,9 +40,12 @@ class _PriceHandler(BaseHTTPRequestHandler):
             return
         batch = unquote(self.path.rsplit("/", 1)[-1]).split(",")
         prices = {a: cls.book[a] for a in batch if a in cls.book}
-        payload = json.dumps(
-            {"data": {"attributes": {"token_prices": prices}}}
-        ).encode()
+        body = (
+            {"status": {"error_code": 429}}
+            if cls.malformed
+            else {"data": {"attributes": {"token_prices": prices}}}
+        )
+        payload = json.dumps(body).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
@@ -144,3 +148,19 @@ def test_prices_dataframe_schema(spark):
     df = prices_dataframe(spark, {"0xa": 1.0})
     assert df.columns == ["token_address", "price_usd"]
     assert [f.dataType.simpleString() for f in df.schema] == ["string", "double"]
+
+
+def test_malformed_200_body_is_skipped_not_raised(price_server):
+    """HTTP 200 with an unexpected body (rate-limit JSON without
+    data.attributes) must count as a failed attempt and end in
+    log-and-skip — never escape as a KeyError that kills the tick."""
+    from starknet_etl_spark.sources.prices import PriceClient
+
+    _PriceHandler.malformed = True
+    try:
+        c = PriceClient(
+            price_server, max_retries=2, backoff_s=0.01, timeout_s=2
+        )
+        assert c.fetch(["0xa"]) == {}  # skipped, no exception
+    finally:
+        _PriceHandler.malformed = False
