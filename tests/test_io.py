@@ -179,3 +179,51 @@ def test_save_table_cluster_by_disjoint_file_ranges(spark, tmp_path):
 
     # content is intact
     assert load_table(spark, path).count() == n
+
+
+def test_keyed_merge_preserves_cluster_by_layout(spark, tmp_path):
+    """cluster_by must apply on the keyed-merge rewrite path too:
+    after an upsert, rows inside each file remain sorted on the
+    cluster column and the merge semantics are intact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from starknet_etl_spark.io import load_table, save_table
+
+    path = str(tmp_path / "keyed_clustered")
+    first = spark.createDataFrame(
+        [(i, i % 7, 1) for i in range(5000)], "k long, ts long, v long"
+    )
+    save_table(
+        first, path, dedup_keys=["k"], version_cols=["v"],
+        cluster_by=["ts"],
+    )
+    second = spark.createDataFrame(
+        [(i, i % 7, 2) for i in range(0, 5000, 2)],
+        "k long, ts long, v long",
+    )
+    save_table(
+        second, path, dedup_keys=["k"], version_cols=["v"],
+        cluster_by=["ts"],
+    )
+
+    got = load_table(spark, path)
+    assert got.count() == 5000
+    assert got.filter("v = 2").count() == 2500  # evens upserted
+
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            assert col.statistics.min <= col.statistics.max
+        # whole-file min/max well-formed and the table swap left no
+        # tombstone/tmp dirs behind
+    import os
+
+    assert not os.path.exists(path + "__old_swap")
+    assert not os.path.exists(path + "__tmp_swap")
