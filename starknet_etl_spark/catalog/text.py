@@ -699,10 +699,12 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHAR_ENTROPY_ORACLE = """
 WITH chars AS (
+  -- UTF-8 bytes as hex pairs, not characters: charset-stable across
+  -- engines (Java UTF-16 units vs DuckDB characters diverge on
+  -- non-BMP text). Mirrors operators/text.py char_entropy.
   SELECT doc_id, c
-  FROM documents, unnest(string_split(text, '')) AS t(c)
-  WHERE c <> ''  -- string_split('','') yields ['']: an empty doc has
-                 -- no chars and (like the Spark side) emits no row
+  FROM documents,
+       unnest(regexp_extract_all(hex(encode(text)), '..')) AS t(c)
 ),
 counts AS (
   SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
@@ -820,7 +822,7 @@ QUERIES = {
     "doc_char_entropy": QuerySpec(
         _char_entropy,
         _CHAR_ENTROPY_ORACLE,
-        "per-doc character Shannon entropy (gibberish signal)",
+        "per-doc UTF-8 byte Shannon entropy (gibberish signal)",
     ),
     "doc_unigram_logprob": QuerySpec(
         _unigram_logprob,

@@ -243,9 +243,12 @@ WITH cent AS (
 ),
 q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}),
 cell_scores AS (
+  -- Rounded before the top-n_probes cut (mirrors the operator): the
+  -- raw float sum differs by ~1 ulp across engines, and a near-tie
+  -- flipping the probe set would change the candidate pool.
   SELECT cell,
-         SUM(c * CAST(q.embedding[dim_i] AS DOUBLE))
-         / SQRT(SUM(c * c)) AS s
+         ROUND(SUM(c * CAST(q.embedding[dim_i] AS DOUBLE))
+               / SQRT(SUM(c * c)), 6) AS s
   FROM cent, q GROUP BY cell
 ),
 probe AS (SELECT cell FROM cell_scores ORDER BY s DESC, cell ASC LIMIT 2),

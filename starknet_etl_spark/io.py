@@ -298,8 +298,18 @@ def compact_table(
         # (and a straggler/OOM task at write). A uniform salt spreads
         # each partition's rows over the task budget while partitionBy
         # still routes rows to the right directories.
+        #
+        # The salt must be bounded PER PARTITION VALUE: an unbounded
+        # [0, n_files) salt lets every partition value land in up to
+        # n_files tasks, so a many-partition table emits up to
+        # n_dirs * n_files files — undoing the compaction. Cap the salt
+        # at ceil(n_files / n_partition_values) so total output stays
+        # ~n_files. The distinct count is one cheap column-pruned agg
+        # over a table we're about to rewrite anyway.
+        n_parts = max(1, df.select(*partition_by).distinct().count())
+        per_part = -(-n_files // n_parts)  # ceil div
         salted = df.repartition(
-            n_files, *partition_by, F.floor(F.rand(42) * n_files)
+            n_files, *partition_by, F.floor(F.rand(42) * per_part)
         )
         writer = salted.write.mode("overwrite").partitionBy(*partition_by)
     writer.parquet(tmp)
@@ -420,20 +430,37 @@ def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
     o = jvm.org.apache.hadoop.fs.Path(old)
     fs = p.getFileSystem(conf)
     fs.delete(o, True)
+    # Hadoop rename signals failure by RETURNING FALSE, not raising.
+    # Ignoring it here would let the trailing tombstone delete destroy
+    # the only surviving copy (data parked in tmp, nothing at path).
     if fs.exists(p):
-        fs.rename(p, o)
-    fs.rename(t, p)
-    fs.delete(o, True)
+        if not fs.rename(p, o):
+            raise IOError(f"rename {path} -> {old} failed (table intact)")
+    if not fs.rename(t, p):
+        raise IOError(
+            f"rename {tmp} -> {path} failed; previous copy parked at {old}"
+        )
+    # Drop the tombstone only once the live copy is confirmed in place.
+    if fs.exists(p):
+        fs.delete(o, True)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    if os.path.exists(path):  # local fs fast path
-        return True
     if "://" not in path:
-        # scheme-less path: local-only, genuinely absent (the default
-        # Hadoop FS in local mode is the local FS — skip the JVM trip)
-        return False
-    # hadoop fs (s3/hdfs/gs) — exists() returns False for a genuine
+        # Scheme-less paths resolve against fs.defaultFS, which is only
+        # the local FS when defaultFS says so. On a cluster where
+        # defaultFS is hdfs:// (or any remote FS), a scheme-less path
+        # names a REMOTE table — answering from the local disk would
+        # report a live keyed table as absent and save_table would
+        # overwrite it with just the new batch. Only short-circuit when
+        # the default FS is genuinely the local one.
+        default_fs = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if default_fs.startswith("file:"):
+            return os.path.exists(path)
+    # hadoop fs (s3/hdfs/gs, or scheme-less against a remote defaultFS)
+    # — exists() returns False for a genuine
     # not-found and RAISES on transport/credential errors. Propagate
     # those: swallowing one here would make save_table believe a live
     # keyed table is absent and OVERWRITE it with just the new batch.

@@ -270,9 +270,16 @@ def knn_ivf(
         cents.join(F.broadcast(qd), "dim_i")
         .groupBy("cell")
         .agg(
-            (
+            # Rounded BEFORE the top-n_probes cut: the raw float sum can
+            # differ by ~1 ulp across engines (summation order), and two
+            # near-tied cells ranking differently would change the probed
+            # candidate set — the same boundary-flip class the catalog
+            # rounds away everywhere else. 6 dp + the cell-asc tiebreak
+            # makes the probe set deterministic cross-engine.
+            F.round(
                 F.sum(F.col("centroid") * F.col("__qx"))
-                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
+                6,
             ).alias("__s")
         )
     )

@@ -232,19 +232,32 @@ def char_entropy(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, char_entropy): Shannon entropy (bits) of the document's
-    character distribution — the classic gibberish/boilerplate signal
-    (natural language sits ~4-4.5 bits; runs of one character → 0,
-    random bytes → ~log2(alphabet)).
+    UTF-8 BYTE distribution — the classic gibberish/boilerplate signal
+    (ASCII natural language sits ~4-4.5 bits; runs of one character →
+    0, random bytes → ~8).
 
-    H = log2(N) - (Σ c·log2(c))/N over per-char counts c, computed as
+    Bytes, not characters, deliberately: Java regex segments a string
+    by UTF-16 code units and DuckDB's string_split by characters, so
+    a char-level explode silently diverges cross-engine on non-BMP
+    text (emoji, combining marks). Segmenting the hex of the UTF-8
+    encoding into 2-char pairs is charset-stable on both engines —
+    the same hardening the multimodal oracle uses.
+
+    H = log2(N) - (Σ c·log2(c))/N over per-byte counts c, computed as
     two aggregations both keyed by the doc id (the second reuses the
-    first's partitioning — one shuffle of the exploded chars, one
-    narrow re-agg). Linear in corpus characters.
+    first's partitioning — one shuffle of the exploded bytes, one
+    narrow re-agg). Linear in corpus bytes.
     """
     chars = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
-    ).filter(F.col("__ch") != "")
+        F.explode(
+            F.regexp_extract_all(
+                F.hex(F.encode(F.col(text_col), "UTF-8")),
+                F.lit(".."),
+                0,
+            )
+        ).alias("__ch"),
+    )
     counts = chars.groupBy(id_col, "__ch").agg(
         F.count(F.lit(1)).alias("__c")
     )

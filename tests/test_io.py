@@ -91,6 +91,47 @@ def test_compact_table(spark, blocks_df, tmp_path):
     assert load_table(spark, path).count() == n_rows
 
 
+def test_compact_table_partitioned_file_budget(spark, tmp_path):
+    """The per-partition salt must be BOUNDED: with an unbounded
+    [0, n_files) salt every partition value can land in up to n_files
+    tasks, so a many-partition table emits ~n_dirs * n_files files and
+    the compaction undoes itself. Total output must stay ~n_files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import compact_table
+
+    path = str(tmp_path / "frag_parts")
+    df = (
+        spark.range(4000)
+        .withColumn("part", (F.col("id") % 8).cast("string"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    for _ in range(4):  # fragmented appends across 8 partition dirs
+        df.repartition(6).write.mode("append").partitionBy(
+            "part"
+        ).parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    after = compact_table(
+        spark, path, target_file_mb=128, partition_by=["part"]
+    )
+    # target n_files here is 1 (tiny table) → per-partition salt cap is
+    # ceil(1/8)=1 → at most one file per partition dir, ≤ 8 total
+    # (not 8 dirs × n_files).
+    assert after <= 8
+    for d in os.listdir(path):
+        if not d.startswith("part="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    assert spark.read.parquet(path).count() == n_rows
+
+
 def test_save_table_overwrite(spark, blocks_df, tmp_path):
     path = str(tmp_path / "report")
     save_table(blocks_df, path, mode="overwrite")

@@ -459,3 +459,23 @@ def test_stratified_sample_exact_k_and_stable(spark):
         ).collect()
     )
     assert salted != got1  # salt re-rolls
+
+
+def test_char_entropy_byte_level_charset_stable(spark):
+    """Entropy is over UTF-8 BYTES (charset-stable cross-engine): a
+    one-symbol run is 0 bits; a repeated 4-byte emoji is the entropy
+    of its 4 distinct bytes (2.0), where a char-level split would say
+    0 and a UTF-16-unit split would say 1."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "\U0001F600" * 3), (3, "ab")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["char_entropy"]
+        for r in X.char_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == 0.0
+    assert math.isclose(got[2], 2.0, abs_tol=1e-6)  # F0 9F 98 80 × 3
+    assert math.isclose(got[3], 1.0, abs_tol=1e-6)
