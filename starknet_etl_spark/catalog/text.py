@@ -572,6 +572,21 @@ FROM clusters
 )
 
 
+def _dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster map via the O(log n) large-star/small-star
+    variant (the long-chain-safe path) — differentially proven
+    identical to min-label against the recursive-CTE oracle."""
+    from ..operators.components import connected_components
+
+    cc = connected_components(
+        _jaccard_pairs(spark, sf_dir), "id_1", "id_2", algorithm="star"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
 def _cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup survivors: per dup-cluster keep the doc
     with the most characters (tie: min id); unclustered docs are
@@ -843,6 +858,13 @@ QUERIES = {
         _dup_clusters,
         _DUP_CLUSTERS_ORACLE,
         "dedup clusters: connected components over near-dup pairs",
+    ),
+    # overflow (past the driver's 50-window — locally oracle-checked):
+    # the star variant against the SAME recursive-CTE oracle.
+    "doc_dup_clusters_star": QuerySpec(
+        _dup_clusters_star,
+        _DUP_CLUSTERS_ORACLE,
+        "same cluster map via O(log n) large-star/small-star",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,

@@ -17,10 +17,13 @@ distributed. Rounds needed = graph diameter, and near-dup components
 are shallow (dup clusters are dense), so a handful of rounds
 converges; ``localCheckpoint`` truncates the growing lineage each
 round (iterative-plan hygiene). For adversarially long chain graphs
-the alternating large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce") converges in O(log n) rounds —
-same per-round plan shape, more bookkeeping; min-label is the right
-default for dedup graphs.
+(template/boilerplate drift produces them) ``algorithm="star"``
+switches to the alternating large-star/small-star variant (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+which converges in O(log² n) rounds — in practice ~log n — with the
+same per-round plan shape (joins + min-aggs keyed by node id).
+Min-label remains the default: for shallow dup graphs it does fewer
+shuffles per round.
 """
 
 from __future__ import annotations
@@ -34,13 +37,25 @@ def connected_components(
     dst: str = "id_2",
     *,
     max_iter: int = 50,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``edges``;
     ``component`` is the smallest node id in the connected component.
 
+    ``algorithm``: ``"minlabel"`` (default — O(diameter) rounds, the
+    right choice for dense dup clusters) or ``"star"`` (large-star/
+    small-star, O(log n)-ish rounds — the choice for long-chain
+    graphs). Both are deterministic pure functions of the edge set
+    and produce IDENTICAL output (property-tested).
+
     Raises if the graph hasn't converged after ``max_iter`` rounds
-    (diameter > max_iter) rather than returning a wrong answer.
+    rather than returning a wrong answer.
     """
+    if algorithm == "star":
+        labels, _ = _star_components(edges, src, dst, max_iter=max_iter)
+        return labels
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -90,6 +105,109 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def _star_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., SoCC'14). Returns ``((node, component), rounds)``.
+
+    Per round over the current edge set E (kept as a distinct,
+    self-loop-free relation):
+
+    - **large-star**: for every node u, with m = min(Γ(u) ∪ {u}),
+      re-point every STRICTLY LARGER neighbor v > u at m. Larger
+      neighbors skip past u toward the component minimum — path
+      lengths roughly halve.
+    - **small-star**: orient edges toward the smaller endpoint, then
+      for every node u re-point u and all its (smaller) neighbors at
+      m = min(Γ(u) ∪ {u}) — locally flattens each neighborhood into
+      a star.
+
+    The fixed point is one star per component rooted at the minimum
+    node id, so labels read directly off the final edges. Each half-
+    round is one groupBy-min + one key join (node-keyed shuffles, no
+    driver-side graph state); lineage is truncated per round via
+    ``localCheckpoint``. Convergence test: (count, xxhash64-sum)
+    fingerprint match, confirmed with an exact ``exceptAll`` before
+    declaring the fixed point — the fingerprint alone meets a
+    ~2^-64 collision, the confirm makes equality exact.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # All input nodes — kept so self-loop-only / isolated-edge nodes
+    # still get a label (parity with min-label's node universe).
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    cur = (
+        e.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_print: tuple[int, int | None] | None = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # -- large-star ------------------------------------------------
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star ------------------------------------------------
+        # Large-star output already points high→low; normalize anyway
+        # so orientation is an invariant, not an accident.
+        d = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        dj = d.join(m2, "u")
+        ss = (
+            dj.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(dj.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode raises on long overflow and
+            # 2^31 64-bit hashes WILL overflow a sum. XOR is closed.
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        printed = (fp["n"], fp["h"])
+        if printed == prev_print and ss.exceptAll(cur).isEmpty():
+            cur = ss
+            break
+        prev_print = printed
+        cur = ss
+    else:
+        raise RuntimeError(
+            f"connected_components(star): no fixpoint after {max_iter} "
+            "rounds"
+        )
+    lab = cur.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("__comp")
+    )
+    labels = nodes.select(F.col("u").alias("node")).join(
+        lab, "node", "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("__comp"), F.col("node")).alias("component"),
+    )
+    return labels, rounds
 
 
 def cluster_representatives(

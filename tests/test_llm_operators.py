@@ -405,6 +405,68 @@ def test_connected_components_chain_cycle_pair(spark):
     with _pt.raises(RuntimeError):
         connected_components(edges, max_iter=1)
 
+    # Same edge set through the star variant → identical labels.
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    """The case star exists for: a 64-node chain has diameter 63, so
+    min-label needs 63 rounds (raises at max_iter=20) while star
+    converges within ~2·log2(n) rounds with identical labels."""
+    import math
+
+    import pytest as _pt
+
+    from starknet_etl_spark.operators.components import (
+        _star_components,
+        connected_components,
+    )
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_1 bigint, id_2 bigint"
+    )
+    with _pt.raises(RuntimeError):
+        connected_components(chain, max_iter=20)
+
+    labels, rounds = _star_components(
+        chain, "id_1", "id_2", max_iter=2 * int(math.log2(n)) + 3
+    )
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 2 * int(math.log2(n)) + 3
+
+
+def test_star_equals_minlabel_on_random_graphs(spark):
+    """Property: star and min-label are the same pure function of the
+    edge set — seeded random graphs (sparse, dense, with self-loops
+    and duplicate/reversed edges) produce identical labelings."""
+    import random
+
+    from starknet_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial, (n, m) in enumerate([(30, 15), (30, 45), (12, 60)]):
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # self-loops and dups included by construction
+        df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+        a = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        b = {
+            r["node"]: r["component"]
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert a == b, f"trial {trial}: star != minlabel"
+
 
 def test_clean_corpus_reasons_and_precedence(spark):
     """One doc per failure mode + a clean keeper; the dup of the
