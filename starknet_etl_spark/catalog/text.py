@@ -88,6 +88,49 @@ WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
 )
 
 
+def _jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the corpus arrives as two micro-batches
+    folded into a persisted shingle index (dedup.merge_batch); the
+    union of per-batch emissions must equal the full-corpus Jaccard —
+    which is exactly what the (uncapped) oracle computes."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = f"{tempfile.gettempdir()}/shingle_index_catalog"
+    shutil.rmtree(idx, ignore_errors=True)  # fresh index per run
+    p1 = D.merge_batch(
+        docs.filter("doc_id % 2 = 0"), idx, 0, threshold=0.8
+    )
+    p2 = D.merge_batch(
+        docs.filter("doc_id % 2 = 1"), idx, 1, threshold=0.8
+    )
+    return p1.unionByName(p2)
+
+
+# Full-corpus Jaccard with NO df cap: incremental df caps are
+# merge-time-relative (documented drift), so the exact-equivalence
+# contract is stated and checked uncapped.
+_JACCARD_INCREMENTAL_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2,
+       ROUND(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = id_1
+JOIN sizes s2 ON s2.doc_id = id_2
+WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+"""
+)
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -865,6 +908,13 @@ QUERIES = {
         _dup_clusters_star,
         _DUP_CLUSTERS_ORACLE,
         "same cluster map via O(log n) large-star/small-star",
+    ),
+    # overflow: two merge_batch ticks against a persisted shingle
+    # index must reproduce the full-corpus (uncapped) Jaccard.
+    "doc_jaccard_incremental": QuerySpec(
+        _jaccard_incremental,
+        _JACCARD_INCREMENTAL_ORACLE,
+        "incremental merge-batch near-dup == full recompute",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,

@@ -133,6 +133,7 @@ def knn_batch(
     q_id_col: str = "vec_id",
     q_vec_col: str = "embedding",
     k: int = 10,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for a SET of queries in one corpus
     pass — the retrieval shape real pipelines run (Q probe vectors at
@@ -147,6 +148,12 @@ def knn_batch(
     order, identical in the oracle) picks the global top-k per query.
     Local pruning uses the same total order, so it can never evict a
     global winner. One scan, one tiny shuffle, GEMM throughput.
+
+    The "driver-sized by contract" clause is ENFORCED, not assumed:
+    the collect is capped at ``max_queries`` rows and raises past it
+    (a caller passing a corpus as ``queries`` would otherwise OOM the
+    driver). For genuinely larger probe sets, split them or use the
+    bucketed paths (``knn_ivf`` / ``knn_lsh``) per query shard.
     """
     import numpy as np
 
@@ -154,9 +161,17 @@ def knn_batch(
         r
         for r in queries.select(
             F.col(q_id_col).cast("long"), F.col(q_vec_col)
-        ).collect()
+        )
+        .limit(max_queries + 1)
+        .collect()
         if r[1] is not None  # NULL query vectors: same drop policy
     ]
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_batch: queries exceed max_queries={max_queries}; "
+            "this side is driver-collected — shard the probe set or "
+            "raise max_queries deliberately"
+        )
     if not qrows:
         raise ValueError("queries is empty (or all query vectors NULL)")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)

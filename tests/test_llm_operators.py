@@ -541,3 +541,54 @@ def test_char_entropy_byte_level_charset_stable(spark):
     assert got[1] == 0.0
     assert math.isclose(got[2], 2.0, abs_tol=1e-6)  # F0 9F 98 80 × 3
     assert math.isclose(got[3], 1.0, abs_tol=1e-6)
+
+
+def test_knn_batch_driver_guard(spark):
+    """The driver-collected query side is capped: passing a 'corpus'
+    as queries raises instead of OOMing the driver."""
+    import pytest as _pt
+
+    rows = [(i, [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with _pt.raises(ValueError, match="max_queries"):
+        S.knn_batch(df, df, k=2, max_queries=5)
+    # under the cap: normal operation
+    out = S.knn_batch(df.filter("vec_id >= 2"), df.filter("vec_id < 2"),
+                      k=2, max_queries=5)
+    assert out.count() == 4
+
+
+def test_merge_batch_incremental_equals_full_recompute(spark, tmp_path):
+    """Invariant: union of per-batch emissions == full-corpus
+    jaccard_pairs; replaying a batch is a no-op append that re-emits
+    the same pairs (idempotent for a keyed pair sink)."""
+    from starknet_etl_spark.io import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    h1 = docs.filter("doc_id % 2 = 0")
+    h2 = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "shingle_index")
+
+    p1 = D.merge_batch(h1, idx, 0, threshold=0.8)
+    p2 = D.merge_batch(h2, idx, 1, threshold=0.8)
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in p1.unionByName(p2).collect()
+    }
+    full = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert got == full
+    assert len(got) > 0  # the corpus has planted near-dups
+
+    # replay of batch 1: marker makes the append a no-op; emission is
+    # a pure function of (index, batch) → identical pairs
+    p2_replay = D.merge_batch(h2, idx, 1, threshold=0.8)
+    got_replay = {
+        (r["id_1"], r["id_2"]): r["jaccard"] for r in p2_replay.collect()
+    }
+    got2 = {(r["id_1"], r["id_2"]): r["jaccard"] for r in p2.collect()}
+    assert got_replay == got2
