@@ -5,6 +5,13 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with a noop-format write (full
 computation, no driver-side result transfer skewing the numbers).
+
+A/B mode (``--ab A B [--reps N]``): CLAUDE.md documents ±1.8x
+per-query drift across SESSIONS with byte-identical code, so perf
+claims comparing two variants are only trustworthy when the variants
+run INTERLEAVED in one session (A,B,A,B,...). ``--ab`` does exactly
+that for two catalog query names and prints one JSON line with
+paired per-rep timings, medians, and the median ratio.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -45,13 +53,12 @@ HEADLINE = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    return float(m.group(1)) if m else -1.0
 
+
+def _warm(spark, sf_dir: str) -> None:
     # Warm the JVM, codegen, and the parquet read path (footers,
     # column readers) outside the timed region — the bench measures
     # steady-state engine throughput, not JVM cold start.
@@ -61,19 +68,30 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_testdata(spark, sf_dir, t).count()
 
+
+def _run_once(spark, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, sf_dir)
+
     # Best-of-2 per query: the regression gate compares rounds, so
     # the recorded number should be engine throughput, not scheduler
     # noise (run-to-run variance on local mode is ~±20%).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        spec = QUERIES[name]
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
-            spec.builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.time() - t0)
+            best = min(best, _run_once(spark, sf_dir, name))
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -90,5 +108,50 @@ def main() -> None:
     )
 
 
+def main_ab(name_a: str, name_b: str, reps: int) -> None:
+    for n in (name_a, name_b):
+        if n not in QUERIES:
+            raise SystemExit(f"unknown catalog query: {n}")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, sf_dir)
+    # one untimed run of each: JIT + shuffle-file warmup parity
+    _run_once(spark, sf_dir, name_a)
+    _run_once(spark, sf_dir, name_b)
+
+    a_times, b_times = [], []
+    for _ in range(reps):
+        a_times.append(round(_run_once(spark, sf_dir, name_a), 3))
+        b_times.append(round(_run_once(spark, sf_dir, name_b), 3))
+    med_a = statistics.median(a_times)
+    med_b = statistics.median(b_times)
+    print(
+        json.dumps(
+            {
+                "metric": "ab_compare",
+                "unit": "sec",
+                "sf": _sf_of(sf_dir),
+                "a": {"name": name_a, "times": a_times, "median": med_a},
+                "b": {"name": name_b, "times": b_times, "median": med_b},
+                "median_ratio_b_over_a": round(med_b / med_a, 3)
+                if med_a
+                else None,
+                "paired_deltas": [
+                    round(b - a, 3) for a, b in zip(a_times, b_times)
+                ],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        if len(sys.argv) < 4:
+            raise SystemExit("usage: bench.py --ab QUERY_A QUERY_B [--reps N]")
+        reps = 5
+        if "--reps" in sys.argv:
+            reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        main_ab(sys.argv[2], sys.argv[3], reps)
+    else:
+        main()

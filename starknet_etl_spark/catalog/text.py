@@ -131,6 +131,27 @@ WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
 )
 
 
+def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: two micro-batches folded into the
+    persisted bands+postings indexes (dedup.merge_batch_minhash); the
+    union of per-batch emissions must equal the one-shot LSH query —
+    so it shares doc_minhash_lsh_pairs' oracle."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = f"{tempfile.gettempdir()}/minhash_index_catalog"
+    shutil.rmtree(idx, ignore_errors=True)  # fresh index per run
+    kw = dict(n=3, num_hashes=8, band_size=2, threshold=0.8)
+    p1 = D.merge_batch_minhash(
+        docs.filter("doc_id % 2 = 0"), idx, 0, **kw
+    )
+    p2 = D.merge_batch_minhash(
+        docs.filter("doc_id % 2 = 1"), idx, 1, **kw
+    )
+    return p1.unionByName(p2)
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -529,34 +550,29 @@ FROM c GROUP BY source, CAST(start_offset // 512 AS BIGINT)
 
 
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pii import with_pii
+    from ..operators.pii import PII_PATTERNS, with_pii
 
     scanned = with_pii(_docs(spark, sf_dir), "text")
     return scanned.select(
         "doc_id",
-        "n_email",
-        "n_ssn",
-        "n_phone",
-        "n_ipv4",
+        *[f"n_{name}" for name in PII_PATTERNS],
         "has_pii",
         F.md5("redacted").alias("redacted_fp"),
     )
 
 
 def _pii_oracle() -> str:
-    """Built from PII_PATTERNS so the two sides can never drift; the
-    patterns live in the Java-regex ∩ RE2 subset by construction."""
-    from ..operators.pii import PII_PATTERNS
+    """Built from PII_PATTERNS + oracle_count_sql so the two sides can
+    never drift; the patterns live in the Java-regex ∩ RE2 subset by
+    construction, and the Luhn credit-card filter is the same unrolled
+    arithmetic on both engines (pii.luhn_sql)."""
+    from ..operators.pii import PII_PATTERNS, oracle_count_sql
 
+    count_exprs = oracle_count_sql("text")
     counts = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
-        f" AS n_{name}"
-        for name, (pat, _) in PII_PATTERNS.items()
+        f"{expr} AS n_{name}" for name, expr in count_exprs.items()
     )
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))"
-        for pat, _ in PII_PATTERNS.values()
-    )
+    total = " + ".join(count_exprs.values())
     red = "text"
     for pat, tag in PII_PATTERNS.values():
         red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
@@ -916,10 +932,17 @@ QUERIES = {
         _JACCARD_INCREMENTAL_ORACLE,
         "incremental merge-batch near-dup == full recompute",
     ),
+    # overflow: two merge_batch_minhash ticks against persisted
+    # bands+postings indexes must reproduce the one-shot LSH result.
+    "doc_minhash_incremental": QuerySpec(
+        _minhash_incremental,
+        _MINHASH_ORACLE,
+        "incremental MinHash-LSH merge == one-shot LSH",
+    ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,
         _pii_oracle(),
-        "PII counts + redacted-text fingerprint (email/ssn/phone/ipv4)",
+        "PII counts + redacted-text fingerprint incl. Luhn cards/secrets",
     ),
     "doc_pack_sequences": QuerySpec(
         _pack,

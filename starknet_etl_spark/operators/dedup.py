@@ -68,7 +68,14 @@ def _eager_release(
     unpersist the big intermediate caches deterministically — the
     round-1 'persist without unpersist' leak fix for long-lived
     sessions. ``eager=False`` restores fully-lazy behavior (caches
-    then live until Spark's eviction)."""
+    then live until Spark's eviction).
+
+    CALLER WARNING: the default (``eager=True``) runs a Spark job
+    inside the builder — jaccard_pairs/minhash_lsh_pairs are NOT lazy
+    plan fragments unless you pass ``eager_release=False``. Composing
+    the default into a larger lazy pipeline silently executes the
+    near-dup computation at build time; pass ``eager_release=False``
+    and manage the caches yourself when embedding in a bigger plan."""
     if not eager:
         return out
     out = out.persist()
@@ -232,6 +239,32 @@ def _signatures_from(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     )
 
 
+def _bands_from(
+    sig: DataFrame, id_col: str, band_size: int, n_bands: int
+) -> DataFrame:
+    """(id, band, bucket) — md5 over each band's signature slice.
+    Shared by the one-shot and incremental paths so their buckets are
+    bit-identical for the same document."""
+    return sig.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "signature",
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                "",
+                F.slice(
+                    F.col("signature"),
+                    F.col("band") * band_size + 1,
+                    band_size,
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -268,24 +301,7 @@ def minhash_lsh_pairs(
     # cost and would otherwise run twice.
     sh_all = shingles(df, id_col, text_col, n=n).persist()
     sig = _signatures_from(sh_all, id_col, num_hashes)
-    bands = sig.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        "signature",
-    ).select(
-        id_col,
-        "band",
-        F.md5(
-            F.concat_ws(
-                "",
-                F.slice(
-                    F.col("signature"),
-                    F.col("band") * band_size + 1,
-                    band_size,
-                ),
-            )
-        ).alias("bucket"),
-    )
+    bands = _bands_from(sig, id_col, band_size, n_bands)
     left = bands.select(F.col(id_col).alias("id_1"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_2"), "band", "bucket")
     cands = (
@@ -485,6 +501,134 @@ def merge_batch(
         # cross pairs a second time. Checkpointing materializes the
         # emission and severs the lineage, freezing this tick's
         # result for good.
+        return out.localCheckpoint()
+    finally:
+        sh_new.unpersist()
+
+
+def merge_batch_minhash(
+    batch: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: fold one micro-batch into
+    TWO persisted indexes and emit only the pairs touching the batch.
+
+    Index layout under ``index_path``:
+
+    - ``bands/`` — (id, band, bucket): the LSH candidate index; the
+      batch's bands probe it, so candidate generation costs
+      batch-bands ⋈ matching buckets, never corpus².
+    - ``postings/`` — (id, sh_h): 64-bit shingle hashes for exact-
+      Jaccard verification of candidates (signatures alone can't
+      verify; the raw text of OLD docs is gone by design).
+
+    Both appends go through ``io.append_once`` keyed by ``batch_id``,
+    so a replayed foreachBatch tick is a no-op append and the pair
+    emission is a pure function of (indexes, batch) — idempotent into
+    any keyed pair sink.
+
+    Invariant (tested): union of per-batch emissions equals
+    ``minhash_lsh_pairs`` over the full corpus with the same
+    parameters — band buckets are deterministic per document
+    (:func:`_bands_from`), and verification reads the full postings
+    index, so a candidate pair's Jaccard is exact whenever emitted.
+
+    Scale: vs. :func:`merge_batch` (postings self-join), the probe
+    here is the bands index — ~``n_bands`` rows/doc instead of one
+    row per shingle — so the per-tick join is ~2 orders of magnitude
+    smaller on long documents; verification still pays postings cost
+    but only for the candidate set.
+    """
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    n_bands = num_hashes // band_size
+    from .. import io as _io
+
+    spark = batch.sparkSession
+    sh_new = shingles(batch, id_col, text_col, n=n).persist()
+    try:
+        sig = _signatures_from(sh_new, id_col, num_hashes)
+        bands_new = _bands_from(sig, id_col, band_size, n_bands)
+        _io.append_once(
+            sh_new.select(
+                F.col(id_col), F.xxhash64("shingle").alias("sh_h")
+            ),
+            f"{index_path}/postings",
+            batch_id,
+        )
+        _io.append_once(bands_new, f"{index_path}/bands", batch_id)
+
+        all_bands = _io.load_table(spark, f"{index_path}/bands")
+        # batch bands ⊂ all_bands after the append, so one probe join
+        # yields batch×batch AND batch×old candidates; id_1 < id_2
+        # dedups the mirrored matches.
+        cands = (
+            bands_new.select(F.col(id_col).alias("id_1"), "band", "bucket")
+            .join(
+                all_bands.select(
+                    F.col(id_col).alias("id_2"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_1") != F.col("id_2"))
+            .select(
+                F.least("id_1", "id_2").alias("id_1"),
+                F.greatest("id_1", "id_2").alias("id_2"),
+            )
+            .distinct()
+        )
+
+        postings = _io.load_table(spark, f"{index_path}/postings")
+        cand_ids = (
+            cands.select(F.col("id_1").alias(id_col))
+            .union(cands.select(F.col("id_2").alias(id_col)))
+            .distinct()
+        )
+        sh = postings.join(cand_ids, id_col, "left_semi")
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_1"), "sh_h")
+        b = sh.select(F.col(id_col).alias("id_2"), "sh_h")
+        inter = (
+            cands.join(a, "id_1")
+            .join(b, ["id_2", "sh_h"])
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        verified = (
+            inter.join(
+                sizes.select(
+                    F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1")
+                ),
+                "id_1",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2")
+                ),
+                "id_2",
+            )
+            .select(
+                "id_1",
+                "id_2",
+                (
+                    F.col("n_inter")
+                    / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+                ).alias("jaccard"),
+            )
+        )
+        out = verified.filter(F.col("jaccard") >= threshold).select(
+            "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
+        )
+        # localCheckpoint for the same reason as merge_batch: the plan
+        # reads growing indexes; freeze this tick's emission.
         return out.localCheckpoint()
     finally:
         sh_new.unpersist()

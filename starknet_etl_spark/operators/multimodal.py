@@ -52,6 +52,95 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+def ppm_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image codec (binary PPM / P6, no external deps): parses
+    the header, reshapes the raw RGB plane with numpy, and emits
+    channel statistics as the feature vector. Proves the ``decode_fn``
+    injection path with an actual decoder; for JPEG/PNG pass a
+    Pillow-backed callable instead (see tests/test_multimodal.py)."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comment lines start with '#'), then a single whitespace
+    # byte, then width*height*3 raw bytes.
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    rgb = px.reshape(h, w, 3).astype(np.float64) / float(maxval)
+    luma = rgb @ np.array([0.299, 0.587, 0.114])
+    feats = [
+        rgb[..., 0].mean(), rgb[..., 1].mean(), rgb[..., 2].mean(),
+        luma.mean(),
+        rgb[..., 0].std(), rgb[..., 1].std(), rgb[..., 2].std(),
+        luma.std(),
+    ]
+    return [float(f) for f in (feats * (dim // len(feats) + 1))[:dim]]
+
+
+def wav_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL audio codec (RIFF/WAVE PCM via the stdlib ``wave``
+    module): decodes frames to int16 samples and emits level/dynamics
+    statistics (RMS, peak, zero-crossing rate, duration)."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    with wave.open(_io.BytesIO(payload), "rb") as wf:
+        n, rate = wf.getnframes(), wf.getframerate()
+        width, channels = wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(n)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width={width}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    if x.size == 0:
+        return [0.0] * dim
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    feats = [
+        float(np.sqrt(np.mean(x * x))),          # rms
+        float(np.abs(x).max()),                  # peak
+        zc,                                      # zero-crossing rate
+        float(x.mean()),
+        float(x.std()),
+        float(np.percentile(np.abs(x), 95)),
+        min(1.0, x.size / rate / 60.0),          # duration, minutes capped
+        min(1.0, rate / 48000.0),
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
+def real_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Magic-byte dispatcher over the real codecs; unknown formats
+    fall back to :func:`fake_decode` so a mixed-corpus scan never
+    aborts on one exotic asset."""
+    try:
+        if payload.startswith(b"P6"):
+            return ppm_decode(payload, dim)
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            return wav_decode(payload, dim)
+    except Exception:  # corrupt asset: degrade, don't abort the scan
+        pass
+    return fake_decode(payload, dim)
+
+
 def extract_features(
     df: DataFrame,
     *,

@@ -1,21 +1,33 @@
 """PII detection and redaction for training corpora.
 
-Regex-family PII scrubbing (emails, US-style SSNs/phones, IPv4) —
-the standard pre-release hygiene pass over web text. Patterns stay
-inside the Java-regex ∩ RE2 common subset (no lookaround, no
-backrefs) so the exact same pattern text runs on Spark (hot path,
-codegen'd ``regexp_count``/``regexp_replace``) and on DuckDB (oracle
-differential). Pure column expressions: scanning 100 TB is one
-map-only pass, no shuffle, no Python.
+Regex-family PII scrubbing (emails, US-style SSNs/phones, IPv4,
+credit cards, cloud/API secrets) — the standard pre-release hygiene
+pass over web text. Patterns stay inside the Java-regex ∩ RE2 common
+subset (no lookaround, no backrefs) so the exact same pattern text
+runs on Spark (hot path, codegen'd ``regexp_count``/
+``regexp_replace``) and on DuckDB (oracle differential). Pure column
+expressions: scanning 100 TB is one map-only pass, no shuffle, no
+Python.
 
-Redaction order is fixed (email → ssn → phone → ipv4): SSNs would
-otherwise partially match the phone pattern, so the more specific
-pattern must fire first.
+Credit cards are the one non-pure-regex kind: the 16-digit pattern
+over-matches (order ids, timestamps), so ``n_credit_card`` counts
+only Luhn-valid matches. The Luhn checksum is unrolled into builtin
+arithmetic over the 16 fixed digit positions — a higher-order
+``filter`` over the (rare) candidate array, expressible identically
+in Spark and DuckDB (see :func:`luhn_sql`); redaction stays
+conservative and scrubs every card-shaped match.
+
+Redaction order is fixed (email → card → ssn → phone → ipv4 →
+secrets): SSNs would otherwise partially match the phone pattern, so
+the more specific pattern must fire first.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: 16-digit card with optional per-group space/hyphen separators.
+CARD_PATTERN = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"
 
 #: name -> (pattern, replacement tag); insertion order = redaction order.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
@@ -23,22 +35,96 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         "[EMAIL]",
     ),
+    "credit_card": (CARD_PATTERN, "[CARD]"),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
     "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "[AWSKEY]"),
+    "gh_token": (r"\bghp_[A-Za-z0-9]{36}\b", "[GHTOKEN]"),
+    "api_key": (
+        r"(?i)\bapi[_-]?key[ ]*[:=][ ]*[A-Za-z0-9_\-]{8,}",
+        "[APIKEY]",
+    ),
 }
+
+# Luhn over the fixed 16 digits (separators stripped): 1-indexed from
+# the left with even length, odd positions are doubled (2d, minus 9
+# when d >= 5); checksum passes when the total is ≡ 0 (mod 10).
+_LUHN_DOUBLED = tuple(range(1, 17, 2))
+_LUHN_PLAIN = tuple(range(2, 17, 2))
+
+
+def luhn_valid(match: Column) -> Column:
+    """Spark boolean: the card-shaped ``match`` passes Luhn."""
+    s = F.regexp_replace(match, r"[ -]", "")
+
+    def digit(i: int) -> Column:
+        return F.substring(s, i, 1).cast("int")
+
+    total: Column = F.lit(0)
+    for i in _LUHN_DOUBLED:
+        d = digit(i)
+        total = total + d * 2 - F.when(d >= 5, F.lit(9)).otherwise(0)
+    for i in _LUHN_PLAIN:
+        total = total + digit(i)
+    return total % 10 == 0
+
+
+def luhn_sql(var: str = "x") -> str:
+    """The identical predicate as portable SQL (DuckDB lambda body)."""
+    s = f"replace(replace({var}, ' ', ''), '-', '')"
+
+    def digit(i: int) -> str:
+        return f"CAST(substr({s}, {i}, 1) AS INT)"
+
+    terms = [
+        f"({digit(i)} * 2 - CASE WHEN {digit(i)} >= 5 THEN 9 ELSE 0 END)"
+        for i in _LUHN_DOUBLED
+    ] + [digit(i) for i in _LUHN_PLAIN]
+    return f"(({' + '.join(terms)}) % 10 = 0)"
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-kind match counts (BIGINT for cross-engine parity)."""
-    return {
-        name: F.regexp_count(text, F.lit(pat)).cast("long")
-        for name, (pat, _) in PII_PATTERNS.items()
-    }
+    """Per-kind match counts (BIGINT for cross-engine parity).
+    ``credit_card`` counts Luhn-valid matches only."""
+    out: dict[str, Column] = {}
+    for name, (pat, _) in PII_PATTERNS.items():
+        if name == "credit_card":
+            # idx=0 — the whole match; Spark defaults to group 1 and
+            # raises at eval time on a group-less pattern.
+            out[name] = F.size(
+                F.filter(
+                    F.regexp_extract_all(text, F.lit(pat), 0),
+                    luhn_valid,
+                )
+            ).cast("long")
+        else:
+            out[name] = F.regexp_count(text, F.lit(pat)).cast("long")
+    return out
+
+
+def oracle_count_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB expression per kind, mirroring :func:`pii_counts` so the
+    catalog oracle is generated, never hand-drifted."""
+    out: dict[str, str] = {}
+    for name, (pat, _) in PII_PATTERNS.items():
+        if name == "credit_card":
+            out[name] = (
+                f"CAST(len(list_filter(regexp_extract_all("
+                f"{text_expr}, '{pat}'), x -> {luhn_sql('x')})) AS BIGINT)"
+            )
+        else:
+            out[name] = (
+                f"CAST(len(regexp_extract_all({text_expr}, '{pat}'))"
+                " AS BIGINT)"
+            )
+    return out
 
 
 def redact_pii(text: Column) -> Column:
-    """All PII spans replaced by their kind tag, in PII_PATTERNS order."""
+    """All PII spans replaced by their kind tag, in PII_PATTERNS order.
+    Card redaction is conservative: every card-shaped span is scrubbed,
+    Luhn-valid or not (a false scrub is safe; a leak is not)."""
     out = text
     for pat, tag in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, tag)

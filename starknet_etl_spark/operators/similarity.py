@@ -338,6 +338,100 @@ def build_ann_index(
     save_table(df, path, mode="overwrite", partition_by=[cell_col])
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) FROZEN centroid.
+
+    The IVF contract: after index build, centroids are metadata —
+    new vectors join the existing cells; re-clustering is a separate,
+    deliberate re-index. ``centroids_df`` is :func:`centroids` output
+    (cell, dim_i, centroid) — n_cells×dim rows, broadcast. Cost: one
+    scan of the batch (posexplode → broadcast join → per-id argmax
+    window keyed on the batch id — no corpus access at all).
+
+    Ties (exactly equal rounded cosine) break toward the smaller
+    cell id, deterministically.
+    """
+    long = df.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
+    ).select(
+        id_col,
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__x").cast("double").alias("__x"),
+    )
+    scores = (
+        long.join(F.broadcast(centroids_df), "dim_i")
+        .groupBy(id_col, "cell")
+        .agg(
+            # same rounded-before-rank discipline as knn_ivf's probe
+            # ranking: ~1 ulp summation drift must not flip a cell.
+            F.round(
+                F.sum(F.col("centroid") * F.col("__x"))
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
+                6,
+            ).alias("__s")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cell"))
+    best = (
+        scores.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, F.col("cell").alias(cell_col))
+    )
+    return df.drop(cell_col).join(best, id_col)
+
+
+def append_ann_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    *,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
+) -> bool:
+    """Fold a vector micro-batch into a cell-partitioned ANN index.
+
+    Completes the engine's incremental story for the vector side
+    (blocks/events: high-watermark; near-dup: merge_batch*): a
+    growing embedding corpus appends into the existing cell layout
+    instead of re-running :func:`build_ann_index` per tick.
+
+    When ``centroids_df`` is given, the batch is assigned to the
+    frozen centroids first (:func:`assign_cells`); otherwise ``df``
+    must already carry ``cell_col``. The write is an
+    ``io.append_once`` keyed by ``batch_id`` (replays no-op) with
+    ``partition_by=[cell_col]`` — only the touched cell directories
+    gain files; existing files are never rewritten. Probes
+    (``knn_ivf_indexed``) see the merged index immediately: partition
+    pruning reads old + appended files of the probed cell alone.
+
+    Returns True when the append ran, False for a replayed batch.
+    """
+    from ..io import append_once
+
+    if centroids_df is not None:
+        df = assign_cells(
+            df,
+            centroids_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+        )
+    elif cell_col not in df.columns:
+        raise ValueError(
+            f"batch lacks {cell_col!r}; pass centroids_df to assign"
+        )
+    return append_once(df, index_path, batch_id, partition_by=[cell_col])
+
+
 def knn_ivf_indexed(
     spark,
     index_path: str,
@@ -348,6 +442,8 @@ def knn_ivf_indexed(
     cell_col: str = "label",
     k: int = 10,
     scorer: str = "hof",
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a cell-partitioned ANN index (``build_ann_index``).
 
@@ -357,11 +453,49 @@ def knn_ivf_indexed(
     ``PartitionFilters``, asserted in tests), then exact top-k within
     the cell. This is the scan-term reduction SCALING.md describes
     for the 100 TB ANN path.
+
+    ``n_probes > 1`` is the indexed recall lever: pass the FROZEN
+    ``centroids_df`` (index metadata, (cell, dim_i, centroid) — the
+    thing to persist next to the index), cells are ranked by rounded
+    centroid cosine against the query (same 6-dp + cell-asc
+    determinism as ``knn_ivf``) and the best ``n_probes`` cell ids
+    become an ``isin`` partition filter — still static pruning, now
+    over n_probes directories. The per-probe collect is O(n_cells):
+    metadata-scale, like any partition-prune key.
     """
-    cell = query.select(F.col(cell_col)).first()[0]
-    corpus = spark.read.parquet(index_path).filter(
-        F.col(cell_col) == F.lit(cell)
-    )
+    if n_probes <= 1:
+        cell = query.select(F.col(cell_col)).first()[0]
+        corpus = spark.read.parquet(index_path).filter(
+            F.col(cell_col) == F.lit(cell)
+        )
+    else:
+        if centroids_df is None:
+            raise ValueError("n_probes > 1 needs centroids_df metadata")
+        qd = query.select(
+            F.posexplode(F.col(vec_col)).alias("__d0", "__qx")
+        ).select(
+            (F.col("__d0") + 1).cast("long").alias("dim_i"),
+            F.col("__qx").cast("double").alias("__qx"),
+        )
+        ranked = (
+            centroids_df.join(F.broadcast(qd), "dim_i")
+            .groupBy("cell")
+            .agg(
+                F.round(
+                    F.sum(F.col("centroid") * F.col("__qx"))
+                    / F.sqrt(
+                        F.sum(F.col("centroid") * F.col("centroid"))
+                    ),
+                    6,
+                ).alias("__s")
+            )
+            .orderBy(F.desc("__s"), F.asc("cell"))
+            .limit(n_probes)
+        )
+        cells = [r["cell"] for r in ranked.collect()]
+        corpus = spark.read.parquet(index_path).filter(
+            F.col(cell_col).isin(cells)
+        )
     return knn_bruteforce(
         corpus, query, id_col=id_col, vec_col=vec_col, k=k, scorer=scorer
     )

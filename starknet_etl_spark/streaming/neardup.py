@@ -1,0 +1,93 @@
+"""Streaming near-dup: incremental MinHash-LSH inside foreachBatch.
+
+Completes the streaming story for the LLM-data suite: the batch
+near-dup operators (operators/dedup.py) get a continuous twin that
+folds each micro-batch into the persisted LSH/postings indexes and
+appends only the new near-dup pairs — the same high-watermark,
+exactly-once design the event pipeline uses (SURVEY ST1/ST7).
+
+Composition per micro-batch (all replay-safe):
+
+1. in-flight dedup — re-delivered doc ids inside the watermark are
+   dropped upstream via ``dropDuplicatesWithinWatermark``
+   (streaming/dedup.py), so the index never ingests a dupe twice;
+2. ``dedup.merge_batch_minhash`` — appends the batch's bands +
+   postings via ``io.append_once`` (replayed ticks no-op) and emits
+   pairs touching the batch only;
+3. the emitted pairs are appended via ``io.append_once`` keyed by
+   the same batch_id, so a crash between foreachBatch retry and
+   checkpoint commit cannot double-write pairs.
+
+State is entirely on disk (the two index tables); the streaming
+query itself holds only the watermark dedup state, bounded by the
+lateness budget. At 100 TB/day the per-tick cost is batch-bands ⋈
+matching buckets — independent of corpus size for non-pathological
+bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..operators.dedup import merge_batch_minhash
+from .dedup import dedup_stream
+
+
+def start_neardup_stream(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str | None = None,
+    watermark: str = "1 hour",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Run incremental near-dup over a document stream.
+
+    ``docs`` is a streaming DataFrame with at least (id_col,
+    text_col); pass ``event_time`` to enable watermarked in-flight
+    dedup of re-delivered ids. New near-dup pairs (id_1, id_2,
+    jaccard) land append-only at ``pairs_path``; the growing indexes
+    live under ``index_path``.
+    """
+    if event_time is not None:
+        docs = dedup_stream(
+            docs,
+            keys=[id_col],
+            event_time=event_time,
+            watermark=watermark,
+        )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        pairs = merge_batch_minhash(
+            batch,
+            index_path,
+            batch_id,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold=threshold,
+        )
+        _io.append_once(pairs, pairs_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

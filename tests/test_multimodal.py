@@ -56,6 +56,97 @@ def test_frame_sample_fanout(assets):
     ]
 
 
+def _make_ppm(w=4, h=2):
+    """A real binary-PPM payload: red top row, blue bottom row."""
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    red, blue = b"\xff\x00\x00", b"\x00\x00\xff"
+    return header + red * w + blue * w
+
+
+def _make_wav(n=800, rate=8000):
+    """A real 16-bit PCM WAV payload: a full-scale square wave."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = (np.tile([16384, -16384], n // 2)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_decode_is_a_real_codec():
+    """ppm_decode parses actual pixels: channel means reflect the
+    red/blue halves, not byte noise."""
+    feats = M.ppm_decode(_make_ppm(), dim=8)
+    r_mean, g_mean, b_mean = feats[0], feats[1], feats[2]
+    assert r_mean == pytest.approx(0.5)  # half the pixels fully red
+    assert g_mean == pytest.approx(0.0)
+    assert b_mean == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        M.ppm_decode(b"\x89PNG not a ppm")
+
+
+def test_wav_decode_is_a_real_codec():
+    """wav_decode yields the analytically known RMS/peak of a
+    half-scale square wave."""
+    feats = M.wav_decode(_make_wav(), dim=8)
+    rms, peak = feats[0], feats[1]
+    assert rms == pytest.approx(0.5, abs=1e-3)
+    assert peak == pytest.approx(0.5, abs=1e-3)
+
+
+def test_real_decode_dispatch_in_plan(spark):
+    """End-to-end: the real codecs run inside extract_features via
+    decode_fn injection; unknown formats degrade to fake_decode
+    instead of aborting the scan."""
+    rows = [
+        (10, "image", _make_ppm(), "image/x-ppm", 4, 2, None),
+        (11, "audio", _make_wav(), "audio/wav", None, None, 100),
+        (12, "image", b"\x89PNG junk", "image/png", 1, 1, None),
+        (13, "audio", b"RIFF0000WAVEtruncated", "audio/wav", None, None, 1),
+    ]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    out = M.extract_features(df, decode_fn=M.real_decode)
+    got = {r["asset_id"]: r["feature"] for r in out.collect()}
+    assert got[10][0] == pytest.approx(0.5)       # ppm red mean
+    assert got[11][0] == pytest.approx(0.5, abs=1e-3)  # wav rms
+    assert got[12] == M.fake_decode(b"\x89PNG junk")   # fallback
+    assert got[13] == M.fake_decode(b"RIFF0000WAVEtruncated")
+
+
+def test_pillow_decoder_injection(spark):
+    """Third-party codec injection (VERDICT r3 item 5): when Pillow is
+    installed, a PIL-backed decode_fn drops into the same plan without
+    touching the plumbing. Skipped in codec-less containers."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+
+    def pil_decode(payload: bytes) -> list[float]:
+        arr = np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"),
+            dtype=np.float64,
+        ) / 255.0
+        return [float(arr[..., c].mean()) for c in range(3)] + [0.0] * 5
+
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", 4, 4, None)],
+        M.ASSET_SCHEMA,
+    )
+    (row,) = M.extract_features(df, decode_fn=pil_decode).collect()
+    assert row["feature"][0] == pytest.approx(1.0)
+
+
 def test_split_metadata(assets):
     meta, payloads = M.split_metadata(assets)
     assert "payload" not in meta.columns

@@ -212,3 +212,62 @@ def test_hash_split_append_stable(spark, n1, n2):
         for r in hash_split(grown, "doc_id").collect()
     }
     assert all(second[k] == v for k, v in first.items())
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=16, max_size=16),
+    st.sampled_from(["", " ", "-"]),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_luhn_sql_matches_python_reference(digits, sep):
+    """The unrolled SQL Luhn predicate (pii.luhn_sql, run on DuckDB —
+    identical structure to the Spark Column build) agrees with a
+    direct Python implementation for every 16-digit string, with any
+    of the separators the card regex admits."""
+    import duckdb
+
+    from starknet_etl_spark.operators.pii import luhn_sql
+
+    def luhn_py(ds):
+        total = 0
+        for i, d in enumerate(ds):  # 0-indexed from left, len 16
+            if i % 2 == 0:
+                dd = d * 2
+                total += dd - 9 if dd > 9 else dd
+            else:
+                total += d
+        return total % 10 == 0
+
+    s = sep.join(
+        "".join(map(str, digits[i : i + 4])) for i in range(0, 16, 4)
+    )
+    (got,) = duckdb.sql(
+        f"SELECT {luhn_sql('x')} FROM (SELECT '{s}' AS x)"
+    ).fetchone()
+    assert got is luhn_py(digits)
+
+
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from([b" ", b"\n", b"\t", b"\n# a comment\n"]),
+    st.binary(min_size=0, max_size=16),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ppm_decode_header_robustness(w, h, ws, extra):
+    """ppm_decode parses any legal whitespace/comment layout and
+    recovers exact channel means; trailing junk after the pixel plane
+    is ignored (per the PPM spec, readers take exactly w*h*3 bytes)."""
+    import numpy as np
+
+    from starknet_etl_spark.operators.multimodal import ppm_decode
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = b"P6" + ws + f"{w}".encode() + b" " + f"{h}".encode() + ws + b"255\n" + px.tobytes() + extra
+    feats = ppm_decode(payload, dim=8)
+    assert feats[0] == (px[..., 0] / 255.0).mean()
+    assert feats[1] == (px[..., 1] / 255.0).mean()
+    assert feats[2] == (px[..., 2] / 255.0).mean()

@@ -322,3 +322,114 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ).select("user_id", "click_id", "r_event_id").collect()
     )
     assert batch == got
+
+
+def test_stream_neardup_incremental_and_replay_safe(spark, tmp_path):
+    """Streaming near-dup (VERDICT r3 item 6): micro-batched docs fold
+    into the persisted LSH indexes; the pair stream equals the one-shot
+    batch minhash_lsh_pairs over the same corpus, and a replayed batch
+    (lost checkpoint commit) appends nothing twice."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.dedup import minhash_lsh_pairs
+    from starknet_etl_spark.streaming.neardup import start_neardup_stream
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(num_hashes=8, band_size=2, threshold=0.8)
+    paths = {
+        "index_path": str(tmp_path / "index"),
+        "pairs_path": str(tmp_path / "pairs"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    stream_src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_neardup_stream(stream_src, **paths, **kw)
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in spark.read.parquet(paths["pairs_path"]).collect()
+    }
+    full = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert got == full
+    assert len(got) > 0  # sf0.001 has planted near-dups
+
+    # crash window: last batch's data landed but the engine's commit
+    # marker didn't → restart replays it; append_once must no-op
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    q2 = start_neardup_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        **paths,
+        **kw,
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in spark.read.parquet(paths["pairs_path"]).collect()
+    }
+    assert got2 == full
+    n_rows = spark.read.parquet(paths["pairs_path"]).count()
+    assert n_rows == len(full)  # no duplicate pair rows from the replay
+
+
+def test_stream_text_curation_map_only(spark, tmp_path):
+    """The curation surface (PII redaction, quality/text stats) is
+    pure column expressions, so it runs UNCHANGED on a stream — no
+    foreachBatch, no state. Streaming output == batch twin."""
+    from starknet_etl_spark.operators.pii import with_pii
+
+    rows = [
+        (1, "contact jane@example.com for the data"),
+        (2, "perfectly clean text"),
+        (3, "card 4111 1111 1111 1111 leaked"),
+    ]
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    q = (
+        with_pii(spark.readStream.schema(schema).parquet(src), "text")
+        .select("doc_id", "has_pii", "redacted")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    batch_rows = sorted(
+        map(
+            tuple,
+            with_pii(spark.createDataFrame(rows, schema), "text")
+            .select("doc_id", "has_pii", "redacted")
+            .collect(),
+        )
+    )
+    assert stream_rows == batch_rows
+    by_id = {r[0]: r for r in stream_rows}
+    assert by_id[1][1] and "[EMAIL]" in by_id[1][2]
+    assert not by_id[2][1]
+    assert "[CARD]" in by_id[3][2]
