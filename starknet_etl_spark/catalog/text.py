@@ -745,6 +745,200 @@ FROM verdict
 """
 
 
+def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed curation pipeline (plans/curation.py) as one
+    oracle-checked frame: clean → near-dup clusters → quality-aware
+    survivors → decontamination (benchmark = src0 docs, the
+    doc_contamination convention) → PII redaction → hash split.
+    One row per input doc: kept rows carry (cluster_id, split,
+    redacted_fp); dropped rows carry (stage, reason)."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,  # uncapped: the oracle states exact equivalence
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _curation_oracle() -> str:
+    """Assembled from the per-stage oracle logic (clean / jaccard /
+    recursive components / representatives / contamination / split /
+    redaction) re-scoped from `documents` to the pipeline's
+    intermediate sets — so the COMPOSITION, not just the stages, is
+    differential-checked."""
+    from ..operators.pii import PII_PATTERNS
+
+    red = "text"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (
+        r"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+cw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
+),
+rep AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+           AS dup_word_frac
+  FROM cw
+),
+lg AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
+    doc_id > MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_dup
+  FROM corpus
+),
+verdict AS (
+  SELECT l.doc_id, r.n_words,
+         CASE WHEN l.is_exact_dup THEN 'exact_dup'
+              WHEN r.n_words < 20 THEN 'too_short'
+              WHEN r.dup_word_frac > 0.7 THEN 'repetitive'
+              WHEN NOT (greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+                        AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh))
+                THEN 'lang'
+              ELSE NULL END AS drop_reason
+  FROM lg l JOIN rep r ON r.doc_id = l.doc_id
+),
+kept AS (
+  SELECT c.doc_id, c.text, v.n_words
+  FROM corpus c JOIN verdict v USING (doc_id)
+  WHERE v.drop_reason IS NULL
+),
+kw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM kept
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM kw, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+),
+e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+lab AS (
+  SELECT k.doc_id, k.text, k.n_words,
+         COALESCE(c.cluster_id, k.doc_id) AS cluster_id
+  FROM kept k LEFT JOIN clusters c USING (doc_id)
+),
+reps AS (
+  SELECT doc_id, text, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_words DESC, doc_id ASC) AS rn
+  FROM lab
+),
+surv AS (SELECT doc_id, text, cluster_id FROM reps WHERE rn = 1),
+sw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM surv
+),
+s5 AS (
+  SELECT DISTINCT doc_id,
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM sw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+bw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE source = 'src0'
+),
+b5 AS (
+  SELECT DISTINCT
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM bw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM s5 GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM s5 JOIN b5 USING (g) GROUP BY doc_id
+),
+contam AS (
+  SELECT t.doc_id,
+         COALESCE(ov.n_overlap, 0) * 1.0 / t.n_ngrams AS overlap_frac
+  FROM tot t LEFT JOIN ov USING (doc_id)
+),
+dirty AS (SELECT doc_id, overlap_frac FROM contam WHERE overlap_frac >= 0.2),
+final AS (
+  SELECT s.* FROM surv s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM dirty)
+)
+SELECT doc_id, 'kept' AS status, CAST(NULL AS VARCHAR) AS reason,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 1000 < 900 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       md5(__RED__) AS redacted_fp
+FROM final
+UNION ALL
+SELECT doc_id, 'clean', drop_reason, NULL, NULL, NULL
+FROM verdict WHERE drop_reason IS NOT NULL
+UNION ALL
+SELECT doc_id, 'near_dup', 'dup_of_' || cluster_id, NULL, NULL, NULL
+FROM reps WHERE rn > 1
+UNION ALL
+SELECT doc_id, 'contamination', 'overlap_' || ROUND(overlap_frac, 3),
+       NULL, NULL, NULL
+FROM dirty
+""".replace("__RED__", red)
+    )
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.splits import stratified_sample
 
@@ -938,6 +1132,14 @@ QUERIES = {
         _minhash_incremental,
         _MINHASH_ORACLE,
         "incremental MinHash-LSH merge == one-shot LSH",
+    ),
+    # overflow: the COMPOSED curation pipeline (clean → clusters →
+    # survivors → decontaminate → redact → split) vs an end-to-end
+    # assembled oracle — the composition itself is differential-checked.
+    "doc_curation_pipeline": QuerySpec(
+        _curation,
+        _curation_oracle(),
+        "full corpus-curation pipeline, per-doc disposition",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,

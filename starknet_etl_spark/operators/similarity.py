@@ -356,8 +356,12 @@ def assign_cells(
     window keyed on the batch id — no corpus access at all).
 
     Ties (exactly equal rounded cosine) break toward the smaller
-    cell id, deterministically.
+    cell id, deterministically. NULL vectors are dropped (the
+    similarity suite's convention — a vector that doesn't exist has
+    no nearest cell), explicitly here rather than silently via the
+    posexplode: callers indexing a corpus should count in vs. out.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     long = df.select(
         id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
     ).select(

@@ -1,0 +1,192 @@
+"""End-to-end LLM training-corpus curation plan.
+
+The reference repo's value is a composed PIPELINE (ingest → enrich →
+report, plans/pipeline.py); this module is its twin for the LLM-data
+side: one call composes the operator suite into the standard
+pre-training data flow —
+
+    clean (C4/Gopher gates) → near-dup clusters → quality-aware
+    survivor per cluster → benchmark decontamination → PII redaction
+    → deterministic train/val/test split
+
+— and emits BOTH the curated corpus and a full audit trail: every
+input document lands in exactly one place (curated, or one audit row
+with the stage + reason that dropped it). Silent shrink is the
+classic curation bug; the audit contract makes every drop
+attributable (tested).
+
+Scale: each stage is the already-scale-audited operator
+(SCALING.md) — clean is doc-keyed shuffles, near-dup is the
+inverted-index/LSH path (never all-pairs), clustering touches only
+dup nodes, decontamination broadcasts the (eval-sized) benchmark,
+redaction/splitting are map-only. The composition adds no new
+shuffle beyond its stages.
+
+Laziness note: pair mining and clustering run Spark jobs inside this
+call (dedup's eager-release contract + iterative components); the
+returned DataFrames are frozen emissions plus lazy map-only tails —
+safe to write or compose without re-triggering the mining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.components import (
+    cluster_representatives,
+    connected_components,
+)
+from ..operators.contamination import ngram_overlap
+from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from ..operators.pii import redact_pii
+from ..operators.splits import hash_split
+from ..operators.text import clean_corpus
+
+#: audit schema: every dropped doc gets (doc_id, stage, reason)
+AUDIT_COLS = ("doc_id", "stage", "reason")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    benchmark: DataFrame | None = None,
+    min_words: int = 20,
+    max_dup_word_frac: float = 0.7,
+    langs: tuple[str, ...] = ("en",),
+    near_dup: str | None = "jaccard",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int | None = None,
+    contamination_threshold: float = 0.2,
+    split_weights: dict[str, int] | None = None,
+    split_salt: str = "",
+    redact: bool = True,
+    components_algorithm: str = "minlabel",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation flow; returns ``(curated, audit)``.
+
+    ``curated``: (id, text [redacted when ``redact``], lang_guess,
+    n_words, cluster_id, split) — the documents that survived every
+    gate, split-assigned and scrubbed.
+
+    ``audit``: (id, stage, reason) — one row per DROPPED document;
+    ``stage`` ∈ {clean, near_dup, contamination}, ``reason`` is the
+    clean verdict's drop_reason, ``dup_of_<cluster>``, or
+    ``overlap_<frac>``.
+
+    ``score_col``: survivor quality score for dup clusters (higher
+    wins, ties to smaller id); default uses the document's word count
+    from the clean pass — the longest copy survives. ``near_dup``:
+    ``"jaccard"`` (exact, inverted index), ``"minhash"`` (LSH), or
+    ``None`` to skip pair mining. ``benchmark=None`` skips
+    decontamination.
+    """
+    if near_dup not in (None, "jaccard", "minhash"):
+        raise ValueError(f"unknown near_dup mode: {near_dup!r}")
+
+    ids = F.col(id_col)
+
+    # -- stage 1: clean (exact dup / length / repetition / language)
+    verdicts = clean_corpus(
+        docs,
+        id_col,
+        text_col,
+        min_words=min_words,
+        max_dup_word_frac=max_dup_word_frac,
+        langs=langs,
+    )
+    audit_clean = verdicts.filter(~F.col("keep")).select(
+        ids,
+        F.lit("clean").alias("stage"),
+        F.col("drop_reason").alias("reason"),
+    )
+    kept_meta = verdicts.filter(F.col("keep")).select(
+        id_col, "n_words", "lang_guess"
+    )
+    kept = docs.join(kept_meta, id_col)
+
+    # -- stage 2: near-dup clusters + quality-aware survivors
+    if near_dup is not None:
+        if near_dup == "jaccard":
+            pairs = jaccard_pairs(
+                kept, id_col, text_col, n=n, threshold=threshold,
+                max_df=max_df,
+            )
+        else:
+            pairs = minhash_lsh_pairs(
+                kept, id_col, text_col, n=n, threshold=threshold
+            )
+        clusters = connected_components(
+            pairs, "id_1", "id_2", algorithm=components_algorithm
+        )
+        score = score_col or "n_words"
+        reps = cluster_representatives(
+            kept.select(id_col, score), clusters, id_col, score
+        )
+        audit_dups = reps.filter(F.col("is_rep") == 0).select(
+            ids,
+            F.lit("near_dup").alias("stage"),
+            F.concat(F.lit("dup_of_"), F.col("cluster_id")).alias(
+                "reason"
+            ),
+        )
+        survivors = kept.join(
+            reps.filter(F.col("is_rep") == 1).select(
+                id_col, "cluster_id"
+            ),
+            id_col,
+        )
+    else:
+        audit_dups = None
+        survivors = kept.withColumn(
+            "cluster_id", ids.cast("long")
+        )
+
+    # -- stage 3: benchmark decontamination (optional)
+    if benchmark is not None:
+        overlap = ngram_overlap(
+            survivors,
+            benchmark,
+            id_col,
+            text_col,
+            threshold=contamination_threshold,
+        )
+        dirty = overlap.filter(F.col("contaminated"))
+        audit_contam = dirty.select(
+            ids,
+            F.lit("contamination").alias("stage"),
+            F.concat(
+                F.lit("overlap_"), F.round("overlap_frac", 3)
+            ).alias("reason"),
+        )
+        survivors = survivors.join(
+            dirty.select(id_col), id_col, "left_anti"
+        )
+    else:
+        audit_contam = None
+
+    # -- stage 4: PII redaction + stage 5: deterministic split
+    out_text = (
+        redact_pii(F.col(text_col)) if redact else F.col(text_col)
+    )
+    curated = hash_split(
+        survivors.select(
+            ids,
+            out_text.alias(text_col),
+            "lang_guess",
+            "n_words",
+            "cluster_id",
+        ),
+        id_col,
+        weights=split_weights,
+        salt=split_salt,
+    ).drop("bucket")
+
+    audit = audit_clean
+    for extra in (audit_dups, audit_contam):
+        if extra is not None:
+            audit = audit.unionByName(extra)
+    return curated, audit

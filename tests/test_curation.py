@@ -1,0 +1,128 @@
+"""End-to-end curation plan gates: every input document lands in
+exactly one place (curated, or one attributed audit row), each
+planted defect is caught by the right stage, and the jaccard/minhash
+and minlabel/star variants agree."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.plans.curation import curate_corpus
+
+_SHARED = (
+    "the survey covers and explains alpha beta gamma delta epsilon "
+    "zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+)  # 24 words, en markers, all distinct
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    bench_run = (
+        "one two three four five six seven eight nine ten"
+    )
+    rows = [
+        (1, "the quarterly report covers and explains revenue cost "
+            "margin outlook forecast guidance pipeline churn retention "
+            "upsell expansion renewal booking billing conversion"),
+        (2, "the quarterly report covers and explains revenue cost "
+            "margin outlook forecast guidance pipeline churn retention "
+            "upsell expansion renewal booking billing conversion"),  # exact dup of 1
+        (3, "the short and tiny note"),                   # too_short
+        (4, "the " + "spam " * 23 + "and spam"),          # repetitive
+        (5, "der schnelle braune fuchs springt heute über einen faulen "
+            "hund und ist danach ziemlich müde aber zufrieden mit "
+            "seinem sprung durch den garten hinter dem haus"),  # lang=de
+        (6, _SHARED + " sigma"),                          # near-dup, longer → survives
+        (7, _SHARED),                                     # near-dup of 6 → dropped
+        (8, "the incident recap covers and explains " + bench_run +
+            " plus mitigations rollbacks alerts paging escalations"),  # contaminated
+        (9, "the onboarding guide covers and explains accounts roles "
+            "permissions contact bob@example.com for activation tokens "
+            "sessions cookies devices browsers policies limits"),  # PII, survives
+        (10, "the architecture memo covers and explains services queues "
+             "caches shards replicas regions failover latency "
+             "throughput capacity headroom budgets alerts dashboards"),  # clean control
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    benchmark = spark.createDataFrame(
+        [(100, "the eval question set starts " + bench_run + " and ends here")],
+        "doc_id bigint, text string",
+    )
+    return docs, benchmark
+
+
+def _run(spark, corpus, **kw):
+    docs, benchmark = corpus
+    curated, audit = curate_corpus(docs, benchmark=benchmark, **kw)
+    cur = {r["doc_id"]: r for r in curated.collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"]) for r in audit.collect()}
+    return cur, aud
+
+
+def test_every_doc_attributed_and_stages_correct(spark, corpus):
+    cur, aud = _run(spark, corpus)
+
+    assert set(cur) == {1, 6, 9, 10}
+    assert set(cur).isdisjoint(aud)
+    assert set(cur) | set(aud) == set(range(1, 11))
+
+    assert aud[2] == ("clean", "exact_dup")
+    assert aud[3] == ("clean", "too_short")
+    assert aud[4] == ("clean", "repetitive")
+    assert aud[5] == ("clean", "lang")
+    assert aud[7] == ("near_dup", "dup_of_6")  # longer copy (6) survives
+    assert aud[8][0] == "contamination" and aud[8][1].startswith("overlap_")
+
+    # PII redacted in the output text; metadata carried through
+    assert "[EMAIL]" in cur[9]["text"] and "@" not in cur[9]["text"]
+    assert cur[6]["cluster_id"] == 6 and cur[10]["cluster_id"] == 10
+    assert all(r["split"] in ("train", "val", "test") for r in cur.values())
+    assert all(r["lang_guess"] == "en" for r in cur.values())
+
+
+def test_variants_agree_and_flow_is_deterministic(spark, corpus):
+    base_cur, base_aud = _run(spark, corpus)
+    for kw in (
+        {"near_dup": "minhash"},
+        {"components_algorithm": "star"},
+        {},
+    ):
+        cur, aud = _run(spark, corpus, **kw)
+        assert set(cur) == set(base_cur), kw
+        assert aud == base_aud, kw
+        # split assignment is a pure function of the id (+salt)
+        assert {k: v["split"] for k, v in cur.items()} == {
+            k: v["split"] for k, v in base_cur.items()
+        }
+
+
+def test_no_near_dups_found_is_fine(spark):
+    """A corpus with no near-dup pairs: connected_components gets an
+    empty edge set and every survivor self-clusters."""
+    rows = [
+        (1, "the roadmap update covers and explains milestones owners "
+            "dependencies risks blockers timelines budgets scope "
+            "deliverables reviews approvals signoffs launches metrics"),
+        (2, "the hiring plan covers and explains headcount roles levels "
+            "interviews panels rubrics offers comp bands onboarding "
+            "mentors buddies training equipment access"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curated, audit = curate_corpus(docs)
+    cur = {r["doc_id"]: r for r in curated.collect()}
+    assert set(cur) == {1, 2} and audit.count() == 0
+    assert cur[1]["cluster_id"] == 1 and cur[2]["cluster_id"] == 2
+
+
+def test_optional_stages_skippable(spark, corpus):
+    docs, _ = corpus
+    curated, audit = curate_corpus(
+        docs, benchmark=None, near_dup=None, redact=False
+    )
+    cur = {r["doc_id"]: r for r in curated.collect()}
+    stages = {r["stage"] for r in audit.collect()}
+    assert stages == {"clean"}  # only the clean gate ran
+    assert set(cur) == {1, 6, 7, 8, 9, 10}  # dups/contamination kept
+    assert "bob@example.com" in cur[9]["text"]  # no redaction
+    with pytest.raises(ValueError):
+        curate_corpus(docs, near_dup="bogus")
