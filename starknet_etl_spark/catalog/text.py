@@ -932,7 +932,12 @@ UNION ALL
 SELECT doc_id, 'near_dup', 'dup_of_' || cluster_id, NULL, NULL, NULL
 FROM reps WHERE rn > 1
 UNION ALL
-SELECT doc_id, 'contamination', 'overlap_' || ROUND(overlap_frac, 3),
+SELECT doc_id, 'contamination',
+       -- round3-of-round6, mirroring the Spark side exactly: the
+       -- operator emits overlap_frac pre-rounded to 6 dp and the
+       -- audit rounds that to 3 — a raw ROUND(x, 3) could flip on a
+       -- 6-dp boundary (the ADVICE r3 probe-rounding class).
+       'overlap_' || ROUND(ROUND(overlap_frac, 6), 3),
        NULL, NULL, NULL
 FROM dirty
 """.replace("__RED__", red)

@@ -81,6 +81,10 @@ def ppm_decode(payload: bytes, dim: int = 8) -> list[float]:
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = tokens
+    if not 0 < maxval <= 255:
+        raise ValueError(
+            f"maxval {maxval}: only 1-byte-per-sample PPM supported"
+        )
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     rgb = px.reshape(h, w, 3).astype(np.float64) / float(maxval)
     luma = rgb @ np.array([0.299, 0.587, 0.114])

@@ -87,6 +87,16 @@ def curate_corpus(
     if near_dup not in (None, "jaccard", "minhash"):
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
 
+    # Project to the columns the flow touches: internal joins attach
+    # n_words/lang_guess/cluster_id, and a caller's table carrying
+    # same-named columns would otherwise hit ambiguous-column errors
+    # mid-pipeline instead of a clean contract here.
+    keep_cols = [id_col, text_col] + (
+        [score_col] if score_col and score_col not in (id_col, text_col)
+        else []
+    )
+    docs = docs.select(*keep_cols)
+
     ids = F.col(id_col)
 
     # -- stage 1: clean (exact dup / length / repetition / language)

@@ -1,0 +1,65 @@
+"""Streaming ANN-index maintenance: append_ann_index inside
+foreachBatch.
+
+The vector-side twin of streaming/neardup.py — a growing embedding
+stream folds into the cell-partitioned ANN index
+(operators/similarity.py::build_ann_index layout) instead of
+re-indexing per tick. Each micro-batch is assigned to the FROZEN
+centroids and appended partition-scoped via ``io.append_once``
+(replayed ticks no-op), so probes (``knn_ivf_indexed``) always see a
+consistent merged index and the streaming query itself holds no
+state at all.
+
+At 100 TB: per tick cost is one batch scan (broadcast n_cells×dim
+centroid join) + one append into the touched cell directories;
+re-clustering remains a deliberate batch re-index, never a side
+effect of ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.similarity import append_ann_index
+
+
+def start_ann_index_stream(
+    vectors: DataFrame,
+    *,
+    index_path: str,
+    centroids_df: DataFrame,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a streaming vector source into the ANN index.
+
+    ``vectors`` is a streaming DataFrame with (id_col, vec_col);
+    ``centroids_df`` is the index's frozen centroid metadata
+    (similarity.centroids output) — a BATCH frame, snapshotted once.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_ann_index(
+            batch,
+            index_path,
+            batch_id,
+            cell_col=cell_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids_df=centroids_df,
+        )
+
+    writer = (
+        vectors.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -271,3 +271,44 @@ def test_ppm_decode_header_robustness(w, h, ws, extra):
     assert feats[0] == (px[..., 0] / 255.0).mean()
     assert feats[1] == (px[..., 1] / 255.0).mean()
     assert feats[2] == (px[..., 2] / 255.0).mean()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # doc archetype
+            st.integers(min_value=0, max_value=9),  # content seed
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_curation_disposition_partition_invariant(spark, shapes):
+    """curate_corpus over random corpora: every input doc lands in
+    EXACTLY one place (curated or one audit row) — no silent drops,
+    no double attribution — and curated docs never carry an en-gate
+    violation."""
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    def make(i, archetype, seed):
+        filler = " ".join(f"w{seed}x{j}" for j in range(22))
+        if archetype == 0:  # healthy en doc
+            return f"the report {i} covers and explains " + filler
+        if archetype == 1:  # short
+            return f"the tiny note {i}"
+        if archetype == 2:  # repetitive
+            return "the " + (f"spam{seed} " * 24).strip()
+        return f"doc {i} " + filler  # no en markers → und/lang drop
+
+    rows = [
+        (i, make(i, a, s)) for i, (a, s) in enumerate(shapes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curated, audit = curate_corpus(docs)
+    cur = {r["doc_id"] for r in curated.collect()}
+    aud = [r["doc_id"] for r in audit.collect()]
+    assert len(aud) == len(set(aud))          # one audit row per drop
+    assert cur.isdisjoint(aud)                # never both
+    assert cur | set(aud) == {i for i, _ in rows}  # never neither

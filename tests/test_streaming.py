@@ -433,3 +433,67 @@ def test_stream_text_curation_map_only(spark, tmp_path):
     assert by_id[1][1] and "[EMAIL]" in by_id[1][2]
     assert not by_id[2][1]
     assert "[CARD]" in by_id[3][2]
+
+
+def test_stream_ann_index_append_and_replay_safe(spark, tmp_path):
+    """Streaming ANN maintenance: vector micro-batches fold into the
+    cell-partitioned index via frozen-centroid assignment; probes see
+    base + appended vectors; a replayed batch appends nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators import similarity as S
+    from starknet_etl_spark.streaming.vectors import start_ann_index_stream
+
+    base_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.1, 0.9, 0.0, 0.0], 1),
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    index = str(tmp_path / "index")
+    S.build_ann_index(base, index, cell_col="label")
+    cents = S.centroids(base, dim=4)
+
+    # two files → two micro-batches; one vector per cell each
+    src = str(tmp_path / "src")
+    vschema = "vec_id bigint, embedding array<float>"
+    spark.createDataFrame(
+        [(10, [1.0, 0.02, 0.0, 0.0])], vschema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(11, [0.0, 1.0, 0.05, 0.0])], vschema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    paths = {
+        "index_path": index,
+        "centroids_df": cents,
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+
+    def _go():
+        q = start_ann_index_stream(
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            **paths,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    assert spark.read.parquet(index).count() == 6
+    got = [
+        r["vec_id"]
+        for r in S.knn_ivf_indexed(
+            spark, index, base.filter("vec_id = 0"), k=3
+        ).collect()
+    ]
+    assert got == [0, 10, 1]  # appended vector probed from its cell
+
+    # lost engine commit → replayed batches must no-op on the ledger
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    _go()
+    assert spark.read.parquet(index).count() == 6
