@@ -358,6 +358,16 @@ def save_bucketed(
     w.saveAsTable(name)
 
 
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem (remote-safe; no-op
+    when absent)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+
+
 def _dir_bytes(spark: SparkSession, path: str) -> int:
     """Total data bytes under ``path`` via Hadoop getContentSummary —
     correct on local, HDFS and object-store paths alike (unlike
@@ -407,12 +417,45 @@ def _swap_partitions(
     fs.delete(tmp_p, True)
 
 
+def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
+    """Carry the ``append_once`` replay ledger (``<src>/_batches/``)
+    into ``dst`` before a dir swap. Without this, compacting or
+    keyed-merging a table that a foreachBatch sink appends to would
+    DESTROY the ledger — the next replayed batch (lost engine commit,
+    crash between append and checkpoint) would re-append and silently
+    duplicate rows. Markers are empty files; only their names matter.
+    """
+    src_dir, dst_dir = f"{src}/_batches", f"{dst}/_batches"
+    if os.path.isdir(src_dir) and not src.startswith(("s3", "hdfs", "gs")):
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            open(os.path.join(dst_dir, name), "a").close()
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sp = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = sp.getFileSystem(conf)
+    if not fs.exists(sp):
+        return
+    dp = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    fs.mkdirs(dp)
+    for st in fs.listStatus(sp):
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(dp, st.getPath().getName()),
+            True,
+        ).close()
+
+
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
     """Replace ``path`` with ``tmp`` via a tombstone rename, never
     delete-then-rename: with the tombstone, a crash at ANY step leaves
     a complete copy of the table on disk (live at ``path`` or parked
     at ``<path>__old_swap``) — recoverable by a rename, not data loss.
+
+    The ``append_once`` ledger rides along (``_copy_batch_markers``):
+    a rewrite of the data must not forget which batches landed.
     """
+    _copy_batch_markers(spark, path, tmp)
     old = f"{path}__old_swap"
     if os.path.isdir(tmp) and not path.startswith(("s3", "hdfs", "gs")):
         import shutil

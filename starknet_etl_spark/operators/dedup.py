@@ -276,8 +276,19 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     eager_release: bool = True,
     broadcast_candidates: bool | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by true Jaccard.
+
+    ``max_bucket``: drop LSH buckets holding more than this many docs
+    before the candidate self-join — the banding analog of
+    ``jaccard_pairs(max_df=...)``. A bucket of b docs contributes
+    b·(b−1)/2 candidates, so one degenerate bucket (boilerplate,
+    near-identical templates) can dominate the join. RECALL CAVEAT:
+    identical documents collide in EVERY band, so exact-dup groups
+    larger than the cap lose their pairs — run exact dedup first
+    (as plans/curation.py does) and the cap only ever hits genuine
+    template skew. ``None`` (default) keeps full recall.
 
     shingle → minhash → band → bucket-join → verify: candidates are
     pairs sharing ≥ 1 LSH band bucket; each candidate's true shingle
@@ -302,6 +313,14 @@ def minhash_lsh_pairs(
     sh_all = shingles(df, id_col, text_col, n=n).persist()
     sig = _signatures_from(sh_all, id_col, num_hashes)
     bands = _bands_from(sig, id_col, band_size, n_bands)
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__b"))
+            .filter(F.col("__b") > max_bucket)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     left = bands.select(F.col(id_col).alias("id_1"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_2"), "band", "bucket")
     cands = (
@@ -364,6 +383,83 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
+def forget(
+    spark,
+    index_path: str,
+    ids,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> bool:
+    """Logically delete documents from an incremental dedup index
+    (right-to-be-forgotten for training pipelines): append their ids
+    to the sibling tombstone table ``<index_path>__tombstones``
+    (``io.append_once`` keyed by ``batch_id`` — replay-safe), after
+    which every ``merge_batch``/``merge_batch_minhash`` tick excludes
+    them from candidates, verification sizes, and emission.
+
+    Tombstones WIN over re-ingestion: a forgotten id arriving in a
+    later batch stays invisible (ids are immutable content keys by
+    contract; a genuinely new document is a new id). Physical removal
+    is a deliberate separate step — :func:`purge_forgotten` — so the
+    hourly tick never pays a rewrite.
+
+    ``ids``: a list of ids or a one-column DataFrame.
+    """
+    from .. import io as _io
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    else:
+        ids = ids.select(F.col(id_col).cast("long").alias(id_col))
+    return _io.append_once(ids, f"{index_path}__tombstones", batch_id)
+
+
+def _without_forgotten(spark, index_path: str, df: DataFrame, id_col: str):
+    """Anti-join ``df`` against the index's tombstones, if any."""
+    from .. import io as _io
+
+    tomb = f"{index_path}__tombstones"
+    if not _io._exists(spark, tomb):
+        return df
+    dead = _io.load_table(spark, tomb).select(id_col).distinct()
+    return df.join(F.broadcast(dead), id_col, "left_anti")
+
+
+def purge_forgotten(
+    spark,
+    index_path: str,
+    parts: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Physically rewrite the index minus tombstoned ids, then clear
+    the tombstones. Crash-safe: the rewrite uses the tombstone-rename
+    swap (io._replace_dir — append_once ledgers ride along), and a
+    crash between rewrite and tombstone clear just re-applies the
+    tombstones to already-purged data (a no-op) on the next read.
+
+    ``parts``: index sub-tables to rewrite — ``None`` for a
+    single-table index (merge_batch), ``["postings", "bands"]`` for
+    merge_batch_minhash.
+    """
+    from .. import io as _io
+
+    tomb = f"{index_path}__tombstones"
+    if not _io._exists(spark, tomb):
+        return
+    dead = _io.load_table(spark, tomb).select(id_col).distinct()
+    for part in parts or [""]:
+        p = f"{index_path}/{part}" if part else index_path
+        live = _io.load_table(spark, p).join(
+            F.broadcast(dead), id_col, "left_anti"
+        )
+        tmp = f"{p}__tmp_purge"
+        live.write.mode("overwrite").parquet(tmp)
+        _io._replace_dir(spark, p, tmp)
+    _io._delete_dir(spark, tomb)
+
+
 def merge_batch(
     batch: DataFrame,
     index_path: str,
@@ -422,7 +518,9 @@ def merge_batch(
     )
     try:
         _io.append_once(sh_new, index_path, batch_id)
-        full = _io.load_table(spark, index_path)
+        full = _without_forgotten(
+            spark, index_path, _io.load_table(spark, index_path), id_col
+        )
         if max_df is not None:
             dfreq = full.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
             hot = dfreq.filter(F.col("df") > max_df).select("sh_h")
@@ -517,9 +615,16 @@ def merge_batch_minhash(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup: fold one micro-batch into
     TWO persisted indexes and emit only the pairs touching the batch.
+
+    ``max_bucket`` drops (band, bucket) groups exceeding the cap from
+    candidate generation, evaluated against the index AS OF this
+    merge (same merge-time-relative semantics — and the same
+    documented drift — as ``merge_batch``'s ``max_df``); see
+    :func:`minhash_lsh_pairs` for the recall caveat.
 
     Index layout under ``index_path``:
 
@@ -566,7 +671,26 @@ def merge_batch_minhash(
         )
         _io.append_once(bands_new, f"{index_path}/bands", batch_id)
 
-        all_bands = _io.load_table(spark, f"{index_path}/bands")
+        all_bands = _without_forgotten(
+            spark,
+            index_path,
+            _io.load_table(spark, f"{index_path}/bands"),
+            id_col,
+        )
+        bands_new = _without_forgotten(spark, index_path, bands_new, id_col)
+        if max_bucket is not None:
+            hot = (
+                all_bands.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__b"))
+                .filter(F.col("__b") > max_bucket)
+                .select("band", "bucket")
+            )
+            all_bands = all_bands.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
+            bands_new = bands_new.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
         # batch bands ⊂ all_bands after the append, so one probe join
         # yields batch×batch AND batch×old candidates; id_1 < id_2
         # dedups the mirrored matches.
@@ -586,7 +710,12 @@ def merge_batch_minhash(
             .distinct()
         )
 
-        postings = _io.load_table(spark, f"{index_path}/postings")
+        postings = _without_forgotten(
+            spark,
+            index_path,
+            _io.load_table(spark, f"{index_path}/postings"),
+            id_col,
+        )
         cand_ids = (
             cands.select(F.col("id_1").alias(id_col))
             .union(cands.select(F.col("id_2").alias(id_col)))

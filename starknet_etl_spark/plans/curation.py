@@ -63,6 +63,7 @@ def curate_corpus(
     contamination_threshold: float = 0.2,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
+    split_by_cluster: bool = False,
     redact: bool = True,
     components_algorithm: str = "minlabel",
 ) -> tuple[DataFrame, DataFrame]:
@@ -83,6 +84,15 @@ def curate_corpus(
     ``"jaccard"`` (exact, inverted index), ``"minhash"`` (LSH), or
     ``None`` to skip pair mining. ``benchmark=None`` skips
     decontamination.
+
+    ``split_by_cluster``: hash the CLUSTER id instead of the doc id
+    for split assignment, so any near-dups that survive (e.g. a
+    threshold loose enough to cluster but callers keeping >1 member
+    via a later re-run, or borderline pairs below ``threshold``
+    sharing a transitive cluster) can never straddle train/test —
+    the dedup-aware holdout discipline. With the default single
+    survivor per cluster the assignment is still append-stable,
+    keyed by the cluster's minimum doc id.
     """
     if near_dup not in (None, "jaccard", "minhash"):
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
@@ -190,7 +200,7 @@ def curate_corpus(
             "n_words",
             "cluster_id",
         ),
-        id_col,
+        "cluster_id" if split_by_cluster else id_col,
         weights=split_weights,
         salt=split_salt,
     ).drop("bucket")

@@ -126,3 +126,32 @@ def test_optional_stages_skippable(spark, corpus):
     assert "bob@example.com" in cur[9]["text"]  # no redaction
     with pytest.raises(ValueError):
         curate_corpus(docs, near_dup="bogus")
+
+
+def test_split_by_cluster_prevents_cross_split_leakage(spark, corpus):
+    """Dedup-aware holdout: with split_by_cluster, split assignment is
+    a pure function of the cluster id, so co-clustered docs can never
+    straddle train/test; single-doc clusters keep append-stable
+    doc-id-keyed assignment."""
+    from starknet_etl_spark.operators.splits import split_assign
+    from pyspark.sql import functions as F
+
+    docs, benchmark = corpus
+    curated, _ = curate_corpus(
+        docs, benchmark=benchmark, split_by_cluster=True
+    )
+    rows = {r["doc_id"]: r for r in curated.collect()}
+    # every curated row's split equals the hash of its CLUSTER id
+    expect = {
+        r["cluster_id"]: s["want"]
+        for r in rows.values()
+        for s in spark.range(1)
+        .select(
+            split_assign(F.lit(r["cluster_id"]).cast("string")).alias(
+                "want"
+            )
+        )
+        .collect()
+    }
+    for r in rows.values():
+        assert r["split"] == expect[r["cluster_id"]]

@@ -268,3 +268,25 @@ def test_keyed_merge_preserves_cluster_by_layout(spark, tmp_path):
 
     assert not os.path.exists(path + "__old_swap")
     assert not os.path.exists(path + "__tmp_swap")
+
+
+def test_compact_preserves_append_once_ledger(spark, tmp_path):
+    """Compaction (and any _replace_dir swap) must carry the
+    append_once batch markers: a replayed batch AFTER a compaction
+    must still no-op, not silently re-append."""
+    from starknet_etl_spark import io as eio
+
+    path = str(tmp_path / "events")
+    b0 = spark.range(0, 100).withColumnRenamed("id", "event_id")
+    b1 = spark.range(100, 150).withColumnRenamed("id", "event_id")
+    assert eio.append_once(b0, path, 0)
+    assert eio.append_once(b1, path, 1)
+    assert spark.read.parquet(path).count() == 150
+
+    eio.compact_table(spark, path, target_file_mb=1)
+
+    # the crash-replay of batch 1 arrives after the rewrite
+    assert eio.append_once(b1, path, 1) is False
+    got = spark.read.parquet(path)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150

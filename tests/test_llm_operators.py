@@ -768,3 +768,107 @@ def test_merge_batch_minhash_equals_full_lsh(spark, tmp_path):
     }
     got2 = {(r["id_1"], r["id_2"]): r["jaccard"] for r in p2.collect()}
     assert got_replay == got2
+
+
+def test_minhash_max_bucket_caps_hot_lsh_buckets(spark):
+    """Template skew: 30 near-identical boilerplate docs collapse
+    into hot LSH buckets (O(n^2) candidates); max_bucket drops those
+    buckets while a genuine small near-dup pair still surfaces."""
+    n = 30
+    base = (
+        "terms of service the provider and the customer agree that "
+        "all obligations herein bind both parties without exception "
+        "subject to applicable law"
+    )
+    rows = [(i, f"{base} clause{i}") for i in range(n)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    kw = dict(num_hashes=8, band_size=2, threshold=0.7)
+    uncapped = D.minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    capped = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket=5, **kw
+    )
+    got = {(r["id_1"], r["id_2"]) for r in capped.collect()}
+    assert (100, 101) in got             # small-bucket pair survives
+    assert all(i_1 >= 100 for i_1, _ in got)  # boilerplate capped away
+    # sanity: uncapped DOES see boilerplate pairs (the cap did work)
+    assert any(
+        i_1 < 100 for i_1, _ in
+        ((r["id_1"], r["id_2"]) for r in uncapped.collect())
+    )
+
+    # incremental path honors the same cap
+    import tempfile, shutil, os
+    idx = os.path.join(tempfile.mkdtemp(), "mh")
+    p1 = D.merge_batch_minhash(
+        docs.filter("doc_id % 2 = 0"), idx, 0, max_bucket=5, **kw
+    )
+    p2 = D.merge_batch_minhash(
+        docs.filter("doc_id % 2 = 1"), idx, 1, max_bucket=5, **kw
+    )
+    inc = {(r["id_1"], r["id_2"])
+           for r in p1.unionByName(p2).collect()}
+    assert (100, 101) in inc
+    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+
+def test_forget_and_purge_incremental_index(spark, tmp_path):
+    """Right-to-be-forgotten over the incremental dedup indexes:
+    after forget(id), no future merge emits pairs touching it (even
+    if re-ingested), existing behavior for other docs is unchanged,
+    and purge_forgotten physically removes its rows while keeping
+    the append_once ledger intact."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # ~1
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven nine"),         # ~3
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    kw = dict(threshold=0.7)
+
+    # ---- jaccard index -------------------------------------------
+    idx = str(tmp_path / "jac")
+    p1 = D.merge_batch(df.filter("doc_id <= 2"), idx, 0, **kw)
+    assert {(r["id_1"], r["id_2"]) for r in p1.collect()} == {(1, 2)}
+
+    assert D.forget(spark, idx, [1], 100)
+    assert not D.forget(spark, idx, [1], 100)  # replay no-ops
+    # doc 1 re-ingested alongside new docs: tombstone wins
+    p2 = D.merge_batch(df.filter("doc_id >= 3"), idx, 1, **kw)
+    got = {(r["id_1"], r["id_2"]) for r in p2.collect()}
+    assert got == {(3, 4)}
+    p3 = D.merge_batch(df.filter("doc_id = 1"), idx, 2, **kw)
+    assert p3.count() == 0  # would re-pair with 2 if not tombstoned
+
+    D.purge_forgotten(spark, idx)
+    import pyspark.sql.functions as _F
+
+    left = spark.read.parquet(idx).select("doc_id").distinct()
+    assert {r["doc_id"] for r in left.collect()} == {2, 3, 4}
+    # ledger survived the purge rewrite: replaying batch 2 no-ops
+    from starknet_etl_spark import io as eio
+
+    assert eio.append_once(
+        spark.createDataFrame([(1, 7)], "doc_id bigint, sh_h bigint"),
+        idx, 2,
+    ) is False
+
+    # ---- minhash index -------------------------------------------
+    midx = str(tmp_path / "mh")
+    mkw = dict(num_hashes=8, band_size=2, threshold=0.7)
+    q1 = D.merge_batch_minhash(df.filter("doc_id <= 2"), midx, 0, **mkw)
+    assert {(r["id_1"], r["id_2"]) for r in q1.collect()} == {(1, 2)}
+    D.forget(spark, midx, [2], 0)
+    q2 = D.merge_batch_minhash(df.filter("doc_id >= 3"), midx, 1, **mkw)
+    assert {(r["id_1"], r["id_2"]) for r in q2.collect()} == {(3, 4)}
+    D.purge_forgotten(spark, midx, parts=["postings", "bands"])
+    for part in ("postings", "bands"):
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{midx}/{part}")
+            .select("doc_id").distinct().collect()
+        }
+        assert 2 not in ids and ids == {1, 3, 4}

@@ -335,3 +335,14 @@ def test_near_dup_cells_cogroup_no_cartesian(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_plan_no_cartesian_broadcast_benchmark(spark):
+    """The composed curation flow: the decontamination side joins the
+    benchmark's n-gram set as a broadcast (eval-sized by nature), and
+    nothing in the whole composed plan degenerates to a cartesian /
+    nested-loop join."""
+    plan = _plan(spark, "doc_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
