@@ -1,0 +1,112 @@
+"""Fresh-script end-to-end drive of starknet_etl_spark (verify skill
+surface 1): library boundary, keyed write, flagship plan, DuckDB
+cross-check — plus this round's new surfaces (incremental minhash
+merge, real multimodal codec, PII Luhn)."""
+import sys
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import functions as F
+
+from starknet_etl_spark import io as eio
+from starknet_etl_spark.session import get_spark
+
+spark = get_spark(
+    "verify-drive",
+    master="local[4]",
+    shuffle_partitions=4,
+    extra_conf={"spark.ui.enabled": "false"},
+)
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+
+# 1) keyed dedup write through io.save_table, read back, DuckDB check
+ev = eio.load_testdata(spark, SF, "events").select(
+    "event_id", "user_id", "value", "ts"
+)
+path = "/tmp/verify_events_tbl"
+import shutil
+
+shutil.rmtree(path, ignore_errors=True)
+eio.save_table(
+    ev.unionByName(ev),  # duplicate every row: dedup must collapse
+    path,
+    dedup_keys=["event_id"],
+    version_cols=["ts"],
+)
+back = spark.read.parquet(path)
+n_spark = back.count()
+n_expect = ev.select("event_id").distinct().count()
+assert n_spark == n_expect, (n_spark, n_expect)
+
+# 2) flagship catalog query vs its own oracle, independently here
+from starknet_etl_spark.catalog import QUERIES
+
+spec = QUERIES["top_customers"]
+got = [
+    (r["c_custkey"], r["c_name"], r["revenue"])
+    for r in spec.builder(spark, SF).collect()
+]
+con = duckdb.connect()
+for t in ("lineitem", "orders", "customer"):
+    con.sql(
+        f"CREATE VIEW {t} AS SELECT * FROM "
+        f"read_parquet('{SF}/{t}.parquet')"
+    )
+want = [tuple(r) for r in con.sql(spec.oracle).fetchall()]
+assert [(a, b, round(c, 2)) for a, b, c in got] == [
+    (a, b, round(c, 2)) for a, b, c in want
+], "top_customers mismatch"
+
+# 3) this round's additions: incremental minhash == one-shot LSH
+from starknet_etl_spark.operators import dedup as D
+
+docs = eio.load_testdata(spark, SF, "documents").select("doc_id", "text")
+idx = "/tmp/verify_mh_idx"
+shutil.rmtree(idx, ignore_errors=True)
+kw = dict(num_hashes=8, band_size=2, threshold=0.8)
+p = (
+    D.merge_batch_minhash(docs.filter("doc_id % 2 = 0"), idx, 0, **kw)
+    .unionByName(
+        D.merge_batch_minhash(docs.filter("doc_id % 2 = 1"), idx, 1, **kw)
+    )
+)
+inc = {(r["id_1"], r["id_2"]) for r in p.collect()}
+one = {
+    (r["id_1"], r["id_2"])
+    for r in D.minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+}
+assert inc == one and inc, (len(inc), len(one))
+
+# 4) real PPM codec inside the Spark plan + PII Luhn on a literal
+from starknet_etl_spark.operators import multimodal as M
+from starknet_etl_spark.operators.pii import with_pii
+
+ppm = b"P6\n2 1\n255\n\xff\x00\x00\x00\x00\xff"
+adf = spark.createDataFrame(
+    [(1, "image", ppm, "image/x-ppm", 2, 1, None)], M.ASSET_SCHEMA
+)
+(feat,) = M.extract_features(adf, decode_fn=M.real_decode).collect()
+assert abs(feat["feature"][0] - 0.5) < 1e-9  # red mean over 2 px
+
+pdf = spark.createDataFrame(
+    [(1, "pay 4111 1111 1111 1111 now"), (2, "order 1234567890123456")],
+    "doc_id int, text string",
+)
+rows = {r["doc_id"]: r for r in with_pii(pdf, "text").collect()}
+assert rows[1]["n_credit_card"] == 1 and rows[2]["n_credit_card"] == 0
+assert "[CARD]" in rows[1]["redacted"]
+
+# 5) composed curation pipeline vs its assembled oracle
+spec = QUERIES["doc_curation_pipeline"]
+got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}
+con = duckdb.connect()
+con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+want = {(r[0], r[1], r[2]) for r in con.sql(spec.oracle).fetchall()}
+assert got == want, (len(got), len(want), list(got - want)[:3], list(want - got)[:3])
+n_kept = sum(1 for _, s, _ in got if s == "kept")
+assert 0 < n_kept < len(got)
+
+print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
+spark.stop()
