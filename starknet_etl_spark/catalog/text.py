@@ -582,6 +582,41 @@ def _pii_oracle() -> str:
     )
 
 
+def _pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn credit-card detection exercised cross-engine on
+    data-derived values: each doc_id deterministically synthesizes a
+    16-digit card-shaped string; ``n_card`` counts only Luhn-valid
+    ones — the unrolled checksum arithmetic (pii.luhn_valid /
+    pii.luhn_sql) must agree digit-for-digit on both engines."""
+    from ..operators.pii import pii_counts
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    num = (F.col("doc_id") % 100000) * 99991 + 12345
+    df = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("pay "),
+            F.lpad(num.cast("string"), 16, "0"),
+            F.lit(" now"),
+        ),
+    )
+    counts = pii_counts(F.col("text"))
+    return df.select("doc_id", counts["credit_card"].alias("n_card"))
+
+
+def _pii_cards_oracle() -> str:
+    from ..operators.pii import oracle_count_sql
+
+    card = oracle_count_sql("text")["credit_card"]
+    return (
+        "WITH t AS (SELECT doc_id,\n"
+        "  'pay ' || lpad(CAST((doc_id % 100000) * 99991 + 12345"
+        " AS VARCHAR), 16, '0') || ' now' AS text\n"
+        "FROM documents)\n"
+        f"SELECT doc_id, {card} AS n_card FROM t"
+    )
+
+
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS: connected components over the
     capped Jaccard pair graph (iterative min-label propagation; the
@@ -1150,6 +1185,12 @@ QUERIES = {
         _pii_scan,
         _pii_oracle(),
         "PII counts + redacted-text fingerprint incl. Luhn cards/secrets",
+    ),
+    # overflow: Luhn arithmetic differential on synthesized cards.
+    "doc_pii_luhn_cards": QuerySpec(
+        _pii_cards,
+        _pii_cards_oracle(),
+        "Luhn card validation on doc-derived 16-digit strings",
     ),
     "doc_pack_sequences": QuerySpec(
         _pack,
