@@ -780,6 +780,55 @@ FROM verdict
 """
 
 
+_SPAN_N = 10
+
+
+def _shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.shared_span_stats(
+        _docs(spark, sf_dir), "doc_id", "text", n=_SPAN_N, min_docs=2
+    )
+
+
+def _shared_spans_oracle() -> str:
+    """Same window/coverage geometry on raw window strings (Spark
+    groups 64-bit hashes — identical equivalence classes absent a
+    ~2^-64 collision, the jaccard-oracle precedent)."""
+    n = _SPAN_N
+    wtext = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos, {wtext} AS wtext
+  FROM words,
+       unnest(generate_series(1, greatest(len(ws) - {n - 1}, 0))) AS t(i)
+),
+sharedw AS (
+  SELECT wtext FROM win GROUP BY wtext
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+sw AS (SELECT doc_id, pos FROM win
+       WHERE wtext IN (SELECT wtext FROM sharedw)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS c
+  FROM sw, unnest(generate_series(pos, pos + {n - 1})) AS t(p)
+  GROUP BY doc_id
+),
+nsw AS (SELECT doc_id, COUNT(*) AS s FROM sw GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(ws) - {n - 1}, 0) AS BIGINT) AS n_windows
+  FROM words
+)
+SELECT t.doc_id, n_tokens, n_windows,
+       CAST(COALESCE(s, 0) AS BIGINT) AS n_shared_windows,
+       ROUND(COALESCE(c, 0) * 1.0 / n_tokens, 6) AS covered_frac
+FROM tot t LEFT JOIN nsw USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
 def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL composed curation pipeline (plans/curation.py) as one
     oracle-checked frame: clean → near-dup clusters → quality-aware
@@ -1185,6 +1234,12 @@ QUERIES = {
         _pii_scan,
         _pii_oracle(),
         "PII counts + redacted-text fingerprint incl. Luhn cards/secrets",
+    ),
+    # overflow: cross-doc repeated-span signal (boilerplate detector).
+    "doc_shared_spans": QuerySpec(
+        _shared_spans,
+        _shared_spans_oracle(),
+        "verbatim cross-document token-run coverage per doc",
     ),
     # overflow: Luhn arithmetic differential on synthesized cards.
     "doc_pii_luhn_cards": QuerySpec(

@@ -302,3 +302,105 @@ def unigram_logprob(
             ).alias("unigram_logprob")
         )
     )
+
+
+def shared_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span signal (the RefinedWeb/Gopher
+    shared-substring family): per document, how much of it is made of
+    token runs that also appear VERBATIM in other documents —
+    boilerplate headers, licence blocks, templated paragraphs that
+    per-pair near-dup misses when each individual pair sits under the
+    Jaccard threshold.
+
+    Emits (id, n_tokens, n_windows, n_shared_windows, covered_frac):
+    windows are ALL positional ``n``-token runs (not distinct — the
+    same run twice in one doc is two windows); a window is *shared*
+    when its text occurs in ≥ ``min_docs`` distinct documents;
+    ``covered_frac`` is the exact fraction of the doc's tokens lying
+    under at least one shared window (interval union via distinct
+    covered positions, not the sum of window lengths — overlapping
+    windows aren't double-counted).
+
+    Scale: tokenization is a narrow posexplode; window assembly is a
+    doc-keyed lead() window (same shuffle the downstream per-doc aggs
+    need); the corpus-wide document-frequency agg runs on 64-bit
+    window hashes (16 bytes/row). The n× position explode runs ONLY
+    on shared windows — on a clean corpus that's a sliver; on a
+    boilerplate-heavy corpus it is bounded by n × shared tokens,
+    which is exactly the data the signal exists to find.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError(f"window size n must be >= 2, got {n}")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__pos", "__w0"),
+    )
+    parts = [F.col("__w0")] + [
+        F.lead("__w0", j).over(w).alias(f"__w{j}") for j in range(1, n)
+    ]
+    win = (
+        tok.select(id_col, "__pos", *parts)
+        .filter(F.col(f"__w{n - 1}").isNotNull())
+        .select(
+            id_col,
+            "__pos",
+            F.xxhash64(
+                F.concat_ws(" ", *[f"__w{j}" for j in range(n)])
+            ).alias("__h"),
+        )
+    )
+    shared_hashes = (
+        win.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    shared = win.join(shared_hashes, "__h", "left_semi")
+    covered = (
+        shared.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"), F.col("__pos") + F.lit(n - 1)
+                )
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__cov"))
+    )
+    n_shared = shared.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nsw")
+    )
+    totals = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    return (
+        totals.join(n_shared, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("__nt").cast("long").alias("n_tokens"),
+            F.greatest(
+                F.col("__nt") - F.lit(n - 1), F.lit(0)
+            ).cast("long").alias("n_windows"),
+            F.coalesce(F.col("__nsw"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_windows"),
+            F.round(
+                F.coalesce(F.col("__cov"), F.lit(0)) / F.col("__nt"), 6
+            ).alias("covered_frac"),
+        )
+    )

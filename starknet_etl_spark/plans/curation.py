@@ -40,7 +40,7 @@ from ..operators.contamination import ngram_overlap
 from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs
 from ..operators.pii import redact_pii
 from ..operators.splits import hash_split
-from ..operators.text import clean_corpus
+from ..operators.text import clean_corpus, shared_span_stats
 
 #: audit schema: every dropped doc gets (doc_id, stage, reason)
 AUDIT_COLS = ("doc_id", "stage", "reason")
@@ -56,6 +56,8 @@ def curate_corpus(
     min_words: int = 20,
     max_dup_word_frac: float = 0.7,
     langs: tuple[str, ...] = ("en",),
+    max_shared_frac: float | None = None,
+    span_n: int = 20,
     near_dup: str | None = "jaccard",
     threshold: float = 0.8,
     n: int = 3,
@@ -74,9 +76,16 @@ def curate_corpus(
     gate, split-assigned and scrubbed.
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
-    ``stage`` ∈ {clean, near_dup, contamination}, ``reason`` is the
-    clean verdict's drop_reason, ``dup_of_<cluster>``, or
-    ``overlap_<frac>``.
+    ``stage`` ∈ {clean, boilerplate, near_dup, contamination},
+    ``reason`` is the clean verdict's drop_reason,
+    ``shared_<frac>``, ``dup_of_<cluster>``, or ``overlap_<frac>``.
+
+    ``max_shared_frac``: optional boilerplate gate between clean and
+    near-dup — drop documents whose cross-document repeated-span
+    coverage (``text.shared_span_stats`` over ``span_n``-token
+    windows, computed on the CLEAN-surviving set) exceeds the cap.
+    Catches templated pages whose pairwise similarity sits under the
+    near-dup threshold.
 
     ``score_col``: survivor quality score for dup clusters (higher
     wins, ties to smaller id); default uses the document's word count
@@ -127,6 +136,23 @@ def curate_corpus(
         id_col, "n_words", "lang_guess"
     )
     kept = docs.join(kept_meta, id_col)
+
+    # -- stage 1b (optional): cross-document boilerplate gate
+    if max_shared_frac is not None:
+        spans = shared_span_stats(kept, id_col, text_col, n=span_n)
+        heavy = spans.filter(
+            F.col("covered_frac") > max_shared_frac
+        ).select(id_col, "covered_frac")
+        audit_boiler = heavy.select(
+            ids,
+            F.lit("boilerplate").alias("stage"),
+            F.concat(
+                F.lit("shared_"), F.round("covered_frac", 3)
+            ).alias("reason"),
+        )
+        kept = kept.join(heavy.select(id_col), id_col, "left_anti")
+    else:
+        audit_boiler = None
 
     # -- stage 2: near-dup clusters + quality-aware survivors
     if near_dup is not None:
@@ -206,7 +232,7 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_dups, audit_contam):
+    for extra in (audit_boiler, audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

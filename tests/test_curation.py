@@ -155,3 +155,35 @@ def test_split_by_cluster_prevents_cross_split_leakage(spark, corpus):
     }
     for r in rows.values():
         assert r["split"] == expect[r["cluster_id"]]
+
+
+def test_boilerplate_gate_drops_template_heavy_docs(spark):
+    """max_shared_frac: docs that are mostly verbatim cross-document
+    template get a 'boilerplate' audit row; pairwise near-dup alone
+    would miss them (each pair under the Jaccard threshold)."""
+    template = " ".join(f"t{i}" for i in range(18))  # 18 shared tokens
+    rows = [
+        (i, f"the notice covers and explains {template} item{i}a "
+            f"item{i}b item{i}c")
+        for i in range(1, 4)  # 3 template-heavy docs (27 tokens each)
+    ]
+    rows.append(
+        (9, "the appendix covers and explains " + " ".join(
+            f"u{i}" for i in range(22)))
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    curated, audit = curate_corpus(
+        docs, max_shared_frac=0.5, span_n=10, near_dup=None
+    )
+    aud = {r["doc_id"]: (r["stage"], r["reason"]) for r in audit.collect()}
+    cur = {r["doc_id"] for r in curated.collect()}
+    assert cur == {9}
+    for d in (1, 2, 3):
+        assert aud[d][0] == "boilerplate"
+        assert aud[d][1].startswith("shared_")
+
+    # without the gate the same docs sail through (pairwise Jaccard
+    # of the template trio is ~0.5 — under the 0.8 near-dup bar)
+    curated2, _ = curate_corpus(docs)
+    assert {r["doc_id"] for r in curated2.collect()} == {1, 2, 3, 9}

@@ -872,3 +872,31 @@ def test_forget_and_purge_incremental_index(spark, tmp_path):
             .select("doc_id").distinct().collect()
         }
         assert 2 not in ids and ids == {1, 3, 4}
+
+
+def test_shared_span_stats_exact(spark):
+    """Hand-computable shared-span geometry: two docs share a 5-token
+    prefix (2 shared 4-windows each, interval-union coverage 5/7); a
+    unique doc and a WITHIN-doc repeat (min_docs=2 counts distinct
+    docs) both score zero."""
+    rows = [
+        (1, "s1 s2 s3 s4 s5 a1 a2"),
+        (2, "s1 s2 s3 s4 s5 b1 b2"),
+        (3, "c1 c2 c3 c4 c5 c6 c7"),
+        (4, "r1 r2 r3 r4 r1 r2 r3 r4"),  # self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in X.shared_span_stats(df, n=4).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["n_windows"] == 4
+        assert got[d]["n_shared_windows"] == 2
+        assert got[d]["covered_frac"] == round(5 / 7, 6)
+    assert got[3]["n_shared_windows"] == 0 and got[3]["covered_frac"] == 0.0
+    assert got[4]["n_shared_windows"] == 0  # distinct-doc df, not occurrences
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        X.shared_span_stats(df, n=1)

@@ -346,3 +346,16 @@ def test_curation_pipeline_plan_no_cartesian_broadcast_benchmark(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shared_spans_doc_keyed_no_cartesian(spark):
+    """Repeated-span signal: window assembly is a doc-keyed window
+    function; the shared-hash restriction is a semi-join on the
+    64-bit hash — no cartesian/nested-loop anywhere, and the n-times
+    position explode (Generate) runs only AFTER that semi-join."""
+    plan = _plan(spark, "doc_shared_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = _tree(plan)
+    assert "LeftSemi" in plan
+    assert "Window" in tree
