@@ -4,7 +4,8 @@ way — the catalog's ORACLE text (written as ANSI SQL for DuckDB) runs
 VERBATIM on Spark SQL over registered views and returns the same rows
 as the DataFrame builders. One test per representative operator
 family: scan+agg (P9/A2), multi-join (J2), top-k (T1/T2), window
-dedup (§2.5), union/distinct CTE (U1/A3/C1)."""
+dedup (§2.5), union/distinct CTE (U1/A3/C1), rollup/cube grouping
+sets, INTERSECT/EXCEPT, and left-semi EXISTS."""
 
 from __future__ import annotations
 
@@ -24,6 +25,11 @@ PARITY_QUERIES = (
     "top_customers",
     "latest_event_per_user",
     "key_universe",
+    "rollup_sales",
+    "cube_orders",
+    "status_intersect",
+    "status_except",
+    "order_priority_semi",
 )
 
 
@@ -38,9 +44,11 @@ def views(spark):
 
 def _canon(df):
     def cell(v):
+        if v is None:
+            return "∅"  # rollup/cube NULL group keys must sort
         if isinstance(v, float):
-            return round(v, 6) if math.isfinite(v) else repr(v)
-        return v
+            v = round(v, 6) if math.isfinite(v) else v
+        return repr(v)
 
     cols = sorted(df.columns)
     return sorted(
