@@ -1,0 +1,184 @@
+"""Streaming corpus curation: the batch curation flow
+(plans/curation.py) re-expressed as an incremental, replay-safe
+stream — documents arrive in micro-batches and the curated corpus +
+audit trail grow append-only.
+
+Per micro-batch (every sink/index append is ``io.append_once`` keyed
+by the batch id, so a replayed tick is a no-op end to end):
+
+1. **clean** — the C4/Gopher gates (map-only + in-batch exact dedup)
+   via ``text.clean_corpus`` on the batch;
+2. **cross-batch exact dedup** — a persisted ``(text_hash,
+   batch_id)`` ledger under ``index_path/seen_hashes``: a doc whose
+   hash appeared in an EARLIER batch drops as ``exact_dup_history``.
+   The lookup excludes rows carrying the CURRENT batch id, so a
+   replayed batch does not collide with its own first attempt;
+3. **incremental near-dup** — ``dedup.merge_batch_minhash`` folds the
+   batch into the persisted bands+postings indexes and emits pairs
+   touching the batch; batch docs drop under FIRST-SEEN-WINS: a doc
+   loses if it pairs with any already-indexed doc, or with an
+   in-batch doc of smaller id. (The batch pipeline's quality-aware
+   survivor needs the whole cluster at once; a stream can't un-emit
+   an already-curated doc, so first-seen-wins is the honest
+   streaming semantics — documented divergence, same as every
+   incremental dedup system.)
+4. **redact + split** — map-only (``pii.redact_pii``,
+   ``splits.hash_split``), then curated rows append to ``out_path``
+   and audit rows (id, stage, reason) to ``audit_path``.
+
+State lives entirely on disk (ledger + dedup indexes); the streaming
+query itself is stateless. At 100 TB/day each tick costs the batch's
+own scans plus batch-bands ⋈ matching buckets — independent of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..operators.dedup import merge_batch_minhash
+from ..operators.pii import redact_pii
+from ..operators.splits import hash_split
+from ..operators.text import clean_corpus
+
+
+def start_curation_stream(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    out_path: str,
+    audit_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_dup_word_frac: float = 0.7,
+    langs: tuple[str, ...] = ("en",),
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    split_weights: dict[str, int] | None = None,
+    split_salt: str = "",
+    redact: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Run the curation flow over a document stream; returns the
+    StreamingQuery. Curated rows: (id, text, lang_guess, n_words,
+    split); audit rows: (id, stage, reason)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col)
+        ids = F.col(id_col)
+
+        # 1. in-batch clean gates
+        verdicts = clean_corpus(
+            batch,
+            id_col,
+            text_col,
+            min_words=min_words,
+            max_dup_word_frac=max_dup_word_frac,
+            langs=langs,
+        )
+        audit = verdicts.filter(~F.col("keep")).select(
+            ids,
+            F.lit("clean").alias("stage"),
+            F.col("drop_reason").alias("reason"),
+        )
+        kept = batch.join(
+            verdicts.filter(F.col("keep")).select(
+                id_col, "n_words", "lang_guess"
+            ),
+            id_col,
+        ).withColumn("__h", F.md5(F.col(text_col)))
+
+        # 2. cross-batch exact dedup ledger
+        seen_path = f"{index_path}/seen_hashes"
+        if _io._exists(spark, seen_path):
+            history = (
+                _io.load_table(spark, seen_path)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("__h")
+                .distinct()
+            )
+            dup_hist = kept.join(F.broadcast(history), "__h", "left_semi")
+            audit = audit.unionByName(
+                dup_hist.select(
+                    ids,
+                    F.lit("clean").alias("stage"),
+                    F.lit("exact_dup_history").alias("reason"),
+                )
+            )
+            kept = kept.join(F.broadcast(history), "__h", "left_anti")
+        _io.append_once(
+            kept.select("__h", F.lit(batch_id).alias("batch_id")),
+            seen_path,
+            batch_id,
+        )
+        kept = kept.drop("__h").localCheckpoint()
+
+        # 3. incremental near-dup, first-seen-wins
+        pairs = merge_batch_minhash(
+            kept,
+            index_path,
+            batch_id,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold=threshold,
+        )
+        batch_ids = kept.select(ids.alias("__b"))
+        # a batch doc loses when it pairs with an OLD doc, or with an
+        # in-batch doc of smaller id (pairs carry id_1 < id_2)
+        lose_2 = pairs.join(
+            batch_ids, pairs["id_2"] == F.col("__b"), "left_semi"
+        ).select(F.col("id_2").alias(id_col))
+        lose_1 = (
+            pairs.join(
+                batch_ids, pairs["id_1"] == F.col("__b"), "left_semi"
+            )
+            .join(  # ...and id_2 is NOT in the batch → id_1 loses to old
+                batch_ids, pairs["id_2"] == F.col("__b"), "left_anti"
+            )
+            .select(F.col("id_1").alias(id_col))
+        )
+        losers = lose_1.union(lose_2).distinct()
+        audit = audit.unionByName(
+            losers.select(
+                ids,
+                F.lit("near_dup").alias("stage"),
+                F.lit("near_dup_incremental").alias("reason"),
+            )
+        )
+        survivors = kept.join(losers, id_col, "left_anti")
+
+        # 4. redact + split, append-only sinks
+        out_text = (
+            redact_pii(F.col(text_col)) if redact else F.col(text_col)
+        )
+        curated = hash_split(
+            survivors.select(
+                ids, out_text.alias(text_col), "lang_guess", "n_words"
+            ),
+            id_col,
+            weights=split_weights,
+            salt=split_salt,
+        ).drop("bucket")
+        _io.append_once(curated, out_path, batch_id)
+        _io.append_once(audit, audit_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -497,3 +497,74 @@ def test_stream_ann_index_append_and_replay_safe(spark, tmp_path):
     shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
     _go()
     assert spark.read.parquet(index).count() == 6
+
+
+def test_stream_curation_end_to_end_and_replay_safe(spark, tmp_path):
+    """Streaming curation: gates, cross-batch exact dedup (hash
+    ledger), incremental first-seen-wins near-dup, redaction and
+    split — every doc attributed exactly once across the curated and
+    audit sinks, and a replayed batch (lost engine commit) changes
+    nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.curation import start_curation_stream
+
+    good1 = ("the release notes cover and explain features fixes "
+             "upgrades migrations rollbacks configs flags defaults "
+             "limits quotas alerts dashboards exports imports")
+    good3 = ("the field guide covers and explains habitats species "
+             "diets ranges seasons calls nests eggs chicks molts "
+             "migrations sightings records photos lenses")
+    good6 = ("the style manual covers and explains headings captions "
+             "citations footnotes figures tables spacing margins "
+             "fonts kerning ligatures widows orphans hyphens")
+    b1 = [(1, good1), (2, "the short and tiny note"), (3, good3)]
+    b2 = [
+        (4, good1),                                  # exact dup of 1
+        (5, good3.replace("lenses", "tripods")),     # near-dup of 3
+        (6, good6),
+        (7, good6.replace("hyphens", "dashes")),     # near-dup of 6, in-batch
+    ]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def _go():
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            threshold=0.7,
+            **paths,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    cur = {r["doc_id"]: r for r in spark.read.parquet(paths["out_path"]).collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in spark.read.parquet(paths["audit_path"]).collect()}
+    assert set(cur) == {1, 3, 6}
+    assert aud[2] == ("clean", "too_short")
+    assert aud[4] == ("clean", "exact_dup_history")
+    assert aud[5] == ("near_dup", "near_dup_incremental")
+    assert aud[7] == ("near_dup", "near_dup_incremental")
+    assert set(cur) | set(aud) == {1, 2, 3, 4, 5, 6, 7}
+    assert set(cur).isdisjoint(aud)
+    assert all(r["split"] in ("train", "val", "test") for r in cur.values())
+
+    # replay the last batch: every sink append must no-op
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    _go()
+    assert spark.read.parquet(paths["out_path"]).count() == 3
+    assert spark.read.parquet(paths["audit_path"]).count() == 4
