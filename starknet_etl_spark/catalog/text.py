@@ -1093,6 +1093,34 @@ GROUP BY doc_id
 """
 
 
+def _bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_BIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+grams AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2),
+c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM toks GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1)
+SELECT doc_id,
+       ROUND(AVG(log2((c2 + 1.0) / (c1 + 1.0 * v))), 6)
+         AS bigram_logprob
+FROM grams JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 
 
@@ -1185,6 +1213,12 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: conditional (bigram) perplexity proxy.
+    "doc_bigram_logprob": QuerySpec(
+        _bigram_logprob,
+        _BIGRAM_LOGPROB_ORACLE,
+        "mean add-1 corpus-bigram log2 cond. prob per doc",
     ),
     "doc_clean_corpus": QuerySpec(
         _clean_corpus,

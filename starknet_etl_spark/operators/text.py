@@ -404,3 +404,69 @@ def shared_span_stats(
             ).alias("covered_frac"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-doc mean log2 P(w_i | w_{i-1}) under an add-k-smoothed
+    corpus bigram model — the conditional upgrade of
+    ``unigram_logprob`` as a perplexity proxy: word-salad documents
+    score low even when their unigrams are common (each word is
+    frequent; the TRANSITIONS are not).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V), with c(w1) the
+    corpus occurrence count of w1 and V the corpus vocabulary size.
+    Docs with fewer than two tokens are not emitted (no transitions,
+    no signal).
+
+    Scale: tokenization + a per-doc lead() window (doc-keyed
+    shuffle), two corpus count aggs keyed by bigram/word (map-side
+    partials), V as a 1-row broadcast — never a global window over
+    the vocabulary, the same discipline as unigram_logprob.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("__w").alias("__w1"),
+            F.lead("__w").over(w).alias("__w2"),
+        )
+        .filter(F.col("__w2").isNotNull())
+    )
+    c2 = grams.groupBy("__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    c1 = toks.groupBy(F.col("__w").alias("__w1")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("__v"))
+    return (
+        grams.join(c2, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log2(
+                        (F.col("__c2") + F.lit(add_k))
+                        / (F.col("__c1") + F.lit(add_k) * F.col("__v"))
+                    )
+                ),
+                6,
+            ).alias("bigram_logprob")
+        )
+    )

@@ -900,3 +900,23 @@ def test_shared_span_stats_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         X.shared_span_stats(df, n=1)
+
+
+def test_bigram_logprob_separates_salad_from_fluent(spark):
+    """Conditional perplexity proxy: a doc reusing the corpus's
+    common TRANSITIONS outscores a shuffled doc built from the same
+    frequent words (whose unigram profile is identical); sub-2-token
+    docs are not emitted."""
+    fluent = "the cat sat on the mat and the dog sat on the mat"
+    rows = [
+        (i, fluent) for i in range(1, 6)
+    ] + [
+        (6, "mat the on cat and dog sat mat the on the sat the mat"),
+        (7, "one"),  # single token: no transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["bigram_logprob"]
+           for r in X.bigram_logprob(df).collect()}
+    assert 7 not in got
+    assert got[1] == got[2]          # identical docs, identical score
+    assert got[1] > got[6]           # transitions beat word salad
