@@ -432,6 +432,8 @@ def purge_forgotten(
     index_path: str,
     parts: list[str] | None = None,
     id_col: str = "doc_id",
+    *,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Physically rewrite the index minus tombstoned ids, then clear
     the tombstones. Crash-safe: the rewrite uses the tombstone-rename
@@ -442,6 +444,13 @@ def purge_forgotten(
     ``parts``: index sub-tables to rewrite — ``None`` for a
     single-table index (merge_batch), ``["postings", "bands"]`` for
     merge_batch_minhash.
+
+    ``partition_by``: preserve a partitioned layout across the
+    rewrite — REQUIRED when purging a partition-pruned index (e.g. a
+    cell-partitioned ANN index via ``similarity.append_ann_index``:
+    pass ``partition_by=["label"]``), otherwise the rewrite would
+    flatten the directory layout and silently disable every
+    downstream partition filter.
     """
     from .. import io as _io
 
@@ -455,7 +464,10 @@ def purge_forgotten(
             F.broadcast(dead), id_col, "left_anti"
         )
         tmp = f"{p}__tmp_purge"
-        live.write.mode("overwrite").parquet(tmp)
+        w = live.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         _io._replace_dir(spark, p, tmp)
     _io._delete_dir(spark, tomb)
 

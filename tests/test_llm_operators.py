@@ -920,3 +920,38 @@ def test_bigram_logprob_separates_salad_from_fluent(spark):
     assert 7 not in got
     assert got[1] == got[2]          # identical docs, identical score
     assert got[1] > got[6]           # transitions beat word salad
+
+
+def test_forget_and_purge_ann_index_keeps_partitioning(spark, tmp_path):
+    """forget/purge over the cell-partitioned ANN index: the purge
+    preserves the cell directory layout (partition pruning survives)
+    and probes stop returning the forgotten vector."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.95, 0.05, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    idx = str(tmp_path / "ann")
+    S.build_ann_index(df, idx, cell_col="label")
+
+    D.forget(spark, idx, [1], 0, id_col="vec_id")
+    D.purge_forgotten(
+        spark, idx, id_col="vec_id", partition_by=["label"]
+    )
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("label=")
+    ) == ["label=0", "label=1"]  # layout survived the rewrite
+
+    got = [
+        r["vec_id"]
+        for r in S.knn_ivf_indexed(
+            spark, idx, df.filter("vec_id = 0"), k=3
+        ).collect()
+    ]
+    assert got == [0, 2]  # forgotten vector gone, pruning intact
