@@ -98,6 +98,38 @@ rows = {r["doc_id"]: r for r in with_pii(pdf, "text").collect()}
 assert rows[1]["n_credit_card"] == 1 and rows[2]["n_credit_card"] == 0
 assert "[CARD]" in rows[1]["redacted"]
 
+# 4b) this session's surfaces: BM25 postings index (build + append +
+# bucket-pruned probe == one-shot scan), shuffle shards, SQ8 ANN
+from starknet_etl_spark.operators import search as SE
+from starknet_etl_spark.operators import similarity as SIM
+from starknet_etl_spark.operators.splits import shuffle_shards
+
+bidx = "/tmp/verify_bm25_idx"
+shutil.rmtree(bidx, ignore_errors=True)
+SE.build_postings_index(docs.filter("doc_id % 2 = 0"), bidx, n_buckets=8)
+assert SE.append_postings(docs.filter("doc_id % 2 = 1"), bidx, 1)
+terms = ["dup", "spark", "merge"]
+via_index = {
+    (r["doc_id"], r["bm25"])
+    for r in SE.bm25_indexed(spark, bidx, terms).collect()
+}
+via_scan = {
+    (r["doc_id"], r["bm25"])
+    for r in SE.bm25_scores(docs, "doc_id", "text", terms).collect()
+}
+assert via_index == via_scan and via_index, (len(via_index), len(via_scan))
+
+sh = shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=4)
+by_shard = {r["shard"] for r in sh.select("shard").distinct().collect()}
+assert by_shard == {0, 1, 2, 3}, by_shard
+
+emb = eio.load_testdata(spark, SF, "embeddings")
+q = emb.filter("vec_id = 0")
+corp = emb.filter("vec_id != 0")
+exact = [r["vec_id"] for r in SIM.knn_bruteforce(corp, q, k=5).collect()]
+sq8 = [r["vec_id"] for r in SIM.knn_sq8(corp, q, k=5).collect()]
+assert len(set(exact) & set(sq8)) >= 3, (exact, sq8)
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}

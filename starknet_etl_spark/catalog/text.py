@@ -1170,6 +1170,158 @@ WHERE r.mix_rank <= t.k
 )
 
 
+def _domain_mix_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import mix_corpus
+
+    out = mix_corpus(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        weights=_MIX_WEIGHTS,
+        upsample=True,
+    )
+    return out.select("doc_id", "lang", "mix_rank", "mix_epoch")
+
+
+# Epoch-repetition mixture: T = total corpus over weighted groups
+# (zeroed if any weighted group is absent), k_g = floor(w_g*T), each
+# row repeated `k // n + (rank <= k % n)` times (exact integral
+# div/mod on both engines). At the sf0.01 lang skew this upsamples
+# en/de/fr (mix_epoch 2 rows exist) and downsamples es/zh.
+_DOMAIN_MIX_UPSAMPLED_ORACLE = (
+    "WITH w(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"('{g}', CAST({x} AS DOUBLE))" for g, x in _MIX_WEIGHTS.items()
+    )
+    + """),
+cnt AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+      FROM w LEFT JOIN cnt ON cnt.grp = w.grp),
+targets AS (
+  SELECT grp, n,
+         CAST(floor(wt * (CASE WHEN MIN(n) OVER () = 0 THEN 0
+                          ELSE SUM(n) OVER () END)) AS BIGINT) AS k
+  FROM j
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank
+  FROM documents
+),
+copied AS (
+  SELECT r.doc_id, r.lang, r.mix_rank,
+         CAST(t.k // t.n
+              + CASE WHEN r.mix_rank <= t.k % t.n THEN 1 ELSE 0 END
+              AS BIGINT) AS copies
+  FROM ranked r JOIN targets t ON r.lang = t.grp
+)
+SELECT doc_id, lang, mix_rank, CAST(e AS BIGINT) AS mix_epoch
+FROM copied, unnest(generate_series(1, copies)) AS u(e)
+WHERE copies > 0
+"""
+)
+
+
+_BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_scores
+
+    return bm25_scores(
+        _docs(spark, sf_dir), "doc_id", "text", list(_BM25_TERMS), top_k=15
+    )
+
+
+# The identical BM25 math: 6-dp per-(doc, term) contributions, then a
+# FIXED-ORDER sum of per-term conditional aggregates (no
+# summation-order ambiguity), final 4-dp round. Constants cast to
+# DOUBLE (bare 1.2 is DECIMAL in DuckDB).
+_BM25_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS nd, ROUND(AVG(dl), 6) AS avgdl FROM base
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(ws) AS t FROM base)
+  WHERE t IN ('dup', 'spark', 'merge')
+  GROUP BY doc_id, t
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT doc_id, t,
+         ROUND(
+           ln((nd - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * (tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+           6) AS c
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+),
+per AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN t = 'dup' THEN c END), 0) AS c0,
+         COALESCE(SUM(CASE WHEN t = 'spark' THEN c END), 0) AS c1,
+         COALESCE(SUM(CASE WHEN t = 'merge' THEN c END), 0) AS c2
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ROUND(c0 + c1 + c2, 4) AS bm25
+FROM per ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+"""
+
+
+def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index variant of doc_bm25_search: postings
+    built bucket-partitioned once, the query reads only its terms'
+    buckets (static partition pruning). Identical results to the scan
+    formulation — the oracle is shared."""
+    import tempfile
+
+    from ..operators.search import bm25_indexed, build_postings_index
+
+    path = f"{tempfile.gettempdir()}/bm25_index_catalog"
+    # 16 buckets at toy SF (dir-count ∝ write overhead here); at
+    # corpus scale raise n_buckets so a bucket ≈ one task's read.
+    build_postings_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return bm25_indexed(spark, path, list(_BM25_TERMS), top_k=15)
+
+
+def _shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=8
+    )
+
+
+# md5-derived shard + 1-based intra-shard rank, both engines decoding
+# the same 8-hex-char prefix.
+_SHUFFLE_SHARDS_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
 QUERIES = {
     "multi_signal_dup_audit": QuerySpec(
         _multi_signal_dup,
@@ -1213,6 +1365,31 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: epoch-repetition (upsampling) mixture variant.
+    "doc_domain_mix_upsampled": QuerySpec(
+        _domain_mix_upsampled,
+        _DOMAIN_MIX_UPSAMPLED_ORACLE,
+        "volume-preserving mixture: rare domains epoch-repeated",
+    ),
+    # overflow: BM25 lexical retrieval over the corpus.
+    "doc_bm25_search": QuerySpec(
+        _bm25_search,
+        _BM25_ORACLE,
+        "Okapi BM25 top-15 docs for a 3-term query (lexical search)",
+    ),
+    # overflow: the same ranking served from the materialized
+    # bucket-partitioned postings index (shared oracle).
+    "doc_bm25_indexed": QuerySpec(
+        _bm25_indexed,
+        _BM25_ORACLE,
+        "BM25 from a bucket-pruned postings index == scan results",
+    ),
+    # overflow: deterministic training-shard shuffle.
+    "doc_shuffle_shards": QuerySpec(
+        _shuffle_shards,
+        _SHUFFLE_SHARDS_ORACLE,
+        "md5 shuffle into 8 shards + intra-shard order (export shape)",
     ),
     # overflow: conditional (bigram) perplexity proxy.
     "doc_bigram_logprob": QuerySpec(

@@ -377,6 +377,46 @@ GROUP BY label, i
 """
 
 
+def _knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    return S.knn_sq8(
+        emb.filter(F.col("vec_id") != _QUERY_ID), query, k=10
+    )
+
+
+# Quantization reproduced bit-for-bit: floor(x / max|x| * 127 + 0.5)
+# per element (list lambda), zero-scale vectors dropped, then the
+# same double dot/norm accumulation as the full-precision oracle.
+_KNN_SQ8_ORACLE = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {_QUERY_ID}),
+c AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / m * 127 + 0.5) AS BIGINT)
+         ) AS codes
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings WHERE vec_id <> {_QUERY_ID}
+  ) WHERE m > 0
+),
+scored AS (
+  SELECT c.vec_id,
+         SUM(CAST(c.codes[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))
+         / (SQRT(SUM(CAST(c.codes[i] AS DOUBLE) * CAST(c.codes[i] AS DOUBLE)))
+          * SQRT(SUM(CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(q.embedding[i] AS DOUBLE)))) AS cos
+  FROM c, q, unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY c.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "emb_knn_bruteforce": QuerySpec(
         _knn, _KNN_ORACLE, "exact cosine top-10 (brute-force baseline)"
@@ -422,5 +462,12 @@ QUERIES = {
     ),
     "emb_centroids": QuerySpec(
         _centroids, _CENTROIDS_ORACLE, "per-cell mean vectors (IVF training step)"
+    ),
+    # overflow: int8-quantized approximate scan (8x less index I/O);
+    # recall@k vs the exact scan gated in tests/test_ann_recall.py.
+    "emb_knn_sq8": QuerySpec(
+        _knn_sq8,
+        _KNN_SQ8_ORACLE,
+        "SQ8 int8-quantized cosine top-10 (compressed-scan ANN)",
     ),
 }

@@ -10,6 +10,19 @@ are the first ``k_g`` by ``md5(id || salt)`` rank — the same
 deterministic, engine-reproducible, append-bounded selection as
 ``splits.stratified_sample``.
 
+``upsample=True`` switches to the epoch-repetition mixture real
+pretraining runs use (rare domains repeated rather than the corpus
+shrunk to the rarest): budget ``T = Σ n_g`` (total volume
+preserved), ``k_g = floor(w_g * T)``, and each group emits EXACTLY
+``k_g`` rows via the unified copy count
+``copies(rank) = k_g // n_g + (rank <= k_g mod n_g)`` — an
+oversized group keeps its first ``k_g`` rows once (the formula
+degenerates to the downsample), an undersized one repeats every row
+``k_g // n_g`` times and its first ``k_g mod n_g`` rows once more,
+tagged with ``mix_epoch`` (1-based repetition index) so downstream
+shuffling/sharding can keep epochs apart. Repetition is an explode
+of a per-row count — never a self-join.
+
 Scale design: group counts, the budget scalar, and per-group targets
 are all computed IN-PLAN (the group-count aggregate is n_groups rows
 — index metadata — and joins back as a broadcast); the only big-data
@@ -34,13 +47,21 @@ def mix_corpus(
     *,
     weights: dict[str, float],
     salt: str = "",
+    upsample: bool = False,
 ) -> DataFrame:
-    """Downsample to the target mixture ``weights`` over ``group_col``.
+    """Resample to the target mixture ``weights`` over ``group_col``.
 
     ``weights`` maps group value -> target fraction (must be > 0 and
     sum to ~1). Groups absent from ``weights`` are dropped. Output
     keeps every input column plus ``mix_rank`` (1-based hash rank
-    within the group — rows with ``mix_rank <= k_g`` survive).
+    within the group); with ``upsample=True`` it also carries
+    ``mix_epoch`` (1-based repetition index — see module docstring)
+    and undersized groups repeat rows to hit their target exactly.
+
+    A WEIGHTED group with zero corpus rows makes the mixture
+    unsatisfiable: both modes resolve it to an EMPTY result (the
+    downsample budget min's to 0; the upsample budget is zeroed the
+    same way) rather than silently renormalizing around the hole.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -78,22 +99,48 @@ def mix_corpus(
     # single tiny task, and the corpus is scanned ONCE for counts
     # (a scalar-subquery join here would re-scan it per consumer).
     wall = Window.partitionBy()
+    if upsample:
+        # Volume-preserving budget: T = Σ n_g, zeroed when any
+        # weighted group is absent (same unsatisfiable-mixture
+        # resolution as the downsample min).
+        budget = F.when(
+            F.min("__n").over(wall) == 0, F.lit(0)
+        ).otherwise(F.sum("__n").over(wall))
+    else:
+        budget = F.min(F.floor(F.col("__n") / F.col("__w"))).over(wall)
     targets = cnt.select(
         group_col,
-        F.floor(
-            F.col("__w")
-            * F.min(F.floor(F.col("__n") / F.col("__w"))).over(wall)
-        )
-        .cast("long")
-        .alias("__k"),
+        F.col("__n"),
+        F.floor(F.col("__w") * budget).cast("long").alias("__k"),
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     ranked = df.withColumn(
         "mix_rank", F.row_number().over(w).cast("long")
     )
+    joined = ranked.join(F.broadcast(targets), group_col)
+    if not upsample:
+        return joined.filter(F.col("mix_rank") <= F.col("__k")).drop(
+            "__k", "__n"
+        )
+    # Integral div/mod (never float floor(k/n) — exact at any scale;
+    # DuckDB twin is `//`).
+    copies = (
+        F.expr("__k div __n").cast("long")
+        + F.when(
+            F.col("mix_rank") <= F.col("__k") % F.col("__n"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     return (
-        ranked.join(F.broadcast(targets), group_col)
-        .filter(F.col("mix_rank") <= F.col("__k"))
-        .drop("__k")
+        joined.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "mix_epoch",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__copies"))
+            ),
+        )
+        .drop("__copies", "__k", "__n")
     )

@@ -704,3 +704,72 @@ def centroids(
     return long.groupBy("cell", "dim_i").agg(
         F.round(F.avg("x"), 6).alias("centroid")
     )
+
+
+def quantize_sq8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "sq8",
+    scale_col: str = "sq8_scale",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per vector,
+    ``codes[i] = floor(x[i] / max|x| * 127 + 0.5)`` in [-127, 127]
+    stored as ``array<tinyint>`` plus the ``max|x|`` scale — an 8×
+    smaller scan than float64 (the first thing a 100 TB vector corpus
+    needs: at 64-dim float64 an index is 512 B/vector; SQ8 is
+    64 B + 8 B scale). Dequantize as ``codes[i] * scale / 127``.
+
+    COSINE against a quantized vector needs no scale at all (it
+    cancels), so ``knn_sq8`` scores straight off the int codes — and
+    because the codes are exact integers, the quantized dot product
+    is deterministic across engines (the oracle reproduces the floor
+    arithmetic bit-for-bit; no float-summation ambiguity beyond the
+    shared double accumulation the full-precision paths already use).
+
+    Zero vectors (max|x| = 0) are DROPPED — they have no cosine
+    direction to preserve, matching the NULL-vector drop policy of
+    the knn paths. Map-only: quantizing a corpus is one codegen'd
+    pass, composable with ``build_ann_index`` (quantize, then
+    partition by cell) for a pruned AND compressed index.
+    """
+    v = F.col(vec_col)
+    with_scale = df.withColumn(
+        scale_col,
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+    ).filter(F.col(scale_col) > 0)
+    codes = F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") / F.col(scale_col) * F.lit(127) + F.lit(0.5)
+        ).cast("tinyint"),
+    )
+    return with_scale.withColumn(codes_col, codes)
+
+
+def knn_sq8(
+    df: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k APPROXIMATE cosine neighbors over an SQ8-quantized corpus
+    scan — same plan shape as ``knn_bruteforce`` (broadcast 1-row
+    query, corpus streams, TakeOrderedAndProject) but the corpus side
+    reads/holds int8 codes instead of float64 vectors: 8× less scan
+    I/O and cache footprint for ~1e-2 score error (recall@k vs the
+    exact scan is gated in tests/test_ann_recall.py).
+
+    The query stays FULL precision (it is one row — quantizing it
+    would only add error). Scores round to 6 dp like every other
+    similarity path.
+    """
+    qz = quantize_sq8(df, vec_col=vec_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
+    scored = qz.crossJoin(q).select(
+        id_col,
+        F.round(cosine(F.col("sq8"), F.col("__q")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

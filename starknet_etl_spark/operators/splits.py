@@ -87,6 +87,56 @@ def stratified_sample(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards:
+    attaches ``shard`` in [0, n_shards) and ``shard_pos`` (1-based
+    order within the shard). Training pipelines need the corpus in a
+    pseudo-random but REPRODUCIBLE order, sharded into fixed units a
+    data loader can stream — ``df.orderBy(rand())`` gives neither
+    (non-deterministic under retries, and a full global sort).
+
+    Both the shard and the intra-shard order derive from
+    ``md5(id || salt)``: re-runs, engines and cluster layouts agree
+    bit-for-bit, and appends are shard-stable — old rows never move
+    to a different shard when the corpus grows (their ``shard_pos``
+    within the shard can shift, as any append into an ordered shard
+    must). A new ``salt`` is a fresh, independent epoch permutation.
+
+    Scale: the shard id is a map-only column; the positions are ONE
+    shuffle keyed by shard with a PER-SHARD sort (window, not a
+    global orderBy) — shards are the parallel unit, so 100 TB with
+    n_shards=10k sorts 10 GB per task. Write with
+    ``io.save_table(..., partition_by=["shard"])`` for one directory
+    per shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # First 8 hex chars = 32 bits (conv() is ANSI-safe at this width),
+    # mod n_shards. DuckDB twin: CAST('0x' || substr(md5(..),1,8) AS
+    # BIGINT) % n.
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__shuffle_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__shuffle_key", h)
+        .withColumn("shard", shard.cast("long"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

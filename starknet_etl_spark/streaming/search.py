@@ -1,0 +1,64 @@
+"""Streaming postings-index maintenance: append_postings inside
+foreachBatch.
+
+The retrieval-side twin of streaming/vectors.py — a growing document
+stream folds into the bucket-partitioned BM25 inverted index
+(operators/search.py::build_postings_index layout) instead of
+re-indexing per tick. Each micro-batch's postings append
+partition-scoped via ``io.append_once`` (replayed ticks no-op for
+both the postings and the stats ledger), so ``bm25_indexed`` queries
+always rank over a consistent merged corpus and the streaming query
+itself holds no state at all.
+
+At 100 TB: per tick cost is one batch tokenize + one append into the
+batch's term-hash buckets plus one stats-ledger row; the index is
+never rewritten. The batch must be NEW documents — compose upstream
+with the exact-dedup ledger / watermark dedup exactly like
+streaming/curation.py does, or re-delivered docs would double-count
+in tf/df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.search import append_postings
+
+
+def start_postings_stream(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a streaming document source into the postings index.
+
+    ``docs`` is a streaming DataFrame with (id_col, text_col); the
+    index at ``index_path`` must already exist
+    (``build_postings_index``, possibly over an empty seed corpus) —
+    its ``meta/`` pins the bucket modulus every append hashes with.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_postings(
+            batch,
+            index_path,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

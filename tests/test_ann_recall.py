@@ -220,3 +220,32 @@ def test_knn_ivf_multiprobe_builds_lazily(spark, clustered_emb):
         clustered_emb, empty_q, k=5, n_probes=2, dim=DIM
     )
     assert out.count() == 0
+
+
+def test_sq8_quantized_scan_recall_and_error(spark, clustered_emb):
+    """SQ8 int8 codes preserve cosine ranking: recall@10 vs the exact
+    scan stays near-perfect (the quantization error is ~1/254 of the
+    max-abs per dim), the dequantized reconstruction error is bounded
+    by scale/254 per element, and zero vectors are dropped."""
+    rec = _mean_recall(
+        clustered_emb,
+        lambda corpus, query: S.knn_sq8(corpus, query, k=K),
+    )
+    assert rec >= 0.85, f"SQ8 recall collapsed: {rec}"
+
+    qz = S.quantize_sq8(clustered_emb).select(
+        "embedding", "sq8", "sq8_scale"
+    )
+    for r in qz.limit(20).collect():
+        s = r["sq8_scale"]
+        assert s > 0
+        assert all(-127 <= c <= 127 for c in r["sq8"])
+        for orig, code in zip(r["embedding"], r["sq8"]):
+            assert abs(code * s / 127.0 - orig) <= s / 253.9
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = S.quantize_sq8(zero).select("vec_id").collect()
+    assert [r.vec_id for r in kept] == [2]

@@ -955,3 +955,138 @@ def test_forget_and_purge_ann_index_keeps_partitioning(spark, tmp_path):
         ).collect()
     ]
     assert got == [0, 2]  # forgotten vector gone, pruning intact
+
+
+def test_shuffle_shards_deterministic_and_stable(spark):
+    """Shard assignment is a pure function of the id: re-runs agree,
+    appends never move old rows to another shard, every shard in
+    [0, n) is hit, positions are contiguous 1..count per shard, and a
+    salt gives a fresh permutation."""
+    from starknet_etl_spark.operators.splits import shuffle_shards
+
+    small = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 600).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(small, "doc_id", n_shards=4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in shuffle_shards(small, "doc_id", n_shards=4).collect()}
+    assert a == b  # deterministic
+    grown = {r["doc_id"]: r["shard"]
+             for r in shuffle_shards(big, "doc_id", n_shards=4).collect()}
+    assert all(grown[k] == v[0] for k, v in a.items())  # shard-stable
+
+    from collections import Counter
+    by_shard = Counter(s for s, _ in a.values())
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, count in by_shard.items():
+        pos = sorted(p for s, p in a.values() if s == shard)
+        assert pos == list(range(1, count + 1))
+
+    salted = {r["doc_id"]: r["shard"]
+              for r in shuffle_shards(
+                  small, "doc_id", n_shards=4, salt="epoch2"
+              ).collect()}
+    assert any(salted[k] != a[k][0] for k in salted)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        shuffle_shards(small, "doc_id", n_shards=0)
+
+
+def test_bm25_hand_computed_and_ranking(spark):
+    """BM25 against a hand-computed reference on a 4-doc corpus:
+    exact scores, non-matching docs omitted, top_k tie-break on id,
+    and parameter validation."""
+    import math
+
+    from starknet_etl_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog dog"),
+            (3, "bird bird bird"),
+            (4, "cat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, "doc_id", "text", ["cat"]).collect()
+    }
+    # N=4, avgdl=(3+4+3+1)/4=2.75, df(cat)=2 ->
+    # idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+    k1, b = 1.2, 0.75
+    def ref(tf, dl):
+        contrib = math.log(2.0) * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * dl / 2.75)
+        )
+        return round(round(contrib, 6), 4)
+
+    assert got == {1: ref(2, 3), 4: ref(1, 1)}
+    assert 3 not in got  # no match -> omitted
+    # top_k returns the highest-scoring doc (id breaks ties).
+    top = bm25_scores(docs, "doc_id", "text", ["cat"], top_k=1).collect()
+    best = max(got.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert [r["doc_id"] for r in top] == [best]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_scores(docs, "doc_id", "text", [])
+    with _pt.raises(ValueError):
+        bm25_scores(docs, "doc_id", "text", ["cat"], b=1.5)
+    with _pt.raises(ValueError):
+        bm25_scores(docs, "doc_id", "text", ["cat"], top_k=0)
+
+
+def test_bm25_index_incremental_and_replay_safe(spark, tmp_path):
+    """The postings index reproduces the scan ranking exactly; an
+    appended batch folds in (indexed == full scan over the union); a
+    replayed batch_id no-ops; and the probe's scan is bucket-pruned
+    (static PartitionFilters, not a full-index read)."""
+    from starknet_etl_spark.operators.search import (
+        append_postings,
+        bm25_indexed,
+        bm25_scores,
+        build_postings_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows1 = [
+        (i, " ".join(words[j % 5] for j in range(i, i + 7)))
+        for i in range(0, 40)
+    ]
+    rows2 = [
+        (i, " ".join(words[j % 3] for j in range(i, i + 11)))
+        for i in range(40, 60)
+    ]
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    terms = ["alpha", "delta"]
+    path = str(tmp_path / "bm25_idx")
+
+    build_postings_index(b1, path, n_buckets=8)
+    got1 = {r["doc_id"]: r["bm25"]
+            for r in bm25_indexed(spark, path, terms).collect()}
+    want1 = {r["doc_id"]: r["bm25"]
+             for r in bm25_scores(b1, "doc_id", "text", terms).collect()}
+    assert got1 == want1
+
+    assert append_postings(b2, path, batch_id=7) is True
+    got2 = {r["doc_id"]: r["bm25"]
+            for r in bm25_indexed(spark, path, terms).collect()}
+    want2 = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            b1.unionByName(b2), "doc_id", "text", terms
+        ).collect()
+    }
+    assert got2 == want2 and got2 != got1  # stats + postings moved
+
+    assert append_postings(b2, path, batch_id=7) is False  # replay
+    got3 = {r["doc_id"]: r["bm25"]
+            for r in bm25_indexed(spark, path, terms).collect()}
+    assert got3 == got2
+
+    plan = bm25_indexed(spark, path, terms)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

@@ -87,3 +87,46 @@ def test_mix_weighted_group_with_no_rows_yields_empty(spark):
         docs, "lang", "doc_id", weights={"en": 0.5, "xx": 0.5}
     )
     assert out.count() == 0
+
+
+def test_mix_upsample_hits_targets_with_epochs(spark):
+    """upsample=True: every weighted group emits exactly
+    floor(w_g * total) rows, undersized groups via epoch repetition
+    (copies = k//n + (rank <= k%n)), oversized via the usual
+    truncation; mix_epoch is 1-based and dense per repeated row."""
+    docs = _docs(spark)
+    n = {r["lang"]: r["cnt"] for r in
+         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(n[g] for g in WEIGHTS)
+    expect = {g: math.floor(w * total) for g, w in WEIGHTS.items()}
+
+    out = mix_corpus(
+        docs, "lang", "doc_id", weights=WEIGHTS, upsample=True
+    ).cache()
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == expect
+    # at the TESTDATA skew, en is undersized for w=0.5 -> epochs >= 2
+    assert any(g for g in expect if expect[g] > n[g])
+    max_epoch = out.agg(F.max("mix_epoch")).collect()[0][0]
+    assert max_epoch >= 2
+    # per-row epoch density: a (doc, lang) appearing e times carries
+    # epochs exactly 1..e
+    rows = out.filter(F.col("lang") == "en").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["mix_epoch"])
+    k, nn = expect["en"], n["en"]
+    base, rem = k // nn, k % nn
+    for doc_id, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+        assert len(epochs) in (base, base + 1)
+    assert sum(len(e) for e in by_doc.values()) == k
+    out.unpersist()
+
+    # absent weighted group -> unsatisfiable -> empty (both modes)
+    empty = mix_corpus(
+        docs, "lang", "doc_id",
+        weights={"en": 0.5, "xx": 0.5}, upsample=True,
+    )
+    assert empty.count() == 0

@@ -359,3 +359,32 @@ def test_shared_spans_doc_keyed_no_cartesian(spark):
     tree = _tree(plan)
     assert "LeftSemi" in plan
     assert "Window" in tree
+
+
+def test_bm25_scan_plan_shape(spark):
+    """doc_bm25_search: the query-term filter sits on the exploded
+    token side BEFORE the (doc, term) aggregate (shuffle carries
+    posting lists, not the corpus token stream), stats/dfreq join as
+    broadcasts, and the top-k is a real top-k."""
+    plan = _plan(spark, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+    # query terms filter the explode in-plan (pre-shuffle)
+    assert "dup" in plan and "spark" in plan and "merge" in plan
+    tree = _tree(plan)
+    # corpus stats + df both arrive via broadcast, never a sort-merge
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in tree
+
+
+def test_bm25_indexed_prunes_buckets(spark):
+    """doc_bm25_indexed: the postings scan carries a static
+    PartitionFilters entry on the bucket column — the probe reads the
+    query terms' bucket directories, not the whole index."""
+    plan = _plan(spark, "doc_bm25_indexed")
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "bucket" in ln and "dynamicpruning" not in ln for ln in part_lines
+    ), part_lines

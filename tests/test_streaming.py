@@ -568,3 +568,72 @@ def test_stream_curation_end_to_end_and_replay_safe(spark, tmp_path):
     _go()
     assert spark.read.parquet(paths["out_path"]).count() == 3
     assert spark.read.parquet(paths["audit_path"]).count() == 4
+
+
+def test_stream_postings_index_append_and_replay_safe(spark, tmp_path):
+    """Streaming BM25-index maintenance: document micro-batches fold
+    into the bucket-partitioned postings index; queries rank over
+    base + streamed docs exactly like a batch rebuild; a replayed
+    batch appends nothing (postings or stats)."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.search import (
+        bm25_indexed,
+        bm25_scores,
+        build_postings_index,
+    )
+    from starknet_etl_spark.streaming.search import start_postings_stream
+
+    schema = "doc_id bigint, text string"
+    base_rows = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma delta"),
+        (3, "gamma gamma gamma"),
+    ]
+    b1 = [(10, "alpha delta delta epsilon")]
+    b2 = [(11, "epsilon zeta alpha alpha")]
+    base = spark.createDataFrame(base_rows, schema)
+    index = str(tmp_path / "bm25")
+    build_postings_index(base, index, n_buckets=8)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_postings_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=index,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    terms = ["alpha", "epsilon"]
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_indexed(spark, index, terms).collect()}
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            base.unionByName(
+                spark.createDataFrame(b1 + b2, schema)
+            ),
+            "doc_id",
+            "text",
+            terms,
+        ).collect()
+    }
+    assert got == want and {10, 11} <= set(got)
+
+    # lost engine commit → replayed batches must no-op on the ledger
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()
+    got2 = {r["doc_id"]: r["bm25"]
+            for r in bm25_indexed(spark, index, terms).collect()}
+    assert got2 == got
