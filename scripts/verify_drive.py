@@ -130,6 +130,21 @@ exact = [r["vec_id"] for r in SIM.knn_bruteforce(corp, q, k=5).collect()]
 sq8 = [r["vec_id"] for r in SIM.knn_sq8(corp, q, k=5).collect()]
 assert len(set(exact) & set(sq8)) >= 3, (exact, sq8)
 
+# PQ chain drives end-to-end and is deterministic (recall on the
+# UNIFORM toy embeddings is meaningless at 4 bits/subspace — the
+# quality gate lives in test_ann_recall.py on clustered data, and
+# cross-engine exactness in the emb_knn_pq oracle).
+cb = SIM.train_pq_codebooks(corp, dim=64, m=8, ksub=16)
+pq = [
+    (r["vec_id"], r["cos_sim"])
+    for r in SIM.knn_pq_adc(SIM.pq_encode(corp, cb), cb, q, k=5).collect()
+]
+pq2 = [
+    (r["vec_id"], r["cos_sim"])
+    for r in SIM.knn_pq_adc(SIM.pq_encode(corp, cb), cb, q, k=5).collect()
+]
+assert len(pq) == 5 and pq == pq2 and all(-1.001 <= s <= 1.001 for _, s in pq)
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}

@@ -417,6 +417,82 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+_PQ_M = 8  # subspaces (dsub = DIM/m = 8 dims each)
+_PQ_KSUB = 16  # codes per subspace -> 4 bits/sub, 4 B/vector
+
+
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    cb = S.train_pq_codebooks(
+        corpus, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB
+    )
+    codes = S.pq_encode(corpus, cb)
+    return S.knn_pq_adc(codes, cb, query, k=10)
+
+
+# The full PQ chain replayed in SQL: md5-ranked sample-init
+# codebooks, 6-dp rounded L2 argmin assignment (code-asc tiebreak),
+# ADC scoring against the reconstructed vectors. Integral '//' for
+# the subspace index (DuckDB CAST rounds; Spark truncates).
+_KNN_PQ_ORACLE = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+cb AS (
+  SELECT (i - 1) // {DIM // _PQ_M} AS sub, rk - 1 AS code, i AS dim_i,
+         CAST(embedding[i] AS DOUBLE) AS cvalue
+  FROM ranked, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE rk <= {_PQ_KSUB}
+),
+corpus AS (
+  SELECT vec_id, i AS dim_i, (i - 1) // {DIM // _PQ_M} AS sub,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+dists AS (
+  SELECT c.vec_id, c.sub, cb.code,
+         ROUND(SUM((c.x - cb.cvalue) * (c.x - cb.cvalue)), 6) AS dist
+  FROM corpus c JOIN cb ON cb.sub = c.sub AND cb.dim_i = c.dim_i
+  GROUP BY c.vec_id, c.sub, cb.code
+),
+assigned AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (
+  SELECT i AS dim_i, (i - 1) // {DIM // _PQ_M} AS sub,
+         CAST(embedding[i] AS DOUBLE) AS qx
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id = {_QUERY_ID}
+),
+tbl AS (
+  SELECT cb.sub, cb.code,
+         ROUND(SUM(cb.cvalue * q.qx), 6) AS ip,
+         ROUND(SUM(cb.cvalue * cb.cvalue), 6) AS cc
+  FROM cb JOIN q ON q.sub = cb.sub AND q.dim_i = cb.dim_i
+  GROUP BY cb.sub, cb.code
+),
+qn AS (SELECT SQRT(SUM(qx * qx)) AS qnorm FROM q),
+sums AS (
+  SELECT a.vec_id, SUM(t.ip) AS dot, SUM(t.cc) AS c2
+  FROM assigned a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
+  GROUP BY a.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(c2) * qnorm), 6) AS cos_sim
+FROM sums, qn
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "emb_knn_bruteforce": QuerySpec(
         _knn, _KNN_ORACLE, "exact cosine top-10 (brute-force baseline)"
@@ -469,5 +545,12 @@ QUERIES = {
         _knn_sq8,
         _KNN_SQ8_ORACLE,
         "SQ8 int8-quantized cosine top-10 (compressed-scan ANN)",
+    ),
+    # overflow: product quantization — train + encode + ADC top-10
+    # (the 128x-compression rung; recall gated in test_ann_recall.py).
+    "emb_knn_pq": QuerySpec(
+        _knn_pq,
+        _KNN_PQ_ORACLE,
+        "PQ codebooks + codes + asymmetric-distance cosine top-10",
     ),
 }

@@ -773,3 +773,272 @@ def knn_sq8(
         F.round(cosine(F.col("sq8"), F.col("__q")), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int,
+    ksub: int,
+    salt: str = "",
+) -> DataFrame:
+    """Product-quantization codebooks, long-form
+    (sub, code, dim_i, cvalue) — the third rung of the ANN memory
+    ladder (float64 → SQ8 → PQ: m log2(ksub) bits per vector, e.g.
+    64-dim float64 512 B → m=8, ksub=16 → 4 B, a 128× cut).
+
+    Training here is deterministic SAMPLE initialization: the first
+    ``ksub`` vectors by ``md5(id || salt)`` rank become the
+    codewords of every subspace (each sampled vector sliced into m
+    contiguous sub-vectors). That is the standard k-means seeding
+    step, engine-reproducible and cheap (TakeOrderedAndProject over
+    one scan — never a global sort); Lloyd refinement is a
+    deliberate offline loop a caller can run by re-averaging
+    ``pq_encode`` assignments with the same rounded-argmin
+    discipline. Codebooks are index METADATA: dim·ksub rows,
+    broadcast everywhere they are used.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if ksub < 1:
+        raise ValueError(f"ksub must be >= 1, got {ksub}")
+    dsub = dim // m
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    sample = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+    )
+    w = Window.orderBy("__h", id_col)  # ksub rows — a tiny frame
+    coded = sample.withColumn(
+        "code", (F.row_number().over(w) - 1).cast("long")
+    )
+    return coded.select(
+        "code", F.posexplode(F.col(vec_col)).alias("__d0", "__x")
+    ).select(
+        ((F.col("__d0")) / F.lit(dsub)).cast("long").alias("sub"),
+        "code",
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__x").cast("double").alias("cvalue"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes): per subspace, the L2-nearest codeword's code,
+    as an m-length array ordered by subspace.
+
+    Distances round to 6 dp before the argmin with a code-asc
+    tiebreak (the same rounded-before-rank discipline as
+    ``assign_cells`` — ~1 ulp summation drift must not flip an
+    assignment between engines). Plan: narrow posexplode → broadcast
+    codebook join → (id, sub, code) partial-aggregated distance →
+    per-(id, sub) argmin window → one array_agg back to wide. All
+    shuffles key on the vector id; the ksub fan-out exists only
+    between the projection and the first aggregate. A GEMM kernel
+    (cosine_scores_gemm-style) is the drop-in for CPU-bound corpora.
+    """
+    long = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
+        )
+        .select(
+            id_col,
+            (F.col("__d0") + 1).cast("long").alias("dim_i"),
+            F.col("__x").cast("double").alias("__x"),
+        )
+    )
+    d = (
+        long.join(F.broadcast(codebooks_df), "dim_i")
+        .groupBy(id_col, "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("__x") - F.col("cvalue"))
+                    * (F.col("__x") - F.col("cvalue"))
+                ),
+                6,
+            ).alias("__dist")
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.asc("__dist"), F.asc("code")
+    )
+    best = d.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ),
+            lambda s: s["code"],
+        ).alias("pq_codes")
+    )
+
+
+def knn_pq_adc(
+    codes_df: DataFrame,
+    codebooks_df: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k approximate cosine via Asymmetric Distance Computation
+    over PQ codes: the query is scored against the CODEBOOKS once
+    (an m·ksub lookup table of inner products and codeword norms —
+    index metadata, broadcast), then every corpus vector costs m
+    table lookups + one per-id sum. The corpus side never touches a
+    float vector again — the scan reads m small ints per row.
+
+    cos ≈ Σ_sub ip[sub, code] / (sqrt(Σ_sub cc[sub, code]) · ‖q‖),
+    i.e. cosine against the RECONSTRUCTED vector — the classic ADC
+    estimate. Scores round to 6 dp; ties break on ascending id.
+    """
+    qlong = query.select(
+        F.posexplode(F.col(vec_col)).alias("__d0", "__qx")
+    ).select(
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
+    table = (
+        codebooks_df.join(F.broadcast(qlong), "dim_i")
+        .groupBy("sub", "code")
+        .agg(
+            F.round(F.sum(F.col("cvalue") * F.col("__qx")), 6).alias(
+                "__ip"
+            ),
+            F.round(F.sum(F.col("cvalue") * F.col("cvalue")), 6).alias(
+                "__cc"
+            ),
+        )
+    )
+    qn = qlong.agg(
+        F.sqrt(F.sum(F.col("__qx") * F.col("__qx"))).alias("__qn")
+    )
+    scored = (
+        codes_df.select(
+            id_col, F.posexplode(F.col("pq_codes")).alias("sub", "code")
+        )
+        .withColumn("sub", F.col("sub").cast("long"))
+        .join(F.broadcast(table), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__ip").alias("__dot"), F.sum("__cc").alias("__c2")
+        )
+        .crossJoin(F.broadcast(qn))
+        .select(
+            id_col,
+            F.round(
+                F.col("__dot")
+                / (F.sqrt(F.col("__c2")) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def pq_refine(
+    df: DataFrame,
+    codebooks_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 1,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of PQ codebooks: ``n_iters`` rounds
+    of assign (6-dp rounded L2 argmin, code-asc tiebreak — exactly
+    ``pq_encode``'s rule) then re-center (per-(sub, code, dim_i) mean
+    of assigned sub-vectors, 6-dp rounded; codes that capture no
+    vectors keep their previous codeword). Returns new codebooks in
+    the same long form.
+
+    This is an ITERATIVE TRAINING loop, so it is deliberately eager:
+    each round runs one assignment job over the corpus and collects
+    the resulting dim·ksub codebook to the driver (index metadata,
+    driver-sized by contract — 64-dim × ksub=256 is 16k rows), which
+    also truncates the lineage between rounds. Distortion (sum of
+    assigned distances) is non-increasing round over round up to the
+    rounding grain — property-tested.
+    """
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    spark = df.sparkSession
+    meta = codebooks_df.agg(
+        F.max("dim_i").alias("d"), F.max("sub").alias("s")
+    ).first()
+    dim, m = int(meta["d"]), int(meta["s"]) + 1
+    dsub = dim // m
+
+    long = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
+        )
+        .select(
+            id_col,
+            (F.col("__d0") + 1).cast("long").alias("dim_i"),
+            (F.col("__d0") / F.lit(dsub)).cast("long").alias("sub"),
+            F.col("__x").cast("double").alias("__x"),
+        )
+    )
+    cb = codebooks_df
+    for _ in range(n_iters):
+        d = (
+            long.join(F.broadcast(cb.drop("sub")), "dim_i")
+            .groupBy(id_col, "sub", "code")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("__x") - F.col("cvalue"))
+                        * (F.col("__x") - F.col("cvalue"))
+                    ),
+                    6,
+                ).alias("__dist")
+            )
+        )
+        w = Window.partitionBy(id_col, "sub").orderBy(
+            F.asc("__dist"), F.asc("code")
+        )
+        best = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "sub", "code")
+        )
+        means = (
+            long.join(best, [id_col, "sub"])
+            .groupBy("sub", "code", "dim_i")
+            .agg(F.round(F.avg("__x"), 6).alias("__mean"))
+        )
+        merged = (
+            cb.join(means, ["sub", "code", "dim_i"], "left")
+            .select(
+                "sub",
+                "code",
+                "dim_i",
+                F.coalesce(F.col("__mean"), F.col("cvalue")).alias(
+                    "cvalue"
+                ),
+            )
+        )
+        rows = [
+            (int(r["sub"]), int(r["code"]), int(r["dim_i"]), float(r["cvalue"]))
+            for r in merged.collect()
+        ]
+        cb = spark.createDataFrame(
+            rows, "sub long, code long, dim_i long, cvalue double"
+        )
+    return cb
