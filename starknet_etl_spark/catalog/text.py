@@ -1225,6 +1225,64 @@ WHERE copies > 0
 )
 
 
+def _domain_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import mix_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        X.word_count(F.col("text")).alias("n_tokens"),
+    )
+    out = mix_corpus(
+        docs, "lang", "doc_id", weights=_MIX_WEIGHTS, size_col="n_tokens"
+    )
+    return out.select("doc_id", "lang", "mix_rank", "mix_cum")
+
+
+# Token-budget mixture: group mass = Σ n_tokens, T = min_g
+# floor(mass_g / w_g), k_g = floor(w_g * T) TOKENS, keep the longest
+# hash-rank prefix whose cumulative token count fits k_g.
+_DOMAIN_MIX_TOKENS_ORACLE = (
+    "WITH w(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"('{g}', CAST({x} AS DOUBLE))" for g, x in _MIX_WEIGHTS.items()
+    )
+    + r""")
+, t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cnt AS (SELECT lang AS grp, SUM(n_tokens) AS n FROM t GROUP BY lang),
+j AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+      FROM w LEFT JOIN cnt ON cnt.grp = w.grp),
+targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM j
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS mix_cum
+  FROM t
+)
+SELECT r.doc_id, r.lang, r.mix_rank, r.mix_cum
+FROM ranked r JOIN targets tg ON r.lang = tg.grp
+WHERE r.mix_cum <= tg.k
+"""
+)
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -1365,6 +1423,12 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: token-budget mixture (weights over tokens, not docs).
+    "doc_domain_mix_tokens": QuerySpec(
+        _domain_mix_tokens,
+        _DOMAIN_MIX_TOKENS_ORACLE,
+        "mixture budgeted in tokens: longest prefix fitting w_g*T",
     ),
     # overflow: epoch-repetition (upsampling) mixture variant.
     "doc_domain_mix_upsampled": QuerySpec(

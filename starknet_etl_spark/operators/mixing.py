@@ -48,17 +48,33 @@ def mix_corpus(
     weights: dict[str, float],
     salt: str = "",
     upsample: bool = False,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Resample to the target mixture ``weights`` over ``group_col``.
 
     ``weights`` maps group value -> target fraction (must be > 0 and
     sum to ~1). Groups absent from ``weights`` are dropped. Output
     keeps every input column plus ``mix_rank`` (1-based hash rank
-    within the group); with ``upsample=True`` it also carries
-    ``mix_epoch`` (1-based repetition index — see module docstring)
-    and undersized groups repeat rows to hit their target exactly.
+    within the group) and ``mix_cum`` (cumulative size through this
+    row in rank order — equals ``mix_rank`` in row-count mode); with
+    ``upsample=True`` it also carries ``mix_epoch`` (1-based
+    repetition index — see module docstring) and undersized groups
+    repeat rows to hit their target exactly.
 
-    A WEIGHTED group with zero corpus rows makes the mixture
+    ``size_col`` switches the budget UNIT from rows to the given
+    positive per-row size (token counts being the real pretraining
+    currency: a mixture of 30 % code should mean 30 % of the TOKENS,
+    not 30 % of the documents). Group mass is ``Σ size``, targets are
+    ``floor(w_g · T)`` units, and the kept set is the longest hash-
+    rank prefix whose cumulative size fits the target (never
+    overshooting; undershoot < one row's size). With ``upsample`` the
+    whole-corpus repetitions come first and the remainder is the
+    fitting prefix, exactly as in row mode (row mode IS size 1).
+    Rows with NULL size count as 0 (free riders on the prefix);
+    sizes must be non-negative — the contract is the caller's token
+    counter.
+
+    A WEIGHTED group with zero corpus mass makes the mixture
     unsatisfiable: both modes resolve it to an EMPTY result (the
     downsample budget min's to 0; the upsample budget is zeroed the
     same way) rather than silently renormalizing around the hole.
@@ -82,9 +98,12 @@ def mix_corpus(
         [(g, float(x)) for g, x in weights.items()],
         f"{group_col} {gtype}, __w double",
     )
-    observed = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("__n0")
+    sz = (
+        F.coalesce(F.col(size_col), F.lit(0)).cast("long")
+        if size_col
+        else F.lit(1).cast("long")
     )
+    observed = df.groupBy(group_col).agg(F.sum(sz).alias("__n0"))
     cnt = (
         wdf.join(observed, group_col, "left")
         .select(
@@ -117,18 +136,30 @@ def mix_corpus(
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     ranked = df.withColumn(
         "mix_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        # Cumulative size through this row in rank order (the same
+        # window, so ONE shuffle serves both); row-count mode sums 1s
+        # so mix_cum == mix_rank and the prefix tests below reduce to
+        # the rank tests exactly.
+        "mix_cum",
+        F.sum(sz).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
     joined = ranked.join(F.broadcast(targets), group_col)
     if not upsample:
-        return joined.filter(F.col("mix_rank") <= F.col("__k")).drop(
+        return joined.filter(F.col("mix_cum") <= F.col("__k")).drop(
             "__k", "__n"
         )
     # Integral div/mod (never float floor(k/n) — exact at any scale;
-    # DuckDB twin is `//`).
-    copies = (
+    # DuckDB twin is `//`). The __n = 0 guard matters only in size
+    # mode (a group whose rows all have size 0 — its budget is 0 and
+    # ANSI div/mod by zero must not throw); row mode can't join a
+    # 0-count group to any row.
+    copies = F.when(F.col("__n") == 0, F.lit(0).cast("long")).otherwise(
         F.expr("__k div __n").cast("long")
         + F.when(
-            F.col("mix_rank") <= F.col("__k") % F.col("__n"), F.lit(1)
+            F.col("mix_cum") <= F.col("__k") % F.col("__n"), F.lit(1)
         )
         .otherwise(F.lit(0))
         .cast("long")

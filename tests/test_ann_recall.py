@@ -324,3 +324,33 @@ def test_pq_adc_recall_and_refinement(spark, clustered_emb):
         S.train_pq_codebooks(corpus, dim=16, m=8, ksub=0)
     with _pt.raises(ValueError):
         S.pq_refine(corpus, cb, n_iters=-1)
+
+
+def test_pq_codes_ride_cell_partitioned_index(spark, tmp_path, clustered_emb):
+    """The compression and pruning rungs compose: PQ codes written
+    through build_ann_index (partitioned by IVF cell) probe ONE cell
+    directory (static PartitionFilters) and ADC over that cell equals
+    ADC over the in-memory cell subset — at scale the probe reads
+    1/n_cells of a 4-byte-per-vector index."""
+    corpus = clustered_emb.filter("vec_id != 0")
+    query = clustered_emb.filter("vec_id = 0")
+    qcell = query.first()["label"]
+
+    cb = S.train_pq_codebooks(corpus, dim=16, m=8, ksub=16)
+    coded = S.pq_encode(corpus, cb).join(
+        corpus.select("vec_id", "label"), "vec_id"
+    )
+    path = str(tmp_path / "pq_cell_index")
+    S.build_ann_index(coded, path, cell_col="label")
+
+    probe = spark.read.parquet(path).filter(F.col("label") == qcell)
+    got = S.knn_pq_adc(probe, cb, query, k=5)
+    plan = got._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+
+    want = S.knn_pq_adc(
+        coded.filter(F.col("label") == qcell), cb, query, k=5
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]

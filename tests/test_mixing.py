@@ -130,3 +130,55 @@ def test_mix_upsample_hits_targets_with_epochs(spark):
         weights={"en": 0.5, "xx": 0.5}, upsample=True,
     )
     assert empty.count() == 0
+
+
+def test_mix_token_budget_prefix_semantics(spark):
+    """size_col budgets in tokens: per group, the kept set is the
+    longest hash-rank prefix whose cumulative size fits
+    floor(w_g * T); never overshoots; undershoot < the first dropped
+    row's size; row-count mode is exactly size 1 (mix_cum==mix_rank)."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.text import word_count
+
+    docs = load_testdata(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", word_count(F.col("text")).alias("n_tokens")
+    )
+    mass = {r["lang"]: r["m"] for r in
+            docs.groupBy("lang").agg(F.sum("n_tokens").alias("m")).collect()}
+    budget = min(math.floor(mass[g] / w) for g, w in WEIGHTS.items())
+    k = {g: math.floor(w * budget) for g, w in WEIGHTS.items()}
+
+    out = mix_corpus(
+        docs, "lang", "doc_id", weights=WEIGHTS, size_col="n_tokens"
+    ).cache()
+    got_mass = {r["lang"]: r["m"] for r in
+                out.groupBy("lang").agg(F.sum("n_tokens").alias("m")).collect()}
+    for g in WEIGHTS:
+        assert got_mass[g] <= k[g]  # never overshoot
+    # prefix property: kept ranks are contiguous from 1
+    for g in WEIGHTS:
+        ranks = sorted(r["mix_rank"] for r in
+                       out.filter(F.col("lang") == g).collect())
+        assert ranks == list(range(1, len(ranks) + 1))
+    out.unpersist()
+
+    # row-count mode emits mix_cum == mix_rank
+    rc = mix_corpus(docs, "lang", "doc_id", weights=WEIGHTS)
+    assert rc.filter(F.col("mix_cum") != F.col("mix_rank")).count() == 0
+
+    # a weighted group whose rows are all zero-size zeroes the budget
+    z = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0), (3, "b", 5)],
+        "doc_id long, grp string, sz long",
+    )
+    zout = mix_corpus(
+        z, "grp", "doc_id", weights={"a": 0.5, "b": 0.5}, size_col="sz"
+    )
+    # T = min(floor(0/0.5), floor(5/0.5)) = 0 -> only zero-cost rows
+    assert {r["doc_id"] for r in zout.collect()} <= {1, 2}
+    # upsample mode must not ANSI-throw on the zero-mass group
+    zup = mix_corpus(
+        z, "grp", "doc_id", weights={"a": 0.5, "b": 0.5},
+        size_col="sz", upsample=True,
+    )
+    assert zup.count() == 0  # budget zeroed (absent-mass resolution)

@@ -312,3 +312,69 @@ def test_curation_disposition_partition_invariant(spark, shapes):
     assert len(aud) == len(set(aud))          # one audit row per drop
     assert cur.isdisjoint(aud)                # never both
     assert cur | set(aud) == {i for i, _ in rows}  # never neither
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    terms=st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "aab"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, docs, terms):
+    """bm25_scores == a from-scratch Python BM25 over random
+    whitespace-noisy corpora: same tokenizer (trim + \\s+ split, ''
+    dropped; dl counts the raw split INCLUDING the empty token of a
+    blank doc — the engine's corpus-wide length convention), same
+    k1/b, same 6-dp contribution and 4-dp score rounding."""
+    import math
+    import re
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from starknet_etl_spark.operators.search import bm25_scores
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, "doc_id", "text", list(terms)).collect()
+    }
+
+    # pure-python reference
+    k1, b = 1.2, 0.75
+    dls = {}
+    tfs = {}
+    for i, t in rows:
+        # SQL trim (Spark AND DuckDB) strips SPACES only — mirror it,
+        # not Python's all-whitespace strip().
+        split = re.split(r"\s+", t.strip(" "))
+        dls[i] = len(split)
+        toks = [w for w in split if w]
+        tfs[i] = {w: toks.count(w) for w in set(toks)}
+    nd = len(rows)
+    avgdl = round(sum(dls.values()) / nd, 6)
+    want = {}
+    for i, _ in rows:
+        score = 0.0
+        any_hit = False
+        for t in terms:
+            tf = tfs[i].get(t, 0)
+            if tf == 0:
+                continue
+            any_hit = True
+            dfreq = sum(1 for j in tfs if t in tfs[j])
+            idf = math.log((nd - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            contrib = (
+                idf * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+            )
+            score += round(contrib, 6)
+        if any_hit:
+            want[i] = round(score, 4)
+    assert got == want
