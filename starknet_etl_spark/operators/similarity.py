@@ -533,7 +533,6 @@ def cosine_near_dup_pairs(
     materialized. Exact within cells; recall across cells is the
     IVF assignment's quality (see knn_ivf / test_ann_recall.py).
     """
-    key_cols = [F.col(cell_col).alias("c")] if cell_col else []
     # Vectors ship RAW into the kernel and normalize there in numpy:
     # a JVM-side F.transform(x / norm) is an interpreted HOF evaluated
     # per element — measured 2.5x slower end-to-end than one
@@ -545,22 +544,36 @@ def cosine_near_dup_pairs(
     df = df.filter(F.col(vec_col).isNotNull())
     if cell_col:
         df = df.filter(F.col(cell_col).isNotNull())
-    normed = df.select(
-        *key_cols,
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
-        .cast("int")
-        .alias("b"),
-    )
+
+    # The two cogroup sides get INDEPENDENT projections with distinct
+    # column names: deriving both from one shared projection trips
+    # Spark's ambiguous-self-join analysis whenever the INPUT already
+    # contains a self-join upstream (e.g. curate_corpus's
+    # docs⋈clean-verdicts — the analyzer can no longer attribute the
+    # shared attribute ids to a side). Distinct names resolve by name,
+    # at zero plan cost.
+    def _proj(suffix: str) -> DataFrame:
+        return df.select(
+            *(
+                [F.col(cell_col).alias(f"c{suffix}")]
+                if cell_col
+                else []
+            ),
+            F.col(id_col).alias(f"id{suffix}"),
+            F.col(vec_col).alias(f"v{suffix}"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int")
+            .alias(f"b{suffix}"),
+        )
+
     # Block i meets every block j ≥ i: left carries block b to all
     # partners pj ≥ b, right to all partners pi ≤ b; cogroup key is
     # the (i, j) block pair.
-    left = normed.withColumn(
+    left = _proj("").withColumn(
         "pj", F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
     )
-    right = normed.withColumn(
-        "pi", F.explode(F.sequence(F.lit(0), F.col("b")))
+    right = _proj("_r").withColumn(
+        "pi", F.explode(F.sequence(F.lit(0), F.col("b_r")))
     )
 
     def score(key, lpdf, rpdf):
@@ -573,11 +586,11 @@ def cosine_near_dup_pairs(
                 {"id_1": [], "id_2": [], "cos_sim": []}
             ).astype({"id_1": "int64", "id_2": "int64", "cos_sim": "float64"})
         A = np.vstack(lpdf["v"].to_numpy()).astype(np.float64)
-        B = np.vstack(rpdf["v"].to_numpy()).astype(np.float64)
+        B = np.vstack(rpdf["v_r"].to_numpy()).astype(np.float64)
         A /= np.linalg.norm(A, axis=1, keepdims=True)
         B /= np.linalg.norm(B, axis=1, keepdims=True)
         aid = lpdf["id"].to_numpy()
-        bid = rpdf["id"].to_numpy()
+        bid = rpdf["id_r"].to_numpy()
         C = _sql_round6(A @ B.T)
         mask = C >= threshold
         if i == j:
@@ -591,10 +604,11 @@ def cosine_near_dup_pairs(
             {"id_1": lo, "id_2": hi, "cos_sim": C[ii, jj]}
         )
 
-    gkey = (["c"] if cell_col else [])
     return (
-        left.groupBy(*gkey, "b", "pj")
-        .cogroup(right.groupBy(*gkey, "pi", "b"))
+        left.groupBy(*(["c"] if cell_col else []), "b", "pj")
+        .cogroup(
+            right.groupBy(*(["c_r"] if cell_col else []), "pi", "b_r")
+        )
         .applyInPandas(score, "id_1 bigint, id_2 bigint, cos_sim double")
     )
 

@@ -62,6 +62,8 @@ def curate_corpus(
     threshold: float = 0.8,
     n: int = 3,
     max_df: int | None = None,
+    embedding_col: str | None = None,
+    cell_col: str | None = None,
     contamination_threshold: float = 0.2,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
@@ -90,9 +92,14 @@ def curate_corpus(
     ``score_col``: survivor quality score for dup clusters (higher
     wins, ties to smaller id); default uses the document's word count
     from the clean pass — the longest copy survives. ``near_dup``:
-    ``"jaccard"`` (exact, inverted index), ``"minhash"`` (LSH), or
-    ``None`` to skip pair mining. ``benchmark=None`` skips
-    decontamination.
+    ``"jaccard"`` (exact, inverted index), ``"minhash"`` (LSH),
+    ``"embedding"`` (SemDeDup-style semantic dedup: cosine over a
+    caller-supplied ``embedding_col``, optionally ``cell_col``-scoped
+    so the pair search is Σ N_c² within IVF cells / LSH buckets, not
+    corpus² — paraphrased near-copies that share few exact n-grams
+    cluster here), or ``None`` to skip pair mining. In embedding
+    mode ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
+    ``benchmark=None`` skips decontamination.
 
     ``split_by_cluster``: hash the CLUSTER id instead of the doc id
     for split assignment, so any near-dups that survive (e.g. a
@@ -103,17 +110,23 @@ def curate_corpus(
     survivor per cluster the assignment is still append-stable,
     keyed by the cluster's minimum doc id.
     """
-    if near_dup not in (None, "jaccard", "minhash"):
+    if near_dup not in (None, "jaccard", "minhash", "embedding"):
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
+    if near_dup == "embedding" and embedding_col is None:
+        raise ValueError(
+            "near_dup='embedding' needs embedding_col (the docs "
+            "frame must carry a vector per document)"
+        )
 
     # Project to the columns the flow touches: internal joins attach
     # n_words/lang_guess/cluster_id, and a caller's table carrying
     # same-named columns would otherwise hit ambiguous-column errors
     # mid-pipeline instead of a clean contract here.
-    keep_cols = [id_col, text_col] + (
-        [score_col] if score_col and score_col not in (id_col, text_col)
-        else []
-    )
+    keep_cols = [id_col, text_col] + [
+        c
+        for c in (score_col, embedding_col, cell_col)
+        if c and c not in (id_col, text_col)
+    ]
     docs = docs.select(*keep_cols)
 
     ids = F.col(id_col)
@@ -161,9 +174,19 @@ def curate_corpus(
                 kept, id_col, text_col, n=n, threshold=threshold,
                 max_df=max_df,
             )
-        else:
+        elif near_dup == "minhash":
             pairs = minhash_lsh_pairs(
                 kept, id_col, text_col, n=n, threshold=threshold
+            )
+        else:
+            from ..operators.similarity import cosine_near_dup_pairs
+
+            pairs = cosine_near_dup_pairs(
+                kept,
+                id_col=id_col,
+                vec_col=embedding_col,
+                threshold=threshold,
+                cell_col=cell_col,
             )
         clusters = connected_components(
             pairs, "id_1", "id_2", algorithm=components_algorithm

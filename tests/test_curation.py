@@ -187,3 +187,66 @@ def test_boilerplate_gate_drops_template_heavy_docs(spark):
     # of the template trio is ~0.5 — under the 0.8 near-dup bar)
     curated2, _ = curate_corpus(docs)
     assert {r["doc_id"] for r in curated2.collect()} == {1, 2, 3, 9}
+
+
+def test_semantic_dedup_catches_paraphrase(spark):
+    """near_dup='embedding' (SemDeDup): two paraphrased docs share
+    almost no 3-grams (jaccard mode keeps both) but near-identical
+    embeddings cluster them — the higher-scored one survives, the
+    other gets a dup_of audit row; cell_col scopes the pair search;
+    validation raises without embedding_col."""
+    import pytest as _pt
+
+    v_para = [1.0, 0.2, 0.1, 0.05]
+    v_para2 = [0.99, 0.21, 0.11, 0.04]  # cosine ~0.9997 with v_para
+    v_other = [0.0, 1.0, 0.3, 0.2]
+    rows = [
+        (1, "the launch review covers and explains shipping dates "
+            "owners risks blockers mitigations staffing budgets "
+            "timelines dependencies approvals rollout comms support",
+            v_para, 0),
+        (2, "the release retrospective covers and explains delivery "
+            "schedule responsibilities hazards impediments remedies "
+            "headcount finances milestones prerequisites signoffs "
+            "deployment messaging assistance", v_para2, 0),
+        (3, "the platform primer covers and explains clusters nodes "
+            "pods containers images registries pipelines artifacts "
+            "environments secrets configs monitors dashboards alerts",
+            v_other, 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, embedding array<double>, cell bigint",
+    )
+
+    # jaccard mode: paraphrases share almost no 3-grams -> all three kept
+    curated_j, _ = curate_corpus(docs, near_dup="jaccard", threshold=0.5)
+    assert {r["doc_id"] for r in curated_j.collect()} == {1, 2, 3}
+
+    # embedding mode: 1 and 2 cluster; 2 (more words: 17 vs 16) wins
+    curated_e, audit_e = curate_corpus(
+        docs,
+        near_dup="embedding",
+        embedding_col="embedding",
+        threshold=0.95,
+    )
+    kept = {r["doc_id"] for r in curated_e.collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in audit_e.collect()}
+    assert 3 in kept and len(kept & {1, 2}) == 1
+    dropped = ({1, 2} - kept).pop()
+    assert aud[dropped][0] == "near_dup"
+    assert aud[dropped][1].startswith("dup_of_")
+
+    # cell-scoped variant finds the same cluster (1,2 share cell 0)
+    curated_c, audit_c = curate_corpus(
+        docs,
+        near_dup="embedding",
+        embedding_col="embedding",
+        cell_col="cell",
+        threshold=0.95,
+    )
+    assert {r["doc_id"] for r in curated_c.collect()} == kept
+
+    with _pt.raises(ValueError):
+        curate_corpus(docs, near_dup="embedding")
