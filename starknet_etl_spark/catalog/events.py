@@ -549,7 +549,68 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def _hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: every hour of the corpus
+    span appears (the TESTDATA stream has ~40 silent hours per type),
+    counts zero-filled, mean value forward-filled from the last
+    observed hour."""
+    from ..operators.timeseries import forward_fill, gapfill
+
+    ev = load_testdata(spark, sf_dir, "events")
+    dense = gapfill(
+        ev,
+        "ts",
+        unit="hour",
+        group_cols=("event_type",),
+        aggs={
+            "txn": F.count(F.lit(1)).cast("long"),
+            "avg_value": F.round(F.avg("value"), 4),
+        },
+    )
+    filled = forward_fill(
+        dense, "bucket_ts", ["avg_value"], group_cols=("event_type",)
+    )
+    return filled.select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce(F.col("txn"), F.lit(0)).cast("long").alias("txn"),
+        F.col("avg_value").alias("avg_value_filled"),
+    )
+
+
+_HOURLY_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_ts,
+         CAST(COUNT(*) AS BIGINT) AS txn, ROUND(AVG(value), 4) AS av
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM b),
+spine AS (
+  SELECT u.t AS bucket_ts, g.event_type
+  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS u(t),
+       (SELECT DISTINCT event_type FROM events) g
+),
+j AS (
+  SELECT s.event_type, s.bucket_ts, COALESCE(b.txn, 0) AS txn, b.av
+  FROM spine s LEFT JOIN b
+    ON b.event_type = s.event_type AND b.bucket_ts = s.bucket_ts
+)
+SELECT event_type, bucket_ts, CAST(txn AS BIGINT) AS txn,
+       last_value(av IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_filled
+FROM j
+"""
+
+
 QUERIES = {
+    # overflow: dense hourly series (spine join + forward fill).
+    "events_hourly_gapfill": QuerySpec(
+        _hourly_gapfill,
+        _HOURLY_GAPFILL_ORACLE,
+        "gap-filled hourly series: zero-filled counts, ffilled means",
+    ),
     "events_hourly_windows": QuerySpec(
         _hourly_window_counts,
         _HOURLY_WINDOW_ORACLE,

@@ -1283,6 +1283,61 @@ WHERE r.mix_cum <= tg.k
 )
 
 
+def _data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.datacard import data_card
+
+    return data_card(
+        load_testdata(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+    )
+
+
+def _data_card_oracle() -> str:
+    """Generated from the same PII pattern spec as the Spark side
+    (pii.oracle_count_sql) so the two can never drift."""
+    from ..operators.pii import oracle_count_sql
+
+    exprs = oracle_count_sql("text")
+    pii_cols = ",\n         ".join(
+        f"{expr} AS p_{name}" for name, expr in exprs.items()
+    )
+    pii_rows = "\nUNION ALL ".join(
+        f"SELECT 'pii' AS section, '{name}' AS key,\n"
+        f"  CAST(SUM(CASE WHEN p_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_docs,\n  CAST(SUM(p_{name}) AS BIGINT) AS measure FROM t"
+        for name in exprs
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS lang,
+         CAST(source AS VARCHAR) AS source,
+         len(string_split_regex(trim(text), '\s+')) AS tok,
+         md5(text) AS h,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 1000 AS bucket,
+         {pii_cols}
+  FROM documents
+)
+SELECT 'corpus' AS section, 'all' AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS measure FROM t
+UNION ALL SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT) FROM t GROUP BY lang
+UNION ALL SELECT 'source', source, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT) FROM t GROUP BY source
+UNION ALL SELECT 'split',
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val' ELSE 'test' END,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT)
+  FROM t GROUP BY 2
+UNION ALL {pii_rows}
+UNION ALL SELECT 'dedup', 'exact_duplicates',
+       CAST(COALESCE(SUM(c), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT h, COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)
+"""
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -1423,6 +1478,12 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: corpus data card (long-form summary table).
+    "doc_data_card": QuerySpec(
+        _data_card,
+        _data_card_oracle(),
+        "data card: composition/split/PII/dedup/token-mass rows",
     ),
     # overflow: token-budget mixture (weights over tokens, not docs).
     "doc_domain_mix_tokens": QuerySpec(

@@ -221,6 +221,54 @@ def append_once(
     return True
 
 
+def prune_batch_markers(
+    spark: SparkSession, path: str, *, keep_last: int = 100
+) -> int:
+    """Trim the ``append_once`` replay ledger (``<path>/_batches/``)
+    to the newest ``keep_last`` batch ids; returns how many markers
+    were removed.
+
+    An ever-running foreachBatch sink accretes one (empty) marker
+    file per micro-batch forever — an hourly stream is ~9k files a
+    year, which eventually hurts directory listings and swap-time
+    marker copies (``_copy_batch_markers``). Pruning is safe because
+    Structured Streaming only ever REPLAYS the tail of the batch
+    sequence (the batches after the last engine commit — depth 1 for
+    foreachBatch under the standard checkpoint protocol): a marker
+    far behind the checkpointed batch id can never be probed again.
+    Run it on the same maintenance cadence as ``compact_table`` /
+    ``purge_forgotten``, with ``keep_last`` comfortably above any
+    replay depth you could see (the default keeps 100).
+
+    Non-numeric names under ``_batches/`` (checksums, stray files)
+    are left untouched; Hadoop FileSystem API throughout, so the
+    ledger of an s3a://hdfs:// table prunes the same way.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    d = jvm.org.apache.hadoop.fs.Path(f"{path}/_batches")
+    fs = d.getFileSystem(conf)
+    if not fs.exists(d):
+        return 0
+    ids = []
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        try:
+            ids.append(int(name))
+        except ValueError:
+            continue
+    ids.sort()
+    stale = ids[:-keep_last] if len(ids) > keep_last else []
+    for batch_id in stale:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_batches/{batch_id}"),
+            False,
+        )
+    return len(stale)
+
+
 def _assert_partitions_derived(
     df: DataFrame, dedup_keys: list[str], partition_by: list[str]
 ) -> None:

@@ -285,6 +285,11 @@ def append_postings(
     own replay ledger, so a crash between the two self-heals on
     replay (the committed sink no-ops, the other lands). Returns True
     when the postings append ran, False for a fully-replayed batch.
+
+    Contract: the batch must contain NEW documents — a re-ingested
+    doc would double-count in tf/df/avgdl. Compose upstream with the
+    exact-dedup ledger / watermark dedup (as streaming/curation.py
+    does) exactly like every other incremental index in this engine.
     """
     from ..io import append_once
 

@@ -1,0 +1,149 @@
+"""Corpus data card: the one-page statistical summary a training
+corpus ships with (datasheet/data-card practice): composition by
+group, split balance, PII exposure, duplication level, token mass.
+
+One long-form DataFrame — (section, key, n_docs, measure) — so the
+card is itself a table: queryable, diffable across corpus versions,
+and oracle-checkable like every other catalog surface. ``measure``
+is the section's natural magnitude: token mass for composition rows,
+total matches for PII rows, duplicate-group count for the dedup row.
+
+Scale: THREE corpus passes total, independent of how many sections
+the card has — all composition rows (grand total, every group
+column, the split balance) come from ONE grouping-sets aggregate;
+all PII rows from ONE aggregate whose 1-row result is unpivoted with
+``stack``; the dedup row from one hash-keyed aggregate. Each pass is
+map-side combined on a low-cardinality key; the union is a
+metadata-sized frame (|langs| + |sources| + 3 + |patterns| + 2
+rows). No windows, no joins against the corpus.
+
+Reference framing: the reference publishes no corpus statistics at
+all; this is part of the LLM-data extension suite (BASELINE.json
+north star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.pii import pii_counts
+from ..operators.splits import split_assign
+from ..operators.text import word_count
+
+_SCHEMA_COLS = ("section", "key", "n_docs", "measure")
+
+
+def data_card(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("lang", "source"),
+) -> DataFrame:
+    """(section, key, n_docs, measure) summary rows for ``docs``.
+
+    Sections: ``corpus`` (all docs, token mass), one per
+    ``group_cols`` entry (composition), ``split`` (hash-split
+    balance, default weights), ``pii`` (per pattern: docs exposed,
+    total matches), ``dedup`` (docs inside exact-duplicate groups,
+    number of groups).
+    """
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(g).cast("string").alias(g) for g in group_cols],
+        word_count(F.col(text_col)).alias("__tok"),
+        F.md5(F.col(text_col)).alias("__h"),
+        split_assign(F.col(id_col)).alias("__split"),
+        *[
+            c.alias(f"__pii_{name}")
+            for name, c in pii_counts(F.col(text_col)).items()
+        ],
+    )
+
+    # Pass 1: composition — grand total + every group column + the
+    # split balance, all from ONE grouping-sets aggregate. Which
+    # grouping set a row belongs to is read off F.grouping() flags
+    # (NULL-value-safe, unlike testing the key for NULL).
+    comp_keys = [*group_cols, "__split"]
+    sets = [[g] for g in comp_keys] + [[]]
+    comp = base.groupingSets(sets, *[F.col(g) for g in comp_keys]).agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum("__tok").alias("__m"),
+        # grouping() is only legal inside the aggregate — materialize
+        # the set-membership flags here for the section/key mapping.
+        *[F.grouping(g).alias(f"__is_{i}") for i, g in enumerate(comp_keys)],
+    )
+    section = F.lit("corpus")
+    key = F.lit("all")
+    for i, g in enumerate(comp_keys):
+        is_this = F.col(f"__is_{i}") == 0
+        name = "split" if g == "__split" else g
+        section = F.when(is_this, F.lit(name)).otherwise(section)
+        key = F.when(is_this, F.col(g).cast("string")).otherwise(key)
+    parts = [
+        comp.select(
+            section.alias("section"),
+            key.alias("key"),
+            F.col("__nd").cast("long").alias("n_docs"),
+            F.col("__m").cast("long").alias("measure"),
+        )
+    ]
+
+    # Pass 2: PII — one aggregate, 2 metrics per pattern, unpivoted
+    # from the single result row with stack().
+    pii_names = [
+        c[len("__pii_"):] for c in base.columns if c.startswith("__pii_")
+    ]
+    if pii_names:
+        prow = base.agg(
+            *[
+                F.sum((F.col(f"__pii_{n}") > 0).cast("long")).alias(
+                    f"__nd_{n}"
+                )
+                for n in pii_names
+            ],
+            *[
+                F.sum(f"__pii_{n}").cast("long").alias(f"__m_{n}")
+                for n in pii_names
+            ],
+        )
+        stack_args = ", ".join(
+            f"'{n}', __nd_{n}, __m_{n}" for n in pii_names
+        )
+        parts.append(
+            prow.select(
+                F.expr(
+                    f"stack({len(pii_names)}, {stack_args}) "
+                    "AS (key, n_docs, measure)"
+                )
+            ).select(
+                F.lit("pii").alias("section"),
+                "key",
+                F.col("n_docs").cast("long"),
+                F.col("measure").cast("long"),
+            )
+        )
+
+    # Pass 3: duplication level.
+    dup_groups = (
+        base.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+    )
+    parts.append(
+        dup_groups.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__nd"),
+            F.count(F.lit(1)).alias("__m"),
+        ).select(
+            F.lit("dedup").alias("section"),
+            F.lit("exact_duplicates").alias("key"),
+            F.col("__nd").cast("long").alias("n_docs"),
+            F.col("__m").cast("long").alias("measure"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,107 @@
+"""Composition-hazard gates: every operator must accept inputs that
+already contain self-joins.
+
+Real pipelines hand operators DERIVED frames (docs ⋈ verdicts,
+corpus ⋈ metadata), and frames like that carry duplicate attribute
+ids that trip Spark's ambiguous-self-join analysis in operators that
+self-join or self-cogroup their input from one shared projection —
+exactly the latent bug found (and fixed) in
+``cosine_near_dup_pairs`` when ``curate_corpus`` grew its embedding
+mode. These tests pin the property for the operators with self-join /
+cogroup / window shapes, on inputs that deliberately embed a
+self-join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators import dedup as D
+from starknet_etl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def selfy_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    meta = docs.select("doc_id").withColumn("w", F.lit(1))
+    return docs.join(meta, "doc_id")
+
+
+@pytest.fixture(scope="module")
+def selfy_emb(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.01], 0),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    meta = emb.select("vec_id").withColumn("w", F.lit(1))
+    return emb.join(meta, "vec_id")
+
+
+def test_text_dedup_ops_accept_self_joined_input(selfy_docs):
+    pairs = {
+        (r["id_1"], r["id_2"])
+        for r in D.jaccard_pairs(
+            selfy_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    lsh = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(
+            selfy_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in lsh
+
+
+def test_gemm_near_dup_accepts_self_joined_input(selfy_emb):
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in S.cosine_near_dup_pairs(
+            selfy_emb, threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    cell = {
+        (r["id_1"], r["id_2"])
+        for r in S.cosine_near_dup_pairs(
+            selfy_emb, threshold=0.9, cell_col="label"
+        ).collect()
+    }
+    assert cell == {(1, 2)}
+
+
+def test_ann_paths_accept_self_joined_input(selfy_emb):
+    q = selfy_emb.filter("vec_id = 1")
+    corp = selfy_emb.filter("vec_id != 1")
+    assert [
+        r["vec_id"] for r in S.knn_bruteforce(corp, q, k=1).collect()
+    ] == [2]
+    assert len(S.knn_batch(corp, q, k=2).collect()) > 0
+    cb = S.train_pq_codebooks(corp, dim=2, m=1, ksub=2)
+    got = S.knn_pq_adc(S.pq_encode(corp, cb), cb, q, k=2).collect()
+    assert len(got) == 2
+
+
+def test_bm25_accepts_self_joined_input(selfy_docs):
+    from starknet_etl_spark.operators.search import bm25_scores
+
+    got = {
+        r["doc_id"]
+        for r in bm25_scores(
+            selfy_docs, "doc_id", "text", ["quick"]
+        ).collect()
+    }
+    assert got == {1, 2}

@@ -250,3 +250,41 @@ def test_semantic_dedup_catches_paraphrase(spark):
 
     with _pt.raises(ValueError):
         curate_corpus(docs, near_dup="embedding")
+
+
+def test_data_card_hand_computed(spark):
+    """Data card over a 4-doc corpus with known composition: section
+    totals, split/PII/dedup rows, token masses all hand-checked."""
+    from starknet_etl_spark.plans.datacard import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "one two three"),
+            (2, "en", "web", "one two three"),          # exact dup of 1
+            (3, "de", "code", "mail me at a@b.co now"),
+            (4, "en", "code", "four five"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {
+        (r["section"], r["key"]): (r["n_docs"], r["measure"])
+        for r in data_card(docs).collect()
+    }
+    assert rows[("corpus", "all")] == (4, 3 + 3 + 5 + 2)
+    assert rows[("lang", "en")] == (3, 8)
+    assert rows[("lang", "de")] == (1, 5)
+    assert rows[("source", "web")] == (2, 6)
+    assert rows[("source", "code")] == (2, 7)
+    # split rows cover all docs
+    split_docs = sum(
+        v[0] for (s, k), v in rows.items() if s == "split"
+    )
+    assert split_docs == 4
+    assert rows[("pii", "email")] == (1, 1)
+    assert rows[("dedup", "exact_duplicates")] == (2, 1)
+    # every non-matching pii pattern reports zeros
+    assert all(
+        v == (0, 0)
+        for (s, k), v in rows.items()
+        if s == "pii" and k != "email"
+    )

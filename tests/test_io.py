@@ -290,3 +290,34 @@ def test_compact_preserves_append_once_ledger(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 150
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_prune_batch_markers_keeps_replay_tail(spark, tmp_path):
+    """Ledger GC: pruning keeps the newest keep_last markers — a
+    replay of a KEPT batch still no-ops; a pruned (ancient) batch id
+    would re-append, which is exactly why keep_last must exceed the
+    engine's replay depth (documented contract)."""
+    from starknet_etl_spark.io import append_once, prune_batch_markers
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    for b in range(1, 6):
+        assert append_once(df, path, b) is True
+    assert spark.read.parquet(path).count() == 5
+
+    pruned = prune_batch_markers(spark, path, keep_last=2)
+    assert pruned == 3
+    # kept tail still replay-safe
+    assert append_once(df, path, 5) is False
+    assert append_once(df, path, 4) is False
+    # pruned id re-appends (the documented hazard the keep_last
+    # contract exists to prevent)
+    assert append_once(df, path, 1) is True
+    assert spark.read.parquet(path).count() == 6
+
+    # idempotent + missing-ledger no-op + validation
+    assert prune_batch_markers(spark, path, keep_last=100) == 0
+    assert prune_batch_markers(spark, str(tmp_path / "none")) == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        prune_batch_markers(spark, path, keep_last=0)

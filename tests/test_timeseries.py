@@ -1,0 +1,69 @@
+"""Gap-filling + forward-fill (operators/timeseries.py): dense spine
+bounds, NULL semantics on empty buckets, leading-NULL carry rules."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.timeseries import forward_fill, gapfill
+
+
+def _ts(h, m=0):
+    return datetime(2024, 3, 1, h, m)
+
+
+def test_gapfill_densifies_and_forward_fill_carries(spark):
+    rows = [
+        ("a", _ts(1, 10), 10.0),
+        ("a", _ts(1, 50), 30.0),
+        # hours 2-3 silent for a
+        ("a", _ts(4, 5), 50.0),
+        ("b", _ts(2, 0), 7.0),  # b starts later, ends earlier
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, value double"
+    )
+    dense = gapfill(
+        df,
+        "ts",
+        unit="hour",
+        group_cols=("g",),
+        aggs={
+            "txn": F.count(F.lit(1)).cast("long"),
+            "avg_value": F.round(F.avg("value"), 4),
+        },
+    )
+    got = {
+        (r["g"], r["bucket_ts"].hour): (r["txn"], r["avg_value"])
+        for r in dense.collect()
+    }
+    # spine spans hours 1..4 for EVERY group (global bounds)
+    assert {h for g, h in got} == {1, 2, 3, 4}
+    assert {g for g, h in got} == {"a", "b"}
+    assert got[("a", 1)] == (2, 20.0)
+    assert got[("a", 2)] == (None, None)  # empty bucket -> NULLs
+    assert got[("a", 4)] == (1, 50.0)
+    assert got[("b", 2)] == (1, 7.0)
+    assert got[("b", 1)] == (None, None)
+
+    filled = forward_fill(
+        dense, "bucket_ts", ["avg_value"], group_cols=("g",)
+    )
+    f = {
+        (r["g"], r["bucket_ts"].hour): r["avg_value"]
+        for r in filled.collect()
+    }
+    assert f[("a", 2)] == 20.0 and f[("a", 3)] == 20.0  # carried
+    assert f[("a", 4)] == 50.0  # real value wins
+    assert f[("b", 1)] is None  # leading NULL: nothing to carry
+    assert f[("b", 3)] == 7.0
+
+    with pytest.raises(ValueError):
+        gapfill(df, "ts", unit="week", aggs={"n": F.count(F.lit(1))})
+    with pytest.raises(ValueError):
+        gapfill(df, "ts", unit="hour", aggs={})
+    with pytest.raises(ValueError):
+        forward_fill(dense, "bucket_ts", [])
