@@ -1283,6 +1283,34 @@ WHERE r.mix_cum <= tg.k
 )
 
 
+def _quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", X.word_count(F.col("text")).alias("n_words")
+    )
+    return X.quality_floor(
+        docs, "doc_id", F.col("n_words"), group_col="source", min_rank=0.2
+    )
+
+
+# percent_rank is (rank-1)/(n-1) over a TOTAL order (signal, id) —
+# exact integer ratio, identical in both engines; rounded before the
+# filter so a boundary value can never flip the kept set.
+_QUALITY_FLOOR_ORACLE = r"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         ROUND(percent_rank() OVER (
+           PARTITION BY source
+           ORDER BY len(string_split_regex(trim(text), '\s+')), doc_id
+         ), 6) AS quality_rank
+  FROM documents
+)
+SELECT doc_id, source, n_words, quality_rank
+FROM r WHERE quality_rank >= 0.2
+"""
+
+
 def _data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.datacard import data_card
 
@@ -1478,6 +1506,12 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: per-domain adaptive quality floor (percentile gate).
+    "doc_quality_floor": QuerySpec(
+        _quality_floor,
+        _QUALITY_FLOOR_ORACLE,
+        "per-source percentile quality gate (adaptive floors)",
     ),
     # overflow: corpus data card (long-form summary table).
     "doc_data_card": QuerySpec(

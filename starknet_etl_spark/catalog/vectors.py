@@ -493,6 +493,34 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.nearest_in_cell(_emb(spark, sf_dir), min_cos=0.0)
+
+
+# Cell-scoped pairwise cosines, pairs under min_cos dropped BEFORE
+# the argmax (no usable positive), then per-anchor best by rounded
+# score with positive-id tiebreak — the operator's exact rule.
+_CONTRASTIVE_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS positive_id,
+         ROUND({_COS_PAIR}, 6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+eligible AS (SELECT * FROM scored WHERE cos_sim >= 0.0),
+ranked AS (
+  SELECT anchor_id, positive_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY anchor_id
+           ORDER BY cos_sim DESC, positive_id ASC) AS rn
+  FROM eligible
+)
+SELECT anchor_id, positive_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "emb_knn_bruteforce": QuerySpec(
         _knn, _KNN_ORACLE, "exact cosine top-10 (brute-force baseline)"
@@ -552,5 +580,12 @@ QUERIES = {
         _knn_pq,
         _KNN_PQ_ORACLE,
         "PQ codebooks + codes + asymmetric-distance cosine top-10",
+    ),
+    # overflow: contrastive-positive mining (anchor, positive) pairs
+    # for embedding training export; negatives come free in-batch.
+    "emb_contrastive_positives": QuerySpec(
+        _contrastive_positives,
+        _CONTRASTIVE_ORACLE,
+        "per-vector best same-cell neighbor (training-pair miner)",
     ),
 }

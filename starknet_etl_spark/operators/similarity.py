@@ -1056,3 +1056,52 @@ def pq_refine(
             rows, "sub long, code long, dim_i long, cvalue double"
         )
     return cb
+
+
+def nearest_in_cell(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """(anchor_id, positive_id, cos_sim): each vector's most similar
+    neighbor within its cell — the contrastive-positive miner for
+    embedding training-data export (the anchor/positive pairs ship,
+    negatives come free in-batch during training, the standard
+    contrastive setup). Vectors whose best same-cell neighbor falls
+    under ``min_cos`` emit nothing (no usable positive).
+
+    Scale: the pair search is the cell-scoped blocked GEMM
+    (``cosine_near_dup_pairs(cell_col=...)`` — Σ N_c², never
+    corpus²); the argmax is one anchor-keyed window over pairs that
+    already cleared ``min_cos``. Ranking uses the 6-dp rounded score
+    with an ascending-id tiebreak — deterministic across engines.
+    """
+    pairs = cosine_near_dup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=min_cos,
+        cell_col=cell_col,
+    )
+    sym = pairs.select(
+        F.col("id_1").alias("anchor_id"),
+        F.col("id_2").alias("positive_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_2").alias("anchor_id"),
+            F.col("id_1").alias("positive_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("positive_id")
+    )
+    return (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -470,3 +470,40 @@ def bigram_logprob(
             ).alias("bigram_logprob")
         )
     )
+
+
+def quality_floor(
+    df: DataFrame,
+    id_col: str,
+    signal: Column,
+    *,
+    group_col: str | None = None,
+    min_rank: float = 0.2,
+) -> DataFrame:
+    """Keep rows whose quality ``signal`` sits at or above the
+    ``min_rank`` percentile WITHIN their group — the per-domain
+    adaptive floor real curation uses instead of one absolute
+    threshold (a fixed cutoff calibrated on web text guts a code or
+    reference domain whose signal distribution sits elsewhere).
+
+    Attaches ``quality_rank`` (percent_rank in [0, 1], ties broken
+    by ascending id so the rank is a total order — deterministic and
+    engine-reproducible; rounded to 6 dp before the filter so a
+    boundary value can never flip across engines). Scale: one
+    group-keyed window — groups are natural shards (source/lang), no
+    global sort; the signal itself should be a map-only column
+    (word count, entropy, unigram log-prob...).
+    """
+    if not (0.0 <= min_rank <= 1.0):
+        raise ValueError(f"min_rank must be in [0, 1], got {min_rank}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        if group_col
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(signal.asc(), F.col(id_col).asc())
+    out = df.withColumn(
+        "quality_rank", F.round(F.percent_rank().over(w), 6)
+    )
+    return out.filter(F.col("quality_rank") >= min_rank)

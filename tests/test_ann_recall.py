@@ -354,3 +354,31 @@ def test_pq_codes_ride_cell_partitioned_index(spark, tmp_path, clustered_emb):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_nearest_in_cell_contrastive_mining(spark):
+    """Contrastive-positive miner: best same-cell neighbor per anchor,
+    cross-cell pairs never considered, anchors whose only neighbors
+    fall under min_cos emit nothing, ties break on smaller id."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.8, 0.2], 0),
+        (4, [0.0, 1.0], 1),   # alone with 5, orthogonal-ish
+        (5, [1.0, -0.05], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = {
+        r["anchor_id"]: (r["positive_id"], r["cos_sim"])
+        for r in S.nearest_in_cell(df, min_cos=0.5).collect()
+    }
+    assert got[1][0] == 2          # 1's best is 2 (not 3, not cross-cell 5)
+    assert got[2][0] in (1, 3)
+    assert 4 not in got and 5 not in got  # their only pair cos < 0.5
+    # min_cos=0: cell-1 pair becomes eligible iff cos >= 0 (it is not)
+    got0 = {
+        r["anchor_id"] for r in S.nearest_in_cell(df, min_cos=0.0).collect()
+    }
+    assert got0 == {1, 2, 3}

@@ -1090,3 +1090,39 @@ def test_bm25_index_incremental_and_replay_safe(spark, tmp_path):
 
     plan = bm25_indexed(spark, path, terms)._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_quality_floor_per_group_percentiles(spark):
+    """Per-group percentile gate: floors adapt to each group's own
+    distribution (the short doc of a long-doc group is dropped while
+    an equally short doc in a short-doc group survives); ties break
+    on id; bounds validated."""
+    from starknet_etl_spark.operators.text import quality_floor
+
+    rows = [
+        # group a: lengths 2, 10, 11, 12, 13 -> the 2 is the bottom
+        (1, "a", 2), (2, "a", 10), (3, "a", 11), (4, "a", 12), (5, "a", 13),
+        # group b: lengths 1, 2, 2, 3, 4 -> a '2' here survives
+        (6, "b", 1), (7, "b", 2), (8, "b", 2), (9, "b", 3), (10, "b", 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, sig long")
+    kept = {
+        r["doc_id"]: r["quality_rank"]
+        for r in quality_floor(
+            df, "doc_id", F.col("sig"), group_col="grp", min_rank=0.25
+        ).collect()
+    }
+    assert 1 not in kept          # bottom of group a
+    assert 6 not in kept          # bottom of group b
+    assert 7 in kept and 8 in kept  # sig=2 fine in group b
+    assert kept[2] == 0.25        # rank (2-1)/(5-1)
+    # ties break on id: doc 7 ranks below doc 8
+    assert kept[7] < kept[8]
+
+    # ungrouped: one global distribution
+    glob = quality_floor(df, "doc_id", F.col("sig"), min_rank=0.5)
+    assert glob.count() == 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quality_floor(df, "doc_id", F.col("sig"), min_rank=1.5)
