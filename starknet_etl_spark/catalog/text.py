@@ -1283,6 +1283,115 @@ WHERE r.mix_cum <= tg.k
 )
 
 
+_HE_DIM = 16  # hashing-trick embedding width for the doc_* queries
+
+# Shared SQL: md5 hashing-trick components, L2-normalized, 6-dp
+# rounded — the exact hash_embed arithmetic.
+_HE_COMPONENTS = rf"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+comp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM tok WHERE t <> '' GROUP BY doc_id, idx
+),
+nrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM comp GROUP BY doc_id)
+"""
+
+
+def _hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = X.hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=_HE_DIM)
+    return emb.select(
+        "doc_id",
+        F.posexplode("embedding").alias("idx", "x"),
+    ).select("doc_id", F.col("idx").cast("int").alias("idx"), "x")
+
+
+_HASH_EMBEDDING_ORACLE = (
+    "WITH "
+    + _HE_COMPONENTS
+    + f""",
+spine AS (
+  SELECT d.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM documents) d,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+)
+SELECT s.doc_id, s.idx,
+       CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+            ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END AS x
+FROM spine s
+LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+LEFT JOIN nrm ON nrm.doc_id = s.doc_id
+"""
+)
+
+
+def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT → vector suite end-to-end with zero external models:
+    hashing-trick embeddings → cell-free cosine near-dup pairs →
+    connected components. The semantic tier of the dedup ladder on
+    the documents table itself."""
+    from ..operators.components import connected_components
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    emb = X.hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=_HE_DIM)
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="embedding", threshold=0.99
+    )
+    cc = connected_components(pairs, "id_1", "id_2")
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+_SEMANTIC_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _HE_COMPONENTS
+    + """,
+x AS (
+  SELECT c.doc_id, idx, ROUND(v / nn, 6) AS x
+  FROM comp c JOIN nrm USING (doc_id) WHERE nn > 0
+),
+-- Full-vector norms of the ROUNDED components, per doc. The sparse
+-- equi-join below only sees SHARED indices — summing a.x*a.x there
+-- would drop the components b lacks and inflate the cosine; the dot
+-- product over shared indices is exact (zeros contribute nothing)
+-- but norms must come from each doc's whole vector.
+xn AS (SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM x GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM x a
+  JOIN x b ON a.idx = b.idx AND a.doc_id < b.doc_id
+  JOIN xn na ON na.doc_id = a.doc_id
+  JOIN xn nb ON nb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.rn, nb.rn
+  HAVING ROUND(SUM(a.x * b.x) / (na.rn * nb.rn), 6) >= 0.99
+),
+e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM clusters
+"""
+)
+
+
 def _quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "source", X.word_count(F.col("text")).alias("n_words")
@@ -1506,6 +1615,19 @@ QUERIES = {
         _unigram_logprob,
         _UNIGRAM_LOGPROB_ORACLE,
         "mean corpus-unigram log2 prob per doc (perplexity proxy)",
+    ),
+    # overflow: hashing-trick featurizer (text -> vector bridge).
+    "doc_hash_embedding": QuerySpec(
+        _hash_embedding,
+        _HASH_EMBEDDING_ORACLE,
+        "md5 feature-hashing bag-of-words embedding (long form)",
+    ),
+    # overflow: semantic dedup on documents END-TO-END (no external
+    # embeddings): hash_embed -> GEMM cosine pairs -> components.
+    "doc_semantic_dup_clusters": QuerySpec(
+        _semantic_dup_clusters,
+        _SEMANTIC_CLUSTERS_ORACLE,
+        "semantic dup clusters over hashed text embeddings",
     ),
     # overflow: per-domain adaptive quality floor (percentile gate).
     "doc_quality_floor": QuerySpec(

@@ -137,6 +137,35 @@ def shuffle_shards(
     )
 
 
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int,
+    salt: str = "",
+) -> None:
+    """Materialize :func:`shuffle_shards` as a training-ready layout:
+    one directory per shard, rows inside each shard's file(s) in
+    ``shard_pos`` order — a data loader streams ``shard=K/`` and gets
+    the corpus slice in its reproducible shuffled order with no
+    further sorting.
+
+    One shuffle (repartition on the shard id — each shard lands
+    whole in one task, so each partition dir gets one ordered file)
+    + the per-shard window sort shuffle from ``shuffle_shards``.
+    Deterministic: same corpus, same salt → byte-stable layout.
+    """
+    sharded = shuffle_shards(df, id_col, n_shards=n_shards, salt=salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

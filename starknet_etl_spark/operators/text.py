@@ -507,3 +507,88 @@ def quality_floor(
         "quality_rank", F.round(F.percent_rank().over(w), 6)
     )
     return out.filter(F.col("quality_rank") >= min_rank)
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 16,
+) -> DataFrame:
+    """(id, embedding array<double>): hashing-trick bag-of-words
+    embedding — every token maps to an md5-derived index in
+    [0, dim) with an md5-derived ±1 sign (the classic feature-hashing
+    featurizer), components summed, L2-normalized, 6-dp rounded.
+
+    This is the bridge from TEXT to the engine's vector suite with
+    zero external models: semantic near-dup / clustering / ANN run on
+    documents end-to-end (bag-of-words cosine is exactly the n-gram-
+    free similarity the SemDeDup-style pipeline needs as its cheap
+    tier). md5 keeps the indices engine-reproducible (DuckDB has no
+    xxhash64) — on a hot path where oracle parity is not needed,
+    swapping the hash for xxhash64 is a one-line change.
+
+    Tokenless documents embed as the zero vector (downstream vector
+    ops drop zero/NULL vectors by convention). Scale: one explode +
+    one (id, idx)-keyed aggregate + one id-keyed map collect — all
+    doc-keyed shuffles; the dense array materializes from the
+    per-doc sparse map, never via a doc×dim spine join.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    h = F.md5(F.col("__t"))
+    idx = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    sign = F.when(
+        F.substring(h, 9, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        ),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    comp = toks.select(id_col, idx.alias("__i"), sign.alias("__s"))
+    sparse = comp.groupBy(id_col, "__i").agg(F.sum("__s").alias("__v"))
+    maps = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__i", "__v"))
+        ).alias("__m")
+    )
+    dense = (
+        df.select(id_col)
+        .join(maps, id_col, "left")
+        .withColumn(
+            "__m",
+            F.coalesce(
+                F.col("__m"), F.expr("cast(map() as map<int,double>)")
+            ),
+        )
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)),
+    )
+    dense = dense.withColumn("__raw", raw).withColumn(
+        "__n",
+        F.sqrt(
+            F.aggregate(
+                F.col("__raw"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+    )
+    embedding = F.when(
+        F.col("__n") == 0, F.col("__raw")
+    ).otherwise(
+        F.transform(
+            F.col("__raw"), lambda x: F.round(x / F.col("__n"), 6)
+        )
+    )
+    return dense.select(id_col, embedding.alias("embedding"))

@@ -58,6 +58,8 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     max_shared_frac: float | None = None,
     span_n: int = 20,
+    quality_floor_rank: float | None = None,
+    quality_floor_group: str | None = None,
     near_dup: str | None = "jaccard",
     threshold: float = 0.8,
     n: int = 3,
@@ -78,9 +80,10 @@ def curate_corpus(
     gate, split-assigned and scrubbed.
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
-    ``stage`` ∈ {clean, boilerplate, near_dup, contamination},
-    ``reason`` is the clean verdict's drop_reason,
-    ``shared_<frac>``, ``dup_of_<cluster>``, or ``overlap_<frac>``.
+    ``stage`` ∈ {clean, boilerplate, quality_floor, near_dup,
+    contamination}, ``reason`` is the clean verdict's drop_reason,
+    ``shared_<frac>``, ``rank_<pct>``, ``dup_of_<cluster>``, or
+    ``overlap_<frac>``.
 
     ``max_shared_frac``: optional boilerplate gate between clean and
     near-dup — drop documents whose cross-document repeated-span
@@ -88,6 +91,14 @@ def curate_corpus(
     windows, computed on the CLEAN-surviving set) exceeds the cap.
     Catches templated pages whose pairwise similarity sits under the
     near-dup threshold.
+
+    ``quality_floor_rank``: optional per-domain adaptive quality
+    gate after clean — drop documents whose word count sits under
+    that percentile WITHIN their ``quality_floor_group`` (a column
+    on ``docs``, e.g. source/lang; None = one global distribution).
+    The percentile floor complements ``min_words``' absolute one:
+    a fixed cutoff calibrated on web text guts a domain whose
+    lengths run shorter (see ``text.quality_floor``).
 
     ``score_col``: survivor quality score for dup clusters (higher
     wins, ties to smaller id); default uses the document's word count
@@ -124,10 +135,12 @@ def curate_corpus(
     # mid-pipeline instead of a clean contract here.
     keep_cols = [id_col, text_col] + [
         c
-        for c in (score_col, embedding_col, cell_col)
+        for c in (score_col, embedding_col, cell_col, quality_floor_group)
         if c and c not in (id_col, text_col)
     ]
-    docs = docs.select(*keep_cols)
+    # dict.fromkeys: dedupe while preserving order (e.g. cell_col ==
+    # quality_floor_group must not project twice).
+    docs = docs.select(*dict.fromkeys(keep_cols))
 
     ids = F.col(id_col)
 
@@ -166,6 +179,31 @@ def curate_corpus(
         kept = kept.join(heavy.select(id_col), id_col, "left_anti")
     else:
         audit_boiler = None
+
+    # -- stage 1c (optional): per-domain adaptive quality floor
+    if quality_floor_rank is not None:
+        from ..operators.text import quality_floor as _qfloor
+
+        ranked_all = _qfloor(
+            kept,
+            id_col,
+            F.col("n_words"),
+            group_col=quality_floor_group,
+            min_rank=0.0,  # rank everything; split below for audit
+        )
+        low = ranked_all.filter(
+            F.col("quality_rank") < quality_floor_rank
+        ).select(id_col, "quality_rank")
+        audit_quality = low.select(
+            ids,
+            F.lit("quality_floor").alias("stage"),
+            F.concat(
+                F.lit("rank_"), F.round("quality_rank", 3)
+            ).alias("reason"),
+        )
+        kept = kept.join(low.select(id_col), id_col, "left_anti")
+    else:
+        audit_quality = None
 
     # -- stage 2: near-dup clusters + quality-aware survivors
     if near_dup is not None:
@@ -255,7 +293,7 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_boiler, audit_dups, audit_contam):
+    for extra in (audit_boiler, audit_quality, audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

@@ -288,3 +288,43 @@ def test_data_card_hand_computed(spark):
         for (s, k), v in rows.items()
         if s == "pii" and k != "email"
     )
+
+
+def test_quality_floor_stage_in_curation(spark):
+    """quality_floor_rank: the shortest docs WITHIN each group get a
+    quality_floor audit row; an equally short doc in a shorter-doc
+    group survives (adaptive, not absolute); every doc still lands in
+    exactly one place."""
+    long_words = ("covers and explains " + " ".join(
+        f"w{i}" for i in range(30))).split()
+
+    def text(n, tag):
+        return "the " + " ".join(long_words[:n]) + f" {tag}"
+
+    rows = [
+        # group web: clean lengths 32, 30, 28, 22 -> 22 is the bottom
+        (1, "web", text(30, "a1")),
+        (2, "web", text(28, "a2")),
+        (3, "web", text(26, "a3")),
+        (4, "web", text(20, "a4")),
+        # group code: all short (21-23 words) -> nothing dropped at
+        # the same absolute length that died in web
+        (5, "code", text(21, "b1")),
+        (6, "code", text(20, "b2")),
+        (7, "code", text(22, "b3")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, src string, text string")
+    curated, audit = curate_corpus(
+        docs,
+        near_dup=None,
+        redact=False,
+        quality_floor_rank=0.25,
+        quality_floor_group="src",
+    )
+    cur = {r["doc_id"] for r in curated.collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"]) for r in audit.collect()}
+    assert aud[4][0] == "quality_floor"  # web bottom
+    assert aud[6][0] == "quality_floor"  # code bottom (rank, not length)
+    assert 5 in cur and 7 in cur         # code's 21/22-word docs live
+    assert cur | set(aud) == {1, 2, 3, 4, 5, 6, 7}
+    assert cur.isdisjoint(aud)

@@ -1126,3 +1126,73 @@ def test_quality_floor_per_group_percentiles(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quality_floor(df, "doc_id", F.col("sig"), min_rank=1.5)
+
+
+def test_write_shards_ordered_layout(spark, tmp_path):
+    """write_shards: one dir per shard, rows inside each shard read
+    back in shard_pos order (a loader needs no sort), content equals
+    shuffle_shards exactly."""
+    import glob
+
+    from starknet_etl_spark.operators.splits import (
+        shuffle_shards,
+        write_shards,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, "doc_id", n_shards=4)
+
+    dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+
+    want = {
+        (r["shard"], r["shard_pos"]): r["doc_id"]
+        for r in shuffle_shards(docs, "doc_id", n_shards=4).collect()
+    }
+    total = 0
+    for d in dirs:
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1  # whole shard in one ordered file
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0]).to_pydict()
+        shard = int(d.rsplit("=", 1)[1])
+        pos = t["shard_pos"]
+        assert pos == sorted(pos)  # file preserves shard_pos order
+        for p, doc in zip(pos, t["doc_id"]):
+            assert want[(shard, p)] == doc
+        total += len(pos)
+    assert total == 200
+
+
+def test_hash_embed_properties(spark):
+    """Feature-hashing embedding: unit norm (post-rounding), pure
+    function of the bag of words (order-insensitive, duplicates
+    matter), zero vector for tokenless docs, dim validated."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),      # same bag -> same embedding
+            (3, "alpha alpha beta gamma"),  # multiset differs
+            (4, "   "),                    # tokenless
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in X.hash_embed(docs, "doc_id", "text", dim=8).collect()
+    }
+    assert len(got) == 4 and all(len(v) == 8 for v in got.values())
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert got[4] == [0.0] * 8
+    for d in (1, 2, 3):
+        n = math.sqrt(sum(x * x for x in got[d]))
+        assert abs(n - 1.0) < 1e-4
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        X.hash_embed(docs, "doc_id", "text", dim=0)
