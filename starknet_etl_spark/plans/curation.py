@@ -66,6 +66,7 @@ def curate_corpus(
     max_df: int | None = None,
     embedding_col: str | None = None,
     cell_col: str | None = None,
+    semantic_dim: int = 64,
     contamination_threshold: float = 0.2,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
@@ -108,8 +109,11 @@ def curate_corpus(
     caller-supplied ``embedding_col``, optionally ``cell_col``-scoped
     so the pair search is Σ N_c² within IVF cells / LSH buckets, not
     corpus² — paraphrased near-copies that share few exact n-grams
-    cluster here), or ``None`` to skip pair mining. In embedding
-    mode ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
+    cluster here), ``"semantic"`` (the same pipeline with NO caller
+    embeddings: ``text.hash_embed`` featurizes the clean survivors
+    in-plan — bag-of-words cosine, ``semantic_dim`` wide), or
+    ``None`` to skip pair mining. In embedding/semantic mode
+    ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
     ``benchmark=None`` skips decontamination.
 
     ``split_by_cluster``: hash the CLUSTER id instead of the doc id
@@ -121,7 +125,7 @@ def curate_corpus(
     survivor per cluster the assignment is still append-stable,
     keyed by the cluster's minimum doc id.
     """
-    if near_dup not in (None, "jaccard", "minhash", "embedding"):
+    if near_dup not in (None, "jaccard", "minhash", "embedding", "semantic"):
         raise ValueError(f"unknown near_dup mode: {near_dup!r}")
     if near_dup == "embedding" and embedding_col is None:
         raise ValueError(
@@ -219,12 +223,21 @@ def curate_corpus(
         else:
             from ..operators.similarity import cosine_near_dup_pairs
 
+            if near_dup == "semantic":
+                from ..operators.text import hash_embed
+
+                vec_side = hash_embed(
+                    kept, id_col, text_col, dim=semantic_dim
+                )
+                vec_col, vcell = "embedding", None
+            else:
+                vec_side, vec_col, vcell = kept, embedding_col, cell_col
             pairs = cosine_near_dup_pairs(
-                kept,
+                vec_side,
                 id_col=id_col,
-                vec_col=embedding_col,
+                vec_col=vec_col,
                 threshold=threshold,
-                cell_col=cell_col,
+                cell_col=vcell,
             )
         clusters = connected_components(
             pairs, "id_1", "id_2", algorithm=components_algorithm

@@ -328,3 +328,32 @@ def test_quality_floor_stage_in_curation(spark):
     assert 5 in cur and 7 in cur         # code's 21/22-word docs live
     assert cur | set(aud) == {1, 2, 3, 4, 5, 6, 7}
     assert cur.isdisjoint(aud)
+
+
+def test_semantic_mode_no_embeddings_needed(spark):
+    """near_dup='semantic': near-identical bag-of-words docs cluster
+    via in-plan hash_embed — no embedding column on the input at all;
+    distinct-vocabulary docs survive untouched."""
+    shared = ("the analysis covers and explains metrics signals "
+              "thresholds windows baselines deltas trends outliers "
+              "anomalies seasonality drift alerts")
+    rows = [
+        (1, shared + " extra"),
+        (2, shared + " extra"),   # exact dup -> caught at clean
+        (3, shared + " additional appended tokens"),  # bag overlap high
+        (4, "the handbook covers and explains onboarding equipment "
+            "badges desks rooms floors lifts parking bikes lockers "
+            "showers kitchens snacks coffee"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curated, audit = curate_corpus(
+        docs, near_dup="semantic", threshold=0.85, redact=False,
+        min_words=10,
+    )
+    cur = {r["doc_id"] for r in curated.collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"]) for r in audit.collect()}
+    assert aud[2][0] == "clean"            # exact dup dies first
+    assert 4 in cur                        # different vocabulary
+    assert len(cur & {1, 3}) == 1          # semantic pair collapsed
+    dropped = ({1, 3} - cur).pop()
+    assert aud[dropped][0] == "near_dup"

@@ -388,3 +388,25 @@ def test_bm25_indexed_prunes_buckets(spark):
     assert any(
         "bucket" in ln and "dynamicpruning" not in ln for ln in part_lines
     ), part_lines
+
+
+def test_data_card_is_three_corpus_passes(spark):
+    """doc_data_card's 3-pass claim, asserted: the documents parquet
+    appears at most 3 times in the physical plan (grouping-sets
+    composition, one-row PII aggregate, dedup hash aggregate) — a
+    per-section scan regression would multiply this."""
+    plan = _plan(spark, "doc_data_card")
+    assert "documents" in plan  # the only input relation
+    tree = _tree(plan)
+    n_scans = tree.count("Scan parquet")
+    assert 1 <= n_scans <= 3, tree
+
+
+def test_gapfill_spine_is_broadcast(spark):
+    """events_hourly_gapfill: the dense spine joins the aggregate as
+    a BROADCAST side (the fact table is never re-shuffled for the
+    densification), and no sort-merge join appears."""
+    plan = _plan(spark, "events_hourly_gapfill")
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+    assert "SortMergeJoin" not in tree
