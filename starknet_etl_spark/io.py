@@ -109,14 +109,30 @@ def save_table(
             # value list) and still reach PartitionFilters for static
             # pruning — a nested Or tree bloats analysis and can hit
             # tree-size limits.
+            # Parquet self-describes: read the existing table with
+            # ITS OWN schema, never the batch's. Forcing df.schema
+            # here made an old-schema batch silently DROP columns a
+            # newer batch had added (schema-evolution data loss —
+            # caught by test_keyed_table_schema_evolution_on_merge);
+            # the two-sided unionByName below reconciles asymmetric
+            # columns in either direction. csv/json still need the
+            # explicit schema (nothing self-describes there).
+            existing = load_table(
+                spark,
+                path,
+                format=format,
+                schema=None if format == "parquet" else df.schema,
+            )
             if touched and not any(
                 row[c] is None for row in touched for c in partition_by
             ):
-                # literals cast to the column types — struct IN does
-                # no coercion (INT literal vs BIGINT col fails analysis)
+                # literals cast to the EXISTING table's column types
+                # (partition-dir values read back e.g. INT where the
+                # batch carries BIGINT) — struct IN does no coercion,
+                # a type mismatch fails analysis.
                 ptypes = {
                     f.name: f.dataType
-                    for f in df.select(*partition_by).schema.fields
+                    for f in existing.select(*partition_by).schema.fields
                 }
                 pred = F.struct(*[F.col(c) for c in partition_by]).isin(
                     *[
@@ -136,9 +152,7 @@ def save_table(
                     for c in partition_by:
                         m = m & F.col(c).eqNullSafe(F.lit(row[c]))
                     pred = pred | m
-            existing = load_table(
-                spark, path, format=format, schema=df.schema
-            ).filter(pred)  # partition filter → pruned scan
+            existing = existing.filter(pred)  # partition-pruned scan
             merged = dedup_latest(
                 existing.unionByName(df, allowMissingColumns=True),
                 dedup_keys,
@@ -154,7 +168,14 @@ def save_table(
             _swap_partitions(spark, path, tmp, depth=len(partition_by))
             return
         if merging:
-            existing = load_table(spark, path, format=format, schema=df.schema)
+            existing = load_table(
+                spark,
+                path,
+                format=format,
+                # see the partition-scoped branch: batch schema would
+                # drop previously-evolved columns on parquet
+                schema=None if format == "parquet" else df.schema,
+            )
             df = existing.unionByName(df, allowMissingColumns=True)
         df = dedup_latest(df, dedup_keys, version_cols)
         if merging:

@@ -53,6 +53,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 
 def _normalize_terms(query_terms: list[str]) -> list[str]:
@@ -370,3 +371,136 @@ def bm25_indexed(
         )
     )
     return _rank(tf, stats, terms, "doc_id", k1=k1, b=b, top_k=top_k)
+
+
+def bm25_batch(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, list[str]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """(query_id, doc_id, bm25) for MANY queries in ONE index read —
+    the retrieval twin of ``similarity.knn_batch``. All queries'
+    terms union into a single bucket-pruned postings scan; per-term
+    document frequencies, idf and per-(doc, term) contributions are
+    computed ONCE and shared; each query then sums its own terms'
+    contributions. Per-query results are BIT-EQUAL to running
+    ``bm25_indexed`` per query: the per-(query, doc) sum folds a
+    sorted (term-position, contribution) array sequentially — the
+    same deterministic fixed order as the single-query path, not an
+    order-undefined SUM.
+
+    ``queries`` maps query id -> term list (driver-sized by
+    contract, enforced via ``max_queries``); ``top_k`` keeps the
+    best k docs PER QUERY (window, ties on ascending doc id).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"bm25_batch: {len(queries)} queries exceed "
+            f"max_queries={max_queries}; shard the query set"
+        )
+    _validate(k1, b, top_k)
+    norm_q = {qid: _normalize_terms(t) for qid, t in queries.items()}
+    all_terms = sorted({t for ts in norm_q.values() for t in ts})
+
+    n_buckets = _read_meta(spark, path)
+    postings_p, stats_p, _ = _paths(path)
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in all_terms], "term string"
+            )
+            .select(_bucket(F.col("term"), n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    tf = (
+        spark.read.parquet(postings_p)
+        .filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
+        .select(
+            "doc_id",
+            F.col("term").alias("__t"),
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+    )
+    stats = (
+        spark.read.parquet(stats_p)
+        .agg(
+            F.sum("n_docs").cast("long").alias("__nd"),
+            F.sum("sum_dl").cast("long").alias("__s"),
+        )
+        .select(
+            "__nd",
+            F.round(
+                F.col("__s").cast("double") / F.col("__nd").cast("double"),
+                6,
+            ).alias("__avgdl"),
+        )
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = tf.join(F.broadcast(dfreq), "__t").join(F.broadcast(stats))
+    idf = F.log(
+        (F.col("__nd") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("__tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        ),
+        6,
+    )
+    scored = scored.select("doc_id", "__t", contrib.alias("__c"))
+
+    qmap = spark.createDataFrame(
+        [
+            (qid, t, i)
+            for qid, ts in norm_q.items()
+            for i, t in enumerate(ts)
+        ],
+        "query_id string, __t string, __ti int",
+    )
+    per = (
+        scored.join(F.broadcast(qmap), "__t")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ti", "__c"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["__c"],
+                ),
+                4,
+            ).alias("bm25")
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        per = (
+            per.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return per

@@ -321,3 +321,32 @@ def test_prune_batch_markers_keeps_replay_tail(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         prune_batch_markers(spark, path, keep_last=0)
+
+
+def test_keyed_table_schema_evolution_on_merge(spark, tmp_path):
+    """A keyed merge with a NEW column evolves the table: old rows get
+    NULL for the added column, the upsert still dedups by key, and a
+    subsequent old-schema batch merges too (missing column -> NULL)."""
+    from starknet_etl_spark.io import save_table
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id long, v string, ts long"
+    )
+    save_table(v1, path, dedup_keys=["id"], version_cols=["ts"])
+
+    v2 = spark.createDataFrame(
+        [(2, "b2", 20, "extra2"), (3, "c", 20, "extra3")],
+        "id long, v string, ts long, note string",
+    )
+    save_table(v2, path, dedup_keys=["id"], version_cols=["ts"])
+    got = {r["id"]: (r["v"], r["note"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("b2", "extra2"), 3: ("c", "extra3")}
+
+    # old-schema writer keeps working against the evolved table
+    v3 = spark.createDataFrame([(1, "a3", 30)], "id long, v string, ts long")
+    save_table(v3, path, dedup_keys=["id"], version_cols=["ts"])
+    got = {r["id"]: (r["v"], r["note"])
+           for r in spark.read.parquet(path).collect()}
+    assert got[1] == ("a3", None) and got[2] == ("b2", "extra2")

@@ -1196,3 +1196,52 @@ def test_hash_embed_properties(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         X.hash_embed(docs, "doc_id", "text", dim=0)
+
+
+def test_bm25_batch_equals_per_query_indexed(spark, tmp_path):
+    """bm25_batch: many queries in one bucket-pruned index read,
+    per-query results BIT-EQUAL to running bm25_indexed per query
+    (the deterministic sorted-fold sum, not an order-undefined SUM);
+    top_k keeps k per query; validation raises."""
+    from starknet_etl_spark.operators.search import (
+        bm25_batch,
+        bm25_indexed,
+        build_postings_index,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(words[(i + j) % 6] for j in range(5 + i % 7)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_postings_index(docs, path, n_buckets=8)
+
+    queries = {
+        "q1": ["alpha", "delta"],
+        "q2": ["zeta"],
+        "q3": ["beta", "gamma", "epsilon"],
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_batch(spark, path, queries).collect()
+    }
+    for qid, terms in queries.items():
+        want = {
+            (qid, r["doc_id"]): r["bm25"]
+            for r in bm25_indexed(spark, path, terms).collect()
+        }
+        batch_q = {k: v for k, v in got.items() if k[0] == qid}
+        assert batch_q == want, qid
+
+    topped = bm25_batch(spark, path, queries, top_k=3).collect()
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in topped)
+    assert all(c == 3 for c in per_q.values()) and len(per_q) == 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_batch(spark, path, {})
+    with _pt.raises(ValueError):
+        bm25_batch(spark, path, queries, max_queries=2)
