@@ -1488,8 +1488,9 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The identical BM25 math: 6-dp per-(doc, term) contributions, then a
 # FIXED-ORDER sum of per-term conditional aggregates (no
-# summation-order ambiguity), final 4-dp round. Constants cast to
-# DOUBLE (bare 1.2 is DECIMAL in DuckDB).
+# summation-order ambiguity), final 6-dp round (a coarser round can
+# land ON its grid midpoint — see operators/search.py). Constants
+# cast to DOUBLE (bare 1.2 is DECIMAL in DuckDB).
 _BM25_ORACLE = r"""
 WITH base AS (
   SELECT doc_id,
@@ -1526,9 +1527,88 @@ per AS (
          COALESCE(SUM(CASE WHEN t = 'merge' THEN c END), 0) AS c2
   FROM contrib GROUP BY doc_id
 )
-SELECT doc_id, ROUND(c0 + c1 + c2, 4) AS bm25
+SELECT doc_id, ROUND(c0 + c1 + c2, 6) AS bm25
 FROM per ORDER BY bm25 DESC, doc_id ASC LIMIT 15
 """
+
+
+_BM25_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_rare": ("dup", "spark", "merge"),
+    "q_pair": ("row", "batch"),
+    "q_one": ("vector",),
+}
+
+_BM25_CONTRIB = """ROUND(
+           ln((nd - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * (tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+           6)"""
+
+
+def _bm25_batch_oracle() -> str:
+    """Per-query tf/df/contrib CTE chains over SHARED base/stats,
+    unioned with query_id literals — exactly bm25_batch's semantics
+    (shared corpus statistics, per-query fixed-order sums)."""
+    blocks, selects = [], []
+    for qid, terms in _BM25_BATCH_QUERIES.items():
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        conds = ",\n         ".join(
+            f"COALESCE(SUM(CASE WHEN t = '{t}' THEN c END), 0) AS c{i}"
+            for i, t in enumerate(terms)
+        )
+        total = " + ".join(f"c{i}" for i in range(len(terms)))
+        blocks.append(
+            f"""tf_{qid} AS (
+  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(ws) AS t FROM base)
+  WHERE t IN ({in_list})
+  GROUP BY doc_id, t
+),
+dfreq_{qid} AS (SELECT t, COUNT(*) AS df FROM tf_{qid} GROUP BY t),
+contrib_{qid} AS (
+  SELECT doc_id, t, {_BM25_CONTRIB} AS c
+  FROM tf_{qid} JOIN dfreq_{qid} USING (t) CROSS JOIN stats
+),
+per_{qid} AS (
+  SELECT doc_id,
+         {conds}
+  FROM contrib_{qid} GROUP BY doc_id
+)"""
+        )
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id, "
+            f"ROUND({total}, 6) AS bm25 FROM per_{qid}"
+        )
+    return (
+        r"""WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS nd, ROUND(AVG(dl), 6) AS avgdl FROM base
+),
+"""
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.search import bm25_batch, build_postings_index
+
+    path = f"{tempfile.gettempdir()}/bm25_batch_catalog"
+    build_postings_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return bm25_batch(
+        spark, path, {q: list(t) for q, t in _BM25_BATCH_QUERIES.items()}
+    )
 
 
 def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,6 +1745,12 @@ QUERIES = {
         _bm25_indexed,
         _BM25_ORACLE,
         "BM25 from a bucket-pruned postings index == scan results",
+    ),
+    # overflow: batched retrieval (many queries, one index read).
+    "doc_bm25_batch": QuerySpec(
+        _bm25_batch,
+        _bm25_batch_oracle(),
+        "bm25_batch: 3 queries share one bucket-pruned index read",
     ),
     # overflow: deterministic training-shard shuffle.
     "doc_shuffle_shards": QuerySpec(

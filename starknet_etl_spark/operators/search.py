@@ -143,7 +143,12 @@ def _rank(
     score = F.coalesce(F.col("__c0"), F.lit(0.0))
     for i in range(1, len(terms)):
         score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
-    out = per_term.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+    # Final round at 6 dp, NOT coarser: a sum of 6-dp gridpoint
+    # contributions sits ~1e-16 from a 6-dp gridpoint (safely inside
+    # the rounding cell) but can land exactly ON a coarser grid's
+    # MIDPOINT (x.xxxx5), where two engines' doubles fall on opposite
+    # sides — observed cross-engine at 4 dp (0.372675 + 0.211475).
+    out = per_term.select(F.col(id_col), F.round(score, 6).alias("bm25"))
     if top_k is not None:
         out = out.orderBy(F.desc("bm25"), F.col(id_col).asc()).limit(top_k)
     return out
@@ -490,7 +495,7 @@ def bm25_batch(
                     F.lit(0.0),
                     lambda acc, x: acc + x["__c"],
                 ),
-                4,
+                6,
             ).alias("bm25")
         )
     )

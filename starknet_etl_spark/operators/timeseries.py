@@ -86,17 +86,28 @@ def forward_fill(
     cols: Sequence[str],
     *,
     group_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Replace NULLs in ``cols`` with the last non-NULL value in
     ``order_col`` order within each group (classic as-of carry for
     regularized series; leading NULLs stay NULL — there is nothing
     to carry). One window per group key, ordered rows-unbounded —
-    a per-group linear pass."""
+    a per-group linear pass.
+
+    DETERMINISM: the carry is well-defined only under a total order.
+    ``gapfill`` output has unique buckets per group, so the default
+    is safe there; for inputs where ``order_col`` can repeat within
+    a group (raw event streams), pass ``tiebreak_cols`` (e.g. the
+    event id) — otherwise which duplicate-timestamp value wins is
+    partition-layout-dependent.
+    """
     if not cols:
         raise ValueError("cols must be non-empty")
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(F.col(order_col))
+        .orderBy(
+            F.col(order_col), *[F.col(c) for c in tiebreak_cols]
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in cols:

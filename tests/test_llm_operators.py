@@ -1021,7 +1021,7 @@ def test_bm25_hand_computed_and_ranking(spark):
         contrib = math.log(2.0) * (tf * (k1 + 1)) / (
             tf + k1 * (1 - b + b * dl / 2.75)
         )
-        return round(round(contrib, 6), 4)
+        return round(round(contrib, 6), 6)
 
     assert got == {1: ref(2, 3), 4: ref(1, 1)}
     assert 3 not in got  # no match -> omitted

@@ -333,7 +333,10 @@ def test_bm25_matches_python_reference(spark, docs, terms):
     whitespace-noisy corpora: same tokenizer (trim + \\s+ split, ''
     dropped; dl counts the raw split INCLUDING the empty token of a
     blank doc — the engine's corpus-wide length convention), same
-    k1/b, same 6-dp contribution and 4-dp score rounding."""
+    k1/b, same 6-dp contribution and 6-dp score rounding (6 not 4:
+    a sum of 6-dp gridpoint contributions lands ~1e-16 from a 6-dp
+    gridpoint but can land ON a 4-dp midpoint, where the engines'
+    doubles fall on opposite sides — the doc_bm25_batch lesson)."""
     import math
     import re
 
@@ -376,5 +379,5 @@ def test_bm25_matches_python_reference(spark, docs, terms):
             )
             score += round(contrib, 6)
         if any_hit:
-            want[i] = round(score, 4)
+            want[i] = round(score, 6)
     assert got == want
