@@ -436,7 +436,19 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codebooks, 6-dp rounded L2 argmin assignment (code-asc tiebreak),
 # ADC scoring against the reconstructed vectors. Integral '//' for
 # the subspace index (DuckDB CAST rounds; Spark truncates).
-_KNN_PQ_ORACLE = f"""
+def _pq_oracle(*, cell_scoped: bool, k: int) -> str:
+    """The full PQ chain in SQL (sample-init codebooks, 6-dp rounded
+    L2 argmin assignment, ADC cosine); ``cell_scoped`` restricts the
+    SCORED corpus to the query's IVF cell — codebooks stay
+    corpus-trained, encoding is per-vector, so scoping early is
+    identical to probing one cell directory of a PQ-coded index."""
+    cell = (
+        f"\n   AND label = (SELECT label FROM embeddings"
+        f" WHERE vec_id = {_QUERY_ID})"
+        if cell_scoped
+        else ""
+    )
+    return f"""
 WITH ranked AS (
   SELECT vec_id, embedding,
          row_number() OVER (
@@ -453,7 +465,7 @@ corpus AS (
   SELECT vec_id, i AS dim_i, (i - 1) // {DIM // _PQ_M} AS sub,
          CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
-  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL{cell}
 ),
 dists AS (
   SELECT c.vec_id, c.sub, cb.code,
@@ -489,8 +501,29 @@ sums AS (
 )
 SELECT vec_id, ROUND(dot / (SQRT(c2) * qnorm), 6) AS cos_sim
 FROM sums, qn
-ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
 """
+
+
+
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pruning AND PQ compression composed: codebooks trained on
+    the corpus, scoring restricted to the query's cell (the in-plan
+    equivalent of probing ONE cell directory of a PQ-coded
+    build_ann_index layout — the composition test proves the indexed
+    twin byte-equal), ADC top-5 off the int codes."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    cb = S.train_pq_codebooks(corpus, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB)
+    cell = F.broadcast(query.select(F.col("label").alias("__ql")))
+    incell = (
+        corpus.crossJoin(cell)
+        .filter(F.col("label") == F.col("__ql"))
+        .drop("__ql")
+    )
+    codes = S.pq_encode(incell, cb)
+    return S.knn_pq_adc(codes, cb, query, k=5)
 
 
 def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,8 +611,14 @@ QUERIES = {
     # (the 128x-compression rung; recall gated in test_ann_recall.py).
     "emb_knn_pq": QuerySpec(
         _knn_pq,
-        _KNN_PQ_ORACLE,
+        _pq_oracle(cell_scoped=False, k=10),
         "PQ codebooks + codes + asymmetric-distance cosine top-10",
+    ),
+    # overflow: IVF pruning x PQ compression in one probe.
+    "emb_knn_ivfpq": QuerySpec(
+        _knn_ivfpq,
+        _pq_oracle(cell_scoped=True, k=5),
+        "cell-scoped ADC top-5 (pruned AND 128x-compressed probe)",
     ),
     # overflow: contrastive-positive mining (anchor, positive) pairs
     # for embedding training export; negatives come free in-batch.
