@@ -874,12 +874,67 @@ def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept_rows.unionByName(drop_rows)
 
 
-def _curation_oracle() -> str:
-    """Assembled from the per-stage oracle logic (clean / jaccard /
-    recursive components / representatives / contamination / split /
+_CURATION_JACCARD_PAIRS = r"""kw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM kept
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM kw, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
+),
+"""
+
+
+_CURATION_SEMANTIC_PAIRS = r"""ktok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM kept
+),
+kcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM ktok WHERE t <> '' GROUP BY doc_id, idx
+),
+knrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM kcomp GROUP BY doc_id),
+kx AS (
+  SELECT c.doc_id, idx, ROUND(v / nn, 6) AS x
+  FROM kcomp c JOIN knrm USING (doc_id) WHERE nn > 0
+),
+kxn AS (SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM kx GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM kx a
+  JOIN kx b ON a.idx = b.idx AND a.doc_id < b.doc_id
+  JOIN kxn na ON na.doc_id = a.doc_id
+  JOIN kxn nb ON nb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.rn, nb.rn
+  HAVING ROUND(SUM(a.x * b.x) / (na.rn * nb.rn), 6) >= 0.99
+),
+"""
+
+
+def _curation_oracle(pairs_block: str = _CURATION_JACCARD_PAIRS) -> str:
+    """Assembled from the per-stage oracle logic (clean / pair mining
+    / recursive components / representatives / contamination / split /
     redaction) re-scoped from `documents` to the pipeline's
     intermediate sets — so the COMPOSITION, not just the stages, is
-    differential-checked."""
+    differential-checked. ``pairs_block`` is the near-dup miner:
+    3-gram Jaccard (default) or hash-embed cosine (the semantic
+    mode), both ending in a `pairs(id_1, id_2)` CTE."""
     from ..operators.pii import PII_PATTERNS
 
     red = "text"
@@ -924,26 +979,7 @@ kept AS (
   FROM corpus c JOIN verdict v USING (doc_id)
   WHERE v.drop_reason IS NULL
 ),
-kw AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM kept
-),
-sh AS (
-  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-  FROM kw, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_1, id_2 FROM inter
-  JOIN sizes s1 ON s1.doc_id = id_1
-  JOIN sizes s2 ON s2.doc_id = id_2
-  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.8
-),
-e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+__PAIRS__e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
       UNION SELECT id_2, id_1 FROM pairs),
 reach(a, b) AS (
   SELECT a, b FROM e
@@ -1024,8 +1060,51 @@ SELECT doc_id, 'contamination',
        'overlap_' || ROUND(ROUND(overlap_frac, 6), 3),
        NULL, NULL, NULL
 FROM dirty
-""".replace("__RED__", red)
+""".replace("__RED__", red).replace("__PAIRS__", pairs_block)
     )
+
+
+def _curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with SEMANTIC near-dup (in-plan
+    hash_embed cosine over the clean survivors — no n-grams, no
+    external embeddings); everything else identical to
+    doc_curation_pipeline, so the two rows differ exactly by the
+    pair-mining tier."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="semantic",
+        semantic_dim=16,
+        threshold=0.99,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,6 +1886,13 @@ QUERIES = {
         _curation,
         _curation_oracle(),
         "full corpus-curation pipeline, per-doc disposition",
+    ),
+    # overflow: the same composition with the SEMANTIC pair-mining
+    # tier (in-plan hash-embed cosine; shared oracle skeleton).
+    "doc_curation_semantic": QuerySpec(
+        _curation_semantic,
+        _curation_oracle(_CURATION_SEMANTIC_PAIRS),
+        "composed curation with semantic (hash-embed) near-dup",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,
