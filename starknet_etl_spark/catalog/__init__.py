@@ -34,6 +34,26 @@ class QuerySpec:
     doc: str = ""
 
 
+def scratch_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Session- and SF-scoped scratch dir for catalog queries that
+    materialize an index before probing it.
+
+    A FIXED shared name (the old ``/tmp/<name>_catalog``) lets two
+    concurrent sessions — the driver run plus a local check_oracle.py,
+    or runs at different SF — overwrite each other's index between the
+    eager build and the lazy probe read, producing wrong or flaky
+    differential results. Keying by the Spark application id (unique
+    per session) and a digest of ``sf_dir`` makes collisions
+    impossible; within one session the path is stable, so repeated
+    builds still overwrite their own index rather than accreting."""
+    import hashlib
+    import tempfile
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    return f"{tempfile.gettempdir()}/{name}_{sf_tag}_{app}"
+
+
 def _merged() -> dict[str, QuerySpec]:
     from . import analytics, domain, events, multimodal, relational, text, vectors
 

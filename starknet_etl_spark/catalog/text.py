@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io import load_testdata
 from ..operators import dedup as D
 from ..operators import text as X
-from . import QuerySpec
+from . import QuerySpec, scratch_path
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,10 +94,8 @@ def _jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of per-batch emissions must equal the full-corpus Jaccard —
     which is exactly what the (uncapped) oracle computes."""
     import shutil
-    import tempfile
-
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    idx = f"{tempfile.gettempdir()}/shingle_index_catalog"
+    idx = scratch_path(spark, sf_dir, "shingle_index_catalog")
     shutil.rmtree(idx, ignore_errors=True)  # fresh index per run
     p1 = D.merge_batch(
         docs.filter("doc_id % 2 = 0"), idx, 0, threshold=0.8
@@ -137,10 +135,8 @@ def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     union of per-batch emissions must equal the one-shot LSH query —
     so it shares doc_minhash_lsh_pairs' oracle."""
     import shutil
-    import tempfile
-
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    idx = f"{tempfile.gettempdir()}/minhash_index_catalog"
+    idx = scratch_path(spark, sf_dir, "minhash_index_catalog")
     shutil.rmtree(idx, ignore_errors=True)  # fresh index per run
     kw = dict(n=3, num_hashes=8, band_size=2, threshold=0.8)
     p1 = D.merge_batch_minhash(
@@ -1679,11 +1675,9 @@ stats AS (
 
 
 def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.search import bm25_batch, build_postings_index
 
-    path = f"{tempfile.gettempdir()}/bm25_batch_catalog"
+    path = scratch_path(spark, sf_dir, "bm25_batch_catalog")
     build_postings_index(_docs(spark, sf_dir), path, n_buckets=16)
     return bm25_batch(
         spark, path, {q: list(t) for q, t in _BM25_BATCH_QUERIES.items()}
@@ -1695,11 +1689,9 @@ def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     built bucket-partitioned once, the query reads only its terms'
     buckets (static partition pruning). Identical results to the scan
     formulation — the oracle is shared."""
-    import tempfile
-
     from ..operators.search import bm25_indexed, build_postings_index
 
-    path = f"{tempfile.gettempdir()}/bm25_index_catalog"
+    path = scratch_path(spark, sf_dir, "bm25_index_catalog")
     # 16 buckets at toy SF (dir-count ∝ write overhead here); at
     # corpus scale raise n_buckets so a bucket ≈ one task's read.
     build_postings_index(_docs(spark, sf_dir), path, n_buckets=16)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_testdata
 from ..operators import similarity as S
-from . import QuerySpec
+from . import QuerySpec, scratch_path
 
 DIM = 64
 _QUERY_ID = 0  # probe vector: vec_id 0 (label 2 in TESTDATA)
@@ -77,10 +77,8 @@ def _knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell (build_ann_index), probe reads ONE cell
     directory via a static partition filter. Same result set as the
     join-filter formulation — the oracle is shared."""
-    import tempfile
-
     emb = _emb(spark, sf_dir)
-    path = f"{tempfile.gettempdir()}/ann_index_catalog"
+    path = scratch_path(spark, sf_dir, "ann_index_catalog")
     S.build_ann_index(
         emb.filter(F.col("vec_id") != _QUERY_ID), path, cell_col="label"
     )

@@ -122,6 +122,13 @@ def save_table(
                 path,
                 format=format,
                 schema=None if format == "parquet" else df.schema,
+                # Partition-scoped merges rewrite ONLY touched
+                # partitions, so an evolving batch leaves MIXED-schema
+                # files behind; without mergeSchema Spark infers from
+                # one footer and can silently omit the evolved column —
+                # and the next merge would then destroy it in the
+                # partitions it rewrites. Union the footers instead.
+                merge_schema=(format == "parquet"),
             )
             if touched and not any(
                 row[c] is None for row in touched for c in partition_by
@@ -173,8 +180,11 @@ def save_table(
                 path,
                 format=format,
                 # see the partition-scoped branch: batch schema would
-                # drop previously-evolved columns on parquet
+                # drop previously-evolved columns on parquet, and a
+                # single-footer inference can miss columns if an
+                # earlier partial rewrite left mixed-schema files
                 schema=None if format == "parquet" else df.schema,
+                merge_schema=(format == "parquet"),
             )
             df = existing.unionByName(df, allowMissingColumns=True)
         df = dedup_latest(df, dedup_keys, version_cols)
@@ -324,13 +334,24 @@ def load_table(
     *,
     format: str = "parquet",
     schema=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a table. Non-parquet interchange formats (csv/json) need
     an explicit schema — the engine never infers (schemas.py stance).
-    CSV is read with a header to keep round-trips symmetric."""
+    CSV is read with a header to keep round-trips symmetric.
+
+    ``merge_schema`` (parquet only): union the schemas of ALL file
+    footers instead of trusting one. Required when the table may hold
+    mixed-schema files — the partition-scoped keyed merge rewrites only
+    touched partitions, so schema evolution leaves old-schema files in
+    untouched partitions. Off by default (it costs a footer read per
+    file, which matters on a 100 TB many-file table); ``save_table``'s
+    merge reads always set it."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    elif merge_schema and format == "parquet":
+        reader = reader.option("mergeSchema", "true")
     if format == "csv":
         reader = reader.option("header", "true")
     return reader.format(format).load(path)

@@ -489,24 +489,110 @@ def quality_floor(
     Attaches ``quality_rank`` (percent_rank in [0, 1], ties broken
     by ascending id so the rank is a total order — deterministic and
     engine-reproducible; rounded to 6 dp before the filter so a
-    boundary value can never flip across engines). Scale: one
-    group-keyed window — groups are natural shards (source/lang), no
-    global sort; the signal itself should be a map-only column
-    (word count, entropy, unigram log-prob...).
+    boundary value can never flip across engines). Scale: with a
+    ``group_col`` it is one group-keyed window — groups are natural
+    shards (source/lang), no global sort. WITHOUT a group the global
+    percent_rank is computed distributed (see
+    ``_global_percent_rank``): approx-quantile range buckets →
+    per-bucket local rank + cumulative bucket offsets — never a
+    whole-corpus single-task window. The ungrouped path runs ONE
+    eager boundary-sketch job on ``df`` at call time (same caller
+    warning as ``dedup._eager_release``: compose it after, not
+    inside, other lazy builders you intend to rewrite). The signal
+    itself should be a map-only column (word count, entropy, unigram
+    log-prob...).
     """
     if not (0.0 <= min_rank <= 1.0):
         raise ValueError(f"min_rank must be in [0, 1], got {min_rank}")
     from pyspark.sql.window import Window
 
-    w = (
-        Window.partitionBy(group_col)
-        if group_col
-        else Window.partitionBy(F.lit(1))
-    ).orderBy(signal.asc(), F.col(id_col).asc())
-    out = df.withColumn(
-        "quality_rank", F.round(F.percent_rank().over(w), 6)
-    )
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            signal.asc(), F.col(id_col).asc()
+        )
+        out = df.withColumn(
+            "quality_rank", F.round(F.percent_rank().over(w), 6)
+        )
+    else:
+        out = _global_percent_rank(df, id_col, signal)
     return out.filter(F.col("quality_rank") >= min_rank)
+
+
+def _global_percent_rank(
+    df: DataFrame, id_col: str, signal: Column
+) -> DataFrame:
+    """Corpus-wide ``percent_rank`` over the total order
+    ``(signal, id)`` WITHOUT a global single-task window:
+
+    1. sketch ~``shuffle.partitions`` signal quantile boundaries
+       (one pass; the boundary list is driver-sized metadata — ≤ a
+       few dozen floats — the same contract as knn_batch's probe
+       cells) and bake them into the plan as literals, so bucket
+       assignment is a pure deterministic row function and the two
+       plan branches below can never disagree;
+    2. per-bucket window → local row_number (buckets are contiguous
+       signal ranges, so bucket order ⊕ local order = global order);
+    3. bucket counts → cumulative offsets (a window over ≤ #buckets
+       rows — trivially single-task) broadcast back;
+    4. rank = offset + local_rn; percent_rank = (rank-1)/(n-1).
+
+    Exactly ``F.percent_rank()`` over ``(signal asc, id asc)`` —
+    the order is total (id unique) so no tie group spans a value,
+    and NULL signals sort first (bucket 0) as Spark's asc does.
+    Boundary quality only affects balance, never values: a skewed
+    sketch just means uneven buckets. Degenerate case (constant
+    signal) collapses to one bucket — same cost as the naive window,
+    documented, not worse.
+    """
+    from pyspark.sql.window import Window
+
+    d = df.withColumn("__sig", signal).withColumn(
+        "__sigd", signal.cast("double")
+    )
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # one sketch pass; nulls ignored (they land in bucket 0 below)
+    bounds = sorted(
+        set(d.stat.approxQuantile("__sigd", probs, 0.01))
+    ) if probs else []
+    # bucket = #boundaries strictly below sig (chained whens: stays
+    # in codegen; a higher-order array filter would be interpreted)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("__sigd") > F.lit(b), 1).otherwise(0)
+    d = d.withColumn("__b", bucket)
+    wloc = Window.partitionBy("__b").orderBy(
+        F.col("__sig").asc(), F.col(id_col).asc()
+    )
+    d = d.withColumn("__lrn", F.row_number().over(wloc))
+    counts = d.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = Window.orderBy("__b")
+    offsets = counts.select(
+        "__b",
+        F.coalesce(
+            F.sum("__cnt").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt")
+        .over(
+            woff.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+    )
+    ranked = d.join(F.broadcast(offsets), "__b")
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("__off") + F.col("__lrn") - 1) / (F.col("__n") - 1),
+    ).otherwise(F.lit(0.0))
+    return ranked.withColumn("quality_rank", F.round(pr, 6)).drop(
+        "__b", "__sig", "__sigd", "__lrn", "__off", "__n"
+    )
 
 
 def hash_embed(

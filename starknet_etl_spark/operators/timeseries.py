@@ -8,9 +8,12 @@ Scale design (100 TB framing): the event scan aggregates ONCE into
 (group, bucket) partials (map-side combined, one keyed shuffle); the
 spine is ``span/step × |groups|`` rows — index metadata next to the
 fact table (a year of hours × 1000 groups is 8.8M tiny rows) — built
-IN-PLAN from the 1-row min/max aggregate and the distinct group set,
-then broadcast into the left join. Forward-fill is a per-group
-ordered window: shuffles key on the group, never a global sort.
+IN-PLAN from the 1-row min/max aggregate and the distinct group set.
+The densification left join broadcasts the AGGREGATE side (a subset
+of the spine's key space; a broadcast hint on the preserved left
+side of an outer join would be ignored), so no fact rows move in
+the join. Forward-fill is a per-group ordered window: shuffles key
+on the group, never a global sort.
 
 Reference framing: the reference's report treats absent pairs as
 absent rows (generate_report_dag.py:106-115 groupby output); the
@@ -77,7 +80,17 @@ def gapfill(
         if gcols
         else spine_ts
     )
-    return F.broadcast(spine).join(agg, [*gcols, "bucket_ts"], "left")
+    # Broadcast hint on the AGGREGATE (build) side: Spark can only
+    # build a broadcast-hash join on the non-preserved side of a
+    # left-outer join, so a hint on the spine (the preserved left
+    # side) would be silently ignored and the join could degrade to
+    # sort-merge at scale. The agg's key space is a subset of the
+    # spine's (occupied buckets only), so the same
+    # "index-metadata-sized" bound that makes the spine small makes
+    # the agg broadcastable. Net effect: the fact table is aggregated
+    # once (one keyed shuffle into (group, bucket) partials) and the
+    # densification join itself moves no fact rows at all.
+    return spine.join(F.broadcast(agg), [*gcols, "bucket_ts"], "left")
 
 
 def forward_fill(

@@ -350,3 +350,45 @@ def test_keyed_table_schema_evolution_on_merge(spark, tmp_path):
     got = {r["id"]: (r["v"], r["note"])
            for r in spark.read.parquet(path).collect()}
     assert got[1] == ("a3", None) and got[2] == ("b2", "extra2")
+
+
+def test_keyed_table_schema_evolution_partition_scoped(spark, tmp_path):
+    """Schema evolution on the PARTITION-SCOPED merge branch: an
+    evolving batch rewrites only touched partitions, leaving
+    mixed-schema files; the merge read must union footers
+    (mergeSchema), or the next old-schema merge infers from one footer
+    and silently destroys the evolved column in rewritten partitions."""
+    from starknet_etl_spark.io import load_table, save_table
+
+    path = str(tmp_path / "ptbl")
+
+    def write(rows, ddl):
+        save_table(
+            spark.createDataFrame(rows, ddl),
+            path,
+            dedup_keys=["id"],
+            version_cols=["ts"],
+            partition_by=["pid"],
+        )
+
+    old_ddl = "id long, v string, ts long, pid long"
+    new_ddl = "id long, v string, ts long, note string, pid long"
+    # pid = id % 2 (derived from the key, per the upsert contract)
+    write([(1, "a", 10, 1), (2, "b", 10, 0),
+           (3, "c", 10, 1), (4, "d", 10, 0)], old_ddl)
+    # evolving batch touches ONLY pid=0 -> pid=1 files stay old-schema
+    write([(2, "b2", 20, "n2", 0)], new_ddl)
+    # old-schema batch touches pid=0 again: the merge read must still
+    # see `note` (mixed-schema dir!) so id=2's note survives the rewrite
+    write([(4, "d3", 30, 0)], old_ddl)
+
+    got = {
+        r["id"]: (r["v"], r["note"], r["pid"])
+        for r in load_table(spark, path, merge_schema=True).collect()
+    }
+    assert got == {
+        1: ("a", None, 1),
+        2: ("b2", "n2", 0),
+        3: ("c", None, 1),
+        4: ("d3", None, 0),
+    }

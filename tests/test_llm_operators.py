@@ -1128,6 +1128,54 @@ def test_quality_floor_per_group_percentiles(spark):
         quality_floor(df, "doc_id", F.col("sig"), min_rank=1.5)
 
 
+def test_global_percent_rank_matches_naive_window(spark):
+    """The distributed ungrouped path (bucketed local-rank + offsets)
+    is VALUE-EQUAL to a single global percent_rank window over
+    (signal asc, id asc) — including heavy ties, NULL signals, and
+    n=1; and its plan has no whole-corpus single-partition window."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from starknet_etl_spark.operators.text import _global_percent_rank
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([None, 0, 1, 1, 1, 5, 7, 7, rng.randint(0, 50)]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+
+    got = {
+        r["doc_id"]: r["quality_rank"]
+        for r in _global_percent_rank(df, "doc_id", F.col("sig")).collect()
+    }
+    w = Window.orderBy(F.col("sig").asc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["qr"]
+        for r in df.select(
+            "doc_id", F.round(F.percent_rank().over(w), 6).alias("qr")
+        ).collect()
+    }
+    assert got == want
+
+    # single row: rank 0 (no divide-by-zero)
+    one = spark.createDataFrame([(1, 9)], "doc_id long, sig long")
+    assert _global_percent_rank(one, "doc_id", F.col("sig")).collect()[0][
+        "quality_rank"
+    ] == 0.0
+
+    # the row-bearing window partitions by the bucket column (the
+    # only single-partition window in the plan runs over the <=32
+    # bucket-count rows, never the corpus)
+    plan = (
+        _global_percent_rank(df, "doc_id", F.col("sig"))
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "windowspecdefinition(__b" in plan
+
+
 def test_write_shards_ordered_layout(spark, tmp_path):
     """write_shards: one dir per shard, rows inside each shard read
     back in shard_pos order (a loader needs no sort), content equals

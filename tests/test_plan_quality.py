@@ -403,9 +403,11 @@ def test_data_card_is_three_corpus_passes(spark):
 
 
 def test_gapfill_spine_is_broadcast(spark):
-    """events_hourly_gapfill: the dense spine joins the aggregate as
-    a BROADCAST side (the fact table is never re-shuffled for the
-    densification), and no sort-merge join appears."""
+    """events_hourly_gapfill: the densification is a broadcast-hash
+    join building on the AGGREGATE side (the only side a left-outer
+    BHJ can build on — a hint on the preserved spine side would be
+    ignored), so no fact rows move in the join and no sort-merge
+    join appears."""
     plan = _plan(spark, "events_hourly_gapfill")
     tree = _tree(plan)
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
