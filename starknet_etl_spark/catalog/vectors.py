@@ -524,6 +524,122 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq_adc(codes, cb, query, k=5)
 
 
+_IVF_TRAIN_CELLS = 4
+_IVF_TRAIN_ITERS = 2
+
+
+def _ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN on an UNLABELED corpus: k-means centroids
+    trained from scratch (md5 sample seed + 2 Lloyd rounds —
+    train_ivf_centroids), corpus and query assigned to their
+    max-cosine cell (assign_cells), then the exact top-5 within the
+    query's cell (knn_ivf). No pre-existing label column anywhere —
+    the TESTDATA ``label`` is dropped on entry."""
+    emb = _emb(spark, sf_dir).drop("label")
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    cents = S.train_ivf_centroids(
+        corpus, dim=DIM, n_cells=_IVF_TRAIN_CELLS,
+        n_iters=_IVF_TRAIN_ITERS,
+    )
+    assigned = S.assign_cells(corpus, cents, cell_col="cell")
+    q_assigned = S.assign_cells(query, cents, cell_col="cell")
+    return S.knn_ivf(assigned, q_assigned, cell_col="cell", k=5)
+
+
+def _ivf_trained_oracle() -> str:
+    """The from-scratch chain in SQL: seed codebook = first n_cells
+    corpus vectors by md5 rank; each Lloyd round = 6-dp rounded L2
+    argmin (code-asc tiebreak) then per-(code, dim) ROUND(AVG, 6)
+    re-center with empty cells keeping their codeword (pq_refine's
+    exact rule, m=1); assignment = 6-dp rounded max-cosine with
+    cell-asc tiebreak (assign_cells' rule); probe = exact top-5
+    cosine within the query's assigned cell."""
+    iters = []
+    prev = "cb0"
+    for it in range(1, _IVF_TRAIN_ITERS + 1):
+        iters.append(f"""
+d{it} AS (
+  SELECT c.vec_id, cb.code,
+         ROUND(SUM((c.x - cb.cvalue) * (c.x - cb.cvalue)), 6) AS dist
+  FROM corpus c JOIN {prev} cb ON cb.dim_i = c.dim_i
+  GROUP BY c.vec_id, cb.code
+),
+a{it} AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, code,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+cb{it} AS (
+  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
+  FROM {prev} p LEFT JOIN (
+    SELECT a.code, c.dim_i, ROUND(AVG(c.x), 6) AS mu
+    FROM corpus c JOIN a{it} a USING (vec_id)
+    GROUP BY a.code, c.dim_i) m
+  ON m.code = p.code AND m.dim_i = p.dim_i
+)""")
+        prev = f"cb{it}"
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+cb0 AS (
+  SELECT rk - 1 AS code, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS cvalue
+  FROM ranked, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE rk <= {_IVF_TRAIN_CELLS}
+),
+corpus AS (
+  SELECT vec_id, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+{",".join(iters)},
+qlong AS (
+  SELECT i AS dim_i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id = {_QUERY_ID}
+),
+casg AS (
+  SELECT vec_id, code AS cell FROM (
+    SELECT c.vec_id, cb.code,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND(SUM(cb.cvalue * c.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM corpus c JOIN {prev} cb ON cb.dim_i = c.dim_i
+    GROUP BY c.vec_id, cb.code) WHERE rn = 1
+),
+qasg AS (
+  SELECT code AS cell FROM (
+    SELECT cb.code,
+           row_number() OVER (
+             ORDER BY ROUND(SUM(cb.cvalue * q.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM qlong q JOIN {prev} cb ON cb.dim_i = q.dim_i
+    GROUP BY cb.code) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id,
+         ROUND({_COS_PAIR}, 6) AS cos_sim
+  FROM embeddings a
+  JOIN casg ON casg.vec_id = a.vec_id
+  JOIN qasg ON qasg.cell = casg.cell
+  JOIN embeddings b ON b.vec_id = {_QUERY_ID},
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
 def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.nearest_in_cell(_emb(spark, sf_dir), min_cos=0.0)
 
@@ -617,6 +733,14 @@ QUERIES = {
         _knn_ivfpq,
         _pq_oracle(cell_scoped=True, k=5),
         "cell-scoped ADC top-5 (pruned AND 128x-compressed probe)",
+    ),
+    # overflow: ANN built END-TO-END on an unlabeled corpus — k-means
+    # centroid training from engine primitives (sample seed + Lloyd),
+    # max-cosine assignment, exact probe within the trained cell.
+    "emb_ivf_trained": QuerySpec(
+        _ivf_trained,
+        _ivf_trained_oracle(),
+        "from-scratch IVF: train centroids -> assign -> probe top-5",
     ),
     # overflow: contrastive-positive mining (anchor, positive) pairs
     # for embedding training export; negatives come free in-batch.

@@ -720,6 +720,60 @@ def centroids(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_cells: int,
+    n_iters: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Train IVF centroids FROM SCRATCH on an unlabeled corpus —
+    k-means as a composition of the engine's own PQ machinery:
+    ``train_pq_codebooks(m=1, ksub=n_cells)`` IS full-dimension
+    deterministic sample seeding (md5-ranked first ``n_cells``
+    vectors), and ``pq_refine`` with one subspace IS Lloyd's
+    algorithm (6-dp rounded L2 argmin with code-asc tiebreak →
+    re-center; empty cells keep their previous codeword).
+
+    Returns ``(cell, dim_i 1-based, centroid)`` — exactly
+    :func:`centroids`' shape, so the output drops into
+    ``assign_cells`` / ``build_ann_index`` / ``knn_ivf_indexed``
+    unchanged: the whole ANN index now builds end-to-end from engine
+    primitives with NO pre-existing label column (a real 100 TB
+    corpus arrives unlabeled).
+
+    Metric seam, stated plainly: training minimizes L2 distortion
+    (classic IVF-flat / FAISS practice); serving assignment
+    (``assign_cells``) is max-cosine, the suite's similarity. Both
+    are deterministic; end-to-end retrieval quality is what the
+    recall gate measures (tests/test_ann_recall.py). For unit-norm
+    corpora the two agree exactly (L2² = 2 − 2·cos).
+
+    TRAINING loop ⇒ deliberately eager like ``pq_refine``: each
+    iteration runs one assignment job over ``df`` and collects the
+    n_cells×dim codebook (driver-sized metadata). Persist the result
+    next to the index — it is the probe-ranking metadata
+    ``knn_ivf_indexed(n_probes>1)`` wants.
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    cb = train_pq_codebooks(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, m=1, ksub=n_cells,
+        salt=salt,
+    )
+    cb = pq_refine(
+        df, cb, id_col=id_col, vec_col=vec_col, n_iters=n_iters
+    )
+    return cb.select(
+        F.col("code").alias("cell"),
+        "dim_i",
+        F.col("cvalue").alias("centroid"),
+    )
+
+
 def quantize_sq8(
     df: DataFrame,
     *,

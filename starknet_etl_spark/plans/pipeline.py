@@ -141,6 +141,7 @@ def maintain_token_dim(
     token_path: str,
     resolver: TokenResolver = default_token_resolver,
     universe_events: DataFrame | None = None,
+    max_missing: int = 100_000,
 ) -> int:
     """Dimension maintenance: resolve tokens seen in events but absent
     from the dim (J4 as a left-anti join; dedup-before-work replaces
@@ -149,7 +150,15 @@ def maintain_token_dim(
     ``universe_events``: restrict token discovery to a subset (e.g.
     the current micro-batch) — any token already in the dim is
     filtered by the anti-join anyway, so scanning history is wasted
-    work on an incremental tick."""
+    work on an incremental tick.
+
+    The missing set is dimension-scale by contract (mirrors the
+    reference's scrape-on-miss), but the contract is ENFORCED, not
+    assumed — same stance as ``knn_batch``'s ``max_queries``: the
+    driver collect is capped at ``max_missing`` and raises past it.
+    A malformed events batch full of garbage addresses would
+    otherwise collect unbounded AND hammer the resolver with the
+    garbage universe."""
     events = (
         universe_events
         if universe_events is not None
@@ -172,8 +181,16 @@ def maintain_token_dim(
         r["token"]
         for r in universe.filter(F.col("token").isNotNull())
         .join(F.broadcast(token.select("token")), "token", "left_anti")
+        .limit(max_missing + 1)
         .collect()
     ]
+    if len(missing) > max_missing:
+        raise ValueError(
+            f"maintain_token_dim: missing tokens exceed "
+            f"max_missing={max_missing}; the missing set is collected "
+            "and sent to the resolver — this batch looks malformed "
+            "(garbage addresses?), or raise max_missing deliberately"
+        )
     if not missing:
         return 0
     resolved = spark.createDataFrame(list(resolver(missing)), TOKEN)

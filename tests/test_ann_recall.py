@@ -108,6 +108,44 @@ def test_ivf_multiprobe_widens_scan(clustered_emb):
     assert r >= 0.9, f"IVF 2-probe recall@{K} = {r}"
 
 
+def test_trained_ivf_recall_end_to_end(clustered_emb):
+    """The LABEL-FREE path: centroids trained from scratch
+    (train_ivf_centroids), corpus + queries assigned by max-cosine,
+    single-probe IVF — recall on clusterable data must stay high
+    even though no ground-truth label was ever consulted."""
+    from pyspark.sql import functions as F
+
+    unlabeled = clustered_emb.drop("label")
+    cents = S.train_ivf_centroids(
+        unlabeled, dim=DIM, n_cells=N_CLUSTERS, n_iters=2
+    )
+    # trained metadata has the centroids() shape and cell ids in range
+    cells = {r["cell"] for r in cents.select("cell").distinct().collect()}
+    assert cells <= set(range(N_CLUSTERS))
+    assert cents.columns == ["cell", "dim_i", "centroid"]
+
+    assigned = S.assign_cells(unlabeled, cents, cell_col="cell").cache()
+    try:
+        assert assigned.count() == N_CLUSTERS * PER_CLUSTER
+        vals = []
+        for qid in QUERY_IDS:
+            query = assigned.filter(F.col("vec_id") == qid)
+            corpus = assigned.filter(F.col("vec_id") != qid)
+            exact = {
+                r.vec_id
+                for r in S.knn_bruteforce(corpus, query, k=K).collect()
+            }
+            vals.append(
+                _recall(
+                    S.knn_ivf(corpus, query, cell_col="cell", k=K), exact
+                )
+            )
+        r = float(np.mean(vals))
+        assert r >= 0.8, f"trained-IVF recall@{K} = {r}"
+    finally:
+        assigned.unpersist()
+
+
 def test_uniform_data_recall_matches_scan_fraction(spark):
     """The honest flip side (why the gates above use clustered data):
     on uniform random vectors no partition scheme beats its scan

@@ -119,3 +119,24 @@ def test_resolver_wiring_into_token_dim(spark, tmp_path):
     dim = load_table(spark, str(wh / "token"))
     assert dim.count() == 4
     assert dim.filter(F.col("symbol").startswith("S")).count() == 4
+
+    # max_missing cap: a batch with more missing tokens than the cap
+    # must RAISE before collecting/resolving the lot (the driver-side
+    # guard mirroring knn_batch's max_queries)
+    import pytest
+
+    wh2 = tmp_path / "wh2"
+    run_ingest(
+        spark,
+        "mock://head=1000005&events_per_block=2",
+        blocks_path=str(wh2 / "blocks"),
+        events_path=str(wh2 / "events"),
+    )
+    with pytest.raises(ValueError, match="max_missing"):
+        maintain_token_dim(
+            spark,
+            events_path=str(wh2 / "events"),
+            token_path=str(wh2 / "token"),
+            resolver=_scraper(drv),
+            max_missing=1,
+        )
