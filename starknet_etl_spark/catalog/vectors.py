@@ -524,6 +524,69 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq_adc(codes, cb, query, k=5)
 
 
+_BATCH_QUERY_IDS = (0, 1, 2)  # probe set for the batched pruned path
+
+
+def _knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many queries, ONE union-of-cells pruned read: the corpus is
+    materialized cell-partitioned once, per-query probe cells ranked
+    by centroid cosine (n_probes=2), and all three queries score in a
+    single batched GEMM pass over the probed directories."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(~F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+    queries = emb.filter(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+    path = scratch_path(spark, sf_dir, "ann_batch_catalog")
+    S.build_ann_index(corpus, path, cell_col="label")
+    cents = S.centroids(corpus, cell_col="label", dim=DIM)
+    return S.knn_ivf_batch(
+        spark, path, queries, centroids_df=cents, n_probes=2, k=5
+    )
+
+
+_QIDS_SQL = ", ".join(str(q) for q in _BATCH_QUERY_IDS)
+
+_KNN_IVF_BATCH_ORACLE = f"""
+WITH cents AS (
+  SELECT label AS cell, i AS dim_i,
+         ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id NOT IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+  GROUP BY label, i
+),
+q AS (
+  SELECT vec_id AS query_id, i AS dim_i,
+         CAST(embedding[i] AS DOUBLE) AS qx
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(SUM(c.centroid * q.qx)
+                            / SQRT(SUM(c.centroid * c.centroid)), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q JOIN cents c USING (dim_i)
+    GROUP BY q.query_id, c.cell) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({_COS_PAIR}, 6) AS cos_sim
+  FROM probe p
+  JOIN embeddings a ON a.label = p.cell
+   AND a.vec_id NOT IN ({_QIDS_SQL}) AND a.embedding IS NOT NULL
+  JOIN embeddings b ON b.vec_id = p.query_id,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 _IVF_TRAIN_CELLS = 4
 _IVF_TRAIN_ITERS = 2
 
@@ -733,6 +796,13 @@ QUERIES = {
         _knn_ivfpq,
         _pq_oracle(cell_scoped=True, k=5),
         "cell-scoped ADC top-5 (pruned AND 128x-compressed probe)",
+    ),
+    # overflow: batched pruned ANN — many queries, one read over the
+    # union of probed cell dirs (the bm25_batch template on vectors).
+    "emb_knn_ivf_batch": QuerySpec(
+        _knn_ivf_batch,
+        _KNN_IVF_BATCH_ORACLE,
+        "batched 2-probe IVF: 3 queries, one union-pruned scan, top-5",
     ),
     # overflow: ANN built END-TO-END on an unlabeled corpus — k-means
     # centroid training from engine primitives (sample seed + Lloyd),

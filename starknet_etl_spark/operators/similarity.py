@@ -505,6 +505,173 @@ def knn_ivf_indexed(
     )
 
 
+def knn_ivf_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batched PRUNED ANN: top-k per query for MANY queries against a
+    cell-partitioned index (``build_ann_index``) in ONE read over the
+    union of probed cell directories — the vector twin of
+    ``bm25_batch`` (many queries, one bucket-pruned scan) closing the
+    gap between ``knn_batch`` (batched but full-scan) and
+    ``knn_ivf_indexed`` (pruned but one query per read).
+
+    Probe selection runs IN SPARK with the exact expression
+    ``knn_ivf_indexed`` uses (6-dp rounded centroid cosine, cell-asc
+    tiebreak) over all queries at once — one metadata-sized job
+    (Q×n_cells rows), collected like any partition-prune key. The
+    union of probed cells becomes ONE ``isin`` partition filter:
+    the scan reads ≤ Q·n_probes (deduped) cell directories however
+    many queries share them. Scoring is ``knn_batch``'s Arrow GEMM
+    kernel with a per-cell query mask — each corpus batch is scored
+    only against the queries that probed its cell, locally top-k
+    pruned (same total order as the final window, so no global
+    winner can be evicted), so the post-scan shuffle carries
+    ≤ tasks·Q·k rows. Output: (query_id, vec_id, cos_sim, rank) —
+    per query identical to running ``knn_ivf_indexed(scorer='gemm',
+    n_probes=n_probes)`` in a loop, at 1/Q of the reads.
+
+    ``queries`` is driver-sized by contract, ENFORCED via
+    ``max_queries`` (same stance as ``knn_batch``); NULL query
+    vectors drop. ``centroids_df`` is the index's frozen metadata —
+    (cell, dim_i, centroid), from :func:`centroids` or
+    :func:`train_ivf_centroids`.
+    """
+    import numpy as np
+
+    if centroids_df is None:
+        raise ValueError("knn_ivf_batch needs centroids_df metadata")
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    qrows = [
+        (int(r[0]), r[1])
+        for r in queries.select(
+            F.col(q_id_col).cast("long"), F.col(q_vec_col)
+        )
+        .limit(max_queries + 1)
+        .collect()
+        if r[1] is not None  # NULL query vectors: same drop policy
+    ]
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_ivf_batch: queries exceed max_queries={max_queries}; "
+            "this side is driver-collected — shard the probe set or "
+            "raise max_queries deliberately"
+        )
+    if not qrows:
+        raise ValueError("queries is empty (or all query vectors NULL)")
+    qv = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in qrows],
+        f"{q_id_col} long, {q_vec_col} array<double>",
+    )
+    # Probe ranking for ALL queries in one job — the same rounded
+    # centroid-cosine + cell-asc rule as knn_ivf_indexed, so the
+    # probed set per query is identical to the per-query loop.
+    qd = qv.select(
+        F.col(q_id_col).cast("long").alias("__qid"),
+        F.posexplode(F.col(q_vec_col)).alias("__d0", "__qx"),
+    ).select(
+        "__qid",
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("cell"))
+    probe_rows = (
+        qd.join(F.broadcast(centroids_df), "dim_i")
+        .groupBy("__qid", "cell")
+        .agg(
+            F.round(
+                F.sum(F.col("centroid") * F.col("__qx"))
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
+                6,
+            ).alias("__s")
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probes)
+        .select("__qid", "cell")
+        .collect()
+    )
+    cell_to_q: dict = {}
+    for r in probe_rows:
+        cell_to_q.setdefault(r["cell"], []).append(int(r["__qid"]))
+    all_cells = sorted(cell_to_q)
+
+    q_index = {qid: i for i, (qid, _) in enumerate(qrows)}
+    q_ids = np.array([qid for qid, _ in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cell_mask = {
+        c: np.array([q_index[q] for q in qs], dtype=np.int64)
+        for c, qs in cell_to_q.items()
+    }
+    bc = spark.sparkContext.broadcast((q_ids, Qn, cell_mask))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids, qn, masks = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf[cell_col].to_numpy()
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            cid = pdf[id_col].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            # one file ≈ one cell dir, but small files can coalesce
+            # into a task — handle a multi-cell batch per cell
+            for c in pd.unique(cells):
+                qi_idx = masks.get(c)
+                if qi_idx is None:
+                    continue
+                rows = np.nonzero(cells == c)[0]
+                S = _sql_round6(qn[qi_idx] @ M[rows].T)
+                rid = cid[rows]
+                kk = min(k, S.shape[1])
+                for j in range(S.shape[0]):
+                    order = np.lexsort((rid, -S[j]))[:kk]
+                    out_q.append(np.full(kk, qids[qi_idx[j]]))
+                    out_i.append(rid[order])
+                    out_s.append(S[j][order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col(cell_col).isin(all_cells))
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(cell_col), F.col(id_col), F.col(vec_col))
+    )
+    cand = corpus.mapInPandas(
+        kernel, f"query_id bigint, {id_col} bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

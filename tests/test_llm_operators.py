@@ -237,6 +237,76 @@ def test_knn_ivf_indexed_multiprobe_recovers_neighbor(spark, tmp_path):
         S.knn_ivf_indexed(spark, path, query, k=3, n_probes=2)
 
 
+def test_knn_ivf_batch_one_pruned_scan_equals_per_query_loop(
+    spark, tmp_path
+):
+    """knn_ivf_batch: MANY queries, ONE scan over the union of probed
+    cell directories — per-query results identical to the
+    knn_ivf_indexed(scorer='gemm') loop; the plan holds exactly one
+    index scan with a static cell partition filter; max_queries is
+    enforced."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.75, 0.66, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.95, 0.05, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 2),
+        (6, [0.1, 0.0, 0.9, 0.0], 2),
+        # cell 3 probed by no query: prunable
+        (7, [0.0, 0.0, 0.0, 1.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = df.filter("vec_id >= 2")
+    path = str(tmp_path / "ann_index")
+    S.build_ann_index(corpus, path, cell_col="label")
+    cents = S.centroids(corpus, dim=4)
+    queries = df.filter("vec_id < 2")
+
+    out = S.knn_ivf_batch(
+        spark, path, queries, centroids_df=cents, n_probes=2, k=3
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # one index scan (formatted mode prints the node in the tree AND
+    # the details section — count the per-scan Location line instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    part_line = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "label" in part_line
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cos_sim"])
+        )
+    for qid in (0, 1):
+        q = df.filter(F.col("vec_id") == qid)
+        loop = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                S.knn_ivf_indexed(
+                    spark, path, q, k=3, n_probes=2,
+                    centroids_df=cents, scorer="gemm",
+                ).collect()
+            )
+        ]
+        assert sorted(got[qid]) == loop, qid
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_queries"):
+        S.knn_ivf_batch(
+            spark, path, queries, centroids_df=cents, max_queries=1
+        )
+    with _pt.raises(ValueError):
+        S.knn_ivf_batch(spark, path, queries, n_probes=2)  # no centroids
+
+
 def test_append_ann_index_incremental_equals_full_build(spark, tmp_path):
     """Incremental ANN maintenance: build(half1) + append(half2
     assigned to the frozen centroids) answers probes identically to
