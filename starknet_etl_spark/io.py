@@ -507,6 +507,40 @@ def _swap_partitions(
     fs.delete(tmp_p, True)
 
 
+def _replace_touched_partitions(
+    spark: SparkSession,
+    path: str,
+    live: DataFrame,
+    partition_col: str,
+    touched: list,
+) -> None:
+    """Swap the ``touched`` partition values of a single-level
+    partitioned table with ``live``'s rewrite of them (the purge
+    primitive shared by the ANN / postings indexes): write ``live``
+    partitioned to a sibling tmp dir, delete touched partitions that
+    came back EMPTY (``_swap_partitions`` only replaces dirs present
+    in tmp — a fully-purged partition would otherwise survive as
+    stale data), then per-directory swap. Untouched partitions are
+    never read or rewritten; the table root (and its ``_batches``
+    ledger) stays in place. Callers keep their tombstones until this
+    returns, so a crash at any point is healed by re-running."""
+    tmp = f"{path}__tmp_purge"
+    live.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for c in touched:
+        new_dir = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{partition_col}={c}")
+        fs = new_dir.getFileSystem(conf)
+        if not fs.exists(new_dir):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{partition_col}={c}"
+                ),
+                True,
+            )
+    _swap_partitions(spark, path, tmp, depth=1)
+
+
 def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
     """Carry the ``append_once`` replay ledger (``<src>/_batches/``)
     into ``dst`` before a dir swap. Without this, compacting or

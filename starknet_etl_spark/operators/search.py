@@ -312,6 +312,161 @@ def append_postings(
     return did
 
 
+def forget_postings(
+    spark: SparkSession,
+    path: str,
+    ids,
+    batch_id: int,
+    *,
+    id_col: str = "doc_id",
+) -> bool:
+    """Right-to-be-forgotten for a materialized postings index — the
+    retrieval twin of ``dedup.forget`` / ``similarity.forget_vectors``:
+    doc ids append to ``<path>__tombstones`` (``io.append_once``
+    keyed by ``batch_id``, replay-safe), after which every probe
+    (``bm25_indexed``, ``bm25_batch``) scores as if the index had
+    been rebuilt without them. Physical removal is
+    :func:`purge_postings`.
+
+    Unlike the ANN index, BM25 scores depend on corpus-level stats
+    (N, avgdl) — dropping a doc's postings rows is not enough. So the
+    tombstone stores each dead doc's exact ``dl`` (captured here with
+    ONE maintenance scan of the postings — a doc's rows scatter
+    across term buckets, and paying that scan once at forget time is
+    what keeps probes scan-free), and probes subtract the dead docs'
+    integer (count, Σdl) from the ledger sums BEFORE the avgdl
+    division — bit-identical to a rebuild. Ids with no postings rows
+    (never ingested, or whitespace-only text) adjust nothing: a bogus
+    forget is harmless; the whitespace-doc case leaves an epsilon on
+    avgdl until the source is re-indexed, stated rather than hidden.
+    """
+    from ..io import append_once
+
+    postings_p, _, _ = _paths(path)
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id bigint"
+        )
+    else:
+        ids = ids.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = ids.distinct()
+    dl = (
+        spark.read.parquet(postings_p)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
+    dead = ids.join(dl, "doc_id", "left").select("doc_id", "dl")
+    return append_once(dead, f"{path}__tombstones", batch_id)
+
+
+def _apply_tombstones(
+    spark: SparkSession, path: str, tf: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, stats) with forgotten docs removed: tombstoned ids
+    anti-join out of the postings read (df recomputes downstream, so
+    document frequencies shrink too), and the 1-row stats side
+    subtracts the dead docs' exact integer (count, Σdl) from the
+    ledger sums before the rounded avgdl division — both probe paths
+    therefore rank EXACTLY as an index rebuilt without the docs."""
+    from .. import io as _io
+
+    _, stats_p, _ = _paths(path)
+    raw = spark.read.parquet(stats_p).agg(
+        F.sum("n_docs").cast("long").alias("__nd0"),
+        F.sum("sum_dl").cast("long").alias("__s0"),
+    )
+    tomb = f"{path}__tombstones"
+    if _io._exists(spark, tomb):
+        dead = _io.load_table(spark, tomb).dropDuplicates(["doc_id"])
+        tf = tf.join(
+            F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
+        )
+        adj = dead.filter(F.col("dl").isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("__dn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__ds"),
+        )
+        raw = raw.crossJoin(F.broadcast(adj)).select(
+            (F.col("__nd0") - F.col("__dn")).alias("__nd0"),
+            (F.col("__s0") - F.col("__ds")).alias("__s0"),
+        )
+    stats = raw.select(
+        F.col("__nd0").alias("__nd"),
+        F.round(
+            F.col("__s0").cast("double") / F.col("__nd0").cast("double"),
+            6,
+        ).alias("__avgdl"),
+    )
+    return tf, stats
+
+
+def purge_postings(spark: SparkSession, path: str) -> int:
+    """Physically remove tombstoned docs from a postings index,
+    rewriting ONLY the term buckets that hold their rows (touched
+    partitions — a doc's postings scatter by term hash, but the
+    touched set is still bounded by n_buckets), consolidating the
+    stats ledger to the adjusted totals, then clearing the
+    tombstones. Returns the number of touched buckets.
+
+    Same crash story as ``purge_ann_index``: tombstones are cleared
+    last, so probes stay correct through any partial failure and
+    re-running heals. Both the postings' and the stats ledger's
+    ``_batches`` replay markers survive (partition swaps leave the
+    table root alone; the stats rewrite goes through
+    ``io._replace_dir``, which carries markers)."""
+    from .. import io as _io
+
+    tomb = f"{path}__tombstones"
+    if not _io._exists(spark, tomb):
+        return 0
+    postings_p, stats_p, _ = _paths(path)
+    dead = _io.load_table(spark, tomb).dropDuplicates(["doc_id"])
+    dead_ids = dead.select("doc_id")
+    postings = spark.read.parquet(postings_p)
+    touched = [
+        r["__b"]
+        for r in postings.join(F.broadcast(dead_ids), "doc_id", "left_semi")
+        .select(F.col("bucket").alias("__b"))
+        .distinct()
+        .collect()
+    ]
+    if touched:
+        live = postings.filter(F.col("bucket").isin(touched)).join(
+            F.broadcast(dead_ids), "doc_id", "left_anti"
+        )
+        _io._replace_touched_partitions(
+            spark, postings_p, live, "bucket", touched
+        )
+    # consolidate the ledger to one exact-integer row (collect is one
+    # row; _replace_dir keeps the stats _batches replay markers)
+    adj = dead.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("__dn"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__ds"),
+    )
+    tot = (
+        spark.read.parquet(stats_p)
+        .agg(
+            F.sum("n_docs").cast("long").alias("__nd0"),
+            F.sum("sum_dl").cast("long").alias("__s0"),
+        )
+        .crossJoin(F.broadcast(adj))
+        .select(
+            (F.col("__nd0") - F.col("__dn")).alias("n_docs"),
+            (F.col("__s0") - F.col("__ds")).alias("sum_dl"),
+        )
+        .first()
+    )
+    new_stats = spark.createDataFrame(
+        [(int(tot["n_docs"]), int(tot["sum_dl"]), 0)],
+        "n_docs long, sum_dl long, batch_id long",
+    )
+    tmp = f"{stats_p}__tmp_purge"
+    new_stats.write.mode("overwrite").parquet(tmp)
+    _io._replace_dir(spark, stats_p, tmp)
+    _io._delete_dir(spark, tomb)
+    return len(touched)
+
+
 def bm25_indexed(
     spark: SparkSession,
     path: str,
@@ -331,7 +486,7 @@ def bm25_indexed(
     terms = _normalize_terms(query_terms)
     _validate(k1, b, top_k)
     n_buckets = _read_meta(spark, path)
-    postings_p, stats_p, _ = _paths(path)
+    postings_p, _, _ = _paths(path)
     # Bucket ids for the query terms via the engine's own hash (a
     # |terms|-row local job — driver-sized by nature, like
     # knn_ivf_indexed's probed cell id); literals enable static
@@ -358,23 +513,11 @@ def bm25_indexed(
             F.col("dl").alias("__dl"),
         )
     )
-    # Reconstruct (N, avgdl) from the exact-integer ledger: the same
-    # double division the scan path's AVG performs, so both paths
-    # rank against the identical constant.
-    stats = (
-        spark.read.parquet(stats_p)
-        .agg(
-            F.sum("n_docs").cast("long").alias("__nd"),
-            F.sum("sum_dl").cast("long").alias("__s"),
-        )
-        .select(
-            "__nd",
-            F.round(
-                F.col("__s").cast("double") / F.col("__nd").cast("double"),
-                6,
-            ).alias("__avgdl"),
-        )
-    )
+    # Reconstruct (N, avgdl) from the exact-integer ledger — adjusted
+    # for any forgotten docs (forget_postings): the same double
+    # division the scan path's AVG performs, so both paths rank
+    # against the identical constant.
+    tf, stats = _apply_tombstones(spark, path, tf)
     return _rank(tf, stats, terms, "doc_id", k1=k1, b=b, top_k=top_k)
 
 
@@ -415,7 +558,7 @@ def bm25_batch(
     all_terms = sorted({t for ts in norm_q.values() for t in ts})
 
     n_buckets = _read_meta(spark, path)
-    postings_p, stats_p, _ = _paths(path)
+    postings_p, _, _ = _paths(path)
     buckets = sorted(
         {
             r["b"]
@@ -438,20 +581,7 @@ def bm25_batch(
             F.col("dl").alias("__dl"),
         )
     )
-    stats = (
-        spark.read.parquet(stats_p)
-        .agg(
-            F.sum("n_docs").cast("long").alias("__nd"),
-            F.sum("sum_dl").cast("long").alias("__s"),
-        )
-        .select(
-            "__nd",
-            F.round(
-                F.col("__s").cast("double") / F.col("__nd").cast("double"),
-                6,
-            ).alias("__avgdl"),
-        )
-    )
+    tf, stats = _apply_tombstones(spark, path, tf)
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scored = tf.join(F.broadcast(dfreq), "__t").join(F.broadcast(stats))
     idf = F.log(

@@ -436,6 +436,79 @@ def append_ann_index(
     return append_once(df, index_path, batch_id, partition_by=[cell_col])
 
 
+def forget_vectors(
+    spark,
+    index_path: str,
+    ids,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+) -> bool:
+    """Right-to-be-forgotten for a cell-partitioned ANN index
+    (``build_ann_index`` / ``append_ann_index``) — the vector twin of
+    ``dedup.forget`` and the same mechanism: ids append to the
+    sibling ``<index_path>__tombstones`` table (``io.append_once``
+    keyed by ``batch_id``, replay-safe), after which every probe
+    (``knn_ivf_indexed``, ``knn_ivf_batch``) excludes them. Physical
+    removal is :func:`purge_ann_index` — a deliberate maintenance
+    step, so the probe path never pays a rewrite.
+
+    Probe results after forget are IDENTICAL to an index rebuilt
+    without the ids (no stats to adjust — unlike the BM25 index,
+    nothing else in the ANN layout depends on corpus membership)."""
+    from .dedup import forget
+
+    return forget(spark, index_path, ids, batch_id, id_col)
+
+
+def purge_ann_index(
+    spark,
+    index_path: str,
+    *,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+) -> int:
+    """Physically remove tombstoned vectors from a cell-partitioned
+    ANN index, rewriting ONLY the cell directories that hold them —
+    O(touched cells), not a full-index rewrite — then clear the
+    tombstones. Returns the number of touched cells.
+
+    Crash-safe the same way the keyed partition-scoped merge is:
+    replacement partitions are written to a sibling tmp dir first and
+    swapped in per-directory; a crash mid-swap leaves the tombstones
+    in place, so probes still exclude the dead ids and re-running the
+    purge heals. A cell whose rows are ALL dead is deleted outright
+    (the swap machinery only replaces dirs that exist in tmp — an
+    emptied cell would otherwise survive as stale data). The
+    ``append_once`` ``_batches`` ledger lives at the table root,
+    untouched by partition swaps — replay safety survives the purge.
+    """
+    from .. import io as _io
+
+    tomb = f"{index_path}__tombstones"
+    if not _io._exists(spark, tomb):
+        return 0
+    dead = _io.load_table(spark, tomb).select(id_col).distinct()
+    index = _io.load_table(spark, index_path)
+    touched = [
+        r["__c"]
+        for r in index.join(F.broadcast(dead), id_col, "left_semi")
+        .select(F.col(cell_col).alias("__c"))
+        .distinct()
+        .collect()
+    ]
+    if touched:
+        live = (
+            index.filter(F.col(cell_col).isin(touched))
+            .join(F.broadcast(dead), id_col, "left_anti")
+        )
+        _io._replace_touched_partitions(
+            spark, index_path, live, cell_col, touched
+        )
+    _io._delete_dir(spark, tomb)
+    return len(touched)
+
+
 def knn_ivf_indexed(
     spark,
     index_path: str,
@@ -467,6 +540,8 @@ def knn_ivf_indexed(
     over n_probes directories. The per-probe collect is O(n_cells):
     metadata-scale, like any partition-prune key.
     """
+    from .dedup import _without_forgotten
+
     if n_probes <= 1:
         cell = query.select(F.col(cell_col)).first()[0]
         corpus = spark.read.parquet(index_path).filter(
@@ -500,6 +575,8 @@ def knn_ivf_indexed(
         corpus = spark.read.parquet(index_path).filter(
             F.col(cell_col).isin(cells)
         )
+    # forgotten ids (forget_vectors tombstones) never score
+    corpus = _without_forgotten(spark, index_path, corpus, id_col)
     return knn_bruteforce(
         corpus, query, id_col=id_col, vec_col=vec_col, k=k, scorer=scorer
     )
@@ -655,12 +732,16 @@ def knn_ivf_batch(
                 }
             )
 
-    corpus = (
+    from .dedup import _without_forgotten
+
+    corpus = _without_forgotten(
+        spark,
+        index_path,
         spark.read.parquet(index_path)
         .filter(F.col(cell_col).isin(all_cells))
-        .filter(F.col(vec_col).isNotNull())
-        .select(F.col(cell_col), F.col(id_col), F.col(vec_col))
-    )
+        .filter(F.col(vec_col).isNotNull()),
+        id_col,
+    ).select(F.col(cell_col), F.col(id_col), F.col(vec_col))
     cand = corpus.mapInPandas(
         kernel, f"query_id bigint, {id_col} bigint, cos_sim double"
     )

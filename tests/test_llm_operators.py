@@ -1027,6 +1027,144 @@ def test_forget_and_purge_ann_index_keeps_partitioning(spark, tmp_path):
     assert got == [0, 2]  # forgotten vector gone, pruning intact
 
 
+def test_forget_vectors_logical_then_scoped_purge(spark, tmp_path):
+    """forget_vectors: probes exclude tombstoned ids IMMEDIATELY
+    (no rewrite), identically on the single-query and batched paths;
+    purge_ann_index then rewrites ONLY the touched cell directories
+    (untouched cells keep their exact files), deletes a fully-emptied
+    cell, keeps the append_once ledger, and clears the tombstones."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.95, 0.05, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),  # cell 2: all rows forgotten
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    idx = str(tmp_path / "ann")
+    S.build_ann_index(df, idx, cell_col="label")
+    cents = S.centroids(df, dim=4)
+    query = df.filter("vec_id = 0")
+
+    assert S.forget_vectors(spark, idx, [1, 4], 0)
+    assert not S.forget_vectors(spark, idx, [1, 4], 0)  # replay no-op
+
+    # logical forget: no purge has run, yet both probe paths exclude
+    got = [
+        r["vec_id"]
+        for r in S.knn_ivf_indexed(spark, idx, query, k=3).collect()
+    ]
+    assert got == [0, 2]
+    batch = S.knn_ivf_batch(
+        spark, idx, query, centroids_df=cents, n_probes=1, k=3
+    )
+    assert [r["vec_id"] for r in batch.collect()] == [0, 2]
+
+    untouched_before = sorted(os.listdir(f"{idx}/label=1"))
+    touched = S.purge_ann_index(spark, idx)
+    assert touched == 2  # cells 0 and 2
+    assert sorted(os.listdir(f"{idx}/label=1")) == untouched_before
+    assert not os.path.exists(f"{idx}/label=2")  # emptied cell gone
+    assert not os.path.exists(f"{idx}__tombstones")
+    left = {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+    assert left == {0, 2, 3}
+    # idempotent once tombstones are cleared
+    assert S.purge_ann_index(spark, idx) == 0
+
+
+def test_forget_postings_rebuild_parity_then_scoped_purge(
+    spark, tmp_path
+):
+    """forget_postings: probe scores after a logical forget are
+    BIT-EQUAL to an index rebuilt without the docs (postings rows
+    AND the (N, avgdl) stats both adjust); purge_postings rewrites
+    only the term buckets holding the docs' rows, consolidates the
+    ledger, keeps replay markers, and preserves the scores."""
+    import os
+
+    from starknet_etl_spark.operators.search import (
+        append_postings,
+        bm25_batch,
+        bm25_indexed,
+        build_postings_index,
+        forget_postings,
+        purge_postings,
+    )
+
+    docs = [
+        (1, "spark engine shuffles data across the cluster"),
+        (2, "the spark catalyst optimizer prunes columns"),
+        (3, "ducks swim on the quiet pond"),
+        (4, "catalyst chemistry speeds reactions in the lab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    terms = ["spark", "catalyst", "the"]
+
+    idx = str(tmp_path / "bm25")
+    build_postings_index(df.filter("doc_id <= 3"), idx, n_buckets=8)
+    assert append_postings(df.filter("doc_id = 4"), idx, 7)
+    rebuilt = str(tmp_path / "bm25_rebuilt")
+    build_postings_index(df.filter("doc_id <> 2"), rebuilt, n_buckets=8)
+
+    assert forget_postings(spark, idx, [2], 0)
+    assert not forget_postings(spark, idx, [2], 0)  # replay no-op
+
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, rebuilt, terms).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, idx, terms).collect()
+    )
+    assert got == want and all(d != 2 for d, _ in got)
+    got_b = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"])
+        for r in bm25_batch(spark, idx, {"q0": terms}).collect()
+    )
+    want_b = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"])
+        for r in bm25_batch(spark, rebuilt, {"q0": terms}).collect()
+    )
+    assert got_b == want_b
+
+    # scoped purge: buckets without doc 2's rows keep their files
+    postings_p = f"{idx}/postings"
+    dead_buckets = {
+        r["bucket"]
+        for r in spark.read.parquet(postings_p)
+        .filter("doc_id = 2").select("bucket").distinct().collect()
+    }
+    before = {
+        b: sorted(os.listdir(f"{postings_p}/bucket={b}"))
+        for b in range(8)
+        if os.path.isdir(f"{postings_p}/bucket={b}")
+    }
+    touched = purge_postings(spark, idx)
+    assert touched == len(dead_buckets) > 0
+    for b, files in before.items():
+        if b not in dead_buckets:
+            assert sorted(os.listdir(f"{postings_p}/bucket={b}")) == files
+    assert not os.path.exists(f"{idx}__tombstones")
+    assert spark.read.parquet(postings_p).filter("doc_id = 2").count() == 0
+    # consolidated stats rank identically to the rebuilt index
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, idx, terms).collect()
+    )
+    assert after == want
+    # replay ledgers survived the purge rewrites: re-appending the
+    # already-folded batch 7 is a no-op on both sinks
+    assert append_postings(df.filter("doc_id = 4"), idx, 7) is False
+    # 7 unique terms in doc 4 — a replayed append would double this
+    assert spark.read.parquet(postings_p).filter("doc_id = 4").count() == 7
+    assert purge_postings(spark, idx) == 0
+
+
 def test_shuffle_shards_deterministic_and_stable(spark):
     """Shard assignment is a pure function of the id: re-runs agree,
     appends never move old rows to another shard, every shard in
