@@ -5,6 +5,9 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with a noop-format write (full
 computation, no driver-side result transfer skewing the numbers).
+Per-query values are MEDIANS of ``SPARK_GRAFT_BENCH_REPS`` (>=3)
+interleaved repetitions — the noise-robust estimator for the
+documented host-level drift (see the default-mode comment).
 
 A/B mode (``--ab A B [--reps N]``): CLAUDE.md documents ±1.8x
 per-query drift across SESSIONS with byte-identical code, so perf
@@ -84,15 +87,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
 
-    # Best-of-2 per query: the regression gate compares rounds, so
-    # the recorded number should be engine throughput, not scheduler
-    # noise (run-to-run variance on local mode is ~±20%).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            best = min(best, _run_once(spark, sf_dir, name))
-        timings[name] = round(best, 3)
+    # MEDIAN of N interleaved reps per query (round-robin: rep 1 of
+    # every query, then rep 2, ...): the driver's artifact compares
+    # rounds, and host-level noise has inflated whole sessions by
+    # 1.4-2.5x on byte-identical code (BENCH_r04 15.87s vs a fresh
+    # 11.31s same-day re-run). Interleaving spreads a noise burst
+    # across ALL queries' rep r instead of one query's consecutive
+    # reps, and the median discards the burst entirely — a best-of-2
+    # keeps the burst whenever both reps land inside it.
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            samples[name].append(_run_once(spark, sf_dir, name))
+    timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(

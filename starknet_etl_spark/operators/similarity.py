@@ -542,12 +542,16 @@ def knn_ivf_indexed(
     """
     from .dedup import _without_forgotten
 
-    if n_probes <= 1:
+    if n_probes <= 1 and centroids_df is None:
+        # query pre-assigned to its cell (index-build-time assignment)
         cell = query.select(F.col(cell_col)).first()[0]
         corpus = spark.read.parquet(index_path).filter(
             F.col(cell_col) == F.lit(cell)
         )
     else:
+        # centroid-ranked probing — also the path for an UNASSIGNED
+        # query (e.g. a serving-time probe vector) at n_probes=1: the
+        # rank-1 cell IS the max-cosine assignment.
         if centroids_df is None:
             raise ValueError("n_probes > 1 needs centroids_df metadata")
         qd = query.select(

@@ -1,0 +1,169 @@
+"""Serving endpoints for the LLM-suite indexes — the retrieval twin
+of :mod:`.api` (S11 parity, ekubo_api.py:25-66 response shapes,
+applied to the engine's own persisted indexes):
+
+- BM25 query over a materialized postings index
+  (``search.bm25_indexed`` — reads only the query terms' buckets);
+- ANN probe over a cell-partitioned vector index
+  (``similarity.knn_ivf_indexed`` — reads only the probed cell
+  directories, ranked against persisted centroid metadata).
+
+Same conventions as the report app: framework-free core functions
+(testable with no HTTP stack), the reference's "No data available"
+message on an empty result, a RuntimeError wrap the app layer turns
+into a 500, and an import-gated FastAPI factory. Unlike the report
+endpoints (a ≤30-row parquet read), these serve from a live
+SparkSession — the probes are pruned index reads, not corpus scans,
+which is exactly what makes them servable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def bm25_query_rows(
+    spark, index_path: str, terms: list[str], *, top_k: int = 10
+) -> list[dict[str, Any]]:
+    """Ranked (doc_id, bm25) for one query — a bucket-pruned probe of
+    the postings index (forgotten docs excluded, like every probe)."""
+    from ..operators.search import bm25_indexed
+
+    return [
+        {"doc_id": r["doc_id"], "bm25": r["bm25"]}
+        for r in bm25_indexed(
+            spark, index_path, terms, top_k=top_k
+        ).collect()
+    ]
+
+
+def ann_probe_rows(
+    spark,
+    index_path: str,
+    centroids_path: str,
+    vector: list[float],
+    *,
+    k: int = 10,
+    n_probes: int = 1,
+    cell_col: str = "label",
+) -> list[dict[str, Any]]:
+    """Top-k (vec_id, cos_sim) for one probe vector: the query joins
+    the persisted centroid metadata (``train_ivf_centroids`` /
+    ``centroids`` output saved next to the index) for cell ranking,
+    then ``knn_ivf_indexed`` reads only the probed cell dirs (the
+    rank-1 cell IS the max-cosine assignment, so an unassigned
+    serving vector probes correctly even at n_probes=1)."""
+    from ..operators.similarity import knn_ivf_indexed
+
+    cents = spark.read.parquet(centroids_path)
+    query = spark.createDataFrame(
+        [(0, [float(x) for x in vector])],
+        "vec_id long, embedding array<double>",
+    )
+    return [
+        {"vec_id": r["vec_id"], "cos_sim": r["cos_sim"]}
+        for r in knn_ivf_indexed(
+            spark,
+            index_path,
+            query,
+            k=k,
+            n_probes=n_probes,
+            centroids_df=cents,
+            cell_col=cell_col,
+        ).collect()
+    ]
+
+
+def _wrap(fn) -> dict[str, Any]:
+    """Reference response shape: data / empty message / 500 wrap."""
+    try:
+        rows = fn()
+    except Exception as e:  # surfaced as HTTP 500 by the app layer
+        raise RuntimeError(f"index probe failed: {e}") from e
+    if not rows:
+        return {"message": "No data available"}
+    return {"data": rows}
+
+
+def bm25_response(
+    spark, index_path: str, terms: list[str], *, top_k: int = 10
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: bm25_query_rows(spark, index_path, terms, top_k=top_k)
+    )
+
+
+def ann_probe_response(
+    spark,
+    index_path: str,
+    centroids_path: str,
+    vector: list[float],
+    *,
+    k: int = 10,
+    n_probes: int = 1,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: ann_probe_rows(
+            spark,
+            index_path,
+            centroids_path,
+            vector,
+            k=k,
+            n_probes=n_probes,
+        )
+    )
+
+
+def create_search_app(
+    spark,
+    *,
+    bm25_index: str | None = None,
+    ann_index: str | None = None,
+    ann_centroids: str | None = None,
+):
+    """FastAPI app serving the persisted indexes. Import-gated like
+    ``api.create_app``; endpoints mount only for the indexes whose
+    paths are configured.
+
+    - ``GET /bm25?q=term+term&top_k=10``
+    - ``GET /ann?v=0.1,0.2,...&k=10&n_probes=2``
+    """
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "fastapi is not installed; use bm25_response()/"
+            "ann_probe_response() directly"
+        ) from e
+
+    app = FastAPI(title="starknet-etl-spark search")
+
+    def run(fn):
+        try:
+            return fn()
+        except RuntimeError as e:
+            raise HTTPException(status_code=500, detail=str(e)) from e
+
+    if bm25_index is not None:
+
+        @app.get("/bm25")
+        def bm25(q: str, top_k: int = 10):
+            return run(
+                lambda: bm25_response(
+                    spark, bm25_index, q.split(), top_k=top_k
+                )
+            )
+
+    if ann_index is not None and ann_centroids is not None:
+
+        @app.get("/ann")
+        def ann(v: str, k: int = 10, n_probes: int = 2):
+            vec = [float(x) for x in v.split(",")]
+            return run(
+                lambda: ann_probe_response(
+                    spark, ann_index, ann_centroids, vec,
+                    k=k, n_probes=n_probes,
+                )
+            )
+
+    return app

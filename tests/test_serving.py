@@ -46,3 +46,96 @@ def test_fastapi_endpoints_if_available(spark, tmp_path):
     client = TestClient(create_app(rd))
     out = client.get("/top_n_vol_token").json()
     assert out == {"data": [{"pair": "A/B", "vol_24h": 10.0}]}
+
+
+def _build_search_fixtures(spark, tmp_path):
+    """Real persisted indexes: a BM25 postings index over 3 docs and
+    a cell-partitioned ANN index with saved centroid metadata."""
+    from starknet_etl_spark.operators.search import build_postings_index
+    from starknet_etl_spark.operators.similarity import (
+        build_ann_index,
+        centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the pond"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bm25_p = str(tmp_path / "bm25_idx")
+    build_postings_index(docs, bm25_p, n_buckets=4)
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0], 0),
+            (11, [0.9, 0.1, 0.0, 0.0], 0),
+            (12, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    ann_p = str(tmp_path / "ann_idx")
+    build_ann_index(vecs, ann_p, cell_col="label")
+    cents_p = str(tmp_path / "ann_cents")
+    centroids(vecs, dim=4).write.parquet(cents_p)
+    return bm25_p, ann_p, cents_p
+
+
+def test_search_serving_core_responses(spark, tmp_path):
+    """Framework-free cores over REAL persisted indexes: BM25 probe
+    returns ranked docs, ANN probe returns the query's cell's
+    neighbors, a no-hit query gets the reference's empty message,
+    and an unreadable index surfaces as the 500-parity RuntimeError."""
+    import pytest
+
+    from starknet_etl_spark.serving.search_api import (
+        ann_probe_response,
+        bm25_response,
+    )
+
+    bm25_p, ann_p, cents_p = _build_search_fixtures(spark, tmp_path)
+
+    out = bm25_response(spark, bm25_p, ["spark", "catalyst"], top_k=5)
+    ids = [r["doc_id"] for r in out["data"]]
+    assert set(ids) == {1, 2} and len(out["data"][0]) == 2
+
+    assert bm25_response(spark, bm25_p, ["zzz"]) == {
+        "message": "No data available"
+    }
+
+    out = ann_probe_response(
+        spark, ann_p, cents_p, [1.0, 0.0, 0.0, 0.0], k=2, n_probes=1
+    )
+    assert [r["vec_id"] for r in out["data"]] == [10, 11]
+    assert out["data"][0]["cos_sim"] == 1.0
+
+    with pytest.raises(RuntimeError, match="index probe failed"):
+        bm25_response(spark, str(tmp_path / "missing"), ["spark"])
+
+
+def test_search_serving_fastapi_if_available(spark, tmp_path):
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        import pytest
+
+        pytest.skip("fastapi not installed")
+    bm25_p, ann_p, cents_p = _build_search_fixtures(spark, tmp_path)
+    client = TestClient(
+        create_search_app(
+            spark,
+            bm25_index=bm25_p,
+            ann_index=ann_p,
+            ann_centroids=cents_p,
+        )
+    )
+    out = client.get("/bm25", params={"q": "spark catalyst"}).json()
+    assert {r["doc_id"] for r in out["data"]} == {1, 2}
+    out = client.get(
+        "/ann", params={"v": "0.0,1.0,0.0,0.0", "k": 1, "n_probes": 1}
+    ).json()
+    assert [r["vec_id"] for r in out["data"]] == [12]
