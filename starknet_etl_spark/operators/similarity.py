@@ -338,6 +338,58 @@ def build_ann_index(
     save_table(df, path, mode="overwrite", partition_by=[cell_col])
 
 
+def build_trained_ann_index(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_cells: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    salt: str = "",
+) -> DataFrame:
+    """The one-call index lifecycle for an UNLABELED corpus: train
+    centroids from scratch (:func:`train_ivf_centroids`), assign
+    every vector to its max-cosine cell (:func:`assign_cells`),
+    materialize the cell-partitioned index (:func:`build_ann_index`),
+    and persist the centroid metadata INSIDE the index at
+    ``<path>/_centroids`` — an underscore dir, invisible to Spark's
+    parquet readers of the data (the ``_batches`` convention), so the
+    index carries its own probe-ranking metadata. Probes
+    (``knn_ivf_indexed`` / ``knn_ivf_batch``), serving, and
+    incremental appends then auto-load it: no caller has to shepherd
+    a second artifact next to the index. Returns the centroids.
+
+    Write order: data first, metadata second — a crash in between
+    leaves an index that still probes with explicitly-passed
+    centroids and fails LOUDLY where auto-load is expected, never a
+    metadata file pointing at absent data."""
+    cents = train_ivf_centroids(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
+        n_iters=n_iters, salt=salt,
+    )
+    assigned = assign_cells(
+        df, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )
+    build_ann_index(assigned, path, cell_col=cell_col)
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def load_centroids(spark, index_path: str) -> DataFrame | None:
+    """The index's persisted centroid metadata
+    (``build_trained_ann_index``), or None when the index was built
+    from pre-assigned cells and carries none."""
+    from .. import io as _io
+
+    p = f"{index_path}/_centroids"
+    if not _io._exists(spark, p):
+        return None
+    return spark.read.parquet(p)
+
+
 def assign_cells(
     df: DataFrame,
     centroids_df: DataFrame,
@@ -421,6 +473,9 @@ def append_ann_index(
     """
     from ..io import append_once
 
+    if centroids_df is None and cell_col not in df.columns:
+        # a trained index assigns its own batches
+        centroids_df = load_centroids(df.sparkSession, index_path)
     if centroids_df is not None:
         df = assign_cells(
             df,
@@ -431,7 +486,8 @@ def append_ann_index(
         )
     elif cell_col not in df.columns:
         raise ValueError(
-            f"batch lacks {cell_col!r}; pass centroids_df to assign"
+            f"batch lacks {cell_col!r}; pass centroids_df to assign "
+            "(or build with build_trained_ann_index, which persists it)"
         )
     return append_once(df, index_path, batch_id, partition_by=[cell_col])
 
@@ -542,6 +598,16 @@ def knn_ivf_indexed(
     """
     from .dedup import _without_forgotten
 
+    if centroids_df is None and (
+        n_probes > 1 or cell_col not in query.columns
+    ):
+        # a trained index carries its own metadata — auto-load it
+        centroids_df = load_centroids(spark, index_path)
+        if centroids_df is None and cell_col not in query.columns:
+            raise ValueError(
+                f"query carries no {cell_col!r} column and the index "
+                "has no _centroids metadata; pass centroids_df"
+            )
     if n_probes <= 1 and centroids_df is None:
         # query pre-assigned to its cell (index-build-time assignment)
         cell = query.select(F.col(cell_col)).first()[0]
@@ -632,7 +698,12 @@ def knn_ivf_batch(
     import numpy as np
 
     if centroids_df is None:
-        raise ValueError("knn_ivf_batch needs centroids_df metadata")
+        centroids_df = load_centroids(spark, index_path)
+    if centroids_df is None:
+        raise ValueError(
+            "knn_ivf_batch needs centroids_df metadata (none passed and "
+            "the index carries no _centroids dir)"
+        )
     if n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     qrows = [
@@ -652,6 +723,11 @@ def knn_ivf_batch(
         )
     if not qrows:
         raise ValueError("queries is empty (or all query vectors NULL)")
+    if len({qid for qid, _ in qrows}) != len(qrows):
+        raise ValueError(
+            "knn_ivf_batch: duplicate query ids — results are keyed by "
+            "query_id, so duplicates would silently drop probes"
+        )
     qv = spark.createDataFrame(
         [(qid, [float(x) for x in v]) for qid, v in qrows],
         f"{q_id_col} long, {q_vec_col} array<double>",

@@ -558,10 +558,17 @@ def _global_percent_rank(
         set(d.stat.approxQuantile("__sigd", probs, 0.01))
     ) if probs else []
     # bucket = #boundaries strictly below sig (chained whens: stays
-    # in codegen; a higher-order array filter would be interpreted)
+    # in codegen; a higher-order array filter would be interpreted).
+    # NaN needs an explicit branch: Spark ORDERS NaN after every
+    # number (so the naive window puts it last), but `NaN > b` is
+    # false, which would drop it into bucket 0 — route it to the top
+    # bucket instead so bucket order still composes the global order.
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col("__sigd") > F.lit(b), 1).otherwise(0)
+    bucket = F.when(F.isnan(F.col("__sigd")), F.lit(len(bounds))).otherwise(
+        bucket
+    )
     d = d.withColumn("__b", bucket)
     wloc = Window.partitionBy("__b").orderBy(
         F.col("__sig").asc(), F.col(id_col).asc()

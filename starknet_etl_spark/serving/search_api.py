@@ -40,7 +40,7 @@ def bm25_query_rows(
 def ann_probe_rows(
     spark,
     index_path: str,
-    centroids_path: str,
+    centroids_path: str | None,
     vector: list[float],
     *,
     k: int = 10,
@@ -48,14 +48,19 @@ def ann_probe_rows(
     cell_col: str = "label",
 ) -> list[dict[str, Any]]:
     """Top-k (vec_id, cos_sim) for one probe vector: the query joins
-    the persisted centroid metadata (``train_ivf_centroids`` /
-    ``centroids`` output saved next to the index) for cell ranking,
-    then ``knn_ivf_indexed`` reads only the probed cell dirs (the
-    rank-1 cell IS the max-cosine assignment, so an unassigned
-    serving vector probes correctly even at n_probes=1)."""
+    the centroid metadata for cell ranking, then ``knn_ivf_indexed``
+    reads only the probed cell dirs (the rank-1 cell IS the
+    max-cosine assignment, so an unassigned serving vector probes
+    correctly even at n_probes=1). ``centroids_path=None`` uses the
+    metadata a ``build_trained_ann_index`` index carries inside
+    itself (``<index>/_centroids``)."""
     from ..operators.similarity import knn_ivf_indexed
 
-    cents = spark.read.parquet(centroids_path)
+    cents = (
+        spark.read.parquet(centroids_path)
+        if centroids_path is not None
+        else None  # knn_ivf_indexed auto-loads <index>/_centroids
+    )
     query = spark.createDataFrame(
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
@@ -96,7 +101,7 @@ def bm25_response(
 def ann_probe_response(
     spark,
     index_path: str,
-    centroids_path: str,
+    centroids_path: str | None,
     vector: list[float],
     *,
     k: int = 10,
@@ -154,7 +159,7 @@ def create_search_app(
                 )
             )
 
-    if ann_index is not None and ann_centroids is not None:
+    if ann_index is not None:
 
         @app.get("/ann")
         def ann(v: str, k: int = 10, n_probes: int = 2):

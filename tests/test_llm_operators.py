@@ -1027,6 +1027,81 @@ def test_forget_and_purge_ann_index_keeps_partitioning(spark, tmp_path):
     assert got == [0, 2]  # forgotten vector gone, pruning intact
 
 
+def test_trained_index_carries_its_own_metadata(spark, tmp_path):
+    """build_trained_ann_index persists centroids INSIDE the index
+    (_centroids, invisible to data readers); every consumer then
+    auto-loads them: indexed probes (1- and 2-probe), the batched
+    path, incremental appends of unassigned vectors, and the serving
+    endpoint with no centroids path. Purge leaves the metadata."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4)[:3]
+    rows = []
+    vid = 0
+    for c in range(3):
+        for p in centers[c] + 0.05 * rng.normal(size=(8, 4)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "trained")
+    base, extra = df.filter("vec_id < 20"), df.filter("vec_id >= 20")
+
+    cents = S.build_trained_ann_index(base, idx, dim=4, n_cells=3)
+    assert S.load_centroids(spark, idx).columns == ["cell", "dim_i", "centroid"]
+    # data readers never see the metadata dir
+    assert "cell" not in spark.read.parquet(idx).columns
+
+    q = df.filter("vec_id = 0")
+    got1 = [r["vec_id"] for r in S.knn_ivf_indexed(spark, idx, q, k=3).collect()]
+    got2 = [
+        r["vec_id"]
+        for r in S.knn_ivf_indexed(spark, idx, q, k=3, n_probes=2).collect()
+    ]
+    assert got1[0] == 0 and got2[0] == 0
+    # explicit metadata == auto-loaded metadata
+    exp = [
+        r["vec_id"]
+        for r in S.knn_ivf_indexed(
+            spark, idx, q, k=3, n_probes=2, centroids_df=cents
+        ).collect()
+    ]
+    assert got2 == exp
+
+    # unassigned micro-batch appends via the index's own centroids
+    assert S.append_ann_index(extra, idx, 1)
+    assert spark.read.parquet(idx).count() == 24
+
+    batch = S.knn_ivf_batch(spark, idx, df.filter("vec_id < 2"), k=3)
+    assert {r["query_id"] for r in batch.collect()} == {0, 1}
+
+    from starknet_etl_spark.serving.search_api import ann_probe_response
+
+    out = ann_probe_response(
+        spark, idx, None, [1.0, 0.0, 0.0, 0.0], k=2, n_probes=1
+    )
+    assert len(out["data"]) == 2
+
+    # purge only swaps cell partitions — metadata survives
+    S.forget_vectors(spark, idx, [1], 0)
+    S.purge_ann_index(spark, idx, cell_col="label")
+    assert S.load_centroids(spark, idx) is not None
+
+    # an index built from pre-assigned cells has no metadata: loud
+    import pytest as _pt
+
+    plain = str(tmp_path / "plain")
+    S.build_ann_index(
+        spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0], 0)],
+            "vec_id bigint, embedding array<double>, label int",
+        ),
+        plain,
+    )
+    with _pt.raises(ValueError, match="_centroids"):
+        S.knn_ivf_indexed(spark, plain, q.drop("label"), k=1)
+
+
 def test_forget_vectors_logical_then_scoped_purge(spark, tmp_path):
     """forget_vectors: probes exclude tombstoned ids IMMEDIATELY
     (no rewrite), identically on the single-query and batched paths;
@@ -1372,6 +1447,26 @@ def test_global_percent_rank_matches_naive_window(spark):
     assert _global_percent_rank(one, "doc_id", F.col("sig")).collect()[0][
         "quality_rank"
     ] == 0.0
+
+    # double signals incl. NULL (sorts first) and NaN (Spark sorts it
+    # AFTER every number — the bucketing must route it to the top
+    # bucket, not let `NaN > bound == false` drop it into bucket 0)
+    fr = [(i, float(v)) for i, v in enumerate([3, 1, 2, 5, 4, 2, 1])]
+    fr += [(90, float("nan")), (91, None), (92, float("nan"))]
+    fdf = spark.createDataFrame(fr, "doc_id long, sig double")
+    gotf = {
+        r["doc_id"]: r["quality_rank"]
+        for r in _global_percent_rank(fdf, "doc_id", F.col("sig")).collect()
+    }
+    wantf = {
+        r["doc_id"]: r["qr"]
+        for r in fdf.select(
+            "doc_id", F.round(F.percent_rank().over(w), 6).alias("qr")
+        ).collect()
+    }
+    assert gotf == wantf
+    assert gotf[91] == 0.0  # NULL first
+    assert gotf[92] == 1.0  # NaN last (ties broken by id: 90 < 92)
 
     # the row-bearing window partitions by the bucket column (the
     # only single-partition window in the plan runs over the <=32
