@@ -1495,6 +1495,56 @@ FROM r WHERE quality_rank >= 0.2
 """
 
 
+def _quality_floor_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNGROUPED floor — exercises the distributed global
+    percent_rank (quantile buckets + local rank + offsets,
+    operators/text._global_percent_rank) against DuckDB's one
+    global window: the scale path must be value-identical."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", X.word_count(F.col("text")).alias("n_words")
+    )
+    return X.quality_floor(docs, "doc_id", F.col("n_words"), min_rank=0.2)
+
+
+_QUALITY_FLOOR_GLOBAL_ORACLE = r"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         ROUND(percent_rank() OVER (
+           ORDER BY len(string_split_regex(trim(text), '\s+')), doc_id
+         ), 6) AS quality_rank
+  FROM documents
+)
+SELECT doc_id, n_words, quality_rank
+FROM r WHERE quality_rank >= 0.2
+"""
+
+
+def _bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-parity, differential-grade: docs with doc_id % 7 = 3
+    are tombstoned (forget_postings — postings rows excluded AND the
+    (N, Σdl) stats adjusted by their exact integers), and the probe
+    must rank EXACTLY like DuckDB's scan over the corpus built
+    without them."""
+    import shutil
+
+    from ..operators.search import (
+        build_postings_index,
+        forget_postings,
+    )
+    from ..operators.search import bm25_indexed as _probe
+
+    path = scratch_path(spark, sf_dir, "bm25_forget_catalog")
+    shutil.rmtree(f"{path}__tombstones", ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    build_postings_index(docs, path, n_buckets=16)
+    forget_postings(
+        spark, path, docs.filter("doc_id % 7 = 3").select("doc_id"), 0
+    )
+    return _probe(spark, path, list(_BM25_TERMS), top_k=15)
+
+
 def _data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.datacard import data_card
 
@@ -1682,6 +1732,14 @@ def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch(
         spark, path, {q: list(t) for q, t in _BM25_BATCH_QUERIES.items()}
     )
+
+
+# the scan oracle over the corpus MINUS the forgotten docs — stats,
+# df and tf all recomputed as if they were never ingested (what the
+# doc_bm25_forget builder's tombstone adjustment must reproduce)
+_BM25_FORGET_ORACLE = _BM25_ORACLE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 3"
+)
 
 
 def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1922,5 +1980,19 @@ QUERIES = {
         _repetition,
         _REPETITION_ORACLE,
         "Gopher-style repetition quality gate (dup word/bigram fractions)",
+    ),
+    # overflow: the UNGROUPED adaptive floor — the distributed global
+    # percent_rank (buckets+offsets) vs DuckDB's one global window.
+    "doc_quality_floor_global": QuerySpec(
+        _quality_floor_global,
+        _QUALITY_FLOOR_GLOBAL_ORACLE,
+        "corpus-wide percentile gate via distributed global rank",
+    ),
+    # overflow: forget-parity differential — tombstoned docs must
+    # rank exactly as if never ingested (stats adjustment included).
+    "doc_bm25_forget": QuerySpec(
+        _bm25_forget,
+        _BM25_FORGET_ORACLE,
+        "BM25 probe after forget == scan of corpus minus the docs",
     ),
 }

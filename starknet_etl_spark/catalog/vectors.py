@@ -703,6 +703,24 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
 
+def _ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED twin of emb_ivf_trained: build_trained_ann_index
+    materializes the trained cells AND the centroid metadata inside
+    the index; the probe passes nothing — knn_ivf_indexed auto-loads
+    `_centroids`, ranks the query to its max-cosine cell, and reads
+    that one partition. Same result set as the in-plan chain, so the
+    oracle is shared."""
+    emb = _emb(spark, sf_dir).drop("label")
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "ivf_trained_catalog")
+    S.build_trained_ann_index(
+        corpus, path, dim=DIM, n_cells=_IVF_TRAIN_CELLS,
+        n_iters=_IVF_TRAIN_ITERS, cell_col="cell",
+    )
+    return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
+
+
 def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.nearest_in_cell(_emb(spark, sf_dir), min_cos=0.0)
 
@@ -811,6 +829,13 @@ QUERIES = {
         _ivf_trained,
         _ivf_trained_oracle(),
         "from-scratch IVF: train centroids -> assign -> probe top-5",
+    ),
+    # overflow: the trained index MATERIALIZED — metadata persisted
+    # inside the index, probe auto-loads it (shared oracle).
+    "emb_ivf_trained_indexed": QuerySpec(
+        _ivf_trained_indexed,
+        _ivf_trained_oracle(),
+        "persisted trained index: _centroids-ranked pruned probe",
     ),
     # overflow: contrastive-positive mining (anchor, positive) pairs
     # for embedding training export; negatives come free in-batch.
