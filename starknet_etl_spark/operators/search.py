@@ -378,7 +378,15 @@ def _apply_tombstones(
     )
     tomb = f"{path}__tombstones"
     if _io._exists(spark, tomb):
-        dead = _io.load_table(spark, tomb).dropDuplicates(["doc_id"])
+        # one row per dead doc, PREFERRING a captured dl (max ignores
+        # NULLs): a doc forgotten before ingestion and again after
+        # would otherwise dedupe to an arbitrary row and could leave
+        # its dl out of the stats adjustment
+        dead = (
+            _io.load_table(spark, tomb)
+            .groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+        )
         tf = tf.join(
             F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
         )
@@ -420,7 +428,11 @@ def purge_postings(spark: SparkSession, path: str) -> int:
     if not _io._exists(spark, tomb):
         return 0
     postings_p, stats_p, _ = _paths(path)
-    dead = _io.load_table(spark, tomb).dropDuplicates(["doc_id"])
+    dead = (  # prefer a captured dl per doc — see _apply_tombstones
+        _io.load_table(spark, tomb)
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+    )
     dead_ids = dead.select("doc_id")
     postings = spark.read.parquet(postings_p)
     touched = [
