@@ -570,16 +570,54 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
         ).close()
 
 
+#: top-level underscore metadata dirs that must survive full-dir
+#: swaps (Spark's readers ignore underscore paths, so they are
+#: invisible to the rewrite plan and would silently vanish with the
+#: old dir): the ANN index's trained centroids. ``_batches`` has its
+#: own empty-marker copier; ``_SUCCESS`` is disposable.
+_METADATA_DIRS = ("_centroids",)
+
+
+def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:
+    """COPY (never move — the source stays intact until the swap
+    commits, same crash contract as the tombstone rename) the
+    ``_METADATA_DIRS`` of ``src`` into ``dst`` before a dir swap.
+    Without this, compacting or generic-purging a trained ANN index
+    (``build_trained_ann_index``) would destroy its ``_centroids``
+    metadata — the same silent-loss class as the r4 ``_batches``
+    ledger bug, caught by the same review lens."""
+    for name in _METADATA_DIRS:
+        s, d = f"{src}/{name}", f"{dst}/{name}"
+        if os.path.isdir(s) and not src.startswith(("s3", "hdfs", "gs")):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.copytree(s, d)
+            continue
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        sp = jvm.org.apache.hadoop.fs.Path(s)
+        fs = sp.getFileSystem(conf)
+        if not fs.exists(sp):
+            continue
+        dp = jvm.org.apache.hadoop.fs.Path(d)
+        fs.delete(dp, True)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, False, conf)
+
+
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:
     """Replace ``path`` with ``tmp`` via a tombstone rename, never
     delete-then-rename: with the tombstone, a crash at ANY step leaves
     a complete copy of the table on disk (live at ``path`` or parked
     at ``<path>__old_swap``) — recoverable by a rename, not data loss.
 
-    The ``append_once`` ledger rides along (``_copy_batch_markers``):
-    a rewrite of the data must not forget which batches landed.
+    The ``append_once`` ledger rides along (``_copy_batch_markers``),
+    as do the ``_METADATA_DIRS`` (``_copy_metadata_dirs``): a rewrite
+    of the data must forget neither which batches landed nor the
+    index's own metadata.
     """
     _copy_batch_markers(spark, path, tmp)
+    _copy_metadata_dirs(spark, path, tmp)
     old = f"{path}__old_swap"
     if os.path.isdir(tmp) and not path.startswith(("s3", "hdfs", "gs")):
         import shutil

@@ -292,6 +292,30 @@ def test_compact_preserves_append_once_ledger(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 150
 
 
+def test_compact_preserves_index_metadata(spark, tmp_path):
+    """Compacting (or generic-purging) a TRAINED ANN index must carry
+    its _centroids metadata across the full-dir swap — losing it
+    would silently break every auto-loaded probe/append/serve path
+    (the _batches-ledger loss class, applied to metadata)."""
+    from starknet_etl_spark import io as eio
+    from starknet_etl_spark.operators import similarity as S
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]) for i in range(6)
+    ] + [(i, [0.0, 1.0 + 0.01 * i, 0.0, 0.0]) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "trained")
+    S.build_trained_ann_index(df, idx, dim=4, n_cells=2)
+    q = df.filter("vec_id = 0")
+    before = [r["vec_id"] for r in S.knn_ivf_indexed(spark, idx, q, k=3).collect()]
+
+    eio.compact_table(spark, idx, target_file_mb=1, partition_by=["label"])
+
+    assert S.load_centroids(spark, idx) is not None
+    after = [r["vec_id"] for r in S.knn_ivf_indexed(spark, idx, q, k=3).collect()]
+    assert after == before
+
+
 def test_prune_batch_markers_keeps_replay_tail(spark, tmp_path):
     """Ledger GC: pruning keeps the newest keep_last markers — a
     replay of a KEPT batch still no-ops; a pruned (ancient) batch id
