@@ -523,7 +523,16 @@ def _replace_touched_partitions(
     stale data), then per-directory swap. Untouched partitions are
     never read or rewritten; the table root (and its ``_batches``
     ledger) stays in place. Callers keep their tombstones until this
-    returns, so a crash at any point is healed by re-running."""
+    returns, so a crash at any point is healed by re-running.
+
+    Contract: partition values must be plain scalars whose string
+    form equals Spark's partition-dir encoding (ints, simple
+    strings) — the empty-partition check builds ``col=value`` paths
+    verbatim, so a value Spark would URL-escape (spaces, '%', '/')
+    could leave a fully-purged partition dir behind. Every engine
+    index satisfies this (integer cells/buckets); asserting at call
+    time would cost a regex per value for a case that cannot occur
+    here, so it is a documented contract instead."""
     tmp = f"{path}__tmp_purge"
     live.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     jvm = spark._jvm

@@ -28,7 +28,7 @@ def start_ann_index_stream(
     vectors: DataFrame,
     *,
     index_path: str,
-    centroids_df: DataFrame,
+    centroids_df: DataFrame | None = None,
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -40,6 +40,9 @@ def start_ann_index_stream(
     ``vectors`` is a streaming DataFrame with (id_col, vec_col);
     ``centroids_df`` is the index's frozen centroid metadata
     (similarity.centroids output) — a BATCH frame, snapshotted once.
+    Leave it None for a ``build_trained_ann_index`` index:
+    ``append_ann_index`` auto-loads the ``_centroids`` the index
+    carries (per batch — the metadata is n_cells×dim rows).
     """
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
