@@ -67,6 +67,7 @@ def curate_corpus(
     embedding_col: str | None = None,
     cell_col: str | None = None,
     semantic_dim: int = 64,
+    semantic_cells: int | None = None,
     contamination_threshold: float = 0.2,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
@@ -115,6 +116,17 @@ def curate_corpus(
     ``None`` to skip pair mining. In embedding/semantic mode
     ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
     ``benchmark=None`` skips decontamination.
+
+    ``semantic_cells``: the embedding/semantic tier's SCALE lever
+    when no ``cell_col`` exists — train that many IVF centroids on
+    the vector side in-plan (``train_ivf_centroids``: the engine's
+    own k-means) and scope the pair search to cells, turning the
+    otherwise corpus² blocked GEMM into Σ N_c². The standard
+    SemDeDup shape: near-identical documents embed near-identically
+    and land in the same cell; a pair straddling a cell boundary is
+    missed — that recall trade is the IVF assignment's quality (see
+    tests/test_ann_recall.py), stated rather than hidden. Training
+    is an eager step (codebook collects — see the laziness note).
 
     ``split_by_cluster``: hash the CLUSTER id instead of the doc id
     for split assignment, so any near-dups that survive (e.g. a
@@ -232,6 +244,34 @@ def curate_corpus(
                 vec_col, vcell = "embedding", None
             else:
                 vec_side, vec_col, vcell = kept, embedding_col, cell_col
+            if vcell is None and semantic_cells is not None:
+                from ..operators.similarity import (
+                    assign_cells,
+                    train_ivf_centroids,
+                )
+
+                dim = (
+                    semantic_dim
+                    if near_dup == "semantic"
+                    else vec_side.filter(F.col(vec_col).isNotNull())
+                    .select(F.size(F.col(vec_col)))
+                    .first()[0]
+                )
+                cents = train_ivf_centroids(
+                    vec_side.select(id_col, vec_col),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    dim=int(dim),
+                    n_cells=semantic_cells,
+                )
+                vec_side = assign_cells(
+                    vec_side,
+                    cents,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    cell_col="__semcell",
+                )
+                vcell = "__semcell"
             pairs = cosine_near_dup_pairs(
                 vec_side,
                 id_col=id_col,

@@ -357,3 +357,18 @@ def test_semantic_mode_no_embeddings_needed(spark):
     assert len(cur & {1, 3}) == 1          # semantic pair collapsed
     dropped = ({1, 3} - cur).pop()
     assert aud[dropped][0] == "near_dup"
+
+    # semantic_cells: the scale lever — in-plan trained IVF cells
+    # scope the pair GEMM to sum(N_c^2); on this corpus the near-pair
+    # embeds near-identically, lands in one cell, and the OUTPUT is
+    # identical to the uncapped all-pairs run.
+    cur2, aud2 = curate_corpus(
+        docs, near_dup="semantic", threshold=0.85, redact=False,
+        min_words=10, semantic_cells=2,
+    )
+    assert {r["doc_id"] for r in cur2.collect()} == cur
+    assert {
+        r["doc_id"]: (r["stage"], r["reason"]) for r in aud2.collect()
+    } == aud
+    # the internal cell column never leaks into the outputs
+    assert "__semcell" not in cur2.columns
