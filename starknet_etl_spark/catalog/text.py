@@ -923,6 +923,86 @@ pairs AS (
 """
 
 
+def _semantic_cells_pairs_block(*, dim: int, n_cells: int, n_iters: int) -> str:
+    """The semantic pairs block with TRAINED-CELL scoping — the SQL
+    replay of curate_corpus(semantic_cells=…): densify the hash-embed
+    vectors, seed ``n_cells`` centroids by md5 rank, run ``n_iters``
+    Lloyd rounds (6-dp rounded L2 argmin, code-asc ties; empty cells
+    keep their codeword), assign every doc to its max-cosine cell,
+    and mine pairs ONLY within a cell — Σ N_c², the pipeline's scale
+    path, composition-checked cross-engine."""
+    # AS MATERIALIZED on every multiply-referenced training CTE: the
+    # curation skeleton is one WITH RECURSIVE list, where DuckDB
+    # inlines plain CTEs per reference — tcb{k} references tcb{k-1}
+    # twice and each distance pass references kdense again, so the
+    # Lloyd chain re-expands the whole tokenize→embed subtree
+    # exponentially (observed: >500 s vs ~seconds materialized).
+    iters = []
+    prev = "tcb0"
+    for it in range(1, n_iters + 1):
+        iters.append(f"""td{it} AS MATERIALIZED (
+  SELECT d.doc_id, cb.code,
+         ROUND(SUM((d.x - cb.cvalue) * (d.x - cb.cvalue)), 6) AS dist
+  FROM kdense d JOIN {prev} cb ON cb.dim_i = d.dim_i
+  GROUP BY d.doc_id, cb.code
+),
+ta{it} AS MATERIALIZED (
+  SELECT doc_id, code FROM (
+    SELECT doc_id, code,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY dist, code) AS rn
+    FROM td{it}) WHERE rn = 1
+),
+tcb{it} AS MATERIALIZED (
+  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
+  FROM {prev} p LEFT JOIN (
+    SELECT a.code, d.dim_i, ROUND(AVG(d.x), 6) AS mu
+    FROM kdense d JOIN ta{it} a USING (doc_id)
+    GROUP BY a.code, d.dim_i) m
+  ON m.code = p.code AND m.dim_i = p.dim_i
+),
+""")
+        prev = f"tcb{it}"
+    return (
+        _CURATION_SEMANTIC_PAIRS.replace(
+            "pairs AS (",
+            f"""kdense AS MATERIALIZED (
+  SELECT n.doc_id, gs.i AS dim_i, COALESCE(kx.x, CAST(0.0 AS DOUBLE)) AS x
+  FROM knrm n
+  CROSS JOIN unnest(generate_series(1, {dim})) AS gs(i)
+  LEFT JOIN kx ON kx.doc_id = n.doc_id AND kx.idx = gs.i - 1
+  WHERE n.nn > 0
+),
+trank AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM (SELECT DISTINCT doc_id FROM kdense)
+),
+tcb0 AS MATERIALIZED (
+  SELECT rk - 1 AS code, d.dim_i, d.x AS cvalue
+  FROM trank JOIN kdense d USING (doc_id) WHERE rk <= {n_cells}
+),
+{"".join(iters)}casg AS MATERIALIZED (
+  SELECT doc_id, code AS cell FROM (
+    SELECT d.doc_id, cb.code,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY ROUND(SUM(cb.cvalue * d.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM kdense d JOIN {prev} cb ON cb.dim_i = d.dim_i
+    GROUP BY d.doc_id, cb.code) WHERE rn = 1
+),
+pairs AS (""",
+        ).replace(
+            "JOIN kxn nb ON nb.doc_id = b.doc_id",
+            """JOIN kxn nb ON nb.doc_id = b.doc_id
+  JOIN casg ca ON ca.doc_id = a.doc_id
+  JOIN casg cb ON cb.doc_id = b.doc_id AND cb.cell = ca.cell""",
+        )
+    )
+
+
 def _curation_oracle(pairs_block: str = _CURATION_JACCARD_PAIRS) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
@@ -1080,6 +1160,50 @@ def _curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark=bench,
         near_dup="semantic",
         semantic_dim=16,
+        threshold=0.99,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _curation_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_curation_semantic's SCALE path: semantic_cells=2 trains
+    IVF centroids in-plan and scopes the pair GEMM to cells
+    (Σ N_c², never corpus²); the oracle replays the training +
+    assignment inside the curation skeleton, so the whole celled
+    composition is differential-checked."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="semantic",
+        semantic_dim=16,
+        semantic_cells=2,
         threshold=0.99,
         contamination_threshold=0.2,
         redact=True,
@@ -1943,6 +2067,15 @@ QUERIES = {
         _curation_semantic,
         _curation_oracle(_CURATION_SEMANTIC_PAIRS),
         "composed curation with semantic (hash-embed) near-dup",
+    ),
+    # overflow: the celled scale path of the semantic composition —
+    # in-plan trained IVF cells scope the pair search (sum N_c^2).
+    "doc_curation_semantic_cells": QuerySpec(
+        _curation_semantic_cells,
+        _curation_oracle(
+            _semantic_cells_pairs_block(dim=16, n_cells=2, n_iters=2)
+        ),
+        "semantic curation with trained-cell-scoped pair mining",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,
