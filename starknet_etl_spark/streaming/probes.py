@@ -1,0 +1,148 @@
+"""Streaming retrieval: probe the persisted indexes with a STREAM of
+queries, landing results exactly-once.
+
+The maintenance twins (streaming/vectors.py, streaming/search.py)
+fold data INTO the indexes; this module is the other direction — the
+serving shape where queries arrive continuously (a retrieval queue,
+an eval harness, an online decontamination check) and each
+micro-batch probes the index it finds on disk:
+
+- ``start_ann_probe_stream`` — each batch of query vectors runs one
+  ``knn_ivf_batch`` (probe cells ranked per query, ONE read over the
+  union of probed cell directories, GEMM scoring);
+- ``start_bm25_probe_stream`` — each batch of (query_id, terms) rows
+  runs one ``bm25_batch`` (all terms union into a single
+  bucket-pruned postings read).
+
+Results append via ``io.append_once`` keyed by the micro-batch id:
+a replayed batch (foreachBatch is at-least-once) lands exactly once
+in the results table. The probes see the index AS OF each tick —
+vectors/postings appended by the maintenance streams are visible to
+the next probe batch, and forgotten ids (``forget_vectors`` /
+``forget_postings``) are excluded the moment the tombstone lands,
+both without coordination (the index directories are the contract).
+
+Scale: per tick cost is |batch queries| × the pruned probe — never a
+corpus scan; the driver-side query collect inherits the batched
+operators' ``max_queries`` guard, which for a stream bounds the
+micro-batch size (set trigger limits accordingly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.search import bm25_batch
+from ..operators.similarity import knn_ivf_batch
+
+
+def start_ann_probe_stream(
+    queries: DataFrame,
+    *,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    max_queries: int = 100_000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe a cell-partitioned ANN index with a stream of query
+    vectors; results (query_id, vec_id, cos_sim, rank) append
+    exactly-once to ``results_path``. ``centroids_df=None`` uses the
+    ``_centroids`` a ``build_trained_ann_index`` index carries."""
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        out = knn_ivf_batch(
+            batch.sparkSession,
+            index_path,
+            batch,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+            k=k,
+            n_probes=n_probes,
+            centroids_df=centroids_df,
+            max_queries=max_queries,
+        )
+        append_once(out, results_path, batch_id)
+
+    writer = (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_bm25_probe_stream(
+    queries: DataFrame,
+    *,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    q_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 10,
+    max_queries: int = 10_000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe a postings index with a stream of (query_id, terms)
+    rows; results (query_id, doc_id, bm25) append exactly-once.
+
+    The micro-batch's query map is driver-collected (bounded by
+    ``max_queries`` — ``bm25_batch`` raises past it, failing the
+    batch LOUDLY rather than OOMing the driver)."""
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        # cap BEFORE collecting — bm25_batch's own guard would fire
+        # only after an unbounded collect already sat on the driver
+        rows = (
+            batch.select(q_id_col, terms_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"bm25 probe micro-batch exceeds max_queries="
+                f"{max_queries}; lower the trigger size or raise the "
+                "cap deliberately"
+            )
+        if not rows:
+            return
+        qmap = {str(r[0]): list(r[1]) for r in rows}
+        out = bm25_batch(
+            batch.sparkSession,
+            index_path,
+            qmap,
+            k1=k1,
+            b=b,
+            top_k=top_k,
+            max_queries=max_queries,
+        )
+        append_once(out, results_path, batch_id)
+
+    writer = (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

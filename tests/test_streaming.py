@@ -499,6 +499,156 @@ def test_stream_ann_index_append_and_replay_safe(spark, tmp_path):
     assert spark.read.parquet(index).count() == 6
 
 
+def test_stream_ann_probe_parity_and_replay(spark, tmp_path):
+    """Streaming ANN retrieval: each query micro-batch probes the
+    index via knn_ivf_batch; the union of per-batch results equals
+    one batched probe of all queries; a replayed batch (lost engine
+    commit) lands nothing twice."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators import similarity as S
+    from starknet_etl_spark.streaming.probes import start_ann_probe_stream
+
+    corpus_rows = [
+        (10, [1.0, 0.05, 0.0, 0.0], 0),
+        (11, [0.9, 0.1, 0.0, 0.0], 0),
+        (12, [0.0, 1.0, 0.0, 0.0], 1),
+        (13, [0.05, 0.95, 0.0, 0.0], 1),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    index = str(tmp_path / "index")
+    S.build_ann_index(corpus, index, cell_col="label")
+    cents = S.centroids(corpus, dim=4)
+
+    qschema = "vec_id bigint, embedding array<float>"
+    q_rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.02, 0.0])]
+    src = str(tmp_path / "qsrc")
+    for row in q_rows:  # one file per query → two micro-batches
+        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_ann_probe_stream(
+            spark.readStream.schema(qschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=index,
+            results_path=results,
+            checkpoint=ckpt,
+            k=2,
+            centroids_df=cents,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in spark.read.parquet(results).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in S.knn_ivf_batch(
+            spark,
+            index,
+            spark.createDataFrame(q_rows, qschema),
+            centroids_df=cents,
+            k=2,
+        ).collect()
+    )
+    assert got == want and len(got) == 4
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: ledger no-ops, nothing duplicated
+    assert spark.read.parquet(results).count() == 4
+
+
+def test_stream_bm25_probe_parity_and_replay(spark, tmp_path):
+    """Streaming BM25 retrieval: per-batch bm25_batch probes equal
+    the one-shot batched probe; replayed batches land exactly once;
+    an oversized micro-batch fails loudly before the collect."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.search import (
+        bm25_batch,
+        build_postings_index,
+    )
+    from starknet_etl_spark.streaming.probes import start_bm25_probe_stream
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the quiet pond"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = str(tmp_path / "bm25")
+    build_postings_index(docs, index, n_buckets=4)
+
+    qschema = "query_id string, terms array<string>"
+    q_rows = [("q0", ["spark", "the"]), ("q1", ["catalyst"])]
+    src = str(tmp_path / "qsrc")
+    for row in q_rows:
+        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go(max_queries=10_000):
+        q = start_bm25_probe_stream(
+            spark.readStream.schema(qschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=index,
+            results_path=results,
+            checkpoint=ckpt,
+            top_k=3,
+            max_queries=max_queries,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"])
+        for r in spark.read.parquet(results).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"])
+        for r in bm25_batch(
+            spark, index, dict(q_rows), top_k=3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    n = spark.read.parquet(results).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()
+    assert spark.read.parquet(results).count() == n
+
+    # oversized batch: loud failure, not a driver OOM
+    import pytest
+
+    with pytest.raises(Exception, match="max_queries"):
+        q = start_bm25_probe_stream(
+            spark.readStream.schema(qschema).parquet(src),
+            index_path=index,
+            results_path=str(tmp_path / "r2"),
+            checkpoint=str(tmp_path / "ckpt2"),
+            max_queries=1,
+        )
+        q.awaitTermination(120)
+
+
 def test_stream_curation_end_to_end_and_replay_safe(spark, tmp_path):
     """Streaming curation: gates, cross-batch exact dedup (hash
     ledger), incremental first-seen-wins near-dup, redaction and
