@@ -594,24 +594,49 @@ def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:
     Without this, compacting or generic-purging a trained ANN index
     (``build_trained_ann_index``) would destroy its ``_centroids``
     metadata — the same silent-loss class as the r4 ``_batches``
-    ledger bug, caught by the same review lens."""
+    ledger bug, caught by the same review lens.
+
+    A dir already present in ``dst`` is LEFT ALONE: a rewrite that
+    produced its own fresh metadata (``retrain_ann_index``'s
+    re-trained centroids) must not have it clobbered by the stale
+    copy it is replacing; rewrites that carry none (compaction,
+    purge) get the copy."""
     for name in _METADATA_DIRS:
-        s, d = f"{src}/{name}", f"{dst}/{name}"
-        if os.path.isdir(s) and not src.startswith(("s3", "hdfs", "gs")):
+        _copy_dir(
+            spark, f"{src}/{name}", f"{dst}/{name}", skip_if_present=True
+        )
+
+
+def _copy_dir(
+    spark: SparkSession, src: str, dst: str, *, skip_if_present: bool = False
+) -> None:
+    """Recursive directory COPY (local fast-path, Hadoop FileUtil for
+    remote schemes); a missing ``src`` is a no-op. ``skip_if_present``
+    leaves an existing ``dst`` untouched instead of replacing it."""
+    if not src.startswith(("s3", "hdfs", "gs")):
+        if os.path.isdir(dst):
+            if skip_if_present:
+                return
             import shutil
 
-            shutil.rmtree(d, ignore_errors=True)
-            shutil.copytree(s, d)
-            continue
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        sp = jvm.org.apache.hadoop.fs.Path(s)
-        fs = sp.getFileSystem(conf)
-        if not fs.exists(sp):
-            continue
-        dp = jvm.org.apache.hadoop.fs.Path(d)
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            import shutil
+
+            shutil.copytree(src, dst)
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    fs = sp.getFileSystem(conf)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.exists(sp):
+        return
+    if fs.exists(dp):
+        if skip_if_present:
+            return
         fs.delete(dp, True)
-        jvm.org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, False, conf)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, False, conf)
 
 
 def _replace_dir(spark: SparkSession, path: str, tmp: str) -> None:

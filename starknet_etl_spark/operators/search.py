@@ -312,6 +312,54 @@ def append_postings(
     return did
 
 
+def rebucket_postings(
+    spark: SparkSession, path: str, n_buckets: int
+) -> None:
+    """Re-partition a LIVE postings index into ``n_buckets`` term
+    buckets — the scaling knob the build froze: a growing corpus
+    wants more buckets (each probe reads |terms| whole buckets, so
+    probe selectivity is 1/n_buckets of the postings), while a small
+    index wants fewer (directory count ∝ write overhead). Probes and
+    appends always hash with the modulus in ``meta/``, so the change
+    is transparent the moment it lands.
+
+    Postings and meta MUST change together — with either one swapped
+    alone, probes hash terms with one modulus against the other's
+    layout and silently miss postings. So the rebuild assembles a
+    complete new index root (new postings + new meta + a full copy
+    of the small stats ledger + the postings replay markers) in a
+    sibling tmp dir and swaps the WHOLE root in with one tombstone
+    rename (``io._replace_dir``): a crash at any step leaves the old
+    index fully consistent on disk. Tombstones are a sibling dir,
+    untouched (bucket layout is orthogonal). One full posting
+    shuffle — the same cost class as the original build, paid
+    deliberately at maintenance time."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from .. import io as _io
+
+    postings_p, stats_p, _ = _paths(path)
+    tmp_root = f"{path}__tmp_rebucket"
+    _io._delete_dir(spark, tmp_root)
+    tmp_postings, tmp_stats, tmp_meta = _paths(tmp_root)
+    rebucketed = (
+        spark.read.parquet(postings_p)
+        .drop("bucket")
+        .withColumn("bucket", _bucket(F.col("term"), n_buckets))
+    )
+    rebucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        tmp_postings
+    )
+    # the rebucketed postings already contain every landed batch's
+    # rows — replays must keep no-oping after the swap
+    _io._copy_batch_markers(spark, postings_p, tmp_postings)
+    _io._copy_dir(spark, stats_p, tmp_stats)  # ledger + its markers
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(tmp_meta)
+    _io._replace_dir(spark, path, tmp_root)
+
+
 def forget_postings(
     spark: SparkSession,
     path: str,

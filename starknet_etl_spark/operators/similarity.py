@@ -378,6 +378,64 @@ def build_trained_ann_index(
     return cents
 
 
+def retrain_ann_index(
+    spark,
+    index_path: str,
+    *,
+    dim: int,
+    n_cells: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    salt: str = "",
+) -> DataFrame:
+    """Deliberate re-clustering of a LIVE index — the maintenance
+    step the frozen-centroid contract defers: after enough
+    ``append_ann_index`` ticks the data distribution drifts from the
+    centroids and cell sizes skew, so recall and pruning both decay.
+    Reads the index's own vectors, re-trains from scratch
+    (:func:`train_ivf_centroids`), re-assigns, and swaps the rebuilt
+    layout in ATOMICALLY (``io._replace_dir`` tombstone rename — a
+    crash at any step leaves either the old or the new index fully
+    intact on disk; rebuilding in place with ``build_trained_ann_index``
+    would delete the live index before writing). Returns the new
+    centroids.
+
+    Also the deepest purge: tombstoned ids (``forget_vectors``) are
+    excluded from the rebuild and the tombstones cleared after the
+    swap. The ``append_once`` replay ledger RIDES ALONG — the rebuilt
+    index already contains every landed batch's vectors, so a
+    replayed batch must still no-op; the fresh ``_centroids`` the
+    rebuild wrote are kept (``_copy_metadata_dirs`` only fills in
+    metadata a rewrite didn't bring)."""
+    from .. import io as _io
+    from .dedup import _without_forgotten
+
+    live = _without_forgotten(
+        spark,
+        index_path,
+        _io.load_table(spark, index_path).drop(cell_col),
+        id_col,
+    )
+    tmp = f"{index_path}__tmp_retrain"
+    _io._delete_dir(spark, tmp)
+    cents = build_trained_ann_index(
+        live,
+        tmp,
+        dim=dim,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        salt=salt,
+    )
+    _io._replace_dir(spark, index_path, tmp)
+    _io._delete_dir(spark, f"{index_path}__tombstones")
+    return cents
+
+
 def load_centroids(spark, index_path: str) -> DataFrame | None:
     """The index's persisted centroid metadata
     (``build_trained_ann_index``), or None when the index was built

@@ -1102,6 +1102,117 @@ def test_trained_index_carries_its_own_metadata(spark, tmp_path):
         S.knn_ivf_indexed(spark, plain, q.drop("label"), k=1)
 
 
+def test_retrain_ann_index_recluster_purge_and_replay(spark, tmp_path):
+    """retrain_ann_index: a drifted index re-clusters from its own
+    vectors via an ATOMIC root swap (never an in-place overwrite of
+    the live index) — tombstoned ids drop out of the rebuild, the
+    fresh centroids win over the stale metadata, the append_once
+    ledger survives so a replayed batch still no-ops, and probes
+    work end-to-end on the new layout."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4)[:3]
+    rows = []
+    vid = 0
+    for c in range(3):
+        for p in centers[c] + 0.05 * rng.normal(size=(6, 4)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "ann")
+    # initial build deliberately UNDER-clustered (2 cells for 3 modes)
+    S.build_trained_ann_index(df.filter("vec_id < 12"), idx, dim=4, n_cells=2)
+    assert S.append_ann_index(df.filter("vec_id >= 12"), idx, 1)
+    S.forget_vectors(spark, idx, [0], 0)
+    old_cells = {
+        r["cell"] for r in S.load_centroids(spark, idx).select("cell").collect()
+    }
+    assert old_cells == {0, 1}
+
+    cents = S.retrain_ann_index(spark, idx, dim=4, n_cells=3)
+    new_cells = {
+        r["cell"] for r in S.load_centroids(spark, idx).select("cell").collect()
+    }
+    assert new_cells == {0, 1, 2}  # fresh metadata, not the stale copy
+    assert sorted(
+        map(tuple, cents.collect())
+    ) == sorted(map(tuple, S.load_centroids(spark, idx).collect()))
+
+    left = {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+    assert left == set(range(1, 18))  # forgotten id rebuilt OUT
+    import os
+
+    assert not os.path.exists(f"{idx}__tombstones")
+
+    # replay of the already-landed batch 1 must still no-op
+    assert S.append_ann_index(df.filter("vec_id >= 12"), idx, 1) is False
+    assert spark.read.parquet(idx).count() == 17
+
+    # probes run end-to-end on the re-clustered layout
+    q = df.filter("vec_id = 1")
+    got = [r["vec_id"] for r in S.knn_ivf_indexed(spark, idx, q, k=3).collect()]
+    assert got[0] == 1 and 0 not in got
+
+
+def test_rebucket_postings_transparent_to_probes(spark, tmp_path):
+    """rebucket_postings: the bucket modulus changes in ONE atomic
+    root swap (postings + meta + stats together — either alone would
+    silently miss postings); probe scores are identical before and
+    after, forgotten docs stay excluded, and the replay ledger
+    survives."""
+    import os
+
+    from starknet_etl_spark.operators.search import (
+        append_postings,
+        bm25_indexed,
+        build_postings_index,
+        forget_postings,
+        rebucket_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the quiet pond"),
+            (4, "catalyst chemistry speeds reactions in the lab"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["spark", "catalyst", "the"]
+    idx = str(tmp_path / "bm25")
+    build_postings_index(docs.filter("doc_id <= 3"), idx, n_buckets=2)
+    assert append_postings(docs.filter("doc_id = 4"), idx, 9)
+    forget_postings(spark, idx, [3], 0)
+    before = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, idx, terms).collect()
+    )
+
+    rebucket_postings(spark, idx, 8)
+
+    from starknet_etl_spark.operators.search import _read_meta
+
+    assert _read_meta(spark, idx) == 8
+    buckets = {
+        d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")
+    }
+    assert 1 < len(buckets) <= 8
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, idx, terms).collect()
+    )
+    assert after == before and all(d != 3 for d, _ in after)
+    # ledger rode along: the landed batch still no-ops
+    assert append_postings(docs.filter("doc_id = 4"), idx, 9) is False
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rebucket_postings(spark, idx, 0)
+
+
 def test_forget_vectors_logical_then_scoped_purge(spark, tmp_path):
     """forget_vectors: probes exclude tombstoned ids IMMEDIATELY
     (no rewrite), identically on the single-query and batched paths;
