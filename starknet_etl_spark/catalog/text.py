@@ -1866,6 +1866,23 @@ _BM25_FORGET_ORACLE = _BM25_ORACLE.replace(
 )
 
 
+def _bm25_rebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance transparency, differential-grade: the index is
+    built at 16 term buckets then REBUCKETED to 5 (one atomic root
+    swap of postings+meta+stats); the probe must rank exactly as the
+    scan — the modulus change is invisible to results."""
+    from ..operators.search import (
+        bm25_indexed,
+        build_postings_index,
+        rebucket_postings,
+    )
+
+    path = scratch_path(spark, sf_dir, "bm25_rebucket_catalog")
+    build_postings_index(_docs(spark, sf_dir), path, n_buckets=16)
+    rebucket_postings(spark, path, 5)
+    return bm25_indexed(spark, path, list(_BM25_TERMS), top_k=15)
+
+
 def _bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-index variant of doc_bm25_search: postings
     built bucket-partitioned once, the query reads only its terms'
@@ -2127,5 +2144,12 @@ QUERIES = {
         _bm25_forget,
         _BM25_FORGET_ORACLE,
         "BM25 probe after forget == scan of corpus minus the docs",
+    ),
+    # overflow: maintenance transparency — probe after an atomic
+    # rebucket (16 -> 5 term buckets) == the scan (shared oracle).
+    "doc_bm25_rebucketed": QuerySpec(
+        _bm25_rebucketed,
+        _BM25_ORACLE,
+        "BM25 probe after rebucket_postings == original scan ranking",
     ),
 }

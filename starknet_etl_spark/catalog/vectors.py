@@ -721,6 +721,28 @@ def _ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
 
 
+def _ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance transparency for the ANN side: the trained index
+    is REBUILT from its own vectors (retrain_ann_index — the atomic
+    root-swap re-clustering). With no appends or forgets in between,
+    retraining with the same parameters reproduces the same
+    deterministic seeding and Lloyd rounds, so the probe must rank
+    exactly as the in-plan train→assign→probe chain (shared oracle)."""
+    emb = _emb(spark, sf_dir).drop("label")
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "ivf_retrained_catalog")
+    S.build_trained_ann_index(
+        corpus, path, dim=DIM, n_cells=_IVF_TRAIN_CELLS,
+        n_iters=_IVF_TRAIN_ITERS, cell_col="cell",
+    )
+    S.retrain_ann_index(
+        spark, path, dim=DIM, n_cells=_IVF_TRAIN_CELLS,
+        n_iters=_IVF_TRAIN_ITERS, cell_col="cell", id_col="vec_id",
+    )
+    return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
+
+
 def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.nearest_in_cell(_emb(spark, sf_dir), min_cos=0.0)
 
@@ -836,6 +858,14 @@ QUERIES = {
         _ivf_trained_indexed,
         _ivf_trained_oracle(),
         "persisted trained index: _centroids-ranked pruned probe",
+    ),
+    # overflow: maintenance transparency — probing after an atomic
+    # re-clustering (retrain_ann_index) of an untouched corpus must
+    # reproduce the in-plan chain exactly (shared oracle).
+    "emb_ivf_retrained": QuerySpec(
+        _ivf_retrained,
+        _ivf_trained_oracle(),
+        "probe after retrain_ann_index == the train->assign->probe chain",
     ),
     # overflow: contrastive-positive mining (anchor, positive) pairs
     # for embedding training export; negatives come free in-batch.
