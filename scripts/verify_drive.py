@@ -145,6 +145,41 @@ pq2 = [
 ]
 assert len(pq) == 5 and pq == pq2 and all(-1.001 <= s <= 1.001 for _, s in pq)
 
+# 4c) persisted PQ index lifecycle: build (from-scratch IVF training
+# + sample-init codebooks), indexed probe == in-plan chain, append
+# under frozen metadata, batched probe == per-query loop
+pidx = "/tmp/verify_pq_idx"
+shutil.rmtree(pidx, ignore_errors=True)
+cents5, cbs5 = SIM.build_pq_index(
+    corp.filter("vec_id < 400"), pidx, dim=64, m=8, ksub=16, n_cells=4
+)
+via_pq_index = [
+    (r["vec_id"], r["cos_sim"])
+    for r in SIM.knn_pq_indexed(spark, pidx, q, k=5, n_probes=2).collect()
+]
+cells5 = SIM._ranked_probe_cells(q, cents5, n_probes=2)
+inplan5 = SIM.assign_cells(corp.filter("vec_id < 400"), cents5)
+inplan5 = inplan5.filter(inplan5["label"].isin(cells5))
+want_pq = [
+    (r["vec_id"], r["cos_sim"])
+    for r in SIM.knn_pq_adc(SIM.pq_encode(inplan5, cbs5), cbs5, q, k=5).collect()
+]
+assert via_pq_index == want_pq and len(via_pq_index) == 5
+assert SIM.append_pq_index(corp.filter("vec_id >= 400"), pidx, 1)
+assert not SIM.append_pq_index(corp.filter("vec_id >= 400"), pidx, 1)
+batch_pq = {
+    (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+    for r in SIM.knn_pq_batch(spark, pidx, q, k=5, n_probes=2).collect()
+}
+loop_pq = {
+    (0, i + 1, v, s)
+    for i, (v, s) in enumerate(
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.knn_pq_indexed(spark, pidx, q, k=5, n_probes=2).collect()
+    )
+}
+assert batch_pq == loop_pq, (batch_pq, loop_pq)
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}

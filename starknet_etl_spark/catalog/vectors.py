@@ -434,20 +434,53 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codebooks, 6-dp rounded L2 argmin assignment (code-asc tiebreak),
 # ADC scoring against the reconstructed vectors. Integral '//' for
 # the subspace index (DuckDB CAST rounds; Spark truncates).
-def _pq_oracle(*, cell_scoped: bool, k: int) -> str:
+def _pq_oracle(
+    *, cell_scoped: bool, k: int, n_probes: int | None = None
+) -> str:
     """The full PQ chain in SQL (sample-init codebooks, 6-dp rounded
     L2 argmin assignment, ADC cosine); ``cell_scoped`` restricts the
     SCORED corpus to the query's IVF cell — codebooks stay
     corpus-trained, encoding is per-vector, so scoping early is
-    identical to probing one cell directory of a PQ-coded index."""
-    cell = (
-        f"\n   AND label = (SELECT label FROM embeddings"
-        f" WHERE vec_id = {_QUERY_ID})"
-        if cell_scoped
-        else ""
-    )
+    identical to probing one cell directory of a PQ-coded index.
+    ``n_probes`` instead scopes to the top-n cells by 6-dp rounded
+    MEAN-centroid cosine (cell-asc tiebreak) — exactly
+    ``knn_pq_indexed``'s probe rule over a ``build_pq_index``
+    layout's persisted ``_centroids``."""
+    probe_ctes = ""
+    if n_probes is not None:
+        cell = "\n   AND label IN (SELECT cell FROM probe)"
+        probe_ctes = f"""cents AS (
+  SELECT label AS cell, i AS dim_i,
+         ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+  GROUP BY label, i
+),
+probeq AS (
+  SELECT i AS dim_i, CAST(embedding[i] AS DOUBLE) AS qx
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id = {_QUERY_ID}
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY ROUND(SUM(c.centroid * p.qx)
+                            / SQRT(SUM(c.centroid * c.centroid)), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM probeq p JOIN cents c USING (dim_i)
+    GROUP BY c.cell) WHERE rn <= {n_probes}
+),
+"""
+    else:
+        cell = (
+            f"\n   AND label = (SELECT label FROM embeddings"
+            f" WHERE vec_id = {_QUERY_ID})"
+            if cell_scoped
+            else ""
+        )
     return f"""
-WITH ranked AS (
+WITH {probe_ctes}ranked AS (
   SELECT vec_id, embedding,
          row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
@@ -522,6 +555,21 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = S.pq_encode(incell, cb)
     return S.knn_pq_adc(codes, cb, query, k=5)
+
+
+def _knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED compressed index (build_pq_index): codes stored
+    cell-partitioned with _centroids + _codebooks metadata inside,
+    then a 2-probe knn_pq_indexed probe — centroid-ranked partition
+    pruning over 4-byte codes, ADC scoring off the persisted
+    codebooks. The oracle replays the whole chain: mean centroids,
+    probe ranking, sample-init codebooks, argmin encoding, ADC."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "pq_index_catalog")
+    S.build_pq_index(corpus, path, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB)
+    return S.knn_pq_indexed(spark, path, query, k=5, n_probes=2)
 
 
 _BATCH_QUERY_IDS = (0, 1, 2)  # probe set for the batched pruned path
@@ -836,6 +884,15 @@ QUERIES = {
         _knn_ivfpq,
         _pq_oracle(cell_scoped=True, k=5),
         "cell-scoped ADC top-5 (pruned AND 128x-compressed probe)",
+    ),
+    # overflow: the compressed index PERSISTED — build_pq_index
+    # layout (codes by cell, _centroids + _codebooks inside), probed
+    # by centroid rank at 2 cells; the full FAISS-IVFPQ lifecycle's
+    # read path, oracle-replayed end to end.
+    "emb_ivfpq_indexed": QuerySpec(
+        _knn_ivfpq_indexed,
+        _pq_oracle(cell_scoped=False, k=5, n_probes=2),
+        "persisted PQ index: 2-probe centroid-ranked ADC top-5",
     ),
     # overflow: batched pruned ANN — many queries, one read over the
     # union of probed cell dirs (the bm25_batch template on vectors).

@@ -582,9 +582,10 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
 #: top-level underscore metadata dirs that must survive full-dir
 #: swaps (Spark's readers ignore underscore paths, so they are
 #: invisible to the rewrite plan and would silently vanish with the
-#: old dir): the ANN index's trained centroids. ``_batches`` has its
-#: own empty-marker copier; ``_SUCCESS`` is disposable.
-_METADATA_DIRS = ("_centroids",)
+#: old dir): the ANN index's trained centroids and the PQ index's
+#: codebooks. ``_batches`` has its own empty-marker copier;
+#: ``_SUCCESS`` is disposable.
+_METADATA_DIRS = ("_centroids", "_codebooks")
 
 
 def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:

@@ -623,6 +623,42 @@ def purge_ann_index(
     return len(touched)
 
 
+def _ranked_probe_cells(
+    query: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_probes: int = 1,
+) -> list:
+    """The single-query probe-selection rule, shared by every indexed
+    probe (flat IVF and PQ alike): cells ranked by 6-dp ROUNDED
+    centroid cosine against the query, cell-asc tiebreak, best
+    ``n_probes`` collected. One metadata-sized job (n_cells rows) —
+    the same cost class as any partition-prune key."""
+    qd = query.select(
+        F.posexplode(F.col(vec_col)).alias("__d0", "__qx")
+    ).select(
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
+    ranked = (
+        centroids_df.join(F.broadcast(qd), "dim_i")
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.sum(F.col("centroid") * F.col("__qx"))
+                / F.sqrt(
+                    F.sum(F.col("centroid") * F.col("centroid"))
+                ),
+                6,
+            ).alias("__s")
+        )
+        .orderBy(F.desc("__s"), F.asc("cell"))
+        .limit(n_probes)
+    )
+    return [r["cell"] for r in ranked.collect()]
+
+
 def knn_ivf_indexed(
     spark,
     index_path: str,
@@ -678,28 +714,9 @@ def knn_ivf_indexed(
         # rank-1 cell IS the max-cosine assignment.
         if centroids_df is None:
             raise ValueError("n_probes > 1 needs centroids_df metadata")
-        qd = query.select(
-            F.posexplode(F.col(vec_col)).alias("__d0", "__qx")
-        ).select(
-            (F.col("__d0") + 1).cast("long").alias("dim_i"),
-            F.col("__qx").cast("double").alias("__qx"),
+        cells = _ranked_probe_cells(
+            query, centroids_df, vec_col=vec_col, n_probes=n_probes
         )
-        ranked = (
-            centroids_df.join(F.broadcast(qd), "dim_i")
-            .groupBy("cell")
-            .agg(
-                F.round(
-                    F.sum(F.col("centroid") * F.col("__qx"))
-                    / F.sqrt(
-                        F.sum(F.col("centroid") * F.col("centroid"))
-                    ),
-                    6,
-                ).alias("__s")
-            )
-            .orderBy(F.desc("__s"), F.asc("cell"))
-            .limit(n_probes)
-        )
-        cells = [r["cell"] for r in ranked.collect()]
         corpus = spark.read.parquet(index_path).filter(
             F.col(cell_col).isin(cells)
         )
@@ -707,6 +724,80 @@ def knn_ivf_indexed(
     corpus = _without_forgotten(spark, index_path, corpus, id_col)
     return knn_bruteforce(
         corpus, query, id_col=id_col, vec_col=vec_col, k=k, scorer=scorer
+    )
+
+
+def _collect_queries(
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    max_queries: int,
+    opname: str,
+) -> list:
+    """Driver-collect a batched probe set under the ``max_queries``
+    contract shared by every batched ANN path: NULL vectors drop,
+    overflow and duplicate ids raise LOUDLY."""
+    qrows = [
+        (int(r[0]), r[1])
+        for r in queries.select(
+            F.col(q_id_col).cast("long"), F.col(q_vec_col)
+        )
+        .limit(max_queries + 1)
+        .collect()
+        if r[1] is not None  # NULL query vectors: same drop policy
+    ]
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{opname}: queries exceed max_queries={max_queries}; "
+            "this side is driver-collected — shard the probe set or "
+            "raise max_queries deliberately"
+        )
+    if not qrows:
+        raise ValueError("queries is empty (or all query vectors NULL)")
+    if len({qid for qid, _ in qrows}) != len(qrows):
+        raise ValueError(
+            f"{opname}: duplicate query ids — results are keyed by "
+            "query_id, so duplicates would silently drop probes"
+        )
+    return qrows
+
+
+def _batch_probe_cells(
+    qv: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    q_id_col: str,
+    q_vec_col: str,
+    n_probes: int,
+) -> list:
+    """Probe ranking for ALL queries in one metadata-sized job — the
+    batched form of ``_ranked_probe_cells`` with the identical
+    rounded centroid-cosine + cell-asc rule, so the probed set per
+    query matches the per-query loop exactly. Returns collected
+    (__qid, cell) rows."""
+    qd = qv.select(
+        F.col(q_id_col).cast("long").alias("__qid"),
+        F.posexplode(F.col(q_vec_col)).alias("__d0", "__qx"),
+    ).select(
+        "__qid",
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
+    wq = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("cell"))
+    return (
+        qd.join(F.broadcast(centroids_df), "dim_i")
+        .groupBy("__qid", "cell")
+        .agg(
+            F.round(
+                F.sum(F.col("centroid") * F.col("__qx"))
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
+                6,
+            ).alias("__s")
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probes)
+        .select("__qid", "cell")
+        .collect()
     )
 
 
@@ -764,58 +855,16 @@ def knn_ivf_batch(
         )
     if n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
-    qrows = [
-        (int(r[0]), r[1])
-        for r in queries.select(
-            F.col(q_id_col).cast("long"), F.col(q_vec_col)
-        )
-        .limit(max_queries + 1)
-        .collect()
-        if r[1] is not None  # NULL query vectors: same drop policy
-    ]
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"knn_ivf_batch: queries exceed max_queries={max_queries}; "
-            "this side is driver-collected — shard the probe set or "
-            "raise max_queries deliberately"
-        )
-    if not qrows:
-        raise ValueError("queries is empty (or all query vectors NULL)")
-    if len({qid for qid, _ in qrows}) != len(qrows):
-        raise ValueError(
-            "knn_ivf_batch: duplicate query ids — results are keyed by "
-            "query_id, so duplicates would silently drop probes"
-        )
+    qrows = _collect_queries(
+        queries, q_id_col, q_vec_col, max_queries, "knn_ivf_batch"
+    )
     qv = spark.createDataFrame(
         [(qid, [float(x) for x in v]) for qid, v in qrows],
         f"{q_id_col} long, {q_vec_col} array<double>",
     )
-    # Probe ranking for ALL queries in one job — the same rounded
-    # centroid-cosine + cell-asc rule as knn_ivf_indexed, so the
-    # probed set per query is identical to the per-query loop.
-    qd = qv.select(
-        F.col(q_id_col).cast("long").alias("__qid"),
-        F.posexplode(F.col(q_vec_col)).alias("__d0", "__qx"),
-    ).select(
-        "__qid",
-        (F.col("__d0") + 1).cast("long").alias("dim_i"),
-        F.col("__qx").cast("double").alias("__qx"),
-    )
-    wq = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("cell"))
-    probe_rows = (
-        qd.join(F.broadcast(centroids_df), "dim_i")
-        .groupBy("__qid", "cell")
-        .agg(
-            F.round(
-                F.sum(F.col("centroid") * F.col("__qx"))
-                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
-                6,
-            ).alias("__s")
-        )
-        .withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= n_probes)
-        .select("__qid", "cell")
-        .collect()
+    probe_rows = _batch_probe_cells(
+        qv, centroids_df, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        n_probes=n_probes,
     )
     cell_to_q: dict = {}
     for r in probe_rows:
@@ -1496,6 +1545,390 @@ def pq_refine(
             rows, "sub long, code long, dim_i long, cvalue double"
         )
     return cb
+
+
+def load_codebooks(spark, index_path: str) -> DataFrame | None:
+    """The PQ index's persisted codebook metadata
+    (``build_pq_index``), or None when the path holds no
+    ``_codebooks`` dir (e.g. a flat ANN index)."""
+    from .. import io as _io
+
+    p = f"{index_path}/_codebooks"
+    if not _io._exists(spark, p):
+        return None
+    return spark.read.parquet(p)
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+    n_cells: int | None = None,
+    n_iters: int = 2,
+    pq_iters: int = 0,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted IVF+PQ index — the compressed sibling of
+    ``build_trained_ann_index``: the corpus is stored as
+    ``(id, pq_codes)`` rows partitioned by IVF cell, with BOTH kinds
+    of metadata inside the index (``_centroids`` for probe ranking,
+    ``_codebooks`` for ADC scoring — underscore dirs, invisible to
+    parquet readers of the data, the ``_batches`` convention). At
+    m=8/ksub=16 over 64-dim float64 that is a 128× smaller scan than
+    the flat index; a probe reads n_probes cell directories of
+    4-byte codes and never touches a float vector
+    (``knn_pq_indexed``). This is the FAISS IVFPQ layout re-expressed
+    as a partitioned parquet table + broadcast metadata.
+
+    Cells: an explicit ``centroids_df`` (or, when absent, a
+    pre-assigned ``cell_col`` on ``df`` whose per-cell MEANS become
+    the persisted probe metadata) or — with ``n_cells`` — trained
+    from scratch (:func:`train_ivf_centroids`, ``n_iters`` Lloyd
+    rounds). Codebooks: ``codebooks_df`` or trained here
+    (:func:`train_pq_codebooks` sample init + ``pq_iters`` Lloyd
+    rounds of :func:`pq_refine`).
+
+    Write order: data first, metadata second — a crash in between
+    leaves an index that probes with explicitly-passed metadata and
+    fails LOUDLY where auto-load is expected, never metadata
+    pointing at absent data. Returns ``(centroids, codebooks)``.
+    """
+    if codebooks_df is None:
+        codebooks_df = train_pq_codebooks(
+            df, id_col=id_col, vec_col=vec_col, dim=dim, m=m, ksub=ksub,
+            salt=salt,
+        )
+        if pq_iters > 0:
+            codebooks_df = pq_refine(
+                df, codebooks_df, id_col=id_col, vec_col=vec_col,
+                n_iters=pq_iters,
+            )
+    if centroids_df is None and n_cells is not None:
+        # explicit n_cells ALWAYS trains — a corpus that happens to
+        # carry cell_col (e.g. a dataset label) must not silently
+        # override the caller's deliberate clustering request
+        centroids_df = train_ivf_centroids(
+            df, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_cells=n_cells, n_iters=n_iters, salt=salt,
+        )
+    if centroids_df is not None:
+        assigned = assign_cells(
+            df, centroids_df, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col,
+        )
+    elif cell_col in df.columns:
+        # pre-assigned corpus: per-cell MEANS become probe metadata
+        assigned = df.filter(F.col(vec_col).isNotNull())
+        centroids_df = centroids(
+            assigned, vec_col=vec_col, cell_col=cell_col, dim=dim
+        )
+    else:
+        raise ValueError(
+            f"df carries no {cell_col!r} column and no centroids_df "
+            "was passed; give n_cells to train IVF centroids from "
+            "scratch"
+        )
+    codes = pq_encode(
+        assigned, codebooks_df, id_col=id_col, vec_col=vec_col
+    ).join(assigned.select(id_col, cell_col), id_col)
+    from ..io import save_table
+
+    save_table(codes, path, mode="overwrite", partition_by=[cell_col])
+    centroids_df.write.mode("overwrite").parquet(f"{path}/_centroids")
+    codebooks_df.write.mode("overwrite").parquet(f"{path}/_codebooks")
+    return centroids_df, codebooks_df
+
+
+def append_pq_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+) -> bool:
+    """Fold a vector micro-batch into a persisted PQ index
+    (``build_pq_index``) — ``append_ann_index``'s compressed twin.
+    The FROZEN-metadata contract: the batch is assigned to the
+    index's persisted centroids (unless it already carries
+    ``cell_col``) and encoded with the index's persisted codebooks;
+    drift is handled by the deliberate :func:`retrain_pq_index`, not
+    per-tick re-training. The write is an ``io.append_once`` keyed
+    by ``batch_id`` (replays no-op), ``partition_by=[cell_col]`` —
+    only touched cell directories gain files. Returns True when the
+    append ran, False for a replayed batch."""
+    from ..io import append_once
+
+    spark = df.sparkSession
+    if codebooks_df is None:
+        codebooks_df = load_codebooks(spark, index_path)
+    if codebooks_df is None:
+        raise ValueError(
+            "append_pq_index needs the index's _codebooks metadata "
+            "(build with build_pq_index, or pass codebooks_df)"
+        )
+    if centroids_df is None and cell_col not in df.columns:
+        centroids_df = load_centroids(spark, index_path)
+    if centroids_df is not None:
+        df = assign_cells(
+            df, centroids_df, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col,
+        )
+    elif cell_col not in df.columns:
+        raise ValueError(
+            f"batch lacks {cell_col!r} and the index carries no "
+            "_centroids metadata; pass centroids_df"
+        )
+    codes = pq_encode(
+        df, codebooks_df, id_col=id_col, vec_col=vec_col
+    ).join(df.select(id_col, cell_col), id_col)
+    return append_once(codes, index_path, batch_id, partition_by=[cell_col])
+
+
+def knn_pq_indexed(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a persisted PQ index: IVF pruning × PQ compression in
+    one read. Probe cells are ranked by the persisted centroids with
+    EXACTLY ``knn_ivf_indexed``'s rule (``_ranked_probe_cells`` —
+    6-dp rounded centroid cosine, cell-asc tiebreak), the scan reads
+    only those cells' code directories (static partition pruning,
+    m small ints per row), and scoring is :func:`knn_pq_adc` against
+    the persisted codebooks. Forgotten ids (``forget_vectors``
+    tombstones — the SAME tombstone table layout as the flat index)
+    never score. At 100 TB this is the ladder's floor: scanned bytes
+    = corpus/n_cells × n_probes ÷ 128."""
+    from .dedup import _without_forgotten
+
+    if centroids_df is None:
+        centroids_df = load_centroids(spark, index_path)
+    if codebooks_df is None:
+        codebooks_df = load_codebooks(spark, index_path)
+    if centroids_df is None or codebooks_df is None:
+        raise ValueError(
+            "knn_pq_indexed needs _centroids and _codebooks metadata "
+            "(build with build_pq_index, or pass both explicitly)"
+        )
+    cells = _ranked_probe_cells(
+        query, centroids_df, vec_col=vec_col, n_probes=n_probes
+    )
+    codes = spark.read.parquet(index_path).filter(
+        F.col(cell_col).isin(cells)
+    )
+    codes = _without_forgotten(spark, index_path, codes, id_col)
+    return knn_pq_adc(
+        codes, codebooks_df, query, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
+def knn_pq_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batched probe of a persisted PQ index: top-k per query for
+    MANY queries in ONE read over the union of probed cell
+    directories — ``knn_ivf_batch``'s compressed twin, and the last
+    cell of the ANN parity table (scan path × single/batched).
+
+    Probe selection is ``_batch_probe_cells`` (identical rule to the
+    per-query probe). Scoring is pure ADC, fully declarative: the
+    per-query lookup tables (Σ q·codeword inner products, 6-dp
+    rounded — Q·m·ksub rows) and the query-independent codeword
+    norms stay broadcast; the code scan explodes to m rows per
+    vector, attaches the queries probing its cell, and two
+    broadcast-hash joins + one (query, id) aggregate produce the
+    scores — no Python kernel needed because the per-row work is m
+    table lookups, not a GEMM. Per query the result is identical to
+    ``knn_pq_indexed`` in a loop, at 1/Q of the reads.
+
+    Output: (query_id, vec_id, cos_sim, rank). ``queries`` is
+    driver-sized by contract (``max_queries`` raises past the cap;
+    NULL vectors drop; duplicate ids raise). The cap defaults LOWER
+    than ``knn_ivf_batch``'s because the broadcast here is the
+    Q·m·ksub inner-product table, not Q·dim floats: at 10k queries ×
+    m=8 × ksub=16 that is ~1.3M rows (~30 MB) — raise it only with
+    the executor-memory math done."""
+    from .dedup import _without_forgotten
+
+    if centroids_df is None:
+        centroids_df = load_centroids(spark, index_path)
+    if codebooks_df is None:
+        codebooks_df = load_codebooks(spark, index_path)
+    if centroids_df is None or codebooks_df is None:
+        raise ValueError(
+            "knn_pq_batch needs _centroids and _codebooks metadata "
+            "(build with build_pq_index, or pass both explicitly)"
+        )
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    qrows = _collect_queries(
+        queries, q_id_col, q_vec_col, max_queries, "knn_pq_batch"
+    )
+    qv = spark.createDataFrame(
+        [(qid, [float(x) for x in v]) for qid, v in qrows],
+        f"{q_id_col} long, {q_vec_col} array<double>",
+    )
+    probe_rows = _batch_probe_cells(
+        qv, centroids_df, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        n_probes=n_probes,
+    )
+    pairs = spark.createDataFrame(probe_rows)  # (__qid, cell), typed
+    all_cells = sorted({r["cell"] for r in probe_rows})
+
+    qlong = qv.select(
+        F.col(q_id_col).cast("long").alias("__qid"),
+        F.posexplode(F.col(q_vec_col)).alias("__d0", "__qx"),
+    ).select(
+        "__qid",
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__qx").cast("double").alias("__qx"),
+    )
+    # per-query ADC inner-product tables; codeword norms are query-
+    # independent so they aggregate once — both 6-dp rounded exactly
+    # as knn_pq_adc's single-query table
+    ip = (
+        codebooks_df.join(F.broadcast(qlong), "dim_i")
+        .groupBy("__qid", "sub", "code")
+        .agg(
+            F.round(F.sum(F.col("cvalue") * F.col("__qx")), 6).alias(
+                "__ip"
+            )
+        )
+    )
+    cc = codebooks_df.groupBy("sub", "code").agg(
+        F.round(F.sum(F.col("cvalue") * F.col("cvalue")), 6).alias("__cc")
+    )
+    qn = qlong.groupBy("__qid").agg(
+        F.sqrt(F.sum(F.col("__qx") * F.col("__qx"))).alias("__qn")
+    )
+
+    codes = _without_forgotten(
+        spark,
+        index_path,
+        spark.read.parquet(index_path).filter(
+            F.col(cell_col).isin(all_cells)
+        ),
+        id_col,
+    )
+    scored = (
+        codes.select(
+            F.col(cell_col).alias("__cell"),
+            id_col,
+            F.posexplode(F.col("pq_codes")).alias("sub", "code"),
+        )
+        .withColumn("sub", F.col("sub").cast("long"))
+        .join(
+            F.broadcast(pairs),
+            F.col("__cell") == F.col("cell"),
+        )
+        .drop("cell", "__cell")
+        .join(F.broadcast(ip), ["__qid", "sub", "code"])
+        .join(F.broadcast(cc), ["sub", "code"])
+        .groupBy("__qid", id_col)
+        .agg(F.sum("__ip").alias("__dot"), F.sum("__cc").alias("__c2"))
+        .join(F.broadcast(qn), "__qid")
+        .select(
+            F.col("__qid").alias("query_id"),
+            id_col,
+            F.round(
+                F.col("__dot") / (F.sqrt(F.col("__c2")) * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def retrain_pq_index(
+    spark,
+    index_path: str,
+    source_df: DataFrame,
+    *,
+    dim: int,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_cells: int | None = None,
+    n_iters: int = 2,
+    pq_iters: int = 0,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Deliberate re-training of a LIVE PQ index —
+    ``retrain_ann_index``'s compressed twin, with one structural
+    difference stated plainly: PQ codes are NOT invertible, so the
+    rebuild needs the SOURCE vector corpus (``source_df`` — the
+    table the index was built from, e.g. the embeddings table or the
+    flat ANN index). Tombstoned ids (``forget_vectors``) are
+    excluded from the rebuild (the implicit deepest purge) and
+    cleared after the atomic ``io._replace_dir`` swap — a crash at
+    any step leaves either the old or the new index fully intact,
+    and the ``_batches`` replay ledger rides along so replayed
+    appends still no-op. Fresh ``_centroids``/``_codebooks`` written
+    by the rebuild are kept (``_copy_metadata_dirs`` fills only
+    what a rewrite didn't bring). Returns the new
+    ``(centroids, codebooks)``."""
+    from .. import io as _io
+    from .dedup import _without_forgotten
+
+    live = _without_forgotten(spark, index_path, source_df, id_col)
+    tmp = f"{index_path}__tmp_retrain"
+    _io._delete_dir(spark, tmp)
+    cents, cbs = build_pq_index(
+        live,
+        tmp,
+        dim=dim,
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        pq_iters=pq_iters,
+        salt=salt,
+    )
+    _io._replace_dir(spark, index_path, tmp)
+    _io._delete_dir(spark, f"{index_path}__tombstones")
+    return cents, cbs
 
 
 def nearest_in_cell(

@@ -1707,3 +1707,240 @@ def test_bm25_batch_equals_per_query_indexed(spark, tmp_path):
         bm25_batch(spark, path, {})
     with _pt.raises(ValueError):
         bm25_batch(spark, path, queries, max_queries=2)
+
+
+def test_pq_index_probe_equals_inplan_chain(spark, tmp_path):
+    """build_pq_index persists codes partitioned by cell with BOTH
+    metadata kinds inside (_centroids for probe ranking, _codebooks
+    for ADC); knn_pq_indexed over the persisted layout is bit-equal
+    to the in-plan chain (rank cells -> encode the probed cells ->
+    knn_pq_adc) at 1 and 2 probes, and the data scan sees only the
+    m-int codes — never a float vector."""
+    import os
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.85, 0.2, 0.05, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.1, 0.95, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.1], 2),
+        (6, [0.0, 0.1, 0.9, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    idx = str(tmp_path / "pq")
+    cents, cbs = S.build_pq_index(df, idx, dim=4, m=2, ksub=4)
+
+    # layout: cell dirs of code rows; metadata invisible to readers
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("label=")
+    ) == ["label=0", "label=1", "label=2"]
+    data = spark.read.parquet(idx)
+    assert sorted(data.columns) == ["label", "pq_codes", "vec_id"]
+    assert S.load_codebooks(spark, idx).columns == [
+        "sub", "code", "dim_i", "cvalue"
+    ]
+    # pre-labeled path: persisted centroids are the per-cell means
+    want_cents = {
+        (r["cell"], r["dim_i"]): r["centroid"]
+        for r in S.centroids(df, dim=4).collect()
+    }
+    got_cents = {
+        (r["cell"], r["dim_i"]): r["centroid"]
+        for r in S.load_centroids(spark, idx).collect()
+    }
+    assert got_cents == want_cents
+
+    q = df.filter("vec_id = 0")
+    for n_probes in (1, 2):
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.knn_pq_indexed(
+                spark, idx, q, k=4, n_probes=n_probes
+            ).collect()
+        ]
+        cells = S._ranked_probe_cells(q, cents, n_probes=n_probes)
+        inplan_codes = S.pq_encode(
+            df.filter(F.col("label").isin(cells)), cbs
+        )
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.knn_pq_adc(inplan_codes, cbs, q, k=4).collect()
+        ]
+        assert got == want, n_probes
+        assert got[0][0] == 0  # the query's own vector wins
+
+    # 2-probe must widen the candidate set beyond 1-probe's cell
+    one = {r["vec_id"] for r in S.knn_pq_indexed(spark, idx, q, k=7).collect()}
+    two = {
+        r["vec_id"]
+        for r in S.knn_pq_indexed(spark, idx, q, k=7, n_probes=2).collect()
+    }
+    assert one < two
+
+    # a flat index has no codebooks: loud
+    flat = str(tmp_path / "flat")
+    S.build_ann_index(df, flat, cell_col="label")
+    with pytest.raises(ValueError, match="_codebooks"):
+        S.knn_pq_indexed(spark, flat, q)
+
+
+def test_pq_index_append_forget_purge_retrain(spark, tmp_path):
+    """The PQ index's full maintenance lifecycle: append under FROZEN
+    metadata == rebuild under the same metadata; replays no-op;
+    forget excludes ids from probes immediately; purge rewrites only
+    touched cells and keeps both metadata dirs; compaction carries
+    _codebooks (the r4 _batches-loss class); retrain re-trains from
+    the SOURCE corpus (codes are not invertible), drops tombstoned
+    ids, and keeps replay safety."""
+    import os
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4)[:3]
+    rows = []
+    vid = 0
+    for c in range(3):
+        for p in centers[c] + 0.05 * rng.normal(size=(8, 4)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    base, extra = df.filter("vec_id < 20"), df.filter("vec_id >= 20")
+    idx = str(tmp_path / "pq_inc")
+
+    cents, cbs = S.build_pq_index(
+        base, idx, dim=4, m=2, ksub=4, n_cells=3
+    )
+    files_before = {
+        d: set(os.listdir(os.path.join(idx, d)))
+        for d in os.listdir(idx)
+        if d.startswith("label=")
+    }
+    # unassigned batch: frozen persisted centroids assign, persisted
+    # codebooks encode
+    assert S.append_pq_index(extra, idx, 1)
+    for d, before in files_before.items():
+        after = set(os.listdir(os.path.join(idx, d)))
+        assert before <= after  # pre-existing files survive
+
+    full = str(tmp_path / "pq_full")
+    S.build_pq_index(
+        df, full, dim=4, m=2, ksub=4,
+        centroids_df=cents, codebooks_df=cbs,
+    )
+    q = df.filter("vec_id = 0")
+    got_inc = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.knn_pq_indexed(spark, idx, q, k=10).collect()
+    ]
+    got_full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.knn_pq_indexed(spark, full, q, k=10).collect()
+    ]
+    assert got_inc == got_full
+    # appended vectors (cluster-2 ids 20..23) are probed: ask with a
+    # cluster-2 query so the probed cell is the one they landed in
+    q2 = df.filter("vec_id = 16")
+    assert any(
+        r["vec_id"] >= 20
+        for r in S.knn_pq_indexed(spark, idx, q2, k=10).collect()
+    )
+
+    # replayed batch: ledger makes it a no-op
+    assert not S.append_pq_index(extra, idx, 1)
+    assert spark.read.parquet(idx).count() == 24
+
+    # forget: probe exclusion immediate; purge: layout + metadata live
+    victim = got_inc[1][0]
+    S.forget_vectors(spark, idx, [victim], 0)
+    after_forget = [
+        r["vec_id"] for r in S.knn_pq_indexed(spark, idx, q, k=10).collect()
+    ]
+    assert victim not in after_forget
+    assert S.purge_ann_index(spark, idx, cell_col="label") >= 1
+    assert victim not in [
+        r["vec_id"] for r in S.knn_pq_indexed(spark, idx, q, k=10).collect()
+    ]
+    assert S.load_codebooks(spark, idx) is not None
+    assert S.load_centroids(spark, idx) is not None
+    assert not os.path.isdir(idx + "__tombstones")
+
+    # compaction must carry the PQ metadata (r4 silent-loss class)
+    from starknet_etl_spark.io import compact_table
+
+    compact_table(spark, idx, partition_by=["label"])
+    assert S.load_codebooks(spark, idx) is not None
+    assert S.load_centroids(spark, idx) is not None
+    assert not S.append_pq_index(extra, idx, 1)  # ledger rode along
+
+    # retrain from source: fresh metadata, tombstoned ids dropped,
+    # replay safety preserved
+    S.forget_vectors(spark, idx, [0], 1)
+    S.retrain_pq_index(spark, idx, df, dim=4, m=2, ksub=4, n_cells=3)
+    assert 0 not in [
+        r["vec_id"]
+        for r in S.knn_pq_indexed(
+            spark, idx, df.filter("vec_id = 1"), k=24
+        ).collect()
+    ]
+    assert not os.path.isdir(idx + "__tombstones")
+    assert not S.append_pq_index(extra, idx, 1)
+    # retrained probes still find the cluster structure
+    top = [
+        r["vec_id"]
+        for r in S.knn_pq_indexed(spark, idx, df.filter("vec_id = 1"), k=5).collect()
+    ]
+    assert set(top) <= set(range(24)) - {0}
+
+
+def test_knn_pq_batch_equals_indexed_loop(spark, tmp_path):
+    """knn_pq_batch: many queries, ONE union-of-cells code read —
+    per query identical to the knn_pq_indexed loop (same probe rule,
+    same 6-dp ADC table rounding); guards mirror knn_ivf_batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4)[:3]
+    rows = []
+    vid = 0
+    for c in range(3):
+        for p in centers[c] + 0.05 * rng.normal(size=(8, 4)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "pqb")
+    S.build_pq_index(df, idx, dim=4, m=2, ksub=4, n_cells=3)
+
+    queries = df.filter("vec_id IN (0, 8, 16)")
+    out = S.knn_pq_batch(spark, idx, queries, k=3, n_probes=2)
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cos_sim"])
+        )
+    for qid in (0, 8, 16):
+        q = df.filter(F.col("vec_id") == qid)
+        loop = [
+            (i + 1, r["vec_id"], r["cos_sim"])
+            for i, r in enumerate(
+                S.knn_pq_indexed(spark, idx, q, k=3, n_probes=2).collect()
+            )
+        ]
+        assert sorted(got[qid]) == loop, qid
+
+    # forgotten ids drop from the batched probe too
+    victim = got[0][0][1] if got[0][0][1] != 0 else got[0][1][1]
+    S.forget_vectors(spark, idx, [victim], 0)
+    after = {
+        r["vec_id"]
+        for r in S.knn_pq_batch(spark, idx, queries, k=24).collect()
+    }
+    assert victim not in after
+
+    with pytest.raises(ValueError, match="max_queries"):
+        S.knn_pq_batch(spark, idx, queries, max_queries=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        S.knn_pq_batch(spark, idx, queries.unionAll(queries))
