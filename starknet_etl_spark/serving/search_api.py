@@ -79,6 +79,40 @@ def ann_probe_rows(
     ]
 
 
+def pq_probe_rows(
+    spark,
+    index_path: str,
+    vector: list[float],
+    *,
+    k: int = 10,
+    n_probes: int = 1,
+    cell_col: str = "label",
+) -> list[dict[str, Any]]:
+    """Top-k (vec_id, cos_sim) for one probe vector over a PERSISTED
+    PQ index (``build_pq_index``): cells ranked against the index's
+    own ``_centroids``, ADC scoring against its own ``_codebooks`` —
+    the serving read is n_probes directories of 4-byte codes, the
+    cheapest probe the engine has (the one to serve when the flat
+    index no longer fits the latency or storage budget)."""
+    from ..operators.similarity import knn_pq_indexed
+
+    query = spark.createDataFrame(
+        [(0, [float(x) for x in vector])],
+        "vec_id long, embedding array<double>",
+    )
+    return [
+        {"vec_id": r["vec_id"], "cos_sim": r["cos_sim"]}
+        for r in knn_pq_indexed(
+            spark,
+            index_path,
+            query,
+            k=k,
+            n_probes=n_probes,
+            cell_col=cell_col,
+        ).collect()
+    ]
+
+
 def _wrap(fn) -> dict[str, Any]:
     """Reference response shape: data / empty message / 500 wrap."""
     try:
@@ -119,12 +153,28 @@ def ann_probe_response(
     )
 
 
+def pq_probe_response(
+    spark,
+    index_path: str,
+    vector: list[float],
+    *,
+    k: int = 10,
+    n_probes: int = 1,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: pq_probe_rows(
+            spark, index_path, vector, k=k, n_probes=n_probes
+        )
+    )
+
+
 def create_search_app(
     spark,
     *,
     bm25_index: str | None = None,
     ann_index: str | None = None,
     ann_centroids: str | None = None,
+    pq_index: str | None = None,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -132,6 +182,7 @@ def create_search_app(
 
     - ``GET /bm25?q=term+term&top_k=10``
     - ``GET /ann?v=0.1,0.2,...&k=10&n_probes=2``
+    - ``GET /pq?v=0.1,0.2,...&k=10&n_probes=2``
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -168,6 +219,17 @@ def create_search_app(
                 lambda: ann_probe_response(
                     spark, ann_index, ann_centroids, vec,
                     k=k, n_probes=n_probes,
+                )
+            )
+
+    if pq_index is not None:
+
+        @app.get("/pq")
+        def pq(v: str, k: int = 10, n_probes: int = 2):
+            vec = [float(x) for x in v.split(",")]
+            return run(
+                lambda: pq_probe_response(
+                    spark, pq_index, vec, k=k, n_probes=n_probes
                 )
             )
 

@@ -35,7 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..io import append_once
 from ..operators.search import bm25_batch
-from ..operators.similarity import knn_ivf_batch
+from ..operators.similarity import knn_ivf_batch, knn_pq_batch
 
 
 def start_ann_probe_stream(
@@ -134,6 +134,61 @@ def start_bm25_probe_stream(
             k1=k1,
             b=b,
             top_k=top_k,
+            max_queries=max_queries,
+        )
+        append_once(out, results_path, batch_id)
+
+    writer = (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_pq_probe_stream(
+    queries: DataFrame,
+    *,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probes: int = 1,
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    max_queries: int = 10_000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe a persisted PQ index (``build_pq_index``) with a stream
+    of query vectors — the compressed twin of
+    ``start_ann_probe_stream``: each micro-batch runs one
+    ``knn_pq_batch`` (probe cells ranked per query, ONE read over
+    the union of probed cells' 4-byte codes, broadcast-table ADC
+    scoring), results (query_id, vec_id, cos_sim, rank) append
+    exactly-once. Metadata auto-loads from the index per batch when
+    not passed; forgotten ids drop the moment a tombstone lands."""
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        out = knn_pq_batch(
+            batch.sparkSession,
+            index_path,
+            batch,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+            id_col=id_col,
+            cell_col=cell_col,
+            k=k,
+            n_probes=n_probes,
+            centroids_df=centroids_df,
+            codebooks_df=codebooks_df,
             max_queries=max_queries,
         )
         append_once(out, results_path, batch_id)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import append_ann_index
+from ..operators.similarity import append_ann_index, append_pq_index
 
 
 def start_ann_index_stream(
@@ -56,6 +56,52 @@ def start_ann_index_stream(
             id_col=id_col,
             vec_col=vec_col,
             centroids_df=centroids_df,
+        )
+
+    writer = (
+        vectors.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_pq_index_stream(
+    vectors: DataFrame,
+    *,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    centroids_df: DataFrame | None = None,
+    codebooks_df: DataFrame | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a streaming vector source into a persisted PQ index
+    (``build_pq_index`` layout) — the compressed twin of
+    ``start_ann_index_stream``: each micro-batch is assigned to the
+    index's FROZEN centroids and encoded with its FROZEN codebooks
+    (both auto-loaded from the index's metadata dirs when not
+    passed), then appended partition-scoped via ``io.append_once``
+    (replayed ticks no-op). Re-training stays a deliberate batch
+    maintenance step (``retrain_pq_index``), never a side effect of
+    ingestion — the streaming query itself holds no state."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_pq_index(
+            batch,
+            index_path,
+            batch_id,
+            cell_col=cell_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids_df=centroids_df,
+            codebooks_df=codebooks_df,
         )
 
     writer = (

@@ -139,3 +139,58 @@ def test_search_serving_fastapi_if_available(spark, tmp_path):
         "/ann", params={"v": "0.0,1.0,0.0,0.0", "k": 1, "n_probes": 1}
     ).json()
     assert [r["vec_id"] for r in out["data"]] == [12]
+
+
+def _build_pq_fixture(spark, tmp_path):
+    from starknet_etl_spark.operators.similarity import build_pq_index
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0], 0),
+            (11, [0.9, 0.1, 0.0, 0.0], 0),
+            (12, [0.0, 1.0, 0.0, 0.0], 1),
+            (13, [0.05, 0.95, 0.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    pq_p = str(tmp_path / "pq_idx")
+    build_pq_index(vecs, pq_p, dim=4, m=2, ksub=2)
+    return pq_p
+
+
+def test_pq_serving_core_response(spark, tmp_path):
+    """The PQ probe endpoint serves off the index's own metadata:
+    self-contained (no centroids/codebooks path to shepherd), the
+    probed cell's vectors rank by ADC score, missing index -> the
+    500-parity RuntimeError."""
+    import pytest
+
+    from starknet_etl_spark.serving.search_api import pq_probe_response
+
+    pq_p = _build_pq_fixture(spark, tmp_path)
+    out = pq_probe_response(spark, pq_p, [0.0, 1.0, 0.0, 0.0], k=2)
+    assert [r["vec_id"] for r in out["data"]] == [12, 13]
+    out2 = pq_probe_response(
+        spark, pq_p, [1.0, 0.0, 0.0, 0.0], k=4, n_probes=2
+    )
+    assert len(out2["data"]) == 4  # 2-probe read spans both cells
+
+    with pytest.raises(RuntimeError, match="index probe failed"):
+        pq_probe_response(spark, str(tmp_path / "missing"), [1.0, 0.0])
+
+
+def test_pq_serving_fastapi_if_available(spark, tmp_path):
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        import pytest
+
+        pytest.skip("fastapi not installed")
+    pq_p = _build_pq_fixture(spark, tmp_path)
+    client = TestClient(create_search_app(spark, pq_index=pq_p))
+    out = client.get(
+        "/pq", params={"v": "0.0,1.0,0.0,0.0", "k": 1, "n_probes": 1}
+    ).json()
+    assert [r["vec_id"] for r in out["data"]] == [12]

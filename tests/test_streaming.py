@@ -787,3 +787,117 @@ def test_stream_postings_index_append_and_replay_safe(spark, tmp_path):
     got2 = {r["doc_id"]: r["bm25"]
             for r in bm25_indexed(spark, index, terms).collect()}
     assert got2 == got
+
+
+def test_stream_pq_index_append_and_probe_parity(spark, tmp_path):
+    """Streaming PQ lifecycle, both directions: vector micro-batches
+    fold into a persisted PQ index under its OWN frozen metadata
+    (assignment + encoding auto-loaded from _centroids/_codebooks);
+    a query stream probes it per micro-batch and the union of
+    results equals one knn_pq_batch; replays (lost engine commits)
+    land nothing twice on either side."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from starknet_etl_spark.operators import similarity as S
+    from starknet_etl_spark.streaming.probes import start_pq_probe_stream
+    from starknet_etl_spark.streaming.vectors import start_pq_index_stream
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4)[:2]
+    rows = []
+    vid = 10
+    for c in range(2):
+        for p in centers[c] + 0.05 * rng.normal(size=(6, 4)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    vschema = "vec_id bigint, embedding array<double>"
+    base = spark.createDataFrame(rows, vschema)
+    index = str(tmp_path / "pqidx")
+    S.build_pq_index(base, index, dim=4, m=2, ksub=4, n_cells=2)
+    n_base = spark.read.parquet(index).count()
+
+    # --- append stream: two files -> two micro-batches
+    src = str(tmp_path / "vsrc")
+    extra = [(30, [1.0, 0.02, 0.0, 0.0]), (31, [0.0, 1.0, 0.03, 0.0])]
+    for row in extra:
+        spark.createDataFrame([row], vschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    ckpt_a = str(tmp_path / "ckpt_a")
+
+    def _fold():
+        q = start_pq_index_stream(
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=index,
+            checkpoint=ckpt_a,
+        )
+        q.awaitTermination(120)
+
+    _fold()
+    assert spark.read.parquet(index).count() == n_base + 2
+    shutil.rmtree(os.path.join(ckpt_a, "commits"))
+    _fold()  # replay: append_once ledger no-ops
+    assert spark.read.parquet(index).count() == n_base + 2
+
+    # --- probe stream: one file per query -> two micro-batches
+    qschema = vschema
+    q_rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    qsrc = str(tmp_path / "qsrc")
+    for row in q_rows:
+        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(qsrc)
+    results = str(tmp_path / "results")
+    ckpt_p = str(tmp_path / "ckpt_p")
+
+    def _probe():
+        q = start_pq_probe_stream(
+            spark.readStream.schema(qschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc),
+            index_path=index,
+            results_path=results,
+            checkpoint=ckpt_p,
+            k=3,
+            n_probes=2,
+        )
+        q.awaitTermination(120)
+
+    _probe()
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in spark.read.parquet(results).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in S.knn_pq_batch(
+            spark,
+            index,
+            spark.createDataFrame(q_rows, qschema),
+            k=3,
+            n_probes=2,
+        ).collect()
+    )
+    assert got == want and len(got) == 6
+    # streamed vectors are scoreable from the merged index (ADC ties
+    # break toward smaller ids, so they need not crack a top-3)
+    probed = {
+        r["vec_id"]
+        for r in S.knn_pq_batch(
+            spark,
+            index,
+            spark.createDataFrame(q_rows, qschema),
+            k=20,
+            n_probes=2,
+        ).collect()
+    }
+    assert {30, 31} <= probed
+
+    shutil.rmtree(os.path.join(ckpt_p, "commits"))
+    _probe()  # replay: results ledger no-ops
+    assert spark.read.parquet(results).count() == 6
