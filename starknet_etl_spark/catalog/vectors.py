@@ -635,6 +635,120 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def _knn_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched probe of the PERSISTED PQ index: 3 queries, each
+    ranked to its best 2 cells against the index's _centroids, ONE
+    read over the union of probed cells' codes, broadcast-table ADC
+    scoring — per query identical to the knn_pq_indexed loop."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(~F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+    queries = emb.filter(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+    path = scratch_path(spark, sf_dir, "pq_batch_catalog")
+    S.build_pq_index(corpus, path, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB)
+    return S.knn_pq_batch(spark, path, queries, k=5, n_probes=2)
+
+
+# The batched PQ chain: mean centroids rank 2 probe cells per query,
+# sample-init codebooks encode the probed-cell corpus (per-vector, so
+# scoping to the cell union == encode-all-then-prune), per-query ADC
+# tables score. cb/corpus multiply referenced -> AS MATERIALIZED
+# (DuckDB re-inlines plain CTEs per reference; see CLAUDE.md).
+_KNN_PQ_BATCH_ORACLE = f"""
+WITH cents AS MATERIALIZED (
+  SELECT label AS cell, i AS dim_i,
+         ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id NOT IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+  GROUP BY label, i
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, i AS dim_i,
+         (i - 1) // {DIM // _PQ_M} AS sub,
+         CAST(embedding[i] AS DOUBLE) AS qx
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+),
+probe AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(SUM(c.centroid * q.qx)
+                            / SQRT(SUM(c.centroid * c.centroid)), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q JOIN cents c USING (dim_i)
+    GROUP BY q.query_id, c.cell) WHERE rn <= 2
+),
+ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings
+  WHERE vec_id NOT IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+),
+cb AS MATERIALIZED (
+  SELECT (i - 1) // {DIM // _PQ_M} AS sub, rk - 1 AS code, i AS dim_i,
+         CAST(embedding[i] AS DOUBLE) AS cvalue
+  FROM ranked, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE rk <= {_PQ_KSUB}
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, label, i AS dim_i, (i - 1) // {DIM // _PQ_M} AS sub,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id NOT IN ({_QIDS_SQL}) AND embedding IS NOT NULL
+    AND label IN (SELECT cell FROM probe)
+),
+dists AS (
+  SELECT c.vec_id, c.sub, cb.code,
+         ROUND(SUM((c.x - cb.cvalue) * (c.x - cb.cvalue)), 6) AS dist
+  FROM corpus c JOIN cb ON cb.sub = c.sub AND cb.dim_i = c.dim_i
+  GROUP BY c.vec_id, c.sub, cb.code
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM dists) WHERE rn = 1
+),
+vl AS (SELECT DISTINCT vec_id, label FROM corpus),
+tbl AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         ROUND(SUM(cb.cvalue * q.qx), 6) AS ip
+  FROM cb JOIN q ON q.sub = cb.sub AND q.dim_i = cb.dim_i
+  GROUP BY q.query_id, cb.sub, cb.code
+),
+cc AS (
+  SELECT sub, code, ROUND(SUM(cvalue * cvalue), 6) AS cc
+  FROM cb GROUP BY sub, code
+),
+qn AS (
+  SELECT query_id, SQRT(SUM(qx * qx)) AS qnorm
+  FROM q GROUP BY query_id
+),
+sums AS (
+  SELECT p.query_id, a.vec_id, SUM(t.ip) AS dot, SUM(c.cc) AS c2
+  FROM probe p
+  JOIN vl ON vl.label = p.cell
+  JOIN assigned a ON a.vec_id = vl.vec_id
+  JOIN tbl t ON t.query_id = p.query_id
+            AND t.sub = a.sub AND t.code = a.code
+  JOIN cc c ON c.sub = a.sub AND c.code = a.code
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT s.query_id, s.vec_id,
+         ROUND(s.dot / (SQRT(s.c2) * n.qnorm), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY ROUND(s.dot / (SQRT(s.c2) * n.qnorm), 6) DESC,
+                    s.vec_id ASC) AS rank
+  FROM sums s JOIN qn n USING (query_id))
+WHERE rank <= 5
+"""
+
+
 _IVF_TRAIN_CELLS = 4
 _IVF_TRAIN_ITERS = 2
 
@@ -900,6 +1014,13 @@ QUERIES = {
         _knn_ivf_batch,
         _KNN_IVF_BATCH_ORACLE,
         "batched 2-probe IVF: 3 queries, one union-pruned scan, top-5",
+    ),
+    # overflow: the batched probe of the PERSISTED PQ index — the
+    # last cell of the ANN parity table (compressed x batched).
+    "emb_knn_pq_batch": QuerySpec(
+        _knn_pq_batch,
+        _KNN_PQ_BATCH_ORACLE,
+        "batched 2-probe ADC over the persisted PQ index, top-5",
     ),
     # overflow: ANN built END-TO-END on an unlabeled corpus — k-means
     # centroid training from engine primitives (sample seed + Lloyd),
