@@ -420,3 +420,36 @@ def test_nearest_in_cell_contrastive_mining(spark):
         r["anchor_id"] for r in S.nearest_in_cell(df, min_cos=0.0).collect()
     }
     assert got0 == {1, 2, 3}
+
+
+def test_persisted_pq_index_recall_and_pruning(spark, tmp_path, clustered_emb):
+    """The persisted compressed index end-to-end on clustered data:
+    build_pq_index with FROM-SCRATCH trained cells, probes prune to
+    the ranked cell dirs (static PartitionFilters), and 2-probe
+    recall@10 beats the PQ floor — pruning must not degrade ADC
+    recall on data where the cells match the geometry."""
+    idx = str(tmp_path / "pq_trained")
+    corpus = clustered_emb.filter(
+        ~F.col("vec_id").isin(*QUERY_IDS)
+    ).select("vec_id", "embedding")
+    S.build_pq_index(
+        corpus, idx, dim=DIM, m=8, ksub=16, n_cells=N_CLUSTERS
+    )
+
+    probe = S.knn_pq_indexed(
+        spark,
+        idx,
+        clustered_emb.filter("vec_id = 0"),
+        k=K,
+        n_probes=2,
+    )
+    plan = probe._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+
+    rec = _mean_recall(
+        clustered_emb,
+        lambda corp, query: S.knn_pq_indexed(
+            spark, idx, query, k=K, n_probes=2
+        ),
+    )
+    assert rec >= 0.55, f"persisted PQ index recall collapsed: {rec}"
