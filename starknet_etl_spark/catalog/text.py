@@ -488,6 +488,24 @@ FROM tot t LEFT JOIN ov USING (doc_id)
 """
 
 
+def _semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC decontamination tier: per-train-doc best
+    hash-embedding cosine against the src0 'benchmark' — catches
+    paraphrased leakage no surviving 5-gram would flag. Benchmark
+    embeddings broadcast; the train side is one map-only GEMM scan."""
+    from ..operators.contamination import semantic_overlap
+
+    docs = _docs(spark, sf_dir)
+    return semantic_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        dim=_HE_DIM,
+        threshold=0.95,
+    )
+
+
 def _train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.splits import hash_split
 
@@ -1531,6 +1549,55 @@ LEFT JOIN nrm ON nrm.doc_id = s.doc_id
 )
 
 
+# hash_embed replayed for BOTH sides (rounded components, full-vector
+# norms — the doc_semantic_dup_clusters lesson), then per-train-doc
+# argmax cosine over the benchmark with bench-id-asc ties. x/xn are
+# multiply referenced -> AS MATERIALIZED (DuckDB re-inlines plain
+# CTEs per reference).
+_SEMANTIC_CONTAMINATION_ORACLE = (
+    "WITH "
+    + _HE_COMPONENTS
+    + f""",
+spine AS (
+  SELECT d.doc_id, d.source, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id, source FROM documents) d,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+x AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.idx,
+         CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+              ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END AS x
+  FROM spine s
+  LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+  LEFT JOIN nrm ON nrm.doc_id = s.doc_id
+),
+xn AS MATERIALIZED (
+  SELECT doc_id, source, SQRT(SUM(x * x)) AS rn
+  FROM x GROUP BY doc_id, source
+),
+scores AS (
+  SELECT a.doc_id, b.doc_id AS bench_id,
+         ROUND(SUM(a.x * b.x) / (na.rn * nb.rn), 6) AS cos
+  FROM x a
+  JOIN x b ON a.idx = b.idx
+  JOIN xn na ON na.doc_id = a.doc_id
+  JOIN xn nb ON nb.doc_id = b.doc_id
+  WHERE a.source <> 'src0' AND b.source = 'src0'
+    AND na.rn > 0 AND nb.rn > 0
+  GROUP BY a.doc_id, b.doc_id, na.rn, nb.rn
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(bench_id AS BIGINT) AS bench_id,
+       cos AS best_cos,
+       cos >= 0.95 AS contaminated
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY cos DESC, bench_id ASC) AS rn2
+      FROM scores)
+WHERE rn2 = 1
+"""
+)
+
+
 def _semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXT → vector suite end-to-end with zero external models:
     hashing-trick embeddings → cell-free cosine near-dup pairs →
@@ -2125,6 +2192,14 @@ QUERIES = {
         _contamination,
         _CONTAMINATION_ORACLE,
         "benchmark decontamination: 5-gram overlap vs held-out set",
+    ),
+    # overflow: the semantic decontamination tier — embedding-space
+    # best-match vs the benchmark (paraphrase leakage the n-gram
+    # gate misses); broadcast benchmark, map-only train scan.
+    "doc_semantic_contamination": QuerySpec(
+        _semantic_contamination,
+        _SEMANTIC_CONTAMINATION_ORACLE,
+        "per-doc best benchmark cosine (hash_embed GEMM, no shuffle)",
     ),
     "doc_repetition_signals": QuerySpec(
         _repetition,

@@ -67,3 +67,113 @@ def ngram_overlap(
         F.round(frac, 6).alias("overlap_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def semantic_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 16,
+    threshold: float = 0.9,
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """Per-train-doc best EMBEDDING-space match against the benchmark:
+    ``(id, bench_id, best_cos, contaminated)`` — the semantic tier of
+    decontamination, catching paraphrased or lightly-rewritten
+    benchmark leakage that exact n-gram overlap (:func:`ngram_overlap`)
+    misses because no 5-gram survives the rewording.
+
+    Both sides embed with the engine's zero-model featurizer
+    (``text.hash_embed`` — md5 hashing-trick bag-of-words, L2-
+    normalized, 6-dp components), so the whole gate needs no external
+    model and stays oracle-reproducible; swap a real embedding column
+    in by passing pre-embedded frames to the vector suite instead.
+    Cosine uses FULL-vector norms of the rounded components (the
+    doc_semantic_dup_clusters lesson) and rounds half-away-from-zero
+    at 6 dp with bench-id-asc argmax ties — engine-identical.
+
+    Scale (100 TB): the benchmark is an eval set — driver-sized BY
+    CONTRACT, enforced via ``max_benchmark`` (raises loudly past the
+    cap, the knn_batch stance). Its (B × dim) matrix rides the UDF
+    closure; the train side is ONE Arrow-batched scan with a numpy
+    GEMM per batch and NO shuffle at all — strictly cheaper than the
+    n-gram gate's join. Tokenless (zero-vector) docs carry no
+    semantic signal and are not emitted (benchmark zero-vectors are
+    dropped), mirroring ngram_overlap's no-signal stance for
+    sub-n-gram docs.
+    """
+    import numpy as np
+
+    from .similarity import _sql_round6, dot
+    from .text import hash_embed
+
+    spark = train.sparkSession
+    bemb = hash_embed(benchmark, id_col, text_col, dim=dim)
+    brows = [
+        (int(r[0]), r[1])
+        for r in bemb.select(F.col(id_col).cast("long"), "embedding")
+        .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+        .limit(max_benchmark + 1)
+        .collect()
+    ]
+    if len(brows) > max_benchmark:
+        raise ValueError(
+            f"semantic_overlap: benchmark exceeds max_benchmark="
+            f"{max_benchmark}; the benchmark side is driver-collected "
+            "by contract — shard it or raise the cap deliberately"
+        )
+    if not brows:
+        raise ValueError(
+            "semantic_overlap: benchmark is empty (or all zero-vector)"
+        )
+    b_ids = np.array([bid for bid, _ in brows], dtype=np.int64)
+    B = np.vstack([np.asarray(v, dtype=np.float64) for _, v in brows])
+    bn = np.linalg.norm(B, axis=1)
+    bc = spark.sparkContext.broadcast((b_ids, B, bn))
+    thr = float(threshold)
+
+    temb = hash_embed(train, id_col, text_col, dim=dim)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        bids, bm, bnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            tn = np.linalg.norm(M, axis=1)
+            live = tn > 0
+            if not live.any():
+                continue
+            M, tn = M[live], tn[live]
+            tid = pdf[id_col].to_numpy()[live]
+            S = _sql_round6((M @ bm.T) / np.outer(tn, bnorm))
+            out_id, out_b, out_s = [], [], []
+            for j in range(S.shape[0]):
+                best = np.lexsort((bids, -S[j]))[0]
+                out_id.append(tid[j])
+                out_b.append(bids[best])
+                out_s.append(S[j][best])
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "bench_id": out_b,
+                    "best_cos": out_s,
+                }
+            )
+
+    scored = temb.select(
+        F.col(id_col).cast("long").alias(id_col), "embedding"
+    ).mapInPandas(
+        kernel, f"{id_col} bigint, bench_id bigint, best_cos double"
+    )
+    return scored.select(
+        id_col,
+        "bench_id",
+        "best_cos",
+        (F.col("best_cos") >= F.lit(thr)).alias("contaminated"),
+    )

@@ -1944,3 +1944,59 @@ def test_knn_pq_batch_equals_indexed_loop(spark, tmp_path):
         S.knn_pq_batch(spark, idx, queries, max_queries=1)
     with pytest.raises(ValueError, match="duplicate"):
         S.knn_pq_batch(spark, idx, queries.unionAll(queries))
+
+
+def test_semantic_overlap_catches_paraphrase_ngram_misses(spark):
+    """The semantic decontamination tier vs the n-gram gate on a
+    REORDERED benchmark answer: bag-of-words cosine is permutation-
+    invariant so the leak flags at ~1.0, while no 5-gram survives
+    the reordering; an unrelated doc flags in neither. Guards:
+    driver-collected benchmark capped, empty benchmark loud."""
+    from starknet_etl_spark.operators.contamination import (
+        ngram_overlap,
+        semantic_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # same bag of words, shuffled: every 5-gram destroyed
+            (1, "lazy dog jumps today over the quick brown fox the"),
+            (2, "completely unrelated text about spark shuffles maps"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sem = {
+        r["doc_id"]: (r["bench_id"], r["best_cos"], r["contaminated"])
+        for r in semantic_overlap(
+            train, bench, dim=16, threshold=0.9
+        ).collect()
+    }
+    assert sem[1][0] == 100 and sem[1][1] == 1.0 and sem[1][2]
+    assert not sem[2][2] and sem[2][1] < 0.9
+
+    ng = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_overlap(train, bench, n=5, threshold=0.2).collect()
+    }
+    assert not ng[1]  # the n-gram gate misses the reordered leak
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_benchmark"):
+        semantic_overlap(train, bench.unionAll(bench.selectExpr(
+            "doc_id + 1 as doc_id", "text")), max_benchmark=1)
+    with _pt.raises(ValueError, match="empty"):
+        semantic_overlap(
+            train,
+            spark.createDataFrame([], "doc_id bigint, text string"),
+        )
+    # zero-vector (tokenless) train docs are not emitted
+    t2 = spark.createDataFrame(
+        [(5, "   "), (6, "quick brown fox")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"] for r in semantic_overlap(t2, bench).collect()}
+    assert got == {6}
