@@ -1021,14 +1021,121 @@ pairs AS (""",
     )
 
 
-def _curation_oracle(pairs_block: str = _CURATION_JACCARD_PAIRS) -> str:
+# Default contamination block: 5-gram overlap of the survivors vs
+# the src0 benchmark, ending in dirty(doc_id, overlap_frac).
+_CURATION_NGRAM_CONTAM = r"""sw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM surv
+),
+s5 AS (
+  SELECT DISTINCT doc_id,
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM sw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+bw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE source = 'src0'
+),
+b5 AS (
+  SELECT DISTINCT
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM bw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM s5 GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM s5 JOIN b5 USING (g) GROUP BY doc_id
+),
+contam AS (
+  SELECT t.doc_id,
+         COALESCE(ov.n_overlap, 0) * 1.0 / t.n_ngrams AS overlap_frac
+  FROM tot t LEFT JOIN ov USING (doc_id)
+),
+dirty AS (SELECT doc_id, overlap_frac FROM contam WHERE overlap_frac >= 0.2)"""
+
+# round3-of-round6, mirroring the Spark side exactly: the operator
+# emits its metric pre-rounded to 6 dp and the audit rounds that to
+# 3 — a raw ROUND(x, 3) could flip on a 6-dp boundary (the ADVICE
+# r3 probe-rounding class).
+_CURATION_NGRAM_REASON = "'overlap_' || ROUND(ROUND(overlap_frac, 6), 3)"
+
+
+def _curation_semantic_contam(*, dim: int, threshold: float) -> str:
+    """Semantic contamination block: both sides hash-embedded
+    (sparse rounded components; dot over shared indices is exact,
+    norms full-vector), per-survivor best benchmark cosine, ending
+    in dirty(doc_id, best_cos) — the SQL replay of
+    curate_corpus(contamination_mode='semantic')."""
+    return rf"""stok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM surv
+),
+scomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {dim}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM stok WHERE t <> '' GROUP BY doc_id, idx
+),
+snrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM scomp GROUP BY doc_id),
+sx AS MATERIALIZED (
+  SELECT c.doc_id, idx, ROUND(v / nn, 6) AS x
+  FROM scomp c JOIN snrm USING (doc_id) WHERE nn > 0
+),
+sxn AS (SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM sx GROUP BY doc_id),
+btok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE source = 'src0'
+),
+bcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {dim}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM btok WHERE t <> '' GROUP BY doc_id, idx
+),
+bnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM bcomp GROUP BY doc_id),
+bx AS MATERIALIZED (
+  SELECT c.doc_id, idx, ROUND(v / nn, 6) AS x
+  FROM bcomp c JOIN bnrm USING (doc_id) WHERE nn > 0
+),
+bxn AS (SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM bx GROUP BY doc_id),
+sscores AS (
+  SELECT a.doc_id, ROUND(SUM(a.x * b.x) / (na.rn * nb.rn), 6) AS cos
+  FROM sx a
+  JOIN bx b ON a.idx = b.idx
+  JOIN sxn na ON na.doc_id = a.doc_id
+  JOIN bxn nb ON nb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.rn, nb.rn
+),
+sbest AS (SELECT doc_id, MAX(cos) AS best_cos FROM sscores GROUP BY doc_id),
+dirty AS (SELECT doc_id, best_cos FROM sbest WHERE best_cos >= {threshold})"""
+
+
+_CURATION_SEMANTIC_REASON = "'cos_' || ROUND(ROUND(best_cos, 6), 3)"
+
+
+def _curation_oracle(
+    pairs_block: str = _CURATION_JACCARD_PAIRS,
+    contam_block: str = _CURATION_NGRAM_CONTAM,
+    contam_reason: str = _CURATION_NGRAM_REASON,
+) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
     redaction) re-scoped from `documents` to the pipeline's
     intermediate sets — so the COMPOSITION, not just the stages, is
     differential-checked. ``pairs_block`` is the near-dup miner:
     3-gram Jaccard (default) or hash-embed cosine (the semantic
-    mode), both ending in a `pairs(id_1, id_2)` CTE."""
+    mode), both ending in a `pairs(id_1, id_2)` CTE.
+    ``contam_block``/``contam_reason`` parameterize the
+    decontamination tier the same way (n-gram default, semantic
+    cosine via ``_curation_semantic_contam``), the block ending in a
+    `dirty(doc_id, <metric>)` CTE the reason expression reads."""
     from ..operators.pii import PII_PATTERNS
 
     red = "text"
@@ -1096,36 +1203,7 @@ reps AS (
   FROM lab
 ),
 surv AS (SELECT doc_id, text, cluster_id FROM reps WHERE rn = 1),
-sw AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM surv
-),
-s5 AS (
-  SELECT DISTINCT doc_id,
-    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-          || ' ' || ws[i+4] AS g
-  FROM sw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
-),
-bw AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents WHERE source = 'src0'
-),
-b5 AS (
-  SELECT DISTINCT
-    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-          || ' ' || ws[i+4] AS g
-  FROM bw, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
-),
-tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM s5 GROUP BY doc_id),
-ov AS (
-  SELECT doc_id, COUNT(*) AS n_overlap
-  FROM s5 JOIN b5 USING (g) GROUP BY doc_id
-),
-contam AS (
-  SELECT t.doc_id,
-         COALESCE(ov.n_overlap, 0) * 1.0 / t.n_ngrams AS overlap_frac
-  FROM tot t LEFT JOIN ov USING (doc_id)
-),
-dirty AS (SELECT doc_id, overlap_frac FROM contam WHERE overlap_frac >= 0.2),
+__CONTAM__,
 final AS (
   SELECT s.* FROM surv s
   WHERE s.doc_id NOT IN (SELECT doc_id FROM dirty)
@@ -1146,15 +1224,13 @@ UNION ALL
 SELECT doc_id, 'near_dup', 'dup_of_' || cluster_id, NULL, NULL, NULL
 FROM reps WHERE rn > 1
 UNION ALL
-SELECT doc_id, 'contamination',
-       -- round3-of-round6, mirroring the Spark side exactly: the
-       -- operator emits overlap_frac pre-rounded to 6 dp and the
-       -- audit rounds that to 3 — a raw ROUND(x, 3) could flip on a
-       -- 6-dp boundary (the ADVICE r3 probe-rounding class).
-       'overlap_' || ROUND(ROUND(overlap_frac, 6), 3),
+SELECT doc_id, 'contamination', __CONTAM_REASON__,
        NULL, NULL, NULL
 FROM dirty
-""".replace("__RED__", red).replace("__PAIRS__", pairs_block)
+""".replace("__RED__", red)
+        .replace("__PAIRS__", pairs_block)
+        .replace("__CONTAM__", contam_block)
+        .replace("__CONTAM_REASON__", contam_reason)
     )
 
 
@@ -1224,6 +1300,52 @@ def _curation_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_cells=2,
         threshold=0.99,
         contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _curation_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with the SEMANTIC decontamination tier:
+    Jaccard near-dup as in doc_curation_pipeline, but the benchmark
+    gate is best hash-embed cosine (semantic_overlap — paraphrase
+    leakage), so the two rows differ exactly by the contamination
+    block. threshold 0.95 cosine vs src0."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_mode="semantic",
+        contamination_threshold=0.95,
+        semantic_dim=16,
         redact=True,
     )
     kept_rows = curated.select(
@@ -2160,6 +2282,19 @@ QUERIES = {
             _semantic_cells_pairs_block(dim=16, n_cells=2, n_iters=2)
         ),
         "semantic curation with trained-cell-scoped pair mining",
+    ),
+    # overflow: the composed pipeline with the SEMANTIC
+    # decontamination tier (paraphrase leakage vs the benchmark) —
+    # differs from doc_curation_pipeline exactly by the contam block.
+    "doc_curation_semantic_decon": QuerySpec(
+        _curation_semantic_decon,
+        _curation_oracle(
+            contam_block=_curation_semantic_contam(
+                dim=16, threshold=0.95
+            ),
+            contam_reason=_CURATION_SEMANTIC_REASON,
+        ),
+        "curation with embedding-space benchmark decontamination",
     ),
     "doc_pii_scan": QuerySpec(
         _pii_scan,

@@ -69,6 +69,7 @@ def curate_corpus(
     semantic_dim: int = 64,
     semantic_cells: int | None = None,
     contamination_threshold: float = 0.2,
+    contamination_mode: str = "ngram",
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
     split_by_cluster: bool = False,
@@ -116,6 +117,16 @@ def curate_corpus(
     ``None`` to skip pair mining. In embedding/semantic mode
     ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
     ``benchmark=None`` skips decontamination.
+
+    ``contamination_mode``: ``"ngram"`` (5-gram overlap fraction —
+    exact leakage) or ``"semantic"`` (``contamination.semantic_overlap``
+    — best hash-embed cosine against the benchmark, catching
+    paraphrased/reordered leakage no surviving 5-gram flags; a
+    map-only GEMM scan vs the n-gram join). In semantic mode
+    ``contamination_threshold`` is the COSINE floor (≈0.9+, vs
+    ≈0.2 overlap), audit reasons read ``cos_<best>``, and the
+    benchmark embeds and collects EAGERLY at plan-build time
+    (driver-sized by contract, capped — see the laziness note).
 
     ``semantic_cells``: the embedding/semantic tier's SCALE lever
     when no ``cell_col`` exists — train that many IVF centroids on
@@ -307,20 +318,40 @@ def curate_corpus(
 
     # -- stage 3: benchmark decontamination (optional)
     if benchmark is not None:
-        overlap = ngram_overlap(
-            survivors,
-            benchmark,
-            id_col,
-            text_col,
-            threshold=contamination_threshold,
-        )
-        dirty = overlap.filter(F.col("contaminated"))
+        if contamination_mode == "ngram":
+            overlap = ngram_overlap(
+                survivors,
+                benchmark,
+                id_col,
+                text_col,
+                threshold=contamination_threshold,
+            )
+            dirty = overlap.filter(F.col("contaminated"))
+            reason = F.concat(
+                F.lit("overlap_"), F.round("overlap_frac", 3)
+            )
+        elif contamination_mode == "semantic":
+            from ..operators.contamination import semantic_overlap
+
+            overlap = semantic_overlap(
+                survivors,
+                benchmark,
+                id_col,
+                text_col,
+                dim=semantic_dim,
+                threshold=contamination_threshold,
+            )
+            dirty = overlap.filter(F.col("contaminated"))
+            reason = F.concat(F.lit("cos_"), F.round("best_cos", 3))
+        else:
+            raise ValueError(
+                f"unknown contamination_mode {contamination_mode!r}; "
+                "expected 'ngram' or 'semantic'"
+            )
         audit_contam = dirty.select(
             ids,
             F.lit("contamination").alias("stage"),
-            F.concat(
-                F.lit("overlap_"), F.round("overlap_frac", 3)
-            ).alias("reason"),
+            reason.alias("reason"),
         )
         survivors = survivors.join(
             dirty.select(id_col), id_col, "left_anti"

@@ -372,3 +372,51 @@ def test_semantic_mode_no_embeddings_needed(spark):
     } == aud
     # the internal cell column never leaks into the outputs
     assert "__semcell" not in cur2.columns
+
+
+def test_semantic_decontamination_catches_reordered_benchmark(spark):
+    """contamination_mode='semantic': a clean, unique doc that is a
+    word-REORDERED copy of a benchmark answer (no surviving 5-gram)
+    is dropped at the contamination stage with a cos_ reason, while
+    the ngram mode keeps it; unrelated docs survive both. Unknown
+    modes raise."""
+    import pytest
+
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    other = " ".join(f"v{i}" for i in range(18))
+    docs = spark.createDataFrame(
+        [
+            # full word reorder of the benchmark: same bag, zero
+            # shared 5-grams
+            (1, "lazy dog jumps today over a quick brown fox the"),
+            (2, "the story of a completely unrelated essay " + other),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over a lazy dog today")],
+        "doc_id bigint, text string",
+    )
+
+    cur, aud = curate_corpus(
+        docs, benchmark=bench, min_words=10,
+        contamination_mode="semantic", contamination_threshold=0.95,
+        semantic_dim=16, redact=False,
+    )
+    kept = {r["doc_id"] for r in cur.collect()}
+    audit = {r["doc_id"]: (r["stage"], r["reason"]) for r in aud.collect()}
+    assert kept == {2}
+    assert audit[1][0] == "contamination"
+    assert audit[1][1].startswith("cos_")
+
+    cur_ng, _ = curate_corpus(
+        docs, benchmark=bench, min_words=10,
+        contamination_mode="ngram", contamination_threshold=0.2,
+        redact=False,
+    )
+    kept_ng = {r["doc_id"] for r in cur_ng.collect()}
+    assert 1 in kept_ng  # shared filler 5-grams stay under 0.2
+
+    with pytest.raises(ValueError, match="contamination_mode"):
+        curate_corpus(docs, benchmark=bench, contamination_mode="nope")
