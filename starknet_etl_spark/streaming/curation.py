@@ -22,7 +22,12 @@ by the batch id, so a replayed tick is a no-op end to end):
    an already-curated doc, so first-seen-wins is the honest
    streaming semantics — documented divergence, same as every
    incremental dedup system.)
-4. **redact + split** — map-only (``pii.redact_pii``,
+4. **decontamination** (optional) — the batch pipeline's benchmark
+   gate against a STATIC eval set: ``contamination.ngram_overlap``
+   (5-gram) or ``semantic_overlap`` (best hash-embed cosine —
+   paraphrase leakage); the benchmark is eval-sized by contract, so
+   the per-tick cost is one broadcast join / map-only GEMM scan;
+5. **redact + split** — map-only (``pii.redact_pii``,
    ``splits.hash_split``), then curated rows append to ``out_path``
    and audit rows (id, stage, reason) to ``audit_path``.
 
@@ -38,6 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .. import io as _io
+from ..operators.contamination import ngram_overlap, semantic_overlap
 from ..operators.dedup import merge_batch_minhash
 from ..operators.pii import redact_pii
 from ..operators.splits import hash_split
@@ -60,6 +66,10 @@ def start_curation_stream(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    benchmark: DataFrame | None = None,
+    contamination_mode: str = "ngram",
+    contamination_threshold: float = 0.2,
+    semantic_dim: int = 16,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
     redact: bool = True,
@@ -67,7 +77,14 @@ def start_curation_stream(
 ) -> StreamingQuery:
     """Run the curation flow over a document stream; returns the
     StreamingQuery. Curated rows: (id, text, lang_guess, n_words,
-    split); audit rows: (id, stage, reason)."""
+    split); audit rows: (id, stage, reason). ``benchmark`` (a STATIC
+    batch frame) enables the decontamination stage with the batch
+    pipeline's modes and audit reasons."""
+    if contamination_mode not in ("ngram", "semantic"):
+        raise ValueError(
+            f"unknown contamination_mode {contamination_mode!r}; "
+            "expected 'ngram' or 'semantic'"
+        )
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -159,7 +176,42 @@ def start_curation_stream(
         )
         survivors = kept.join(losers, id_col, "left_anti")
 
-        # 4. redact + split, append-only sinks
+        # 4. decontamination vs the static benchmark (optional)
+        if benchmark is not None:
+            if contamination_mode == "ngram":
+                overlap = ngram_overlap(
+                    survivors,
+                    benchmark,
+                    id_col,
+                    text_col,
+                    threshold=contamination_threshold,
+                )
+                reason = F.concat(
+                    F.lit("overlap_"), F.round("overlap_frac", 3)
+                )
+            else:
+                overlap = semantic_overlap(
+                    survivors,
+                    benchmark,
+                    id_col,
+                    text_col,
+                    dim=semantic_dim,
+                    threshold=contamination_threshold,
+                )
+                reason = F.concat(F.lit("cos_"), F.round("best_cos", 3))
+            dirty = overlap.filter(F.col("contaminated"))
+            audit = audit.unionByName(
+                dirty.select(
+                    ids,
+                    F.lit("contamination").alias("stage"),
+                    reason.alias("reason"),
+                )
+            )
+            survivors = survivors.join(
+                dirty.select(id_col), id_col, "left_anti"
+            )
+
+        # 5. redact + split, append-only sinks
         out_text = (
             redact_pii(F.col(text_col)) if redact else F.col(text_col)
         )

@@ -901,3 +901,73 @@ def test_stream_pq_index_append_and_probe_parity(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt_p, "commits"))
     _probe()  # replay: results ledger no-ops
     assert spark.read.parquet(results).count() == 6
+
+
+def test_stream_curation_semantic_decontamination(spark, tmp_path):
+    """The streaming curation flow's decontamination stage: a doc
+    that is a word-reordered copy of a static benchmark answer drops
+    with a cos_ audit reason (the 5-gram gate would keep it); the
+    replayed batch changes nothing; an unknown mode raises at stream
+    CONSTRUCTION, not mid-tick."""
+    import os
+    import shutil
+
+    import pytest
+
+    from starknet_etl_spark.streaming.curation import start_curation_stream
+
+    leak = ("lazy dog jumps today over a quick brown fox the "
+            "release notes cover and explain features fixes upgrades "
+            "migrations rollbacks")
+    clean = ("the field guide covers and explains habitats species "
+             "diets ranges seasons calls nests eggs chicks molts")
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over a lazy dog today "
+               "release notes cover and explain features fixes "
+               "upgrades migrations rollbacks")],
+        "doc_id bigint, text string",
+    )
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, leak), (2, clean)], schema
+    ).coalesce(1).write.parquet(src)
+
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def _go():
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            benchmark=bench,
+            contamination_mode="semantic",
+            contamination_threshold=0.95,
+            min_words=10,
+            **paths,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    cur = {r["doc_id"] for r in spark.read.parquet(paths["out_path"]).collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in spark.read.parquet(paths["audit_path"]).collect()}
+    assert cur == {2}
+    assert aud[1][0] == "contamination" and aud[1][1].startswith("cos_")
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    _go()
+    assert spark.read.parquet(paths["out_path"]).count() == 1
+    assert spark.read.parquet(paths["audit_path"]).count() == 1
+
+    with pytest.raises(ValueError, match="contamination_mode"):
+        start_curation_stream(
+            spark.readStream.schema(schema).parquet(src),
+            contamination_mode="nope",
+            **{**paths, "checkpoint": str(tmp_path / "ckpt2")},
+        )
