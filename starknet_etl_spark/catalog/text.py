@@ -1868,9 +1868,10 @@ def _data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _data_card_oracle() -> str:
+def _data_card_oracle(where: str = "") -> str:
     """Generated from the same PII pattern spec as the Spark side
-    (pii.oracle_count_sql) so the two can never drift."""
+    (pii.oracle_count_sql) so the two can never drift. ``where``
+    optionally scopes the corpus (the data_card_diff snapshots)."""
     from ..operators.pii import oracle_count_sql
 
     exprs = oracle_count_sql("text")
@@ -1892,7 +1893,7 @@ WITH t AS (
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
               AS BIGINT) % 1000 AS bucket,
          {pii_cols}
-  FROM documents
+  FROM documents{where}
 )
 SELECT 'corpus' AS section, 'all' AS key,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1910,6 +1911,44 @@ UNION ALL {pii_rows}
 UNION ALL SELECT 'dedup', 'exact_duplicates',
        CAST(COALESCE(SUM(c), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
   FROM (SELECT h, COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)
+"""
+
+
+def _data_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift between two snapshots: the 'previous' corpus is
+    documents with doc_id % 5 <> 0, the 'current' is all documents —
+    every (section, key) aligned null-safe with old/new/delta."""
+    from ..plans.datacard import data_card, data_card_diff
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    old = data_card(docs.filter(F.col("doc_id") % 5 != 0))
+    new = data_card(docs)
+    return data_card_diff(old, new)
+
+
+def _data_card_diff_oracle() -> str:
+    """The card oracle twice (old snapshot scoped by the same doc_id
+    filter) + a null-safe full outer alignment with deltas."""
+    old_sql = _data_card_oracle(" WHERE doc_id % 5 <> 0")
+    new_sql = _data_card_oracle()
+    return f"""
+WITH oldc AS MATERIALIZED ({old_sql}),
+newc AS MATERIALIZED ({new_sql})
+SELECT COALESCE(o.section, n.section) AS section,
+       COALESCE(o.key, n.key) AS key,
+       o.n_docs AS n_docs_old,
+       n.n_docs AS n_docs_new,
+       CAST(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS BIGINT)
+         AS n_docs_delta,
+       o.measure AS measure_old,
+       n.measure AS measure_new,
+       CAST(COALESCE(n.measure, 0) - COALESCE(o.measure, 0) AS BIGINT)
+         AS measure_delta
+FROM oldc o FULL OUTER JOIN newc n
+  ON o.section IS NOT DISTINCT FROM n.section
+ AND o.key IS NOT DISTINCT FROM n.key
 """
 
 
@@ -2175,6 +2214,13 @@ QUERIES = {
         "per-source percentile quality gate (adaptive floors)",
     ),
     # overflow: corpus data card (long-form summary table).
+    # overflow: version-over-version corpus drift — two data cards
+    # aligned null-safe with deltas (the release-gate diff view).
+    "doc_data_card_diff": QuerySpec(
+        _data_card_diff,
+        _data_card_diff_oracle(),
+        "corpus drift: (section, key) old/new/delta across snapshots",
+    ),
     "doc_data_card": QuerySpec(
         _data_card,
         _data_card_oracle(),

@@ -147,3 +147,49 @@ def data_card(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def data_card_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Version-over-version corpus drift: align two :func:`data_card`
+    frames on (section, key) and emit old/new/delta for both metrics
+    — the release-gate view of what an ingest tick, a re-curation,
+    or a forget purge actually changed (composition shifts, PII
+    exposure up, dedup mass down, split balance drift). A key absent
+    from one side reports NULL for that side's values and the delta
+    treats it as 0 (a vanished section IS a delta, not a join bug).
+
+    Null-safe alignment: a NULL group value (e.g. an untagged lang)
+    is a real key and must pair with itself across versions. Scale:
+    cards are summary-sized (sections × keys), so this is metadata
+    arithmetic — the corpus passes already happened in data_card."""
+    o = old.select(
+        F.col("section").alias("__os"),
+        F.col("key").alias("__ok"),
+        F.col("n_docs").alias("n_docs_old"),
+        F.col("measure").alias("measure_old"),
+    )
+    n = new.select(
+        F.col("section").alias("__ns"),
+        F.col("key").alias("__nk"),
+        F.col("n_docs").alias("n_docs_new"),
+        F.col("measure").alias("measure_new"),
+    )
+    j = o.join(
+        n,
+        F.col("__os").eqNullSafe(F.col("__ns"))
+        & F.col("__ok").eqNullSafe(F.col("__nk")),
+        "full_outer",
+    )
+    delta = lambda a, b: (  # noqa: E731
+        F.coalesce(F.col(b), F.lit(0)) - F.coalesce(F.col(a), F.lit(0))
+    ).cast("long")
+    return j.select(
+        F.coalesce(F.col("__os"), F.col("__ns")).alias("section"),
+        F.coalesce(F.col("__ok"), F.col("__nk")).alias("key"),
+        "n_docs_old",
+        "n_docs_new",
+        delta("n_docs_old", "n_docs_new").alias("n_docs_delta"),
+        "measure_old",
+        "measure_new",
+        delta("measure_old", "measure_new").alias("measure_delta"),
+    )

@@ -420,3 +420,40 @@ def test_semantic_decontamination_catches_reordered_benchmark(spark):
 
     with pytest.raises(ValueError, match="contamination_mode"):
         curate_corpus(docs, benchmark=bench, contamination_mode="nope")
+
+
+def test_data_card_diff_hand_computed(spark):
+    """data_card_diff aligns (section, key) null-safe and reports
+    old/new/delta; a key present on one side only keeps NULLs for
+    the missing side while its delta treats absence as 0."""
+    from starknet_etl_spark.plans.datacard import data_card_diff
+
+    schema = "section string, key string, n_docs long, measure long"
+    old = spark.createDataFrame(
+        [
+            ("corpus", "all", 10, 1000),
+            ("lang", "en", 8, 900),
+            ("lang", "de", 2, 100),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("corpus", "all", 12, 1150),
+            ("lang", "en", 12, 1150),
+            ("pii", "email", 1, 3),
+        ],
+        schema,
+    )
+    got = {
+        (r["section"], r["key"]): (
+            r["n_docs_old"], r["n_docs_new"], r["n_docs_delta"],
+            r["measure_old"], r["measure_new"], r["measure_delta"],
+        )
+        for r in data_card_diff(old, new).collect()
+    }
+    assert got[("corpus", "all")] == (10, 12, 2, 1000, 1150, 150)
+    assert got[("lang", "en")] == (8, 12, 4, 900, 1150, 250)
+    assert got[("lang", "de")] == (2, None, -2, 100, None, -100)
+    assert got[("pii", "email")] == (None, 1, 1, None, 3, 3)
+    assert len(got) == 4
