@@ -1952,6 +1952,81 @@ FROM oldc o FULL OUTER JOIN newc n
 """
 
 
+_VOCAB_MIN_COUNT = 2
+_VOCAB_MAX_SIZE = 500
+_OOV_VOCAB_SIZE = 200  # smaller vocab -> nontrivial OOV mass
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: frequency-ranked word vocabulary with
+    deterministic ids (count DESC, token ASC; min_count guillotine
+    before the TakeOrderedAndProject cut)."""
+    return X.build_vocab(
+        _docs(spark, sf_dir),
+        "text",
+        min_count=_VOCAB_MIN_COUNT,
+        max_size=_VOCAB_MAX_SIZE,
+    )
+
+
+_VOCAB_CORE = rf"""tok AS (
+  SELECT t AS token FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents) WHERE t <> ''
+),
+c AS (
+  SELECT token, COUNT(*) AS n FROM tok
+  GROUP BY token HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}
+),
+r AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
+  FROM c
+)"""
+
+_VOCAB_ORACLE = f"""
+WITH {_VOCAB_CORE}
+SELECT token, CAST(n AS BIGINT) AS n_occurrences,
+       CAST(vocab_id AS BIGINT) AS vocab_id
+FROM r WHERE vocab_id < {_VOCAB_MAX_SIZE}
+"""
+
+
+def _oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against a deliberately small vocab (top-200):
+    the tokenizer-fit signal; the vocab builds in-plan."""
+    docs = _docs(spark, sf_dir)
+    vocab = X.build_vocab(
+        docs, "text", min_count=_VOCAB_MIN_COUNT, max_size=_OOV_VOCAB_SIZE
+    )
+    return X.oov_rate(docs, vocab)
+
+
+_OOV_ORACLE = f"""
+WITH {_VOCAB_CORE},
+v AS (SELECT token FROM r WHERE vocab_id < {_OOV_VOCAB_SIZE}),
+dt AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> ''
+),
+agg AS (
+  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM dt LEFT JOIN v ON v.token = dt.token
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN agg.n_tokens IS NOT NULL
+            THEN ROUND(agg.n_oov * 1.0 / agg.n_tokens, 6) END AS oov_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -2220,6 +2295,18 @@ QUERIES = {
         _data_card_diff,
         _data_card_diff_oracle(),
         "corpus drift: (section, key) old/new/delta across snapshots",
+    ),
+    # overflow: tokenizer-prep — frequency-ranked vocabulary and the
+    # per-doc OOV-rate fit signal against a deliberately small vocab.
+    "doc_vocab": QuerySpec(
+        _vocab,
+        _VOCAB_ORACLE,
+        "word vocabulary: deterministic frequency-ranked ids",
+    ),
+    "doc_oov_rate": QuerySpec(
+        _oov,
+        _OOV_ORACLE,
+        "per-doc out-of-vocabulary rate vs the top-200 vocab",
     ),
     "doc_data_card": QuerySpec(
         _data_card,

@@ -11,6 +11,7 @@ deterministic and SQL-replicable for oracle differential testing.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 #: BPE-ish tokenization: letter runs, digit runs, single punctuation.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -685,3 +686,99 @@ def hash_embed(
         )
     )
     return dense.select(id_col, embedding.alias("embedding"))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+    max_size: int = 50_000,
+) -> DataFrame:
+    """(token, n_occurrences, vocab_id): the corpus token vocabulary
+    — frequency-ranked deterministic ids, the tokenizer-prep step of
+    a training-data pipeline (word-level vocab; feed the same token
+    stream a BPE trainer would consume).
+
+    Tokenization matches the suite's convention (lower, trim,
+    whitespace split — ``hash_embed``/``bm25``'s stream). Ranking is
+    (count DESC, token ASC) with 0-based ids, so equal-frequency
+    tokens order lexically — engine-reproducible.
+
+    Scale (100 TB): the token count is one explode + one token-keyed
+    aggregate (map-side partial combine does the heavy lifting);
+    ``min_count`` then guillotines the long junk tail BEFORE any
+    ranking. The top-``max_size`` cut is TakeOrderedAndProject —
+    never a global sort of all distinct tokens — and the id window
+    runs over that LIMITED result, which is vocab-sized (driver-
+    bounded by contract) by construction.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_size < 1:
+        raise ValueError(f"max_size must be >= 1, got {max_size}")
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(max_size)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        (F.row_number().over(w) - 1).cast("long").alias("vocab_id"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_frac): per-document out-of-vocabulary
+    rate against a :func:`build_vocab` frame — the tokenizer-fit
+    signal (a domain whose oov_frac spikes will fragment into
+    byte-fallback pieces and train badly; gate or re-balance it).
+
+    Tokenless documents emit n_tokens=0 with oov_frac NULL (no
+    signal). The vocab side is vocab-sized → broadcast anti-join
+    semantics via a left join; the doc side shuffles on the doc id
+    only."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    flagged = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("__in"))),
+        "token",
+        "left",
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    base = df.select(id_col).distinct()
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        ).alias("oov_frac"),
+    )

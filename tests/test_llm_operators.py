@@ -2000,3 +2000,54 @@ def test_semantic_overlap_catches_paraphrase_ngram_misses(spark):
     )
     got = {r["doc_id"] for r in semantic_overlap(t2, bench).collect()}
     assert got == {6}
+
+
+def test_build_vocab_and_oov_rate(spark):
+    """Vocabulary ids are deterministic (count desc, token asc), the
+    max_size cut is tie-stable, min_count guillotines the tail, and
+    oov_rate hand-computes (tokenless docs emit 0/NULL)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "Apple banana date"),
+            (3, "banana elder apple"),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    # counts: apple 4, banana 3, cherry/date/elder 1
+    vocab = {
+        r["token"]: (r["n_occurrences"], r["vocab_id"])
+        for r in X.build_vocab(docs, min_count=1).collect()
+    }
+    assert vocab["apple"] == (4, 0)
+    assert vocab["banana"] == (3, 1)
+    # ties rank lexically
+    assert vocab["cherry"][1] == 2 and vocab["date"][1] == 3
+    assert vocab["elder"][1] == 4
+
+    floor = {r["token"] for r in X.build_vocab(docs, min_count=2).collect()}
+    assert floor == {"apple", "banana"}
+
+    # the cap cuts INSIDE a tie group deterministically (token asc)
+    capped = {
+        r["token"]: r["vocab_id"]
+        for r in X.build_vocab(docs, min_count=1, max_size=3).collect()
+    }
+    assert capped == {"apple": 0, "banana": 1, "cherry": 2}
+
+    small = X.build_vocab(docs, min_count=1, max_size=2)  # apple, banana
+    oov = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_frac"])
+        for r in X.oov_rate(docs, small).collect()
+    }
+    assert oov[1] == (4, 1, 0.25)       # cherry
+    assert oov[2] == (3, 1, 0.333333)   # date (Apple lowercases in)
+    assert oov[3] == (3, 1, 0.333333)   # elder
+    assert oov[4] == (0, 0, None)       # tokenless: no signal
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        X.build_vocab(docs, min_count=0)
+    with _pt.raises(ValueError):
+        X.build_vocab(docs, max_size=0)
