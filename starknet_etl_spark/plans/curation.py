@@ -317,6 +317,13 @@ def curate_corpus(
         )
 
     # -- stage 3: benchmark decontamination (optional)
+    if contamination_mode not in ("ngram", "semantic"):
+        # validated even with benchmark=None: a typo'd mode must not
+        # silently pass until the day a benchmark is wired in
+        raise ValueError(
+            f"unknown contamination_mode {contamination_mode!r}; "
+            "expected 'ngram' or 'semantic'"
+        )
     if benchmark is not None:
         if contamination_mode == "ngram":
             overlap = ngram_overlap(
@@ -343,11 +350,6 @@ def curate_corpus(
             )
             dirty = overlap.filter(F.col("contaminated"))
             reason = F.concat(F.lit("cos_"), F.round("best_cos", 3))
-        else:
-            raise ValueError(
-                f"unknown contamination_mode {contamination_mode!r}; "
-                "expected 'ngram' or 'semantic'"
-            )
         audit_contam = dirty.select(
             ids,
             F.lit("contamination").alias("stage"),
