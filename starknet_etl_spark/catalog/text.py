@@ -2027,6 +2027,47 @@ LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+_CHUNK_MAX = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap: chunk k covers tokens
+    [k·stride, k·stride + max) — map-only sequence/slice explode."""
+    return X.chunk_documents(
+        _docs(spark, sf_dir),
+        max_tokens=_CHUNK_MAX,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_CHUNKS_ORACLE = rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, w,
+         (greatest(len(w) - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STRIDE - 1})
+           // {_CHUNK_STRIDE} AS k
+  FROM ws WHERE len(w) > 0
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                    i * {_CHUNK_STRIDE} + {_CHUNK_MAX}) AS piece
+  FROM sized, unnest(generate_series(0, k - 1)) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM ch
+"""
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -2298,6 +2339,13 @@ QUERIES = {
     ),
     # overflow: tokenizer-prep — frequency-ranked vocabulary and the
     # per-doc OOV-rate fit signal against a deliberately small vocab.
+    # overflow: long-document preparation — fixed-token windows with
+    # stride overlap (context-bounded pretraining / retrieval prep).
+    "doc_chunks": QuerySpec(
+        _chunks,
+        _CHUNKS_ORACLE,
+        "token-window chunking with overlap (map-only explode)",
+    ),
     "doc_vocab": QuerySpec(
         _vocab,
         _VOCAB_ORACLE,

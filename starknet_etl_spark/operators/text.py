@@ -782,3 +782,69 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6),
         ).alias("oov_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """(id, chunk_id, n_chunk_tokens, chunk_text): fixed-size token
+    windows with stride ``max_tokens - overlap`` — the standard
+    long-document preparation for context-bounded pretraining and
+    retrieval corpora (every token lands in ≥1 chunk; consecutive
+    chunks share ``overlap`` tokens so no span is ever split blind).
+
+    Deterministic layout: chunk k covers tokens
+    ``[k·stride, k·stride + max_tokens)`` of the whitespace token
+    stream (original casing preserved — chunking is a layout
+    operation, not a normalization), the final chunk is the only
+    possibly-short one, and ``n_chunks = ceil(max(n − overlap, 1) /
+    stride)`` so a doc at or under ``max_tokens`` emits exactly one
+    chunk. Tokenless documents emit nothing (no signal).
+
+    Scale: one projection with an in-row ``sequence``/``slice``
+    explode — map-only, no shuffle, output rows ∝ token count /
+    stride. A pathological single doc stays a single task; cap
+    upstream by n_chars if that ever bites (same stance as
+    repetition_signals).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(ws)
+    n_chunks = F.floor(
+        (F.greatest(n - F.lit(overlap), F.lit(1)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col), ws.alias("__ws"), n.alias("__n"), n_chunks.alias("__k")
+    ).filter(F.col("__n") > 0)
+    chunks = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("__k") - 1)
+        ).alias("chunk_id"),
+        "__ws",
+    )
+    piece = F.slice(
+        F.col("__ws"),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        max_tokens,
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

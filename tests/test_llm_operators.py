@@ -2051,3 +2051,44 @@ def test_build_vocab_and_oov_rate(spark):
         X.build_vocab(docs, min_count=0)
     with _pt.raises(ValueError):
         X.build_vocab(docs, max_size=0)
+
+
+def test_chunk_documents_layout_and_edges(spark):
+    """Chunk k covers tokens [k*stride, k*stride+max): overlap shared
+    between consecutive chunks, every token covered, final chunk
+    short, <=max docs emit one chunk, tokenless docs emit none, and
+    guards reject bad (max_tokens, overlap)."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(15))),  # 15 toks
+            (2, "a b c"),
+            (3, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = X.chunk_documents(docs, max_tokens=8, overlap=2)  # stride 6
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: ceil((15-2)/6) = 3 chunks at offsets 0, 6, 12
+    assert rows[(1, 0)] == (8, " ".join(f"t{i}" for i in range(8)))
+    assert rows[(1, 1)] == (8, " ".join(f"t{i}" for i in range(6, 14)))
+    assert rows[(1, 2)] == (3, "t12 t13 t14")
+    # overlap: chunk 0's tail == chunk 1's head (2 tokens)
+    assert rows[(1, 0)][1].split()[-2:] == rows[(1, 1)][1].split()[:2]
+    # every token covered exactly
+    covered = set()
+    for (d, _), (_, txt) in rows.items():
+        if d == 1:
+            covered |= set(txt.split())
+    assert covered == {f"t{i}" for i in range(15)}
+    assert rows[(2, 0)] == (3, "a b c")
+    assert {d for d, _ in rows} == {1, 2}  # tokenless doc 3 absent
+    assert max(c for d, c in rows if d == 1) == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        X.chunk_documents(docs, max_tokens=0)
+    with _pt.raises(ValueError):
+        X.chunk_documents(docs, max_tokens=8, overlap=8)
