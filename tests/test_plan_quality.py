@@ -412,3 +412,22 @@ def test_gapfill_spine_is_broadcast(spark):
     tree = _tree(plan)
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_chunking_is_map_only(spark):
+    """doc_chunks: the sequence/slice explode chunker must stay a
+    single map-only stage — zero Exchange of any kind; a shuffle here
+    would mean the layout op started moving corpus bytes."""
+    tree = _tree(_plan(spark, "doc_chunks"))
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree  # the explode
+
+
+def test_semantic_contamination_no_shuffle_on_train_side(spark):
+    """doc_semantic_contamination: the train side embeds and scores
+    in one pass; the only Exchanges allowed are the doc-keyed
+    aggregates INSIDE hash_embed — the scoring GEMM itself adds no
+    join/shuffle (benchmark rides the closure)."""
+    tree = _tree(_plan(spark, "doc_semantic_contamination"))
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert "ArrowEvalPython" in tree or "MapInPandas" in tree
