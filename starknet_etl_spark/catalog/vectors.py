@@ -905,6 +905,26 @@ def _ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
 
 
+def _ivfpq_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance transparency for the COMPRESSED index: a PQ index
+    built from half the corpus is retrained from the FULL source
+    (retrain_pq_index — atomic swap; codes aren't invertible, so the
+    rebuild takes the source frame). With the same parameters the
+    rebuild is deterministic, so the 2-probe ADC ranking must equal
+    the from-scratch build's — the emb_ivfpq_indexed oracle, shared.
+    """
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "pq_retrained_catalog")
+    S.build_pq_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), path,
+        dim=DIM, m=_PQ_M, ksub=_PQ_KSUB,
+    )
+    S.retrain_pq_index(spark, path, corpus, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB)
+    return S.knn_pq_indexed(spark, path, query, k=5, n_probes=2)
+
+
 def _contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.nearest_in_cell(_emb(spark, sf_dir), min_cos=0.0)
 
@@ -1007,6 +1027,14 @@ QUERIES = {
         _knn_ivfpq_indexed,
         _pq_oracle(cell_scoped=False, k=5, n_probes=2),
         "persisted PQ index: 2-probe centroid-ranked ADC top-5",
+    ),
+    # overflow: maintenance transparency for the compressed index —
+    # probing after retrain_pq_index (atomic swap from the source
+    # corpus) must reproduce the from-scratch build (shared oracle).
+    "emb_ivfpq_retrained": QuerySpec(
+        _ivfpq_retrained,
+        _pq_oracle(cell_scoped=False, k=5, n_probes=2),
+        "probe after retrain_pq_index == the from-scratch PQ chain",
     ),
     # overflow: batched pruned ANN — many queries, one read over the
     # union of probed cell dirs (the bm25_batch template on vectors).

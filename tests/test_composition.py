@@ -105,3 +105,62 @@ def test_bm25_accepts_self_joined_input(selfy_docs):
         ).collect()
     }
     assert got == {1, 2}
+
+
+def test_chunks_feed_retrieval_and_embedding(spark, tmp_path):
+    """The RAG-prep composition: chunk_documents output drives BOTH
+    retrieval tiers directly — a postings index over chunks ranks
+    the chunk containing a rare term first, and hash_embed accepts
+    the chunk frame (synthetic unique id) without projection tricks.
+    Token mass is conserved: sum of chunk tokens == doc tokens +
+    overlap duplication (exactly overlap per chunk boundary)."""
+    from starknet_etl_spark.operators.search import (
+        bm25_indexed,
+        build_postings_index,
+    )
+    from starknet_etl_spark.operators.text import chunk_documents, hash_embed
+
+    body = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, body + " zebra " + " ".join(f"x{i}" for i in range(10))),
+            (2, " ".join(f"y{i}" for i in range(12))),
+        ],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(docs, max_tokens=8, overlap=2).withColumn(
+        "chunk_uid", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+
+    # token conservation: per doc, sum(chunk tokens) - (k-1)*overlap
+    # == doc token count
+    agg = {
+        r["doc_id"]: (r["tot"], r["k"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("tot"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .collect()
+    }
+    assert agg[1][0] - (agg[1][1] - 1) * 2 == 31
+    assert agg[2][0] - (agg[2][1] - 1) * 2 == 12
+
+    idx = str(tmp_path / "chunk_bm25")
+    build_postings_index(
+        chunks.select(
+            F.col("chunk_uid").alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        idx,
+        n_buckets=4,
+    )
+    top = bm25_indexed(spark, idx, ["zebra"], top_k=1).first()
+    hit = chunks.filter(
+        F.col("chunk_uid") == top["doc_id"]
+    ).first()
+    assert "zebra" in hit["chunk_text"]
+
+    emb = hash_embed(chunks, "chunk_uid", "chunk_text", dim=8)
+    assert emb.count() == chunks.count()
+    assert emb.columns == ["chunk_uid", "embedding"]
