@@ -435,7 +435,11 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ADC scoring against the reconstructed vectors. Integral '//' for
 # the subspace index (DuckDB CAST rounds; Spark truncates).
 def _pq_oracle(
-    *, cell_scoped: bool, k: int, n_probes: int | None = None
+    *,
+    cell_scoped: bool,
+    k: int,
+    n_probes: int | None = None,
+    meta_scope: str = "",
 ) -> str:
     """The full PQ chain in SQL (sample-init codebooks, 6-dp rounded
     L2 argmin assignment, ADC cosine); ``cell_scoped`` restricts the
@@ -445,7 +449,11 @@ def _pq_oracle(
     ``n_probes`` instead scopes to the top-n cells by 6-dp rounded
     MEAN-centroid cosine (cell-asc tiebreak) — exactly
     ``knn_pq_indexed``'s probe rule over a ``build_pq_index``
-    layout's persisted ``_centroids``."""
+    layout's persisted ``_centroids``. ``meta_scope`` additionally
+    restricts the METADATA-training corpus (codebook sample +
+    centroid means) without narrowing the scored corpus — the
+    frozen-metadata append path, where the index was built on a
+    subset and later batches encode against its metadata."""
     probe_ctes = ""
     if n_probes is not None:
         cell = "\n   AND label IN (SELECT cell FROM probe)"
@@ -453,7 +461,7 @@ def _pq_oracle(
   SELECT label AS cell, i AS dim_i,
          ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
   FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
-  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL{meta_scope}
   GROUP BY label, i
 ),
 probeq AS (
@@ -484,7 +492,8 @@ WITH {probe_ctes}ranked AS (
   SELECT vec_id, embedding,
          row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-  FROM embeddings WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+  FROM embeddings
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL{meta_scope}
 ),
 cb AS (
   SELECT (i - 1) // {DIM // _PQ_M} AS sub, rk - 1 AS code, i AS dim_i,
@@ -905,6 +914,27 @@ def _ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
 
 
+def _ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN-metadata append path, oracle-checked: the index is
+    built from the even half (codebooks sampled and centroids
+    averaged over that half only), the odd half appends against the
+    persisted metadata, and the probe scores the MERGED corpus —
+    exactly the meta_scope variant of the shared PQ oracle."""
+    import shutil
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "pq_appended_catalog")
+    shutil.rmtree(path, ignore_errors=True)  # fresh ledger per run
+    S.build_pq_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), path,
+        dim=DIM, m=_PQ_M, ksub=_PQ_KSUB,
+    )
+    S.append_pq_index(corpus.filter(F.col("vec_id") % 2 == 1), path, 1)
+    return S.knn_pq_indexed(spark, path, query, k=5, n_probes=2)
+
+
 def _ivfpq_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance transparency for the COMPRESSED index: a PQ index
     built from half the corpus is retrained from the FULL source
@@ -1035,6 +1065,17 @@ QUERIES = {
         _ivfpq_retrained,
         _pq_oracle(cell_scoped=False, k=5, n_probes=2),
         "probe after retrain_pq_index == the from-scratch PQ chain",
+    ),
+    # overflow: the frozen-metadata APPEND path — half-corpus build,
+    # half appended against the persisted metadata, merged probe
+    # (the oracle trains metadata on the even half only).
+    "emb_ivfpq_appended": QuerySpec(
+        _ivfpq_appended,
+        _pq_oracle(
+            cell_scoped=False, k=5, n_probes=2,
+            meta_scope=" AND vec_id % 2 = 0",
+        ),
+        "build(evens) + append(odds) probe == frozen-metadata chain",
     ),
     # overflow: batched pruned ANN — many queries, one read over the
     # union of probed cell dirs (the bm25_batch template on vectors).

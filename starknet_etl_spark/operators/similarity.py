@@ -1902,10 +1902,14 @@ def retrain_pq_index(
     cleared after the atomic ``io._replace_dir`` swap — a crash at
     any step leaves either the old or the new index fully intact,
     and the ``_batches`` replay ledger rides along so replayed
-    appends still no-op. Fresh ``_centroids``/``_codebooks`` written
-    by the rebuild are kept (``_copy_metadata_dirs`` fills only
-    what a rewrite didn't bring). Returns the new
-    ``(centroids, codebooks)``."""
+    appends still no-op. That ledger ride-along cuts both ways —
+    CONTRACT: ``source_df`` must contain every batch ever appended
+    (``append_pq_index``), because a batch absent from the source is
+    absent from the rebuilt index AND its marker still says landed,
+    so a later replay would no-op instead of healing the hole. Fresh
+    ``_centroids``/``_codebooks`` written by the rebuild are kept
+    (``_copy_metadata_dirs`` fills only what a rewrite didn't
+    bring). Returns the new ``(centroids, codebooks)``."""
     from .. import io as _io
     from .dedup import _without_forgotten
 
