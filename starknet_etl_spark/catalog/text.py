@@ -2068,6 +2068,34 @@ FROM ch
 """
 
 
+_PHRASE = ("table", "hash")  # co-occurs consecutively in testdata
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware retrieval: exact consecutive phrase matches
+    with distinct-start-position counts (the tier bag-of-terms BM25
+    cannot express)."""
+    from ..operators.search import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), list(_PHRASE))
+
+
+_PHRASE_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, w[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+       unnest(generate_series(1, len(w))) AS u(i)
+)
+SELECT t0.doc_id, CAST(COUNT(DISTINCT t0.pos) AS BIGINT) AS n_matches
+FROM tok t0
+JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.t = '{_PHRASE[0]}' AND t1.t = '{_PHRASE[1]}'
+GROUP BY t0.doc_id
+"""
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -2339,6 +2367,13 @@ QUERIES = {
     ),
     # overflow: tokenizer-prep — frequency-ranked vocabulary and the
     # per-doc OOV-rate fit signal against a deliberately small vocab.
+    # overflow: position-aware lexical retrieval — exact consecutive
+    # phrase matching via a per-doc positions-map intersect chain.
+    "doc_phrase_search": QuerySpec(
+        _phrase_search,
+        _PHRASE_ORACLE,
+        "exact-phrase matches with start-position counts",
+    ),
     # overflow: long-document preparation — fixed-token windows with
     # stride overlap (context-bounded pretraining / retrieval prep).
     "doc_chunks": QuerySpec(

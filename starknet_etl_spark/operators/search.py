@@ -699,3 +699,72 @@ def bm25_batch(
             .drop("__rn")
         )
     return per
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_matches): documents containing the EXACT consecutive
+    phrase, with the count of distinct start positions — the
+    position-aware tier above BM25's bag-of-terms (which can't tell
+    "new york" from "york new").
+
+    Positional semantics, fully declarative: tokenize once
+    (posexplode), keep only the phrase's terms, fold each document's
+    positions into a term→positions map, then intersect the i-th
+    term's positions shifted by −i across the phrase
+    (``array_intersect`` chain — a start position survives iff every
+    word matches in sequence). Docs missing ANY phrase term fall out
+    via NULL propagation; duplicate words in the phrase cost nothing
+    extra (same map key read twice).
+
+    Scale: the explode is filtered to the phrase's terms BEFORE any
+    shuffle — the aggregate carries only matching-term positions
+    (∝ term frequency, not corpus tokens), keyed by doc id. For a
+    standing phrase workload, build the same map from a positional
+    index instead of re-tokenizing; this operator is the scan-side
+    baseline the index variant must equal.
+    """
+    terms = [t.lower() for t in phrase]
+    if not terms or any(not t or " " in t for t in terms):
+        raise ValueError(
+            f"phrase must be non-empty single tokens, got {phrase!r}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__t"),
+    ).filter(F.col("__t").isin(*set(terms)))
+    per_term = toks.groupBy(id_col, "__t").agg(
+        F.collect_list("__pos").alias("__ps")
+    )
+    maps = per_term.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__t", "__ps"))
+        ).alias("__m")
+    )
+    def _shift(off: int):
+        # NOT a default-arg lambda: pyspark counts lambda parameters
+        # to decide between (element) and (element, index) forms, so
+        # `lambda x, off=i` silently binds off to the ARRAY INDEX
+        return lambda x: x - F.lit(off)
+
+    inter = None
+    for i, w in enumerate(terms):
+        # try_: ANSI element_at throws on a missing map key, and a
+        # doc holding SOME phrase terms legitimately misses others —
+        # NULL propagates through the intersect and filters out
+        shifted = F.transform(
+            F.try_element_at(F.col("__m"), F.lit(w)), _shift(i)
+        )
+        inter = shifted if inter is None else F.array_intersect(inter, shifted)
+    return (
+        maps.select(
+            id_col, F.size(inter).cast("long").alias("n_matches")
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -2092,3 +2092,49 @@ def test_chunk_documents_layout_and_edges(spark):
         X.chunk_documents(docs, max_tokens=0)
     with _pt.raises(ValueError):
         X.chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_phrase_search_positions(spark):
+    """Exact consecutive matching: overlapping starts count
+    distinctly, both-words-but-not-adjacent docs are excluded, docs
+    missing a term fall out via NULL (ANSI-safe try_element_at), a
+    3-word phrase chains the intersect, and bad phrases raise."""
+    from starknet_etl_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table hash b table hash table x"),
+            (2, "table b hash"),
+            (3, "hash Table HASH"),
+            (4, "table only here"),
+            (5, "nothing relevant"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, ["table", "hash"]).collect()
+    }
+    assert got == {1: 2, 3: 1}  # case-folded; 2/4/5 excluded
+
+    got3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, ["table", "hash", "b"]).collect()
+    }
+    assert got3 == {1: 1}
+
+    # repeated word in the phrase reads the same map key twice
+    rep = spark.createDataFrame(
+        [(9, "go go go stop go go")], "doc_id bigint, text string"
+    )
+    got_rep = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(rep, ["go", "go"]).collect()
+    }
+    assert got_rep == {9: 3}  # starts 0,1 and 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phrase_search(docs, [])
+    with _pt.raises(ValueError):
+        phrase_search(docs, ["two words"])
