@@ -2080,6 +2080,17 @@ def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_docs(spark, sf_dir), list(_PHRASE))
 
 
+def _phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted positional tier: the probe reads only the phrase
+    terms' bucket directories and must equal the scan baseline
+    (shared oracle — the intersect chain is literally shared code)."""
+    from ..operators.search import build_positional_index, phrase_indexed
+
+    path = scratch_path(spark, sf_dir, "positional_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return phrase_indexed(spark, path, list(_PHRASE))
+
+
 _PHRASE_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id, i AS pos, w[i] AS t
@@ -2373,6 +2384,13 @@ QUERIES = {
         _phrase_search,
         _PHRASE_ORACLE,
         "exact-phrase matches with start-position counts",
+    ),
+    # overflow: the PERSISTED positional tier — bucket-pruned phrase
+    # probe over the positions index == the scan path (shared oracle).
+    "doc_phrase_indexed": QuerySpec(
+        _phrase_indexed,
+        _PHRASE_ORACLE,
+        "positional-index phrase probe == the scan baseline",
     ),
     # overflow: long-document preparation — fixed-token windows with
     # stride overlap (context-bounded pretraining / retrieval prep).

@@ -742,11 +742,21 @@ def phrase_search(
     per_term = toks.groupBy(id_col, "__t").agg(
         F.collect_list("__pos").alias("__ps")
     )
+    return _phrase_from_positions(per_term, terms, id_col)
+
+
+def _phrase_from_positions(
+    per_term: DataFrame, terms: list[str], id_col: str
+) -> DataFrame:
+    """(id, n_matches) from (id, __t, __ps) term-position rows — the
+    intersect chain shared by the scan path and the positional-index
+    probe, so the two are the same expression by construction."""
     maps = per_term.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct("__t", "__ps"))
         ).alias("__m")
     )
+
     def _shift(off: int):
         # NOT a default-arg lambda: pyspark counts lambda parameters
         # to decide between (element) and (element, index) forms, so
@@ -768,3 +778,129 @@ def phrase_search(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def _batch_positions(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(term, doc_id, positions, bucket) rows for one corpus/batch —
+    raw split positions (0-based, empty tokens keep their slots so
+    offsets match the scan path; the empty term itself is not
+    indexed)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__t"),
+    ).filter(F.col("__t") != "")
+    return toks.groupBy("doc_id", "__t").agg(
+        F.sort_array(F.collect_list("__pos")).alias("positions")
+    ).select(
+        F.col("__t").alias("term"),
+        "doc_id",
+        "positions",
+        _bucket(F.col("__t"), n_buckets).alias("bucket"),
+    )
+
+
+def build_positional_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus as a bucket-partitioned POSITIONAL
+    index — the phrase/proximity tier above the BM25 postings index
+    (which stores term frequencies only): ``positions/`` holds
+    (term, doc_id, positions array) partitioned by
+    ``pmod(xxhash64(term), n_buckets)``, ``meta/`` pins the modulus.
+    A phrase probe (``phrase_indexed``) then reads the PHRASE's
+    terms' buckets instead of re-tokenizing the corpus."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from ..io import save_table
+
+    spark = df.sparkSession
+    save_table(
+        _batch_positions(df, id_col, text_col, n_buckets),
+        os.path.join(path, "positions"),
+        mode="overwrite",
+        partition_by=["bucket"],
+    )
+    save_table(
+        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        os.path.join(path, "meta"),
+        mode="overwrite",
+    )
+
+
+def append_positional(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Fold a document micro-batch into the positional index —
+    ``append_postings``' twin, and simpler: positions carry no
+    corpus-wide stats, so the ONE partition-scoped ``append_once``
+    (keyed by ``batch_id``, replays no-op) is the whole story. Same
+    NEW-documents contract as every incremental index here."""
+    from ..io import append_once
+
+    spark = df.sparkSession
+    n_buckets = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
+    )
+    return append_once(
+        _batch_positions(df, id_col, text_col, n_buckets),
+        os.path.join(path, "positions"),
+        batch_id,
+        partition_by=["bucket"],
+    )
+
+
+def phrase_indexed(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Probe the positional index for an exact consecutive phrase:
+    identical results to ``phrase_search`` over the same corpus (the
+    intersect chain is literally shared), reading only the phrase's
+    terms' bucket directories — ≤ len(phrase) of n_buckets instead
+    of the corpus. Forgotten docs (``forget_postings``-style
+    tombstones at ``<path>__tombstones``) never match."""
+    from ..operators.dedup import _without_forgotten
+
+    terms = [t.lower() for t in phrase]
+    if not terms or any(not t or " " in t for t in terms):
+        raise ValueError(
+            f"phrase must be non-empty single tokens, got {phrase!r}"
+        )
+    n_buckets = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
+    )
+    uniq = sorted(set(terms))
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        .select(_bucket(F.col("t"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    rows = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+    )
+    rows = _without_forgotten(spark, path, rows, "doc_id")
+    per_term = rows.select(
+        "doc_id",
+        F.col("term").alias("__t"),
+        F.col("positions").alias("__ps"),
+    )
+    return _phrase_from_positions(per_term, terms, "doc_id")

@@ -2138,3 +2138,70 @@ def test_phrase_search_positions(spark):
         phrase_search(docs, [])
     with _pt.raises(ValueError):
         phrase_search(docs, ["two words"])
+
+
+def test_positional_index_phrase_parity_and_lifecycle(spark, tmp_path):
+    """The positional index: phrase_indexed == phrase_search on the
+    same corpus (shared intersect chain), the probe reads only the
+    phrase terms' buckets (partition pruning), appends are
+    replay-safe, and forgotten docs stop matching."""
+    from starknet_etl_spark.operators import dedup as DD
+    from starknet_etl_spark.operators.search import (
+        append_positional,
+        build_positional_index,
+        phrase_indexed,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table hash b table hash table x"),
+            (2, "table b hash"),
+            (3, "hash table hash"),
+            (4, "unrelated words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    extra = spark.createDataFrame(
+        [(5, "another table hash sighting")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "posidx")
+    build_positional_index(docs, idx, n_buckets=8)
+
+    phrase = ["table", "hash"]
+    want = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, phrase).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_indexed(spark, idx, phrase).collect()
+    }
+    assert got == want == {1: 2, 3: 1}
+
+    # probe plan prunes to the phrase terms' buckets
+    plan = phrase_indexed(spark, idx, phrase)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # append: replay-safe, new doc visible
+    assert append_positional(extra, idx, 1)
+    assert not append_positional(extra, idx, 1)
+    got2 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_indexed(spark, idx, phrase).collect()
+    }
+    assert got2 == {1: 2, 3: 1, 5: 1}
+
+    # forget: tombstoned doc stops matching immediately
+    DD.forget(spark, idx, [1], 0, "doc_id")
+    got3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_indexed(spark, idx, phrase).collect()
+    }
+    assert got3 == {3: 1, 5: 1}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        build_positional_index(docs, idx, n_buckets=0)
+    with _pt.raises(ValueError):
+        phrase_indexed(spark, idx, [])
