@@ -2091,6 +2091,22 @@ def _phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_indexed(spark, path, list(_PHRASE))
 
 
+def _phrase_rebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance transparency for the positional tier: probing
+    after a one-root-swap modulus change (rebucket_positional) must
+    reproduce the scan baseline exactly (shared oracle)."""
+    from ..operators.search import (
+        build_positional_index,
+        phrase_indexed,
+        rebucket_positional,
+    )
+
+    path = scratch_path(spark, sf_dir, "positional_rb_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    rebucket_positional(spark, path, 5)
+    return phrase_indexed(spark, path, list(_PHRASE))
+
+
 _PHRASE_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id, i AS pos, w[i] AS t
@@ -2391,6 +2407,13 @@ QUERIES = {
         _phrase_indexed,
         _PHRASE_ORACLE,
         "positional-index phrase probe == the scan baseline",
+    ),
+    # overflow: maintenance transparency — probe after the atomic
+    # rebucket must equal the scan baseline (shared oracle).
+    "doc_phrase_rebucketed": QuerySpec(
+        _phrase_rebucketed,
+        _PHRASE_ORACLE,
+        "phrase probe after rebucket_positional == the scan baseline",
     ),
     # overflow: long-document preparation — fixed-token windows with
     # stride overlap (context-bounded pretraining / retrieval prep).

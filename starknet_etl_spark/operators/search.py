@@ -904,3 +904,33 @@ def phrase_indexed(
         F.col("positions").alias("__ps"),
     )
     return _phrase_from_positions(per_term, terms, "doc_id")
+
+
+def rebucket_positional(
+    spark: SparkSession, path: str, n_buckets: int
+) -> None:
+    """Re-partition a LIVE positional index into ``n_buckets`` term
+    buckets — ``rebucket_postings``' twin with the same one-root-swap
+    discipline (positions and meta must change together or probes
+    hash one modulus against the other's layout and silently miss),
+    and simpler: no stats ledger to carry, just the positions replay
+    markers. Tombstones are a sibling dir, untouched."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from .. import io as _io
+
+    pos_p = os.path.join(path, "positions")
+    tmp_root = f"{path}__tmp_rebucket"
+    _io._delete_dir(spark, tmp_root)
+    tmp_pos = os.path.join(tmp_root, "positions")
+    rebucketed = (
+        spark.read.parquet(pos_p)
+        .drop("bucket")
+        .withColumn("bucket", _bucket(F.col("term"), n_buckets))
+    )
+    rebucketed.write.mode("overwrite").partitionBy("bucket").parquet(tmp_pos)
+    _io._copy_batch_markers(spark, pos_p, tmp_pos)
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp_root, "meta"))
+    _io._replace_dir(spark, path, tmp_root)

@@ -113,6 +113,21 @@ def pq_probe_rows(
     ]
 
 
+def phrase_rows(
+    spark, index_path: str, phrase: list[str]
+) -> list[dict[str, Any]]:
+    """(doc_id, n_matches) for an exact consecutive phrase — a
+    bucket-pruned probe of the positional index (only the phrase
+    terms' bucket directories are read; forgotten docs never
+    match)."""
+    from ..operators.search import phrase_indexed
+
+    return [
+        {"doc_id": r["doc_id"], "n_matches": r["n_matches"]}
+        for r in phrase_indexed(spark, index_path, phrase).collect()
+    ]
+
+
 def _wrap(fn) -> dict[str, Any]:
     """Reference response shape: data / empty message / 500 wrap."""
     try:
@@ -168,6 +183,12 @@ def pq_probe_response(
     )
 
 
+def phrase_response(
+    spark, index_path: str, phrase: list[str]
+) -> dict[str, Any]:
+    return _wrap(lambda: phrase_rows(spark, index_path, phrase))
+
+
 def create_search_app(
     spark,
     *,
@@ -175,6 +196,7 @@ def create_search_app(
     ann_index: str | None = None,
     ann_centroids: str | None = None,
     pq_index: str | None = None,
+    positional_index: str | None = None,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -183,6 +205,7 @@ def create_search_app(
     - ``GET /bm25?q=term+term&top_k=10``
     - ``GET /ann?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /pq?v=0.1,0.2,...&k=10&n_probes=2``
+    - ``GET /phrase?q=exact+phrase+words``
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -231,6 +254,14 @@ def create_search_app(
                 lambda: pq_probe_response(
                     spark, pq_index, vec, k=k, n_probes=n_probes
                 )
+            )
+
+    if positional_index is not None:
+
+        @app.get("/phrase")
+        def phrase(q: str):
+            return run(
+                lambda: phrase_response(spark, positional_index, q.split())
             )
 
     return app

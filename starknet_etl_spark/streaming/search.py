@@ -62,3 +62,38 @@ def start_postings_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_positional_stream(
+    docs: DataFrame,
+    *,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Fold a document stream into the POSITIONAL index
+    (``search.build_positional_index`` layout) — the phrase-tier twin
+    of ``start_postings_stream``, and stateless like it: each
+    micro-batch is one partition-scoped ``io.append_once`` of its
+    (term, doc, positions) rows into the term-hash buckets (replays
+    no-op; no stats ledger exists to keep consistent). Phrase probes
+    (``search.phrase_indexed``) see each batch the moment it lands."""
+    from ..operators.search import append_positional
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_positional(
+            batch, index_path, batch_id, id_col=id_col, text_col=text_col
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2205,3 +2205,51 @@ def test_positional_index_phrase_parity_and_lifecycle(spark, tmp_path):
         build_positional_index(docs, idx, n_buckets=0)
     with _pt.raises(ValueError):
         phrase_indexed(spark, idx, [])
+
+
+def test_rebucket_positional_transparent(spark, tmp_path):
+    """rebucket_positional: modulus change is invisible to probes
+    (results identical before/after), the meta pins the NEW modulus,
+    the one-root swap leaves no tmp litter, and append replay safety
+    survives (markers carried)."""
+    import os
+
+    from starknet_etl_spark.operators.search import (
+        append_positional,
+        build_positional_index,
+        phrase_indexed,
+        rebucket_positional,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table hash b table hash table x"),
+            (3, "hash table hash"),
+        ],
+        "doc_id bigint, text string",
+    )
+    extra = spark.createDataFrame(
+        [(5, "another table hash sighting")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "posrb")
+    build_positional_index(docs, idx, n_buckets=16)
+    assert append_positional(extra, idx, 1)
+    before = sorted(
+        tuple(r) for r in phrase_indexed(spark, idx, ["table", "hash"]).collect()
+    )
+
+    rebucket_positional(spark, idx, 5)
+    assert int(
+        spark.read.parquet(os.path.join(idx, "meta")).first()["n_buckets"]
+    ) == 5
+    after = sorted(
+        tuple(r) for r in phrase_indexed(spark, idx, ["table", "hash"]).collect()
+    )
+    assert after == before and len(after) == 3
+    assert not os.path.isdir(idx + "__tmp_rebucket")
+    # replayed append still no-ops against the carried markers
+    assert not append_positional(extra, idx, 1)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rebucket_positional(spark, idx, 0)

@@ -194,3 +194,29 @@ def test_pq_serving_fastapi_if_available(spark, tmp_path):
         "/pq", params={"v": "0.0,1.0,0.0,0.0", "k": 1, "n_probes": 1}
     ).json()
     assert [r["vec_id"] for r in out["data"]] == [12]
+
+
+def test_phrase_serving_core_response(spark, tmp_path):
+    """The phrase endpoint probes the positional index: matches with
+    start counts, the reference empty message for a no-hit phrase,
+    500-parity RuntimeError for a missing index."""
+    import pytest
+
+    from starknet_etl_spark.operators.search import build_positional_index
+    from starknet_etl_spark.serving.search_api import phrase_response
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data across the cluster"),
+         (2, "the catalyst optimizer prunes columns")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "pos_idx")
+    build_positional_index(docs, idx, n_buckets=4)
+
+    out = phrase_response(spark, idx, ["shuffles", "data"])
+    assert out == {"data": [{"doc_id": 1, "n_matches": 1}]}
+    assert phrase_response(spark, idx, ["data", "shuffles"]) == {
+        "message": "No data available"
+    }
+    with pytest.raises(RuntimeError, match="index probe failed"):
+        phrase_response(spark, str(tmp_path / "missing"), ["spark"])

@@ -971,3 +971,53 @@ def test_stream_curation_semantic_decontamination(spark, tmp_path):
             contamination_mode="nope",
             **{**paths, "checkpoint": str(tmp_path / "ckpt2")},
         )
+
+
+def test_stream_positional_index_append_and_replay(spark, tmp_path):
+    """Streaming positional-index maintenance: document micro-batches
+    fold into the term-hash buckets; phrase probes see each batch as
+    it lands; a replayed batch (lost engine commit) appends nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        phrase_indexed,
+    )
+    from starknet_etl_spark.streaming.search import start_positional_stream
+
+    base = spark.createDataFrame(
+        [(1, "a table hash b")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "posidx")
+    build_positional_index(base, idx, n_buckets=8)
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    for row in [(2, "table hash again"), (3, "no match here")]:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_positional_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=idx,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_indexed(spark, idx, ["table", "hash"]).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+    n_rows = spark.read.parquet(os.path.join(idx, "positions")).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: append_once no-ops
+    assert spark.read.parquet(os.path.join(idx, "positions")).count() == n_rows
