@@ -934,3 +934,36 @@ def rebucket_positional(
         "overwrite"
     ).parquet(os.path.join(tmp_root, "meta"))
     _io._replace_dir(spark, path, tmp_root)
+
+
+def purge_positional(spark: SparkSession, path: str) -> int:
+    """Physically remove tombstoned docs from a positional index —
+    ``purge_postings``' twin minus the stats consolidation (positions
+    carry no corpus-wide stats): rewrite ONLY the term buckets
+    holding the dead docs' rows, then clear the tombstones. Returns
+    the number of touched buckets. Tombstones clear LAST, so probes
+    stay correct through any partial failure and re-running heals;
+    the ``_batches`` replay markers live at the positions root,
+    untouched by partition swaps."""
+    from .. import io as _io
+
+    tomb = f"{path}__tombstones"
+    if not _io._exists(spark, tomb):
+        return 0
+    pos_p = os.path.join(path, "positions")
+    dead = _io.load_table(spark, tomb).select("doc_id").distinct()
+    rows = spark.read.parquet(pos_p)
+    touched = [
+        r["__b"]
+        for r in rows.join(F.broadcast(dead), "doc_id", "left_semi")
+        .select(F.col("bucket").alias("__b"))
+        .distinct()
+        .collect()
+    ]
+    if touched:
+        live = rows.filter(F.col("bucket").isin(touched)).join(
+            F.broadcast(dead), "doc_id", "left_anti"
+        )
+        _io._replace_touched_partitions(spark, pos_p, live, "bucket", touched)
+    _io._delete_dir(spark, tomb)
+    return len(touched)
