@@ -2091,6 +2091,51 @@ def _phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_indexed(spark, path, list(_PHRASE))
 
 
+_BATCH_PHRASES = {
+    "p_table_hash": ("table", "hash"),
+    "p_customer_join": ("customer", "join"),
+    "p_merge_group": ("merge", "group"),
+}
+
+
+def _phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched phrase probes: three phrases, ONE read over the union
+    of their terms' buckets; per query identical to the single-probe
+    loop (integer start-counting — no rounding seam)."""
+    from ..operators.search import build_positional_index, phrase_batch
+
+    path = scratch_path(spark, sf_dir, "positional_batch_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return phrase_batch(
+        spark, path, {k: list(v) for k, v in _BATCH_PHRASES.items()}
+    )
+
+
+def _phrase_batch_oracle() -> str:
+    parts = []
+    for qid, (w0, w1) in _BATCH_PHRASES.items():
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id,\n"
+            f"       CAST(COUNT(DISTINCT t0.pos) AS BIGINT) AS n_matches\n"
+            f"FROM tok t0\n"
+            f"JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1\n"
+            f"WHERE t0.t = '{w0}' AND t1.t = '{w1}'\n"
+            f"GROUP BY t0.doc_id"
+        )
+    return (
+        r"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, i AS pos, w[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+       unnest(generate_series(1, len(w))) AS u(i)
+)
+"""
+        + "\nUNION ALL ".join(parts)
+    )
+
+
 def _phrase_rebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance transparency for the positional tier: probing
     after a one-root-swap modulus change (rebucket_positional) must
@@ -2407,6 +2452,13 @@ QUERIES = {
         _phrase_indexed,
         _PHRASE_ORACLE,
         "positional-index phrase probe == the scan baseline",
+    ),
+    # overflow: batched phrase probes — many phrases, one
+    # union-of-buckets read, exact integer start counting.
+    "doc_phrase_batch": QuerySpec(
+        _phrase_batch,
+        _phrase_batch_oracle(),
+        "3 phrases, one bucket-pruned read == the per-phrase loop",
     ),
     # overflow: maintenance transparency — probe after the atomic
     # rebucket must equal the scan baseline (shared oracle).

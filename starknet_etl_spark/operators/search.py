@@ -967,3 +967,95 @@ def purge_positional(spark: SparkSession, path: str) -> int:
         _io._replace_touched_partitions(spark, pos_p, live, "bucket", touched)
     _io._delete_dir(spark, tomb)
     return len(touched)
+
+
+def phrase_batch(
+    spark: SparkSession,
+    path: str,
+    queries: dict,
+    *,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """(query_id, doc_id, n_matches) for MANY phrases against the
+    positional index in ONE bucket-pruned read — ``bm25_batch``'s
+    phrase twin, closing the batched cell of the phrase tier.
+
+    One scan over the union of all phrases' terms' buckets, then a
+    fully declarative start-counting aggregate: each (phrase offset,
+    position) pair votes for start ``pos − offset``; a start is a
+    match iff every offset of the phrase voted (COUNT(DISTINCT
+    offset) == phrase length — exact integers, no rounding seam).
+    Per query the result is identical to ``phrase_indexed`` in a
+    loop (property-tested), at 1/Q of the reads. Forgotten docs
+    never match. ``queries`` is a dict (ids unique by construction),
+    driver-sized by contract — ``max_queries`` raises past the cap.
+    A multi-word phrase can never match at a negative start (its
+    offset-0 word would need a negative position), so no boundary
+    filter is needed — the COUNT(DISTINCT offset) gate starves those
+    starts naturally."""
+    from ..operators.dedup import _without_forgotten
+
+    if not queries:
+        raise ValueError("queries is empty")
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"phrase_batch: queries exceed max_queries={max_queries}; "
+            "this side is driver-collected — shard the probe set or "
+            "raise max_queries deliberately"
+        )
+    qrows = []
+    qlens = []
+    for qid, phrase in queries.items():
+        terms = [t.lower() for t in phrase]
+        if not terms or any(not t or " " in t for t in terms):
+            raise ValueError(
+                f"phrase for {qid!r} must be non-empty single tokens, "
+                f"got {phrase!r}"
+            )
+        for i, w in enumerate(terms):
+            qrows.append((str(qid), i, w))
+        qlens.append((str(qid), len(terms)))
+    qdf = spark.createDataFrame(qrows, "query_id string, i int, w string")
+    qlen = spark.createDataFrame(qlens, "query_id string, qlen int")
+
+    n_buckets = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
+    )
+    uniq = sorted({w for _, _, w in qrows})
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        .select(_bucket(F.col("t"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    rows = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+    )
+    rows = _without_forgotten(spark, path, rows, "doc_id")
+    votes = (
+        rows.join(F.broadcast(qdf), rows["term"] == qdf["w"])
+        .select(
+            "query_id",
+            "doc_id",
+            "i",
+            F.explode("positions").alias("__pos"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "i",
+            (F.col("__pos") - F.col("i")).alias("__start"),
+        )
+    )
+    hits = (
+        votes.groupBy("query_id", "doc_id", "__start")
+        .agg(F.count_distinct("i").alias("__got"))
+        .join(F.broadcast(qlen), "query_id")
+        .filter(F.col("__got") == F.col("qlen"))
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

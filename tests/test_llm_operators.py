@@ -2303,3 +2303,62 @@ def test_purge_positional_partition_scoped(spark, tmp_path):
     DD.forget(spark, idx, [7], 1, "doc_id")
     purge_positional(spark, idx)
     assert not append_positional(extra, idx, 1)  # marker survived purge
+
+
+def test_phrase_batch_equals_indexed_loop(spark, tmp_path):
+    """phrase_batch: many phrases, ONE bucket-pruned read — per query
+    identical to the phrase_indexed loop, including a repeated-word
+    phrase and a single-word phrase; forgotten docs drop; guards."""
+    from starknet_etl_spark.operators import dedup as DD
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        phrase_batch,
+        phrase_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table hash b table hash table x"),
+            (2, "table b hash"),
+            (3, "hash table hash go go go"),
+            (4, "go stop go go"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "posb")
+    build_positional_index(docs, idx, n_buckets=8)
+
+    queries = {
+        "q1": ["table", "hash"],
+        "q2": ["go", "go"],
+        "q3": ["hash"],
+        "q4": ["never", "present"],
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_batch(spark, idx, queries).collect()
+    }
+    for qid, phrase in queries.items():
+        want = {
+            (qid, r["doc_id"]): r["n_matches"]
+            for r in phrase_indexed(spark, idx, phrase).collect()
+        }
+        batch_q = {k: v for k, v in got.items() if k[0] == qid}
+        assert batch_q == want, qid
+    assert got[("q2", 3)] == 2 and got[("q2", 4)] == 1
+    assert ("q4", 1) not in got and not any(k[0] == "q4" for k in got)
+
+    DD.forget(spark, idx, [1], 0, "doc_id")
+    after = {
+        (r["query_id"], r["doc_id"])
+        for r in phrase_batch(spark, idx, queries).collect()
+    }
+    assert not any(d == 1 for _, d in after)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phrase_batch(spark, idx, {})
+    with _pt.raises(ValueError, match="max_queries"):
+        phrase_batch(spark, idx, queries, max_queries=2)
+    with _pt.raises(ValueError):
+        phrase_batch(spark, idx, {"bad": ["two words"]})
