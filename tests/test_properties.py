@@ -381,3 +381,38 @@ def test_bm25_matches_python_reference(spark, docs, terms):
         if any_hit:
             want[i] = round(score, 6)
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    m=st.integers(min_value=1, max_value=20),
+    o_frac=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_reconstructs_token_stream(spark, n, m, o_frac):
+    """For ANY (n tokens, max_tokens, overlap): concatenating chunk 0
+    with every later chunk's tokens[overlap:] reproduces the original
+    token stream exactly — every token covered once in order, no
+    chunk over max_tokens, and the last chunk always contributes
+    beyond the overlap (no fully-redundant tail chunk)."""
+    from starknet_etl_spark.operators.text import chunk_documents
+
+    o = (m * o_frac) // 100  # any overlap in [0, m)
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id bigint, text string"
+    )
+    chunks = sorted(
+        (r["chunk_id"], r["chunk_text"].split(), r["n_chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=m, overlap=o).collect()
+    )
+    assert chunks and chunks[0][0] == 0
+    assert [c for c, _, _ in chunks] == list(range(len(chunks)))
+    assert all(len(ws) == k and k <= m for _, ws, k in chunks)
+    rebuilt = list(chunks[0][1])
+    for _, ws, _ in chunks[1:]:
+        assert ws[:o] == rebuilt[len(rebuilt) - o:] if o else True
+        assert len(ws) > o  # tail chunk never fully redundant
+        rebuilt.extend(ws[o:])
+    assert rebuilt == toks
