@@ -760,7 +760,12 @@ def oov_rate(
         ).alias("token"),
     ).filter(F.col("token") != "")
     flagged = toks.join(
-        F.broadcast(vocab.select("token", F.lit(1).alias("__in"))),
+        # distinct defensively: a duplicate vocab token would
+        # MULTIPLY matching rows through the join and silently
+        # inflate n_tokens — the bad kind of wrong
+        F.broadcast(
+            vocab.select("token").distinct().withColumn("__in", F.lit(1))
+        ),
         "token",
         "left",
     )
