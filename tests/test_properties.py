@@ -416,3 +416,35 @@ def test_chunking_reconstructs_token_stream(spark, n, m, o_frac):
         assert len(ws) > o  # tail chunk never fully redundant
         rebuilt.extend(ws[o:])
     assert rebuilt == toks
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_phrase_search_matches_naive_count(spark, toks):
+    """For ANY token stream over a tiny alphabet (maximally
+    overlap-prone), phrase_search('a b') equals the naive adjacent-
+    pair count, and the repeated-word phrase 'a a' equals its naive
+    count too."""
+    from starknet_etl_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id bigint, text string"
+    )
+
+    def naive(p):
+        return sum(
+            1
+            for i in range(len(toks) - len(p) + 1)
+            if all(toks[i + j] == w for j, w in enumerate(p))
+        )
+
+    for phrase in (["a", "b"], ["a", "a"], ["a", "b", "a"]):
+        want = naive(phrase)
+        rows = phrase_search(df, phrase).collect()
+        got = rows[0]["n_matches"] if rows else 0
+        assert got == want, (phrase, toks, got, want)
