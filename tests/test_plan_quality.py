@@ -431,3 +431,18 @@ def test_semantic_contamination_no_shuffle_on_train_side(spark):
     tree = _tree(_plan(spark, "doc_semantic_contamination"))
     assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
     assert "ArrowEvalPython" in tree or "MapInPandas" in tree
+
+
+def test_pq_batch_probe_prunes_cells(spark):
+    """emb_knn_pq_batch: the batched ADC scan must read only the
+    probed cells' code directories — static PartitionFilters on the
+    cell column, never a full-index scan."""
+    plan = _plan(spark, "emb_knn_pq_batch")
+    assert "PartitionFilters" in plan and "label" in plan
+
+
+def test_phrase_indexed_prunes_buckets(spark):
+    """doc_phrase_indexed: the phrase probe must read only the phrase
+    terms' bucket directories of the positional index."""
+    plan = _plan(spark, "doc_phrase_indexed")
+    assert "PartitionFilters" in plan and "bucket" in plan
