@@ -201,3 +201,55 @@ def start_pq_probe_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_phrase_probe_stream(
+    queries: DataFrame,
+    *,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    q_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    max_queries: int = 10_000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe the positional index with a stream of (query_id,
+    phrase-terms array) rows; results (query_id, doc_id, n_matches)
+    append exactly-once — the phrase twin of
+    ``start_bm25_probe_stream``, with the same cap-before-collect
+    stance (the micro-batch's query map is driver-collected, bounded
+    by ``max_queries``, failing LOUDLY rather than OOMing)."""
+    from ..operators.search import phrase_batch
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.select(q_id_col, phrase_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"phrase probe micro-batch exceeds max_queries="
+                f"{max_queries}; lower the trigger size or raise the "
+                "cap deliberately"
+            )
+        if not rows:
+            return
+        qmap = {str(r[0]): list(r[1]) for r in rows}
+        out = phrase_batch(
+            batch.sparkSession,
+            index_path,
+            qmap,
+            max_queries=max_queries,
+        )
+        append_once(out, results_path, batch_id)
+
+    writer = (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1021,3 +1021,64 @@ def test_stream_positional_index_append_and_replay(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replay: append_once no-ops
     assert spark.read.parquet(os.path.join(idx, "positions")).count() == n_rows
+
+
+def test_stream_phrase_probe_parity_and_replay(spark, tmp_path):
+    """Streaming phrase retrieval: each (query_id, phrase) micro-
+    batch probes the positional index via phrase_batch; the union of
+    per-batch results equals one batched probe of all queries; a
+    replayed batch lands nothing twice."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        phrase_batch,
+    )
+    from starknet_etl_spark.streaming.probes import start_phrase_probe_stream
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a table hash b table hash"),
+            (3, "hash table hash go go"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "posidx")
+    build_positional_index(docs, idx, n_buckets=8)
+
+    qschema = "query_id string, phrase array<string>"
+    q_rows = [("q1", ["table", "hash"]), ("q2", ["go", "go"])]
+    src = str(tmp_path / "qsrc")
+    for row in q_rows:
+        spark.createDataFrame([row], qschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_phrase_probe_stream(
+            spark.readStream.schema(qschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path=idx,
+            results_path=results,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in spark.read.parquet(results).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["n_matches"])
+        for r in phrase_batch(spark, idx, dict(q_rows)).collect()
+    )
+    assert got == want and len(got) == 3
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()
+    assert spark.read.parquet(results).count() == 3
