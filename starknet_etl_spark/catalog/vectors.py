@@ -914,6 +914,149 @@ def _ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf_indexed(spark, path, query, k=5, cell_col="cell")
 
 
+def _ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY trained compressed index on an UNLABELED corpus —
+    the engine's flagship ANN composition: k-means cells trained
+    from scratch (md5 seed + Lloyd), sample-init codebooks, codes
+    persisted by trained cell with both metadata kinds inside, then
+    a 2-probe centroid-ranked ADC probe. The oracle replays the
+    ENTIRE chain: training, assignment, probe ranking, encoding,
+    ADC."""
+    emb = _emb(spark, sf_dir).drop("label")
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    query = emb.filter(F.col("vec_id") == _QUERY_ID)
+    path = scratch_path(spark, sf_dir, "pq_trained_catalog")
+    S.build_pq_index(
+        corpus, path, dim=DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_cells=_IVF_TRAIN_CELLS, n_iters=_IVF_TRAIN_ITERS,
+    )
+    return S.knn_pq_indexed(spark, path, query, k=5, n_probes=2)
+
+
+def _ivfpq_trained_oracle() -> str:
+    """Training (seed + Lloyd, exactly _ivf_trained_oracle's rule) ×
+    PQ (sample codebooks + argmin encode + ADC, exactly _pq_oracle's
+    rule), with the scored corpus scoped to the query's top-2
+    TRAINED cells. ``ranked`` feeds BOTH the centroid seed and the
+    codebook sample (the same md5 order the engine uses); heavy
+    multiply-referenced CTEs are MATERIALIZED (the DuckDB
+    re-inlining gotcha)."""
+    dsub = DIM // _PQ_M
+    iters = []
+    prev = "cb0"
+    for it in range(1, _IVF_TRAIN_ITERS + 1):
+        iters.append(f"""
+d{it} AS MATERIALIZED (
+  SELECT c.vec_id, cb.code,
+         ROUND(SUM((c.x - cb.cvalue) * (c.x - cb.cvalue)), 6) AS dist
+  FROM corpus c JOIN {prev} cb ON cb.dim_i = c.dim_i
+  GROUP BY c.vec_id, cb.code
+),
+a{it} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT vec_id, code,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, code) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+cb{it} AS MATERIALIZED (
+  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
+  FROM {prev} p LEFT JOIN (
+    SELECT a.code, c.dim_i, ROUND(AVG(c.x), 6) AS mu
+    FROM corpus c JOIN a{it} a USING (vec_id)
+    GROUP BY a.code, c.dim_i) m
+  ON m.code = p.code AND m.dim_i = p.dim_i
+)""")
+        prev = f"cb{it}"
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+cb0 AS (
+  SELECT rk - 1 AS code, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS cvalue
+  FROM ranked, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE rk <= {_IVF_TRAIN_CELLS}
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id <> {_QUERY_ID} AND embedding IS NOT NULL
+),
+{",".join(iters)},
+casg AS MATERIALIZED (
+  SELECT vec_id, code AS cell FROM (
+    SELECT c.vec_id, cb.code,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND(SUM(cb.cvalue * c.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM corpus c JOIN {prev} cb ON cb.dim_i = c.dim_i
+    GROUP BY c.vec_id, cb.code) WHERE rn = 1
+),
+qlong AS MATERIALIZED (
+  SELECT i AS dim_i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE vec_id = {_QUERY_ID}
+),
+probe AS (
+  SELECT code AS cell FROM (
+    SELECT cb.code,
+           row_number() OVER (
+             ORDER BY ROUND(SUM(cb.cvalue * q.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM qlong q JOIN {prev} cb ON cb.dim_i = q.dim_i
+    GROUP BY cb.code) WHERE rn <= 2
+),
+pqcb AS MATERIALIZED (
+  SELECT (i - 1) // {dsub} AS sub, rk - 1 AS code, i AS dim_i,
+         CAST(embedding[i] AS DOUBLE) AS cvalue
+  FROM ranked, unnest(generate_series(1, {DIM})) AS t(i)
+  WHERE rk <= {_PQ_KSUB}
+),
+scorp AS MATERIALIZED (
+  SELECT c.vec_id, c.dim_i, (c.dim_i - 1) // {dsub} AS sub, c.x
+  FROM corpus c JOIN casg ON casg.vec_id = c.vec_id
+  WHERE casg.cell IN (SELECT cell FROM probe)
+),
+dists AS (
+  SELECT s.vec_id, s.sub, pq.code,
+         ROUND(SUM((s.x - pq.cvalue) * (s.x - pq.cvalue)), 6) AS dist
+  FROM scorp s JOIN pqcb pq ON pq.sub = s.sub AND pq.dim_i = s.dim_i
+  GROUP BY s.vec_id, s.sub, pq.code
+),
+assigned AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM dists) WHERE rn = 1
+),
+tbl AS (
+  SELECT pq.sub, pq.code,
+         ROUND(SUM(pq.cvalue * q.x), 6) AS ip,
+         ROUND(SUM(pq.cvalue * pq.cvalue), 6) AS cc
+  FROM pqcb pq
+  JOIN (SELECT dim_i, (dim_i - 1) // {dsub} AS sub, x FROM qlong) q
+    ON q.sub = pq.sub AND q.dim_i = pq.dim_i
+  GROUP BY pq.sub, pq.code
+),
+qn AS (SELECT SQRT(SUM(x * x)) AS qnorm FROM qlong),
+sums AS (
+  SELECT a.vec_id, SUM(t.ip) AS dot, SUM(t.cc) AS c2
+  FROM assigned a JOIN tbl t ON t.sub = a.sub AND t.code = a.code
+  GROUP BY a.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(c2) * qnorm), 6) AS cos_sim
+FROM sums, qn
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
+
 def _ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FROZEN-metadata append path, oracle-checked: the index is
     built from the even half (codebooks sampled and centroids
@@ -1065,6 +1208,14 @@ QUERIES = {
         _ivfpq_retrained,
         _pq_oracle(cell_scoped=False, k=5, n_probes=2),
         "probe after retrain_pq_index == the from-scratch PQ chain",
+    ),
+    # overflow: the FULLY TRAINED compressed index on an unlabeled
+    # corpus — Lloyd cells x PQ codes x 2-probe ADC, the whole chain
+    # replayed in one oracle.
+    "emb_ivfpq_trained": QuerySpec(
+        _ivfpq_trained,
+        _ivfpq_trained_oracle(),
+        "from-scratch IVFPQ: train cells + codebooks -> 2-probe ADC",
     ),
     # overflow: the frozen-metadata APPEND path — half-corpus build,
     # half appended against the persisted metadata, merged probe
