@@ -765,9 +765,12 @@ def _phrase_from_positions(
 
     inter = None
     for i, w in enumerate(terms):
-        # try_: ANSI element_at throws on a missing map key, and a
-        # doc holding SOME phrase terms legitimately misses others —
-        # NULL propagates through the intersect and filters out
+        # try_element_at states the intent: a doc holding SOME phrase
+        # terms legitimately misses others, and the NULL propagates
+        # through the intersect and filters the doc out. (Verified:
+        # ANSI element_at on a MAP returns NULL for a missing key —
+        # only ARRAY index OOB throws — so plain element_at would
+        # behave identically; try_ makes the tolerance explicit.)
         shifted = F.transform(
             F.try_element_at(F.col("__m"), F.lit(w)), _shift(i)
         )
