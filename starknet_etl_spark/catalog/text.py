@@ -2168,6 +2168,118 @@ GROUP BY t0.doc_id
 """
 
 
+def _chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector document retrieval: chunk -> hash_embed per chunk
+    -> cosine vs the (whole) query text -> per-doc MAX -> top-10.
+    Query = document 0's own text, so its chunks anchor the ranking
+    and near-dups of it surface next."""
+    from ..operators.search import chunk_semantic_search
+
+    docs = _docs(spark, sf_dir)
+    qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
+    return chunk_semantic_search(
+        docs,
+        qtext,
+        max_tokens=_CHUNK_MAX,
+        overlap=_CHUNK_OVERLAP,
+        dim=_HE_DIM,
+        k=10,
+    )
+
+
+# Chunk layout + per-chunk hash-embed + sparse-dot cosine with
+# FULL-vector norms of the rounded components + per-doc max pooling.
+_CHUNK_SEMANTIC_ORACLE = rf"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, w,
+         (greatest(len(w) - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STRIDE - 1})
+           // {_CHUNK_STRIDE} AS k
+  FROM ws WHERE len(w) > 0
+),
+ch AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                    i * {_CHUNK_STRIDE} + {_CHUNK_MAX}) AS piece
+  FROM sized, unnest(generate_series(0, k - 1)) AS t(i)
+),
+ctok AS (
+  SELECT doc_id, chunk_id, lower(u.t) AS t
+  FROM ch, unnest(piece) AS u(t)
+),
+ccomp AS (
+  SELECT doc_id, chunk_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM ctok GROUP BY doc_id, chunk_id, idx
+),
+cnrm AS (
+  SELECT doc_id, chunk_id, SQRT(SUM(v * v)) AS nn
+  FROM ccomp GROUP BY doc_id, chunk_id
+),
+cx AS MATERIALIZED (
+  -- DENSE over the full dim spine: a chunk sharing NO nonzero index
+  -- with the query must still score (cos exactly 0.0), as the
+  -- engine's dense zip_with dot does; zero-norm chunks drop
+  SELECT ch.doc_id, ch.chunk_id, CAST(gs.i - 1 AS INT) AS idx,
+         ROUND(COALESCE(c.v, 0.0) / n.nn, 6) AS x
+  FROM ch
+  CROSS JOIN unnest(generate_series(1, {_HE_DIM})) AS gs(i)
+  JOIN cnrm n ON n.doc_id = ch.doc_id AND n.chunk_id = ch.chunk_id
+  LEFT JOIN ccomp c ON c.doc_id = ch.doc_id
+                   AND c.chunk_id = ch.chunk_id
+                   AND c.idx = gs.i - 1
+  WHERE n.nn > 0
+),
+cxn AS (
+  SELECT doc_id, chunk_id, SQRT(SUM(x * x)) AS rn
+  FROM cx GROUP BY doc_id, chunk_id
+),
+qtok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE doc_id = 0
+),
+qcomp AS (
+  SELECT CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM qtok WHERE t <> '' GROUP BY idx
+),
+qnrm AS (SELECT SQRT(SUM(v * v)) AS nn FROM qcomp),
+qx AS MATERIALIZED (
+  SELECT CAST(gs.i - 1 AS INT) AS idx,
+         ROUND(COALESCE(q.v, 0.0) / qn.nn, 6) AS x
+  FROM unnest(generate_series(1, {_HE_DIM})) AS gs(i)
+  CROSS JOIN qnrm qn
+  LEFT JOIN qcomp q ON q.idx = gs.i - 1
+  WHERE qn.nn > 0
+),
+qxn AS (SELECT SQRT(SUM(x * x)) AS rn FROM qx),
+cos AS (
+  SELECT c.doc_id, c.chunk_id,
+         ROUND(SUM(c.x * q.x) / (n.rn * qn.rn), 6) AS cs
+  FROM cx c
+  JOIN qx q ON q.idx = c.idx
+  JOIN cxn n ON n.doc_id = c.doc_id AND n.chunk_id = c.chunk_id
+  CROSS JOIN qxn qn
+  GROUP BY c.doc_id, c.chunk_id, n.rn, qn.rn
+)
+SELECT doc_id, MAX(cs) AS best_cos FROM cos
+GROUP BY doc_id
+ORDER BY best_cos DESC, doc_id ASC LIMIT 10
+"""
+
+
 _BM25_TERMS = ("dup", "spark", "merge")  # rare + common: idf spread
 
 
@@ -2439,6 +2551,14 @@ QUERIES = {
     ),
     # overflow: tokenizer-prep — frequency-ranked vocabulary and the
     # per-doc OOV-rate fit signal against a deliberately small vocab.
+    # overflow: multi-vector document retrieval — chunk-level
+    # semantic search with per-doc max pooling (late-interaction
+    # lite; long docs stop losing to dilution).
+    "doc_chunk_semantic_search": QuerySpec(
+        _chunk_semantic,
+        _CHUNK_SEMANTIC_ORACLE,
+        "per-doc best-chunk cosine vs a query text, top-10",
+    ),
     # overflow: position-aware lexical retrieval — exact consecutive
     # phrase matching via a per-doc positions-map intersect chain.
     "doc_phrase_search": QuerySpec(

@@ -1062,3 +1062,85 @@ def phrase_batch(
     return hits.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches")
     )
+
+
+def chunk_semantic_search(
+    docs: DataFrame,
+    query_text: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+    dim: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """(id, best_cos): top-k documents by their BEST-matching chunk —
+    multi-vector retrieval with max-pooling (the late-interaction
+    shape: long documents stop losing to dilution because one
+    on-topic passage is enough to rank the whole doc).
+
+    Composition of the engine's own primitives, zero external
+    models: ``text.chunk_documents`` (token windows with overlap, so
+    a passage straddling a boundary still lands whole in some chunk)
+    → ``text.hash_embed`` per chunk → cosine against the
+    hash-embedded query (full-vector norms of the rounded
+    components, 6-dp) → per-doc MAX → top-k (ties to smaller id).
+    Chunks whose bag-of-words cancels to a zero vector carry no
+    signal and drop; a query that embeds to zero raises LOUDLY.
+
+    Scale: chunking and embedding are doc/chunk-keyed (no corpus²
+    anything); the query rides a 1-row broadcast; the pooling is one
+    doc-keyed max; the ranking is TakeOrderedAndProject. For a
+    standing corpus, persist the chunk embeddings through
+    ``similarity.build_pq_index`` and probe instead — this operator
+    is the one-shot scan path."""
+    from .similarity import dot, norm
+    from .text import chunk_documents, hash_embed
+
+    spark = docs.sparkSession
+    if not query_text or not query_text.strip():
+        raise ValueError("query_text is empty")
+    chunks = chunk_documents(
+        docs, id_col, text_col, max_tokens=max_tokens, overlap=overlap
+    ).select(
+        F.concat_ws("_", F.col(id_col), F.col("chunk_id")).alias("__cuid"),
+        F.col(id_col).alias("__doc"),
+        "chunk_text",
+    )
+    emb = hash_embed(
+        chunks, "__cuid", "chunk_text", dim=dim
+    ).join(chunks.select("__cuid", "__doc"), "__cuid")
+    qemb = hash_embed(
+        spark.createDataFrame([(0, query_text)], "qid long, text string"),
+        "qid",
+        "text",
+        dim=dim,
+    )
+    qrow = qemb.first()
+    if qrow is None or all(x == 0.0 for x in qrow["embedding"]):
+        raise ValueError(
+            "query_text embeds to the zero vector (no tokens, or a "
+            "fully-cancelling bag) — no similarity signal exists"
+        )
+    scored = (
+        emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+        .crossJoin(
+            F.broadcast(qemb.select(F.col("embedding").alias("__q")))
+        )
+        .select(
+            "__doc",
+            F.round(
+                dot(F.col("embedding"), F.col("__q"))
+                / (norm(F.col("embedding")) * norm(F.col("__q"))),
+                6,
+            ).alias("__cos"),
+        )
+    )
+    return (
+        scored.groupBy("__doc")
+        .agg(F.max("__cos").alias("best_cos"))
+        .select(F.col("__doc").alias(id_col), "best_cos")
+        .orderBy(F.desc("best_cos"), F.asc(id_col))
+        .limit(k)
+    )

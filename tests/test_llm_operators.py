@@ -2362,3 +2362,38 @@ def test_phrase_batch_equals_indexed_loop(spark, tmp_path):
         phrase_batch(spark, idx, queries, max_queries=2)
     with _pt.raises(ValueError):
         phrase_batch(spark, idx, {"bad": ["two words"]})
+
+
+def test_chunk_semantic_search_beats_dilution(spark):
+    """Max-pooling over chunk embeddings: a LONG document containing
+    one on-topic passage outranks a document that is mildly on-topic
+    throughout — whole-doc bag-of-words would dilute the passage
+    away. Self-query ranks the source doc at ~1.0; empty query
+    raises."""
+    from starknet_etl_spark.operators.search import chunk_semantic_search
+
+    passage = "the quick brown fox jumps over a lazy dog today"
+    noise = " ".join(f"n{i}" for i in range(80))
+    mild = "quick fox " + " ".join(f"m{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, noise + " " + passage + " " + noise),  # buried passage
+            (2, mild),                                  # diluted match
+            (3, " ".join(f"z{i}" for i in range(40))),  # unrelated
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["doc_id"], r["best_cos"])
+        for r in chunk_semantic_search(
+            docs, passage, max_tokens=10, overlap=2, dim=16, k=3
+        ).collect()
+    ]
+    assert got[0][0] == 1 and got[0][1] >= 0.9  # passage found whole
+    assert got[0][1] > got[1][1]
+    order = [d for d, _ in got]
+    assert order.index(1) < order.index(2) < order.index(3)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="query_text"):
+        chunk_semantic_search(docs, "   ")
