@@ -180,6 +180,43 @@ loop_pq = {
 }
 assert batch_pq == loop_pq, (batch_pq, loop_pq)
 
+# 4d) phrase tier + multi-vector retrieval: scan == positional-index
+# probe (shared intersect chain), batched == loop, chunk-level
+# semantic search self-ranks its query's source doc
+from starknet_etl_spark.operators.search import (
+    build_positional_index,
+    chunk_semantic_search,
+    phrase_batch,
+    phrase_indexed,
+    phrase_search,
+)
+
+pidx2 = "/tmp/verify_pos_idx"
+shutil.rmtree(pidx2, ignore_errors=True)
+build_positional_index(docs, pidx2, n_buckets=8)
+ph = ["dup", "dup"]
+via_scan_ph = sorted(
+    tuple(r) for r in phrase_search(docs, ph).collect()
+)
+via_idx_ph = sorted(
+    tuple(r) for r in phrase_indexed(spark, pidx2, ph).collect()
+)
+assert via_scan_ph == via_idx_ph
+via_batch_ph = sorted(
+    (r["doc_id"], r["n_matches"])
+    for r in phrase_batch(spark, pidx2, {"q": ph}).collect()
+)
+assert via_batch_ph == [(d, n) for d, n in via_idx_ph]
+
+q0 = docs.first()
+# query = doc 0's FIRST CHUNK verbatim (16 tokens, the chunk grid),
+# so its own chunk 0 must score an exact 1.0 and rank first
+first_chunk = " ".join(q0["text"].split()[:16])
+top_doc = chunk_semantic_search(
+    docs, first_chunk, max_tokens=16, overlap=4, dim=16, k=3
+).first()
+assert top_doc["doc_id"] == q0["doc_id"] and top_doc["best_cos"] == 1.0
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}
