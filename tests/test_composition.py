@@ -164,3 +164,44 @@ def test_chunks_feed_retrieval_and_embedding(spark, tmp_path):
     emb = hash_embed(chunks, "chunk_uid", "chunk_text", dim=8)
     assert emb.count() == chunks.count()
     assert emb.columns == ["chunk_uid", "embedding"]
+
+
+def test_chunk_embeddings_persist_through_pq_index(spark, tmp_path):
+    """The standing-corpus variant SCALING.md promises: per-chunk
+    hash embeddings ride build_pq_index (trained cells, codes by
+    cell, metadata inside) and a probe with a chunk's own embedding
+    ranks that chunk first — so chunk-level retrieval
+    drops onto the compressed-index lifecycle with no new machinery."""
+    import numpy as np
+
+    from starknet_etl_spark.operators import similarity as S
+    from starknet_etl_spark.operators.text import chunk_documents, hash_embed
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (d, " ".join(rng.choice(vocab, size=30)))
+        for d in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    chunks = chunk_documents(docs, max_tokens=10, overlap=2).withColumn(
+        "chunk_uid", F.col("doc_id") * 100 + F.col("chunk_id")
+    )
+    emb = hash_embed(chunks, "chunk_uid", "chunk_text", dim=16).select(
+        F.col("chunk_uid").alias("vec_id"), "embedding"
+    )
+    idx = str(tmp_path / "chunk_pq")
+    S.build_pq_index(emb, idx, dim=16, m=4, ksub=8, n_cells=3)
+
+    probe_uid = 102  # doc 1, chunk 2
+    q = emb.filter(F.col("vec_id") == probe_uid)
+    got = S.knn_pq_indexed(spark, idx, q, k=3, n_probes=2).collect()
+    # ADC scores the RECONSTRUCTED vector, so even the identical
+    # chunk lands under 1.0 — rank-1 self-retrieval is the invariant
+    assert got and got[0]["vec_id"] == probe_uid
+    # batched probe agrees per query
+    batch = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.knn_pq_batch(spark, idx, q, k=3, n_probes=2).collect()
+    }
+    assert batch[(probe_uid, 1)] == probe_uid
