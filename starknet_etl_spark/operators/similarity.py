@@ -656,7 +656,15 @@ def _ranked_probe_cells(
         .orderBy(F.desc("__s"), F.asc("cell"))
         .limit(n_probes)
     )
-    return [r["cell"] for r in ranked.collect()]
+    cells = [r["cell"] for r in ranked.collect()]
+    if not cells:
+        # an empty/NULL-vector query would otherwise return a
+        # silently empty result — fail the probe LOUDLY instead
+        raise ValueError(
+            "probe query is empty (no rows, or a NULL vector) — "
+            "no cells can be ranked"
+        )
+    return cells
 
 
 def knn_ivf_indexed(

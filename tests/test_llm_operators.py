@@ -2397,3 +2397,20 @@ def test_chunk_semantic_search_beats_dilution(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="query_text"):
         chunk_semantic_search(docs, "   ")
+
+
+def test_pq_probe_empty_query_is_loud(spark, tmp_path):
+    """An empty (or all-NULL-vector) probe of a PQ/trained index must
+    raise, never return a silently empty result."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    idx = str(tmp_path / "pq_loud")
+    S.build_pq_index(df, idx, dim=4, m=2, ksub=2)
+    with pytest.raises(ValueError, match="empty"):
+        S.knn_pq_indexed(spark, idx, df.filter("vec_id = 99"), k=2)
+    with pytest.raises(ValueError, match="empty"):
+        S.knn_ivf_indexed(
+            spark, idx, df.filter("vec_id = 99"), k=2, n_probes=2
+        )

@@ -220,3 +220,25 @@ def test_phrase_serving_core_response(spark, tmp_path):
     }
     with pytest.raises(RuntimeError, match="index probe failed"):
         phrase_response(spark, str(tmp_path / "missing"), ["spark"])
+
+
+def test_phrase_serving_fastapi_if_available(spark, tmp_path):
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        import pytest
+
+        pytest.skip("fastapi not installed")
+    from starknet_etl_spark.operators.search import build_positional_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data across the cluster")],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "pos_idx")
+    build_positional_index(docs, idx, n_buckets=4)
+    client = TestClient(create_search_app(spark, positional_index=idx))
+    out = client.get("/phrase", params={"q": "shuffles data"}).json()
+    assert out == {"data": [{"doc_id": 1, "n_matches": 1}]}
