@@ -448,3 +448,47 @@ def test_phrase_search_matches_naive_count(spark, toks):
         rows = phrase_search(df, phrase).collect()
         got = rows[0]["n_matches"] if rows else 0
         assert got == want, (phrase, toks, got, want)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=2, max_size=24
+    ),
+    toks2=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=2, max_size=24
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_phrase_batch_votes_equal_intersect_chain(spark, tmp_path_factory, toks, toks2):
+    """Two INDEPENDENT phrase implementations must agree on any
+    overlap-prone stream: the scan/indexed path intersects shifted
+    position arrays per doc, the batched path counts (offset,
+    position) votes per start — same integers for every phrase, doc
+    and count."""
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        phrase_batch,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks2))],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("posprop") / "idx")
+    build_positional_index(docs, idx, n_buckets=4)
+    queries = {
+        "p1": ["a", "b"],
+        "p2": ["b", "a", "b"],
+        "p3": ["c", "c"],
+    }
+    via_votes = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_batch(spark, idx, queries).collect()
+    }
+    via_chain = {}
+    for qid, ph in queries.items():
+        for r in phrase_search(docs, ph).collect():
+            via_chain[(qid, r["doc_id"])] = r["n_matches"]
+    assert via_votes == via_chain, (toks, toks2, via_votes, via_chain)
