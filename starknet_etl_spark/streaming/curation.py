@@ -85,6 +85,12 @@ def start_curation_stream(
             f"unknown contamination_mode {contamination_mode!r}; "
             "expected 'ngram' or 'semantic'"
         )
+    if benchmark is not None:
+        # the benchmark is STATIC across ticks but re-read per
+        # micro-batch (ngram: shingle side; semantic: embed+collect)
+        # — pin the source in memory once at stream construction so
+        # every tick's benchmark job reads cache, not storage
+        benchmark = benchmark.cache()
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
