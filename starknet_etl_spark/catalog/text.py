@@ -2168,6 +2168,31 @@ GROUP BY t0.doc_id
 """
 
 
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary coverage curve: cumulative token-mass fraction
+    by vocab rank — exact integer cum/total, 6-dp rounded."""
+    return X.vocab_coverage(
+        _docs(spark, sf_dir),
+        "text",
+        min_count=_VOCAB_MIN_COUNT,
+        max_size=_VOCAB_MAX_SIZE,
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH {_VOCAB_CORE},
+tot AS (SELECT COUNT(*) AS total FROM tok)
+SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token,
+       CAST(n AS BIGINT) AS n_occurrences,
+       ROUND(SUM(n) OVER (ORDER BY vocab_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) * 1.0 / tot.total, 6)
+         AS cum_frac
+FROM r CROSS JOIN tot
+WHERE vocab_id < {_VOCAB_MAX_SIZE}
+"""
+
+
 def _chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-vector document retrieval: chunk -> hash_embed per chunk
     -> cosine vs the (whole) query text -> per-doc MAX -> top-10.
@@ -2603,6 +2628,11 @@ QUERIES = {
         _oov,
         _OOV_ORACLE,
         "per-doc out-of-vocabulary rate vs the top-200 vocab",
+    ),
+    "doc_vocab_coverage": QuerySpec(
+        _vocab_coverage,
+        _VOCAB_COVERAGE_ORACLE,
+        "cumulative token-mass coverage by vocab rank (sizing curve)",
     ),
     "doc_data_card": QuerySpec(
         _data_card,

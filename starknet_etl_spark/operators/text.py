@@ -853,3 +853,51 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+    max_size: int = 50_000,
+) -> DataFrame:
+    """(vocab_id, token, n_occurrences, cum_frac): the coverage curve
+    of a :func:`build_vocab` vocabulary — cumulative fraction of ALL
+    corpus tokens covered by vocab entries 0..k. The tokenizer-sizing
+    answer ("how big must the vocab be to cover 95 % of tokens")
+    read straight off the curve; the complement of the final row is
+    the corpus-wide OOV mass at this vocab size.
+
+    cum_frac = exact-integer cumulative count / exact-integer corpus
+    total, rounded 6 dp — no floating accumulation. The window runs
+    over the LIMITED vocab (driver-bounded by contract, same stance
+    as build_vocab's id window); the corpus total is a 1-row
+    broadcast."""
+    vocab = build_vocab(
+        df, text_col, min_count=min_count, max_size=max_size
+    )
+    total = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("__t")
+        )
+        .filter(F.col("__t") != "")
+        .agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    )
+    w = Window.orderBy("vocab_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vocab.withColumn("__cum", F.sum("n_occurrences").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_id",
+            "token",
+            "n_occurrences",
+            F.round(F.col("__cum") / F.col("__total"), 6).alias(
+                "cum_frac"
+            ),
+        )
+    )

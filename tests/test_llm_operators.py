@@ -2414,3 +2414,34 @@ def test_pq_probe_empty_query_is_loud(spark, tmp_path):
         S.knn_ivf_indexed(
             spark, idx, df.filter("vec_id = 99"), k=2, n_probes=2
         )
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is monotone, exact-integer cum/total, and the final
+    row reports the vocab's total coverage (complement = corpus OOV
+    mass at that size)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "apple banana date"),
+            (3, "banana elder apple"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # counts: apple 4, banana 3, cherry/date/elder 1 — total 10
+    rows = sorted(
+        (r["vocab_id"], r["token"], r["n_occurrences"], r["cum_frac"])
+        for r in X.vocab_coverage(docs, min_count=1).collect()
+    )
+    assert rows[0] == (0, "apple", 4, 0.4)
+    assert rows[1] == (1, "banana", 3, 0.7)
+    assert rows[4][3] == 1.0  # full vocab covers everything
+    fracs = [f for _, _, _, f in rows]
+    assert fracs == sorted(fracs)  # monotone
+
+    # a capped vocab's final row exposes the OOV mass
+    capped = sorted(
+        (r["vocab_id"], r["cum_frac"])
+        for r in X.vocab_coverage(docs, min_count=1, max_size=2).collect()
+    )
+    assert capped == [(0, 0.4), (1, 0.7)]  # 30% OOV at size 2
