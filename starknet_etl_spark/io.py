@@ -583,9 +583,12 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
 #: swaps (Spark's readers ignore underscore paths, so they are
 #: invisible to the rewrite plan and would silently vanish with the
 #: old dir): the ANN index's trained centroids and the PQ index's
-#: codebooks. ``_batches`` has its own empty-marker copier;
-#: ``_SUCCESS`` is disposable.
-_METADATA_DIRS = ("_centroids", "_codebooks")
+#: codebooks, and the BM25 stats ledger's consolidated-tombstone
+#: markers (``search._purged_batch_ids`` — losing them would make
+#: probes double-subtract already-consolidated forgets).
+#: ``_batches`` has its own empty-marker copier; ``_SUCCESS`` is
+#: disposable.
+_METADATA_DIRS = ("_centroids", "_codebooks", "_purged")
 
 
 def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:

@@ -296,12 +296,32 @@ def append_postings(
     doc would double-count in tf/df/avgdl. Compose upstream with the
     exact-dedup ledger / watermark dedup (as streaming/curation.py
     does) exactly like every other incremental index in this engine.
+    FORGOTTEN ids are the one exception the contract can't reasonably
+    push upstream (a caller could think a purged id counts as "new"),
+    so tombstones win: ids present in ``<path>__tombstones`` are
+    filtered out of the batch here — appending them would add (1, dl)
+    to the stats ledger while ``_apply_tombstones`` anti-joins their
+    rows out, leaving probes an N/avgdl that counts invisible docs.
+    Un-forgetting a document means re-appending it AFTER a purge has
+    cleared its tombstone.
     """
+    from .. import io as _io
     from ..io import append_once
 
     spark = df.sparkSession
     n_buckets = _read_meta(spark, path)
     postings_p, stats_p, _ = _paths(path)
+    tomb = f"{path}__tombstones"
+    if _io._exists(spark, tomb):
+        df = df.join(
+            F.broadcast(
+                _io.load_table(spark, tomb)
+                .select(F.col("doc_id").alias(id_col))
+                .distinct()
+            ),
+            id_col,
+            "left_anti",
+        )
     postings, stats = _batch_postings(df, id_col, text_col, n_buckets)
     did = append_once(postings, postings_p, batch_id, partition_by=["bucket"])
     append_once(
@@ -360,6 +380,60 @@ def rebucket_postings(
     _io._replace_dir(spark, path, tmp_root)
 
 
+def _purged_batch_ids(spark: SparkSession, stats_p: str) -> set[int]:
+    """Tombstone batch ids whose stats adjustment a prior
+    ``purge_postings`` already CONSOLIDATED into the ledger — empty
+    marker files under ``<stats>/_purged/``, written into the
+    consolidated ledger's tmp dir and swapped atomically WITH it.
+    They are what makes the consolidation idempotent: probes and
+    purge re-runs subtract only tombstone batches NOT marked here, so
+    no crash point can double-subtract (the ADVICE r5 repro: 10 docs
+    → 8 → 6 after a simulated crash + re-run)."""
+    d = f"{stats_p}/_purged"
+    ids: set[int] = set()
+    if "://" not in stats_p:
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                try:
+                    ids.add(int(name))
+                except ValueError:
+                    continue
+        return ids
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(d)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            try:
+                ids.add(int(st.getPath().getName()))
+            except ValueError:
+                continue
+    return ids
+
+
+def _write_purged_markers(
+    spark: SparkSession, stats_p: str, batch_ids: set[int]
+) -> None:
+    """Create ``<stats>/_purged/<id>`` marker files (empty — only the
+    names matter, like ``_batches``)."""
+    d = f"{stats_p}/_purged"
+    if "://" not in stats_p:
+        os.makedirs(d, exist_ok=True)
+        for b in batch_ids:
+            open(os.path.join(d, str(int(b))), "a").close()
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(d)
+    fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    for b in batch_ids:
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(d + f"/{int(b)}"), True
+        ).close()
+
+
 def forget_postings(
     spark: SparkSession,
     path: str,
@@ -404,7 +478,13 @@ def forget_postings(
         .groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
     )
-    dead = ids.join(dl, "doc_id", "left").select("doc_id", "dl")
+    # batch_id rides on every row so purge_postings can mark exactly
+    # which batches' stats it consolidated (see _purged_batch_ids).
+    dead = (
+        ids.join(dl, "doc_id", "left")
+        .select("doc_id", "dl")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
     return append_once(dead, f"{path}__tombstones", batch_id)
 
 
@@ -416,7 +496,15 @@ def _apply_tombstones(
     document frequencies shrink too), and the 1-row stats side
     subtracts the dead docs' exact integer (count, Σdl) from the
     ledger sums before the rounded avgdl division — both probe paths
-    therefore rank EXACTLY as an index rebuilt without the docs."""
+    therefore rank EXACTLY as an index rebuilt without the docs.
+
+    Only tombstone batches NOT yet consolidated by ``purge_postings``
+    contribute to the subtraction (``_purged_batch_ids``): once a
+    purge has swapped in the consolidated ledger, its batches' dl is
+    already inside the sums, and subtracting again — as the r5 code
+    did in the purge's stats-swap→tombstone-clear crash window —
+    double-counts. The anti-join still uses ALL tombstoned ids
+    (removing an already-purged row is a no-op)."""
     from .. import io as _io
 
     _, stats_p, _ = _paths(path)
@@ -426,18 +514,23 @@ def _apply_tombstones(
     )
     tomb = f"{path}__tombstones"
     if _io._exists(spark, tomb):
+        tomb_df = _io.load_table(spark, tomb)
+        tf = tf.join(
+            F.broadcast(tomb_df.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+        purged = _purged_batch_ids(spark, stats_p)
+        pending = tomb_df
+        if purged:
+            pending = pending.filter(
+                ~F.col("batch_id").isin([int(b) for b in purged])
+            )
         # one row per dead doc, PREFERRING a captured dl (max ignores
         # NULLs): a doc forgotten before ingestion and again after
         # would otherwise dedupe to an arbitrary row and could leave
         # its dl out of the stats adjustment
-        dead = (
-            _io.load_table(spark, tomb)
-            .groupBy("doc_id")
-            .agg(F.max("dl").alias("dl"))
-        )
-        tf = tf.join(
-            F.broadcast(dead.select("doc_id")), "doc_id", "left_anti"
-        )
+        dead = pending.groupBy("doc_id").agg(F.max("dl").alias("dl"))
         adj = dead.filter(F.col("dl").isNotNull()).agg(
             F.count(F.lit(1)).cast("long").alias("__dn"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__ds"),
@@ -464,24 +557,36 @@ def purge_postings(spark: SparkSession, path: str) -> int:
     stats ledger to the adjusted totals, then clearing the
     tombstones. Returns the number of touched buckets.
 
-    Same crash story as ``purge_ann_index``: tombstones are cleared
-    last, so probes stay correct through any partial failure and
-    re-running heals. Both the postings' and the stats ledger's
-    ``_batches`` replay markers survive (partition swaps leave the
-    table root alone; the stats rewrite goes through
-    ``io._replace_dir``, which carries markers)."""
+    Crash-idempotent at EVERY step (the r5 version was not — a crash
+    between its stats swap and tombstone clear made probes
+    double-subtract during the window and a re-run corrupt the ledger
+    permanently; ADVICE r5's repro went 10 docs → 8 → 6):
+
+    1. Touched partitions rewrite first (anti-join — re-running on
+       already-purged rows is a no-op).
+    2. The consolidated ledger is written WITH ``_purged/<batch_id>``
+       markers for every tombstone batch it folded in, and both swap
+       in ONE ``io._replace_dir``. Probes (``_apply_tombstones``) and
+       purge re-runs subtract only UNMARKED batches, so after the
+       swap the still-present tombstones adjust by zero — no window,
+       no double-subtract, re-running heals.
+    3. Tombstones clear last; the now-stale markers are best-effort
+       removed after (stale markers are inert unless a forgotten
+       batch_id is REUSED after its tombstones were cleared, which
+       already violates the ``append_once`` unique-batch contract).
+
+    Both the postings' and the stats ledger's ``_batches`` replay
+    markers survive (partition swaps leave the table root alone; the
+    stats rewrite goes through ``io._replace_dir``, which carries
+    markers)."""
     from .. import io as _io
 
     tomb = f"{path}__tombstones"
     if not _io._exists(spark, tomb):
         return 0
     postings_p, stats_p, _ = _paths(path)
-    dead = (  # prefer a captured dl per doc — see _apply_tombstones
-        _io.load_table(spark, tomb)
-        .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-    )
-    dead_ids = dead.select("doc_id")
+    tomb_df = _io.load_table(spark, tomb)
+    dead_ids = tomb_df.select("doc_id").distinct()
     postings = spark.read.parquet(postings_p)
     touched = [
         r["__b"]
@@ -497,33 +602,50 @@ def purge_postings(spark: SparkSession, path: str) -> int:
         _io._replace_touched_partitions(
             spark, postings_p, live, "bucket", touched
         )
-    # consolidate the ledger to one exact-integer row (collect is one
-    # row; _replace_dir keeps the stats _batches replay markers)
-    adj = dead.filter(F.col("dl").isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("__dn"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__ds"),
-    )
-    tot = (
-        spark.read.parquet(stats_p)
-        .agg(
-            F.sum("n_docs").cast("long").alias("__nd0"),
-            F.sum("sum_dl").cast("long").alias("__s0"),
+    purged = _purged_batch_ids(spark, stats_p)
+    batch_ids = {
+        int(r["batch_id"])
+        for r in tomb_df.select("batch_id").distinct().collect()
+    }
+    pending_ids = batch_ids - purged
+    if pending_ids:
+        pending = tomb_df.filter(
+            F.col("batch_id").isin([int(b) for b in pending_ids])
         )
-        .crossJoin(F.broadcast(adj))
-        .select(
-            (F.col("__nd0") - F.col("__dn")).alias("n_docs"),
-            (F.col("__s0") - F.col("__ds")).alias("sum_dl"),
+        # prefer a captured dl per doc — see _apply_tombstones
+        dead = pending.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        adj = dead.filter(F.col("dl").isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("__dn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__ds"),
         )
-        .first()
-    )
-    new_stats = spark.createDataFrame(
-        [(int(tot["n_docs"]), int(tot["sum_dl"]), 0)],
-        "n_docs long, sum_dl long, batch_id long",
-    )
-    tmp = f"{stats_p}__tmp_purge"
-    new_stats.write.mode("overwrite").parquet(tmp)
-    _io._replace_dir(spark, stats_p, tmp)
+        # consolidate the ledger to one exact-integer row (collect is
+        # one row; _replace_dir keeps the stats _batches markers)
+        tot = (
+            spark.read.parquet(stats_p)
+            .agg(
+                F.sum("n_docs").cast("long").alias("__nd0"),
+                F.sum("sum_dl").cast("long").alias("__s0"),
+            )
+            .crossJoin(F.broadcast(adj))
+            .select(
+                (F.col("__nd0") - F.col("__dn")).alias("n_docs"),
+                (F.col("__s0") - F.col("__ds")).alias("sum_dl"),
+            )
+            .first()
+        )
+        new_stats = spark.createDataFrame(
+            [(int(tot["n_docs"]), int(tot["sum_dl"]), 0)],
+            "n_docs long, sum_dl long, batch_id long",
+        )
+        tmp = f"{stats_p}__tmp_purge"
+        _io._delete_dir(spark, tmp)
+        new_stats.write.mode("overwrite").parquet(tmp)
+        _write_purged_markers(spark, tmp, batch_ids)
+        _io._replace_dir(spark, stats_p, tmp)
     _io._delete_dir(spark, tomb)
+    # Stale-marker cleanup (step 3 above): with the tombstones gone
+    # nothing reads the markers, so a crash here costs nothing.
+    _io._delete_dir(spark, f"{stats_p}/_purged")
     return len(touched)
 
 

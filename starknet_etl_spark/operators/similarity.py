@@ -792,7 +792,7 @@ def _batch_probe_cells(
         F.col("__qx").cast("double").alias("__qx"),
     )
     wq = Window.partitionBy("__qid").orderBy(F.desc("__s"), F.asc("cell"))
-    return (
+    rows = (
         qd.join(F.broadcast(centroids_df), "dim_i")
         .groupBy("__qid", "cell")
         .agg(
@@ -807,6 +807,18 @@ def _batch_probe_cells(
         .select("__qid", "cell")
         .collect()
     )
+    if not rows:
+        # Mirror _ranked_probe_cells' loud-empty-probe stance: without
+        # this, downstream createDataFrame(probe_rows) dies with an
+        # obscure "can not infer schema from empty dataset". The usual
+        # cause is a dim mismatch (query vectors shorter/longer than
+        # the centroids' dim_i range empties the join).
+        raise ValueError(
+            "batched probe ranking selected no cells — query vectors "
+            "likely do not match the centroids' dimensionality "
+            "(empty dim_i join)"
+        )
+    return rows
 
 
 def knn_ivf_batch(

@@ -2445,3 +2445,175 @@ def test_vocab_coverage_curve(spark):
         for r in X.vocab_coverage(docs, min_count=1, max_size=2).collect()
     )
     assert capped == [(0, 0.4), (1, 0.7)]  # 30% OOV at size 2
+
+
+def _bm25_rows(spark, idx, terms):
+    from starknet_etl_spark.operators.search import bm25_indexed
+
+    return sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_indexed(spark, idx, terms).collect()
+    )
+
+
+def test_purge_postings_crash_idempotent(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): a crash between purge_postings' stats swap
+    and its tombstone clear must neither skew probes during the
+    window nor corrupt the ledger when purge re-runs (the r5 repro
+    went 10 docs -> 8 -> 6). The `_purged` batch markers swap in
+    atomically with the consolidated stats, so BOTH crash windows
+    (before the swap, after it) leave probes bit-equal to a rebuild
+    and a re-run heals."""
+    from starknet_etl_spark import io as _io
+    from starknet_etl_spark.operators.search import (
+        build_postings_index,
+        forget_postings,
+        purge_postings,
+    )
+
+    docs = [
+        (1, "spark engine shuffles data across the cluster"),
+        (2, "the spark catalyst optimizer prunes columns"),
+        (3, "ducks swim on the quiet pond"),
+        (4, "catalyst chemistry speeds reactions in the lab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    terms = ["spark", "catalyst", "the"]
+    rebuilt = str(tmp_path / "rebuilt")
+    build_postings_index(df.filter("doc_id <> 2"), rebuilt, n_buckets=8)
+    want = _bm25_rows(spark, rebuilt, terms)
+
+    # --- crash AFTER the stats swap, BEFORE the tombstone clear ---
+    idx = str(tmp_path / "crash_late")
+    build_postings_index(df, idx, n_buckets=8)
+    assert forget_postings(spark, idx, [2], 0)
+
+    real_delete = _io._delete_dir
+
+    def deny_tomb_delete(sp, path):
+        if path.endswith("__tombstones"):
+            raise RuntimeError("simulated crash before tombstone clear")
+        return real_delete(sp, path)
+
+    monkeypatch.setattr(_io, "_delete_dir", deny_tomb_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        purge_postings(spark, idx)
+    monkeypatch.setattr(_io, "_delete_dir", real_delete)
+
+    import os
+
+    assert os.path.exists(f"{idx}__tombstones")  # window state
+    # probes during the window: consolidated stats + live tombstones
+    # must NOT double-subtract
+    assert _bm25_rows(spark, idx, terms) == want
+    # re-run heals: adjusts by zero, clears tombstones + markers
+    purge_postings(spark, idx)
+    assert not os.path.exists(f"{idx}__tombstones")
+    assert not os.path.exists(f"{idx}/stats/_purged")
+    assert _bm25_rows(spark, idx, terms) == want
+    # third run: nothing to do, ledger untouched
+    assert purge_postings(spark, idx) == 0
+    assert _bm25_rows(spark, idx, terms) == want
+
+    # --- crash BEFORE the stats swap (partitions already rewritten) ---
+    idx2 = str(tmp_path / "crash_early")
+    build_postings_index(df, idx2, n_buckets=8)
+    assert forget_postings(spark, idx2, [2], 5)
+
+    real_replace = _io._replace_dir
+
+    def deny_stats_swap(sp, path, tmp):
+        if path.endswith("/stats"):
+            raise RuntimeError("simulated crash before stats swap")
+        return real_replace(sp, path, tmp)
+
+    monkeypatch.setattr(_io, "_replace_dir", deny_stats_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        purge_postings(spark, idx2)
+    monkeypatch.setattr(_io, "_replace_dir", real_replace)
+
+    # window: rows rewritten, stats unconsolidated, tombstones live —
+    # probes subtract the pending batch and stay correct
+    assert _bm25_rows(spark, idx2, terms) == want
+    purge_postings(spark, idx2)  # re-run consolidates + clears
+    assert not os.path.exists(f"{idx2}__tombstones")
+    assert _bm25_rows(spark, idx2, terms) == want
+
+
+def test_append_postings_tombstones_win(spark, tmp_path):
+    """ADVICE r5 (low): re-appending a FORGOTTEN doc must not skew
+    the stats ledger — tombstones win (the dedup-index contract), so
+    the batch row is filtered and probes stay bit-equal to an index
+    that never saw the doc again."""
+    from starknet_etl_spark.operators.search import (
+        append_postings,
+        build_postings_index,
+        forget_postings,
+        purge_postings,
+    )
+
+    docs = [
+        (1, "spark engine shuffles data across the cluster"),
+        (2, "the spark catalyst optimizer prunes columns"),
+        (3, "ducks swim on the quiet pond"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    terms = ["spark", "the"]
+    rebuilt = str(tmp_path / "rebuilt")
+    build_postings_index(df.filter("doc_id <> 2"), rebuilt, n_buckets=8)
+    want = _bm25_rows(spark, rebuilt, terms)
+
+    idx = str(tmp_path / "idx")
+    build_postings_index(df, idx, n_buckets=8)
+    assert forget_postings(spark, idx, [2], 0)
+    # re-append the forgotten doc (plus a genuinely new one)
+    extra = spark.createDataFrame(
+        docs[1:2] + [(4, "catalyst chemistry in the lab")],
+        "doc_id bigint, text string",
+    )
+    append_postings(extra, idx, 1)
+    rebuilt2 = str(tmp_path / "rebuilt2")
+    build_postings_index(
+        df.filter("doc_id <> 2").union(extra.filter("doc_id = 4")),
+        rebuilt2,
+        n_buckets=8,
+    )
+    assert _bm25_rows(spark, idx, terms) == _bm25_rows(
+        spark, rebuilt2, terms
+    )
+    # and the physical purge preserves that
+    purge_postings(spark, idx)
+    assert _bm25_rows(spark, idx, terms) == _bm25_rows(
+        spark, rebuilt2, terms
+    )
+    assert (
+        spark.read.parquet(f"{idx}/postings").filter("doc_id = 2").count()
+        == 0
+    )
+    del want  # the 3-doc baseline was only for symmetry with above
+
+
+def test_batched_probe_dim_mismatch_is_loud(spark, tmp_path):
+    """ADVICE r5 (low): knn_ivf_batch / knn_pq_batch with query
+    vectors whose length doesn't match the centroids' dim range must
+    raise a descriptive error, not die inside createDataFrame on an
+    empty probe set."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1),
+            (2, [0.0, 0.0, 1.0, 0.0], 0),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    idx = str(tmp_path / "pq")
+    S.build_pq_index(df, idx, dim=4, m=2, ksub=2)
+    bad = spark.createDataFrame(
+        [(7, [])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        S.knn_pq_batch(spark, idx, bad, k=2, n_probes=1)
+    flat = str(tmp_path / "flat")
+    S.build_trained_ann_index(df, flat, dim=4, n_cells=2)
+    with pytest.raises(ValueError, match="dimension"):
+        S.knn_ivf_batch(spark, flat, bad, k=2, n_probes=1)
