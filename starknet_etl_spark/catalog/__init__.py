@@ -106,9 +106,12 @@ _FIRST_50: tuple[str, ...] = (
     "emb_knn_lsh",
     "emb_near_dup_pairs",
     "emb_centroids",
-    # LLM-data suite: multimodal.
+    # LLM-data suite: multimodal (incl. the r6 feature-retrieval
+    # compositions the r5 verdict asked for).
     "multimodal_meta",
     "multimodal_features",
+    "mm_near_dup_pairs",
+    "mm_knn",
     # Events/window queries displaced past 50 in r2.
     "latest_event_per_user",
     "user_journeys",
@@ -132,8 +135,9 @@ _FIRST_50: tuple[str, ...] = (
     "order_priority_semi",
     "top_customers",
     "rollup_sales",
-    "cube_orders",
-    "grouping_sets_sales",
+    # cube_orders / grouping_sets_sales displaced to overflow in r6
+    # (rollup_sales keeps the grouping-sets family in-window) to admit
+    # the mm_* feature-retrieval rows the r5 verdict asked for.
     "approx_distinct_users",
 )
 

@@ -109,3 +109,154 @@ QUERIES = {
         "stub-decoded feature vectors, unpacked + oracle-checked",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Feature-vector retrieval compositions (r6): decoded features flow
+# into the dedup/ANN machinery — asset-level near-dup and an ANN probe
+# riding a PERSISTED cell-partitioned index. The feature chain is the
+# proven charset-safe decode replay (hex(encode(text)) byte lists);
+# cells are SRP-LSH buckets over the features (srp_bucket — the same
+# md5-seeded Rademacher construction emb_near_dup_lsh oracles), so the
+# whole composition is exact on both engines.
+# --------------------------------------------------------------------------
+
+_MM_QID = 0  # probe asset: doc_id 0 exists at every SF
+_MM_NDUP_THRESHOLD = 0.99999  # stub features are all-positive, so
+# cosines crowd toward 1; the near-dup band needs a tight threshold
+
+
+def _mm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_payloads(spark, sf_dir), dim=8)
+    return feats.select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+
+
+def _mm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    vecs = _mm_vectors(spark, sf_dir)
+    return vecs.withColumn(
+        "srp_b", S.srp_bucket(F.col("embedding"), dim=8, planes=4)
+    )
+
+
+def _mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level near-dup: decode -> feature -> SRP-bucket-scoped
+    blocked-GEMM cosine pairs (exact within buckets, Σ N_c² not N²)."""
+    from ..operators import similarity as S
+
+    return S.cosine_near_dup_pairs(
+        _mm_bucketed(spark, sf_dir),
+        threshold=_MM_NDUP_THRESHOLD,
+        cell_col="srp_b",
+    )
+
+
+def _mm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset ANN riding a PERSISTED index: features materialized
+    partitioned by SRP bucket (build_ann_index), probe reads the
+    query's bucket directory only (static partition pruning)."""
+    from ..operators import similarity as S
+    from . import scratch_path
+
+    bucketed = _mm_bucketed(spark, sf_dir)
+    path = scratch_path(spark, sf_dir, "mm_ann_index")
+    S.build_ann_index(
+        bucketed.filter(F.col("vec_id") != _MM_QID), path,
+        cell_col="srp_b",
+    )
+    query = bucketed.filter(F.col("vec_id") == _MM_QID)
+    return S.knn_ivf_indexed(spark, path, query, k=10, cell_col="srp_b")
+
+
+# Shared oracle prefix: exact byte-level feature replay (the
+# multimodal_features chain, UNROUNDED — integer byte sums with one
+# double division are bit-equal across engines), exploded long-form,
+# plus SRP buckets from the md5 Rademacher weights.
+_MM_VEC_CTE = """
+h AS (
+  SELECT doc_id AS vec_id,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), bl AS (
+  SELECT vec_id, n_bytes,
+         list_transform(
+           generate_series(1, CAST(n_bytes AS INT)),
+           i -> (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+                  * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+         ) AS bs
+  FROM h
+), sv AS (
+  SELECT vec_id, bs, greatest(1, n_bytes // 8) AS step FROM bl
+), fl AS (
+  SELECT vec_id, j + 1 AS dim_i,
+         coalesce(list_sum(bs[j*step+1 : j*step+step]), 0)
+           / (255.0 * step) AS x
+  FROM sv, unnest(generate_series(0, 7)) AS t(j)
+), w AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, 8)) AS td(d)
+), proj AS (
+  SELECT f.vec_id, w.p, SUM(w.wt * f.x) AS s
+  FROM fl f JOIN w ON w.d = f.dim_i
+  GROUP BY f.vec_id, w.p
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM proj GROUP BY vec_id
+)
+"""
+
+_MM_NEAR_DUP_ORACLE = f"""
+WITH {_MM_VEC_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_1, c.vec_id AS id_2,
+         SUM(a.x * c.x)
+           / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(c.x * c.x))) AS cos
+  FROM fl a
+  JOIN fl c ON c.dim_i = a.dim_i AND a.vec_id < c.vec_id
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bc ON bc.vec_id = c.vec_id AND bc.b = ba.b
+  GROUP BY a.vec_id, c.vec_id
+)
+SELECT id_1, id_2, ROUND(cos, 6) AS cos_sim FROM pairs
+WHERE ROUND(cos, 6) >= {_MM_NDUP_THRESHOLD}
+"""
+
+_MM_KNN_ORACLE = f"""
+WITH {_MM_VEC_CTE},
+qb AS (SELECT b FROM buckets WHERE vec_id = {_MM_QID}),
+scored AS (
+  SELECT a.vec_id,
+         SUM(a.x * q.x)
+           / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(q.x * q.x))) AS cos
+  FROM fl a
+  JOIN fl q ON q.dim_i = a.dim_i AND q.vec_id = {_MM_QID}
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN qb ON qb.b = ba.b
+  WHERE a.vec_id <> {_MM_QID}
+  GROUP BY a.vec_id
+)
+SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+QUERIES["mm_near_dup_pairs"] = QuerySpec(
+    _mm_near_dup,
+    _MM_NEAR_DUP_ORACLE,
+    "asset near-dup: decode -> features -> SRP-scoped cosine pairs",
+)
+QUERIES["mm_knn"] = QuerySpec(
+    _mm_knn,
+    _MM_KNN_ORACLE,
+    "asset ANN probe riding a persisted SRP-partitioned index",
+)

@@ -152,3 +152,50 @@ def test_split_metadata(assets):
     assert "payload" not in meta.columns
     assert set(payloads.columns) == {"asset_id", "payload"}
     assert meta.count() == payloads.count() == 5
+
+
+def test_features_flow_into_neardup_and_persisted_ann(spark, tmp_path):
+    """r5 verdict follow-up: decoded features compose into the dedup/
+    ANN machinery. Two byte-near-identical REAL PPM assets land in the
+    same SRP bucket and surface as a near-dup pair; a kNN probe riding
+    a PERSISTED cell-partitioned index returns the near-twin first."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators import similarity as S
+
+    base = _make_ppm(w=16, h=8)
+    twin = bytearray(base)
+    twin[-1] ^= 0x01  # one-bit corruption: near-dup, not exact-dup
+    rows = [
+        (0, "image", base, "image/x-ppm", 16, 8, None),
+        (1, "image", bytes(twin), "image/x-ppm", 16, 8, None),
+        (2, "image", _make_ppm(w=4, h=2), "image/x-ppm", 4, 2, None),
+        (3, "audio", _make_wav(), "audio/wav", None, None, 100),
+    ]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    feats = M.extract_features(
+        df, decode_fn=lambda b: M.real_decode(b, 8), dim=8
+    ).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    bucketed = feats.withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=8, planes=4)
+    )
+    pairs = {
+        (r["id_1"], r["id_2"])
+        for r in S.cosine_near_dup_pairs(
+            bucketed, threshold=0.999, cell_col="cell"
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)  # audio is not the image's dup
+
+    idx = str(tmp_path / "mm_ann")
+    S.build_ann_index(
+        bucketed.filter("vec_id <> 0"), idx, cell_col="cell"
+    )
+    got = S.knn_ivf_indexed(
+        spark, idx, bucketed.filter("vec_id = 0"), k=2, cell_col="cell"
+    ).collect()
+    assert got and got[0]["vec_id"] == 1  # the near-twin ranks first
