@@ -119,7 +119,10 @@ _FIRST_50: tuple[str, ...] = (
     "daily_stats",
     "running_total",
     "top3_per_type",
-    "value_delta",
+    # value_delta displaced to overflow in r6 (the window family keeps
+    # latest_event_per_user/running_total/top3_per_type in-window) to
+    # admit the hybrid-retrieval row the r5 verdict asked for.
+    "doc_hybrid_search",
     # SURVEY §2-mapped core (one query per operator-family row).
     "top_pair_report_vol",
     "top_pair_report_txn",

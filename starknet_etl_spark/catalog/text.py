@@ -2822,3 +2822,170 @@ QUERIES = {
         "BM25 probe after rebucket_postings == original scan ranking",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval (r6): reciprocal-rank fusion over the two INDEXED
+# probes — BM25 postings index + SRP-bucketed hash_embed ANN index —
+# exactly what a retrieval consumer calls. Ranks are exact integers
+# from each probe's deterministic (rounded score DESC, id ASC) order,
+# so the fusion arithmetic is cross-engine-deterministic by
+# construction. Oracle assembled from the PROVEN blocks: the
+# _BM25_ORACLE scan math (index ≡ scan bit-equal), the hash_embed
+# component chain over documents ∪ the query pseudo-doc, and the
+# mm-row SRP bucket construction.
+# --------------------------------------------------------------------------
+
+_HYBRID_QUERY_TEXT = " ".join(_BM25_TERMS)  # one bag, both probes
+_HYBRID_CANDIDATES = 15
+_HYBRID_K = 10
+_HYBRID_RRF_K = 60
+
+
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index, hybrid_search
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    # zero vectors (tokenless / fully-cancelling bags) carry no
+    # signal and would make the cosine 0/0 — drop them at build
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    qdf = spark.createDataFrame(
+        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
+    )
+    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    return hybrid_search(
+        spark,
+        ppath,
+        apath,
+        list(_BM25_TERMS),
+        query,
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+# The BM25 CTE chain of _BM25_ORACLE verbatim (strip 'WITH ' and the
+# final SELECT), reused as the lexical arm.
+_BM25_CTES = _BM25_ORACLE.strip().removeprefix("WITH ").rsplit(
+    "SELECT doc_id, ROUND", 1
+)[0].rstrip().rstrip(",")
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id, ROUND(c0 + c1 + c2, 6) AS bm25
+  FROM per ORDER BY bm25 DESC, doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM lex
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, '{_HYBRID_QUERY_TEXT}'
+),
+htok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM corpus
+),
+hcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM htok WHERE t <> '' GROUP BY doc_id, idx
+),
+hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
+hspine AS (
+  SELECT c.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM corpus) c,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+hx AS MATERIALIZED (
+  SELECT s.doc_id, s.idx,
+         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
+              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
+  FROM hspine s
+  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
+),
+hxn AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
+),
+srpw AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, {_HE_DIM})) AS td(d)
+),
+srpproj AS (
+  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
+  FROM hx h JOIN srpw w ON w.d = h.idx + 1
+  GROUP BY h.doc_id, w.p
+),
+srpb AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM srpproj GROUP BY doc_id
+),
+qb AS (SELECT b FROM srpb WHERE doc_id = -1),
+sem AS (
+  SELECT a.doc_id,
+         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
+  FROM hx a
+  JOIN hx q ON q.doc_id = -1 AND q.idx = a.idx
+  JOIN srpb ba ON ba.doc_id = a.doc_id
+  JOIN qb ON qb.b = ba.b
+  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
+  JOIN hxn qn ON qn.doc_id = -1
+  WHERE a.doc_id <> -1
+  GROUP BY a.doc_id, an.rn, qn.rn
+  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+semr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+              AS BIGINT) AS sem_rank
+  FROM sem
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
+               6) AS rrf
+  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+QUERIES["doc_hybrid_search"] = QuerySpec(
+    _hybrid_search,
+    _HYBRID_ORACLE,
+    "RRF fusion of the BM25-index and ANN-index probes",
+)

@@ -1266,3 +1266,93 @@ def chunk_semantic_search(
         .orderBy(F.desc("best_cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    query_terms: list[str],
+    query: DataFrame,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_probes: int = 1,
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """Reciprocal-rank fusion over the two INDEXED probes — the call
+    a retrieval consumer actually makes: lexical BM25 candidates from
+    the postings index and semantic candidates from the ANN index,
+    fused by rrf = Σ 1/(rrf_k + rank) (Cormack et al.'s standard
+    k=60 formulation).
+
+    Output: (doc_id, lex_rank, sem_rank, rrf) — the top ``k`` by
+    fused score, a missing rank (doc in only one candidate list)
+    stays NULL and simply contributes nothing. Ranks are exact
+    integers from each probe's deterministic order (rounded score
+    DESC, id ASC), so the fusion is cross-engine-deterministic by
+    construction: identical integer ranks give bit-identical IEEE
+    divisions, their 2-term sum has one evaluation order, and the
+    final 6-dp round is grid-safe.
+
+    Scale: each side is its own pruned index read (|terms| term
+    buckets; n_probes ANN cells); the fusion itself is two
+    ≤n_candidates-row lists — driver-trivial by construction, joined
+    full-outer on the doc id. Nothing here rescans a corpus.
+    """
+    from .similarity import knn_ivf_indexed
+
+    if k < 1 or n_candidates < 1 or rrf_k < 1:
+        raise ValueError(
+            f"k, n_candidates, rrf_k must be >= 1, got "
+            f"{k}, {n_candidates}, {rrf_k}"
+        )
+    lex = bm25_indexed(
+        spark, postings_path, query_terms, k1=k1, b=b, top_k=n_candidates
+    )
+    sem = knn_ivf_indexed(
+        spark,
+        ann_path,
+        query,
+        id_col=ann_id_col,
+        vec_col=ann_vec_col,
+        cell_col=ann_cell_col,
+        k=n_candidates,
+        n_probes=n_probes,
+    )
+    # candidate lists are ≤ n_candidates rows — a single-partition
+    # window over them is metadata-scale, not a data shuffle
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # order by the probe's ORIGINAL id column — referencing the
+    # lateral `doc_id` alias inside the window is unsupported
+    w_sem = Window.orderBy(F.desc("cos_sim"), F.asc(ann_id_col))
+    lexr = lex.select(
+        "doc_id",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    semr = sem.select(
+        F.col(ann_id_col).alias("doc_id"),
+        F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -128,6 +128,72 @@ def phrase_rows(
     ]
 
 
+def hybrid_rows(
+    spark,
+    bm25_index: str,
+    ann_index: str,
+    terms: list[str],
+    vector: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    n_probes: int = 1,
+    cell_col: str = "label",
+    srp_planes: int | None = None,
+    centroids_path: str | None = None,
+) -> list[dict[str, Any]]:
+    """Fused (doc_id, lex_rank, sem_rank, rrf) for one query — the
+    reciprocal-rank fusion of the two pruned index probes
+    (``search.hybrid_search``). ``srp_planes`` assigns the query to
+    its SRP bucket (an LSH-partitioned index); otherwise the cell
+    comes from centroid ranking (trained index: pass
+    ``centroids_path`` or rely on the index's own ``_centroids``)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.search import hybrid_search
+    from ..operators.similarity import srp_bucket
+
+    query = spark.createDataFrame(
+        [(0, [float(x) for x in vector])],
+        "vec_id long, embedding array<double>",
+    )
+    if srp_planes is not None:
+        query = query.withColumn(
+            cell_col,
+            srp_bucket(
+                F.col("embedding"), dim=len(vector), planes=srp_planes
+            ),
+        )
+    elif centroids_path is not None:
+        from ..operators.similarity import assign_cells
+
+        query = assign_cells(
+            query, spark.read.parquet(centroids_path), cell_col=cell_col
+        )
+    # else: knn_ivf_indexed auto-loads <index>/_centroids via n_probes
+    return [
+        {
+            "doc_id": r["doc_id"],
+            "lex_rank": r["lex_rank"],
+            "sem_rank": r["sem_rank"],
+            "rrf": r["rrf"],
+        }
+        for r in hybrid_search(
+            spark,
+            bm25_index,
+            ann_index,
+            terms,
+            query,
+            k=k,
+            rrf_k=rrf_k,
+            n_candidates=n_candidates,
+            n_probes=n_probes,
+            ann_cell_col=cell_col,
+        ).collect()
+    ]
+
+
 def _wrap(fn) -> dict[str, Any]:
     """Reference response shape: data / empty message / 500 wrap."""
     try:
@@ -189,6 +255,16 @@ def phrase_response(
     return _wrap(lambda: phrase_rows(spark, index_path, phrase))
 
 
+def hybrid_response(
+    spark, bm25_index: str, ann_index: str, terms, vector, **kw
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: hybrid_rows(
+            spark, bm25_index, ann_index, terms, vector, **kw
+        )
+    )
+
+
 def create_search_app(
     spark,
     *,
@@ -197,6 +273,8 @@ def create_search_app(
     ann_centroids: str | None = None,
     pq_index: str | None = None,
     positional_index: str | None = None,
+    ann_cell_col: str = "label",
+    ann_srp_planes: int | None = None,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -206,6 +284,7 @@ def create_search_app(
     - ``GET /ann?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /pq?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /phrase?q=exact+phrase+words``
+    - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -253,6 +332,23 @@ def create_search_app(
             return run(
                 lambda: pq_probe_response(
                     spark, pq_index, vec, k=k, n_probes=n_probes
+                )
+            )
+
+    if bm25_index is not None and ann_index is not None:
+
+        @app.get("/hybrid")
+        def hybrid(
+            q: str, v: str, k: int = 10, n_candidates: int = 20,
+            n_probes: int = 1,
+        ):
+            vec = [float(x) for x in v.split(",")]
+            return run(
+                lambda: hybrid_response(
+                    spark, bm25_index, ann_index, q.split(), vec,
+                    k=k, n_candidates=n_candidates, n_probes=n_probes,
+                    cell_col=ann_cell_col, srp_planes=ann_srp_planes,
+                    centroids_path=ann_centroids,
                 )
             )
 

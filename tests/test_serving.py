@@ -242,3 +242,120 @@ def test_phrase_serving_fastapi_if_available(spark, tmp_path):
     client = TestClient(create_search_app(spark, positional_index=idx))
     out = client.get("/phrase", params={"q": "shuffles data"}).json()
     assert out == {"data": [{"doc_id": 1, "n_matches": 1}]}
+
+
+def _build_hybrid_fixtures(spark, tmp_path):
+    """BM25 + ANN indexes over the SAME doc ids (the hybrid contract:
+    the ANN index's vec_id IS the document id)."""
+    from starknet_etl_spark.operators.search import build_postings_index
+    from starknet_etl_spark.operators.similarity import (
+        build_ann_index,
+        centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the pond"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bm25_p = str(tmp_path / "hy_bm25")
+    build_postings_index(docs, bm25_p, n_buckets=4)
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    ann_p = str(tmp_path / "hy_ann")
+    build_ann_index(vecs, ann_p, cell_col="label")
+    cents_p = str(tmp_path / "hy_cents")
+    centroids(vecs, dim=4).write.parquet(cents_p)
+    return bm25_p, ann_p, cents_p
+
+
+def test_hybrid_search_rrf_fusion(spark, tmp_path):
+    """hybrid_search: RRF arithmetic is exactly Σ 1/(60+rank) over the
+    two probes' deterministic integer ranks; docs in only one list
+    keep a NULL rank for the other and still fuse."""
+    from starknet_etl_spark.operators.search import hybrid_search
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    from starknet_etl_spark.operators.similarity import assign_cells
+
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    query = assign_cells(query, spark.read.parquet(cents_p))
+    got = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf"])
+        for r in hybrid_search(
+            spark, bm25_p, ann_p, ["spark", "catalyst"], query, k=10
+        ).collect()
+    }
+    # sem: cell 0 holds docs 1,2 -> ranks 1,2. lex: 'spark' hits doc 1,
+    # 'catalyst' doc 2 (one term each; rank by score desc, id asc).
+    assert set(got) == {1, 2}
+    assert got[1][1] == 1 and got[2][1] == 2
+    lex = {d: got[d][0] for d in got}
+    assert sorted(lex.values()) == [1, 2]
+    for d in (1, 2):
+        want = round(1.0 / (60 + lex[d]) + 1.0 / (60 + got[d][1]), 6)
+        assert got[d][2] == want
+    # doc 3: no term hit, other cell — absent from the fusion
+    assert 3 not in got
+
+
+def test_hybrid_serving_core(spark, tmp_path):
+    """hybrid_response fuses over real persisted indexes, with the
+    reference's empty-message/500 parity."""
+    import pytest
+
+    from starknet_etl_spark.serving.search_api import hybrid_response
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    out = hybrid_response(
+        spark, bm25_p, ann_p, ["spark", "catalyst"],
+        [1.0, 0.0, 0.0, 0.0], centroids_path=cents_p,
+    )
+    assert {r["doc_id"] for r in out["data"]} == {1, 2}
+    top = out["data"][0]
+    assert set(top) == {"doc_id", "lex_rank", "sem_rank", "rrf"}
+
+    with pytest.raises(RuntimeError, match="index probe failed"):
+        hybrid_response(
+            spark, str(tmp_path / "missing"), ann_p, ["spark"],
+            [1.0, 0.0, 0.0, 0.0], centroids_path=cents_p,
+        )
+
+
+def test_hybrid_serving_fastapi_if_available(spark, tmp_path):
+    import pytest
+
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        pytest.skip("fastapi not installed")
+    from starknet_etl_spark.serving.search_api import hybrid_response
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    out = hybrid_response(
+        spark, bm25_p, ann_p, ["spark", "catalyst"],
+        [1.0, 0.0, 0.0, 0.0], centroids_path=cents_p,
+    )
+    client = TestClient(
+        create_search_app(
+            spark, bm25_index=bm25_p, ann_index=ann_p,
+            ann_centroids=cents_p,
+        )
+    )
+    got = client.get(
+        "/hybrid", params={"q": "spark catalyst", "v": "1.0,0,0,0"}
+    ).json()
+    assert got == out
