@@ -217,6 +217,76 @@ top_doc = chunk_semantic_search(
 ).first()
 assert top_doc["doc_id"] == q0["doc_id"] and top_doc["best_cos"] == 1.0
 
+# 4e) r6 surfaces: hybrid fusion rides BOTH persisted indexes and
+# reproduces a hand-built RRF over the arms' own ranked lists; the
+# BPE trainer round-trips through tokenization (subword
+# concatenation reassembles every word exactly)
+from starknet_etl_spark.operators import bpe as BPE
+from starknet_etl_spark.operators import text as TXT
+
+hyb_ann = "/tmp/verify_hybrid_ann"
+shutil.rmtree(hyb_ann, ignore_errors=True)
+hemb = TXT.hash_embed(docs, "doc_id", "text", dim=16)
+hb = hemb.filter(F.exists("embedding", lambda v: v != 0)).withColumn(
+    "cell", SIM.srp_bucket(F.col("embedding"), dim=16, planes=4)
+)
+SIM.build_ann_index(hb, hyb_ann, cell_col="cell")
+qtext = spark.createDataFrame(
+    [(-1, "dup spark merge")], "doc_id bigint, text string"
+)
+hq = TXT.hash_embed(qtext, "doc_id", "text", dim=16).withColumn(
+    "cell", SIM.srp_bucket(F.col("embedding"), dim=16, planes=4)
+)
+fused = {
+    r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf"])
+    for r in SE.hybrid_search(
+        spark, bidx, hyb_ann, terms, hq, k=10, n_candidates=15,
+        ann_id_col="doc_id", ann_cell_col="cell",
+    ).collect()
+}
+# independent recomputation from the two arms
+lex_list = [
+    r["doc_id"]
+    for r in SE.bm25_indexed(spark, bidx, terms, top_k=15)
+    .orderBy(F.desc("bm25"), F.asc("doc_id")).collect()
+]
+sem_list = [
+    r["doc_id"]
+    for r in SIM.knn_ivf_indexed(
+        spark, hyb_ann, hq, id_col="doc_id", cell_col="cell", k=15
+    ).orderBy(F.desc("cos_sim"), F.asc("doc_id")).collect()
+]
+lex_rank = {d: i + 1 for i, d in enumerate(lex_list)}
+sem_rank = {d: i + 1 for i, d in enumerate(sem_list)}
+want_rrf = {
+    d: round(
+        (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0)
+        + (1.0 / (60 + sem_rank[d]) if d in sem_rank else 0.0),
+        6,
+    )
+    for d in set(lex_rank) | set(sem_rank)
+}
+top10 = sorted(want_rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+assert fused == {
+    d: (lex_rank.get(d), sem_rank.get(d), rr) for d, rr in top10
+}, (fused, top10)
+
+bpe_merges = BPE.train_bpe(docs, "text", n_merges=6)
+assert len(bpe_merges) == 6
+bt = BPE.bpe_text(docs, "doc_id", "text", bpe_merges)
+joined = bt.join(docs, "doc_id").select(
+    "doc_id",
+    F.replace(F.col("bpe_text"), F.lit(" "), F.lit("")).alias("re"),
+    F.replace(
+        F.trim(F.lower(F.col("text"))), F.lit(" "), F.lit("")
+    ).alias("orig"),
+)
+# subwords reassemble the exact character stream of every doc
+bad = joined.filter(
+    F.col("re") != F.regexp_replace(F.col("orig"), r"\s+", "")
+).count()
+assert bad == 0, bad
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}

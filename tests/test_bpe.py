@@ -1,0 +1,79 @@
+"""Distributed BPE trainer/applier (operators/bpe.py): classic
+reference behavior, the greedy run-parity merge rule, early stop,
+and vocab-sized application to unseen words."""
+
+from __future__ import annotations
+
+from starknet_etl_spark.operators import bpe as B
+
+
+def test_train_bpe_classic_example(spark):
+    """The Sennrich-style toy corpus: merge order follows exact
+    weighted pair counts with (count DESC, pair ASC) tie-breaks."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id bigint, text string",
+    )
+    merges = B.train_bpe(docs, "text", n_merges=6)
+    # es(9) -> est(9) -> lo(7) -> low(7) -> then n-e/e-w/w-est tie at
+    # 6 resolves lexicographically to (e,w), then (ew,est).
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"),
+        ("lo", "w"), ("e", "w"), ("ew", "est"),
+    ]
+    # application generalizes to an UNSEEN word composed of learned units
+    out = {
+        r["doc_id"]: (r["bpe_text"], r["n_subwords"])
+        for r in B.bpe_text(
+            spark.createDataFrame(
+                [(2, "lowest"), (3, "low low")],
+                "doc_id bigint, text string",
+            ),
+            "doc_id",
+            "text",
+            merges,
+        ).collect()
+    }
+    assert out[2] == ("low est", 2)
+    assert out[3] == ("low low", 2)
+
+
+def test_merge_round_greedy_run_parity(spark):
+    """Overlapping matches (left == right) merge greedily
+    left-to-right: 'aaaa' + (a,a) -> [aa, aa]; 'aaa' -> [aa, a]."""
+    words = spark.createDataFrame(
+        [("aaaa", 1), ("aaa", 1), ("baab", 1)], "word string, cnt long"
+    )
+    seg = B.segment_words(words, [("a", "a")])
+    got = {}
+    for r in seg.collect():
+        got.setdefault(r["word"], []).append((r["pos"], r["sym"]))
+    seqs = {w: [s for _, s in sorted(v)] for w, v in got.items()}
+    assert seqs["aaaa"] == ["aa", "aa"]
+    assert seqs["aaa"] == ["aa", "a"]
+    assert seqs["baab"] == ["b", "aa", "b"]
+
+
+def test_train_bpe_early_stop(spark):
+    """A corpus whose words fully merge stops before n_merges."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id bigint, text string"
+    )
+    merges = B.train_bpe(docs, "text", n_merges=10)
+    assert merges == [("a", "b")]  # then no adjacent pairs remain
+
+
+def test_bpe_min_count_guillotine(spark):
+    """min_count drops rare words from TRAINING (their pairs never
+    vote) while tokenization still covers them."""
+    docs = spark.createDataFrame(
+        [(1, "zz zz zz qx")], "doc_id bigint, text string"
+    )
+    merges = B.train_bpe(docs, "text", n_merges=1, min_count=2)
+    assert merges == [("z", "z")]
+    out = {
+        r["doc_id"]: r["bpe_text"]
+        for r in B.bpe_text(docs, "doc_id", "text", merges).collect()
+    }
+    assert out[1] == "zz zz zz q x"
