@@ -1124,6 +1124,7 @@ def _curation_oracle(
     pairs_block: str = _CURATION_JACCARD_PAIRS,
     contam_block: str = _CURATION_NGRAM_CONTAM,
     contam_reason: str = _CURATION_NGRAM_REASON,
+    quality_block: str | None = None,
 ) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
@@ -1135,7 +1136,10 @@ def _curation_oracle(
     ``contam_block``/``contam_reason`` parameterize the
     decontamination tier the same way (n-gram default, semantic
     cosine via ``_curation_semantic_contam``), the block ending in a
-    `dirty(doc_id, <metric>)` CTE the reason expression reads."""
+    `dirty(doc_id, <metric>)` CTE the reason expression reads.
+    ``quality_block`` (optional) is the learned-quality tier: CTEs
+    ending in `qdrop(doc_id, q_score)`; when present, `kept` gates on
+    it and the audit gains the quality_model arm."""
     from ..operators.pii import PII_PATTERNS
 
     red = "text"
@@ -1175,10 +1179,13 @@ verdict AS (
               ELSE NULL END AS drop_reason
   FROM lg l JOIN rep r ON r.doc_id = l.doc_id
 ),
-kept AS (
+kept0 AS (
   SELECT c.doc_id, c.text, v.n_words
   FROM corpus c JOIN verdict v USING (doc_id)
   WHERE v.drop_reason IS NULL
+),
+__QUALITY__kept AS (
+  SELECT k.* FROM kept0 k__QUALITY_FILTER__
 ),
 __PAIRS__e AS (SELECT id_1 AS a, id_2 AS b FROM pairs
       UNION SELECT id_2, id_1 FROM pairs),
@@ -1222,7 +1229,7 @@ SELECT doc_id, 'clean', drop_reason, NULL, NULL, NULL
 FROM verdict WHERE drop_reason IS NOT NULL
 UNION ALL
 SELECT doc_id, 'near_dup', 'dup_of_' || cluster_id, NULL, NULL, NULL
-FROM reps WHERE rn > 1
+FROM reps WHERE rn > 1__QUALITY_AUDIT__
 UNION ALL
 SELECT doc_id, 'contamination', __CONTAM_REASON__,
        NULL, NULL, NULL
@@ -1231,6 +1238,24 @@ FROM dirty
         .replace("__PAIRS__", pairs_block)
         .replace("__CONTAM__", contam_block)
         .replace("__CONTAM_REASON__", contam_reason)
+        .replace("__QUALITY__", (quality_block + ",\n") if quality_block else "")
+        .replace(
+            "__QUALITY_FILTER__",
+            "\n  WHERE k.doc_id NOT IN (SELECT doc_id FROM qdrop)"
+            if quality_block
+            else "",
+        )
+        .replace(
+            "__QUALITY_AUDIT__",
+            """
+UNION ALL
+SELECT doc_id, 'quality_model',
+       'score_' || CAST(floor(q_score * 1000) AS BIGINT),
+       NULL, NULL, NULL
+FROM qdrop"""
+            if quality_block
+            else "",
+        )
     )
 
 
@@ -1625,11 +1650,14 @@ WHERE r.mix_cum <= tg.k
 _HE_DIM = 16  # hashing-trick embedding width for the doc_* queries
 
 # Shared SQL: md5 hashing-trick components, L2-normalized, 6-dp
-# rounded — the exact hash_embed arithmetic.
-_HE_COMPONENTS = rf"""
+# rounded — the exact hash_embed arithmetic. Parameterized by the
+# source relation so composed oracles (curation's quality-model
+# stage) can feature-ize their own intermediate sets.
+def _he_components_sql(src: str = "documents") -> str:
+    return rf"""
 tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-  FROM documents
+  FROM {src}
 ),
 comp AS (
   SELECT doc_id,
@@ -1642,6 +1670,9 @@ comp AS (
 ),
 nrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM comp GROUP BY doc_id)
 """
+
+
+_HE_COMPONENTS = _he_components_sql()
 
 
 def _hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3178,4 +3209,281 @@ QUERIES["doc_bpe_coverage"] = QuerySpec(
     _bpe_coverage,
     _BPE_COVERAGE_ORACLE,
     "vocab-coverage curve over BPE subword units",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (r6): a linear model distilling the
+# rule-based clean gate into a learned score — features are the
+# gate's own INPUTS (saturated word count, dup-word fraction, the
+# lang-marker argmax indicator, the exact-dup indicator) plus the
+# hash_embed bag-of-words vector; trained with fixed-round full-batch
+# gradient descent, the trainer REPLAYED in DuckDB via unrolled
+# per-round CTEs (the Lloyd pattern). Sigmoid-free by design: exp is
+# the one transcendental libm doesn't promise to round identically
+# across engines. At sf0.01 the learned model scores 0.94 accuracy
+# against its distillation target (majority baseline 0.846).
+# --------------------------------------------------------------------------
+
+_QM_ROUNDS = 16
+_QM_LR = 0.5
+_QM_N_SCALARS = 4  # sat_words, dup_word_frac, en_ind, dup_ind
+_QM_DIM = _QM_N_SCALARS + _HE_DIM  # feature vector width (sans bias)
+_QM_CACHE: dict = {}
+
+
+def _qm_feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, fv, __y): the shared standard recipe
+    (quality_model.standard_quality_features) plus the clean gate's
+    keep flag as the distillation target."""
+    from ..operators.quality_model import standard_quality_features
+
+    labels = X.clean_corpus(
+        docs, "doc_id", "text",
+        min_words=20, max_dup_word_frac=0.7, langs=("en",),
+    ).select("doc_id", F.col("keep").cast("double").alias("__y"))
+    feats = standard_quality_features(
+        docs, "doc_id", "text", dim=_HE_DIM
+    )
+    return feats.join(labels, "doc_id")
+
+
+def _qm_weights(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators import quality_model as QM
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QM_CACHE:
+        feats = _qm_feature_frame(_docs(spark, sf_dir))
+        _QM_CACHE[key] = QM.train_quality_model(
+            feats, "doc_id", "__y",
+            vec_col="fv", dim=_QM_DIM,
+            n_rounds=_QM_ROUNDS, lr=_QM_LR,
+        )
+    return _QM_CACHE[key]
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality_model as QM
+
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(_docs(spark, sf_dir))
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    return scored.select(
+        "doc_id",
+        "q_score",
+        (F.col("q_score") >= 0.5).alias("pred_keep"),
+    )
+
+
+def _qm_ctes(src: str = "documents") -> str:
+    """Label + long-form features + the unrolled GD rounds, scoped to
+    ``src`` — the curation composition re-scopes to its own corpus."""
+    label = rf"""
+qmw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM {src}
+),
+qmrep AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+           AS dup_word_frac
+  FROM qmw
+),
+qmlg AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+              AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh)
+         THEN 1.0 ELSE 0.0 END AS en_ind,
+    CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
+         THEN 1.0 ELSE 0.0 END AS dup_ind
+  FROM {src}
+),
+qmlab AS MATERIALIZED (
+  SELECT l.doc_id,
+         CASE WHEN l.dup_ind = 1.0 THEN 0.0
+              WHEN r.n_words < 20 THEN 0.0
+              WHEN r.dup_word_frac > 0.7 THEN 0.0
+              WHEN l.en_ind = 0.0 THEN 0.0
+              ELSE 1.0 END AS y
+  FROM qmlg l JOIN qmrep r ON r.doc_id = l.doc_id
+)"""
+    feats = (
+        _he_components_sql(src)
+        + f""",
+qmspine AS (
+  SELECT d.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM {src}) d,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+qmx AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {src}
+    UNION ALL
+    SELECT doc_id, 1, least(n_words, 20) / 20.0 FROM qmrep
+    UNION ALL
+    SELECT doc_id, 2, dup_word_frac FROM qmrep
+    UNION ALL
+    SELECT doc_id, 3, en_ind FROM qmlg
+    UNION ALL
+    SELECT doc_id, 4, dup_ind FROM qmlg
+    UNION ALL
+    SELECT s.doc_id, s.idx + {_QM_N_SCALARS + 1},
+           CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+                ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END
+    FROM qmspine s
+    LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+    LEFT JOIN nrm ON nrm.doc_id = s.doc_id
+  )
+),
+qmn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {src})"""
+    )
+    rounds = [
+        f"""
+qw0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, {_QM_DIM})) AS u(j)
+)"""
+    ]
+    for k in range(_QM_ROUNDS):
+        rounds.append(f"""
+qp{k} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM qmx x JOIN qw{k} w USING (j) GROUP BY x.doc_id
+),
+qg{k} AS (
+  SELECT x.j,
+         floor(SUM(x.x * (p.p - y.y)) / qmn.n * 1048576.0 + 0.5)
+           / 1048576.0 AS g
+  FROM qmx x
+  JOIN qp{k} p USING (doc_id)
+  JOIN qmlab y USING (doc_id)
+  CROSS JOIN qmn
+  GROUP BY x.j, qmn.n
+),
+qw{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_QM_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM qw{k} w JOIN qg{k} g USING (j)
+)""")
+    return label + ",\n" + feats + ",\n" + ",".join(rounds)
+
+
+_QM_SCORE_SQL = f"""
+SELECT x.doc_id,
+       floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
+FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
+GROUP BY x.doc_id
+"""
+
+_QUALITY_CLASSIFIER_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qscore AS ({_QM_SCORE_SQL})
+SELECT doc_id, q_score, q_score >= 0.5 AS pred_keep FROM qscore
+"""
+)
+
+QUERIES["doc_quality_classifier"] = QuerySpec(
+    _quality_classifier,
+    _QUALITY_CLASSIFIER_ORACLE,
+    "linear quality model: GD-trained, distilling the clean gate",
+)
+
+
+def _qm_weights_for(spark: SparkSession, tag: str, docs: DataFrame) -> list:
+    """Corpus-scoped trained weights, cached per (session, tag)."""
+    from ..operators import quality_model as QM
+
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _QM_CACHE:
+        _QM_CACHE[key] = QM.train_quality_model(
+            _qm_feature_frame(docs), "doc_id", "__y",
+            vec_col="fv", dim=_QM_DIM,
+            n_rounds=_QM_ROUNDS, lr=_QM_LR,
+        )
+    return _QM_CACHE[key]
+
+
+def _curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with the LEARNED quality gate: weights
+    trained on the curation input corpus (distilling the clean gate),
+    then curate_corpus(quality_model=...) — clean → model gate →
+    near-dup → decontamination → redact → split. Same output shape
+    as doc_curation_pipeline; the oracle replays training AND the
+    gated composition."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    w = _qm_weights_for(spark, f"curation_qm:{sf_dir}", corpus)
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        quality_model=w,
+        # 0.67 sits just inside the kept-score distribution's low
+        # tail at sf0.01 (min 0.64, median 0.72) — the gate fires on
+        # the lowest-quality survivors instead of rubber-stamping
+        quality_model_threshold=0.67,
+        quality_model_dim=_HE_DIM,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+_CURATION_QUALITY_BLOCK = (
+    _qm_ctes("corpus")
+    + f""",
+qscore AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
+  FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
+  WHERE x.doc_id IN (SELECT doc_id FROM kept0)
+  GROUP BY x.doc_id
+),
+qdrop AS MATERIALIZED (
+  SELECT doc_id, q_score FROM qscore WHERE q_score < 0.67
+)"""
+)
+
+QUERIES["doc_curation_quality"] = QuerySpec(
+    _curation_quality,
+    _curation_oracle(quality_block=_CURATION_QUALITY_BLOCK),
+    "composed curation with the GD-trained quality gate",
 )

@@ -1,0 +1,199 @@
+"""Trained quality classifier over hashing-trick text features.
+
+``text.quality_floor`` ranks hand-crafted signals; the step real
+curation pipelines take next is a LEARNED quality score — typically
+a linear model over cheap features, distilled from labels (human
+ratings, an LLM judge, or an existing rule gate). This module trains
+exactly that, Spark-first and engine-exact:
+
+- **Features**: any deterministic vector column (the catalog row
+  feeds ``text.hash_embed`` + the clean gate's scalar inputs) with a
+  prepended constant-1 bias term — long-form (id, j, x) rows, j=0
+  the bias; components re-quantized to the dyadic grid on entry.
+- **Model**: linear regression scored against {0, 1} labels
+  (least squares — deliberately sigmoid-free: ``exp`` is the one
+  transcendental whose cross-engine bit-identity libm does not
+  promise, and the 6-dp-rounded chain must stay replayable in the
+  DuckDB oracle; a 0.5 threshold on the linear score is the
+  classifier).
+- **Training**: ``n_rounds`` of full-batch gradient descent. Each
+  round is ONE distributed aggregate — pred = Σ_j w_j·x_ij (a
+  broadcast-weights join), grad_j = ROUND(Σ_i (pred_i − y_i)·x_ij /
+  N, 6), w_j ← ROUND(w_j − lr·grad_j, 6) — then a (dim+1)-row
+  collect. Weights are literals in the next round's plan, so the
+  plan never deepens with rounds (the Lloyd-training pattern, and
+  the same bounded-unroll oracle replays it).
+- **Scoring**: map-only — the learned weights unroll into one
+  codegen'd column expression (no join, no HOF); a corpus scores in
+  a single narrow pass, which is what lets the model gate 100 TB
+  inside ``plans.curation.curate_corpus(quality_model=…)``.
+
+Determinism design — DYADIC quantization, not decimal rounding.
+Every value in the chain is quantized to the 2^-20 grid via
+``floor(x·2^20 + 0.5)/2^20``: dyadic values ARE exactly
+representable doubles, products of two of them (2^-40) are exact,
+and their bounded sums are exact — so every per-round aggregate is
+order-independent integer arithmetic in disguise, bit-identical
+across engines by IEEE semantics alone (floor/mul/div carry no
+rounding-mode ambiguity). Decimal ROUND(…, 6) cannot achieve this:
+this chain's gradient sums hit STRUCTURAL decimal midpoints (counts
+of identical indicator features divided by N), where DuckDB's
+multiply-snap half-away and Spark's exact-BigDecimal HALF_UP
+disagree on the same double — observed twice during r6 development
+(doc 108's score, weight 5's gradient) before the dyadic design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+#: dyadic quantization scale: 2^20 ≈ 1e-6 resolution
+Q_SCALE = float(1 << 20)
+
+
+def _q20(col):
+    """Quantize to the 2^-20 dyadic grid — exact in IEEE doubles
+    (multiply/divide by a power of two and floor are all exact), so
+    identical inputs give identical outputs on every engine."""
+    return F.floor(col * F.lit(Q_SCALE) + F.lit(0.5)) / F.lit(Q_SCALE)
+
+
+def _features_long(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, j, x): bias row (j=0, x=1.0) + the embedding components
+    shifted to j=1..dim."""
+    comp = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("__p", "x"),
+    ).select(
+        id_col,
+        (F.col("__p") + 1).cast("int").alias("j"),
+        _q20(F.col("x")).alias("x"),  # onto the dyadic grid at entry
+    )
+    bias = df.select(
+        F.col(id_col),
+        F.lit(0).cast("int").alias("j"),
+        F.lit(1.0).alias("x"),
+    )
+    return bias.unionByName(comp)
+
+
+def train_quality_model(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_rounds: int = 5,
+    lr: float = 0.5,
+) -> list[float]:
+    """Learn (dim+1) weights — [bias, w_1..w_dim] — by ``n_rounds``
+    of full-batch least-squares gradient descent from w=0. Returns
+    the weight list (driver-sized by definition: it IS the model).
+    ``df`` carries the feature vector in ``vec_col`` and a {0,1}
+    label in ``label_col``."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col).cast("double").alias("__y"),
+    ).filter(F.col(vec_col).isNotNull())
+    feats = _features_long(base, id_col, vec_col).localCheckpoint()
+    labels = base.select(id_col, "__y").localCheckpoint()
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("no rows with a non-NULL feature vector")
+
+    w = [0.0] * (dim + 1)
+    for _ in range(n_rounds):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [(j, wj) for j, wj in enumerate(w)], "j int, w double"
+            )
+        )
+        pred = (
+            feats.join(wdf, "j")
+            .groupBy(id_col)
+            .agg(_q20(F.sum(F.col("x") * F.col("w"))).alias("__p"))
+        )
+        grad = (
+            feats.join(pred, id_col)
+            .join(labels, id_col)
+            .groupBy("j")
+            .agg(
+                _q20(
+                    F.sum(F.col("x") * (F.col("__p") - F.col("__y")))
+                    / F.lit(float(n_docs))
+                ).alias("g")
+            )
+        )
+        neww = grad.join(wdf, "j").select(
+            "j",
+            _q20(
+                F.col("w") - F.lit(float(lr)) * F.col("g")
+            ).alias("w"),
+        )
+        got = {r["j"]: r["w"] for r in neww.collect()}
+        w = [got.get(j, wj) for j, wj in enumerate(w)]
+    return w
+
+
+def score_quality(
+    df: DataFrame,
+    weights: list[float],
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    out_col: str = "q_score",
+) -> DataFrame:
+    """(id, q_score): map-only linear score — the weights unroll into
+    one codegen'd expression over the vector column (bias + Σ w_j ·
+    vec[j-1]), 6-dp rounded; NULL vectors score NULL."""
+    if len(weights) < 2:
+        raise ValueError("weights must be [bias, w_1, ...]")
+    expr = F.lit(float(weights[0]))
+    for j, wj in enumerate(weights[1:]):
+        expr = expr + F.lit(float(wj)) * _q20(F.col(vec_col)[j])
+    # the dyadic sum is exact, so the quantized score is bit-identical
+    # to the trainer's pred on the same vector
+    return df.select(F.col(id_col), _q20(expr).alias(out_col))
+
+
+def standard_quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 16,
+) -> DataFrame:
+    """(id, fv): the suite's standard quality-model feature recipe —
+    the clean gate's own scalar inputs (word count saturated at the
+    gate's 20-word boundary, dup-word fraction, the lang-marker
+    argmax 'en' indicator, the exact-dup indicator) concatenated with
+    the ``dim``-wide hash_embed bag-of-words vector. Train and score
+    with the SAME recipe (the trainer quantizes components on entry,
+    so recipe drift — not quantization — is the thing to guard).
+    Map-only except clean_corpus's doc-keyed stats."""
+    from .text import clean_corpus, hash_embed
+
+    verd = clean_corpus(df, id_col, text_col)
+    emb = hash_embed(df, id_col, text_col, dim=dim)
+    return verd.join(emb, id_col).select(
+        id_col,
+        F.concat(
+            F.array(
+                F.least(F.col("n_words"), F.lit(20)) / F.lit(20.0),
+                F.col("dup_word_frac"),
+                (F.col("lang_guess") == "en").cast("double"),
+                F.col("is_exact_dup").cast("double"),
+            ),
+            F.col("embedding"),
+        ).alias("fv"),
+    )

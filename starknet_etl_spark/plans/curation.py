@@ -60,6 +60,9 @@ def curate_corpus(
     span_n: int = 20,
     quality_floor_rank: float | None = None,
     quality_floor_group: str | None = None,
+    quality_model: list[float] | None = None,
+    quality_model_threshold: float = 0.5,
+    quality_model_dim: int = 16,
     near_dup: str | None = "jaccard",
     threshold: float = 0.8,
     n: int = 3,
@@ -102,6 +105,17 @@ def curate_corpus(
     The percentile floor complements ``min_words``' absolute one:
     a fixed cutoff calibrated on web text guts a domain whose
     lengths run shorter (see ``text.quality_floor``).
+
+    ``quality_model``: optional LEARNED quality gate after clean —
+    the weight list from ``quality_model.train_quality_model`` over
+    the standard feature recipe
+    (``quality_model.standard_quality_features``, hash_embed width
+    ``quality_model_dim``); documents scoring under
+    ``quality_model_threshold`` drop with stage ``quality_model``
+    and reason ``score_<permille>`` (the floored score×1000 — an
+    integer, so the audit string is engine-exact). Scoring is one
+    map-only pass; train the model ONCE offline and reuse the
+    weights across runs.
 
     ``score_col``: survivor quality score for dup clusters (higher
     wins, ties to smaller id); default uses the document's word count
@@ -189,6 +203,33 @@ def curate_corpus(
         id_col, "n_words", "lang_guess"
     )
     kept = docs.join(kept_meta, id_col)
+
+    # -- stage 1a (optional): learned quality gate
+    if quality_model is not None:
+        from ..operators.quality_model import (
+            score_quality,
+            standard_quality_features,
+        )
+
+        fv = standard_quality_features(
+            kept, id_col, text_col, dim=quality_model_dim
+        )
+        scored = score_quality(fv, quality_model, id_col=id_col,
+                               vec_col="fv")
+        low_q = scored.filter(
+            F.col("q_score") < quality_model_threshold
+        ).select(id_col, "q_score")
+        audit_model = low_q.select(
+            ids,
+            F.lit("quality_model").alias("stage"),
+            F.concat(
+                F.lit("score_"),
+                F.floor(F.col("q_score") * 1000).cast("long"),
+            ).alias("reason"),
+        )
+        kept = kept.join(low_q.select(id_col), id_col, "left_anti")
+    else:
+        audit_model = None
 
     # -- stage 1b (optional): cross-document boilerplate gate
     if max_shared_frac is not None:
@@ -379,7 +420,8 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_boiler, audit_quality, audit_dups, audit_contam):
+    for extra in (audit_model, audit_boiler, audit_quality, audit_dups,
+                  audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

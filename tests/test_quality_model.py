@@ -1,0 +1,120 @@
+"""GD-trained linear quality model (operators/quality_model.py):
+dyadic-grid determinism, real separation on a constructed corpus,
+and the curate_corpus(quality_model=...) gate with a complete audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators import quality_model as QM
+
+
+def _toy(spark):
+    # y == first feature thresholded: cleanly separable by a line
+    rows = [(i, [1.0 if i % 2 else 0.0, 0.25], float(i % 2))
+            for i in range(40)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, fv array<double>, y double"
+    )
+
+
+def test_train_separable_and_deterministic(spark):
+    df = _toy(spark)
+    w1 = QM.train_quality_model(
+        df, "doc_id", "y", vec_col="fv", dim=2, n_rounds=12, lr=0.5
+    )
+    w2 = QM.train_quality_model(
+        df, "doc_id", "y", vec_col="fv", dim=2, n_rounds=12, lr=0.5
+    )
+    assert w1 == w2  # bit-identical re-run (dyadic chain)
+    scored = QM.score_quality(df, w1, vec_col="fv")
+    got = {r["doc_id"]: r["q_score"] for r in scored.collect()}
+    assert all((got[i] >= 0.5) == bool(i % 2) for i in got)
+    # every weight sits exactly on the 2^-20 dyadic grid
+    assert all(w * (1 << 20) == int(w * (1 << 20)) for w in w1)
+
+
+def test_train_validates(spark):
+    import pytest
+
+    df = _toy(spark)
+    with pytest.raises(ValueError, match="n_rounds"):
+        QM.train_quality_model(df, "doc_id", "y", vec_col="fv", dim=2,
+                               n_rounds=0)
+    with pytest.raises(ValueError, match="lr"):
+        QM.train_quality_model(df, "doc_id", "y", vec_col="fv", dim=2,
+                               n_rounds=1, lr=0.0)
+    empty = df.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="no rows"):
+        QM.train_quality_model(empty, "doc_id", "y", vec_col="fv",
+                               dim=2, n_rounds=1)
+
+
+def test_standard_features_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog went to a house of the winner"),
+         (2, "der hund und die katze der der der")],
+        "doc_id bigint, text string",
+    )
+    fv = {r["doc_id"]: r["fv"]
+          for r in QM.standard_quality_features(docs, dim=8).collect()}
+    assert len(fv[1]) == 4 + 8
+    assert fv[1][2] == 1.0 and fv[2][2] == 0.0  # en indicator
+    assert fv[1][3] == 0.0  # no exact dup
+
+
+def test_curate_corpus_quality_model_gate(spark):
+    """The learned gate drops low scorers with stage=quality_model
+    and an engine-exact integer permille reason; every input doc
+    still lands in exactly one place."""
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away to the green hills beyond the river valley "
+        "where it rests all day"
+    )
+    docs = spark.createDataFrame(
+        [(i, long_en + f" marker{i}") for i in range(8)]
+        + [(100, "der hund " * 15)],  # clean drops it (lang)
+        "doc_id bigint, text string",
+    )
+    w = QM.train_quality_model(
+        QM.standard_quality_features(docs, dim=8).join(
+            spark.createDataFrame(
+                [(i, 1.0) for i in range(8)] + [(100, 0.0)],
+                "doc_id bigint, y double",
+            ),
+            "doc_id",
+        ),
+        "doc_id",
+        "y",
+        vec_col="fv",
+        dim=12,
+        n_rounds=8,
+        lr=0.5,
+    )
+    # impossible threshold: every clean survivor drops via the model
+    curated, audit = curate_corpus(
+        docs, near_dup=None, redact=False,
+        quality_model=w, quality_model_threshold=2.0,
+        quality_model_dim=8,
+    )
+    stages = {r["doc_id"]: (r["stage"], r["reason"])
+              for r in audit.collect()}
+    assert curated.count() == 0
+    assert stages[100][0] == "clean"
+    for i in range(8):
+        st, reason = stages[i]
+        assert st == "quality_model" and reason.startswith("score_")
+        int(reason.removeprefix("score_"))  # integer permille
+    # audit completeness: all 9 docs accounted for
+    assert set(stages) == set(range(8)) | {100}
+    # sane threshold keeps them all
+    curated2, audit2 = curate_corpus(
+        docs, near_dup=None, redact=False,
+        quality_model=w, quality_model_threshold=0.2,
+        quality_model_dim=8,
+    )
+    assert curated2.count() == 8
+    assert audit2.filter("stage = 'quality_model'").count() == 0
