@@ -1273,3 +1273,40 @@ QUERIES = {
         "per-vector best same-cell neighbor (training-pair miner)",
     ),
 }
+
+
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health card (r6): the embeddings corpus materialized as
+    a label-cell ANN index, two ids logically forgotten, then ONE
+    stats row — cell fill skew + tombstone fraction, the inputs to
+    the needs_retrain policy (operators/index_health.py)."""
+    from ..operators.index_health import ann_index_stats
+
+    emb = _emb(spark, sf_dir)
+    path = scratch_path(spark, sf_dir, "health_ann_catalog")
+    S.build_ann_index(emb, path, cell_col="label")
+    S.forget_vectors(spark, path, [1, 2], 0)
+    return ann_index_stats(spark, path)
+
+
+_INDEX_STATS_ORACLE = """
+WITH cells AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       CAST(MAX(n) AS BIGINT) AS max_cell,
+       ROUND(AVG(n), 6) AS avg_cell,
+       ROUND(MAX(n) / AVG(n), 6) AS cell_skew,
+       CAST(2 AS BIGINT) AS n_tombstoned,
+       ROUND(2.0 / SUM(n), 6) AS tombstone_frac
+FROM cells
+"""
+
+QUERIES["emb_index_stats"] = QuerySpec(
+    _index_stats,
+    _INDEX_STATS_ORACLE,
+    "ANN index health card: fill skew + tombstone fraction",
+)

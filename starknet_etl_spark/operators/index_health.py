@@ -1,0 +1,162 @@
+"""Index health reporting and the auto-retrain policy.
+
+``retrain_ann_index`` / ``retrain_pq_index`` / ``purge_ann_index``
+exist as maintenance verbs, but nothing decided WHEN — the gap a
+long-running 100 TB deployment hits first: appends skew cell sizes
+(the frozen centroids stop matching the data distribution, probe
+cost and recall drift), and tombstones accumulate scan waste. This
+module closes the loop:
+
+- :func:`ann_index_stats` — one data-card-style row per index:
+  vector/cell counts, fill skew (max cell vs mean — the probe-cost
+  tail), and the tombstone fraction. One groupBy over the index
+  (cell sizes are the aggregate, not the data) plus a tombstone-dir
+  count; cheap enough for every maintenance tick.
+- :func:`needs_retrain` — a pure threshold policy over a collected
+  stats row: skew or tombstone drift past the caps returns the
+  reasons, empty means healthy. Deliberately driver-side and dumb —
+  policies must be auditable.
+- :func:`maintain_ann_index` — the tick: stats → policy →
+  (purge and/or retrain) exactly once when, and only when, the
+  policy fires. Retraining implies the purge (it rebuilds from live
+  rows only — ``retrain_ann_index``'s contract), so the tick never
+  runs both.
+
+Catalog row ``emb_index_stats`` differentials the stats math; the
+trigger discipline (drift past threshold → exactly one retrain) is
+unit-tested — maintenance actions are not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ann_index_stats(
+    spark,
+    index_path: str,
+    *,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row health card for a cell-partitioned ANN index:
+    (n_vectors, n_cells, min_cell, max_cell, avg_cell, cell_skew,
+    n_tombstoned, tombstone_frac). ``cell_skew`` = max/avg fill —
+    1.0 is perfectly balanced; the probe-cost tail grows with it.
+    Tombstoned counts use the tombstone table (logical forgets not
+    yet purged); ``n_vectors`` counts PHYSICAL rows (dead included —
+    they still cost every probe's scan), so ``tombstone_frac`` =
+    dead/physical is exactly the scan waste a purge would reclaim.
+    A forget for a never-ingested id can push the numerator above
+    its physical share — harmless for a threshold policy."""
+    from .. import io as _io
+
+    rows = spark.read.parquet(index_path)
+    cells = rows.groupBy(cell_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    stats = cells.agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("__n").cast("long").alias("min_cell"),
+        F.max("__n").cast("long").alias("max_cell"),
+        F.round(F.avg("__n"), 6).alias("avg_cell"),
+        F.round(
+            F.max("__n") / F.avg("__n"), 6
+        ).alias("cell_skew"),
+    )
+    tomb = f"{index_path}__tombstones"
+    if _io._exists(spark, tomb):
+        # distinct: a doc forgotten in two batches is one dead row
+        n_dead = (
+            _io.load_table(spark, tomb)
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+    else:
+        n_dead = 0
+    return stats.select(
+        "*",
+        F.lit(int(n_dead)).cast("long").alias("n_tombstoned"),
+        F.round(
+            F.lit(int(n_dead)) / F.col("n_vectors"), 6
+        ).alias("tombstone_frac"),
+    )
+
+
+def needs_retrain(
+    stats_row,
+    *,
+    max_cell_skew: float = 4.0,
+    max_tombstone_frac: float = 0.2,
+) -> list[str]:
+    """Policy over ONE collected stats row: the reasons the index
+    wants maintenance (empty list = healthy). Reasons are
+    ``skew_<x>`` (re-cluster: the frozen centroids no longer match
+    the distribution) and ``tombstones_<x>`` (purge: scan waste)."""
+    reasons: list[str] = []
+    skew = stats_row["cell_skew"]
+    if skew is not None and skew > max_cell_skew:
+        reasons.append(f"skew_{skew}")
+    frac = stats_row["tombstone_frac"]
+    if frac is not None and frac > max_tombstone_frac:
+        reasons.append(f"tombstones_{frac}")
+    return reasons
+
+
+def maintain_ann_index(
+    spark,
+    index_path: str,
+    *,
+    dim: int,
+    n_cells: int,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    max_cell_skew: float = 4.0,
+    max_tombstone_frac: float = 0.2,
+) -> dict:
+    """One maintenance tick: collect stats, ask the policy, act.
+
+    Returns ``{"action": ..., "reasons": [...], "stats": row_dict}``
+    with action ∈ {"none", "purge", "retrain"}. Skew (alone or with
+    tombstones) triggers ONE ``retrain_ann_index`` — retraining
+    rebuilds from live rows only, so it subsumes the purge; a
+    tombstone-only breach triggers ``purge_ann_index`` (cheaper:
+    partition-scoped rewrite, centroids untouched)."""
+    from .similarity import purge_ann_index, retrain_ann_index
+
+    stats = ann_index_stats(
+        spark, index_path, cell_col=cell_col, id_col=id_col
+    ).first()
+    reasons = needs_retrain(
+        stats,
+        max_cell_skew=max_cell_skew,
+        max_tombstone_frac=max_tombstone_frac,
+    )
+    if not reasons:
+        return {"action": "none", "reasons": [], "stats": stats.asDict()}
+    if any(r.startswith("skew_") for r in reasons):
+        retrain_ann_index(
+            spark,
+            index_path,
+            dim=dim,
+            n_cells=n_cells,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+        )
+        return {
+            "action": "retrain",
+            "reasons": reasons,
+            "stats": stats.asDict(),
+        }
+    purge_ann_index(spark, index_path, cell_col=cell_col, id_col=id_col)
+    return {
+        "action": "purge",
+        "reasons": reasons,
+        "stats": stats.asDict(),
+    }

@@ -2617,3 +2617,76 @@ def test_batched_probe_dim_mismatch_is_loud(spark, tmp_path):
     S.build_trained_ann_index(df, flat, dim=4, n_cells=2)
     with pytest.raises(ValueError, match="dimension"):
         S.knn_ivf_batch(spark, flat, bad, k=2, n_probes=1)
+
+
+def test_index_health_policy_triggers_exactly_one_action(
+    spark, tmp_path
+):
+    """Index health loop (r5 verdict item): a balanced index reports
+    healthy and no maintenance runs; past-threshold skew triggers
+    exactly ONE retrain (which re-balances and implicitly purges);
+    tombstone-only drift triggers the cheaper purge."""
+    from starknet_etl_spark.operators.index_health import (
+        ann_index_stats,
+        maintain_ann_index,
+        needs_retrain,
+    )
+
+    def mkvecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+
+    # -- balanced: 2 cells x 3 vectors
+    balanced = mkvecs(
+        [(i, [1.0 - 0.01 * i, 0.01 * i, 0.0, 0.0], 0) for i in range(3)]
+        + [(10 + i, [0.01 * i, 1.0 - 0.01 * i, 0.0, 0.0], 1)
+           for i in range(3)]
+    )
+    idx = str(tmp_path / "healthy")
+    S.build_ann_index(balanced, idx, cell_col="label")
+    st = ann_index_stats(spark, idx).first()
+    assert st["n_vectors"] == 6 and st["n_cells"] == 2
+    assert st["cell_skew"] == 1.0 and st["tombstone_frac"] == 0.0
+    assert needs_retrain(st) == []
+    out = maintain_ann_index(spark, idx, dim=4, n_cells=2)
+    assert out["action"] == "none"
+
+    # -- skewed fill from a STALE assignment: the data is two clean
+    # 5-vector clusters (near e1 / near e2), but the stored labels
+    # put 9 in cell 0 and 1 in cell 1 (skew 1.8 > cap 1.5) — the
+    # drift-after-appends shape a retrain genuinely fixes
+    skewed = mkvecs(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(5)]
+        + [(5 + i, [0.001 * i, 1.0, 0.0, 0.0], 0) for i in range(4)]
+        + [(99, [0.0, 1.0, 0.0, 0.0], 1)]
+    )
+    idx2 = str(tmp_path / "skewed")
+    S.build_ann_index(skewed, idx2, cell_col="label")
+    out = maintain_ann_index(
+        spark, idx2, dim=4, n_cells=2, max_cell_skew=1.5
+    )
+    assert out["action"] == "retrain"
+    assert any(r.startswith("skew_") for r in out["reasons"])
+    # retrain rebalanced: the next tick is healthy (one action only)
+    out2 = maintain_ann_index(
+        spark, idx2, dim=4, n_cells=2, max_cell_skew=1.5
+    )
+    assert out2["action"] == "none", out2
+    # the retrained index still probes correctly
+    got = S.knn_ivf_indexed(
+        spark, idx2, mkvecs([(0, [1.0, 0.0, 0.0, 0.0], 0)]), k=1
+    ).first()
+    assert got is not None
+
+    # -- tombstone drift only: forget 2 of 6 (frac 0.33 > cap 0.25)
+    idx3 = str(tmp_path / "tombed")
+    S.build_ann_index(balanced, idx3, cell_col="label")
+    S.forget_vectors(spark, idx3, [0, 10], 0)
+    out = maintain_ann_index(
+        spark, idx3, dim=4, n_cells=2, max_tombstone_frac=0.25
+    )
+    assert out["action"] == "purge"
+    assert out["reasons"] == [f"tombstones_{out['stats']['tombstone_frac']}"]
+    st3 = ann_index_stats(spark, idx3).first()
+    assert st3["n_vectors"] == 4 and st3["tombstone_frac"] == 0.0
