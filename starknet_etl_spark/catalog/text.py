@@ -3487,3 +3487,313 @@ QUERIES["doc_curation_quality"] = QuerySpec(
     _curation_oracle(quality_block=_CURATION_QUALITY_BLOCK),
     "composed curation with the GD-trained quality gate",
 )
+
+
+# --------------------------------------------------------------------------
+# Batched hybrid retrieval (r6): many (terms, vector) queries, ONE
+# bucket-pruned postings read + ONE union-of-cells ANN read,
+# per-query bit-equal to the hybrid_search loop. The oracle fuses
+# per-query arms over SHARED corpus CTEs (the bm25_batch pattern ×
+# the hybrid embed/SRP block, pseudo-docs -1, -2, ... carrying the
+# query texts).
+# --------------------------------------------------------------------------
+
+_HYBRID_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q0": _BM25_TERMS,            # idf-spread bag
+    "q1": ("the", "data"),        # high-df bag, different cell
+}
+
+
+def _hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index, hybrid_batch
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    qtexts = spark.createDataFrame(
+        [
+            (-(i + 1), " ".join(terms))
+            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+        ],
+        "doc_id bigint, text string",
+    )
+    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    qid_of = {
+        -(i + 1): qid
+        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
+    }
+    mapping = F.create_map(
+        *[F.lit(v) for kv in qid_of.items() for v in kv]
+    )
+    terms_map = {
+        qid: list(terms)
+        for qid, terms in _HYBRID_BATCH_QUERIES.items()
+    }
+    queries = qemb.select(
+        mapping[F.col("doc_id")].alias("query_id"),
+        "embedding",
+        "cell",
+    ).withColumn(
+        "terms",
+        F.when(
+            F.col("query_id") == "q0",
+            F.array(*[F.lit(t) for t in terms_map["q0"]]),
+        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
+    )
+    return hybrid_batch(
+        spark,
+        ppath,
+        apath,
+        queries,
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+def _hybrid_batch_oracle() -> str:
+    pseudo = "\n  UNION ALL ".join(
+        f"SELECT {-(i + 1)}, '{' '.join(terms)}'"
+        for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+    )
+    shared = rf"""
+hbase AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+hstats AS (
+  SELECT COUNT(*) AS nd, ROUND(AVG(dl), 6) AS avgdl FROM hbase
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {pseudo}
+),
+htok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM corpus
+),
+hcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM htok WHERE t <> '' GROUP BY doc_id, idx
+),
+hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
+hspine AS (
+  SELECT c.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM corpus) c,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+hx AS MATERIALIZED (
+  SELECT s.doc_id, s.idx,
+         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
+              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
+  FROM hspine s
+  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
+),
+hxn AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
+),
+srpw AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, {_HE_DIM})) AS td(d)
+),
+srpproj AS (
+  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
+  FROM hx h JOIN srpw w ON w.d = h.idx + 1
+  GROUP BY h.doc_id, w.p
+),
+srpb AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM srpproj GROUP BY doc_id
+)"""
+    blocks, selects = [], []
+    for i, (qid, terms) in enumerate(_HYBRID_BATCH_QUERIES.items()):
+        pid = -(i + 1)
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        conds = ",\n         ".join(
+            f"COALESCE(SUM(CASE WHEN t = '{t}' THEN c END), 0) AS c{j}"
+            for j, t in enumerate(terms)
+        )
+        total = " + ".join(f"c{j}" for j in range(len(terms)))
+        blocks.append(f"""
+tf_{qid} AS (
+  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(ws) AS t FROM hbase)
+  WHERE t IN ({in_list})
+  GROUP BY doc_id, t
+),
+dfreq_{qid} AS (SELECT t, COUNT(*) AS df FROM tf_{qid} GROUP BY t),
+contrib_{qid} AS (
+  SELECT doc_id, t,
+         ROUND(
+           ln((nd - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * (tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+           6) AS c
+  FROM tf_{qid} JOIN dfreq_{qid} USING (t) CROSS JOIN hstats
+),
+per_{qid} AS (
+  SELECT doc_id,
+         {conds}
+  FROM contrib_{qid} GROUP BY doc_id
+),
+lex_{qid} AS (
+  SELECT doc_id, ROUND({total}, 6) AS bm25
+  FROM per_{qid} ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {_HYBRID_CANDIDATES}
+),
+lexr_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM lex_{qid}
+),
+qb_{qid} AS (SELECT b FROM srpb WHERE doc_id = {pid}),
+sem_{qid} AS (
+  SELECT a.doc_id,
+         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
+  FROM hx a
+  JOIN hx q ON q.doc_id = {pid} AND q.idx = a.idx
+  JOIN srpb ba ON ba.doc_id = a.doc_id
+  JOIN qb_{qid} ON qb_{qid}.b = ba.b
+  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
+  JOIN hxn qn ON qn.doc_id = {pid}
+  WHERE a.doc_id >= 0
+  GROUP BY a.doc_id, an.rn, qn.rn
+  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+semr_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+              AS BIGINT) AS sem_rank
+  FROM sem_{qid}
+),
+fused_{qid} AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
+               6) AS rrf
+  FROM lexr_{qid} l FULL OUTER JOIN semr_{qid} s ON s.doc_id = l.doc_id
+)""")
+        selects.append(
+            f"(SELECT '{qid}' AS query_id, doc_id, lex_rank, sem_rank, "
+            f"rrf FROM fused_{qid} "
+            f"ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})"
+        )
+    return (
+        "WITH "
+        + shared
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+QUERIES["doc_hybrid_batch"] = QuerySpec(
+    _hybrid_batch,
+    _hybrid_batch_oracle(),
+    "batched RRF fusion: one read per index for many queries",
+)
+
+
+_BPE_OOV_VOCAB = 24  # deliberately tight subword vocab: real OOV mass
+
+
+def _bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate over SUBWORD units (the verdict-asked composition):
+    the corpus BPE-tokenized, a capped subword vocab built from the
+    resulting stream, per-doc oov_frac against it — all the existing
+    vocab machinery consuming the subword stream unchanged."""
+    from ..operators import bpe as B
+
+    bt = B.bpe_text(
+        _docs(spark, sf_dir), "doc_id", "text",
+        _bpe_merges(spark, sf_dir),
+    )
+    vocab = X.build_vocab(
+        bt, "bpe_text", min_count=1, max_size=_BPE_OOV_VOCAB
+    )
+    return X.oov_rate(bt, vocab, "doc_id", "bpe_text")
+
+
+_BPE_OOV_ORACLE = (
+    "WITH "
+    + _BPE_BASE_CTES
+    + rf""",
+sub AS (
+  SELECT s.sym AS token, w0.cnt
+  FROM s{_BPE_N_MERGES} s JOIN w0 ON w0.word = s.word
+),
+sc AS (SELECT token, SUM(cnt) AS n FROM sub GROUP BY token),
+sr AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
+  FROM sc
+),
+v AS (SELECT token FROM sr WHERE vocab_id < {_BPE_OOV_VOCAB}),
+dtok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+dt AS (
+  SELECT d.doc_id, s.sym AS token
+  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
+),
+agg AS (
+  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM dt LEFT JOIN v ON v.token = dt.token
+  GROUP BY dt.doc_id
+)
+-- spine = docs WITH tokens: the Spark side's bpe_text frame only
+-- carries tokenized docs, so a token-less document (possible if the
+-- driver regenerates the corpus) must not appear here either
+SELECT agg.doc_id,
+       CAST(agg.n_tokens AS BIGINT) AS n_tokens,
+       CAST(agg.n_oov AS BIGINT) AS n_oov,
+       ROUND(agg.n_oov * 1.0 / agg.n_tokens, 6) AS oov_frac
+FROM agg
+"""
+)
+
+QUERIES["doc_bpe_oov"] = QuerySpec(
+    _bpe_oov,
+    _BPE_OOV_ORACLE,
+    "per-doc OOV rate against a capped SUBWORD vocabulary",
+)

@@ -258,3 +258,26 @@ def bpe_text(
         F.count(F.lit(1)).cast("long").alias("n_subwords"),
     )
     return per_doc
+
+
+def save_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist a learned merge list as the model artifact
+    (``merges_df`` layout, overwrite — retraining replaces the
+    model)."""
+    from ..io import save_table
+
+    save_table(merges_df(spark, merges), path, mode="overwrite")
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Reload a persisted merge list IN TRAINING ORDER — order is the
+    model (applying merges out of order tokenizes differently)."""
+    rows = (
+        spark.read.parquet(path)
+        .orderBy("merge_rank")
+        .select("lhs", "rhs")
+        .collect()
+    )
+    return [(r["lhs"], r["rhs"]) for r in rows]

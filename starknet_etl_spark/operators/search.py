@@ -1356,3 +1356,154 @@ def hybrid_search(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_batch(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_queries: int = 10_000,
+    q_id_col: str = "query_id",
+    q_terms_col: str = "terms",
+    q_vec_col: str = "embedding",
+    q_cell_col: str = "cell",
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """(query_id, doc_id, lex_rank, sem_rank, rrf) for MANY hybrid
+    queries in ONE read per index — the fusion twin of ``bm25_batch``
+    / ``similarity.knn_ivf_batch``. Per query, results are BIT-EQUAL
+    to a ``hybrid_search`` loop: the lexical arm is ``bm25_batch``
+    (proven ≡ per-query ``bm25_indexed``), the semantic arm reads the
+    union of the queries' cells once and scores with the identical
+    rounded-cosine total order, and the fusion arithmetic is shared.
+
+    ``queries`` carries (query_id, terms array<string>, vector,
+    cell) — the cell pre-assigned by the caller with the index's own
+    scheme (``srp_bucket`` for an LSH-partitioned index,
+    ``assign_cells`` for a trained one). Driver-collected under the
+    ``max_queries`` contract (loud raise past it)."""
+    from .dedup import _without_forgotten
+    from .similarity import cosine
+
+    if k < 1 or n_candidates < 1 or rrf_k < 1:
+        raise ValueError(
+            f"k, n_candidates, rrf_k must be >= 1, got "
+            f"{k}, {n_candidates}, {rrf_k}"
+        )
+    rows = (
+        queries.select(q_id_col, q_terms_col, q_vec_col, q_cell_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"hybrid_batch: queries exceed max_queries={max_queries}; "
+            "this side is driver-collected — shard the probe set or "
+            "raise max_queries deliberately"
+        )
+    if not rows:
+        raise ValueError("queries is empty")
+    qids = [str(r[q_id_col]) for r in rows]
+    if len(set(qids)) != len(qids):
+        raise ValueError("hybrid_batch: duplicate query ids")
+    for r in rows:
+        if not r[q_terms_col]:
+            raise ValueError(
+                f"hybrid_batch: query {r[q_id_col]!r} has no terms "
+                "(every hybrid query needs both a term bag and a vector)"
+            )
+        if r[q_vec_col] is None:
+            raise ValueError(
+                f"hybrid_batch: query {r[q_id_col]!r} has a NULL vector"
+            )
+
+    # lexical arm: one bucket-pruned read for ALL queries' terms
+    lex = bm25_batch(
+        spark,
+        postings_path,
+        {str(r[q_id_col]): list(r[q_terms_col]) for r in rows},
+        k1=k1,
+        b=b,
+        top_k=n_candidates,
+        max_queries=max_queries,
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    lexr = lex.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+
+    # semantic arm: ONE union-of-cells read, per-query cell equality
+    cells = sorted({r[q_cell_col] for r in rows if r[q_cell_col] is not None})
+    if not cells:
+        raise ValueError("hybrid_batch: every query has a NULL cell")
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (str(r[q_id_col]), r[q_cell_col],
+                 [float(x) for x in r[q_vec_col]])
+                for r in rows
+            ],
+            "query_id string, __qc long, __qv array<double>",
+        )
+    )
+    corpus = spark.read.parquet(ann_path).filter(
+        F.col(ann_cell_col).isin(cells)
+    )
+    corpus = _without_forgotten(spark, ann_path, corpus, ann_id_col)
+    scored = corpus.join(
+        qdf, F.col(ann_cell_col) == F.col("__qc")
+    ).select(
+        "query_id",
+        F.col(ann_id_col).alias("doc_id"),
+        F.round(
+            cosine(F.col(ann_vec_col), F.col("__qv")), 6
+        ).alias("cos_sim"),
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    semr = (
+        scored.withColumn(
+            "sem_rank", F.row_number().over(w_sem).cast("long")
+        )
+        .filter(F.col("sem_rank") <= n_candidates)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+
+    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            "query_id", "doc_id", "lex_rank", "sem_rank",
+            rrf.alias("rrf"),
+        )
+        .withColumn("__r", F.row_number().over(w_k))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

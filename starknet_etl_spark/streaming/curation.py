@@ -70,6 +70,9 @@ def start_curation_stream(
     contamination_mode: str = "ngram",
     contamination_threshold: float = 0.2,
     semantic_dim: int = 16,
+    quality_model: list[float] | None = None,
+    quality_model_threshold: float = 0.5,
+    quality_model_dim: int = 16,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
     redact: bool = True,
@@ -79,7 +82,10 @@ def start_curation_stream(
     StreamingQuery. Curated rows: (id, text, lang_guess, n_words,
     split); audit rows: (id, stage, reason). ``benchmark`` (a STATIC
     batch frame) enables the decontamination stage with the batch
-    pipeline's modes and audit reasons."""
+    pipeline's modes and audit reasons; ``quality_model`` (trained
+    weights over quality_model.standard_quality_features) enables
+    the learned gate with the batch stage's integer-permille audit
+    reasons — scoring is map-only per tick."""
     if contamination_mode not in ("ngram", "semantic"):
         raise ValueError(
             f"unknown contamination_mode {contamination_mode!r}; "
@@ -144,6 +150,35 @@ def start_curation_stream(
             batch_id,
         )
         kept = kept.drop("__h").localCheckpoint()
+
+        # 2b. learned quality gate (optional) — the batch pipeline's
+        # quality_model stage, per tick; map-only scoring
+        if quality_model is not None:
+            from ..operators.quality_model import (
+                score_quality,
+                standard_quality_features,
+            )
+
+            fv = standard_quality_features(
+                kept, id_col, text_col, dim=quality_model_dim
+            )
+            scored = score_quality(
+                fv, quality_model, id_col=id_col, vec_col="fv"
+            )
+            low_q = scored.filter(
+                F.col("q_score") < quality_model_threshold
+            ).select(id_col, "q_score")
+            audit = audit.unionByName(
+                low_q.select(
+                    ids,
+                    F.lit("quality_model").alias("stage"),
+                    F.concat(
+                        F.lit("score_"),
+                        F.floor(F.col("q_score") * 1000).cast("long"),
+                    ).alias("reason"),
+                )
+            )
+            kept = kept.join(low_q.select(id_col), id_col, "left_anti")
 
         # 3. incremental near-dup, first-seen-wins
         pairs = merge_batch_minhash(

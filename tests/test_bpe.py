@@ -77,3 +77,16 @@ def test_bpe_min_count_guillotine(spark):
         for r in B.bpe_text(docs, "doc_id", "text", merges).collect()
     }
     assert out[1] == "zz zz zz q x"
+
+
+def test_merges_round_trip(spark, tmp_path):
+    """save/load preserves the merge ORDER (the model) exactly."""
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id bigint, text string",
+    )
+    merges = B.train_bpe(docs, "text", n_merges=6)
+    path = str(tmp_path / "bpe_model")
+    B.save_merges(spark, merges, path)
+    assert B.load_merges(spark, path) == merges

@@ -359,3 +359,67 @@ def test_hybrid_serving_fastapi_if_available(spark, tmp_path):
         "/hybrid", params={"q": "spark catalyst", "v": "1.0,0,0,0"}
     ).json()
     assert got == out
+
+
+def test_hybrid_batch_equals_per_query_loop(spark, tmp_path):
+    """hybrid_batch: one read per index for MANY queries, per-query
+    BIT-EQUAL to the hybrid_search loop."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.search import (
+        hybrid_batch,
+        hybrid_search,
+    )
+    from starknet_etl_spark.operators.similarity import assign_cells
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    cents = spark.read.parquet(cents_p)
+    qspecs = {
+        "qa": (["spark", "catalyst"], [1.0, 0.0, 0.0, 0.0]),
+        "qb": (["ducks", "pond"], [0.0, 1.0, 0.0, 0.0]),
+    }
+    qrows = []
+    for qid, (terms, vec) in qspecs.items():
+        qv = assign_cells(
+            spark.createDataFrame(
+                [(0, vec)], "vec_id long, embedding array<double>"
+            ),
+            cents,
+            cell_col="label",
+        ).first()
+        qrows.append((qid, terms, vec, qv["label"]))
+    queries = spark.createDataFrame(
+        qrows,
+        "query_id string, terms array<string>, "
+        "embedding array<double>, cell long",
+    )
+    batch = {
+        (r["query_id"], r["doc_id"]): (
+            r["lex_rank"], r["sem_rank"], r["rrf"],
+        )
+        for r in hybrid_batch(
+            spark, bm25_p, ann_p, queries,
+            k=5, n_candidates=3, ann_cell_col="label",
+        ).collect()
+    }
+    loop = {}
+    for qid, terms, vec, cell in qrows:
+        q = spark.createDataFrame(
+            [(0, vec, cell)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        for r in hybrid_search(
+            spark, bm25_p, ann_p, terms, q, k=5, n_candidates=3,
+        ).collect():
+            loop[(qid, r["doc_id"])] = (
+                r["lex_rank"], r["sem_rank"], r["rrf"],
+            )
+    assert batch == loop and batch
+    # the cell contract is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL cell"):
+        hybrid_batch(
+            spark, bm25_p, ann_p,
+            queries.withColumn("cell", F.lit(None).cast("long")),
+        )

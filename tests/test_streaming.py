@@ -1082,3 +1082,71 @@ def test_stream_phrase_probe_parity_and_replay(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()
     assert spark.read.parquet(results).count() == 3
+
+
+def test_stream_curation_quality_model_gate(spark, tmp_path):
+    """The streaming curation flow's LEARNED quality gate: a
+    pre-trained model scores each tick map-only; under-threshold docs
+    drop with the batch stage's integer-permille reason; a replayed
+    batch changes nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators import quality_model as QM
+    from starknet_etl_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    good = ("the field guide covers and explains habitats species "
+            "diets ranges seasons calls nests eggs chicks molts")
+    bad = ("der hund und die katze der hund und die katze der hund "
+           "ist da und die katze ist da")
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id bigint, text string"
+    )
+    # distill: good=1, bad=0 over the standard recipe
+    w = QM.train_quality_model(
+        QM.standard_quality_features(docs, dim=8).join(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 0.0)], "doc_id bigint, y double"
+            ),
+            "doc_id",
+        ),
+        "doc_id", "y", vec_col="fv", dim=12, n_rounds=8, lr=0.5,
+    )
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def _go():
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            min_words=10,
+            langs=("en", "de"),  # let the model, not clean, drop doc 2
+            quality_model=w,
+            quality_model_threshold=0.5,
+            quality_model_dim=8,
+            **paths,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    cur = {r["doc_id"] for r in spark.read.parquet(paths["out_path"]).collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in spark.read.parquet(paths["audit_path"]).collect()}
+    assert cur == {1}
+    assert aud[2][0] == "quality_model"
+    int(aud[2][1].removeprefix("score_"))  # integer permille
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    _go()  # replay: exactly-once, nothing doubles
+    assert spark.read.parquet(paths["out_path"]).count() == 1
+    assert spark.read.parquet(paths["audit_path"]).count() == 1
