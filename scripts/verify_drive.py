@@ -287,6 +287,49 @@ bad = joined.filter(
 ).count()
 assert bad == 0, bad
 
+# 4f) r6 surfaces II: the GD quality model is bit-reproducible and
+# separates a constructed corpus; index health triggers exactly one
+# maintenance action on drift
+from starknet_etl_spark.operators import quality_model as QMV
+from starknet_etl_spark.operators.index_health import (
+    ann_index_stats,
+    maintain_ann_index,
+)
+
+qm_docs = spark.createDataFrame(
+    [(i, [1.0 if i % 2 else 0.0, 0.5], float(i % 2)) for i in range(30)],
+    "doc_id bigint, fv array<double>, y double",
+)
+w_a = QMV.train_quality_model(
+    qm_docs, "doc_id", "y", vec_col="fv", dim=2, n_rounds=10, lr=0.5
+)
+w_b = QMV.train_quality_model(
+    qm_docs, "doc_id", "y", vec_col="fv", dim=2, n_rounds=10, lr=0.5
+)
+assert w_a == w_b, "GD training must be bit-reproducible"
+qm_scored = {
+    r["doc_id"]: r["q_score"]
+    for r in QMV.score_quality(qm_docs, w_a, vec_col="fv").collect()
+}
+assert all((qm_scored[i] >= 0.5) == bool(i % 2) for i in qm_scored)
+
+ih_path = "/tmp/verify_health_ann"
+shutil.rmtree(ih_path, ignore_errors=True)
+ih_vecs = spark.createDataFrame(
+    [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(5)]
+    + [(5 + i, [0.001 * i, 1.0, 0.0, 0.0], 0) for i in range(4)]
+    + [(99, [0.0, 1.0, 0.0, 0.0], 1)],
+    "vec_id bigint, embedding array<double>, label int",
+)
+SIM.build_ann_index(ih_vecs, ih_path, cell_col="label")
+tick = maintain_ann_index(spark, ih_path, dim=4, n_cells=2,
+                          max_cell_skew=1.5)
+assert tick["action"] == "retrain", tick
+tick2 = maintain_ann_index(spark, ih_path, dim=4, n_cells=2,
+                           max_cell_skew=1.5)
+assert tick2["action"] == "none", tick2
+assert ann_index_stats(spark, ih_path).first()["cell_skew"] <= 1.5
+
 # 5) composed curation pipeline vs its assembled oracle
 spec = QUERIES["doc_curation_pipeline"]
 got = {(r["doc_id"], r["status"], r["reason"]) for r in spec.builder(spark, SF).collect()}

@@ -160,3 +160,67 @@ def maintain_ann_index(
         "reasons": reasons,
         "stats": stats.asDict(),
     }
+
+
+def maintain_pq_index(
+    spark,
+    index_path: str,
+    source_df,
+    *,
+    dim: int,
+    m: int,
+    ksub: int,
+    n_cells: int | None = None,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    pq_iters: int = 0,
+    max_cell_skew: float = 4.0,
+    max_tombstone_frac: float = 0.2,
+) -> dict:
+    """:func:`maintain_ann_index`'s compressed twin. The SAME stats
+    card reads the PQ index directly (its codes live at the index
+    root partitioned by cell; ``_centroids``/``_codebooks`` are
+    underscore dirs, invisible to the scan), and the same policy
+    decides — but a PQ retrain needs the SOURCE vector corpus
+    (codes are not invertible; ``retrain_pq_index``'s contract), so
+    the caller passes ``source_df``."""
+    from .similarity import purge_ann_index, retrain_pq_index
+
+    stats = ann_index_stats(
+        spark, index_path, cell_col=cell_col, id_col=id_col
+    ).first()
+    reasons = needs_retrain(
+        stats,
+        max_cell_skew=max_cell_skew,
+        max_tombstone_frac=max_tombstone_frac,
+    )
+    if not reasons:
+        return {"action": "none", "reasons": [], "stats": stats.asDict()}
+    if any(r.startswith("skew_") for r in reasons):
+        retrain_pq_index(
+            spark,
+            index_path,
+            source_df,
+            dim=dim,
+            m=m,
+            ksub=ksub,
+            n_cells=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            cell_col=cell_col,
+            n_iters=n_iters,
+            pq_iters=pq_iters,
+        )
+        return {
+            "action": "retrain",
+            "reasons": reasons,
+            "stats": stats.asDict(),
+        }
+    purge_ann_index(spark, index_path, cell_col=cell_col, id_col=id_col)
+    return {
+        "action": "purge",
+        "reasons": reasons,
+        "stats": stats.asDict(),
+    }

@@ -2690,3 +2690,56 @@ def test_index_health_policy_triggers_exactly_one_action(
     assert out["reasons"] == [f"tombstones_{out['stats']['tombstone_frac']}"]
     st3 = ann_index_stats(spark, idx3).first()
     assert st3["n_vectors"] == 4 and st3["tombstone_frac"] == 0.0
+
+
+def test_pq_index_health_maintenance(spark, tmp_path):
+    """maintain_pq_index: the same health card reads the compressed
+    index directly; a tombstone breach purges (codes untouched
+    otherwise); a skew breach retrains FROM SOURCE (codes are not
+    invertible) and the retrained index still probes."""
+    from starknet_etl_spark.operators.index_health import (
+        ann_index_stats,
+        maintain_pq_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(5)]
+        + [(5 + i, [0.001 * i, 1.0, 0.0, 0.0], 0) for i in range(4)]
+        + [(99, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    idx = str(tmp_path / "pq_health")
+    S.build_pq_index(vecs, idx, dim=4, m=2, ksub=2)
+    st = ann_index_stats(spark, idx).first()
+    assert st["n_vectors"] == 10 and st["cell_skew"] == 1.8
+
+    # stale-assignment skew -> retrain from source -> balanced
+    out = maintain_pq_index(
+        spark, idx, vecs, dim=4, m=2, ksub=2, n_cells=2,
+        max_cell_skew=1.5,
+    )
+    assert out["action"] == "retrain"
+    out2 = maintain_pq_index(
+        spark, idx, vecs, dim=4, m=2, ksub=2, n_cells=2,
+        max_cell_skew=1.5,
+    )
+    assert out2["action"] == "none", out2
+    got = S.knn_pq_indexed(
+        spark, idx,
+        spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        k=2, n_probes=1,
+    ).collect()
+    assert got
+
+    # tombstone-only breach -> purge zeroes the fraction
+    S.forget_vectors(spark, idx, [0, 1, 2], 0)
+    out3 = maintain_pq_index(
+        spark, idx, vecs, dim=4, m=2, ksub=2, n_cells=2,
+        max_tombstone_frac=0.25,
+    )
+    assert out3["action"] == "purge"
+    st3 = ann_index_stats(spark, idx).first()
+    assert st3["tombstone_frac"] == 0.0 and st3["n_vectors"] == 7
