@@ -197,3 +197,31 @@ def standard_quality_features(
             F.col("embedding"),
         ).alias("fv"),
     )
+
+
+def save_model(spark, weights: list[float], path: str) -> None:
+    """Persist trained weights as the model artifact ((j, w) rows,
+    overwrite — retraining replaces the model)."""
+    from ..io import save_table
+
+    save_table(
+        spark.createDataFrame(
+            [(j, float(w)) for j, w in enumerate(weights)],
+            "j int, w double",
+        ),
+        path,
+        mode="overwrite",
+    )
+
+
+def load_model(spark, path: str) -> list[float]:
+    """Reload persisted weights in index order — [bias, w_1..w_dim].
+    Raises on a gap (a partial artifact must fail loudly, not score
+    with silently-zeroed weights)."""
+    rows = {r["j"]: r["w"] for r in spark.read.parquet(path).collect()}
+    if sorted(rows) != list(range(len(rows))):
+        raise ValueError(
+            f"quality model at {path} has non-contiguous weight "
+            f"indices {sorted(rows)[:5]}... — corrupt artifact"
+        )
+    return [rows[j] for j in range(len(rows))]

@@ -194,6 +194,44 @@ def hybrid_rows(
     ]
 
 
+def quality_score_rows(
+    spark, model_path: str, texts: list[str], *, dim: int = 16
+) -> list[dict[str, Any]]:
+    """(text_idx, q_score, keep) for ad-hoc texts scored with the
+    persisted quality model (``quality_model.save_model`` artifact):
+    the standard feature recipe over a tiny in-memory frame + the
+    map-only scorer — the serving shape of the curation gate.
+    ``dim`` must match the recipe the model was trained with
+    (len(weights) == 4 scalars + dim + bias)."""
+    from ..operators.quality_model import (
+        load_model,
+        score_quality,
+        standard_quality_features,
+    )
+
+    if not texts:
+        return []
+    w = load_model(spark, model_path)
+    if len(w) != 5 + dim:
+        raise ValueError(
+            f"model width {len(w)} != bias+4 scalars+dim ({5 + dim}); "
+            "pass the dim the model was trained with"
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    fv = standard_quality_features(df, dim=dim)
+    scored = score_quality(fv, w, vec_col="fv")
+    return [
+        {
+            "text_idx": int(r["doc_id"]),
+            "q_score": r["q_score"],
+            "keep": bool(r["q_score"] >= 0.5),
+        }
+        for r in scored.orderBy("doc_id").collect()
+    ]
+
+
 def _wrap(fn) -> dict[str, Any]:
     """Reference response shape: data / empty message / 500 wrap."""
     try:
@@ -265,6 +303,14 @@ def hybrid_response(
     )
 
 
+def quality_score_response(
+    spark, model_path: str, texts: list[str], *, dim: int = 16
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: quality_score_rows(spark, model_path, texts, dim=dim)
+    )
+
+
 def create_search_app(
     spark,
     *,
@@ -275,6 +321,8 @@ def create_search_app(
     positional_index: str | None = None,
     ann_cell_col: str = "label",
     ann_srp_planes: int | None = None,
+    quality_model_path: str | None = None,
+    quality_model_dim: int = 16,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -285,6 +333,7 @@ def create_search_app(
     - ``GET /pq?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /phrase?q=exact+phrase+words``
     - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
+    - ``GET /quality?t=some+document+text`` (persisted quality model)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -349,6 +398,17 @@ def create_search_app(
                     k=k, n_candidates=n_candidates, n_probes=n_probes,
                     cell_col=ann_cell_col, srp_planes=ann_srp_planes,
                     centroids_path=ann_centroids,
+                )
+            )
+
+    if quality_model_path is not None:
+
+        @app.get("/quality")
+        def quality(t: str):
+            return run(
+                lambda: quality_score_response(
+                    spark, quality_model_path, [t],
+                    dim=quality_model_dim,
                 )
             )
 

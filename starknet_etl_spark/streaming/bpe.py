@@ -1,0 +1,63 @@
+"""Streaming BPE tokenization: a document stream re-serialized as
+subword streams with a FROZEN persisted merge model.
+
+The batch/streaming twin discipline applied to the tokenizer: the
+model (``bpe.save_merges`` artifact) trains offline on a corpus
+snapshot; the stream then applies it per micro-batch —
+``bpe.bpe_text`` is vocab-sized merge work + one join per tick, and
+the output sink is ``io.append_once`` keyed by batch id, so a
+replayed tick (crash between append and checkpoint commit) lands
+exactly once. Model updates are a RETRAIN + new output path, never
+an in-place mutation: two ticks tokenized under different merge
+lists would be silently incomparable (the merge ORDER is the model).
+
+At 100 TB: per tick cost is the batch's distinct-word segmentation
+(vocab-of-the-batch-sized) + one corpus-batch join; nothing global,
+nothing stateful in the stream itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.bpe import bpe_text, load_merges
+
+
+def start_bpe_tokenize_stream(
+    docs: DataFrame,
+    *,
+    merges_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Tokenize a streaming document source with the persisted merge
+    model at ``merges_path``; (id, bpe_text, n_subwords) rows append
+    exactly-once to ``out_path``."""
+
+    merges_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not merges_cache:
+            # loaded once per stream, inside the first tick (the
+            # stream may start before the artifact exists)
+            merges_cache.append(
+                load_merges(batch.sparkSession, merges_path)
+            )
+        out = bpe_text(batch, id_col, text_col, merges_cache[0])
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,3 +90,58 @@ def test_merges_round_trip(spark, tmp_path):
     path = str(tmp_path / "bpe_model")
     B.save_merges(spark, merges, path)
     assert B.load_merges(spark, path) == merges
+
+
+def test_streaming_bpe_tokenize_replay_safe(spark, tmp_path):
+    """The tokenize stream applies the FROZEN persisted model per
+    tick and appends exactly-once: batch output == streaming output,
+    and a replayed tick (lost engine commit) doubles nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.bpe import (
+        start_bpe_tokenize_stream,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low low low lower newest newest widest")],
+        "doc_id bigint, text string",
+    )
+    merges = B.train_bpe(train, "text", n_merges=4)
+    model = str(tmp_path / "model")
+    B.save_merges(spark, merges, model)
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    stream_docs = spark.createDataFrame(
+        [(1, "lowest newest"), (2, "low wide")], schema
+    )
+    stream_docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_bpe_tokenize_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            merges_path=model,
+            out_path=out,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    want = {
+        (r["doc_id"], r["bpe_text"], r["n_subwords"])
+        for r in B.bpe_text(stream_docs, "doc_id", "text", merges).collect()
+    }
+    got = {
+        (r["doc_id"], r["bpe_text"], r["n_subwords"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) == 2
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replayed tick: append_once no-ops
+    assert spark.read.parquet(out).count() == 2

@@ -118,3 +118,52 @@ def test_curate_corpus_quality_model_gate(spark):
     )
     assert curated2.count() == 8
     assert audit2.filter("stage = 'quality_model'").count() == 0
+
+
+def test_model_round_trip_and_serving(spark, tmp_path):
+    """save/load preserves weights exactly (gap = loud corrupt-
+    artifact error); the serving core scores ad-hoc texts with the
+    persisted model."""
+    import pytest
+
+    from starknet_etl_spark.serving.search_api import (
+        quality_score_response,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog went to a house of the winner "
+             "and then they played in the garden all day long"),
+         (2, "der hund und die katze " * 4)],
+        "doc_id bigint, text string",
+    )
+    w = QM.train_quality_model(
+        QM.standard_quality_features(docs, dim=8).join(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 0.0)], "doc_id bigint, y double"
+            ),
+            "doc_id",
+        ),
+        "doc_id", "y", vec_col="fv", dim=12, n_rounds=8, lr=0.5,
+    )
+    path = str(tmp_path / "qmodel")
+    QM.save_model(spark, w, path)
+    assert QM.load_model(spark, path) == w
+
+    out = quality_score_response(
+        spark, path,
+        ["the cat and the dog went to a house of the winner today"],
+        dim=8,
+    )
+    assert out["data"][0]["text_idx"] == 0
+    assert set(out["data"][0]) == {"text_idx", "q_score", "keep"}
+
+    # wrong dim fails loudly, wrapped as the 500-parity error
+    with pytest.raises(RuntimeError, match="model width"):
+        quality_score_response(spark, path, ["x"], dim=16)
+
+    # corrupt artifact (gap in indices) fails loudly
+    spark.createDataFrame(
+        [(0, 1.0), (2, 2.0)], "j int, w double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    with pytest.raises(RuntimeError, match="non-contiguous"):
+        quality_score_response(spark, str(tmp_path / "bad"), ["x"], dim=8)
