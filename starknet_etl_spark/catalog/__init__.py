@@ -99,6 +99,13 @@ _FIRST_50: tuple[str, ...] = (
     "doc_train_split",
     "doc_stratified_sample",
     "doc_pack_sequences",
+    # r6 verdict-asked trainers: the BPE merge table and the
+    # GD-trained quality classifier (daily_stats /
+    # click_purchase_attribution displaced to overflow — their
+    # agg/window families stay covered in-window by pricing_summary,
+    # rollup_sales, user_journeys, user_sessions, running_total).
+    "doc_bpe_vocab",
+    "doc_quality_classifier",
     # LLM-data suite: embeddings.
     "emb_knn_bruteforce",
     "emb_knn_ivf",
@@ -116,7 +123,6 @@ _FIRST_50: tuple[str, ...] = (
     "latest_event_per_user",
     "user_journeys",
     "props_by_type",
-    "daily_stats",
     "running_total",
     "top3_per_type",
     # value_delta displaced to overflow in r6 (the window family keeps
@@ -132,7 +138,6 @@ _FIRST_50: tuple[str, ...] = (
     "high_watermark",
     "events_last_day",
     "events_hourly_windows",
-    "click_purchase_attribution",
     "brand_stats",
     "customers_without_orders",
     "order_priority_semi",
