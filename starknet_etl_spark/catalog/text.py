@@ -3797,3 +3797,57 @@ QUERIES["doc_bpe_oov"] = QuerySpec(
     _BPE_OOV_ORACLE,
     "per-doc OOV rate against a capped SUBWORD vocabulary",
 )
+
+
+def _bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing measured in SUBWORD tokens — the budget
+    that actually matters to a trainer is the tokenizer's, not
+    whitespace words: BPE-tokenize, then pack on n_subwords (the
+    doc_pack_sequences composition re-keyed to the learned units)."""
+    from ..operators import bpe as B
+    from ..operators.packing import pack_sequences, pack_summary
+
+    bt = B.bpe_text(
+        _docs(spark, sf_dir), "doc_id", "text",
+        _bpe_merges(spark, sf_dir),
+    )
+    packed = pack_sequences(bt, "doc_id", "n_subwords", budget=512)
+    return pack_summary(packed, "n_subwords")
+
+
+_BPE_PACK_ORACLE = (
+    "WITH "
+    + _BPE_BASE_CTES
+    + rf""",
+dtok AS (
+  SELECT doc_id, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+nsub AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_subwords
+  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
+  GROUP BY d.doc_id
+),
+offs AS (
+  SELECT doc_id, n_subwords,
+         CAST(SUM(n_subwords) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_subwords AS BIGINT) AS start_offset
+  FROM nsub
+)
+SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_tokens
+FROM offs GROUP BY CAST(start_offset // 512 AS BIGINT)
+"""
+)
+
+QUERIES["doc_bpe_pack"] = QuerySpec(
+    _bpe_pack,
+    _BPE_PACK_ORACLE,
+    "sequence packing budgeted in learned SUBWORD tokens",
+)

@@ -1,0 +1,85 @@
+"""Streaming corpus-drift monitoring: a data card per micro-batch,
+diffed against the previous tick's.
+
+``plans.datacard.data_card`` is the release-gate summary;
+``data_card_diff`` the version-over-version view. This module runs
+both on a cadence: each tick appends its batch's card (exactly-once,
+``io.append_once`` keyed by batch id, batch id stored on every row)
+and — from the second tick on — appends the (prev tick → this tick)
+diff. The drift table is what an operator alerts on (PII exposure
+up, composition shift, dedup mass change) without ever re-scanning
+history: cards are summary-sized, so the per-tick extra cost over
+the card's own corpus pass is metadata arithmetic.
+
+Replay safety: BOTH sinks are ``append_once``; a replayed tick
+recomputes the same card from the same batch and no-ops. The diff
+reads the ledger's highest PREVIOUS batch id — history, not the
+in-flight write — so a replay diffs against the same predecessor it
+originally did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..plans.datacard import data_card, data_card_diff
+
+
+def start_datacard_stream(
+    docs: DataFrame,
+    *,
+    cards_path: str,
+    drift_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Per tick: append this batch's card to ``cards_path`` and the
+    (previous card → this card) drift rows to ``drift_path`` (each
+    drift row stamped with old/new batch ids)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        card = data_card(
+            batch, id_col=id_col, text_col=text_col,
+            group_cols=group_cols,
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        card = card.localCheckpoint()  # freeze: two sinks, one compute
+        if _io._exists(spark, cards_path):
+            prev_ids = [
+                r["batch_id"]
+                for r in _io.load_table(spark, cards_path)
+                .select("batch_id")
+                .filter(F.col("batch_id") < batch_id)
+                .distinct()
+                .collect()
+            ]
+            if prev_ids:
+                prev_id = max(prev_ids)
+                prev = _io.load_table(spark, cards_path).filter(
+                    F.col("batch_id") == prev_id
+                )
+                drift = data_card_diff(
+                    prev.drop("batch_id"), card.drop("batch_id")
+                ).select(
+                    F.lit(prev_id).cast("long").alias("old_batch_id"),
+                    F.lit(batch_id).cast("long").alias("new_batch_id"),
+                    "*",
+                )
+                _io.append_once(drift, drift_path, batch_id)
+        _io.append_once(card, cards_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -492,3 +492,136 @@ def test_phrase_batch_votes_equal_intersect_chain(spark, tmp_path_factory, toks,
         for r in phrase_search(docs, ph).collect():
             via_chain[(qid, r["doc_id"])] = r["n_matches"]
     assert via_votes == via_chain, (toks, toks2, via_votes, via_chain)
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Classic sequential BPE (Sennrich): the 20-line pure-python
+    reference the distributed trainer must reproduce exactly."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, seq in seqs.items():
+            c = word_counts[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_sequential_reference(spark, words, n_merges):
+    """PROPERTY: the distributed trainer (run-parity windows, exact-
+    integer pair votes) reproduces the classic sequential algorithm
+    exactly — same merge list, same final segmentation of every
+    word — on arbitrary corpora over a colliding alphabet (the
+    overlapping-match regime the run-parity rule exists for)."""
+    from collections import Counter
+
+    from starknet_etl_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    got_merges = B.train_bpe(docs, "text", n_merges=n_merges)
+    want_merges, want_seqs = _reference_bpe(Counter(words), n_merges)
+    assert got_merges == want_merges
+
+    seg = B.segment_words(
+        spark.createDataFrame(
+            [(w, 1) for w in set(words)], "word string, cnt long"
+        ),
+        got_merges,
+    )
+    got_seqs = {}
+    for r in seg.collect():
+        got_seqs.setdefault(r["word"], []).append((r["pos"], r["sym"]))
+    got_seqs = {w: [s for _, s in sorted(v)] for w, v in got_seqs.items()}
+    assert got_seqs == want_seqs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-2.0, max_value=2.0,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=3, max_size=3,
+            ),
+            st.sampled_from([0.0, 1.0]),
+        ),
+        min_size=2, max_size=10,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quality_model_matches_numpy_reference_bitwise(
+    spark, rows, n_rounds
+):
+    """PROPERTY: the distributed dyadic-GD trainer is BIT-IDENTICAL
+    to a sequential numpy replica on arbitrary inputs — the dyadic
+    2^-20 quantization makes every aggregate exact, so partitioning
+    and summation order cannot perturb a single bit. (This is the
+    claim the DuckDB oracle rides on.)"""
+    import numpy as np
+
+    from starknet_etl_spark.operators import quality_model as QM
+
+    Q = float(1 << 20)
+
+    def q20(x):
+        return np.floor(x * Q + 0.5) / Q
+
+    X = np.array(
+        [[1.0] + [float(v) for v in vec] for vec, _ in rows]
+    )
+    X = q20(X)
+    y = np.array([lab for _, lab in rows])
+    lr, n = 0.5, len(rows)
+    w_ref = np.zeros(X.shape[1])
+    for _ in range(n_rounds):
+        p = q20(X @ w_ref)
+        g = q20(X.T @ (p - y) / float(n))
+        w_ref = q20(w_ref - lr * g)
+
+    df = spark.createDataFrame(
+        [(i, list(vec), lab) for i, (vec, lab) in enumerate(rows)],
+        "doc_id bigint, fv array<double>, y double",
+    )
+    got = QM.train_quality_model(
+        df, "doc_id", "y", vec_col="fv", dim=3,
+        n_rounds=n_rounds, lr=lr,
+    )
+    assert got == list(w_ref), (got, list(w_ref))

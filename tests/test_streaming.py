@@ -1150,3 +1150,70 @@ def test_stream_curation_quality_model_gate(spark, tmp_path):
     _go()  # replay: exactly-once, nothing doubles
     assert spark.read.parquet(paths["out_path"]).count() == 1
     assert spark.read.parquet(paths["audit_path"]).count() == 1
+
+
+def test_stream_datacard_drift_monitor(spark, tmp_path):
+    """Streaming drift monitoring: each tick appends its batch's data
+    card; from tick 2 on, the (prev -> current) diff lands with batch
+    id stamps; a replayed tick doubles neither sink."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.datacard import (
+        start_datacard_stream,
+    )
+
+    schema = "doc_id bigint, text string, source string"
+    src = str(tmp_path / "src")
+    t1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "web"),
+         (2, "epsilon zeta eta theta", "web")], schema
+    )
+    t2 = spark.createDataFrame(
+        [(3, "one two three four five", "books"),
+         (4, "one two three four five", "books")], schema  # exact dup
+    )
+    t1.coalesce(1).write.parquet(src)
+    t2.coalesce(1).write.mode("append").parquet(src)
+
+    cards = str(tmp_path / "cards")
+    drift = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_datacard_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            cards_path=cards,
+            drift_path=drift,
+            checkpoint=ckpt,
+            group_cols=("source",),
+        )
+        q.awaitTermination(240)
+
+    _go()
+    card_batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(cards).select("batch_id")
+        .distinct().collect()
+    }
+    assert len(card_batches) == 2
+    d = spark.read.parquet(drift)
+    pairs = {(r["old_batch_id"], r["new_batch_id"]) for r in d.collect()}
+    assert pairs == {(min(card_batches), max(card_batches))}
+    # the dup tick's dedup section registers in the drift
+    dd = {
+        (r["section"], r["key"]): (r["n_docs_old"], r["n_docs_new"])
+        for r in d.collect()
+    }
+    assert ("dedup", "exact_dup_docs") in dd or any(
+        s == "dedup" for s, _ in dd
+    )
+    n_cards = spark.read.parquet(cards).count()
+    n_drift = d.count()
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: both sinks no-op
+    assert spark.read.parquet(cards).count() == n_cards
+    assert spark.read.parquet(drift).count() == n_drift
