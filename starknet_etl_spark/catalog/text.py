@@ -3851,3 +3851,66 @@ QUERIES["doc_bpe_pack"] = QuerySpec(
     _BPE_PACK_ORACLE,
     "sequence packing budgeted in learned SUBWORD tokens",
 )
+
+
+def _quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's quality CLAIM as a differential row: exact
+    integer confusion counts of the trained model against its
+    distillation target, plus the rounded accuracy — the 0.94-vs-
+    0.846-baseline statement is oracle-checked, not narrated."""
+    from ..operators import quality_model as QM
+
+    docs = _docs(spark, sf_dir)
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(docs)
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    joined = scored.join(
+        feats.select("doc_id", "__y"), "doc_id"
+    ).select(
+        (F.col("q_score") >= 0.5).alias("__p"),
+        (F.col("__y") == 1.0).alias("__t"),
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("__p") & F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("__p") & ~F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(~F.col("__p") & F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when(~F.col("__p") & ~F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("tn"),
+        F.round(
+            F.sum(
+                F.when(F.col("__p") == F.col("__t"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+_QUALITY_EVAL_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qscore AS ({_QM_SCORE_SQL}),
+cls AS (
+  SELECT s.q_score >= 0.5 AS p, y.y = 1.0 AS t
+  FROM qscore s JOIN qmlab y USING (doc_id)
+)
+SELECT CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         AS tn,
+       ROUND(SUM(CASE WHEN p = t THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS accuracy
+FROM cls
+"""
+)
+
+QUERIES["doc_quality_eval"] = QuerySpec(
+    _quality_eval,
+    _QUALITY_EVAL_ORACLE,
+    "exact confusion counts of the trained quality model",
+)

@@ -446,3 +446,37 @@ def test_phrase_indexed_prunes_buckets(spark):
     terms' bucket directories of the positional index."""
     plan = _plan(spark, "doc_phrase_indexed")
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_quality_scoring_is_map_only(spark):
+    """score_quality: the learned gate's scoring pass must be one
+    codegen'd projection — zero Exchange, no join, no Python. A
+    shuffle here would mean the 100 TB curation gate stopped being
+    free."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.quality_model import score_quality
+
+    emb = load_testdata(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    w = [0.1] * 65  # bias + 64 dims
+    df = score_quality(emb, w, id_col="doc_id", vec_col="embedding")
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    tree = _tree(qe.explainString(mode))
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree and "Python" not in tree
+
+
+def test_hybrid_fusion_plans_two_index_reads(spark):
+    """doc_hybrid_search: the fused plan reads the two indexes (the
+    postings buckets + the ANN cell partition) and nothing else — no
+    corpus table scan sneaks into the fusion."""
+    plan = _plan(spark, "doc_hybrid_search")
+    assert "hybrid_postings_catalog" in plan
+    assert "hybrid_ann_catalog" in plan
+    assert "documents.parquet" not in plan
