@@ -3095,9 +3095,13 @@ b{k} AS MATERIALIZED (
   GROUP BY sym, nxt ORDER BY SUM(cnt) DESC, sym ASC, nxt ASC LIMIT 1
 ),
 m{k} AS (
+  -- LEFT JOIN ON TRUE, not CROSS: a round with NO remaining pairs
+  -- (degenerate corpus, early-stopped trainer) must pass sequences
+  -- through unchanged — a cross join with the empty argmax would
+  -- silently vanish the whole corpus
   SELECT n.word, n.cnt, n.pos, n.sym, b.b AS bb,
          COALESCE(n.sym = b.a AND n.nxt = b.b, FALSE) AS is_m
-  FROM n{k} n CROSS JOIN b{k} b
+  FROM n{k} n LEFT JOIN b{k} b ON TRUE
 ),
 g{k} AS (
   SELECT *, CASE WHEN is_m THEN pos - row_number() OVER (
