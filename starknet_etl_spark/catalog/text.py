@@ -3918,3 +3918,70 @@ QUERIES["doc_quality_eval"] = QuerySpec(
     _QUALITY_EVAL_ORACLE,
     "exact confusion counts of the trained quality model",
 )
+
+
+_BPE_CHUNK_MAX = 24
+_BPE_CHUNK_OVERLAP = 6
+_BPE_CHUNK_STRIDE = _BPE_CHUNK_MAX - _BPE_CHUNK_OVERLAP
+
+
+def _bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context windows measured in SUBWORD tokens: bpe_text is a
+    whitespace-joined subword stream, so chunk_documents consumes it
+    unchanged — the chunk grid lands on the units the model actually
+    sees (a whitespace-word grid can overflow a context budget when
+    words fragment)."""
+    from ..operators import bpe as B
+
+    bt = B.bpe_text(
+        _docs(spark, sf_dir), "doc_id", "text",
+        _bpe_merges(spark, sf_dir),
+    )
+    return X.chunk_documents(
+        bt, "doc_id", "bpe_text",
+        max_tokens=_BPE_CHUNK_MAX, overlap=_BPE_CHUNK_OVERLAP,
+    )
+
+
+_BPE_CHUNKS_ORACLE = (
+    "WITH "
+    + _BPE_BASE_CTES
+    + rf""",
+dtok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+subs AS (
+  SELECT d.doc_id,
+         list(s.sym ORDER BY d.word_pos, s.pos) AS w
+  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
+  GROUP BY d.doc_id
+),
+sized AS (
+  SELECT doc_id, w,
+         (greatest(len(w) - {_BPE_CHUNK_OVERLAP}, 1)
+          + {_BPE_CHUNK_STRIDE - 1}) // {_BPE_CHUNK_STRIDE} AS k
+  FROM subs WHERE len(w) > 0
+),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         list_slice(w, i * {_BPE_CHUNK_STRIDE} + 1,
+                    i * {_BPE_CHUNK_STRIDE} + {_BPE_CHUNK_MAX}) AS piece
+  FROM sized, unnest(generate_series(0, k - 1)) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM ch
+"""
+)
+
+QUERIES["doc_bpe_chunks"] = QuerySpec(
+    _bpe_chunks,
+    _BPE_CHUNKS_ORACLE,
+    "context windows on the SUBWORD grid (chunking after tokenize)",
+)
