@@ -3985,3 +3985,244 @@ QUERIES["doc_bpe_chunks"] = QuerySpec(
     _BPE_CHUNKS_ORACLE,
     "context windows on the SUBWORD grid (chunking after tokenize)",
 )
+
+
+_SPAN_N = 8
+_SPAN_MIN_COUNT = 2
+
+
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, keep-first):
+    the document-REWRITING dedup tier — every duplicated 8-token run
+    survives only at its corpus-wide first occurrence and the docs are
+    re-assembled (operators/spans.py)."""
+    from ..operators.spans import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=_SPAN_N, min_count=_SPAN_MIN_COUNT,
+    )
+
+
+# Mirrors the engine exactly: occurrence-counted duplicated spans
+# (in-document repetition qualifies), canonical winner = min
+# (doc_id, pos), removal = union of covered positions of every
+# non-canonical occurrence, re-assembly in original token order.
+# The engine groups spans by xxhash64 of the joined tokens; the
+# oracle partitions by the span text itself — identical up to 64-bit
+# hash collisions, which the differential would surface.
+_SPAN_DEDUP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+win AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {_SPAN_N} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - {_SPAN_N} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+occ AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM win
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM occ, unnest(generate_series(0, {_SPAN_N} - 1)) AS t(j)
+  WHERE cnt >= {_SPAN_MIN_COUNT} AND rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["doc_span_dedup"] = QuerySpec(
+    _span_dedup,
+    _SPAN_DEDUP_ORACLE,
+    "exact substring dedup: duplicated 8-token runs excised keep-first",
+)
+
+
+_LINE_W = 6
+
+# Shared oracle CTEs: the corpus "lineated" onto a 6-token chunk grid
+# (the single-line synthetic docs carry no newlines, so the line-level
+# operators are exercised over a deterministic multi-line derivation —
+# same grid as doc_chunks, overlap 0, joined with chr(10)).
+_LINEATED_CTES = rf"""
+dw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+chg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         array_to_string(
+           ws[i * {_LINE_W} + 1:i * {_LINE_W} + {_LINE_W}], ' ') AS line
+  FROM dw,
+       unnest(generate_series(
+         0, (greatest(len(ws), 1) + {_LINE_W} - 1) // {_LINE_W} - 1
+       )) AS t(i)
+),
+lined AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY chunk_id) AS text
+  FROM chg GROUP BY doc_id
+)
+"""
+
+
+def _lineated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = X.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=_LINE_W, overlap=0,
+    )
+    return ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (MassiveText/RefinedWeb recipe)
+    over the lineated corpus: each distinct line survives only at its
+    first (doc_id, position) occurrence (operators/spans.py) — exact
+    duplicate documents collapse to one surviving copy line-by-line."""
+    from ..operators.spans import line_dedup
+
+    return line_dedup(_lineated(spark, sf_dir), "doc_id", "text")
+
+
+_LINE_DEDUP_ORACLE = (
+    "WITH "
+    + _LINEATED_CTES
+    + r""",
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+occ AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (
+           PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE trim(line) <> ''
+),
+kept AS (
+  SELECT doc_id, pos, line FROM occ WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
+SELECT l.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_dropped
+FROM lined l
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+QUERIES["doc_line_dedup"] = QuerySpec(
+    _line_dedup,
+    _LINE_DEDUP_ORACLE,
+    "corpus-level exact line dedup, first occurrence wins",
+)
+
+
+_C4_MIN_WORDS = 4
+_C4_BADWORDS = ("lorem ipsum", "vector")
+
+
+def _c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-quality gate over the lineated corpus: minimum
+    words + badword rejection per line (terminal-punctuation rule off
+    — the synthetic corpus is punctuation-free), document gate on >= 1
+    surviving line (operators/spans.py)."""
+    from ..operators.spans import line_quality_filter
+
+    return line_quality_filter(
+        _lineated(spark, sf_dir), "doc_id", "text",
+        min_words=_C4_MIN_WORDS,
+        require_terminal_punct=False,
+        badwords=_C4_BADWORDS,
+    )
+
+
+_C4_CLEAN_ORACLE = (
+    "WITH "
+    + _LINEATED_CTES
+    + rf""",
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
+                        x -> x <> '')) >= {_C4_MIN_WORDS}
+    AND NOT contains(trim(line), '{{')
+    AND NOT contains(lower(trim(line)), 'lorem ipsum')
+    AND NOT contains(lower(trim(line)), 'vector')
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
+SELECT l.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_dropped,
+       COALESCE(a.nk, 0) >= 1 AS doc_kept
+FROM lined l
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+QUERIES["doc_c4_clean"] = QuerySpec(
+    _c4_clean,
+    _C4_CLEAN_ORACLE,
+    "C4-style per-line quality gate with document survival flag",
+)

@@ -1,0 +1,321 @@
+"""Substring/line-level corpus deduplication and line-quality
+filtering — the document-REWRITING tier of the dedup suite.
+
+`dedup.py` decides which *documents* to keep; `text.shared_span_stats`
+measures cross-document repeated spans. This module closes the loop the
+large-corpus literature actually ships: rewriting documents so repeated
+content appears once corpus-wide.
+
+- `remove_repeated_spans` — exact substring deduplication in the style
+  of "Deduplicating Training Data Makes Language Models Better"
+  (Lee et al., 2021): every verbatim n-token run that occurs more than
+  once in the corpus survives only at its first occurrence; all other
+  occurrences are excised and the documents re-assembled.
+- `line_dedup` — corpus-level exact line deduplication (the
+  MassiveText/RefinedWeb recipe): each distinct non-blank line is kept
+  only in the first document/position where it appears (boilerplate
+  navigation, licence headers, cookie banners collapse to one copy).
+- `line_quality_filter` — C4-style per-line gating (minimum words,
+  terminal punctuation, brace/badword rejection) with a document-level
+  minimum-surviving-lines gate.
+
+Reference parity note: the reference engine (ClickHouse SQL + pandas,
+see SURVEY.md §2) has no document-rewriting tier at all — these are
+part of the LLM-training-data extension surface the build brief asks
+for, expressed Spark-first.
+
+Scale notes (100 TB):
+- Span/line identity aggregates run on fixed-width hashes with map-side
+  partial combine; the canonical-first-occurrence winner is a
+  `min(struct(id, pos))` aggregate, never a global sort and never a
+  per-key row_number window (a corpus-hot line/span becomes ONE
+  combined row per map task, so a million-occurrence boilerplate line
+  does not serialize through one reducer as a window would).
+- The re-join of occurrences to winners is a plain shuffle join on the
+  hash key (many-to-one — no quadratic bucket).
+- Document re-assembly is one doc-keyed aggregate (the same shuffle any
+  per-doc statistic needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __pos, __w): whitespace tokens with 0-based positions;
+    tokenless documents emit nothing."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+
+
+def _reassemble(
+    df: DataFrame,
+    kept: DataFrame,
+    totals: DataFrame,
+    id_col: str,
+    *,
+    joiner: str,
+    n_total_col: str,
+    n_removed_col: str,
+) -> DataFrame:
+    """Common tail: kept (id, __pos, __w) → (id, text, totals) with
+    every input document present (fully-removed docs get '')."""
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            joiner,
+        ).alias("__text2"),
+        F.count(F.lit(1)).alias("__nk"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text2"), F.lit("")).alias("text"),
+            F.coalesce(F.col("__nt"), F.lit(0))
+            .cast("long")
+            .alias(n_total_col),
+            (
+                F.coalesce(F.col("__nt"), F.lit(0))
+                - F.coalesce(F.col("__nk"), F.lit(0))
+            )
+            .cast("long")
+            .alias(n_removed_col),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021 semantics,
+    keep-first): any verbatim ``n``-token run occurring at least
+    ``min_count`` times in the corpus (counting every occurrence, so
+    in-document repetition qualifies too) is kept ONLY at its
+    canonical first occurrence — the minimum ``(id, pos)`` — and every
+    other occurrence's tokens are removed; documents are re-assembled
+    from the surviving tokens in original order.
+
+    Emits (id, text, n_tokens, n_removed) for EVERY input document
+    (a fully-boilerplate doc comes back with text='').
+
+    Token-set semantics: a token is removed iff it lies under at least
+    one non-canonical occurrence of a duplicated span — overlapping
+    duplicated spans union rather than double-count, and the canonical
+    occurrence's tokens survive unless some OTHER duplicated span
+    covers them.
+
+    Scale: window assembly is a doc-keyed lead(); the corpus-wide
+    span-frequency/winner agg runs on xxhash64 keys with map-side
+    combine (`min(struct)` — not a row_number window, so corpus-hot
+    boilerplate spans don't serialize through one reducer); the
+    position explode runs only on duplicated occurrences (bounded by
+    n × duplicated tokens — exactly the data being removed).
+    """
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    tok = _tokens(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__w").alias("__w0")] + [
+        F.lead("__w", j).over(w).alias(f"__w{j}") for j in range(1, n)
+    ]
+    occ = (
+        tok.select(id_col, "__pos", *parts)
+        .filter(F.col(f"__w{n - 1}").isNotNull())
+        .select(
+            id_col,
+            "__pos",
+            F.xxhash64(
+                F.concat_ws(" ", *[f"__w{j}" for j in range(n)])
+            ).alias("__h"),
+        )
+    )
+    info = occ.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+    )
+    dup_occ = occ.join(info.filter(F.col("__cnt") >= min_count), "__h").filter(
+        ~(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"])
+        )
+    )
+    removed = (
+        dup_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(removed, [id_col, "__pos"], "left_anti")
+    totals = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    return _reassemble(
+        df,
+        kept,
+        totals,
+        id_col,
+        joiner=" ",
+        n_total_col="n_tokens",
+        n_removed_col="n_removed",
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the MassiveText /
+    RefinedWeb recipe): each distinct non-blank line value survives
+    only at its first occurrence corpus-wide — minimum ``(id, line
+    position)`` — and is dropped everywhere else; blank lines (empty
+    after trim) are structural and always kept. Documents are
+    re-assembled from surviving lines in original order.
+
+    Emits (id, text, n_lines, n_dropped) for every input document.
+
+    Line identity is the RAW line (no normalization) — pair with an
+    upstream `normalize_text` projection when near-identical
+    boilerplate should collapse.
+
+    Scale: line frequency/winner agg on md5(line) keys with map-side
+    combine — a million-occurrence boilerplate line partial-aggregates
+    per map task instead of serializing through one reducer; the
+    winner re-join is many-to-one on the hash.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "__pos", "__w"
+        ),
+    )
+    dedupable = lines.filter(F.trim(F.col("__w")) != "")
+    winners = (
+        dedupable.select(id_col, "__pos", F.md5("__w").alias("__lh"))
+        .groupBy("__lh")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"))
+    )
+    kept_dedupable = (
+        dedupable.withColumn("__lh", F.md5("__w"))
+        .join(winners, "__lh")
+        .filter(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"])
+        )
+        .select(id_col, "__pos", "__w")
+    )
+    blank = lines.filter(F.trim(F.col("__w")) == "")
+    kept = kept_dedupable.unionByName(blank)
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    return _reassemble(
+        df,
+        kept,
+        totals,
+        id_col,
+        joiner=line_sep,
+        n_total_col="n_lines",
+        n_removed_col="n_dropped",
+    )
+
+
+DEFAULT_BADWORDS: tuple[str, ...] = ("lorem ipsum", "javascript")
+
+
+def line_keep_predicate(
+    line: Column,
+    *,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    badwords: tuple[str, ...] = DEFAULT_BADWORDS,
+) -> Column:
+    """The C4 per-line gate as a reusable Column predicate: at least
+    ``min_words`` whitespace words, no '{' (code markers), none of the
+    lowercase ``badwords``, and (optionally) a terminal-punctuation
+    ending (. ! ? " ')."""
+    t = F.trim(line)
+    keep = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != "")) >= F.lit(
+        min_words
+    )
+    keep = keep & ~t.contains("{")
+    low = F.lower(t)
+    for bw in badwords:
+        keep = keep & ~low.contains(bw.lower())
+    if require_terminal_punct:
+        keep = keep & F.substring(t, -1, 1).isin(".", "!", "?", '"', "'")
+    return keep
+
+
+def line_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    badwords: tuple[str, ...] = DEFAULT_BADWORDS,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-quality cleaning (Raffel et al. 2020 §2.2): keep
+    only lines passing `line_keep_predicate`, re-assemble, and gate the
+    DOCUMENT on having at least ``min_lines`` surviving lines.
+
+    Emits (id, text, n_lines, n_dropped, doc_kept) for every input
+    document — callers filter on ``doc_kept`` (kept explicit so audits
+    can count what the gate removed, the curation-pipeline stance).
+
+    Scale: entirely map-side per line; the only shuffle is the per-doc
+    re-assembly aggregate.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "__pos", "__w"
+        ),
+    )
+    kept = lines.filter(
+        line_keep_predicate(
+            F.col("__w"),
+            min_words=min_words,
+            require_terminal_punct=require_terminal_punct,
+            badwords=badwords,
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    out = _reassemble(
+        df,
+        kept,
+        totals,
+        id_col,
+        joiner=line_sep,
+        n_total_col="n_lines",
+        n_removed_col="n_dropped",
+    )
+    return out.withColumn(
+        "doc_kept",
+        (F.col("n_lines") - F.col("n_dropped")) >= F.lit(min_lines),
+    )

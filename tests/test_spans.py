@@ -1,0 +1,193 @@
+"""Span/line-level corpus dedup + C4 line filtering
+(operators/spans.py): keep-first semantics, blank-line structure,
+document spine completeness — plus a naive-Python differential on a
+seeded random corpus for remove_repeated_spans and line_dedup."""
+
+from __future__ import annotations
+
+import random
+
+from starknet_etl_spark.operators.spans import (
+    line_dedup,
+    line_quality_filter,
+    remove_repeated_spans,
+)
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------- spans
+
+
+def _naive_span_dedup(docs, n, min_count):
+    """Reference implementation: literal Lee-et-al keep-first."""
+    toks = {d: t.split() for d, t in docs.items() if t.split()}
+    occ = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for i in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[i : i + n]), []).append((d, i))
+    removed = {d: set() for d in toks}
+    for g, sites in occ.items():
+        if len(sites) >= min_count:
+            for d, i in sorted(sites)[1:]:
+                removed[d].update(range(i, i + n))
+    out = {}
+    for d, t in docs.items():
+        ws = toks.get(d, [])
+        kept = [w for p, w in enumerate(ws) if p not in removed.get(d, ())]
+        out[d] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_span_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x"),
+            (2, "y a b c d"),  # same "a b c d" — non-canonical, excised
+            (3, "q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(remove_repeated_spans(df, n=4, min_count=2))
+    assert got[1]["text"] == "a b c d x"
+    assert got[2]["text"] == "y"
+    assert got[2]["n_removed"] == 4
+    assert got[3] == {
+        "doc_id": 3, "text": "q r s", "n_tokens": 3, "n_removed": 0
+    }
+
+
+def test_span_dedup_overlap_union_and_indoc(spark):
+    # "a b a b a b" has "a b a b" at pos 0 and pos 2 (in-doc repeat):
+    # winner = pos 0, pos 2's cover {2,3,4,5} removed → "a b".
+    df = spark.createDataFrame(
+        [(1, "a b a b a b")], ["doc_id", "text"]
+    )
+    got = _rows(remove_repeated_spans(df, n=4, min_count=2))
+    assert got[1]["text"] == "a b"
+    assert got[1]["n_removed"] == 4
+
+
+def test_span_dedup_full_spine(spark):
+    # Tokenless and fully-duplicated docs still appear in the output.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = _rows(remove_repeated_spans(df, n=3, min_count=2))
+    assert got[1]["text"] == "a b c"
+    assert got[2] == {
+        "doc_id": 2, "text": "", "n_tokens": 3, "n_removed": 3
+    }
+    assert got[3] == {
+        "doc_id": 3, "text": "", "n_tokens": 0, "n_removed": 0
+    }
+
+
+def test_span_dedup_matches_naive_random(spark):
+    rng = random.Random(7)
+    docs = {
+        d: " ".join(
+            rng.choice("a b c d e".split()) for _ in range(rng.randint(0, 30))
+        )
+        for d in range(25)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), ["doc_id", "text"]
+    )
+    for n, mc in ((3, 2), (4, 3)):
+        want = _naive_span_dedup(docs, n, mc)
+        got = _rows(remove_repeated_spans(df, n=n, min_count=mc))
+        for d in docs:
+            w = want[d]
+            assert (
+                got[d]["text"], got[d]["n_tokens"], got[d]["n_removed"]
+            ) == w, (n, mc, d)
+
+
+# ---------------------------------------------------------------- lines
+
+
+def _naive_line_dedup(docs):
+    seen = set()
+    out = {}
+    for d in sorted(docs):
+        kept = []
+        total = docs[d].split("\n")
+        for ln in total:
+            if not ln.strip():
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        out[d] = ("\n".join(kept), len(total), len(total) - len(kept))
+    return out
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "header line\nbody one\n\nfooter"),
+            (2, "header line\nbody two\nfooter"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(line_dedup(df))
+    assert got[1]["text"] == "header line\nbody one\n\nfooter"
+    assert got[2]["text"] == "body two"
+    assert got[2]["n_lines"] == 3 and got[2]["n_dropped"] == 2
+
+
+def test_line_dedup_matches_naive_random(spark):
+    rng = random.Random(11)
+    pool = [f"line {i}" for i in range(8)] + ["", "   "]
+    docs = {
+        d: "\n".join(
+            rng.choice(pool) for _ in range(rng.randint(1, 12))
+        )
+        for d in range(20)
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    want = _naive_line_dedup(docs)
+    got = _rows(line_dedup(df))
+    for d in docs:
+        assert (
+            got[d]["text"], got[d]["n_lines"], got[d]["n_dropped"]
+        ) == want[d], d
+
+
+def test_line_quality_filter_c4_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "A good long sentence here.\n"       # kept
+                "too short.\n"                        # < 3 words
+                "No terminal punctuation at all\n"    # no ending punct
+                "function() { return 1; }\n"          # brace
+                "Enable JavaScript to continue now.\n"  # badword
+                "Another proper sentence stands here!",  # kept
+            ),
+            (2, "nothing survives here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(line_quality_filter(df, min_words=3))
+    assert got[1]["text"] == (
+        "A good long sentence here.\nAnother proper sentence stands here!"
+    )
+    assert got[1]["n_lines"] == 6 and got[1]["n_dropped"] == 4
+    assert got[1]["doc_kept"] is True
+    assert got[2]["text"] == "" and got[2]["doc_kept"] is False
+
+
+def test_line_quality_filter_no_punct_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "plain words without punctuation here")], ["doc_id", "text"]
+    )
+    got = _rows(
+        line_quality_filter(df, require_terminal_punct=False)
+    )
+    assert got[1]["doc_kept"] is True and got[1]["n_dropped"] == 0
