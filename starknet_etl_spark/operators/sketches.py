@@ -1,0 +1,183 @@
+"""Deterministic streaming-sketch operators: KMV distinct-count
+estimation and count-min heavy-hitter estimation.
+
+Spark ships `approx_count_distinct` (HLL++) — but its register layout
+is engine-private, so its estimates can't be differential-tested
+against another engine, and it answers only the one question. These
+sketches use md5-derived hashes end to end, so both the sketch
+CONTENTS and the estimates are bit-reproducible across engines and
+partitionings (the dedup/oracle discipline of the rest of the repo),
+and the count-min table is a first-class DataFrame a caller can
+persist, merge across batches (counter addition), and probe later.
+
+Scale notes (100 TB):
+- KMV: one distinct-shuffle on the hashed key + a TakeOrderedAndProject
+  of k rows — never a global sort; the driver sees k scalars.
+- Count-min: the sketch build is a (depth × width)-key aggregate with
+  map-side combine — output is depth·width counters regardless of input
+  size, the textbook mergeable summary. Candidate estimation broadcasts
+  the tiny sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 13 hex digits = 52 bits — exact in an IEEE double, so the fraction
+# hash/2^52 is the same double in every engine.
+_FRAC_DIGITS = 13
+_FRAC_DENOM = float(16 ** _FRAC_DIGITS)
+
+
+def hash_fraction(col: Column) -> Column:
+    """md5-derived uniform fraction in [0, 1) — bit-identical across
+    engines (both sides parse the same 13-hex-digit prefix)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, _FRAC_DIGITS), 16, 10)
+        .cast("double")
+        / F.lit(_FRAC_DENOM)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al.
+    2002): hash every value to a uniform fraction, keep the k smallest
+    distinct fractions; with h_k the k-th smallest, the estimator is
+    (k-1)/h_k. When the domain holds fewer than k distinct values the
+    sketch is exhaustive and the exact count is returned.
+
+    Emits ONE row: (k, n_kept, kth_frac, est_distinct) — n_kept < k
+    means exact. All inputs to the division are bit-identical across
+    engines (exact integer hash prefix / 2^52), so est_distinct is too.
+
+    Scale: distinct on the hash (map-side combine) then
+    TakeOrderedAndProject(k) — no global sort, k scalars at the driver
+    side of the plan.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    mins = (
+        df.select(hash_fraction(F.col(col)).alias("__f"))
+        .distinct()
+        .orderBy("__f")
+        .limit(k)
+    )
+    return mins.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.max("__f"), 6).alias("kth_frac"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(F.lit(float(k - 1)) / F.max("__f")),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def _cms_pos(col: Column, row: int, width: int) -> Column:
+    """Row-r count-min bucket for a value: md5('r|value') prefix mod
+    width — independent hash per row via the salt."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(row)), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the
+    occurrences of ``col``: a (row, pos, n) counter table of at most
+    depth × width rows, exact integers. Sketches from disjoint batches
+    merge by adding counters on (row, pos) — the mergeable-summary
+    contract that lets 1000 executors sketch 100 TB independently.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    keyed = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_pos(F.col(col), r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__rp")
+    ).select(F.col("__rp.row").alias("row"), F.col("__rp.pos").alias("pos"))
+    return keyed.groupBy("row", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report: the ``top`` most frequent values by true
+    count (deterministic tie-break on the value itself) with their
+    count-min estimates alongside — est_n >= true_n always (count-min
+    never under-counts), the gap showing collision inflation at the
+    chosen width.
+
+    Emits (value, true_n, est_n), exact integers. Scale: the sketch is
+    depth × width counters (broadcast to the candidate probe); the
+    true-count candidate selection is one agg +
+    TakeOrderedAndProject(top).
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    sketch = cms_build(df, col, depth=depth, width=width)
+    cand = (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("value"))
+        .limit(top)
+    )
+    probes = cand.select(
+        "value",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_pos(F.col("value"), r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__rp"),
+    ).select(
+        "value",
+        "true_n",
+        F.col("__rp.row").alias("row"),
+        F.col("__rp.pos").alias("pos"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy("value", "true_n")
+        .agg(F.min("n").cast("long").alias("est_n"))
+    )
+    return est.select("value", "true_n", "est_n")

@@ -1,0 +1,72 @@
+"""Deterministic sketches (operators/sketches.py): KMV exact-mode and
+estimate accuracy, count-min never-undercount + exactness at ample
+width, and the mergeable-summary property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.sketches import (
+    cms_build,
+    cms_heavy_hitters,
+    kmv_distinct,
+)
+
+
+def test_kmv_exact_under_k(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "a", "b"]], ["v"]
+    )
+    row = kmv_distinct(df, "v", k=16).collect()[0]
+    assert row["n_kept"] == 3
+    assert row["est_distinct"] == 3.0
+
+
+def test_kmv_estimate_close(spark):
+    df = spark.createDataFrame(
+        [(f"value-{i % 2000}",) for i in range(6000)], ["v"]
+    )
+    row = kmv_distinct(df, "v", k=128).collect()[0]
+    assert row["n_kept"] == 128
+    # KMV relative error ~ 1/sqrt(k) ≈ 9%; allow 3 sigma.
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.3
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    got = {
+        r["value"]: r
+        for r in cms_heavy_hitters(
+            df, "v", depth=4, width=1024, top=4
+        ).collect()
+    }
+    for v, n in (("a", 50), ("b", 20), ("c", 5), ("d", 1)):
+        assert got[v]["true_n"] == n
+        assert got[v]["est_n"] >= n
+    # 4 values into 4x1024 counters: collisions practically impossible.
+    assert all(r["est_n"] == r["true_n"] for r in got.values())
+
+
+def test_cms_top_selection_deterministic_ties(spark):
+    rows = [("b",)] * 3 + [("a",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    got = cms_heavy_hitters(df, "v", depth=2, width=64, top=2).collect()
+    # tie on count 3 → value ascending: a then b selected.
+    assert sorted(r["value"] for r in got) == ["a", "b"]
+
+
+def test_cms_build_merges(spark):
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["v"])
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, ["v"])
+    both = a.unionByName(b)
+    merged = (
+        cms_build(a, "v", depth=3, width=32)
+        .unionByName(cms_build(b, "v", depth=3, width=32))
+        .groupBy("row", "pos")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_build(both, "v", depth=3, width=32)
+    lhs = {(r["row"], r["pos"]): r["n"] for r in merged.collect()}
+    rhs = {(r["row"], r["pos"]): r["n"] for r in whole.collect()}
+    assert lhs == rhs
