@@ -81,17 +81,25 @@ def kmv_distinct(
     )
 
 
-def _cms_pos(col: Column, row: int, width: int) -> Column:
-    """Row-r count-min bucket for a value: md5('r|value') prefix mod
-    width — independent hash per row via the salt."""
+def salted_bucket(col: Column, salt: int, width: int) -> Column:
+    """Independent md5 hash family indexed by an integer salt:
+    md5('salt|value') 32-bit prefix mod width. Shared by the count-min
+    rows and the bloom filter (operators/contamination.bloom_overlap)
+    so every sketch in the engine derives from the one
+    engine-portable hash construction."""
     return (
         F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(str(row)), col)), 1, 8),
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(salt)), col)), 1, 8),
             16,
             10,
         ).cast("long")
         % width
     ).cast("int")
+
+
+def _cms_pos(col: Column, row: int, width: int) -> Column:
+    """Row-r count-min bucket for a value."""
+    return salted_bucket(col, row, width)
 
 
 def cms_build(

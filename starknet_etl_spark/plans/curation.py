@@ -141,6 +141,11 @@ def curate_corpus(
     ≈0.2 overlap), audit reasons read ``cos_<best>``, and the
     benchmark embeds and collects EAGERLY at plan-build time
     (driver-sized by contract, capped — see the laziness note).
+    ``"bloom"`` collapses the benchmark to a literal bitmask
+    (``contamination.bloom_overlap``) and probes it with a pure map
+    — the no-join fast path; never a false negative, small FP
+    over-removal (the conservative direction for decontamination);
+    audit reasons read ``bloom_<frac>``.
 
     ``semantic_cells``: the embedding/semantic tier's SCALE lever
     when no ``cell_col`` exists — train that many IVF centroids on
@@ -358,12 +363,12 @@ def curate_corpus(
         )
 
     # -- stage 3: benchmark decontamination (optional)
-    if contamination_mode not in ("ngram", "semantic"):
+    if contamination_mode not in ("ngram", "semantic", "bloom"):
         # validated even with benchmark=None: a typo'd mode must not
         # silently pass until the day a benchmark is wired in
         raise ValueError(
             f"unknown contamination_mode {contamination_mode!r}; "
-            "expected 'ngram' or 'semantic'"
+            "expected 'ngram', 'semantic' or 'bloom'"
         )
     if benchmark is not None:
         if contamination_mode == "ngram":
@@ -391,6 +396,25 @@ def curate_corpus(
             )
             dirty = overlap.filter(F.col("contaminated"))
             reason = F.concat(F.lit("cos_"), F.round("best_cos", 3))
+        elif contamination_mode == "bloom":
+            # The 100 TB fast path: benchmark → literal bitmask,
+            # train probe is a pure map (no join). Never a false
+            # negative; FPs over-remove slightly at the classic
+            # (1-e^{-jB/m})^j rate — the conservative failure mode
+            # a decontamination gate wants.
+            from ..operators.contamination import bloom_overlap
+
+            overlap = bloom_overlap(
+                survivors,
+                benchmark,
+                id_col,
+                text_col,
+                threshold=contamination_threshold,
+            )
+            dirty = overlap.filter(F.col("flagged"))
+            reason = F.concat(
+                F.lit("bloom_"), F.round("bloom_frac", 3)
+            )
         audit_contam = dirty.select(
             ids,
             F.lit("contamination").alias("stage"),

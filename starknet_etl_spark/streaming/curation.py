@@ -86,11 +86,19 @@ def start_curation_stream(
     weights over quality_model.standard_quality_features) enables
     the learned gate with the batch stage's integer-permille audit
     reasons — scoring is map-only per tick."""
-    if contamination_mode not in ("ngram", "semantic"):
+    if contamination_mode not in ("ngram", "semantic", "bloom"):
         raise ValueError(
             f"unknown contamination_mode {contamination_mode!r}; "
-            "expected 'ngram' or 'semantic'"
+            "expected 'ngram', 'semantic' or 'bloom'"
         )
+    bloom_bits: str | None = None
+    if benchmark is not None and contamination_mode == "bloom":
+        # the mask is the whole point of bloom-in-a-stream: ONE
+        # benchmark scan at stream construction, then every tick's
+        # decontamination is a pure map over the literal bitmask
+        from ..operators.contamination import build_ngram_bloom
+
+        bloom_bits = build_ngram_bloom(benchmark, id_col, text_col)
     if benchmark is not None:
         # the benchmark is STATIC across ticks but re-read per
         # micro-batch (ngram: shingle side; semantic: embed+collect)
@@ -229,6 +237,19 @@ def start_curation_stream(
                 )
                 reason = F.concat(
                     F.lit("overlap_"), F.round("overlap_frac", 3)
+                )
+            elif contamination_mode == "bloom":
+                from ..operators.contamination import probe_ngram_bloom
+
+                overlap = probe_ngram_bloom(
+                    survivors,
+                    bloom_bits,
+                    id_col,
+                    text_col,
+                    threshold=contamination_threshold,
+                ).withColumnRenamed("flagged", "contaminated")
+                reason = F.concat(
+                    F.lit("bloom_"), F.round("bloom_frac", 3)
                 )
             else:
                 overlap = semantic_overlap(

@@ -1,0 +1,111 @@
+"""Bloom-filter decontamination (operators/contamination.py):
+never-false-negative vs the exact n-gram join, build/probe split
+equivalence, loud empty-benchmark error, and the curate_corpus
+"bloom" contamination mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.contamination import (
+    bloom_overlap,
+    build_ngram_bloom,
+    ngram_overlap,
+    probe_ngram_bloom,
+)
+
+
+@pytest.fixture(scope="module")
+def tb(spark):
+    bench_run = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame(
+        [
+            (1, "the alpha beta gamma delta epsilon zeta and theta"),
+            (2, "the prefix words then " + bench_run + " and the tail"),
+            (3, "the totally unrelated content about queues and caches"),
+            (4, "tiny doc"),  # < n words: no n-grams, not emitted
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the eval set contains " + bench_run + " verbatim")],
+        "doc_id bigint, text string",
+    )
+    return train, bench
+
+
+def test_bloom_never_false_negative(spark, tb):
+    train, bench = tb
+    b = bloom_overlap(train, bench, threshold=0.2)
+    e = ngram_overlap(train, bench, threshold=0.2)
+    j = {
+        r["doc_id"]: r
+        for r in b.join(
+            e.select("doc_id", "n_overlap", "contaminated"), "doc_id"
+        ).collect()
+    }
+    assert set(j) == {1, 2, 3}  # doc 4 has no 5-grams
+    for r in j.values():
+        assert r["n_bloom_hits"] >= r["n_overlap"]
+        if r["contaminated"]:
+            assert r["flagged"]  # exact-dirty can never slip through
+    assert j[2]["flagged"] and j[2]["n_overlap"] >= 6
+
+
+def test_probe_matches_build_and_probe(spark, tb):
+    train, bench = tb
+    mask = build_ngram_bloom(bench)
+    assert set(mask) <= {"0", "1"} and "1" in mask
+    via_probe = sorted(
+        map(tuple, probe_ngram_bloom(train, mask).collect())
+    )
+    via_overlap = sorted(map(tuple, bloom_overlap(train, bench).collect()))
+    assert via_probe == via_overlap
+
+
+def test_empty_benchmark_raises(spark, tb):
+    train, _ = tb
+    empty = spark.createDataFrame(
+        [(1, "too short")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="no n-grams"):
+        build_ngram_bloom(empty)
+
+
+def test_tiny_mask_inflates_but_never_misses(spark, tb):
+    train, bench = tb
+    b = {
+        r["doc_id"]: r
+        for r in bloom_overlap(train, bench, m=32, j=2).collect()
+    }
+    e = {
+        r["doc_id"]: r for r in ngram_overlap(train, bench).collect()
+    }
+    for d, r in b.items():
+        assert r["n_bloom_hits"] >= e[d]["n_overlap"]
+
+
+def test_curation_bloom_mode(spark, tb):
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    train, bench = tb
+    curated, audit = curate_corpus(
+        train,
+        benchmark=bench,
+        contamination_mode="bloom",
+        min_words=2,
+        near_dup=None,
+    )
+    aud = {r["doc_id"]: r for r in audit.collect()}
+    assert 2 in aud and aud[2]["stage"] == "contamination"
+    assert aud[2]["reason"].startswith("bloom_")
+    assert 2 not in {r["doc_id"] for r in curated.collect()}
+
+
+def test_curation_unknown_mode_still_raises(spark, tb):
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    train, bench = tb
+    with pytest.raises(ValueError, match="contamination_mode"):
+        curate_corpus(train, benchmark=bench, contamination_mode="blom")
