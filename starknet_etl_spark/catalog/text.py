@@ -4415,3 +4415,94 @@ QUERIES["doc_bloom_contamination"] = QuerySpec(
     _BLOOM_ORACLE,
     "bloom-bitmask decontamination probe vs the exact overlap join",
 )
+
+
+_TOPIC_K = 8
+_TOPIC_ITERS = 2
+
+
+def _topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised topic clustering of the corpus with zero external
+    models: hash_embed -> train_ivf_centroids (Lloyd from scratch) ->
+    assign_cells. The same trainer that powers the ANN index doubles
+    as the corpus topic model — cluster-balanced mixtures and
+    per-topic data cards hang off this assignment."""
+    return X.topic_clusters(
+        _docs(spark, sf_dir), "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+
+
+def _topic_iter_sql(it: int, prev: str) -> str:
+    return f"""td{it} AS MATERIALIZED (
+  SELECT d.doc_id, cb.code,
+         ROUND(SUM((d.x - cb.cvalue) * (d.x - cb.cvalue)), 6) AS dist
+  FROM kdense d JOIN {prev} cb ON cb.dim_i = d.dim_i
+  GROUP BY d.doc_id, cb.code
+),
+ta{it} AS MATERIALIZED (
+  SELECT doc_id, code FROM (
+    SELECT doc_id, code,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY dist, code) AS rn
+    FROM td{it}) WHERE rn = 1
+),
+tcb{it} AS MATERIALIZED (
+  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
+  FROM {prev} p LEFT JOIN (
+    SELECT a.code, d.dim_i, ROUND(AVG(d.x), 6) AS mu
+    FROM kdense d JOIN ta{it} a USING (doc_id)
+    GROUP BY a.code, d.dim_i) m
+  ON m.code = p.code AND m.dim_i = p.dim_i
+),
+"""
+
+
+_TOPIC_ORACLE = (
+    "WITH "
+    + _HE_COMPONENTS
+    + f""",
+kdense AS MATERIALIZED (
+  SELECT n.doc_id, gs.i AS dim_i,
+         COALESCE(ROUND(c.v / n.nn, 6), 0.0) AS x
+  FROM nrm n
+  CROSS JOIN unnest(generate_series(1, {_HE_DIM})) AS gs(i)
+  LEFT JOIN comp c ON c.doc_id = n.doc_id AND c.idx = gs.i - 1
+  WHERE n.nn > 0
+),
+trank AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM (SELECT DISTINCT doc_id FROM kdense)
+),
+tcb0 AS MATERIALIZED (
+  SELECT rk - 1 AS code, d.dim_i, d.x AS cvalue
+  FROM trank JOIN kdense d USING (doc_id) WHERE rk <= {_TOPIC_K}
+),
+"""
+    + "".join(
+        _topic_iter_sql(it, f"tcb{it - 1}")
+        for it in range(1, _TOPIC_ITERS + 1)
+    )
+    + f"""casg AS (
+  SELECT doc_id, code AS cell FROM (
+    SELECT d.doc_id, cb.code,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY ROUND(SUM(cb.cvalue * d.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM kdense d JOIN tcb{_TOPIC_ITERS} cb ON cb.dim_i = d.dim_i
+    GROUP BY d.doc_id, cb.code) WHERE rn = 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cell AS BIGINT) AS topic
+FROM casg
+"""
+)
+
+QUERIES["doc_topic_clusters"] = QuerySpec(
+    _topic_clusters,
+    _TOPIC_ORACLE,
+    "zero-model topic clustering: hash_embed + Lloyd-trained cells",
+)

@@ -901,3 +901,42 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def topic_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 16,
+    n_topics: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Zero-model corpus topic clustering: hash_embed ->
+    train_ivf_centroids (deterministic Lloyd from scratch) ->
+    assign_cells. Emits (id, topic) for every document with at least
+    one token (zero-vector docs carry no signal and are dropped, the
+    vector suite's convention).
+
+    The ANN trainer doubling as the topic model is deliberate: one
+    deterministic, oracle-replayable k-means serves both retrieval
+    cells and corpus analytics (topic-balanced mixtures, per-topic
+    data cards). Scale: embedding is doc-keyed aggregates; training
+    touches n_topics x dim centroids per round; assignment is one
+    broadcast join + per-doc argmax.
+    """
+    from .similarity import assign_cells, dot, train_ivf_centroids
+
+    emb = hash_embed(df, id_col, text_col, dim=dim)
+    live = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    cents = train_ivf_centroids(
+        live, id_col=id_col, vec_col="embedding",
+        dim=dim, n_cells=n_topics, n_iters=n_iters,
+    )
+    asg = assign_cells(
+        live, cents, id_col=id_col, vec_col="embedding",
+        cell_col="topic",
+    )
+    return asg.select(
+        id_col, F.col("topic").cast("long").alias("topic")
+    )
