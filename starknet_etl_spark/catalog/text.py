@@ -4458,9 +4458,8 @@ tcb{it} AS MATERIALIZED (
 """
 
 
-_TOPIC_ORACLE = (
-    "WITH "
-    + _HE_COMPONENTS
+_TOPIC_CTES = (
+    _HE_COMPONENTS
     + f""",
 kdense AS MATERIALIZED (
   SELECT n.doc_id, gs.i AS dim_i,
@@ -4495,6 +4494,13 @@ tcb0 AS MATERIALIZED (
     FROM kdense d JOIN tcb{_TOPIC_ITERS} cb ON cb.dim_i = d.dim_i
     GROUP BY d.doc_id, cb.code) WHERE rn = 1
 )
+"""
+)
+
+_TOPIC_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(cell AS BIGINT) AS topic
 FROM casg
@@ -4505,4 +4511,61 @@ QUERIES["doc_topic_clusters"] = QuerySpec(
     _topic_clusters,
     _TOPIC_ORACLE,
     "zero-model topic clustering: hash_embed + Lloyd-trained cells",
+)
+
+
+def _topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-BALANCED mixture: the in-plan topic assignment feeds the
+    domain-mixture resampler with equal weights — 'balance the
+    pretraining corpus across discovered topics' as one composed,
+    oracle-checked flow (no external labels anywhere)."""
+    from ..operators.mixing import mix_corpus
+
+    topics = X.topic_clusters(
+        _docs(spark, sf_dir), "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    out = mix_corpus(
+        topics, "topic", "doc_id",
+        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
+    )
+    return out.select("doc_id", "topic", "mix_rank")
+
+
+_TOPIC_MIX_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + ",\nw(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
+        for i in range(_TOPIC_K)
+    )
+    + """),
+tcnt AS (SELECT cell AS grp, COUNT(*) AS n FROM casg GROUP BY cell),
+tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
+targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM tj
+),
+ranked AS (
+  SELECT doc_id, CAST(cell AS BIGINT) AS topic,
+         CAST(row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank
+  FROM casg
+)
+SELECT r.doc_id, r.topic, r.mix_rank
+FROM ranked r JOIN targets t ON r.topic = t.grp
+WHERE r.mix_rank <= t.k
+"""
+)
+
+QUERIES["doc_topic_mix"] = QuerySpec(
+    _topic_mix,
+    _TOPIC_MIX_ORACLE,
+    "topic-balanced corpus mixture over the trained topic cells",
 )
