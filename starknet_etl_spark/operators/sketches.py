@@ -68,6 +68,14 @@ def kmv_distinct(
         .orderBy("__f")
         .limit(k)
     )
+    return kmv_report(mins, k)
+
+
+def kmv_report(mins: DataFrame, k: int) -> DataFrame:
+    """Fold a KMV state frame (column ``__f``, at most k fractions —
+    the k smallest seen) into the one-row estimate. Split out so the
+    streaming twin (streaming/sketches.py) reports from its persisted
+    state table with identical arithmetic."""
     return mins.agg(
         F.lit(k).cast("long").alias("k"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -163,29 +171,50 @@ def cms_heavy_hitters(
         .orderBy(F.desc("true_n"), F.asc("value"))
         .limit(top)
     )
-    probes = cand.select(
-        "value",
-        "true_n",
+    return cms_estimate(
+        sketch, cand, "value", depth=depth, width=width
+    ).select("value", "true_n", "est_n")
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    *,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Probe a count-min sketch for each candidate value: est_n =
+    min over rows of the matching counter (0 when a row's counter is
+    absent — a value the sketch never saw). Every other candidate
+    column passes through. ``depth``/``width`` must match the build.
+    Scale: the sketch is depth × width counters — broadcast."""
+    passthrough = [c for c in candidates.columns]
+    probes = candidates.select(
+        *passthrough,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        _cms_pos(F.col("value"), r, width).alias("pos"),
+                        _cms_pos(F.col(col), r, width).alias("pos"),
                     )
                     for r in range(depth)
                 ]
             )
         ).alias("__rp"),
     ).select(
-        "value",
-        "true_n",
+        *passthrough,
         F.col("__rp.row").alias("row"),
         F.col("__rp.pos").alias("pos"),
     )
     est = (
-        probes.join(F.broadcast(sketch), ["row", "pos"])
-        .groupBy("value", "true_n")
-        .agg(F.min("n").cast("long").alias("est_n"))
+        probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy(*passthrough)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("est_n")
+        )
     )
-    return est.select("value", "true_n", "est_n")
+    return est

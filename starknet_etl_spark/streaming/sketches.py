@@ -1,0 +1,125 @@
+"""Streaming sketch maintenance: a continuously-updated count-min
+sketch and KMV distinct estimate over a document/token stream.
+
+Sketches are the streaming-native analytics state: bounded size
+regardless of stream volume, and MERGEABLE — which makes exactly-once
+trivial in two different ways, both used here deliberately:
+
+- count-min: counters are ADDITIVE, so each micro-batch's partial
+  sketch is APPENDED under an ``io.append_once`` batch marker
+  (replayed ticks no-op) and the merged sketch is a sum-at-read
+  (``read_cms``). No state table is ever rewritten; a crash between
+  append and checkpoint commit cannot double-count.
+- KMV: the state is the k smallest fractions seen, and min-merge is
+  IDEMPOTENT (merging the same batch twice is a no-op by algebra),
+  so the tiny k-row state table is simply recomputed and swapped per
+  tick — replay safety from the merge's own semantics, no ledger
+  needed. The state is collected through the driver (k rows, bounded
+  by contract) precisely to avoid the read-and-overwrite-one-path-
+  in-one-plan hazard (io.save_table's temp-swap note).
+
+At 100 TB/day the per-tick cost is one aggregate over the batch;
+state is depth×width counters (CMS) and k doubles (KMV) forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..operators.sketches import cms_build, hash_fraction, kmv_report
+
+
+def start_cms_stream(
+    docs: DataFrame,
+    *,
+    sketch_path: str,
+    checkpoint: str,
+    col: str,
+    depth: int = 4,
+    width: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a count-min sketch over a streaming column: each
+    micro-batch appends its partial (row, pos, n) counters under an
+    append_once marker; :func:`read_cms` merges at read time."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        part = cms_build(batch, col, depth=depth, width=width)
+        _io.append_once(part, sketch_path, batch_id)
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The merged sketch: sum the appended per-batch counters on
+    (row, pos). Drop-in for the probe side (sketches.cms_estimate)."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row", "pos")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def start_kmv_stream(
+    docs: DataFrame,
+    *,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    k: int = 256,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the k smallest hash fractions over a streaming
+    column. Per tick: batch mins ∪ prior state → k smallest → swap
+    the k-row state table (driver-bounded by k; min-merge idempotence
+    makes replays harmless by algebra)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        mins = (
+            batch.select(hash_fraction(F.col(col)).alias("__f"))
+            .distinct()
+            .orderBy("__f")
+            .limit(k)
+        )
+        if _io._exists(spark, state_path):
+            prior = spark.read.parquet(state_path)
+            mins = (
+                mins.unionByName(prior)
+                .distinct()
+                .orderBy("__f")
+                .limit(k)
+            )
+        # k rows through the driver: severs lineage from state_path so
+        # the overwrite below never reads what it is replacing.
+        rows = [(float(r["__f"]),) for r in mins.collect()]
+        spark.createDataFrame(rows, "__f double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv(spark: SparkSession, state_path: str, *, k: int) -> DataFrame:
+    """The one-row KMV estimate from the persisted state (same
+    arithmetic as the batch operator's report)."""
+    return kmv_report(spark.read.parquet(state_path), k)

@@ -70,3 +70,105 @@ def test_cms_build_merges(spark):
     lhs = {(r["row"], r["pos"]): r["n"] for r in merged.collect()}
     rhs = {(r["row"], r["pos"]): r["n"] for r in whole.collect()}
     assert lhs == rhs
+
+
+def _two_batch_src(spark, tmp_path, rows):
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, ["v"])
+    df.filter(F.length("v") % 2 == 0).coalesce(1).write.parquet(src)
+    df.filter(F.length("v") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    return src, df
+
+
+def test_stream_cms_matches_batch_and_replay(spark, tmp_path):
+    """Streaming count-min: appended per-batch partials merge to the
+    one-shot batch sketch, and a replayed tick (lost checkpoint
+    commit) adds nothing twice — mergeable summary + append_once."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.sketches import (
+        read_cms,
+        start_cms_stream,
+    )
+
+    rows = [(f"tok{i % 7}",) for i in range(40)] + [("rare",)]
+    src, df = _two_batch_src(spark, tmp_path, rows)
+    paths = dict(
+        sketch_path=str(tmp_path / "cms"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def go():
+        q = start_cms_stream(
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            col="v",
+            depth=3,
+            width=32,
+            **paths,
+        )
+        q.awaitTermination(180)
+
+    go()
+    want = {
+        (r["row"], r["pos"]): r["n"]
+        for r in cms_build(df, "v", depth=3, width=32).collect()
+    }
+    got = {
+        (r["row"], r["pos"]): r["n"]
+        for r in read_cms(spark, paths["sketch_path"]).collect()
+    }
+    assert got == want
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    got2 = {
+        (r["row"], r["pos"]): r["n"]
+        for r in read_cms(spark, paths["sketch_path"]).collect()
+    }
+    assert got2 == want
+
+
+def test_stream_kmv_matches_batch_and_replay(spark, tmp_path):
+    """Streaming KMV: the persisted k-row state reports the same
+    estimate as the batch operator over the full corpus; replays are
+    harmless by min-merge idempotence."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.sketches import (
+        read_kmv,
+        start_kmv_stream,
+    )
+
+    rows = [(f"value-{i % 300}",) for i in range(900)]
+    src, df = _two_batch_src(spark, tmp_path, rows)
+    paths = dict(
+        state_path=str(tmp_path / "kmv"),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+
+    def go():
+        q = start_kmv_stream(
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            col="v",
+            k=64,
+            **paths,
+        )
+        q.awaitTermination(180)
+
+    go()
+    want = kmv_distinct(df, "v", k=64).collect()[0]
+    got = read_kmv(spark, paths["state_path"], k=64).collect()[0]
+    assert got == want
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    got2 = read_kmv(spark, paths["state_path"], k=64).collect()[0]
+    assert got2 == want
