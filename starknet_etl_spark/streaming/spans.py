@@ -1,0 +1,220 @@
+"""Streaming document-rewriting dedup: corpus-level line dedup and
+exact substring (span) dedup as continuous, replay-safe streams.
+
+The batch operators (operators/spans.py) pick winners by global
+minimum (id, pos); a stream can't see the future, so the streaming
+twins use the only causal equivalent: FIRST-SEEN-WINS by tick order,
+with the batch semantics applied inside each tick. When ticks arrive
+in id order the stream is bit-equal to the one-shot batch rewrite
+(the equivalence the tests pin); out-of-order ids keep the same
+guarantee every line/span survives exactly once — just at its first
+ARRIVAL rather than its smallest id.
+
+State is a persisted ledger of md5/xxhash64 line- or span-hashes —
+16 bytes per distinct unit, the same footprint class as the exact-
+dedup ledger in streaming/curation.py. Replay safety: rewritten docs
+append FIRST, the ledger SECOND, both under ``io.append_once``
+markers keyed by the tick — a crash between the two appends replays
+into a no-op doc append plus the missing ledger append (appending
+the ledger first would make the replay anti-join a batch's own lines
+out of its own rewrite).
+
+Span twin limitation, stated loudly: the ledger stores presence, not
+counts, so the streaming span twin implements ``min_count=2``
+exactly (the standard setting) and refuses other values rather than
+silently drifting from the batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..operators.spans import _reassemble, _tokens
+
+
+def start_line_dedup_stream(
+    docs: DataFrame,
+    *,
+    out_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Corpus-level line dedup over a document stream: each tick drops
+    lines already in the cross-tick ledger, applies the batch
+    first-occurrence rule within the tick, appends the rewritten docs
+    (id, text, n_lines, n_dropped) to ``out_path`` and the tick's new
+    line hashes to ``ledger_path``."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        lines = batch.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+                "__pos", "__w"
+            ),
+        )
+        hashed = lines.filter(F.trim(F.col("__w")) != "").withColumn(
+            "__lh", F.md5("__w")
+        )
+        if _io._exists(spark, ledger_path):
+            seen = spark.read.parquet(ledger_path).select("__lh")
+            fresh = hashed.join(seen, "__lh", "left_anti")
+        else:
+            fresh = hashed
+        winners = fresh.groupBy("__lh").agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+        )
+        kept_dd = (
+            fresh.join(winners, "__lh")
+            .filter(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__pos") == F.col("__first")["__pos"])
+            )
+            .select(id_col, "__pos", "__w")
+        )
+        blank = lines.filter(F.trim(F.col("__w")) == "")
+        kept = kept_dd.unionByName(blank)
+        totals = lines.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__nt")
+        )
+        out = _reassemble(
+            batch,
+            kept,
+            totals,
+            id_col,
+            joiner=line_sep,
+            n_total_col="n_lines",
+            n_removed_col="n_dropped",
+        )
+        # docs first, ledger second (see module docstring)
+        _io.append_once(out, out_path, batch_id)
+        _io.append_once(
+            winners.select("__lh"), ledger_path, batch_id
+        )
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_span_dedup_stream(
+    docs: DataFrame,
+    *,
+    out_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Exact substring dedup over a document stream (min_count=2
+    only — the ledger stores span presence, not counts): a span
+    occurrence is excised when its span hash was seen in ANY earlier
+    tick, or when it is a non-canonical in-tick occurrence of a span
+    repeated within the tick. Appends rewritten docs (id, text,
+    n_tokens, n_removed) and the tick's distinct span hashes
+    (singletons included — a future occurrence makes them
+    duplicated)."""
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError(f"span length n must be >= 2, got {n}")
+    if min_count != 2:
+        raise ValueError(
+            "streaming span dedup supports min_count=2 only (the "
+            "ledger is presence, not counts); got "
+            f"{min_count} — run the batch operator for other settings"
+        )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        tok = _tokens(batch, id_col, text_col)
+        w = Window.partitionBy(id_col).orderBy("__pos")
+        parts = [F.col("__w").alias("__w0")] + [
+            F.lead("__w", j).over(w).alias(f"__w{j}")
+            for j in range(1, n)
+        ]
+        occ = (
+            tok.select(id_col, "__pos", *parts)
+            .filter(F.col(f"__w{n - 1}").isNotNull())
+            .select(
+                id_col,
+                "__pos",
+                F.xxhash64(
+                    F.concat_ws(" ", *[f"__w{j}" for j in range(n)])
+                ).alias("__h"),
+            )
+        )
+        info = occ.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias(
+                "__first"
+            ),
+        )
+        in_tick_dups = occ.join(
+            info.filter(F.col("__cnt") >= 2), "__h"
+        ).filter(
+            ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__pos") == F.col("__first")["__pos"])
+            )
+        ).select(id_col, "__pos")
+        if _io._exists(spark, ledger_path):
+            seen = spark.read.parquet(ledger_path).select("__h")
+            cross_tick = occ.join(seen, "__h", "left_semi").select(
+                id_col, "__pos"
+            )
+            dup_occ = in_tick_dups.unionByName(cross_tick)
+        else:
+            dup_occ = in_tick_dups
+        removed = (
+            dup_occ.select(
+                id_col,
+                F.explode(
+                    F.sequence(
+                        F.col("__pos"), F.col("__pos") + F.lit(n - 1)
+                    )
+                ).alias("__pos"),
+            )
+            .distinct()
+        )
+        kept = tok.join(removed, [id_col, "__pos"], "left_anti")
+        totals = tok.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__nt")
+        )
+        out = _reassemble(
+            batch,
+            kept,
+            totals,
+            id_col,
+            joiner=" ",
+            n_total_col="n_tokens",
+            n_removed_col="n_removed",
+        )
+        _io.append_once(out, out_path, batch_id)
+        _io.append_once(
+            occ.select("__h").distinct(), ledger_path, batch_id
+        )
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -191,3 +191,124 @@ def test_line_quality_filter_no_punct_mode(spark):
         line_quality_filter(df, require_terminal_punct=False)
     )
     assert got[1]["doc_kept"] is True and got[1]["n_dropped"] == 0
+
+
+# ------------------------------------------------------------ streaming
+
+
+def _range_split_src(spark, tmp_path, docs, cut):
+    """Two files split by id RANGE (tick order == id order, so the
+    streaming first-seen-wins rule coincides with the batch
+    min-(id,pos) winner and the twins must be bit-equal)."""
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    df.filter(f"doc_id < {cut}").coalesce(1).write.parquet(src)
+    df.filter(f"doc_id >= {cut}").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    return src, df
+
+
+def _drain(q):
+    q.awaitTermination(180)
+
+
+def test_stream_line_dedup_matches_batch_and_replay(spark, tmp_path):
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.spans import start_line_dedup_stream
+
+    docs = {
+        1: "header\nbody one\nfooter",
+        2: "header\nbody two\nfooter",
+        3: "body one\nunique three\n\nheader",
+    }
+    src, df = _range_split_src(spark, tmp_path, docs, cut=3)
+    paths = dict(
+        out_path=str(tmp_path / "out"),
+        ledger_path=str(tmp_path / "ledger"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def go():
+        q = start_line_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            **paths,
+        )
+        _drain(q)
+
+    go()
+    want = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in line_dedup(df).collect()
+    }
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in spark.read.parquet(paths["out_path"]).collect()
+    }
+    assert got == want
+    assert got[3][0] == "unique three\n"  # dedup crossed the tick
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    assert spark.read.parquet(paths["out_path"]).count() == len(docs)
+
+
+def test_stream_span_dedup_matches_batch_and_replay(spark, tmp_path):
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from starknet_etl_spark.streaming.spans import start_span_dedup_stream
+
+    docs = {
+        1: "a b c d x y",
+        2: "q q a b c d",   # cross-tick dup of the 4-gram in doc 1
+        3: "m n o p m n o p tail",  # in-tick (in-doc) repeat
+        4: "fresh tokens only here",
+    }
+    src, df = _range_split_src(spark, tmp_path, docs, cut=2)
+    paths = dict(
+        out_path=str(tmp_path / "out2"),
+        ledger_path=str(tmp_path / "ledger2"),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+
+    def go():
+        q = start_span_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            n=4,
+            **paths,
+        )
+        _drain(q)
+
+    go()
+    want = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_spans(df, n=4, min_count=2).collect()
+    }
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in spark.read.parquet(paths["out_path"]).collect()
+    }
+    assert got == want
+    assert got[2][2] == 4  # the cross-tick 4-gram was excised
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    assert spark.read.parquet(paths["out_path"]).count() == len(docs)
+
+    with _pytest.raises(ValueError, match="min_count=2"):
+        start_span_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                src
+            ),
+            min_count=3,
+            **paths,
+        )
