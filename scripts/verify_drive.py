@@ -340,5 +340,60 @@ assert got == want, (len(got), len(want), list(got - want)[:3], list(want - got)
 n_kept = sum(1 for _, s, _ in got if s == "kept")
 assert 0 < n_kept < len(got)
 
+
+# 6) span dedup: builder vs oracle independently (document-rewriting tier)
+spec = QUERIES["doc_span_dedup"]
+got = {(r["doc_id"], r["text"], r["n_tokens"], r["n_removed"])
+       for r in spec.builder(spark, SF).collect()}
+want = {tuple(r) for r in con.sql(spec.oracle).fetchall()}
+assert got == want, (len(got), len(want))
+assert sum(r[3] for r in got) > 0  # planted repetition was excised
+
+# 7) bloom decontamination guarantee: hits >= exact overlap on every doc
+from starknet_etl_spark.operators.contamination import (
+    bloom_overlap, ngram_overlap,
+)
+
+docs_sf = eio.load_testdata(spark, SF, "documents")
+tr_b = docs_sf.filter(F.col("source") != "src0")
+be_b = docs_sf.filter(F.col("source") == "src0")
+bl = {r["doc_id"]: r for r in bloom_overlap(tr_b, be_b).collect()}
+ex = {r["doc_id"]: r for r in ngram_overlap(tr_b, be_b).collect()}
+assert set(bl) == set(ex)
+for d, r in bl.items():
+    assert r["n_bloom_hits"] >= ex[d]["n_overlap"], d
+    if ex[d]["contaminated"]:
+        assert r["flagged"], d  # never a false negative
+
+# 8) sketches: CMS never undercounts; KMV lands near the exact count
+from starknet_etl_spark.operators.sketches import (
+    cms_heavy_hitters, kmv_distinct,
+)
+
+toks_sf = docs_sf.select(
+    F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+).filter(F.col("token") != "")
+for r in cms_heavy_hitters(toks_sf, "token", top=10).collect():
+    assert r["est_n"] >= r["true_n"], r
+km = kmv_distinct(toks_sf, "token", k=32).collect()[0]
+exact_tok = toks_sf.distinct().count()
+assert abs(km["est_distinct"] - exact_tok) / exact_tok < 0.5, (
+    km, exact_tok,
+)
+
+# 9) topic mixture: per-topic kept counts == floor(w*T) recomputed here
+from collections import Counter
+
+tm = QUERIES["doc_topic_mix"].builder(spark, SF).collect()
+tc = QUERIES["doc_topic_clusters"].builder(spark, SF).collect()
+sizes = Counter(r["topic"] for r in tc)
+K = 8
+T = min(int((sizes.get(t, 0)) / (1.0 / K)) for t in range(K))
+targets = {t: int((1.0 / K) * T) for t in range(K)}
+kept = Counter(r["topic"] for r in tm)
+assert dict(kept) == {t: k for t, k in targets.items() if k > 0}, (
+    dict(kept), targets,
+)
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()
