@@ -1120,11 +1120,18 @@ dirty AS (SELECT doc_id, best_cos FROM sbest WHERE best_cos >= {threshold})"""
 _CURATION_SEMANTIC_REASON = "'cos_' || ROUND(ROUND(best_cos, 6), 3)"
 
 
+_CURATION_DEFAULT_CORPUS = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    "WHERE source <> 'src0')"
+)
+
+
 def _curation_oracle(
     pairs_block: str = _CURATION_JACCARD_PAIRS,
     contam_block: str = _CURATION_NGRAM_CONTAM,
     contam_reason: str = _CURATION_NGRAM_REASON,
     quality_block: str | None = None,
+    corpus_block: str = _CURATION_DEFAULT_CORPUS,
 ) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
@@ -1146,9 +1153,9 @@ def _curation_oracle(
     for pat, tag in PII_PATTERNS.values():
         red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
     return (
-        r"""
-WITH RECURSIVE
-corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        "\nWITH RECURSIVE\n"
+        + corpus_block
+        + r""",
 cw AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
 ),
@@ -3987,8 +3994,8 @@ QUERIES["doc_bpe_chunks"] = QuerySpec(
 )
 
 
-_SPAN_N = 8
-_SPAN_MIN_COUNT = 2
+_SDUP_N = 8
+_SDUP_MIN_COUNT = 2
 
 
 def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4000,7 +4007,7 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return remove_repeated_spans(
         _docs(spark, sf_dir), "doc_id", "text",
-        n=_SPAN_N, min_count=_SPAN_MIN_COUNT,
+        n=_SDUP_N, min_count=_SDUP_MIN_COUNT,
     )
 
 
@@ -4021,10 +4028,10 @@ WITH toks AS (
 ),
 win AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         array_to_string(ws[i:i + {_SPAN_N} - 1], ' ') AS g
+         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents),
-       unnest(generate_series(1, len(ws) - {_SPAN_N} + 1)) AS t(i)
+       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
   WHERE ws[i] <> ''
 ),
 occ AS (
@@ -4035,8 +4042,8 @@ occ AS (
 ),
 removed AS (
   SELECT DISTINCT doc_id, pos + j AS pos
-  FROM occ, unnest(generate_series(0, {_SPAN_N} - 1)) AS t(j)
-  WHERE cnt >= {_SPAN_MIN_COUNT} AND rn > 1
+  FROM occ, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
 ),
 kept AS (
   SELECT t.doc_id, t.pos, t.w
@@ -4568,4 +4575,103 @@ QUERIES["doc_topic_mix"] = QuerySpec(
     _topic_mix,
     _TOPIC_MIX_ORACLE,
     "topic-balanced corpus mixture over the trained topic cells",
+)
+
+
+def _curation_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline with the stage-0 substring-dedup
+    REWRITE (curate_corpus(rewrite_spans=8)): every document is
+    span-deduplicated before any gate, so the clean verdicts judge
+    the rewritten text — the order real pipelines run (Lee-et-al
+    substring dedup, then quality gates)."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        rewrite_spans=_SDUP_N,
+        rewrite_min_count=_SDUP_MIN_COUNT,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+# The span-dedup rewrite as the curation oracle's corpus block: the
+# doc_span_dedup construction scoped to the non-benchmark corpus,
+# ending in corpus(doc_id, text). Everything MATERIALIZED — these sit
+# in a WITH RECURSIVE list where DuckDB re-inlines plain CTEs per
+# reference (the Lloyd-unroll lesson).
+_CURATION_SPAN_CORPUS = rf"""corpus0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+sdtoks AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+sdwin AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+sdocc AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM sdwin
+),
+sdrem AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM sdocc, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
+),
+sdagg AS MATERIALIZED (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+  FROM sdtoks t LEFT JOIN sdrem r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+  GROUP BY t.doc_id
+),
+corpus AS MATERIALIZED (
+  SELECT c.doc_id, COALESCE(a.text, '') AS text
+  FROM corpus0 c LEFT JOIN sdagg a USING (doc_id)
+)"""
+
+QUERIES["doc_curation_span_rewrite"] = QuerySpec(
+    _curation_span_rewrite,
+    _curation_oracle(corpus_block=_CURATION_SPAN_CORPUS),
+    "curation with the stage-0 substring-dedup rewrite composed in",
 )

@@ -77,6 +77,8 @@ def curate_corpus(
     split_salt: str = "",
     split_by_cluster: bool = False,
     redact: bool = True,
+    rewrite_spans: int | None = None,
+    rewrite_min_count: int = 2,
     components_algorithm: str = "minlabel",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation flow; returns ``(curated, audit)``.
@@ -131,6 +133,13 @@ def curate_corpus(
     ``None`` to skip pair mining. In embedding/semantic mode
     ``threshold`` is the COSINE floor (≈0.9+, vs ≈0.8 Jaccard).
     ``benchmark=None`` skips decontamination.
+
+    ``rewrite_spans``: optional stage 0 — exact substring dedup
+    (``spans.remove_repeated_spans``, Lee-et-al keep-first) REWRITES
+    every document before any gate runs, so length/repetition/dup
+    verdicts judge the deduplicated text; ``rewrite_min_count``
+    tunes the duplication bar. Rewriting is not a drop and has no
+    audit arm — a doc emptied by it falls to ``too_short``.
 
     ``contamination_mode``: ``"ngram"`` (5-gram overlap fraction —
     exact leakage) or ``"semantic"`` (``contamination.semantic_overlap``
@@ -187,6 +196,25 @@ def curate_corpus(
     # dict.fromkeys: dedupe while preserving order (e.g. cell_col ==
     # quality_floor_group must not project twice).
     docs = docs.select(*dict.fromkeys(keep_cols))
+
+    # -- stage 0 (optional): exact substring dedup REWRITE. Runs
+    # before every gate so the gates judge the deduplicated text
+    # (a doc hollowed out by boilerplate removal then fails
+    # too_short and is audited there — rewriting is not a drop, so
+    # it has no audit arm of its own).
+    if rewrite_spans is not None:
+        from ..operators.spans import remove_repeated_spans
+
+        rw = remove_repeated_spans(
+            docs,
+            id_col,
+            text_col,
+            n=rewrite_spans,
+            min_count=rewrite_min_count,
+        )
+        docs = docs.drop(text_col).join(
+            rw.select(id_col, F.col("text").alias(text_col)), id_col
+        )
 
     ids = F.col(id_col)
 

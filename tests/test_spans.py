@@ -312,3 +312,45 @@ def test_stream_span_dedup_matches_batch_and_replay(spark, tmp_path):
             min_count=3,
             **paths,
         )
+
+
+# ---------------------------------------------------- curation stage 0
+
+
+def test_curation_rewrite_spans_stage(spark):
+    """curate_corpus(rewrite_spans=): the stage-0 substring dedup
+    rewrites before any gate — a doc that is one big duplicated span
+    hollows out and is audited too_short; the span's first occurrence
+    survives intact."""
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    base = (
+        "the quarterly report covers and explains revenue cost "
+        "margin outlook forecast guidance pipeline churn retention "
+        "upsell expansion renewal booking billing conversion"
+    )  # 22 distinct en words
+    rows = [
+        (1, base),
+        # doc 2 = a unique prefix + a verbatim 16-token run from doc 1:
+        # the run is excised, what remains still passes min_words
+        (2, "the incident summary notes and restates for completeness "
+            "margin outlook forecast guidance pipeline churn retention "
+            "upsell expansion renewal booking billing conversion plus "
+            "the mitigation actions follow next"),
+        # doc 3 = nothing but doc 1's span again -> hollowed -> too_short
+        (3, "revenue cost margin outlook forecast guidance pipeline "
+            "churn retention upsell expansion renewal booking billing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curated, audit = curate_corpus(
+        docs,
+        min_words=10,
+        near_dup=None,
+        rewrite_spans=8,
+    )
+    cur = {r["doc_id"]: r for r in curated.collect()}
+    aud = {r["doc_id"]: r for r in audit.collect()}
+    assert 1 in cur and cur[1]["text"].startswith("the quarterly")
+    assert 2 in cur  # survived with its unique content
+    assert 3 in aud and aud[3]["stage"] == "clean"
+    assert aud[3]["reason"] == "too_short"
