@@ -480,3 +480,48 @@ def test_hybrid_fusion_plans_two_index_reads(spark):
     assert "hybrid_postings_catalog" in plan
     assert "hybrid_ann_catalog" in plan
     assert "documents.parquet" not in plan
+
+
+def test_bloom_probe_is_joinless_map(spark):
+    """The bloom decontamination probe's whole point: the benchmark
+    is a literal bitmask, so the TRAIN side has no join of any kind —
+    substring tests + one per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.contamination import (
+        probe_ngram_bloom,
+    )
+
+    docs = load_testdata(spark, SF_DIR, "documents")
+    probe = probe_ngram_bloom(
+        docs.filter(F.col("source") != "src0"), "0" * 512 + "1" * 512
+    )
+    qe = probe._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    for op in ("Join", "CartesianProduct", "Exchange rangepartitioning"):
+        assert op not in plan, op
+
+
+def test_span_dedup_no_cartesian_no_rownumber_window(spark):
+    """remove_repeated_spans: winner selection is an AGGREGATE
+    (map-side combinable), not a per-span row_number window — the
+    hot-boilerplate-span scale property — and nothing is all-pairs."""
+    plan = _plan(spark, "doc_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan  # windows appear only as lead()
+
+
+def test_kmv_is_takeordered(spark):
+    plan = _plan(spark, "doc_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    plan = _plan(spark, "doc_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
