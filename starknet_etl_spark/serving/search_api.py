@@ -303,12 +303,75 @@ def hybrid_response(
     )
 
 
+def cms_count_rows(
+    spark,
+    sketch_path: str,
+    values: list[str],
+    *,
+    depth: int,
+    width: int,
+) -> list[dict[str, Any]]:
+    """(value, est_n) point estimates from the persisted streaming
+    count-min sketch (streaming/sketches.py): merge the appended
+    per-batch counters at read, probe the broadcast result — the
+    sketch's whole service contract is that this stays counter-table
+    sized no matter how much the stream has seen. ``depth``/``width``
+    must match the stream's build parameters."""
+    from ..operators.sketches import cms_estimate
+    from ..streaming.sketches import read_cms
+
+    if not values:
+        return []
+    sk = read_cms(spark, sketch_path)
+    cand = spark.createDataFrame([(v,) for v in values], "value string")
+    got = {
+        r["value"]: int(r["est_n"])
+        for r in cms_estimate(
+            sk, cand, "value", depth=depth, width=width
+        ).collect()
+    }
+    return [{"value": v, "est_n": got.get(v, 0)} for v in values]
+
+
+def kmv_distinct_rows(
+    spark, state_path: str, *, k: int
+) -> list[dict[str, Any]]:
+    """The one-row distinct-count estimate from the persisted
+    streaming KMV state (k must match the stream's)."""
+    from ..streaming.sketches import read_kmv
+
+    r = read_kmv(spark, state_path, k=k).collect()[0]
+    return [
+        {
+            "k": int(r["k"]),
+            "n_kept": int(r["n_kept"]),
+            "est_distinct": float(r["est_distinct"]),
+        }
+    ]
+
+
 def quality_score_response(
     spark, model_path: str, texts: list[str], *, dim: int = 16
 ) -> dict[str, Any]:
     return _wrap(
         lambda: quality_score_rows(spark, model_path, texts, dim=dim)
     )
+
+
+def cms_count_response(
+    spark, sketch_path: str, values: list[str], *, depth: int, width: int
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: cms_count_rows(
+            spark, sketch_path, values, depth=depth, width=width
+        )
+    )
+
+
+def kmv_distinct_response(
+    spark, state_path: str, *, k: int
+) -> dict[str, Any]:
+    return _wrap(lambda: kmv_distinct_rows(spark, state_path, k=k))
 
 
 def create_search_app(
@@ -323,6 +386,11 @@ def create_search_app(
     ann_srp_planes: int | None = None,
     quality_model_path: str | None = None,
     quality_model_dim: int = 16,
+    cms_sketch: str | None = None,
+    cms_depth: int = 4,
+    cms_width: int = 64,
+    kmv_state: str | None = None,
+    kmv_k: int = 256,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -334,6 +402,9 @@ def create_search_app(
     - ``GET /phrase?q=exact+phrase+words``
     - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
+    - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
+      ``cms_depth``/``cms_width`` must match the stream's build)
+    - ``GET /sketch/distinct`` (streaming KMV state, ``kmv_k`` ditto)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -410,6 +481,25 @@ def create_search_app(
                     spark, quality_model_path, [t],
                     dim=quality_model_dim,
                 )
+            )
+
+    if cms_sketch is not None:
+
+        @app.get("/sketch/count")
+        def sketch_count(v: str):
+            return run(
+                lambda: cms_count_response(
+                    spark, cms_sketch, v.split(","),
+                    depth=cms_depth, width=cms_width,
+                )
+            )
+
+    if kmv_state is not None:
+
+        @app.get("/sketch/distinct")
+        def sketch_distinct():
+            return run(
+                lambda: kmv_distinct_response(spark, kmv_state, k=kmv_k)
             )
 
     if positional_index is not None:

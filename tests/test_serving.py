@@ -423,3 +423,58 @@ def test_hybrid_batch_equals_per_query_loop(spark, tmp_path):
             spark, bm25_p, ann_p,
             queries.withColumn("cell", F.lit(None).cast("long")),
         )
+
+
+def test_sketch_serving_core(spark, tmp_path):
+    """Sketch endpoints' core functions over real streamed state:
+    CMS point estimates never undercount the true counts; KMV state
+    reports the batch operator's arithmetic."""
+    from starknet_etl_spark.operators.sketches import cms_build
+    from starknet_etl_spark.serving.search_api import (
+        cms_count_rows,
+        kmv_distinct_rows,
+    )
+
+    rows = [("alpha",)] * 9 + [("beta",)] * 4 + [("gamma",)]
+    df = spark.createDataFrame(rows, ["v"])
+    cms_p = str(tmp_path / "cms")
+    cms_build(df, "v", depth=3, width=64).write.parquet(cms_p)
+    got = cms_count_rows(
+        spark, cms_p, ["alpha", "beta", "never-seen"], depth=3, width=64
+    )
+    assert [r["value"] for r in got] == ["alpha", "beta", "never-seen"]
+    assert got[0]["est_n"] >= 9 and got[1]["est_n"] >= 4
+    assert got[2]["est_n"] >= 0
+    assert cms_count_rows(spark, cms_p, [], depth=3, width=64) == []
+
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.sketches import hash_fraction
+
+    kmv_p = str(tmp_path / "kmv")
+    df.select(hash_fraction(F.col("v")).alias("__f")).distinct().orderBy(
+        "__f"
+    ).limit(16).write.parquet(kmv_p)
+    (r,) = kmv_distinct_rows(spark, kmv_p, k=16)
+    assert r["n_kept"] == 3 and r["est_distinct"] == 3.0
+
+
+def test_sketch_serving_fastapi_if_available(spark, tmp_path):
+    import pytest
+
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        pytest.skip("fastapi not installed")
+    from starknet_etl_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("x",)] * 5 + [("y",)], ["v"])
+    cms_p = str(tmp_path / "cms")
+    cms_build(df, "v", depth=2, width=32).write.parquet(cms_p)
+    client = TestClient(
+        create_search_app(spark, cms_sketch=cms_p, cms_depth=2, cms_width=32)
+    )
+    got = client.get("/sketch/count", params={"v": "x,y"}).json()
+    assert got["data"][0]["est_n"] >= 5
