@@ -215,9 +215,8 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir), "doc_id", "text", n=3, bits=16)
 
 
-_SIMHASH_ORACLE = (
-    "WITH "
-    + _SHINGLES_CTE
+_SIMHASH_CTES = (
+    _SHINGLES_CTE
     + r""",
 bits AS (
   SELECT doc_id, i,
@@ -231,12 +230,18 @@ votes AS (
     SUM(CASE WHEN CAST(FLOOR(digit / POW(2, i % 4)) AS BIGINT) % 2 = 1
              THEN 1 ELSE -1 END) AS vote
   FROM bits GROUP BY doc_id, i
+),
+sim AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN vote >= 0 THEN CAST(POW(2, i) AS BIGINT) ELSE 0 END)
-       AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
 """
+)
+
+_SIMHASH_ORACLE = (
+    "WITH " + _SIMHASH_CTES + "\nSELECT doc_id, simhash FROM sim\n"
 )
 
 
@@ -4674,4 +4679,43 @@ QUERIES["doc_curation_span_rewrite"] = QuerySpec(
     _curation_span_rewrite,
     _curation_oracle(corpus_block=_CURATION_SPAN_CORPUS),
     "curation with the stage-0 substring-dedup rewrite composed in",
+)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completed to PAIRS: banded Hamming-LSH candidates
+    (pigeonhole: hamming <= 3 over 4 blocks forces one exact block
+    match), exact bit_count(xor) verify inside buckets only
+    (operators/dedup.simhash_pairs)."""
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, bits=16, bands=4, max_hamming=3,
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH "
+    + _SIMHASH_CTES
+    + r""",
+bnd AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * 4)) % 16 AS val
+  FROM sim, unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bnd a JOIN bnd b
+    ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2,
+       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+)
+
+QUERIES["doc_simhash_pairs"] = QuerySpec(
+    _simhash_pairs,
+    _SIMHASH_PAIRS_ORACLE,
+    "banded Hamming-LSH simhash near-dup pairs with exact verify",
 )

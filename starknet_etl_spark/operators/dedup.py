@@ -849,3 +849,95 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__h", "__keep")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS — the tier :func:`simhash` signatures
+    exist for: ``(id_1, id_2, hamming)`` for every pair whose
+    signatures differ in at most ``max_hamming`` bits.
+
+    Candidate generation is banded (the classic Hamming-LSH
+    pigeonhole): the signature splits into ``bands`` equal bit
+    blocks, and any pair within Hamming distance ``max_hamming`` <
+    ``bands`` must agree EXACTLY on at least one block — so
+    candidates come from equality buckets on (band, block value),
+    never an all-pairs scan, and the exact ``bit_count(xor)`` check
+    runs only inside buckets. ``max_bucket`` (optional) skips
+    pathological buckets the way minhash_lsh_pairs' cap does — a
+    block value shared by k docs costs k²/2 comparisons; on a corpus
+    with a degenerate hot block, cap it and let the other bands
+    recover the recall.
+
+    Scale: one signature aggregate (simhash), a bands explode (×
+    ``bands``), one bucket-keyed self-join, distinct on the pair key.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            "the pigeonhole guarantee needs max_hamming < bands, got "
+            f"max_hamming={max_hamming}, bands={bands}"
+        )
+    band_w = bits // bands
+    sig = simhash(df, id_col, text_col, n=n, bits=bits)
+    bdf = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * band_w)
+                            % (2 ** band_w)
+                        ).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bv"),
+    ).select(
+        id_col, "simhash",
+        F.col("__bv.band").alias("band"),
+        F.col("__bv.val").alias("val"),
+    )
+    if max_bucket is not None:
+        sizes = bdf.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        bdf = bdf.join(
+            sizes.filter(F.col("__bn") <= max_bucket), ["band", "val"]
+        ).drop("__bn")
+    a, b = bdf.alias("a"), bdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.col("a.simhash").alias("__s1"),
+            F.col("b.simhash").alias("__s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

@@ -2743,3 +2743,56 @@ def test_pq_index_health_maintenance(spark, tmp_path):
     assert out3["action"] == "purge"
     st3 = ann_index_stats(spark, idx).first()
     assert st3["tombstone_frac"] == 0.0 and st3["n_vectors"] == 7
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """simhash_pairs == brute force over the signatures: every pair
+    with hamming <= max_hamming that shares at least one band (the
+    pigeonhole makes that EVERY such pair), nothing else."""
+    import random
+
+    from starknet_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = random.Random(3)
+    vocab = "red blue green gold gray pink teal onyx".split()
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text", n=3, bits=16).collect()
+    }
+
+    def bands_of(s):
+        return {(b, (s >> (b * 4)) % 16) for b in range(4)}
+
+    exp = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                # pigeonhole: <=3 flipped bits over 4 blocks leave one
+                # block identical — banding can never lose such a pair
+                assert bands_of(sigs[a]) & bands_of(sigs[b])
+                exp.add((a, b, h))
+    got = {
+        (r["id_1"], r["id_2"], r["hamming"])
+        for r in simhash_pairs(df, "doc_id", "text", bits=16).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_simhash_pairs_max_bucket_skips_hot_blocks(spark):
+    from starknet_etl_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(d, "same exact text for everyone here") for d in range(6)],
+        ["doc_id", "text"],
+    )
+    full = simhash_pairs(df, "doc_id", "text").count()
+    assert full == 15  # identical docs: every pair, hamming 0
+    capped = simhash_pairs(df, "doc_id", "text", max_bucket=2).count()
+    assert capped == 0  # every block bucket holds all 6 -> skipped
