@@ -224,3 +224,150 @@ def maintain_pq_index(
         "reasons": reasons,
         "stats": stats.asDict(),
     }
+
+
+def postings_index_stats(spark, index_path: str) -> DataFrame:
+    """One-row health card for a BM25 postings index
+    (``search.build_postings_index`` layout): (n_postings, n_terms,
+    n_buckets, min/max/avg bucket rows, bucket_skew, n_docs_live,
+    n_tombstoned, tombstone_frac).
+
+    ``avg_bucket_rows`` is the probe-cost driver — a probe reads its
+    query terms' WHOLE buckets, so a corpus that outgrew its frozen
+    ``n_buckets`` pays it on every query; that, not hash skew, is
+    what ``rebucket_postings`` fixes. ``n_docs_live`` comes from the
+    stats ledger net of pending tombstone adjustments (the same
+    number probes rank with); ``tombstone_frac`` = dead /
+    (live + dead) is the scan waste a purge reclaims. Cost: one agg
+    over the postings (bucket sizes), one distinct on term, two tiny
+    reads — per-tick cheap.
+    """
+    from .. import io as _io
+    from .search import _paths, _purged_batch_ids, _read_meta
+
+    postings_p, stats_p, _ = _paths(index_path)
+    n_buckets = _read_meta(spark, index_path)
+    rows = spark.read.parquet(postings_p)
+    buckets = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    stats = buckets.agg(
+        F.sum("__n").cast("long").alias("n_postings"),
+        F.min("__n").cast("long").alias("min_bucket_rows"),
+        F.max("__n").cast("long").alias("max_bucket_rows"),
+        F.round(F.sum("__n") / F.lit(n_buckets), 6).alias(
+            "avg_bucket_rows"
+        ),
+        F.round(
+            F.max("__n") * F.lit(n_buckets) / F.sum("__n"), 6
+        ).alias("bucket_skew"),
+    )
+    n_terms = rows.select("term").distinct().count()
+    ledger = spark.read.parquet(stats_p).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+    ).first()[0]
+    tomb = f"{index_path}__tombstones"
+    n_dead = 0
+    pending_dead = 0
+    if _io._exists(spark, tomb):
+        tomb_df = _io.load_table(spark, tomb)
+        n_dead = tomb_df.select("doc_id").distinct().count()
+        purged = _purged_batch_ids(spark, stats_p)
+        pend = tomb_df
+        if purged:
+            pend = pend.filter(
+                ~F.col("batch_id").isin([int(b) for b in purged])
+            )
+        pending_dead = (
+            pend.filter(F.col("dl").isNotNull())
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+    live = int(ledger) - pending_dead
+    return stats.select(
+        "*",
+        F.lit(int(n_terms)).cast("long").alias("n_terms"),
+        F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
+        F.lit(int(live)).cast("long").alias("n_docs_live"),
+        F.lit(int(n_dead)).cast("long").alias("n_tombstoned"),
+        F.round(
+            F.lit(int(n_dead))
+            / F.greatest(F.lit(int(live + n_dead)), F.lit(1)),
+            6,
+        ).alias("tombstone_frac"),
+    )
+
+
+def postings_needs_maintenance(
+    stats_row,
+    *,
+    max_avg_bucket_rows: float = 1_000_000.0,
+    max_tombstone_frac: float = 0.2,
+) -> list[str]:
+    """Policy over one collected postings stats row: ``grown_<x>``
+    (the corpus outgrew its bucket count — every probe now reads
+    oversized buckets; rebucket) and ``tombstones_<x>`` (scan waste;
+    purge). Empty = healthy. Driver-side and dumb, like
+    :func:`needs_retrain` — policies must be auditable."""
+    reasons: list[str] = []
+    avg = stats_row["avg_bucket_rows"]
+    if avg is not None and avg > max_avg_bucket_rows:
+        reasons.append(f"grown_{avg}")
+    frac = stats_row["tombstone_frac"]
+    if frac is not None and frac > max_tombstone_frac:
+        reasons.append(f"tombstones_{frac}")
+    return reasons
+
+
+def maintain_postings_index(
+    spark,
+    index_path: str,
+    *,
+    max_avg_bucket_rows: float = 1_000_000.0,
+    max_tombstone_frac: float = 0.2,
+    target_bucket_rows: float | None = None,
+) -> dict:
+    """One maintenance tick for a postings index: stats → policy →
+    exactly one action ∈ {"none", "purge", "rebucket"}.
+
+    A growth breach triggers ONE ``rebucket_postings`` to
+    ``ceil(n_postings / target_bucket_rows)`` buckets (default
+    target: half the breach threshold, so the rebucketed index has
+    headroom); tombstones-only triggers ``purge_postings`` (cheaper:
+    touched-bucket rewrite). When both breach, rebucket wins this
+    tick — it is the probe-latency fix — and the tombstone breach
+    fires the purge on the NEXT tick (tombstones ride along through
+    a rebucket untouched)."""
+    from .search import purge_postings, rebucket_postings
+
+    stats = postings_index_stats(spark, index_path).first()
+    reasons = postings_needs_maintenance(
+        stats,
+        max_avg_bucket_rows=max_avg_bucket_rows,
+        max_tombstone_frac=max_tombstone_frac,
+    )
+    if not reasons:
+        return {"action": "none", "reasons": [], "stats": stats.asDict()}
+    if any(r.startswith("grown_") for r in reasons):
+        import math
+
+        target = (
+            target_bucket_rows
+            if target_bucket_rows is not None
+            else max_avg_bucket_rows / 2
+        )
+        n_new = max(1, math.ceil(stats["n_postings"] / target))
+        rebucket_postings(spark, index_path, n_new)
+        return {
+            "action": "rebucket",
+            "reasons": reasons,
+            "n_buckets": n_new,
+            "stats": stats.asDict(),
+        }
+    purge_postings(spark, index_path)
+    return {
+        "action": "purge",
+        "reasons": reasons,
+        "stats": stats.asDict(),
+    }

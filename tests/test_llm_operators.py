@@ -2796,3 +2796,62 @@ def test_simhash_pairs_max_bucket_skips_hot_blocks(spark):
     assert full == 15  # identical docs: every pair, hamming 0
     capped = simhash_pairs(df, "doc_id", "text", max_bucket=2).count()
     assert capped == 0  # every block bucket holds all 6 -> skipped
+
+
+def test_maintain_postings_index_lifecycle(spark, tmp_path):
+    """Postings-index health: growth breach → exactly one rebucket
+    (then healthy), tombstone breach → exactly one purge (then
+    healthy), probes correct throughout."""
+    from starknet_etl_spark.operators.index_health import (
+        maintain_postings_index,
+        postings_index_stats,
+    )
+    from starknet_etl_spark.operators.search import (
+        bm25_indexed,
+        build_postings_index,
+        forget_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (d, f"alpha beta gamma doc{d} extra words here")
+            for d in range(10)
+        ],
+        "doc_id bigint, text string",
+    )
+    p = str(tmp_path / "pidx")
+    build_postings_index(docs, p, n_buckets=4)
+    row = postings_index_stats(spark, p).first()
+    assert row["n_buckets"] == 4 and row["n_docs_live"] == 10
+    assert row["n_postings"] == 70  # 7 terms x 10 docs
+
+    tick = maintain_postings_index(
+        spark, p, max_avg_bucket_rows=5.0, target_bucket_rows=5.0
+    )
+    assert tick["action"] == "rebucket" and tick["n_buckets"] == 14
+    assert postings_index_stats(spark, p).first()["avg_bucket_rows"] == 5.0
+    assert (
+        maintain_postings_index(
+            spark, p, max_avg_bucket_rows=5.0, target_bucket_rows=5.0
+        )["action"]
+        == "none"
+    )
+
+    forget_postings(spark, p, [0, 1, 2], batch_id=900)
+    stats = postings_index_stats(spark, p).first()
+    assert stats["n_docs_live"] == 7 and stats["n_tombstoned"] == 3
+    tick3 = maintain_postings_index(
+        spark, p, max_avg_bucket_rows=5.0, max_tombstone_frac=0.2
+    )
+    assert tick3["action"] == "purge"
+    assert (
+        maintain_postings_index(
+            spark, p, max_avg_bucket_rows=5.0, max_tombstone_frac=0.2
+        )["action"]
+        == "none"
+    )
+    got = {
+        r["doc_id"]
+        for r in bm25_indexed(spark, p, ["alpha"], top_k=20).collect()
+    }
+    assert got == set(range(3, 10))
