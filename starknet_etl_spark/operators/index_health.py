@@ -371,3 +371,103 @@ def maintain_postings_index(
         "reasons": reasons,
         "stats": stats.asDict(),
     }
+
+
+def positional_index_stats(spark, index_path: str) -> DataFrame:
+    """Health card for a positional (phrase) index — the postings
+    card minus the stats ledger (positions carry no corpus-wide
+    stats): (n_rows, n_terms, n_docs, n_buckets, min/max/avg bucket
+    rows, bucket_skew, n_tombstoned, tombstone_frac)."""
+    import os
+
+    from .. import io as _io
+
+    rows = spark.read.parquet(os.path.join(index_path, "positions"))
+    n_buckets = int(
+        spark.read.parquet(os.path.join(index_path, "meta")).first()[
+            "n_buckets"
+        ]
+    )
+    buckets = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    stats = buckets.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.min("__n").cast("long").alias("min_bucket_rows"),
+        F.max("__n").cast("long").alias("max_bucket_rows"),
+        F.round(F.sum("__n") / F.lit(n_buckets), 6).alias(
+            "avg_bucket_rows"
+        ),
+        F.round(
+            F.max("__n") * F.lit(n_buckets) / F.sum("__n"), 6
+        ).alias("bucket_skew"),
+    )
+    n_terms = rows.select("term").distinct().count()
+    n_docs = rows.select("doc_id").distinct().count()
+    tomb = f"{index_path}__tombstones"
+    n_dead = 0
+    if _io._exists(spark, tomb):
+        n_dead = (
+            _io.load_table(spark, tomb)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+    return stats.select(
+        "*",
+        F.lit(int(n_terms)).cast("long").alias("n_terms"),
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
+        F.lit(int(n_dead)).cast("long").alias("n_tombstoned"),
+        F.round(
+            F.lit(int(n_dead))
+            / F.greatest(F.lit(int(n_docs)), F.lit(1)),
+            6,
+        ).alias("tombstone_frac"),
+    )
+
+
+def maintain_positional_index(
+    spark,
+    index_path: str,
+    *,
+    max_avg_bucket_rows: float = 1_000_000.0,
+    max_tombstone_frac: float = 0.2,
+    target_bucket_rows: float | None = None,
+) -> dict:
+    """:func:`maintain_postings_index`'s phrase-tier twin: growth →
+    ONE ``rebucket_positional``, tombstones → ONE
+    ``purge_positional`` (rebucket wins when both breach; the purge
+    fires next tick)."""
+    from .search import purge_positional, rebucket_positional
+
+    stats = positional_index_stats(spark, index_path).first()
+    reasons = postings_needs_maintenance(
+        stats,
+        max_avg_bucket_rows=max_avg_bucket_rows,
+        max_tombstone_frac=max_tombstone_frac,
+    )
+    if not reasons:
+        return {"action": "none", "reasons": [], "stats": stats.asDict()}
+    if any(r.startswith("grown_") for r in reasons):
+        import math
+
+        target = (
+            target_bucket_rows
+            if target_bucket_rows is not None
+            else max_avg_bucket_rows / 2
+        )
+        n_new = max(1, math.ceil(stats["n_rows"] / target))
+        rebucket_positional(spark, index_path, n_new)
+        return {
+            "action": "rebucket",
+            "reasons": reasons,
+            "n_buckets": n_new,
+            "stats": stats.asDict(),
+        }
+    purge_positional(spark, index_path)
+    return {
+        "action": "purge",
+        "reasons": reasons,
+        "stats": stats.asDict(),
+    }

@@ -2855,3 +2855,55 @@ def test_maintain_postings_index_lifecycle(spark, tmp_path):
         for r in bm25_indexed(spark, p, ["alpha"], top_k=20).collect()
     }
     assert got == set(range(3, 10))
+
+
+def test_maintain_positional_index_lifecycle(spark, tmp_path):
+    """Positional-index health twin: growth → one rebucket,
+    tombstones → one purge, phrase probes correct throughout."""
+    from starknet_etl_spark.operators import dedup as DD
+    from starknet_etl_spark.operators.index_health import (
+        maintain_positional_index,
+        positional_index_stats,
+    )
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        phrase_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (d, f"one two three doc{d} one two padding text")
+            for d in range(8)
+        ],
+        "doc_id bigint, text string",
+    )
+    p = str(tmp_path / "posidx")
+    build_positional_index(docs, p, n_buckets=2)
+    row = positional_index_stats(spark, p).first()
+    assert row["n_buckets"] == 2 and row["n_docs"] == 8
+
+    tick = maintain_positional_index(
+        spark, p, max_avg_bucket_rows=4.0, target_bucket_rows=4.0
+    )
+    assert tick["action"] == "rebucket"
+    assert (
+        maintain_positional_index(
+            spark, p, max_avg_bucket_rows=row["n_rows"] + 1.0
+        )["action"]
+        == "none"
+    )
+
+    DD.forget(spark, p, [0, 1], 0, "doc_id")
+    tick2 = maintain_positional_index(
+        spark, p, max_avg_bucket_rows=row["n_rows"] + 1.0,
+        max_tombstone_frac=0.2,
+    )
+    assert tick2["action"] == "purge"
+    got = {
+        d
+        for d, _ in [
+            (r["doc_id"], r) for r in
+            phrase_indexed(spark, p, ["one", "two"]).collect()
+        ]
+    }
+    assert got == set(range(2, 8))
