@@ -4719,3 +4719,69 @@ QUERIES["doc_simhash_pairs"] = QuerySpec(
     _SIMHASH_PAIRS_ORACLE,
     "banded Hamming-LSH simhash near-dup pairs with exact verify",
 )
+
+
+_PROX_TERMS = ("table", "hash", "scan")
+_PROX_WINDOW = 10
+
+
+def _proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (SpanNear): docs holding all three terms
+    within a 10-token covering span, with the minimal span — the
+    tier between BM25 and exact phrase (operators/search.py)."""
+    from ..operators.search import proximity_search
+
+    return proximity_search(
+        _docs(spark, sf_dir), list(_PROX_TERMS), window=_PROX_WINDOW
+    )
+
+
+def _proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same probe over the persisted positional index — bucket-
+    pruned read, identical rows to the scan (shared span core)."""
+    from ..operators.search import (
+        build_positional_index,
+        proximity_indexed,
+    )
+
+    path = scratch_path(spark, sf_dir, "positional_prox_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return proximity_indexed(
+        spark, path, list(_PROX_TERMS), window=_PROX_WINDOW
+    )
+
+
+_PROXIMITY_ORACLE = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] IN ('hash', 'scan', 'table')
+),
+spans AS (
+  SELECT a.doc_id,
+         greatest(a.pos, b.pos, c.pos)
+           - least(a.pos, b.pos, c.pos) AS span
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.t = 'scan'
+  JOIN tok c ON c.doc_id = a.doc_id AND c.t = 'table'
+  WHERE a.t = 'hash'
+)
+SELECT doc_id, CAST(MIN(span) AS BIGINT) AS min_span
+FROM spans GROUP BY doc_id
+HAVING MIN(span) <= {_PROX_WINDOW}
+"""
+
+QUERIES["doc_proximity_search"] = QuerySpec(
+    _proximity_search,
+    _PROXIMITY_ORACLE,
+    "SpanNear proximity retrieval: all terms within a token window",
+)
+
+QUERIES["doc_proximity_indexed"] = QuerySpec(
+    _proximity_indexed,
+    _PROXIMITY_ORACLE,
+    "proximity probe over the positional index == the scan",
+)

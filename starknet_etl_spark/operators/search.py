@@ -1507,3 +1507,106 @@ def hybrid_batch(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def _proximity_terms(terms: list[str]) -> list[str]:
+    uniq = sorted({t.lower() for t in terms})
+    if len(uniq) < 2 or any(not t or " " in t for t in uniq):
+        raise ValueError(
+            "proximity needs >= 2 distinct single-token terms, got "
+            f"{terms!r}"
+        )
+    return uniq
+
+
+def _min_span(
+    toks: DataFrame, uniq: list[str], id_col: str, window: int
+) -> DataFrame:
+    """(id, min_span) for docs containing EVERY term with the minimal
+    covering span <= window. toks = (id, __pos, __t) already filtered
+    to the query terms. One equi-join per term keyed by doc id; the
+    tuple space per doc is the product of the terms' tf — fine for
+    query-sized term sets (the guard is the query, as in knn_batch)."""
+    joined = None
+    for i, t in enumerate(uniq):
+        ti = toks.filter(F.col("__t") == t).select(
+            F.col(id_col), F.col("__pos").alias(f"__p{i}")
+        )
+        joined = ti if joined is None else joined.join(ti, id_col)
+    ps = [F.col(f"__p{i}") for i in range(len(uniq))]
+    span = F.greatest(*ps) - F.least(*ps)
+    out = joined.groupBy(id_col).agg(
+        F.min(span).cast("long").alias("min_span")
+    )
+    return out.filter(F.col("min_span") <= F.lit(window))
+
+
+def proximity_search(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity retrieval — the tier between BM25's bag-of-terms and
+    the exact-phrase intersect: ``(id, min_span)`` for documents
+    containing ALL of ``terms`` within a ``window``-token covering
+    span (min over one-position-per-term tuples of max−min; the
+    SpanNear/WITHIN operator of classic IR).
+
+    Scan-side baseline: tokenize once, filter to the query terms
+    BEFORE any shuffle (rows ∝ the terms' corpus frequency), one
+    doc-keyed join per distinct term, one aggregate. The index
+    variant (:func:`proximity_indexed`) must return identical rows.
+    """
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    uniq = _proximity_terms(terms)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__t"),
+    ).filter(F.col("__t").isin(*uniq))
+    return _min_span(toks, uniq, id_col, window)
+
+
+def proximity_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    *,
+    window: int,
+) -> DataFrame:
+    """Proximity probe over the positional index: identical results
+    to ``proximity_search`` (the span core is literally shared),
+    reading only the query terms' bucket directories; forgotten docs
+    never match."""
+    from ..operators.dedup import _without_forgotten
+
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    uniq = _proximity_terms(terms)
+    n_buckets = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
+    )
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        .select(_bucket(F.col("t"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    rows = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+    )
+    rows = _without_forgotten(spark, path, rows, "doc_id")
+    toks = rows.select(
+        "doc_id",
+        F.col("term").alias("__t"),
+        F.explode("positions").alias("__pos"),
+    ).select("doc_id", "__pos", "__t")
+    return _min_span(toks, uniq, "doc_id", window)

@@ -358,6 +358,33 @@ def quality_score_response(
     )
 
 
+def proximity_rows(
+    spark, positional_index: str, terms: list[str], *, window: int
+) -> list[dict[str, Any]]:
+    """(doc_id, min_span) proximity matches from the positional
+    index — the SpanNear serving shape (bucket-pruned read)."""
+    from ..operators.search import proximity_indexed
+
+    return [
+        {"doc_id": r["doc_id"], "min_span": int(r["min_span"])}
+        for r in proximity_indexed(
+            spark, positional_index, terms, window=window
+        )
+        .orderBy("min_span", "doc_id")
+        .collect()
+    ]
+
+
+def proximity_response(
+    spark, positional_index: str, terms: list[str], *, window: int
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: proximity_rows(
+            spark, positional_index, terms, window=window
+        )
+    )
+
+
 def cms_count_response(
     spark, sketch_path: str, values: list[str], *, depth: int, width: int
 ) -> dict[str, Any]:
@@ -400,6 +427,7 @@ def create_search_app(
     - ``GET /ann?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /pq?v=0.1,0.2,...&k=10&n_probes=2``
     - ``GET /phrase?q=exact+phrase+words``
+    - ``GET /near?q=term+term+term&window=10`` (proximity/SpanNear)
     - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
@@ -503,6 +531,14 @@ def create_search_app(
             )
 
     if positional_index is not None:
+
+        @app.get("/near")
+        def near(q: str, window: int = 10):
+            return run(
+                lambda: proximity_response(
+                    spark, positional_index, q.split(), window=window
+                )
+            )
 
         @app.get("/phrase")
         def phrase(q: str):

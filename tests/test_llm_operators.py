@@ -2907,3 +2907,65 @@ def test_maintain_positional_index_lifecycle(spark, tmp_path):
         ]
     }
     assert got == set(range(2, 8))
+
+
+def test_proximity_scan_indexed_and_forget(spark, tmp_path):
+    """proximity_search == proximity_indexed over the same corpus;
+    forgotten docs never match; validation raises."""
+    import pytest as _pt
+
+    from starknet_etl_spark.operators import dedup as DD
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        proximity_indexed,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha mid beta far gamma"),       # span 4
+            (2, "gamma beta alpha"),                # span 2, any order
+            (3, "alpha beta no third term here"),   # missing gamma
+            (4, "alpha " + "x " * 30 + "beta gamma"),  # span 32 > window
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["alpha", "beta", "gamma"]
+    scan = sorted(
+        tuple(r)
+        for r in proximity_search(docs, terms, window=10).collect()
+    )
+    assert scan == [(1, 4), (2, 2)]
+    p = str(tmp_path / "prox")
+    build_positional_index(docs, p, n_buckets=4)
+    idx = sorted(
+        tuple(r)
+        for r in proximity_indexed(spark, p, terms, window=10).collect()
+    )
+    assert idx == scan
+    DD.forget(spark, p, [1], 0, "doc_id")
+    after = sorted(
+        tuple(r)
+        for r in proximity_indexed(spark, p, terms, window=10).collect()
+    )
+    assert after == [(2, 2)]
+    with _pt.raises(ValueError, match="distinct single-token"):
+        proximity_search(docs, ["alpha"], window=5)
+    with _pt.raises(ValueError, match="window"):
+        proximity_search(docs, terms, window=-1)
+
+
+def test_proximity_serving_core(spark, tmp_path):
+    from starknet_etl_spark.operators.search import build_positional_index
+    from starknet_etl_spark.serving.search_api import proximity_response
+
+    docs = spark.createDataFrame(
+        [(1, "red green blue"), (2, "red far far far green blue")],
+        "doc_id bigint, text string",
+    )
+    p = str(tmp_path / "proxserve")
+    build_positional_index(docs, p, n_buckets=4)
+    out = proximity_response(
+        spark, p, ["red", "green", "blue"], window=3
+    )
+    assert out["data"] == [{"doc_id": 1, "min_span": 2}]
