@@ -777,3 +777,71 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every TESTDATA table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
         load_testdata(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """Layout health card for a parquet dir: ``{n_files, n_bytes,
+    avg_file_mb, n_batch_markers}`` — the inputs a compaction policy
+    needs, remote-safe (Hadoop FS API throughout). ``n_batch_markers``
+    counts the ``append_once`` replay ledger entries (0 when the dir
+    has no ledger)."""
+    n_files = _count_files(spark, path, suffix=".parquet")
+    n_bytes = _dir_bytes(spark, path)
+    markers = 0
+    if _exists(spark, f"{path}/_batches"):
+        markers = _count_files(spark, f"{path}/_batches", suffix="")
+    return {
+        "n_files": int(n_files),
+        "n_bytes": int(n_bytes),
+        "avg_file_mb": round(
+            n_bytes / max(n_files, 1) / (1024 * 1024), 6
+        ),
+        "n_batch_markers": int(markers),
+    }
+
+
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 512,
+    min_avg_file_mb: float = 8.0,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+    marker_keep_last: int = 100,
+) -> dict:
+    """One maintenance tick for an append-only sink: compact when the
+    small-file drift passes threshold (file count above ``max_files``
+    AND mean file size below ``min_avg_file_mb`` — a big table is
+    ALLOWED many big files; only many SMALL files is drift), and trim
+    the replay-marker ledger past ``marker_keep_last``. Returns
+    ``{"action": "compact"|"none", "stats": ..., "markers_pruned": n}``.
+
+    The same auditable-policy stance as the index health ticks: the
+    expensive verb (one full rewrite) runs only on a stated breach,
+    and the stats that justified it ride along in the return value.
+    Metadata dirs (``_batches``/``_centroids``/``_codebooks``/
+    ``_purged``) survive compaction — ``compact_table``'s swap
+    carries them (the r4/r5 ledger-loss lessons)."""
+    stats = table_stats(spark, path)
+    pruned = 0
+    if stats["n_batch_markers"] > marker_keep_last:
+        pruned = prune_batch_markers(
+            spark, path, keep_last=marker_keep_last
+        )
+    action = "none"
+    if (
+        stats["n_files"] > max_files
+        and stats["avg_file_mb"] < min_avg_file_mb
+    ):
+        compact_table(
+            spark, path,
+            target_file_mb=target_file_mb,
+            partition_by=partition_by,
+        )
+        action = "compact"
+    return {
+        "action": action,
+        "stats": stats,
+        "markers_pruned": int(pruned),
+    }

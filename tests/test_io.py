@@ -416,3 +416,46 @@ def test_keyed_table_schema_evolution_partition_scoped(spark, tmp_path):
         3: ("c", None, 1),
         4: ("d3", None, 0),
     }
+
+
+def test_maintain_table_compacts_and_prunes(spark, tmp_path):
+    """Table maintenance tick: small-file breach → one compaction
+    (data + replay ledger intact), marker ledger trimmed to
+    keep_last, healthy tick is a no-op."""
+    from starknet_etl_spark import io as eio
+
+    p = str(tmp_path / "sink")
+    df = spark.range(2000).selectExpr("id", "id % 7 as v")
+    for b in range(12):
+        eio.append_once(df.limit(100), p, b)
+
+    tick = eio.maintain_table(
+        spark, p, max_files=5, min_avg_file_mb=64.0, marker_keep_last=4
+    )
+    assert tick["action"] == "compact"
+    assert tick["markers_pruned"] == 8
+    after = eio.table_stats(spark, p)
+    assert after["n_files"] <= 5 and after["n_batch_markers"] == 4
+    assert spark.read.parquet(p).count() == 1200
+    # replays of a kept-tail batch still no-op after the rewrite
+    assert not eio.append_once(df.limit(100), p, 11)
+    assert (
+        eio.maintain_table(
+            spark, p, max_files=5, min_avg_file_mb=64.0,
+            marker_keep_last=4,
+        )["action"]
+        == "none"
+    )
+
+
+def test_maintain_table_big_files_not_drift(spark, tmp_path):
+    """Many LARGE files are not small-file drift: the policy needs
+    BOTH the count breach and a small mean size."""
+    from starknet_etl_spark import io as eio
+
+    p = str(tmp_path / "bigs")
+    spark.range(100).write.parquet(p)
+    tick = eio.maintain_table(
+        spark, p, max_files=0, min_avg_file_mb=0.0
+    )
+    assert tick["action"] == "none"
