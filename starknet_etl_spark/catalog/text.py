@@ -4785,3 +4785,67 @@ QUERIES["doc_proximity_indexed"] = QuerySpec(
     _PROXIMITY_ORACLE,
     "proximity probe over the positional index == the scan",
 )
+
+
+_BATCH_PROX = {
+    "near_table_hash_scan": (("table", "hash", "scan"), 10),
+    "near_merge_key": (("merge", "key"), 6),
+}
+
+
+def _proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched proximity probes: one union-of-buckets positional
+    read serves every query; per query identical to the single-probe
+    loop (exact integer spans — no rounding seam)."""
+    from ..operators.search import build_positional_index, proximity_batch
+
+    path = scratch_path(spark, sf_dir, "positional_proxb_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return proximity_batch(
+        spark, path,
+        {k: (list(t), w) for k, (t, w) in _BATCH_PROX.items()},
+    )
+
+
+def _proximity_batch_oracle() -> str:
+    all_terms = sorted({t for ts, _ in _BATCH_PROX.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    parts = []
+    for qid, (ts, w) in _BATCH_PROX.items():
+        uniq = sorted(set(ts))
+        joins = []
+        for i, t in enumerate(uniq[1:], start=1):
+            joins.append(
+                f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.t = '{t}'"
+            )
+        cols = ", ".join(f"t{i}.pos" for i in range(len(uniq)))
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id,\n"
+            f"       CAST(MIN(greatest({cols}) - least({cols}))"
+            f" AS BIGINT) AS min_span\n"
+            f"FROM tok t0\n" + "\n".join(joins) + "\n"
+            f"WHERE t0.t = '{uniq[0]}'\n"
+            f"GROUP BY t0.doc_id\n"
+            f"HAVING MIN(greatest({cols}) - least({cols})) <= {w}"
+        )
+    return (
+        rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] IN ({in_list})
+)
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+QUERIES["doc_proximity_batch"] = QuerySpec(
+    _proximity_batch,
+    _proximity_batch_oracle(),
+    "batched proximity probes: one union-of-buckets read == the loop",
+)

@@ -1610,3 +1610,69 @@ def proximity_indexed(
         F.explode("positions").alias("__pos"),
     ).select("doc_id", "__pos", "__t")
     return _min_span(toks, uniq, "doc_id", window)
+
+
+def proximity_batch(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, tuple[list[str], int]],
+    *,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batched proximity probes: ``queries`` maps query_id ->
+    (terms, window); emits (query_id, doc_id, min_span), per query
+    identical to the :func:`proximity_indexed` loop (the span core is
+    the same code). ONE positional read covers the union of every
+    query's terms' buckets (cached for the per-query span plans);
+    the query set is driver-sized by contract (loud ``max_queries``
+    raise, the knn_batch stance)."""
+    if not queries:
+        raise ValueError("proximity_batch: empty query map")
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"proximity_batch: {len(queries)} queries exceeds "
+            f"max_queries={max_queries}; shard the query set or raise "
+            "the cap deliberately"
+        )
+    parsed = {
+        qid: (_proximity_terms(t), int(w))
+        for qid, (t, w) in queries.items()
+    }
+    for qid, (_, w) in parsed.items():
+        if w < 0:
+            raise ValueError(f"window must be >= 0 for {qid!r}")
+    all_terms = sorted({t for u, _ in parsed.values() for t in u})
+    n_buckets = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
+    )
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in all_terms], "t string"
+        )
+        .select(_bucket(F.col("t"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    from ..operators.dedup import _without_forgotten
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "positions"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+    )
+    rows = _without_forgotten(spark, path, rows, "doc_id")
+    toks = rows.select(
+        "doc_id",
+        F.col("term").alias("__t"),
+        F.explode("positions").alias("__pos"),
+    ).select("doc_id", "__pos", "__t")
+    toks = toks.cache()
+    out = None
+    for qid in sorted(parsed):
+        uniq, window = parsed[qid]
+        one = _min_span(toks, uniq, "doc_id", window).select(
+            F.lit(qid).alias("query_id"), "doc_id", "min_span"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -253,3 +253,54 @@ def start_phrase_probe_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_proximity_probe_stream(
+    queries: DataFrame,
+    *,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    q_id_col: str = "query_id",
+    terms_col: str = "terms",
+    window_col: str = "window",
+    max_queries: int = 10_000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Probe the positional index with a stream of (query_id,
+    terms array, window) rows; results (query_id, doc_id, min_span)
+    append exactly-once — the proximity twin of
+    ``start_phrase_probe_stream``, same cap-before-collect stance."""
+    from ..operators.search import proximity_batch
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch.select(q_id_col, terms_col, window_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"proximity probe micro-batch exceeds max_queries="
+                f"{max_queries}; lower the trigger size or raise the "
+                "cap deliberately"
+            )
+        if not rows:
+            return
+        qmap = {str(r[0]): (list(r[1]), int(r[2])) for r in rows}
+        out = proximity_batch(
+            batch.sparkSession,
+            index_path,
+            qmap,
+            max_queries=max_queries,
+        )
+        append_once(out, results_path, batch_id)
+
+    writer = (
+        queries.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1217,3 +1217,82 @@ def test_stream_datacard_drift_monitor(spark, tmp_path):
     _go()  # replay: both sinks no-op
     assert spark.read.parquet(cards).count() == n_cards
     assert spark.read.parquet(drift).count() == n_drift
+
+
+def test_stream_proximity_probe_parity_and_replay(spark, tmp_path):
+    """Query streams probe the positional index for proximity
+    matches: per-batch results equal the batched probe, replays
+    append nothing twice."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.search import (
+        build_positional_index,
+        proximity_batch,
+    )
+    from starknet_etl_spark.streaming.probes import (
+        start_proximity_probe_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha mid beta far gamma"),
+            (2, "gamma beta alpha"),
+            (4, "alpha beta delta close by"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "proxidx")
+    build_positional_index(docs, idx, n_buckets=4)
+
+    qsrc = str(tmp_path / "queries")
+    q1 = spark.createDataFrame(
+        [("q1", ["alpha", "beta", "gamma"], 10)],
+        "query_id string, terms array<string>, window int",
+    )
+    q2 = spark.createDataFrame(
+        [("q2", ["alpha", "delta"], 3)],
+        "query_id string, terms array<string>, window int",
+    )
+    q1.coalesce(1).write.parquet(qsrc)
+    q2.coalesce(1).write.mode("append").parquet(qsrc)
+
+    paths = dict(
+        index_path=idx,
+        results_path=str(tmp_path / "res"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def go():
+        q = start_proximity_probe_stream(
+            spark.readStream.schema(
+                "query_id string, terms array<string>, window int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qsrc),
+            **paths,
+        )
+        q.awaitTermination(180)
+
+    go()
+    want = sorted(
+        tuple(r)
+        for r in proximity_batch(
+            spark, idx,
+            {"q1": (["alpha", "beta", "gamma"], 10),
+             "q2": (["alpha", "delta"], 3)},
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(paths["results_path"]).collect()
+    )
+    assert got == want and len(got) == 3
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(paths["results_path"]).collect()
+    )
+    assert got2 == want
