@@ -62,8 +62,12 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # NULLs carry no identity and their hash is NULL — which Spark
+    # orders FIRST ascending and DuckDB LAST, so they must never
+    # reach the top-k. Dropped here, as in every dedup operator.
     mins = (
-        df.select(hash_fraction(F.col(col)).alias("__f"))
+        df.filter(F.col(col).isNotNull())
+        .select(hash_fraction(F.col(col)).alias("__f"))
         .distinct()
         .orderBy("__f")
         .limit(k)
@@ -125,6 +129,7 @@ def cms_build(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    df = df.filter(F.col(col).isNotNull())  # NULL has no count identity
     keyed = df.select(
         F.explode(
             F.array(

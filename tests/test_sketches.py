@@ -172,3 +172,19 @@ def test_stream_kmv_matches_batch_and_replay(spark, tmp_path):
     go()
     got2 = read_kmv(spark, paths["state_path"], k=64).collect()[0]
     assert got2 == want
+
+
+def test_sketches_drop_nulls(spark):
+    """NULL inputs never reach a sketch: Spark orders NULL hashes
+    FIRST ascending while DuckDB orders them LAST — a NULL in the
+    KMV top-k would split the engines; a NULL counter key means
+    nothing. Both drop them like every dedup operator."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string"
+    )
+    row = kmv_distinct(df, "v", k=8).collect()[0]
+    assert row["n_kept"] == 2 and row["est_distinct"] == 2.0
+    total = sum(
+        r["n"] for r in cms_build(df, "v", depth=2, width=16).collect()
+    )
+    assert total == 2 * 2  # 2 live rows x depth
