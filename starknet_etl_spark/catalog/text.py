@@ -4849,3 +4849,72 @@ QUERIES["doc_proximity_batch"] = QuerySpec(
     _proximity_batch_oracle(),
     "batched proximity probes: one union-of-buckets read == the loop",
 )
+
+
+def _topic_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TOPIC data card: the corpus summary grouped by the trained
+    topic cells instead of metadata labels — composition of
+    topic_clusters into plans/datacard.data_card (what a curation
+    review actually reads: token mass, split balance, PII exposure
+    and dup mass per discovered topic)."""
+    from ..plans.datacard import data_card
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    topics = X.topic_clusters(
+        docs, "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    return data_card(docs.join(topics, "doc_id"), group_cols=("topic",))
+
+
+def _topic_card_oracle() -> str:
+    from ..operators.pii import oracle_count_sql
+
+    exprs = oracle_count_sql("text")
+    pii_cols = ",\n         ".join(
+        f"{expr} AS p_{name}" for name, expr in exprs.items()
+    )
+    pii_rows = "\nUNION ALL ".join(
+        f"SELECT 'pii' AS section, '{name}' AS key,\n"
+        f"  CAST(SUM(CASE WHEN p_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_docs,\n  CAST(SUM(p_{name}) AS BIGINT) AS measure FROM t"
+        for name in exprs
+    )
+    return (
+        "WITH "
+        + _TOPIC_CTES
+        + rf""",
+t AS MATERIALIZED (
+  SELECT d.doc_id, CAST(c.cell AS VARCHAR) AS topic,
+         len(string_split_regex(trim(text), '\s+')) AS tok,
+         md5(text) AS h,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 1000 AS bucket,
+         {pii_cols}
+  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
+)
+SELECT 'corpus' AS section, 'all' AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS measure FROM t
+UNION ALL SELECT 'topic', topic, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT) FROM t GROUP BY topic
+UNION ALL SELECT 'split',
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val' ELSE 'test' END,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT)
+  FROM t GROUP BY 2
+UNION ALL {pii_rows}
+UNION ALL SELECT 'dedup', 'exact_duplicates',
+       CAST(COALESCE(SUM(c), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT h, COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)
+"""
+    )
+
+
+QUERIES["doc_topic_card"] = QuerySpec(
+    _topic_card,
+    _topic_card_oracle(),
+    "per-topic corpus data card over the trained topic cells",
+)
