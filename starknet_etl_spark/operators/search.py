@@ -1618,6 +1618,7 @@ def proximity_batch(
     queries: dict[str, tuple[list[str], int]],
     *,
     max_queries: int = 10_000,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Batched proximity probes: ``queries`` maps query_id ->
     (terms, window); emits (query_id, doc_id, min_span), per query
@@ -1675,4 +1676,9 @@ def proximity_batch(
             F.lit(qid).alias("query_id"), "doc_id", "min_span"
         )
         out = one if out is None else out.unionByName(one)
-    return out
+    from .dedup import _eager_release
+
+    # default eager: materialize the (small) result and release the
+    # cached positions deterministically — the round-1 leak lesson;
+    # pass eager_release=False when embedding in a larger lazy plan.
+    return _eager_release(out, [toks], eager_release)
