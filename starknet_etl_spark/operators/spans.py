@@ -200,7 +200,9 @@ def line_dedup(
 
     Line identity is the RAW line (no normalization) — pair with an
     upstream `normalize_text` projection when near-identical
-    boilerplate should collapse.
+    boilerplate should collapse. ``line_sep`` is a Java REGEX (the
+    `F.split` contract): '\\n' splits lines; escape metacharacters
+    for literal separators.
 
     Scale: line frequency/winner agg on md5(line) keys with map-side
     combine — a million-occurrence boilerplate line partial-aggregates

@@ -87,11 +87,12 @@ def start_kmv_stream(
         raise ValueError(f"k must be >= 2, got {k}")
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
-        if not batch.head(1):
-            return
+        live = batch.filter(F.col(col).isNotNull())
+        if not live.head(1):
+            return  # NULLs carry no identity (the batch operator's rule)
         spark = batch.sparkSession
         mins = (
-            batch.select(hash_fraction(F.col(col)).alias("__f"))
+            live.select(hash_fraction(F.col(col)).alias("__f"))
             .distinct()
             .orderBy("__f")
             .limit(k)
