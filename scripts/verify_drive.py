@@ -395,5 +395,25 @@ assert dict(kept) == {t: k for t, k in targets.items() if k > 0}, (
     dict(kept), targets,
 )
 
+
+# 10) proximity tier: index probe == scan baseline, independently here
+from starknet_etl_spark.operators.search import (
+    build_positional_index, proximity_indexed, proximity_search,
+)
+
+prox_terms = ["table", "hash", "scan"]
+scan_prox = sorted(
+    tuple(r)
+    for r in proximity_search(docs_sf, prox_terms, window=10).collect()
+)
+prox_p = "/tmp/verify_prox_idx"
+shutil.rmtree(prox_p, ignore_errors=True)
+build_positional_index(docs_sf, prox_p, n_buckets=8)
+idx_prox = sorted(
+    tuple(r)
+    for r in proximity_indexed(spark, prox_p, prox_terms, window=10).collect()
+)
+assert idx_prox == scan_prox and len(scan_prox) > 0
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -525,3 +525,14 @@ def test_cms_probe_broadcasts_sketch(spark):
     plan = _plan(spark, "doc_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_proximity_probe_prunes_buckets(spark):
+    """The positional probe's scale property: the scan carries a
+    bucket partition filter (reads |terms| buckets, not the index)."""
+    import re
+
+    plan = _plan(spark, "doc_proximity_indexed")
+    # every positional scan carries the bucket partition IN-filter
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
+    assert "CartesianProduct" not in plan
