@@ -4918,3 +4918,76 @@ QUERIES["doc_topic_card"] = QuerySpec(
     _topic_card_oracle(),
     "per-topic corpus data card over the trained topic cells",
 )
+
+
+def _topic_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET topic mixture: equal token mass per discovered
+    topic (the budget real pretraining mixes allocate — tokens, not
+    docs), composed from in-plan topic assignment + the size_col
+    mixture resampler."""
+    from ..operators.mixing import mix_corpus
+
+    docs = _docs(spark, sf_dir)
+    topics = X.topic_clusters(
+        docs, "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    sized = docs.select(
+        "doc_id", X.word_count(F.col("text")).alias("n_tokens")
+    ).join(topics, "doc_id")
+    out = mix_corpus(
+        sized, "topic", "doc_id",
+        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
+        size_col="n_tokens",
+    )
+    return out.select("doc_id", "topic", "mix_rank", "mix_cum")
+
+
+_TOPIC_MIX_TOKENS_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + ",\nw(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
+        for i in range(_TOPIC_K)
+    )
+    + r""")
+, tt AS (
+  SELECT d.doc_id, CAST(c.cell AS BIGINT) AS topic,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
+),
+tcnt AS (SELECT topic AS grp, SUM(n_tokens) AS n FROM tt GROUP BY topic),
+tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
+targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM tj
+),
+ranked AS (
+  SELECT doc_id, topic,
+         CAST(row_number() OVER (
+           PARTITION BY topic
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY topic
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS mix_cum
+  FROM tt
+)
+SELECT r.doc_id, r.topic, r.mix_rank, r.mix_cum
+FROM ranked r JOIN targets tg ON r.topic = tg.grp
+WHERE r.mix_cum <= tg.k
+"""
+)
+
+QUERIES["doc_topic_mix_tokens"] = QuerySpec(
+    _topic_mix_tokens,
+    _TOPIC_MIX_TOKENS_ORACLE,
+    "token-budget topic mixture: equal token mass per trained topic",
+)
