@@ -1,0 +1,115 @@
+"""Streaming topic assignment and topic-composition drift.
+
+The batch topic model (``text.topic_clusters``) trains Lloyd cells
+once; a production stream then wants every incoming document tagged
+against that FROZEN taxonomy (drift is only measurable against a
+stable reference — retraining per tick would move the ruler), plus a
+per-tick composition signal an operator can alert on ("the crawl
+suddenly went 60% topic 3").
+
+- :func:`start_topic_stream` — per tick: hash-embed the batch,
+  assign to the persisted centroids (``train_ivf_centroids`` output
+  saved as a table — n_topics × dim rows, metadata-sized), append
+  (id, topic) and a (topic, n_docs, n_tokens, batch_id) histogram,
+  both exactly-once under ``io.append_once``.
+- :func:`read_topic_drift` — tick-over-tick histogram deltas
+  computed AT READ from the appended summaries (cards are tiny;
+  no state table, no rewrite, nothing to crash).
+
+Scale: assignment is one broadcast join + per-doc argmax over the
+batch; the histogram is topic-count-sized. Replay: both sinks are
+append_once — a replayed tick recomputes the same rows and no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from .. import io as _io
+
+
+def start_topic_stream(
+    docs: DataFrame,
+    *,
+    centroids_path: str,
+    assignments_path: str,
+    histogram_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Tag a document stream against frozen topic centroids
+    (``train_ivf_centroids`` output saved at ``centroids_path``).
+    ``dim`` must match the training embed width."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        from ..operators.similarity import assign_cells, dot
+        from ..operators.text import hash_embed, word_count
+
+        cents = spark.read.parquet(centroids_path)
+        emb = hash_embed(batch, id_col, text_col, dim=dim)
+        live = emb.filter(
+            dot(F.col("embedding"), F.col("embedding")) > 0
+        )
+        asg = assign_cells(
+            live, cents, id_col=id_col, vec_col="embedding",
+            cell_col="topic",
+        ).select(
+            id_col, F.col("topic").cast("long").alias("topic")
+        )
+        sized = asg.join(
+            batch.select(
+                id_col, word_count(F.col(text_col)).alias("__tok")
+            ),
+            id_col,
+        )
+        asg = asg.localCheckpoint()  # two sinks, one compute
+        hist = sized.groupBy("topic").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        _io.append_once(asg, assignments_path, batch_id)
+        _io.append_once(hist, histogram_path, batch_id)
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topic_drift(
+    spark: SparkSession, histogram_path: str
+) -> DataFrame:
+    """Tick-over-tick topic-composition deltas from the appended
+    histograms: (batch_id, topic, n_docs, n_docs_delta, n_tokens,
+    n_tokens_delta) where the delta compares against the PREVIOUS
+    tick (0 for a topic's first appearance; a topic absent this tick
+    emits no row — absence is visible as the next appearance's delta
+    from its own lag). Summary-sized arithmetic — one window over
+    topics × ticks rows."""
+    hist = spark.read.parquet(histogram_path)
+    w = Window.partitionBy("topic").orderBy("batch_id")
+    return hist.select(
+        "batch_id",
+        "topic",
+        "n_docs",
+        (
+            F.col("n_docs")
+            - F.coalesce(F.lag("n_docs").over(w), F.col("n_docs"))
+        ).cast("long").alias("n_docs_delta"),
+        "n_tokens",
+        (
+            F.col("n_tokens")
+            - F.coalesce(F.lag("n_tokens").over(w), F.col("n_tokens"))
+        ).cast("long").alias("n_tokens_delta"),
+    )

@@ -1296,3 +1296,94 @@ def test_stream_proximity_probe_parity_and_replay(spark, tmp_path):
         for r in spark.read.parquet(paths["results_path"]).collect()
     )
     assert got2 == want
+
+
+def test_stream_topic_assignment_and_drift(spark, tmp_path):
+    """Streaming topic tagging against FROZEN centroids: per-tick
+    assignments equal the batch assign_cells on the same rows, the
+    histogram sums match, drift deltas are exact, replays append
+    nothing twice."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.similarity import (
+        assign_cells,
+        dot,
+        train_ivf_centroids,
+    )
+    from starknet_etl_spark.operators.text import hash_embed
+    from starknet_etl_spark.streaming.topics import (
+        read_topic_drift,
+        start_topic_stream,
+    )
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = hash_embed(docs, "doc_id", "text", dim=16)
+    live = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    cents = train_ivf_centroids(
+        live, id_col="doc_id", vec_col="embedding", dim=16, n_cells=4
+    )
+    cpath = str(tmp_path / "cents")
+    cents.write.parquet(cpath)
+
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 25").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 25").coalesce(1).write.mode("append").parquet(src)
+
+    paths = dict(
+        centroids_path=cpath,
+        assignments_path=str(tmp_path / "asg"),
+        histogram_path=str(tmp_path / "hist"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    def go():
+        q = start_topic_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            **paths,
+        )
+        q.awaitTermination(180)
+
+    go()
+    want = {
+        (r["doc_id"], r["topic"])
+        for r in assign_cells(
+            live, spark.read.parquet(cpath),
+            id_col="doc_id", vec_col="embedding", cell_col="topic",
+        ).select("doc_id", F.col("topic").cast("long")).collect()
+    }
+    got = {
+        (r["doc_id"], r["topic"])
+        for r in spark.read.parquet(paths["assignments_path"]).collect()
+    }
+    assert got == want and len(got) > 0
+
+    hist = spark.read.parquet(paths["histogram_path"])
+    assert hist.agg(F.sum("n_docs")).first()[0] == len(got)
+    drift = read_topic_drift(spark, paths["histogram_path"]).collect()
+    by_key = {(r["batch_id"], r["topic"]): r for r in drift}
+    h = {(r["batch_id"], r["topic"]): r["n_docs"] for r in hist.collect()}
+    for (b, t), r in by_key.items():
+        prev = [
+            h[(b2, t2)]
+            for (b2, t2) in sorted(h)
+            if t2 == t and b2 < b
+        ]
+        want_delta = r["n_docs"] - (prev[-1] if prev else r["n_docs"])
+        assert r["n_docs_delta"] == want_delta
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    got2 = {
+        (r["doc_id"], r["topic"])
+        for r in spark.read.parquet(paths["assignments_path"]).collect()
+    }
+    assert got2 == want
+    assert spark.read.parquet(paths["assignments_path"]).count() == len(want)
