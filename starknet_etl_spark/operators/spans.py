@@ -121,6 +121,12 @@ def remove_repeated_spans(
     occurrence's tokens survive unless some OTHER duplicated span
     covers them.
 
+    NOT idempotent, by design (same as the reference algorithm):
+    re-joining the surviving tokens creates NEW adjacencies across
+    removal gaps, so a second pass can find duplicated spans the
+    first pass could not — run once, or iterate deliberately to a
+    fixpoint if the corpus warrants it.
+
     Scale: window assembly is a doc-keyed lead(); the corpus-wide
     span-frequency/winner agg runs on xxhash64 keys with map-side
     combine (`min(struct)` — not a row_number window, so corpus-hot

@@ -625,3 +625,63 @@ def test_quality_model_matches_numpy_reference_bitwise(
         n_rounds=n_rounds, lr=lr,
     )
     assert got == list(w_ref), (got, list(w_ref))
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=0, max_size=18
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_dedup_equals_naive_reference(spark, docs, n):
+    """remove_repeated_spans == the literal Lee-et-al keep-first
+    reference on arbitrary small corpora over a colliding alphabet
+    (every duplicated span, every overlap union, every winner)."""
+    from starknet_etl_spark.operators.spans import remove_repeated_spans
+    from tests.test_spans import _naive_span_dedup
+
+    corpus = {d: " ".join(ws) for d, ws in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    want = _naive_span_dedup(corpus, n, 2)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_repeated_spans(df, n=n, min_count=2).collect()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["line a", "line b", "line c", "", " "]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_equals_naive_reference(spark, docs):
+    from starknet_etl_spark.operators.spans import line_dedup
+    from tests.test_spans import _naive_line_dedup
+
+    corpus = {d: "\n".join(ls) for d, ls in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    want = _naive_line_dedup(corpus)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in line_dedup(df).collect()
+    }
+    assert got == want
