@@ -194,6 +194,12 @@ def cms_estimate(
     absent — a value the sketch never saw). Every other candidate
     column passes through. ``depth``/``width`` must match the build.
     Scale: the sketch is depth × width counters — broadcast."""
+    reserved = {"row", "pos", "n"} & set(candidates.columns)
+    if reserved:
+        raise ValueError(
+            f"cms_estimate: candidate columns {sorted(reserved)} collide "
+            "with the sketch's (row, pos, n) join keys — rename them"
+        )
     passthrough = [c for c in candidates.columns]
     probes = candidates.select(
         *passthrough,
