@@ -103,6 +103,7 @@ def remove_repeated_spans(
     *,
     n: int = 8,
     min_count: int = 2,
+    iterations: int = 1,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2021 semantics,
     keep-first): any verbatim ``n``-token run occurring at least
@@ -124,8 +125,11 @@ def remove_repeated_spans(
     NOT idempotent, by design (same as the reference algorithm):
     re-joining the surviving tokens creates NEW adjacencies across
     removal gaps, so a second pass can find duplicated spans the
-    first pass could not — run once, or iterate deliberately to a
-    fixpoint if the corpus warrants it.
+    first pass could not — run once (the standard), or pass
+    ``iterations > 1`` to apply bounded extra passes toward the
+    fixpoint; each pass re-runs the full construction over the
+    previous pass's rewrite and ``n_removed`` accumulates against
+    the ORIGINAL token count.
 
     Scale: window assembly is a doc-keyed lead(); the corpus-wide
     span-frequency/winner agg runs on xxhash64 keys with map-side
@@ -140,6 +144,42 @@ def remove_repeated_spans(
         raise ValueError(f"span length n must be >= 2, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if iterations > 1:
+        # bounded fixpoint iteration: each pass rewrites the previous
+        # pass's output; totals re-anchor to the ORIGINAL token count
+        out = remove_repeated_spans(
+            df, id_col, text_col, n=n, min_count=min_count
+        )
+        for _ in range(iterations - 1):
+            out = remove_repeated_spans(
+                out.select(id_col, F.col("text").alias(text_col)),
+                id_col,
+                text_col,
+                n=n,
+                min_count=min_count,
+            )
+        tok0 = _tokens(df, id_col, text_col)
+        totals0 = tok0.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__nt0")
+        )
+        return (
+            out.join(totals0, id_col, "left")
+            .select(
+                id_col,
+                "text",
+                F.coalesce(F.col("__nt0"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+                (
+                    F.coalesce(F.col("__nt0"), F.lit(0))
+                    - (F.col("n_tokens") - F.col("n_removed"))
+                )
+                .cast("long")
+                .alias("n_removed"),
+            )
+        )
     tok = _tokens(df, id_col, text_col)
     w = Window.partitionBy(id_col).orderBy("__pos")
     parts = [F.col("__w").alias("__w0")] + [

@@ -354,3 +354,45 @@ def test_curation_rewrite_spans_stage(spark):
     assert 2 in cur  # survived with its unique content
     assert 3 in aud and aud[3]["stage"] == "clean"
     assert aud[3]["reason"] == "too_short"
+
+
+def test_span_dedup_fixpoint_iterations(spark):
+    """A second pass finds spans the first pass CREATED by re-joining
+    tokens across removal gaps; n_removed stays anchored to the
+    original token count."""
+    # doc 2: removing the copied "a b c d" leaves "x y" adjacent —
+    # which then duplicates doc 3's "x y" pair under n=2.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x a b c d y"),
+            (3, "x y tail words"),
+        ],
+        ["doc_id", "text"],
+    )
+    one = {
+        r["doc_id"]: r.asDict()
+        for r in remove_repeated_spans(df, n=2, min_count=2).collect()
+    }
+    two = {
+        r["doc_id"]: r.asDict()
+        for r in remove_repeated_spans(
+            df, n=2, min_count=2, iterations=2
+        ).collect()
+    }
+    # pass 1 removes doc 2's copied run, re-joining "x y" — a pair
+    # that did not exist adjacently before the rewrite. Pass 1 sees
+    # no duplicate (doc 3's "x y" was unique then); pass 2 sees the
+    # NEW duplicate and keeps the canonical min-(id,pos) copy, which
+    # is now doc 2's — doc 3 loses its pair.
+    assert one[2]["text"] == "x y" and one[3]["text"] == "x y tail words"
+    assert two[2]["text"] == "x y"
+    assert two[3]["text"] == "tail words"
+    # totals stay anchored to ORIGINAL token counts across passes
+    assert two[3]["n_tokens"] == 4 and two[3]["n_removed"] == 2
+    assert two[2]["n_tokens"] == 6 and two[2]["n_removed"] == 4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iterations"):
+        remove_repeated_spans(df, iterations=0)
