@@ -1524,19 +1524,43 @@ def _min_span(
 ) -> DataFrame:
     """(id, min_span) for docs containing EVERY term with the minimal
     covering span <= window. toks = (id, __pos, __t) already filtered
-    to the query terms. One equi-join per term keyed by doc id; the
-    tuple space per doc is the product of the terms' tf — fine for
-    query-sized term sets (the guard is the query, as in knn_batch)."""
-    joined = None
-    for i, t in enumerate(uniq):
-        ti = toks.filter(F.col("__t") == t).select(
-            F.col(id_col), F.col("__pos").alias(f"__p{i}")
+    to the query terms.
+
+    Sorted sweep, O(positions x terms) per doc: order each doc's
+    occurrences by position; the minimal covering span ENDING at
+    position p is ``p - min_i(latest occurrence of term i at <= p)``
+    (every minimal span ends at some occurrence, and p's own term's
+    latest is p itself, so greatest of the tuple is p). One doc-keyed
+    window carries one running ``last(...) ignorenulls`` per term.
+
+    This replaced a one-join-per-term formulation whose per-doc tuple
+    count was the PRODUCT of the terms' in-doc frequencies — a single
+    long doc where 3 terms each appear ~1000 times materialized ~1e9
+    tuples before the aggregate (data-dependent, not query-sized).
+    """
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.last(
+            F.when(F.col("__t") == t, F.col("__pos")), ignorenulls=True
         )
-        joined = ti if joined is None else joined.join(ti, id_col)
-    ps = [F.col(f"__p{i}") for i in range(len(uniq))]
-    span = F.greatest(*ps) - F.least(*ps)
-    out = joined.groupBy(id_col).agg(
-        F.min(span).cast("long").alias("min_span")
+        .over(w)
+        .alias(f"__l{i}")
+        for i, t in enumerate(uniq)
+    ]
+    swept = toks.select(F.col(id_col), F.col("__pos"), *lasts)
+    lcols = [F.col(f"__l{i}") for i in range(len(uniq))]
+    all_present = lcols[0].isNotNull()
+    for c in lcols[1:]:
+        all_present = all_present & c.isNotNull()
+    span = F.col("__pos") - F.least(*lcols)
+    out = (
+        swept.filter(all_present)
+        .groupBy(id_col)
+        .agg(F.min(span).cast("long").alias("min_span"))
     )
     return out.filter(F.col("min_span") <= F.lit(window))
 

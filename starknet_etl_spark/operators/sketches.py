@@ -171,7 +171,11 @@ def cms_heavy_hitters(
         raise ValueError(f"top must be >= 1, got {top}")
     sketch = cms_build(df, col, depth=depth, width=width)
     cand = (
-        df.groupBy(F.col(col).alias("value"))
+        # Mirror cms_build's NULL rule: the sketch never counted NULL,
+        # so a NULL candidate would probe md5('salt') buckets and could
+        # report est_n < true_n, breaking the >=-always invariant.
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
         .orderBy(F.desc("true_n"), F.asc("value"))
         .limit(top)

@@ -228,12 +228,30 @@ def remove_repeated_spans(
     )
 
 
+def _line_joiner(line_sep: str, joiner: str | None) -> str:
+    """The literal string that re-assembles surviving lines.
+    ``line_sep`` is a Java REGEX (the F.split contract); joining with
+    it verbatim corrupts output for any non-literal pattern (e.g.
+    '\\r?\\n' would embed the regex text between lines). When the
+    caller didn't pass an explicit ``joiner``, reject regex
+    metacharacters loudly instead of silently corrupting."""
+    if joiner is not None:
+        return joiner
+    if any(ch in line_sep for ch in r"\^$.|?*+()[]{}"):
+        raise ValueError(
+            f"line_sep {line_sep!r} is a regex with metacharacters; "
+            "pass an explicit literal joiner= for re-assembly"
+        )
+    return line_sep
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     line_sep: str = "\n",
+    joiner: str | None = None,
 ) -> DataFrame:
     """Corpus-level exact line deduplication (the MassiveText /
     RefinedWeb recipe): each distinct non-blank line value survives
@@ -284,7 +302,7 @@ def line_dedup(
         kept,
         totals,
         id_col,
-        joiner=line_sep,
+        joiner=_line_joiner(line_sep, joiner),
         n_total_col="n_lines",
         n_removed_col="n_dropped",
     )
@@ -323,6 +341,7 @@ def line_quality_filter(
     text_col: str = "text",
     *,
     line_sep: str = "\n",
+    joiner: str | None = None,
     min_words: int = 3,
     require_terminal_punct: bool = True,
     badwords: tuple[str, ...] = DEFAULT_BADWORDS,
@@ -359,7 +378,7 @@ def line_quality_filter(
         kept,
         totals,
         id_col,
-        joiner=line_sep,
+        joiner=_line_joiner(line_sep, joiner),
         n_total_col="n_lines",
         n_removed_col="n_dropped",
     )

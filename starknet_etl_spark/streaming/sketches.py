@@ -106,11 +106,18 @@ def start_kmv_stream(
                 .limit(k)
             )
         # k rows through the driver: severs lineage from state_path so
-        # the overwrite below never reads what it is replacing.
+        # the swap below never reads what it is replacing.
         rows = [(float(r["__f"]),) for r in mins.collect()]
+        # Write to a sibling tmp dir and tombstone-swap: a plain
+        # mode("overwrite") deletes the prior state BEFORE the new
+        # files commit, so a crash mid-write would permanently lose
+        # the accumulated k-minima (replay re-merges only the current
+        # batch) and a concurrent reader could hit a partial dir.
+        tmp = f"{state_path}__tmp_swap"
         spark.createDataFrame(rows, "__f double").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(state_path)
+        ).parquet(tmp)
+        _io._replace_dir(spark, state_path, tmp)
 
     writer = docs.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint

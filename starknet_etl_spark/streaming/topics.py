@@ -65,13 +65,17 @@ def start_topic_stream(
         ).select(
             id_col, F.col("topic").cast("long").alias("topic")
         )
+        # Checkpoint BEFORE deriving the histogram branch: both sinks
+        # then read the materialized assignments (a post-derivation
+        # checkpoint left `sized` on the pre-checkpoint lineage, so the
+        # histogram recomputed hash_embed + assign_cells per tick).
+        asg = asg.localCheckpoint()  # two sinks, one compute
         sized = asg.join(
             batch.select(
                 id_col, word_count(F.col(text_col)).alias("__tok")
             ),
             id_col,
         )
-        asg = asg.localCheckpoint()  # two sinks, one compute
         hist = sized.groupBy("topic").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__tok").cast("long").alias("n_tokens"),

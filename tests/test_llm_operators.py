@@ -2969,3 +2969,44 @@ def test_proximity_serving_core(spark, tmp_path):
         spark, p, ["red", "green", "blue"], window=3
     )
     assert out["data"] == [{"doc_id": 1, "min_span": 2}]
+
+
+def test_proximity_min_span_sweep_matches_naive(spark):
+    """The sorted-sweep _min_span == a brute-force min over
+    one-position-per-term tuples, on docs with heavily repeated terms
+    (the case where the old per-term join formulation materialized
+    tf-product tuples)."""
+    import itertools
+
+    from starknet_etl_spark.operators.search import proximity_search
+
+    docs = [
+        ("d1", "alpha x x beta x alpha x x x beta alpha gamma"),
+        ("d2", "gamma " * 5 + "alpha " + "x " * 20 + "beta"),
+        ("d3", "alpha beta"),  # missing gamma -> excluded
+        ("d4", ("alpha beta gamma " * 50).strip()),  # tf=50 each
+    ]
+    terms = ["alpha", "beta", "gamma"]
+
+    def naive(text):
+        toks = text.split()
+        pos = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+        if any(not v for v in pos.values()):
+            return None
+        return min(
+            max(tup) - min(tup)
+            for tup in itertools.product(*(pos[t] for t in terms))
+        )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for window in (2, 10, 1000):
+        got = {
+            r["doc_id"]: r["min_span"]
+            for r in proximity_search(df, terms, window=window).collect()
+        }
+        want = {
+            d: s
+            for d, s in ((d, naive(t)) for d, t in docs)
+            if s is not None and s <= window
+        }
+        assert got == want, (window, got, want)

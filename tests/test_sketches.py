@@ -188,3 +188,51 @@ def test_sketches_drop_nulls(spark):
         r["n"] for r in cms_build(df, "v", depth=2, width=16).collect()
     )
     assert total == 2 * 2  # 2 live rows x depth
+
+
+def test_cms_heavy_hitters_null_heavy_column(spark):
+    """A NULL-majority column: NULL must never become a candidate
+    (cms_build drops NULLs, so a NULL candidate would probe
+    md5('salt') buckets and could undercut true_n, breaking the
+    est_n >= true_n invariant)."""
+    rows = [(None,)] * 50 + [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    got = cms_heavy_hitters(df, "v", depth=3, width=64, top=10).collect()
+    assert all(r["value"] is not None for r in got)
+    assert sorted(r["value"] for r in got) == ["a", "b", "c"]
+    assert all(r["est_n"] >= r["true_n"] for r in got)
+
+
+def test_stream_kmv_state_swap_is_atomic(spark, tmp_path):
+    """The KMV state swap goes through the tombstone-rename pattern:
+    after a tick, no temp dir or parked old copy lingers, and the
+    state dir is complete (a plain mode('overwrite') deleted the
+    prior state before the new files committed)."""
+    import os
+
+    from starknet_etl_spark.streaming.sketches import (
+        read_kmv,
+        start_kmv_stream,
+    )
+
+    rows = [(f"value-{i % 40}",) for i in range(120)]
+    src, df = _two_batch_src(spark, tmp_path, rows)
+    state = str(tmp_path / "kmvstate")
+    q = start_kmv_stream(
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        col="v",
+        k=16,
+        state_path=state,
+        checkpoint=str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(180)
+    assert os.path.isdir(state)
+    assert not os.path.exists(state + "__tmp_swap")
+    assert not os.path.exists(state + "__old_swap")
+    from starknet_etl_spark.operators.sketches import kmv_distinct
+
+    want = kmv_distinct(df, "v", k=16).collect()[0]
+    got = read_kmv(spark, state, k=16).collect()[0]
+    assert got == want

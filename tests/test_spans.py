@@ -396,3 +396,24 @@ def test_span_dedup_fixpoint_iterations(spark):
 
     with _pt.raises(ValueError, match="iterations"):
         remove_repeated_spans(df, iterations=0)
+
+
+def test_line_dedup_rejects_regex_separator_without_joiner(spark):
+    """line_sep is a Java regex; re-assembling with a non-literal
+    pattern as the joiner corrupts output — reject loudly unless the
+    caller supplies an explicit literal joiner."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("d1", "a b c.\r\na b c.\r\nunique line here.")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="metacharacters"):
+        line_dedup(df, line_sep=r"\r?\n")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(df, line_sep=r"\r?\n", joiner="\n").collect()
+    }
+    assert got["d1"] == "a b c.\nunique line here."
+    with pytest.raises(ValueError, match="metacharacters"):
+        line_quality_filter(df, line_sep=r"\r?\n")
