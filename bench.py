@@ -55,6 +55,22 @@ HEADLINE = (
     "emb_near_dup_pairs",
 )
 
+#: Second headline group (r7+): one representative per tier built in
+#: rounds 4-6 — BPE tokenization, the trained quality classifier,
+#: hybrid retrieval, span-rewriting dedup, sketches, multimodal
+#: features. Reported under ``ext_queries``/``ext_total`` so the
+#: cross-round comparable ``value`` (the original 18-query total the
+#: 2x gate is defined over) is unchanged; a 2x regression in any of
+#: these tiers was previously invisible to the gate.
+HEADLINE_EXT = (
+    "doc_bpe_tokenize",
+    "doc_quality_classifier",
+    "doc_hybrid_search",
+    "doc_span_dedup",
+    "mm_knn",
+    "doc_kmv_distinct",
+)
+
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,14 +147,17 @@ def main() -> None:
     # keeps the burst whenever both reps land inside it.
     reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     ticks0 = _cpu_ticks()
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    all_names = HEADLINE + HEADLINE_EXT
+    samples: dict[str, list[float]] = {name: [] for name in all_names}
     for _ in range(reps):
-        for name in HEADLINE:
+        for name in all_names:
             samples[name].append(_run_once(spark, sf_dir, name))
-    timings = {
+    med = {
         name: round(statistics.median(ts), 3)
         for name, ts in samples.items()
     }
+    timings = {name: med[name] for name in HEADLINE}
+    ext = {name: med[name] for name in HEADLINE_EXT}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -148,6 +167,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ext_total": round(sum(ext.values()), 3),
+                "ext_queries": ext,
                 "sf": sf,
                 "host": _host_state(ticks0),
             }

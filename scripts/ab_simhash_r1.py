@@ -1,0 +1,75 @@
+"""Cross-VERSION A/B for doc_simhash (r6 verdict task #1).
+
+Registers the round-1 simhash operator body (resurrected verbatim in
+semantics from ``git show c99b8b5:starknet_etl_spark/operators/
+dedup.py`` — inline instr+substring per bit vote, assert guard) under
+the temp catalog name ``doc_simhash_r1`` and runs bench.py's
+interleaved --ab against the current builder in ONE session, the only
+comparison CLAUDE.md's noise history trusts.
+
+Usage: python scripts/ab_simhash_r1.py [--reps N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+from starknet_etl_spark.catalog import QUERIES, QuerySpec  # noqa: E402
+from starknet_etl_spark.io import load_testdata  # noqa: E402
+from starknet_etl_spark.operators.dedup import _HEX_DIGITS, shingles  # noqa: E402
+
+
+def simhash_r1(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, bits: int = 16
+) -> DataFrame:
+    """The round-1 operator: bit votes inline the instr+substring hex
+    decode into every vote expression (16 decodes of 4 digits) instead
+    of the current digit-once projection."""
+    assert bits % 4 == 0 and bits <= 128
+    sh = shingles(df, id_col, text_col, n=n).withColumn(
+        "h", F.substring(F.md5(F.col("shingle")), 1, bits // 4)
+    )
+
+    def bit_vote(i: int):
+        digit = (
+            F.instr(
+                F.lit(_HEX_DIGITS), F.substring(F.col("h"), i // 4 + 1, 1)
+            )
+            - 1
+        )
+        bit = F.shiftright(digit, i % 4) % 2
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    votes = sh.groupBy(id_col).agg(
+        *[F.sum(bit_vote(i)).alias(f"__v{i}") for i in range(bits)]
+    )
+    packed = sum(
+        F.when(F.col(f"__v{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return votes.select(id_col, packed.cast("long").alias("simhash"))
+
+
+def _builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from starknet_etl_spark.session import tune
+
+    tune(spark)
+    docs = load_testdata(spark, sf_dir, "documents")
+    return simhash_r1(docs, "doc_id", "text", n=3, bits=16)
+
+
+if __name__ == "__main__":
+    reps = 7
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    QUERIES["doc_simhash_r1"] = QuerySpec(
+        _builder, None, "r1 simhash resurrected for the cross-version A/B"
+    )
+    bench.main_ab("doc_simhash", "doc_simhash_r1", reps)

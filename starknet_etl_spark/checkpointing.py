@@ -1,0 +1,50 @@
+"""Lineage truncation for iterative trainers — local-fast by default,
+fault-tolerant on demand.
+
+Every iterative loop in the engine (BPE merge rounds, quality-model
+GD epochs, connected-components label propagation) must truncate the
+growing lineage each round or the plan tree goes exponential. The
+default mechanism, ``DataFrame.localCheckpoint()``, stores the
+materialized blocks on EXECUTORS with NO recomputation path: on a
+real cluster with dynamic allocation or preemption, losing one
+executor mid-training kills the job at round k with an
+unrecoverable-block error (``FileNotFoundException``/"Checkpoint
+block ... not found"). That is fine at local[32] (one JVM, nothing to
+lose) and the fastest choice there — but it is a liability at the
+100 TB / 1000-executor target.
+
+``truncate(df, reliable_dir)`` keeps localCheckpoint as the
+local-mode default and, when ``reliable_dir`` is set (an HDFS/S3/GS
+path on a cluster), switches to the RELIABLE checkpoint:
+``sparkContext.setCheckpointDir`` + ``df.checkpoint()``, which writes
+the blocks to the fault-tolerant FS so a lost executor re-reads them
+instead of killing the job. Results are identical either way — the
+choice is purely a durability/speed trade (reliable pays one FS
+round-trip per truncation).
+
+Trainers expose this as ``reliable_checkpoint_dir=``; deployments on
+preemptible fleets must set it (or pin static allocation for trainer
+stages — the documented alternative in SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncate(
+    df: DataFrame,
+    reliable_dir: str | None = None,
+    *,
+    eager: bool = True,
+) -> DataFrame:
+    """Cut ``df``'s lineage: ``localCheckpoint`` when ``reliable_dir``
+    is None (executor-stored blocks, fastest, not fault-tolerant),
+    else a reliable ``checkpoint`` into ``reliable_dir``."""
+    if reliable_dir is None:
+        return df.localCheckpoint(eager)
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir is idempotent per value; each call just points
+    # the context at the directory (created on demand).
+    sc.setCheckpointDir(reliable_dir)
+    return df.checkpoint(eager)

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..checkpointing import truncate as _truncate
+
 
 def _word_counts(
     df: DataFrame, text_col: str, min_count: int
@@ -141,6 +143,7 @@ def train_bpe(
     *,
     n_merges: int,
     min_count: int = 1,
+    reliable_checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right), ...]. Stops early when no
@@ -149,13 +152,18 @@ def train_bpe(
     The merge list is driver-sized BY DEFINITION (each round's argmax
     is one collected row — that collect is the algorithm, not an
     implementation shortcut); persist it like any model artifact.
+
+    ``reliable_checkpoint_dir``: on clusters with dynamic allocation
+    or preemptible executors, pass a fault-tolerant FS path — the
+    default localCheckpoint has no recomputation path and one lost
+    executor kills the job at merge round k (checkpointing.truncate).
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     sym = _symbols(_word_counts(df, text_col, min_count))
     # freeze the vocab-sized working set once; each round re-freezes
     # its output so the plan never stacks n_merges windows deep
-    sym = sym.localCheckpoint()
+    sym = _truncate(sym, reliable_checkpoint_dir)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -167,7 +175,9 @@ def train_bpe(
             break
         left, right = best["left"], best["right"]
         merges.append((left, right))
-        sym = _merge_round(sym, left, right).localCheckpoint()
+        sym = _truncate(
+            _merge_round(sym, left, right), reliable_checkpoint_dir
+        )
     return merges
 
 
@@ -185,17 +195,23 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
 
 
 def segment_words(
-    words: DataFrame, merges: list[tuple[str, str]]
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(word, pos, sym): apply an ordered merge list to a (word, cnt)
     vocabulary — the shared applier for training replays and corpus
     tokenization. Merge work is vocab-sized; ``cnt`` is carried only
-    because the round transform expects it."""
+    because the round transform expects it. See ``train_bpe`` for the
+    ``reliable_checkpoint_dir`` cluster contract."""
     if "cnt" not in words.columns:
         words = words.withColumn("cnt", F.lit(1).cast("long"))
-    sym = _symbols(words).localCheckpoint()
+    sym = _truncate(_symbols(words), reliable_checkpoint_dir)
     for left, right in merges:
-        sym = _merge_round(sym, left, right).localCheckpoint()
+        sym = _truncate(
+            _merge_round(sym, left, right), reliable_checkpoint_dir
+        )
     return sym.select("word", "pos", "sym")
 
 

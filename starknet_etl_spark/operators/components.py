@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import truncate as _truncate
+
 
 def connected_components(
     edges: DataFrame,
@@ -38,6 +40,7 @@ def connected_components(
     *,
     max_iter: int = 50,
     algorithm: str = "minlabel",
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``edges``;
     ``component`` is the smallest node id in the connected component.
@@ -50,9 +53,18 @@ def connected_components(
 
     Raises if the graph hasn't converged after ``max_iter`` rounds
     rather than returning a wrong answer.
+
+    ``reliable_checkpoint_dir``: per-round lineage truncation uses
+    localCheckpoint by default (executor-stored blocks, no
+    recomputation path — one preempted executor kills the job at
+    round k). Pass a fault-tolerant FS path on clusters with dynamic
+    allocation (checkpointing.truncate).
     """
     if algorithm == "star":
-        labels, _ = _star_components(edges, src, dst, max_iter=max_iter)
+        labels, _ = _star_components(
+            edges, src, dst, max_iter=max_iter,
+            reliable_checkpoint_dir=reliable_checkpoint_dir,
+        )
         return labels
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
@@ -67,8 +79,8 @@ def connected_components(
             sym.select(F.col("a").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint()
         )
+        labels = _truncate(labels, reliable_checkpoint_dir)
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(
@@ -89,7 +101,7 @@ def connected_components(
                 F.least("label", "nl").alias("new_label"),
             )
             # one action per round: materialize + truncate lineage
-            stepped = stepped.localCheckpoint()
+            stepped = _truncate(stepped, reliable_checkpoint_dir)
             changed = stepped.filter(
                 F.col("new_label") < F.col("label")
             ).count()
@@ -113,6 +125,7 @@ def _star_components(
     dst: str,
     *,
     max_iter: int,
+    reliable_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star connected components
     (Kiveris et al., SoCC'14). Returns ``((node, component), rounds)``.
@@ -142,10 +155,9 @@ def _star_components(
     # All input nodes — kept so self-loop-only / isolated-edge nodes
     # still get a label (parity with min-label's node universe).
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
-    cur = (
-        e.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    cur = _truncate(
+        e.filter(F.col("u") != F.col("v")).distinct(),
+        reliable_checkpoint_dir,
     )
     prev_print: tuple[int, int | None] | None = None
     rounds = 0
@@ -179,8 +191,8 @@ def _star_components(
             .unionByName(dj.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        ss = _truncate(ss, reliable_checkpoint_dir)
         fp = ss.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor, not sum: ANSI mode raises on long overflow and

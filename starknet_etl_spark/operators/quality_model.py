@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import truncate as _truncate
+
 
 #: dyadic quantization scale: 2^20 ≈ 1e-6 resolution
 Q_SCALE = float(1 << 20)
@@ -89,12 +91,19 @@ def train_quality_model(
     dim: int,
     n_rounds: int = 5,
     lr: float = 0.5,
+    reliable_checkpoint_dir: str | None = None,
 ) -> list[float]:
     """Learn (dim+1) weights — [bias, w_1..w_dim] — by ``n_rounds``
     of full-batch least-squares gradient descent from w=0. Returns
     the weight list (driver-sized by definition: it IS the model).
     ``df`` carries the feature vector in ``vec_col`` and a {0,1}
-    label in ``label_col``."""
+    label in ``label_col``.
+
+    ``reliable_checkpoint_dir``: the frozen feature/label tables are
+    read by every GD round; with the default localCheckpoint their
+    blocks live on executors with no recomputation path — one lost
+    executor kills the job mid-training. Pass a fault-tolerant FS
+    path on preemptible fleets (checkpointing.truncate)."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     if lr <= 0:
@@ -105,8 +114,12 @@ def train_quality_model(
         F.col(vec_col),
         F.col(label_col).cast("double").alias("__y"),
     ).filter(F.col(vec_col).isNotNull())
-    feats = _features_long(base, id_col, vec_col).localCheckpoint()
-    labels = base.select(id_col, "__y").localCheckpoint()
+    feats = _truncate(
+        _features_long(base, id_col, vec_col), reliable_checkpoint_dir
+    )
+    labels = _truncate(
+        base.select(id_col, "__y"), reliable_checkpoint_dir
+    )
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("no rows with a non-NULL feature vector")

@@ -1,0 +1,95 @@
+"""Reliable-checkpoint option for the iterative trainers: identical
+results to the localCheckpoint default, with blocks actually written
+to the fault-tolerant directory (the executor-loss story: local
+blocks have no recomputation path; reliable ones are re-read from the
+FS)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _tree_nonempty(d):
+    for root, _dirs, files in os.walk(d):
+        if files:
+            return True
+    return False
+
+
+def test_bpe_reliable_checkpoint_identical(spark, tmp_path):
+    from starknet_etl_spark.operators.bpe import segment_words, train_bpe
+
+    docs = spark.createDataFrame(
+        [("d%d" % i, "low lower lowest newer newest wide wider" * 2)
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    ck = str(tmp_path / "ck_bpe")
+    local = train_bpe(docs, "text", n_merges=8)
+    reliable = train_bpe(
+        docs, "text", n_merges=8, reliable_checkpoint_dir=ck
+    )
+    assert reliable == local
+    assert _tree_nonempty(ck)
+
+    words = spark.createDataFrame([("lowest",), ("wider",)], ["word"])
+    a = sorted(
+        tuple(r) for r in segment_words(words, local).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in segment_words(
+            words, local, reliable_checkpoint_dir=str(tmp_path / "ck_seg")
+        ).collect()
+    )
+    assert a == b
+
+
+def test_quality_model_reliable_checkpoint_identical(spark, tmp_path):
+    from starknet_etl_spark.operators.quality_model import (
+        train_quality_model,
+    )
+
+    rows = [
+        (f"d{i}", [float((i * 7 + j) % 5) / 4 for j in range(4)], i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>, y int"
+    )
+    w_local = train_quality_model(
+        df, "doc_id", "y", vec_col="embedding", dim=4, n_rounds=3
+    )
+    ck = str(tmp_path / "ck_qm")
+    w_rel = train_quality_model(
+        df, "doc_id", "y", vec_col="embedding", dim=4, n_rounds=3,
+        reliable_checkpoint_dir=ck,
+    )
+    assert w_rel == w_local  # dyadic quantization: bit-equal, not close
+    assert _tree_nonempty(ck)
+
+
+def test_components_reliable_checkpoint_identical(spark, tmp_path):
+    from starknet_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("c", "a")],
+        ["id_1", "id_2"],
+    )
+    want = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+    for algo in ("minlabel", "star"):
+        ck = str(tmp_path / f"ck_cc_{algo}")
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                edges, algorithm=algo, reliable_checkpoint_dir=ck
+            ).collect()
+        )
+        assert got == want, algo
+        assert _tree_nonempty(ck)
