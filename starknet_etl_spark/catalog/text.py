@@ -4991,3 +4991,396 @@ QUERIES["doc_topic_mix_tokens"] = QuerySpec(
     _TOPIC_MIX_TOKENS_ORACLE,
     "token-budget topic mixture: equal token mass per trained topic",
 )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer (r7): the other
+# canonical subword trainer next to BPE — seed candidate pieces, EM
+# over the unigram model with Viterbi computed as a MAX-PLUS CLOSURE
+# by repeated squaring (log-depth unroll, the Lloyd/BPE pattern),
+# hard-EM counts from on-optimal edges (prefix + w + suffix == best,
+# EXACT because every weight sits on the 2^-20 dyadic grid), count-
+# rank pruning. The DuckDB oracle replays the FULL trainer and the
+# greedy-longest tokenizer verbatim. operators/unigram.py documents
+# the deterministic simplifications vs Kudo 2018.
+# Names prefixed _ULM_/ulm_ (module-constant shadowing gotcha).
+# --------------------------------------------------------------------------
+
+_ULM_VOCAB = 24   # multi-char pieces kept after each prune
+_ULM_SEED = 48    # multi-char seed candidates
+_ULM_PLEN = 4     # max piece length
+_ULM_WLEN = 8     # max trainable word length (longer -> char fallback)
+_ULM_ROUNDS = 2   # EM rounds
+_ULM_T = 3        # closure squarings: 2^3 >= _ULM_WLEN path edges
+_ULM_OOV_VOCAB = 24
+_ULM_CACHE: dict = {}
+
+
+def _ulm_model(spark: SparkSession, sf_dir: str):
+    from ..operators import unigram as U
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ULM_CACHE:
+        _ULM_CACHE[key] = U.train_unigram(
+            _docs(spark, sf_dir), "text",
+            vocab_size=_ULM_VOCAB, seed_size=_ULM_SEED,
+            max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
+            n_rounds=_ULM_ROUNDS,
+        )
+    return _ULM_CACHE[key]
+
+
+def _ulm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram as U
+
+    return U.pieces_df(spark, _ulm_model(spark, sf_dir)).select(
+        "piece",
+        "logp",
+        F.col("piece_len").cast("long").alias("piece_len"),
+    )
+
+
+def _ulm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram as U
+
+    return U.unigram_text(
+        _docs(spark, sf_dir), "doc_id", "text",
+        _ulm_model(spark, sf_dir),
+        max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
+    )
+
+
+def _ulm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.vocab_coverage(
+        _ulm_text(spark, sf_dir), "unigram_text", min_count=1
+    )
+
+
+def _ulm_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = _ulm_text(spark, sf_dir)
+    vocab = X.build_vocab(
+        ut, "unigram_text", min_count=1, max_size=_ULM_OOV_VOCAB
+    )
+    return X.oov_rate(ut, vocab, "doc_id", "unigram_text")
+
+
+def _ulm_closure_sql(tag: str, src: str) -> str:
+    """ulm_{tag}0.._ULM_T: max-plus closure of (word, a, b, d) rows
+    by repeated squaring — after k squarings, d(a,b) is the best
+    path of <= 2^k edges. MATERIALIZED: each level references the
+    previous TWICE (the Lloyd exponential-reinline gotcha)."""
+    parts = [
+        f"""
+ulm_{tag}0 AS MATERIALIZED (
+  SELECT word, a, b, MAX(d) AS d FROM {src} GROUP BY word, a, b
+)"""
+    ]
+    for k in range(_ULM_T):
+        parts.append(
+            f"""
+ulm_{tag}{k + 1} AS MATERIALIZED (
+  SELECT word, a, b, MAX(d) AS d FROM (
+    SELECT word, a, b, d FROM ulm_{tag}{k}
+    UNION ALL
+    SELECT x.word, x.a, y.b AS b, x.d + y.d AS d
+    FROM ulm_{tag}{k} x JOIN ulm_{tag}{k} y
+      ON x.word = y.word AND x.b = y.a
+  ) GROUP BY word, a, b
+)"""
+        )
+    return ",".join(parts)
+
+
+def _ulm_onopt_sql(name: str, edges: str, dfin: str, cnt_expr: str) -> str:
+    """Edges of ``edges`` lying on an optimal segmentation: three
+    closure lookups and an exact dyadic-sum equality."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT e.word, {cnt_expr} AS cnt, e.a, e.b, e.piece
+  FROM {edges} e
+  JOIN {dfin} bst
+    ON bst.word = e.word AND bst.a = 0 AND bst.b = len(e.word)
+  LEFT JOIN {dfin} p ON p.word = e.word AND p.a = 0 AND p.b = e.a
+  LEFT JOIN {dfin} sfx
+    ON sfx.word = e.word AND sfx.a = e.b AND sfx.b = len(e.word)
+  WHERE COALESCE(p.d, 0.0) + e.d + COALESCE(sfx.d, 0.0) = bst.d
+)"""
+
+
+def _ulm_weights_sql(m: str, v: str) -> str:
+    return f"""
+{m} AS MATERIALIZED (
+  SELECT piece,
+         floor(log2(n * 1.0 / (SELECT SUM(n) FROM {v}))
+               * 1048576.0 + 0.5) / 1048576.0 AS w
+  FROM {v}
+)"""
+
+
+def _ulm_train_ctes() -> str:
+    parts = [
+        rf"""
+ulm_wall AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+ulm_w0 AS MATERIALIZED (
+  SELECT word, cnt FROM ulm_wall WHERE len(word) <= {_ULM_WLEN}
+),
+ulm_sub AS MATERIALIZED (
+  SELECT word, cnt, CAST(st - 1 AS INT) AS a,
+         CAST(st - 1 + ln AS INT) AS b,
+         substr(word, CAST(st AS INT), CAST(ln AS INT)) AS piece
+  FROM (
+    SELECT word, cnt, CAST(i AS INT) AS st
+    FROM ulm_w0, unnest(generate_series(1, len(word))) AS g(i)
+  ), unnest(generate_series(1, least({_ULM_PLEN}, len(word) - st + 1)))
+       AS h(ln)
+),
+ulm_freq AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM ulm_sub GROUP BY piece
+),
+ulm_v0 AS MATERIALIZED (
+  SELECT piece, n FROM ulm_freq WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n FROM ulm_freq WHERE len(piece) > 1
+    ORDER BY n DESC, piece ASC LIMIT {_ULM_SEED})
+),{_ulm_weights_sql("ulm_m0", "ulm_v0")}"""
+    ]
+    for r in range(_ULM_ROUNDS):
+        parts.append(
+            f""",
+ulm_e{r} AS MATERIALIZED (
+  SELECT s.word, s.cnt, s.a, s.b, s.piece, v.w AS d
+  FROM ulm_sub s JOIN ulm_m{r} v USING (piece)
+),{_ulm_closure_sql(f"r{r}_", f"ulm_e{r}")},"""
+            + _ulm_onopt_sql(
+                f"ulm_on{r}", f"ulm_e{r}", f"ulm_r{r}_{_ULM_T}", "e.cnt"
+            )
+            + f""",
+ulm_c{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM ulm_on{r} GROUP BY piece
+),
+ulm_v{r + 1} AS MATERIALIZED (
+  SELECT c.piece, CAST(GREATEST(COALESCE(k.n, 0), 1) AS BIGINT) AS n
+  FROM (SELECT piece FROM ulm_v0 WHERE len(piece) = 1) c
+  LEFT JOIN ulm_c{r} k USING (piece)
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n FROM ulm_c{r}
+    WHERE len(piece) > 1 AND n >= 1
+    ORDER BY n DESC, piece ASC LIMIT {_ULM_VOCAB})
+),{_ulm_weights_sql(f"ulm_m{r + 1}", f"ulm_v{r + 1}")}"""
+        )
+    return "".join(parts)
+
+
+def _ulm_segment_ctes() -> str:
+    """Greedy-longest deterministic segmentation of every corpus
+    word under the FINAL model: Viterbi closure + on-optimal edges,
+    next(a) = the optimal edge with the largest end, path = the
+    next()-orbit of 0 by pointer doubling; per-char fallback for
+    long/unknown-char words."""
+    m = f"ulm_m{_ULM_ROUNDS}"
+    return (
+        f""",
+ulm_chars AS MATERIALIZED (
+  SELECT piece AS ch FROM {m} WHERE len(piece) = 1
+),
+ulm_ok AS MATERIALIZED (
+  SELECT word FROM ulm_wall
+  WHERE len(word) <= {_ULM_WLEN}
+    AND word NOT IN (
+      SELECT DISTINCT word FROM (
+        SELECT word, substr(word, CAST(i AS INT), 1) AS ch
+        FROM ulm_wall, unnest(generate_series(1, len(word))) AS g(i))
+      WHERE ch NOT IN (SELECT ch FROM ulm_chars))
+),
+ulm_fb AS MATERIALIZED (
+  SELECT word FROM ulm_wall
+  WHERE word NOT IN (SELECT word FROM ulm_ok)
+),
+ulm_tsub AS MATERIALIZED (
+  SELECT word, CAST(st - 1 AS INT) AS a,
+         CAST(st - 1 + ln AS INT) AS b,
+         substr(word, CAST(st AS INT), CAST(ln AS INT)) AS piece
+  FROM (
+    SELECT word, CAST(i AS INT) AS st
+    FROM ulm_ok, unnest(generate_series(1, len(word))) AS g(i)
+  ), unnest(generate_series(1, least({_ULM_PLEN}, len(word) - st + 1)))
+       AS h(ln)
+),
+ulm_te AS MATERIALIZED (
+  SELECT s.word, s.a, s.b, s.piece, v.w AS d
+  FROM ulm_tsub s JOIN {m} v USING (piece)
+),{_ulm_closure_sql("t_", "ulm_te")},"""
+        + _ulm_onopt_sql(
+            "ulm_ton", "ulm_te", f"ulm_t_{_ULM_T}", "CAST(1 AS BIGINT)"
+        )
+        + f""",
+ulm_tnx AS MATERIALIZED (
+  SELECT n.word, n.a, n.b, e.piece
+  FROM (SELECT word, a, MAX(b) AS b FROM ulm_ton GROUP BY word, a) n
+  JOIN ulm_ton e ON e.word = n.word AND e.a = n.a AND e.b = n.b
+),
+ulm_tr0 AS MATERIALIZED (SELECT word, a, b FROM ulm_tnx),
+{",".join(
+    f'''ulm_tr{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT word, a, b FROM (
+    SELECT word, a, b FROM ulm_tr{k}
+    UNION ALL
+    SELECT x.word, x.a, y.b AS b
+    FROM ulm_tr{k} x JOIN ulm_tr{k} y ON x.word = y.word AND x.b = y.a
+  )
+)''' for k in range(_ULM_T)
+)},
+ulm_reach AS MATERIALIZED (
+  SELECT word, CAST(0 AS INT) AS a FROM ulm_ok
+  UNION
+  SELECT word, b AS a FROM ulm_tr{_ULM_T} WHERE a = 0
+),
+ulm_seg AS MATERIALIZED (
+  SELECT e.word,
+         CAST(row_number() OVER (PARTITION BY e.word ORDER BY e.a)
+              AS INT) AS piece_pos,
+         e.piece
+  FROM ulm_tnx e JOIN ulm_reach r ON r.word = e.word AND r.a = e.a
+  UNION ALL
+  SELECT word, CAST(i AS INT) AS piece_pos,
+         substr(word, CAST(i AS INT), 1) AS piece
+  FROM ulm_fb, unnest(generate_series(1, len(word))) AS g(i)
+)"""
+    )
+
+
+_ULM_VOCAB_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + f"""
+SELECT piece, w AS logp, CAST(len(piece) AS BIGINT) AS piece_len
+FROM ulm_m{_ULM_ROUNDS}
+"""
+)
+
+_ULM_TOKENIZE_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + _ulm_segment_ctes()
+    + r""",
+ulm_dtok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+ulm_agg AS (
+  SELECT d.doc_id,
+         string_agg(s.piece, ' ' ORDER BY d.word_pos, s.piece_pos)
+           AS unigram_text,
+         CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(a.unigram_text, '') AS unigram_text,
+       CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
+FROM documents doc LEFT JOIN ulm_agg a ON a.doc_id = doc.doc_id
+"""
+)
+
+_ULM_COVERAGE_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + _ulm_segment_ctes()
+    + """,
+ulm_tok AS (
+  SELECT s.piece AS token, w.cnt
+  FROM ulm_seg s JOIN ulm_wall w ON w.word = s.word
+),
+ulm_tc AS (SELECT token, SUM(cnt) AS n FROM ulm_tok GROUP BY token),
+ulm_tro AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
+  FROM ulm_tc
+),
+ulm_tot AS (SELECT SUM(n) AS total FROM ulm_tc)
+SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token,
+       CAST(n AS BIGINT) AS n_occurrences,
+       ROUND(SUM(n) OVER (ORDER BY vocab_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) * 1.0 / ulm_tot.total, 6)
+         AS cum_frac
+FROM ulm_tro CROSS JOIN ulm_tot
+"""
+)
+
+_ULM_OOV_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + _ulm_segment_ctes()
+    + rf""",
+ulm_tok AS (
+  SELECT s.piece AS token, w.cnt
+  FROM ulm_seg s JOIN ulm_wall w ON w.word = s.word
+),
+ulm_tc AS (SELECT token, SUM(cnt) AS n FROM ulm_tok GROUP BY token),
+ulm_tro AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
+  FROM ulm_tc
+),
+ulm_vv AS (SELECT token FROM ulm_tro WHERE vocab_id < {_ULM_OOV_VOCAB}),
+ulm_dtok AS (
+  SELECT doc_id, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+ulm_dt AS (
+  SELECT d.doc_id, s.piece AS token
+  FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
+),
+ulm_oagg AS (
+  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM ulm_dt dt LEFT JOIN ulm_vv v ON v.token = dt.token
+  GROUP BY dt.doc_id
+)
+SELECT ulm_oagg.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_frac
+FROM ulm_oagg
+"""
+)
+
+QUERIES["doc_unigram_vocab"] = QuerySpec(
+    _ulm_vocab,
+    _ULM_VOCAB_ORACLE,
+    "unigram-LM trainer: the learned (piece, logp) model",
+)
+QUERIES["doc_unigram_tokenize"] = QuerySpec(
+    _ulm_text,
+    _ULM_TOKENIZE_ORACLE,
+    "corpus tokenized with the learned unigram model (greedy-longest"
+    " Viterbi, per-char fallback)",
+)
+QUERIES["doc_unigram_coverage"] = QuerySpec(
+    _ulm_coverage,
+    _ULM_COVERAGE_ORACLE,
+    "vocab-coverage curve over unigram pieces",
+)
+QUERIES["doc_unigram_oov"] = QuerySpec(
+    _ulm_oov,
+    _ULM_OOV_ORACLE,
+    "per-doc OOV rate against a capped unigram-piece vocabulary",
+)

@@ -1,0 +1,464 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training
+and application — the other canonical subword trainer next to BPE.
+
+The classic algorithm (Kudo 2018) seeds a large candidate-piece
+vocabulary, EM-fits piece probabilities under the unigram language
+model p(word) = max over segmentations of prod p(piece), and prunes
+toward a target vocabulary. This module runs a deterministic,
+cross-engine-exact variant Spark-first:
+
+- **The working set is the WORD VOCABULARY, never the corpus** (the
+  BPE discipline, bpe.py:9-14): one corpus pass builds (word, cnt);
+  seeding, every EM round, and segmentation all run over vocab-sized
+  data weighted by exact integer counts.
+- **Viterbi by max-plus closure, not a sequential scan.** A word of
+  length n is a DAG on positions 0..n whose edges are in-vocabulary
+  substrings weighted by quantized log-probs; the best segmentation
+  score is the max-plus path 0→n. The closure is computed by
+  REPEATED SQUARING — ceil(log2(max_word_len)) rounds of one
+  self-join + max-aggregate each — so the unroll depth is
+  logarithmic, bounded, and replays verbatim in the DuckDB oracle
+  (the Lloyd/BPE bounded-unroll pattern).
+- **Hard-EM with on-optimal-edge counts, no backtrace loop.** An
+  edge (a,b) lies on SOME optimal segmentation iff
+  prefix(a) + w(edge) + suffix(b) == best(word) — three closure
+  lookups and an EXACT equality, because every weight sits on the
+  2^-20 dyadic grid (quality_model.py's discipline: dyadic sums are
+  exact in IEEE, so the equality is order- and engine-independent).
+  The M-step counts cnt(word) per on-optimal edge; a word with tied
+  optimal segmentations deliberately counts all of them (documented,
+  deterministic in both engines — no tie-break machinery).
+- **log2 + dyadic quantization.** Probabilities are count ratios;
+  w = q20(log2(count/total)). log2 is correctly-rounded to ~1 ulp on
+  both engines and q20 collapses any last-ulp disagreement unless
+  the true value sits within ~2^-46 of a grid midpoint — organic
+  count ratios have no structural midpoints there (unlike the
+  decimal-ROUND trap CLAUDE.md records). Exact powers of two land ON
+  the grid identically in both engines.
+- **Driver round-trips = n_rounds** (one vocab-sized counts collect
+  per round; the model IS driver-sized by contract, like the BPE
+  merge list).
+
+Deterministic simplifications vs full SentencePiece (documented, not
+hidden): hard-EM (Viterbi counts) instead of forward-backward
+expected counts; count-rank pruning (top vocab_size multi-char
+pieces by count DESC, piece ASC) instead of likelihood-loss pruning;
+single characters are always kept with counts floored at 1 (every
+training word stays segmentable). Words longer than
+``max_word_len`` are excluded from training and fall back to
+per-character pieces at tokenization (SentencePiece's max-sentence-
+length guard, applied at the word level).
+
+Reference framing: the reference engine has no tokenizer surface
+(SURVEY.md §2 ends at relational + scrape); this extends the
+LLM-data suite next to operators/bpe.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..checkpointing import truncate as _truncate
+
+#: dyadic quantization grid (shared discipline with quality_model.py)
+Q_SCALE = float(2**20)
+
+
+def _q20(col):
+    return F.floor(col * F.lit(Q_SCALE) + F.lit(0.5)) / F.lit(Q_SCALE)
+
+
+def _q20_py(x: float) -> float:
+    return math.floor(x * Q_SCALE + 0.5) / Q_SCALE
+
+
+def _word_counts(df: DataFrame, text_col: str, min_count: int) -> DataFrame:
+    """(word, cnt): the suite tokenization (lower, trim, \\s+ split)."""
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    words = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    if min_count > 1:
+        words = words.filter(F.col("cnt") >= min_count)
+    return words
+
+
+def _substrings(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(word, cnt, a, b, piece): every substring occurrence with
+    length 1..max_piece_len, as 0-based [a, b) position spans."""
+    s = words.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("st"),
+    )
+    s = s.select(
+        "word",
+        "cnt",
+        "st",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(
+                    F.lit(max_piece_len),
+                    F.length("word") - F.col("st") + 1,
+                ),
+            )
+        ).alias("ln"),
+    )
+    return s.select(
+        "word",
+        "cnt",
+        (F.col("st") - 1).cast("int").alias("a"),
+        (F.col("st") - 1 + F.col("ln")).cast("int").alias("b"),
+        F.expr("substring(word, st, ln)").alias("piece"),
+    )
+
+
+def _renormalize(
+    counts: dict[str, int],
+) -> list[tuple[str, float]]:
+    """count table → [(piece, q20(log2(count/total)))], sorted by
+    piece. Pure driver arithmetic on exact integers."""
+    total = sum(counts.values())
+    return sorted(
+        (p, _q20_py(math.log2(c / total))) for p, c in counts.items()
+    )
+
+
+def _closure(edges: DataFrame, rounds: int, reliable_dir) -> DataFrame:
+    """Max-plus transitive closure of (word, a, b, d) by repeated
+    squaring: after k rounds, d(a,b) is the best path of <= 2^k
+    edges. ``rounds`` = ceil(log2(max path length))."""
+    d = edges.groupBy("word", "a", "b").agg(F.max("d").alias("d"))
+    d = _truncate(d, reliable_dir)
+    for _ in range(rounds):
+        via = (
+            d.alias("x")
+            .join(
+                d.select(
+                    F.col("word"),
+                    F.col("a").alias("b"),
+                    F.col("b").alias("c"),
+                    F.col("d").alias("d2"),
+                ).alias("y"),
+                ["word", "b"],
+            )
+            .select(
+                "word",
+                "a",
+                F.col("c").alias("b"),
+                (F.col("d") + F.col("d2")).alias("d"),
+            )
+        )
+        d = (
+            d.unionByName(via)
+            .groupBy("word", "a", "b")
+            .agg(F.max("d").alias("d"))
+        )
+        d = _truncate(d, reliable_dir)
+    return d
+
+
+def _on_optimal_edges(
+    edges: DataFrame, words: DataFrame, rounds: int, reliable_dir
+) -> DataFrame:
+    """Filter (word, cnt, a, b, piece, d) edges to those lying on an
+    optimal segmentation of their word: prefix + w + suffix == best.
+    Dyadic weights make the equality exact."""
+    d = _closure(edges.select("word", "a", "b", "d"), rounds, reliable_dir)
+    lens = words.select("word", F.length("word").cast("int").alias("n"))
+    pref = d.filter(F.col("a") == 0).select(
+        "word", F.col("b").alias("a"), F.col("d").alias("__pref")
+    )
+    suf = d.join(lens, "word").filter(F.col("b") == F.col("n")).select(
+        "word", F.col("a").alias("b"), F.col("d").alias("__suf")
+    )
+    best = d.join(lens, "word").filter(
+        (F.col("a") == 0) & (F.col("b") == F.col("n"))
+    ).select("word", F.col("d").alias("__best"))
+    e = (
+        edges.join(best, "word")
+        .join(pref, ["word", "a"], "left")
+        .join(suf, ["word", "b"], "left")
+        .withColumn("__pref", F.coalesce("__pref", F.lit(0.0)))
+        .withColumn("__suf", F.coalesce("__suf", F.lit(0.0)))
+    )
+    return e.filter(
+        F.col("__pref") + F.col("d") + F.col("__suf") == F.col("__best")
+    ).drop("__pref", "__suf", "__best")
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int,
+    seed_size: int,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    n_rounds: int = 2,
+    min_count: int = 1,
+    reliable_checkpoint_dir: str | None = None,
+) -> list[tuple[str, float]]:
+    """Learn a unigram-LM piece vocabulary; returns the model as a
+    sorted [(piece, logp)] list (driver-sized by contract — it IS the
+    model; ``vocab_size``/``seed_size`` bound the MULTI-character
+    pieces, single characters always ride along).
+
+    ``reliable_checkpoint_dir``: see checkpointing.truncate — the
+    closure rounds truncate lineage; pass a fault-tolerant FS path on
+    preemptible fleets.
+    """
+    if vocab_size < 1 or seed_size < vocab_size:
+        raise ValueError(
+            f"need seed_size >= vocab_size >= 1, got {seed_size}/{vocab_size}"
+        )
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    if max_word_len < max_piece_len:
+        raise ValueError("max_word_len must be >= max_piece_len")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    spark = df.sparkSession
+    t = max(1, math.ceil(math.log2(max_word_len)))
+
+    words = _word_counts(df, text_col, min_count).filter(
+        F.length("word") <= max_word_len
+    )
+    words = _truncate(words, reliable_checkpoint_dir)
+    # vocab-sized × O(max_word_len · max_piece_len) rows, read by the
+    # seed pass and every EM round: freeze once
+    subs = _truncate(
+        _substrings(words, max_piece_len), reliable_checkpoint_dir
+    )
+
+    # ---- seed: charset (always) + top seed_size multi-char by freq
+    freq = subs.groupBy("piece").agg(
+        F.sum("cnt").cast("long").alias("freq")
+    )
+    chars = {
+        r["piece"]: r["freq"]
+        for r in freq.filter(F.length("piece") == 1).collect()
+    }
+    if not chars:
+        raise ValueError("empty corpus: no training words survived")
+    multi = {
+        r["piece"]: r["freq"]
+        for r in freq.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    }
+    model = _renormalize({**chars, **multi})
+
+    # ---- hard-EM rounds
+    for _ in range(n_rounds):
+        vocab = F.broadcast(
+            spark.createDataFrame(model, "piece string, w double")
+        )
+        edges = subs.join(vocab, "piece").select(
+            "word", "cnt", "a", "b", "piece", F.col("w").alias("d")
+        )
+        kept = _on_optimal_edges(
+            edges, words, t, reliable_checkpoint_dir
+        )
+        counts = {
+            r["piece"]: r["n"]
+            for r in kept.groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .collect()
+        }
+        # prune: all chars (floored at 1 — segmentability), top
+        # vocab_size multi-char among count >= 1
+        new: dict[str, int] = {
+            c: max(1, counts.get(c, 0)) for c in chars
+        }
+        ranked = sorted(
+            (
+                (p, n)
+                for p, n in counts.items()
+                if len(p) > 1 and n >= 1
+            ),
+            key=lambda pn: (-pn[1], pn[0]),
+        )[:vocab_size]
+        new.update(dict(ranked))
+        model = _renormalize(new)
+    return model
+
+
+def pieces_df(spark, model: list[tuple[str, float]]) -> DataFrame:
+    """(piece, logp, piece_len) — the model artifact as a DataFrame
+    (persist with io.save_table like merges_df)."""
+    return spark.createDataFrame(
+        [(p, w, len(p)) for p, w in model],
+        "piece string, logp double, piece_len int",
+    )
+
+
+def _segment_vocab_words(
+    words: DataFrame,
+    model: list[tuple[str, float]],
+    *,
+    max_piece_len: int,
+    max_word_len: int,
+    reliable_dir,
+) -> DataFrame:
+    """(word, piece_pos, piece): one deterministic optimal
+    segmentation per distinct word. Among tied optimal segmentations
+    the GREEDY-LONGEST path wins: from each position take the optimal
+    edge with the largest end — next() is a pure function of the
+    closure, and the chosen path is the next()-orbit of position 0,
+    extracted by pointer-doubling (no sequential backtrace).
+
+    Fallback (per-character pieces, even when a char is not in the
+    vocabulary): words longer than ``max_word_len`` and words
+    containing a character the model has never seen.
+    """
+    spark = words.sparkSession
+    t = max(1, math.ceil(math.log2(max_word_len)))
+    charset = sorted(p for p, _ in model if len(p) == 1)
+    # translate() strips every known char; an empty remainder means
+    # the whole word is segmentable (charset-safe — no regex class to
+    # escape, works for any unicode char).
+    ok = words.filter(
+        (F.length("word") <= max_word_len)
+        & (F.translate(F.col("word"), "".join(charset), "") == "")
+    ).select("word").withColumn("cnt", F.lit(1).cast("long"))
+    fallback = words.join(ok.select("word"), "word", "left_anti")
+
+    vocab = F.broadcast(
+        spark.createDataFrame(model, "piece string, w double")
+    )
+    edges = _substrings(ok, max_piece_len).join(vocab, "piece").select(
+        "word", "cnt", "a", "b", "piece", F.col("w").alias("d")
+    )
+    kept = _on_optimal_edges(edges, ok, t, reliable_dir)
+    # greedy-longest: per (word, a) the edge with max b
+    nxt = kept.groupBy("word", "a").agg(
+        F.max(F.struct("b", "piece")).alias("__e")
+    ).select(
+        "word", "a", F.col("__e.b").alias("b"), F.col("__e.piece").alias("piece")
+    )
+    nxt = _truncate(nxt, reliable_dir)
+    # pointer-doubling reachability from position 0 along next()
+    r = nxt.select("word", "a", "b")
+    for _ in range(t):
+        r2 = (
+            r.alias("x")
+            .join(
+                r.select(
+                    "word",
+                    F.col("a").alias("b"),
+                    F.col("b").alias("c"),
+                ).alias("y"),
+                ["word", "b"],
+            )
+            .select("word", "a", F.col("c").alias("b"))
+        )
+        r = _truncate(r.unionByName(r2).distinct(), reliable_dir)
+    reach = (
+        r.filter(F.col("a") == 0)
+        .select("word", F.col("b").alias("a"))
+        .unionByName(nxt.select("word", F.lit(0).alias("a")).distinct())
+        .distinct()
+    )
+    on_path = nxt.join(reach, ["word", "a"])
+    from pyspark.sql.window import Window
+
+    w_seq = Window.partitionBy("word").orderBy("a")
+    segmented = on_path.select(
+        "word",
+        F.row_number().over(w_seq).cast("int").alias("piece_pos"),
+        "piece",
+    )
+    fb = fallback.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("piece_pos"),
+    ).select(
+        "word",
+        F.col("piece_pos").cast("int").alias("piece_pos"),
+        F.expr("substring(word, piece_pos, 1)").alias("piece"),
+    )
+    return segmented.unionByName(fb)
+
+
+def unigram_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: list[tuple[str, float]],
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, word_pos, piece_pos, piece): the corpus tokenized with a
+    learned unigram model. Distinct words are segmented once
+    (vocab-sized Viterbi work) and joined back to the word stream —
+    the only corpus-scale operations are the word explode and that
+    join (bpe_tokenize's economics)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word_pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab_words = toks.select("word").distinct()
+    seg = _segment_vocab_words(
+        vocab_words,
+        model,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+        reliable_dir=reliable_checkpoint_dir,
+    )
+    return toks.join(seg, "word").select(
+        id_col, "word_pos", "piece_pos", "piece"
+    )
+
+
+def unigram_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: list[tuple[str, float]],
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """(id, unigram_text, n_pieces): the tokenized corpus
+    re-serialized as a whitespace-joined piece stream (pieces in word
+    order, words in document order) — build_vocab / vocab_coverage /
+    oov_rate consume it unchanged (bpe_text's contract)."""
+    toks = unigram_tokenize(
+        df,
+        id_col,
+        text_col,
+        model,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word_pos", "piece_pos", "piece")
+                    )
+                ),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("unigram_text"),
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("unigram_text", F.lit("")).alias("unigram_text"),
+        F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+    )

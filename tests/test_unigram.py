@@ -1,0 +1,213 @@
+"""Unigram-LM trainer/tokenizer vs a naive sequential reference.
+
+The dyadic weight grid makes path scores EXACT sums, so the Spark
+max-plus-closure trainer and a classic per-word DP must agree
+bit-for-bit — model, counts, and chosen segmentations alike."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from starknet_etl_spark.operators.unigram import (
+    _q20_py,
+    train_unigram,
+    unigram_text,
+    unigram_tokenize,
+)
+
+
+def _naive_renorm(counts):
+    total = sum(counts.values())
+    return sorted(
+        (p, _q20_py(math.log2(c / total))) for p, c in counts.items()
+    )
+
+
+def _naive_train(
+    word_counts, *, vocab_size, seed_size, max_piece_len, max_word_len,
+    n_rounds,
+):
+    words = {
+        w: c for w, c in word_counts.items() if len(w) <= max_word_len
+    }
+    freq = Counter()
+    for w, c in words.items():
+        for a in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - a) + 1):
+                freq[w[a : a + ln]] += c
+    chars = {p: f for p, f in freq.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, f) for p, f in freq.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:seed_size]
+    )
+    model = _naive_renorm({**chars, **multi})
+    for _ in range(n_rounds):
+        wmap = dict(model)
+        counts = Counter()
+        for w, c in words.items():
+            n = len(w)
+            pref = [None] * (n + 1)
+            pref[0] = 0.0
+            for i in range(1, n + 1):
+                for ln in range(1, min(max_piece_len, i) + 1):
+                    p = w[i - ln : i]
+                    if p in wmap and pref[i - ln] is not None:
+                        s = pref[i - ln] + wmap[p]
+                        if pref[i] is None or s > pref[i]:
+                            pref[i] = s
+            suf = [None] * (n + 1)
+            suf[n] = 0.0
+            for i in range(n - 1, -1, -1):
+                for ln in range(1, min(max_piece_len, n - i) + 1):
+                    p = w[i : i + ln]
+                    if p in wmap and suf[i + ln] is not None:
+                        s = wmap[p] + suf[i + ln]
+                        if suf[i] is None or s > suf[i]:
+                            suf[i] = s
+            for a in range(n):
+                for ln in range(1, min(max_piece_len, n - a) + 1):
+                    p = w[a : a + ln]
+                    if (
+                        p in wmap
+                        and pref[a] is not None
+                        and suf[a + ln] is not None
+                        and pref[a] + wmap[p] + suf[a + ln] == pref[n]
+                    ):
+                        counts[p] += c
+        new = {ch: max(1, counts.get(ch, 0)) for ch in chars}
+        ranked = sorted(
+            ((p, k) for p, k in counts.items() if len(p) > 1 and k >= 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:vocab_size]
+        new.update(dict(ranked))
+        model = _naive_renorm(new)
+    return model
+
+
+def _naive_segment(word, model, *, max_piece_len, max_word_len):
+    wmap = dict(model)
+    charset = {p for p in wmap if len(p) == 1}
+    if len(word) > max_word_len or any(ch not in charset for ch in word):
+        return list(word)
+    n = len(word)
+    pref = [None] * (n + 1)
+    pref[0] = 0.0
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_piece_len, i) + 1):
+            p = word[i - ln : i]
+            if p in wmap and pref[i - ln] is not None:
+                s = pref[i - ln] + wmap[p]
+                if pref[i] is None or s > pref[i]:
+                    pref[i] = s
+    suf = [None] * (n + 1)
+    suf[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for ln in range(1, min(max_piece_len, n - i) + 1):
+            p = word[i : i + ln]
+            if p in wmap and suf[i + ln] is not None:
+                s = wmap[p] + suf[i + ln]
+                if suf[i] is None or s > suf[i]:
+                    suf[i] = s
+    out, a = [], 0
+    while a < n:
+        best_b = None
+        for ln in range(1, min(max_piece_len, n - a) + 1):
+            p = word[a : a + ln]
+            if (
+                p in wmap
+                and suf[a + ln] is not None
+                and pref[a] + wmap[p] + suf[a + ln] == pref[n]
+            ):
+                best_b = a + ln  # keep growing: greedy-LONGEST wins
+        assert best_b is not None
+        out.append(word[a:best_b])
+        a = best_b
+    return out
+
+
+CORPUS = [
+    ("d1", "lowlow lowland low lower lowest"),
+    ("d2", "newland newer newest new newnew"),
+    ("d3", "low new lowland newland landland"),
+    ("d4", "aaaa aaa aa a aaaaaaa"),  # tie-heavy runs
+    ("d5", "extraordinarilylongword low new"),  # > max_word_len
+]
+PARAMS = dict(
+    vocab_size=6, seed_size=12, max_piece_len=4, max_word_len=8,
+    n_rounds=2,
+)
+
+
+def _word_counts(corpus):
+    c = Counter()
+    for _, text in corpus:
+        for w in text.lower().split():
+            c[w] += 1
+    return c
+
+
+def test_train_matches_naive(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = train_unigram(df, "text", **PARAMS)
+    want = _naive_train(_word_counts(CORPUS), **PARAMS)
+    assert got == want  # bit-equal: dyadic grid, exact counts
+
+
+def test_tokenize_matches_naive_and_roundtrips(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = train_unigram(df, "text", **PARAMS)
+    toks = unigram_tokenize(
+        df, "doc_id", "text", model,
+        max_piece_len=PARAMS["max_piece_len"],
+        max_word_len=PARAMS["max_word_len"],
+    ).collect()
+    # group back into (doc, word_pos) -> ordered pieces
+    by_word = {}
+    for r in toks:
+        by_word.setdefault((r["doc_id"], r["word_pos"]), []).append(
+            (r["piece_pos"], r["piece"])
+        )
+    for (doc_id, word_pos), pcs in by_word.items():
+        text = dict(CORPUS)[doc_id]
+        word = text.lower().split()[word_pos]
+        pieces = [p for _, p in sorted(pcs)]
+        assert "".join(pieces) == word  # segmentation round-trips
+        assert pieces == _naive_segment(
+            word, model,
+            max_piece_len=PARAMS["max_piece_len"],
+            max_word_len=PARAMS["max_word_len"],
+        )
+    # every input word segmented exactly once
+    n_words = sum(len(t.split()) for _, t in CORPUS)
+    assert len(by_word) == n_words
+
+
+def test_unigram_text_stream(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = train_unigram(df, "text", **PARAMS)
+    out = {
+        r["doc_id"]: r
+        for r in unigram_text(
+            df, "doc_id", "text", model,
+            max_piece_len=PARAMS["max_piece_len"],
+            max_word_len=PARAMS["max_word_len"],
+        ).collect()
+    }
+    assert set(out) == {d for d, _ in CORPUS}
+    for doc_id, text in CORPUS:
+        joined = out[doc_id]["unigram_text"]
+        assert joined.replace(" ", "") == text.lower().replace(" ", "")
+        assert out[doc_id]["n_pieces"] == len(joined.split())
+
+
+def test_train_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="seed_size"):
+        train_unigram(df, "text", vocab_size=10, seed_size=5)
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_unigram(df, "text", vocab_size=2, seed_size=4, n_rounds=0)
