@@ -5384,3 +5384,184 @@ QUERIES["doc_unigram_oov"] = QuerySpec(
     _ULM_OOV_ORACLE,
     "per-doc OOV rate against a capped unigram-piece vocabulary",
 )
+
+
+# --------------------------------------------------------------------------
+# Learned fusion over the hybrid probes (r7): RRF's k=60 replaced by
+# dyadic-GD weights fit to relevance labels — quality_model's trainer
+# reused wholesale over per-candidate features (bm25, cosine, both
+# reciprocal ranks). Labels are deterministic ground truth the rank
+# features don't encode directly: "document contains EVERY query
+# term". The oracle replays candidates (the doc_hybrid_search chain),
+# labels, the full GD unroll, and the scoring — bit-equal by the
+# dyadic argument. Names prefixed _LTR_/ltr_.
+# --------------------------------------------------------------------------
+
+_LTR_ROUNDS = 8
+_LTR_LR = 0.5
+_LTR_CACHE: dict = {}
+
+#: the doc_hybrid_search oracle chain up through the ranked candidate
+#: lists (lex/lexr/sem/semr + htok), reused verbatim as the feature
+#: source (the _BM25_CTES extraction pattern).
+_HYBRID_CHAIN_CTES = (
+    _HYBRID_ORACLE.strip()
+    .removeprefix("WITH ")
+    .split("fused AS", 1)[0]
+    .rstrip()
+    .rstrip(",")
+)
+
+
+def _ltr_fixtures(spark: SparkSession, sf_dir: str):
+    """Postings + ANN indexes and the query frame — the
+    doc_hybrid_search construction under LTR-owned scratch names."""
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "ltr_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "ltr_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+    qdf = spark.createDataFrame(
+        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
+    )
+    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    return docs, ppath, apath, query
+
+
+def _ltr_candidates(spark: SparkSession, sf_dir: str):
+    from ..operators.search import hybrid_candidates
+
+    docs, ppath, apath, query = _ltr_fixtures(spark, sf_dir)
+    cand = hybrid_candidates(
+        spark, ppath, apath, list(_BM25_TERMS), query,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id", ann_cell_col="cell",
+    )
+    # deterministic relevance: the doc contains EVERY query term
+    # (the same \s+ tokenization both probes use)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rel = F.lit(True)
+    for t in _BM25_TERMS:
+        rel = rel & F.array_contains(toks, t)
+    labels = docs.select(
+        "doc_id", rel.cast("double").alias("__rel")
+    )
+    return cand, cand.join(labels, "doc_id")
+
+
+def _hybrid_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import ltr_score, train_ltr
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
+    cand, labeled = _ltr_candidates(spark, sf_dir)
+    if key not in _LTR_CACHE:
+        _LTR_CACHE[key] = train_ltr(
+            labeled, "__rel",
+            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
+        )
+    return ltr_score(
+        cand, _LTR_CACHE[key], rrf_k=_HYBRID_RRF_K, k=_HYBRID_K
+    )
+
+
+def _ltr_rounds_sql() -> str:
+    rounds = [
+        """
+ltrw0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, 4)) AS u(j)
+)"""
+    ]
+    for k in range(_LTR_ROUNDS):
+        rounds.append(f"""
+ltrp{k} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM ltr_x x JOIN ltrw{k} w USING (j) GROUP BY x.doc_id
+),
+ltrg{k} AS (
+  SELECT x.j,
+         floor(SUM(x.x * (p.p - y.y)) / ltr_n.n * 1048576.0 + 0.5)
+           / 1048576.0 AS g
+  FROM ltr_x x
+  JOIN ltrp{k} p USING (doc_id)
+  JOIN ltr_y y USING (doc_id)
+  CROSS JOIN ltr_n
+  GROUP BY x.j, ltr_n.n
+),
+ltrw{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_LTR_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM ltrw{k} w JOIN ltrg{k} g USING (j)
+)""")
+    return ",".join(rounds)
+
+
+_HYBRID_LTR_ORACLE = f"""
+WITH {_HYBRID_CHAIN_CTES},
+ltr_cand AS MATERIALIZED (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         COALESCE(l.bm25, 0.0) AS bm25,
+         COALESCE(s.cos_sim, 0.0) AS cos_sim,
+         lr.lex_rank, sr.sem_rank
+  FROM lexr lr
+  FULL OUTER JOIN semr sr ON sr.doc_id = lr.doc_id
+  LEFT JOIN lex l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+  LEFT JOIN sem s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+),
+ltr_y AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN {len(set(_BM25_TERMS))} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = c.doc_id
+                  AND h.t IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)}))
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM ltr_cand c
+),
+ltr_x AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM ltr_cand
+    UNION ALL SELECT doc_id, 1, bm25 FROM ltr_cand
+    UNION ALL SELECT doc_id, 2, cos_sim FROM ltr_cand
+    UNION ALL
+    SELECT doc_id, 3,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
+    FROM ltr_cand
+    UNION ALL
+    SELECT doc_id, 4,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
+    FROM ltr_cand
+  )
+),
+ltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ltr_cand),
+{_ltr_rounds_sql()},
+ltr_s AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
+  FROM ltr_x x JOIN ltrw{_LTR_ROUNDS} w USING (j)
+  GROUP BY x.doc_id
+)
+SELECT c.doc_id, c.lex_rank, c.sem_rank, s.ltr
+FROM ltr_cand c JOIN ltr_s s USING (doc_id)
+ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+QUERIES["doc_hybrid_ltr"] = QuerySpec(
+    _hybrid_ltr,
+    _HYBRID_LTR_ORACLE,
+    "learned fusion over the hybrid probes: dyadic-GD weights on"
+    " (bm25, cosine, reciprocal ranks) vs contains-all-terms labels",
+)

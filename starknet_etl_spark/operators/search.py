@@ -1509,6 +1509,188 @@ def hybrid_batch(
     )
 
 
+# --------------------------------------------------------------------------
+# Learned fusion (LTR) over the hybrid probes: RRF's fixed k=60 is a
+# default, not a tuned ranker — retrieval consumers fit fusion
+# weights to relevance labels. The model is quality_model's dyadic-GD
+# linear trainer REUSED WHOLESALE over per-candidate features (bm25
+# score, cosine, both reciprocal ranks), so the learned scores are
+# bit-identical across engines and partitionings by the same
+# argument (every aggregate is exact arithmetic on the 2^-20 grid).
+# --------------------------------------------------------------------------
+
+#: feature width (sans bias): bm25, cos_sim, 1/(rrf_k+lex_rank),
+#: 1/(rrf_k+sem_rank)
+LTR_DIM = 4
+
+
+def ltr_features(rrf_k: int = 60):
+    """The fusion feature vector as a Column — shared by training and
+    scoring so recipe drift is impossible. Missing arms contribute
+    exact zeros (the RRF convention); reciprocal ranks are exact IEEE
+    divisions of integers."""
+    return F.array(
+        F.coalesce(F.col("bm25"), F.lit(0.0)),
+        F.coalesce(F.col("cos_sim"), F.lit(0.0)),
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+            F.lit(0.0),
+        ),
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+            F.lit(0.0),
+        ),
+    )
+
+
+def hybrid_candidates(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    query_terms: list[str],
+    query: DataFrame,
+    *,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_probes: int = 1,
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """(doc_id, bm25, cos_sim, lex_rank, sem_rank): the hybrid
+    candidate pool WITH raw arm scores — the feature frame for
+    learned fusion. Same two pruned index reads as ``hybrid_search``;
+    a doc in only one arm carries 0.0 for the other score and NULL
+    for the missing rank."""
+    from .similarity import knn_ivf_indexed
+
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
+    lex = bm25_indexed(
+        spark, postings_path, query_terms, k1=k1, b=b, top_k=n_candidates
+    )
+    sem = knn_ivf_indexed(
+        spark,
+        ann_path,
+        query,
+        id_col=ann_id_col,
+        vec_col=ann_vec_col,
+        cell_col=ann_cell_col,
+        k=n_candidates,
+        n_probes=n_probes,
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_sem = Window.orderBy(F.desc("cos_sim"), F.asc(ann_id_col))
+    lexr = lex.select(
+        "doc_id",
+        "bm25",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    semr = sem.select(
+        F.col(ann_id_col).alias("doc_id"),
+        "cos_sim",
+        F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+    )
+    return lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
+        "lex_rank",
+        "sem_rank",
+    )
+
+
+def train_ltr(
+    candidates: DataFrame,
+    label_col: str,
+    *,
+    rrf_k: int = 60,
+    n_rounds: int = 8,
+    lr: float = 0.5,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> list[float]:
+    """Fit [bias, w_bm25, w_cos, w_lexrank, w_semrank] by dyadic-GD
+    (quality_model.train_quality_model reused wholesale) over a
+    labeled candidate frame — ``hybrid_candidates`` output (or a
+    union of them across queries; pass id_cols=("query_id",
+    "doc_id")) plus a {0,1} relevance column."""
+    from .quality_model import train_quality_model
+
+    cid = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in id_cols]
+    )
+    df = candidates.select(
+        cid.alias("__cid"),
+        ltr_features(rrf_k).alias("__fv"),
+        F.col(label_col).alias(label_col),
+    )
+    return train_quality_model(
+        df, "__cid", label_col,
+        vec_col="__fv", dim=LTR_DIM, n_rounds=n_rounds, lr=lr,
+    )
+
+
+def ltr_score(
+    candidates: DataFrame,
+    weights: list[float],
+    *,
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, lex_rank, sem_rank, ltr): candidates re-ranked by the
+    learned fusion — one map-only codegen'd expression
+    (quality_model.score_quality), top ``k`` by (ltr DESC, doc_id
+    ASC). Bit-identical across engines by the dyadic argument."""
+    if len(weights) != LTR_DIM + 1:
+        raise ValueError(
+            f"weights must be [bias, w_1..w_{LTR_DIM}], got {len(weights)}"
+        )
+    from .quality_model import score_quality
+
+    scored = score_quality(
+        candidates.withColumn("__fv", ltr_features(rrf_k)),
+        weights,
+        vec_col="__fv",
+        out_col="ltr",
+    )
+    return (
+        candidates.select("doc_id", "lex_rank", "sem_rank")
+        .join(scored, "doc_id")
+        .orderBy(F.desc("ltr"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_search_ltr(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    query_terms: list[str],
+    query: DataFrame,
+    weights: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_probes: int = 1,
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """``hybrid_search`` with learned fusion instead of RRF: same two
+    pruned index reads, candidates scored by the trained weights."""
+    cand = hybrid_candidates(
+        spark, postings_path, ann_path, query_terms, query,
+        n_candidates=n_candidates, k1=k1, b=b, n_probes=n_probes,
+        ann_id_col=ann_id_col, ann_vec_col=ann_vec_col,
+        ann_cell_col=ann_cell_col,
+    )
+    return ltr_score(cand, weights, rrf_k=rrf_k, k=k)
+
+
 def _proximity_terms(terms: list[str]) -> list[str]:
     uniq = sorted({t.lower() for t in terms})
     if len(uniq) < 2 or any(not t or " " in t for t in uniq):

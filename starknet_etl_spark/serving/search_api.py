@@ -194,6 +194,81 @@ def hybrid_rows(
     ]
 
 
+def hybrid_ltr_rows(
+    spark,
+    bm25_index: str,
+    ann_index: str,
+    terms: list[str],
+    vector: list[float],
+    weights: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    n_probes: int = 1,
+    cell_col: str = "label",
+    srp_planes: int | None = None,
+    centroids_path: str | None = None,
+) -> list[dict[str, Any]]:
+    """(doc_id, lex_rank, sem_rank, ltr) for one query — the LEARNED
+    fusion (``search.hybrid_search_ltr``): the same two pruned index
+    probes, candidates re-ranked by trained dyadic-GD weights instead
+    of RRF. Query-cell assignment follows ``hybrid_rows``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.search import hybrid_search_ltr
+    from ..operators.similarity import srp_bucket
+
+    query = spark.createDataFrame(
+        [(0, [float(x) for x in vector])],
+        "vec_id long, embedding array<double>",
+    )
+    if srp_planes is not None:
+        query = query.withColumn(
+            cell_col,
+            srp_bucket(
+                F.col("embedding"), dim=len(vector), planes=srp_planes
+            ),
+        )
+    elif centroids_path is not None:
+        from ..operators.similarity import assign_cells
+
+        query = assign_cells(
+            query, spark.read.parquet(centroids_path), cell_col=cell_col
+        )
+    return [
+        {
+            "doc_id": r["doc_id"],
+            "lex_rank": r["lex_rank"],
+            "sem_rank": r["sem_rank"],
+            "ltr": r["ltr"],
+        }
+        for r in hybrid_search_ltr(
+            spark,
+            bm25_index,
+            ann_index,
+            terms,
+            query,
+            [float(w) for w in weights],
+            k=k,
+            rrf_k=rrf_k,
+            n_candidates=n_candidates,
+            n_probes=n_probes,
+            ann_cell_col=cell_col,
+        ).collect()
+    ]
+
+
+def hybrid_ltr_response(
+    spark, bm25_index: str, ann_index: str, terms, vector, weights, **kw
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: hybrid_ltr_rows(
+            spark, bm25_index, ann_index, terms, vector, weights, **kw
+        )
+    )
+
+
 def quality_score_rows(
     spark, model_path: str, texts: list[str], *, dim: int = 16
 ) -> list[dict[str, Any]]:
@@ -411,6 +486,7 @@ def create_search_app(
     positional_index: str | None = None,
     ann_cell_col: str = "label",
     ann_srp_planes: int | None = None,
+    ltr_weights: list[float] | None = None,
     quality_model_path: str | None = None,
     quality_model_dim: int = 16,
     cms_sketch: str | None = None,
@@ -429,6 +505,8 @@ def create_search_app(
     - ``GET /phrase?q=exact+phrase+words``
     - ``GET /near?q=term+term+term&window=10`` (proximity/SpanNear)
     - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
+    - ``GET /hybrid_ltr?q=...&v=...&k=10`` (both indexes +
+      ``ltr_weights``: learned fusion instead of RRF)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
       ``cms_depth``/``cms_width`` must match the stream's build)
@@ -494,6 +572,28 @@ def create_search_app(
             return run(
                 lambda: hybrid_response(
                     spark, bm25_index, ann_index, q.split(), vec,
+                    k=k, n_candidates=n_candidates, n_probes=n_probes,
+                    cell_col=ann_cell_col, srp_planes=ann_srp_planes,
+                    centroids_path=ann_centroids,
+                )
+            )
+
+    if (
+        bm25_index is not None
+        and ann_index is not None
+        and ltr_weights is not None
+    ):
+
+        @app.get("/hybrid_ltr")
+        def hybrid_ltr(
+            q: str, v: str, k: int = 10, n_candidates: int = 20,
+            n_probes: int = 1,
+        ):
+            vec = [float(x) for x in v.split(",")]
+            return run(
+                lambda: hybrid_ltr_response(
+                    spark, bm25_index, ann_index, q.split(), vec,
+                    ltr_weights,
                     k=k, n_candidates=n_candidates, n_probes=n_probes,
                     cell_col=ann_cell_col, srp_planes=ann_srp_planes,
                     centroids_path=ann_centroids,

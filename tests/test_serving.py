@@ -478,3 +478,86 @@ def test_sketch_serving_fastapi_if_available(spark, tmp_path):
     )
     got = client.get("/sketch/count", params={"v": "x,y"}).json()
     assert got["data"][0]["est_n"] >= 5
+
+
+def test_hybrid_ltr_learned_fusion(spark, tmp_path):
+    """train_ltr fits dyadic-GD weights over labeled hybrid
+    candidates; ltr_score's re-ranking equals a manual Python
+    recompute of the quantized linear score (bit-equal by the dyadic
+    argument), and hybrid_search_ltr == candidates + score."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.search import (
+        hybrid_candidates,
+        hybrid_search_ltr,
+        ltr_score,
+        train_ltr,
+    )
+    from starknet_etl_spark.operators.similarity import assign_cells
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    query = assign_cells(query, spark.read.parquet(cents_p))
+    cand = hybrid_candidates(
+        spark, bm25_p, ann_p, ["spark", "catalyst"], query
+    )
+    labeled = cand.withColumn(
+        "y", (F.col("doc_id") == 1).cast("double")
+    )
+    w = train_ltr(labeled, "y", n_rounds=4)
+    assert len(w) == 5
+
+    rows = cand.collect()
+    q20 = lambda x: math.floor(x * 2**20 + 0.5) / 2**20  # noqa: E731
+
+    def manual(r):
+        feats = [
+            r["bm25"],
+            r["cos_sim"],
+            1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0,
+            1.0 / (60 + r["sem_rank"]) if r["sem_rank"] else 0.0,
+        ]
+        return q20(w[0] + sum(wj * q20(f) for wj, f in zip(w[1:], feats)))
+
+    want = sorted(
+        ((r["doc_id"], manual(r)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["doc_id"], r["ltr"])
+        for r in ltr_score(cand, w, k=10).collect()
+    ]
+    assert got == want
+
+    full = [
+        (r["doc_id"], r["ltr"])
+        for r in hybrid_search_ltr(
+            spark, bm25_p, ann_p, ["spark", "catalyst"], query, w, k=10
+        ).collect()
+    ]
+    assert full == got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="weights"):
+        ltr_score(cand, [0.1, 0.2], k=5)
+
+
+def test_hybrid_ltr_serving_core(spark, tmp_path):
+    from starknet_etl_spark.serving.search_api import hybrid_ltr_response
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    w = [0.0, 1.0, 1.0, 0.5, 0.5]
+    out = hybrid_ltr_response(
+        spark, bm25_p, ann_p, ["spark", "catalyst"],
+        [1.0, 0.0, 0.0, 0.0], w, centroids_path=cents_p,
+    )
+    assert {r["doc_id"] for r in out["data"]} == {1, 2}
+    assert set(out["data"][0]) == {"doc_id", "lex_rank", "sem_rank", "ltr"}
+    # re-rankable: scores descend, ties broken by id
+    scores = [r["ltr"] for r in out["data"]]
+    assert scores == sorted(scores, reverse=True)
