@@ -5565,3 +5565,282 @@ QUERIES["doc_hybrid_ltr"] = QuerySpec(
     "learned fusion over the hybrid probes: dyadic-GD weights on"
     " (bm25, cosine, reciprocal ranks) vs contains-all-terms labels",
 )
+
+
+# --------------------------------------------------------------------------
+# Conversation-structured operators (r7): the documents table
+# synthesized onto a deterministic TURN grid (8-token chunks,
+# alternating user/assistant role tags — the line-grid trick one
+# format up), then parsed, turn-deduped corpus-wide, and packed
+# turn-atomically. operators/turns.py. Names prefixed _TRN_/trn_.
+# --------------------------------------------------------------------------
+
+_TRN_W = 8        # tokens per synthesized turn
+_TRN_BUDGET = 32  # packing budget (tokens per sequence)
+_TRN_SEP = ": "
+
+_TRN_CTES = rf"""
+trn_w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+trn_chg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+           || ': '
+           || array_to_string(
+                ws[i * {_TRN_W} + 1:i * {_TRN_W} + {_TRN_W}], ' ')
+           AS line
+  FROM trn_w,
+       unnest(generate_series(
+         0, (greatest(len(ws), 1) + {_TRN_W} - 1) // {_TRN_W} - 1
+       )) AS t(i)
+),
+trn_conv AS MATERIALIZED (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY chunk_id) AS text
+  FROM trn_chg GROUP BY doc_id
+),
+trn_lines AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx, ls[i] AS l
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM trn_conv),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+trn_parsed AS MATERIALIZED (
+  SELECT doc_id, turn_idx, l,
+         CASE WHEN strpos(l, ': ') > 0
+                   AND substr(l, 1, strpos(l, ': ') - 1)
+                       IN ('system', 'user', 'assistant')
+              THEN substr(l, 1, strpos(l, ': ') - 1) END AS role,
+         CASE WHEN strpos(l, ': ') > 0
+                   AND substr(l, 1, strpos(l, ': ') - 1)
+                       IN ('system', 'user', 'assistant')
+              THEN substr(l, strpos(l, ': ') + 2) ELSE l END AS content
+  FROM trn_lines
+)
+"""
+
+
+def _conversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus as role-tagged conversations: 8-token
+    turns, alternating user/assistant (deterministic synthesis — the
+    single-line corpus carries no real dialogue)."""
+    ch = X.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=_TRN_W, overlap=0,
+    )
+    line = F.concat(
+        F.when(F.col("chunk_id") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit(_TRN_SEP),
+        F.col("chunk_text"),
+    )
+    return ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", line.alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def _turns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import parse_turns
+
+    return parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+
+
+_TURNS_PARSE_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + """
+SELECT doc_id, turn_idx, role, content FROM trn_parsed
+"""
+)
+
+
+def _turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import turn_dedup
+
+    return turn_dedup(_conversed(spark, sf_dir), "doc_id", "text")
+
+
+_TURN_DEDUP_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + r""",
+trn_keyed AS (
+  SELECT doc_id, turn_idx, l,
+         md5(COALESCE(role, '')
+             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
+           AS th,
+         trim(content) = '' AS blank
+  FROM trn_parsed
+),
+trn_occ AS (
+  SELECT doc_id, turn_idx, l, blank,
+         ROW_NUMBER() OVER (
+           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
+  FROM trn_keyed
+),
+trn_kept AS (
+  SELECT doc_id, turn_idx, l FROM trn_occ WHERE blank OR rn = 1
+),
+trn_tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM trn_lines GROUP BY doc_id
+),
+trn_agg AS (
+  SELECT doc_id,
+         string_agg(l, chr(10) ORDER BY turn_idx) AS text2,
+         CAST(COUNT(*) AS BIGINT) AS nk
+  FROM trn_kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(a.text2, '') AS text,
+       t.nt AS n_turns,
+       CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
+FROM trn_conv c
+JOIN trn_tot t ON t.doc_id = c.doc_id
+LEFT JOIN trn_agg a ON a.doc_id = c.doc_id
+"""
+)
+
+
+def _turn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import pack_turns, parse_turns
+
+    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+    packed = pack_turns(turns, budget=_TRN_BUDGET)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_turn_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_TURN_PACK_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + rf""",
+trn_ntok AS (
+  SELECT doc_id, turn_idx,
+         CAST(len(list_filter(
+           string_split_regex(trim(content), '\s+'),
+           x -> x <> '')) AS BIGINT) AS n
+  FROM trn_parsed
+),
+trn_off AS (
+  SELECT doc_id, turn_idx, n,
+         CAST(SUM(n) OVER (
+           ORDER BY doc_id, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS start_offset
+  FROM trn_ntok
+)
+SELECT CAST(start_offset // {_TRN_BUDGET} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM trn_off GROUP BY seq_id
+"""
+)
+
+QUERIES["doc_turns_parse"] = QuerySpec(
+    _turns_parse,
+    _TURNS_PARSE_ORACLE,
+    "deterministic turn parser over the conversation-synthesized corpus",
+)
+QUERIES["doc_turn_dedup"] = QuerySpec(
+    _turn_dedup,
+    _TURN_DEDUP_ORACLE,
+    "corpus-level exact turn dedup on (role, normalized content)",
+)
+QUERIES["doc_turn_pack"] = QuerySpec(
+    _turn_pack,
+    _TURN_PACK_ORACLE,
+    "turn-atomic concat-and-split packing rollup",
+)
+
+
+# --------------------------------------------------------------------------
+# Multi-n span profile (r7): per-n repeated-span statistics from ONE
+# token explode (operators/spans.py span_profile) — the measurement a
+# curation policy picks rewrite lengths from. The oracle replays each
+# n's chain over the corpus window grid; Spark groups on xxhash64 of
+# the span, the oracle on the span string itself (identical results
+# absent 64-bit collisions, the doc_span_dedup convention).
+# Names prefixed _SPROF_/sprof_.
+# --------------------------------------------------------------------------
+
+_SPROF_NS = (4, 8, 16)
+_SPROF_MC = 2
+
+
+def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import span_profile
+
+    return span_profile(
+        _docs(spark, sf_dir), "doc_id", "text",
+        ns=_SPROF_NS, min_count=_SPROF_MC,
+    )
+
+
+def _sprof_chain_sql(n: int) -> str:
+    return f"""
+sprof_win{n} AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {n} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+sprof_occ{n} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         g
+  FROM sprof_win{n}
+),
+sprof_st{n} AS (
+  SELECT CAST({n} AS BIGINT) AS span_n,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN cnt >= {_SPROF_MC} THEN g END)
+              AS BIGINT) AS n_dup_spans,
+         CAST(SUM(CASE WHEN cnt >= {_SPROF_MC} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_occurrences
+  FROM sprof_occ{n}
+),
+sprof_rm{n} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rm FROM (
+    SELECT DISTINCT doc_id, pos + j AS p
+    FROM sprof_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
+    WHERE cnt >= {_SPROF_MC} AND rn > 1)
+),
+sprof_row{n} AS (
+  SELECT s.*, r.n_rm AS n_removable_tokens
+  FROM sprof_st{n} s CROSS JOIN sprof_rm{n} r
+  WHERE s.n_windows > 0
+)"""
+
+
+_SPAN_PROFILE_ORACLE = (
+    "WITH "
+    + ",".join(_sprof_chain_sql(n) for n in _SPROF_NS)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT * FROM sprof_row{n}" for n in _SPROF_NS
+    )
+)
+
+QUERIES["doc_span_profile"] = QuerySpec(
+    _span_profile,
+    _SPAN_PROFILE_ORACLE,
+    "multi-n repeated-span statistics from one shared token explode",
+)

@@ -228,6 +228,142 @@ def remove_repeated_spans(
     )
 
 
+def span_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ns: tuple[int, ...] = (8, 16, 32),
+    min_count: int = 2,
+    eager_release: bool = True,
+) -> DataFrame:
+    """Multi-n repeated-span profile in ONE pass: boilerplate length
+    varies, and running ``remove_repeated_spans`` at several n values
+    to find the right one costs several full token explodes — this
+    shares ONE explode and ONE doc-keyed window across every n (the
+    lead() columns nest: n=8 reads a prefix of n=32's columns) and
+    emits per-n statistics a curation policy can pick rewrite
+    lengths from.
+
+    Output, one row per n WITH at least one window:
+    (span_n, n_windows, n_distinct, n_dup_spans, n_dup_occurrences,
+    n_removable_tokens) — all exact integers; n_removable_tokens is
+    the distinct token positions a keep-first rewrite at that n
+    would remove (non-canonical duplicated occurrences, overlap
+    unioned — exactly remove_repeated_spans' removal set).
+
+    Scale: the token stream is exploded and windowed ONCE — the
+    (id, pos, span_n, hash) occurrence frame is persisted and read
+    by both consumers (the stats aggregate and the removable-token
+    pipeline prune different columns, so without the cache Catalyst
+    plans three independent scans and AQE cannot stage-reuse the
+    shuffles — measured, and plan-gated via the InMemoryRelation).
+    Cache size = tokens x |ns| narrow rows, MEMORY_AND_DISK spill;
+    released deterministically via the dedup._eager_release
+    discipline (``eager_release=False`` restores lazy behavior and
+    leaves cache lifetime to the caller). Everything after the cache
+    runs on (span_n, hash) keys with map-side combine; the winner is
+    a min(struct) aggregate, never a per-key row_number.
+    """
+    from pyspark.sql.window import Window
+
+    ns = tuple(sorted(set(ns)))
+    if not ns or any(n < 2 for n in ns):
+        raise ValueError(f"every span length must be >= 2, got {ns}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    max_n = ns[-1]
+    tok = _tokens(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__w").alias("__w0")] + [
+        F.lead("__w", j).over(w).alias(f"__w{j}")
+        for j in range(1, max_n)
+    ]
+    win = tok.select(id_col, "__pos", *parts)
+    per_n = F.array(
+        *[
+            F.when(
+                F.col(f"__w{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).cast("long").alias("span_n"),
+                    F.xxhash64(
+                        F.concat_ws(" ", *[f"__w{j}" for j in range(n)])
+                    ).alias("__h"),
+                ),
+            )
+            for n in ns
+        ]
+    )
+    occ = (
+        win.select(id_col, "__pos", F.explode(per_n).alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select(
+            id_col,
+            "__pos",
+            F.col("__s.span_n").alias("span_n"),
+            F.col("__s.__h").alias("__h"),
+        )
+    )
+    occ = occ.persist()
+    info = occ.groupBy("span_n", "__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+    )
+    stats = info.groupBy("span_n").agg(
+        F.sum("__cnt").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((F.col("__cnt") >= min_count).cast("long"))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.sum(
+            F.when(F.col("__cnt") >= min_count, F.col("__cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_dup_occurrences"),
+    )
+    dup_occ = occ.join(
+        info.filter(F.col("__cnt") >= min_count).select(
+            "span_n", "__h", "__first"
+        ),
+        ["span_n", "__h"],
+    ).filter(
+        ~(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"])
+        )
+    )
+    removable = (
+        dup_occ.select(
+            "span_n",
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"),
+                    F.col("__pos") + F.col("span_n") - 1,
+                )
+            ).alias("__pos"),
+        )
+        .distinct()
+        .groupBy("span_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removable_tokens"))
+    )
+    out = stats.join(removable, "span_n", "left").select(
+        "span_n",
+        "n_windows",
+        "n_distinct",
+        "n_dup_spans",
+        "n_dup_occurrences",
+        F.coalesce("n_removable_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_removable_tokens"),
+    )
+    from .dedup import _eager_release
+
+    return _eager_release(out, [occ], eager_release)
+
+
 def _line_joiner(line_sep: str, joiner: str | None) -> str:
     """The literal string that re-assembles surviving lines.
     ``line_sep`` is a Java REGEX (the F.split contract); joining with

@@ -1,0 +1,250 @@
+"""Conversation-structured operators: turn parsing, turn-level
+dedup, turn-aware PII scrubbing, and turn-atomic sequence packing.
+
+LLM training data is increasingly dialogue, and document-flat
+operators miss its structure in three ways this module fixes:
+whole-doc dedup misses conversations differing only in one turn
+(assistant boilerplate repeats ACROSS conversations); PII scrubbing
+must never touch the role tags that carry the format; and packing
+must never split a turn between sequences (a half-turn is a
+corrupted training example, unlike a half-document in plain
+pretraining text).
+
+Format contract (deterministic, SQL-replayable): a conversation is
+``turn_sep``-joined lines, each ``<role><role_sep><content>`` with
+``role`` from a fixed vocabulary. A line whose prefix is not a known
+role (or has no separator) parses as role NULL with the whole line
+as content — malformed lines are data to audit, not errors.
+
+Scale: every operator is the corresponding document-flat shape one
+level down — parsing is a map-only explode; turn dedup is the
+line_dedup aggregate on (role, normalized-content) hashes; packing
+is one window sum keyed like pack_sequences. Nothing here introduces
+a new shuffle class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_ROLES: tuple[str, ...] = ("system", "user", "assistant")
+
+
+def _check_seps(turn_sep: str, role_sep: str) -> None:
+    if not turn_sep or not role_sep:
+        raise ValueError("turn_sep and role_sep must be non-empty")
+    if "'" in role_sep or "'" in turn_sep:
+        raise ValueError("separators may not contain single quotes")
+
+
+def parse_turns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """(id, turn_idx, role, content): the deterministic turn parser.
+    ``turn_sep`` is a LITERAL line separator (not a regex); the role
+    is the text before the FIRST ``role_sep`` when it is one of
+    ``roles``, else NULL with the whole line as content. turn_idx is
+    the 0-based position. Map-only (one split + explode)."""
+    _check_seps(turn_sep, role_sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # split on the literal separator: regex-quote it
+            F.split(F.col(text_col), _re_quote(turn_sep), -1)
+        ).alias("turn_idx", "__l"),
+    )
+    p = F.instr(F.col("__l"), role_sep)
+    head = F.expr(
+        f"substring(__l, 1, instr(__l, '{role_sep}') - 1)"
+    )
+    is_role = (p > 0) & head.isin(*roles)
+    content = F.when(
+        is_role,
+        F.expr(
+            f"substring(__l, instr(__l, '{role_sep}') + {len(role_sep)})"
+        ),
+    ).otherwise(F.col("__l"))
+    return lines.select(
+        id_col,
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.when(is_role, head).alias("role"),
+        content.alias("content"),
+    )
+
+
+def _re_quote(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def _norm(content: Column) -> Column:
+    """Turn-content normalization for dedup identity: lowercase,
+    trimmed, inner whitespace collapsed."""
+    return F.lower(F.trim(F.regexp_replace(content, r"\s+", " ")))
+
+
+def _render(role: Column, content: Column, role_sep: str) -> Column:
+    """A turn back to its line form (role-less turns verbatim)."""
+    return F.when(
+        role.isNotNull(), F.concat(role, F.lit(role_sep), content)
+    ).otherwise(content)
+
+
+def turn_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """Corpus-level exact TURN deduplication: each distinct
+    (role, normalized content) survives only at its first occurrence
+    corpus-wide — minimum (id, turn_idx) — and is dropped everywhere
+    else; blank turns (empty content after trim) are structural and
+    always kept. Conversations are re-assembled from surviving turns
+    in original order. Emits (id, text, n_turns, n_dropped).
+
+    Identity includes the ROLE deliberately: a user echoing an
+    assistant boilerplate is different data than the boilerplate
+    itself. Scale = line_dedup's: one hash-keyed winner aggregate
+    with map-side combine + a many-to-one re-join.
+    """
+    from .spans import _reassemble
+
+    turns = parse_turns(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    )
+    lines = turns.select(
+        id_col,
+        F.col("turn_idx").alias("__pos"),
+        _render(F.col("role"), F.col("content"), role_sep).alias("__w"),
+        F.md5(
+            F.concat_ws(
+                "", F.coalesce("role", F.lit("")), _norm(F.col("content"))
+            )
+        ).alias("__th"),
+        (F.trim("content") == "").alias("__blank"),
+    )
+    dedupable = lines.filter(~F.col("__blank"))
+    winners = dedupable.groupBy("__th").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+    )
+    kept_dedupable = (
+        dedupable.join(winners, "__th")
+        .filter(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"])
+        )
+        .select(id_col, "__pos", "__w")
+    )
+    blank = lines.filter(F.col("__blank")).select(id_col, "__pos", "__w")
+    kept = kept_dedupable.unionByName(blank)
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    return _reassemble(
+        df,
+        kept,
+        totals,
+        id_col,
+        joiner=turn_sep,
+        n_total_col="n_turns",
+        n_removed_col="n_dropped",
+    )
+
+
+def scrub_turns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """Turn-aware PII scrub: ``pii.redact_pii`` over each turn's
+    CONTENT only — role tags and the conversation layout pass through
+    untouched (a whole-doc regex could mangle a role tag that happens
+    to look like a pattern, and redaction markers must never merge
+    across turn boundaries). Emits (id, text) re-assembled.
+    Map-only: parse, redact, re-join."""
+    from .pii import redact_pii
+
+    turns = parse_turns(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    )
+    rendered = turns.select(
+        id_col,
+        F.col("turn_idx").alias("__pos"),
+        _render(
+            F.col("role"), redact_pii(F.col("content")), role_sep
+        ).alias("__w"),
+    )
+    agg = rendered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            turn_sep,
+        ).alias("__text2")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__text2", F.lit("")).alias("text"),
+        )
+    )
+
+
+def pack_turns(
+    turns: DataFrame,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    idx_col: str = "turn_idx",
+    content_col: str = "content",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Turn-atomic concat-and-split packing: turns are laid
+    end-to-end in (conversation, turn) order and the token stream is
+    cut every ``budget`` tokens; each TURN belongs to the sequence
+    its first token lands in — a turn is never split (the packing.py
+    discipline one level down; conversations stay contiguous and may
+    straddle sequences only at turn boundaries).
+
+    Adds (n_turn_tokens, start_offset, seq_id). ``part_col`` keys the
+    window shuffle at scale (sequences never straddle parts);
+    ``None`` = one global ordering, tests/small corpora only.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col(content_col)), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    w = (
+        Window.partitionBy(part_col) if part_col else Window.partitionBy()
+    ).orderBy(id_col, idx_col)
+    t = turns.withColumn("n_turn_tokens", ntok)
+    start = (
+        F.sum("n_turn_tokens").over(w) - F.col("n_turn_tokens")
+    ).cast("long")
+    return t.withColumn("start_offset", start).withColumn(
+        "seq_id",
+        F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+    )

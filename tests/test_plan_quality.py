@@ -536,3 +536,29 @@ def test_proximity_probe_prunes_buckets(spark):
     # every positional scan carries the bucket partition IN-filter
     assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_span_profile_single_token_explode(spark):
+    """span_profile's whole point: the token stream is exploded and
+    windowed ONCE — the occurrence frame is cached (InMemoryRelation)
+    and every consumer reads the cache. Without it, the stats and
+    removable branches prune different columns, Catalyst plans three
+    independent token scans, and AQE cannot stage-reuse the shuffles
+    (measured before the cache landed)."""
+    import re
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.spans import span_profile
+
+    docs = load_testdata(spark, SF_DIR, "documents")
+    out = span_profile(docs, ns=(4, 8), eager_release=False)
+    qe = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    # exactly ONE token explode in the whole plan (it lives inside
+    # the InMemoryRelation), read by >= 2 cache scans
+    assert len(re.findall(r"posexplode\(split", plan)) == 1, plan[:2000]
+    assert _tree(plan).count("InMemoryTableScan") >= 2
+    out.sparkSession.catalog.clearCache()

@@ -417,3 +417,67 @@ def test_line_dedup_rejects_regex_separator_without_joiner(spark):
     assert got["d1"] == "a b c.\nunique line here."
     with pytest.raises(ValueError, match="metacharacters"):
         line_quality_filter(df, line_sep=r"\r?\n")
+
+
+def _naive_span_profile(docs, ns, min_count=2):
+    from collections import Counter
+
+    out = {}
+    for n in sorted(set(ns)):
+        spans = Counter()
+        occs = []
+        for doc_id, text in docs:
+            toks = text.split()
+            for p in range(len(toks) - n + 1):
+                g = " ".join(toks[p : p + n])
+                spans[g] += 1
+                occs.append((doc_id, p, g))
+        if not occs:
+            continue
+        firsts = {}
+        for doc_id, p, g in sorted(occs):
+            firsts.setdefault(g, (doc_id, p))
+        removable = set()
+        for doc_id, p, g in occs:
+            if spans[g] >= min_count and firsts[g] != (doc_id, p):
+                for j in range(n):
+                    removable.add((doc_id, p + j))
+        out[n] = (
+            sum(spans.values()),
+            len(spans),
+            sum(1 for c in spans.values() if c >= min_count),
+            sum(c for c in spans.values() if c >= min_count),
+            len(removable),
+        )
+    return out
+
+
+def test_span_profile_matches_naive(spark):
+    from starknet_etl_spark.operators.spans import span_profile
+
+    docs = [
+        ("d1", "a b c d e f a b c d x y"),
+        ("d2", "a b c d e f q r s t u v"),
+        ("d3", "x y a b c d e f a b c d"),
+        ("d4", "short doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["span_n"]: (
+            r["n_windows"],
+            r["n_distinct"],
+            r["n_dup_spans"],
+            r["n_dup_occurrences"],
+            r["n_removable_tokens"],
+        )
+        for r in span_profile(df, ns=(2, 4, 6), min_count=2).collect()
+    }
+    want = _naive_span_profile(docs, (2, 4, 6))
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="span length"):
+        span_profile(df, ns=(1, 4))
+    with pytest.raises(ValueError, match="min_count"):
+        span_profile(df, ns=(4,), min_count=1)

@@ -1,0 +1,122 @@
+"""Conversation-structured operators (operators/turns.py): parser
+determinism incl. malformed lines, corpus-level turn dedup vs a
+naive reference, turn-aware PII scrubbing, and turn-atomic packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.turns import (
+    pack_turns,
+    parse_turns,
+    scrub_turns,
+    turn_dedup,
+)
+
+CONVS = [
+    ("c1", "user: hi there\nassistant: hello how can I help\nuser: hi there"),
+    ("c2", "system: be kind\nuser: HI   THERE\nassistant: hello how can I help"),
+    ("c3", "no role prefix line\nuser: unique question\nassistant:"),
+    ("c4", ""),
+]
+
+
+def test_parse_turns_roles_and_malformed(spark):
+    df = spark.createDataFrame(CONVS, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["turn_idx"]): (r["role"], r["content"])
+        for r in parse_turns(df).collect()
+    }
+    assert got[("c1", 0)] == ("user", "hi there")
+    assert got[("c1", 1)] == ("assistant", "hello how can I help")
+    # malformed: no separator -> NULL role, whole line as content
+    assert got[("c3", 0)] == (None, "no role prefix line")
+    # 'assistant:' without the ': ' separator text after it -> the
+    # separator ': ' never matches, so the line is role-less
+    assert got[("c3", 2)] == (None, "assistant:")
+    # empty doc parses as one empty role-less turn
+    assert got[("c4", 0)] == (None, "")
+    # unknown roles stay content
+    df2 = spark.createDataFrame(
+        [("x", "hacker: pwned\nuser: ok")], ["doc_id", "text"]
+    )
+    r0 = parse_turns(df2).orderBy("turn_idx").collect()[0]
+    assert r0["role"] is None and r0["content"] == "hacker: pwned"
+
+
+def test_turn_dedup_matches_naive(spark):
+    df = spark.createDataFrame(CONVS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_turns"], r["n_dropped"])
+        for r in turn_dedup(df).collect()
+    }
+    # naive: identity = (role, lower/trim/collapsed content); first
+    # (doc_id, turn_idx) wins; blanks kept
+    seen = set()
+    want = {}
+    for doc_id, text in CONVS:
+        lines_out, dropped, total = [], 0, 0
+        for line in text.split("\n"):
+            total += 1
+            if ": " in line and line.split(": ", 1)[0] in (
+                "system", "user", "assistant",
+            ):
+                role, content = line.split(": ", 1)
+            else:
+                role, content = None, line
+            norm = (role or "") + " ".join(content.lower().split())
+            if content.strip() == "":
+                lines_out.append(line)
+                continue
+            if norm in seen:
+                dropped += 1
+            else:
+                seen.add(norm)
+                lines_out.append(line)
+        want[doc_id] = ("\n".join(lines_out), total, dropped)
+    assert got == want
+    # c1's repeated 'user: hi there' collapses; c2 loses BOTH its
+    # case/space variant of that turn and the repeated assistant line
+    assert got["c1"][2] == 1 and got["c2"][2] == 2
+
+
+def test_scrub_turns_redacts_content_not_roles(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "p1",
+                "user: my email is bob@example.com\n"
+                "assistant: noted, bob@example.com it is",
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    out = scrub_turns(df).collect()[0]["text"]
+    lines = out.split("\n")
+    assert lines[0].startswith("user: ")
+    assert lines[1].startswith("assistant: ")
+    assert "bob@example.com" not in out
+    assert out.count("[EMAIL]") == 2 or "@" not in out
+
+
+def test_pack_turns_atomic_and_contiguous(spark):
+    df = spark.createDataFrame(CONVS[:3], ["doc_id", "text"])
+    turns = parse_turns(df)
+    packed = pack_turns(turns, budget=8).orderBy(
+        "doc_id", "turn_idx"
+    ).collect()
+    # token stream is cut every 8 tokens; a turn lives where its
+    # first token lands
+    run = 0
+    for r in packed:
+        assert r["start_offset"] == run
+        assert r["seq_id"] == r["start_offset"] // 8
+        run += r["n_turn_tokens"]
+    # conversations contiguous in the layout: doc_ids appear in
+    # sorted runs (the window orders by (doc_id, turn_idx))
+    ids = [r["doc_id"] for r in packed]
+    assert ids == sorted(ids)
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_turns(turns, budget=0)
