@@ -122,9 +122,13 @@ _FIRST_50: tuple[str, ...] = (
     # Events/window queries displaced past 50 in r2.
     "latest_event_per_user",
     "user_journeys",
-    "props_by_type",
     "running_total",
-    "top3_per_type",
+    # props_by_type / top3_per_type displaced to overflow in r7 (JSON
+    # family stays in-window via domain_top_pair_report/_swaps_nested;
+    # window family via latest_event_per_user/running_total) to admit
+    # the r6-verdict-asked unigram trainer and turn-dedup rows.
+    "doc_unigram_vocab",
+    "doc_turn_dedup",
     # value_delta displaced to overflow in r6 (the window family keeps
     # latest_event_per_user/running_total/top3_per_type in-window) to
     # admit the hybrid-retrieval row the r5 verdict asked for.
@@ -140,13 +144,20 @@ _FIRST_50: tuple[str, ...] = (
     "events_hourly_windows",
     "brand_stats",
     "customers_without_orders",
-    "order_priority_semi",
+    # order_priority_semi displaced to overflow in r7 (the LeftSemi
+    # plan gate keeps the surface pinned; join family in-window via
+    # brand_stats/customers_without_orders) to admit the learned-
+    # fusion row the r6 verdict asked for.
+    "doc_hybrid_ltr",
     "top_customers",
     "rollup_sales",
     # cube_orders / grouping_sets_sales displaced to overflow in r6
     # (rollup_sales keeps the grouping-sets family in-window) to admit
-    # the mm_* feature-retrieval rows the r5 verdict asked for.
-    "approx_distinct_users",
+    # the mm_* feature-retrieval rows the r5 verdict asked for;
+    # approx_distinct_users displaced in r7 (deterministic sketching
+    # covered by the doc_kmv_distinct/doc_heavy_hitters differential
+    # rows) to admit the multi-n span profile.
+    "doc_span_profile",
 )
 
 

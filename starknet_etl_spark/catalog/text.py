@@ -3737,6 +3737,69 @@ fused_{qid} AS (
     )
 
 
+def _hybrid_batch_ltr_oracle() -> str:
+    """The batch arms (shared verbatim with _hybrid_batch_oracle via
+    the same construction) + LTR training on q0's candidate pool —
+    which IS doc_hybrid_ltr's training pool, since q0's terms are
+    _BM25_TERMS and the pseudo-doc embedding/cell scheme matches —
+    + per-query learned scoring. CTE order: pools for every query,
+    then the GD unroll (reads q0's pool), then scoring."""
+    rrf = _hybrid_batch_oracle()
+    # strip the final RRF selects; keep "WITH shared, blocks"
+    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
+    pools, scores, selects = [], [], []
+    for qid in _HYBRID_BATCH_QUERIES:
+        pools.append(f"""
+bcand_{qid} AS MATERIALIZED (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         COALESCE(l.bm25, 0.0) AS bm25,
+         COALESCE(s.cos_sim, 0.0) AS cos_sim,
+         lr.lex_rank, sr.sem_rank
+  FROM lexr_{qid} lr
+  FULL OUTER JOIN semr_{qid} sr ON sr.doc_id = lr.doc_id
+  LEFT JOIN lex_{qid} l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+  LEFT JOIN sem_{qid} s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+),{_ltr_x_sql(f"bx_{qid}", f"bcand_{qid}")}""")
+        scores.append(f"""
+bs_{qid} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
+  FROM bx_{qid} x JOIN bltrw{_LTR_ROUNDS} w USING (j)
+  GROUP BY x.doc_id
+)""")
+        selects.append(
+            f"(SELECT '{qid}' AS query_id, c.doc_id, c.lex_rank, "
+            f"c.sem_rank, s.ltr FROM bcand_{qid} c "
+            f"JOIN bs_{qid} s USING (doc_id) "
+            f"ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K})"
+        )
+    n_terms = len(set(_BM25_TERMS))
+    in_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    train = f"""
+bltr_y AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN {n_terms} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = c.doc_id AND h.t IN ({in_terms}))
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM bcand_q0 c
+),
+bltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bcand_q0),
+bltr_x AS MATERIALIZED (SELECT * FROM bx_q0),
+{_ltr_rounds_sql("bltr")}"""
+    return (
+        ctes
+        + ","
+        + ",".join(pools)
+        + ","
+        + train
+        + ","
+        + ",".join(scores)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
 QUERIES["doc_hybrid_batch"] = QuerySpec(
     _hybrid_batch,
     _hybrid_batch_oracle(),
@@ -5475,38 +5538,63 @@ def _hybrid_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ltr_rounds_sql() -> str:
+def _ltr_rounds_sql(pfx: str = "ltr") -> str:
+    """GD unroll over {pfx}_x / {pfx}_y / {pfx}_n, producing weight
+    CTEs {pfx}w0..{pfx}w{_LTR_ROUNDS} (the _qm_ctes pattern with
+    parameterized names so the batch variant can reuse it)."""
     rounds = [
-        """
-ltrw0 AS (
+        f"""
+{pfx}w0 AS (
   SELECT CAST(u.j AS INT) AS j, 0.0 AS w
   FROM unnest(generate_series(0, 4)) AS u(j)
 )"""
     ]
     for k in range(_LTR_ROUNDS):
         rounds.append(f"""
-ltrp{k} AS (
+{pfx}p{k} AS (
   SELECT x.doc_id,
          floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
-  FROM ltr_x x JOIN ltrw{k} w USING (j) GROUP BY x.doc_id
+  FROM {pfx}_x x JOIN {pfx}w{k} w USING (j) GROUP BY x.doc_id
 ),
-ltrg{k} AS (
+{pfx}g{k} AS (
   SELECT x.j,
-         floor(SUM(x.x * (p.p - y.y)) / ltr_n.n * 1048576.0 + 0.5)
+         floor(SUM(x.x * (p.p - y.y)) / {pfx}_n.n * 1048576.0 + 0.5)
            / 1048576.0 AS g
-  FROM ltr_x x
-  JOIN ltrp{k} p USING (doc_id)
-  JOIN ltr_y y USING (doc_id)
-  CROSS JOIN ltr_n
-  GROUP BY x.j, ltr_n.n
+  FROM {pfx}_x x
+  JOIN {pfx}p{k} p USING (doc_id)
+  JOIN {pfx}_y y USING (doc_id)
+  CROSS JOIN {pfx}_n
+  GROUP BY x.j, {pfx}_n.n
 ),
-ltrw{k + 1} AS MATERIALIZED (
+{pfx}w{k + 1} AS MATERIALIZED (
   SELECT w.j,
          floor((w.w - {_LTR_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
            AS w
-  FROM ltrw{k} w JOIN ltrg{k} g USING (j)
+  FROM {pfx}w{k} w JOIN {pfx}g{k} g USING (j)
 )""")
     return ",".join(rounds)
+
+
+def _ltr_x_sql(name: str, cand: str) -> str:
+    """Long-form quantized feature CTE over a candidate pool with
+    (doc_id, bm25, cos_sim, lex_rank, sem_rank)."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {cand}
+    UNION ALL SELECT doc_id, 1, bm25 FROM {cand}
+    UNION ALL SELECT doc_id, 2, cos_sim FROM {cand}
+    UNION ALL
+    SELECT doc_id, 3,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
+    FROM {cand}
+    UNION ALL
+    SELECT doc_id, 4,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
+    FROM {cand}
+  )
+)"""
 
 
 _HYBRID_LTR_ORACLE = f"""
@@ -5530,22 +5618,7 @@ ltr_y AS MATERIALIZED (
               THEN 1.0 ELSE 0.0 END AS y
   FROM ltr_cand c
 ),
-ltr_x AS MATERIALIZED (
-  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
-  FROM (
-    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM ltr_cand
-    UNION ALL SELECT doc_id, 1, bm25 FROM ltr_cand
-    UNION ALL SELECT doc_id, 2, cos_sim FROM ltr_cand
-    UNION ALL
-    SELECT doc_id, 3,
-           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
-    FROM ltr_cand
-    UNION ALL
-    SELECT doc_id, 4,
-           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
-    FROM ltr_cand
-  )
-),
+{_ltr_x_sql("ltr_x", "ltr_cand")},
 ltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ltr_cand),
 {_ltr_rounds_sql()},
 ltr_s AS (
@@ -5843,4 +5916,90 @@ QUERIES["doc_span_profile"] = QuerySpec(
     _span_profile,
     _SPAN_PROFILE_ORACLE,
     "multi-n repeated-span statistics from one shared token explode",
+)
+
+
+def _hybrid_ltr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched learned fusion: weights trained on the single-query
+    labeled candidates (doc_hybrid_ltr's cached model — the oracle
+    retrains on the IDENTICAL q0 pool), applied to both batch
+    queries through the shared one-read-per-index arms."""
+    from ..operators import similarity as S
+    from ..operators.search import (
+        build_postings_index,
+        hybrid_batch_ltr,
+        train_ltr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
+    if key not in _LTR_CACHE:
+        _cand, labeled = _ltr_candidates(spark, sf_dir)
+        _LTR_CACHE[key] = train_ltr(
+            labeled, "__rel",
+            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
+        )
+
+    qtexts = spark.createDataFrame(
+        [
+            (-(i + 1), " ".join(terms))
+            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+        ],
+        "doc_id bigint, text string",
+    )
+    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    qid_of = {
+        -(i + 1): qid
+        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
+    }
+    mapping = F.create_map(
+        *[F.lit(v) for kv in qid_of.items() for v in kv]
+    )
+    terms_map = {
+        qid: list(terms)
+        for qid, terms in _HYBRID_BATCH_QUERIES.items()
+    }
+    queries = qemb.select(
+        mapping[F.col("doc_id")].alias("query_id"),
+        "embedding",
+        "cell",
+    ).withColumn(
+        "terms",
+        F.when(
+            F.col("query_id") == "q0",
+            F.array(*[F.lit(t) for t in terms_map["q0"]]),
+        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
+    )
+    return hybrid_batch_ltr(
+        spark,
+        ppath,
+        apath,
+        queries,
+        _LTR_CACHE[key],
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+QUERIES["doc_hybrid_ltr_batch"] = QuerySpec(
+    _hybrid_ltr_batch,
+    _hybrid_batch_ltr_oracle(),
+    "batched learned fusion: one read per index, trained weights,"
+    " per query bit-equal to the hybrid_search_ltr loop",
 )

@@ -162,21 +162,24 @@ def score_quality(
     df: DataFrame,
     weights: list[float],
     *,
-    id_col: str = "doc_id",
+    id_col: str | tuple[str, ...] = "doc_id",
     vec_col: str = "embedding",
     out_col: str = "q_score",
 ) -> DataFrame:
-    """(id, q_score): map-only linear score — the weights unroll into
-    one codegen'd expression over the vector column (bias + Σ w_j ·
-    vec[j-1]), 6-dp rounded; NULL vectors score NULL."""
+    """(id..., q_score): map-only linear score — the weights unroll
+    into one codegen'd expression over the vector column (bias + Σ
+    w_j · vec[j-1]), 6-dp rounded; NULL vectors score NULL.
+    ``id_col`` may be a tuple for composite-keyed frames (e.g.
+    (query_id, doc_id) candidate pools)."""
     if len(weights) < 2:
         raise ValueError("weights must be [bias, w_1, ...]")
     expr = F.lit(float(weights[0]))
     for j, wj in enumerate(weights[1:]):
         expr = expr + F.lit(float(wj)) * _q20(F.col(vec_col)[j])
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     # the dyadic sum is exact, so the quantized score is bit-identical
     # to the trainer's pred on the same vector
-    return df.select(F.col(id_col), _q20(expr).alias(out_col))
+    return df.select(*[F.col(c) for c in ids], _q20(expr).alias(out_col))
 
 
 def standard_quality_features(

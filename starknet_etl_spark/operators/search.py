@@ -1358,14 +1358,12 @@ def hybrid_search(
     )
 
 
-def hybrid_batch(
+def _hybrid_batch_candidates(
     spark: SparkSession,
     postings_path: str,
     ann_path: str,
     queries: DataFrame,
     *,
-    k: int = 10,
-    rrf_k: int = 60,
     n_candidates: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
@@ -1378,13 +1376,12 @@ def hybrid_batch(
     ann_vec_col: str = "embedding",
     ann_cell_col: str = "label",
 ) -> DataFrame:
-    """(query_id, doc_id, lex_rank, sem_rank, rrf) for MANY hybrid
-    queries in ONE read per index — the fusion twin of ``bm25_batch``
-    / ``similarity.knn_ivf_batch``. Per query, results are BIT-EQUAL
-    to a ``hybrid_search`` loop: the lexical arm is ``bm25_batch``
-    (proven ≡ per-query ``bm25_indexed``), the semantic arm reads the
-    union of the queries' cells once and scores with the identical
-    rounded-cosine total order, and the fusion arithmetic is shared.
+    """(query_id, doc_id, bm25, cos_sim, lex_rank, sem_rank): the
+    batched hybrid candidate pool WITH raw arm scores — one
+    bucket-pruned postings read + one union-of-cells ANN read for
+    ALL queries; the shared arms behind ``hybrid_batch`` (RRF) and
+    ``hybrid_batch_ltr`` (learned fusion). A doc in only one arm
+    carries 0.0 for the other score and NULL for the missing rank.
 
     ``queries`` carries (query_id, terms array<string>, vector,
     cell) — the cell pre-assigned by the caller with the index's own
@@ -1394,10 +1391,9 @@ def hybrid_batch(
     from .dedup import _without_forgotten
     from .similarity import cosine
 
-    if k < 1 or n_candidates < 1 or rrf_k < 1:
+    if n_candidates < 1:
         raise ValueError(
-            f"k, n_candidates, rrf_k must be >= 1, got "
-            f"{k}, {n_candidates}, {rrf_k}"
+            f"n_candidates must be >= 1, got {n_candidates}"
         )
     rows = (
         queries.select(q_id_col, q_terms_col, q_vec_col, q_cell_col)
@@ -1442,6 +1438,7 @@ def hybrid_batch(
     lexr = lex.select(
         "query_id",
         "doc_id",
+        "bm25",
         F.row_number().over(w_lex).cast("long").alias("lex_rank"),
     )
 
@@ -1480,10 +1477,61 @@ def hybrid_batch(
             "sem_rank", F.row_number().over(w_sem).cast("long")
         )
         .filter(F.col("sem_rank") <= n_candidates)
-        .select("query_id", "doc_id", "sem_rank")
+        .select("query_id", "doc_id", "cos_sim", "sem_rank")
     )
 
-    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer")
+    return lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
+        "lex_rank",
+        "sem_rank",
+    )
+
+
+def hybrid_batch(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_queries: int = 10_000,
+    q_id_col: str = "query_id",
+    q_terms_col: str = "terms",
+    q_vec_col: str = "embedding",
+    q_cell_col: str = "cell",
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """(query_id, doc_id, lex_rank, sem_rank, rrf) for MANY hybrid
+    queries in ONE read per index — the fusion twin of ``bm25_batch``
+    / ``similarity.knn_ivf_batch``. Per query, results are BIT-EQUAL
+    to a ``hybrid_search`` loop: the lexical arm is ``bm25_batch``
+    (proven ≡ per-query ``bm25_indexed``), the semantic arm reads the
+    union of the queries' cells once and scores with the identical
+    rounded-cosine total order, and the fusion arithmetic is shared.
+
+    ``queries`` carries (query_id, terms array<string>, vector,
+    cell) — the cell pre-assigned by the caller with the index's own
+    scheme. Driver-collected under the ``max_queries`` contract."""
+    if k < 1 or rrf_k < 1:
+        raise ValueError(f"k and rrf_k must be >= 1, got {k}, {rrf_k}")
+    fused = _hybrid_batch_candidates(
+        spark, postings_path, ann_path, queries,
+        n_candidates=n_candidates, k1=k1, b=b,
+        max_queries=max_queries,
+        q_id_col=q_id_col, q_terms_col=q_terms_col,
+        q_vec_col=q_vec_col, q_cell_col=q_cell_col,
+        ann_id_col=ann_id_col, ann_vec_col=ann_vec_col,
+        ann_cell_col=ann_cell_col,
+    )
     rrf = F.round(
         F.coalesce(
             F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
@@ -1689,6 +1737,69 @@ def hybrid_search_ltr(
         ann_cell_col=ann_cell_col,
     )
     return ltr_score(cand, weights, rrf_k=rrf_k, k=k)
+
+
+def hybrid_batch_ltr(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    queries: DataFrame,
+    weights: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_queries: int = 10_000,
+    q_id_col: str = "query_id",
+    q_terms_col: str = "terms",
+    q_vec_col: str = "embedding",
+    q_cell_col: str = "cell",
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+) -> DataFrame:
+    """(query_id, doc_id, lex_rank, sem_rank, ltr) for MANY queries
+    with LEARNED fusion — ``hybrid_batch``'s one-read-per-index arms
+    (``_hybrid_batch_candidates``, shared code, so the candidate
+    pools are bit-identical) re-ranked by the trained weights via the
+    same map-only scorer ``ltr_score`` uses. Per query, bit-equal to
+    a ``hybrid_search_ltr`` loop."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if len(weights) != LTR_DIM + 1:
+        raise ValueError(
+            f"weights must be [bias, w_1..w_{LTR_DIM}], got {len(weights)}"
+        )
+    from .quality_model import score_quality
+
+    cand = _hybrid_batch_candidates(
+        spark, postings_path, ann_path, queries,
+        n_candidates=n_candidates, k1=k1, b=b,
+        max_queries=max_queries,
+        q_id_col=q_id_col, q_terms_col=q_terms_col,
+        q_vec_col=q_vec_col, q_cell_col=q_cell_col,
+        ann_id_col=ann_id_col, ann_vec_col=ann_vec_col,
+        ann_cell_col=ann_cell_col,
+    )
+    scored = score_quality(
+        cand.withColumn("__fv", ltr_features(rrf_k)),
+        weights,
+        id_col=("query_id", "doc_id"),
+        vec_col="__fv",
+        out_col="ltr",
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("ltr"), F.asc("doc_id")
+    )
+    return (
+        cand.select("query_id", "doc_id", "lex_rank", "sem_rank")
+        .join(scored, ["query_id", "doc_id"])
+        .withColumn("__r", F.row_number().over(w_k))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
 
 
 def _proximity_terms(terms: list[str]) -> list[str]:

@@ -301,6 +301,33 @@ def pieces_df(spark, model: list[tuple[str, float]]) -> DataFrame:
     )
 
 
+def save_pieces(
+    spark, model: list[tuple[str, float]], path: str
+) -> None:
+    """Persist a learned unigram model as the model artifact
+    (``pieces_df`` layout, overwrite — retraining replaces the
+    model)."""
+    from ..io import save_table
+
+    save_table(pieces_df(spark, model), path, mode="overwrite")
+
+
+def load_pieces(spark, path: str) -> list[tuple[str, float]]:
+    """Reload a persisted unigram model in the canonical
+    piece-sorted order (``train_unigram``'s return layout — Viterbi
+    is order-independent, but a stable layout keeps artifacts
+    comparable)."""
+    rows = (
+        spark.read.parquet(path)
+        .orderBy("piece")
+        .select("piece", "logp")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no unigram model at {path}")
+    return [(r["piece"], float(r["logp"])) for r in rows]
+
+
 def _segment_vocab_words(
     words: DataFrame,
     model: list[tuple[str, float]],

@@ -1,0 +1,66 @@
+"""Streaming unigram-LM tokenization: a document stream
+re-serialized as piece streams with a FROZEN persisted model.
+
+The streaming/bpe.py discipline verbatim: the model
+(``unigram.save_pieces`` artifact) trains offline on a corpus
+snapshot; the stream applies it per micro-batch —
+``unigram.unigram_text`` is vocab-of-the-batch-sized Viterbi work +
+one corpus-batch join per tick — and the sink is ``io.append_once``
+keyed by batch id, so a replayed tick lands exactly once. Model
+updates are a RETRAIN + new output path, never an in-place mutation
+(two ticks tokenized under different piece weights are silently
+incomparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.unigram import load_pieces, unigram_text
+
+
+def start_unigram_tokenize_stream(
+    docs: DataFrame,
+    *,
+    pieces_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Tokenize a streaming document source with the persisted
+    unigram model at ``pieces_path``; (id, unigram_text, n_pieces)
+    rows append exactly-once to ``out_path``. ``max_piece_len`` /
+    ``max_word_len`` must match training (the fallback contract is
+    part of the model)."""
+
+    model_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not model_cache:
+            # loaded once per stream, inside the first tick (the
+            # stream may start before the artifact exists)
+            model_cache.append(
+                load_pieces(batch.sparkSession, pieces_path)
+            )
+        out = unigram_text(
+            batch, id_col, text_col, model_cache[0],
+            max_piece_len=max_piece_len, max_word_len=max_word_len,
+        )
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -561,3 +561,74 @@ def test_hybrid_ltr_serving_core(spark, tmp_path):
     # re-rankable: scores descend, ties broken by id
     scores = [r["ltr"] for r in out["data"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_batch_ltr_equals_per_query_loop(spark, tmp_path):
+    """hybrid_batch_ltr == a hybrid_search_ltr loop per query, and
+    hybrid_batch (refactored over the shared candidates helper)
+    still fuses RRF identically."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.search import (
+        hybrid_batch_ltr,
+        hybrid_candidates,
+        hybrid_search_ltr,
+        train_ltr,
+    )
+    from starknet_etl_spark.operators.similarity import assign_cells
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    cents = spark.read.parquet(cents_p)
+    qvecs = {
+        "qa": [1.0, 0.0, 0.0, 0.0],
+        "qb": [0.0, 1.0, 0.0, 0.0],
+    }
+    qterms = {"qa": ["spark", "catalyst"], "qb": ["ducks", "pond"]}
+
+    # train on qa's labeled candidates
+    qdf = assign_cells(
+        spark.createDataFrame(
+            [(0, qvecs["qa"])], "vec_id long, embedding array<double>"
+        ),
+        cents,
+    )
+    cand = hybrid_candidates(spark, bm25_p, ann_p, qterms["qa"], qdf)
+    w = train_ltr(
+        cand.withColumn("y", (F.col("doc_id") == 1).cast("double")),
+        "y",
+        n_rounds=3,
+    )
+
+    queries = assign_cells(
+        spark.createDataFrame(
+            [(qid, qterms[qid], qvecs[qid]) for qid in qvecs],
+            "query_id string, terms array<string>, embedding array<double>",
+        ),
+        cents,
+        id_col="query_id",
+        vec_col="embedding",
+        cell_col="cell",
+    )
+    batch = {
+        (r["query_id"], r["doc_id"]): (
+            r["lex_rank"], r["sem_rank"], r["ltr"]
+        )
+        for r in hybrid_batch_ltr(
+            spark, bm25_p, ann_p, queries, w, k=10
+        ).collect()
+    }
+    loop = {}
+    for qid in qvecs:
+        q1 = assign_cells(
+            spark.createDataFrame(
+                [(0, qvecs[qid])], "vec_id long, embedding array<double>"
+            ),
+            cents,
+        )
+        for r in hybrid_search_ltr(
+            spark, bm25_p, ann_p, qterms[qid], q1, w, k=10
+        ).collect():
+            loop[(qid, r["doc_id"])] = (
+                r["lex_rank"], r["sem_rank"], r["ltr"]
+            )
+    assert batch == loop and batch

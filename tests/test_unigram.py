@@ -211,3 +211,84 @@ def test_train_validation(spark):
         train_unigram(df, "text", vocab_size=10, seed_size=5)
     with pytest.raises(ValueError, match="n_rounds"):
         train_unigram(df, "text", vocab_size=2, seed_size=4, n_rounds=0)
+
+
+def test_save_load_pieces_roundtrip(spark, tmp_path):
+    from starknet_etl_spark.operators import unigram as U
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    model = train_unigram(df, "text", **PARAMS)
+    path = str(tmp_path / "uni_model")
+    U.save_pieces(spark, model, path)
+    assert U.load_pieces(spark, path) == model
+
+    import pytest
+
+    empty = str(tmp_path / "uni_empty")
+    spark.createDataFrame(
+        [], "piece string, logp double, piece_len int"
+    ).write.parquet(empty)
+    with pytest.raises(ValueError, match="no unigram model"):
+        U.load_pieces(spark, empty)
+
+
+def test_streaming_unigram_tokenize_replay_safe(spark, tmp_path):
+    """The tokenize stream applies the FROZEN persisted model per
+    tick and appends exactly-once: batch output == streaming output,
+    and a replayed tick doubles nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators import unigram as U
+    from starknet_etl_spark.streaming.unigram import (
+        start_unigram_tokenize_stream,
+    )
+
+    train = spark.createDataFrame(
+        CORPUS, "doc_id string, text string"
+    )
+    model = train_unigram(train, "text", **PARAMS)
+    mpath = str(tmp_path / "model")
+    U.save_pieces(spark, model, mpath)
+
+    schema = "doc_id string, text string"
+    src = str(tmp_path / "src")
+    stream_docs = spark.createDataFrame(
+        [("s1", "lowest newer low"), ("s2", "newland gammagamma")],
+        schema,
+    )
+    stream_docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_unigram_tokenize_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pieces_path=mpath,
+            out_path=out,
+            checkpoint=ckpt,
+            max_piece_len=PARAMS["max_piece_len"],
+            max_word_len=PARAMS["max_word_len"],
+        )
+        q.awaitTermination(240)
+
+    _go()
+    want = {
+        (r["doc_id"], r["unigram_text"], r["n_pieces"])
+        for r in U.unigram_text(
+            stream_docs, "doc_id", "text", model,
+            max_piece_len=PARAMS["max_piece_len"],
+            max_word_len=PARAMS["max_word_len"],
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["unigram_text"], r["n_pieces"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) == 2
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replayed tick: append_once no-ops
+    assert spark.read.parquet(out).count() == 2
