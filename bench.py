@@ -69,6 +69,12 @@ HEADLINE_EXT = (
     "doc_span_dedup",
     "mm_knn",
     "doc_kmv_distinct",
+    # r7 tiers (ext_total therefore grows in r7 — compare per-query,
+    # the group total is not a cross-round constant like `value`)
+    "doc_unigram_tokenize",
+    "doc_hybrid_ltr",
+    "doc_span_profile",
+    "doc_turn_dedup",
 )
 
 

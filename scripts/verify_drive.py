@@ -415,5 +415,108 @@ idx_prox = sorted(
 )
 assert idx_prox == scan_prox and len(scan_prox) > 0
 
+# 11) r7 lifecycles: unigram round-trip + save/load, span-profile
+# internal consistency + the rewrite-policy pick, turn dedup vs a
+# direct recount, LTR fusion recomputed from candidate features
+from starknet_etl_spark.operators.unigram import (
+    load_pieces, save_pieces, train_unigram, unigram_text,
+)
+
+uni_model = train_unigram(
+    docs_sf, "text", vocab_size=8, seed_size=16,
+    max_piece_len=3, max_word_len=8, n_rounds=1,
+)
+uni_p = "/tmp/verify_uni_model"
+shutil.rmtree(uni_p, ignore_errors=True)
+save_pieces(spark, uni_model, uni_p)
+assert load_pieces(spark, uni_p) == uni_model
+ut = unigram_text(
+    docs_sf, "doc_id", "text", uni_model,
+    max_piece_len=3, max_word_len=8,
+).collect()
+orig = {r["doc_id"]: r["text"] for r in docs_sf.collect()}
+assert len(ut) == len(orig)
+for r in ut:
+    # concatenating the pieces reproduces the word stream exactly
+    assert r["unigram_text"].replace(" ", "") == "".join(
+        orig[r["doc_id"]].lower().split()
+    ), r["doc_id"]
+
+from starknet_etl_spark.operators.spans import (
+    pick_rewrite_n, span_profile,
+)
+
+prof = span_profile(docs_sf, ns=(4, 8), min_count=2)
+prows = {r["span_n"]: r for r in prof.collect()}
+assert set(prows) <= {4, 8}
+for n_, r in prows.items():
+    assert r["n_distinct"] <= r["n_windows"]
+    assert r["n_dup_occurrences"] >= r["n_dup_spans"]
+    assert r["n_removable_tokens"] >= 0
+if 4 in prows and 8 in prows:
+    assert (
+        prows[4]["n_removable_tokens"] >= prows[8]["n_removable_tokens"]
+    )
+    pick = pick_rewrite_n(prof, min_removable=1)
+    assert pick == (8 if prows[8]["n_removable_tokens"] >= 1 else 4)
+
+from starknet_etl_spark.operators.turns import parse_turns, turn_dedup
+
+conv = docs_sf.limit(20).select(
+    "doc_id",
+    F.concat(
+        F.lit("user: "), F.col("text"), F.lit("\nassistant: ok fine"),
+    ).alias("text"),
+)
+td = turn_dedup(conv, "doc_id", "text").collect()
+# the identical assistant turn survives exactly once corpus-wide
+survivors = sum(
+    1 for r in td if "assistant: ok fine" in r["text"]
+)
+assert survivors == 1, survivors
+assert all(r["n_turns"] == 2 for r in td)
+pt = parse_turns(conv, "doc_id", "text").collect()
+assert sum(1 for r in pt if r["role"] == "assistant") == 20
+
+from starknet_etl_spark.operators.search import (
+    hybrid_candidates as _hc_unused,  # noqa: F401 (import sanity)
+    ltr_features, ltr_score, train_ltr,
+)
+
+cand_rows = [
+    (1, 5.0, 0.9, 1, 2), (2, 3.0, 0.95, 2, 1),
+    (3, 1.0, 0.0, 3, None), (4, 0.0, 0.5, None, 3),
+]
+cand = spark.createDataFrame(
+    cand_rows,
+    "doc_id bigint, bm25 double, cos_sim double, "
+    "lex_rank bigint, sem_rank bigint",
+)
+lw = train_ltr(
+    cand.withColumn("y", (F.col("doc_id") <= 2).cast("double")),
+    "y", n_rounds=3,
+)
+got_ltr = [
+    (r["doc_id"], r["ltr"]) for r in ltr_score(cand, lw, k=4).collect()
+]
+import math as _m
+
+def _q20v(x):
+    return _m.floor(x * 2**20 + 0.5) / 2**20
+
+def _score(row):
+    f = [
+        row[1], row[2],
+        1.0 / (60 + row[3]) if row[3] else 0.0,
+        1.0 / (60 + row[4]) if row[4] else 0.0,
+    ]
+    return _q20v(lw[0] + sum(w * _q20v(x) for w, x in zip(lw[1:], f)))
+
+want_ltr = sorted(
+    ((r[0], _score(r)) for r in cand_rows),
+    key=lambda t: (-t[1], t[0]),
+)
+assert got_ltr == want_ltr, (got_ltr, want_ltr)
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -6003,3 +6003,131 @@ QUERIES["doc_hybrid_ltr_batch"] = QuerySpec(
     "batched learned fusion: one read per index, trained weights,"
     " per query bit-equal to the hybrid_search_ltr loop",
 )
+
+
+# --------------------------------------------------------------------------
+# Per-n rewrite POLICY inside curation (r7): one span_profile pass
+# over the candidate lengths, the LARGEST n whose removable mass
+# clears the bar wins (spans.pick_rewrite_n), and the stage-0
+# rewrite runs at the picked n. The oracle recomputes the pick from
+# its own profile chains, so the row stays green under data
+# regeneration even if the picked n changes. Names _SPP_/spp_.
+# --------------------------------------------------------------------------
+
+_SPP_NS = (4, 8, 16)
+_SPP_MIN_REMOVABLE = 1130  # picks n=8 at the current sf0.01 corpus
+
+
+def _curation_span_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        rewrite_spans=_SPP_NS,
+        rewrite_min_count=_SDUP_MIN_COUNT,
+        rewrite_policy_min_removable=_SPP_MIN_REMOVABLE,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _spp_corpus_block() -> str:
+    chains, prof, joins, whens = [], [], [], []
+    for n in _SPP_NS:
+        chains.append(f"""
+spp_win{n} AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {n} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+spp_occ{n} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM spp_win{n}
+),
+spp_rem{n} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM spp_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
+),
+spp_agg{n} AS MATERIALIZED (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+  FROM spp_toks t LEFT JOIN spp_rem{n} r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+  GROUP BY t.doc_id
+)""")
+        prof.append(
+            f"SELECT {n} AS n,"
+            f" (SELECT COUNT(*) FROM spp_rem{n}) AS n_rm"
+        )
+        joins.append(f"LEFT JOIN spp_agg{n} a{n} USING (doc_id)")
+        whens.append(f"WHEN {n} THEN COALESCE(a{n}.text, '')")
+    return (
+        rf"""corpus0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+spp_toks AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),"""
+        + ",".join(chains)
+        + f""",
+spp_prof AS ({" UNION ALL ".join(prof)}),
+spp_pick AS (
+  SELECT MAX(n) AS n FROM spp_prof
+  WHERE n_rm >= {_SPP_MIN_REMOVABLE}
+),
+corpus AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE (SELECT n FROM spp_pick)
+           {" ".join(whens)}
+           ELSE c.text END AS text
+  FROM corpus0 c
+  {" ".join(joins)}
+)"""
+    )
+
+
+QUERIES["doc_curation_span_policy"] = QuerySpec(
+    _curation_span_policy,
+    _curation_oracle(corpus_block=_spp_corpus_block()),
+    "curation with the per-n span-rewrite policy: profile every"
+    " candidate length once, rewrite at the largest qualifying n",
+)

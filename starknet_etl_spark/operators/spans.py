@@ -364,6 +364,30 @@ def span_profile(
     return _eager_release(out, [occ], eager_release)
 
 
+def pick_rewrite_n(
+    profile: DataFrame, *, min_removable: int
+) -> int | None:
+    """The per-n rewrite policy over a ``span_profile`` frame: the
+    LARGEST span length whose removable-token mass clears
+    ``min_removable`` — longer spans are the conservative rewrite
+    (whole boilerplate blocks), and removable mass is monotonically
+    non-increasing in n, so 'largest qualifying n' means 'descend to
+    a more aggressive length only when long spans don't capture
+    enough'. Returns None (no rewrite) when no n qualifies.
+    Driver-side on a |ns|-row summary by construction."""
+    if min_removable < 1:
+        raise ValueError(
+            f"min_removable must be >= 1, got {min_removable}"
+        )
+    rows = profile.select("span_n", "n_removable_tokens").collect()
+    qual = [
+        int(r["span_n"])
+        for r in rows
+        if r["n_removable_tokens"] >= min_removable
+    ]
+    return max(qual) if qual else None
+
+
 def _line_joiner(line_sep: str, joiner: str | None) -> str:
     """The literal string that re-assembles surviving lines.
     ``line_sep`` is a Java REGEX (the F.split contract); joining with

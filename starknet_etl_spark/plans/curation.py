@@ -77,8 +77,9 @@ def curate_corpus(
     split_salt: str = "",
     split_by_cluster: bool = False,
     redact: bool = True,
-    rewrite_spans: int | None = None,
+    rewrite_spans: int | tuple[int, ...] | None = None,
     rewrite_min_count: int = 2,
+    rewrite_policy_min_removable: int = 1,
     components_algorithm: str = "minlabel",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation flow; returns ``(curated, audit)``.
@@ -139,7 +140,14 @@ def curate_corpus(
     every document before any gate runs, so length/repetition/dup
     verdicts judge the deduplicated text; ``rewrite_min_count``
     tunes the duplication bar. Rewriting is not a drop and has no
-    audit arm — a doc emptied by it falls to ``too_short``.
+    audit arm — a doc emptied by it falls to ``too_short``. A TUPLE
+    of candidate lengths turns on the per-n POLICY: one
+    ``spans.span_profile`` pass measures every candidate, and the
+    LARGEST n whose removable-token mass reaches
+    ``rewrite_policy_min_removable`` wins (``spans.pick_rewrite_n``
+    — prefer whole-block conservative rewrites, descend to shorter
+    spans only when long ones don't capture enough; no qualifying n
+    means no rewrite).
 
     ``contamination_mode``: ``"ngram"`` (5-gram overlap fraction —
     exact leakage) or ``"semantic"`` (``contamination.semantic_overlap``
@@ -202,6 +210,16 @@ def curate_corpus(
     # (a doc hollowed out by boilerplate removal then fails
     # too_short and is audited there — rewriting is not a drop, so
     # it has no audit arm of its own).
+    if isinstance(rewrite_spans, tuple):
+        from ..operators.spans import pick_rewrite_n, span_profile
+
+        profile = span_profile(
+            docs, id_col, text_col,
+            ns=rewrite_spans, min_count=rewrite_min_count,
+        )
+        rewrite_spans = pick_rewrite_n(
+            profile, min_removable=rewrite_policy_min_removable
+        )
     if rewrite_spans is not None:
         from ..operators.spans import remove_repeated_spans
 

@@ -1,0 +1,117 @@
+"""Streaming turn-level dedup: corpus-wide (role, normalized
+content) deduplication over a conversation stream.
+
+The streaming/spans.py discipline one format up: the batch operator
+(operators/turns.py turn_dedup) picks winners by global minimum
+(id, turn_idx); the stream uses the causal equivalent —
+FIRST-SEEN-WINS by tick order with the batch rule applied inside
+each tick. When ticks arrive in id order the stream is bit-equal to
+the one-shot batch rewrite (pinned by test); out-of-order ids keep
+the guarantee every distinct turn survives exactly once, at its
+first ARRIVAL.
+
+State = a persisted ledger of md5(role || normalized content)
+hashes, 16 bytes per distinct turn. Replay safety: rewritten
+conversations append FIRST, the ledger SECOND, both under
+``io.append_once`` markers — a crash between the two appends replays
+into a no-op doc append plus the missing ledger append (the
+streaming/spans.py ordering argument verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import io as _io
+from ..operators.spans import _reassemble
+from ..operators.turns import DEFAULT_ROLES, _norm, _render, parse_turns
+
+
+def start_turn_dedup_stream(
+    docs: DataFrame,
+    *,
+    out_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Turn-dedup a conversation stream: each tick drops turns whose
+    (role, normalized content) hash is already in the cross-tick
+    ledger, applies the batch first-occurrence rule within the tick,
+    appends the rewritten conversations (id, text, n_turns,
+    n_dropped) to ``out_path`` and the tick's new turn hashes to
+    ``ledger_path``. Blank turns are structural and always kept."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        turns = parse_turns(
+            batch, id_col, text_col,
+            turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+        )
+        lines = turns.select(
+            F.col(id_col),
+            F.col("turn_idx").alias("__pos"),
+            _render(
+                F.col("role"), F.col("content"), role_sep
+            ).alias("__w"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.coalesce("role", F.lit("")),
+                    _norm(F.col("content")),
+                )
+            ).alias("__th"),
+            (F.trim("content") == "").alias("__blank"),
+        )
+        hashed = lines.filter(~F.col("__blank"))
+        if _io._exists(spark, ledger_path):
+            seen = spark.read.parquet(ledger_path).select("__th")
+            fresh = hashed.join(seen, "__th", "left_anti")
+        else:
+            fresh = hashed
+        winners = fresh.groupBy("__th").agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+        )
+        kept_dd = (
+            fresh.join(winners, "__th")
+            .filter(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__pos") == F.col("__first")["__pos"])
+            )
+            .select(id_col, "__pos", "__w")
+        )
+        blank = lines.filter(F.col("__blank")).select(
+            id_col, "__pos", "__w"
+        )
+        kept = kept_dd.unionByName(blank)
+        totals = lines.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__nt")
+        )
+        out = _reassemble(
+            batch,
+            kept,
+            totals,
+            id_col,
+            joiner=turn_sep,
+            n_total_col="n_turns",
+            n_removed_col="n_dropped",
+        )
+        # docs first, ledger second (module docstring)
+        _io.append_once(out, out_path, batch_id)
+        _io.append_once(winners.select("__th"), ledger_path, batch_id)
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

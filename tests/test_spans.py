@@ -481,3 +481,72 @@ def test_span_profile_matches_naive(spark):
         span_profile(df, ns=(1, 4))
     with pytest.raises(ValueError, match="min_count"):
         span_profile(df, ns=(4,), min_count=1)
+
+
+def test_pick_rewrite_n_policy(spark):
+    """Largest qualifying n wins; removable mass is monotonically
+    non-increasing in n, so the policy means 'descend to a more
+    aggressive length only when long spans capture too little'."""
+    import pytest
+
+    from starknet_etl_spark.operators.spans import (
+        pick_rewrite_n,
+        span_profile,
+    )
+
+    docs = [
+        ("d1", "a b c d e f g h " * 4),  # long repeats
+        ("d2", "a b c d e f g h " * 4),
+        ("d3", "p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    prof = span_profile(df, ns=(2, 4, 8), min_count=2)
+    rows = {
+        r["span_n"]: r["n_removable_tokens"] for r in prof.collect()
+    }
+    # removable decreases (weakly) with n
+    assert rows[2] >= rows[4] >= rows[8] > 0
+    assert pick_rewrite_n(prof, min_removable=1) == 8
+    assert pick_rewrite_n(prof, min_removable=rows[4] + 1) == 2 or (
+        rows[2] < rows[4] + 1
+    )
+    assert pick_rewrite_n(prof, min_removable=rows[2] + 1) is None
+    with pytest.raises(ValueError, match="min_removable"):
+        pick_rewrite_n(prof, min_removable=0)
+
+
+def test_curation_tuple_rewrite_equals_static_pick(spark):
+    """curate_corpus(rewrite_spans=<tuple>) == the same call with the
+    n the policy picks."""
+    from starknet_etl_spark.operators.spans import (
+        pick_rewrite_n,
+        span_profile,
+    )
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog plus "
+                "unique words %d now appear here making this "
+                "document long enough to survive the length gate "
+                "boilerplate block one two three four five six "
+                "seven eight" % i)
+            for i in range(8)
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(near_dup=None, benchmark=None, redact=False, min_words=5)
+    prof = span_profile(docs, ns=(4, 8), min_count=2)
+    n = pick_rewrite_n(prof, min_removable=10)
+    assert n is not None
+    got_c, got_a = curate_corpus(
+        docs, rewrite_spans=(4, 8),
+        rewrite_policy_min_removable=10, **kw,
+    )
+    want_c, want_a = curate_corpus(docs, rewrite_spans=n, **kw)
+    assert sorted(map(tuple, got_c.collect())) == sorted(
+        map(tuple, want_c.collect())
+    )
+    assert sorted(map(tuple, got_a.collect())) == sorted(
+        map(tuple, want_a.collect())
+    )

@@ -120,3 +120,53 @@ def test_pack_turns_atomic_and_contiguous(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_turns(turns, budget=0)
+
+
+def test_streaming_turn_dedup_matches_batch_and_replay(spark, tmp_path):
+    """Ticks arriving in id order: the stream's rewrite == the batch
+    turn_dedup; a replayed tick (lost checkpoint commit) appends
+    nothing twice (docs-before-ledger ordering)."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.streaming.turns import start_turn_dedup_stream
+
+    schema = "doc_id string, text string"
+    df = spark.createDataFrame(CONVS, schema)
+    src = str(tmp_path / "src")
+    # two files in id order -> two ticks in id order
+    df.filter(F.col("doc_id").isin("c1", "c2")).coalesce(1).write.parquet(
+        src
+    )
+    df.filter(F.col("doc_id").isin("c3", "c4")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_turn_dedup_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out_path=out,
+            ledger_path=ledger,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    want = {
+        (r["doc_id"], r["text"], r["n_turns"], r["n_dropped"])
+        for r in turn_dedup(df).collect()
+    }
+    got = {
+        (r["doc_id"], r["text"], r["n_turns"], r["n_dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) == len(CONVS)
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: append_once no-ops on both sinks
+    assert spark.read.parquet(out).count() == len(CONVS)
