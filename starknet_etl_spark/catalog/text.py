@@ -6131,3 +6131,205 @@ QUERIES["doc_curation_span_policy"] = QuerySpec(
     "curation with the per-n span-rewrite policy: profile every"
     " candidate length once, rewrite at the largest qualifying n",
 )
+
+
+# --------------------------------------------------------------------------
+# Containment pairs (r7): the asymmetric near-SUPERSET dedup signal —
+# |A ∩ B| / |A| — that symmetric Jaccard structurally cannot express
+# (a short doc quoted verbatim inside a long one: containment ~1.0
+# from the short side, Jaccard ~|A|/|B|). dedup.containment_pairs.
+# --------------------------------------------------------------------------
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=0.8, max_df_frac=0.10,
+    )
+
+
+_CONTAINMENT_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+chot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+cshc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM chot)),
+csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshc GROUP BY doc_id),
+cinter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM cshc a JOIN cshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cboth AS (
+  SELECT id_1, id_2, i, s1.n_sh AS n_1, s2.n_sh AS n_2
+  FROM cinter
+  JOIN csizes s1 ON s1.doc_id = id_1
+  JOIN csizes s2 ON s2.doc_id = id_2
+),
+cdir AS (
+  SELECT id_1 AS id_inner, id_2 AS id_outer, i * 1.0 / n_1 AS c
+  FROM cboth
+  UNION ALL
+  SELECT id_2 AS id_inner, id_1 AS id_outer, i * 1.0 / n_2 AS c
+  FROM cboth
+)
+SELECT id_inner, id_outer, ROUND(c, 6) AS containment
+FROM cdir WHERE c >= 0.8
+"""
+)
+
+QUERIES["doc_containment_pairs"] = QuerySpec(
+    _containment_pairs,
+    _CONTAINMENT_ORACLE,
+    "directed shingle-containment pairs: near-superset dedup signal",
+)
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality signals (r7): the trained tokenizer as a
+# MEASUREMENT — per-doc fertility (pieces per word: subword quality)
+# and average negative log-likelihood under the unigram model (the
+# LM-perplexity quality filter, Wenzek et al. CCNet's recipe with
+# this suite's from-scratch LM). OOV pieces (per-char fallback chars
+# absent from the model) are counted, not scored. Dyadic q20 for the
+# two ratios — a 6-dp ROUND of a derived ratio is exactly the
+# midpoint hazard CLAUDE.md records.
+# --------------------------------------------------------------------------
+
+
+def _ulm_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram as U
+
+    model = _ulm_model(spark, sf_dir)
+    toks = U.unigram_tokenize(
+        _docs(spark, sf_dir), "doc_id", "text", model,
+        max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
+    )
+    pieces = F.broadcast(
+        spark.createDataFrame(model, "piece string, logp double")
+    )
+    q20 = lambda c: F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1048576.0
+    )
+    scored = toks.join(pieces, "piece", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.countDistinct("word_pos").cast("long").alias("n_words"),
+        F.sum(F.col("logp").isNull().cast("long"))
+        .cast("long")
+        .alias("n_oov_pieces"),
+        q20(
+            F.count(F.lit(1)) / F.countDistinct("word_pos")
+        ).alias("fertility"),
+        q20(
+            F.coalesce(
+                F.sum(-F.col("logp")) / F.count(F.col("logp")),
+                F.lit(0.0),
+            )
+        ).alias("avg_nll"),
+    )
+
+
+_ULM_SIGNALS_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + _ulm_segment_ctes()
+    + rf""",
+ulm_dtok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+ulm_sc AS (
+  SELECT d.doc_id, d.word_pos, s.piece, m.w AS logp
+  FROM ulm_dtok d
+  JOIN ulm_seg s ON s.word = d.word
+  LEFT JOIN ulm_m{_ULM_ROUNDS} m ON m.piece = s.piece
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       CAST(COUNT(DISTINCT word_pos) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_pieces,
+       floor(COUNT(*) * 1.0 / COUNT(DISTINCT word_pos)
+             * 1048576.0 + 0.5) / 1048576.0 AS fertility,
+       floor(COALESCE(SUM(-logp) / COUNT(logp), 0.0)
+             * 1048576.0 + 0.5) / 1048576.0 AS avg_nll
+FROM ulm_sc GROUP BY doc_id
+"""
+)
+
+QUERIES["doc_unigram_signals"] = QuerySpec(
+    _ulm_signals,
+    _ULM_SIGNALS_ORACLE,
+    "per-doc fertility + avg NLL under the trained unigram LM"
+    " (the CCNet-style LM quality filter)",
+)
+
+
+# --------------------------------------------------------------------------
+# Conversation stats (r7): per-conversation structural signals over
+# the synthesized turn corpus — role mix, malformed-line count,
+# per-turn token mass. Map-only + one doc-keyed aggregate.
+# --------------------------------------------------------------------------
+
+
+def _turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import parse_turns
+
+    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("content")), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    return turns.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.sum(F.col("role").isNull().cast("long"))
+        .cast("long")
+        .alias("n_malformed"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+    )
+
+
+_TURN_STATS_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + r"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_assistant_turns,
+       CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(SUM(len(list_filter(
+         string_split_regex(trim(content), '\s+'), x -> x <> '')))
+         AS BIGINT) AS total_tokens
+FROM trn_parsed GROUP BY doc_id
+"""
+)
+
+QUERIES["doc_turn_stats"] = QuerySpec(
+    _turn_stats,
+    _TURN_STATS_ORACLE,
+    "per-conversation structural signals: role mix, malformed lines,"
+    " token mass",
+)

@@ -198,6 +198,101 @@ def jaccard_pairs(
     return _eager_release(out, [sh], eager_release)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    min_df_cap: int = 25,
+    eager_release: bool = True,
+) -> DataFrame:
+    """All DIRECTED pairs with shingle-set CONTAINMENT
+    ``|A ∩ B| / |A| >= threshold`` — the asymmetric near-SUPERSET
+    signal Jaccard structurally cannot express: a short document
+    quoted verbatim inside a long one has containment ~1.0 from the
+    short side while its Jaccard stays ~|A|/|B| (tiny), so
+    symmetric dedup never fires (the Lee-et-al motivation for
+    containment alongside edit similarity).
+
+    Emits ``(id_inner, id_outer, containment)`` — the INNER document
+    is (nearly) contained in the outer; both directions of a pair
+    emit when both clear the threshold (exact duplicates do, at
+    1.0/1.0). Self-pairs never emit.
+
+    Scale: the same inverted-index self-join as ``jaccard_pairs``
+    (pairs only for docs sharing a shingle, ``max_df`` stop-shingle
+    cap, hashed keys), one extra projection for the two directions —
+    no new shuffle class.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    sh = shingles(df, id_col, text_col, n=n).select(
+        id_col,
+        F.xxhash64("shingle").alias("sh_h"),
+    ).persist()  # sizes + both join sides (the jaccard_pairs layout)
+    if max_df is not None or max_df_frac is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            hot = dfreq.filter(F.col("df") > max_df).select("sh_h")
+        else:
+            # in-plan 1-row broadcast cap (the jaccard_pairs form)
+            cap = df.agg(
+                F.greatest(
+                    F.lit(min_df_cap).cast("long"),
+                    F.floor(F.lit(max_df_frac) * F.count(F.lit(1))),
+                ).alias("__cap")
+            )
+            hot = (
+                dfreq.join(F.broadcast(cap))
+                .filter(F.col("df") > F.col("__cap"))
+                .select("sh_h")
+            )
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_1"), "sh_h")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh_h")
+    inter = (
+        a.join(b, "sh_h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(
+        F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1")
+    )
+    sz2 = sizes.select(
+        F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2")
+    )
+    both = inter.join(sz1, "id_1").join(sz2, "id_2")
+    d1 = both.select(
+        F.col("id_1").alias("id_inner"),
+        F.col("id_2").alias("id_outer"),
+        (F.col("n_inter") / F.col("n_1")).alias("containment"),
+    )
+    d2 = both.select(
+        F.col("id_2").alias("id_inner"),
+        F.col("id_1").alias("id_outer"),
+        (F.col("n_inter") / F.col("n_2")).alias("containment"),
+    )
+    out = (
+        d1.unionByName(d2)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_inner",
+            "id_outer",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+    return _eager_release(out, [sh], eager_release)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

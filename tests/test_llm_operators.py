@@ -3010,3 +3010,38 @@ def test_proximity_min_span_sweep_matches_naive(spark):
             if s is not None and s <= window
         }
         assert got == want, (window, got, want)
+
+
+def test_containment_catches_near_superset_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    fires from the short side at ~1.0 while Jaccard stays tiny —
+    the asymmetric signal the symmetric operator cannot express."""
+    from starknet_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    jac = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    assert jac.count() == 0  # symmetric dedup never fires
+    cont = {
+        (r["id_inner"], r["id_outer"]): r["containment"]
+        for r in containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}  # directed: 1 contained in 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, "doc_id", "text", threshold=0.0)
+    with pytest.raises(ValueError, match="not both"):
+        containment_pairs(
+            docs, "doc_id", "text", max_df=5, max_df_frac=0.5
+        )
