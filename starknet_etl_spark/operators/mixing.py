@@ -175,3 +175,61 @@ def mix_corpus(
         )
         .drop("__copies", "__k", "__n")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    size_col: str | None = None,
+) -> dict:
+    """Temperature-sampled mixture weights — w_g ∝ mass_g^alpha, the
+    standard multilingual/source rebalancing (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform; ~0.3-0.7 in practice).
+    Returns a ``mix_corpus``-ready weights dict.
+
+    Cross-engine determinism: group masses are exact integers;
+    at alpha=0.5 the power is ``sqrt`` — IEEE-754 REQUIRES sqrt to be
+    correctly rounded, so both engines produce the identical double —
+    then quantized to the 2^-20 dyadic grid so the normalizing SUM is
+    exact (order-free) and every downstream ``floor(w·T)`` target is
+    bit-identical. Other alphas use ``pow``, which libm does NOT
+    promise to round identically across engines — fine for Spark-only
+    pipelines, documented as not differential-safe.
+
+    Driver-side on the group-mass summary (groups are driver-sized by
+    the mixture contract).
+    """
+    import math
+
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    q = 1048576.0
+    if size_col is None:
+        masses = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__m")
+        )
+    else:
+        masses = df.groupBy(group_col).agg(
+            F.sum(size_col).cast("long").alias("__m")
+        )
+    rows = masses.collect()
+    if not rows:
+        raise ValueError("empty corpus: no groups to weight")
+    ps = {
+        r[group_col]: math.floor(
+            (
+                math.sqrt(r["__m"])
+                if alpha == 0.5
+                else float(r["__m"]) ** alpha
+            )
+            * q
+            + 0.5
+        )
+        / q
+        for r in rows
+        if r["__m"] > 0
+    }
+    tot = sum(ps.values())  # dyadic sum: exact, order-free
+    return {g: p / tot for g, p in ps.items()}

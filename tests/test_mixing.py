@@ -182,3 +182,38 @@ def test_mix_token_budget_prefix_semantics(spark):
         size_col="sz", upsample=True,
     )
     assert zup.count() == 0  # budget zeroed (absent-mass resolution)
+
+
+def test_temperature_weights_rebalance_direction(spark):
+    """alpha=0.5 gives minority groups a LARGER share than natural
+    proportions (and majority a smaller): w ∝ sqrt(mass); weights sum
+    to ~1 and compose with mix_corpus."""
+    import math
+
+    from starknet_etl_spark.operators.mixing import (
+        mix_corpus,
+        temperature_weights,
+    )
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["src", "doc_id"])
+    w = temperature_weights(df, "src", alpha=0.5)
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    nat_small = 10 / 100
+    assert w["small"] > nat_small  # boosted
+    assert w["big"] < 90 / 100  # damped
+    # exact dyadic construction: q20(sqrt(m)) / exact sum
+    q = 1048576.0
+    p_big = math.floor(math.sqrt(90) * q + 0.5) / q
+    p_small = math.floor(math.sqrt(10) * q + 0.5) / q
+    assert w["big"] == p_big / (p_big + p_small)
+    out = mix_corpus(df, "src", "doc_id", weights=w)
+    kept = out.groupBy("src").count().collect()
+    assert {r["src"] for r in kept} == {"big", "small"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "src", alpha=0.0)
+    with pytest.raises(ValueError, match="empty"):
+        temperature_weights(df.filter("doc_id < 0"), "src")
