@@ -6390,3 +6390,87 @@ QUERIES["doc_temperature_mix"] = QuerySpec(
     _TEMPERATURE_MIX_ORACLE,
     "temperature-sampled source mixture: w ∝ sqrt(mass), exact targets",
 )
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: exact-arithmetic ROC AUC (r7). The rank-sum
+# (Mann-Whitney) form over score GROUPS: for each distinct score,
+# U += n_pos_at_s * (negatives strictly below) + n_pos*n_neg/2 for
+# ties — integers and exact halves only, so the sum is order-free
+# and AUC = U/(n_pos*n_neg) is the identical double in both engines
+# (dyadic-quantized at the end, never decimal-ROUNDed).
+# --------------------------------------------------------------------------
+
+
+def _quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import quality_model as QM
+
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(_docs(spark, sf_dir))
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    joined = scored.join(feats.select("doc_id", "__y"), "doc_id")
+    g = joined.groupBy("q_score").agg(
+        F.sum((F.col("__y") == 1.0).cast("long")).alias("n1"),
+        F.sum((F.col("__y") == 0.0).cast("long")).alias("n0"),
+    )
+    w_ord = Window.orderBy("q_score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum0 = F.coalesce(F.sum("n0").over(w_ord), F.lit(0)).cast("long")
+    c = g.withColumn("cum0", cum0)
+    return c.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        (
+            F.floor(
+                F.sum(
+                    F.col("n1") * F.col("cum0")
+                    + F.col("n1") * F.col("n0") / F.lit(2.0)
+                )
+                / (F.sum("n1") * F.sum("n0"))
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1048576.0)
+        ).alias("auc"),
+    )
+
+
+_QUALITY_AUC_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qauc_s AS ({_QM_SCORE_SQL}),
+qauc_j AS (
+  SELECT s.q_score, y.y FROM qauc_s s JOIN qmlab y USING (doc_id)
+),
+qauc_g AS (
+  SELECT q_score,
+         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS n0
+  FROM qauc_j GROUP BY q_score
+),
+qauc_c AS (
+  SELECT n1, n0,
+         COALESCE(SUM(n0) OVER (
+           ORDER BY q_score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum0
+  FROM qauc_g
+)
+SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+       CAST(SUM(n0) AS BIGINT) AS n_neg,
+       floor(SUM(n1 * cum0 + n1 * n0 / 2.0)
+             / (SUM(n1) * SUM(n0)) * 1048576.0 + 0.5) / 1048576.0
+         AS auc
+FROM qauc_c
+"""
+)
+
+QUERIES["doc_quality_auc"] = QuerySpec(
+    _quality_auc,
+    _QUALITY_AUC_ORACLE,
+    "exact rank-sum ROC AUC of the trained quality classifier",
+)

@@ -229,7 +229,10 @@ def temperature_weights(
         )
         / q
         for r in rows
-        if r["__m"] > 0
+        # NULL mass (all-NULL size_col group) weighs like zero mass
+        if r["__m"] is not None and r["__m"] > 0
     }
+    if not ps:
+        raise ValueError("every group has zero/NULL mass")
     tot = sum(ps.values())  # dyadic sum: exact, order-free
     return {g: p / tot for g, p in ps.items()}
