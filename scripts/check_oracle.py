@@ -84,6 +84,13 @@ def main() -> int:
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        # Harness hygiene, not engine behavior: a FULL 185-query run
+        # in one session accumulates every eager_release result cache
+        # and broadcast remnant; in the --plain session's default-heap
+        # JVM this OOMed around query 160 (the driver itself runs only
+        # the 50-row window and never hits this). Clear between
+        # queries so the replica measures the engine, not the leak.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.builder(spark, sf_dir)
