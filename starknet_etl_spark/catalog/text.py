@@ -6474,3 +6474,173 @@ QUERIES["doc_quality_auc"] = QuerySpec(
     _QUALITY_AUC_ORACLE,
     "exact rank-sum ROC AUC of the trained quality classifier",
 )
+
+
+# --------------------------------------------------------------------------
+# Containment clusters (r7): connected components over the directed
+# containment edges — a short doc quoted inside a long one lands in
+# the long one's cluster even when Jaccard never fires, so the
+# cluster map catches quote-chains symmetric dedup misses.
+# --------------------------------------------------------------------------
+
+
+def _containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    cc = connected_components(
+        _containment_pairs(spark, sf_dir), "id_inner", "id_outer"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+_CONTAINMENT_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE cpairs AS (\n"
+    + _CONTAINMENT_ORACLE
+    + """
+),
+ce AS (SELECT id_inner AS a, id_outer AS b FROM cpairs
+       UNION SELECT id_outer, id_inner FROM cpairs),
+creach(a, b) AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.a, ce.b FROM creach r JOIN ce ON r.b = ce.a
+),
+cclusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM creach GROUP BY a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM cclusters
+"""
+)
+
+QUERIES["doc_containment_clusters"] = QuerySpec(
+    _containment_clusters,
+    _CONTAINMENT_CLUSTERS_ORACLE,
+    "dedup clusters over the directed containment edge set",
+)
+
+
+# --------------------------------------------------------------------------
+# Conversation curation (r7): the composed pipeline for DIALOGUE data
+# — corpus-wide turn dedup (rewrite) → structural gate (min surviving
+# turns / malformed cap, exact-integer reasons) → turn-aware PII
+# scrub — over the synthesized turn corpus. plans/curation.py
+# curate_conversations. Names prefixed cvc_.
+# --------------------------------------------------------------------------
+
+
+def _conv_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_conversations
+
+    curated, audit = curate_conversations(
+        _conversed(spark, sf_dir), min_turns=2, scrub=True
+    )
+    kept = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.md5("text").alias("text_fp"),
+        "n_turns",
+        "n_dropped",
+    )
+    dropped = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("string").alias("text_fp"),
+        F.lit(None).cast("long").alias("n_turns"),
+        F.lit(None).cast("long").alias("n_dropped"),
+    )
+    return kept.unionByName(dropped)
+
+
+def _cvc_oracle() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    red = "content"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (
+        "WITH "
+        + _TRN_CTES
+        + rf""",
+cvc_keyed AS (
+  SELECT doc_id, turn_idx, role, content,
+         md5(COALESCE(role, '')
+             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
+           AS th,
+         trim(content) = '' AS blank
+  FROM trn_parsed
+),
+cvc_occ AS (
+  SELECT doc_id, turn_idx, role, content, blank,
+         ROW_NUMBER() OVER (
+           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
+  FROM cvc_keyed
+),
+cvc_kept AS (
+  SELECT doc_id, turn_idx, role, content, blank
+  FROM cvc_occ WHERE blank OR rn = 1
+),
+cvc_stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(CASE WHEN NOT blank THEN 1 ELSE 0 END) AS BIGINT)
+           AS nlive,
+         CAST(SUM(CASE WHEN role IS NULL AND NOT blank THEN 1 ELSE 0
+                  END) AS BIGINT) AS nmal
+  FROM cvc_kept GROUP BY doc_id
+),
+cvc_tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM trn_lines GROUP BY doc_id
+),
+cvc_spine AS (
+  SELECT c.doc_id,
+         COALESCE(t.nt, 0) AS nt,
+         COALESCE(s.nk, 0) AS nk,
+         COALESCE(s.nlive, 0) AS nlive,
+         COALESCE(s.nmal, 0) AS nmal
+  FROM trn_conv c
+  LEFT JOIN cvc_tot t USING (doc_id)
+  LEFT JOIN cvc_stats s USING (doc_id)
+),
+cvc_agg AS (
+  SELECT k.doc_id,
+         string_agg(
+           CASE WHEN k.role IS NOT NULL
+                THEN k.role || ': ' || {red}
+                ELSE {red} END,
+           chr(10) ORDER BY k.turn_idx) AS text2
+  FROM cvc_kept k GROUP BY k.doc_id
+)
+SELECT s.doc_id, 'kept' AS status, CAST(NULL AS VARCHAR) AS reason,
+       md5(COALESCE(a.text2, '')) AS text_fp,
+       s.nt AS n_turns,
+       CAST(s.nt - s.nk AS BIGINT) AS n_dropped
+FROM cvc_spine s LEFT JOIN cvc_agg a USING (doc_id)
+WHERE s.nlive >= 2 AND s.nmal <= CAST(floor(0.0 * s.nlive) AS BIGINT)
+UNION ALL
+SELECT doc_id, 'structure' AS status,
+       CASE WHEN nlive < 2 THEN 'turns_' || nlive
+            ELSE 'malformed_' || nmal END AS reason,
+       CAST(NULL AS VARCHAR) AS text_fp,
+       CAST(NULL AS BIGINT) AS n_turns,
+       CAST(NULL AS BIGINT) AS n_dropped
+FROM cvc_spine
+WHERE nlive < 2 OR nmal > CAST(floor(0.0 * nlive) AS BIGINT)
+"""
+    )
+
+
+QUERIES["doc_conv_curation"] = QuerySpec(
+    _conv_curation,
+    _cvc_oracle(),
+    "composed conversation curation: turn dedup -> structure gate ->"
+    " turn-aware PII scrub",
+)

@@ -495,3 +495,146 @@ def curate_corpus(
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit
+
+
+def curate_conversations(
+    convs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    min_turns: int = 2,
+    max_malformed_frac: float = 0.0,
+    scrub: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The curation flow for CONVERSATION data; returns
+    ``(curated, audit)``.
+
+    Stages (the curate_corpus shape one format up):
+
+    1. corpus-wide TURN dedup (operators/turns.py semantics: first
+       (id, turn_idx) occurrence of each (role, normalized content)
+       survives, blanks are structural) — a REWRITE, no audit arm;
+    2. structure gate on the DEDUPED conversation: drop when fewer
+       than ``min_turns`` non-blank turns survive (reason
+       ``turns_<n>``) or when more than ``floor(max_malformed_frac ·
+       n_live)`` surviving non-blank turns are role-less (reason
+       ``malformed_<n>``) — exact-integer reasons;
+    3. turn-aware PII scrub on survivors (content only, role tags
+       and layout untouched — ``scrub=False`` skips).
+
+    ``curated``: (id, text, n_turns, n_dropped) — n_turns counts the
+    ORIGINAL turns, n_dropped the dedup-removed ones.
+    ``audit``: (id, stage='structure', reason) per dropped doc.
+
+    Scale: parse is map-only; dedup is one hash-keyed winner agg +
+    re-join; the gate and re-assembly are the same doc-keyed
+    aggregate every per-doc statistic pays.
+    """
+    from ..operators.pii import redact_pii
+    from ..operators.turns import _norm, _render, parse_turns
+
+    if min_turns < 0:
+        raise ValueError(f"min_turns must be >= 0, got {min_turns}")
+    if not 0 <= max_malformed_frac <= 1:
+        raise ValueError(
+            f"max_malformed_frac must be in [0, 1], got {max_malformed_frac}"
+        )
+    turns = parse_turns(
+        convs, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    )
+    lines = turns.select(
+        F.col(id_col),
+        F.col("turn_idx").alias("__pos"),
+        "role",
+        "content",
+        F.md5(
+            F.concat_ws(
+                "", F.coalesce("role", F.lit("")), _norm(F.col("content"))
+            )
+        ).alias("__th"),
+        (F.trim("content") == "").alias("__blank"),
+    )
+    dedupable = lines.filter(~F.col("__blank"))
+    winners = dedupable.groupBy("__th").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first")
+    )
+    kept_dd = (
+        dedupable.join(winners, "__th")
+        .filter(
+            (F.col(id_col) == F.col("__first")[id_col])
+            & (F.col("__pos") == F.col("__first")["__pos"])
+        )
+        .select(id_col, "__pos", "role", "content", "__blank")
+    )
+    kept = kept_dd.unionByName(
+        lines.filter(F.col("__blank")).select(
+            id_col, "__pos", "role", "content", "__blank"
+        )
+    )
+    stats = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.sum((~F.col("__blank")).cast("long"))
+        .cast("long")
+        .alias("__nlive"),
+        F.sum(
+            (F.col("role").isNull() & ~F.col("__blank")).cast("long")
+        )
+        .cast("long")
+        .alias("__nmal"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    spine = convs.select(id_col).join(totals, id_col, "left").join(
+        stats, id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("__nt", F.lit(0)).cast("long").alias("__nt"),
+        F.coalesce("__nk", F.lit(0)).cast("long").alias("__nk"),
+        F.coalesce("__nlive", F.lit(0)).cast("long").alias("__nlive"),
+        F.coalesce("__nmal", F.lit(0)).cast("long").alias("__nmal"),
+    )
+    too_few = F.col("__nlive") < F.lit(min_turns)
+    too_mal = F.col("__nmal") > F.floor(
+        F.lit(float(max_malformed_frac)) * F.col("__nlive")
+    )
+    audit = spine.filter(too_few | too_mal).select(
+        F.col(id_col),
+        F.lit("structure").alias("stage"),
+        F.when(
+            too_few, F.concat(F.lit("turns_"), F.col("__nlive"))
+        )
+        .otherwise(F.concat(F.lit("malformed_"), F.col("__nmal")))
+        .alias("reason"),
+    )
+    ok = spine.filter(~(too_few | too_mal)).select(
+        id_col, "__nt", "__nk"
+    )
+    content_out = (
+        redact_pii(F.col("content")) if scrub else F.col("content")
+    )
+    rendered = kept.select(
+        F.col(id_col),
+        F.col("__pos"),
+        _render(F.col("role"), content_out, role_sep).alias("__w"),
+    )
+    agg = rendered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            turn_sep,
+        ).alias("__text2")
+    )
+    curated = ok.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("__text2", F.lit("")).alias("text"),
+        F.col("__nt").alias("n_turns"),
+        (F.col("__nt") - F.col("__nk")).cast("long").alias("n_dropped"),
+    )
+    return curated, audit

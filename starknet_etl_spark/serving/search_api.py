@@ -269,6 +269,64 @@ def hybrid_ltr_response(
     )
 
 
+def tokenize_rows(
+    spark,
+    texts: list[str],
+    *,
+    merges_path: str | None = None,
+    pieces_path: str | None = None,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> list[dict[str, Any]]:
+    """(text_idx, tokens, n_tokens) for ad-hoc texts run through a
+    PERSISTED tokenizer model — BPE (``merges_path``) or unigram-LM
+    (``pieces_path``), exactly one of the two. The serving twin of
+    the batch tokenizers: same frozen-model contract as the
+    streaming twins."""
+    if (merges_path is None) == (pieces_path is None):
+        raise ValueError("pass exactly one of merges_path / pieces_path")
+    if not texts:
+        return []
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "text_idx int, text string"
+    )
+    if merges_path is not None:
+        from ..operators.bpe import bpe_text, load_merges
+
+        out = bpe_text(
+            df, "text_idx", "text", load_merges(spark, merges_path)
+        ).select(
+            "text_idx",
+            F.col("bpe_text").alias("tokens"),
+            F.col("n_subwords").alias("n_tokens"),
+        )
+    else:
+        from ..operators.unigram import load_pieces, unigram_text
+
+        out = unigram_text(
+            df, "text_idx", "text", load_pieces(spark, pieces_path),
+            max_piece_len=max_piece_len, max_word_len=max_word_len,
+        ).select(
+            "text_idx",
+            F.col("unigram_text").alias("tokens"),
+            F.col("n_pieces").alias("n_tokens"),
+        )
+    return [
+        {
+            "text_idx": int(r["text_idx"]),
+            "tokens": r["tokens"],
+            "n_tokens": int(r["n_tokens"]),
+        }
+        for r in sorted(out.collect(), key=lambda r: r["text_idx"])
+    ]
+
+
+def tokenize_response(spark, texts: list[str], **kw) -> dict[str, Any]:
+    return _wrap(lambda: tokenize_rows(spark, texts, **kw))
+
+
 def quality_score_rows(
     spark, model_path: str, texts: list[str], *, dim: int = 16
 ) -> list[dict[str, Any]]:
@@ -487,6 +545,10 @@ def create_search_app(
     ann_cell_col: str = "label",
     ann_srp_planes: int | None = None,
     ltr_weights: list[float] | None = None,
+    bpe_merges: str | None = None,
+    unigram_pieces: str | None = None,
+    unigram_max_piece_len: int = 4,
+    unigram_max_word_len: int = 16,
     quality_model_path: str | None = None,
     quality_model_dim: int = 16,
     cms_sketch: str | None = None,
@@ -508,6 +570,8 @@ def create_search_app(
     - ``GET /hybrid_ltr?q=...&v=...&k=10`` (both indexes +
       ``ltr_weights``: learned fusion instead of RRF)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
+    - ``GET /tokenize?t=some+text&model=bpe|unigram`` (persisted
+      tokenizer models; ``model`` optional when only one configured)
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
       ``cms_depth``/``cms_width`` must match the stream's build)
     - ``GET /sketch/distinct`` (streaming KMV state, ``kmv_k`` ditto)
@@ -599,6 +663,28 @@ def create_search_app(
                     centroids_path=ann_centroids,
                 )
             )
+
+    if bpe_merges is not None or unigram_pieces is not None:
+
+        @app.get("/tokenize")
+        def tokenize(t: str, model: str = ""):
+            if not model:
+                model = "bpe" if unigram_pieces is None else "unigram"
+                if bpe_merges is not None and unigram_pieces is not None:
+                    return {
+                        "message": "both tokenizers configured: "
+                        "pass model=bpe or model=unigram"
+                    }
+            kw = (
+                {"merges_path": bpe_merges}
+                if model == "bpe"
+                else {
+                    "pieces_path": unigram_pieces,
+                    "max_piece_len": unigram_max_piece_len,
+                    "max_word_len": unigram_max_word_len,
+                }
+            )
+            return run(lambda: tokenize_response(spark, [t], **kw))
 
     if quality_model_path is not None:
 

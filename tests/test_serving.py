@@ -632,3 +632,56 @@ def test_hybrid_batch_ltr_equals_per_query_loop(spark, tmp_path):
                 r["lex_rank"], r["sem_rank"], r["ltr"]
             )
     assert batch == loop and batch
+
+
+def test_tokenize_serving_core(spark, tmp_path):
+    """GET /tokenize core: persisted BPE and unigram models applied
+    to ad-hoc texts, matching the batch tokenizers exactly."""
+    import pytest
+
+    from starknet_etl_spark.operators import bpe as B
+    from starknet_etl_spark.operators import unigram as U
+    from starknet_etl_spark.serving.search_api import tokenize_rows
+
+    train = spark.createDataFrame(
+        [(0, "low low low lower newest newest widest")],
+        "doc_id bigint, text string",
+    )
+    merges = B.train_bpe(train, "text", n_merges=4)
+    mpath = str(tmp_path / "bpe_m")
+    B.save_merges(spark, merges, mpath)
+    uni = U.train_unigram(
+        train, "text", vocab_size=4, seed_size=8,
+        max_piece_len=3, max_word_len=8, n_rounds=1,
+    )
+    upath = str(tmp_path / "uni_m")
+    U.save_pieces(spark, uni, upath)
+
+    texts = ["lowest newest", "low wide"]
+    got_b = tokenize_rows(spark, texts, merges_path=mpath)
+    want_b = {
+        r["doc_id"]: (r["bpe_text"], r["n_subwords"])
+        for r in B.bpe_text(
+            spark.createDataFrame(
+                list(enumerate(texts)), "doc_id int, text string"
+            ),
+            "doc_id", "text", merges,
+        ).collect()
+    }
+    assert [(r["tokens"], r["n_tokens"]) for r in got_b] == [
+        want_b[0], want_b[1]
+    ]
+    got_u = tokenize_rows(
+        spark, texts, pieces_path=upath,
+        max_piece_len=3, max_word_len=8,
+    )
+    assert [r["tokens"].replace(" ", "") for r in got_u] == [
+        t.replace(" ", "") for t in texts
+    ]
+    assert tokenize_rows(spark, [], merges_path=mpath) == []
+    with pytest.raises(ValueError, match="exactly one"):
+        tokenize_rows(spark, texts)
+    with pytest.raises(ValueError, match="exactly one"):
+        tokenize_rows(
+            spark, texts, merges_path=mpath, pieces_path=upath
+        )

@@ -170,3 +170,42 @@ def test_streaming_turn_dedup_matches_batch_and_replay(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replay: append_once no-ops on both sinks
     assert spark.read.parquet(out).count() == len(CONVS)
+
+
+def test_curate_conversations_stages_and_audit(spark):
+    from starknet_etl_spark.plans.curation import curate_conversations
+
+    convs = [
+        # two distinct turns + PII -> kept, scrubbed
+        ("k1", "user: my mail a@b.com\nassistant: noted thanks"),
+        # its exact duplicate -> hollowed to 0 live turns -> dropped
+        ("k2", "user: my mail a@b.com\nassistant: noted thanks"),
+        # one distinct turn only -> dropped turns_1
+        ("k3", "user: solo line here"),
+        # malformed line + one real turn -> gate on malformed (cap 0)
+        ("k4", "not a role line\nuser: second unique turn"),
+        ("k5", ""),  # empty -> turns_0
+    ]
+    df = spark.createDataFrame(convs, ["doc_id", "text"])
+    curated, audit = curate_conversations(df, min_turns=2, scrub=True)
+    kept = {r["doc_id"]: r for r in curated.collect()}
+    dropped = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert set(kept) == {"k1"}
+    assert "a@b.com" not in kept["k1"]["text"]
+    assert kept["k1"]["text"].startswith("user: ")
+    assert kept["k1"]["n_turns"] == 2 and kept["k1"]["n_dropped"] == 0
+    assert dropped["k2"] == "turns_0"  # fully deduped away
+    assert dropped["k3"] == "turns_1"
+    assert dropped["k4"] == "malformed_1"
+    assert dropped["k5"] == "turns_0"
+    # relaxing the malformed cap keeps k4
+    curated2, _ = curate_conversations(
+        df, min_turns=2, max_malformed_frac=1.0, scrub=False
+    )
+    ids2 = {r["doc_id"] for r in curated2.collect()}
+    assert ids2 == {"k1", "k4"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_malformed_frac"):
+        curate_conversations(df, max_malformed_frac=2.0)
