@@ -6644,3 +6644,103 @@ QUERIES["doc_conv_curation"] = QuerySpec(
     "composed conversation curation: turn dedup -> structure gate ->"
     " turn-aware PII scrub",
 )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation (r7): MRR-style per-query metrics of the
+# batched hybrid fusion against deterministic contains-all-terms
+# relevance — exact integers (first relevant position) and the exact
+# IEEE reciprocal; no grading float ever crosses a rounding seam.
+# --------------------------------------------------------------------------
+
+
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    fused = _hybrid_batch(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    ranked = fused.withColumn(
+        "__r", F.row_number().over(w).cast("long")
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rel_rows = []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        rel_rows.append(
+            docs.filter(cond).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+        )
+    rel = rel_rows[0]
+    for r in rel_rows[1:]:
+        rel = rel.unionByName(r)
+    j = ranked.join(
+        rel.withColumn("__rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_returned"),
+        F.sum(F.coalesce("__rel", F.lit(0)))
+        .cast("long")
+        .alias("n_relevant_topk"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__r")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("__rel") == 1, F.col("__r"))),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    rrf = _hybrid_batch_oracle()
+    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
+    blocks, selects = [], []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        in_terms = ", ".join(f"'{t}'" for t in terms)
+        n_terms = len(set(terms))
+        blocks.append(f"""
+rev_top_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+              AS BIGINT) AS r
+  FROM (SELECT * FROM fused_{qid}
+        ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})
+),
+rev_rel_{qid} AS (
+  SELECT t.doc_id, t.r,
+         CASE WHEN {n_terms} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = t.doc_id AND h.t IN ({in_terms}))
+              THEN 1 ELSE 0 END AS rel
+  FROM rev_top_{qid} t
+)""")
+        selects.append(f"""
+(SELECT '{qid}' AS query_id,
+        CAST(COUNT(*) AS BIGINT) AS k_returned,
+        CAST(SUM(rel) AS BIGINT) AS n_relevant_topk,
+        CAST(MIN(CASE WHEN rel = 1 THEN r END) AS BIGINT)
+          AS first_rel_rank,
+        COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN r END), 0.0) AS rr
+ FROM rev_rel_{qid})""")
+    return (
+        ctes
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+QUERIES["doc_retrieval_eval"] = QuerySpec(
+    _retrieval_eval,
+    _retrieval_eval_oracle(),
+    "per-query hybrid retrieval metrics vs contains-all-terms"
+    " relevance: hits in top-k, first relevant rank, exact RR",
+)

@@ -115,3 +115,174 @@ def start_turn_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_conversation_curation_stream(
+    docs: DataFrame,
+    *,
+    out_path: str,
+    audit_path: str,
+    ledger_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+    min_turns: int = 2,
+    max_malformed_frac: float = 0.0,
+    scrub: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The composed conversation-curation flow as a replay-safe
+    stream (plans/curation.curate_conversations per tick, with the
+    cross-tick turn ledger making the dedup stage corpus-wide):
+    each tick drops turns already in the ledger, applies the batch
+    first-occurrence rule in-tick, gates conversations on surviving
+    structure (exact-integer reasons), scrubs survivors turn-aware,
+    and appends curated docs, audit rows, and the tick's new turn
+    hashes — all under ``io.append_once`` markers, data sinks BEFORE
+    the ledger (the streaming/spans.py crash-ordering argument).
+    When ticks arrive in id order, curated ∪ audit is bit-equal to
+    the one-shot batch pipeline (pinned by test)."""
+    from ..operators.pii import redact_pii
+    from ..operators.spans import _reassemble  # noqa: F401 (shape doc)
+    from ..operators.turns import _norm, _render, parse_turns
+
+    if min_turns < 0:
+        raise ValueError(f"min_turns must be >= 0, got {min_turns}")
+    if not 0 <= max_malformed_frac <= 1:
+        raise ValueError(
+            f"max_malformed_frac must be in [0, 1], got {max_malformed_frac}"
+        )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        turns = parse_turns(
+            batch, id_col, text_col,
+            turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+        )
+        lines = turns.select(
+            F.col(id_col),
+            F.col("turn_idx").alias("__pos"),
+            "role",
+            "content",
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.coalesce("role", F.lit("")),
+                    _norm(F.col("content")),
+                )
+            ).alias("__th"),
+            (F.trim("content") == "").alias("__blank"),
+        )
+        dedupable = lines.filter(~F.col("__blank"))
+        if _io._exists(spark, ledger_path):
+            seen = spark.read.parquet(ledger_path).select("__th")
+            fresh = dedupable.join(seen, "__th", "left_anti")
+        else:
+            fresh = dedupable
+        winners = fresh.groupBy("__th").agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias(
+                "__first"
+            )
+        )
+        kept_dd = (
+            fresh.join(winners, "__th")
+            .filter(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__pos") == F.col("__first")["__pos"])
+            )
+            .select(id_col, "__pos", "role", "content", "__blank")
+        )
+        kept = kept_dd.unionByName(
+            lines.filter(F.col("__blank")).select(
+                id_col, "__pos", "role", "content", "__blank"
+            )
+        )
+        stats = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__nk"),
+            F.sum((~F.col("__blank")).cast("long"))
+            .cast("long")
+            .alias("__nlive"),
+            F.sum(
+                (F.col("role").isNull() & ~F.col("__blank")).cast("long")
+            )
+            .cast("long")
+            .alias("__nmal"),
+        )
+        totals = lines.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__nt")
+        )
+        spine = (
+            batch.select(id_col)
+            .join(totals, id_col, "left")
+            .join(stats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("__nt", F.lit(0)).cast("long").alias("__nt"),
+                F.coalesce("__nk", F.lit(0)).cast("long").alias("__nk"),
+                F.coalesce("__nlive", F.lit(0))
+                .cast("long")
+                .alias("__nlive"),
+                F.coalesce("__nmal", F.lit(0))
+                .cast("long")
+                .alias("__nmal"),
+            )
+        )
+        too_few = F.col("__nlive") < F.lit(min_turns)
+        too_mal = F.col("__nmal") > F.floor(
+            F.lit(float(max_malformed_frac)) * F.col("__nlive")
+        )
+        audit = spine.filter(too_few | too_mal).select(
+            F.col(id_col),
+            F.lit("structure").alias("stage"),
+            F.when(
+                too_few, F.concat(F.lit("turns_"), F.col("__nlive"))
+            )
+            .otherwise(F.concat(F.lit("malformed_"), F.col("__nmal")))
+            .alias("reason"),
+        )
+        ok = spine.filter(~(too_few | too_mal)).select(
+            id_col, "__nt", "__nk"
+        )
+        content_out = (
+            redact_pii(F.col("content")) if scrub else F.col("content")
+        )
+        rendered = kept.select(
+            F.col(id_col),
+            F.col("__pos"),
+            _render(F.col("role"), content_out, role_sep).alias("__w"),
+        )
+        agg = rendered.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__w"))
+                    ),
+                    lambda s: s["__w"],
+                ),
+                turn_sep,
+            ).alias("__text2")
+        )
+        curated = ok.join(agg, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("__text2", F.lit("")).alias("text"),
+            F.col("__nt").alias("n_turns"),
+            (F.col("__nt") - F.col("__nk"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        # data sinks first, ledger second (module docstring)
+        _io.append_once(curated, out_path, batch_id)
+        _io.append_once(audit, audit_path, batch_id)
+        _io.append_once(winners.select("__th"), ledger_path, batch_id)
+
+    writer = docs.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -209,3 +209,66 @@ def test_curate_conversations_stages_and_audit(spark):
 
     with pytest.raises(ValueError, match="max_malformed_frac"):
         curate_conversations(df, max_malformed_frac=2.0)
+
+
+def test_streaming_conversation_curation_matches_batch(spark, tmp_path):
+    """Ticks in id order: the stream's curated ∪ audit == the batch
+    curate_conversations on the same corpus; replay appends nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.plans.curation import curate_conversations
+    from starknet_etl_spark.streaming.turns import (
+        start_conversation_curation_stream,
+    )
+
+    convs = [
+        ("c1", "user: mail me a@b.com\nassistant: noted thanks"),
+        ("c2", "user: mail me a@b.com\nassistant: noted thanks"),
+        ("c3", "user: one two\nassistant: three four"),
+        ("c4", "user: solo"),
+    ]
+    schema = "doc_id string, text string"
+    df = spark.createDataFrame(convs, schema)
+    src = str(tmp_path / "src")
+    df.filter(F.col("doc_id").isin("c1", "c2")).coalesce(1).write.parquet(
+        src
+    )
+    df.filter(F.col("doc_id").isin("c3", "c4")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    aud = str(tmp_path / "aud")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_conversation_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out_path=out,
+            audit_path=aud,
+            ledger_path=ledger,
+            checkpoint=ckpt,
+            min_turns=2,
+            scrub=True,
+        )
+        q.awaitTermination(240)
+
+    _go()
+    want_c, want_a = curate_conversations(df, min_turns=2, scrub=True)
+    wc = {tuple(r) for r in want_c.collect()}
+    wa = {tuple(r) for r in want_a.collect()}
+    gc = {tuple(r) for r in spark.read.parquet(out).collect()}
+    ga = {tuple(r) for r in spark.read.parquet(aud).collect()}
+    assert gc == wc and ga == wa
+    assert {r[0] for r in gc} == {"c1", "c3"}
+    assert {r[0] for r in ga} == {"c2", "c4"}
+
+    n_out = spark.read.parquet(out).count()
+    n_aud = spark.read.parquet(aud).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: all three sinks append_once no-op
+    assert spark.read.parquet(out).count() == n_out
+    assert spark.read.parquet(aud).count() == n_aud
