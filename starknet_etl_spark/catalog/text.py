@@ -6744,3 +6744,110 @@ QUERIES["doc_retrieval_eval"] = QuerySpec(
     "per-query hybrid retrieval metrics vs contains-all-terms"
     " relevance: hits in top-k, first relevant rank, exact RR",
 )
+
+
+# --------------------------------------------------------------------------
+# Code-likeness signals (r7): the code-vs-prose routing signal real
+# curation pipelines branch on (C4 drops brace lines; code corpora
+# keep them) — exact-integer char/keyword counts, threshold booleans
+# on exact ratios. Map-only.
+# --------------------------------------------------------------------------
+
+_CODE_KWS = ("def", "return", "import", "function", "const", "class", "var")
+
+
+def _code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    kw_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_CODE_KWS))
+    ).cast("long")
+    punct = F.size(
+        F.expr("regexp_extract_all(text, '[{}();=]', 0)")
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    ratio = punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        punct.alias("code_punct"),
+        kw_hits.alias("kw_hits"),
+        ((ratio > 0.02) | (kw_hits >= 3)).alias("code_like"),
+    )
+
+
+_CODE_SIGNALS_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[{{}}();=]')) AS BIGINT)
+         AS code_punct,
+       CAST(len(list_filter(
+         string_split_regex(trim(lower(text)), '\s+'),
+         x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
+         AS BIGINT) AS kw_hits,
+       (len(regexp_extract_all(text, '[{{}}();=]')) * 1.0
+          / greatest(len(text), 1) > 0.02)
+       OR (len(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
+           >= 3) AS code_like
+FROM documents
+"""
+
+QUERIES["doc_code_signals"] = QuerySpec(
+    _code_signals,
+    _CODE_SIGNALS_ORACLE,
+    "code-vs-prose routing signals: punct density, keyword hits",
+)
+
+
+def _unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing measured in UNIGRAM pieces (the
+    doc_bpe_pack symmetry re-keyed to the other tokenizer)."""
+    from ..operators.packing import pack_sequences, pack_summary
+
+    ut = _ulm_text(spark, sf_dir)
+    packed = pack_sequences(ut, "doc_id", "n_pieces", budget=512)
+    return pack_summary(packed, "n_pieces")
+
+
+_ULM_PACK_ORACLE = (
+    "WITH "
+    + _ulm_train_ctes()
+    + _ulm_segment_ctes()
+    + r""",
+ulm_dtok AS (
+  SELECT doc_id, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+ulm_np AS (
+  SELECT doc.doc_id, CAST(COALESCE(k.np, 0) AS BIGINT) AS n_pieces
+  FROM documents doc LEFT JOIN (
+    SELECT d.doc_id, COUNT(*) AS np
+    FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
+    GROUP BY d.doc_id) k ON k.doc_id = doc.doc_id
+),
+ulm_offs AS (
+  SELECT doc_id, n_pieces,
+         CAST(SUM(n_pieces) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_pieces AS BIGINT) AS start_offset
+  FROM ulm_np
+)
+SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_tokens
+FROM ulm_offs GROUP BY seq_id
+"""
+)
+
+QUERIES["doc_unigram_pack"] = QuerySpec(
+    _unigram_pack,
+    _ULM_PACK_ORACLE,
+    "sequence packing measured in unigram pieces",
+)
