@@ -84,13 +84,23 @@ def main() -> int:
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
-        # Harness hygiene, not engine behavior: a FULL 185-query run
-        # in one session accumulates every eager_release result cache
-        # and broadcast remnant; in the --plain session's default-heap
-        # JVM this OOMed around query 160 (the driver itself runs only
-        # the 50-row window and never hits this). Clear between
-        # queries so the replica measures the engine, not the leak.
+        # Harness hygiene, not engine behavior: a FULL 190-query run
+        # in one session accumulates every eager_release result cache,
+        # broadcast remnant, AND the trainers' localCheckpoint RDD
+        # blocks — the latter survive clearCache until the JVM GCs the
+        # dropped RDD references (Spark's ContextCleaner runs off weak
+        # refs), so both sessions eventually OOMed around query 160+.
+        # The driver itself runs only the 50-row window and never hits
+        # this. Clear caches, drop Python-side refs, and nudge both
+        # GCs so the replica measures the engine, not the leak.
         spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.time()
         try:
             sdf = spec.builder(spark, sf_dir)

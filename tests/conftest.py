@@ -20,7 +20,16 @@ def spark():
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # One session serves the whole ~50-minute suite: caches,
+            # broadcasts, and the trainers' localCheckpoint RDD blocks
+            # accumulate until the JVM GCs dropped refs, and the
+            # default 1g heap flaked exactly one test under that
+            # pressure (r6+r7 observed, OutOfMemoryError in the log).
+            # Test-harness headroom, not engine behavior.
+            "spark.driver.memory": "4g",
+        },
     )
     yield s
 
