@@ -5750,10 +5750,10 @@ _TURN_DEDUP_ORACLE = (
     + r""",
 trn_keyed AS (
   SELECT doc_id, turn_idx, l,
-         md5(COALESCE(role, '')
+         md5(COALESCE(role, '') || chr(0)
              || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
            AS th,
-         trim(content) = '' AS blank
+         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
   FROM trn_parsed
 ),
 trn_occ AS (
@@ -6571,10 +6571,10 @@ def _cvc_oracle() -> str:
         + rf""",
 cvc_keyed AS (
   SELECT doc_id, turn_idx, role, content,
-         md5(COALESCE(role, '')
+         md5(COALESCE(role, '') || chr(0)
              || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
            AS th,
-         trim(content) = '' AS blank
+         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
   FROM trn_parsed
 ),
 cvc_occ AS (

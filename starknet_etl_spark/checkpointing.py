@@ -40,7 +40,20 @@ def truncate(
 ) -> DataFrame:
     """Cut ``df``'s lineage: ``localCheckpoint`` when ``reliable_dir``
     is None (executor-stored blocks, fastest, not fault-tolerant),
-    else a reliable ``checkpoint`` into ``reliable_dir``."""
+    else a reliable ``checkpoint`` into ``reliable_dir``.
+
+    Lifetime contract: a plain ``truncate`` is for PINNED frames —
+    working sets built once and read for the whole training (BPE's
+    symbol seed, the unigram substring table, GD's feature matrix).
+    Each leaves exactly one materialized copy in ``reliable_dir`` for
+    the run's lifetime — bounded by construction. Frames re-frozen
+    EVERY ROUND of a loop must go through ``RoundCheckpointer``
+    instead, which deletes superseded rounds (a plain truncate per
+    round would leak one copy of the working set per round — Spark's
+    ContextCleaner does not remove reliable checkpoints unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set at
+    session build, and relying on driver GC timing for FS space is
+    not a plan)."""
     if reliable_dir is None:
         return df.localCheckpoint(eager)
     sc = df.sparkSession.sparkContext
@@ -48,3 +61,65 @@ def truncate(
     # the context at the directory (created on demand).
     sc.setCheckpointDir(reliable_dir)
     return df.checkpoint(eager)
+
+
+def _fs_delete(sc, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works on
+    whatever FS the checkpoint dir lives on (local, HDFS, S3A, GS),
+    unlike shutil."""
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+#: Distinguishes concurrent rotators sharing one reliable_dir (e.g.
+#: the unigram trainer's closure loop and pointer-doubling loop).
+_ROTATOR_SEQ = 0
+
+
+class RoundCheckpointer:
+    """Per-round reliable checkpointing for iterative trainer loops,
+    with rotation: round k is checkpointed into its own subdirectory
+    and round k-``keep``'s directory is deleted once round k has
+    materialized.
+
+    ``keep=2`` (the default) is the loop contract every trainer here
+    satisfies: round k+1 is computed from round k alone, except that
+    a fixpoint check may compare round k+1 against round k AFTER
+    k+1 materializes (the star-components ``exceptAll``) — so k and
+    k-1 must stay readable, and k-2 is provably dead. Frames read by
+    EVERY round (the pinned working sets) must NOT go through a
+    rotator — use plain :func:`truncate` for those.
+
+    With ``reliable_dir=None`` this degrades to ``localCheckpoint``
+    exactly like :func:`truncate` (executor blocks are managed by the
+    BlockManager; the leak this class fixes is reliable-FS-only).
+    """
+
+    def __init__(self, reliable_dir: str | None, *, keep: int = 2):
+        global _ROTATOR_SEQ
+        if keep < 1:
+            raise ValueError(f"keep must be >= 1, got {keep}")
+        self._dir = (
+            None
+            if reliable_dir is None
+            else f"{reliable_dir.rstrip('/')}/rot{_ROTATOR_SEQ:04d}"
+        )
+        _ROTATOR_SEQ += 1
+        self._keep = keep
+        self._n = 0
+        self._live: list[str] = []
+
+    def truncate(self, df: DataFrame) -> DataFrame:
+        if self._dir is None:
+            return df.localCheckpoint(True)
+        sc = df.sparkSession.sparkContext
+        sub = f"{self._dir}/round-{self._n:06d}"
+        self._n += 1
+        sc.setCheckpointDir(sub)
+        out = df.checkpoint(True)  # eager: materialized before we rm
+        self._live.append(sub)
+        while len(self._live) > self._keep:
+            _fs_delete(sc, self._live.pop(0))
+        return out

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..checkpointing import RoundCheckpointer
 from ..checkpointing import truncate as _truncate
 
 
@@ -163,7 +164,8 @@ def train_bpe(
     sym = _symbols(_word_counts(df, text_col, min_count))
     # freeze the vocab-sized working set once; each round re-freezes
     # its output so the plan never stacks n_merges windows deep
-    sym = _truncate(sym, reliable_checkpoint_dir)
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    sym = rot.truncate(sym)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = (
@@ -175,9 +177,7 @@ def train_bpe(
             break
         left, right = best["left"], best["right"]
         merges.append((left, right))
-        sym = _truncate(
-            _merge_round(sym, left, right), reliable_checkpoint_dir
-        )
+        sym = rot.truncate(_merge_round(sym, left, right))
     return merges
 
 
@@ -207,11 +207,10 @@ def segment_words(
     ``reliable_checkpoint_dir`` cluster contract."""
     if "cnt" not in words.columns:
         words = words.withColumn("cnt", F.lit(1).cast("long"))
-    sym = _truncate(_symbols(words), reliable_checkpoint_dir)
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    sym = rot.truncate(_symbols(words))
     for left, right in merges:
-        sym = _truncate(
-            _merge_round(sym, left, right), reliable_checkpoint_dir
-        )
+        sym = rot.truncate(_merge_round(sym, left, right))
     return sym.select("word", "pos", "sym")
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import RoundCheckpointer
 from ..checkpointing import truncate as _truncate
 
 
@@ -80,7 +81,8 @@ def connected_components(
             .distinct()
             .withColumn("label", F.col("node"))
         )
-        labels = _truncate(labels, reliable_checkpoint_dir)
+        rot = RoundCheckpointer(reliable_checkpoint_dir)
+        labels = rot.truncate(labels)
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(
@@ -101,7 +103,8 @@ def connected_components(
                 F.least("label", "nl").alias("new_label"),
             )
             # one action per round: materialize + truncate lineage
-            stepped = _truncate(stepped, reliable_checkpoint_dir)
+            # (rotated: superseded rounds' checkpoint dirs deleted)
+            stepped = rot.truncate(stepped)
             changed = stepped.filter(
                 F.col("new_label") < F.col("label")
             ).count()
@@ -155,10 +158,8 @@ def _star_components(
     # All input nodes — kept so self-loop-only / isolated-edge nodes
     # still get a label (parity with min-label's node universe).
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
-    cur = _truncate(
-        e.filter(F.col("u") != F.col("v")).distinct(),
-        reliable_checkpoint_dir,
-    )
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    cur = rot.truncate(e.filter(F.col("u") != F.col("v")).distinct())
     prev_print: tuple[int, int | None] | None = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
@@ -192,7 +193,9 @@ def _star_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        ss = _truncate(ss, reliable_checkpoint_dir)
+        # keep=2 rotation: the fixpoint exceptAll below still reads
+        # the PREVIOUS round's cur after ss materializes
+        ss = rot.truncate(ss)
         fp = ss.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor, not sum: ANSI mode raises on long overflow and

@@ -34,8 +34,13 @@ DEFAULT_ROLES: tuple[str, ...] = ("system", "user", "assistant")
 def _check_seps(turn_sep: str, role_sep: str) -> None:
     if not turn_sep or not role_sep:
         raise ValueError("turn_sep and role_sep must be non-empty")
+    # The oracle SQL embeds the separators as string literals; quotes
+    # and backslashes would be re-interpreted as SQL escapes there
+    # (the Spark side uses column-argument forms and needs neither).
     if "'" in role_sep or "'" in turn_sep:
         raise ValueError("separators may not contain single quotes")
+    if "\\" in role_sep or "\\" in turn_sep:
+        raise ValueError("separators may not contain backslashes")
 
 
 def parse_turns(
@@ -60,16 +65,14 @@ def parse_turns(
             F.split(F.col(text_col), _re_quote(turn_sep), -1)
         ).alias("turn_idx", "__l"),
     )
+    # Column-argument substrings: the separator never enters SQL text,
+    # so no literal-escaping hazard regardless of its characters.
     p = F.instr(F.col("__l"), role_sep)
-    head = F.expr(
-        f"substring(__l, 1, instr(__l, '{role_sep}') - 1)"
-    )
+    head = F.col("__l").substr(F.lit(1), p - F.lit(1))
     is_role = (p > 0) & head.isin(*roles)
     content = F.when(
         is_role,
-        F.expr(
-            f"substring(__l, instr(__l, '{role_sep}') + {len(role_sep)})"
-        ),
+        F.col("__l").substr(p + F.lit(len(role_sep)), F.length("__l")),
     ).otherwise(F.col("__l"))
     return lines.select(
         id_col,
@@ -89,6 +92,35 @@ def _norm(content: Column) -> Column:
     """Turn-content normalization for dedup identity: lowercase,
     trimmed, inner whitespace collapsed."""
     return F.lower(F.trim(F.regexp_replace(content, r"\s+", " ")))
+
+
+#: Dedup-identity delimiter between role and normalized content.
+#: A control char that can never appear in a role tag (roles come
+#: from a fixed vocabulary) — without it, (role='user',
+#: content='name: x') and a role-less line 'username: x' would hash
+#: identically and one distinct turn would silently vanish.
+TURN_HASH_SEP = "\u0000"
+
+
+def _turn_hash() -> Column:
+    """The turn-dedup identity hash over (role, normalized content),
+    NUL-delimited so the two fields can never be confused. Shared by
+    batch, plan, and streaming dedup; the catalog oracle mirrors it
+    as md5(COALESCE(role,'') || chr(0) || <norm>)."""
+    return F.md5(
+        F.concat_ws(
+            TURN_HASH_SEP,
+            F.coalesce("role", F.lit("")),
+            _norm(F.col("content")),
+        )
+    )
+
+
+def _turn_blank() -> Column:
+    """Blank-turn rule: structural iff the NORMALIZED content is
+    empty — so a tab-only turn is blank (kept) rather than entering
+    dedup with the same hash as every other whitespace-only turn."""
+    return _norm(F.col("content")) == ""
 
 
 def _render(role: Column, content: Column, role_sep: str) -> Column:
@@ -129,12 +161,8 @@ def turn_dedup(
         id_col,
         F.col("turn_idx").alias("__pos"),
         _render(F.col("role"), F.col("content"), role_sep).alias("__w"),
-        F.md5(
-            F.concat_ws(
-                "", F.coalesce("role", F.lit("")), _norm(F.col("content"))
-            )
-        ).alias("__th"),
-        (F.trim("content") == "").alias("__blank"),
+        _turn_hash().alias("__th"),
+        _turn_blank().alias("__blank"),
     )
     dedupable = lines.filter(~F.col("__blank"))
     winners = dedupable.groupBy("__th").agg(

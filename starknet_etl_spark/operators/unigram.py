@@ -60,6 +60,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpointing import RoundCheckpointer
 from ..checkpointing import truncate as _truncate
 
 #: dyadic quantization grid (shared discipline with quality_model.py)
@@ -136,7 +137,8 @@ def _closure(edges: DataFrame, rounds: int, reliable_dir) -> DataFrame:
     squaring: after k rounds, d(a,b) is the best path of <= 2^k
     edges. ``rounds`` = ceil(log2(max path length))."""
     d = edges.groupBy("word", "a", "b").agg(F.max("d").alias("d"))
-    d = _truncate(d, reliable_dir)
+    rot = RoundCheckpointer(reliable_dir)
+    d = rot.truncate(d)
     for _ in range(rounds):
         via = (
             d.alias("x")
@@ -161,7 +163,7 @@ def _closure(edges: DataFrame, rounds: int, reliable_dir) -> DataFrame:
             .groupBy("word", "a", "b")
             .agg(F.max("d").alias("d"))
         )
-        d = _truncate(d, reliable_dir)
+        d = rot.truncate(d)
     return d
 
 
@@ -374,6 +376,7 @@ def _segment_vocab_words(
     )
     nxt = _truncate(nxt, reliable_dir)
     # pointer-doubling reachability from position 0 along next()
+    rot = RoundCheckpointer(reliable_dir)
     r = nxt.select("word", "a", "b")
     for _ in range(t):
         r2 = (
@@ -388,7 +391,7 @@ def _segment_vocab_words(
             )
             .select("word", "a", F.col("c").alias("b"))
         )
-        r = _truncate(r.unionByName(r2).distinct(), reliable_dir)
+        r = rot.truncate(r.unionByName(r2).distinct())
     reach = (
         r.filter(F.col("a") == 0)
         .select("word", F.col("b").alias("a"))

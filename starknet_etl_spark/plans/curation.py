@@ -534,7 +534,9 @@ def curate_conversations(
     aggregate every per-doc statistic pays.
     """
     from ..operators.pii import redact_pii
-    from ..operators.turns import _norm, _render, parse_turns
+    from ..operators.turns import (
+        _render, _turn_blank, _turn_hash, parse_turns,
+    )
 
     if min_turns < 0:
         raise ValueError(f"min_turns must be >= 0, got {min_turns}")
@@ -551,12 +553,8 @@ def curate_conversations(
         F.col("turn_idx").alias("__pos"),
         "role",
         "content",
-        F.md5(
-            F.concat_ws(
-                "", F.coalesce("role", F.lit("")), _norm(F.col("content"))
-            )
-        ).alias("__th"),
-        (F.trim("content") == "").alias("__blank"),
+        _turn_hash().alias("__th"),
+        _turn_blank().alias("__blank"),
     )
     dedupable = lines.filter(~F.col("__blank"))
     winners = dedupable.groupBy("__th").agg(

@@ -675,6 +675,21 @@ def create_search_app(
                         "message": "both tokenizers configured: "
                         "pass model=bpe or model=unigram"
                     }
+            if model not in ("bpe", "unigram"):
+                return {
+                    "message": f"unknown model {model!r}: "
+                    "pass model=bpe or model=unigram"
+                }
+            if model == "bpe" and bpe_merges is None:
+                return {
+                    "message": "model=bpe requested but no BPE merge "
+                    "list is configured (only unigram is)"
+                }
+            if model == "unigram" and unigram_pieces is None:
+                return {
+                    "message": "model=unigram requested but no unigram "
+                    "pieces table is configured (only bpe is)"
+                }
             kw = (
                 {"merges_path": bpe_merges}
                 if model == "bpe"

@@ -26,7 +26,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .. import io as _io
 from ..operators.spans import _reassemble
-from ..operators.turns import DEFAULT_ROLES, _norm, _render, parse_turns
+from ..operators.turns import (
+    DEFAULT_ROLES, _render, _turn_blank, _turn_hash, parse_turns,
+)
 
 
 def start_turn_dedup_stream(
@@ -63,14 +65,8 @@ def start_turn_dedup_stream(
             _render(
                 F.col("role"), F.col("content"), role_sep
             ).alias("__w"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.coalesce("role", F.lit("")),
-                    _norm(F.col("content")),
-                )
-            ).alias("__th"),
-            (F.trim("content") == "").alias("__blank"),
+            _turn_hash().alias("__th"),
+            _turn_blank().alias("__blank"),
         )
         hashed = lines.filter(~F.col("__blank"))
         if _io._exists(spark, ledger_path):
@@ -147,7 +143,9 @@ def start_conversation_curation_stream(
     the one-shot batch pipeline (pinned by test)."""
     from ..operators.pii import redact_pii
     from ..operators.spans import _reassemble  # noqa: F401 (shape doc)
-    from ..operators.turns import _norm, _render, parse_turns
+    from ..operators.turns import (
+        _render, _turn_blank, _turn_hash, parse_turns,
+    )
 
     if min_turns < 0:
         raise ValueError(f"min_turns must be >= 0, got {min_turns}")
@@ -169,14 +167,8 @@ def start_conversation_curation_stream(
             F.col("turn_idx").alias("__pos"),
             "role",
             "content",
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.coalesce("role", F.lit("")),
-                    _norm(F.col("content")),
-                )
-            ).alias("__th"),
-            (F.trim("content") == "").alias("__blank"),
+            _turn_hash().alias("__th"),
+            _turn_blank().alias("__blank"),
         )
         dedupable = lines.filter(~F.col("__blank"))
         if _io._exists(spark, ledger_path):

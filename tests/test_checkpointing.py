@@ -93,3 +93,45 @@ def test_components_reliable_checkpoint_identical(spark, tmp_path):
         )
         assert got == want, algo
         assert _tree_nonempty(ck)
+
+
+def test_round_checkpointer_rotates_and_preserves_results(spark, tmp_path):
+    """Loop-frame rotation: superseded rounds' reliable checkpoint
+    dirs are DELETED (the per-round FS leak), the last ``keep`` stay
+    readable, and the data on the surviving frames is intact."""
+    import re
+
+    from starknet_etl_spark.checkpointing import RoundCheckpointer
+
+    ck = str(tmp_path / "rot")
+    rot = RoundCheckpointer(ck, keep=2)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    frames = []
+    for i in range(5):
+        df = rot.truncate(df.withColumn("v", df["v"] + 1))
+        frames.append(df)
+
+    def _round_dirs():
+        out = []
+        for root, dirs, _files in os.walk(ck):
+            for d in dirs:
+                if re.fullmatch(r"round-\d{6}", d):
+                    out.append(d)
+        return sorted(out)
+
+    assert _round_dirs() == ["round-000003", "round-000004"]
+    # the two surviving frames still read back correctly
+    assert frames[-1].agg(F.sum("v")).first()[0] == sum(
+        v + 5 for v in range(100)
+    )
+    assert frames[-2].agg(F.sum("v")).first()[0] == sum(
+        v + 4 for v in range(100)
+    )
+
+
+def test_round_checkpointer_local_mode_noop_dir(spark):
+    from starknet_etl_spark.checkpointing import RoundCheckpointer
+
+    rot = RoundCheckpointer(None)
+    df = rot.truncate(spark.range(10))
+    assert df.count() == 10

@@ -272,3 +272,58 @@ def test_streaming_conversation_curation_matches_batch(spark, tmp_path):
     _go()  # replay: all three sinks append_once no-op
     assert spark.read.parquet(out).count() == n_out
     assert spark.read.parquet(aud).count() == n_aud
+
+
+def test_turn_hash_role_field_boundary(spark):
+    """The dedup identity is NUL-delimited between role and content:
+    (role='user', content='name: alice') and a malformed role-less
+    line 'username: alice' are DIFFERENT turns and both survive —
+    an undelimited concat would hash both as 'username: alice' and
+    silently drop one corpus-wide."""
+    from starknet_etl_spark.operators.turns import turn_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "user: name: alice\nassistant: hi"),
+            ("c2", "username: alice\nassistant: yo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in turn_dedup(df).collect()}
+    assert out["c1"]["text"] == "user: name: alice\nassistant: hi"
+    assert out["c1"]["n_dropped"] == 0
+    assert out["c2"]["text"] == "username: alice\nassistant: yo"
+    assert out["c2"]["n_dropped"] == 0
+
+
+def test_turn_dedup_whitespace_only_turns_structural(spark):
+    """A tab-only turn is blank under the NORMALIZED rule: it is
+    structural (always kept), never entering dedup — previously
+    trim() saw only ASCII spaces, so every tab-only turn after the
+    first was dropped corpus-wide."""
+    from starknet_etl_spark.operators.turns import turn_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "user: a\n\t\nuser: b"),
+            ("c2", "user: c\n\t\nuser: d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in turn_dedup(df).collect()}
+    # both tab-only middle turns survive, in both conversations
+    assert out["c1"]["text"] == "user: a\n\t\nuser: b"
+    assert out["c2"]["text"] == "user: c\n\t\nuser: d"
+    assert out["c1"]["n_dropped"] == 0 and out["c2"]["n_dropped"] == 0
+
+
+def test_parse_turns_rejects_backslash_separator(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.turns import parse_turns
+
+    df = spark.createDataFrame([("c1", "user: hi")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="backslash"):
+        parse_turns(df, role_sep="\\: ")
+    with _pytest.raises(ValueError, match="backslash"):
+        parse_turns(df, turn_sep="\\n")
