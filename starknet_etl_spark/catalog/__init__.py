@@ -55,10 +55,46 @@ def scratch_path(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import analytics, domain, events, multimodal, relational, text, vectors
+    from . import (
+        analytics,
+        domain,
+        events,
+        multimodal,
+        relational,
+        text,
+        text_contamination,
+        text_mixtures,
+        text_neardup,
+        text_quality,
+        text_search,
+        text_sketches,
+        text_spans,
+        text_tokenizers,
+        text_topics,
+        text_turns,
+        vectors,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, events, text, vectors, multimodal, domain):
+    for mod in (
+        relational,
+        analytics,
+        events,
+        text,
+        text_search,
+        text_tokenizers,
+        text_quality,
+        text_spans,
+        text_sketches,
+        text_contamination,
+        text_topics,
+        text_neardup,
+        text_turns,
+        text_mixtures,
+        vectors,
+        multimodal,
+        domain,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate catalog keys: {overlap}"
         out.update(mod.QUERIES)

@@ -2867,3987 +2867,3 @@ QUERIES = {
 }
 
 
-# --------------------------------------------------------------------------
-# Hybrid retrieval (r6): reciprocal-rank fusion over the two INDEXED
-# probes — BM25 postings index + SRP-bucketed hash_embed ANN index —
-# exactly what a retrieval consumer calls. Ranks are exact integers
-# from each probe's deterministic (rounded score DESC, id ASC) order,
-# so the fusion arithmetic is cross-engine-deterministic by
-# construction. Oracle assembled from the PROVEN blocks: the
-# _BM25_ORACLE scan math (index ≡ scan bit-equal), the hash_embed
-# component chain over documents ∪ the query pseudo-doc, and the
-# mm-row SRP bucket construction.
-# --------------------------------------------------------------------------
-
-_HYBRID_QUERY_TEXT = " ".join(_BM25_TERMS)  # one bag, both probes
-_HYBRID_CANDIDATES = 15
-_HYBRID_K = 10
-_HYBRID_RRF_K = 60
-
-
-def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import similarity as S
-    from ..operators.search import build_postings_index, hybrid_search
-
-    docs = _docs(spark, sf_dir)
-    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
-    build_postings_index(docs, ppath, n_buckets=16)
-
-    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
-    # zero vectors (tokenless / fully-cancelling bags) carry no
-    # signal and would make the cosine 0/0 — drop them at build
-    bucketed = emb.filter(
-        F.exists(F.col("embedding"), lambda v: v != 0)
-    ).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
-    S.build_ann_index(bucketed, apath, cell_col="cell")
-
-    qdf = spark.createDataFrame(
-        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
-    )
-    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    return hybrid_search(
-        spark,
-        ppath,
-        apath,
-        list(_BM25_TERMS),
-        query,
-        k=_HYBRID_K,
-        rrf_k=_HYBRID_RRF_K,
-        n_candidates=_HYBRID_CANDIDATES,
-        ann_id_col="doc_id",
-        ann_cell_col="cell",
-    )
-
-
-# The BM25 CTE chain of _BM25_ORACLE verbatim (strip 'WITH ' and the
-# final SELECT), reused as the lexical arm.
-_BM25_CTES = _BM25_ORACLE.strip().removeprefix("WITH ").rsplit(
-    "SELECT doc_id, ROUND", 1
-)[0].rstrip().rstrip(",")
-
-_HYBRID_ORACLE = f"""
-WITH {_BM25_CTES},
-lex AS (
-  SELECT doc_id, ROUND(c0 + c1 + c2, 6) AS bm25
-  FROM per ORDER BY bm25 DESC, doc_id ASC LIMIT {_HYBRID_CANDIDATES}
-),
-lexr AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
-              AS BIGINT) AS lex_rank
-  FROM lex
-),
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT -1, '{_HYBRID_QUERY_TEXT}'
-),
-htok AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-  FROM corpus
-),
-hcomp AS (
-  SELECT doc_id,
-         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
-              AS INT) AS idx,
-         SUM(CASE WHEN substr(md5(t), 9, 1)
-                       IN ('8','9','a','b','c','d','e','f')
-                  THEN 1.0 ELSE -1.0 END) AS v
-  FROM htok WHERE t <> '' GROUP BY doc_id, idx
-),
-hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
-hspine AS (
-  SELECT c.doc_id, CAST(u.i AS INT) AS idx
-  FROM (SELECT doc_id FROM corpus) c,
-       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
-),
-hx AS MATERIALIZED (
-  SELECT s.doc_id, s.idx,
-         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
-              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
-  FROM hspine s
-  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
-  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
-),
-hxn AS MATERIALIZED (
-  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
-),
-srpw AS (
-  SELECT p, d,
-    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
-         THEN 1.0 ELSE -1.0 END AS wt
-  FROM unnest(generate_series(0, 3)) AS tp(p),
-       unnest(generate_series(1, {_HE_DIM})) AS td(d)
-),
-srpproj AS (
-  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
-  FROM hx h JOIN srpw w ON w.d = h.idx + 1
-  GROUP BY h.doc_id, w.p
-),
-srpb AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS b
-  FROM srpproj GROUP BY doc_id
-),
-qb AS (SELECT b FROM srpb WHERE doc_id = -1),
-sem AS (
-  SELECT a.doc_id,
-         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
-  FROM hx a
-  JOIN hx q ON q.doc_id = -1 AND q.idx = a.idx
-  JOIN srpb ba ON ba.doc_id = a.doc_id
-  JOIN qb ON qb.b = ba.b
-  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
-  JOIN hxn qn ON qn.doc_id = -1
-  WHERE a.doc_id <> -1
-  GROUP BY a.doc_id, an.rn, qn.rn
-  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
-),
-semr AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
-              AS BIGINT) AS sem_rank
-  FROM sem
-),
-fused AS (
-  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-         l.lex_rank, s.sem_rank,
-         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
-             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
-               6) AS rrf
-  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
-)
-SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
-ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K}
-"""
-
-QUERIES["doc_hybrid_search"] = QuerySpec(
-    _hybrid_search,
-    _HYBRID_ORACLE,
-    "RRF fusion of the BM25-index and ANN-index probes",
-)
-
-
-# --------------------------------------------------------------------------
-# BPE subword tokenizer (r6): the full classic trainer replayed in
-# DuckDB — per-round CTEs (pair counts → deterministic argmax → the
-# greedy run-parity merge), the Lloyd-unroll pattern with
-# AS MATERIALIZED on every multiply-referenced level. Three rows:
-# the learned merge table, the tokenized corpus, and the coverage
-# curve over subword units (the judge-asked oov/coverage-over-
-# subwords composition).
-# --------------------------------------------------------------------------
-
-_BPE_N_MERGES = 8
-
-#: session-scoped cache: the trainer collects one argmax row per
-#: round, and three catalog rows share the same learned merges — no
-#: reason to retrain per row within one session.
-_BPE_CACHE: dict = {}
-
-
-def _bpe_merges(spark: SparkSession, sf_dir: str):
-    from ..operators import bpe as B
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BPE_CACHE:
-        _BPE_CACHE[key] = B.train_bpe(
-            _docs(spark, sf_dir), "text", n_merges=_BPE_N_MERGES
-        )
-    return _BPE_CACHE[key]
-
-
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import bpe as B
-
-    return B.merges_df(spark, _bpe_merges(spark, sf_dir))
-
-
-def _bpe_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import bpe as B
-
-    return B.bpe_text(
-        _docs(spark, sf_dir), "doc_id", "text", _bpe_merges(spark, sf_dir)
-    )
-
-
-def _bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import bpe as B
-
-    return X.vocab_coverage(
-        B.bpe_text(
-            _docs(spark, sf_dir), "doc_id", "text",
-            _bpe_merges(spark, sf_dir),
-        ),
-        "bpe_text",
-        min_count=1,
-    )
-
-
-def _bpe_rounds_sql(n: int) -> str:
-    """Round k: adjacent pairs from s{k}, 1-row argmax b{k} (count
-    DESC, pair ASC), greedy left-to-right merge via the run-parity
-    windows (operators/bpe.py docstring) → s{k+1}."""
-    parts = []
-    for k in range(n):
-        parts.append(f"""
-n{k} AS (
-  SELECT word, cnt, pos, sym,
-         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-  FROM s{k}
-),
-b{k} AS MATERIALIZED (
-  SELECT sym AS a, nxt AS b FROM n{k} WHERE nxt IS NOT NULL
-  GROUP BY sym, nxt ORDER BY SUM(cnt) DESC, sym ASC, nxt ASC LIMIT 1
-),
-m{k} AS (
-  -- LEFT JOIN ON TRUE, not CROSS: a round with NO remaining pairs
-  -- (degenerate corpus, early-stopped trainer) must pass sequences
-  -- through unchanged — a cross join with the empty argmax would
-  -- silently vanish the whole corpus
-  SELECT n.word, n.cnt, n.pos, n.sym, b.b AS bb,
-         COALESCE(n.sym = b.a AND n.nxt = b.b, FALSE) AS is_m
-  FROM n{k} n LEFT JOIN b{k} b ON TRUE
-),
-g{k} AS (
-  SELECT *, CASE WHEN is_m THEN pos - row_number() OVER (
-      PARTITION BY word, is_m ORDER BY pos) END AS grp
-  FROM m{k}
-),
-o{k} AS (
-  SELECT *, CASE WHEN is_m THEN row_number() OVER (
-      PARTITION BY word, grp ORDER BY pos) END AS off
-  FROM g{k}
-),
-c{k} AS (
-  SELECT *, COALESCE(is_m AND off % 2 = 1, FALSE) AS do_m,
-         COALESCE(lag(COALESCE(is_m AND off % 2 = 1, FALSE)) OVER (
-             PARTITION BY word ORDER BY pos), FALSE) AS consumed
-  FROM o{k}
-),
-s{k + 1} AS MATERIALIZED (
-  SELECT word, cnt,
-         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
-              AS BIGINT) AS pos,
-         CASE WHEN do_m THEN sym || bb ELSE sym END AS sym
-  FROM c{k} WHERE NOT consumed
-)""")
-    return ",".join(parts)
-
-
-_BPE_BASE_CTES = r"""
-w0 AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-    FROM documents)
-  WHERE word <> '' GROUP BY word
-),
-s0 AS MATERIALIZED (
-  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
-         substr(word, CAST(i AS INT), 1) AS sym
-  FROM w0, unnest(generate_series(1, len(word))) AS t(i)
-),
-""" + _bpe_rounds_sql(_BPE_N_MERGES)
-
-_BPE_VOCAB_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + "\n"
-    + "\nUNION ALL ".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
-        f"a || b AS merged FROM b{k}"
-        for k in range(_BPE_N_MERGES)
-    )
-)
-
-_BPE_TOKENIZE_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + rf""",
-dtok AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-)
-SELECT d.doc_id,
-       string_agg(s.sym, ' ' ORDER BY d.word_pos, s.pos) AS bpe_text,
-       CAST(COUNT(*) AS BIGINT) AS n_subwords
-FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
-GROUP BY d.doc_id
-"""
-)
-
-_BPE_COVERAGE_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + f""",
-sub AS (
-  SELECT s.sym AS token, w0.cnt
-  FROM s{_BPE_N_MERGES} s JOIN w0 ON w0.word = s.word
-),
-sc AS (SELECT token, SUM(cnt) AS n FROM sub GROUP BY token),
-sr AS (
-  SELECT token, n,
-         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
-  FROM sc
-),
-stot AS (SELECT SUM(n) AS total FROM sc)
-SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token,
-       CAST(n AS BIGINT) AS n_occurrences,
-       ROUND(SUM(n) OVER (ORDER BY vocab_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) * 1.0 / stot.total, 6)
-         AS cum_frac
-FROM sr CROSS JOIN stot
-"""
-)
-
-QUERIES["doc_bpe_vocab"] = QuerySpec(
-    _bpe_vocab,
-    _BPE_VOCAB_ORACLE,
-    "distributed BPE trainer: the learned merge table",
-)
-QUERIES["doc_bpe_tokenize"] = QuerySpec(
-    _bpe_tokenized,
-    _BPE_TOKENIZE_ORACLE,
-    "corpus tokenized with the learned BPE merges",
-)
-QUERIES["doc_bpe_coverage"] = QuerySpec(
-    _bpe_coverage,
-    _BPE_COVERAGE_ORACLE,
-    "vocab-coverage curve over BPE subword units",
-)
-
-
-
-
-# --------------------------------------------------------------------------
-# Trained quality classifier (r6): a linear model distilling the
-# rule-based clean gate into a learned score — features are the
-# gate's own INPUTS (saturated word count, dup-word fraction, the
-# lang-marker argmax indicator, the exact-dup indicator) plus the
-# hash_embed bag-of-words vector; trained with fixed-round full-batch
-# gradient descent, the trainer REPLAYED in DuckDB via unrolled
-# per-round CTEs (the Lloyd pattern). Sigmoid-free by design: exp is
-# the one transcendental libm doesn't promise to round identically
-# across engines. At sf0.01 the learned model scores 0.94 accuracy
-# against its distillation target (majority baseline 0.846).
-# --------------------------------------------------------------------------
-
-_QM_ROUNDS = 16
-_QM_LR = 0.5
-_QM_N_SCALARS = 4  # sat_words, dup_word_frac, en_ind, dup_ind
-_QM_DIM = _QM_N_SCALARS + _HE_DIM  # feature vector width (sans bias)
-_QM_CACHE: dict = {}
-
-
-def _qm_feature_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, fv, __y): the shared standard recipe
-    (quality_model.standard_quality_features) plus the clean gate's
-    keep flag as the distillation target."""
-    from ..operators.quality_model import standard_quality_features
-
-    labels = X.clean_corpus(
-        docs, "doc_id", "text",
-        min_words=20, max_dup_word_frac=0.7, langs=("en",),
-    ).select("doc_id", F.col("keep").cast("double").alias("__y"))
-    feats = standard_quality_features(
-        docs, "doc_id", "text", dim=_HE_DIM
-    )
-    return feats.join(labels, "doc_id")
-
-
-def _qm_weights(spark: SparkSession, sf_dir: str) -> list:
-    from ..operators import quality_model as QM
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _QM_CACHE:
-        feats = _qm_feature_frame(_docs(spark, sf_dir))
-        _QM_CACHE[key] = QM.train_quality_model(
-            feats, "doc_id", "__y",
-            vec_col="fv", dim=_QM_DIM,
-            n_rounds=_QM_ROUNDS, lr=_QM_LR,
-        )
-    return _QM_CACHE[key]
-
-
-def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import quality_model as QM
-
-    w = _qm_weights(spark, sf_dir)
-    feats = _qm_feature_frame(_docs(spark, sf_dir))
-    scored = QM.score_quality(feats, w, vec_col="fv")
-    return scored.select(
-        "doc_id",
-        "q_score",
-        (F.col("q_score") >= 0.5).alias("pred_keep"),
-    )
-
-
-def _qm_ctes(src: str = "documents") -> str:
-    """Label + long-form features + the unrolled GD rounds, scoped to
-    ``src`` — the curation composition re-scopes to its own corpus."""
-    label = rf"""
-qmw AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM {src}
-),
-qmrep AS (
-  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
-           AS dup_word_frac
-  FROM qmw
-),
-qmlg AS (
-  SELECT doc_id,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
-    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
-    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
-    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
-    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
-    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
-              AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh)
-         THEN 1.0 ELSE 0.0 END AS en_ind,
-    CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
-         THEN 1.0 ELSE 0.0 END AS dup_ind
-  FROM {src}
-),
-qmlab AS MATERIALIZED (
-  SELECT l.doc_id,
-         CASE WHEN l.dup_ind = 1.0 THEN 0.0
-              WHEN r.n_words < 20 THEN 0.0
-              WHEN r.dup_word_frac > 0.7 THEN 0.0
-              WHEN l.en_ind = 0.0 THEN 0.0
-              ELSE 1.0 END AS y
-  FROM qmlg l JOIN qmrep r ON r.doc_id = l.doc_id
-)"""
-    feats = (
-        _he_components_sql(src)
-        + f""",
-qmspine AS (
-  SELECT d.doc_id, CAST(u.i AS INT) AS idx
-  FROM (SELECT doc_id FROM {src}) d,
-       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
-),
-qmx AS MATERIALIZED (
-  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
-  FROM (
-    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {src}
-    UNION ALL
-    SELECT doc_id, 1, least(n_words, 20) / 20.0 FROM qmrep
-    UNION ALL
-    SELECT doc_id, 2, dup_word_frac FROM qmrep
-    UNION ALL
-    SELECT doc_id, 3, en_ind FROM qmlg
-    UNION ALL
-    SELECT doc_id, 4, dup_ind FROM qmlg
-    UNION ALL
-    SELECT s.doc_id, s.idx + {_QM_N_SCALARS + 1},
-           CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
-                ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END
-    FROM qmspine s
-    LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
-    LEFT JOIN nrm ON nrm.doc_id = s.doc_id
-  )
-),
-qmn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {src})"""
-    )
-    rounds = [
-        f"""
-qw0 AS (
-  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
-  FROM unnest(generate_series(0, {_QM_DIM})) AS u(j)
-)"""
-    ]
-    for k in range(_QM_ROUNDS):
-        rounds.append(f"""
-qp{k} AS (
-  SELECT x.doc_id,
-         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
-  FROM qmx x JOIN qw{k} w USING (j) GROUP BY x.doc_id
-),
-qg{k} AS (
-  SELECT x.j,
-         floor(SUM(x.x * (p.p - y.y)) / qmn.n * 1048576.0 + 0.5)
-           / 1048576.0 AS g
-  FROM qmx x
-  JOIN qp{k} p USING (doc_id)
-  JOIN qmlab y USING (doc_id)
-  CROSS JOIN qmn
-  GROUP BY x.j, qmn.n
-),
-qw{k + 1} AS MATERIALIZED (
-  SELECT w.j,
-         floor((w.w - {_QM_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
-           AS w
-  FROM qw{k} w JOIN qg{k} g USING (j)
-)""")
-    return label + ",\n" + feats + ",\n" + ",".join(rounds)
-
-
-_QM_SCORE_SQL = f"""
-SELECT x.doc_id,
-       floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
-FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
-GROUP BY x.doc_id
-"""
-
-_QUALITY_CLASSIFIER_ORACLE = (
-    "WITH "
-    + _qm_ctes()
-    + f""",
-qscore AS ({_QM_SCORE_SQL})
-SELECT doc_id, q_score, q_score >= 0.5 AS pred_keep FROM qscore
-"""
-)
-
-QUERIES["doc_quality_classifier"] = QuerySpec(
-    _quality_classifier,
-    _QUALITY_CLASSIFIER_ORACLE,
-    "linear quality model: GD-trained, distilling the clean gate",
-)
-
-
-def _qm_weights_for(spark: SparkSession, tag: str, docs: DataFrame) -> list:
-    """Corpus-scoped trained weights, cached per (session, tag)."""
-    from ..operators import quality_model as QM
-
-    key = (spark.sparkContext.applicationId, tag)
-    if key not in _QM_CACHE:
-        _QM_CACHE[key] = QM.train_quality_model(
-            _qm_feature_frame(docs), "doc_id", "__y",
-            vec_col="fv", dim=_QM_DIM,
-            n_rounds=_QM_ROUNDS, lr=_QM_LR,
-        )
-    return _QM_CACHE[key]
-
-
-def _curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline with the LEARNED quality gate: weights
-    trained on the curation input corpus (distilling the clean gate),
-    then curate_corpus(quality_model=...) — clean → model gate →
-    near-dup → decontamination → redact → split. Same output shape
-    as doc_curation_pipeline; the oracle replays training AND the
-    gated composition."""
-    from ..plans.curation import curate_corpus
-
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("source") != "src0").select(
-        "doc_id", "text"
-    )
-    bench = docs.filter(F.col("source") == "src0").select(
-        "doc_id", "text"
-    )
-    w = _qm_weights_for(spark, f"curation_qm:{sf_dir}", corpus)
-    curated, audit = curate_corpus(
-        corpus,
-        benchmark=bench,
-        near_dup="jaccard",
-        threshold=0.8,
-        n=3,
-        max_df=None,
-        contamination_threshold=0.2,
-        redact=True,
-        quality_model=w,
-        # 0.67 sits just inside the kept-score distribution's low
-        # tail at sf0.01 (min 0.64, median 0.72) — the gate fires on
-        # the lowest-quality survivors instead of rubber-stamping
-        quality_model_threshold=0.67,
-        quality_model_dim=_HE_DIM,
-    )
-    kept_rows = curated.select(
-        "doc_id",
-        F.lit("kept").alias("status"),
-        F.lit(None).cast("string").alias("reason"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "split",
-        F.md5("text").alias("redacted_fp"),
-    )
-    drop_rows = audit.select(
-        "doc_id",
-        F.col("stage").alias("status"),
-        "reason",
-        F.lit(None).cast("long").alias("cluster_id"),
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("string").alias("redacted_fp"),
-    )
-    return kept_rows.unionByName(drop_rows)
-
-
-_CURATION_QUALITY_BLOCK = (
-    _qm_ctes("corpus")
-    + f""",
-qscore AS (
-  SELECT x.doc_id,
-         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
-  FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
-  WHERE x.doc_id IN (SELECT doc_id FROM kept0)
-  GROUP BY x.doc_id
-),
-qdrop AS MATERIALIZED (
-  SELECT doc_id, q_score FROM qscore WHERE q_score < 0.67
-)"""
-)
-
-QUERIES["doc_curation_quality"] = QuerySpec(
-    _curation_quality,
-    _curation_oracle(quality_block=_CURATION_QUALITY_BLOCK),
-    "composed curation with the GD-trained quality gate",
-)
-
-
-# --------------------------------------------------------------------------
-# Batched hybrid retrieval (r6): many (terms, vector) queries, ONE
-# bucket-pruned postings read + ONE union-of-cells ANN read,
-# per-query bit-equal to the hybrid_search loop. The oracle fuses
-# per-query arms over SHARED corpus CTEs (the bm25_batch pattern ×
-# the hybrid embed/SRP block, pseudo-docs -1, -2, ... carrying the
-# query texts).
-# --------------------------------------------------------------------------
-
-_HYBRID_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
-    "q0": _BM25_TERMS,            # idf-spread bag
-    "q1": ("the", "data"),        # high-df bag, different cell
-}
-
-
-def _hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import similarity as S
-    from ..operators.search import build_postings_index, hybrid_batch
-
-    docs = _docs(spark, sf_dir)
-    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
-    build_postings_index(docs, ppath, n_buckets=16)
-    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
-    bucketed = emb.filter(
-        F.exists(F.col("embedding"), lambda v: v != 0)
-    ).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
-    S.build_ann_index(bucketed, apath, cell_col="cell")
-
-    qtexts = spark.createDataFrame(
-        [
-            (-(i + 1), " ".join(terms))
-            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
-        ],
-        "doc_id bigint, text string",
-    )
-    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    qid_of = {
-        -(i + 1): qid
-        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
-    }
-    mapping = F.create_map(
-        *[F.lit(v) for kv in qid_of.items() for v in kv]
-    )
-    terms_map = {
-        qid: list(terms)
-        for qid, terms in _HYBRID_BATCH_QUERIES.items()
-    }
-    queries = qemb.select(
-        mapping[F.col("doc_id")].alias("query_id"),
-        "embedding",
-        "cell",
-    ).withColumn(
-        "terms",
-        F.when(
-            F.col("query_id") == "q0",
-            F.array(*[F.lit(t) for t in terms_map["q0"]]),
-        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
-    )
-    return hybrid_batch(
-        spark,
-        ppath,
-        apath,
-        queries,
-        k=_HYBRID_K,
-        rrf_k=_HYBRID_RRF_K,
-        n_candidates=_HYBRID_CANDIDATES,
-        ann_id_col="doc_id",
-        ann_cell_col="cell",
-    )
-
-
-def _hybrid_batch_oracle() -> str:
-    pseudo = "\n  UNION ALL ".join(
-        f"SELECT {-(i + 1)}, '{' '.join(terms)}'"
-        for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
-    )
-    shared = rf"""
-hbase AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS dl,
-         string_split_regex(trim(lower(text)), '\s+') AS ws
-  FROM documents
-),
-hstats AS (
-  SELECT COUNT(*) AS nd, ROUND(AVG(dl), 6) AS avgdl FROM hbase
-),
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL {pseudo}
-),
-htok AS (
-  SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-  FROM corpus
-),
-hcomp AS (
-  SELECT doc_id,
-         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
-              AS INT) AS idx,
-         SUM(CASE WHEN substr(md5(t), 9, 1)
-                       IN ('8','9','a','b','c','d','e','f')
-                  THEN 1.0 ELSE -1.0 END) AS v
-  FROM htok WHERE t <> '' GROUP BY doc_id, idx
-),
-hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
-hspine AS (
-  SELECT c.doc_id, CAST(u.i AS INT) AS idx
-  FROM (SELECT doc_id FROM corpus) c,
-       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
-),
-hx AS MATERIALIZED (
-  SELECT s.doc_id, s.idx,
-         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
-              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
-  FROM hspine s
-  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
-  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
-),
-hxn AS MATERIALIZED (
-  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
-),
-srpw AS (
-  SELECT p, d,
-    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
-         THEN 1.0 ELSE -1.0 END AS wt
-  FROM unnest(generate_series(0, 3)) AS tp(p),
-       unnest(generate_series(1, {_HE_DIM})) AS td(d)
-),
-srpproj AS (
-  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
-  FROM hx h JOIN srpw w ON w.d = h.idx + 1
-  GROUP BY h.doc_id, w.p
-),
-srpb AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS b
-  FROM srpproj GROUP BY doc_id
-)"""
-    blocks, selects = [], []
-    for i, (qid, terms) in enumerate(_HYBRID_BATCH_QUERIES.items()):
-        pid = -(i + 1)
-        in_list = ", ".join(f"'{t}'" for t in terms)
-        conds = ",\n         ".join(
-            f"COALESCE(SUM(CASE WHEN t = '{t}' THEN c END), 0) AS c{j}"
-            for j, t in enumerate(terms)
-        )
-        total = " + ".join(f"c{j}" for j in range(len(terms)))
-        blocks.append(f"""
-tf_{qid} AS (
-  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
-  FROM (SELECT doc_id, dl, unnest(ws) AS t FROM hbase)
-  WHERE t IN ({in_list})
-  GROUP BY doc_id, t
-),
-dfreq_{qid} AS (SELECT t, COUNT(*) AS df FROM tf_{qid} GROUP BY t),
-contrib_{qid} AS (
-  SELECT doc_id, t,
-         ROUND(
-           ln((nd - df + CAST(0.5 AS DOUBLE))
-              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-           * (tf * CAST(2.2 AS DOUBLE))
-           / (tf + CAST(1.2 AS DOUBLE)
-              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                 + CAST(0.75 AS DOUBLE) * dl / avgdl)),
-           6) AS c
-  FROM tf_{qid} JOIN dfreq_{qid} USING (t) CROSS JOIN hstats
-),
-per_{qid} AS (
-  SELECT doc_id,
-         {conds}
-  FROM contrib_{qid} GROUP BY doc_id
-),
-lex_{qid} AS (
-  SELECT doc_id, ROUND({total}, 6) AS bm25
-  FROM per_{qid} ORDER BY bm25 DESC, doc_id ASC
-  LIMIT {_HYBRID_CANDIDATES}
-),
-lexr_{qid} AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
-              AS BIGINT) AS lex_rank
-  FROM lex_{qid}
-),
-qb_{qid} AS (SELECT b FROM srpb WHERE doc_id = {pid}),
-sem_{qid} AS (
-  SELECT a.doc_id,
-         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
-  FROM hx a
-  JOIN hx q ON q.doc_id = {pid} AND q.idx = a.idx
-  JOIN srpb ba ON ba.doc_id = a.doc_id
-  JOIN qb_{qid} ON qb_{qid}.b = ba.b
-  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
-  JOIN hxn qn ON qn.doc_id = {pid}
-  WHERE a.doc_id >= 0
-  GROUP BY a.doc_id, an.rn, qn.rn
-  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
-),
-semr_{qid} AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
-              AS BIGINT) AS sem_rank
-  FROM sem_{qid}
-),
-fused_{qid} AS (
-  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-         l.lex_rank, s.sem_rank,
-         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
-             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
-               6) AS rrf
-  FROM lexr_{qid} l FULL OUTER JOIN semr_{qid} s ON s.doc_id = l.doc_id
-)""")
-        selects.append(
-            f"(SELECT '{qid}' AS query_id, doc_id, lex_rank, sem_rank, "
-            f"rrf FROM fused_{qid} "
-            f"ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})"
-        )
-    return (
-        "WITH "
-        + shared
-        + ","
-        + ",".join(blocks)
-        + "\n"
-        + "\nUNION ALL ".join(selects)
-    )
-
-
-def _hybrid_batch_ltr_oracle() -> str:
-    """The batch arms (shared verbatim with _hybrid_batch_oracle via
-    the same construction) + LTR training on q0's candidate pool —
-    which IS doc_hybrid_ltr's training pool, since q0's terms are
-    _BM25_TERMS and the pseudo-doc embedding/cell scheme matches —
-    + per-query learned scoring. CTE order: pools for every query,
-    then the GD unroll (reads q0's pool), then scoring."""
-    rrf = _hybrid_batch_oracle()
-    # strip the final RRF selects; keep "WITH shared, blocks"
-    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
-    pools, scores, selects = [], [], []
-    for qid in _HYBRID_BATCH_QUERIES:
-        pools.append(f"""
-bcand_{qid} AS MATERIALIZED (
-  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
-         COALESCE(l.bm25, 0.0) AS bm25,
-         COALESCE(s.cos_sim, 0.0) AS cos_sim,
-         lr.lex_rank, sr.sem_rank
-  FROM lexr_{qid} lr
-  FULL OUTER JOIN semr_{qid} sr ON sr.doc_id = lr.doc_id
-  LEFT JOIN lex_{qid} l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
-  LEFT JOIN sem_{qid} s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
-),{_ltr_x_sql(f"bx_{qid}", f"bcand_{qid}")}""")
-        scores.append(f"""
-bs_{qid} AS (
-  SELECT x.doc_id,
-         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
-  FROM bx_{qid} x JOIN bltrw{_LTR_ROUNDS} w USING (j)
-  GROUP BY x.doc_id
-)""")
-        selects.append(
-            f"(SELECT '{qid}' AS query_id, c.doc_id, c.lex_rank, "
-            f"c.sem_rank, s.ltr FROM bcand_{qid} c "
-            f"JOIN bs_{qid} s USING (doc_id) "
-            f"ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K})"
-        )
-    n_terms = len(set(_BM25_TERMS))
-    in_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    train = f"""
-bltr_y AS MATERIALIZED (
-  SELECT c.doc_id,
-         CASE WHEN {n_terms} = (
-                SELECT COUNT(DISTINCT h.t) FROM htok h
-                WHERE h.doc_id = c.doc_id AND h.t IN ({in_terms}))
-              THEN 1.0 ELSE 0.0 END AS y
-  FROM bcand_q0 c
-),
-bltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bcand_q0),
-bltr_x AS MATERIALIZED (SELECT * FROM bx_q0),
-{_ltr_rounds_sql("bltr")}"""
-    return (
-        ctes
-        + ","
-        + ",".join(pools)
-        + ","
-        + train
-        + ","
-        + ",".join(scores)
-        + "\n"
-        + "\nUNION ALL ".join(selects)
-    )
-
-
-QUERIES["doc_hybrid_batch"] = QuerySpec(
-    _hybrid_batch,
-    _hybrid_batch_oracle(),
-    "batched RRF fusion: one read per index for many queries",
-)
-
-
-_BPE_OOV_VOCAB = 24  # deliberately tight subword vocab: real OOV mass
-
-
-def _bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OOV rate over SUBWORD units (the verdict-asked composition):
-    the corpus BPE-tokenized, a capped subword vocab built from the
-    resulting stream, per-doc oov_frac against it — all the existing
-    vocab machinery consuming the subword stream unchanged."""
-    from ..operators import bpe as B
-
-    bt = B.bpe_text(
-        _docs(spark, sf_dir), "doc_id", "text",
-        _bpe_merges(spark, sf_dir),
-    )
-    vocab = X.build_vocab(
-        bt, "bpe_text", min_count=1, max_size=_BPE_OOV_VOCAB
-    )
-    return X.oov_rate(bt, vocab, "doc_id", "bpe_text")
-
-
-_BPE_OOV_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + rf""",
-sub AS (
-  SELECT s.sym AS token, w0.cnt
-  FROM s{_BPE_N_MERGES} s JOIN w0 ON w0.word = s.word
-),
-sc AS (SELECT token, SUM(cnt) AS n FROM sub GROUP BY token),
-sr AS (
-  SELECT token, n,
-         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
-  FROM sc
-),
-v AS (SELECT token FROM sr WHERE vocab_id < {_BPE_OOV_VOCAB}),
-dtok AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-dt AS (
-  SELECT d.doc_id, s.sym AS token
-  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
-),
-agg AS (
-  SELECT dt.doc_id, COUNT(*) AS n_tokens,
-         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
-  FROM dt LEFT JOIN v ON v.token = dt.token
-  GROUP BY dt.doc_id
-)
--- spine = docs WITH tokens: the Spark side's bpe_text frame only
--- carries tokenized docs, so a token-less document (possible if the
--- driver regenerates the corpus) must not appear here either
-SELECT agg.doc_id,
-       CAST(agg.n_tokens AS BIGINT) AS n_tokens,
-       CAST(agg.n_oov AS BIGINT) AS n_oov,
-       ROUND(agg.n_oov * 1.0 / agg.n_tokens, 6) AS oov_frac
-FROM agg
-"""
-)
-
-QUERIES["doc_bpe_oov"] = QuerySpec(
-    _bpe_oov,
-    _BPE_OOV_ORACLE,
-    "per-doc OOV rate against a capped SUBWORD vocabulary",
-)
-
-
-def _bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard packing measured in SUBWORD tokens — the budget
-    that actually matters to a trainer is the tokenizer's, not
-    whitespace words: BPE-tokenize, then pack on n_subwords (the
-    doc_pack_sequences composition re-keyed to the learned units)."""
-    from ..operators import bpe as B
-    from ..operators.packing import pack_sequences, pack_summary
-
-    bt = B.bpe_text(
-        _docs(spark, sf_dir), "doc_id", "text",
-        _bpe_merges(spark, sf_dir),
-    )
-    packed = pack_sequences(bt, "doc_id", "n_subwords", budget=512)
-    return pack_summary(packed, "n_subwords")
-
-
-_BPE_PACK_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + rf""",
-dtok AS (
-  SELECT doc_id, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-nsub AS (
-  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_subwords
-  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
-  GROUP BY d.doc_id
-),
-offs AS (
-  SELECT doc_id, n_subwords,
-         CAST(SUM(n_subwords) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_subwords AS BIGINT) AS start_offset
-  FROM nsub
-)
-SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_subwords) AS BIGINT) AS total_tokens
-FROM offs GROUP BY CAST(start_offset // 512 AS BIGINT)
-"""
-)
-
-QUERIES["doc_bpe_pack"] = QuerySpec(
-    _bpe_pack,
-    _BPE_PACK_ORACLE,
-    "sequence packing budgeted in learned SUBWORD tokens",
-)
-
-
-def _quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classifier's quality CLAIM as a differential row: exact
-    integer confusion counts of the trained model against its
-    distillation target, plus the rounded accuracy — the 0.94-vs-
-    0.846-baseline statement is oracle-checked, not narrated."""
-    from ..operators import quality_model as QM
-
-    docs = _docs(spark, sf_dir)
-    w = _qm_weights(spark, sf_dir)
-    feats = _qm_feature_frame(docs)
-    scored = QM.score_quality(feats, w, vec_col="fv")
-    joined = scored.join(
-        feats.select("doc_id", "__y"), "doc_id"
-    ).select(
-        (F.col("q_score") >= 0.5).alias("__p"),
-        (F.col("__y") == 1.0).alias("__t"),
-    )
-    return joined.agg(
-        F.sum(F.when(F.col("__p") & F.col("__t"), 1).otherwise(0))
-        .cast("long").alias("tp"),
-        F.sum(F.when(F.col("__p") & ~F.col("__t"), 1).otherwise(0))
-        .cast("long").alias("fp"),
-        F.sum(F.when(~F.col("__p") & F.col("__t"), 1).otherwise(0))
-        .cast("long").alias("fn"),
-        F.sum(F.when(~F.col("__p") & ~F.col("__t"), 1).otherwise(0))
-        .cast("long").alias("tn"),
-        F.round(
-            F.sum(
-                F.when(F.col("__p") == F.col("__t"), 1).otherwise(0)
-            )
-            / F.count(F.lit(1)),
-            6,
-        ).alias("accuracy"),
-    )
-
-
-_QUALITY_EVAL_ORACLE = (
-    "WITH "
-    + _qm_ctes()
-    + f""",
-qscore AS ({_QM_SCORE_SQL}),
-cls AS (
-  SELECT s.q_score >= 0.5 AS p, y.y = 1.0 AS t
-  FROM qscore s JOIN qmlab y USING (doc_id)
-)
-SELECT CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-       CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
-         AS tn,
-       ROUND(SUM(CASE WHEN p = t THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
-         AS accuracy
-FROM cls
-"""
-)
-
-QUERIES["doc_quality_eval"] = QuerySpec(
-    _quality_eval,
-    _QUALITY_EVAL_ORACLE,
-    "exact confusion counts of the trained quality model",
-)
-
-
-_BPE_CHUNK_MAX = 24
-_BPE_CHUNK_OVERLAP = 6
-_BPE_CHUNK_STRIDE = _BPE_CHUNK_MAX - _BPE_CHUNK_OVERLAP
-
-
-def _bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context windows measured in SUBWORD tokens: bpe_text is a
-    whitespace-joined subword stream, so chunk_documents consumes it
-    unchanged — the chunk grid lands on the units the model actually
-    sees (a whitespace-word grid can overflow a context budget when
-    words fragment)."""
-    from ..operators import bpe as B
-
-    bt = B.bpe_text(
-        _docs(spark, sf_dir), "doc_id", "text",
-        _bpe_merges(spark, sf_dir),
-    )
-    return X.chunk_documents(
-        bt, "doc_id", "bpe_text",
-        max_tokens=_BPE_CHUNK_MAX, overlap=_BPE_CHUNK_OVERLAP,
-    )
-
-
-_BPE_CHUNKS_ORACLE = (
-    "WITH "
-    + _BPE_BASE_CTES
-    + rf""",
-dtok AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-subs AS (
-  SELECT d.doc_id,
-         list(s.sym ORDER BY d.word_pos, s.pos) AS w
-  FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
-  GROUP BY d.doc_id
-),
-sized AS (
-  SELECT doc_id, w,
-         (greatest(len(w) - {_BPE_CHUNK_OVERLAP}, 1)
-          + {_BPE_CHUNK_STRIDE - 1}) // {_BPE_CHUNK_STRIDE} AS k
-  FROM subs WHERE len(w) > 0
-),
-ch AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-         list_slice(w, i * {_BPE_CHUNK_STRIDE} + 1,
-                    i * {_BPE_CHUNK_STRIDE} + {_BPE_CHUNK_MAX}) AS piece
-  FROM sized, unnest(generate_series(0, k - 1)) AS t(i)
-)
-SELECT doc_id, chunk_id,
-       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(piece, ' ') AS chunk_text
-FROM ch
-"""
-)
-
-QUERIES["doc_bpe_chunks"] = QuerySpec(
-    _bpe_chunks,
-    _BPE_CHUNKS_ORACLE,
-    "context windows on the SUBWORD grid (chunking after tokenize)",
-)
-
-
-_SDUP_N = 8
-_SDUP_MIN_COUNT = 2
-
-
-def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring deduplication (Lee et al. 2021, keep-first):
-    the document-REWRITING dedup tier — every duplicated 8-token run
-    survives only at its corpus-wide first occurrence and the docs are
-    re-assembled (operators/spans.py)."""
-    from ..operators.spans import remove_repeated_spans
-
-    return remove_repeated_spans(
-        _docs(spark, sf_dir), "doc_id", "text",
-        n=_SDUP_N, min_count=_SDUP_MIN_COUNT,
-    )
-
-
-# Mirrors the engine exactly: occurrence-counted duplicated spans
-# (in-document repetition qualifies), canonical winner = min
-# (doc_id, pos), removal = union of covered positions of every
-# non-canonical occurrence, re-assembly in original token order.
-# The engine groups spans by xxhash64 of the joined tokens; the
-# oracle partitions by the span text itself — identical up to 64-bit
-# hash collisions, which the differential would surface.
-_SPAN_DEDUP_ORACLE = rf"""
-WITH toks AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS t(i)
-  WHERE ws[i] <> ''
-),
-win AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
-  WHERE ws[i] <> ''
-),
-occ AS (
-  SELECT doc_id, pos,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-  FROM win
-),
-removed AS (
-  SELECT DISTINCT doc_id, pos + j AS pos
-  FROM occ, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
-  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
-),
-kept AS (
-  SELECT t.doc_id, t.pos, t.w
-  FROM toks t LEFT JOIN removed r
-    ON t.doc_id = r.doc_id AND t.pos = r.pos
-  WHERE r.doc_id IS NULL
-),
-agg AS (
-  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text2,
-         COUNT(*) AS nk
-  FROM kept GROUP BY doc_id
-),
-tot AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id)
-SELECT d.doc_id,
-       COALESCE(a.text2, '') AS text,
-       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
-         AS n_removed
-FROM documents d
-LEFT JOIN tot t USING (doc_id)
-LEFT JOIN agg a USING (doc_id)
-"""
-
-QUERIES["doc_span_dedup"] = QuerySpec(
-    _span_dedup,
-    _SPAN_DEDUP_ORACLE,
-    "exact substring dedup: duplicated 8-token runs excised keep-first",
-)
-
-
-_LINE_W = 6
-
-# Shared oracle CTEs: the corpus "lineated" onto a 6-token chunk grid
-# (the single-line synthetic docs carry no newlines, so the line-level
-# operators are exercised over a deterministic multi-line derivation —
-# same grid as doc_chunks, overlap 0, joined with chr(10)).
-_LINEATED_CTES = rf"""
-dw AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
-),
-chg AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-         array_to_string(
-           ws[i * {_LINE_W} + 1:i * {_LINE_W} + {_LINE_W}], ' ') AS line
-  FROM dw,
-       unnest(generate_series(
-         0, (greatest(len(ws), 1) + {_LINE_W} - 1) // {_LINE_W} - 1
-       )) AS t(i)
-),
-lined AS (
-  SELECT doc_id,
-         string_agg(line, chr(10) ORDER BY chunk_id) AS text
-  FROM chg GROUP BY doc_id
-)
-"""
-
-
-def _lineated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ch = X.chunk_documents(
-        _docs(spark, sf_dir), "doc_id", "text",
-        max_tokens=_LINE_W, overlap=0,
-    )
-    return ch.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_id", "chunk_text"))
-                ),
-                lambda s: s["chunk_text"],
-            ),
-            "\n",
-        ).alias("text")
-    )
-
-
-def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level exact line dedup (MassiveText/RefinedWeb recipe)
-    over the lineated corpus: each distinct line survives only at its
-    first (doc_id, position) occurrence (operators/spans.py) — exact
-    duplicate documents collapse to one surviving copy line-by-line."""
-    from ..operators.spans import line_dedup
-
-    return line_dedup(_lineated(spark, sf_dir), "doc_id", "text")
-
-
-_LINE_DEDUP_ORACLE = (
-    "WITH "
-    + _LINEATED_CTES
-    + r""",
-lines AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
-       unnest(generate_series(1, len(ls))) AS t(i)
-),
-occ AS (
-  SELECT doc_id, pos, line,
-         ROW_NUMBER() OVER (
-           PARTITION BY line ORDER BY doc_id, pos) AS rn
-  FROM lines WHERE trim(line) <> ''
-),
-kept AS (
-  SELECT doc_id, pos, line FROM occ WHERE rn = 1
-  UNION ALL
-  SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
-),
-agg AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
-         COUNT(*) AS nk
-  FROM kept GROUP BY doc_id
-),
-tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
-SELECT l.doc_id,
-       COALESCE(a.text2, '') AS text,
-       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
-       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
-         AS n_dropped
-FROM lined l
-LEFT JOIN tot t USING (doc_id)
-LEFT JOIN agg a USING (doc_id)
-"""
-)
-
-QUERIES["doc_line_dedup"] = QuerySpec(
-    _line_dedup,
-    _LINE_DEDUP_ORACLE,
-    "corpus-level exact line dedup, first occurrence wins",
-)
-
-
-_C4_MIN_WORDS = 4
-_C4_BADWORDS = ("lorem ipsum", "vector")
-
-
-def _c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line-quality gate over the lineated corpus: minimum
-    words + badword rejection per line (terminal-punctuation rule off
-    — the synthetic corpus is punctuation-free), document gate on >= 1
-    surviving line (operators/spans.py)."""
-    from ..operators.spans import line_quality_filter
-
-    return line_quality_filter(
-        _lineated(spark, sf_dir), "doc_id", "text",
-        min_words=_C4_MIN_WORDS,
-        require_terminal_punct=False,
-        badwords=_C4_BADWORDS,
-    )
-
-
-_C4_CLEAN_ORACLE = (
-    "WITH "
-    + _LINEATED_CTES
-    + rf""",
-lines AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
-       unnest(generate_series(1, len(ls))) AS t(i)
-),
-kept AS (
-  SELECT doc_id, pos, line FROM lines
-  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
-                        x -> x <> '')) >= {_C4_MIN_WORDS}
-    AND NOT contains(trim(line), '{{')
-    AND NOT contains(lower(trim(line)), 'lorem ipsum')
-    AND NOT contains(lower(trim(line)), 'vector')
-),
-agg AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
-         COUNT(*) AS nk
-  FROM kept GROUP BY doc_id
-),
-tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
-SELECT l.doc_id,
-       COALESCE(a.text2, '') AS text,
-       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
-       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
-         AS n_dropped,
-       COALESCE(a.nk, 0) >= 1 AS doc_kept
-FROM lined l
-LEFT JOIN tot t USING (doc_id)
-LEFT JOIN agg a USING (doc_id)
-"""
-)
-
-QUERIES["doc_c4_clean"] = QuerySpec(
-    _c4_clean,
-    _C4_CLEAN_ORACLE,
-    "C4-style per-line quality gate with document survival flag",
-)
-
-
-_KMV_K = 256
-
-
-def _kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-count sketch over the corpus's distinct 3-token
-    shingles (operators/sketches.py) — the cross-engine-reproducible
-    alternative to HLL++ approx_count_distinct: estimate =
-    (k-1)/h_k from the k smallest md5 fractions."""
-    from ..operators.sketches import kmv_distinct
-
-    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text")
-    return kmv_distinct(sh, "shingle", k=_KMV_K)
-
-
-_KMV_ORACLE = (
-    "WITH "
-    + _SHINGLES_CTE.strip().rstrip()
-    + rf""",
-fr AS (
-  SELECT DISTINCT
-    CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
-      / 4503599627370496.0 AS f
-  FROM sh
-),
-mins AS (SELECT f FROM fr ORDER BY f LIMIT {_KMV_K})
-SELECT CAST({_KMV_K} AS BIGINT) AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_kept,
-       ROUND(MAX(f), 6) AS kth_frac,
-       ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*) * 1.0
-                  ELSE {_KMV_K - 1}.0 / MAX(f) END, 4) AS est_distinct
-FROM mins
-"""
-)
-
-QUERIES["doc_kmv_distinct"] = QuerySpec(
-    _kmv_distinct,
-    _KMV_ORACLE,
-    "KMV distinct-count sketch over corpus shingles (engine-portable)",
-)
-
-
-_CMS_DEPTH = 4
-_CMS_WIDTH = 64
-_CMS_TOP = 20
-
-
-def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy hitters over the corpus token stream
-    (operators/sketches.py): top tokens by exact count with their
-    sketch estimates alongside — est_n >= true_n always, the gap
-    showing collision inflation at width 64."""
-    from ..operators.sketches import cms_heavy_hitters
-
-    toks = _docs(spark, sf_dir).select(
-        F.explode(
-            F.split(F.trim(F.col("text")), r"\s+")
-        ).alias("token")
-    ).filter(F.col("token") != "")
-    return cms_heavy_hitters(
-        toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH, top=_CMS_TOP
-    )
-
-
-_CMS_ORACLE = rf"""
-WITH toks AS (
-  SELECT ws[i] AS value
-  FROM (SELECT string_split_regex(trim(text), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS t(i)
-  WHERE ws[i] <> ''
-),
-cand AS (
-  SELECT value, COUNT(*) AS true_n FROM toks GROUP BY value
-  ORDER BY true_n DESC, value ASC LIMIT {_CMS_TOP}
-),
-sketch AS (
-  SELECT r,
-         CAST('0x' || substr(
-           md5(CAST(r AS VARCHAR) || '|' || value), 1, 8) AS BIGINT)
-           % {_CMS_WIDTH} AS pos,
-         COUNT(*) AS n
-  FROM toks, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
-  GROUP BY 1, 2
-),
-probe AS (
-  SELECT c.value, c.true_n, r,
-         CAST('0x' || substr(
-           md5(CAST(r AS VARCHAR) || '|' || c.value), 1, 8) AS BIGINT)
-           % {_CMS_WIDTH} AS pos
-  FROM cand c, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
-)
-SELECT p.value AS value,
-       CAST(p.true_n AS BIGINT) AS true_n,
-       CAST(MIN(s.n) AS BIGINT) AS est_n
-FROM probe p JOIN sketch s ON s.r = p.r AND s.pos = p.pos
-GROUP BY p.value, p.true_n
-"""
-
-QUERIES["doc_heavy_hitters"] = QuerySpec(
-    _heavy_hitters,
-    _CMS_ORACLE,
-    "count-min heavy hitters: exact top tokens vs sketch estimates",
-)
-
-
-_BLOOM_M = 16384
-_BLOOM_J = 3
-
-
-def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination (operators/contamination.py
-    bloom_overlap): the benchmark collapses to a 16384-bit literal
-    bitmask and the train probe is a pure map — the 100 TB fast path
-    of doc_contamination. The exact join's n_overlap rides along so
-    the differential also proves the never-false-negative guarantee
-    (n_bloom_hits >= n_overlap on every doc)."""
-    from ..operators.contamination import bloom_overlap, ngram_overlap
-
-    docs = _docs(spark, sf_dir)
-    tr = docs.filter(F.col("source") != "src0")
-    be = docs.filter(F.col("source") == "src0")
-    b = bloom_overlap(
-        tr, be, "doc_id", "text",
-        n=5, m=_BLOOM_M, j=_BLOOM_J, threshold=0.2,
-    )
-    exact = ngram_overlap(
-        tr, be, "doc_id", "text", n=5, threshold=0.2
-    ).select("doc_id", "n_overlap")
-    return b.join(exact, "doc_id")
-
-
-_BLOOM_ORACLE = rf"""
-WITH words AS (
-  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents
-),
-sh5 AS (
-  SELECT DISTINCT doc_id, source,
-    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-          || ' ' || ws[i+4] AS g
-  FROM words, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
-),
-bench AS (SELECT DISTINCT g FROM sh5 WHERE source = 'src0'),
-bbits AS (
-  SELECT DISTINCT
-    CAST('0x' || substr(
-      md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
-      % {_BLOOM_M} AS pos
-  FROM bench, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
-),
-tr AS (SELECT doc_id, g FROM sh5 WHERE source <> 'src0'),
-tpos AS (
-  SELECT doc_id, g, i,
-    CAST('0x' || substr(
-      md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
-      % {_BLOOM_M} AS pos
-  FROM tr, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
-),
-hits AS (
-  SELECT doc_id, g
-  FROM tpos JOIN bbits USING (pos)
-  GROUP BY doc_id, g HAVING COUNT(*) = {_BLOOM_J}
-),
-tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
-bh AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM hits GROUP BY doc_id),
-ov AS (
-  SELECT doc_id, COUNT(*) AS n_overlap
-  FROM tr JOIN bench USING (g) GROUP BY doc_id
-)
-SELECT t.doc_id,
-       CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
-       CAST(COALESCE(bh.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
-       ROUND(COALESCE(bh.n_bloom_hits, 0) * 1.0 / t.n_ngrams, 6)
-         AS bloom_frac,
-       COALESCE(bh.n_bloom_hits, 0) * 1.0 / t.n_ngrams >= 0.2
-         AS flagged,
-       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
-FROM tot t
-LEFT JOIN bh USING (doc_id)
-LEFT JOIN ov USING (doc_id)
-"""
-
-QUERIES["doc_bloom_contamination"] = QuerySpec(
-    _bloom_contamination,
-    _BLOOM_ORACLE,
-    "bloom-bitmask decontamination probe vs the exact overlap join",
-)
-
-
-_TOPIC_K = 8
-_TOPIC_ITERS = 2
-
-
-def _topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsupervised topic clustering of the corpus with zero external
-    models: hash_embed -> train_ivf_centroids (Lloyd from scratch) ->
-    assign_cells. The same trainer that powers the ANN index doubles
-    as the corpus topic model — cluster-balanced mixtures and
-    per-topic data cards hang off this assignment."""
-    return X.topic_clusters(
-        _docs(spark, sf_dir), "doc_id", "text",
-        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
-    )
-
-
-def _topic_iter_sql(it: int, prev: str) -> str:
-    return f"""td{it} AS MATERIALIZED (
-  SELECT d.doc_id, cb.code,
-         ROUND(SUM((d.x - cb.cvalue) * (d.x - cb.cvalue)), 6) AS dist
-  FROM kdense d JOIN {prev} cb ON cb.dim_i = d.dim_i
-  GROUP BY d.doc_id, cb.code
-),
-ta{it} AS MATERIALIZED (
-  SELECT doc_id, code FROM (
-    SELECT doc_id, code,
-           row_number() OVER (
-             PARTITION BY doc_id ORDER BY dist, code) AS rn
-    FROM td{it}) WHERE rn = 1
-),
-tcb{it} AS MATERIALIZED (
-  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
-  FROM {prev} p LEFT JOIN (
-    SELECT a.code, d.dim_i, ROUND(AVG(d.x), 6) AS mu
-    FROM kdense d JOIN ta{it} a USING (doc_id)
-    GROUP BY a.code, d.dim_i) m
-  ON m.code = p.code AND m.dim_i = p.dim_i
-),
-"""
-
-
-_TOPIC_CTES = (
-    _HE_COMPONENTS
-    + f""",
-kdense AS MATERIALIZED (
-  SELECT n.doc_id, gs.i AS dim_i,
-         COALESCE(ROUND(c.v / n.nn, 6), 0.0) AS x
-  FROM nrm n
-  CROSS JOIN unnest(generate_series(1, {_HE_DIM})) AS gs(i)
-  LEFT JOIN comp c ON c.doc_id = n.doc_id AND c.idx = gs.i - 1
-  WHERE n.nn > 0
-),
-trank AS (
-  SELECT doc_id, row_number() OVER (
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-  FROM (SELECT DISTINCT doc_id FROM kdense)
-),
-tcb0 AS MATERIALIZED (
-  SELECT rk - 1 AS code, d.dim_i, d.x AS cvalue
-  FROM trank JOIN kdense d USING (doc_id) WHERE rk <= {_TOPIC_K}
-),
-"""
-    + "".join(
-        _topic_iter_sql(it, f"tcb{it - 1}")
-        for it in range(1, _TOPIC_ITERS + 1)
-    )
-    + f"""casg AS (
-  SELECT doc_id, code AS cell FROM (
-    SELECT d.doc_id, cb.code,
-           row_number() OVER (
-             PARTITION BY d.doc_id
-             ORDER BY ROUND(SUM(cb.cvalue * d.x)
-                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
-                      cb.code ASC) AS rn
-    FROM kdense d JOIN tcb{_TOPIC_ITERS} cb ON cb.dim_i = d.dim_i
-    GROUP BY d.doc_id, cb.code) WHERE rn = 1
-)
-"""
-)
-
-_TOPIC_ORACLE = (
-    "WITH "
-    + _TOPIC_CTES
-    + """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(cell AS BIGINT) AS topic
-FROM casg
-"""
-)
-
-QUERIES["doc_topic_clusters"] = QuerySpec(
-    _topic_clusters,
-    _TOPIC_ORACLE,
-    "zero-model topic clustering: hash_embed + Lloyd-trained cells",
-)
-
-
-def _topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-BALANCED mixture: the in-plan topic assignment feeds the
-    domain-mixture resampler with equal weights — 'balance the
-    pretraining corpus across discovered topics' as one composed,
-    oracle-checked flow (no external labels anywhere)."""
-    from ..operators.mixing import mix_corpus
-
-    topics = X.topic_clusters(
-        _docs(spark, sf_dir), "doc_id", "text",
-        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
-    )
-    out = mix_corpus(
-        topics, "topic", "doc_id",
-        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
-    )
-    return out.select("doc_id", "topic", "mix_rank")
-
-
-_TOPIC_MIX_ORACLE = (
-    "WITH "
-    + _TOPIC_CTES
-    + ",\nw(grp, wt) AS (VALUES "
-    + ", ".join(
-        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
-        for i in range(_TOPIC_K)
-    )
-    + """),
-tcnt AS (SELECT cell AS grp, COUNT(*) AS n FROM casg GROUP BY cell),
-tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
-       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
-targets AS (
-  SELECT grp,
-         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
-              AS BIGINT) AS k
-  FROM tj
-),
-ranked AS (
-  SELECT doc_id, CAST(cell AS BIGINT) AS topic,
-         CAST(row_number() OVER (
-           PARTITION BY cell
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-           AS mix_rank
-  FROM casg
-)
-SELECT r.doc_id, r.topic, r.mix_rank
-FROM ranked r JOIN targets t ON r.topic = t.grp
-WHERE r.mix_rank <= t.k
-"""
-)
-
-QUERIES["doc_topic_mix"] = QuerySpec(
-    _topic_mix,
-    _TOPIC_MIX_ORACLE,
-    "topic-balanced corpus mixture over the trained topic cells",
-)
-
-
-def _curation_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed curation pipeline with the stage-0 substring-dedup
-    REWRITE (curate_corpus(rewrite_spans=8)): every document is
-    span-deduplicated before any gate, so the clean verdicts judge
-    the rewritten text — the order real pipelines run (Lee-et-al
-    substring dedup, then quality gates)."""
-    from ..plans.curation import curate_corpus
-
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("source") != "src0").select(
-        "doc_id", "text"
-    )
-    bench = docs.filter(F.col("source") == "src0").select(
-        "doc_id", "text"
-    )
-    curated, audit = curate_corpus(
-        corpus,
-        benchmark=bench,
-        near_dup="jaccard",
-        threshold=0.8,
-        n=3,
-        max_df=None,
-        contamination_threshold=0.2,
-        redact=True,
-        rewrite_spans=_SDUP_N,
-        rewrite_min_count=_SDUP_MIN_COUNT,
-    )
-    kept_rows = curated.select(
-        "doc_id",
-        F.lit("kept").alias("status"),
-        F.lit(None).cast("string").alias("reason"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "split",
-        F.md5("text").alias("redacted_fp"),
-    )
-    drop_rows = audit.select(
-        "doc_id",
-        F.col("stage").alias("status"),
-        "reason",
-        F.lit(None).cast("long").alias("cluster_id"),
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("string").alias("redacted_fp"),
-    )
-    return kept_rows.unionByName(drop_rows)
-
-
-# The span-dedup rewrite as the curation oracle's corpus block: the
-# doc_span_dedup construction scoped to the non-benchmark corpus,
-# ending in corpus(doc_id, text). Everything MATERIALIZED — these sit
-# in a WITH RECURSIVE list where DuckDB re-inlines plain CTEs per
-# reference (the Lloyd-unroll lesson).
-_CURATION_SPAN_CORPUS = rf"""corpus0 AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE source <> 'src0'
-),
-sdtoks AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        FROM corpus0),
-       unnest(generate_series(1, len(ws))) AS t(i)
-  WHERE ws[i] <> ''
-),
-sdwin AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        FROM corpus0),
-       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
-  WHERE ws[i] <> ''
-),
-sdocc AS MATERIALIZED (
-  SELECT doc_id, pos,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-  FROM sdwin
-),
-sdrem AS MATERIALIZED (
-  SELECT DISTINCT doc_id, pos + j AS pos
-  FROM sdocc, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
-  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
-),
-sdagg AS MATERIALIZED (
-  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
-  FROM sdtoks t LEFT JOIN sdrem r
-    ON t.doc_id = r.doc_id AND t.pos = r.pos
-  WHERE r.doc_id IS NULL
-  GROUP BY t.doc_id
-),
-corpus AS MATERIALIZED (
-  SELECT c.doc_id, COALESCE(a.text, '') AS text
-  FROM corpus0 c LEFT JOIN sdagg a USING (doc_id)
-)"""
-
-QUERIES["doc_curation_span_rewrite"] = QuerySpec(
-    _curation_span_rewrite,
-    _curation_oracle(corpus_block=_CURATION_SPAN_CORPUS),
-    "curation with the stage-0 substring-dedup rewrite composed in",
-)
-
-
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash completed to PAIRS: banded Hamming-LSH candidates
-    (pigeonhole: hamming <= 3 over 4 blocks forces one exact block
-    match), exact bit_count(xor) verify inside buckets only
-    (operators/dedup.simhash_pairs)."""
-    return D.simhash_pairs(
-        _docs(spark, sf_dir), "doc_id", "text",
-        n=3, bits=16, bands=4, max_hamming=3,
-    )
-
-
-_SIMHASH_PAIRS_ORACLE = (
-    "WITH "
-    + _SIMHASH_CTES
-    + r""",
-bnd AS (
-  SELECT doc_id, simhash, b,
-         (simhash >> (b * 4)) % 16 AS val
-  FROM sim, unnest(generate_series(0, 3)) AS t(b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
-         a.simhash AS s1, b.simhash AS s2
-  FROM bnd a JOIN bnd b
-    ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
-)
-SELECT id_1, id_2,
-       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(s1, s2)) <= 3
-"""
-)
-
-QUERIES["doc_simhash_pairs"] = QuerySpec(
-    _simhash_pairs,
-    _SIMHASH_PAIRS_ORACLE,
-    "banded Hamming-LSH simhash near-dup pairs with exact verify",
-)
-
-
-_PROX_TERMS = ("table", "hash", "scan")
-_PROX_WINDOW = 10
-
-
-def _proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proximity retrieval (SpanNear): docs holding all three terms
-    within a 10-token covering span, with the minimal span — the
-    tier between BM25 and exact phrase (operators/search.py)."""
-    from ..operators.search import proximity_search
-
-    return proximity_search(
-        _docs(spark, sf_dir), list(_PROX_TERMS), window=_PROX_WINDOW
-    )
-
-
-def _proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same probe over the persisted positional index — bucket-
-    pruned read, identical rows to the scan (shared span core)."""
-    from ..operators.search import (
-        build_positional_index,
-        proximity_indexed,
-    )
-
-    path = scratch_path(spark, sf_dir, "positional_prox_catalog")
-    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
-    return proximity_indexed(
-        spark, path, list(_PROX_TERMS), window=_PROX_WINDOW
-    )
-
-
-_PROXIMITY_ORACLE = rf"""
-WITH tok AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] IN ('hash', 'scan', 'table')
-),
-spans AS (
-  SELECT a.doc_id,
-         greatest(a.pos, b.pos, c.pos)
-           - least(a.pos, b.pos, c.pos) AS span
-  FROM tok a
-  JOIN tok b ON b.doc_id = a.doc_id AND b.t = 'scan'
-  JOIN tok c ON c.doc_id = a.doc_id AND c.t = 'table'
-  WHERE a.t = 'hash'
-)
-SELECT doc_id, CAST(MIN(span) AS BIGINT) AS min_span
-FROM spans GROUP BY doc_id
-HAVING MIN(span) <= {_PROX_WINDOW}
-"""
-
-QUERIES["doc_proximity_search"] = QuerySpec(
-    _proximity_search,
-    _PROXIMITY_ORACLE,
-    "SpanNear proximity retrieval: all terms within a token window",
-)
-
-QUERIES["doc_proximity_indexed"] = QuerySpec(
-    _proximity_indexed,
-    _PROXIMITY_ORACLE,
-    "proximity probe over the positional index == the scan",
-)
-
-
-_BATCH_PROX = {
-    "near_table_hash_scan": (("table", "hash", "scan"), 10),
-    "near_merge_key": (("merge", "key"), 6),
-}
-
-
-def _proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched proximity probes: one union-of-buckets positional
-    read serves every query; per query identical to the single-probe
-    loop (exact integer spans — no rounding seam)."""
-    from ..operators.search import build_positional_index, proximity_batch
-
-    path = scratch_path(spark, sf_dir, "positional_proxb_catalog")
-    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
-    return proximity_batch(
-        spark, path,
-        {k: (list(t), w) for k, (t, w) in _BATCH_PROX.items()},
-    )
-
-
-def _proximity_batch_oracle() -> str:
-    all_terms = sorted({t for ts, _ in _BATCH_PROX.values() for t in ts})
-    in_list = ", ".join(f"'{t}'" for t in all_terms)
-    parts = []
-    for qid, (ts, w) in _BATCH_PROX.items():
-        uniq = sorted(set(ts))
-        joins = []
-        for i, t in enumerate(uniq[1:], start=1):
-            joins.append(
-                f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
-                f"AND t{i}.t = '{t}'"
-            )
-        cols = ", ".join(f"t{i}.pos" for i in range(len(uniq)))
-        parts.append(
-            f"SELECT '{qid}' AS query_id, t0.doc_id,\n"
-            f"       CAST(MIN(greatest({cols}) - least({cols}))"
-            f" AS BIGINT) AS min_span\n"
-            f"FROM tok t0\n" + "\n".join(joins) + "\n"
-            f"WHERE t0.t = '{uniq[0]}'\n"
-            f"GROUP BY t0.doc_id\n"
-            f"HAVING MIN(greatest({cols}) - least({cols})) <= {w}"
-        )
-    return (
-        rf"""
-WITH tok AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] IN ({in_list})
-)
-"""
-        + "\nUNION ALL\n".join(parts)
-    )
-
-
-QUERIES["doc_proximity_batch"] = QuerySpec(
-    _proximity_batch,
-    _proximity_batch_oracle(),
-    "batched proximity probes: one union-of-buckets read == the loop",
-)
-
-
-def _topic_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-TOPIC data card: the corpus summary grouped by the trained
-    topic cells instead of metadata labels — composition of
-    topic_clusters into plans/datacard.data_card (what a curation
-    review actually reads: token mass, split balance, PII exposure
-    and dup mass per discovered topic)."""
-    from ..plans.datacard import data_card
-
-    docs = load_testdata(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
-    topics = X.topic_clusters(
-        docs, "doc_id", "text",
-        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
-    )
-    return data_card(docs.join(topics, "doc_id"), group_cols=("topic",))
-
-
-def _topic_card_oracle() -> str:
-    from ..operators.pii import oracle_count_sql
-
-    exprs = oracle_count_sql("text")
-    pii_cols = ",\n         ".join(
-        f"{expr} AS p_{name}" for name, expr in exprs.items()
-    )
-    pii_rows = "\nUNION ALL ".join(
-        f"SELECT 'pii' AS section, '{name}' AS key,\n"
-        f"  CAST(SUM(CASE WHEN p_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS n_docs,\n  CAST(SUM(p_{name}) AS BIGINT) AS measure FROM t"
-        for name in exprs
-    )
-    return (
-        "WITH "
-        + _TOPIC_CTES
-        + rf""",
-t AS MATERIALIZED (
-  SELECT d.doc_id, CAST(c.cell AS VARCHAR) AS topic,
-         len(string_split_regex(trim(text), '\s+')) AS tok,
-         md5(text) AS h,
-         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-              AS BIGINT) % 1000 AS bucket,
-         {pii_cols}
-  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
-)
-SELECT 'corpus' AS section, 'all' AS key,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(tok) AS BIGINT) AS measure FROM t
-UNION ALL SELECT 'topic', topic, CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(tok) AS BIGINT) FROM t GROUP BY topic
-UNION ALL SELECT 'split',
-       CASE WHEN bucket < 900 THEN 'train'
-            WHEN bucket < 950 THEN 'val' ELSE 'test' END,
-       CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT)
-  FROM t GROUP BY 2
-UNION ALL {pii_rows}
-UNION ALL SELECT 'dedup', 'exact_duplicates',
-       CAST(COALESCE(SUM(c), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-  FROM (SELECT h, COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)
-"""
-    )
-
-
-QUERIES["doc_topic_card"] = QuerySpec(
-    _topic_card,
-    _topic_card_oracle(),
-    "per-topic corpus data card over the trained topic cells",
-)
-
-
-def _topic_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-BUDGET topic mixture: equal token mass per discovered
-    topic (the budget real pretraining mixes allocate — tokens, not
-    docs), composed from in-plan topic assignment + the size_col
-    mixture resampler."""
-    from ..operators.mixing import mix_corpus
-
-    docs = _docs(spark, sf_dir)
-    topics = X.topic_clusters(
-        docs, "doc_id", "text",
-        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
-    )
-    sized = docs.select(
-        "doc_id", X.word_count(F.col("text")).alias("n_tokens")
-    ).join(topics, "doc_id")
-    out = mix_corpus(
-        sized, "topic", "doc_id",
-        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
-        size_col="n_tokens",
-    )
-    return out.select("doc_id", "topic", "mix_rank", "mix_cum")
-
-
-_TOPIC_MIX_TOKENS_ORACLE = (
-    "WITH "
-    + _TOPIC_CTES
-    + ",\nw(grp, wt) AS (VALUES "
-    + ", ".join(
-        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
-        for i in range(_TOPIC_K)
-    )
-    + r""")
-, tt AS (
-  SELECT d.doc_id, CAST(c.cell AS BIGINT) AS topic,
-         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
-           AS n_tokens
-  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
-),
-tcnt AS (SELECT topic AS grp, SUM(n_tokens) AS n FROM tt GROUP BY topic),
-tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
-       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
-targets AS (
-  SELECT grp,
-         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
-              AS BIGINT) AS k
-  FROM tj
-),
-ranked AS (
-  SELECT doc_id, topic,
-         CAST(row_number() OVER (
-           PARTITION BY topic
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-           AS mix_rank,
-         CAST(SUM(n_tokens) OVER (
-           PARTITION BY topic
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS mix_cum
-  FROM tt
-)
-SELECT r.doc_id, r.topic, r.mix_rank, r.mix_cum
-FROM ranked r JOIN targets tg ON r.topic = tg.grp
-WHERE r.mix_cum <= tg.k
-"""
-)
-
-QUERIES["doc_topic_mix_tokens"] = QuerySpec(
-    _topic_mix_tokens,
-    _TOPIC_MIX_TOKENS_ORACLE,
-    "token-budget topic mixture: equal token mass per trained topic",
-)
-
-
-# --------------------------------------------------------------------------
-# Unigram-LM (SentencePiece-style) tokenizer (r7): the other
-# canonical subword trainer next to BPE — seed candidate pieces, EM
-# over the unigram model with Viterbi computed as a MAX-PLUS CLOSURE
-# by repeated squaring (log-depth unroll, the Lloyd/BPE pattern),
-# hard-EM counts from on-optimal edges (prefix + w + suffix == best,
-# EXACT because every weight sits on the 2^-20 dyadic grid), count-
-# rank pruning. The DuckDB oracle replays the FULL trainer and the
-# greedy-longest tokenizer verbatim. operators/unigram.py documents
-# the deterministic simplifications vs Kudo 2018.
-# Names prefixed _ULM_/ulm_ (module-constant shadowing gotcha).
-# --------------------------------------------------------------------------
-
-_ULM_VOCAB = 24   # multi-char pieces kept after each prune
-_ULM_SEED = 48    # multi-char seed candidates
-_ULM_PLEN = 4     # max piece length
-_ULM_WLEN = 8     # max trainable word length (longer -> char fallback)
-_ULM_ROUNDS = 2   # EM rounds
-_ULM_T = 3        # closure squarings: 2^3 >= _ULM_WLEN path edges
-_ULM_OOV_VOCAB = 24
-_ULM_CACHE: dict = {}
-
-
-def _ulm_model(spark: SparkSession, sf_dir: str):
-    from ..operators import unigram as U
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ULM_CACHE:
-        _ULM_CACHE[key] = U.train_unigram(
-            _docs(spark, sf_dir), "text",
-            vocab_size=_ULM_VOCAB, seed_size=_ULM_SEED,
-            max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
-            n_rounds=_ULM_ROUNDS,
-        )
-    return _ULM_CACHE[key]
-
-
-def _ulm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import unigram as U
-
-    return U.pieces_df(spark, _ulm_model(spark, sf_dir)).select(
-        "piece",
-        "logp",
-        F.col("piece_len").cast("long").alias("piece_len"),
-    )
-
-
-def _ulm_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import unigram as U
-
-    return U.unigram_text(
-        _docs(spark, sf_dir), "doc_id", "text",
-        _ulm_model(spark, sf_dir),
-        max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
-    )
-
-
-def _ulm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.vocab_coverage(
-        _ulm_text(spark, sf_dir), "unigram_text", min_count=1
-    )
-
-
-def _ulm_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ut = _ulm_text(spark, sf_dir)
-    vocab = X.build_vocab(
-        ut, "unigram_text", min_count=1, max_size=_ULM_OOV_VOCAB
-    )
-    return X.oov_rate(ut, vocab, "doc_id", "unigram_text")
-
-
-def _ulm_closure_sql(tag: str, src: str) -> str:
-    """ulm_{tag}0.._ULM_T: max-plus closure of (word, a, b, d) rows
-    by repeated squaring — after k squarings, d(a,b) is the best
-    path of <= 2^k edges. MATERIALIZED: each level references the
-    previous TWICE (the Lloyd exponential-reinline gotcha)."""
-    parts = [
-        f"""
-ulm_{tag}0 AS MATERIALIZED (
-  SELECT word, a, b, MAX(d) AS d FROM {src} GROUP BY word, a, b
-)"""
-    ]
-    for k in range(_ULM_T):
-        parts.append(
-            f"""
-ulm_{tag}{k + 1} AS MATERIALIZED (
-  SELECT word, a, b, MAX(d) AS d FROM (
-    SELECT word, a, b, d FROM ulm_{tag}{k}
-    UNION ALL
-    SELECT x.word, x.a, y.b AS b, x.d + y.d AS d
-    FROM ulm_{tag}{k} x JOIN ulm_{tag}{k} y
-      ON x.word = y.word AND x.b = y.a
-  ) GROUP BY word, a, b
-)"""
-        )
-    return ",".join(parts)
-
-
-def _ulm_onopt_sql(name: str, edges: str, dfin: str, cnt_expr: str) -> str:
-    """Edges of ``edges`` lying on an optimal segmentation: three
-    closure lookups and an exact dyadic-sum equality."""
-    return f"""
-{name} AS MATERIALIZED (
-  SELECT e.word, {cnt_expr} AS cnt, e.a, e.b, e.piece
-  FROM {edges} e
-  JOIN {dfin} bst
-    ON bst.word = e.word AND bst.a = 0 AND bst.b = len(e.word)
-  LEFT JOIN {dfin} p ON p.word = e.word AND p.a = 0 AND p.b = e.a
-  LEFT JOIN {dfin} sfx
-    ON sfx.word = e.word AND sfx.a = e.b AND sfx.b = len(e.word)
-  WHERE COALESCE(p.d, 0.0) + e.d + COALESCE(sfx.d, 0.0) = bst.d
-)"""
-
-
-def _ulm_weights_sql(m: str, v: str) -> str:
-    return f"""
-{m} AS MATERIALIZED (
-  SELECT piece,
-         floor(log2(n * 1.0 / (SELECT SUM(n) FROM {v}))
-               * 1048576.0 + 0.5) / 1048576.0 AS w
-  FROM {v}
-)"""
-
-
-def _ulm_train_ctes() -> str:
-    parts = [
-        rf"""
-ulm_wall AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
-    FROM documents)
-  WHERE word <> '' GROUP BY word
-),
-ulm_w0 AS MATERIALIZED (
-  SELECT word, cnt FROM ulm_wall WHERE len(word) <= {_ULM_WLEN}
-),
-ulm_sub AS MATERIALIZED (
-  SELECT word, cnt, CAST(st - 1 AS INT) AS a,
-         CAST(st - 1 + ln AS INT) AS b,
-         substr(word, CAST(st AS INT), CAST(ln AS INT)) AS piece
-  FROM (
-    SELECT word, cnt, CAST(i AS INT) AS st
-    FROM ulm_w0, unnest(generate_series(1, len(word))) AS g(i)
-  ), unnest(generate_series(1, least({_ULM_PLEN}, len(word) - st + 1)))
-       AS h(ln)
-),
-ulm_freq AS MATERIALIZED (
-  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
-  FROM ulm_sub GROUP BY piece
-),
-ulm_v0 AS MATERIALIZED (
-  SELECT piece, n FROM ulm_freq WHERE len(piece) = 1
-  UNION ALL
-  SELECT piece, n FROM (
-    SELECT piece, n FROM ulm_freq WHERE len(piece) > 1
-    ORDER BY n DESC, piece ASC LIMIT {_ULM_SEED})
-),{_ulm_weights_sql("ulm_m0", "ulm_v0")}"""
-    ]
-    for r in range(_ULM_ROUNDS):
-        parts.append(
-            f""",
-ulm_e{r} AS MATERIALIZED (
-  SELECT s.word, s.cnt, s.a, s.b, s.piece, v.w AS d
-  FROM ulm_sub s JOIN ulm_m{r} v USING (piece)
-),{_ulm_closure_sql(f"r{r}_", f"ulm_e{r}")},"""
-            + _ulm_onopt_sql(
-                f"ulm_on{r}", f"ulm_e{r}", f"ulm_r{r}_{_ULM_T}", "e.cnt"
-            )
-            + f""",
-ulm_c{r} AS MATERIALIZED (
-  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n
-  FROM ulm_on{r} GROUP BY piece
-),
-ulm_v{r + 1} AS MATERIALIZED (
-  SELECT c.piece, CAST(GREATEST(COALESCE(k.n, 0), 1) AS BIGINT) AS n
-  FROM (SELECT piece FROM ulm_v0 WHERE len(piece) = 1) c
-  LEFT JOIN ulm_c{r} k USING (piece)
-  UNION ALL
-  SELECT piece, n FROM (
-    SELECT piece, n FROM ulm_c{r}
-    WHERE len(piece) > 1 AND n >= 1
-    ORDER BY n DESC, piece ASC LIMIT {_ULM_VOCAB})
-),{_ulm_weights_sql(f"ulm_m{r + 1}", f"ulm_v{r + 1}")}"""
-        )
-    return "".join(parts)
-
-
-def _ulm_segment_ctes() -> str:
-    """Greedy-longest deterministic segmentation of every corpus
-    word under the FINAL model: Viterbi closure + on-optimal edges,
-    next(a) = the optimal edge with the largest end, path = the
-    next()-orbit of 0 by pointer doubling; per-char fallback for
-    long/unknown-char words."""
-    m = f"ulm_m{_ULM_ROUNDS}"
-    return (
-        f""",
-ulm_chars AS MATERIALIZED (
-  SELECT piece AS ch FROM {m} WHERE len(piece) = 1
-),
-ulm_ok AS MATERIALIZED (
-  SELECT word FROM ulm_wall
-  WHERE len(word) <= {_ULM_WLEN}
-    AND word NOT IN (
-      SELECT DISTINCT word FROM (
-        SELECT word, substr(word, CAST(i AS INT), 1) AS ch
-        FROM ulm_wall, unnest(generate_series(1, len(word))) AS g(i))
-      WHERE ch NOT IN (SELECT ch FROM ulm_chars))
-),
-ulm_fb AS MATERIALIZED (
-  SELECT word FROM ulm_wall
-  WHERE word NOT IN (SELECT word FROM ulm_ok)
-),
-ulm_tsub AS MATERIALIZED (
-  SELECT word, CAST(st - 1 AS INT) AS a,
-         CAST(st - 1 + ln AS INT) AS b,
-         substr(word, CAST(st AS INT), CAST(ln AS INT)) AS piece
-  FROM (
-    SELECT word, CAST(i AS INT) AS st
-    FROM ulm_ok, unnest(generate_series(1, len(word))) AS g(i)
-  ), unnest(generate_series(1, least({_ULM_PLEN}, len(word) - st + 1)))
-       AS h(ln)
-),
-ulm_te AS MATERIALIZED (
-  SELECT s.word, s.a, s.b, s.piece, v.w AS d
-  FROM ulm_tsub s JOIN {m} v USING (piece)
-),{_ulm_closure_sql("t_", "ulm_te")},"""
-        + _ulm_onopt_sql(
-            "ulm_ton", "ulm_te", f"ulm_t_{_ULM_T}", "CAST(1 AS BIGINT)"
-        )
-        + f""",
-ulm_tnx AS MATERIALIZED (
-  SELECT n.word, n.a, n.b, e.piece
-  FROM (SELECT word, a, MAX(b) AS b FROM ulm_ton GROUP BY word, a) n
-  JOIN ulm_ton e ON e.word = n.word AND e.a = n.a AND e.b = n.b
-),
-ulm_tr0 AS MATERIALIZED (SELECT word, a, b FROM ulm_tnx),
-{",".join(
-    f'''ulm_tr{k + 1} AS MATERIALIZED (
-  SELECT DISTINCT word, a, b FROM (
-    SELECT word, a, b FROM ulm_tr{k}
-    UNION ALL
-    SELECT x.word, x.a, y.b AS b
-    FROM ulm_tr{k} x JOIN ulm_tr{k} y ON x.word = y.word AND x.b = y.a
-  )
-)''' for k in range(_ULM_T)
-)},
-ulm_reach AS MATERIALIZED (
-  SELECT word, CAST(0 AS INT) AS a FROM ulm_ok
-  UNION
-  SELECT word, b AS a FROM ulm_tr{_ULM_T} WHERE a = 0
-),
-ulm_seg AS MATERIALIZED (
-  SELECT e.word,
-         CAST(row_number() OVER (PARTITION BY e.word ORDER BY e.a)
-              AS INT) AS piece_pos,
-         e.piece
-  FROM ulm_tnx e JOIN ulm_reach r ON r.word = e.word AND r.a = e.a
-  UNION ALL
-  SELECT word, CAST(i AS INT) AS piece_pos,
-         substr(word, CAST(i AS INT), 1) AS piece
-  FROM ulm_fb, unnest(generate_series(1, len(word))) AS g(i)
-)"""
-    )
-
-
-_ULM_VOCAB_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + f"""
-SELECT piece, w AS logp, CAST(len(piece) AS BIGINT) AS piece_len
-FROM ulm_m{_ULM_ROUNDS}
-"""
-)
-
-_ULM_TOKENIZE_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + _ulm_segment_ctes()
-    + r""",
-ulm_dtok AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-ulm_agg AS (
-  SELECT d.doc_id,
-         string_agg(s.piece, ' ' ORDER BY d.word_pos, s.piece_pos)
-           AS unigram_text,
-         CAST(COUNT(*) AS BIGINT) AS n_pieces
-  FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
-  GROUP BY d.doc_id
-)
-SELECT doc.doc_id,
-       COALESCE(a.unigram_text, '') AS unigram_text,
-       CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
-FROM documents doc LEFT JOIN ulm_agg a ON a.doc_id = doc.doc_id
-"""
-)
-
-_ULM_COVERAGE_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + _ulm_segment_ctes()
-    + """,
-ulm_tok AS (
-  SELECT s.piece AS token, w.cnt
-  FROM ulm_seg s JOIN ulm_wall w ON w.word = s.word
-),
-ulm_tc AS (SELECT token, SUM(cnt) AS n FROM ulm_tok GROUP BY token),
-ulm_tro AS (
-  SELECT token, n,
-         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
-  FROM ulm_tc
-),
-ulm_tot AS (SELECT SUM(n) AS total FROM ulm_tc)
-SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token,
-       CAST(n AS BIGINT) AS n_occurrences,
-       ROUND(SUM(n) OVER (ORDER BY vocab_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) * 1.0 / ulm_tot.total, 6)
-         AS cum_frac
-FROM ulm_tro CROSS JOIN ulm_tot
-"""
-)
-
-_ULM_OOV_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + _ulm_segment_ctes()
-    + rf""",
-ulm_tok AS (
-  SELECT s.piece AS token, w.cnt
-  FROM ulm_seg s JOIN ulm_wall w ON w.word = s.word
-),
-ulm_tc AS (SELECT token, SUM(cnt) AS n FROM ulm_tok GROUP BY token),
-ulm_tro AS (
-  SELECT token, n,
-         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS vocab_id
-  FROM ulm_tc
-),
-ulm_vv AS (SELECT token FROM ulm_tro WHERE vocab_id < {_ULM_OOV_VOCAB}),
-ulm_dtok AS (
-  SELECT doc_id, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-ulm_dt AS (
-  SELECT d.doc_id, s.piece AS token
-  FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
-),
-ulm_oagg AS (
-  SELECT dt.doc_id, COUNT(*) AS n_tokens,
-         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
-  FROM ulm_dt dt LEFT JOIN ulm_vv v ON v.token = dt.token
-  GROUP BY dt.doc_id
-)
-SELECT ulm_oagg.doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(n_oov AS BIGINT) AS n_oov,
-       ROUND(n_oov * 1.0 / n_tokens, 6) AS oov_frac
-FROM ulm_oagg
-"""
-)
-
-QUERIES["doc_unigram_vocab"] = QuerySpec(
-    _ulm_vocab,
-    _ULM_VOCAB_ORACLE,
-    "unigram-LM trainer: the learned (piece, logp) model",
-)
-QUERIES["doc_unigram_tokenize"] = QuerySpec(
-    _ulm_text,
-    _ULM_TOKENIZE_ORACLE,
-    "corpus tokenized with the learned unigram model (greedy-longest"
-    " Viterbi, per-char fallback)",
-)
-QUERIES["doc_unigram_coverage"] = QuerySpec(
-    _ulm_coverage,
-    _ULM_COVERAGE_ORACLE,
-    "vocab-coverage curve over unigram pieces",
-)
-QUERIES["doc_unigram_oov"] = QuerySpec(
-    _ulm_oov,
-    _ULM_OOV_ORACLE,
-    "per-doc OOV rate against a capped unigram-piece vocabulary",
-)
-
-
-# --------------------------------------------------------------------------
-# Learned fusion over the hybrid probes (r7): RRF's k=60 replaced by
-# dyadic-GD weights fit to relevance labels — quality_model's trainer
-# reused wholesale over per-candidate features (bm25, cosine, both
-# reciprocal ranks). Labels are deterministic ground truth the rank
-# features don't encode directly: "document contains EVERY query
-# term". The oracle replays candidates (the doc_hybrid_search chain),
-# labels, the full GD unroll, and the scoring — bit-equal by the
-# dyadic argument. Names prefixed _LTR_/ltr_.
-# --------------------------------------------------------------------------
-
-_LTR_ROUNDS = 8
-_LTR_LR = 0.5
-_LTR_CACHE: dict = {}
-
-#: the doc_hybrid_search oracle chain up through the ranked candidate
-#: lists (lex/lexr/sem/semr + htok), reused verbatim as the feature
-#: source (the _BM25_CTES extraction pattern).
-_HYBRID_CHAIN_CTES = (
-    _HYBRID_ORACLE.strip()
-    .removeprefix("WITH ")
-    .split("fused AS", 1)[0]
-    .rstrip()
-    .rstrip(",")
-)
-
-
-def _ltr_fixtures(spark: SparkSession, sf_dir: str):
-    """Postings + ANN indexes and the query frame — the
-    doc_hybrid_search construction under LTR-owned scratch names."""
-    from ..operators import similarity as S
-    from ..operators.search import build_postings_index
-
-    docs = _docs(spark, sf_dir)
-    ppath = scratch_path(spark, sf_dir, "ltr_postings_catalog")
-    build_postings_index(docs, ppath, n_buckets=16)
-    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
-    bucketed = emb.filter(
-        F.exists(F.col("embedding"), lambda v: v != 0)
-    ).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    apath = scratch_path(spark, sf_dir, "ltr_ann_catalog")
-    S.build_ann_index(bucketed, apath, cell_col="cell")
-    qdf = spark.createDataFrame(
-        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
-    )
-    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    return docs, ppath, apath, query
-
-
-def _ltr_candidates(spark: SparkSession, sf_dir: str):
-    from ..operators.search import hybrid_candidates
-
-    docs, ppath, apath, query = _ltr_fixtures(spark, sf_dir)
-    cand = hybrid_candidates(
-        spark, ppath, apath, list(_BM25_TERMS), query,
-        n_candidates=_HYBRID_CANDIDATES,
-        ann_id_col="doc_id", ann_cell_col="cell",
-    )
-    # deterministic relevance: the doc contains EVERY query term
-    # (the same \s+ tokenization both probes use)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    rel = F.lit(True)
-    for t in _BM25_TERMS:
-        rel = rel & F.array_contains(toks, t)
-    labels = docs.select(
-        "doc_id", rel.cast("double").alias("__rel")
-    )
-    return cand, cand.join(labels, "doc_id")
-
-
-def _hybrid_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.search import ltr_score, train_ltr
-
-    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
-    cand, labeled = _ltr_candidates(spark, sf_dir)
-    if key not in _LTR_CACHE:
-        _LTR_CACHE[key] = train_ltr(
-            labeled, "__rel",
-            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
-        )
-    return ltr_score(
-        cand, _LTR_CACHE[key], rrf_k=_HYBRID_RRF_K, k=_HYBRID_K
-    )
-
-
-def _ltr_rounds_sql(pfx: str = "ltr") -> str:
-    """GD unroll over {pfx}_x / {pfx}_y / {pfx}_n, producing weight
-    CTEs {pfx}w0..{pfx}w{_LTR_ROUNDS} (the _qm_ctes pattern with
-    parameterized names so the batch variant can reuse it)."""
-    rounds = [
-        f"""
-{pfx}w0 AS (
-  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
-  FROM unnest(generate_series(0, 4)) AS u(j)
-)"""
-    ]
-    for k in range(_LTR_ROUNDS):
-        rounds.append(f"""
-{pfx}p{k} AS (
-  SELECT x.doc_id,
-         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
-  FROM {pfx}_x x JOIN {pfx}w{k} w USING (j) GROUP BY x.doc_id
-),
-{pfx}g{k} AS (
-  SELECT x.j,
-         floor(SUM(x.x * (p.p - y.y)) / {pfx}_n.n * 1048576.0 + 0.5)
-           / 1048576.0 AS g
-  FROM {pfx}_x x
-  JOIN {pfx}p{k} p USING (doc_id)
-  JOIN {pfx}_y y USING (doc_id)
-  CROSS JOIN {pfx}_n
-  GROUP BY x.j, {pfx}_n.n
-),
-{pfx}w{k + 1} AS MATERIALIZED (
-  SELECT w.j,
-         floor((w.w - {_LTR_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
-           AS w
-  FROM {pfx}w{k} w JOIN {pfx}g{k} g USING (j)
-)""")
-    return ",".join(rounds)
-
-
-def _ltr_x_sql(name: str, cand: str) -> str:
-    """Long-form quantized feature CTE over a candidate pool with
-    (doc_id, bm25, cos_sim, lex_rank, sem_rank)."""
-    return f"""
-{name} AS MATERIALIZED (
-  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
-  FROM (
-    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {cand}
-    UNION ALL SELECT doc_id, 1, bm25 FROM {cand}
-    UNION ALL SELECT doc_id, 2, cos_sim FROM {cand}
-    UNION ALL
-    SELECT doc_id, 3,
-           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
-    FROM {cand}
-    UNION ALL
-    SELECT doc_id, 4,
-           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
-    FROM {cand}
-  )
-)"""
-
-
-_HYBRID_LTR_ORACLE = f"""
-WITH {_HYBRID_CHAIN_CTES},
-ltr_cand AS MATERIALIZED (
-  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
-         COALESCE(l.bm25, 0.0) AS bm25,
-         COALESCE(s.cos_sim, 0.0) AS cos_sim,
-         lr.lex_rank, sr.sem_rank
-  FROM lexr lr
-  FULL OUTER JOIN semr sr ON sr.doc_id = lr.doc_id
-  LEFT JOIN lex l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
-  LEFT JOIN sem s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
-),
-ltr_y AS MATERIALIZED (
-  SELECT c.doc_id,
-         CASE WHEN {len(set(_BM25_TERMS))} = (
-                SELECT COUNT(DISTINCT h.t) FROM htok h
-                WHERE h.doc_id = c.doc_id
-                  AND h.t IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)}))
-              THEN 1.0 ELSE 0.0 END AS y
-  FROM ltr_cand c
-),
-{_ltr_x_sql("ltr_x", "ltr_cand")},
-ltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ltr_cand),
-{_ltr_rounds_sql()},
-ltr_s AS (
-  SELECT x.doc_id,
-         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
-  FROM ltr_x x JOIN ltrw{_LTR_ROUNDS} w USING (j)
-  GROUP BY x.doc_id
-)
-SELECT c.doc_id, c.lex_rank, c.sem_rank, s.ltr
-FROM ltr_cand c JOIN ltr_s s USING (doc_id)
-ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K}
-"""
-
-QUERIES["doc_hybrid_ltr"] = QuerySpec(
-    _hybrid_ltr,
-    _HYBRID_LTR_ORACLE,
-    "learned fusion over the hybrid probes: dyadic-GD weights on"
-    " (bm25, cosine, reciprocal ranks) vs contains-all-terms labels",
-)
-
-
-# --------------------------------------------------------------------------
-# Conversation-structured operators (r7): the documents table
-# synthesized onto a deterministic TURN grid (8-token chunks,
-# alternating user/assistant role tags — the line-grid trick one
-# format up), then parsed, turn-deduped corpus-wide, and packed
-# turn-atomically. operators/turns.py. Names prefixed _TRN_/trn_.
-# --------------------------------------------------------------------------
-
-_TRN_W = 8        # tokens per synthesized turn
-_TRN_BUDGET = 32  # packing budget (tokens per sequence)
-_TRN_SEP = ": "
-
-_TRN_CTES = rf"""
-trn_w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
-),
-trn_chg AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-         (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
-           || ': '
-           || array_to_string(
-                ws[i * {_TRN_W} + 1:i * {_TRN_W} + {_TRN_W}], ' ')
-           AS line
-  FROM trn_w,
-       unnest(generate_series(
-         0, (greatest(len(ws), 1) + {_TRN_W} - 1) // {_TRN_W} - 1
-       )) AS t(i)
-),
-trn_conv AS MATERIALIZED (
-  SELECT doc_id,
-         string_agg(line, chr(10) ORDER BY chunk_id) AS text
-  FROM trn_chg GROUP BY doc_id
-),
-trn_lines AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx, ls[i] AS l
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-        FROM trn_conv),
-       unnest(generate_series(1, len(ls))) AS t(i)
-),
-trn_parsed AS MATERIALIZED (
-  SELECT doc_id, turn_idx, l,
-         CASE WHEN strpos(l, ': ') > 0
-                   AND substr(l, 1, strpos(l, ': ') - 1)
-                       IN ('system', 'user', 'assistant')
-              THEN substr(l, 1, strpos(l, ': ') - 1) END AS role,
-         CASE WHEN strpos(l, ': ') > 0
-                   AND substr(l, 1, strpos(l, ': ') - 1)
-                       IN ('system', 'user', 'assistant')
-              THEN substr(l, strpos(l, ': ') + 2) ELSE l END AS content
-  FROM trn_lines
-)
-"""
-
-
-def _conversed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents corpus as role-tagged conversations: 8-token
-    turns, alternating user/assistant (deterministic synthesis — the
-    single-line corpus carries no real dialogue)."""
-    ch = X.chunk_documents(
-        _docs(spark, sf_dir), "doc_id", "text",
-        max_tokens=_TRN_W, overlap=0,
-    )
-    line = F.concat(
-        F.when(F.col("chunk_id") % 2 == 0, F.lit("user")).otherwise(
-            F.lit("assistant")
-        ),
-        F.lit(_TRN_SEP),
-        F.col("chunk_text"),
-    )
-    return ch.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_id", line.alias("l")))
-                ),
-                lambda s: s["l"],
-            ),
-            "\n",
-        ).alias("text")
-    )
-
-
-def _turns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.turns import parse_turns
-
-    return parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
-
-
-_TURNS_PARSE_ORACLE = (
-    "WITH "
-    + _TRN_CTES
-    + """
-SELECT doc_id, turn_idx, role, content FROM trn_parsed
-"""
-)
-
-
-def _turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.turns import turn_dedup
-
-    return turn_dedup(_conversed(spark, sf_dir), "doc_id", "text")
-
-
-_TURN_DEDUP_ORACLE = (
-    "WITH "
-    + _TRN_CTES
-    + r""",
-trn_keyed AS (
-  SELECT doc_id, turn_idx, l,
-         md5(COALESCE(role, '') || chr(0)
-             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
-           AS th,
-         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
-  FROM trn_parsed
-),
-trn_occ AS (
-  SELECT doc_id, turn_idx, l, blank,
-         ROW_NUMBER() OVER (
-           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
-  FROM trn_keyed
-),
-trn_kept AS (
-  SELECT doc_id, turn_idx, l FROM trn_occ WHERE blank OR rn = 1
-),
-trn_tot AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
-  FROM trn_lines GROUP BY doc_id
-),
-trn_agg AS (
-  SELECT doc_id,
-         string_agg(l, chr(10) ORDER BY turn_idx) AS text2,
-         CAST(COUNT(*) AS BIGINT) AS nk
-  FROM trn_kept GROUP BY doc_id
-)
-SELECT c.doc_id,
-       COALESCE(a.text2, '') AS text,
-       t.nt AS n_turns,
-       CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
-FROM trn_conv c
-JOIN trn_tot t ON t.doc_id = c.doc_id
-LEFT JOIN trn_agg a ON a.doc_id = c.doc_id
-"""
-)
-
-
-def _turn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.turns import pack_turns, parse_turns
-
-    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
-    packed = pack_turns(turns, budget=_TRN_BUDGET)
-    return packed.groupBy("seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.sum("n_turn_tokens").cast("long").alias("total_tokens"),
-    )
-
-
-_TURN_PACK_ORACLE = (
-    "WITH "
-    + _TRN_CTES
-    + rf""",
-trn_ntok AS (
-  SELECT doc_id, turn_idx,
-         CAST(len(list_filter(
-           string_split_regex(trim(content), '\s+'),
-           x -> x <> '')) AS BIGINT) AS n
-  FROM trn_parsed
-),
-trn_off AS (
-  SELECT doc_id, turn_idx, n,
-         CAST(SUM(n) OVER (
-           ORDER BY doc_id, turn_idx
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
-           AS BIGINT) AS start_offset
-  FROM trn_ntok
-)
-SELECT CAST(start_offset // {_TRN_BUDGET} AS BIGINT) AS seq_id,
-       CAST(COUNT(*) AS BIGINT) AS n_turns,
-       CAST(SUM(n) AS BIGINT) AS total_tokens
-FROM trn_off GROUP BY seq_id
-"""
-)
-
-QUERIES["doc_turns_parse"] = QuerySpec(
-    _turns_parse,
-    _TURNS_PARSE_ORACLE,
-    "deterministic turn parser over the conversation-synthesized corpus",
-)
-QUERIES["doc_turn_dedup"] = QuerySpec(
-    _turn_dedup,
-    _TURN_DEDUP_ORACLE,
-    "corpus-level exact turn dedup on (role, normalized content)",
-)
-QUERIES["doc_turn_pack"] = QuerySpec(
-    _turn_pack,
-    _TURN_PACK_ORACLE,
-    "turn-atomic concat-and-split packing rollup",
-)
-
-
-# --------------------------------------------------------------------------
-# Multi-n span profile (r7): per-n repeated-span statistics from ONE
-# token explode (operators/spans.py span_profile) — the measurement a
-# curation policy picks rewrite lengths from. The oracle replays each
-# n's chain over the corpus window grid; Spark groups on xxhash64 of
-# the span, the oracle on the span string itself (identical results
-# absent 64-bit collisions, the doc_span_dedup convention).
-# Names prefixed _SPROF_/sprof_.
-# --------------------------------------------------------------------------
-
-_SPROF_NS = (4, 8, 16)
-_SPROF_MC = 2
-
-
-def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.spans import span_profile
-
-    return span_profile(
-        _docs(spark, sf_dir), "doc_id", "text",
-        ns=_SPROF_NS, min_count=_SPROF_MC,
-    )
-
-
-def _sprof_chain_sql(n: int) -> str:
-    return f"""
-sprof_win{n} AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         array_to_string(ws[i:i + {n} - 1], ' ') AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
-  WHERE ws[i] <> ''
-),
-sprof_occ{n} AS MATERIALIZED (
-  SELECT doc_id, pos,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
-         g
-  FROM sprof_win{n}
-),
-sprof_st{n} AS (
-  SELECT CAST({n} AS BIGINT) AS span_n,
-         CAST(COUNT(*) AS BIGINT) AS n_windows,
-         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
-         CAST(COUNT(DISTINCT CASE WHEN cnt >= {_SPROF_MC} THEN g END)
-              AS BIGINT) AS n_dup_spans,
-         CAST(SUM(CASE WHEN cnt >= {_SPROF_MC} THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_dup_occurrences
-  FROM sprof_occ{n}
-),
-sprof_rm{n} AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rm FROM (
-    SELECT DISTINCT doc_id, pos + j AS p
-    FROM sprof_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
-    WHERE cnt >= {_SPROF_MC} AND rn > 1)
-),
-sprof_row{n} AS (
-  SELECT s.*, r.n_rm AS n_removable_tokens
-  FROM sprof_st{n} s CROSS JOIN sprof_rm{n} r
-  WHERE s.n_windows > 0
-)"""
-
-
-_SPAN_PROFILE_ORACLE = (
-    "WITH "
-    + ",".join(_sprof_chain_sql(n) for n in _SPROF_NS)
-    + "\n"
-    + "\nUNION ALL ".join(
-        f"SELECT * FROM sprof_row{n}" for n in _SPROF_NS
-    )
-)
-
-QUERIES["doc_span_profile"] = QuerySpec(
-    _span_profile,
-    _SPAN_PROFILE_ORACLE,
-    "multi-n repeated-span statistics from one shared token explode",
-)
-
-
-def _hybrid_ltr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched learned fusion: weights trained on the single-query
-    labeled candidates (doc_hybrid_ltr's cached model — the oracle
-    retrains on the IDENTICAL q0 pool), applied to both batch
-    queries through the shared one-read-per-index arms."""
-    from ..operators import similarity as S
-    from ..operators.search import (
-        build_postings_index,
-        hybrid_batch_ltr,
-        train_ltr,
-    )
-
-    docs = _docs(spark, sf_dir)
-    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
-    build_postings_index(docs, ppath, n_buckets=16)
-    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
-    bucketed = emb.filter(
-        F.exists(F.col("embedding"), lambda v: v != 0)
-    ).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
-    S.build_ann_index(bucketed, apath, cell_col="cell")
-
-    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
-    if key not in _LTR_CACHE:
-        _cand, labeled = _ltr_candidates(spark, sf_dir)
-        _LTR_CACHE[key] = train_ltr(
-            labeled, "__rel",
-            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
-        )
-
-    qtexts = spark.createDataFrame(
-        [
-            (-(i + 1), " ".join(terms))
-            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
-        ],
-        "doc_id bigint, text string",
-    )
-    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
-        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
-    )
-    qid_of = {
-        -(i + 1): qid
-        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
-    }
-    mapping = F.create_map(
-        *[F.lit(v) for kv in qid_of.items() for v in kv]
-    )
-    terms_map = {
-        qid: list(terms)
-        for qid, terms in _HYBRID_BATCH_QUERIES.items()
-    }
-    queries = qemb.select(
-        mapping[F.col("doc_id")].alias("query_id"),
-        "embedding",
-        "cell",
-    ).withColumn(
-        "terms",
-        F.when(
-            F.col("query_id") == "q0",
-            F.array(*[F.lit(t) for t in terms_map["q0"]]),
-        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
-    )
-    return hybrid_batch_ltr(
-        spark,
-        ppath,
-        apath,
-        queries,
-        _LTR_CACHE[key],
-        k=_HYBRID_K,
-        rrf_k=_HYBRID_RRF_K,
-        n_candidates=_HYBRID_CANDIDATES,
-        ann_id_col="doc_id",
-        ann_cell_col="cell",
-    )
-
-
-QUERIES["doc_hybrid_ltr_batch"] = QuerySpec(
-    _hybrid_ltr_batch,
-    _hybrid_batch_ltr_oracle(),
-    "batched learned fusion: one read per index, trained weights,"
-    " per query bit-equal to the hybrid_search_ltr loop",
-)
-
-
-# --------------------------------------------------------------------------
-# Per-n rewrite POLICY inside curation (r7): one span_profile pass
-# over the candidate lengths, the LARGEST n whose removable mass
-# clears the bar wins (spans.pick_rewrite_n), and the stage-0
-# rewrite runs at the picked n. The oracle recomputes the pick from
-# its own profile chains, so the row stays green under data
-# regeneration even if the picked n changes. Names _SPP_/spp_.
-# --------------------------------------------------------------------------
-
-_SPP_NS = (4, 8, 16)
-_SPP_MIN_REMOVABLE = 1130  # picks n=8 at the current sf0.01 corpus
-
-
-def _curation_span_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.curation import curate_corpus
-
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("source") != "src0").select(
-        "doc_id", "text"
-    )
-    bench = docs.filter(F.col("source") == "src0").select(
-        "doc_id", "text"
-    )
-    curated, audit = curate_corpus(
-        corpus,
-        benchmark=bench,
-        near_dup="jaccard",
-        threshold=0.8,
-        n=3,
-        max_df=None,
-        contamination_threshold=0.2,
-        redact=True,
-        rewrite_spans=_SPP_NS,
-        rewrite_min_count=_SDUP_MIN_COUNT,
-        rewrite_policy_min_removable=_SPP_MIN_REMOVABLE,
-    )
-    kept_rows = curated.select(
-        "doc_id",
-        F.lit("kept").alias("status"),
-        F.lit(None).cast("string").alias("reason"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "split",
-        F.md5("text").alias("redacted_fp"),
-    )
-    drop_rows = audit.select(
-        "doc_id",
-        F.col("stage").alias("status"),
-        "reason",
-        F.lit(None).cast("long").alias("cluster_id"),
-        F.lit(None).cast("string").alias("split"),
-        F.lit(None).cast("string").alias("redacted_fp"),
-    )
-    return kept_rows.unionByName(drop_rows)
-
-
-def _spp_corpus_block() -> str:
-    chains, prof, joins, whens = [], [], [], []
-    for n in _SPP_NS:
-        chains.append(f"""
-spp_win{n} AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         array_to_string(ws[i:i + {n} - 1], ' ') AS g
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-        FROM corpus0),
-       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
-  WHERE ws[i] <> ''
-),
-spp_occ{n} AS MATERIALIZED (
-  SELECT doc_id, pos,
-         COUNT(*) OVER (PARTITION BY g) AS cnt,
-         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-  FROM spp_win{n}
-),
-spp_rem{n} AS MATERIALIZED (
-  SELECT DISTINCT doc_id, pos + j AS pos
-  FROM spp_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
-  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
-),
-spp_agg{n} AS MATERIALIZED (
-  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
-  FROM spp_toks t LEFT JOIN spp_rem{n} r
-    ON t.doc_id = r.doc_id AND t.pos = r.pos
-  WHERE r.doc_id IS NULL
-  GROUP BY t.doc_id
-)""")
-        prof.append(
-            f"SELECT {n} AS n,"
-            f" (SELECT COUNT(*) FROM spp_rem{n}) AS n_rm"
-        )
-        joins.append(f"LEFT JOIN spp_agg{n} a{n} USING (doc_id)")
-        whens.append(f"WHEN {n} THEN COALESCE(a{n}.text, '')")
-    return (
-        rf"""corpus0 AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE source <> 'src0'
-),
-spp_toks AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        FROM corpus0),
-       unnest(generate_series(1, len(ws))) AS t(i)
-  WHERE ws[i] <> ''
-),"""
-        + ",".join(chains)
-        + f""",
-spp_prof AS ({" UNION ALL ".join(prof)}),
-spp_pick AS (
-  SELECT MAX(n) AS n FROM spp_prof
-  WHERE n_rm >= {_SPP_MIN_REMOVABLE}
-),
-corpus AS MATERIALIZED (
-  SELECT c.doc_id,
-         CASE (SELECT n FROM spp_pick)
-           {" ".join(whens)}
-           ELSE c.text END AS text
-  FROM corpus0 c
-  {" ".join(joins)}
-)"""
-    )
-
-
-QUERIES["doc_curation_span_policy"] = QuerySpec(
-    _curation_span_policy,
-    _curation_oracle(corpus_block=_spp_corpus_block()),
-    "curation with the per-n span-rewrite policy: profile every"
-    " candidate length once, rewrite at the largest qualifying n",
-)
-
-
-# --------------------------------------------------------------------------
-# Containment pairs (r7): the asymmetric near-SUPERSET dedup signal —
-# |A ∩ B| / |A| — that symmetric Jaccard structurally cannot express
-# (a short doc quoted verbatim inside a long one: containment ~1.0
-# from the short side, Jaccard ~|A|/|B|). dedup.containment_pairs.
-# --------------------------------------------------------------------------
-
-
-def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.containment_pairs(
-        _docs(spark, sf_dir), "doc_id", "text",
-        n=3, threshold=0.8, max_df_frac=0.10,
-    )
-
-
-_CONTAINMENT_ORACLE = (
-    "WITH "
-    + _SHINGLES_CTE
-    + r""",
-chot AS (
-  SELECT shingle FROM sh GROUP BY shingle
-  HAVING COUNT(*) > (
-    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
-    FROM documents
-  )
-),
-cshc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM chot)),
-csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshc GROUP BY doc_id),
-cinter AS (
-  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
-  FROM cshc a JOIN cshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-cboth AS (
-  SELECT id_1, id_2, i, s1.n_sh AS n_1, s2.n_sh AS n_2
-  FROM cinter
-  JOIN csizes s1 ON s1.doc_id = id_1
-  JOIN csizes s2 ON s2.doc_id = id_2
-),
-cdir AS (
-  SELECT id_1 AS id_inner, id_2 AS id_outer, i * 1.0 / n_1 AS c
-  FROM cboth
-  UNION ALL
-  SELECT id_2 AS id_inner, id_1 AS id_outer, i * 1.0 / n_2 AS c
-  FROM cboth
-)
-SELECT id_inner, id_outer, ROUND(c, 6) AS containment
-FROM cdir WHERE c >= 0.8
-"""
-)
-
-QUERIES["doc_containment_pairs"] = QuerySpec(
-    _containment_pairs,
-    _CONTAINMENT_ORACLE,
-    "directed shingle-containment pairs: near-superset dedup signal",
-)
-
-
-# --------------------------------------------------------------------------
-# Unigram-LM quality signals (r7): the trained tokenizer as a
-# MEASUREMENT — per-doc fertility (pieces per word: subword quality)
-# and average negative log-likelihood under the unigram model (the
-# LM-perplexity quality filter, Wenzek et al. CCNet's recipe with
-# this suite's from-scratch LM). OOV pieces (per-char fallback chars
-# absent from the model) are counted, not scored. Dyadic q20 for the
-# two ratios — a 6-dp ROUND of a derived ratio is exactly the
-# midpoint hazard CLAUDE.md records.
-# --------------------------------------------------------------------------
-
-
-def _ulm_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import unigram as U
-
-    model = _ulm_model(spark, sf_dir)
-    toks = U.unigram_tokenize(
-        _docs(spark, sf_dir), "doc_id", "text", model,
-        max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
-    )
-    pieces = F.broadcast(
-        spark.createDataFrame(model, "piece string, logp double")
-    )
-    q20 = lambda c: F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(  # noqa: E731
-        1048576.0
-    )
-    scored = toks.join(pieces, "piece", "left")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pieces"),
-        F.countDistinct("word_pos").cast("long").alias("n_words"),
-        F.sum(F.col("logp").isNull().cast("long"))
-        .cast("long")
-        .alias("n_oov_pieces"),
-        q20(
-            F.count(F.lit(1)) / F.countDistinct("word_pos")
-        ).alias("fertility"),
-        q20(
-            F.coalesce(
-                F.sum(-F.col("logp")) / F.count(F.col("logp")),
-                F.lit(0.0),
-            )
-        ).alias("avg_nll"),
-    )
-
-
-_ULM_SIGNALS_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + _ulm_segment_ctes()
-    + rf""",
-ulm_dtok AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-ulm_sc AS (
-  SELECT d.doc_id, d.word_pos, s.piece, m.w AS logp
-  FROM ulm_dtok d
-  JOIN ulm_seg s ON s.word = d.word
-  LEFT JOIN ulm_m{_ULM_ROUNDS} m ON m.piece = s.piece
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_pieces,
-       CAST(COUNT(DISTINCT word_pos) AS BIGINT) AS n_words,
-       CAST(SUM(CASE WHEN logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_oov_pieces,
-       floor(COUNT(*) * 1.0 / COUNT(DISTINCT word_pos)
-             * 1048576.0 + 0.5) / 1048576.0 AS fertility,
-       floor(COALESCE(SUM(-logp) / COUNT(logp), 0.0)
-             * 1048576.0 + 0.5) / 1048576.0 AS avg_nll
-FROM ulm_sc GROUP BY doc_id
-"""
-)
-
-QUERIES["doc_unigram_signals"] = QuerySpec(
-    _ulm_signals,
-    _ULM_SIGNALS_ORACLE,
-    "per-doc fertility + avg NLL under the trained unigram LM"
-    " (the CCNet-style LM quality filter)",
-)
-
-
-# --------------------------------------------------------------------------
-# Conversation stats (r7): per-conversation structural signals over
-# the synthesized turn corpus — role mix, malformed-line count,
-# per-turn token mass. Map-only + one doc-keyed aggregate.
-# --------------------------------------------------------------------------
-
-
-def _turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.turns import parse_turns
-
-    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
-    ntok = F.size(
-        F.filter(
-            F.split(F.trim(F.col("content")), r"\s+"),
-            lambda x: x != "",
-        )
-    ).cast("long")
-    return turns.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.sum((F.col("role") == "user").cast("long"))
-        .cast("long")
-        .alias("n_user_turns"),
-        F.sum((F.col("role") == "assistant").cast("long"))
-        .cast("long")
-        .alias("n_assistant_turns"),
-        F.sum(F.col("role").isNull().cast("long"))
-        .cast("long")
-        .alias("n_malformed"),
-        F.sum(ntok).cast("long").alias("total_tokens"),
-    )
-
-
-_TURN_STATS_ORACLE = (
-    "WITH "
-    + _TRN_CTES
-    + r"""
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_turns,
-       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_user_turns,
-       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_assistant_turns,
-       CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_malformed,
-       CAST(SUM(len(list_filter(
-         string_split_regex(trim(content), '\s+'), x -> x <> '')))
-         AS BIGINT) AS total_tokens
-FROM trn_parsed GROUP BY doc_id
-"""
-)
-
-QUERIES["doc_turn_stats"] = QuerySpec(
-    _turn_stats,
-    _TURN_STATS_ORACLE,
-    "per-conversation structural signals: role mix, malformed lines,"
-    " token mass",
-)
-
-
-# --------------------------------------------------------------------------
-# Temperature-sampled mixture (r7): w_g ∝ sqrt(mass_g) — the standard
-# multilingual/source rebalancing at alpha=0.5. sqrt is IEEE-
-# correctly-rounded (unlike pow), quantized to the dyadic grid so the
-# normalizing sum is exact — every floor(w·T) target bit-identical
-# across engines. mixing.temperature_weights + mix_corpus.
-# --------------------------------------------------------------------------
-
-
-def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.mixing import mix_corpus, temperature_weights
-
-    docs = _docs(spark, sf_dir)
-    w = temperature_weights(docs, "source", alpha=0.5)
-    out = mix_corpus(docs, "source", "doc_id", weights=w)
-    return out.select("doc_id", "source", "mix_rank")
-
-
-_TEMPERATURE_MIX_ORACLE = r"""
-WITH tmpm_cnt AS (
-  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents GROUP BY source
-),
-tmpm_p AS (
-  SELECT grp, n,
-         floor(sqrt(n) * 1048576.0 + 0.5) / 1048576.0 AS p
-  FROM tmpm_cnt WHERE n > 0
-),
-tmpm_w AS (
-  SELECT grp, n, p / (SELECT SUM(p) FROM tmpm_p) AS wt FROM tmpm_p
-),
-tmpm_targets AS (
-  SELECT grp,
-         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
-              AS BIGINT) AS k
-  FROM tmpm_w
-),
-tmpm_ranked AS (
-  SELECT doc_id, source AS grp,
-         CAST(row_number() OVER (
-           PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-           AS mix_rank
-  FROM documents
-)
-SELECT r.doc_id, r.grp AS source, r.mix_rank
-FROM tmpm_ranked r JOIN tmpm_targets t USING (grp)
-WHERE r.mix_rank <= t.k
-"""
-
-QUERIES["doc_temperature_mix"] = QuerySpec(
-    _temperature_mix,
-    _TEMPERATURE_MIX_ORACLE,
-    "temperature-sampled source mixture: w ∝ sqrt(mass), exact targets",
-)
-
-
-# --------------------------------------------------------------------------
-# Classifier evaluation: exact-arithmetic ROC AUC (r7). The rank-sum
-# (Mann-Whitney) form over score GROUPS: for each distinct score,
-# U += n_pos_at_s * (negatives strictly below) + n_pos*n_neg/2 for
-# ties — integers and exact halves only, so the sum is order-free
-# and AUC = U/(n_pos*n_neg) is the identical double in both engines
-# (dyadic-quantized at the end, never decimal-ROUNDed).
-# --------------------------------------------------------------------------
-
-
-def _quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from ..operators import quality_model as QM
-
-    w = _qm_weights(spark, sf_dir)
-    feats = _qm_feature_frame(_docs(spark, sf_dir))
-    scored = QM.score_quality(feats, w, vec_col="fv")
-    joined = scored.join(feats.select("doc_id", "__y"), "doc_id")
-    g = joined.groupBy("q_score").agg(
-        F.sum((F.col("__y") == 1.0).cast("long")).alias("n1"),
-        F.sum((F.col("__y") == 0.0).cast("long")).alias("n0"),
-    )
-    w_ord = Window.orderBy("q_score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum0 = F.coalesce(F.sum("n0").over(w_ord), F.lit(0)).cast("long")
-    c = g.withColumn("cum0", cum0)
-    return c.agg(
-        F.sum("n1").cast("long").alias("n_pos"),
-        F.sum("n0").cast("long").alias("n_neg"),
-        (
-            F.floor(
-                F.sum(
-                    F.col("n1") * F.col("cum0")
-                    + F.col("n1") * F.col("n0") / F.lit(2.0)
-                )
-                / (F.sum("n1") * F.sum("n0"))
-                * F.lit(1048576.0)
-                + F.lit(0.5)
-            )
-            / F.lit(1048576.0)
-        ).alias("auc"),
-    )
-
-
-_QUALITY_AUC_ORACLE = (
-    "WITH "
-    + _qm_ctes()
-    + f""",
-qauc_s AS ({_QM_SCORE_SQL}),
-qauc_j AS (
-  SELECT s.q_score, y.y FROM qauc_s s JOIN qmlab y USING (doc_id)
-),
-qauc_g AS (
-  SELECT q_score,
-         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,
-         SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS n0
-  FROM qauc_j GROUP BY q_score
-),
-qauc_c AS (
-  SELECT n1, n0,
-         COALESCE(SUM(n0) OVER (
-           ORDER BY q_score
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum0
-  FROM qauc_g
-)
-SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
-       CAST(SUM(n0) AS BIGINT) AS n_neg,
-       floor(SUM(n1 * cum0 + n1 * n0 / 2.0)
-             / (SUM(n1) * SUM(n0)) * 1048576.0 + 0.5) / 1048576.0
-         AS auc
-FROM qauc_c
-"""
-)
-
-QUERIES["doc_quality_auc"] = QuerySpec(
-    _quality_auc,
-    _QUALITY_AUC_ORACLE,
-    "exact rank-sum ROC AUC of the trained quality classifier",
-)
-
-
-# --------------------------------------------------------------------------
-# Containment clusters (r7): connected components over the directed
-# containment edges — a short doc quoted inside a long one lands in
-# the long one's cluster even when Jaccard never fires, so the
-# cluster map catches quote-chains symmetric dedup misses.
-# --------------------------------------------------------------------------
-
-
-def _containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
-
-    cc = connected_components(
-        _containment_pairs(spark, sf_dir), "id_inner", "id_outer"
-    )
-    return cc.select(
-        F.col("node").cast("bigint").alias("doc_id"),
-        F.col("component").cast("bigint").alias("cluster_id"),
-    )
-
-
-_CONTAINMENT_CLUSTERS_ORACLE = (
-    "WITH RECURSIVE cpairs AS (\n"
-    + _CONTAINMENT_ORACLE
-    + """
-),
-ce AS (SELECT id_inner AS a, id_outer AS b FROM cpairs
-       UNION SELECT id_outer, id_inner FROM cpairs),
-creach(a, b) AS (
-  SELECT a, b FROM ce
-  UNION
-  SELECT r.a, ce.b FROM creach r JOIN ce ON r.b = ce.a
-),
-cclusters AS (
-  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-  FROM creach GROUP BY a
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(cluster_id AS BIGINT) AS cluster_id
-FROM cclusters
-"""
-)
-
-QUERIES["doc_containment_clusters"] = QuerySpec(
-    _containment_clusters,
-    _CONTAINMENT_CLUSTERS_ORACLE,
-    "dedup clusters over the directed containment edge set",
-)
-
-
-# --------------------------------------------------------------------------
-# Conversation curation (r7): the composed pipeline for DIALOGUE data
-# — corpus-wide turn dedup (rewrite) → structural gate (min surviving
-# turns / malformed cap, exact-integer reasons) → turn-aware PII
-# scrub — over the synthesized turn corpus. plans/curation.py
-# curate_conversations. Names prefixed cvc_.
-# --------------------------------------------------------------------------
-
-
-def _conv_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.curation import curate_conversations
-
-    curated, audit = curate_conversations(
-        _conversed(spark, sf_dir), min_turns=2, scrub=True
-    )
-    kept = curated.select(
-        "doc_id",
-        F.lit("kept").alias("status"),
-        F.lit(None).cast("string").alias("reason"),
-        F.md5("text").alias("text_fp"),
-        "n_turns",
-        "n_dropped",
-    )
-    dropped = audit.select(
-        "doc_id",
-        F.col("stage").alias("status"),
-        "reason",
-        F.lit(None).cast("string").alias("text_fp"),
-        F.lit(None).cast("long").alias("n_turns"),
-        F.lit(None).cast("long").alias("n_dropped"),
-    )
-    return kept.unionByName(dropped)
-
-
-def _cvc_oracle() -> str:
-    from ..operators.pii import PII_PATTERNS
-
-    red = "content"
-    for pat, tag in PII_PATTERNS.values():
-        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
-    return (
-        "WITH "
-        + _TRN_CTES
-        + rf""",
-cvc_keyed AS (
-  SELECT doc_id, turn_idx, role, content,
-         md5(COALESCE(role, '') || chr(0)
-             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
-           AS th,
-         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
-  FROM trn_parsed
-),
-cvc_occ AS (
-  SELECT doc_id, turn_idx, role, content, blank,
-         ROW_NUMBER() OVER (
-           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
-  FROM cvc_keyed
-),
-cvc_kept AS (
-  SELECT doc_id, turn_idx, role, content, blank
-  FROM cvc_occ WHERE blank OR rn = 1
-),
-cvc_stats AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS nk,
-         CAST(SUM(CASE WHEN NOT blank THEN 1 ELSE 0 END) AS BIGINT)
-           AS nlive,
-         CAST(SUM(CASE WHEN role IS NULL AND NOT blank THEN 1 ELSE 0
-                  END) AS BIGINT) AS nmal
-  FROM cvc_kept GROUP BY doc_id
-),
-cvc_tot AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
-  FROM trn_lines GROUP BY doc_id
-),
-cvc_spine AS (
-  SELECT c.doc_id,
-         COALESCE(t.nt, 0) AS nt,
-         COALESCE(s.nk, 0) AS nk,
-         COALESCE(s.nlive, 0) AS nlive,
-         COALESCE(s.nmal, 0) AS nmal
-  FROM trn_conv c
-  LEFT JOIN cvc_tot t USING (doc_id)
-  LEFT JOIN cvc_stats s USING (doc_id)
-),
-cvc_agg AS (
-  SELECT k.doc_id,
-         string_agg(
-           CASE WHEN k.role IS NOT NULL
-                THEN k.role || ': ' || {red}
-                ELSE {red} END,
-           chr(10) ORDER BY k.turn_idx) AS text2
-  FROM cvc_kept k GROUP BY k.doc_id
-)
-SELECT s.doc_id, 'kept' AS status, CAST(NULL AS VARCHAR) AS reason,
-       md5(COALESCE(a.text2, '')) AS text_fp,
-       s.nt AS n_turns,
-       CAST(s.nt - s.nk AS BIGINT) AS n_dropped
-FROM cvc_spine s LEFT JOIN cvc_agg a USING (doc_id)
-WHERE s.nlive >= 2 AND s.nmal <= CAST(floor(0.0 * s.nlive) AS BIGINT)
-UNION ALL
-SELECT doc_id, 'structure' AS status,
-       CASE WHEN nlive < 2 THEN 'turns_' || nlive
-            ELSE 'malformed_' || nmal END AS reason,
-       CAST(NULL AS VARCHAR) AS text_fp,
-       CAST(NULL AS BIGINT) AS n_turns,
-       CAST(NULL AS BIGINT) AS n_dropped
-FROM cvc_spine
-WHERE nlive < 2 OR nmal > CAST(floor(0.0 * nlive) AS BIGINT)
-"""
-    )
-
-
-QUERIES["doc_conv_curation"] = QuerySpec(
-    _conv_curation,
-    _cvc_oracle(),
-    "composed conversation curation: turn dedup -> structure gate ->"
-    " turn-aware PII scrub",
-)
-
-
-# --------------------------------------------------------------------------
-# Retrieval evaluation (r7): MRR-style per-query metrics of the
-# batched hybrid fusion against deterministic contains-all-terms
-# relevance — exact integers (first relevant position) and the exact
-# IEEE reciprocal; no grading float ever crosses a rounding seam.
-# --------------------------------------------------------------------------
-
-
-def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = _docs(spark, sf_dir)
-    fused = _hybrid_batch(spark, sf_dir)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf"), F.asc("doc_id")
-    )
-    ranked = fused.withColumn(
-        "__r", F.row_number().over(w).cast("long")
-    )
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    rel_rows = []
-    for qid, terms in _HYBRID_BATCH_QUERIES.items():
-        cond = F.lit(True)
-        for t in terms:
-            cond = cond & F.array_contains(toks, t)
-        rel_rows.append(
-            docs.filter(cond).select(
-                F.lit(qid).alias("query_id"), "doc_id"
-            )
-        )
-    rel = rel_rows[0]
-    for r in rel_rows[1:]:
-        rel = rel.unionByName(r)
-    j = ranked.join(
-        rel.withColumn("__rel", F.lit(1)), ["query_id", "doc_id"], "left"
-    )
-    return j.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("k_returned"),
-        F.sum(F.coalesce("__rel", F.lit(0)))
-        .cast("long")
-        .alias("n_relevant_topk"),
-        F.min(F.when(F.col("__rel") == 1, F.col("__r")))
-        .cast("long")
-        .alias("first_rel_rank"),
-        F.coalesce(
-            F.lit(1.0)
-            / F.min(F.when(F.col("__rel") == 1, F.col("__r"))),
-            F.lit(0.0),
-        ).alias("rr"),
-    )
-
-
-def _retrieval_eval_oracle() -> str:
-    rrf = _hybrid_batch_oracle()
-    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
-    blocks, selects = [], []
-    for qid, terms in _HYBRID_BATCH_QUERIES.items():
-        in_terms = ", ".join(f"'{t}'" for t in terms)
-        n_terms = len(set(terms))
-        blocks.append(f"""
-rev_top_{qid} AS (
-  SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
-              AS BIGINT) AS r
-  FROM (SELECT * FROM fused_{qid}
-        ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})
-),
-rev_rel_{qid} AS (
-  SELECT t.doc_id, t.r,
-         CASE WHEN {n_terms} = (
-                SELECT COUNT(DISTINCT h.t) FROM htok h
-                WHERE h.doc_id = t.doc_id AND h.t IN ({in_terms}))
-              THEN 1 ELSE 0 END AS rel
-  FROM rev_top_{qid} t
-)""")
-        selects.append(f"""
-(SELECT '{qid}' AS query_id,
-        CAST(COUNT(*) AS BIGINT) AS k_returned,
-        CAST(SUM(rel) AS BIGINT) AS n_relevant_topk,
-        CAST(MIN(CASE WHEN rel = 1 THEN r END) AS BIGINT)
-          AS first_rel_rank,
-        COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN r END), 0.0) AS rr
- FROM rev_rel_{qid})""")
-    return (
-        ctes
-        + ","
-        + ",".join(blocks)
-        + "\n"
-        + "\nUNION ALL ".join(selects)
-    )
-
-
-QUERIES["doc_retrieval_eval"] = QuerySpec(
-    _retrieval_eval,
-    _retrieval_eval_oracle(),
-    "per-query hybrid retrieval metrics vs contains-all-terms"
-    " relevance: hits in top-k, first relevant rank, exact RR",
-)
-
-
-# --------------------------------------------------------------------------
-# Code-likeness signals (r7): the code-vs-prose routing signal real
-# curation pipelines branch on (C4 drops brace lines; code corpora
-# keep them) — exact-integer char/keyword counts, threshold booleans
-# on exact ratios. Map-only.
-# --------------------------------------------------------------------------
-
-_CODE_KWS = ("def", "return", "import", "function", "const", "class", "var")
-
-
-def _code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    kw_hits = F.size(
-        F.filter(toks, lambda x: x.isin(*_CODE_KWS))
-    ).cast("long")
-    punct = F.size(
-        F.expr("regexp_extract_all(text, '[{}();=]', 0)")
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    ratio = punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        punct.alias("code_punct"),
-        kw_hits.alias("kw_hits"),
-        ((ratio > 0.02) | (kw_hits >= 3)).alias("code_like"),
-    )
-
-
-_CODE_SIGNALS_ORACLE = rf"""
-SELECT doc_id,
-       CAST(len(text) AS BIGINT) AS n_chars,
-       CAST(len(regexp_extract_all(text, '[{{}}();=]')) AS BIGINT)
-         AS code_punct,
-       CAST(len(list_filter(
-         string_split_regex(trim(lower(text)), '\s+'),
-         x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
-         AS BIGINT) AS kw_hits,
-       (len(regexp_extract_all(text, '[{{}}();=]')) * 1.0
-          / greatest(len(text), 1) > 0.02)
-       OR (len(list_filter(
-            string_split_regex(trim(lower(text)), '\s+'),
-            x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
-           >= 3) AS code_like
-FROM documents
-"""
-
-QUERIES["doc_code_signals"] = QuerySpec(
-    _code_signals,
-    _CODE_SIGNALS_ORACLE,
-    "code-vs-prose routing signals: punct density, keyword hits",
-)
-
-
-def _unigram_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard packing measured in UNIGRAM pieces (the
-    doc_bpe_pack symmetry re-keyed to the other tokenizer)."""
-    from ..operators.packing import pack_sequences, pack_summary
-
-    ut = _ulm_text(spark, sf_dir)
-    packed = pack_sequences(ut, "doc_id", "n_pieces", budget=512)
-    return pack_summary(packed, "n_pieces")
-
-
-_ULM_PACK_ORACLE = (
-    "WITH "
-    + _ulm_train_ctes()
-    + _ulm_segment_ctes()
-    + r""",
-ulm_dtok AS (
-  SELECT doc_id, ws[i] AS word
-  FROM (SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\s+') AS ws
-        FROM documents),
-       unnest(generate_series(1, len(ws))) AS u(i)
-  WHERE ws[i] <> ''
-),
-ulm_np AS (
-  SELECT doc.doc_id, CAST(COALESCE(k.np, 0) AS BIGINT) AS n_pieces
-  FROM documents doc LEFT JOIN (
-    SELECT d.doc_id, COUNT(*) AS np
-    FROM ulm_dtok d JOIN ulm_seg s ON s.word = d.word
-    GROUP BY d.doc_id) k ON k.doc_id = doc.doc_id
-),
-ulm_offs AS (
-  SELECT doc_id, n_pieces,
-         CAST(SUM(n_pieces) OVER (
-           ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_pieces AS BIGINT) AS start_offset
-  FROM ulm_np
-)
-SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_pieces) AS BIGINT) AS total_tokens
-FROM ulm_offs GROUP BY seq_id
-"""
-)
-
-QUERIES["doc_unigram_pack"] = QuerySpec(
-    _unigram_pack,
-    _ULM_PACK_ORACLE,
-    "sequence packing measured in unigram pieces",
-)

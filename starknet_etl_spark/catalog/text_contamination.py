@@ -1,0 +1,102 @@
+"""Bloom-filter decontamination row.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+_BLOOM_M = 16384
+_BLOOM_J = 3
+
+
+def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/contamination.py
+    bloom_overlap): the benchmark collapses to a 16384-bit literal
+    bitmask and the train probe is a pure map — the 100 TB fast path
+    of doc_contamination. The exact join's n_overlap rides along so
+    the differential also proves the never-false-negative guarantee
+    (n_bloom_hits >= n_overlap on every doc)."""
+    from ..operators.contamination import bloom_overlap, ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    tr = docs.filter(F.col("source") != "src0")
+    be = docs.filter(F.col("source") == "src0")
+    b = bloom_overlap(
+        tr, be, "doc_id", "text",
+        n=5, m=_BLOOM_M, j=_BLOOM_J, threshold=0.2,
+    )
+    exact = ngram_overlap(
+        tr, be, "doc_id", "text", n=5, threshold=0.2
+    ).select("doc_id", "n_overlap")
+    return b.join(exact, "doc_id")
+
+
+_BLOOM_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+sh5 AS (
+  SELECT DISTINCT doc_id, source,
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM words, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh5 WHERE source = 'src0'),
+bbits AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(
+      md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM bench, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
+),
+tr AS (SELECT doc_id, g FROM sh5 WHERE source <> 'src0'),
+tpos AS (
+  SELECT doc_id, g, i,
+    CAST('0x' || substr(
+      md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM tr, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
+),
+hits AS (
+  SELECT doc_id, g
+  FROM tpos JOIN bbits USING (pos)
+  GROUP BY doc_id, g HAVING COUNT(*) = {_BLOOM_J}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
+bh AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM hits GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM tr JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(bh.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       ROUND(COALESCE(bh.n_bloom_hits, 0) * 1.0 / t.n_ngrams, 6)
+         AS bloom_frac,
+       COALESCE(bh.n_bloom_hits, 0) * 1.0 / t.n_ngrams >= 0.2
+         AS flagged,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM tot t
+LEFT JOIN bh USING (doc_id)
+LEFT JOIN ov USING (doc_id)
+"""
+
+QUERIES["doc_bloom_contamination"] = QuerySpec(
+    _bloom_contamination,
+    _BLOOM_ORACLE,
+    "bloom-bitmask decontamination probe vs the exact overlap join",
+)
+
+

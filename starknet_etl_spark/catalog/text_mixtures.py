@@ -1,0 +1,75 @@
+"""Mixture-weight rows: temperature (sqrt-mass) resampling.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# --------------------------------------------------------------------------
+# Temperature-sampled mixture (r7): w_g ∝ sqrt(mass_g) — the standard
+# multilingual/source rebalancing at alpha=0.5. sqrt is IEEE-
+# correctly-rounded (unlike pow), quantized to the dyadic grid so the
+# normalizing sum is exact — every floor(w·T) target bit-identical
+# across engines. mixing.temperature_weights + mix_corpus.
+# --------------------------------------------------------------------------
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import mix_corpus, temperature_weights
+
+    docs = _docs(spark, sf_dir)
+    w = temperature_weights(docs, "source", alpha=0.5)
+    out = mix_corpus(docs, "source", "doc_id", weights=w)
+    return out.select("doc_id", "source", "mix_rank")
+
+
+_TEMPERATURE_MIX_ORACLE = r"""
+WITH tmpm_cnt AS (
+  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+tmpm_p AS (
+  SELECT grp, n,
+         floor(sqrt(n) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM tmpm_cnt WHERE n > 0
+),
+tmpm_w AS (
+  SELECT grp, n, p / (SELECT SUM(p) FROM tmpm_p) AS wt FROM tmpm_p
+),
+tmpm_targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM tmpm_w
+),
+tmpm_ranked AS (
+  SELECT doc_id, source AS grp,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank
+  FROM documents
+)
+SELECT r.doc_id, r.grp AS source, r.mix_rank
+FROM tmpm_ranked r JOIN tmpm_targets t USING (grp)
+WHERE r.mix_rank <= t.k
+"""
+
+QUERIES["doc_temperature_mix"] = QuerySpec(
+    _temperature_mix,
+    _TEMPERATURE_MIX_ORACLE,
+    "temperature-sampled source mixture: w ∝ sqrt(mass), exact targets",
+)
+
+

@@ -1,0 +1,171 @@
+"""Near-dup signal rows beyond the base suite: SimHash banded pairs, containment pairs/clusters.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import dedup as D
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _SHINGLES_CTE,
+    _SIMHASH_CTES,
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completed to PAIRS: banded Hamming-LSH candidates
+    (pigeonhole: hamming <= 3 over 4 blocks forces one exact block
+    match), exact bit_count(xor) verify inside buckets only
+    (operators/dedup.simhash_pairs)."""
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, bits=16, bands=4, max_hamming=3,
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH "
+    + _SIMHASH_CTES
+    + r""",
+bnd AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * 4)) % 16 AS val
+  FROM sim, unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bnd a JOIN bnd b
+    ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2,
+       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+)
+
+QUERIES["doc_simhash_pairs"] = QuerySpec(
+    _simhash_pairs,
+    _SIMHASH_PAIRS_ORACLE,
+    "banded Hamming-LSH simhash near-dup pairs with exact verify",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Containment pairs (r7): the asymmetric near-SUPERSET dedup signal —
+# |A ∩ B| / |A| — that symmetric Jaccard structurally cannot express
+# (a short doc quoted verbatim inside a long one: containment ~1.0
+# from the short side, Jaccard ~|A|/|B|). dedup.containment_pairs.
+# --------------------------------------------------------------------------
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=0.8, max_df_frac=0.10,
+    )
+
+
+_CONTAINMENT_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+chot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+cshc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM chot)),
+csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshc GROUP BY doc_id),
+cinter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM cshc a JOIN cshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cboth AS (
+  SELECT id_1, id_2, i, s1.n_sh AS n_1, s2.n_sh AS n_2
+  FROM cinter
+  JOIN csizes s1 ON s1.doc_id = id_1
+  JOIN csizes s2 ON s2.doc_id = id_2
+),
+cdir AS (
+  SELECT id_1 AS id_inner, id_2 AS id_outer, i * 1.0 / n_1 AS c
+  FROM cboth
+  UNION ALL
+  SELECT id_2 AS id_inner, id_1 AS id_outer, i * 1.0 / n_2 AS c
+  FROM cboth
+)
+SELECT id_inner, id_outer, ROUND(c, 6) AS containment
+FROM cdir WHERE c >= 0.8
+"""
+)
+
+QUERIES["doc_containment_pairs"] = QuerySpec(
+    _containment_pairs,
+    _CONTAINMENT_ORACLE,
+    "directed shingle-containment pairs: near-superset dedup signal",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Containment clusters (r7): connected components over the directed
+# containment edges — a short doc quoted inside a long one lands in
+# the long one's cluster even when Jaccard never fires, so the
+# cluster map catches quote-chains symmetric dedup misses.
+# --------------------------------------------------------------------------
+
+
+def _containment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    cc = connected_components(
+        _containment_pairs(spark, sf_dir), "id_inner", "id_outer"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+_CONTAINMENT_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE cpairs AS (\n"
+    + _CONTAINMENT_ORACLE
+    + """
+),
+ce AS (SELECT id_inner AS a, id_outer AS b FROM cpairs
+       UNION SELECT id_outer, id_inner FROM cpairs),
+creach(a, b) AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.a, ce.b FROM creach r JOIN ce ON r.b = ce.a
+),
+cclusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM creach GROUP BY a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM cclusters
+"""
+)
+
+QUERIES["doc_containment_clusters"] = QuerySpec(
+    _containment_clusters,
+    _CONTAINMENT_CLUSTERS_ORACLE,
+    "dedup clusters over the directed containment edge set",
+)
+
+

@@ -1,0 +1,591 @@
+"""Trained quality classifier rows: train/score, eval, exact AUC, curation hookup, code-likeness signals.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import text as X
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _HE_DIM,
+    _curation_oracle,
+    _docs,
+    _he_components_sql,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (r6): a linear model distilling the
+# rule-based clean gate into a learned score — features are the
+# gate's own INPUTS (saturated word count, dup-word fraction, the
+# lang-marker argmax indicator, the exact-dup indicator) plus the
+# hash_embed bag-of-words vector; trained with fixed-round full-batch
+# gradient descent, the trainer REPLAYED in DuckDB via unrolled
+# per-round CTEs (the Lloyd pattern). Sigmoid-free by design: exp is
+# the one transcendental libm doesn't promise to round identically
+# across engines. At sf0.01 the learned model scores 0.94 accuracy
+# against its distillation target (majority baseline 0.846).
+# --------------------------------------------------------------------------
+
+_QM_ROUNDS = 16
+_QM_LR = 0.5
+_QM_N_SCALARS = 4  # sat_words, dup_word_frac, en_ind, dup_ind
+_QM_DIM = _QM_N_SCALARS + _HE_DIM  # feature vector width (sans bias)
+_QM_CACHE: dict = {}
+
+
+def _qm_feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, fv, __y): the shared standard recipe
+    (quality_model.standard_quality_features) plus the clean gate's
+    keep flag as the distillation target."""
+    from ..operators.quality_model import standard_quality_features
+
+    labels = X.clean_corpus(
+        docs, "doc_id", "text",
+        min_words=20, max_dup_word_frac=0.7, langs=("en",),
+    ).select("doc_id", F.col("keep").cast("double").alias("__y"))
+    feats = standard_quality_features(
+        docs, "doc_id", "text", dim=_HE_DIM
+    )
+    return feats.join(labels, "doc_id")
+
+
+def _qm_weights(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators import quality_model as QM
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QM_CACHE:
+        feats = _qm_feature_frame(_docs(spark, sf_dir))
+        _QM_CACHE[key] = QM.train_quality_model(
+            feats, "doc_id", "__y",
+            vec_col="fv", dim=_QM_DIM,
+            n_rounds=_QM_ROUNDS, lr=_QM_LR,
+        )
+    return _QM_CACHE[key]
+
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality_model as QM
+
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(_docs(spark, sf_dir))
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    return scored.select(
+        "doc_id",
+        "q_score",
+        (F.col("q_score") >= 0.5).alias("pred_keep"),
+    )
+
+
+def _qm_ctes(src: str = "documents") -> str:
+    """Label + long-form features + the unrolled GD rounds, scoped to
+    ``src`` — the curation composition re-scopes to its own corpus."""
+    label = rf"""
+qmw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM {src}
+),
+qmrep AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+           AS dup_word_frac
+  FROM qmw
+),
+qmlg AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+              AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh)
+         THEN 1.0 ELSE 0.0 END AS en_ind,
+    CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
+         THEN 1.0 ELSE 0.0 END AS dup_ind
+  FROM {src}
+),
+qmlab AS MATERIALIZED (
+  SELECT l.doc_id,
+         CASE WHEN l.dup_ind = 1.0 THEN 0.0
+              WHEN r.n_words < 20 THEN 0.0
+              WHEN r.dup_word_frac > 0.7 THEN 0.0
+              WHEN l.en_ind = 0.0 THEN 0.0
+              ELSE 1.0 END AS y
+  FROM qmlg l JOIN qmrep r ON r.doc_id = l.doc_id
+)"""
+    feats = (
+        _he_components_sql(src)
+        + f""",
+qmspine AS (
+  SELECT d.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM {src}) d,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+qmx AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {src}
+    UNION ALL
+    SELECT doc_id, 1, least(n_words, 20) / 20.0 FROM qmrep
+    UNION ALL
+    SELECT doc_id, 2, dup_word_frac FROM qmrep
+    UNION ALL
+    SELECT doc_id, 3, en_ind FROM qmlg
+    UNION ALL
+    SELECT doc_id, 4, dup_ind FROM qmlg
+    UNION ALL
+    SELECT s.doc_id, s.idx + {_QM_N_SCALARS + 1},
+           CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+                ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END
+    FROM qmspine s
+    LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+    LEFT JOIN nrm ON nrm.doc_id = s.doc_id
+  )
+),
+qmn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {src})"""
+    )
+    rounds = [
+        f"""
+qw0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, {_QM_DIM})) AS u(j)
+)"""
+    ]
+    for k in range(_QM_ROUNDS):
+        rounds.append(f"""
+qp{k} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM qmx x JOIN qw{k} w USING (j) GROUP BY x.doc_id
+),
+qg{k} AS (
+  SELECT x.j,
+         floor(SUM(x.x * (p.p - y.y)) / qmn.n * 1048576.0 + 0.5)
+           / 1048576.0 AS g
+  FROM qmx x
+  JOIN qp{k} p USING (doc_id)
+  JOIN qmlab y USING (doc_id)
+  CROSS JOIN qmn
+  GROUP BY x.j, qmn.n
+),
+qw{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_QM_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM qw{k} w JOIN qg{k} g USING (j)
+)""")
+    return label + ",\n" + feats + ",\n" + ",".join(rounds)
+
+
+_QM_SCORE_SQL = f"""
+SELECT x.doc_id,
+       floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
+FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
+GROUP BY x.doc_id
+"""
+
+_QUALITY_CLASSIFIER_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qscore AS ({_QM_SCORE_SQL})
+SELECT doc_id, q_score, q_score >= 0.5 AS pred_keep FROM qscore
+"""
+)
+
+QUERIES["doc_quality_classifier"] = QuerySpec(
+    _quality_classifier,
+    _QUALITY_CLASSIFIER_ORACLE,
+    "linear quality model: GD-trained, distilling the clean gate",
+)
+
+
+def _qm_weights_for(spark: SparkSession, tag: str, docs: DataFrame) -> list:
+    """Corpus-scoped trained weights, cached per (session, tag)."""
+    from ..operators import quality_model as QM
+
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _QM_CACHE:
+        _QM_CACHE[key] = QM.train_quality_model(
+            _qm_feature_frame(docs), "doc_id", "__y",
+            vec_col="fv", dim=_QM_DIM,
+            n_rounds=_QM_ROUNDS, lr=_QM_LR,
+        )
+    return _QM_CACHE[key]
+
+
+def _curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline with the LEARNED quality gate: weights
+    trained on the curation input corpus (distilling the clean gate),
+    then curate_corpus(quality_model=...) — clean → model gate →
+    near-dup → decontamination → redact → split. Same output shape
+    as doc_curation_pipeline; the oracle replays training AND the
+    gated composition."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    w = _qm_weights_for(spark, f"curation_qm:{sf_dir}", corpus)
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        quality_model=w,
+        # 0.67 sits just inside the kept-score distribution's low
+        # tail at sf0.01 (min 0.64, median 0.72) — the gate fires on
+        # the lowest-quality survivors instead of rubber-stamping
+        quality_model_threshold=0.67,
+        quality_model_dim=_HE_DIM,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+_CURATION_QUALITY_BLOCK = (
+    _qm_ctes("corpus")
+    + f""",
+qscore AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS q_score
+  FROM qmx x JOIN qw{_QM_ROUNDS} w USING (j)
+  WHERE x.doc_id IN (SELECT doc_id FROM kept0)
+  GROUP BY x.doc_id
+),
+qdrop AS MATERIALIZED (
+  SELECT doc_id, q_score FROM qscore WHERE q_score < 0.67
+)"""
+)
+
+QUERIES["doc_curation_quality"] = QuerySpec(
+    _curation_quality,
+    _curation_oracle(quality_block=_CURATION_QUALITY_BLOCK),
+    "composed curation with the GD-trained quality gate",
+)
+
+
+
+
+def _quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's quality CLAIM as a differential row: exact
+    integer confusion counts of the trained model against its
+    distillation target, plus the rounded accuracy — the 0.94-vs-
+    0.846-baseline statement is oracle-checked, not narrated."""
+    from ..operators import quality_model as QM
+
+    docs = _docs(spark, sf_dir)
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(docs)
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    joined = scored.join(
+        feats.select("doc_id", "__y"), "doc_id"
+    ).select(
+        (F.col("q_score") >= 0.5).alias("__p"),
+        (F.col("__y") == 1.0).alias("__t"),
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("__p") & F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("__p") & ~F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(~F.col("__p") & F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when(~F.col("__p") & ~F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("tn"),
+        F.round(
+            F.sum(
+                F.when(F.col("__p") == F.col("__t"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+_QUALITY_EVAL_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qscore AS ({_QM_SCORE_SQL}),
+cls AS (
+  SELECT s.q_score >= 0.5 AS p, y.y = 1.0 AS t
+  FROM qscore s JOIN qmlab y USING (doc_id)
+)
+SELECT CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         AS tn,
+       ROUND(SUM(CASE WHEN p = t THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS accuracy
+FROM cls
+"""
+)
+
+QUERIES["doc_quality_eval"] = QuerySpec(
+    _quality_eval,
+    _QUALITY_EVAL_ORACLE,
+    "exact confusion counts of the trained quality model",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: exact-arithmetic ROC AUC (r7). The rank-sum
+# (Mann-Whitney) form over score GROUPS: for each distinct score,
+# U += n_pos_at_s * (negatives strictly below) + n_pos*n_neg/2 for
+# ties — integers and exact halves only, so the sum is order-free
+# and AUC = U/(n_pos*n_neg) is the identical double in both engines
+# (dyadic-quantized at the end, never decimal-ROUNDed).
+# --------------------------------------------------------------------------
+
+
+def _quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import quality_model as QM
+
+    w = _qm_weights(spark, sf_dir)
+    feats = _qm_feature_frame(_docs(spark, sf_dir))
+    scored = QM.score_quality(feats, w, vec_col="fv")
+    joined = scored.join(feats.select("doc_id", "__y"), "doc_id")
+    g = joined.groupBy("q_score").agg(
+        F.sum((F.col("__y") == 1.0).cast("long")).alias("n1"),
+        F.sum((F.col("__y") == 0.0).cast("long")).alias("n0"),
+    )
+    w_ord = Window.orderBy("q_score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum0 = F.coalesce(F.sum("n0").over(w_ord), F.lit(0)).cast("long")
+    c = g.withColumn("cum0", cum0)
+    return c.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        (
+            F.floor(
+                F.sum(
+                    F.col("n1") * F.col("cum0")
+                    + F.col("n1") * F.col("n0") / F.lit(2.0)
+                )
+                / (F.sum("n1") * F.sum("n0"))
+                * F.lit(1048576.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1048576.0)
+        ).alias("auc"),
+    )
+
+
+_QUALITY_AUC_ORACLE = (
+    "WITH "
+    + _qm_ctes()
+    + f""",
+qauc_s AS ({_QM_SCORE_SQL}),
+qauc_j AS (
+  SELECT s.q_score, y.y FROM qauc_s s JOIN qmlab y USING (doc_id)
+),
+qauc_g AS (
+  SELECT q_score,
+         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS n0
+  FROM qauc_j GROUP BY q_score
+),
+qauc_c AS (
+  SELECT n1, n0,
+         COALESCE(SUM(n0) OVER (
+           ORDER BY q_score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum0
+  FROM qauc_g
+)
+SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+       CAST(SUM(n0) AS BIGINT) AS n_neg,
+       floor(SUM(n1 * cum0 + n1 * n0 / 2.0)
+             / (SUM(n1) * SUM(n0)) * 1048576.0 + 0.5) / 1048576.0
+         AS auc
+FROM qauc_c
+"""
+)
+
+QUERIES["doc_quality_auc"] = QuerySpec(
+    _quality_auc,
+    _QUALITY_AUC_ORACLE,
+    "exact rank-sum ROC AUC of the trained quality classifier",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Code-likeness signals (r7): the code-vs-prose routing signal real
+# curation pipelines branch on (C4 drops brace lines; code corpora
+# keep them) — exact-integer char/keyword counts, threshold booleans
+# on exact ratios. Map-only.
+# --------------------------------------------------------------------------
+
+_CODE_KWS = ("def", "return", "import", "function", "const", "class", "var")
+
+
+def _code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    kw_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_CODE_KWS))
+    ).cast("long")
+    punct = F.size(
+        F.expr("regexp_extract_all(text, '[{}();=]', 0)")
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    ratio = punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        punct.alias("code_punct"),
+        kw_hits.alias("kw_hits"),
+        ((ratio > 0.02) | (kw_hits >= 3)).alias("code_like"),
+    )
+
+
+_CODE_SIGNALS_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[{{}}();=]')) AS BIGINT)
+         AS code_punct,
+       CAST(len(list_filter(
+         string_split_regex(trim(lower(text)), '\s+'),
+         x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
+         AS BIGINT) AS kw_hits,
+       (len(regexp_extract_all(text, '[{{}}();=]')) * 1.0
+          / greatest(len(text), 1) > 0.02)
+       OR (len(list_filter(
+            string_split_regex(trim(lower(text)), '\s+'),
+            x -> x IN ({", ".join("'" + k + "'" for k in _CODE_KWS)})))
+           >= 3) AS code_like
+FROM documents
+"""
+
+QUERIES["doc_code_signals"] = QuerySpec(
+    _code_signals,
+    _CODE_SIGNALS_ORACLE,
+    "code-vs-prose routing signals: punct density, keyword hits",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney LM quality filter (r8): the CCNet/KenLM tier the quality
+# stack previously approximated with unigram/add-1-bigram proxies — a
+# full interpolated trigram KN model with exact integer continuation
+# counts, dyadic discount D=3/4, and q20 per-token logprobs (sums are
+# exact, order-free). Oracle unrolls the complete count hierarchy and
+# the three-level interpolation in DuckDB. Names _KN_/kn_.
+# --------------------------------------------------------------------------
+
+
+def _kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean trigram-KN log2 probability per document, self-corpus.
+
+    Reference anchor: the modeling-tier analytics the reference
+    delegates to its warehouse (generate_report_dag.py:34-66),
+    instantiated as the canonical web-corpus quality model."""
+    from ..operators.knlm import kn_logprob
+
+    return kn_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_KN_ORACLE = r"""
+WITH kn_toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+kn_grams AS (
+  SELECT doc_id, w1, w2, w3 FROM (
+    SELECT doc_id,
+           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           w AS w3
+    FROM kn_toks)
+  WHERE w1 IS NOT NULL
+),
+kn_c3 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c FROM kn_grams GROUP BY w1, w2, w3
+),
+kn_ctx2 AS (
+  SELECT w1, w2, SUM(c) AS ctx, COUNT(*) AS t FROM kn_c3 GROUP BY w1, w2
+),
+kn_cc2 AS (SELECT w2, w3, COUNT(*) AS cc FROM kn_c3 GROUP BY w2, w3),
+kn_ctx1 AS (
+  SELECT w2, SUM(cc) AS ctx, COUNT(*) AS t FROM kn_cc2 GROUP BY w2
+),
+kn_cc1 AS (SELECT w3, COUNT(*) AS cc FROM kn_cc2 GROUP BY w3),
+kn_tot AS (SELECT SUM(cc) AS n12, COUNT(*) AS v1 FROM kn_cc1),
+kn_v AS (SELECT COUNT(DISTINCT w) AS v FROM kn_toks),
+kn_lp AS (
+  SELECT g.doc_id,
+         floor(log2(
+           greatest(c3.c - 0.75, 0.0) / ctx2.ctx
+           + 0.75 * ctx2.t / ctx2.ctx * (
+               greatest(cc2.cc - 0.75, 0.0) / ctx1.ctx
+               + 0.75 * ctx1.t / ctx1.ctx * (
+                   greatest(cc1.cc - 0.75, 0.0) / tot.n12
+                   + 0.75 * tot.v1 / tot.n12 * (1.0 / (v.v + 1.0))
+               )
+           )
+         ) * 1048576.0 + 0.5) / 1048576.0 AS lp
+  FROM kn_grams g
+  JOIN kn_c3 c3 USING (w1, w2, w3)
+  JOIN kn_ctx2 ctx2 USING (w1, w2)
+  JOIN kn_cc2 cc2 USING (w2, w3)
+  JOIN kn_ctx1 ctx1 USING (w2)
+  JOIN kn_cc1 cc1 USING (w3),
+  kn_tot tot, kn_v v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       floor(SUM(lp) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS kn_logprob
+FROM kn_lp GROUP BY doc_id
+"""
+
+QUERIES["doc_kn_logprob"] = QuerySpec(
+    _kn_logprob,
+    _KN_ORACLE,
+    "interpolated trigram Kneser-Ney LM quality score (CCNet tier):"
+    " exact continuation counts, dyadic D, q20 per-token logprobs",
+)

@@ -1,0 +1,1008 @@
+"""Retrieval tiers over documents: hybrid RRF + batched, proximity, learned fusion (LTR), retrieval eval.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import text as X
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _BM25_ORACLE,
+    _BM25_TERMS,
+    _HE_DIM,
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval (r6): reciprocal-rank fusion over the two INDEXED
+# probes — BM25 postings index + SRP-bucketed hash_embed ANN index —
+# exactly what a retrieval consumer calls. Ranks are exact integers
+# from each probe's deterministic (rounded score DESC, id ASC) order,
+# so the fusion arithmetic is cross-engine-deterministic by
+# construction. Oracle assembled from the PROVEN blocks: the
+# _BM25_ORACLE scan math (index ≡ scan bit-equal), the hash_embed
+# component chain over documents ∪ the query pseudo-doc, and the
+# mm-row SRP bucket construction.
+# --------------------------------------------------------------------------
+
+_HYBRID_QUERY_TEXT = " ".join(_BM25_TERMS)  # one bag, both probes
+_HYBRID_CANDIDATES = 15
+_HYBRID_K = 10
+_HYBRID_RRF_K = 60
+
+
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index, hybrid_search
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    # zero vectors (tokenless / fully-cancelling bags) carry no
+    # signal and would make the cosine 0/0 — drop them at build
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    qdf = spark.createDataFrame(
+        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
+    )
+    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    return hybrid_search(
+        spark,
+        ppath,
+        apath,
+        list(_BM25_TERMS),
+        query,
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+# The BM25 CTE chain of _BM25_ORACLE verbatim (strip 'WITH ' and the
+# final SELECT), reused as the lexical arm.
+_BM25_CTES = _BM25_ORACLE.strip().removeprefix("WITH ").rsplit(
+    "SELECT doc_id, ROUND", 1
+)[0].rstrip().rstrip(",")
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id, ROUND(c0 + c1 + c2, 6) AS bm25
+  FROM per ORDER BY bm25 DESC, doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM lex
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, '{_HYBRID_QUERY_TEXT}'
+),
+htok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM corpus
+),
+hcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM htok WHERE t <> '' GROUP BY doc_id, idx
+),
+hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
+hspine AS (
+  SELECT c.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM corpus) c,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+hx AS MATERIALIZED (
+  SELECT s.doc_id, s.idx,
+         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
+              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
+  FROM hspine s
+  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
+),
+hxn AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
+),
+srpw AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, {_HE_DIM})) AS td(d)
+),
+srpproj AS (
+  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
+  FROM hx h JOIN srpw w ON w.d = h.idx + 1
+  GROUP BY h.doc_id, w.p
+),
+srpb AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM srpproj GROUP BY doc_id
+),
+qb AS (SELECT b FROM srpb WHERE doc_id = -1),
+sem AS (
+  SELECT a.doc_id,
+         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
+  FROM hx a
+  JOIN hx q ON q.doc_id = -1 AND q.idx = a.idx
+  JOIN srpb ba ON ba.doc_id = a.doc_id
+  JOIN qb ON qb.b = ba.b
+  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
+  JOIN hxn qn ON qn.doc_id = -1
+  WHERE a.doc_id <> -1
+  GROUP BY a.doc_id, an.rn, qn.rn
+  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+semr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+              AS BIGINT) AS sem_rank
+  FROM sem
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
+               6) AS rrf
+  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+QUERIES["doc_hybrid_search"] = QuerySpec(
+    _hybrid_search,
+    _HYBRID_ORACLE,
+    "RRF fusion of the BM25-index and ANN-index probes",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Batched hybrid retrieval (r6): many (terms, vector) queries, ONE
+# bucket-pruned postings read + ONE union-of-cells ANN read,
+# per-query bit-equal to the hybrid_search loop. The oracle fuses
+# per-query arms over SHARED corpus CTEs (the bm25_batch pattern ×
+# the hybrid embed/SRP block, pseudo-docs -1, -2, ... carrying the
+# query texts).
+# --------------------------------------------------------------------------
+
+_HYBRID_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q0": _BM25_TERMS,            # idf-spread bag
+    "q1": ("the", "data"),        # high-df bag, different cell
+}
+
+
+def _hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index, hybrid_batch
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    qtexts = spark.createDataFrame(
+        [
+            (-(i + 1), " ".join(terms))
+            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+        ],
+        "doc_id bigint, text string",
+    )
+    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    qid_of = {
+        -(i + 1): qid
+        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
+    }
+    mapping = F.create_map(
+        *[F.lit(v) for kv in qid_of.items() for v in kv]
+    )
+    terms_map = {
+        qid: list(terms)
+        for qid, terms in _HYBRID_BATCH_QUERIES.items()
+    }
+    queries = qemb.select(
+        mapping[F.col("doc_id")].alias("query_id"),
+        "embedding",
+        "cell",
+    ).withColumn(
+        "terms",
+        F.when(
+            F.col("query_id") == "q0",
+            F.array(*[F.lit(t) for t in terms_map["q0"]]),
+        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
+    )
+    return hybrid_batch(
+        spark,
+        ppath,
+        apath,
+        queries,
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+def _hybrid_batch_oracle() -> str:
+    pseudo = "\n  UNION ALL ".join(
+        f"SELECT {-(i + 1)}, '{' '.join(terms)}'"
+        for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+    )
+    shared = rf"""
+hbase AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+hstats AS (
+  SELECT COUNT(*) AS nd, ROUND(AVG(dl), 6) AS avgdl FROM hbase
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {pseudo}
+),
+htok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM corpus
+),
+hcomp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_HE_DIM}
+              AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM htok WHERE t <> '' GROUP BY doc_id, idx
+),
+hnrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM hcomp GROUP BY doc_id),
+hspine AS (
+  SELECT c.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM corpus) c,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+hx AS MATERIALIZED (
+  SELECT s.doc_id, s.idx,
+         CASE WHEN hnrm.nn IS NULL OR hnrm.nn = 0 THEN 0.0
+              ELSE ROUND(COALESCE(c.v, 0.0) / hnrm.nn, 6) END AS x
+  FROM hspine s
+  LEFT JOIN hcomp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+  LEFT JOIN hnrm ON hnrm.doc_id = s.doc_id
+),
+hxn AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS rn FROM hx GROUP BY doc_id
+),
+srpw AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, {_HE_DIM})) AS td(d)
+),
+srpproj AS (
+  SELECT h.doc_id, w.p, SUM(w.wt * h.x) AS s
+  FROM hx h JOIN srpw w ON w.d = h.idx + 1
+  GROUP BY h.doc_id, w.p
+),
+srpb AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM srpproj GROUP BY doc_id
+)"""
+    blocks, selects = [], []
+    for i, (qid, terms) in enumerate(_HYBRID_BATCH_QUERIES.items()):
+        pid = -(i + 1)
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        conds = ",\n         ".join(
+            f"COALESCE(SUM(CASE WHEN t = '{t}' THEN c END), 0) AS c{j}"
+            for j, t in enumerate(terms)
+        )
+        total = " + ".join(f"c{j}" for j in range(len(terms)))
+        blocks.append(f"""
+tf_{qid} AS (
+  SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(ws) AS t FROM hbase)
+  WHERE t IN ({in_list})
+  GROUP BY doc_id, t
+),
+dfreq_{qid} AS (SELECT t, COUNT(*) AS df FROM tf_{qid} GROUP BY t),
+contrib_{qid} AS (
+  SELECT doc_id, t,
+         ROUND(
+           ln((nd - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * (tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+           6) AS c
+  FROM tf_{qid} JOIN dfreq_{qid} USING (t) CROSS JOIN hstats
+),
+per_{qid} AS (
+  SELECT doc_id,
+         {conds}
+  FROM contrib_{qid} GROUP BY doc_id
+),
+lex_{qid} AS (
+  SELECT doc_id, ROUND({total}, 6) AS bm25
+  FROM per_{qid} ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {_HYBRID_CANDIDATES}
+),
+lexr_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM lex_{qid}
+),
+qb_{qid} AS (SELECT b FROM srpb WHERE doc_id = {pid}),
+sem_{qid} AS (
+  SELECT a.doc_id,
+         ROUND(SUM(a.x * q.x) / (an.rn * qn.rn), 6) AS cos_sim
+  FROM hx a
+  JOIN hx q ON q.doc_id = {pid} AND q.idx = a.idx
+  JOIN srpb ba ON ba.doc_id = a.doc_id
+  JOIN qb_{qid} ON qb_{qid}.b = ba.b
+  JOIN hxn an ON an.doc_id = a.doc_id AND an.rn > 0
+  JOIN hxn qn ON qn.doc_id = {pid}
+  WHERE a.doc_id >= 0
+  GROUP BY a.doc_id, an.rn, qn.rn
+  ORDER BY cos_sim DESC, a.doc_id ASC LIMIT {_HYBRID_CANDIDATES}
+),
+semr_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+              AS BIGINT) AS sem_rank
+  FROM sem_{qid}
+),
+fused_{qid} AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_HYBRID_RRF_K} + s.sem_rank), 0.0),
+               6) AS rrf
+  FROM lexr_{qid} l FULL OUTER JOIN semr_{qid} s ON s.doc_id = l.doc_id
+)""")
+        selects.append(
+            f"(SELECT '{qid}' AS query_id, doc_id, lex_rank, sem_rank, "
+            f"rrf FROM fused_{qid} "
+            f"ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})"
+        )
+    return (
+        "WITH "
+        + shared
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def _hybrid_batch_ltr_oracle() -> str:
+    """The batch arms (shared verbatim with _hybrid_batch_oracle via
+    the same construction) + LTR training on q0's candidate pool —
+    which IS doc_hybrid_ltr's training pool, since q0's terms are
+    _BM25_TERMS and the pseudo-doc embedding/cell scheme matches —
+    + per-query learned scoring. CTE order: pools for every query,
+    then the GD unroll (reads q0's pool), then scoring."""
+    rrf = _hybrid_batch_oracle()
+    # strip the final RRF selects; keep "WITH shared, blocks"
+    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
+    pools, scores, selects = [], [], []
+    for qid in _HYBRID_BATCH_QUERIES:
+        pools.append(f"""
+bcand_{qid} AS MATERIALIZED (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         COALESCE(l.bm25, 0.0) AS bm25,
+         COALESCE(s.cos_sim, 0.0) AS cos_sim,
+         lr.lex_rank, sr.sem_rank
+  FROM lexr_{qid} lr
+  FULL OUTER JOIN semr_{qid} sr ON sr.doc_id = lr.doc_id
+  LEFT JOIN lex_{qid} l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+  LEFT JOIN sem_{qid} s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+),{_ltr_x_sql(f"bx_{qid}", f"bcand_{qid}")}""")
+        scores.append(f"""
+bs_{qid} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
+  FROM bx_{qid} x JOIN bltrw{_LTR_ROUNDS} w USING (j)
+  GROUP BY x.doc_id
+)""")
+        selects.append(
+            f"(SELECT '{qid}' AS query_id, c.doc_id, c.lex_rank, "
+            f"c.sem_rank, s.ltr FROM bcand_{qid} c "
+            f"JOIN bs_{qid} s USING (doc_id) "
+            f"ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K})"
+        )
+    n_terms = len(set(_BM25_TERMS))
+    in_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    train = f"""
+bltr_y AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN {n_terms} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = c.doc_id AND h.t IN ({in_terms}))
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM bcand_q0 c
+),
+bltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bcand_q0),
+bltr_x AS MATERIALIZED (SELECT * FROM bx_q0),
+{_ltr_rounds_sql("bltr")}"""
+    return (
+        ctes
+        + ","
+        + ",".join(pools)
+        + ","
+        + train
+        + ","
+        + ",".join(scores)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+QUERIES["doc_hybrid_batch"] = QuerySpec(
+    _hybrid_batch,
+    _hybrid_batch_oracle(),
+    "batched RRF fusion: one read per index for many queries",
+)
+
+
+
+
+_PROX_TERMS = ("table", "hash", "scan")
+_PROX_WINDOW = 10
+
+
+def _proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval (SpanNear): docs holding all three terms
+    within a 10-token covering span, with the minimal span — the
+    tier between BM25 and exact phrase (operators/search.py)."""
+    from ..operators.search import proximity_search
+
+    return proximity_search(
+        _docs(spark, sf_dir), list(_PROX_TERMS), window=_PROX_WINDOW
+    )
+
+
+def _proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same probe over the persisted positional index — bucket-
+    pruned read, identical rows to the scan (shared span core)."""
+    from ..operators.search import (
+        build_positional_index,
+        proximity_indexed,
+    )
+
+    path = scratch_path(spark, sf_dir, "positional_prox_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return proximity_indexed(
+        spark, path, list(_PROX_TERMS), window=_PROX_WINDOW
+    )
+
+
+_PROXIMITY_ORACLE = rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] IN ('hash', 'scan', 'table')
+),
+spans AS (
+  SELECT a.doc_id,
+         greatest(a.pos, b.pos, c.pos)
+           - least(a.pos, b.pos, c.pos) AS span
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.t = 'scan'
+  JOIN tok c ON c.doc_id = a.doc_id AND c.t = 'table'
+  WHERE a.t = 'hash'
+)
+SELECT doc_id, CAST(MIN(span) AS BIGINT) AS min_span
+FROM spans GROUP BY doc_id
+HAVING MIN(span) <= {_PROX_WINDOW}
+"""
+
+QUERIES["doc_proximity_search"] = QuerySpec(
+    _proximity_search,
+    _PROXIMITY_ORACLE,
+    "SpanNear proximity retrieval: all terms within a token window",
+)
+
+QUERIES["doc_proximity_indexed"] = QuerySpec(
+    _proximity_indexed,
+    _PROXIMITY_ORACLE,
+    "proximity probe over the positional index == the scan",
+)
+
+
+_BATCH_PROX = {
+    "near_table_hash_scan": (("table", "hash", "scan"), 10),
+    "near_merge_key": (("merge", "key"), 6),
+}
+
+
+def _proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched proximity probes: one union-of-buckets positional
+    read serves every query; per query identical to the single-probe
+    loop (exact integer spans — no rounding seam)."""
+    from ..operators.search import build_positional_index, proximity_batch
+
+    path = scratch_path(spark, sf_dir, "positional_proxb_catalog")
+    build_positional_index(_docs(spark, sf_dir), path, n_buckets=16)
+    return proximity_batch(
+        spark, path,
+        {k: (list(t), w) for k, (t, w) in _BATCH_PROX.items()},
+    )
+
+
+def _proximity_batch_oracle() -> str:
+    all_terms = sorted({t for ts, _ in _BATCH_PROX.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    parts = []
+    for qid, (ts, w) in _BATCH_PROX.items():
+        uniq = sorted(set(ts))
+        joins = []
+        for i, t in enumerate(uniq[1:], start=1):
+            joins.append(
+                f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.t = '{t}'"
+            )
+        cols = ", ".join(f"t{i}.pos" for i in range(len(uniq)))
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id,\n"
+            f"       CAST(MIN(greatest({cols}) - least({cols}))"
+            f" AS BIGINT) AS min_span\n"
+            f"FROM tok t0\n" + "\n".join(joins) + "\n"
+            f"WHERE t0.t = '{uniq[0]}'\n"
+            f"GROUP BY t0.doc_id\n"
+            f"HAVING MIN(greatest({cols}) - least({cols})) <= {w}"
+        )
+    return (
+        rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] IN ({in_list})
+)
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+QUERIES["doc_proximity_batch"] = QuerySpec(
+    _proximity_batch,
+    _proximity_batch_oracle(),
+    "batched proximity probes: one union-of-buckets read == the loop",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Learned fusion over the hybrid probes (r7): RRF's k=60 replaced by
+# dyadic-GD weights fit to relevance labels — quality_model's trainer
+# reused wholesale over per-candidate features (bm25, cosine, both
+# reciprocal ranks). Labels are deterministic ground truth the rank
+# features don't encode directly: "document contains EVERY query
+# term". The oracle replays candidates (the doc_hybrid_search chain),
+# labels, the full GD unroll, and the scoring — bit-equal by the
+# dyadic argument. Names prefixed _LTR_/ltr_.
+# --------------------------------------------------------------------------
+
+_LTR_ROUNDS = 8
+_LTR_LR = 0.5
+_LTR_CACHE: dict = {}
+
+#: the doc_hybrid_search oracle chain up through the ranked candidate
+#: lists (lex/lexr/sem/semr + htok), reused verbatim as the feature
+#: source (the _BM25_CTES extraction pattern).
+_HYBRID_CHAIN_CTES = (
+    _HYBRID_ORACLE.strip()
+    .removeprefix("WITH ")
+    .split("fused AS", 1)[0]
+    .rstrip()
+    .rstrip(",")
+)
+
+
+def _ltr_fixtures(spark: SparkSession, sf_dir: str):
+    """Postings + ANN indexes and the query frame — the
+    doc_hybrid_search construction under LTR-owned scratch names."""
+    from ..operators import similarity as S
+    from ..operators.search import build_postings_index
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "ltr_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "ltr_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+    qdf = spark.createDataFrame(
+        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
+    )
+    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    return docs, ppath, apath, query
+
+
+def _ltr_candidates(spark: SparkSession, sf_dir: str):
+    from ..operators.search import hybrid_candidates
+
+    docs, ppath, apath, query = _ltr_fixtures(spark, sf_dir)
+    cand = hybrid_candidates(
+        spark, ppath, apath, list(_BM25_TERMS), query,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id", ann_cell_col="cell",
+    )
+    # deterministic relevance: the doc contains EVERY query term
+    # (the same \s+ tokenization both probes use)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rel = F.lit(True)
+    for t in _BM25_TERMS:
+        rel = rel & F.array_contains(toks, t)
+    labels = docs.select(
+        "doc_id", rel.cast("double").alias("__rel")
+    )
+    return cand, cand.join(labels, "doc_id")
+
+
+def _hybrid_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import ltr_score, train_ltr
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
+    cand, labeled = _ltr_candidates(spark, sf_dir)
+    if key not in _LTR_CACHE:
+        _LTR_CACHE[key] = train_ltr(
+            labeled, "__rel",
+            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
+        )
+    return ltr_score(
+        cand, _LTR_CACHE[key], rrf_k=_HYBRID_RRF_K, k=_HYBRID_K
+    )
+
+
+def _ltr_rounds_sql(pfx: str = "ltr") -> str:
+    """GD unroll over {pfx}_x / {pfx}_y / {pfx}_n, producing weight
+    CTEs {pfx}w0..{pfx}w{_LTR_ROUNDS} (the _qm_ctes pattern with
+    parameterized names so the batch variant can reuse it)."""
+    rounds = [
+        f"""
+{pfx}w0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, 4)) AS u(j)
+)"""
+    ]
+    for k in range(_LTR_ROUNDS):
+        rounds.append(f"""
+{pfx}p{k} AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM {pfx}_x x JOIN {pfx}w{k} w USING (j) GROUP BY x.doc_id
+),
+{pfx}g{k} AS (
+  SELECT x.j,
+         floor(SUM(x.x * (p.p - y.y)) / {pfx}_n.n * 1048576.0 + 0.5)
+           / 1048576.0 AS g
+  FROM {pfx}_x x
+  JOIN {pfx}p{k} p USING (doc_id)
+  JOIN {pfx}_y y USING (doc_id)
+  CROSS JOIN {pfx}_n
+  GROUP BY x.j, {pfx}_n.n
+),
+{pfx}w{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_LTR_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM {pfx}w{k} w JOIN {pfx}g{k} g USING (j)
+)""")
+    return ",".join(rounds)
+
+
+def _ltr_x_sql(name: str, cand: str) -> str:
+    """Long-form quantized feature CTE over a candidate pool with
+    (doc_id, bm25, cos_sim, lex_rank, sem_rank)."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM {cand}
+    UNION ALL SELECT doc_id, 1, bm25 FROM {cand}
+    UNION ALL SELECT doc_id, 2, cos_sim FROM {cand}
+    UNION ALL
+    SELECT doc_id, 3,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
+    FROM {cand}
+    UNION ALL
+    SELECT doc_id, 4,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
+    FROM {cand}
+  )
+)"""
+
+
+_HYBRID_LTR_ORACLE = f"""
+WITH {_HYBRID_CHAIN_CTES},
+ltr_cand AS MATERIALIZED (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         COALESCE(l.bm25, 0.0) AS bm25,
+         COALESCE(s.cos_sim, 0.0) AS cos_sim,
+         lr.lex_rank, sr.sem_rank
+  FROM lexr lr
+  FULL OUTER JOIN semr sr ON sr.doc_id = lr.doc_id
+  LEFT JOIN lex l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+  LEFT JOIN sem s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+),
+ltr_y AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN {len(set(_BM25_TERMS))} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = c.doc_id
+                  AND h.t IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)}))
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM ltr_cand c
+),
+{_ltr_x_sql("ltr_x", "ltr_cand")},
+ltr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ltr_cand),
+{_ltr_rounds_sql()},
+ltr_s AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS ltr
+  FROM ltr_x x JOIN ltrw{_LTR_ROUNDS} w USING (j)
+  GROUP BY x.doc_id
+)
+SELECT c.doc_id, c.lex_rank, c.sem_rank, s.ltr
+FROM ltr_cand c JOIN ltr_s s USING (doc_id)
+ORDER BY s.ltr DESC, c.doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+QUERIES["doc_hybrid_ltr"] = QuerySpec(
+    _hybrid_ltr,
+    _HYBRID_LTR_ORACLE,
+    "learned fusion over the hybrid probes: dyadic-GD weights on"
+    " (bm25, cosine, reciprocal ranks) vs contains-all-terms labels",
+)
+
+
+
+
+def _hybrid_ltr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched learned fusion: weights trained on the single-query
+    labeled candidates (doc_hybrid_ltr's cached model — the oracle
+    retrains on the IDENTICAL q0 pool), applied to both batch
+    queries through the shared one-read-per-index arms."""
+    from ..operators import similarity as S
+    from ..operators.search import (
+        build_postings_index,
+        hybrid_batch_ltr,
+        train_ltr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ppath = scratch_path(spark, sf_dir, "hybrid_postings_catalog")
+    build_postings_index(docs, ppath, n_buckets=16)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    bucketed = emb.filter(
+        F.exists(F.col("embedding"), lambda v: v != 0)
+    ).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
+    S.build_ann_index(bucketed, apath, cell_col="cell")
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ltr")
+    if key not in _LTR_CACHE:
+        _cand, labeled = _ltr_candidates(spark, sf_dir)
+        _LTR_CACHE[key] = train_ltr(
+            labeled, "__rel",
+            rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
+        )
+
+    qtexts = spark.createDataFrame(
+        [
+            (-(i + 1), " ".join(terms))
+            for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
+        ],
+        "doc_id bigint, text string",
+    )
+    qemb = X.hash_embed(qtexts, "doc_id", "text", dim=_HE_DIM).withColumn(
+        "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
+    )
+    qid_of = {
+        -(i + 1): qid
+        for i, qid in enumerate(_HYBRID_BATCH_QUERIES.keys())
+    }
+    mapping = F.create_map(
+        *[F.lit(v) for kv in qid_of.items() for v in kv]
+    )
+    terms_map = {
+        qid: list(terms)
+        for qid, terms in _HYBRID_BATCH_QUERIES.items()
+    }
+    queries = qemb.select(
+        mapping[F.col("doc_id")].alias("query_id"),
+        "embedding",
+        "cell",
+    ).withColumn(
+        "terms",
+        F.when(
+            F.col("query_id") == "q0",
+            F.array(*[F.lit(t) for t in terms_map["q0"]]),
+        ).otherwise(F.array(*[F.lit(t) for t in terms_map["q1"]])),
+    )
+    return hybrid_batch_ltr(
+        spark,
+        ppath,
+        apath,
+        queries,
+        _LTR_CACHE[key],
+        k=_HYBRID_K,
+        rrf_k=_HYBRID_RRF_K,
+        n_candidates=_HYBRID_CANDIDATES,
+        ann_id_col="doc_id",
+        ann_cell_col="cell",
+    )
+
+
+QUERIES["doc_hybrid_ltr_batch"] = QuerySpec(
+    _hybrid_ltr_batch,
+    _hybrid_batch_ltr_oracle(),
+    "batched learned fusion: one read per index, trained weights,"
+    " per query bit-equal to the hybrid_search_ltr loop",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation (r7): MRR-style per-query metrics of the
+# batched hybrid fusion against deterministic contains-all-terms
+# relevance — exact integers (first relevant position) and the exact
+# IEEE reciprocal; no grading float ever crosses a rounding seam.
+# --------------------------------------------------------------------------
+
+
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    fused = _hybrid_batch(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    ranked = fused.withColumn(
+        "__r", F.row_number().over(w).cast("long")
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rel_rows = []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        rel_rows.append(
+            docs.filter(cond).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+        )
+    rel = rel_rows[0]
+    for r in rel_rows[1:]:
+        rel = rel.unionByName(r)
+    j = ranked.join(
+        rel.withColumn("__rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_returned"),
+        F.sum(F.coalesce("__rel", F.lit(0)))
+        .cast("long")
+        .alias("n_relevant_topk"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__r")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("__rel") == 1, F.col("__r"))),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    rrf = _hybrid_batch_oracle()
+    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
+    blocks, selects = [], []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        in_terms = ", ".join(f"'{t}'" for t in terms)
+        n_terms = len(set(terms))
+        blocks.append(f"""
+rev_top_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+              AS BIGINT) AS r
+  FROM (SELECT * FROM fused_{qid}
+        ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})
+),
+rev_rel_{qid} AS (
+  SELECT t.doc_id, t.r,
+         CASE WHEN {n_terms} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = t.doc_id AND h.t IN ({in_terms}))
+              THEN 1 ELSE 0 END AS rel
+  FROM rev_top_{qid} t
+)""")
+        selects.append(f"""
+(SELECT '{qid}' AS query_id,
+        CAST(COUNT(*) AS BIGINT) AS k_returned,
+        CAST(SUM(rel) AS BIGINT) AS n_relevant_topk,
+        CAST(MIN(CASE WHEN rel = 1 THEN r END) AS BIGINT)
+          AS first_rel_rank,
+        COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN r END), 0.0) AS rr
+ FROM rev_rel_{qid})""")
+    return (
+        ctes
+        + ","
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+QUERIES["doc_retrieval_eval"] = QuerySpec(
+    _retrieval_eval,
+    _retrieval_eval_oracle(),
+    "per-query hybrid retrieval metrics vs contains-all-terms"
+    " relevance: hits in top-k, first relevant rank, exact RR",
+)
+
+

@@ -1,0 +1,125 @@
+"""Deterministic sketch rows: KMV distinct, count-min heavy hitters.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import dedup as D
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _SHINGLES_CTE,
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+_KMV_K = 256
+
+
+def _kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over the corpus's distinct 3-token
+    shingles (operators/sketches.py) — the cross-engine-reproducible
+    alternative to HLL++ approx_count_distinct: estimate =
+    (k-1)/h_k from the k smallest md5 fractions."""
+    from ..operators.sketches import kmv_distinct
+
+    sh = D.shingles(_docs(spark, sf_dir), "doc_id", "text")
+    return kmv_distinct(sh, "shingle", k=_KMV_K)
+
+
+_KMV_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE.strip().rstrip()
+    + rf""",
+fr AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
+      / 4503599627370496.0 AS f
+  FROM sh
+),
+mins AS (SELECT f FROM fr ORDER BY f LIMIT {_KMV_K})
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(MAX(f), 6) AS kth_frac,
+       ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*) * 1.0
+                  ELSE {_KMV_K - 1}.0 / MAX(f) END, 4) AS est_distinct
+FROM mins
+"""
+)
+
+QUERIES["doc_kmv_distinct"] = QuerySpec(
+    _kmv_distinct,
+    _KMV_ORACLE,
+    "KMV distinct-count sketch over corpus shingles (engine-portable)",
+)
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_TOP = 20
+
+
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus token stream
+    (operators/sketches.py): top tokens by exact count with their
+    sketch estimates alongside — est_n >= true_n always, the gap
+    showing collision inflation at width 64."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    return cms_heavy_hitters(
+        toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH, top=_CMS_TOP
+    )
+
+
+_CMS_ORACLE = rf"""
+WITH toks AS (
+  SELECT ws[i] AS value
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+cand AS (
+  SELECT value, COUNT(*) AS true_n FROM toks GROUP BY value
+  ORDER BY true_n DESC, value ASC LIMIT {_CMS_TOP}
+),
+sketch AS (
+  SELECT r,
+         CAST('0x' || substr(
+           md5(CAST(r AS VARCHAR) || '|' || value), 1, 8) AS BIGINT)
+           % {_CMS_WIDTH} AS pos,
+         COUNT(*) AS n
+  FROM toks, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT c.value, c.true_n, r,
+         CAST('0x' || substr(
+           md5(CAST(r AS VARCHAR) || '|' || c.value), 1, 8) AS BIGINT)
+           % {_CMS_WIDTH} AS pos
+  FROM cand c, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
+)
+SELECT p.value AS value,
+       CAST(p.true_n AS BIGINT) AS true_n,
+       CAST(MIN(s.n) AS BIGINT) AS est_n
+FROM probe p JOIN sketch s ON s.r = p.r AND s.pos = p.pos
+GROUP BY p.value, p.true_n
+"""
+
+QUERIES["doc_heavy_hitters"] = QuerySpec(
+    _heavy_hitters,
+    _CMS_ORACLE,
+    "count-min heavy hitters: exact top tokens vs sketch estimates",
+)
+
+

@@ -1,0 +1,573 @@
+"""Document-REWRITING dedup rows: span dedup (Lee et al.), line dedup, C4 line gate, multi-n span profile + policy.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import text as X
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _curation_oracle,
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+_SDUP_N = 8
+_SDUP_MIN_COUNT = 2
+
+
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, keep-first):
+    the document-REWRITING dedup tier — every duplicated 8-token run
+    survives only at its corpus-wide first occurrence and the docs are
+    re-assembled (operators/spans.py)."""
+    from ..operators.spans import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=_SDUP_N, min_count=_SDUP_MIN_COUNT,
+    )
+
+
+# Mirrors the engine exactly: occurrence-counted duplicated spans
+# (in-document repetition qualifies), canonical winner = min
+# (doc_id, pos), removal = union of covered positions of every
+# non-canonical occurrence, re-assembly in original token order.
+# The engine groups spans by xxhash64 of the joined tokens; the
+# oracle partitions by the span text itself — identical up to 64-bit
+# hash collisions, which the differential would surface.
+_SPAN_DEDUP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+win AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+occ AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM win
+),
+removed AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM occ, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t LEFT JOIN removed r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["doc_span_dedup"] = QuerySpec(
+    _span_dedup,
+    _SPAN_DEDUP_ORACLE,
+    "exact substring dedup: duplicated 8-token runs excised keep-first",
+)
+
+
+_LINE_W = 6
+
+# Shared oracle CTEs: the corpus "lineated" onto a 6-token chunk grid
+# (the single-line synthetic docs carry no newlines, so the line-level
+# operators are exercised over a deterministic multi-line derivation —
+# same grid as doc_chunks, overlap 0, joined with chr(10)).
+_LINEATED_CTES = rf"""
+dw AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+chg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         array_to_string(
+           ws[i * {_LINE_W} + 1:i * {_LINE_W} + {_LINE_W}], ' ') AS line
+  FROM dw,
+       unnest(generate_series(
+         0, (greatest(len(ws), 1) + {_LINE_W} - 1) // {_LINE_W} - 1
+       )) AS t(i)
+),
+lined AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY chunk_id) AS text
+  FROM chg GROUP BY doc_id
+)
+"""
+
+
+def _lineated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = X.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=_LINE_W, overlap=0,
+    )
+    return ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (MassiveText/RefinedWeb recipe)
+    over the lineated corpus: each distinct line survives only at its
+    first (doc_id, position) occurrence (operators/spans.py) — exact
+    duplicate documents collapse to one surviving copy line-by-line."""
+    from ..operators.spans import line_dedup
+
+    return line_dedup(_lineated(spark, sf_dir), "doc_id", "text")
+
+
+_LINE_DEDUP_ORACLE = (
+    "WITH "
+    + _LINEATED_CTES
+    + r""",
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+occ AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (
+           PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE trim(line) <> ''
+),
+kept AS (
+  SELECT doc_id, pos, line FROM occ WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
+SELECT l.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_dropped
+FROM lined l
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+QUERIES["doc_line_dedup"] = QuerySpec(
+    _line_dedup,
+    _LINE_DEDUP_ORACLE,
+    "corpus-level exact line dedup, first occurrence wins",
+)
+
+
+_C4_MIN_WORDS = 4
+_C4_BADWORDS = ("lorem ipsum", "vector")
+
+
+def _c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-quality gate over the lineated corpus: minimum
+    words + badword rejection per line (terminal-punctuation rule off
+    — the synthetic corpus is punctuation-free), document gate on >= 1
+    surviving line (operators/spans.py)."""
+    from ..operators.spans import line_quality_filter
+
+    return line_quality_filter(
+        _lineated(spark, sf_dir), "doc_id", "text",
+        min_words=_C4_MIN_WORDS,
+        require_terminal_punct=False,
+        badwords=_C4_BADWORDS,
+    )
+
+
+_C4_CLEAN_ORACLE = (
+    "WITH "
+    + _LINEATED_CTES
+    + rf""",
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
+                        x -> x <> '')) >= {_C4_MIN_WORDS}
+    AND NOT contains(trim(line), '{{')
+    AND NOT contains(lower(trim(line)), 'lorem ipsum')
+    AND NOT contains(lower(trim(line)), 'vector')
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS nt FROM lines GROUP BY doc_id)
+SELECT l.doc_id,
+       COALESCE(a.text2, '') AS text,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.nt, 0) - COALESCE(a.nk, 0) AS BIGINT)
+         AS n_dropped,
+       COALESCE(a.nk, 0) >= 1 AS doc_kept
+FROM lined l
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+QUERIES["doc_c4_clean"] = QuerySpec(
+    _c4_clean,
+    _C4_CLEAN_ORACLE,
+    "C4-style per-line quality gate with document survival flag",
+)
+
+
+
+
+def _curation_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline with the stage-0 substring-dedup
+    REWRITE (curate_corpus(rewrite_spans=8)): every document is
+    span-deduplicated before any gate, so the clean verdicts judge
+    the rewritten text — the order real pipelines run (Lee-et-al
+    substring dedup, then quality gates)."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        rewrite_spans=_SDUP_N,
+        rewrite_min_count=_SDUP_MIN_COUNT,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+# The span-dedup rewrite as the curation oracle's corpus block: the
+# doc_span_dedup construction scoped to the non-benchmark corpus,
+# ending in corpus(doc_id, text). Everything MATERIALIZED — these sit
+# in a WITH RECURSIVE list where DuckDB re-inlines plain CTEs per
+# reference (the Lloyd-unroll lesson).
+_CURATION_SPAN_CORPUS = rf"""corpus0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+sdtoks AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+sdwin AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {_SDUP_N} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws) - {_SDUP_N} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+sdocc AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM sdwin
+),
+sdrem AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM sdocc, unnest(generate_series(0, {_SDUP_N} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
+),
+sdagg AS MATERIALIZED (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+  FROM sdtoks t LEFT JOIN sdrem r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+  GROUP BY t.doc_id
+),
+corpus AS MATERIALIZED (
+  SELECT c.doc_id, COALESCE(a.text, '') AS text
+  FROM corpus0 c LEFT JOIN sdagg a USING (doc_id)
+)"""
+
+QUERIES["doc_curation_span_rewrite"] = QuerySpec(
+    _curation_span_rewrite,
+    _curation_oracle(corpus_block=_CURATION_SPAN_CORPUS),
+    "curation with the stage-0 substring-dedup rewrite composed in",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Multi-n span profile (r7): per-n repeated-span statistics from ONE
+# token explode (operators/spans.py span_profile) — the measurement a
+# curation policy picks rewrite lengths from. The oracle replays each
+# n's chain over the corpus window grid; Spark groups on xxhash64 of
+# the span, the oracle on the span string itself (identical results
+# absent 64-bit collisions, the doc_span_dedup convention).
+# Names prefixed _SPROF_/sprof_.
+# --------------------------------------------------------------------------
+
+_SPROF_NS = (4, 8, 16)
+_SPROF_MC = 2
+
+
+def _span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import span_profile
+
+    return span_profile(
+        _docs(spark, sf_dir), "doc_id", "text",
+        ns=_SPROF_NS, min_count=_SPROF_MC,
+    )
+
+
+def _sprof_chain_sql(n: int) -> str:
+    return f"""
+sprof_win{n} AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {n} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+sprof_occ{n} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         g
+  FROM sprof_win{n}
+),
+sprof_st{n} AS (
+  SELECT CAST({n} AS BIGINT) AS span_n,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         CAST(COUNT(DISTINCT CASE WHEN cnt >= {_SPROF_MC} THEN g END)
+              AS BIGINT) AS n_dup_spans,
+         CAST(SUM(CASE WHEN cnt >= {_SPROF_MC} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_occurrences
+  FROM sprof_occ{n}
+),
+sprof_rm{n} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rm FROM (
+    SELECT DISTINCT doc_id, pos + j AS p
+    FROM sprof_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
+    WHERE cnt >= {_SPROF_MC} AND rn > 1)
+),
+sprof_row{n} AS (
+  SELECT s.*, r.n_rm AS n_removable_tokens
+  FROM sprof_st{n} s CROSS JOIN sprof_rm{n} r
+  WHERE s.n_windows > 0
+)"""
+
+
+_SPAN_PROFILE_ORACLE = (
+    "WITH "
+    + ",".join(_sprof_chain_sql(n) for n in _SPROF_NS)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT * FROM sprof_row{n}" for n in _SPROF_NS
+    )
+)
+
+QUERIES["doc_span_profile"] = QuerySpec(
+    _span_profile,
+    _SPAN_PROFILE_ORACLE,
+    "multi-n repeated-span statistics from one shared token explode",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Per-n rewrite POLICY inside curation (r7): one span_profile pass
+# over the candidate lengths, the LARGEST n whose removable mass
+# clears the bar wins (spans.pick_rewrite_n), and the stage-0
+# rewrite runs at the picked n. The oracle recomputes the pick from
+# its own profile chains, so the row stays green under data
+# regeneration even if the picked n changes. Names _SPP_/spp_.
+# --------------------------------------------------------------------------
+
+_SPP_NS = (4, 8, 16)
+_SPP_MIN_REMOVABLE = 1130  # picks n=8 at the current sf0.01 corpus
+
+
+def _curation_span_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        rewrite_spans=_SPP_NS,
+        rewrite_min_count=_SDUP_MIN_COUNT,
+        rewrite_policy_min_removable=_SPP_MIN_REMOVABLE,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _spp_corpus_block() -> str:
+    chains, prof, joins, whens = [], [], [], []
+    for n in _SPP_NS:
+        chains.append(f"""
+spp_win{n} AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ws[i:i + {n} - 1], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws) - {n} + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+spp_occ{n} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM spp_win{n}
+),
+spp_rem{n} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM spp_occ{n}, unnest(generate_series(0, {n} - 1)) AS t(j)
+  WHERE cnt >= {_SDUP_MIN_COUNT} AND rn > 1
+),
+spp_agg{n} AS MATERIALIZED (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+  FROM spp_toks t LEFT JOIN spp_rem{n} r
+    ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.doc_id IS NULL
+  GROUP BY t.doc_id
+)""")
+        prof.append(
+            f"SELECT {n} AS n,"
+            f" (SELECT COUNT(*) FROM spp_rem{n}) AS n_rm"
+        )
+        joins.append(f"LEFT JOIN spp_agg{n} a{n} USING (doc_id)")
+        whens.append(f"WHEN {n} THEN COALESCE(a{n}.text, '')")
+    return (
+        rf"""corpus0 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+spp_toks AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM corpus0),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),"""
+        + ",".join(chains)
+        + f""",
+spp_prof AS ({" UNION ALL ".join(prof)}),
+spp_pick AS (
+  SELECT MAX(n) AS n FROM spp_prof
+  WHERE n_rm >= {_SPP_MIN_REMOVABLE}
+),
+corpus AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE (SELECT n FROM spp_pick)
+           {" ".join(whens)}
+           ELSE c.text END AS text
+  FROM corpus0 c
+  {" ".join(joins)}
+)"""
+    )
+
+
+QUERIES["doc_curation_span_policy"] = QuerySpec(
+    _curation_span_policy,
+    _curation_oracle(corpus_block=_spp_corpus_block()),
+    "curation with the per-n span-rewrite policy: profile every"
+    " candidate length once, rewrite at the largest qualifying n",
+)
+
+

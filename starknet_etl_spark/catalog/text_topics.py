@@ -1,0 +1,320 @@
+"""Zero-model topic rows: clusters, mixture, card, token-weighted mixture.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..io import load_testdata
+from ..operators import text as X
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _HE_COMPONENTS,
+    _HE_DIM,
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+_TOPIC_K = 8
+_TOPIC_ITERS = 2
+
+
+def _topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised topic clustering of the corpus with zero external
+    models: hash_embed -> train_ivf_centroids (Lloyd from scratch) ->
+    assign_cells. The same trainer that powers the ANN index doubles
+    as the corpus topic model — cluster-balanced mixtures and
+    per-topic data cards hang off this assignment."""
+    return X.topic_clusters(
+        _docs(spark, sf_dir), "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+
+
+def _topic_iter_sql(it: int, prev: str) -> str:
+    return f"""td{it} AS MATERIALIZED (
+  SELECT d.doc_id, cb.code,
+         ROUND(SUM((d.x - cb.cvalue) * (d.x - cb.cvalue)), 6) AS dist
+  FROM kdense d JOIN {prev} cb ON cb.dim_i = d.dim_i
+  GROUP BY d.doc_id, cb.code
+),
+ta{it} AS MATERIALIZED (
+  SELECT doc_id, code FROM (
+    SELECT doc_id, code,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY dist, code) AS rn
+    FROM td{it}) WHERE rn = 1
+),
+tcb{it} AS MATERIALIZED (
+  SELECT p.code, p.dim_i, COALESCE(m.mu, p.cvalue) AS cvalue
+  FROM {prev} p LEFT JOIN (
+    SELECT a.code, d.dim_i, ROUND(AVG(d.x), 6) AS mu
+    FROM kdense d JOIN ta{it} a USING (doc_id)
+    GROUP BY a.code, d.dim_i) m
+  ON m.code = p.code AND m.dim_i = p.dim_i
+),
+"""
+
+
+_TOPIC_CTES = (
+    _HE_COMPONENTS
+    + f""",
+kdense AS MATERIALIZED (
+  SELECT n.doc_id, gs.i AS dim_i,
+         COALESCE(ROUND(c.v / n.nn, 6), 0.0) AS x
+  FROM nrm n
+  CROSS JOIN unnest(generate_series(1, {_HE_DIM})) AS gs(i)
+  LEFT JOIN comp c ON c.doc_id = n.doc_id AND c.idx = gs.i - 1
+  WHERE n.nn > 0
+),
+trank AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM (SELECT DISTINCT doc_id FROM kdense)
+),
+tcb0 AS MATERIALIZED (
+  SELECT rk - 1 AS code, d.dim_i, d.x AS cvalue
+  FROM trank JOIN kdense d USING (doc_id) WHERE rk <= {_TOPIC_K}
+),
+"""
+    + "".join(
+        _topic_iter_sql(it, f"tcb{it - 1}")
+        for it in range(1, _TOPIC_ITERS + 1)
+    )
+    + f"""casg AS (
+  SELECT doc_id, code AS cell FROM (
+    SELECT d.doc_id, cb.code,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY ROUND(SUM(cb.cvalue * d.x)
+                            / SQRT(SUM(cb.cvalue * cb.cvalue)), 6) DESC,
+                      cb.code ASC) AS rn
+    FROM kdense d JOIN tcb{_TOPIC_ITERS} cb ON cb.dim_i = d.dim_i
+    GROUP BY d.doc_id, cb.code) WHERE rn = 1
+)
+"""
+)
+
+_TOPIC_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cell AS BIGINT) AS topic
+FROM casg
+"""
+)
+
+QUERIES["doc_topic_clusters"] = QuerySpec(
+    _topic_clusters,
+    _TOPIC_ORACLE,
+    "zero-model topic clustering: hash_embed + Lloyd-trained cells",
+)
+
+
+def _topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-BALANCED mixture: the in-plan topic assignment feeds the
+    domain-mixture resampler with equal weights — 'balance the
+    pretraining corpus across discovered topics' as one composed,
+    oracle-checked flow (no external labels anywhere)."""
+    from ..operators.mixing import mix_corpus
+
+    topics = X.topic_clusters(
+        _docs(spark, sf_dir), "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    out = mix_corpus(
+        topics, "topic", "doc_id",
+        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
+    )
+    return out.select("doc_id", "topic", "mix_rank")
+
+
+_TOPIC_MIX_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + ",\nw(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
+        for i in range(_TOPIC_K)
+    )
+    + """),
+tcnt AS (SELECT cell AS grp, COUNT(*) AS n FROM casg GROUP BY cell),
+tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
+targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM tj
+),
+ranked AS (
+  SELECT doc_id, CAST(cell AS BIGINT) AS topic,
+         CAST(row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank
+  FROM casg
+)
+SELECT r.doc_id, r.topic, r.mix_rank
+FROM ranked r JOIN targets t ON r.topic = t.grp
+WHERE r.mix_rank <= t.k
+"""
+)
+
+QUERIES["doc_topic_mix"] = QuerySpec(
+    _topic_mix,
+    _TOPIC_MIX_ORACLE,
+    "topic-balanced corpus mixture over the trained topic cells",
+)
+
+
+
+
+def _topic_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TOPIC data card: the corpus summary grouped by the trained
+    topic cells instead of metadata labels — composition of
+    topic_clusters into plans/datacard.data_card (what a curation
+    review actually reads: token mass, split balance, PII exposure
+    and dup mass per discovered topic)."""
+    from ..plans.datacard import data_card
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    topics = X.topic_clusters(
+        docs, "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    return data_card(docs.join(topics, "doc_id"), group_cols=("topic",))
+
+
+def _topic_card_oracle() -> str:
+    from ..operators.pii import oracle_count_sql
+
+    exprs = oracle_count_sql("text")
+    pii_cols = ",\n         ".join(
+        f"{expr} AS p_{name}" for name, expr in exprs.items()
+    )
+    pii_rows = "\nUNION ALL ".join(
+        f"SELECT 'pii' AS section, '{name}' AS key,\n"
+        f"  CAST(SUM(CASE WHEN p_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_docs,\n  CAST(SUM(p_{name}) AS BIGINT) AS measure FROM t"
+        for name in exprs
+    )
+    return (
+        "WITH "
+        + _TOPIC_CTES
+        + rf""",
+t AS MATERIALIZED (
+  SELECT d.doc_id, CAST(c.cell AS VARCHAR) AS topic,
+         len(string_split_regex(trim(text), '\s+')) AS tok,
+         md5(text) AS h,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 1000 AS bucket,
+         {pii_cols}
+  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
+)
+SELECT 'corpus' AS section, 'all' AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS measure FROM t
+UNION ALL SELECT 'topic', topic, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(tok) AS BIGINT) FROM t GROUP BY topic
+UNION ALL SELECT 'split',
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val' ELSE 'test' END,
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(tok) AS BIGINT)
+  FROM t GROUP BY 2
+UNION ALL {pii_rows}
+UNION ALL SELECT 'dedup', 'exact_duplicates',
+       CAST(COALESCE(SUM(c), 0) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT h, COUNT(*) AS c FROM t GROUP BY h HAVING COUNT(*) > 1)
+"""
+    )
+
+
+QUERIES["doc_topic_card"] = QuerySpec(
+    _topic_card,
+    _topic_card_oracle(),
+    "per-topic corpus data card over the trained topic cells",
+)
+
+
+def _topic_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET topic mixture: equal token mass per discovered
+    topic (the budget real pretraining mixes allocate — tokens, not
+    docs), composed from in-plan topic assignment + the size_col
+    mixture resampler."""
+    from ..operators.mixing import mix_corpus
+
+    docs = _docs(spark, sf_dir)
+    topics = X.topic_clusters(
+        docs, "doc_id", "text",
+        dim=_HE_DIM, n_topics=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    sized = docs.select(
+        "doc_id", X.word_count(F.col("text")).alias("n_tokens")
+    ).join(topics, "doc_id")
+    out = mix_corpus(
+        sized, "topic", "doc_id",
+        weights={i: 1.0 / _TOPIC_K for i in range(_TOPIC_K)},
+        size_col="n_tokens",
+    )
+    return out.select("doc_id", "topic", "mix_rank", "mix_cum")
+
+
+_TOPIC_MIX_TOKENS_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + ",\nw(grp, wt) AS (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({1.0 / _TOPIC_K!r} AS DOUBLE))"
+        for i in range(_TOPIC_K)
+    )
+    + r""")
+, tt AS (
+  SELECT d.doc_id, CAST(c.cell AS BIGINT) AS topic,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents d JOIN casg c ON c.doc_id = d.doc_id
+),
+tcnt AS (SELECT topic AS grp, SUM(n_tokens) AS n FROM tt GROUP BY topic),
+tj AS (SELECT w.grp, COALESCE(n, 0) AS n, wt
+       FROM w LEFT JOIN tcnt ON tcnt.grp = w.grp),
+targets AS (
+  SELECT grp,
+         CAST(floor(wt * MIN(CAST(floor(n / wt) AS BIGINT)) OVER ())
+              AS BIGINT) AS k
+  FROM tj
+),
+ranked AS (
+  SELECT doc_id, topic,
+         CAST(row_number() OVER (
+           PARTITION BY topic
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS mix_rank,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY topic
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS mix_cum
+  FROM tt
+)
+SELECT r.doc_id, r.topic, r.mix_rank, r.mix_cum
+FROM ranked r JOIN targets tg ON r.topic = tg.grp
+WHERE r.mix_cum <= tg.k
+"""
+)
+
+QUERIES["doc_topic_mix_tokens"] = QuerySpec(
+    _topic_mix_tokens,
+    _TOPIC_MIX_TOKENS_ORACLE,
+    "token-budget topic mixture: equal token mass per trained topic",
+)
+
+

@@ -1,0 +1,403 @@
+"""Conversation rows: parse/dedup/pack/stats + the composed conversation curation pipeline.
+
+Split from catalog/text.py (r8): one file per tier so a
+module-level constant can never shadow another tier's (the r6
+_SPAN_N class). Registrations merge in catalog/__init__."""
+
+from __future__ import annotations
+
+from . import QuerySpec, scratch_path
+from ..operators import text as X
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import (  # noqa: F401
+    _docs,
+)
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# --------------------------------------------------------------------------
+# Conversation-structured operators (r7): the documents table
+# synthesized onto a deterministic TURN grid (8-token chunks,
+# alternating user/assistant role tags — the line-grid trick one
+# format up), then parsed, turn-deduped corpus-wide, and packed
+# turn-atomically. operators/turns.py. Names prefixed _TRN_/trn_.
+# --------------------------------------------------------------------------
+
+_TRN_W = 8        # tokens per synthesized turn
+_TRN_BUDGET = 32  # packing budget (tokens per sequence)
+_TRN_SEP = ": "
+
+_TRN_CTES = rf"""
+trn_w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+trn_chg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         (CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)
+           || ': '
+           || array_to_string(
+                ws[i * {_TRN_W} + 1:i * {_TRN_W} + {_TRN_W}], ' ')
+           AS line
+  FROM trn_w,
+       unnest(generate_series(
+         0, (greatest(len(ws), 1) + {_TRN_W} - 1) // {_TRN_W} - 1
+       )) AS t(i)
+),
+trn_conv AS MATERIALIZED (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY chunk_id) AS text
+  FROM trn_chg GROUP BY doc_id
+),
+trn_lines AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS turn_idx, ls[i] AS l
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM trn_conv),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+trn_parsed AS MATERIALIZED (
+  SELECT doc_id, turn_idx, l,
+         CASE WHEN strpos(l, ': ') > 0
+                   AND substr(l, 1, strpos(l, ': ') - 1)
+                       IN ('system', 'user', 'assistant')
+              THEN substr(l, 1, strpos(l, ': ') - 1) END AS role,
+         CASE WHEN strpos(l, ': ') > 0
+                   AND substr(l, 1, strpos(l, ': ') - 1)
+                       IN ('system', 'user', 'assistant')
+              THEN substr(l, strpos(l, ': ') + 2) ELSE l END AS content
+  FROM trn_lines
+)
+"""
+
+
+def _conversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus as role-tagged conversations: 8-token
+    turns, alternating user/assistant (deterministic synthesis — the
+    single-line corpus carries no real dialogue)."""
+    ch = X.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=_TRN_W, overlap=0,
+    )
+    line = F.concat(
+        F.when(F.col("chunk_id") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit(_TRN_SEP),
+        F.col("chunk_text"),
+    )
+    return ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", line.alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def _turns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import parse_turns
+
+    return parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+
+
+_TURNS_PARSE_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + """
+SELECT doc_id, turn_idx, role, content FROM trn_parsed
+"""
+)
+
+
+def _turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import turn_dedup
+
+    return turn_dedup(_conversed(spark, sf_dir), "doc_id", "text")
+
+
+_TURN_DEDUP_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + r""",
+trn_keyed AS (
+  SELECT doc_id, turn_idx, l,
+         md5(COALESCE(role, '') || chr(0)
+             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
+           AS th,
+         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
+  FROM trn_parsed
+),
+trn_occ AS (
+  SELECT doc_id, turn_idx, l, blank,
+         ROW_NUMBER() OVER (
+           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
+  FROM trn_keyed
+),
+trn_kept AS (
+  SELECT doc_id, turn_idx, l FROM trn_occ WHERE blank OR rn = 1
+),
+trn_tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM trn_lines GROUP BY doc_id
+),
+trn_agg AS (
+  SELECT doc_id,
+         string_agg(l, chr(10) ORDER BY turn_idx) AS text2,
+         CAST(COUNT(*) AS BIGINT) AS nk
+  FROM trn_kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(a.text2, '') AS text,
+       t.nt AS n_turns,
+       CAST(t.nt - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
+FROM trn_conv c
+JOIN trn_tot t ON t.doc_id = c.doc_id
+LEFT JOIN trn_agg a ON a.doc_id = c.doc_id
+"""
+)
+
+
+def _turn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import pack_turns, parse_turns
+
+    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+    packed = pack_turns(turns, budget=_TRN_BUDGET)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_turn_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_TURN_PACK_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + rf""",
+trn_ntok AS (
+  SELECT doc_id, turn_idx,
+         CAST(len(list_filter(
+           string_split_regex(trim(content), '\s+'),
+           x -> x <> '')) AS BIGINT) AS n
+  FROM trn_parsed
+),
+trn_off AS (
+  SELECT doc_id, turn_idx, n,
+         CAST(SUM(n) OVER (
+           ORDER BY doc_id, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS start_offset
+  FROM trn_ntok
+)
+SELECT CAST(start_offset // {_TRN_BUDGET} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM trn_off GROUP BY seq_id
+"""
+)
+
+QUERIES["doc_turns_parse"] = QuerySpec(
+    _turns_parse,
+    _TURNS_PARSE_ORACLE,
+    "deterministic turn parser over the conversation-synthesized corpus",
+)
+QUERIES["doc_turn_dedup"] = QuerySpec(
+    _turn_dedup,
+    _TURN_DEDUP_ORACLE,
+    "corpus-level exact turn dedup on (role, normalized content)",
+)
+QUERIES["doc_turn_pack"] = QuerySpec(
+    _turn_pack,
+    _TURN_PACK_ORACLE,
+    "turn-atomic concat-and-split packing rollup",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Conversation stats (r7): per-conversation structural signals over
+# the synthesized turn corpus — role mix, malformed-line count,
+# per-turn token mass. Map-only + one doc-keyed aggregate.
+# --------------------------------------------------------------------------
+
+
+def _turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.turns import parse_turns
+
+    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("content")), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    return turns.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant_turns"),
+        F.sum(F.col("role").isNull().cast("long"))
+        .cast("long")
+        .alias("n_malformed"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+    )
+
+
+_TURN_STATS_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + r"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_assistant_turns,
+       CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(SUM(len(list_filter(
+         string_split_regex(trim(content), '\s+'), x -> x <> '')))
+         AS BIGINT) AS total_tokens
+FROM trn_parsed GROUP BY doc_id
+"""
+)
+
+QUERIES["doc_turn_stats"] = QuerySpec(
+    _turn_stats,
+    _TURN_STATS_ORACLE,
+    "per-conversation structural signals: role mix, malformed lines,"
+    " token mass",
+)
+
+
+
+
+# --------------------------------------------------------------------------
+# Conversation curation (r7): the composed pipeline for DIALOGUE data
+# — corpus-wide turn dedup (rewrite) → structural gate (min surviving
+# turns / malformed cap, exact-integer reasons) → turn-aware PII
+# scrub — over the synthesized turn corpus. plans/curation.py
+# curate_conversations. Names prefixed cvc_.
+# --------------------------------------------------------------------------
+
+
+def _conv_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_conversations
+
+    curated, audit = curate_conversations(
+        _conversed(spark, sf_dir), min_turns=2, scrub=True
+    )
+    kept = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.md5("text").alias("text_fp"),
+        "n_turns",
+        "n_dropped",
+    )
+    dropped = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("string").alias("text_fp"),
+        F.lit(None).cast("long").alias("n_turns"),
+        F.lit(None).cast("long").alias("n_dropped"),
+    )
+    return kept.unionByName(dropped)
+
+
+def _cvc_oracle() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    red = "content"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return (
+        "WITH "
+        + _TRN_CTES
+        + rf""",
+cvc_keyed AS (
+  SELECT doc_id, turn_idx, role, content,
+         md5(COALESCE(role, '') || chr(0)
+             || lower(trim(regexp_replace(content, '\s+', ' ', 'g'))))
+           AS th,
+         trim(regexp_replace(content, '\s+', ' ', 'g')) = '' AS blank
+  FROM trn_parsed
+),
+cvc_occ AS (
+  SELECT doc_id, turn_idx, role, content, blank,
+         ROW_NUMBER() OVER (
+           PARTITION BY th ORDER BY doc_id, turn_idx) AS rn
+  FROM cvc_keyed
+),
+cvc_kept AS (
+  SELECT doc_id, turn_idx, role, content, blank
+  FROM cvc_occ WHERE blank OR rn = 1
+),
+cvc_stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(CASE WHEN NOT blank THEN 1 ELSE 0 END) AS BIGINT)
+           AS nlive,
+         CAST(SUM(CASE WHEN role IS NULL AND NOT blank THEN 1 ELSE 0
+                  END) AS BIGINT) AS nmal
+  FROM cvc_kept GROUP BY doc_id
+),
+cvc_tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM trn_lines GROUP BY doc_id
+),
+cvc_spine AS (
+  SELECT c.doc_id,
+         COALESCE(t.nt, 0) AS nt,
+         COALESCE(s.nk, 0) AS nk,
+         COALESCE(s.nlive, 0) AS nlive,
+         COALESCE(s.nmal, 0) AS nmal
+  FROM trn_conv c
+  LEFT JOIN cvc_tot t USING (doc_id)
+  LEFT JOIN cvc_stats s USING (doc_id)
+),
+cvc_agg AS (
+  SELECT k.doc_id,
+         string_agg(
+           CASE WHEN k.role IS NOT NULL
+                THEN k.role || ': ' || {red}
+                ELSE {red} END,
+           chr(10) ORDER BY k.turn_idx) AS text2
+  FROM cvc_kept k GROUP BY k.doc_id
+)
+SELECT s.doc_id, 'kept' AS status, CAST(NULL AS VARCHAR) AS reason,
+       md5(COALESCE(a.text2, '')) AS text_fp,
+       s.nt AS n_turns,
+       CAST(s.nt - s.nk AS BIGINT) AS n_dropped
+FROM cvc_spine s LEFT JOIN cvc_agg a USING (doc_id)
+WHERE s.nlive >= 2 AND s.nmal <= CAST(floor(0.0 * s.nlive) AS BIGINT)
+UNION ALL
+SELECT doc_id, 'structure' AS status,
+       CASE WHEN nlive < 2 THEN 'turns_' || nlive
+            ELSE 'malformed_' || nmal END AS reason,
+       CAST(NULL AS VARCHAR) AS text_fp,
+       CAST(NULL AS BIGINT) AS n_turns,
+       CAST(NULL AS BIGINT) AS n_dropped
+FROM cvc_spine
+WHERE nlive < 2 OR nmal > CAST(floor(0.0 * nlive) AS BIGINT)
+"""
+    )
+
+
+QUERIES["doc_conv_curation"] = QuerySpec(
+    _conv_curation,
+    _cvc_oracle(),
+    "composed conversation curation: turn dedup -> structure gate ->"
+    " turn-aware PII scrub",
+)
+
+

@@ -1,0 +1,311 @@
+"""Interpolated Kneser-Ney n-gram language model — the CCNet/KenLM
+quality-filter tier (score web documents by LM log-probability;
+drop or bucket the worst).
+
+Reference role: the reference delegates all modeling-tier analytics
+to its warehouse (generate_report_dag.py:34-66); for the text domain
+this module supplies the canonical corpus-quality model those
+pipelines filter with — a trigram KN LM, the standard since
+Kneser & Ney (1995) / Chen & Goodman (1998) and the model class
+KenLM serves in CCNet.
+
+Determinism contract (the repo's cross-engine discipline):
+
+- Every model statistic is an EXACT INTEGER: raw n-gram counts at
+  the highest order, continuation TYPE counts (N1+) below, context
+  totals as integer sums of those.
+- The discount is a DYADIC rational (default 3/4, exactly
+  representable), so ``max(c - D, 0)`` and every interpolation
+  weight is computed from exact inputs by a FIXED expression tree —
+  IEEE doubles make each op correctly rounded, hence bit-identical
+  in any engine evaluating the same tree.
+- Per-token log2-probabilities are dyadically quantized (q20:
+  ``floor(x·2^20 + 0.5)/2^20``) BEFORE the per-document sum, making
+  the sum exact integer arithmetic in disguise — order-independent
+  across partitionings and engines (the quality_model.py lesson;
+  decimal ROUND provably cannot do this).
+
+Model structure (n=3): for token w with context (u, v),
+
+  P(w|u,v) = max(c(uvw)-D,0)/c(uv·) + D·T(uv·)/c(uv·) · P(w|v)
+  P(w|v)   = max(N(·vw)-D,0)/N(·v·) + D·T(·v·)/N(·v·) · P(w)
+  P(w)     = max(N(·w)-D,0)/N(··)  + D·V1/N(··) · 1/(V+1)
+
+with c raw trigram counts, N continuation (distinct-left-neighbor)
+type counts, T distinct-continuation type counts, V1 the number of
+distinct continuation words, V the corpus vocabulary, and the final
+uniform term over V+1 reserving mass for unseen words (so scoring a
+held-out corpus never hits log(0): unseen contexts back off level
+by level to a strictly positive floor).
+
+Scale: training is three n-gram-keyed aggregates with map-side
+combine (corpus-ngram-scale intermediate rows — the same class as
+every dedup shingle table here); scoring is the scored corpus's
+grams joined against the count tables on their n-gram keys plus one
+1-row broadcast of the totals, then one doc-keyed aggregate. No
+driver-side state beyond the totals row; no windows over the vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: dyadic quantization grid (shared discipline with quality_model.py)
+_Q_SCALE = float(2**20)
+
+
+def _q20(col: Column) -> Column:
+    return F.floor(col * F.lit(_Q_SCALE) + F.lit(0.5)) / F.lit(_Q_SCALE)
+
+
+def _toks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __pos, __w): the suite tokenization (trim, \\s+ split)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+
+
+def _grams(toks: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, __w1..__wn) — n-grams within documents, full-context
+    positions only (the first n-1 tokens of a doc anchor contexts
+    but are not themselves scored; docs shorter than n contribute
+    and receive nothing)."""
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    cols = [
+        F.lag("__w", n - 1 - i).over(w).alias(f"__w{i + 1}")
+        for i in range(n - 1)
+    ]
+    out = toks.select(F.col(id_col), *cols, F.col("__w").alias(f"__w{n}"))
+    return out.filter(F.col("__w1").isNotNull())
+
+
+def _check_discount(discount: float) -> None:
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if discount * _Q_SCALE != int(discount * _Q_SCALE):
+        raise ValueError(
+            "discount must be a dyadic rational (exactly representable "
+            f"on the 2^-20 grid) for cross-engine determinism; got "
+            f"{discount}"
+        )
+
+
+def train_kn_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+) -> dict[str, object]:
+    """Train an interpolated-KN model on ``df``'s text. Returns the
+    model as a dict of count DataFrames (persist each with
+    io.save_table like any model artifact):
+
+    n=3: ``top`` (w1,w2,w3,c) raw trigram counts; ``top_ctx``
+    (w1,w2,ctx,t) context totals + distinct-continuation types;
+    ``mid`` (w2,w3,cc) continuation counts; ``mid_ctx`` (w2,ctx,t);
+    ``low`` (w3,cc) unigram continuation counts; ``totals`` one row
+    (n12 = Σ low.cc, v1 = |low|, v = |vocab|).  n=2 drops the top
+    pair and trains the bigram as the highest order.
+    """
+    if n not in (2, 3):
+        raise ValueError(f"n must be 2 or 3, got {n}")
+    _check_discount(discount)
+    toks = _toks(df, id_col, text_col)
+    model: dict[str, object] = {"n": n, "discount": discount}
+    if n == 3:
+        g = _grams(toks, id_col, 3)
+        top = g.groupBy("__w1", "__w2", "__w3").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        model["top"] = top
+        model["top_ctx"] = top.groupBy("__w1", "__w2").agg(
+            F.sum("__c").cast("long").alias("__ctx"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+        mid = top.groupBy("__w2", "__w3").agg(
+            F.count(F.lit(1)).alias("__cc")
+        )
+    else:
+        g = _grams(toks, id_col, 2)
+        top = g.groupBy("__w1", "__w2").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        model["top"] = top
+        model["top_ctx"] = top.groupBy("__w1").agg(
+            F.sum("__c").cast("long").alias("__ctx"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+        # continuation bigrams ARE the top table's distinct pairs
+        mid = top.select("__w1", "__w2", F.lit(1).cast("long").alias("__cc"))
+    if n == 3:
+        model["mid"] = mid
+        model["mid_ctx"] = mid.groupBy("__w2").agg(
+            F.sum("__cc").cast("long").alias("__ctx"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+        low = mid.groupBy("__w3").agg(F.count(F.lit(1)).alias("__cc"))
+    else:
+        low = mid.groupBy("__w2").agg(F.count(F.lit(1)).alias("__cc"))
+    model["low"] = low
+    tot_a = low.agg(
+        F.sum("__cc").cast("long").alias("__n12"),
+        F.count(F.lit(1)).alias("__v1"),
+    )
+    tot_b = toks.agg(F.countDistinct("__w").alias("__v"))
+    model["totals"] = tot_a.join(F.broadcast(tot_b))
+    return model
+
+
+def _p_low(d: Column) -> Column:
+    """Unigram continuation probability from joined columns."""
+    cc = F.coalesce(F.col("__lcc"), F.lit(0)).cast("double")
+    n12 = F.col("__n12").cast("double")
+    v1 = F.col("__v1").cast("double")
+    v = F.col("__v").cast("double")
+    return (
+        F.greatest(cc - d, F.lit(0.0)) / n12
+        + d * v1 / n12 * (F.lit(1.0) / (v + F.lit(1.0)))
+    )
+
+
+def _p_backoff(
+    c: Column, ctx: Column, t: Column, d: Column, lower: Column
+) -> Column:
+    """One KN level: discounted MLE + reserved-mass · lower level.
+    ``ctx`` NULL (unseen context) backs off entirely."""
+    have = ctx.isNotNull()
+    cd = F.coalesce(c, F.lit(0)).cast("double")
+    ctxd = ctx.cast("double")
+    td = t.cast("double")
+    return F.when(
+        have,
+        F.greatest(cd - d, F.lit(0.0)) / ctxd + d * td / ctxd * lower,
+    ).otherwise(lower)
+
+
+def score_kn(
+    df: DataFrame,
+    model: dict[str, object],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_scored, kn_logprob): mean q20 log2 KN probability of
+    each document's full-context tokens under ``model`` — the
+    CCNet-style quality signal (higher = more fluent under the
+    training corpus). Documents with fewer than n tokens have no
+    scored positions and are not emitted.
+
+    Unseen n-grams hit the discounted-interpolation backoff; unseen
+    CONTEXTS back off a full level; fully-unseen words land on the
+    uniform 1/(V+1) floor — never log(0).
+    """
+    n = model["n"]
+    d = F.lit(float(model["discount"]))
+    g = _grams(_toks(df, id_col, text_col), id_col, n)
+    totals = model["totals"]
+    if n == 3:
+        joined = (
+            g.join(
+                model["top"].withColumnRenamed("__c", "__tc"),
+                ["__w1", "__w2", "__w3"],
+                "left",
+            )
+            .join(
+                model["top_ctx"].select(
+                    "__w1", "__w2",
+                    F.col("__ctx").alias("__tctx"),
+                    F.col("__t").alias("__tt"),
+                ),
+                ["__w1", "__w2"],
+                "left",
+            )
+            .join(
+                model["mid"].withColumnRenamed("__cc", "__mc"),
+                ["__w2", "__w3"],
+                "left",
+            )
+            .join(
+                model["mid_ctx"].select(
+                    "__w2",
+                    F.col("__ctx").alias("__mctx"),
+                    F.col("__t").alias("__mt"),
+                ),
+                ["__w2"],
+                "left",
+            )
+            .join(
+                model["low"].select(
+                    F.col("__w3"), F.col("__cc").alias("__lcc")
+                ),
+                ["__w3"],
+                "left",
+            )
+            .join(F.broadcast(totals))
+        )
+        p1 = _p_low(d)
+        p2 = _p_backoff(
+            F.col("__mc"), F.col("__mctx"), F.col("__mt"), d, p1
+        )
+        p = _p_backoff(
+            F.col("__tc"), F.col("__tctx"), F.col("__tt"), d, p2
+        )
+    else:
+        joined = (
+            g.join(
+                model["top"].withColumnRenamed("__c", "__tc"),
+                ["__w1", "__w2"],
+                "left",
+            )
+            .join(
+                model["top_ctx"].select(
+                    "__w1",
+                    F.col("__ctx").alias("__tctx"),
+                    F.col("__t").alias("__tt"),
+                ),
+                ["__w1"],
+                "left",
+            )
+            .join(
+                model["low"].select(
+                    F.col("__w2"), F.col("__cc").alias("__lcc")
+                ),
+                ["__w2"],
+                "left",
+            )
+            .join(F.broadcast(totals))
+        )
+        p1 = _p_low(d)
+        p = _p_backoff(
+            F.col("__tc"), F.col("__tctx"), F.col("__tt"), d, p1
+        )
+    lp = _q20(F.log2(p))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        _q20(
+            F.sum(lp) / F.count(F.lit(1))
+        ).alias("kn_logprob"),
+    )
+
+
+def kn_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Self-corpus convenience (the bigram_logprob symmetry): train
+    the KN model on ``df`` and score ``df`` with it."""
+    return score_kn(
+        df,
+        train_kn_lm(df, text_col, n=n, discount=discount, id_col=id_col),
+        id_col,
+        text_col,
+    )

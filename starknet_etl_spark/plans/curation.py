@@ -60,6 +60,7 @@ def curate_corpus(
     span_n: int = 20,
     quality_floor_rank: float | None = None,
     quality_floor_group: str | None = None,
+    kn_floor_rank: float | None = None,
     quality_model: list[float] | None = None,
     quality_model_threshold: float = 0.5,
     quality_model_dim: int = 16,
@@ -89,8 +90,8 @@ def curate_corpus(
     gate, split-assigned and scrubbed.
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
-    ``stage`` ∈ {clean, boilerplate, quality_floor, near_dup,
-    contamination}, ``reason`` is the clean verdict's drop_reason,
+    ``stage`` ∈ {clean, boilerplate, quality_floor, kn_floor,
+    near_dup, contamination}, ``reason`` is the clean verdict's drop_reason,
     ``shared_<frac>``, ``rank_<pct>``, ``dup_of_<cluster>``, or
     ``overlap_<frac>``.
 
@@ -324,6 +325,38 @@ def curate_corpus(
     else:
         audit_quality = None
 
+    # -- stage 1d (optional): Kneser-Ney LM perplexity floor (the
+    # CCNet tier): train a trigram KN model on the surviving corpus,
+    # score it, drop the bottom kn_floor_rank by mean log2 P. Docs
+    # too short to score (< 3 tokens) pass — the min_words gate owns
+    # length; this gate owns fluency.
+    if kn_floor_rank is not None:
+        from ..operators.knlm import kn_logprob as _knlp
+        from ..operators.text import quality_floor as _qfloor_kn
+
+        kn = _knlp(kept, id_col, text_col)
+        ranked_kn = _qfloor_kn(
+            kept.join(
+                kn.select(id_col, "kn_logprob"), id_col, "inner"
+            ),
+            id_col,
+            F.col("kn_logprob"),
+            min_rank=0.0,  # rank everything; split below for audit
+        )
+        low_kn = ranked_kn.filter(
+            F.col("quality_rank") < kn_floor_rank
+        ).select(id_col, "quality_rank")
+        audit_kn = low_kn.select(
+            ids,
+            F.lit("kn_floor").alias("stage"),
+            F.concat(
+                F.lit("kn_rank_"), F.round("quality_rank", 3)
+            ).alias("reason"),
+        )
+        kept = kept.join(low_kn.select(id_col), id_col, "left_anti")
+    else:
+        audit_kn = None
+
     # -- stage 2: near-dup clusters + quality-aware survivors
     if near_dup is not None:
         if near_dup == "jaccard":
@@ -490,8 +523,8 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_model, audit_boiler, audit_quality, audit_dups,
-                  audit_contam):
+    for extra in (audit_model, audit_boiler, audit_quality, audit_kn,
+                  audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

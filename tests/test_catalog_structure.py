@@ -1,0 +1,75 @@
+"""Catalog-module structure lints.
+
+The r6 `_SPAN_N` bug: catalog/text.py was thousands of lines of
+appended sections, and a module constant defined in a later section
+silently shadowed an earlier one that a builder read at call time
+while its oracle had been f-string-baked at import — a split-brain
+only the full differential caught. r8 split the file per tier; this
+lint makes the hazard class a test failure instead of a latent bug:
+no catalog module may bind the same module-level name twice.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import os
+
+CATALOG_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "starknet_etl_spark", "catalog"
+)
+
+
+def _module_level_bindings(tree: ast.Module) -> list[str]:
+    """Names bound by top-level statements, in order, EXCLUDING
+    subscript stores (QUERIES["x"] = ... binds nothing) and
+    augmented assignment (x += is a rebind of a tracked name and
+    will be caught via its original binding only if duplicated)."""
+    names: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+                elif isinstance(t, (ast.Tuple, ast.List)):
+                    names.extend(
+                        e.id for e in t.elts if isinstance(e, ast.Name)
+                    )
+                # Subscript/Attribute stores (QUERIES["x"] = ...)
+                # bind no module-level name.
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names.append(node.target.id)
+    return names
+
+
+def test_catalog_module_constants_unique_per_file():
+    offenders: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(CATALOG_DIR, "*.py"))):
+        tree = ast.parse(open(path).read())
+        seen: set[str] = set()
+        dups: list[str] = []
+        for name in _module_level_bindings(tree):
+            if name in seen:
+                dups.append(name)
+            seen.add(name)
+        if dups:
+            offenders[os.path.basename(path)] = sorted(set(dups))
+    assert not offenders, (
+        "module-level names bound twice in one catalog file "
+        f"(the r6 _SPAN_N shadowing class): {offenders}"
+    )
+
+
+def test_catalog_split_no_monolith():
+    """text.py stays the base suite; appended tiers live in their own
+    files. A soft ceiling so the monolith doesn't quietly regrow."""
+    path = os.path.join(CATALOG_DIR, "text.py")
+    n = sum(1 for _ in open(path))
+    assert n < 3500, (
+        f"catalog/text.py is {n} lines — add new tiers as "
+        "catalog/text_<tier>.py modules, not appended sections"
+    )

@@ -457,3 +457,44 @@ def test_data_card_diff_hand_computed(spark):
     assert got[("lang", "de")] == (2, None, -2, 100, None, -100)
     assert got[("pii", "email")] == (None, 1, 1, None, 3, 3)
     assert len(got) == 4
+
+
+def test_kn_floor_stage_in_curation(spark):
+    """kn_floor_rank: the least-fluent docs under the corpus-trained
+    trigram KN model get a kn_floor audit row; fluent docs built from
+    corpus-frequent trigrams survive; every doc lands in exactly one
+    place, and the dropped set matches the operator's own bottom
+    ranks."""
+    from starknet_etl_spark.operators.knlm import kn_logprob
+
+    base = "the cat sat on the mat and the dog sat on the rug while " \
+           "the bird sat on the branch near the tree"
+    rows = [(i, base + f" tail{i}") for i in range(1, 9)]
+    # word salad built from CORPUS-frequent words in scrambled order:
+    # transitions are unseen so every position backs off into diverse
+    # contexts. (Salad from UNIQUE tokens would score HIGH under a
+    # self-trained KN — a one-continuation context is perfectly
+    # predictable — so the scramble must reuse common words.)
+    rows += [
+        (9, "tree the near branch the on sat bird the while rug the "
+            "and mat the on sat cat the dog on end9"),
+        (10, "mat the and tree the on sat dog the near cat the while "
+             "branch the on sat bird the rug on end10"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    curated, audit = curate_corpus(
+        docs, near_dup=None, redact=False, kn_floor_rank=0.2
+    )
+    cur = {r["doc_id"] for r in curated.collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"]) for r in audit.collect()}
+    dropped_kn = {k for k, v in aud.items() if v[0] == "kn_floor"}
+    assert dropped_kn == {9, 10}
+    assert cur | set(aud) == set(range(1, 11))
+    assert cur.isdisjoint(aud)
+    # the stage's verdict agrees with the standalone operator's ranks
+    scores = {
+        r["doc_id"]: r["kn_logprob"]
+        for r in kn_logprob(docs, "doc_id", "text").collect()
+    }
+    worst_two = sorted(scores, key=lambda k: (scores[k], k))[:2]
+    assert set(worst_two) == dropped_kn

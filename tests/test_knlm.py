@@ -1,0 +1,146 @@
+"""Interpolated Kneser-Ney LM: the distributed trainer/scorer vs a
+naive sequential reference (exact same integer counts, same dyadic
+grid — bit-equal, not close), plus the held-out backoff paths."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+Q = float(2**20)
+
+
+def _q20(x: float) -> float:
+    return math.floor(x * Q + 0.5) / Q
+
+
+def _naive_kn3(train_texts, score_rows, d=0.75):
+    """(doc_id -> (n_scored, mean q20 log2 P)) trigram KN, python."""
+    def toks(t):
+        return [w for w in t.strip().split() if w]
+
+    c3 = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        for i in range(len(ws) - 2):
+            c3[(ws[i], ws[i + 1], ws[i + 2])] += 1
+    ctx2, t3 = Counter(), Counter()
+    cc2 = Counter()
+    for (w1, w2, w3), c in c3.items():
+        ctx2[(w1, w2)] += c
+        t3[(w1, w2)] += 1
+        cc2[(w2, w3)] += 1
+    ctx1, t2 = Counter(), Counter()
+    cc1 = Counter()
+    for (w2, w3), c in cc2.items():
+        ctx1[w2] += c
+        t2[w2] += 1
+        cc1[w3] += 1
+    n12 = sum(cc1.values())
+    v1 = len(cc1)
+    vocab = set()
+    for t in train_texts:
+        vocab.update(toks(t))
+    v = len(vocab)
+
+    def p(w1, w2, w3):
+        p1 = max(cc1.get(w3, 0) - d, 0.0) / n12 + d * v1 / n12 * (
+            1.0 / (v + 1.0)
+        )
+        if ctx1.get(w2):
+            p2 = max(cc2.get((w2, w3), 0) - d, 0.0) / ctx1[w2] + d * t2[
+                w2
+            ] / ctx1[w2] * p1
+        else:
+            p2 = p1
+        if ctx2.get((w1, w2)):
+            return max(c3.get((w1, w2, w3), 0) - d, 0.0) / ctx2[
+                (w1, w2)
+            ] + d * t3[(w1, w2)] / ctx2[(w1, w2)] * p2
+        return p2
+
+    out = {}
+    for did, t in score_rows:
+        ws = toks(t)
+        lps = [
+            _q20(math.log2(p(ws[i], ws[i + 1], ws[i + 2])))
+            for i in range(len(ws) - 2)
+        ]
+        if lps:
+            out[did] = (len(lps), _q20(sum(lps) / len(lps)))
+    return out
+
+
+_CORPUS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "the cat sat on the hat"),
+    ("d3", "a dog sat on the mat"),
+    ("d4", "the dog ate the cat food quickly"),
+    ("d5", "colorless green ideas sleep furiously tonight"),
+    ("d6", "the the the the the"),
+    ("d7", "on the mat the cat sat"),
+    ("d8", "xy"),  # < 3 tokens: not emitted
+]
+
+
+def test_kn_logprob_matches_naive_bit_exact(spark):
+    from starknet_etl_spark.operators.knlm import kn_logprob
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_scored"], r["kn_logprob"])
+        for r in kn_logprob(df).collect()
+    }
+    want = _naive_kn3([t for _, t in _CORPUS], _CORPUS)
+    assert got == want  # dyadic grid: == not approx
+    assert "d8" not in got
+    # fluent repeats of corpus-frequent trigrams outscore word salad
+    assert got["d1"][1] > got["d5"][1]
+
+
+def test_score_kn_held_out_backoff_paths(spark):
+    from starknet_etl_spark.operators.knlm import score_kn, train_kn_lm
+
+    train = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    model = train_kn_lm(train)
+    held = [
+        ("h1", "the cat sat on the mat"),       # all trigrams seen
+        ("h2", "the cat ate the mat food"),     # unseen trigrams
+        ("h3", "zebra quark sat on unseen things"),  # unseen words
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in score_kn(
+            spark.createDataFrame(held, ["doc_id", "text"]), model
+        ).collect()
+    }
+    want = _naive_kn3([t for _, t in _CORPUS], held)
+    got = {k: (r["n_scored"], r["kn_logprob"]) for k, r in out.items()}
+    assert got == want
+    # every probability strictly positive: no -inf even for unseen
+    assert all(math.isfinite(r["kn_logprob"]) for r in out.values())
+    # fully-seen text far outscores the backoff-heavy ones (the two
+    # backoff docs rank close: tiny vocab keeps the unseen floor mild)
+    assert got["h1"][1] > got["h2"][1] and got["h1"][1] > got["h3"][1]
+
+
+def test_kn_bigram_order(spark):
+    from starknet_etl_spark.operators.knlm import kn_logprob
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in kn_logprob(df, n=2).collect()}
+    # bigram scores positions >= 1: d8 ("xy") still has no transition
+    assert "d8" not in out
+    assert out["d1"]["n_scored"] == 5
+
+
+def test_kn_rejects_non_dyadic_discount(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.knlm import train_kn_lm
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="dyadic"):
+        train_kn_lm(df, discount=0.1)
+    with _pytest.raises(ValueError, match="n must be"):
+        train_kn_lm(df, n=4)
