@@ -65,6 +65,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_contamination,
         text_mixtures,
         text_neardup,
+        text_pref,
         text_quality,
         text_search,
         text_sketches,
@@ -91,6 +92,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_neardup,
         text_turns,
         text_mixtures,
+        text_pref,
         vectors,
         multimodal,
         domain,

@@ -1,0 +1,295 @@
+"""Preference-pair (RLHF/DPO) rows over a deterministic pair
+synthesis of the documents table (r8): each block of ten documents
+shares its BASE document's 8-token prompt; every member contributes
+its own 8-token response with an md5-derived integer score — so
+prompt groups, margins, ties, and near-dup prompts all arise
+deterministically in BOTH engines. Names _PREF_/pref_.
+
+Operators under test: operators/preference.py (pairing, stats,
+prompt near-dup dedup, leakage-safe splits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _docs
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_PREF_SPLIT_W = {"train": 800, "val": 100, "test": 100}
+_PREF_ND_THRESHOLD = 0.5
+
+# score: first two md5 hex chars of the doc id -> 16-bit-ish integer
+# mod 97 (prime, so group-of-10 scores rarely all distinct: real tie
+# behavior gets exercised). Exact integers in both engines.
+_PREF_CTES = r"""
+pref_w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+pref_prompt AS (
+  -- decades at base 10 mod 30 get a one-token-SHIFTED copy of the
+  -- previous decade's prompt: deterministic near-duplicates so the
+  -- dedup row exercises its drop path (shingles overlap ~5/7)
+  SELECT w.doc_id AS base_id,
+         'user: ' || array_to_string(
+           CASE WHEN w.doc_id % 30 = 10 AND p.doc_id IS NOT NULL
+                THEN p.ws[2:9] ELSE w.ws[1:8] END, ' ') AS prompt
+  FROM pref_w w LEFT JOIN pref_w p ON p.doc_id = w.doc_id - 10
+),
+pref_resp AS (
+  SELECT doc_id,
+         doc_id - doc_id % 10 AS base_id,
+         'assistant: ' || array_to_string(ws[9:16], ' ') AS response,
+         CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+               + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+              % 97 AS BIGINT) AS score
+  FROM pref_w WHERE len(ws) >= 9
+),
+pref_conv AS MATERIALIZED (
+  SELECT r.doc_id,
+         p.prompt AS prompt,
+         md5(p.prompt) AS prompt_fp,
+         r.response AS response,
+         r.score AS score
+  FROM pref_resp r JOIN pref_prompt p ON p.base_id = r.base_id
+)
+"""
+
+
+def _pref_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized operator INPUT: (doc_id, text, score) scored
+    two-turn conversations (the oracle's pref_conv carries prompt
+    columns only for its own convenience — the Spark side hands the
+    operators nothing but the raw conversations)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__ws")
+    )
+    prev = w.select(
+        (F.col("doc_id") + 10).alias("doc_id"),
+        F.col("__ws").alias("__pws"),
+    )
+    prompt = w.join(prev, "doc_id", "left").select(
+        F.col("doc_id").alias("__base"),
+        F.concat(
+            F.lit("user: "),
+            F.array_join(
+                F.when(
+                    (F.col("doc_id") % 30 == 10)
+                    & F.col("__pws").isNotNull(),
+                    F.slice("__pws", 2, 8),
+                ).otherwise(F.slice("__ws", 1, 8)),
+                " ",
+            ),
+        ).alias("__prompt"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    resp = w.filter(F.size("__ws") >= 9).select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("__base"),
+        F.concat(
+            F.lit("assistant: "),
+            F.array_join(F.slice("__ws", 9, 8), " "),
+        ).alias("__resp"),
+        (
+            (
+                F.ascii(F.substring(h, 1, 1)) * 256
+                + F.ascii(F.substring(h, 2, 1))
+            )
+            % 97
+        ).cast("long").alias("score"),
+    )
+    return resp.join(prompt, "__base").select(
+        "doc_id",
+        F.concat("__prompt", F.lit("\n"), "__resp").alias("text"),
+        "score",
+    )
+
+
+def _pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import build_preference_pairs
+
+    return build_preference_pairs(
+        _pref_convs(spark, sf_dir), "doc_id", "text", "score"
+    ).select(
+        "prompt_fp",
+        "chosen_id",
+        "rejected_id",
+        F.col("margin").cast("long").alias("margin"),
+    )
+
+
+_PREF_PAIRS_ORACLE = (
+    "WITH "
+    + _PREF_CTES
+    + """
+SELECT a.prompt_fp,
+       a.doc_id AS chosen_id,
+       b.doc_id AS rejected_id,
+       CAST(a.score - b.score AS BIGINT) AS margin
+FROM pref_conv a JOIN pref_conv b USING (prompt_fp)
+WHERE a.score > b.score
+"""
+)
+
+QUERIES["doc_pref_pairs"] = QuerySpec(
+    _pref_pairs,
+    _PREF_PAIRS_ORACLE,
+    "preference pairs: responses grouped by prompt fingerprint, one"
+    " (chosen, rejected) row per strictly-better-scored ordered pair",
+)
+
+
+def _pref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import preference_stats
+
+    return preference_stats(_pref_convs(spark, sf_dir), "doc_id", "text")
+
+
+_PREF_STATS_ORACLE = (
+    "WITH "
+    + _PREF_CTES
+    + """,
+pref_n AS (
+  SELECT prompt_fp, CAST(COUNT(*) AS BIGINT) AS n_responses
+  FROM pref_conv GROUP BY prompt_fp
+),
+pref_pp AS (
+  SELECT a.prompt_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(MAX(a.score - b.score) AS BIGINT) AS max_margin,
+         floor(SUM(a.score - b.score) * 1.0 / COUNT(*)
+               * 1048576.0 + 0.5) / 1048576.0 AS mean_margin
+  FROM pref_conv a JOIN pref_conv b USING (prompt_fp)
+  WHERE a.score > b.score
+  GROUP BY a.prompt_fp
+)
+SELECT n.prompt_fp,
+       n.n_responses,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       p.max_margin,
+       p.mean_margin,
+       CASE WHEN n.n_responses > 1 THEN
+         floor(COALESCE(p.n_pairs, 0)
+               / (n.n_responses * (n.n_responses - 1) / 2.0)
+               * 1048576.0 + 0.5) / 1048576.0
+       END AS agreement
+FROM pref_n n LEFT JOIN pref_pp p USING (prompt_fp)
+"""
+)
+
+QUERIES["doc_pref_stats"] = QuerySpec(
+    _pref_stats,
+    _PREF_STATS_ORACLE,
+    "per-prompt preference card: response/pair counts, exact margins,"
+    " q20 tie-free agreement",
+)
+
+
+def _pref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import (
+        dedup_prompt_groups,
+        extract_prompt_response,
+    )
+
+    prompts = (
+        extract_prompt_response(_pref_convs(spark, sf_dir), "doc_id", "text")
+        .select("prompt_fp", "prompt")
+        .distinct()
+    )
+    return dedup_prompt_groups(prompts, threshold=_PREF_ND_THRESHOLD)
+
+
+_PREF_DEDUP_ORACLE = (
+    "WITH "
+    + _PREF_CTES
+    + f""",
+pref_ps AS (SELECT DISTINCT prompt_fp, prompt FROM pref_conv),
+pref_pw AS (
+  SELECT prompt_fp, string_split_regex(trim(prompt), '\\s+') AS ws
+  FROM pref_ps
+),
+pref_sh AS (
+  SELECT DISTINCT prompt_fp,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM pref_pw,
+       unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+pref_sz AS (
+  SELECT prompt_fp, COUNT(*) AS n_sh FROM pref_sh GROUP BY prompt_fp
+),
+pref_inter AS (
+  SELECT a.prompt_fp AS f1, b.prompt_fp AS f2, COUNT(*) AS n_inter
+  FROM pref_sh a JOIN pref_sh b USING (shingle)
+  WHERE a.prompt_fp < b.prompt_fp
+  GROUP BY a.prompt_fp, b.prompt_fp
+),
+pref_nd AS (
+  SELECT f2
+  FROM pref_inter i
+  JOIN pref_sz s1 ON s1.prompt_fp = i.f1
+  JOIN pref_sz s2 ON s2.prompt_fp = i.f2
+  WHERE i.n_inter * 1.0 / (s1.n_sh + s2.n_sh - i.n_inter)
+        >= {_PREF_ND_THRESHOLD}
+)
+SELECT prompt_fp FROM pref_ps
+WHERE prompt_fp NOT IN (SELECT f2 FROM pref_nd)
+"""
+)
+
+QUERIES["doc_pref_dedup"] = QuerySpec(
+    _pref_dedup,
+    _PREF_DEDUP_ORACLE,
+    "prompt-level near-dup dedup: Jaccard over DISTINCT prompts,"
+    " first-seen-wins (an fp drops iff a near-dup fp is smaller)",
+)
+
+
+def _pref_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import (
+        build_preference_pairs,
+        split_preference_pairs,
+    )
+
+    pairs = build_preference_pairs(
+        _pref_convs(spark, sf_dir), "doc_id", "text", "score"
+    )
+    return split_preference_pairs(pairs, weights=_PREF_SPLIT_W).select(
+        "prompt_fp",
+        "chosen_id",
+        "rejected_id",
+        F.col("split").alias("split"),
+    )
+
+
+_PREF_SPLIT_ORACLE = (
+    "WITH "
+    + _PREF_CTES
+    + """,
+pref_pairs AS (
+  SELECT a.prompt_fp, a.doc_id AS chosen_id, b.doc_id AS rejected_id
+  FROM pref_conv a JOIN pref_conv b USING (prompt_fp)
+  WHERE a.score > b.score
+),
+pref_b AS (
+  SELECT prompt_fp, chosen_id, rejected_id,
+         CAST('0x' || substr(md5(prompt_fp), 1, 4) AS BIGINT) % 1000
+           AS bucket
+  FROM pref_pairs
+)
+SELECT prompt_fp, chosen_id, rejected_id,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM pref_b
+"""
+)
+
+QUERIES["doc_pref_split"] = QuerySpec(
+    _pref_split,
+    _PREF_SPLIT_ORACLE,
+    "leakage-safe preference splits: hashed on the PROMPT fingerprint"
+    " so all pairs of a prompt land in one split",
+)

@@ -1,0 +1,270 @@
+"""Preference-pair (RLHF/DPO-style) data operators over the
+conversation tier.
+
+turns.py makes conversations first-class; preference data is the
+next artifact a post-training pipeline ships: (prompt, chosen,
+rejected) pairs mined from scored responses that share a prompt.
+This module covers the four jobs that pipeline needs:
+
+- ``extract_prompt_response``: split each conversation at its LAST
+  user turn — everything through it is the prompt (the context that
+  elicited the response), everything after is the response.
+- ``build_preference_pairs``: group responses by exact prompt
+  fingerprint; within a group emit (chosen, rejected) for every
+  strictly-better-scored ordered pair (ties carry no preference
+  signal and are excluded). ``max_group`` caps quadratic blowup on
+  hot prompts the way max_bucket caps LSH buckets.
+- ``dedup_prompt_groups``: prompt-level near-dup on the DISTINCT
+  prompt table (dedup.py machinery — a handful of tokens per
+  prompt, so the shingle index is tiny relative to the response
+  corpus); first-seen-wins: a fingerprint is dropped iff some
+  near-duplicate fingerprint is smaller. Exact prompt dedup needs no
+  operator — identical prompts share a fingerprint by construction.
+- ``split_preference_pairs``: leakage-safe splits — hashed on the
+  PROMPT fingerprint, so both sides of every pair and all pairs of
+  one prompt land in one split (a chosen in train with its rejected
+  in test is leakage, the splits.py cluster-key discipline).
+- ``preference_stats``: per-prompt margin/agreement card — exact
+  integer counts, dyadic ratios.
+
+Scale: parsing is map-only; grouping keys are md5 fingerprints
+(uniform); the pair self-join is quadratic only INSIDE a prompt
+group, bounded by ``max_group``; stats are one keyed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .turns import DEFAULT_ROLES, _render, parse_turns
+
+#: dyadic quantization grid (shared discipline with quality_model.py)
+_Q_SCALE = float(2**20)
+
+
+def _q20(col):
+    return F.floor(col * F.lit(_Q_SCALE) + F.lit(0.5)) / F.lit(_Q_SCALE)
+
+
+def extract_prompt_response(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """(id, prompt, response, prompt_fp): each conversation split at
+    its last user turn. Conversations with no user turn, or nothing
+    after the last one, have no response to judge and are dropped.
+    Map-only parse + two doc-keyed aggregates."""
+    turns = parse_turns(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    )
+    lu = (
+        turns.filter(F.col("role") == "user")
+        .groupBy(id_col)
+        .agg(F.max("turn_idx").alias("__lu"))
+    )
+    t = turns.join(lu, id_col).withColumn(
+        "__line", _render(F.col("role"), F.col("content"), role_sep)
+    )
+    agg = t.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("turn_idx") <= F.col("__lu"),
+                            F.struct("turn_idx", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            turn_sep,
+        ).alias("prompt"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("turn_idx") > F.col("__lu"),
+                            F.struct("turn_idx", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            turn_sep,
+        ).alias("response"),
+    )
+    return agg.filter(F.col("response") != "").select(
+        id_col,
+        "prompt",
+        "response",
+        F.md5("prompt").alias("prompt_fp"),
+    )
+
+
+def build_preference_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    *,
+    min_margin: float = 0.0,
+    max_group: int = 64,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """(prompt_fp, prompt, chosen_id, rejected_id, chosen, rejected,
+    margin): every ordered response pair within a prompt group where
+    chosen outscores rejected by MORE than ``min_margin`` (strict —
+    ties are not preferences). Groups larger than ``max_group`` are
+    trimmed to their top ``max_group`` responses by (score desc, id
+    asc) BEFORE pairing, bounding the self-join at max_group² per
+    prompt (the LSH max_bucket stance: deterministic, in-plan)."""
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    if min_margin < 0:
+        raise ValueError(f"min_margin must be >= 0, got {min_margin}")
+    pr = extract_prompt_response(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    ).join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("prompt_fp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    top = pr.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= max_group
+    )
+    a = top.select(
+        "prompt_fp",
+        "prompt",
+        F.col(id_col).alias("chosen_id"),
+        F.col("response").alias("chosen"),
+        F.col(score_col).alias("__sa"),
+    )
+    b = top.select(
+        "prompt_fp",
+        F.col(id_col).alias("rejected_id"),
+        F.col("response").alias("rejected"),
+        F.col(score_col).alias("__sb"),
+    )
+    return (
+        a.join(b, "prompt_fp")
+        .filter(F.col("__sa") > F.col("__sb") + F.lit(min_margin))
+        .select(
+            "prompt_fp",
+            "prompt",
+            "chosen_id",
+            "rejected_id",
+            "chosen",
+            "rejected",
+            (F.col("__sa") - F.col("__sb")).alias("margin"),
+        )
+    )
+
+
+def dedup_prompt_groups(
+    prompts: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup prompt-group dedup: input (prompt_fp, prompt)
+    DISTINCT rows; returns the KEPT fingerprints. First-seen-wins on
+    the fingerprint order: an fp is dropped iff it has a near-dup
+    (n-gram Jaccard ≥ threshold, dedup.jaccard_pairs machinery) with
+    a smaller fp — deterministic without a component pass (a chain
+    a<b<c drops b and c; the survivor set is exactly the fps that
+    are no near-dup's larger side). Prompt tables are tiny next to
+    the response corpus, but the same max_df cap applies."""
+    from .dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(
+        prompts, id_col="prompt_fp", text_col="prompt",
+        threshold=threshold, n=n, max_df=max_df,
+    )
+    # jaccard_pairs emits (id_1, id_2) with id_1 < id_2
+    losers = pairs.select(F.col("id_2").alias("prompt_fp")).distinct()
+    return prompts.select("prompt_fp").distinct().join(
+        losers, "prompt_fp", "left_anti"
+    )
+
+
+def split_preference_pairs(
+    pairs: DataFrame,
+    *,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe split assignment for a pair table: hashed on
+    ``prompt_fp`` so every pair of one prompt — and both sides of
+    each pair — lands in exactly one split."""
+    from .splits import hash_split
+
+    return hash_split(pairs, "prompt_fp", weights=weights, salt=salt)
+
+
+def preference_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    *,
+    max_group: int = 64,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """(prompt_fp, n_responses, n_pairs, max_margin, mean_margin,
+    agreement): the per-prompt preference card. n_pairs counts
+    strictly-ordered pairs among the (capped) group's responses;
+    agreement = n_pairs / C(n,2) — the tie-free fraction (1.0 = a
+    total order, 0.0 = all scores equal), q20-quantized like every
+    trained ratio here; mean_margin likewise."""
+    pairs = build_preference_pairs(
+        df, id_col, text_col, score_col,
+        max_group=max_group,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    )
+    pr = extract_prompt_response(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    ).join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("prompt_fp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    nresp = (
+        pr.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_group)
+        .groupBy("prompt_fp")
+        .agg(F.count(F.lit(1)).alias("n_responses"))
+    )
+    pstats = pairs.groupBy("prompt_fp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("margin").alias("max_margin"),
+        _q20(F.sum("margin") / F.count(F.lit(1))).alias("mean_margin"),
+    )
+    out = nresp.join(pstats, "prompt_fp", "left")
+    npairs = F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+    denom = (
+        F.col("n_responses") * (F.col("n_responses") - 1) / F.lit(2.0)
+    )
+    return out.select(
+        "prompt_fp",
+        F.col("n_responses").cast("long").alias("n_responses"),
+        npairs.alias("n_pairs"),
+        F.col("max_margin"),
+        F.col("mean_margin"),
+        F.when(F.col("n_responses") > 1, _q20(npairs / denom))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("agreement"),
+    )

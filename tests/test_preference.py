@@ -1,0 +1,151 @@
+"""Preference-pair operators: pairing vs a naive reference, the
+max_group cap, leakage-safe splits, stats arithmetic, and prompt
+near-dup first-seen-wins."""
+
+from __future__ import annotations
+
+import math
+
+Q = float(2**20)
+
+
+def _q20(x):
+    return math.floor(x * Q + 0.5) / Q
+
+
+def _convs():
+    # two prompt groups (p1 ×4 responses, p2 ×3), one promptless doc,
+    # one prompt-only doc (no response), a tie inside p1
+    p1 = "user: compare spark and duckdb engines"
+    p2 = "system: be terse\nuser: name one join strategy"
+    return [
+        (1, p1 + "\nassistant: spark distributes duckdb does not", 30),
+        (2, p1 + "\nassistant: both are engines", 10),
+        (3, p1 + "\nassistant: spark scales out duckdb scales up", 30),
+        (4, p1 + "\nassistant: i cannot help with that", 5),
+        (5, p2 + "\nassistant: broadcast hash join", 20),
+        (6, p2 + "\nassistant: joins exist", 7),
+        (7, p2 + "\nassistant: sort merge join", 25),
+        (8, "assistant: no user turn here", 99),
+        (9, "user: prompt with no response", 50),
+    ]
+
+
+def test_extract_prompt_response(spark):
+    from starknet_etl_spark.operators.preference import (
+        extract_prompt_response,
+    )
+
+    df = spark.createDataFrame(
+        _convs(), "doc_id bigint, text string, score bigint"
+    )
+    out = {r["doc_id"]: r for r in extract_prompt_response(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}  # 8: no user; 9: no resp
+    assert out[5]["prompt"] == "system: be terse\nuser: name one join strategy"
+    assert out[5]["response"] == "assistant: broadcast hash join"
+    assert out[1]["prompt_fp"] == out[2]["prompt_fp"]
+    assert out[1]["prompt_fp"] != out[5]["prompt_fp"]
+
+
+def test_build_preference_pairs_matches_naive(spark):
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        _convs(), "doc_id bigint, text string, score bigint"
+    )
+    got = {
+        (r["chosen_id"], r["rejected_id"]): r["margin"]
+        for r in build_preference_pairs(df).collect()
+    }
+    # naive: within each group, every strictly-greater ordered pair
+    groups = {"p1": [(1, 30), (2, 10), (3, 30), (4, 5)],
+              "p2": [(5, 20), (6, 7), (7, 25)]}
+    want = {}
+    for rs in groups.values():
+        for i, si in rs:
+            for j, sj in rs:
+                if si > sj:
+                    want[(i, j)] = si - sj
+    assert got == want
+    # the tie (1,3) produced no pair in either direction
+    assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_max_group_cap_trims_before_pairing(spark):
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+    )
+
+    rows = [
+        (i, f"user: same prompt\nassistant: resp {i}", 100 - i)
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, score bigint"
+    )
+    pairs = build_preference_pairs(df, max_group=3).collect()
+    ids = {r["chosen_id"] for r in pairs} | {
+        r["rejected_id"] for r in pairs
+    }
+    # top-3 by (score desc, id asc) = docs 1, 2, 3
+    assert ids == {1, 2, 3}
+    assert len(pairs) == 3  # C(3,2), all strictly ordered
+
+
+def test_split_pairs_leakage_safe(spark):
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+        split_preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        _convs(), "doc_id bigint, text string, score bigint"
+    )
+    pairs = build_preference_pairs(df)
+    out = split_preference_pairs(
+        pairs, weights={"train": 800, "test": 200}
+    ).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["prompt_fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fp.values())
+
+
+def test_preference_stats_exact(spark):
+    from starknet_etl_spark.operators.preference import preference_stats
+
+    df = spark.createDataFrame(
+        _convs(), "doc_id bigint, text string, score bigint"
+    )
+    out = {r["n_responses"]: r for r in preference_stats(df).collect()}
+    g4, g3 = out[4], out[3]  # p1 has 4 responses, p2 has 3
+    # p1: scores 30,30,10,5 -> ordered pairs: 2*(30>10)+2*(30>5)+(10>5)=5
+    assert g4["n_pairs"] == 5
+    assert g4["max_margin"] == 25
+    assert g4["mean_margin"] == _q20((20 + 25 + 20 + 25 + 5) / 5)
+    assert g4["agreement"] == _q20(5 / 6.0)
+    # p2: 25>20>7 -> 3 pairs, total order
+    assert g3["n_pairs"] == 3
+    assert g3["agreement"] == _q20(1.0)
+
+
+def test_dedup_prompt_groups_first_seen_wins(spark):
+    from starknet_etl_spark.operators.preference import (
+        dedup_prompt_groups,
+    )
+
+    prompts = spark.createDataFrame(
+        [
+            ("aa", "user: the quick brown fox jumps over the lazy dog"),
+            ("bb", "user: the quick brown fox jumps over the lazy cat"),
+            ("cc", "user: completely different words appear in here now"),
+        ],
+        ["prompt_fp", "prompt"],
+    )
+    kept = {
+        r["prompt_fp"]
+        for r in dedup_prompt_groups(prompts, threshold=0.5).collect()
+    }
+    assert kept == {"aa", "cc"}  # bb near-dups aa; smaller fp wins
