@@ -73,3 +73,96 @@ QUERIES["doc_temperature_mix"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# Learned mixture weights (r8, DoReMi-lite): bounded-round
+# multiplicative-weights over per-domain EXCESS loss, the loss being
+# the negated q20 Kneser-Ney score — domains the corpus LM fits worst
+# gain weight. Linearized MW (1 + eta·excess), no libm exp: every op
+# is exact-input IEEE, so the learned vector is bit-identical across
+# engines. The oracle unrolls all rounds; heavy CTEs MATERIALIZED
+# (DuckDB re-inlines plain CTEs per reference). Names _LMIX_/lmix_.
+# --------------------------------------------------------------------------
+
+_LMIX_ROUNDS = 4
+_LMIX_ETA = 0.5
+_LMIX_FLOOR = 0.0625
+
+
+def _learned_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knlm import kn_logprob
+    from ..operators.mixing import learn_mixture_weights
+
+    docs = _docs(spark, sf_dir)
+    loss = (
+        kn_logprob(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", (-F.col("kn_logprob")).alias("__loss"))
+    )
+    w = learn_mixture_weights(
+        loss, "lang", "__loss",
+        n_rounds=_LMIX_ROUNDS, eta=_LMIX_ETA, factor_floor=_LMIX_FLOOR,
+    )
+    return spark.createDataFrame(
+        sorted(w.items()), "grp string, weight double"
+    )
+
+
+def _lmix_oracle() -> str:
+    from .text_quality import _KN_ORACLE
+
+    q = "1048576.0"
+    rounds = []
+    prev = "lmix_w0"
+    for k in range(1, _LMIX_ROUNDS + 1):
+        rounds.append(f"""
+lmix_u{k} AS MATERIALIZED (
+  SELECT e.grp,
+         floor(w.w * greatest(1 + {_LMIX_ETA} * e.excess, {_LMIX_FLOOR})
+               * {q} + 0.5) / {q} AS wu
+  FROM {prev} w JOIN lmix_ex e USING (grp)
+),
+lmix_w{k} AS MATERIALIZED (
+  SELECT grp,
+         floor(wu / (SELECT SUM(wu) FROM lmix_u{k}) * {q} + 0.5) / {q}
+           AS w
+  FROM lmix_u{k}
+)""")
+        prev = f"lmix_w{k}"
+    return (
+        f"""
+WITH lmix_kn AS MATERIALIZED ({_KN_ORACLE}),
+lmix_j AS (
+  SELECT d.lang AS grp, -k.kn_logprob AS loss
+  FROM lmix_kn k JOIN documents d USING (doc_id)
+),
+lmix_g AS MATERIALIZED (
+  SELECT grp, SUM(loss) AS s, COUNT(*) AS c FROM lmix_j GROUP BY grp
+),
+lmix_tot AS (SELECT SUM(s) AS ts, SUM(c) AS tc FROM lmix_g),
+lmix_ex AS MATERIALIZED (
+  SELECT grp,
+         floor(s / c * {q} + 0.5) / {q}
+         - floor(ts / tc * {q} + 0.5) / {q} AS excess
+  FROM lmix_g, lmix_tot
+),
+lmix_w0 AS (
+  SELECT grp,
+         floor(1.0 / (SELECT COUNT(*) FROM lmix_g) * {q} + 0.5) / {q}
+           AS w
+  FROM lmix_ex
+),"""
+        + ",".join(rounds)
+        + f"""
+SELECT grp, w AS weight FROM {prev}
+"""
+    )
+
+
+QUERIES["doc_learned_mix"] = QuerySpec(
+    _learned_mix,
+    _lmix_oracle(),
+    "DoReMi-lite learned domain weights: linearized multiplicative-"
+    "weights over per-domain excess KN loss, full unroll in DuckDB",
+)

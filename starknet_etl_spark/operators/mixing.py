@@ -236,3 +236,82 @@ def temperature_weights(
         raise ValueError("every group has zero/NULL mass")
     tot = sum(ps.values())  # dyadic sum: exact, order-free
     return {g: p / tot for g, p in ps.items()}
+
+
+def learn_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    loss_col: str,
+    *,
+    n_rounds: int = 4,
+    eta: float = 0.5,
+    factor_floor: float = 0.0625,
+) -> dict:
+    """DoReMi-lite LEARNED domain weights: bounded-round
+    multiplicative-weights reweighting over per-domain EXCESS loss —
+    domains where the quality model hurts more than the corpus
+    average gain weight, domains it already fits lose it (Xie et
+    al., DoReMi; this is the static-loss lite form: the loss signal
+    is computed once, not re-proxied per round). Returns a
+    ``mix_corpus``-ready weights dict.
+
+    ``loss_col`` must be a per-row DYADIC loss (e.g. the negated
+    q20 `knlm.kn_logprob` score, or unigram-LM NLL): dyadic addends
+    make every group sum exact and order-free, so the learned
+    vector is bit-identical across engines and partitionings.
+
+    Update rule: w ← q20(w · max(1 + eta·excess_g, factor_floor)),
+    then q20-renormalize — the LINEARIZED form of exponentiated
+    gradient (no libm exp: transcendentals are not correctly rounded
+    across engines; 1 + eta·x is its O(eta²) equivalent and every op
+    here is exact-input IEEE arithmetic). ``factor_floor`` keeps
+    weights positive when a domain's excess is very negative.
+
+    Scale: one group aggregate (map-side combine), G collected rows
+    (groups are driver-sized by the mixture contract), pure driver
+    arithmetic after.
+    """
+    import math
+
+    q = 1048576.0
+
+    def _q(x: float) -> float:
+        return math.floor(x * q + 0.5) / q
+
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    for name, v in (("eta", eta), ("factor_floor", factor_floor)):
+        if v <= 0 or _q(v) != v:
+            raise ValueError(
+                f"{name} must be a positive dyadic rational on the "
+                f"2^-20 grid, got {v}"
+            )
+    per_group = (
+        df.groupBy(group_col)
+        .agg(
+            F.sum(loss_col).alias("__s"),
+            F.count(loss_col).alias("__c"),
+        )
+        .collect()
+    )
+    rows = [
+        (r[group_col], r["__s"], r["__c"])
+        for r in per_group
+        if r["__s"] is not None and r["__c"] > 0
+    ]
+    if not rows:
+        raise ValueError("empty corpus: no groups with loss values")
+    rows.sort(key=lambda t: str(t[0]))
+    total_s = sum(s for _, s, _ in rows)  # dyadic addends: exact
+    total_c = sum(c for _, _, c in rows)
+    overall = _q(total_s / total_c)
+    excess = {g: _q(s / c) - overall for g, s, c in rows}
+    w = {g: _q(1.0 / len(rows)) for g, _, _ in rows}
+    for _ in range(n_rounds):
+        u = {
+            g: _q(w[g] * max(1.0 + eta * excess[g], factor_floor))
+            for g in w
+        }
+        tot = sum(u.values())  # dyadic: exact, order-free
+        w = {g: _q(u[g] / tot) for g in u}
+    return w

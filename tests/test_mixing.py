@@ -217,3 +217,49 @@ def test_temperature_weights_rebalance_direction(spark):
         temperature_weights(df, "src", alpha=0.0)
     with pytest.raises(ValueError, match="empty"):
         temperature_weights(df.filter("doc_id < 0"), "src")
+
+
+def test_learn_mixture_weights_upweights_high_loss(spark):
+    """DoReMi-lite MW: the domain with above-average loss gains
+    weight, the one below loses it; weights stay a distribution;
+    the vector is identical under a different partitioning (dyadic
+    sums are order-free)."""
+    import math
+
+    from starknet_etl_spark.operators.mixing import (
+        learn_mixture_weights,
+        mix_corpus,
+    )
+
+    q = float(2**20)
+    rows = []
+    for i in range(40):
+        rows.append((f"a{i}", "hard", math.floor(3.5 * q + 0.5) / q))
+        rows.append((f"b{i}", "easy", math.floor(1.5 * q + 0.5) / q))
+        rows.append((f"c{i}", "mid", math.floor(2.5 * q + 0.5) / q))
+    df = spark.createDataFrame(rows, "doc_id string, grp string, loss double")
+    w = learn_mixture_weights(df, "grp", "loss")
+    assert abs(sum(w.values()) - 1.0) < 1e-5
+    assert w["hard"] > w["mid"] > w["easy"]
+    w2 = learn_mixture_weights(df.repartition(7, "doc_id"), "grp", "loss")
+    assert w == w2  # bit-equal, not close
+    # the returned dict feeds mix_corpus directly
+    out = mix_corpus(df.select("doc_id", "grp"), "grp", "doc_id", weights=w)
+    assert out.count() > 0
+
+
+def test_learn_mixture_weights_validation(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.mixing import learn_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", "g", 1.0)], "doc_id string, grp string, loss double"
+    )
+    with _pytest.raises(ValueError, match="dyadic"):
+        learn_mixture_weights(df, "grp", "loss", eta=0.1)
+    with _pytest.raises(ValueError, match="n_rounds"):
+        learn_mixture_weights(df, "grp", "loss", n_rounds=0)
+    empty = df.filter("loss > 99")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        learn_mixture_weights(empty, "grp", "loss")
