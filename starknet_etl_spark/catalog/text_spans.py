@@ -571,3 +571,127 @@ QUERIES["doc_curation_span_policy"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# Normalized line dedup (r8): the unicode-canonicalization tier.
+# Every third line (by doc_id + chunk_id) is rewritten as an UPPER +
+# NBSP typography variant; raw line identity provably misses those
+# duplicates (upper and lower copies are two identities), the
+# normalize_unicode identity collapses them. The oracle's
+# normalization expression is GENERATED from the same constants as
+# the Spark column (text.normalize_unicode_sql). Names _NRM_/nrm_.
+# --------------------------------------------------------------------------
+
+
+def _nrm_lined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = X.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_tokens=_LINE_W, overlap=0,
+    )
+    var = F.when(
+        (F.col("doc_id") + F.col("chunk_id")) % 3 == 0,
+        F.translate(F.upper("chunk_text"), " ", "\u00a0"),
+    ).otherwise(F.col("chunk_text"))
+    return ch.select(
+        "doc_id", "chunk_id", var.alias("chunk_text")
+    ).groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def _normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import line_dedup
+
+    lined = _nrm_lined(spark, sf_dir)
+    raw = line_dedup(lined).select(
+        "doc_id", "n_lines", F.col("n_dropped").alias("dropped_raw")
+    )
+    norm = line_dedup(lined, normalize=True).select(
+        "doc_id", F.col("n_dropped").alias("dropped_norm")
+    )
+    return raw.join(norm, "doc_id")
+
+
+def _nrm_oracle() -> str:
+    from ..operators.text import normalize_unicode_sql
+
+    nline = normalize_unicode_sql("line")
+    return (
+        "WITH "
+        + _LINEATED_CTES.replace("lined AS (", "nrm_lined0 AS (").replace(
+            "FROM chg GROUP BY doc_id", "FROM nrm_vchg GROUP BY doc_id"
+        ).replace(
+            "chg AS (", "nrm_chg0 AS ("
+        ).replace("FROM dw,", "FROM nrm_dw,").replace(
+            "dw AS (", "nrm_dw AS ("
+        )
+        + f""",
+nrm_vchg AS (
+  SELECT doc_id, chunk_id,
+         CASE WHEN (doc_id + chunk_id) % 3 = 0
+              THEN translate(upper(line), ' ', ' ')
+              ELSE line END AS line
+  FROM nrm_chg0
+),
+nrm_lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM nrm_lined0),
+       unnest(generate_series(1, len(ls))) AS t(i)
+),
+nrm_kr AS (
+  SELECT doc_id, COUNT(*) AS nk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM nrm_lines WHERE trim(line) <> ''
+  ) WHERE rn = 1 GROUP BY doc_id
+),
+nrm_br AS (
+  SELECT doc_id, COUNT(*) AS nb FROM nrm_lines
+  WHERE trim(line) = '' GROUP BY doc_id
+),
+nrm_kn AS (
+  SELECT doc_id, COUNT(*) AS nk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY {nline} ORDER BY doc_id, pos) AS rn
+    FROM nrm_lines WHERE {nline} <> ''
+  ) WHERE rn = 1 GROUP BY doc_id
+),
+nrm_bn AS (
+  SELECT doc_id, COUNT(*) AS nb FROM nrm_lines
+  WHERE {nline} = '' GROUP BY doc_id
+),
+nrm_tot AS (SELECT doc_id, COUNT(*) AS nt FROM nrm_lines GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(t.nt, 0) - COALESCE(kr.nk, 0)
+            - COALESCE(br.nb, 0) AS BIGINT) AS dropped_raw,
+       CAST(COALESCE(t.nt, 0) - COALESCE(kn.nk, 0)
+            - COALESCE(bn.nb, 0) AS BIGINT) AS dropped_norm
+FROM nrm_lined0 l
+LEFT JOIN nrm_tot t USING (doc_id)
+LEFT JOIN nrm_kr kr USING (doc_id)
+LEFT JOIN nrm_br br USING (doc_id)
+LEFT JOIN nrm_kn kn USING (doc_id)
+LEFT JOIN nrm_bn bn USING (doc_id)
+"""
+    )
+
+
+QUERIES["doc_normalized_dedup"] = QuerySpec(
+    _normalized_dedup,
+    _nrm_oracle(),
+    "unicode-normalized vs raw line dedup: case/NBSP boilerplate"
+    " variants collapse only under the normalize_unicode identity",
+)

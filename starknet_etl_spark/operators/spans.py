@@ -412,6 +412,7 @@ def line_dedup(
     *,
     line_sep: str = "\n",
     joiner: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Corpus-level exact line deduplication (the MassiveText /
     RefinedWeb recipe): each distinct non-blank line value survives
@@ -422,9 +423,12 @@ def line_dedup(
 
     Emits (id, text, n_lines, n_dropped) for every input document.
 
-    Line identity is the RAW line (no normalization) — pair with an
-    upstream `normalize_text` projection when near-identical
-    boilerplate should collapse. ``line_sep`` is a Java REGEX (the
+    Line identity is the RAW line by default; ``normalize=True``
+    hashes ``text.normalize_unicode`` of the line instead (NBSP/
+    zero-width/quote/dash/fullwidth fold + casefold + ws-collapse),
+    so case- and typography-variant boilerplate collapses while the
+    SURVIVING line keeps its original bytes. Blankness follows the
+    same identity: a line that normalizes to '' is structural. ``line_sep`` is a Java REGEX (the
     `F.split` contract): '\\n' splits lines; escape metacharacters
     for literal separators.
 
@@ -433,20 +437,33 @@ def line_dedup(
     per map task instead of serializing through one reducer; the
     winner re-join is many-to-one on the hash.
     """
+    if normalize:
+        from .text import normalize_unicode as _ident
+    else:
+        def _ident(c):
+            return c
+
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
             "__pos", "__w"
         ),
     )
-    dedupable = lines.filter(F.trim(F.col("__w")) != "")
+    blank_pred = (
+        (_ident(F.col("__w")) == "")
+        if normalize
+        else (F.trim(F.col("__w")) == "")
+    )
+    dedupable = lines.filter(~blank_pred)
     winners = (
-        dedupable.select(id_col, "__pos", F.md5("__w").alias("__lh"))
+        dedupable.select(
+            id_col, "__pos", F.md5(_ident(F.col("__w"))).alias("__lh")
+        )
         .groupBy("__lh")
         .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"))
     )
     kept_dedupable = (
-        dedupable.withColumn("__lh", F.md5("__w"))
+        dedupable.withColumn("__lh", F.md5(_ident(F.col("__w"))))
         .join(winners, "__lh")
         .filter(
             (F.col(id_col) == F.col("__first")[id_col])
@@ -454,7 +471,7 @@ def line_dedup(
         )
         .select(id_col, "__pos", "__w")
     )
-    blank = lines.filter(F.trim(F.col("__w")) == "")
+    blank = lines.filter(blank_pred)
     kept = kept_dedupable.unionByName(blank)
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
     return _reassemble(

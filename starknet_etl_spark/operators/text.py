@@ -940,3 +940,118 @@ def topic_clusters(
     return asg.select(
         id_col, F.col("topic").cast("long").alias("topic")
     )
+
+
+# -- unicode canonicalization (r8) ------------------------------------------
+# Dedup identity and tokenizer input need a canonical text form: web
+# corpora carry NBSP-family spaces, zero-width chars, soft hyphens,
+# typographic quotes/dashes, ligatures, and fullwidth ASCII that make
+# byte-identical boilerplate hash differently. The fold below is a
+# SINGLE-SOURCED spec (these module constants generate BOTH the Spark
+# column chain and the DuckDB oracle expression), covering the
+# compatibility classes that dominate real web dedup misses. It is
+# deliberately NOT full NFC/NFKC — that needs the ICU tables; see
+# ``normalize_nfc`` for the exact Arrow-batched form (unit-tested vs
+# unicodedata, excluded from oracle rows: DuckDB's nfc_normalize and
+# Python's unicodedata agree, but the fold is the differential-safe
+# surface).
+
+#: removed outright: zero-widths, BOM, soft hyphen
+UNICODE_REMOVE = "\u200b\u200c\u200d\ufeff\u00ad"
+
+_SPACE_LIKE = "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000"
+_DASHES = "\u2010\u2011\u2012\u2013\u2014\u2015\u2212"
+_SQUOTES = "\u2018\u2019\u201a\u201b\u2032"
+_DQUOTES = "\u201c\u201d\u201e\u201f\u2033"
+_FULLWIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(94))
+_FULLWIDTH_DST = "".join(chr(0x21 + i) for i in range(94))
+
+#: 1:1 character translations (equal-length src/dst)
+UNICODE_TR_SRC = _SPACE_LIKE + _DASHES + _SQUOTES + _DQUOTES + _FULLWIDTH_SRC
+UNICODE_TR_DST = (
+    " " * len(_SPACE_LIKE)
+    + "-" * len(_DASHES)
+    + "'" * len(_SQUOTES)
+    + '"' * len(_DQUOTES)
+    + _FULLWIDTH_DST
+)
+
+#: multi-char expansions (literal replaces, applied after translate)
+UNICODE_MULTI: tuple[tuple[str, str], ...] = (
+    ("\u2026", "..."),  # ellipsis
+    ("\ufb01", "fi"),   # fi ligature
+    ("\ufb02", "fl"),   # fl ligature
+    ("\u2044", "/"),    # fraction slash
+)
+
+
+def normalize_unicode(text: Column) -> Column:
+    """Canonical dedup/tokenizer text form: drop zero-widths and soft
+    hyphens, fold NBSP-family spaces / typographic dashes+quotes /
+    ligatures / fullwidth ASCII to their ASCII forms, then lowercase,
+    trim, and collapse whitespace. Deterministic and map-only; the
+    DuckDB twin ``normalize_unicode_sql`` is generated from the SAME
+    constants. Characters outside the spec pass through ``lower``
+    unchanged (full NFC: ``normalize_nfc``)."""
+    c = F.translate(text, UNICODE_REMOVE, "")
+    c = F.translate(c, UNICODE_TR_SRC, UNICODE_TR_DST)
+    for a, b in UNICODE_MULTI:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def _sqlq(s: str) -> str:
+    """SQL single-quoted literal (DuckDB: quote-doubling only —
+    backslash is not an escape in standard string literals)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_unicode_sql(col: str) -> str:
+    """The DuckDB expression computing EXACTLY ``normalize_unicode``
+    — generated from the same module constants so the two engines
+    cannot drift."""
+    expr = f"translate({col}, {_sqlq(UNICODE_REMOVE)}, '')"
+    expr = (
+        f"translate({expr}, {_sqlq(UNICODE_TR_SRC)}, "
+        f"{_sqlq(UNICODE_TR_DST)})"
+    )
+    for a, b in UNICODE_MULTI:
+        expr = f"replace({expr}, {_sqlq(a)}, {_sqlq(b)})"
+    return (
+        f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+    )
+
+
+def normalize_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFKC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT Unicode normalization via ``unicodedata`` in an
+    Arrow-batched pandas UDF — the full-ICU form for corpora where
+    the expression fold above is not enough (Hangul, combining
+    marks, CJK compatibility ideographs). This is the one text
+    operator that pays the Python-worker toll; it is a map-only
+    projection (no shuffle), so at 100 TB it costs one Arrow
+    round-trip over the scan, and only when you opt in. Not
+    oracle-rowed (by design: the differential surface is the
+    expression fold; this path is unit-tested against unicodedata
+    directly)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if x is not None
+            else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

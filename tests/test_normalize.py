@@ -1,0 +1,121 @@
+"""Unicode canonicalization: the expression fold vs its single-
+sourced DuckDB twin, the exact-NFC pandas path vs unicodedata, and
+normalized line_dedup collapsing variants the raw row misses."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import duckdb
+from pyspark.sql import functions as F
+
+CASES = [
+    "plain ascii stays put",
+    "“quoted” and ‘single’",
+    "non breaking spaces　here",
+    "zero​width‌gone﻿ and soft­hyphen",
+    "dash – em — minus −",
+    "ＦＵＬＬＷＩＤＴＨ １２３",
+    "ligature ﬁle and ﬂight … done",
+    "MIXED Case\tTABS\nand\r\nnewlines",
+    "",
+    "        ",
+]
+
+
+def test_fold_matches_sql_twin(spark):
+    from starknet_etl_spark.operators.text import (
+        normalize_unicode,
+        normalize_unicode_sql,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], ["i", "s"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_unicode(F.col("s")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    sql = normalize_unicode_sql("s")
+    want = {
+        i: con.execute(f"SELECT {sql} FROM (SELECT ? AS s)", [t]).fetchone()[0]
+        for i, t in enumerate(CASES)
+    }
+    assert got == want
+    assert got[1] == '"quoted" and \'single\''
+    assert got[2] == "non breaking spaces here"
+    assert got[3] == "zerowidthgone and softhyphen"
+    assert got[4] == "dash - em - minus -"
+    assert got[5] == "fullwidth 123"
+    assert got[6] == "ligature file and flight ... done"
+    assert got[9] == ""
+
+
+def test_normalize_nfc_matches_unicodedata(spark):
+    from starknet_etl_spark.operators.text import normalize_nfc
+
+    rows = [
+        (0, "café"),            # e + combining acute -> é (NFC)
+        (1, "① ㎡ ﷺ"),  # circled 1, ㎡, Arabic ligature
+        (2, "ｱｲ"),          # halfwidth katakana
+        (3, None),
+        (4, "already plain"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    for form in ("NFC", "NFKC"):
+        got = {
+            r["i"]: r["s"]
+            for r in normalize_nfc(df, "s", form=form).collect()
+        }
+        want = {
+            i: (unicodedata.normalize(form, t) if t is not None else None)
+            for i, t in rows
+        }
+        assert got == want, form
+
+
+def test_normalize_nfc_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.text import normalize_nfc
+
+    df = spark.createDataFrame([(1, "x")], ["i", "s"])
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_nfc(df, "s", form="NFX")
+
+
+def test_line_dedup_normalized_collapses_variants(spark):
+    """The verdict's 'provably misses' case: case/typography variants
+    of one boilerplate line survive RAW dedup but collapse under
+    normalize=True — and the survivor keeps its ORIGINAL bytes."""
+    from starknet_etl_spark.operators.spans import line_dedup
+
+    docs = [
+        ("a", "Subscribe to our newsletter!\nunique a line"),
+        ("b", "SUBSCRIBE TO OUR NEWSLETTER!\nunique b line"),
+        ("c", "subscribe to our newsletter!\nunique c line"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    raw = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert all(raw[d]["n_dropped"] == 0 for d in "abc")  # raw misses all
+    norm = {r["doc_id"]: r for r in line_dedup(df, normalize=True).collect()}
+    assert norm["a"]["n_dropped"] == 0
+    assert norm["b"]["n_dropped"] == 1 and norm["c"]["n_dropped"] == 1
+    # the first occurrence survives with its original bytes
+    assert norm["a"]["text"].startswith("Subscribe to our newsletter!")
+    assert norm["b"]["text"] == "unique b line"
+
+
+def test_line_dedup_normalized_blank_rule(spark):
+    """A line of NBSPs normalizes to '' -> structural (kept), never
+    entering dedup (the turn-blank lesson applied here)."""
+    from starknet_etl_spark.operators.spans import line_dedup
+
+    docs = [
+        ("a", "x one\n  \nx two"),
+        ("b", "y one\n  \ny two"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, normalize=True).collect()}
+    assert out["a"]["n_dropped"] == 0 and out["b"]["n_dropped"] == 0
+    assert out["a"]["text"] == "x one\n  \nx two"
+    assert out["b"]["text"] == "y one\n  \ny two"
