@@ -65,6 +65,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_contamination,
         text_mixtures,
         text_neardup,
+        text_packing,
         text_pref,
         text_quality,
         text_search,
@@ -93,6 +94,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_turns,
         text_mixtures,
         text_pref,
+        text_packing,
         vectors,
         multimodal,
         domain,

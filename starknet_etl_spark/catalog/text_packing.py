@@ -1,0 +1,186 @@
+"""Non-straddling bin-packing rows (r8): best-fit-decreasing vs the
+next-fit baseline over the documents table, per source. Bin packing
+is inherently sequential state, so the oracle replays BOTH rules as
+WITH RECURSIVE chains — the BFD state is the per-source list of bin
+loads, advanced one item per recursion step; all groups advance in
+parallel through one recursion keyed (source, rn). Names _PB_/pb_.
+
+Operators under test: packing.pack_bins / packing.fill_stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _docs
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_PB_BUDGET = 256
+
+# items + both recursive chains, shared by the two rows. The items
+# CTE is MATERIALIZED: it is referenced every recursion step.
+_PB_CTES = rf"""
+pb_items AS MATERIALIZED (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY len(string_split_regex(trim(text), '\s+')) DESC,
+                    doc_id) AS BIGINT) AS rn,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn_id
+  FROM documents
+),
+pb_bfd AS (
+  SELECT source, doc_id, n, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         [n] AS loads
+  FROM pb_items WHERE rn = 1
+  UNION ALL
+  SELECT i.source, i.doc_id, i.n, i.rn,
+         CAST(CASE
+           WHEN len(list_filter(b.loads,
+                                x -> x + i.n <= {_PB_BUDGET})) = 0
+           THEN len(b.loads)
+           ELSE list_position(
+                  b.loads,
+                  list_aggregate(
+                    list_filter(b.loads,
+                                x -> x + i.n <= {_PB_BUDGET}),
+                    'max')) - 1
+         END AS BIGINT) AS bin_id,
+         CASE
+           WHEN len(list_filter(b.loads,
+                                x -> x + i.n <= {_PB_BUDGET})) = 0
+           THEN list_append(b.loads, i.n)
+           ELSE b.loads[1:list_position(
+                  b.loads,
+                  list_aggregate(
+                    list_filter(b.loads,
+                                x -> x + i.n <= {_PB_BUDGET}),
+                    'max')) - 1]
+                || [b.loads[list_position(
+                      b.loads,
+                      list_aggregate(
+                        list_filter(b.loads,
+                                    x -> x + i.n <= {_PB_BUDGET}),
+                        'max'))] + i.n]
+                || b.loads[list_position(
+                     b.loads,
+                     list_aggregate(
+                       list_filter(b.loads,
+                                   x -> x + i.n <= {_PB_BUDGET}),
+                       'max')) + 1:]
+         END AS loads
+  FROM pb_bfd b
+  JOIN pb_items i ON i.source = b.source AND i.rn = b.rn + 1
+),
+pb_nf AS (
+  SELECT source, doc_id, n, rn_id,
+         CAST(0 AS BIGINT) AS bin_id,
+         n AS load
+  FROM pb_items WHERE rn_id = 1
+  UNION ALL
+  SELECT i.source, i.doc_id, i.n, i.rn_id,
+         CASE WHEN b.load + i.n <= {_PB_BUDGET}
+              THEN b.bin_id ELSE b.bin_id + 1 END,
+         CASE WHEN b.load + i.n <= {_PB_BUDGET}
+              THEN b.load + i.n ELSE i.n END
+  FROM pb_nf b
+  JOIN pb_items i ON i.source = b.source AND i.rn_id = b.rn_id + 1
+)
+"""
+
+
+def _pb_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_count
+
+    return _docs(spark, sf_dir).select(
+        "source", "doc_id", word_count(F.col("text")).alias("n")
+    )
+
+
+def _pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_bins
+
+    return pack_bins(
+        _pb_tokens(spark, sf_dir), "doc_id", "n",
+        budget=_PB_BUDGET, part_col="source",
+    )
+
+
+_PACK_BFD_ORACLE = (
+    "WITH RECURSIVE "
+    + _PB_CTES
+    + """
+SELECT source, doc_id, n, bin_id FROM pb_bfd
+"""
+)
+
+QUERIES["doc_pack_bfd"] = QuerySpec(
+    _pack_bfd,
+    _PACK_BFD_ORACLE,
+    "best-fit-decreasing bin packing per source; oracle replays the"
+    " full BFD state machine as a recursive chain over bin loads",
+)
+
+
+def _pack_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import fill_stats, pack_bins
+
+    toks = _pb_tokens(spark, sf_dir)
+    bfd = fill_stats(
+        pack_bins(toks, "doc_id", "n", budget=_PB_BUDGET,
+                  part_col="source"),
+        "n", budget=_PB_BUDGET, part_col="source",
+    ).select(
+        "source",
+        F.col("n_bins").alias("n_bins_bfd"),
+        "total_tokens",
+        F.col("fill_rate").alias("fill_bfd"),
+    )
+    nf = fill_stats(
+        pack_bins(toks, "doc_id", "n", budget=_PB_BUDGET,
+                  part_col="source", strategy="next_fit"),
+        "n", budget=_PB_BUDGET, part_col="source",
+    ).select(
+        "source",
+        F.col("n_bins").alias("n_bins_nf"),
+        F.col("fill_rate").alias("fill_nf"),
+    )
+    return bfd.join(nf, "source")
+
+
+_PACK_FILL_ORACLE = (
+    "WITH RECURSIVE "
+    + _PB_CTES
+    + f""",
+pb_fb AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins_bfd,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         floor(SUM(n) / (COUNT(DISTINCT bin_id) * {_PB_BUDGET}.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS fill_bfd
+  FROM pb_bfd GROUP BY source
+),
+pb_fn AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins_nf,
+         floor(SUM(n) / (COUNT(DISTINCT bin_id) * {_PB_BUDGET}.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS fill_nf
+  FROM pb_nf GROUP BY source
+)
+SELECT b.source, b.n_bins_bfd, b.total_tokens, b.fill_bfd,
+       n.n_bins_nf, n.fill_nf
+FROM pb_fb b JOIN pb_fn n USING (source)
+"""
+)
+
+QUERIES["doc_pack_fill"] = QuerySpec(
+    _pack_fill,
+    _PACK_FILL_ORACLE,
+    "fill-rate telemetry: BFD vs next-fit bins and q20 fill per"
+    " source (the token waste the sort buys back)",
+)

@@ -58,3 +58,125 @@ def pack_summary(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(token_col).cast("long").alias("total_tokens"),
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    part_col: str | None = None,
+    strategy: str = "bfd",
+) -> DataFrame:
+    """NON-straddling packing: each document goes WHOLE into one bin
+    of capacity ``budget`` (fine-tuning / eval batches, where a split
+    document is a corrupted example — unlike ``pack_sequences``'
+    concat-and-split, which has no waste by construction but cuts
+    documents). Emits (part?, id, token, bin_id).
+
+    ``strategy="bfd"`` — best-fit-decreasing: items sorted by
+    (tokens desc, id asc); each goes to the FULLEST bin that still
+    fits (tie → lowest bin id), else opens a new bin. The classic
+    11/9·OPT+6/9 guarantee, and in practice near-optimal fill.
+    ``strategy="next_fit"`` — the id-order baseline: fill the
+    current bin until an item doesn't fit, then open a new one
+    (what a naive sequential writer does; the fill-rate delta vs
+    BFD is the waste a real pipeline pays for not sorting).
+    Items longer than ``budget`` get a bin of their own (documented
+    overfull; `fill_stats` counts them in).
+
+    Bin-packing is inherently stateful, so this is one of the
+    engine's few sanctioned ``applyInPandas`` operators (the
+    blocked-GEMM stance): packing runs per ``part_col`` group —
+    shards pack independently at scale, the pack_sequences contract
+    — with plain-Python bin state inside the Arrow batch.
+    ``part_col=None`` = one global group, tests/small corpora only.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if strategy not in ("bfd", "next_fit"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    parts = [part_col] if part_col else []
+    in_cols = parts + [id_col, token_col]
+    src = df.select(*in_cols)
+    schema_parts = ", ".join(
+        f"`{c}` {t}"
+        for c, t in zip(
+            in_cols, [src.schema[c].dataType.simpleString() for c in in_cols]
+        )
+    )
+    out_schema = schema_parts + ", bin_id bigint"
+
+    def _pack(pdf):  # type: ignore[no-untyped-def]
+        if strategy == "bfd":
+            pdf = pdf.sort_values(
+                [token_col, id_col], ascending=[False, True]
+            )
+        else:
+            pdf = pdf.sort_values([id_col])
+        loads: list[int] = []
+        out = []
+        cur = -1  # next_fit: only the latest bin is open
+        for n in pdf[token_col]:
+            n = int(n)
+            if strategy == "bfd":
+                best, best_load = -1, -1
+                for j, ld in enumerate(loads):
+                    if ld + n <= budget and ld > best_load:
+                        best, best_load = j, ld
+                if best < 0:
+                    loads.append(n)
+                    best = len(loads) - 1
+                else:
+                    loads[best] += n
+                out.append(best)
+            else:
+                if cur >= 0 and loads[cur] + n <= budget:
+                    loads[cur] += n
+                    out.append(cur)
+                else:
+                    loads.append(n)
+                    cur = len(loads) - 1
+                    out.append(cur)
+        pdf = pdf.copy()
+        pdf["bin_id"] = out
+        return pdf
+
+    grouped = (
+        src.groupBy(*parts)
+        if parts
+        else src.groupBy(F.lit(1).alias("__g"))
+    )
+    out = grouped.applyInPandas(_pack, out_schema)
+    return out.select(*in_cols, "bin_id")
+
+
+def fill_stats(
+    packed: DataFrame,
+    token_col: str,
+    *,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """(part?, n_bins, total_tokens, fill_rate): the packing-waste
+    card — fill_rate = q20(total_tokens / (n_bins · budget)), the
+    fraction of the training batch that is data rather than pad.
+    Exact integers + one dyadic ratio."""
+    q = float(2**20)
+    keys = [part_col] if part_col else []
+    per_bin = packed.groupBy(*keys, "bin_id").agg(
+        F.sum(token_col).cast("long").alias("__bt")
+    )
+    agg = per_bin.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__bt").cast("long").alias("total_tokens"),
+    )
+    fill = F.floor(
+        F.col("total_tokens")
+        / (F.col("n_bins") * F.lit(budget))
+        * F.lit(q)
+        + F.lit(0.5)
+    ) / F.lit(q)
+    return agg.select(*keys, "n_bins", "total_tokens", fill.alias("fill_rate"))

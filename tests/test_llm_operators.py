@@ -3045,3 +3045,77 @@ def test_containment_catches_near_superset_jaccard_misses(spark):
         containment_pairs(
             docs, "doc_id", "text", max_df=5, max_df_frac=0.5
         )
+
+
+def test_pack_bins_bfd_matches_naive_and_beats_next_fit(spark):
+    """BFD vs a naive sequential reference (exact same rule), bin
+    validity, and the fill-rate claim: BFD uses <= next-fit bins and
+    fill_rate(bfd) >= fill_rate(next_fit)."""
+    from starknet_etl_spark.operators.packing import fill_stats, pack_bins
+
+    rows = [(f"d{i:02d}", "s%d" % (i % 2), (i * 37) % 90 + 10)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, src string, n long")
+    budget = 128
+
+    def naive_bfd(items):
+        loads, out = [], {}
+        for did, n in sorted(items, key=lambda t: (-t[1], t[0])):
+            best, best_load = -1, -1
+            for j, ld in enumerate(loads):
+                if ld + n <= budget and ld > best_load:
+                    best, best_load = j, ld
+            if best < 0:
+                loads.append(n)
+                best = len(loads) - 1
+            else:
+                loads[best] += n
+            out[did] = best
+        return out, loads
+
+    got = {
+        (r["src"], r["doc_id"]): r["bin_id"]
+        for r in pack_bins(
+            df, "doc_id", "n", budget=budget, part_col="src"
+        ).collect()
+    }
+    for src in ("s0", "s1"):
+        items = [(d, n) for d, s, n in rows if s == src]
+        want, loads = naive_bfd(items)
+        assert all(ld <= budget for ld in loads)
+        for did, b in want.items():
+            assert got[(src, did)] == b, (src, did)
+
+    bfd = pack_bins(df, "doc_id", "n", budget=budget, part_col="src")
+    nf = pack_bins(
+        df, "doc_id", "n", budget=budget, part_col="src",
+        strategy="next_fit",
+    )
+    fb = {r["src"]: r for r in
+          fill_stats(bfd, "n", budget=budget, part_col="src").collect()}
+    fn = {r["src"]: r for r in
+          fill_stats(nf, "n", budget=budget, part_col="src").collect()}
+    for src in ("s0", "s1"):
+        assert fb[src]["n_bins"] <= fn[src]["n_bins"]
+        assert fb[src]["fill_rate"] >= fn[src]["fill_rate"]
+        assert fb[src]["total_tokens"] == fn[src]["total_tokens"]
+    # strict win somewhere on this corpus
+    assert any(fb[s]["n_bins"] < fn[s]["n_bins"] for s in ("s0", "s1"))
+
+
+def test_pack_bins_oversized_and_validation(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [("a", 300), ("b", 30), ("c", 60)], "doc_id string, n long"
+    )
+    out = {r["doc_id"]: r["bin_id"]
+           for r in pack_bins(df, "doc_id", "n", budget=100).collect()}
+    # the oversized doc owns a bin; the other two share one
+    assert out["b"] == out["c"] and out["a"] != out["b"]
+    with _pytest.raises(ValueError, match="strategy"):
+        pack_bins(df, "doc_id", "n", budget=100, strategy="worst_fit")
+    with _pytest.raises(ValueError, match="budget"):
+        pack_bins(df, "doc_id", "n", budget=0)
