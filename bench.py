@@ -9,6 +9,17 @@ Per-query values are MEDIANS of ``SPARK_GRAFT_BENCH_REPS`` (>=3)
 interleaved repetitions — the noise-robust estimator for the
 documented host-level drift (see the default-mode comment).
 
+Skew mode (``--skew``): the dedup/curation caps exist for hot-key
+corpora, but the default bench corpus is benign — this mode rebuilds
+the documents table with one boilerplate text occupying a third of
+the corpus (one shingle/band family at ~170x mass at sf0.1) and runs
+the capped paths end-to-end: minhash banding with max_bucket, Jaccard
+with the in-plan max_df_frac cap, and curate_corpus whole. It prints
+one JSON line with per-op median seconds, output counts, and host
+fields — the SCALING.md skew claims as measured numbers. The capped
+plans are additionally pinned by tests/test_skew_stress.py (the
+quadratic plan would emit O((n/3)^2) pairs; the caps bound it).
+
 A/B mode (``--ab A B [--reps N]``): CLAUDE.md documents ±1.8x
 per-query drift across SESSIONS with byte-identical code, so perf
 claims comparing two variants are only trustworthy when the variants
@@ -219,8 +230,90 @@ def main_ab(name_a: str, name_b: str, reps: int) -> None:
     )
 
 
+def _skew_docs(spark, sf_dir: str):
+    """The sf corpus with doc_id %% 3 == 0 rewritten to ONE shared
+    boilerplate text — a deterministic hot-key corpus: every shingle
+    of the hot text reaches df = n/3, every minhash band bucket of
+    the hot family holds n/3 docs."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    hot = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(F.col("text").alias("__hot"))
+    )
+    return docs.crossJoin(F.broadcast(hot)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("__hot"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def main_skew() -> None:
+    import statistics as _st
+
+    from starknet_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, sf_dir)
+    skewed = _skew_docs(spark, sf_dir)
+    n_docs = skewed.count()
+
+    def _ops():
+        return {
+            "minhash_capped": lambda: minhash_lsh_pairs(
+                skewed, "doc_id", "text", max_bucket=64
+            ).count(),
+            "jaccard_capped": lambda: jaccard_pairs(
+                skewed, "doc_id", "text", max_df_frac=0.1
+            ).count(),
+            "curate_corpus": lambda: curate_corpus(skewed)[0].count(),
+        }
+
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    ticks0 = _cpu_ticks()
+    samples: dict[str, list[float]] = {k: [] for k in _ops()}
+    counts: dict[str, int] = {}
+    for _ in range(reps):
+        for name, fn in _ops().items():
+            t0 = time.time()
+            counts[name] = fn()
+            samples[name].append(time.time() - t0)
+    med = {k: round(_st.median(v), 3) for k, v in samples.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "skew_stress_total",
+                "value": round(sum(med.values()), 3),
+                "unit": "sec",
+                "queries": med,
+                "counts": counts,
+                "n_docs": n_docs,
+                "hot_frac": round(1 / 3, 4),
+                "sf": _sf_of(sf_dir),
+                "host": _host_state(ticks0),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        main_skew()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
         if len(sys.argv) < 4:
             raise SystemExit("usage: bench.py --ab QUERY_A QUERY_B [--reps N]")
         reps = 5

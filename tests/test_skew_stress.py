@@ -1,0 +1,67 @@
+"""Hot-key skew: the caps, not the quadratic plan, execute.
+
+A corpus where one text occupies a third of the documents puts every
+hot shingle at df = n/3 and every hot minhash band bucket at n/3
+docs. Uncapped, the pair generators emit O((n/3)^2) candidates; with
+max_bucket / max_df_frac the hot family is dropped and the output
+stays bounded by the benign tail. bench.py --skew measures the same
+corpus at bench scale with host fields."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_HOT = 90
+N_COLD = 60
+
+
+def _skewed(spark):
+    hot_text = "the shared boilerplate footer text repeated on every page " * 3
+    rows = [(i, hot_text) for i in range(N_HOT)]
+    rows += [
+        (N_HOT + i, f"unique document w{i} about topic t{i} " * 5)
+        for i in range(N_COLD)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_max_bucket_bounds_hot_family(spark):
+    from starknet_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _skewed(spark)
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text").count()
+    assert uncapped >= N_HOT * (N_HOT - 1) // 2  # the quadratic family
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", max_bucket=32
+    ).count()
+    # hot buckets (size 90 > 32) dropped; only the benign tail pairs
+    assert capped < N_HOT
+    assert capped < uncapped
+
+
+def test_jaccard_max_df_frac_bounds_hot_shingles(spark):
+    from starknet_etl_spark.operators.dedup import jaccard_pairs
+
+    df = _skewed(spark)
+    uncapped = jaccard_pairs(df, "doc_id", "text").count()
+    assert uncapped >= N_HOT * (N_HOT - 1) // 2
+    capped = jaccard_pairs(
+        df, "doc_id", "text", max_df_frac=0.1
+    ).count()
+    assert capped < N_HOT
+    assert capped < uncapped
+
+
+def test_curation_completes_under_skew_with_exact_dedup_intact(spark):
+    """curate_corpus on the hot corpus: the near-dup tier is capped,
+    but the EXACT-dup stage still collapses the 90 identical docs —
+    skew safety must not cost exact-dedup correctness."""
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    curated, audit = curate_corpus(_skewed(spark))
+    cur = curated.select("doc_id").toPandas()["doc_id"].tolist()
+    hot_survivors = [d for d in cur if d < N_HOT]
+    assert len(hot_survivors) == 1  # exact dedup keeps one copy
+    a = audit.groupBy("stage").count().toPandas()
+    stages = dict(zip(a["stage"], a["count"]))
+    assert stages.get("clean", 0) >= N_HOT - 1
