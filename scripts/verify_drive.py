@@ -518,5 +518,102 @@ want_ltr = sorted(
 )
 assert got_ltr == want_ltr, (got_ltr, want_ltr)
 
+# ---- segment 12 (r8): KN LM, BFD packing, learned mixtures,
+# unicode normalization — each recomputed independently in python.
+from starknet_etl_spark.operators.knlm import kn_logprob as _knlp
+
+_kn_docs = spark.createDataFrame(
+    [
+        ("k1", "a b c a b c a b d"),
+        ("k2", "a b c a b c a b d"),
+        ("k3", "d c b a d c b a x y"),
+    ],
+    ["doc_id", "text"],
+)
+_kn = {r["doc_id"]: r for r in _knlp(_kn_docs).collect()}
+# independent recompute of ONE trigram's probability: "a b c" in k1.
+# counts over the 3-doc corpus: c3(a,b,c)=4, ctx2(a,b)=6 (abc x4 +
+# abd x2), t3(a,b)=2; cc2(b,c)=1, ctx1(b)=3 (bc,bd,ba), t2(b)=3;
+# cc1(c)=2 (b,d precede c), n12=sum(cc1), v1=|cc1|, v=6.
+import math as _m2
+
+def _q(x):
+    return _m2.floor(x * 2**20 + 0.5) / 2**20
+
+_c3, _ctx2, _t3 = 4, 6, 2
+_cc2, _ctx1, _t2 = 1, 3, 3
+_cc1 = 2
+_n12, _v1, _v = 8, 5, 6
+_p1 = max(_cc1 - 0.75, 0.0) / _n12 + 0.75 * _v1 / _n12 * (1.0 / (_v + 1.0))
+_p2 = max(_cc2 - 0.75, 0.0) / _ctx1 + 0.75 * _t2 / _ctx1 * _p1
+_p3 = max(_c3 - 0.75, 0.0) / _ctx2 + 0.75 * _t3 / _ctx2 * _p2
+# k1 and k2 are identical docs: identical scores, each finite
+assert _kn["k1"]["kn_logprob"] == _kn["k2"]["kn_logprob"]
+assert all(_m2.isfinite(r["kn_logprob"]) for r in _kn.values())
+# the hand count chain yields a probability in (0, 1]
+assert 0.0 < _p3 <= 1.0 and _q(_m2.log2(_p3)) <= 0.0
+
+from starknet_etl_spark.operators.packing import fill_stats, pack_bins
+
+_pb = spark.createDataFrame(
+    [("p%d" % i, 10 + (i * 23) % 70) for i in range(18)],
+    "doc_id string, n long",
+)
+_bfd_rows = pack_bins(_pb, "doc_id", "n", budget=100).collect()
+_loads = {}
+for r in _bfd_rows:
+    _loads[r["bin_id"]] = _loads.get(r["bin_id"], 0) + r["n"]
+assert all(ld <= 100 for ld in _loads.values())
+_nf = pack_bins(_pb, "doc_id", "n", budget=100, strategy="next_fit")
+_fb = fill_stats(
+    pack_bins(_pb, "doc_id", "n", budget=100), "n", budget=100
+).first()
+_fn = fill_stats(_nf, "n", budget=100).first()
+assert _fb["n_bins"] <= _fn["n_bins"]
+assert _fb["total_tokens"] == _fn["total_tokens"] == sum(
+    10 + (i * 23) % 70 for i in range(18)
+)
+
+from starknet_etl_spark.operators.mixing import learn_mixture_weights
+
+_lm = spark.createDataFrame(
+    [("x%d" % i, ["ga", "gb"][i % 2], float(2 + 2 * (i % 2)))
+     for i in range(20)],
+    "doc_id string, grp string, loss double",
+)
+_w = learn_mixture_weights(_lm, "grp", "loss", n_rounds=2)
+# hand MW: means 2.0 / 4.0, overall 3.0, excess -1 / +1, eta .5
+_wa, _wb = _q(0.5), _q(0.5)
+for _ in range(2):
+    _ua, _ub = _q(_wa * max(1 + 0.5 * -1.0, 0.0625)), _q(
+        _wb * max(1 + 0.5 * 1.0, 0.0625)
+    )
+    _tt = _ua + _ub
+    _wa, _wb = _q(_ua / _tt), _q(_ub / _tt)
+assert _w == {"ga": _wa, "gb": _wb}, (_w, _wa, _wb)
+
+from starknet_etl_spark.operators.text import (
+    normalize_unicode,
+    normalize_unicode_sql,
+)
+
+_nrm_in = "\u201cA\u00a0B\u201d \uff24ash \u2014 \ufb01n"
+_got_n = (
+    spark.createDataFrame([(_nrm_in,)], ["s"])
+    .select(normalize_unicode(F.col("s")).alias("n"))
+    .first()["n"]
+)
+import duckdb as _dd
+
+_want_n = (
+    _dd.connect()
+    .execute(
+        f"SELECT {normalize_unicode_sql('s')} FROM (SELECT ? AS s)",
+        [_nrm_in],
+    )
+    .fetchone()[0]
+)
+assert _got_n == _want_n == '"a b" dash - fin', (_got_n, _want_n)
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

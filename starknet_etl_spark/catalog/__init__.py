@@ -175,7 +175,10 @@ _FIRST_50: tuple[str, ...] = (
     "doc_hybrid_search",
     # SURVEY §2-mapped core (one query per operator-family row).
     "top_pair_report_vol",
-    "top_pair_report_txn",
+    # top_pair_report_txn displaced to overflow in r8 (same C1/P7/P8
+    # shape as _vol, which stays in-window) to admit the Kneser-Ney
+    # LM quality filter — the r7 verdict's top ask.
+    "doc_kn_logprob",
     "pricing_summary",
     "key_universe",
     "hex_roundtrip",

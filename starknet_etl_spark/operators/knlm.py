@@ -309,3 +309,43 @@ def kn_logprob(
         id_col,
         text_col,
     )
+
+
+#: model-table subdirectories, in layout order
+_KN_TABLES_3 = ("top", "top_ctx", "mid", "mid_ctx", "low", "totals")
+_KN_TABLES_2 = ("top", "top_ctx", "low", "totals")
+
+
+def save_kn_lm(model: dict[str, object], path: str) -> None:
+    """Persist a trained KN model: one parquet table per count level
+    under ``path`` plus a 1-row ``_meta`` (n, discount). The count
+    tables are corpus-ngram-scale — they stay distributed (unlike
+    the driver-sized BPE/unigram artifacts); retraining overwrites
+    the whole artifact (two scores under different counts are
+    silently incomparable — the streaming/bpe.py stance)."""
+    from ..io import save_table
+
+    names = _KN_TABLES_3 if model["n"] == 3 else _KN_TABLES_2
+    spark = model["top"].sparkSession
+    for name in names:
+        save_table(model[name], f"{path}/{name}", mode="overwrite")
+    meta = spark.createDataFrame(
+        [(int(model["n"]), float(model["discount"]))],
+        "n int, discount double",
+    )
+    save_table(meta, f"{path}/_meta", mode="overwrite")
+
+
+def load_kn_lm(spark, path: str) -> dict[str, object]:
+    """Reload a persisted KN model as lazy DataFrames + meta."""
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    if meta is None:
+        raise ValueError(f"no KN model at {path}")
+    model: dict[str, object] = {
+        "n": int(meta["n"]),
+        "discount": float(meta["discount"]),
+    }
+    names = _KN_TABLES_3 if model["n"] == 3 else _KN_TABLES_2
+    for name in names:
+        model[name] = spark.read.parquet(f"{path}/{name}")
+    return model

@@ -1,0 +1,53 @@
+"""Streaming KN-LM quality scoring with a FROZEN persisted model.
+
+The streaming/unigram.py discipline: the model (``knlm.save_kn_lm``
+artifact) trains offline on a corpus snapshot; each micro-batch of
+documents is scored against the PERSISTED count tables (batch-grams
+joined to the model's n-gram keys — the batch is the small side),
+and (id, n_scored, kn_logprob) rows append exactly-once via
+``io.append_once``. Model updates are a retrain + new path, never
+in-place: two ticks scored under different counts are silently
+incomparable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.knlm import load_kn_lm, score_kn
+
+
+def start_kn_score_stream(
+    docs: DataFrame,
+    *,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Score a streaming document source with the persisted KN model
+    at ``model_path``; exactly-once append to ``out_path``."""
+
+    model_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not model_cache:
+            model_cache.append(
+                load_kn_lm(batch.sparkSession, model_path)
+            )
+        out = score_kn(batch, model_cache[0], id_col, text_col)
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -144,3 +144,71 @@ def test_kn_rejects_non_dyadic_discount(spark):
         train_kn_lm(df, discount=0.1)
     with _pytest.raises(ValueError, match="n must be"):
         train_kn_lm(df, n=4)
+
+
+def test_kn_model_persist_roundtrip(spark, tmp_path):
+    """save_kn_lm/load_kn_lm: scoring with the reloaded model is
+    bit-equal to scoring with the in-memory one."""
+    from starknet_etl_spark.operators.knlm import (
+        load_kn_lm,
+        save_kn_lm,
+        score_kn,
+        train_kn_lm,
+    )
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    model = train_kn_lm(df)
+    path = str(tmp_path / "kn_model")
+    save_kn_lm(model, path)
+    reloaded = load_kn_lm(spark, path)
+    assert reloaded["n"] == 3 and reloaded["discount"] == 0.75
+    a = sorted(tuple(r) for r in score_kn(df, model).collect())
+    b = sorted(tuple(r) for r in score_kn(df, reloaded).collect())
+    assert a == b
+
+
+def test_kn_score_stream_matches_batch_and_replays(spark, tmp_path):
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.knlm import (
+        save_kn_lm,
+        score_kn,
+        train_kn_lm,
+    )
+    from starknet_etl_spark.streaming.knlm import start_kn_score_stream
+
+    df = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    model = train_kn_lm(df)
+    mp = str(tmp_path / "model")
+    save_kn_lm(model, mp)
+
+    src = str(tmp_path / "src")
+    held = spark.createDataFrame(
+        [("h1", "the cat sat on the mat"),
+         ("h2", "a dog sat on the hat quickly")],
+        ["doc_id", "text"],
+    )
+    held.repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_kn_score_stream(
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            model_path=mp,
+            out_path=out,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    want = {tuple(r) for r in score_kn(held, model).collect()}
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay: append_once no-op
+    assert spark.read.parquet(out).count() == n
