@@ -1137,6 +1137,8 @@ def _curation_oracle(
     contam_reason: str = _CURATION_NGRAM_REASON,
     quality_block: str | None = None,
     corpus_block: str = _CURATION_DEFAULT_CORPUS,
+    quality_stage: str = "quality_model",
+    quality_reason: str = "'score_' || CAST(floor(q_score * 1000) AS BIGINT)",
 ) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
@@ -1259,10 +1261,10 @@ FROM dirty
         )
         .replace(
             "__QUALITY_AUDIT__",
-            """
+            f"""
 UNION ALL
-SELECT doc_id, 'quality_model',
-       'score_' || CAST(floor(q_score * 1000) AS BIGINT),
+SELECT doc_id, '{quality_stage}',
+       {quality_reason},
        NULL, NULL, NULL
 FROM qdrop"""
             if quality_block

@@ -526,8 +526,7 @@ def _kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_logprob(_docs(spark, sf_dir), "doc_id", "text")
 
 
-_KN_ORACLE = r"""
-WITH kn_toks AS (
+_KN_CTES = r"""kn_toks AS (
   SELECT doc_id, i AS pos, ws[i] AS w
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents),
@@ -576,16 +575,120 @@ kn_lp AS (
   JOIN kn_cc1 cc1 USING (w3),
   kn_tot tot, kn_v v
 )
+"""
+
+_KN_ORACLE = (
+    "WITH "
+    + _KN_CTES
+    + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
        floor(SUM(lp) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
          AS kn_logprob
 FROM kn_lp GROUP BY doc_id
 """
+)
 
 QUERIES["doc_kn_logprob"] = QuerySpec(
     _kn_logprob,
     _KN_ORACLE,
     "interpolated trigram Kneser-Ney LM quality score (CCNet tier):"
     " exact continuation counts, dyadic D, q20 per-token logprobs",
+)
+
+
+# --------------------------------------------------------------------------
+# Composed curation with the KN fluency floor (r8): clean → KN-score
+# the survivors (self-corpus trigram KN) → drop the bottom decile by
+# corpus-wide percent_rank → near-dup → decontamination → redact →
+# split. The oracle re-scopes the FULL KN chain from `documents` to
+# the clean survivors and ranks with one global window — proving the
+# COMPOSITION (the model trains on exactly the gated population).
+# Names knq_.
+# --------------------------------------------------------------------------
+
+_CURATION_KN_RANK = 0.1
+
+_CURATION_KN_BLOCK = (
+    _KN_CTES.replace("FROM documents", "FROM kept0")
+    # inside the skeleton's WITH RECURSIVE list DuckDB re-inlines
+    # plain CTEs per reference (the Lloyd-unroll gotcha) — pin the
+    # multiply-referenced KN tables
+    .replace("kn_toks AS (", "kn_toks AS MATERIALIZED (")
+    .replace("kn_grams AS (", "kn_grams AS MATERIALIZED (")
+    .replace("kn_c3 AS (", "kn_c3 AS MATERIALIZED (")
+    .replace("kn_cc2 AS (", "kn_cc2 AS MATERIALIZED (")
+    .replace("kn_lp AS (", "kn_lp AS MATERIALIZED (")
+    .strip().rstrip(")")
+    + """),
+knq_doc AS (
+  SELECT doc_id,
+         floor(SUM(lp) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0 AS kn
+  FROM kn_lp GROUP BY doc_id
+),
+knq_ranked AS (
+  SELECT doc_id,
+         ROUND(percent_rank() OVER (ORDER BY kn, doc_id), 6) AS q_score
+  FROM knq_doc
+),
+qdrop AS MATERIALIZED (
+  SELECT doc_id, q_score FROM knq_ranked
+  WHERE q_score < """
+    + str(_CURATION_KN_RANK)
+    + """
+)"""
+)
+
+
+def _curation_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output shape as doc_curation_pipeline; differs exactly by
+    the KN fluency tier between clean and near-dup."""
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        kn_floor_rank=_CURATION_KN_RANK,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+QUERIES["doc_curation_kn"] = QuerySpec(
+    _curation_kn,
+    _curation_oracle(
+        quality_block=_CURATION_KN_BLOCK,
+        quality_stage="kn_floor",
+        quality_reason="'kn_rank_' || CAST(floor(q_score * 1000) AS BIGINT)",
+    ),
+    "composed curation with the Kneser-Ney fluency floor: the KN"
+    " chain re-scoped to the clean survivors, bottom decile dropped",
 )

@@ -334,7 +334,9 @@ def curate_corpus(
         from ..operators.knlm import kn_logprob as _knlp
         from ..operators.text import quality_floor as _qfloor_kn
 
-        kn = _knlp(kept, id_col, text_col)
+        kn = _knlp(kept, id_col, text_col).persist()
+        kn.count()  # one KN train+score run serves the boundary
+        # sketch, the rank window, and the drop-list materialization
         ranked_kn = _qfloor_kn(
             kept.join(
                 kn.select(id_col, "kn_logprob"), id_col, "inner"
@@ -346,11 +348,29 @@ def curate_corpus(
         low_kn = ranked_kn.filter(
             F.col("quality_rank") < kn_floor_rank
         ).select(id_col, "quality_rank")
+        # materialize the (tiny) drop list once: every downstream
+        # consumer of `kept` would otherwise re-run the whole KN
+        # train+score chain through the anti-join (measured ~6x on
+        # the composed catalog row). (id, rank) only — the persist
+        # is summary-sized and lives with the returned plan.
+        # truncate the drop list's LINEAGE, not just cache it: every
+        # downstream consumer of `kept` otherwise carries the whole
+        # KN train+score plan through the anti-join — the components
+        # loop's per-round checkpoint then builds multi-hundred-MB
+        # plan strings (observed driver OOM). The list is (id, rank)
+        # rows; localCheckpoint leaves a leaf-sized plan.
+        from ..checkpointing import truncate as _truncate_kn
+
+        low_kn = _truncate_kn(low_kn)
+        kn.unpersist()
         audit_kn = low_kn.select(
             ids,
             F.lit("kn_floor").alias("stage"),
             F.concat(
-                F.lit("kn_rank_"), F.round("quality_rank", 3)
+                F.lit("kn_rank_"),
+                # integer mill, not a stringified double: double ->
+                # string formatting is not a cross-engine contract
+                F.floor(F.col("quality_rank") * 1000).cast("long"),
             ).alias("reason"),
         )
         kept = kept.join(low_kn.select(id_col), id_col, "left_anti")
