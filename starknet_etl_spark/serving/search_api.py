@@ -491,6 +491,43 @@ def quality_score_response(
     )
 
 
+def kn_score_rows(
+    spark, model_path: str, texts: list[str]
+) -> list[dict[str, Any]]:
+    """(text_idx, n_scored, kn_logprob) for ad-hoc texts scored with
+    the persisted Kneser-Ney model (``knlm.save_kn_lm`` artifact) —
+    the serving shape of the CCNet-style fluency gate. Texts with
+    fewer than n tokens have no scored positions and return NULLs."""
+    from ..operators.knlm import load_kn_lm, score_kn
+
+    if not texts:
+        return []
+    model = load_kn_lm(spark, model_path)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["text_idx", "text"]
+    )
+    scored = {
+        r["text_idx"]: r
+        for r in score_kn(df, model, "text_idx", "text").collect()
+    }
+    return [
+        {
+            "text_idx": i,
+            "n_scored": int(scored[i]["n_scored"]) if i in scored else None,
+            "kn_logprob": float(scored[i]["kn_logprob"])
+            if i in scored
+            else None,
+        }
+        for i in range(len(texts))
+    ]
+
+
+def kn_score_response(
+    spark, model_path: str, texts: list[str]
+) -> dict[str, Any]:
+    return _wrap(lambda: kn_score_rows(spark, model_path, texts))
+
+
 def proximity_rows(
     spark, positional_index: str, terms: list[str], *, window: int
 ) -> list[dict[str, Any]]:
@@ -551,6 +588,7 @@ def create_search_app(
     unigram_max_word_len: int = 16,
     quality_model_path: str | None = None,
     quality_model_dim: int = 16,
+    kn_model_path: str | None = None,
     cms_sketch: str | None = None,
     cms_depth: int = 4,
     cms_width: int = 64,
@@ -570,6 +608,8 @@ def create_search_app(
     - ``GET /hybrid_ltr?q=...&v=...&k=10`` (both indexes +
       ``ltr_weights``: learned fusion instead of RRF)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
+    - ``GET /kn?t=some+document+text`` (persisted Kneser-Ney LM:
+      mean log2 probability — the fluency-gate serving shape)
     - ``GET /tokenize?t=some+text&model=bpe|unigram`` (persisted
       tokenizer models; ``model`` optional when only one configured)
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
@@ -710,6 +750,14 @@ def create_search_app(
                     spark, quality_model_path, [t],
                     dim=quality_model_dim,
                 )
+            )
+
+    if kn_model_path is not None:
+
+        @app.get("/kn")
+        def kn(t: str):
+            return run(
+                lambda: kn_score_response(spark, kn_model_path, [t])
             )
 
     if cms_sketch is not None:

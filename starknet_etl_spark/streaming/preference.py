@@ -1,0 +1,131 @@
+"""Streaming preference-pair mining: scored conversations arrive in
+micro-batches; every (chosen, rejected) pair is emitted EXACTLY ONCE,
+as soon as both sides exist.
+
+Incremental rule: for a tick's NEW responses N against the persisted
+prior responses P of the same prompt fingerprint, the new pairs are
+exactly (a∈N × b∈P∪N) ∪ (a∈P × b∈N) with score_a > score_b — the two
+arms are disjoint (the first has a new, the second a prior), and
+their union is pairs(P∪N) − pairs(P), so the accumulated output
+equals the batch operator over everything seen. Crash ordering:
+PAIRS append first, the responses ledger second (the
+docs-before-ledger convention) — a replayed tick recomputes against
+the same prior set and its appends no-op via the batch markers.
+
+Cap contract: ``max_group`` trims each fingerprint to its top
+max_group responses by (score desc, id asc) PER TICK over P∪N —
+bit-equal to the batch operator whenever every prompt group fits
+within the cap (the parity-test regime). An over-cap group degrades
+gracefully (already-emitted pairs are never retracted; batch would
+have trimmed earlier), which is the honest streaming trade and is
+documented rather than hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+from .. import io as _io
+from ..operators.preference import extract_prompt_response
+from ..operators.turns import DEFAULT_ROLES
+
+
+def start_preference_pair_stream(
+    convs: DataFrame,
+    *,
+    out_path: str,
+    responses_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+    max_group: int = 64,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Mine preference pairs from a scored-conversation stream.
+    ``out_path`` accumulates (prompt_fp, prompt, chosen_id,
+    rejected_id, chosen, rejected, margin); ``responses_path`` is the
+    (prompt_fp, prompt, id, response, score) state ledger."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        new = extract_prompt_response(
+            batch, id_col, text_col,
+            turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+        ).join(batch.select(id_col, score_col), id_col)
+        if _io._exists(spark, responses_path):
+            prior = spark.read.parquet(responses_path)
+            # a replayed tick must not see its own rows as prior —
+            # they cannot exist (pairs append before the ledger), but
+            # an anti-join keeps the rule explicit and idempotent
+            prior = prior.join(
+                new.select(id_col), id_col, "left_anti"
+            )
+        else:
+            prior = new.limit(0)
+        both = prior.unionByName(new.select(*prior.columns))
+        w = Window.partitionBy("prompt_fp").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        top = both.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= max_group
+        )
+        a = top.select(
+            "prompt_fp",
+            "prompt",
+            F.col(id_col).alias("chosen_id"),
+            F.col("response").alias("chosen"),
+            F.col(score_col).alias("__sa"),
+        )
+        b = top.select(
+            "prompt_fp",
+            F.col(id_col).alias("rejected_id"),
+            F.col("response").alias("rejected"),
+            F.col(score_col).alias("__sb"),
+        )
+        all_pairs = a.join(b, "prompt_fp").filter(
+            F.col("__sa") > F.col("__sb") + F.lit(min_margin)
+        )
+        chosen_new = new.select(F.col(id_col).alias("chosen_id"))
+        rej_new = new.select(F.col(id_col).alias("rejected_id"))
+        # disjoint arms of pairs(P∪N) − pairs(P): chosen side new,
+        # or chosen side prior AND rejected side new
+        pairs_a = all_pairs.join(chosen_new, "chosen_id", "left_semi")
+        pairs_b = all_pairs.join(
+            chosen_new, "chosen_id", "left_anti"
+        ).join(rej_new, "rejected_id", "left_semi")
+        out = pairs_a.unionByName(pairs_b).select(
+            "prompt_fp",
+            "prompt",
+            "chosen_id",
+            "rejected_id",
+            "chosen",
+            "rejected",
+            (F.col("__sa") - F.col("__sb")).alias("margin"),
+        )
+        # pairs first, ledger second (docs-before-ledger convention)
+        _io.append_once(out, out_path, batch_id)
+        _io.append_once(
+            new.select(
+                "prompt_fp", "prompt", id_col, "response", score_col
+            ),
+            responses_path,
+            batch_id,
+        )
+
+    writer = (
+        convs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

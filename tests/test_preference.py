@@ -149,3 +149,66 @@ def test_dedup_prompt_groups_first_seen_wins(spark):
         for r in dedup_prompt_groups(prompts, threshold=0.5).collect()
     }
     assert kept == {"aa", "cc"}  # bb near-dups aa; smaller fp wins
+
+
+def test_streaming_preference_pairs_match_batch_and_replay(
+    spark, tmp_path
+):
+    """The accumulated streaming output equals the batch operator
+    over everything seen (pairs(P∪N) − pairs(P) per tick, disjoint
+    arms), and a replayed tick appends nothing."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+    )
+    from starknet_etl_spark.streaming.preference import (
+        start_preference_pair_stream,
+    )
+
+    rows = _convs()
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, score bigint"
+    )
+    src = str(tmp_path / "src")
+    # 3 files -> 3 ticks, responses of one prompt split across ticks
+    spark.createDataFrame(rows[:3], df.schema).write.parquet(
+        src + "/f0"
+    )
+    spark.createDataFrame(rows[3:6], df.schema).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(rows[6:], df.schema).write.parquet(
+        src + "/f2"
+    )
+    out = str(tmp_path / "pairs")
+    led = str(tmp_path / "responses")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_preference_pair_stream(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*"),
+            out_path=out,
+            responses_path=led,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+
+    _go()
+    want = {
+        (r["prompt_fp"], r["chosen_id"], r["rejected_id"], r["margin"])
+        for r in build_preference_pairs(df).collect()
+    }
+    got = {
+        (r["prompt_fp"], r["chosen_id"], r["rejected_id"], r["margin"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    n = spark.read.parquet(out).count()
+    assert n == len(want)  # exactly once: no duplicate emissions
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()  # replay
+    assert spark.read.parquet(out).count() == n

@@ -685,3 +685,44 @@ def test_tokenize_serving_core(spark, tmp_path):
         tokenize_rows(
             spark, texts, merges_path=mpath, pieces_path=upath
         )
+
+
+def test_kn_serving_core(spark, tmp_path):
+    """GET /kn core: the persisted-model scorer returns the same q20
+    values as score_kn, NULLs for unscorable (too-short) texts, and
+    preserves request order."""
+    from starknet_etl_spark.operators.knlm import (
+        save_kn_lm,
+        score_kn,
+        train_kn_lm,
+    )
+    from starknet_etl_spark.serving.search_api import kn_score_rows
+
+    corpus = spark.createDataFrame(
+        [("d1", "the cat sat on the mat"),
+         ("d2", "the cat sat on the hat"),
+         ("d3", "a dog sat on the mat")],
+        ["doc_id", "text"],
+    )
+    model = train_kn_lm(corpus)
+    mp = str(tmp_path / "kn")
+    save_kn_lm(model, mp)
+
+    texts = ["the cat sat on the mat", "xy", "a dog sat on the hat"]
+    rows = kn_score_rows(spark, mp, texts)
+    assert [r["text_idx"] for r in rows] == [0, 1, 2]
+    assert rows[1]["kn_logprob"] is None  # < 3 tokens: unscorable
+    want = {
+        r["text_idx"]: r["kn_logprob"]
+        for r in score_kn(
+            spark.createDataFrame(
+                list(enumerate(texts)), ["text_idx", "text"]
+            ),
+            model,
+            "text_idx",
+            "text",
+        ).collect()
+    }
+    assert rows[0]["kn_logprob"] == want[0]
+    assert rows[2]["kn_logprob"] == want[2]
+    assert kn_score_rows(spark, mp, []) == []
