@@ -86,6 +86,11 @@ HEADLINE_EXT = (
     "doc_hybrid_ltr",
     "doc_span_profile",
     "doc_turn_dedup",
+    # r8 tiers (group grows again — per-query is the contract)
+    "doc_kn_logprob",
+    "doc_pref_pairs",
+    "doc_pack_bfd",
+    "doc_normalized_dedup",
 )
 
 

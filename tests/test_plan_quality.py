@@ -562,3 +562,73 @@ def test_span_profile_single_token_explode(spark):
     assert len(re.findall(r"posexplode\(split", plan)) == 1, plan[:2000]
     assert _tree(plan).count("InMemoryTableScan") >= 2
     out.sparkSession.catalog.clearCache()
+
+
+def test_kn_scoring_no_cartesian_one_row_broadcast(spark):
+    """KN scoring is n-gram-keyed joins + ONE 1-row totals broadcast:
+    no CartesianProduct; the only nested-loop join allowed is the
+    1-row totals attach (BroadcastNestedLoopJoin over a single-row
+    aggregate is a constant attach, not a blowup)."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.knlm import kn_logprob
+
+    docs = load_testdata(spark, SF_DIR, "documents")
+    plan = kn_logprob(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree, tree
+    # the n-gram count joins must be hash joins, not nested loops:
+    # every BNLJ in the plan is the totals (1-row) attach
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_preference_pairs_fp_keyed_no_cartesian(spark):
+    """Pair mining self-joins ONLY on the prompt fingerprint (md5 —
+    uniform keys), never a cartesian; the group trim is a window
+    keyed by the same fp."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+    )
+
+    docs = load_testdata(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("user: q\nassistant: "), F.col("text")
+        ).alias("text"),
+        (F.col("doc_id") % 7).alias("score"),
+    )
+    plan = build_preference_pairs(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_normalize_unicode_is_codegen_map(spark):
+    """The fold is a pure expression chain: a projection over the
+    scan, no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.text import normalize_unicode
+
+    docs = load_testdata(spark, SF_DIR, "documents")
+    out = docs.select(normalize_unicode(F.col("text")).alias("n"))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = _tree(plan)
+    assert "Exchange" not in tree, tree
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in tree, tree
