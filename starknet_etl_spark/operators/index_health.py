@@ -471,3 +471,136 @@ def maintain_positional_index(
         "reasons": reasons,
         "stats": stats.asDict(),
     }
+
+
+# -- Kneser-Ney LM model health (r8) ----------------------------------------
+
+
+def kn_model_stats(
+    spark,
+    model_path: str,
+    corpus=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """One-row health card for a persisted KN model
+    (``knlm.save_kn_lm`` layout): (n, discount, n_top_ngrams,
+    model_vocab) plus, when ``corpus`` is given, the staleness
+    signals that actually predict score quality: ``top_miss_frac``
+    (fraction of the corpus's n-grams absent from the model's
+    highest order — every miss pays a full backoff) and ``oov_frac``
+    (tokens outside the model's CONTINUATION vocabulary — the
+    population whose unigram level is pure floor mass; note this is
+    nonzero even on the training corpus: words that never appear as
+    an n-gram's final element are not continuations). Cost: the corpus gram pass + two
+    n-gram-keyed anti-join counts; model-side reads are the count
+    tables' footers plus one 1-row totals read."""
+    from ..operators.knlm import _grams, _toks, load_kn_lm
+
+    model = load_kn_lm(spark, model_path)
+    n = model["n"]
+    tot = model["totals"].first()
+    base = [
+        ("n", F.lit(n).cast("long")),
+        ("discount", F.lit(float(model["discount"]))),
+        ("n_top_ngrams", F.lit(model["top"].count()).cast("long")),
+        ("model_vocab", F.lit(tot["__v"]).cast("long")),
+    ]
+    if corpus is None:
+        row = spark.range(1)
+        for name, col in base:
+            row = row.withColumn(name, col)
+        return row.drop("id")
+    toks = _toks(corpus, id_col, text_col)
+    g = _grams(toks, id_col, n)
+    gram_cols = [f"__w{i + 1}" for i in range(n)]
+    n_grams = g.count()
+    miss = g.join(model["top"], gram_cols, "left_anti").count()
+    last = gram_cols[-1]
+    n_toks = toks.count()
+    oov = toks.select(F.col("__w").alias(last)).join(
+        model["low"], [last], "left_anti"
+    ).count()
+    row = spark.range(1)
+    for name, col in base + [
+        ("corpus_grams", F.lit(n_grams).cast("long")),
+        (
+            "top_miss_frac",
+            F.round(
+                F.lit(miss) / F.greatest(F.lit(n_grams), F.lit(1)), 6
+            ),
+        ),
+        ("corpus_tokens", F.lit(n_toks).cast("long")),
+        (
+            "oov_frac",
+            F.round(
+                F.lit(oov) / F.greatest(F.lit(n_toks), F.lit(1)), 6
+            ),
+        ),
+    ]:
+        row = row.withColumn(name, col)
+    return row.drop("id")
+
+
+def kn_needs_retrain(
+    stats,
+    *,
+    max_top_miss_frac: float = 0.5,
+    max_oov_frac: float = 0.2,
+) -> list[str]:
+    """Policy: retrain when the corpus has drifted past the model —
+    most n-grams unseen (every score is backoff) or a material token
+    mass outside the vocabulary (floor scores dominate)."""
+    reasons = []
+    if (stats["top_miss_frac"] or 0.0) > max_top_miss_frac:
+        reasons.append(
+            f"top_miss_frac {stats['top_miss_frac']} > {max_top_miss_frac}"
+        )
+    if (stats["oov_frac"] or 0.0) > max_oov_frac:
+        reasons.append(
+            f"oov_frac {stats['oov_frac']} > {max_oov_frac}"
+        )
+    return reasons
+
+
+def maintain_kn_lm(
+    spark,
+    model_path: str,
+    corpus,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_miss_frac: float = 0.5,
+    max_oov_frac: float = 0.2,
+) -> dict:
+    """One maintenance tick for a KN model: stats → policy → exactly
+    one action ∈ {"none", "retrain"}. Retrain = full re-count on the
+    CURRENT corpus (counts are not incrementally correct across
+    vocabulary drift), written table-by-table to a sibling and
+    atomically swapped (``io._replace_dir`` — a crash leaves either
+    the old or the new model complete, never a mix of count levels,
+    which would be silently wrong scores)."""
+    from .. import io as _io
+    from ..operators.knlm import save_kn_lm, train_kn_lm
+
+    stats = kn_model_stats(
+        spark, model_path, corpus, text_col=text_col, id_col=id_col
+    ).first()
+    reasons = kn_needs_retrain(
+        stats,
+        max_top_miss_frac=max_top_miss_frac,
+        max_oov_frac=max_oov_frac,
+    )
+    if not reasons:
+        return {"action": "none", "reasons": []}
+    new = train_kn_lm(
+        corpus,
+        text_col,
+        n=int(stats["n"]),
+        discount=float(stats["discount"]),
+        id_col=id_col,
+    )
+    tmp = f"{model_path}__retrain_tmp"
+    save_kn_lm(new, tmp)
+    _io._replace_dir(spark, model_path, tmp)
+    return {"action": "retrain", "reasons": reasons}

@@ -212,3 +212,46 @@ def test_kn_score_stream_matches_batch_and_replays(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replay: append_once no-op
     assert spark.read.parquet(out).count() == n
+
+
+def test_kn_model_health_and_maintain(spark, tmp_path):
+    """Drift tick: a model trained on corpus A scores corpus B with
+    high top-miss/OOV -> exactly one retrain (atomic swap); a
+    fresh-corpus tick -> none. Reloaded post-retrain scores equal a
+    direct train on B."""
+    from starknet_etl_spark.operators.index_health import (
+        kn_model_stats,
+        maintain_kn_lm,
+    )
+    from starknet_etl_spark.operators.knlm import (
+        load_kn_lm,
+        save_kn_lm,
+        score_kn,
+        train_kn_lm,
+    )
+
+    a = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(f"b{i}", f"zeta eta{i} theta iota kappa{i} holds")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    mp = str(tmp_path / "kn")
+    save_kn_lm(train_kn_lm(a), mp)
+
+    fresh = kn_model_stats(spark, mp, a).first()
+    assert fresh["top_miss_frac"] == 0.0
+    # continuation-vocab OOV is nonzero even on the training corpus
+    # (words never in final position), but under the drift threshold
+    assert fresh["oov_frac"] < 0.2
+    assert maintain_kn_lm(spark, mp, a)["action"] == "none"
+
+    drift = kn_model_stats(spark, mp, b).first()
+    assert drift["top_miss_frac"] > 0.5
+    out = maintain_kn_lm(spark, mp, b)
+    assert out["action"] == "retrain" and out["reasons"]
+    got = sorted(
+        tuple(r) for r in score_kn(b, load_kn_lm(spark, mp)).collect()
+    )
+    want = sorted(tuple(r) for r in score_kn(b, train_kn_lm(b)).collect())
+    assert got == want
