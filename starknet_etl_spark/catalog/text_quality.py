@@ -692,3 +692,87 @@ QUERIES["doc_curation_kn"] = QuerySpec(
     "composed curation with the Kneser-Ney fluency floor: the KN"
     " chain re-scoped to the clean survivors, bottom decile dropped",
 )
+
+
+# --------------------------------------------------------------------------
+# HELD-OUT KN scoring (r8): train on source != src0, score src0 —
+# the self-corpus row never exercises the backoff branches (every
+# gram is seen); this one hits unseen trigrams, unseen contexts, and
+# unseen words, so the LEFT-join NULL paths and the level-by-level
+# CASE fallbacks are differential-proven, not just unit-tested.
+# Names knh_.
+# --------------------------------------------------------------------------
+
+_KNH_P1 = (
+    "(greatest(COALESCE(lw.cc, 0) - 0.75, 0.0) / t.n12"
+    " + 0.75 * t.v1 / t.n12 * (1.0 / (v.v + 1.0)))"
+)
+_KNH_P2 = (
+    "(CASE WHEN m1.ctx IS NOT NULL THEN"
+    " greatest(COALESCE(m0.cc, 0) - 0.75, 0.0) / m1.ctx"
+    f" + 0.75 * m1.t / m1.ctx * {_KNH_P1}"
+    f" ELSE {_KNH_P1} END)"
+)
+_KNH_P3 = (
+    "(CASE WHEN c1.ctx IS NOT NULL THEN"
+    " greatest(COALESCE(c0.c, 0) - 0.75, 0.0) / c1.ctx"
+    f" + 0.75 * c1.t / c1.ctx * {_KNH_P2}"
+    f" ELSE {_KNH_P2} END)"
+)
+
+
+def _kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knlm import score_kn, train_kn_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_kn_lm(docs.filter(F.col("source") != "src0"))
+    return score_kn(docs.filter(F.col("source") == "src0"), model)
+
+
+_KN_HELDOUT_ORACLE = (
+    "WITH "
+    + _KN_CTES.split("kn_lp AS (")[0].rstrip().rstrip(",").replace(
+        "FROM documents", "FROM documents WHERE source <> 'src0'"
+    )
+    + f""",
+knh_toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents WHERE source = 'src0'),
+       unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+knh_grams AS (
+  SELECT doc_id, w1, w2, w3 FROM (
+    SELECT doc_id,
+           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           w AS w3
+    FROM knh_toks)
+  WHERE w1 IS NOT NULL
+),
+knh_lp AS (
+  SELECT g.doc_id,
+         floor(log2({_KNH_P3}) * 1048576.0 + 0.5) / 1048576.0 AS lp
+  FROM knh_grams g
+  LEFT JOIN kn_c3 c0 USING (w1, w2, w3)
+  LEFT JOIN kn_ctx2 c1 USING (w1, w2)
+  LEFT JOIN kn_cc2 m0 USING (w2, w3)
+  LEFT JOIN kn_ctx1 m1 USING (w2)
+  LEFT JOIN kn_cc1 lw USING (w3),
+  kn_tot t, kn_v v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       floor(SUM(lp) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS kn_logprob
+FROM knh_lp GROUP BY doc_id
+"""
+)
+
+QUERIES["doc_kn_heldout"] = QuerySpec(
+    _kn_heldout,
+    _KN_HELDOUT_ORACLE,
+    "held-out KN scoring: train on the non-src0 corpus, score src0 —"
+    " unseen-gram/context/word backoff branches differential-proven",
+)
