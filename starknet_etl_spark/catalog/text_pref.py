@@ -293,3 +293,37 @@ QUERIES["doc_pref_split"] = QuerySpec(
     "leakage-safe preference splits: hashed on the PROMPT fingerprint"
     " so all pairs of a prompt land in one split",
 )
+
+
+def _pref_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import best_of_n
+
+    return best_of_n(
+        _pref_convs(spark, sf_dir), "doc_id", "text", min_group=2
+    ).select("prompt_fp", "doc_id", "score", "n_responses")
+
+
+_PREF_BON_ORACLE = (
+    "WITH "
+    + _PREF_CTES
+    + """,
+pref_rk AS (
+  SELECT prompt_fp, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY prompt_fp ORDER BY score DESC, doc_id ASC
+         ) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY prompt_fp) AS BIGINT)
+           AS n_responses
+  FROM pref_conv
+)
+SELECT prompt_fp, doc_id, score, n_responses
+FROM pref_rk WHERE rk = 1 AND n_responses >= 2
+"""
+)
+
+QUERIES["doc_pref_best_of_n"] = QuerySpec(
+    _pref_best_of_n,
+    _PREF_BON_ORACLE,
+    "rejection-sampling extraction: the top-scored response per"
+    " prompt group (ReST/best-of-n SFT artifact), one fp window",
+)

@@ -268,3 +268,50 @@ def preference_stats(
         .otherwise(F.lit(None).cast("double"))
         .alias("agreement"),
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    *,
+    min_group: int = 1,
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    roles: tuple[str, ...] = DEFAULT_ROLES,
+) -> DataFrame:
+    """Rejection-sampling extraction (the ReST / best-of-n SFT
+    recipe): per prompt group, keep ONLY the top response by
+    (score desc, id asc) and emit it as a training conversation —
+    (prompt_fp, doc_id, prompt, response, score, n_responses).
+    ``min_group`` drops prompts with fewer candidates than that
+    (a best-of-1 carries no selection signal; raise it when the
+    sampler's n is known). One fp-keyed window over the extracted
+    responses — no self-join at all."""
+    if min_group < 1:
+        raise ValueError(f"min_group must be >= 1, got {min_group}")
+    pr = extract_prompt_response(
+        df, id_col, text_col,
+        turn_sep=turn_sep, role_sep=role_sep, roles=roles,
+    ).join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("prompt_fp")
+    ranked = pr.withColumn(
+        "__rk",
+        F.row_number().over(
+            w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        ),
+    ).withColumn("n_responses", F.count(F.lit(1)).over(w))
+    return (
+        ranked.filter(
+            (F.col("__rk") == 1) & (F.col("n_responses") >= min_group)
+        )
+        .select(
+            "prompt_fp",
+            id_col,
+            "prompt",
+            "response",
+            score_col,
+            F.col("n_responses").cast("long").alias("n_responses"),
+        )
+    )

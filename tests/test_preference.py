@@ -212,3 +212,20 @@ def test_streaming_preference_pairs_match_batch_and_replay(
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replay
     assert spark.read.parquet(out).count() == n
+
+
+def test_best_of_n_selection(spark):
+    from starknet_etl_spark.operators.preference import best_of_n
+
+    df = spark.createDataFrame(
+        _convs(), "doc_id bigint, text string, score bigint"
+    )
+    out = {r["doc_id"]: r for r in best_of_n(df).collect()}
+    # p1 winner: the score-30 tie breaks to the lower id (1);
+    # p2 winner: doc 7 (score 25)
+    assert set(out) == {1, 7}
+    assert out[1]["n_responses"] == 4 and out[7]["n_responses"] == 3
+    assert out[7]["response"] == "assistant: sort merge join"
+    # min_group drops small groups
+    few = best_of_n(df, min_group=4).collect()
+    assert {r["doc_id"] for r in few} == {1}
