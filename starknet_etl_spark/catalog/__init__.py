@@ -152,17 +152,24 @@ _FIRST_50: tuple[str, ...] = (
     "emb_knn_ivf_indexed",
     "emb_knn_lsh",
     "emb_near_dup_pairs",
-    "emb_centroids",
+    # emb_centroids displaced to overflow in r8 (the k-means family
+    # stays in-window via emb_knn_ivf, whose trained centroids
+    # subsume it) to keep the window at 50 with the four
+    # r7-verdict-asked r8 rows admitted.
     # LLM-data suite: multimodal (incl. the r6 feature-retrieval
     # compositions the r5 verdict asked for).
     "multimodal_meta",
     "multimodal_features",
     "mm_near_dup_pairs",
     "mm_knn",
-    # Events/window queries displaced past 50 in r2.
+    # Events/window queries displaced past 50 in r2; user_journeys /
+    # running_total displaced to overflow in r8 (A5 stays in-window
+    # via domain_swaps_nested, §2.5 via latest_event_per_user) to
+    # admit the r7-verdict-asked preference-pair and learned-mixture
+    # rows.
     "latest_event_per_user",
-    "user_journeys",
-    "running_total",
+    "doc_pref_pairs",
+    "doc_learned_mix",
     # props_by_type / top3_per_type displaced to overflow in r7 (JSON
     # family stays in-window via domain_top_pair_report/_swaps_nested;
     # window family via latest_event_per_user/running_total) to admit
@@ -173,6 +180,10 @@ _FIRST_50: tuple[str, ...] = (
     # latest_event_per_user/running_total/top3_per_type in-window) to
     # admit the hybrid-retrieval row the r5 verdict asked for.
     "doc_hybrid_search",
+    # user_sessions displaced to overflow in r8 (window/sessionize
+    # breadth; §2.5 in-window via latest_event_per_user) to admit the
+    # unicode-normalized dedup row.
+    "doc_normalized_dedup",
     # SURVEY §2-mapped core (one query per operator-family row).
     "top_pair_report_vol",
     # top_pair_report_txn displaced to overflow in r8 (same C1/P7/P8
