@@ -117,13 +117,30 @@ def train_kn_lm(
         raise ValueError(f"n must be 2 or 3, got {n}")
     _check_discount(discount)
     toks = _toks(df, id_col, text_col)
-    model: dict[str, object] = {"n": n, "discount": discount}
+    g = _grams(toks, id_col, n)
+    gram_cols = [f"__w{i + 1}" for i in range(n)]
+    top = g.groupBy(*gram_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    vocab = toks.select(F.col("__w").alias("__w")).distinct()
+    return _model_from_top(top, vocab, n=n, discount=discount)
+
+
+def _model_from_top(
+    top: DataFrame, vocab: DataFrame, *, n: int, discount: float
+) -> dict[str, object]:
+    """Derive every lower level from the highest-order count table —
+    ``top`` is the model's SUFFICIENT STATISTIC (continuation counts
+    are distinct-neighbor counts over it), which is what makes the
+    incremental ``append_kn_lm`` exact: merged top counts + the
+    vocabulary union rebuild the identical model."""
+    model: dict[str, object] = {
+        "n": n,
+        "discount": discount,
+        "top": top,
+        "vocab": vocab,
+    }
     if n == 3:
-        g = _grams(toks, id_col, 3)
-        top = g.groupBy("__w1", "__w2", "__w3").agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        model["top"] = top
         model["top_ctx"] = top.groupBy("__w1", "__w2").agg(
             F.sum("__c").cast("long").alias("__ctx"),
             F.count(F.lit(1)).alias("__t"),
@@ -131,19 +148,6 @@ def train_kn_lm(
         mid = top.groupBy("__w2", "__w3").agg(
             F.count(F.lit(1)).alias("__cc")
         )
-    else:
-        g = _grams(toks, id_col, 2)
-        top = g.groupBy("__w1", "__w2").agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        model["top"] = top
-        model["top_ctx"] = top.groupBy("__w1").agg(
-            F.sum("__c").cast("long").alias("__ctx"),
-            F.count(F.lit(1)).alias("__t"),
-        )
-        # continuation bigrams ARE the top table's distinct pairs
-        mid = top.select("__w1", "__w2", F.lit(1).cast("long").alias("__cc"))
-    if n == 3:
         model["mid"] = mid
         model["mid_ctx"] = mid.groupBy("__w2").agg(
             F.sum("__cc").cast("long").alias("__ctx"),
@@ -151,13 +155,21 @@ def train_kn_lm(
         )
         low = mid.groupBy("__w3").agg(F.count(F.lit(1)).alias("__cc"))
     else:
+        model["top_ctx"] = top.groupBy("__w1").agg(
+            F.sum("__c").cast("long").alias("__ctx"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+        # continuation bigrams ARE the top table's distinct pairs
+        mid = top.select(
+            "__w1", "__w2", F.lit(1).cast("long").alias("__cc")
+        )
         low = mid.groupBy("__w2").agg(F.count(F.lit(1)).alias("__cc"))
     model["low"] = low
     tot_a = low.agg(
         F.sum("__cc").cast("long").alias("__n12"),
         F.count(F.lit(1)).alias("__v1"),
     )
-    tot_b = toks.agg(F.countDistinct("__w").alias("__v"))
+    tot_b = vocab.agg(F.count(F.lit(1)).alias("__v"))
     model["totals"] = tot_a.join(F.broadcast(tot_b))
     return model
 
@@ -312,8 +324,10 @@ def kn_logprob(
 
 
 #: model-table subdirectories, in layout order
-_KN_TABLES_3 = ("top", "top_ctx", "mid", "mid_ctx", "low", "totals")
-_KN_TABLES_2 = ("top", "top_ctx", "low", "totals")
+_KN_TABLES_3 = (
+    "top", "top_ctx", "mid", "mid_ctx", "low", "totals", "vocab",
+)
+_KN_TABLES_2 = ("top", "top_ctx", "low", "totals", "vocab")
 
 
 def save_kn_lm(model: dict[str, object], path: str) -> None:
@@ -349,3 +363,53 @@ def load_kn_lm(spark, path: str) -> dict[str, object]:
     for name in names:
         model[name] = spark.read.parquet(f"{path}/{name}")
     return model
+
+
+def append_kn_lm(
+    spark,
+    model_path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental model maintenance: fold a NEW batch of documents
+    into the persisted model, bit-equal to retraining on the union —
+    the highest-order count table is the sufficient statistic
+    (n-grams never cross document boundaries, so batch counts ADD),
+    and every continuation level re-derives from the merged table;
+    the vocabulary merges by union. Atomic: the new model writes to a
+    sibling and swaps via ``io._replace_dir`` (a crash leaves old or
+    new complete, never mixed levels).
+
+    Contract: ``new_docs`` must be documents NOT already counted
+    (re-appending a batch double-counts — gate ingestion with
+    ``io.append_once`` upstream like every ledger here).
+    """
+    from .. import io as _io
+
+    model = load_kn_lm(spark, model_path)
+    n = int(model["n"])
+    toks = _toks(new_docs, id_col, text_col)
+    g = _grams(toks, id_col, n)
+    gram_cols = [f"__w{i + 1}" for i in range(n)]
+    new_top = g.groupBy(*gram_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    merged_top = (
+        model["top"]
+        .unionByName(new_top)
+        .groupBy(*gram_cols)
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    merged_vocab = (
+        model["vocab"]
+        .unionByName(toks.select(F.col("__w").alias("__w")).distinct())
+        .distinct()
+    )
+    merged = _model_from_top(
+        merged_top, merged_vocab, n=n, discount=float(model["discount"])
+    )
+    tmp = f"{model_path}__append_tmp"
+    save_kn_lm(merged, tmp)
+    _io._replace_dir(spark, model_path, tmp)

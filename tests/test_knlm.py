@@ -255,3 +255,46 @@ def test_kn_model_health_and_maintain(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in score_kn(b, train_kn_lm(b)).collect())
     assert got == want
+
+
+def test_append_kn_lm_equals_full_retrain(spark, tmp_path):
+    """The incremental-maintenance invariant: train(A) then
+    append(B) produces a model whose scores are BIT-EQUAL to
+    train(A ∪ B) — the top table is the sufficient statistic."""
+    from starknet_etl_spark.operators.knlm import (
+        append_kn_lm,
+        load_kn_lm,
+        save_kn_lm,
+        score_kn,
+        train_kn_lm,
+    )
+
+    a_rows = _CORPUS[:5]
+    b_rows = [
+        ("e1", "the bird flew over the mat and sat down"),
+        ("e2", "a cat flew a kite over the hat"),
+        ("e3", "novel words appear entirely here tonight"),
+    ]
+    a = spark.createDataFrame(a_rows, ["doc_id", "text"])
+    b = spark.createDataFrame(b_rows, ["doc_id", "text"])
+    union = spark.createDataFrame(a_rows + b_rows, ["doc_id", "text"])
+
+    mp = str(tmp_path / "kn")
+    save_kn_lm(train_kn_lm(a), mp)
+    append_kn_lm(spark, mp, b)
+
+    probe = spark.createDataFrame(
+        [("p1", "the cat sat on the mat"),
+         ("p2", "a kite flew over novel words tonight"),
+         ("p3", "completely unseen tokens everywhere now")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        tuple(r)
+        for r in score_kn(probe, load_kn_lm(spark, mp)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in score_kn(probe, train_kn_lm(union)).collect()
+    )
+    assert got == want  # dyadic grid: == not approx
