@@ -101,6 +101,7 @@ def train_kn_lm(
     n: int = 3,
     discount: float = 0.75,
     id_col: str = "doc_id",
+    persist_top: bool = False,
 ) -> dict[str, object]:
     """Train an interpolated-KN model on ``df``'s text. Returns the
     model as a dict of count DataFrames (persist each with
@@ -122,6 +123,14 @@ def train_kn_lm(
     top = g.groupBy(*gram_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    if persist_top:
+        # the sufficient statistic feeds FIVE derived tables plus the
+        # scorer's join; uncached, Catalyst re-derives the corpus
+        # gram pass per consumer (8 scans/posexplodes measured in the
+        # self-scoring plan — the span_profile lesson: differently-
+        # pruned subtrees never stage-reuse). Caller owns the
+        # unpersist (kn_logprob's eager_release does).
+        top = top.persist()
     vocab = toks.select(F.col("__w").alias("__w")).distinct()
     return _model_from_top(top, vocab, n=n, discount=discount)
 
@@ -312,15 +321,23 @@ def kn_logprob(
     *,
     n: int = 3,
     discount: float = 0.75,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Self-corpus convenience (the bigram_logprob symmetry): train
-    the KN model on ``df`` and score ``df`` with it."""
-    return score_kn(
-        df,
-        train_kn_lm(df, text_col, n=n, discount=discount, id_col=id_col),
-        id_col,
-        text_col,
+    the KN model on ``df`` and score ``df`` with it. The top count
+    table is ``persist()``-ed (six consumers in one plan); with
+    ``eager_release`` (default) the result materializes inside this
+    call and the cache is released immediately — the jaccard_pairs
+    caller contract (pass ``eager_release=False`` and manage the
+    caches yourself when embedding in a larger lazy plan)."""
+    from .dedup import _eager_release
+
+    model = train_kn_lm(
+        df, text_col, n=n, discount=discount, id_col=id_col,
+        persist_top=True,
     )
+    out = score_kn(df, model, id_col, text_col)
+    return _eager_release(out, [model["top"]], eager_release)
 
 
 #: model-table subdirectories, in layout order

@@ -334,9 +334,10 @@ def curate_corpus(
         from ..operators.knlm import kn_logprob as _knlp
         from ..operators.text import quality_floor as _qfloor_kn
 
-        kn = _knlp(kept, id_col, text_col).persist()
-        kn.count()  # one KN train+score run serves the boundary
+        # kn_logprob eager_release: the scores materialize here and
+        # stay cached — one KN train+score run serves the boundary
         # sketch, the rank window, and the drop-list materialization
+        kn = _knlp(kept, id_col, text_col)
         ranked_kn = _qfloor_kn(
             kept.join(
                 kn.select(id_col, "kn_logprob"), id_col, "inner"
@@ -362,7 +363,7 @@ def curate_corpus(
         from ..checkpointing import truncate as _truncate_kn
 
         low_kn = _truncate_kn(low_kn)
-        kn.unpersist()
+        kn.unpersist()  # the eager_release result cache
         audit_kn = low_kn.select(
             ids,
             F.lit("kn_floor").alias("stage"),
