@@ -609,16 +609,20 @@ def _nrm_lined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _eager_release
     from ..operators.spans import line_dedup
 
-    lined = _nrm_lined(spark, sf_dir)
+    # the variant corpus feeds BOTH dedup chains (each consuming it
+    # several ways internally) — cache it once, release on return
+    # (the jaccard_pairs eager_release stance)
+    lined = _nrm_lined(spark, sf_dir).persist()
     raw = line_dedup(lined).select(
         "doc_id", "n_lines", F.col("n_dropped").alias("dropped_raw")
     )
     norm = line_dedup(lined, normalize=True).select(
         "doc_id", F.col("n_dropped").alias("dropped_norm")
     )
-    return raw.join(norm, "doc_id")
+    return _eager_release(raw.join(norm, "doc_id"), [lined], True)
 
 
 def _nrm_oracle() -> str:
