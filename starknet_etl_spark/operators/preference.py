@@ -121,6 +121,7 @@ def build_preference_pairs(
     turn_sep: str = "\n",
     role_sep: str = ": ",
     roles: tuple[str, ...] = DEFAULT_ROLES,
+    eager_release: bool = True,
 ) -> DataFrame:
     """(prompt_fp, prompt, chosen_id, rejected_id, chosen, rejected,
     margin): every ordered response pair within a prompt group where
@@ -128,7 +129,13 @@ def build_preference_pairs(
     ties are not preferences). Groups larger than ``max_group`` are
     trimmed to their top ``max_group`` responses by (score desc, id
     asc) BEFORE pairing, bounding the self-join at max_group² per
-    prompt (the LSH max_bucket stance: deterministic, in-plan)."""
+    prompt (the LSH max_bucket stance: deterministic, in-plan).
+
+    The trimmed response frame feeds BOTH sides of the self-join;
+    it is ``persist()``-ed, and with ``eager_release`` (default) the
+    pair set materializes inside this call and the cache is released
+    — the jaccard_pairs caller contract (``eager_release=False`` for
+    embedding in a larger lazy plan, managing caches yourself)."""
     if max_group < 2:
         raise ValueError(f"max_group must be >= 2, got {max_group}")
     if min_margin < 0:
@@ -143,6 +150,8 @@ def build_preference_pairs(
     top = pr.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= max_group
     )
+    if eager_release:
+        top = top.persist()
     a = top.select(
         "prompt_fp",
         "prompt",
@@ -156,7 +165,7 @@ def build_preference_pairs(
         F.col("response").alias("rejected"),
         F.col(score_col).alias("__sb"),
     )
-    return (
+    out = (
         a.join(b, "prompt_fp")
         .filter(F.col("__sa") > F.col("__sb") + F.lit(min_margin))
         .select(
@@ -169,6 +178,11 @@ def build_preference_pairs(
             (F.col("__sa") - F.col("__sb")).alias("margin"),
         )
     )
+    if not eager_release:
+        return out
+    from .dedup import _eager_release
+
+    return _eager_release(out, [top], True)
 
 
 def dedup_prompt_groups(
