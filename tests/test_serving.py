@@ -726,3 +726,37 @@ def test_kn_serving_core(spark, tmp_path):
     assert rows[0]["kn_logprob"] == want[0]
     assert rows[2]["kn_logprob"] == want[2]
     assert kn_score_rows(spark, mp, []) == []
+
+
+def test_tokenize_model_validation_fastapi_if_available(spark, tmp_path):
+    """GET /tokenize rejects unknown model= values and unconfigured
+    artifacts with explanatory messages (the r7 ADVICE item) instead
+    of silently picking a tokenizer."""
+    import pytest
+
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        pytest.skip("fastapi not installed")
+    from starknet_etl_spark.operators import bpe as B
+
+    train = spark.createDataFrame(
+        [(0, "low low low lower")], "doc_id bigint, text string"
+    )
+    mpath = str(tmp_path / "bpe_m")
+    B.save_merges(spark, B.train_bpe(train, "text", n_merges=2), mpath)
+    client = TestClient(create_search_app(spark, bpe_merges=mpath))
+
+    ok = client.get("/tokenize", params={"t": "lower"}).json()
+    assert "data" in ok  # only bpe configured: default resolves
+
+    bad = client.get(
+        "/tokenize", params={"t": "x", "model": "BPE"}
+    ).json()
+    assert "unknown model" in bad["message"]
+    missing = client.get(
+        "/tokenize", params={"t": "x", "model": "unigram"}
+    ).json()
+    assert "no unigram" in missing["message"]
