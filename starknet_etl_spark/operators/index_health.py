@@ -519,7 +519,7 @@ def kn_model_stats(
     last = gram_cols[-1]
     n_toks = toks.count()
     oov = toks.select(F.col("__w").alias(last)).join(
-        model["low"], [last], "left_anti"
+        model["cont1"], [last], "left_anti"
     ).count()
     row = spark.range(1)
     for name, col in base + [

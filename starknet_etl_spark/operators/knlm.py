@@ -103,19 +103,19 @@ def train_kn_lm(
     id_col: str = "doc_id",
     persist_top: bool = False,
 ) -> dict[str, object]:
-    """Train an interpolated-KN model on ``df``'s text. Returns the
-    model as a dict of count DataFrames (persist each with
-    io.save_table like any model artifact):
+    """Train an interpolated-KN model of order ``n`` (2-5; n=5 is the
+    canonical CCNet/KenLM filter, n=3 the cheap default). Returns the
+    model as a dict of count DataFrames:
 
-    n=3: ``top`` (w1,w2,w3,c) raw trigram counts; ``top_ctx``
-    (w1,w2,ctx,t) context totals + distinct-continuation types;
-    ``mid`` (w2,w3,cc) continuation counts; ``mid_ctx`` (w2,ctx,t);
-    ``low`` (w3,cc) unigram continuation counts; ``totals`` one row
-    (n12 = Σ low.cc, v1 = |low|, v = |vocab|).  n=2 drops the top
-    pair and trains the bigram as the highest order.
+    ``top`` (w1..wn, __c) raw n-gram counts; ``top_ctx``
+    (w1..w_{n-1}, __ctx, __t) context totals + distinct-continuation
+    types; ``cont{k}`` for k = n-1..1 the level-k CONTINUATION counts
+    (each derives from the level above by one distinct-first-element
+    aggregate); ``cont{k}_ctx`` for k = n-1..2; ``totals`` one row
+    (n12 = Σ cont1.__cc, v1 = |cont1|, v = |vocab|); ``vocab``.
     """
-    if n not in (2, 3):
-        raise ValueError(f"n must be 2 or 3, got {n}")
+    if not 2 <= n <= 5:
+        raise ValueError(f"n must be in [2, 5], got {n}")
     _check_discount(discount)
     toks = _toks(df, id_col, text_col)
     g = _grams(toks, id_col, n)
@@ -149,32 +149,31 @@ def _model_from_top(
         "top": top,
         "vocab": vocab,
     }
-    if n == 3:
-        model["top_ctx"] = top.groupBy("__w1", "__w2").agg(
-            F.sum("__c").cast("long").alias("__ctx"),
-            F.count(F.lit(1)).alias("__t"),
-        )
-        mid = top.groupBy("__w2", "__w3").agg(
-            F.count(F.lit(1)).alias("__cc")
-        )
-        model["mid"] = mid
-        model["mid_ctx"] = mid.groupBy("__w2").agg(
-            F.sum("__cc").cast("long").alias("__ctx"),
-            F.count(F.lit(1)).alias("__t"),
-        )
-        low = mid.groupBy("__w3").agg(F.count(F.lit(1)).alias("__cc"))
-    else:
-        model["top_ctx"] = top.groupBy("__w1").agg(
-            F.sum("__c").cast("long").alias("__ctx"),
-            F.count(F.lit(1)).alias("__t"),
-        )
-        # continuation bigrams ARE the top table's distinct pairs
-        mid = top.select(
-            "__w1", "__w2", F.lit(1).cast("long").alias("__cc")
-        )
-        low = mid.groupBy("__w2").agg(F.count(F.lit(1)).alias("__cc"))
-    model["low"] = low
-    tot_a = low.agg(
+    cols = [f"__w{i + 1}" for i in range(n)]
+    model["top_ctx"] = top.groupBy(*cols[:-1]).agg(
+        F.sum("__c").cast("long").alias("__ctx"),
+        F.count(F.lit(1)).alias("__t"),
+    )
+    # level-(n-1) continuation counts = distinct first elements of
+    # the raw table per suffix; each level below repeats the step
+    # on the level above. All suffix-keyed aggregates with map-side
+    # combine.
+    level = top.groupBy(*cols[1:]).agg(
+        F.count(F.lit(1)).cast("long").alias("__cc")
+    )
+    for k in range(n - 1, 0, -1):
+        model[f"cont{k}"] = level
+        if k >= 2:
+            kcols = cols[n - k:]
+            model[f"cont{k}_ctx"] = level.groupBy(*kcols[:-1]).agg(
+                F.sum("__cc").cast("long").alias("__ctx"),
+                F.count(F.lit(1)).alias("__t"),
+            )
+            level = level.groupBy(*kcols[1:]).agg(
+                F.count(F.lit(1)).cast("long").alias("__cc")
+            )
+    cont1 = model["cont1"]
+    tot_a = cont1.agg(
         F.sum("__cc").cast("long").alias("__n12"),
         F.count(F.lit(1)).alias("__v1"),
     )
@@ -230,81 +229,59 @@ def score_kn(
     d = F.lit(float(model["discount"]))
     g = _grams(_toks(df, id_col, text_col), id_col, n)
     totals = model["totals"]
-    if n == 3:
-        joined = (
-            g.join(
-                model["top"].withColumnRenamed("__c", "__tc"),
-                ["__w1", "__w2", "__w3"],
-                "left",
-            )
-            .join(
-                model["top_ctx"].select(
-                    "__w1", "__w2",
-                    F.col("__ctx").alias("__tctx"),
-                    F.col("__t").alias("__tt"),
-                ),
-                ["__w1", "__w2"],
-                "left",
-            )
-            .join(
-                model["mid"].withColumnRenamed("__cc", "__mc"),
-                ["__w2", "__w3"],
-                "left",
-            )
-            .join(
-                model["mid_ctx"].select(
-                    "__w2",
-                    F.col("__ctx").alias("__mctx"),
-                    F.col("__t").alias("__mt"),
-                ),
-                ["__w2"],
-                "left",
-            )
-            .join(
-                model["low"].select(
-                    F.col("__w3"), F.col("__cc").alias("__lcc")
-                ),
-                ["__w3"],
-                "left",
-            )
-            .join(F.broadcast(totals))
+    cols = [f"__w{i + 1}" for i in range(n)]
+    joined = (
+        g.join(
+            model["top"].withColumnRenamed("__c", "__tc"),
+            cols,
+            "left",
         )
-        p1 = _p_low(d)
-        p2 = _p_backoff(
-            F.col("__mc"), F.col("__mctx"), F.col("__mt"), d, p1
+        .join(
+            model["top_ctx"].select(
+                *cols[:-1],
+                F.col("__ctx").alias("__tctx"),
+                F.col("__t").alias("__tt"),
+            ),
+            cols[:-1],
+            "left",
         )
+    )
+    for k in range(n - 1, 1, -1):
+        kcols = cols[n - k:]
+        joined = joined.join(
+            model[f"cont{k}"].select(
+                *kcols, F.col("__cc").alias(f"__c{k}")
+            ),
+            kcols,
+            "left",
+        ).join(
+            model[f"cont{k}_ctx"].select(
+                *kcols[:-1],
+                F.col("__ctx").alias(f"__ctx{k}"),
+                F.col("__t").alias(f"__t{k}"),
+            ),
+            kcols[:-1],
+            "left",
+        )
+    joined = joined.join(
+        model["cont1"].select(
+            F.col(cols[-1]), F.col("__cc").alias("__lcc")
+        ),
+        [cols[-1]],
+        "left",
+    ).join(F.broadcast(totals))
+    p = _p_low(d)
+    for k in range(2, n):
         p = _p_backoff(
-            F.col("__tc"), F.col("__tctx"), F.col("__tt"), d, p2
+            F.col(f"__c{k}"),
+            F.col(f"__ctx{k}"),
+            F.col(f"__t{k}"),
+            d,
+            p,
         )
-    else:
-        joined = (
-            g.join(
-                model["top"].withColumnRenamed("__c", "__tc"),
-                ["__w1", "__w2"],
-                "left",
-            )
-            .join(
-                model["top_ctx"].select(
-                    "__w1",
-                    F.col("__ctx").alias("__tctx"),
-                    F.col("__t").alias("__tt"),
-                ),
-                ["__w1"],
-                "left",
-            )
-            .join(
-                model["low"].select(
-                    F.col("__w2"), F.col("__cc").alias("__lcc")
-                ),
-                ["__w2"],
-                "left",
-            )
-            .join(F.broadcast(totals))
-        )
-        p1 = _p_low(d)
-        p = _p_backoff(
-            F.col("__tc"), F.col("__tctx"), F.col("__tt"), d, p1
-        )
+    p = _p_backoff(
+        F.col("__tc"), F.col("__tctx"), F.col("__tt"), d, p
+    )
     lp = _q20(F.log2(p))
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
@@ -340,11 +317,14 @@ def kn_logprob(
     return _eager_release(out, [model["top"]], eager_release)
 
 
-#: model-table subdirectories, in layout order
-_KN_TABLES_3 = (
-    "top", "top_ctx", "mid", "mid_ctx", "low", "totals", "vocab",
-)
-_KN_TABLES_2 = ("top", "top_ctx", "low", "totals", "vocab")
+def _kn_table_names(n: int) -> tuple[str, ...]:
+    """Model-table subdirectories for an order-n artifact."""
+    return (
+        ("top", "top_ctx")
+        + tuple(f"cont{k}" for k in range(n - 1, 0, -1))
+        + tuple(f"cont{k}_ctx" for k in range(n - 1, 1, -1))
+        + ("totals", "vocab")
+    )
 
 
 def save_kn_lm(model: dict[str, object], path: str) -> None:
@@ -356,7 +336,7 @@ def save_kn_lm(model: dict[str, object], path: str) -> None:
     silently incomparable — the streaming/bpe.py stance)."""
     from ..io import save_table
 
-    names = _KN_TABLES_3 if model["n"] == 3 else _KN_TABLES_2
+    names = _kn_table_names(int(model["n"]))
     spark = model["top"].sparkSession
     for name in names:
         save_table(model[name], f"{path}/{name}", mode="overwrite")
@@ -376,8 +356,7 @@ def load_kn_lm(spark, path: str) -> dict[str, object]:
         "n": int(meta["n"]),
         "discount": float(meta["discount"]),
     }
-    names = _KN_TABLES_3 if model["n"] == 3 else _KN_TABLES_2
-    for name in names:
+    for name in _kn_table_names(model["n"]):
         model[name] = spark.read.parquet(f"{path}/{name}")
     return model
 

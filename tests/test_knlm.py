@@ -143,7 +143,7 @@ def test_kn_rejects_non_dyadic_discount(spark):
     with _pytest.raises(ValueError, match="dyadic"):
         train_kn_lm(df, discount=0.1)
     with _pytest.raises(ValueError, match="n must be"):
-        train_kn_lm(df, n=4)
+        train_kn_lm(df, n=7)
 
 
 def test_kn_model_persist_roundtrip(spark, tmp_path):
@@ -298,3 +298,96 @@ def test_append_kn_lm_equals_full_retrain(spark, tmp_path):
         for r in score_kn(probe, train_kn_lm(union)).collect()
     )
     assert got == want  # dyadic grid: == not approx
+
+
+def _naive_kn(train_texts, score_rows, n, d=0.75):
+    """General-order interpolated KN, pure python — the reference for
+    the generalized trainer/scorer (mirrors _naive_kn3 at n=3)."""
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in t.strip().split() if w]
+
+    top = Counter()
+    vocab = set()
+    for t in train_texts:
+        ws = toks(t)
+        vocab.update(ws)
+        for i in range(len(ws) - n + 1):
+            top[tuple(ws[i:i + n])] += 1
+    top_ctx, top_t = Counter(), Counter()
+    for g, c in top.items():
+        top_ctx[g[:-1]] += c
+        top_t[g[:-1]] += 1
+    cont = {}        # k -> Counter over len-k suffixes
+    cont_ctx, cont_t = {}, {}
+    level = Counter()
+    for g in top:
+        level[g[1:]] += 1
+    for k in range(n - 1, 0, -1):
+        cont[k] = level
+        if k >= 2:
+            cx, ct = Counter(), Counter()
+            nxt = Counter()
+            for g in level:
+                cx[g[:-1]] += level[g]
+                ct[g[:-1]] += 1
+                nxt[g[1:]] += 1
+            cont_ctx[k], cont_t[k] = cx, ct
+            level = nxt
+    n12 = sum(cont[1].values())
+    v1 = len(cont[1])
+    v = len(vocab)
+
+    def p(gram):
+        pk = max(cont[1].get(gram[-1:], 0) - d, 0.0) / n12 + d * v1 / n12 * (
+            1.0 / (v + 1.0)
+        )
+        for k in range(2, n):
+            ctx = gram[n - k:-1]
+            if cont_ctx[k].get(ctx):
+                pk = max(cont[k].get(gram[n - k:], 0) - d, 0.0) / cont_ctx[
+                    k
+                ][ctx] + d * cont_t[k][ctx] / cont_ctx[k][ctx] * pk
+        if top_ctx.get(gram[:-1]):
+            pk = max(top.get(gram, 0) - d, 0.0) / top_ctx[
+                gram[:-1]
+            ] + d * top_t[gram[:-1]] / top_ctx[gram[:-1]] * pk
+        return pk
+
+    out = {}
+    for did, t in score_rows:
+        ws = toks(t)
+        lps = [
+            _q20(math.log2(p(tuple(ws[i:i + n]))))
+            for i in range(len(ws) - n + 1)
+        ]
+        if lps:
+            out[did] = (len(lps), _q20(sum(lps) / len(lps)))
+    return out
+
+
+def test_kn_higher_orders_match_naive(spark, tmp_path):
+    """Generalized order: n=4 and n=5 (the CCNet order) bit-equal to
+    the naive reference, on self-corpus AND held-out backoff-heavy
+    probes; n=3 via the generic path still equals the dedicated
+    trigram reference (refactor guard)."""
+    from starknet_etl_spark.operators.knlm import score_kn, train_kn_lm
+
+    corpus = [(d, t * 2) for d, t in _CORPUS[:6]]  # longer docs
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    held = [
+        ("h1", "the cat sat on the mat the cat sat on the hat"),
+        ("h2", "entirely novel words marching through here tonight okay"),
+    ]
+    hdf = spark.createDataFrame(held, ["doc_id", "text"])
+    texts = [t for _, t in corpus]
+    for n in (3, 4, 5):
+        model = train_kn_lm(df, n=n)
+        got = {
+            r["doc_id"]: (r["n_scored"], r["kn_logprob"])
+            for r in score_kn(hdf, model).collect()
+        }
+        assert got == _naive_kn(texts, held, n), f"n={n}"
+    # n=3 generic == the dedicated trigram reference
+    assert _naive_kn(texts, held, 3) == _naive_kn3(texts, held)
