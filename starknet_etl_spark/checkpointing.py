@@ -73,11 +73,6 @@ def _fs_delete(sc, path: str) -> None:
     fs.delete(p, True)
 
 
-#: Distinguishes concurrent rotators sharing one reliable_dir (e.g.
-#: the unigram trainer's closure loop and pointer-doubling loop).
-_ROTATOR_SEQ = 0
-
-
 class RoundCheckpointer:
     """Per-round reliable checkpointing for iterative trainer loops,
     with rotation: round k is checkpointed into its own subdirectory
@@ -92,29 +87,47 @@ class RoundCheckpointer:
     EVERY round (the pinned working sets) must NOT go through a
     rotator — use plain :func:`truncate` for those.
 
+    The rotation subdirectory name embeds a uuid4, never a counter:
+    a process-global sequence resets per process, so two drivers (or
+    a foreachBatch tick concurrent with a batch trainer) sharing one
+    ``reliable_dir`` would both claim ``rot0000`` and each rotation
+    would delete the OTHER job's live round checkpoints mid-training.
+    uuid4 collisions are not a failure mode anyone plans around.
+
+    Lifetime: the final ``keep`` round directories outlive the loop —
+    the trainer's last rounds must stay readable until the caller has
+    materialized its result off them. Call :meth:`cleanup` (or use
+    the instance as a context manager, which cleans up on exit) once
+    the final result is persisted; otherwise each trainer invocation
+    leaves ``keep`` round copies under ``reliable_dir`` (documented
+    in SCALING.md — a per-batch-training streaming service MUST
+    clean up or it accumulates 2 dirs per tick without bound).
+
     With ``reliable_dir=None`` this degrades to ``localCheckpoint``
     exactly like :func:`truncate` (executor blocks are managed by the
     BlockManager; the leak this class fixes is reliable-FS-only).
     """
 
     def __init__(self, reliable_dir: str | None, *, keep: int = 2):
-        global _ROTATOR_SEQ
+        import uuid
+
         if keep < 1:
             raise ValueError(f"keep must be >= 1, got {keep}")
         self._dir = (
             None
             if reliable_dir is None
-            else f"{reliable_dir.rstrip('/')}/rot{_ROTATOR_SEQ:04d}"
+            else f"{reliable_dir.rstrip('/')}/rot-{uuid.uuid4().hex}"
         )
-        _ROTATOR_SEQ += 1
         self._keep = keep
         self._n = 0
         self._live: list[str] = []
+        self._sc = None
 
     def truncate(self, df: DataFrame) -> DataFrame:
         if self._dir is None:
             return df.localCheckpoint(True)
         sc = df.sparkSession.sparkContext
+        self._sc = sc
         sub = f"{self._dir}/round-{self._n:06d}"
         self._n += 1
         sc.setCheckpointDir(sub)
@@ -123,3 +136,22 @@ class RoundCheckpointer:
         while len(self._live) > self._keep:
             _fs_delete(sc, self._live.pop(0))
         return out
+
+    def cleanup(self) -> None:
+        """Delete the remaining live round directories (the whole
+        rotator subtree). Call ONLY after the trainer's final result
+        has been materialized somewhere else — the last rounds' blocks
+        are unreadable afterwards. Idempotent; a no-op in
+        localCheckpoint mode or if nothing was ever checkpointed."""
+        if self._dir is None or self._sc is None or not self._live:
+            return
+        _fs_delete(self._sc, self._dir)
+        self._live = []
+
+    def __enter__(self) -> "RoundCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        # On exception the rounds are dead anyway; on success the
+        # caller materialized its result inside the with-block.
+        self.cleanup()

@@ -178,6 +178,9 @@ def train_bpe(
         left, right = best["left"], best["right"]
         merges.append((left, right))
         sym = rot.truncate(_merge_round(sym, left, right))
+    # the result is driver-side (the merge list) — the final rounds'
+    # checkpoints are dead; reclaim the reliable-FS residue
+    rot.cleanup()
     return merges
 
 

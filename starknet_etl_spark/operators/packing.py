@@ -110,6 +110,8 @@ def pack_bins(
     out_schema = schema_parts + ", bin_id bigint"
 
     def _pack(pdf):  # type: ignore[no-untyped-def]
+        from bisect import bisect_left, bisect_right, insort
+
         if strategy == "bfd":
             pdf = pdf.sort_values(
                 [token_col, id_col], ascending=[False, True]
@@ -117,20 +119,31 @@ def pack_bins(
         else:
             pdf = pdf.sort_values([id_col])
         loads: list[int] = []
+        # BFD bin choice via a sorted (load, bin_id) list: the fullest
+        # bin that fits is the RIGHTMOST entry with load <= cap; the
+        # tie -> lowest-bin-id rule is the LEFTMOST entry at that
+        # load. O(log bins) lookup + O(bins) memmove per item replaces
+        # the O(bins) Python-level scan — the one latent quadratic the
+        # r8 review flagged for ~100k-bin shards.
+        order: list[tuple[int, int]] = []  # sorted (load, bin_id)
         out = []
         cur = -1  # next_fit: only the latest bin is open
         for n in pdf[token_col]:
             n = int(n)
             if strategy == "bfd":
-                best, best_load = -1, -1
-                for j, ld in enumerate(loads):
-                    if ld + n <= budget and ld > best_load:
-                        best, best_load = j, ld
-                if best < 0:
+                cap = budget - n
+                i = bisect_right(order, (cap, 1 << 62)) - 1
+                if i < 0:
                     loads.append(n)
                     best = len(loads) - 1
+                    insort(order, (n, best))
                 else:
+                    lvl = order[i][0]
+                    j = bisect_left(order, (lvl, -1))
+                    best = order[j][1]
+                    del order[j]
                     loads[best] += n
+                    insort(order, (loads[best], best))
                 out.append(best)
             else:
                 if cur >= 0 and loads[cur] + n <= budget:

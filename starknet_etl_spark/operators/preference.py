@@ -147,11 +147,16 @@ def build_preference_pairs(
     w = Window.partitionBy("prompt_fp").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    top = pr.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") <= max_group
+    # Persisted UNCONDITIONALLY: the trimmed frame feeds BOTH arms of
+    # the self-join below and Catalyst re-derives differently-pruned
+    # subtrees per consumer (the 2-4x recompute class) — the
+    # jaccard_pairs contract, where eager_release only gates WHEN the
+    # cache is released, never whether it exists.
+    top = (
+        pr.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_group)
+        .persist()
     )
-    if eager_release:
-        top = top.persist()
     a = top.select(
         "prompt_fp",
         "prompt",
@@ -178,11 +183,9 @@ def build_preference_pairs(
             (F.col("__sa") - F.col("__sb")).alias("margin"),
         )
     )
-    if not eager_release:
-        return out
     from .dedup import _eager_release
 
-    return _eager_release(out, [top], True)
+    return _eager_release(out, [top], eager_release)
 
 
 def dedup_prompt_groups(

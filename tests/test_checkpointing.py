@@ -32,19 +32,25 @@ def test_bpe_reliable_checkpoint_identical(spark, tmp_path):
         docs, "text", n_merges=8, reliable_checkpoint_dir=ck
     )
     assert reliable == local
-    assert _tree_nonempty(ck)
+    # train_bpe's result is driver-side (the merge list): it cleans
+    # up its own rotation residue on return (r9)
+    assert not _tree_nonempty(ck)
 
     words = spark.createDataFrame([("lowest",), ("wider",)], ["word"])
+    ck_seg = str(tmp_path / "ck_seg")
     a = sorted(
         tuple(r) for r in segment_words(words, local).collect()
     )
     b = sorted(
         tuple(r)
         for r in segment_words(
-            words, local, reliable_checkpoint_dir=str(tmp_path / "ck_seg")
+            words, local, reliable_checkpoint_dir=ck_seg
         ).collect()
     )
     assert a == b
+    # segment_words RETURNS a frame built on the final rounds — it
+    # cannot clean up; the residue is the caller's (SCALING.md)
+    assert _tree_nonempty(ck_seg)
 
 
 def test_quality_model_reliable_checkpoint_identical(spark, tmp_path):
@@ -135,3 +141,48 @@ def test_round_checkpointer_local_mode_noop_dir(spark):
     rot = RoundCheckpointer(None)
     df = rot.truncate(spark.range(10))
     assert df.count() == 10
+
+
+def test_round_checkpointers_share_dir_without_collision(spark, tmp_path):
+    """Two rotators over ONE reliable_dir (a foreachBatch tick
+    concurrent with a batch trainer, or two processes) must never
+    claim the same rotation subtree: rotating one past ``keep`` may
+    not delete the other's live round checkpoints."""
+    from starknet_etl_spark.checkpointing import RoundCheckpointer
+
+    ck = str(tmp_path / "shared")
+    a = RoundCheckpointer(ck, keep=1)
+    b = RoundCheckpointer(ck, keep=1)
+    assert a._dir != b._dir  # uuid component, not a resettable counter
+    fa = a.truncate(spark.range(50).withColumnRenamed("id", "v"))
+    for i in range(3):  # a rotates, deleting its own old rounds
+        fa = a.truncate(fa.withColumn("v", fa["v"] + 1))
+    fb = b.truncate(spark.range(20).withColumnRenamed("id", "v"))
+    for i in range(3):
+        fb = b.truncate(fb.withColumn("v", fb["v"] + 1))
+    # both survivors still read back — neither rotation touched the other
+    assert fa.agg(F.sum("v")).first()[0] == sum(v + 3 for v in range(50))
+    assert fb.agg(F.sum("v")).first()[0] == sum(v + 3 for v in range(20))
+
+
+def test_round_checkpointer_cleanup_removes_residue(spark, tmp_path):
+    """cleanup() (and the context-manager exit) deletes the final
+    ``keep`` round dirs once the caller has its result — the
+    per-invocation 2-dir residue a per-batch-training service would
+    otherwise accumulate without bound."""
+    from starknet_etl_spark.checkpointing import RoundCheckpointer
+
+    ck = str(tmp_path / "resid")
+    with RoundCheckpointer(ck, keep=2) as rot:
+        df = spark.range(30).withColumnRenamed("id", "v")
+        for i in range(4):
+            df = rot.truncate(df.withColumn("v", df["v"] + 1))
+        # materialize the "final result" off the checkpointed frames
+        total = df.agg(F.sum("v")).first()[0]
+    assert total == sum(v + 4 for v in range(30))
+    assert not _tree_nonempty(ck)  # nothing left behind
+    rot.cleanup()  # idempotent
+
+    # local mode: cleanup is a no-op and never raises
+    with RoundCheckpointer(None) as rot2:
+        assert rot2.truncate(spark.range(5)).count() == 5

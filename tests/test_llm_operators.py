@@ -3103,6 +3103,40 @@ def test_pack_bins_bfd_matches_naive_and_beats_next_fit(spark):
     assert any(fb[s]["n_bins"] < fn[s]["n_bins"] for s in ("s0", "s1"))
 
 
+def test_pack_bins_bfd_bisect_tie_paths(spark):
+    """The sorted-loads bisect rewrite must be BIT-IDENTICAL to the
+    linear-scan rule on tie-heavy inputs: many equal loads (leftmost-
+    at-level path), zero-token items (load-0 bins qualify), items at
+    exactly the budget, and oversized items (own overfull bin)."""
+    from starknet_etl_spark.operators.packing import pack_bins
+
+    budget = 64
+    sizes = ([16] * 12 + [0, 0, 64, 64, 65, 130] + [8] * 9
+             + [32] * 6 + [48, 48, 1])
+    rows = [(f"d{i:03d}", int(n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id string, n long")
+
+    def naive_bfd(items):
+        loads, out = [], {}
+        for did, n in sorted(items, key=lambda t: (-t[1], t[0])):
+            best, best_load = -1, -1
+            for j, ld in enumerate(loads):
+                if ld + n <= budget and ld > best_load:
+                    best, best_load = j, ld
+            if best < 0:
+                loads.append(n)
+                best = len(loads) - 1
+            else:
+                loads[best] += n
+            out[did] = best
+        return out
+
+    want = naive_bfd(rows)
+    got = {r["doc_id"]: r["bin_id"]
+           for r in pack_bins(df, "doc_id", "n", budget=budget).collect()}
+    assert got == want
+
+
 def test_pack_bins_oversized_and_validation(spark):
     import pytest as _pytest
 
