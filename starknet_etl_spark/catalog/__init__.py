@@ -68,6 +68,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_packing,
         text_pref,
         text_quality,
+        text_reward,
         text_search,
         text_sketches,
         text_spans,
@@ -94,6 +95,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_turns,
         text_mixtures,
         text_pref,
+        text_reward,
         text_packing,
         vectors,
         multimodal,
@@ -127,7 +129,10 @@ _FIRST_50: tuple[str, ...] = (
     "doc_minhash_lsh_pairs",
     "doc_simhash",
     "doc_dup_clusters",
-    "multi_signal_dup_audit",
+    # multi_signal_dup_audit displaced to overflow in r9 (a
+    # composition of the five dedup rows ABOVE, all still in-window)
+    # to admit the pairwise reward model — the r8 verdict's top ask.
+    "doc_reward_model",
     # LLM-data suite: text analysis / curation.
     "doc_text_stats",
     "lang_quality_summary",

@@ -1,0 +1,279 @@
+"""Pairwise reward-model rows (r9): train on preference pairs with a
+squared-hinge dyadic GD, score every response, prove the pairwise-
+accuracy claim, and rerank best-of-n by the trained model.
+
+Synthesis: the preference tier's conversation construction
+(text_pref._PREF_CTES) with a CONTENT-DERIVED score — the number of
+distinct tokens in the response line (exact integer, both engines) —
+so the reward model has real signal to learn: the dup-word-frac
+feature of the response is a monotone transform of the label, and
+the trained model's pairwise accuracy (doc_reward_eval) is an
+oracle-checked claim, not a narrated one. Names _RM_/rm_/rw/rp/rg.
+
+Operators under test: operators/reward_model.py (the r8 VERDICT's
+top next-round ask — the modeling tier the reference delegates to
+its warehouse, generate_report_dag.py:34-66, preference edition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _HE_DIM, _he_components_sql
+from .text_pref import _PREF_CTES, _pref_convs
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_RM_ROUNDS = 8
+_RM_LR = 0.25
+_RM_N_SCALARS = 2  # sat_words, dup_word_frac (of the response)
+_RM_DIM = _RM_N_SCALARS + _HE_DIM
+_RM_CACHE: dict = {}
+
+
+def _rm_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preference synthesis with score = distinct-token count of
+    the response LINE (lowercased, 'assistant:' tag included — a
+    constant across responses, so it never flips an ordering)."""
+    convs = _pref_convs(spark, sf_dir).drop("score")
+    resp = F.substring_index("text", "\n", -1)
+    toks = F.filter(
+        F.split(F.trim(F.lower(resp)), r"\s+"), lambda x: x != ""
+    )
+    return convs.withColumn(
+        "score", F.size(F.array_distinct(toks)).cast("long")
+    )
+
+
+def _rm_pair_features(spark: SparkSession, sf_dir: str):
+    from ..operators.preference import build_preference_pairs
+    from ..operators.reward_model import pair_features, response_features
+
+    convs = _rm_convs(spark, sf_dir)
+    feats = response_features(convs, "doc_id", "text", dim=_HE_DIM)
+    pairs = build_preference_pairs(convs, "doc_id", "text", "score")
+    return feats, pair_features(pairs, feats)
+
+
+def _rm_weights(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators.reward_model import train_reward_model
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RM_CACHE:
+        feats, pf = _rm_pair_features(spark, sf_dir)
+        # feats feeds BOTH join arms of pair_features (the r8
+        # multi-consumer lesson) — persist for the trainer's one
+        # dx materialization, release after
+        feats.persist()
+        try:
+            _RM_CACHE[key] = train_reward_model(
+                pf, dim=_RM_DIM, n_rounds=_RM_ROUNDS, lr=_RM_LR
+            )
+        finally:
+            feats.unpersist()
+    return _RM_CACHE[key]
+
+
+def _reward_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reward_model import response_features, score_reward
+
+    w = _rm_weights(spark, sf_dir)
+    feats = response_features(
+        _rm_convs(spark, sf_dir), "doc_id", "text", dim=_HE_DIM
+    )
+    return score_reward(feats, w, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle: the full squared-hinge GD replayed in DuckDB — response
+# featurization (scalars + hash-embed), pairwise dx, per-round
+# pred/slack/grad/update, final map-only scoring. MATERIALIZED on
+# every multiply-referenced CTE (DuckDB re-inlines plain CTEs per
+# reference — the Lloyd-unroll lesson).
+# ---------------------------------------------------------------------------
+
+_RM_TOKS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+def _rm_ctes() -> str:
+    head = (
+        _PREF_CTES
+        + f""",
+rm_scored AS MATERIALIZED (
+  SELECT doc_id, prompt_fp, response,
+         CAST(len(list_distinct(list_filter(
+           string_split_regex(trim(lower(response)), '\\s+'),
+           x -> x <> ''))) AS BIGINT) AS score
+  FROM pref_conv
+),
+rm_pairs AS MATERIALIZED (
+  SELECT a.prompt_fp, a.doc_id AS cid, b.doc_id AS rid
+  FROM rm_scored a JOIN rm_scored b USING (prompt_fp)
+  WHERE a.score > b.score
+),
+rm_resp AS MATERIALIZED (
+  SELECT doc_id, response AS text FROM rm_scored
+),
+"""
+        + _he_components_sql("rm_resp").strip().lstrip()
+        + f""",
+rm_sc AS (
+  SELECT doc_id,
+         least(len({_RM_TOKS}), 20) / 20.0 AS sat,
+         ROUND(1.0 - CAST(len(list_distinct({_RM_TOKS})) AS DOUBLE)
+               / len({_RM_TOKS}), 6) AS dup
+  FROM rm_resp
+),
+rm_spine AS (
+  SELECT r.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM rm_resp) r,
+       unnest(generate_series(0, {_HE_DIM - 1})) AS u(i)
+),
+rm_x AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, sat AS x0 FROM rm_sc
+    UNION ALL
+    SELECT doc_id, 1, dup FROM rm_sc
+    UNION ALL
+    SELECT s.doc_id, s.idx + {_RM_N_SCALARS},
+           CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+                ELSE ROUND(COALESCE(c.v, 0.0) / nrm.nn, 6) END
+    FROM rm_spine s
+    LEFT JOIN comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+    LEFT JOIN nrm ON nrm.doc_id = s.doc_id
+  )
+),
+rm_dx AS MATERIALIZED (
+  SELECT p.cid, p.rid, xc.j, xc.x - xr.x AS dx
+  FROM rm_pairs p
+  JOIN rm_x xc ON xc.doc_id = p.cid
+  JOIN rm_x xr ON xr.doc_id = p.rid AND xr.j = xc.j
+),
+rm_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM rm_pairs)"""
+    )
+    rounds = [
+        f"""
+rw0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, {_RM_DIM - 1})) AS u(j)
+)"""
+    ]
+    for k in range(_RM_ROUNDS):
+        rounds.append(f"""
+rp{k} AS (
+  SELECT cid, rid,
+         floor(SUM(dx * w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM rm_dx JOIN rw{k} USING (j) GROUP BY cid, rid
+),
+rg{k} AS (
+  SELECT d.j,
+         floor(SUM(-2.0 * greatest(1.0 - p.p, 0.0) * d.dx) / n.n
+               * 1048576.0 + 0.5) / 1048576.0 AS g
+  FROM rm_dx d
+  JOIN rp{k} p ON p.cid = d.cid AND p.rid = d.rid
+  CROSS JOIN rm_n n
+  GROUP BY d.j, n.n
+),
+rw{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_RM_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM rw{k} w JOIN rg{k} g USING (j)
+)""")
+    return head + ",\n" + ",".join(rounds)
+
+
+_RM_SCORE_SQL = f"""
+SELECT x.doc_id,
+       floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS reward
+FROM rm_x x JOIN rw{_RM_ROUNDS} w USING (j)
+GROUP BY x.doc_id
+"""
+
+_REWARD_MODEL_ORACLE = (
+    "WITH " + _rm_ctes() + f",\nrmsc AS ({_RM_SCORE_SQL})\n"
+    "SELECT doc_id, reward FROM rmsc"
+)
+
+QUERIES["doc_reward_model"] = QuerySpec(
+    _reward_model,
+    _REWARD_MODEL_ORACLE,
+    "pairwise reward model: squared-hinge dyadic GD on preference"
+    " pairs, every response scored map-only (Bradley-Terry-lite)",
+)
+
+
+def _reward_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model's ranking CLAIM as a differential row: exact counts
+    of training pairs where the trained reward ranks chosen strictly
+    above rejected, plus the q20 accuracy."""
+    from ..operators.reward_model import pairwise_accuracy
+
+    w = _rm_weights(spark, sf_dir)
+    _feats, pf = _rm_pair_features(spark, sf_dir)
+    return pairwise_accuracy(pf, w)
+
+
+_REWARD_EVAL_ORACLE = (
+    "WITH " + _rm_ctes() + f""",
+rmsc AS MATERIALIZED ({_RM_SCORE_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.reward > r.reward THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       floor(SUM(CASE WHEN c.reward > r.reward THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS accuracy
+FROM rm_pairs p
+JOIN rmsc c ON c.doc_id = p.cid
+JOIN rmsc r ON r.doc_id = p.rid
+"""
+)
+
+QUERIES["doc_reward_eval"] = QuerySpec(
+    _reward_eval,
+    _REWARD_EVAL_ORACLE,
+    "exact pairwise accuracy of the trained reward model on its"
+    " preference pairs — the quality claim oracle-checked",
+)
+
+
+def _pref_best_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """best_of_n reranked by the TRAINED model (the verdict's hookup
+    ask): top response per prompt by (reward desc, id asc)."""
+    from ..operators.reward_model import best_of_n_by_reward
+
+    w = _rm_weights(spark, sf_dir)
+    return best_of_n_by_reward(
+        _rm_convs(spark, sf_dir), w, "doc_id", "text",
+        dim=_HE_DIM, min_group=2,
+    )
+
+
+_PREF_BEST_RM_ORACLE = (
+    "WITH " + _rm_ctes() + f""",
+rmsc AS MATERIALIZED ({_RM_SCORE_SQL}),
+rm_rk AS (
+  SELECT s.prompt_fp, s.doc_id, r.reward,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.prompt_fp
+           ORDER BY r.reward DESC, s.doc_id ASC
+         ) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY s.prompt_fp) AS BIGINT)
+           AS n_responses
+  FROM rm_scored s JOIN rmsc r USING (doc_id)
+)
+SELECT prompt_fp, doc_id, reward, n_responses
+FROM rm_rk WHERE rk = 1 AND n_responses >= 2
+"""
+)
+
+QUERIES["doc_pref_best_rm"] = QuerySpec(
+    _pref_best_rm,
+    _PREF_BEST_RM_ORACLE,
+    "rejection sampling reranked by the trained reward model: top"
+    " response per prompt by (reward desc, id asc)",
+)

@@ -1,0 +1,184 @@
+"""Pairwise reward model: the dyadic squared-hinge GD is bit-equal
+to a sequential Python reference, invariant under repartitioning,
+learns a separable ordering, and the best-of-n rerank hookup picks
+the model's argmax."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _q20(x: float) -> float:
+    return math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+
+def _ref_train(pairs, dim, n_rounds, lr):
+    """Sequential reference: pairs = list of (xc, xr) vectors."""
+    dx = [
+        [_q20(c[j]) - _q20(r[j]) for j in range(dim)] for c, r in pairs
+    ]
+    n = float(len(pairs))
+    w = [0.0] * dim
+    for _ in range(n_rounds):
+        preds = [
+            _q20(sum(d[j] * w[j] for j in range(dim))) for d in dx
+        ]
+        slacks = [max(0.0, 1.0 - p) for p in preds]
+        grads = [
+            _q20(sum(-2.0 * s * d[j] for s, d in zip(slacks, dx)) / n)
+            for j in range(dim)
+        ]
+        w = [_q20(w[j] - lr * grads[j]) for j in range(dim)]
+    return w
+
+
+def _pairs_df(spark, pairs, n_parts=None):
+    rows = [
+        (f"c{i}", f"r{i}", list(map(float, c)), list(map(float, r)))
+        for i, (c, r) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "chosen_id string, rejected_id string,"
+        " chosen_fv array<double>, rejected_fv array<double>",
+    )
+    return df.repartition(n_parts) if n_parts else df
+
+
+PAIRS = [
+    ([0.9, 0.1, 0.3], [0.2, 0.8, 0.3]),
+    ([0.7, 0.2, 0.1], [0.1, 0.9, 0.1]),
+    ([0.8, 0.3, 0.5], [0.3, 0.6, 0.5]),
+    ([0.6, 0.1, 0.9], [0.4, 0.5, 0.2]),
+    ([0.95, 0.05, 0.0], [0.05, 0.95, 1.0]),
+]
+
+
+def test_trainer_matches_sequential_reference_bitwise(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        train_reward_model,
+    )
+
+    got = train_reward_model(
+        _pairs_df(spark, PAIRS), dim=3, n_rounds=6, lr=0.25
+    )
+    want = _ref_train(PAIRS, 3, 6, 0.25)
+    assert got == want  # dyadic: bit-equal, not approximately
+
+
+def test_trainer_invariant_under_partitioning(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        train_reward_model,
+    )
+
+    a = train_reward_model(
+        _pairs_df(spark, PAIRS, n_parts=1), dim=3, n_rounds=4
+    )
+    b = train_reward_model(
+        _pairs_df(spark, PAIRS, n_parts=7), dim=3, n_rounds=4
+    )
+    assert a == b
+
+
+def test_trained_model_separates_and_scores(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        pairwise_accuracy,
+        score_reward,
+        train_reward_model,
+    )
+
+    df = _pairs_df(spark, PAIRS)
+    w = train_reward_model(df, dim=3, n_rounds=8, lr=0.25)
+    acc = pairwise_accuracy(df, w).first()
+    assert acc["n_pairs"] == len(PAIRS)
+    assert acc["n_correct"] == len(PAIRS)  # linearly separable
+    assert acc["accuracy"] == 1.0
+
+    feats = spark.createDataFrame(
+        [("a", [0.9, 0.1, 0.5]), ("b", [0.1, 0.9, 0.5]), ("n", None)],
+        "doc_id string, fv array<double>",
+    )
+    sc = {r["doc_id"]: r["reward"] for r in score_reward(feats, w).collect()}
+    assert sc["a"] > sc["b"]
+    assert sc["n"] is None  # NULL vector scores NULL
+
+
+def test_best_of_n_by_reward_picks_model_argmax(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        best_of_n_by_reward,
+        response_features,
+        score_reward,
+        train_reward_model,
+    )
+
+    # 2 prompts x 3 responses; dup-heavy responses should lose once
+    # the model learns from pairs labeled by distinct-token count
+    convs = []
+    texts = {
+        ("p0", 0): "a b c d e",
+        ("p0", 1): "a a a a a",
+        ("p0", 2): "a b c a b",
+        ("p1", 0): "q q q q q",
+        ("p1", 1): "q r s t u",
+        ("p1", 2): "q r q r q",
+    }
+    rows = []
+    for (p, i), resp in texts.items():
+        did = int(p[1]) * 10 + i
+        distinct = len(set(resp.split()))
+        rows.append(
+            (did, f"user: ask {p}\nassistant: {resp}", distinct)
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+
+    from starknet_etl_spark.operators.preference import (
+        build_preference_pairs,
+    )
+    from starknet_etl_spark.operators.reward_model import pair_features
+
+    feats = response_features(df, "doc_id", "text", dim=8)
+    pf = pair_features(
+        build_preference_pairs(df, "doc_id", "text", "score"), feats
+    )
+    w = train_reward_model(pf, dim=10, n_rounds=8, lr=0.25)
+
+    best = {
+        r["prompt_fp"]: r["doc_id"]
+        for r in best_of_n_by_reward(
+            df, w, "doc_id", "text", dim=8, min_group=2
+        ).collect()
+    }
+    # the model's argmax must agree with its own scores
+    scored = score_reward(feats, w, id_col=("doc_id", "prompt_fp"))
+    top = {}
+    for r in scored.collect():
+        fp = r["prompt_fp"]
+        key = (-r["reward"], r["doc_id"])
+        if fp not in top or key < top[fp][0]:
+            top[fp] = (key, r["doc_id"])
+    assert best == {fp: v[1] for fp, v in top.items()}
+    # and on this corpus it picks the all-distinct responses
+    assert set(best.values()) == {0, 11}
+
+
+def test_trainer_validation(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        score_reward,
+        train_reward_model,
+    )
+
+    df = _pairs_df(spark, PAIRS)
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_reward_model(df, dim=3, n_rounds=0)
+    with pytest.raises(ValueError, match="lr"):
+        train_reward_model(df, dim=3, lr=0.0)
+    with pytest.raises(ValueError, match="dim"):
+        train_reward_model(df, dim=0)
+    empty = df.filter("chosen_id = 'nope'")
+    with pytest.raises(ValueError, match="no pairs"):
+        train_reward_model(empty, dim=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        score_reward(df, [])
