@@ -217,6 +217,59 @@ QUERIES["doc_turn_pack"] = QuerySpec(
 )
 
 
+def _turn_pack_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask emission (r9): the packed sequences' per-seq mask
+    card — assistant turns carry loss, user turns don't; coverage per
+    sequence is an exact integer fraction (q20)."""
+    from ..operators.turns import mask_stats, pack_turns, parse_turns
+
+    turns = parse_turns(_conversed(spark, sf_dir), "doc_id", "text")
+    packed = pack_turns(
+        turns, budget=_TRN_BUDGET, mask_roles=("assistant",)
+    )
+    return mask_stats(packed)
+
+
+_TURN_PACK_MASKS_ORACLE = (
+    "WITH "
+    + _TRN_CTES
+    + rf""",
+trn_ntokr AS (
+  SELECT doc_id, turn_idx, role,
+         CAST(len(list_filter(
+           string_split_regex(trim(content), '\s+'),
+           x -> x <> '')) AS BIGINT) AS n
+  FROM trn_parsed
+),
+trn_offr AS (
+  SELECT doc_id, turn_idx, role, n,
+         CAST(SUM(n) OVER (
+           ORDER BY doc_id, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS start_offset
+  FROM trn_ntokr
+)
+SELECT CAST(start_offset // {_TRN_BUDGET} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN n ELSE 0 END)
+            AS BIGINT) AS loss_tokens,
+       CASE WHEN SUM(n) > 0 THEN
+         floor(SUM(CASE WHEN role = 'assistant' THEN n ELSE 0 END)
+               * 1.0 / SUM(n) * 1048576.0 + 0.5) / 1048576.0
+       END AS mask_frac
+FROM trn_offr GROUP BY seq_id
+"""
+)
+
+QUERIES["doc_turn_pack_masks"] = QuerySpec(
+    _turn_pack_masks,
+    _TURN_PACK_MASKS_ORACLE,
+    "SFT loss-mask packing card: per-sequence loss-token coverage,"
+    " assistant turns masked in (exact integers + one q20 ratio)",
+)
+
+
 
 
 # --------------------------------------------------------------------------

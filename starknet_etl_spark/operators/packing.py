@@ -172,24 +172,49 @@ def fill_stats(
     *,
     budget: int,
     part_col: str | None = None,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """(part?, n_bins, total_tokens, fill_rate): the packing-waste
     card — fill_rate = q20(total_tokens / (n_bins · budget)), the
     fraction of the training batch that is data rather than pad.
-    Exact integers + one dyadic ratio."""
+    Exact integers + one dyadic ratio.
+
+    ``mask_col`` (r9): a per-row MASKED-token count (e.g.
+    pack_turns' ``n_loss_tokens``); when given the card additionally
+    reports ``masked_tokens`` and ``mask_rate`` =
+    q20(masked / total) — the fraction of packed data that actually
+    carries loss, which with fill_rate gives the true
+    loss-tokens-per-batch-slot an SFT run pays for."""
     q = float(2**20)
     keys = [part_col] if part_col else []
-    per_bin = packed.groupBy(*keys, "bin_id").agg(
-        F.sum(token_col).cast("long").alias("__bt")
+    mask_sum = (
+        [F.sum(mask_col).cast("long").alias("__bm")] if mask_col else []
     )
-    agg = per_bin.groupBy(*keys).agg(
+    per_bin = packed.groupBy(*keys, "bin_id").agg(
+        F.sum(token_col).cast("long").alias("__bt"), *mask_sum
+    )
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum("__bt").cast("long").alias("total_tokens"),
-    )
+    ]
+    if mask_col:
+        aggs.append(F.sum("__bm").cast("long").alias("masked_tokens"))
+    agg = per_bin.groupBy(*keys).agg(*aggs)
     fill = F.floor(
         F.col("total_tokens")
         / (F.col("n_bins") * F.lit(budget))
         * F.lit(q)
         + F.lit(0.5)
     ) / F.lit(q)
-    return agg.select(*keys, "n_bins", "total_tokens", fill.alias("fill_rate"))
+    cols = [*keys, F.col("n_bins"), F.col("total_tokens"),
+            fill.alias("fill_rate")]
+    if mask_col:
+        rate = F.floor(
+            F.col("masked_tokens") / F.col("total_tokens") * F.lit(q)
+            + F.lit(0.5)
+        ) / F.lit(q)
+        cols += [
+            F.col("masked_tokens"),
+            F.when(F.col("total_tokens") > 0, rate).alias("mask_rate"),
+        ]
+    return agg.select(*cols)

@@ -245,6 +245,8 @@ def pack_turns(
     idx_col: str = "turn_idx",
     content_col: str = "content",
     part_col: str | None = None,
+    mask_roles: tuple[str, ...] | None = None,
+    role_col: str = "role",
 ) -> DataFrame:
     """Turn-atomic concat-and-split packing: turns are laid
     end-to-end in (conversation, turn) order and the token stream is
@@ -256,6 +258,19 @@ def pack_turns(
     Adds (n_turn_tokens, start_offset, seq_id). ``part_col`` keys the
     window shuffle at scale (sequences never straddle parts);
     ``None`` = one global ordering, tests/small corpora only.
+
+    ``mask_roles`` (r9): every SFT pipeline trains the loss only on
+    the model's own turns — pass the roles whose tokens carry loss
+    (typically ``("assistant",)``) and the packed frame additionally
+    emits the LOSS-MASK contract, all exact integers:
+
+    - ``loss_mask`` — this turn's tokens carry loss (role ∈
+      mask_roles; malformed NULL-role turns never do);
+    - ``n_loss_tokens`` — n_turn_tokens if masked-in else 0;
+    - ``seq_start`` / ``seq_end`` — the turn's token span INSIDE its
+      sequence ([start_offset − seq_id·budget, +n_turn_tokens); a
+      turn-atomic tail may end past ``budget`` — the documented
+      overfull case, same as pack_bins' oversized items).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -272,7 +287,60 @@ def pack_turns(
     start = (
         F.sum("n_turn_tokens").over(w) - F.col("n_turn_tokens")
     ).cast("long")
-    return t.withColumn("start_offset", start).withColumn(
+    out = t.withColumn("start_offset", start).withColumn(
         "seq_id",
         F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+    )
+    if mask_roles is None:
+        return out
+    if not mask_roles:
+        raise ValueError("mask_roles must be non-empty when given")
+    masked = F.coalesce(
+        F.col(role_col).isin(*mask_roles), F.lit(False)
+    )
+    seq_start = F.col("start_offset") - F.col("seq_id") * F.lit(budget)
+    return (
+        out.withColumn("loss_mask", masked)
+        .withColumn(
+            "n_loss_tokens",
+            F.when(masked, F.col("n_turn_tokens"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("seq_start", seq_start.cast("long"))
+        .withColumn(
+            "seq_end",
+            (seq_start + F.col("n_turn_tokens")).cast("long"),
+        )
+    )
+
+
+def mask_stats(
+    packed: DataFrame,
+    *,
+    part_col: str | None = None,
+) -> DataFrame:
+    """(part?, seq_id, n_turns, total_tokens, loss_tokens,
+    mask_frac): the per-sequence loss-mask card over a
+    ``pack_turns(..., mask_roles=…)`` frame — mask_frac is the
+    fraction of each training sequence's tokens that actually carry
+    loss (q20-quantized ratio of exact integers; NULL for an
+    all-empty sequence). One keyed aggregate."""
+    q = float(2**20)
+    keys = ([part_col] if part_col else []) + ["seq_id"]
+    agg = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_turn_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_loss_tokens").cast("long").alias("loss_tokens"),
+    )
+    frac = F.floor(
+        F.col("loss_tokens") / F.col("total_tokens") * F.lit(q)
+        + F.lit(0.5)
+    ) / F.lit(q)
+    return agg.select(
+        *keys,
+        "n_turns",
+        "total_tokens",
+        "loss_tokens",
+        F.when(F.col("total_tokens") > 0, frac).alias("mask_frac"),
     )

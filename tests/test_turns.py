@@ -327,3 +327,82 @@ def test_parse_turns_rejects_backslash_separator(spark):
         parse_turns(df, role_sep="\\: ")
     with _pytest.raises(ValueError, match="backslash"):
         parse_turns(df, turn_sep="\\n")
+
+
+def test_pack_turns_loss_masks_and_spans(spark):
+    """The r9 loss-mask contract: assistant turns mask in, user and
+    MALFORMED (NULL-role) turns mask out; seq_start/seq_end are the
+    turn's exact token span inside its sequence (a turn-atomic tail
+    may end past the budget — documented overfull)."""
+    from starknet_etl_spark.operators.turns import (
+        mask_stats,
+        pack_turns,
+        parse_turns,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", "user: a b c\nassistant: d e f g\nraw line here\n"
+                "assistant: h i\nuser: j k l m n")],
+        ["doc_id", "text"],
+    )
+    turns = parse_turns(df)
+    packed = {
+        r["turn_idx"]: r
+        for r in pack_turns(
+            turns, budget=5, mask_roles=("assistant",)
+        ).collect()
+    }
+    # tokens per turn: 3, 4, 3, 2, 5 -> offsets 0,3,7,10,12
+    assert [packed[i]["start_offset"] for i in range(5)] == [0, 3, 7, 10, 12]
+    assert [packed[i]["seq_id"] for i in range(5)] == [0, 0, 1, 2, 2]
+    assert [packed[i]["loss_mask"] for i in range(5)] == [
+        False, True, False, True, False,
+    ]
+    assert [packed[i]["n_loss_tokens"] for i in range(5)] == [0, 4, 0, 2, 0]
+    # seq-local spans; turn 1 (4 tokens at offset 3) overflows seq 0
+    assert (packed[1]["seq_start"], packed[1]["seq_end"]) == (3, 7)
+    assert (packed[3]["seq_start"], packed[3]["seq_end"]) == (0, 2)
+
+    stats = {
+        r["seq_id"]: r
+        for r in mask_stats(
+            pack_turns(turns, budget=5, mask_roles=("assistant",))
+        ).collect()
+    }
+    assert stats[0]["total_tokens"] == 7 and stats[0]["loss_tokens"] == 4
+    assert stats[1]["loss_tokens"] == 0
+    assert stats[2]["total_tokens"] == 7 and stats[2]["loss_tokens"] == 2
+    import math
+
+    want = math.floor(4 / 7 * 1048576.0 + 0.5) / 1048576.0
+    assert stats[0]["mask_frac"] == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mask_roles"):
+        pack_turns(turns, budget=5, mask_roles=())
+
+
+def test_fill_stats_mask_rate(spark):
+    """fill_stats' r9 mask_col: masked_tokens + mask_rate join the
+    packing-waste card."""
+    import math
+
+    from starknet_etl_spark.operators.packing import fill_stats, pack_bins
+
+    df = spark.createDataFrame(
+        [("a", 30, 10), ("b", 40, 40), ("c", 50, 0), ("d", 20, 5)],
+        "doc_id string, n long, n_loss long",
+    )
+    packed = pack_bins(df, "doc_id", "n", budget=64)
+    # pack_bins drops extra columns -> re-join the mask counts
+    packed = packed.join(df.select("doc_id", "n_loss"), "doc_id")
+    card = fill_stats(packed, "n", budget=64, mask_col="n_loss").first()
+    assert card["total_tokens"] == 140
+    assert card["masked_tokens"] == 55
+    assert card["mask_rate"] == math.floor(
+        55 / 140 * 1048576.0 + 0.5
+    ) / 1048576.0
+    # without mask_col the card keeps its old shape
+    base = fill_stats(packed, "n", budget=64)
+    assert "masked_tokens" not in base.columns
