@@ -63,6 +63,7 @@ def _merged() -> dict[str, QuerySpec]:
         relational,
         text,
         text_contamination,
+        text_langid,
         text_mixtures,
         text_neardup,
         text_packing,
@@ -93,6 +94,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_topics,
         text_neardup,
         text_turns,
+        text_langid,
         text_mixtures,
         text_pref,
         text_reward,
@@ -164,7 +166,10 @@ _FIRST_50: tuple[str, ...] = (
     # LLM-data suite: multimodal (incl. the r6 feature-retrieval
     # compositions the r5 verdict asked for).
     "multimodal_meta",
-    "multimodal_features",
+    # multimodal_features displaced to overflow in r9 (the decode →
+    # feature path is exercised INSIDE both mm rows below) to admit
+    # the trained language-ID classifier — r8 verdict ask #3.
+    "doc_langid",
     "mm_near_dup_pairs",
     "mm_knn",
     # Events/window queries displaced past 50 in r2; user_journeys /

@@ -1139,6 +1139,7 @@ def _curation_oracle(
     corpus_block: str = _CURATION_DEFAULT_CORPUS,
     quality_stage: str = "quality_model",
     quality_reason: str = "'score_' || CAST(floor(q_score * 1000) AS BIGINT)",
+    lang_gate: bool = True,
 ) -> str:
     """Assembled from the per-stage oracle logic (clean / pair mining
     / recursive components / representatives / contamination / split /
@@ -1153,7 +1154,10 @@ def _curation_oracle(
     `dirty(doc_id, <metric>)` CTE the reason expression reads.
     ``quality_block`` (optional) is the learned-quality tier: CTEs
     ending in `qdrop(doc_id, q_score)`; when present, `kept` gates on
-    it and the audit gains the quality_model arm."""
+    it and the audit gains the quality_model arm. ``lang_gate=False``
+    removes the heuristic lang arm from the clean verdict (the
+    trained-langid composition replaces it with its own qdrop
+    stage)."""
     from ..operators.pii import PII_PATTERNS
 
     red = "text"
@@ -1186,10 +1190,7 @@ verdict AS (
   SELECT l.doc_id, r.n_words,
          CASE WHEN l.is_exact_dup THEN 'exact_dup'
               WHEN r.n_words < 20 THEN 'too_short'
-              WHEN r.dup_word_frac > 0.7 THEN 'repetitive'
-              WHEN NOT (greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
-                        AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh))
-                THEN 'lang'
+              WHEN r.dup_word_frac > 0.7 THEN 'repetitive'__LANG_ARM__
               ELSE NULL END AS drop_reason
   FROM lg l JOIN rep r ON r.doc_id = l.doc_id
 ),
@@ -1249,6 +1250,15 @@ SELECT doc_id, 'contamination', __CONTAM_REASON__,
        NULL, NULL, NULL
 FROM dirty
 """.replace("__RED__", red)
+        .replace(
+            "__LANG_ARM__",
+            """
+              WHEN NOT (greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+                        AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh))
+                THEN 'lang'"""
+            if lang_gate
+            else "",
+        )
         .replace("__PAIRS__", pairs_block)
         .replace("__CONTAM__", contam_block)
         .replace("__CONTAM_REASON__", contam_reason)

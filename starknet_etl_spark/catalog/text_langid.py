@@ -1,0 +1,477 @@
+"""Trained language-ID rows (r9): a multiclass one-vs-rest linear
+classifier over hashed bag-of-words features, differential-trained
+in both engines, with an eval row proving it BEATS the heuristic
+marker scorer on the same corpus.
+
+Synthesis: the real documents' ``lang`` column carries no textual
+signal (the token distribution is identical across langs — verified
+at dev time), so no classifier could legitimately learn it. Instead
+the corpus is re-labeled deterministically (true_lang = langs[doc_id
+% 5]) and each document gets 4 injected vocabulary tokens of its
+language, chosen by md5 nibbles from a 4-word vocab of which exactly
+ONE is in text.LANG_MARKERS — so the heuristic has partial signal
+(it misses ~32% of docs outright, and the base text's English
+function words mislead it), while the trained model can learn the
+full vocabulary. Names _LID_/lid_/lw/lp/lg.
+
+Operators under test: operators/langid.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _docs
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_LID_LANGS = ("en", "de", "fr", "es", "zh")
+#: 4 words per language; index 0 is the one LANG_MARKERS word (zh's
+#: is U+6C34, inside the heuristic's CJK block; the pinyin tokens
+#: are invisible to it).
+_LID_VOCAB: dict[str, tuple[str, ...]] = {
+    "en": ("the", "house", "water", "morning"),
+    "de": ("und", "haus", "wasser", "morgen"),
+    "fr": ("et", "maison", "eau", "matin"),
+    "es": ("y", "casa", "agua", "manana"),
+    "zh": ("水", "shui3", "shan1", "huo3"),
+}
+_LID_DIM = 32     # hash-embed width (21+ distinct signal words)
+_LID_ROUNDS = 12
+_LID_LR = 0.5
+_LID_CACHE: dict = {}
+
+
+_LID_BASE_N = 20  # base tokens kept per doc (24-word synth docs
+#                   clear curate_corpus's default min_words=20 gate)
+
+
+def _lid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, true_lang, text): the injected synthesis —
+    ``_LID_BASE_N`` base tokens + 4 md5-picked vocabulary tokens of
+    the true language (source carried for the curation composition's
+    corpus/benchmark split)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    li = (F.col("doc_id") % 5).cast("int")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LID_LANGS]), li + 1
+    )
+    vocab = F.element_at(
+        F.array(
+            *[
+                F.array(*[F.lit(w) for w in _LID_VOCAB[c]])
+                for c in _LID_LANGS
+            ]
+        ),
+        li + 1,
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    picks = [
+        F.element_at(
+            vocab,
+            (F.conv(F.substring(h, k, 1), 16, 10).cast("int") % 4) + 1,
+        )
+        for k in (1, 2, 3, 4)
+    ]
+    return docs.select(
+        "doc_id",
+        "source",
+        lang.alias("true_lang"),
+        F.concat_ws(
+            " ", F.array_join(F.slice(ws, 1, _LID_BASE_N), " "), *picks
+        ).alias("text"),
+    )
+
+
+def _lid_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hash_embed
+
+    d = _lid_docs(spark, sf_dir)
+    emb = hash_embed(d, "doc_id", "text", dim=_LID_DIM)
+    return d.join(emb, "doc_id")
+
+
+def _lid_models(spark: SparkSession, sf_dir: str) -> dict:
+    from ..operators.langid import train_langid
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LID_CACHE:
+        feats = _lid_feats(spark, sf_dir).persist()
+        try:
+            _LID_CACHE[key] = train_langid(
+                feats, "doc_id", "true_lang",
+                vec_col="embedding", dim=_LID_DIM,
+                classes=_LID_LANGS,
+                n_rounds=_LID_ROUNDS, lr=_LID_LR,
+            )
+        finally:
+            feats.unpersist()
+    return _LID_CACHE[key]
+
+
+def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.langid import predict_langid
+
+    models = _lid_models(spark, sf_dir)
+    feats = _lid_feats(spark, sf_dir)
+    return predict_langid(
+        feats, models, id_col="doc_id", classes=_LID_LANGS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle: synthesis + features + the full one-vs-rest GD unroll +
+# argmax prediction, all in DuckDB. MATERIALIZED on multiply-
+# referenced CTEs (the re-inline gotcha).
+# ---------------------------------------------------------------------------
+
+_LID_LANGS_SQL = ", ".join(
+    f"({i}, '{c}')" for i, c in enumerate(_LID_LANGS)
+)
+_LID_VOCAB_SQL = ", ".join(
+    f"('{c}', {vi}, '{w}')"
+    for c in _LID_LANGS
+    for vi, w in enumerate(_LID_VOCAB[c])
+)
+
+
+def _lid_ctes() -> str:
+    head = rf"""
+lid_langs(li, lang) AS (VALUES {_LID_LANGS_SQL}),
+lid_vocab(lang, vi, w) AS (VALUES {_LID_VOCAB_SQL}),
+lid_base AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+lid_pick AS (
+  SELECT doc_id, t.k,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), t.k, 1)
+              AS BIGINT) % 4 AS vi
+  FROM lid_base, unnest(generate_series(1, 4)) AS t(k)
+),
+lid_inj AS (
+  SELECT p.doc_id, string_agg(v.w, ' ' ORDER BY p.k) AS inj
+  FROM lid_pick p
+  JOIN lid_langs l ON l.li = p.doc_id % 5
+  JOIN lid_vocab v ON v.lang = l.lang AND v.vi = p.vi
+  GROUP BY p.doc_id
+),
+lid_doc AS MATERIALIZED (
+  SELECT b.doc_id, b.source, l.lang AS true_lang,
+         array_to_string(b.ws[1:{_LID_BASE_N}], ' ') || ' ' || i.inj
+           AS text
+  FROM lid_base b
+  JOIN lid_langs l ON l.li = b.doc_id % 5
+  JOIN lid_inj i USING (doc_id)
+),
+lid_tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM lid_doc
+),
+lid_comp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+              % {_LID_DIM} AS INT) AS idx,
+         SUM(CASE WHEN substr(md5(t), 9, 1)
+                       IN ('8','9','a','b','c','d','e','f')
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM lid_tok WHERE t <> '' GROUP BY doc_id, idx
+),
+lid_nrm AS (
+  SELECT doc_id, SQRT(SUM(v * v)) AS nn FROM lid_comp GROUP BY doc_id
+),
+lid_spine AS (
+  SELECT d.doc_id, CAST(u.i AS INT) AS idx
+  FROM (SELECT doc_id FROM lid_doc) d,
+       unnest(generate_series(0, {_LID_DIM - 1})) AS u(i)
+),
+lid_x AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT doc_id, 0 AS j, 1.0 AS x0 FROM lid_doc
+    UNION ALL
+    SELECT s.doc_id, s.idx + 1,
+           CASE WHEN n.nn IS NULL OR n.nn = 0 THEN 0.0
+                ELSE ROUND(COALESCE(c.v, 0.0) / n.nn, 6) END
+    FROM lid_spine s
+    LEFT JOIN lid_comp c ON c.doc_id = s.doc_id AND c.idx = s.idx
+    LEFT JOIN lid_nrm n ON n.doc_id = s.doc_id
+  )
+),
+lid_y AS MATERIALIZED (
+  SELECT d.doc_id, l.lang AS cls,
+         CASE WHEN d.true_lang = l.lang THEN 1.0 ELSE 0.0 END AS y
+  FROM lid_doc d CROSS JOIN lid_langs l
+),
+lid_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lid_doc)"""
+    rounds = [
+        f"""
+lw0 AS (
+  SELECT l.lang AS cls, CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM lid_langs l, unnest(generate_series(0, {_LID_DIM})) AS u(j)
+)"""
+    ]
+    for k in range(_LID_ROUNDS):
+        rounds.append(f"""
+lp{k} AS (
+  SELECT x.doc_id, w.cls,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM lid_x x JOIN lw{k} w USING (j)
+  GROUP BY x.doc_id, w.cls
+),
+lg{k} AS (
+  SELECT p.cls, x.j,
+         floor(SUM(x.x * (p.p - y.y)) / n.n * 1048576.0 + 0.5)
+           / 1048576.0 AS g
+  FROM lid_x x
+  JOIN lp{k} p USING (doc_id)
+  JOIN lid_y y ON y.doc_id = x.doc_id AND y.cls = p.cls
+  CROSS JOIN lid_n n
+  GROUP BY p.cls, x.j, n.n
+),
+lw{k + 1} AS MATERIALIZED (
+  SELECT w.cls, w.j,
+         floor((w.w - {_LID_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM lw{k} w JOIN lg{k} g ON g.cls = w.cls AND g.j = w.j
+)""")
+    return head + ",\n" + ",".join(rounds)
+
+
+_LID_PRED_SQL = f"""
+lid_sc AS MATERIALIZED (
+  SELECT x.doc_id, w.cls,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0 AS s
+  FROM lid_x x JOIN lw{_LID_ROUNDS} w USING (j)
+  GROUP BY x.doc_id, w.cls
+),
+lid_best AS (SELECT doc_id, MAX(s) AS b FROM lid_sc GROUP BY doc_id),
+lid_pred AS MATERIALIZED (
+  SELECT s.doc_id, MIN(l.li) AS bi
+  FROM lid_sc s
+  JOIN lid_best b ON b.doc_id = s.doc_id AND s.s = b.b
+  JOIN lid_langs l ON l.lang = s.cls
+  GROUP BY s.doc_id
+)"""
+
+_LANGID_ORACLE = (
+    "WITH "
+    + _lid_ctes()
+    + ",\n"
+    + _LID_PRED_SQL
+    + """
+SELECT p.doc_id, l.lang AS lang_pred
+FROM lid_pred p JOIN lid_langs l ON l.li = p.bi
+"""
+)
+
+QUERIES["doc_langid"] = QuerySpec(
+    _langid,
+    _LANGID_ORACLE,
+    "trained language-ID: multiclass one-vs-rest dyadic-GD linear"
+    " model over hashed bag-of-words, map-only argmax prediction",
+)
+
+
+def _langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'beats the heuristic' CLAIM as a differential row: exact
+    correct-counts of the trained model AND text.lang_guess against
+    the synthesis's true labels, plus q20 accuracies."""
+    from ..operators.langid import predict_langid
+    from ..operators.text import lang_guess
+
+    models = _lid_models(spark, sf_dir)
+    feats = _lid_feats(spark, sf_dir)
+    pred = predict_langid(
+        feats, models, id_col="doc_id", classes=_LID_LANGS
+    )
+    joined = (
+        _lid_docs(spark, sf_dir)
+        .withColumn("heur", lang_guess(F.col("text")))
+        .join(pred, "doc_id")
+    )
+    q = float(2**20)
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("lang_pred") == F.col("true_lang")).cast("long"))
+        .cast("long")
+        .alias("model_correct"),
+        F.sum((F.col("heur") == F.col("true_lang")).cast("long"))
+        .cast("long")
+        .alias("heur_correct"),
+        (
+            F.floor(
+                F.sum(
+                    (F.col("lang_pred") == F.col("true_lang")).cast(
+                        "long"
+                    )
+                )
+                / F.count(F.lit(1))
+                * F.lit(q)
+                + F.lit(0.5)
+            )
+            / F.lit(q)
+        ).alias("model_acc"),
+        (
+            F.floor(
+                F.sum(
+                    (F.col("heur") == F.col("true_lang")).cast("long")
+                )
+                / F.count(F.lit(1))
+                * F.lit(q)
+                + F.lit(0.5)
+            )
+            / F.lit(q)
+        ).alias("heur_acc"),
+    )
+
+
+_LANGID_EVAL_ORACLE = (
+    "WITH "
+    + _lid_ctes()
+    + ",\n"
+    + _LID_PRED_SQL
+    + r""",
+lid_heur AS (
+  SELECT doc_id, true_lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM lid_doc
+),
+lid_hpred AS (
+  SELECT doc_id, true_lang,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+              ELSE 'zh' END AS heur
+  FROM lid_heur
+),
+lid_cmp AS (
+  SELECT h.doc_id, h.true_lang, h.heur, l.lang AS lang_pred
+  FROM lid_hpred h
+  JOIN lid_pred p ON p.doc_id = h.doc_id
+  JOIN lid_langs l ON l.li = p.bi
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang_pred = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS model_correct,
+       CAST(SUM(CASE WHEN heur = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS heur_correct,
+       floor(SUM(CASE WHEN lang_pred = true_lang THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS model_acc,
+       floor(SUM(CASE WHEN heur = true_lang THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS heur_acc
+FROM lid_cmp
+"""
+)
+
+QUERIES["doc_langid_eval"] = QuerySpec(
+    _langid_eval,
+    _LANGID_EVAL_ORACLE,
+    "trained langid vs the heuristic marker scorer: exact correct"
+    " counts against true labels — the beats-the-baseline claim",
+)
+
+
+# ---------------------------------------------------------------------------
+# Composed curation with the TRAINED language gate (r9): the synthesis
+# corpus through curate_corpus(langid_model=…) — clean (NO heuristic
+# lang arm) → trained-langid gate → near-dup → decontamination →
+# redact → split. The oracle re-assembles the skeleton with
+# lang_gate=False, the GD unroll in the corpus block, and the
+# prediction-driven qdrop — proving the COMPOSITION: the heuristic
+# arm is really gone and the learned gate drops exactly the
+# predicted-non-en survivors.
+# ---------------------------------------------------------------------------
+
+
+def _curation_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _lid_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    models = _lid_models(spark, sf_dir)
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+        langid_model=models,
+        langid_dim=_LID_DIM,
+        langid_allow=("en",),
+        langid_classes=_LID_LANGS,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _curation_langid_oracle() -> str:
+    from .text import _CURATION_NGRAM_CONTAM, _curation_oracle
+
+    corpus_block = (
+        _lid_ctes().strip()
+        + ",\n"
+        + _LID_PRED_SQL.strip().lstrip()
+        + ",\ncorpus AS (SELECT doc_id, text FROM lid_doc"
+        " WHERE source <> 'src0')"
+    )
+    quality_block = """qdrop AS MATERIALIZED (
+  SELECT k.doc_id, l.lang AS q_score
+  FROM kept0 k
+  JOIN lid_pred p ON p.doc_id = k.doc_id
+  JOIN lid_langs l ON l.li = p.bi
+  WHERE l.lang NOT IN ('en')
+)"""
+    contam_block = _CURATION_NGRAM_CONTAM.replace(
+        "FROM documents WHERE source = 'src0'",
+        "FROM lid_doc WHERE source = 'src0'",
+    )
+    return _curation_oracle(
+        contam_block=contam_block,
+        quality_block=quality_block,
+        corpus_block=corpus_block,
+        quality_stage="langid",
+        quality_reason="'pred_' || q_score",
+        lang_gate=False,
+    )
+
+
+QUERIES["doc_curation_langid"] = QuerySpec(
+    _curation_langid,
+    _curation_langid_oracle(),
+    "composed curation with the trained language gate: heuristic lang"
+    " arm replaced by the one-vs-rest classifier's predictions",
+)

@@ -1,0 +1,211 @@
+"""Trained language-ID classifier (multiclass one-vs-rest dyadic GD).
+
+``text.lang_guess`` is a heuristic marker-word scorer — a fixed list
+of five function words per language, argmax with fixed precedence.
+Real curation pipelines (CCNet, RefinedWeb) use a TRAINED classifier
+(fastText-style linear model over hashed bag-of-words features),
+because the marker list misses everything it doesn't enumerate. This
+module is that upgrade, Spark-first and engine-exact:
+
+- **Features**: ``text.hash_embed`` bag-of-words (any deterministic
+  vector column) with a prepended bias — quality_model.py's recipe.
+- **Model**: one linear scorer per class, trained one-vs-rest with
+  least squares against the {0,1} class indicator — the
+  quality_model design verbatim, classes added as a key: all C
+  models train in the SAME distributed aggregate per round (weights
+  live long-form as (cls, j, w) rows), so the round count — not the
+  class count — bounds the number of Spark jobs.
+- **Prediction**: map-only argmax over the per-class linear scores
+  (each class's weights unroll into one codegen'd expression);
+  deterministic tie-break by class order, the ``lang_guess``
+  precedence discipline.
+
+Determinism: the dyadic 2^-20 grid end-to-end (see
+quality_model.py's module docstring for why decimal ROUND cannot be
+used here) — bit-identical across engines and partitionings.
+
+Scale: training touches (docs × dim × C) long-form rows per round
+with broadcast weights; scoring is one narrow map pass. The model is
+driver-sized (C × (dim+1) doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..checkpointing import truncate as _truncate
+from .quality_model import _features_long, _q20
+
+
+def train_langid(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    classes: tuple[str, ...],
+    n_rounds: int = 8,
+    lr: float = 0.5,
+    reliable_checkpoint_dir: str | None = None,
+) -> dict[str, list[float]]:
+    """Learn one (dim+1)-weight linear scorer per class — returns
+    {class: [bias, w_1..w_dim]}. ``label_col`` holds the true class
+    string; rows labeled outside ``classes`` still train (as
+    negatives for every class) — pre-filter if that's not wanted.
+
+    One distributed aggregate per GD round covers ALL classes: the
+    per-class indicator y_ic joins in long form, predictions and
+    gradients key on (id, cls) / (cls, j). Weights are literals in
+    the next round's plan (the plan never deepens with rounds).
+    ``reliable_checkpoint_dir``: the pinned feature/label frames are
+    read every round (checkpointing.truncate contract)."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+    if len(classes) < 2:
+        raise ValueError("need at least 2 classes")
+    if len(set(classes)) != len(classes):
+        raise ValueError("classes must be distinct")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col).cast("string").alias("__lab"),
+    ).filter(F.col(vec_col).isNotNull())
+    feats = _truncate(
+        _features_long(base, id_col, vec_col), reliable_checkpoint_dir
+    )
+    cls_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in classes], "cls string")
+    )
+    labels = _truncate(
+        base.select(id_col, "__lab")
+        .crossJoin(cls_df)
+        .select(
+            id_col,
+            "cls",
+            (F.col("__lab") == F.col("cls"))
+            .cast("double")
+            .alias("__y"),
+        ),
+        reliable_checkpoint_dir,
+    )
+    n_docs = base.count()
+    if n_docs == 0:
+        raise ValueError("no rows with a non-NULL feature vector")
+
+    w = {c: [0.0] * (dim + 1) for c in classes}
+    for _ in range(n_rounds):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (c, j, wj)
+                    for c in classes
+                    for j, wj in enumerate(w[c])
+                ],
+                "cls string, j int, w double",
+            )
+        )
+        pred = (
+            feats.join(wdf, "j")
+            .groupBy(id_col, "cls")
+            .agg(_q20(F.sum(F.col("x") * F.col("w"))).alias("__p"))
+        )
+        grad = (
+            feats.join(pred, id_col)
+            .join(labels, [id_col, "cls"])
+            .groupBy("cls", "j")
+            .agg(
+                _q20(
+                    F.sum(F.col("x") * (F.col("__p") - F.col("__y")))
+                    / F.lit(float(n_docs))
+                ).alias("g")
+            )
+        )
+        neww = grad.join(wdf, ["cls", "j"]).select(
+            "cls",
+            "j",
+            _q20(
+                F.col("w") - F.lit(float(lr)) * F.col("g")
+            ).alias("w"),
+        )
+        got = {(r["cls"], r["j"]): r["w"] for r in neww.collect()}
+        w = {
+            c: [got.get((c, j), wj) for j, wj in enumerate(w[c])]
+            for c in classes
+        }
+    return w
+
+
+def _score_expr(weights: list[float], vec_col: str) -> Column:
+    expr = F.lit(float(weights[0]))  # bias
+    for j, wj in enumerate(weights[1:]):
+        expr = expr + F.lit(float(wj)) * _q20(F.col(vec_col)[j])
+    return _q20(expr)
+
+
+def predict_langid(
+    df: DataFrame,
+    models: dict[str, list[float]],
+    *,
+    id_col: str | tuple[str, ...] = "doc_id",
+    vec_col: str = "embedding",
+    out_col: str = "lang_pred",
+    classes: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(id..., lang_pred): map-only argmax over the per-class linear
+    scores; ties break to the EARLIEST class in ``classes`` (default:
+    the models' insertion order — pass explicitly when the dict came
+    from elsewhere). The lang_guess precedence discipline, learned
+    edition."""
+    order = tuple(classes) if classes is not None else tuple(models)
+    if not order:
+        raise ValueError("no classes to predict")
+    scores = {c: _score_expr(models[c], vec_col) for c in order}
+    best = F.greatest(*scores.values()) if len(order) > 1 else scores[
+        order[0]
+    ]
+    out: Column = F.lit(None).cast("string")
+    for c in reversed(order):
+        out = F.when(scores[c] == best, F.lit(c)).otherwise(out)
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    return df.select(*[F.col(c) for c in ids], out.alias(out_col))
+
+
+def save_langid(spark, models: dict[str, list[float]], path: str) -> None:
+    """Persist the multiclass artifact as (cls, j, w) rows."""
+    from ..io import save_table
+
+    save_table(
+        spark.createDataFrame(
+            [
+                (c, j, float(wj))
+                for c, ws in models.items()
+                for j, wj in enumerate(ws)
+            ],
+            "cls string, j int, w double",
+        ),
+        path,
+        mode="overwrite",
+    )
+
+
+def load_langid(spark, path: str) -> dict[str, list[float]]:
+    """Reload {class: weights}, class-sorted; raises on index gaps
+    (a partial artifact must fail loudly)."""
+    rows = spark.read.parquet(path).collect()
+    by_cls: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_cls.setdefault(r["cls"], {})[r["j"]] = r["w"]
+    out = {}
+    for c in sorted(by_cls):
+        m = by_cls[c]
+        if sorted(m) != list(range(len(m))):
+            raise ValueError(
+                f"langid model at {path} class {c!r} has"
+                f" non-contiguous weight indices — corrupt artifact"
+            )
+        out[c] = [m[j] for j in range(len(m))]
+    return out

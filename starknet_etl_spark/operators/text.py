@@ -162,7 +162,7 @@ def clean_corpus(
     *,
     min_words: int = 20,
     max_dup_word_frac: float = 0.7,
-    langs: tuple[str, ...] = ("en",),
+    langs: tuple[str, ...] | None = ("en",),
 ) -> DataFrame:
     """C4/Gopher-style corpus cleaning as ONE auditable pass: exact
     dedup (keep the smallest id per identical text), length floor,
@@ -170,6 +170,10 @@ def clean_corpus(
     document — ``keep`` plus the first failing ``drop_reason`` in
     fixed precedence (exact_dup → too_short → repetitive → lang) — so
     the filter chain is debuggable, not a silent shrink.
+
+    ``langs=None`` skips the heuristic language arm entirely — for
+    pipelines that gate language with the TRAINED classifier instead
+    (``curate_corpus(langid_model=…)``, operators/langid.py).
 
     Scale: repetition_signals (doc-keyed shuffles) + one window over
     the text hash (dedup) + codegen'd lang/threshold expressions.
@@ -201,9 +205,12 @@ def clean_corpus(
             F.col("dup_word_frac") > max_dup_word_frac,
             F.lit("repetitive"),
         )
-        .when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
-        .otherwise(F.lit(None).cast("string"))
     )
+    if langs is not None:
+        reason = reason.when(
+            ~F.col("lang_guess").isin(*langs), F.lit("lang")
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
     return joined.select(
         id_col,
         "n_words",

@@ -64,6 +64,10 @@ def curate_corpus(
     quality_model: list[float] | None = None,
     quality_model_threshold: float = 0.5,
     quality_model_dim: int = 16,
+    langid_model: dict[str, list[float]] | None = None,
+    langid_dim: int = 32,
+    langid_allow: tuple[str, ...] = ("en",),
+    langid_classes: tuple[str, ...] | None = None,
     near_dup: str | None = "jaccard",
     threshold: float = 0.8,
     n: int = 3,
@@ -237,14 +241,17 @@ def curate_corpus(
 
     ids = F.col(id_col)
 
-    # -- stage 1: clean (exact dup / length / repetition / language)
+    # -- stage 1: clean (exact dup / length / repetition / language).
+    # With a TRAINED language classifier the heuristic lang arm is
+    # replaced wholesale: clean skips it (langs=None) and stage 1a0
+    # below gates on the learned prediction instead.
     verdicts = clean_corpus(
         docs,
         id_col,
         text_col,
         min_words=min_words,
         max_dup_word_frac=max_dup_word_frac,
-        langs=langs,
+        langs=None if langid_model is not None else langs,
     )
     audit_clean = verdicts.filter(~F.col("keep")).select(
         ids,
@@ -255,6 +262,44 @@ def curate_corpus(
         id_col, "n_words", "lang_guess"
     )
     kept = docs.join(kept_meta, id_col)
+
+    # -- stage 1a0 (optional): TRAINED language-ID gate (replaces the
+    # heuristic lang arm — operators/langid.py; train once offline,
+    # pass the weights). Map-only featurize + argmax; drops carry the
+    # predicted class, an engine-exact string.
+    if langid_model is not None:
+        from ..operators.langid import predict_langid
+        from ..operators.text import hash_embed
+
+        emb = hash_embed(kept, id_col, text_col, dim=langid_dim)
+        pred = predict_langid(
+            emb, langid_model, id_col=id_col, vec_col="embedding",
+            classes=langid_classes,
+        )
+        bad_lang = pred.filter(
+            ~F.col("lang_pred").isin(*langid_allow)
+        ).select(id_col, "lang_pred")
+        # truncate the drop list's LINEAGE (the kn_floor lesson): the
+        # featurize+argmax plan — a C×(dim+1)-term expression over a
+        # corpus aggregate — would otherwise replay through the
+        # anti-join into EVERY downstream consumer of `kept`, and the
+        # components loop's per-round checkpoints then carry
+        # multi-hundred-MB plan strings (driver/JVM OOM observed on
+        # the composed catalog row). The list is (id, pred) rows;
+        # localCheckpoint leaves a leaf-sized plan.
+        from ..checkpointing import truncate as _truncate_lid
+
+        bad_lang = _truncate_lid(bad_lang)
+        audit_langid = bad_lang.select(
+            ids,
+            F.lit("langid").alias("stage"),
+            F.concat(F.lit("pred_"), F.col("lang_pred")).alias(
+                "reason"
+            ),
+        )
+        kept = kept.join(bad_lang.select(id_col), id_col, "left_anti")
+    else:
+        audit_langid = None
 
     # -- stage 1a (optional): learned quality gate
     if quality_model is not None:
@@ -544,8 +589,8 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_model, audit_boiler, audit_quality, audit_kn,
-                  audit_dups, audit_contam):
+    for extra in (audit_langid, audit_model, audit_boiler,
+                  audit_quality, audit_kn, audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

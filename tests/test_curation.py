@@ -498,3 +498,49 @@ def test_kn_floor_stage_in_curation(spark):
     }
     worst_two = sorted(scores, key=lambda k: (scores[k], k))[:2]
     assert set(worst_two) == dropped_kn
+
+
+def test_langid_stage_replaces_heuristic_lang_gate(spark, corpus):
+    """curate_corpus(langid_model=…): the heuristic lang arm is OFF
+    (clean never drops 'lang') and the trained gate drops exactly the
+    predicted-non-allowed docs with stage 'langid' and an engine-
+    exact 'pred_<class>' reason."""
+    from starknet_etl_spark.operators.langid import train_langid
+    from starknet_etl_spark.operators.text import hash_embed
+
+    docs, benchmark = corpus
+    # balanced training set sharing vocabulary with the corpus docs
+    train_rows = []
+    for i in range(6):
+        train_rows.append(
+            (100 + i, "en",
+             f"the report covers and explains revenue cost margin v{i}")
+        )
+        train_rows.append(
+            (200 + i, "de",
+             f"der schnelle fuchs springt über den faulen hund und v{i}")
+        )
+    labeled = spark.createDataFrame(
+        train_rows, "doc_id long, lab string, text string"
+    )
+    feats = labeled.join(
+        hash_embed(labeled, "doc_id", "text", dim=16), "doc_id"
+    )
+    models = train_langid(
+        feats, "doc_id", "lab", vec_col="embedding", dim=16,
+        classes=("en", "de"), n_rounds=10,
+    )
+    cur, aud = _run(
+        spark, corpus,
+        langid_model=models, langid_dim=16,
+        langid_allow=("en",), langid_classes=("en", "de"),
+    )
+    # doc 5 (German) now drops at the TRAINED gate, not 'clean'/lang
+    assert aud[5][0] == "langid"
+    assert aud[5][1] == "pred_de"
+    assert not any(
+        stage == "clean" and reason == "lang"
+        for stage, reason in aud.values()
+    )
+    # the rest of the flow is unchanged: control doc survives
+    assert 10 in cur

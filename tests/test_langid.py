@@ -1,0 +1,121 @@
+"""Trained language-ID: one-vs-rest dyadic GD partition-invariance,
+argmax prediction with deterministic tie-break, artifact round-trip,
+and validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, n_parts=None):
+    # three separable classes: each doc's tokens lean on its class word
+    rows = []
+    words = {"aa": "alpha", "bb": "beta", "cc": "gamma"}
+    for i in range(30):
+        cls = ["aa", "bb", "cc"][i % 3]
+        text = f"{words[cls]} {words[cls]} noise{i % 4}"
+        rows.append((i, cls, text))
+    df = spark.createDataFrame(rows, "doc_id long, lab string, text string")
+    return df.repartition(n_parts) if n_parts else df
+
+
+def _feats(spark, df, dim=8):
+    from starknet_etl_spark.operators.text import hash_embed
+
+    return df.join(hash_embed(df, "doc_id", "text", dim=dim), "doc_id")
+
+
+def test_train_langid_partition_invariant_and_learns(spark):
+    from starknet_etl_spark.operators.langid import (
+        predict_langid,
+        train_langid,
+    )
+
+    f1 = _feats(spark, _corpus(spark, 1))
+    f7 = _feats(spark, _corpus(spark, 7))
+    kw = dict(
+        vec_col="embedding", dim=8, classes=("aa", "bb", "cc"),
+        n_rounds=6, lr=0.5,
+    )
+    m1 = train_langid(f1, "doc_id", "lab", **kw)
+    m7 = train_langid(f7, "doc_id", "lab", **kw)
+    assert m1 == m7  # dyadic: bit-equal across partitionings
+
+    pred = predict_langid(
+        f1, m1, id_col="doc_id", classes=("aa", "bb", "cc")
+    )
+    truth = {r["doc_id"]: r["lab"] for r in _corpus(spark).collect()}
+    got = {r["doc_id"]: r["lang_pred"] for r in pred.collect()}
+    acc = sum(got[i] == truth[i] for i in got) / len(got)
+    assert acc == 1.0  # fully separable synthesis
+
+
+def test_predict_langid_tie_break_class_order(spark):
+    from starknet_etl_spark.operators.langid import predict_langid
+
+    # identical weights for two classes -> identical scores -> the
+    # earliest class in the passed order wins
+    models = {"zz": [0.0, 1.0], "aa": [0.0, 1.0], "mm": [0.0, -1.0]}
+    df = spark.createDataFrame([(1, [0.5])], "doc_id long, fv array<double>")
+    p1 = predict_langid(
+        df, models, vec_col="fv", classes=("zz", "aa", "mm")
+    ).first()["lang_pred"]
+    p2 = predict_langid(
+        df, models, vec_col="fv", classes=("aa", "zz", "mm")
+    ).first()["lang_pred"]
+    assert (p1, p2) == ("zz", "aa")
+
+
+def test_langid_artifact_roundtrip(spark, tmp_path):
+    from starknet_etl_spark.operators.langid import (
+        load_langid,
+        save_langid,
+    )
+
+    models = {"en": [0.5, -0.25, 0.125], "de": [0.0, 1.0, -1.0]}
+    path = str(tmp_path / "langid_model")
+    save_langid(spark, models, path)
+    assert load_langid(spark, path) == models
+
+    # corrupt: drop one weight index
+    import glob
+    import os
+
+    bad = str(tmp_path / "bad_model")
+    df = spark.read.parquet(path).filter("NOT (cls = 'de' AND j = 1)")
+    df.write.parquet(bad)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        load_langid(spark, bad)
+    del glob, os
+
+
+def test_train_langid_validation(spark):
+    from starknet_etl_spark.operators.langid import (
+        predict_langid,
+        train_langid,
+    )
+
+    f = _feats(spark, _corpus(spark))
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_langid(
+            f, "doc_id", "lab", vec_col="embedding", dim=8,
+            classes=("aa", "bb"), n_rounds=0,
+        )
+    with pytest.raises(ValueError, match="classes"):
+        train_langid(
+            f, "doc_id", "lab", vec_col="embedding", dim=8,
+            classes=("aa",),
+        )
+    with pytest.raises(ValueError, match="distinct"):
+        train_langid(
+            f, "doc_id", "lab", vec_col="embedding", dim=8,
+            classes=("aa", "aa"),
+        )
+    with pytest.raises(ValueError, match="no rows"):
+        train_langid(
+            f.filter("doc_id < 0"), "doc_id", "lab",
+            vec_col="embedding", dim=8, classes=("aa", "bb"),
+        )
+    with pytest.raises(ValueError, match="no classes"):
+        predict_langid(f, {}, vec_col="embedding")
