@@ -503,6 +503,119 @@ QUERIES["doc_code_signals"] = QuerySpec(
 )
 
 
+# --------------------------------------------------------------------------
+# FIM transform for code corpora (r9): operators/fim.py —
+# md5-derived selection + cut points, so the reordered documents are
+# byte-identical across engines (md5 fingerprints compare them
+# without hauling full texts through the hash). The testdata corpus
+# contains no code_like documents (doc_code_signals: 0 hits), so the
+# row runs the transform over the FULL corpus — the code-gate
+# composition (left-semi on code_like before fim_transform) is
+# pinned by tests/test_fim.py on a synthetic code doc instead of an
+# empty differential. Names fim_.
+# --------------------------------------------------------------------------
+
+_FIM_RATE = 0.5
+
+
+def _code_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fim import fim_transform
+
+    out = fim_transform(
+        _docs(spark, sf_dir), "doc_id", "text",
+        rate=_FIM_RATE, mode="psm",
+    )
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        "n_tokens",
+        "cut_a",
+        "cut_b",
+        F.md5("text").alias("fim_fp"),
+    )
+
+
+_FIM_CTES = rf"""fim_w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+fim_cut AS (
+  SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n,
+         (CAST('0x' || substr(h, 1, 4) AS BIGINT) % 1000
+            < {int(_FIM_RATE * 1000)})
+           AND len(ws) >= 3 AS ap,
+         CASE WHEN len(ws) >= 3
+              THEN CAST(1 + CAST('0x' || substr(h, 5, 4) AS BIGINT)
+                        % (len(ws) - 2) AS BIGINT) END AS a,
+         CAST('0x' || substr(h, 9, 4) AS BIGINT) AS h2
+  FROM fim_w
+),
+fim_b AS (
+  SELECT *,
+         CASE WHEN ap THEN a + 1 + h2 % (n - 1 - a) END AS b
+  FROM fim_cut
+),
+fim_out AS (
+  SELECT doc_id, ap, n,
+         CASE WHEN ap THEN a END AS cut_a,
+         CASE WHEN ap THEN b END AS cut_b,
+         CASE WHEN ap THEN
+           '<fim_prefix> ' || array_to_string(ws[1:a], ' ')
+           || ' <fim_suffix> ' || array_to_string(ws[b + 1:n], ' ')
+           || ' <fim_middle> ' || array_to_string(ws[a + 1:b], ' ')
+         ELSE text END AS t2
+  FROM fim_b
+)"""
+
+_CODE_FIM_ORACLE = (
+    "WITH "
+    + _FIM_CTES
+    + """
+SELECT doc_id, ap AS fim_applied, n AS n_tokens, cut_a, cut_b,
+       md5(t2) AS fim_fp
+FROM fim_out
+"""
+)
+
+QUERIES["doc_code_fim"] = QuerySpec(
+    _code_fim,
+    _CODE_FIM_ORACLE,
+    "fill-in-middle transform over the code-like corpus: md5-derived"
+    " selection + cuts, byte-identical PSM reorderings (fingerprint)",
+)
+
+
+def _code_fim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fim import fim_stats, fim_transform
+
+    return fim_stats(
+        fim_transform(
+            _docs(spark, sf_dir), "doc_id", "text",
+            rate=_FIM_RATE, mode="psm",
+        )
+    )
+
+
+_CODE_FIM_STATS_ORACLE = (
+    "WITH "
+    + _FIM_CTES
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ap THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+       floor(SUM(CASE WHEN ap THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 1048576.0 + 0.5) / 1048576.0 AS fim_frac
+FROM fim_out
+"""
+)
+
+QUERIES["doc_code_fim_stats"] = QuerySpec(
+    _code_fim_stats,
+    _CODE_FIM_STATS_ORACLE,
+    "FIM rate telemetry: exact transformed-doc counts, realized rate",
+)
+
+
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+"""Fill-in-middle (FIM) transform for code corpora.
+
+Code models train with a fraction of documents reordered so the
+model learns infilling (Bavarian et al.: split a document into
+prefix/middle/suffix and emit sentinel-delimited reorderings — PSM
+``<PRE> p <SUF> s <MID> m`` or SPM ``<SUF> s <PRE> p <MID> m``).
+The engine-side job is the deterministic SELECTION and SPLIT: which
+documents transform (a rate), and where the two cut points land —
+both md5-derived (the hash_split discipline at
+operators/splits.py), so the transform is reproducible across runs,
+engines, and appends, and byte-identical output is a testable
+contract rather than an RNG accident.
+
+Contract (all on the whitespace-token grid):
+- a document transforms iff md5(salt ‖ id)'s first 4 hex digits mod
+  1000 < rate·1000 AND it has ≥ 3 tokens (each part must be
+  non-empty);
+- cut points from the next two 4-digit hex words: a = 1 + h1 mod
+  (n−2) tokens of prefix, b = a + 1 + h2 mod (n−1−a) — so prefix =
+  tokens [1..a], middle = (a..b], suffix = (b..n], every part ≥ 1
+  token;
+- untransformed documents pass through VERBATIM (the identity arm,
+  fingerprint-stable).
+
+Scale: pure map — one codegen'd projection, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: sentinel tokens (swap for the model family's own vocabulary)
+FIM_PREFIX = "<fim_prefix>"
+FIM_MIDDLE = "<fim_middle>"
+FIM_SUFFIX = "<fim_suffix>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rate: float = 0.5,
+    mode: str = "psm",
+    salt: str = "",
+) -> DataFrame:
+    """(id, fim_applied, n_tokens, cut_a, cut_b, text): the FIM-
+    reordered corpus. ``mode``: ``"psm"`` (prefix-suffix-middle) or
+    ``"spm"`` (suffix-prefix-middle — trains the model to infill
+    given the suffix first). cut_a/cut_b are NULL on the identity
+    arm. Sentinels joined with single spaces so the output stays on
+    the same token grid."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    sel = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1000
+    h1 = F.conv(F.substring(h, 5, 4), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 4), 16, 10).cast("long")
+    apply = (sel < F.lit(int(rate * 1000))) & (n >= 3)
+    a = (F.lit(1) + h1 % (n - 2)).cast("long")
+    b = (a + 1 + h2 % (n - 1 - a)).cast("long")
+    prefix = F.array_join(F.slice(ws, F.lit(1), a.cast("int")), " ")
+    middle = F.array_join(
+        F.slice(ws, (a + 1).cast("int"), (b - a).cast("int")), " "
+    )
+    suffix = F.array_join(
+        F.slice(ws, (b + 1).cast("int"), (n - b).cast("int")), " "
+    )
+    if mode == "psm":
+        fimmed = F.concat_ws(
+            " ",
+            F.lit(FIM_PREFIX), prefix,
+            F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), middle,
+        )
+    else:
+        fimmed = F.concat_ws(
+            " ",
+            F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_PREFIX), prefix,
+            F.lit(FIM_MIDDLE), middle,
+        )
+    return df.select(
+        F.col(id_col),
+        apply.alias("fim_applied"),
+        n.cast("long").alias("n_tokens"),
+        F.when(apply, a).alias("cut_a"),
+        F.when(apply, b).alias("cut_b"),
+        F.when(apply, fimmed).otherwise(F.col(text_col)).alias("text"),
+    )
+
+
+def fim_stats(transformed: DataFrame) -> DataFrame:
+    """(n_docs, n_fim, fim_frac): the rate telemetry — exact counts
+    + one q20 ratio (the realized rate converges on the requested one
+    but is never exactly it; report what actually happened)."""
+    q = float(2**20)
+    return transformed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("fim_applied").cast("long"))
+        .cast("long")
+        .alias("n_fim"),
+        (
+            F.floor(
+                F.sum(F.col("fim_applied").cast("long"))
+                / F.count(F.lit(1))
+                * F.lit(q)
+                + F.lit(0.5)
+            )
+            / F.lit(q)
+        ).alias("fim_frac"),
+    )

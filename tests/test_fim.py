@@ -1,0 +1,114 @@
+"""FIM transform: reconstruction round-trip (prefix+middle+suffix
+== original token stream), part non-emptiness, deterministic
+selection at the requested rate, PSM/SPM orders, identity arm, and
+the code-gate composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.fim import (
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    fim_stats,
+    fim_transform,
+)
+
+
+def _corpus(spark, n=60):
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range((i % 9) + 1)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fim_roundtrip_and_part_bounds(spark):
+    df = _corpus(spark)
+    out = {r["doc_id"]: r
+           for r in fim_transform(df, rate=1.0).collect()}
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+    for did, r in out.items():
+        toks = orig[did].split()
+        if len(toks) < 3:
+            assert not r["fim_applied"]
+            assert r["text"] == orig[did]
+            assert r["cut_a"] is None and r["cut_b"] is None
+            continue
+        assert r["fim_applied"]
+        a, b = r["cut_a"], r["cut_b"]
+        assert 1 <= a < b <= len(toks) - 1
+        # parse the PSM layout and reconstruct
+        t = r["text"].split()
+        assert t[0] == FIM_PREFIX
+        si = t.index(FIM_SUFFIX)
+        mi = t.index(FIM_MIDDLE)
+        prefix, suffix, middle = t[1:si], t[si + 1:mi], t[mi + 1:]
+        assert prefix and suffix and middle  # every part >= 1 token
+        assert prefix + middle + suffix == toks
+        assert (len(prefix), len(middle)) == (a, b - a)
+
+
+def test_fim_spm_order_and_rate_selection(spark):
+    df = _corpus(spark)
+    psm = {r["doc_id"]: r for r in fim_transform(df, rate=0.5).collect()}
+    spm = {r["doc_id"]: r
+           for r in fim_transform(df, rate=0.5, mode="spm").collect()}
+    # same md5 selection and cuts, different sentinel order
+    applied = [d for d in psm if psm[d]["fim_applied"]]
+    assert applied  # the 50% rate hits some of 60 docs
+    assert {d: psm[d]["fim_applied"] for d in psm} == {
+        d: spm[d]["fim_applied"] for d in spm
+    }
+    for d in applied:
+        assert psm[d]["cut_a"] == spm[d]["cut_a"]
+        assert spm[d]["text"].split()[0] == FIM_SUFFIX
+        # SPM carries the same three parts
+        pt, st = psm[d]["text"].split(), spm[d]["text"].split()
+        p_si, p_mi = pt.index(FIM_SUFFIX), pt.index(FIM_MIDDLE)
+        s_pi, s_mi = st.index(FIM_PREFIX), st.index(FIM_MIDDLE)
+        assert st[1:s_pi] == pt[p_si + 1:p_mi]      # suffix
+        assert st[s_pi + 1:s_mi] == pt[1:p_si]      # prefix
+        assert st[s_mi + 1:] == pt[p_mi + 1:]       # middle
+    # rate=0 → pure identity; salt changes the selection
+    none = fim_transform(df, rate=0.0).filter("fim_applied").count()
+    assert none == 0
+    salted = {
+        r["doc_id"]: r["fim_applied"]
+        for r in fim_transform(df, rate=0.5, salt="s1").collect()
+    }
+    assert salted != {d: psm[d]["fim_applied"] for d in psm}
+
+    card = fim_stats(fim_transform(df, rate=0.5)).first()
+    assert card["n_docs"] == 60
+    assert card["n_fim"] == len(applied)
+
+
+def test_fim_code_gate_composition(spark):
+    """The intended pipeline shape: doc_code_signals' code_like gate
+    left-semi-joined before fim_transform — only code docs reorder."""
+    rows = [
+        (1, "def f(x): return g(x) + h(x); import os; x = f(1)"
+            " ; y = f(2) ; z = f(3)"),
+        (2, "plain prose words about nothing much at all here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    kw = F.size(F.filter(
+        toks, lambda x: x.isin("def", "return", "import")
+    ))
+    code = df.filter(kw >= 3).select("doc_id")
+    gated = df.join(code, "doc_id", "left_semi")
+    out = fim_transform(gated, rate=1.0)
+    got = {r["doc_id"]: r["fim_applied"] for r in out.collect()}
+    assert got == {1: True}
+
+
+def test_fim_validation(spark):
+    df = _corpus(spark, 3)
+    with pytest.raises(ValueError, match="rate"):
+        fim_transform(df, rate=1.5)
+    with pytest.raises(ValueError, match="mode"):
+        fim_transform(df, mode="mps")
