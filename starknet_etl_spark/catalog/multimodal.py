@@ -260,3 +260,123 @@ QUERIES["mm_knn"] = QuerySpec(
     _MM_KNN_ORACLE,
     "asset ANN probe riding a persisted SRP-partitioned index",
 )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (r9): dHash over the payload plane +
+# banded Hamming LSH (operators/multimodal.dhash_pairs riding
+# dedup.hamming_pairs). Exact integer arithmetic end-to-end, so the
+# whole chain differential-tests — no recall gate needed. The
+# synthesis plants near-dup pairs: every doc_id % 10 == 5 asset
+# carries doc (id-5)'s payload with its FIRST CHARACTER replaced
+# ('Z' + substr(text, 2)) — same byte length, so the sampled grid
+# shifts in at most the cells that read byte 0 and the planted pair
+# lands within Hamming <= 2 by construction. Names ph_.
+# --------------------------------------------------------------------------
+
+_PH_MAX_HAMMING = 3
+
+
+def _ph_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    prev = docs.select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.col("text").alias("__ptext"),
+    )
+    src = docs.join(prev, "doc_id", "left").select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(
+            (F.col("doc_id") % 10 == 5) & F.col("__ptext").isNotNull(),
+            F.concat(F.lit("Z"), F.substring("__ptext", 2, 1 << 30)),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    return src.select(
+        "asset_id", F.encode("__t", "UTF-8").alias("payload")
+    )
+
+
+def _mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import dhash_pairs
+
+    return dhash_pairs(
+        _ph_payloads(spark, sf_dir), max_hamming=_PH_MAX_HAMMING
+    )
+
+
+# The oracle replays the byte-plane dHash in LONG FORM — per-(asset,
+# bit) rows instead of a packed 64-bit word, sidestepping every
+# signed-shift semantic: band values are Σ bit·2^(k%8) per k//8 and
+# hamming is a bit-table join count, all exact integers. Bytes decode
+# from hex(encode(text)) — charset-safe (the multimodal lesson).
+_MM_PHASH_ORACLE = f"""
+WITH ph_src AS (
+  SELECT d.doc_id AS asset_id,
+         CASE WHEN d.doc_id % 10 = 5 AND p.text IS NOT NULL
+              THEN 'Z' || substr(p.text, 2)
+              ELSE d.text END AS ptext
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 5
+),
+ph_hx AS (
+  SELECT asset_id, hex(encode(ptext)) AS hx,
+         CAST(octet_length(encode(ptext)) AS BIGINT) AS n
+  FROM ph_src
+),
+ph_bytes AS (
+  SELECT asset_id, n,
+         list_transform(
+           generate_series(1, CAST(n AS INT)),
+           i -> (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+                  * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+         ) AS bs
+  FROM ph_hx
+),
+ph_grid AS MATERIALIZED (
+  SELECT asset_id,
+         list_transform(
+           generate_series(0, 71),
+           k -> CASE WHEN n = 0 THEN 0
+                     ELSE bs[(k * n) // 72 + 1] END
+         ) AS g
+  FROM ph_bytes
+),
+ph_bits AS MATERIALIZED (
+  SELECT asset_id, CAST(r * 8 + c AS INT) AS k2,
+         CASE WHEN g[r * 9 + c + 1] > g[r * 9 + c + 2]
+              THEN 1 ELSE 0 END AS bit
+  FROM ph_grid,
+       unnest(generate_series(0, 7)) AS tr(r),
+       unnest(generate_series(0, 7)) AS tc(c)
+),
+ph_bands AS MATERIALIZED (
+  SELECT asset_id, k2 // 8 AS band,
+         SUM(bit * (1 << (k2 % 8))) AS val
+  FROM ph_bits GROUP BY asset_id, k2 // 8
+),
+ph_cand AS (
+  SELECT DISTINCT a.asset_id AS id_1, b.asset_id AS id_2
+  FROM ph_bands a
+  JOIN ph_bands b ON a.band = b.band AND a.val = b.val
+                 AND a.asset_id < b.asset_id
+),
+ph_ham AS (
+  SELECT c.id_1, c.id_2,
+         CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming
+  FROM ph_cand c
+  JOIN ph_bits x ON x.asset_id = c.id_1
+  JOIN ph_bits y ON y.asset_id = c.id_2 AND y.k2 = x.k2
+  GROUP BY c.id_1, c.id_2
+)
+SELECT id_1, id_2, hamming FROM ph_ham
+WHERE hamming <= {_PH_MAX_HAMMING}
+"""
+
+QUERIES["mm_phash_pairs"] = QuerySpec(
+    _mm_phash,
+    _MM_PHASH_ORACLE,
+    "perceptual near-dup: dHash (exact integer luma/byte grid) +"
+    " banded Hamming LSH — planted one-char-edit pairs surface",
+)

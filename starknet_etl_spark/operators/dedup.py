@@ -976,6 +976,37 @@ def simhash_pairs(
     Scale: one signature aggregate (simhash), a bands explode (×
     ``bands``), one bucket-keyed self-join, distinct on the pair key.
     """
+    sig = simhash(df, id_col, text_col, n=n, bits=bits)
+    return hamming_pairs(
+        sig, id_col, "simhash",
+        bits=bits, bands=bands,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded Hamming-LSH pairs over ANY integer-signature frame —
+    the machinery simhash_pairs and the multimodal dHash tier share:
+    ``(id_1, id_2, hamming)`` for every pair whose ``bits``-wide
+    signatures differ in at most ``max_hamming`` bits (pigeonhole:
+    such a pair agrees exactly on one of the ``bands`` blocks, so
+    candidates come from equality buckets, never all-pairs).
+
+    Band extraction is sign-safe for full 64-bit signatures: a
+    LOGICAL shift + low-bits mask (``shiftrightunsigned`` +
+    ``bitwiseAND``), because an arithmetic shift of a hash whose top
+    bit is set would sign-extend and ``%`` would go negative — for
+    non-negative signatures it is bit-identical to the old
+    shiftright/% form (the simhash tests pin that)."""
     if bits % bands != 0:
         raise ValueError(f"bands must divide bits, got {bits}/{bands}")
     if not 0 <= max_hamming < bands:
@@ -984,26 +1015,27 @@ def simhash_pairs(
             f"max_hamming={max_hamming}, bands={bands}"
         )
     band_w = bits // bands
-    sig = simhash(df, id_col, text_col, n=n, bits=bits)
+    mask = (1 << band_w) - 1
     bdf = sig.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (
-                            F.shiftright(F.col("simhash"), b * band_w)
-                            % (2 ** band_w)
-                        ).alias("val"),
+                        F.shiftrightunsigned(
+                            F.col(sig_col), b * band_w
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("__bv"),
     ).select(
-        id_col, "simhash",
+        id_col, "__sig",
         F.col("__bv.band").alias("band"),
         F.col("__bv.val").alias("val"),
     )
@@ -1025,8 +1057,8 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            F.col("a.simhash").alias("__s1"),
-            F.col("b.simhash").alias("__s2"),
+            F.col("a.__sig").alias("__s1"),
+            F.col("b.__sig").alias("__s2"),
         )
         .distinct()
     )

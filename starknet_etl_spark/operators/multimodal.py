@@ -235,3 +235,123 @@ def split_metadata(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     payloads = df.select("asset_id", "payload")
     return meta, payloads
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r9): dHash over a sampled luma grid.
+# Unlike the SRP-over-features near-dup tier (recall-gated), dHash is
+# EXACT INTEGER arithmetic end-to-end — grid sampling by floor index,
+# integer luma, adjacent-cell comparisons — so it differential-tests
+# byte-for-byte, and two assets differing by a few pixels land within
+# a small Hamming distance by construction.
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 9 columns x 8 rows -> 64 adjacent-column comparisons.
+DHASH_W = 9
+DHASH_H = 8
+
+
+def _luma_grid_ppm(payload: bytes) -> list[int]:
+    """PPM P6 → the DHASH_H×DHASH_W integer luma grid by
+    nearest-neighbor (floor) sampling. Luma = 299R + 587G + 114B —
+    the Rec.601 weights ×1000, kept UNSCALED so every value is an
+    exact integer (comparisons are scale-invariant)."""
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1
+    w, h, _maxval = tokens
+    out = []
+    for r in range(DHASH_H):
+        rr = (r * h) // DHASH_H
+        for c in range(DHASH_W):
+            cc = (c * w) // DHASH_W
+            o = i + (rr * w + cc) * 3
+            out.append(
+                299 * payload[o] + 587 * payload[o + 1] + 114 * payload[o + 2]
+            )
+    return out
+
+
+def _luma_grid_bytes(payload: bytes) -> list[int]:
+    """Raw-byte fallback (text payloads, pre-decoded planes): cell k
+    of the 72-cell grid samples byte floor(k·n/72); empty payload →
+    all zeros. Exact integers, replayable in SQL from the
+    hex(encode(text)) byte list (the charset-safe decode replay)."""
+    n = len(payload)
+    cells = DHASH_W * DHASH_H
+    if n == 0:
+        return [0] * cells
+    return [payload[(k * n) // cells] for k in range(cells)]
+
+
+def dhash64(payload: bytes) -> int:
+    """The 64-bit dHash as a SIGNED int64 (two's complement — what a
+    Spark LongType holds): bit r·8+c is 1 iff luma(r,c) > luma(r,c+1)
+    on the 8×9 grid. PPM P6 payloads hash their decoded luma; any
+    other payload hashes its raw byte plane."""
+    if payload.startswith(b"P6"):
+        g = _luma_grid_ppm(payload)
+    else:
+        g = _luma_grid_bytes(payload or b"")
+    h = 0
+    for r in range(DHASH_H):
+        for c in range(DHASH_W - 1):
+            if g[r * DHASH_W + c] > g[r * DHASH_W + c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def dhash_assets(df: DataFrame) -> DataFrame:
+    """(asset_id, dhash): the perceptual hashes, Arrow-batched
+    (mapInPandas — payloads never shuffle; the 8-byte hash is all
+    that moves downstream)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pdf["payload"].map(
+                        lambda b: dhash64(bytes(b) if b is not None else b"")
+                    ),
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        kernel, "asset_id bigint, dhash bigint"
+    )
+
+
+def dhash_pairs(
+    assets: DataFrame,
+    *,
+    bands: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_1, id_2, hamming): perceptual near-dup pairs — dHash the
+    payloads, then banded Hamming LSH (dedup.hamming_pairs, the
+    simhash_pairs machinery; sign-safe band extraction because a
+    dHash uses the full 64 bits). Never an all-pairs scan."""
+    sig = dhash_assets(assets)
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        sig, "asset_id", "dhash",
+        bits=64, bands=bands,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )

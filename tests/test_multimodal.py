@@ -199,3 +199,78 @@ def test_features_flow_into_neardup_and_persisted_ann(spark, tmp_path):
         spark, idx, bucketed.filter("vec_id = 0"), k=2, cell_col="cell"
     ).collect()
     assert got and got[0]["vec_id"] == 1  # the near-twin ranks first
+
+
+def _ppm(w, h, px):
+    """Build a P6 payload from a [(r,g,b)] row-major list."""
+    body = bytes(v for p in px for v in p)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def test_dhash64_ppm_luma_comparisons():
+    """A 9x8 PPM maps 1:1 onto the grid: bit r*8+c set iff
+    luma(r,c) > luma(r,c+1); a one-pixel edit flips <= 2 bits."""
+    from starknet_etl_spark.operators.multimodal import dhash64
+
+    import random
+
+    rng = random.Random(7)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(9 * 8)
+    ]
+    pay = _ppm(9, 8, px)
+    h = dhash64(pay)
+
+    def luma(p):
+        return 299 * p[0] + 587 * p[1] + 114 * p[2]
+
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            if luma(px[r * 9 + c]) > luma(px[r * 9 + c + 1]):
+                want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert h == want
+
+    # a single-pixel change can flip at most its two adjacent bits
+    px2 = list(px)
+    px2[3 * 9 + 4] = (255, 255, 255)
+    h2 = dhash64(_ppm(9, 8, px2))
+    assert bin((h ^ h2) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_dhash_pairs_pigeonhole_matches_naive(spark):
+    """Banded Hamming LSH over full 64-bit hashes == the naive
+    all-pairs filter (max_hamming < bands -> no pair lost; sign-safe
+    band extraction for hashes with the top bit set)."""
+    from starknet_etl_spark.operators.multimodal import (
+        dhash64,
+        dhash_pairs,
+    )
+
+    texts = {}
+    base = "q w e r t y u i o p a s d f g h j k l z x c v b n m " * 3
+    for i in range(20):
+        texts[i] = base + f"tail{i % 4}"
+    # planted near-dup: one leading-char edit, same length
+    texts[100] = "Z" + texts[0][1:]
+    rows = [(i, t.encode()) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = sorted(
+        (r["id_1"], r["id_2"], r["hamming"])
+        for r in dhash_pairs(df, max_hamming=3).collect()
+    )
+    hashes = {i: dhash64(t.encode()) for i, t in texts.items()}
+    naive = sorted(
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b
+        and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == naive
+    assert any(a == 0 and b == 100 for a, b, _ in naive)  # planted pair
+    # at least one hash in this corpus should exercise long packing
+    assert all(isinstance(h, int) for h in hashes.values())
