@@ -184,3 +184,50 @@ QUERIES["doc_pack_fill"] = QuerySpec(
     "fill-rate telemetry: BFD vs next-fit bins and q20 fill per"
     " source (the token waste the sort buys back)",
 )
+
+
+# --------------------------------------------------------------------------
+# Curriculum shards (r9): append-stable md5 shard assignment with the
+# intra-shard order driven by a DIFFICULTY signal (word count here —
+# the cheap universal proxy; kn_logprob slots in the same way) and
+# an id tie-break. splits.curriculum_shards. Names crs_.
+# --------------------------------------------------------------------------
+
+_CRS_SHARDS = 8
+
+
+def _curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import curriculum_shards
+    from ..operators.text import word_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_count(F.col("text")).alias("n_words")
+    )
+    return curriculum_shards(
+        docs, "doc_id", "n_words", n_shards=_CRS_SHARDS
+    )
+
+
+_CURRICULUM_SHARDS_ORACLE = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_CRS_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, n_words, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY shard
+              ORDER BY n_words ASC NULLS LAST, doc_id ASC)
+            AS BIGINT) AS shard_pos
+FROM s
+"""
+
+QUERIES["doc_curriculum_shards"] = QuerySpec(
+    _curriculum_shards,
+    _CURRICULUM_SHARDS_ORACLE,
+    "curriculum-ordered training shards: append-stable md5 shard,"
+    " intra-shard easy-to-hard order with deterministic tie-break",
+)

@@ -166,6 +166,80 @@ def write_shards(
     )
 
 
+def curriculum_shards(
+    df: DataFrame,
+    id_col: str,
+    signal_col: str,
+    *,
+    n_shards: int,
+    ascending: bool = True,
+    salt: str = "",
+) -> DataFrame:
+    """Difficulty-ordered training shards (r9): ``shard`` is the
+    append-stable md5 assignment (shuffle_shards' discipline — a
+    grown corpus never moves old rows across shards), but the
+    intra-shard order is the CURRICULUM: ``shard_pos`` ranks by
+    (``signal_col`` asc-or-desc, id) — easy-to-hard with a
+    deterministic tie-break. Each shard is a hash-stratified sample
+    of the full difficulty distribution, so a loader streaming any
+    shard sees the whole curriculum ramp, and streaming shards
+    round-robin preserves it globally. Feed any difficulty signal:
+    word count, KN logprob (knlm.kn_logprob — the CCNet-style
+    choice), quality-model score.
+
+    NULL signals sort LAST in either direction (explicit: Spark
+    defaults NULLs first ascending, DuckDB last — the recorded
+    cross-engine split; unscored docs belong at the hard end, not
+    silently first in every shard).
+
+    Scale: map-only shard id + ONE window sort keyed by shard (the
+    shuffle_shards shape — never a global orderBy)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    )
+    sig = (
+        F.asc_nulls_last(F.col(signal_col))
+        if ascending
+        else F.desc_nulls_last(F.col(signal_col))
+    )
+    w = Window.partitionBy("shard").orderBy(sig, F.col(id_col))
+    return df.withColumn("shard", shard.cast("long")).withColumn(
+        "shard_pos", F.row_number().over(w).cast("long")
+    )
+
+
+def write_curriculum_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    signal_col: str,
+    *,
+    n_shards: int,
+    ascending: bool = True,
+    salt: str = "",
+) -> None:
+    """Materialize :func:`curriculum_shards` as the training layout:
+    one directory per shard, rows in curriculum order (the
+    write_shards shape — one repartition on the shard id + the
+    window sort; byte-stable for a fixed corpus and salt)."""
+    sharded = curriculum_shards(
+        df, id_col, signal_col,
+        n_shards=n_shards, ascending=ascending, salt=salt,
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
