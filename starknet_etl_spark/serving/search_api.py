@@ -491,6 +491,87 @@ def quality_score_response(
     )
 
 
+def reward_score_rows(
+    spark, model_path: str, texts: list[str], *, dim: int = 16
+) -> list[dict[str, Any]]:
+    """(text_idx, reward) for ad-hoc CONVERSATIONS scored with the
+    persisted pairwise reward model (quality_model.save_model
+    artifact shape, trained by reward_model.train_reward_model):
+    the standard response-feature recipe + the map-only scorer — the
+    best-of-n reranker's serving shape. Conversations with no
+    response after the last user turn score NULL."""
+    from ..operators.quality_model import load_model
+    from ..operators.reward_model import (
+        response_features,
+        score_reward,
+    )
+
+    if not texts:
+        return []
+    w = load_model(spark, model_path)
+    if len(w) != 2 + dim:
+        raise ValueError(
+            f"model width {len(w)} != 2 scalars+dim ({2 + dim}); "
+            "pass the dim the model was trained with"
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    feats = response_features(df, "doc_id", "text", dim=dim)
+    got = {
+        int(r["doc_id"]): r["reward"]
+        for r in score_reward(feats, w, id_col="doc_id").collect()
+    }
+    return [
+        {"text_idx": i, "reward": got.get(i)}
+        for i in range(len(texts))
+    ]
+
+
+def reward_score_response(
+    spark, model_path: str, texts: list[str], *, dim: int = 16
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: reward_score_rows(spark, model_path, texts, dim=dim)
+    )
+
+
+def langid_rows(
+    spark, model_path: str, texts: list[str], *, dim: int = 32
+) -> list[dict[str, Any]]:
+    """(text_idx, lang_pred) for ad-hoc texts classified with the
+    persisted trained language-ID model (langid.save_langid
+    artifact). Tie-break precedence is the artifact's class-sorted
+    order (load_langid's contract)."""
+    from ..operators.langid import load_langid, predict_langid
+    from ..operators.text import hash_embed
+
+    if not texts:
+        return []
+    models = load_langid(spark, model_path)
+    widths = {len(ws) for ws in models.values()}
+    if widths != {dim + 1}:
+        raise ValueError(
+            f"model widths {sorted(widths)} != bias+dim ({dim + 1}); "
+            "pass the dim the model was trained with"
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    emb = hash_embed(df, "doc_id", "text", dim=dim)
+    pred = predict_langid(emb, models, id_col="doc_id")
+    return [
+        {"text_idx": int(r["doc_id"]), "lang_pred": r["lang_pred"]}
+        for r in pred.orderBy("doc_id").collect()
+    ]
+
+
+def langid_response(
+    spark, model_path: str, texts: list[str], *, dim: int = 32
+) -> dict[str, Any]:
+    return _wrap(lambda: langid_rows(spark, model_path, texts, dim=dim))
+
+
 def kn_score_rows(
     spark, model_path: str, texts: list[str]
 ) -> list[dict[str, Any]]:
@@ -588,6 +669,10 @@ def create_search_app(
     unigram_max_word_len: int = 16,
     quality_model_path: str | None = None,
     quality_model_dim: int = 16,
+    reward_model_path: str | None = None,
+    reward_model_dim: int = 16,
+    langid_model_path: str | None = None,
+    langid_model_dim: int = 32,
     kn_model_path: str | None = None,
     cms_sketch: str | None = None,
     cms_depth: int = 4,
@@ -608,6 +693,10 @@ def create_search_app(
     - ``GET /hybrid_ltr?q=...&v=...&k=10`` (both indexes +
       ``ltr_weights``: learned fusion instead of RRF)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
+    - ``GET /reward?t=user:+...%0Aassistant:+...`` (persisted pairwise
+      reward model scoring the conversation's response)
+    - ``GET /langid?t=some+document+text`` (persisted trained
+      language-ID model)
     - ``GET /kn?t=some+document+text`` (persisted Kneser-Ney LM:
       mean log2 probability — the fluency-gate serving shape)
     - ``GET /tokenize?t=some+text&model=bpe|unigram`` (persisted
@@ -749,6 +838,28 @@ def create_search_app(
                 lambda: quality_score_response(
                     spark, quality_model_path, [t],
                     dim=quality_model_dim,
+                )
+            )
+
+    if reward_model_path is not None:
+
+        @app.get("/reward")
+        def reward(t: str):
+            return run(
+                lambda: reward_score_response(
+                    spark, reward_model_path, [t],
+                    dim=reward_model_dim,
+                )
+            )
+
+    if langid_model_path is not None:
+
+        @app.get("/langid")
+        def langid(t: str):
+            return run(
+                lambda: langid_response(
+                    spark, langid_model_path, [t],
+                    dim=langid_model_dim,
                 )
             )
 

@@ -1,0 +1,62 @@
+"""Streaming language-ID with a FROZEN persisted model.
+
+The streaming/knlm.py discipline: the multiclass classifier trains
+offline (langid.train_langid, persisted via langid.save_langid);
+each micro-batch of documents featurizes (hash_embed) and predicts
+map-only against the frozen per-class weights, and (id, lang_pred)
+rows append exactly-once via ``io.append_once``. Tie-break
+precedence is the artifact's class-sorted order (load_langid's
+contract) — stable across ticks by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.langid import load_langid, predict_langid
+from ..operators.text import hash_embed
+
+
+def start_langid_stream(
+    docs: DataFrame,
+    *,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Classify a streaming document source with the persisted
+    langid model at ``model_path``; exactly-once append of
+    (id, lang_pred) to ``out_path``."""
+
+    model_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not model_cache:
+            models = load_langid(batch.sparkSession, model_path)
+            widths = {len(ws) for ws in models.values()}
+            if widths != {dim + 1}:
+                raise ValueError(
+                    f"model widths {sorted(widths)} != bias+dim"
+                    f" ({dim + 1}); pass the training dim"
+                )
+            model_cache.append(models)
+        emb = hash_embed(batch, id_col, text_col, dim=dim)
+        out = predict_langid(emb, model_cache[0], id_col=id_col)
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,68 @@
+"""Streaming reward scoring with a FROZEN persisted model.
+
+The streaming/knlm.py discipline: the pairwise reward model trains
+offline on a preference snapshot (reward_model.train_reward_model,
+persisted via quality_model.save_model); each micro-batch of
+CONVERSATIONS is featurized (response_features) and scored map-only
+against the frozen weights, and (id, reward) rows append
+exactly-once via ``io.append_once``. Model updates are a retrain +
+new path, never in-place — two ticks scored under different weights
+are silently incomparable.
+
+The natural consumer is online rejection sampling: score each tick's
+candidate responses, keep per-prompt argmaxes downstream
+(reward_model.best_of_n_by_reward is the batch twin of that step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.quality_model import load_model
+from ..operators.reward_model import response_features, score_reward
+
+
+def start_reward_score_stream(
+    convs: DataFrame,
+    *,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Score a streaming conversation source with the persisted
+    reward model at ``model_path``; exactly-once append of
+    (id, reward) to ``out_path``. Conversations with no response
+    after the last user turn emit nothing (extract drops them — the
+    batch scorer's contract)."""
+
+    model_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not model_cache:
+            w = load_model(batch.sparkSession, model_path)
+            if len(w) != 2 + dim:
+                raise ValueError(
+                    f"model width {len(w)} != 2 scalars+dim"
+                    f" ({2 + dim}); pass the training dim"
+                )
+            model_cache.append(w)
+        feats = response_features(batch, id_col, text_col, dim=dim)
+        out = score_reward(feats, model_cache[0], id_col=id_col)
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        convs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -119,3 +119,79 @@ def test_train_langid_validation(spark):
         )
     with pytest.raises(ValueError, match="no classes"):
         predict_langid(f, {}, vec_col="embedding")
+
+
+def test_langid_stream_matches_batch_and_replays(spark, tmp_path):
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.langid import (
+        predict_langid,
+        save_langid,
+        train_langid,
+    )
+    from starknet_etl_spark.operators.text import hash_embed
+    from starknet_etl_spark.streaming.langid import start_langid_stream
+
+    f = _feats(spark, _corpus(spark))
+    models = train_langid(
+        f, "doc_id", "lab", vec_col="embedding", dim=8,
+        classes=("aa", "bb", "cc"), n_rounds=6,
+    )
+    mp = str(tmp_path / "lid_model")
+    save_langid(spark, models, mp)
+
+    held = spark.createDataFrame(
+        [(100, "alpha alpha x"), (101, "beta beta y"), (102, "gamma gamma z")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    held.repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_langid_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            model_path=mp,
+            out_path=out,
+            checkpoint=ckpt,
+            dim=8,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    emb = hash_embed(held, "doc_id", "text", dim=8)
+    # load_langid sorts classes; mirror that order for parity
+    want = {
+        tuple(r)
+        for r in predict_langid(
+            emb, models, id_col="doc_id",
+            classes=tuple(sorted(models)),
+        ).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()
+    assert spark.read.parquet(out).count() == n
+
+
+def test_langid_serving_rows(spark, tmp_path):
+    from starknet_etl_spark.operators.langid import save_langid
+    from starknet_etl_spark.serving.search_api import langid_rows
+
+    import pytest as _pytest
+
+    models = {"aa": [0.0] * 9, "bb": [1.0] + [0.0] * 8}
+    mp = str(tmp_path / "m")
+    save_langid(spark, models, mp)
+    rows = langid_rows(spark, mp, ["hello there", "more text"], dim=8)
+    assert [r["text_idx"] for r in rows] == [0, 1]
+    assert all(r["lang_pred"] == "bb" for r in rows)  # bias wins
+    with _pytest.raises(ValueError, match="model widths"):
+        langid_rows(spark, mp, ["x"], dim=5)
+    assert langid_rows(spark, mp, [], dim=8) == []

@@ -182,3 +182,92 @@ def test_trainer_validation(spark):
         train_reward_model(empty, dim=3)
     with pytest.raises(ValueError, match="non-empty"):
         score_reward(df, [])
+
+
+def test_reward_stream_matches_batch_and_replays(spark, tmp_path):
+    """Frozen-model streaming scorer == batch scorer; a replayed
+    tick (commits wiped) appends nothing (append_once ledger)."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.quality_model import save_model
+    from starknet_etl_spark.operators.reward_model import (
+        response_features,
+        score_reward,
+        train_reward_model,
+    )
+    from starknet_etl_spark.streaming.reward import (
+        start_reward_score_stream,
+    )
+
+    w = train_reward_model(_pairs_df(spark, PAIRS), dim=3, n_rounds=4)
+    # widen to the serving recipe width: retrain tiny model at dim=4
+    convs = spark.createDataFrame(
+        [(1, "user: a b\nassistant: x y z"),
+         (2, "user: c d\nassistant: x x x"),
+         (3, "no user turn at all")],
+        ["doc_id", "text"],
+    )
+    feats = response_features(convs, dim=4)
+    dummy_pairs = spark.createDataFrame(
+        [("1", "2")], "chosen_id string, rejected_id string"
+    ).crossJoin(
+        feats.limit(1).select(
+            feats["fv"].alias("chosen_fv"), feats["fv"].alias("rejected_fv")
+        )
+    )
+    w6 = train_reward_model(dummy_pairs, dim=6, n_rounds=1)
+    mp = str(tmp_path / "rm_model")
+    save_model(spark, w6, mp)
+
+    src = str(tmp_path / "src")
+    convs.repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _go():
+        q = start_reward_score_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            model_path=mp,
+            out_path=out,
+            checkpoint=ckpt,
+            dim=4,
+        )
+        q.awaitTermination(120)
+
+    _go()
+    want = {
+        tuple(r)
+        for r in score_reward(feats, w6, id_col="doc_id").collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert len(got) == 2  # doc 3 has no response -> no row
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    _go()
+    assert spark.read.parquet(out).count() == n
+    del w, os
+
+
+def test_reward_serving_rows(spark, tmp_path):
+    from starknet_etl_spark.operators.quality_model import save_model
+    from starknet_etl_spark.serving.search_api import reward_score_rows
+
+    import pytest as _pytest
+
+    w = [0.5] + [0.25] * 5  # 2 scalars + dim=4
+    mp = str(tmp_path / "m")
+    save_model(spark, w, mp)
+    rows = reward_score_rows(
+        spark, mp,
+        ["user: q\nassistant: a b c", "nope"],
+        dim=4,
+    )
+    assert rows[0]["text_idx"] == 0 and rows[0]["reward"] is not None
+    assert rows[1]["reward"] is None  # no response to score
+    with _pytest.raises(ValueError, match="model width"):
+        reward_score_rows(spark, mp, ["x"], dim=9)
+    assert reward_score_rows(spark, mp, [], dim=4) == []
