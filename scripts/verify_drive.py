@@ -615,5 +615,135 @@ _want_n = (
 )
 assert _got_n == _want_n == '"a b" dash - fin', (_got_n, _want_n)
 
+# ---- segment 13 (r9): reward model, trained langid, dHash, FIM,
+# loss masks, curriculum shards — each independently recomputed.
+
+from starknet_etl_spark.operators.reward_model import (
+    pairwise_accuracy,
+    train_reward_model,
+)
+
+_rm_pairs = [
+    ([0.9, 0.1], [0.1, 0.9]),
+    ([0.8, 0.2], [0.2, 0.7]),
+    ([0.7, 0.0], [0.0, 0.8]),
+]
+_rm_df = spark.createDataFrame(
+    [(f"c{i}", f"r{i}", list(c), list(r))
+     for i, (c, r) in enumerate(_rm_pairs)],
+    "chosen_id string, rejected_id string,"
+    " chosen_fv array<double>, rejected_fv array<double>",
+)
+_rw = train_reward_model(_rm_df, dim=2, n_rounds=3, lr=0.25)
+# sequential replay of the dyadic squared-hinge GD
+_dx = [[_q(c[j]) - _q(r[j]) for j in range(2)] for c, r in _rm_pairs]
+_ww = [0.0, 0.0]
+for _ in range(3):
+    _ps = [_q(sum(d[j] * _ww[j] for j in range(2))) for d in _dx]
+    _ss = [max(0.0, 1.0 - p) for p in _ps]
+    _gs = [
+        _q(sum(-2.0 * s * d[j] for s, d in zip(_ss, _dx)) / 3.0)
+        for j in range(2)
+    ]
+    _ww = [_q(_ww[j] - 0.25 * _gs[j]) for j in range(2)]
+assert _rw == _ww, (_rw, _ww)
+_acc = pairwise_accuracy(_rm_df, _rw).first()
+assert _acc["n_correct"] == 3 and _acc["accuracy"] == 1.0
+
+from starknet_etl_spark.operators.langid import (
+    predict_langid,
+    train_langid,
+)
+from starknet_etl_spark.operators.text import hash_embed as _he
+
+_lid_rows = [
+    (i, ["aa", "bb"][i % 2],
+     ("alpha alpha" if i % 2 == 0 else "beta beta") + f" n{i % 3}")
+    for i in range(12)
+]
+_lid_df = spark.createDataFrame(
+    _lid_rows, "doc_id long, lab string, text string"
+)
+_lid_f = _lid_df.join(_he(_lid_df, "doc_id", "text", dim=8), "doc_id")
+_lid_m = train_langid(
+    _lid_f, "doc_id", "lab", vec_col="embedding", dim=8,
+    classes=("aa", "bb"), n_rounds=6,
+)
+_lid_p = {
+    r["doc_id"]: r["lang_pred"]
+    for r in predict_langid(
+        _lid_f, _lid_m, id_col="doc_id", classes=("aa", "bb")
+    ).collect()
+}
+assert all(_lid_p[i] == lab for i, lab, _t in _lid_rows), _lid_p
+
+from starknet_etl_spark.operators.multimodal import dhash64, dhash_pairs
+
+_ph_base = ("m n b v c x z l k j h g f d s a p o i u y t r e w q " * 3).encode()
+_ph_near = b"Z" + _ph_base[1:]
+_ph_df = spark.createDataFrame(
+    [(1, _ph_base), (2, _ph_near), (3, b"totally different bytes " * 6)],
+    "asset_id long, payload binary",
+)
+_ph_got = {
+    (r["id_1"], r["id_2"]): r["hamming"]
+    for r in dhash_pairs(_ph_df, max_hamming=3).collect()
+}
+_h1, _h2 = dhash64(_ph_base), dhash64(_ph_near)
+_hd = bin((_h1 ^ _h2) & ((1 << 64) - 1)).count("1")
+assert _hd <= 2 and _ph_got.get((1, 2)) == _hd, (_ph_got, _hd)
+
+from starknet_etl_spark.operators.fim import fim_transform
+
+_fim_doc = " ".join(f"t{i}" for i in range(12))
+_fim_out = fim_transform(
+    spark.createDataFrame([(7, _fim_doc)], "doc_id long, text string"),
+    rate=1.0,
+).first()
+assert _fim_out["fim_applied"]
+_ft = _fim_out["text"].split()
+_si = _ft.index("<fim_suffix>")
+_mi = _ft.index("<fim_middle>")
+assert _ft[1:_si] + _ft[_mi + 1:] + _ft[_si + 1:_mi] == _fim_doc.split()
+
+from starknet_etl_spark.operators.turns import (
+    mask_stats,
+    pack_turns,
+    parse_turns,
+)
+
+_mt = parse_turns(
+    spark.createDataFrame(
+        [("c1", "user: a b\nassistant: c d e\nuser: f")],
+        ["doc_id", "text"],
+    )
+)
+_ms = mask_stats(
+    pack_turns(_mt, budget=4, mask_roles=("assistant",))
+).collect()
+_tot = sum(r["total_tokens"] for r in _ms)
+_loss = sum(r["loss_tokens"] for r in _ms)
+assert (_tot, _loss) == (6, 3), (_tot, _loss)
+
+from starknet_etl_spark.operators.splits import curriculum_shards
+import hashlib as _hl
+
+_cs = curriculum_shards(
+    spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(16)], "doc_id long, sig int"
+    ),
+    "doc_id", "sig", n_shards=3,
+).collect()
+for r in _cs:
+    _want_sh = int(_hl.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 3
+    assert r["shard"] == _want_sh, r
+_by = {}
+for r in _cs:
+    _by.setdefault(r["shard"], []).append(r)
+for _sh, _mem in _by.items():
+    _mem.sort(key=lambda r: r["shard_pos"])
+    _keys = [(r["sig"], r["doc_id"]) for r in _mem]
+    assert _keys == sorted(_keys), _sh
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

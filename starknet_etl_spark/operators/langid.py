@@ -163,13 +163,21 @@ def predict_langid(
     order = tuple(classes) if classes is not None else tuple(models)
     if not order:
         raise ValueError("no classes to predict")
-    scores = {c: _score_expr(models[c], vec_col) for c in order}
-    best = F.greatest(*scores.values()) if len(order) > 1 else scores[
-        order[0]
-    ]
-    out: Column = F.lit(None).cast("string")
-    for c in reversed(order):
-        out = F.when(scores[c] == best, F.lit(c)).otherwise(out)
+    # One array of the C score expressions, argmax by
+    # array_position(arr, array_max(arr)) — FIRST match, i.e. the
+    # class-order precedence. A chained when(score==best) tie-break
+    # would re-embed every C·(dim+1)-term expression per arm (~30
+    # copies), overflowing whole-stage codegen into the interpreter
+    # (measured 4 s for a map-only 5k-doc scoring pass; this form is
+    # <1 s — the expressions appear twice and CSE folds them).
+    arr = F.array(*[_score_expr(models[c], vec_col) for c in order])
+    pos = F.array_position(arr, F.array_max(arr))
+    out: Column = F.when(
+        pos > 0,
+        F.element_at(
+            F.array(*[F.lit(c) for c in order]), pos.cast("int")
+        ),
+    )
     ids = [id_col] if isinstance(id_col, str) else list(id_col)
     return df.select(*[F.col(c) for c in ids], out.alias(out_col))
 
