@@ -670,3 +670,96 @@ QUERIES = {
     "top3_per_type": QuerySpec(_top3_per_type, _TOP3_ORACLE, "window rank top-N"),
     "value_delta": QuerySpec(_value_delta, _VALUE_DELTA_ORACLE, "window lag delta"),
 }
+
+
+# --------------------------------------------------------------------------
+# Continuous aggregate / hypertable rollup (r9): a persisted
+# time-bucketed aggregate maintained incrementally from append-only
+# batches (operators/rollup.py). Two rows: the read-side algebra
+# in-plan, and the FULL persisted lifecycle (build → append → replayed
+# append no-ops on the ledger → compact → read) against one full-
+# recompute oracle — build(A) ⊕ append(B) == build(A ∪ B) bit-equal,
+# because every stored measure is a dyadically-quantized sufficient
+# statistic (no ROUND anywhere: the sums are exact by construction,
+# which IS the design claim under test). Names _RU_/ru_.
+# --------------------------------------------------------------------------
+
+_RU_ORACLE = """
+WITH ru AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         event_type,
+         floor(value * 1048576.0 + 0.5) / 1048576.0 AS v
+  FROM events
+)
+SELECT bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(v) AS BIGINT) AS n_value,
+       SUM(v) AS sum_value,
+       MIN(v) AS min_value,
+       MAX(v) AS max_value,
+       CASE WHEN COUNT(v) > 0
+            THEN floor(SUM(v) / COUNT(v) * 1048576.0 + 0.5) / 1048576.0
+       END AS avg_value
+FROM ru
+GROUP BY bucket, event_type
+"""
+
+
+def _rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-batch rollup via the shared read-side algebra
+    (merge_partials ∘ rollup_partials) — the pure-plan differential
+    for the continuous aggregate's arithmetic."""
+    from ..operators.rollup import merge_partials, rollup_partials
+
+    ev = _ev(spark, sf_dir)
+    part = rollup_partials(
+        ev, ts_col="ts", dims=["event_type"], value_col="value",
+        bucket="hour",
+    )
+    return merge_partials(part, ["event_type"])
+
+
+def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted lifecycle: build from the even-event_id half,
+    fold the odd half in as an incremental batch, re-fold the SAME
+    batch id (must no-op on the append_once ledger — an additive
+    merge double-counts on replay, so this line IS the exactly-once
+    evidence), compact the partial log, read back. The oracle is the
+    one-shot full recompute: any drift anywhere in the lifecycle
+    flips the hash."""
+    from . import scratch_path
+    from ..operators.rollup import (
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+    )
+
+    ev = _ev(spark, sf_dir)
+    path = scratch_path(spark, sf_dir, "rollup_events")
+    build_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        ts_col="ts", dims=["event_type"], value_col="value",
+        bucket="hour",
+    )
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    append_rollup(delta, path, batch_id=1)
+    replay_ran = append_rollup(delta, path, batch_id=1)
+    assert replay_ran is False, "replayed batch must no-op"
+    compact_rollup(spark, path)
+    return read_rollup(spark, path)
+
+
+QUERIES["events_rollup_hourly"] = QuerySpec(
+    _rollup_hourly,
+    _RU_ORACLE,
+    "continuous-aggregate read algebra: hourly (bucket, type) grain,"
+    " dyadic-exact sums, derived avg",
+)
+
+QUERIES["events_rollup_incremental"] = QuerySpec(
+    _rollup_incremental,
+    _RU_ORACLE,
+    "persisted rollup lifecycle: build + incremental append +"
+    " replayed-batch no-op + compact == one-shot recompute, bit-equal",
+)

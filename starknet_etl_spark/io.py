@@ -588,7 +588,9 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
 #: probes double-subtract already-consolidated forgets).
 #: ``_batches`` has its own empty-marker copier; ``_SUCCESS`` is
 #: disposable.
-_METADATA_DIRS = ("_centroids", "_codebooks", "_purged")
+#: ``_rollup_spec`` is the continuous aggregate's persisted grain
+#: (operators/rollup.py) — losing it would orphan the partial log.
+_METADATA_DIRS = ("_centroids", "_codebooks", "_purged", "_rollup_spec")
 
 
 def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:

@@ -1,0 +1,336 @@
+"""Continuous aggregate (hypertable-style rollup): a persisted,
+time-bucketed aggregate table that is maintained INCREMENTALLY from
+append-only event batches and stays bit-equal to a full recompute.
+
+The reference's report DAG (generate_report_dag.py) truncates and
+re-aggregates the whole events table on every run (S10); a 100 TB
+event stream cannot afford that. The Spark-native design here is the
+classic mergeable-summary decomposition, the same algebra the
+streaming sketches (streaming/sketches.py) already exploit:
+
+- the rollup's grain is ``(bucket, *dims)`` where ``bucket`` is the
+  BIGINT epoch-second start of a fixed-width time bucket — the
+  partition column, so reads prune to the asked time range and an
+  incremental append touches only the buckets its batch spans;
+- every stored measure is a SUFFICIENT STATISTIC under addition /
+  idempotent merge: counts and dyadically-quantized sums (additive),
+  min/max (idempotent). ``avg`` is DERIVED at read (sum/count) and is
+  therefore always consistent — the classic "never store averages"
+  rule;
+- maintenance is an APPEND-ONLY partial-aggregate log: each batch
+  appends its own partials under an ``io.append_once`` batch marker
+  (exactly-once — an additive merge is NOT idempotent, so a replayed
+  batch without the ledger would silently double-count), and the
+  true rollup is a merge-at-read over partials. Nothing is ever
+  rewritten in the hot path, so there is no crash window at all;
+- :func:`compact_rollup` collapses the partial log per bucket on a
+  maintenance cadence. Compaction is a PURE rewrite (read partials →
+  merge → swap), so re-running a crashed compaction heals it.
+
+Bit-equality contract: values are quantized on the dyadic 2^-20 grid
+at partial-build time (the quality_model.py discipline), which makes
+every stored sum EXACT integer arithmetic in disguise — so
+``build(A) ⊕ append(B) == build(A ∪ B)`` bit-for-bit, across any
+partitioning and any batch split, while |Σv·2^20| stays under 2^53
+(≈ 8e9 in value units per (bucket, dims) group; beyond that the
+ordinary double-rounding caveat applies and comparisons fall back to
+the catalog rounding discipline).
+
+Scale notes (100 TB): the partial build is one map-side-combinable
+aggregate over the batch; the log holds one row per (batch, bucket,
+dims) — bounded by bucket cardinality, not event volume; reads prune
+on the bucket partition column; compaction rewrites only the rollup
+table (tiny), never the raw events.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io as _io
+
+#: dyadic quantization grid (2^-20) — see quality_model.py: floor on
+#: the shifted grid is exact in IEEE doubles and order-independent.
+_Q = 1048576.0
+
+#: supported bucket widths, seconds.
+BUCKETS = {"minute": 60, "hour": 3600, "day": 86400}
+
+#: directory-chunk widths: the PARTITION grain, deliberately coarser
+#: than the bucket grain (the hypertable chunk/bucket split). One dir
+#: per fine bucket would mean 8,760 dirs per dim-combination-year of
+#: hourly data — listing-heavy and tiny-filed; a day/month chunk keeps
+#: directory counts sane while reads still prune on the chunk column.
+CHUNKS = {"day": 86400, "month": 2678400}
+
+
+def _quant(col: Column) -> Column:
+    return F.floor(col * F.lit(_Q) + F.lit(0.5)) / F.lit(_Q)
+
+
+def bucket_col(ts_col: str, bucket: str) -> Column:
+    """Epoch-second start of the ``bucket``-width window containing
+    ``ts_col`` — a plain BIGINT, so it satisfies the partition-dir
+    contract of io._replace_touched_partitions and prunes cleanly."""
+    width = BUCKETS[bucket]
+    epoch = F.col(ts_col).cast("double")
+    return (F.floor(epoch / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def _chunk_of(bucket: Column, chunk: str) -> Column:
+    width = CHUNKS[chunk]
+    return (F.floor(bucket / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def rollup_partials(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    dims: list[str],
+    value_col: str,
+    bucket: str = "hour",
+    chunk: str = "day",
+) -> DataFrame:
+    """One batch's partial rollup: the mergeable sufficient statistics
+    at the ``(bucket, *dims)`` grain, tagged with the coarser
+    ``chunk`` partition key. Pure plan — one aggregate with map-side
+    combine; output size is bounded by group cardinality."""
+    if bucket not in BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(BUCKETS)}")
+    if chunk not in CHUNKS or CHUNKS[chunk] < BUCKETS[bucket]:
+        raise ValueError(
+            f"chunk must be one of {sorted(CHUNKS)} and >= bucket width"
+        )
+    v = _quant(F.col(value_col))
+    return (
+        df.select(
+            bucket_col(ts_col, bucket).alias("bucket"),
+            *[F.col(d) for d in dims],
+            v.alias("__v"),
+        )
+        .groupBy("bucket", *dims)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("__v").cast("long").alias("n_value"),
+            F.sum("__v").alias("sum_value"),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+        )
+        .withColumn("chunk", _chunk_of(F.col("bucket"), chunk))
+    )
+
+
+def _spec_path(path: str) -> str:
+    return f"{path}/_rollup_spec/spec.json"
+
+
+def _write_spec(spark: SparkSession, path: str, spec: dict) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(spec, sort_keys=True).encode()))
+    out.close()
+
+
+def read_spec(spark: SparkSession, path: str) -> dict:
+    """The rollup's persisted grain spec (ts column, dims, value
+    column, bucket width) — appends validate against it so two
+    writers can never mix grains in one table."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no rollup spec at {_spec_path(path)}")
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def build_rollup(
+    df: DataFrame,
+    path: str,
+    *,
+    ts_col: str,
+    dims: list[str],
+    value_col: str,
+    bucket: str = "hour",
+    chunk: str = "day",
+) -> None:
+    """Create the rollup table at ``path`` from an initial corpus:
+    partials partitioned by the coarse ``chunk`` key plus the
+    persisted grain spec. The table is an append-only partial log
+    from day one — the build is just batch 0's partials. Each chunk
+    dir gets one file per write (the partial frame is repartitioned
+    on chunk first — it is tiny by construction)."""
+    part = rollup_partials(
+        df, ts_col=ts_col, dims=dims, value_col=value_col,
+        bucket=bucket, chunk=chunk,
+    )
+    part.repartition("chunk").write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(path)
+    _write_spec(
+        df.sparkSession,
+        path,
+        {
+            "ts_col": ts_col,
+            "dims": list(dims),
+            "value_col": value_col,
+            "bucket": bucket,
+            "chunk": chunk,
+        },
+    )
+
+
+def append_rollup(
+    delta: DataFrame, path: str, batch_id: int
+) -> bool:
+    """Fold one append-only event batch into the rollup: aggregate the
+    batch to partials under the persisted spec and APPEND them under
+    an ``append_once`` marker. Returns False when ``batch_id`` already
+    committed (a replay) — the exactly-once guard matters here more
+    than anywhere: an additive merge double-counts on replay.
+
+    No existing data is read or rewritten — the hot path is one
+    bounded aggregate plus one append, regardless of table history.
+    """
+    spark = delta.sparkSession
+    spec = read_spec(spark, path)
+    part = rollup_partials(
+        delta,
+        ts_col=spec["ts_col"],
+        dims=spec["dims"],
+        value_col=spec["value_col"],
+        bucket=spec["bucket"],
+        chunk=spec["chunk"],
+    ).repartition("chunk")
+    return _io.append_once(part, path, batch_id, partition_by=["chunk"])
+
+
+def _read_partials(spark: SparkSession, path: str) -> DataFrame:
+    # Spark re-INFERS partition-column types on read: an epoch-second
+    # chunk fits INT, silently narrowing the key. Pin BIGINT.
+    return spark.read.parquet(path).withColumn(
+        "chunk", F.col("chunk").cast("long")
+    )
+
+
+def merge_partials(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Fold a partial-statistics frame per ``(bucket, *dims)`` and
+    derive ``avg_value`` — the read-side algebra, shared by
+    :func:`read_rollup`, :func:`compact_rollup`, and the catalog's
+    in-plan differential row so the oracle checks exactly the code the
+    lifecycle runs. Addition over the dyadic grid is exact, so folding
+    partials in any order is bit-equal to aggregating the raw rows."""
+    merged = df.groupBy("bucket", *dims).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_value").cast("long").alias("n_value"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return merged.withColumn(
+        "avg_value",
+        F.when(
+            F.col("n_value") > 0, _quant(F.col("sum_value") / F.col("n_value"))
+        ),
+    )
+
+
+def read_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    bucket_min: int | None = None,
+    bucket_max: int | None = None,
+) -> DataFrame:
+    """The merged rollup: fold the partial log per ``(bucket, *dims)``
+    and derive ``avg_value``. A bucket range prunes on the CHUNK
+    partition column BEFORE the merge (the range floored to the chunk
+    grid) — the scan never touches other chunks' directories
+    (plan-gated in tests); the fine bucket bound then trims inside the
+    boundary chunks."""
+    spec = read_spec(spark, path)
+    df = _read_partials(spark, path)
+    width = CHUNKS[spec["chunk"]]
+    if bucket_min is not None:
+        df = df.filter(
+            F.col("chunk") >= F.lit((bucket_min // width) * width)
+        ).filter(F.col("bucket") >= F.lit(bucket_min))
+    if bucket_max is not None:
+        df = df.filter(
+            F.col("chunk") <= F.lit((bucket_max // width) * width)
+        ).filter(F.col("bucket") <= F.lit(bucket_max))
+    return merge_partials(df.drop("chunk"), spec["dims"])
+
+
+def compact_rollup(spark: SparkSession, path: str) -> None:
+    """Collapse the partial log to one row per ``(bucket, *dims)``.
+    A pure rewrite of the table's own content — crash-idempotent
+    (re-running a failed compaction produces the same result), and the
+    ``_batches`` replay ledger plus the grain spec survive the dir
+    swap (the io._replace_dir metadata discipline, r4/r5 lessons).
+    Run on the same maintenance cadence as io.compact_table."""
+    spec = read_spec(spark, path)
+    merged = (
+        merge_partials(
+            _read_partials(spark, path).drop("chunk"), spec["dims"]
+        )
+        # avg is DERIVED, never stored — the compacted log keeps only
+        # the sufficient statistics so future merges stay additive.
+        .drop("avg_value")
+        .withColumn("chunk", _chunk_of(F.col("bucket"), spec["chunk"]))
+    )
+    tmp = f"{path}__tmp_compact"
+    merged.repartition("chunk").write.mode("overwrite").partitionBy(
+        "chunk"
+    ).parquet(tmp)
+    # _replace_dir carries the _batches replay ledger and every
+    # io._METADATA_DIRS entry — _rollup_spec is registered there, so
+    # the grain spec survives the swap (the r4 _batches-loss lesson).
+    _io._replace_dir(spark, path, tmp)
+
+
+def rollup_stats(spark: SparkSession, path: str) -> dict:
+    """Health card for the maintenance tick: partial-log depth per
+    bucket (max rows per (bucket, dims) group) and bucket count. A
+    deep log means reads re-merge too much — time to compact."""
+    spec = read_spec(spark, path)
+    df = _read_partials(spark, path)
+    row = (
+        df.groupBy("bucket", *spec["dims"])
+        .agg(F.count(F.lit(1)).alias("depth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_groups": row["n_groups"],
+        "max_depth": row["max_depth"] or 0,
+        "n_buckets": row["n_buckets"],
+    }
+
+
+def maintain_rollup(
+    spark: SparkSession, path: str, *, max_depth: int = 8
+) -> str:
+    """One maintenance tick: compact when the partial log is deeper
+    than ``max_depth`` anywhere, else no-op. Exactly one action per
+    tick (the index_health.py discipline)."""
+    stats = rollup_stats(spark, path)
+    if stats["max_depth"] > max_depth:
+        compact_rollup(spark, path)
+        return "compacted"
+    return "ok"

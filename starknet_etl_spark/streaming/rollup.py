@@ -1,0 +1,44 @@
+"""Streaming continuous-aggregate maintenance: the rollup's partial
+log is the textbook foreachBatch sink — each micro-batch's partials
+are ADDITIVE, so exactly-once falls out of the ``io.append_once``
+ledger exactly as it does for the count-min stream
+(streaming/sketches.py). The stream writes one bounded aggregate per
+tick; :func:`..operators.rollup.read_rollup` merges at read time.
+
+Batch/stream parity is structural: ``append_rollup`` is the SAME
+function the batch maintenance path calls, so a stream of ticks in
+any micro-batch split produces a partial log whose merge is bit-equal
+to one batch build (the dyadic-sum contract in operators/rollup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.rollup import append_rollup
+
+
+def start_rollup_stream(
+    events: DataFrame,
+    *,
+    rollup_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the rollup at ``rollup_path`` (created beforehand by
+    ``build_rollup`` — the persisted grain spec drives the per-tick
+    aggregate) from a streaming events frame. Replayed ticks no-op on
+    the batch ledger; an empty tick appends nothing."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_rollup(batch, rollup_path, batch_id)
+
+    writer = events.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

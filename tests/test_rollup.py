@@ -1,0 +1,191 @@
+"""Continuous-aggregate (hypertable rollup) lifecycle tests:
+incremental maintenance bit-equal to full recompute, exactly-once
+appends, idempotent compaction, pruned reads, streaming twin parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.rollup import (
+    append_rollup,
+    build_rollup,
+    compact_rollup,
+    maintain_rollup,
+    merge_partials,
+    read_rollup,
+    read_spec,
+    rollup_partials,
+    rollup_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from starknet_etl_spark.io import load_testdata
+
+    return load_testdata(spark, SF_DIR, "events")
+
+
+def _full(spark):
+    """One-shot recompute — the reference result every incremental
+    path must bit-equal."""
+    return merge_partials(
+        rollup_partials(
+            _events(spark), ts_col="ts", dims=["event_type"],
+            value_col="value", bucket="hour",
+        ),
+        ["event_type"],
+    )
+
+
+def _as_rows(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "bucket", "event_type", "n_events", "n_value",
+            "sum_value", "min_value", "max_value", "avg_value",
+        ).collect()
+    )
+
+
+def test_incremental_append_bit_equal_to_recompute(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev.filter(F.col("event_id") % 3 == 0), path,
+        ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    assert append_rollup(ev.filter(F.col("event_id") % 3 == 1), path, 1)
+    assert append_rollup(ev.filter(F.col("event_id") % 3 == 2), path, 2)
+    got = _as_rows(read_rollup(spark, path))
+    want = _as_rows(_full(spark))
+    assert got == want  # bit-equal, not approx: the dyadic-sum claim
+
+
+def test_replayed_batch_noops(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    assert append_rollup(delta, path, 7) is True
+    assert append_rollup(delta, path, 7) is False  # replay → no-op
+    assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
+
+
+def test_compact_preserves_result_ledger_and_spec(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    append_rollup(delta, path, 3)
+    before = _as_rows(read_rollup(spark, path))
+    assert rollup_stats(spark, path)["max_depth"] >= 2
+    compact_rollup(spark, path)
+    assert _as_rows(read_rollup(spark, path)) == before
+    assert rollup_stats(spark, path)["max_depth"] == 1
+    # the replay ledger rides along: the same batch still no-ops
+    assert append_rollup(delta, path, 3) is False
+    # and the grain spec survives the swap
+    assert read_spec(spark, path)["dims"] == ["event_type"]
+    # compaction is idempotent — re-running changes nothing
+    compact_rollup(spark, path)
+    assert _as_rows(read_rollup(spark, path)) == before
+
+
+def test_maintain_tick_one_action(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    for i in range(4):
+        append_rollup(ev.limit(50), path, 10 + i)
+    assert maintain_rollup(spark, path, max_depth=3) == "compacted"
+    assert maintain_rollup(spark, path, max_depth=3) == "ok"
+
+
+def test_read_prunes_bucket_partitions(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    buckets = sorted(
+        r["bucket"] for r in
+        read_rollup(spark, path).select("bucket").distinct().collect()
+    )
+    lo, hi = buckets[1], buckets[2]
+    pruned = read_rollup(spark, path, bucket_min=lo, bucket_max=hi)
+    got = {r["bucket"] for r in pruned.select("bucket").distinct().collect()}
+    assert got == {b for b in buckets if lo <= b <= hi}
+    # the range must reach PartitionFilters on the chunk column, not
+    # a post-scan filter over every directory
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "chunk" in plan.split("PartitionFilters: [")[1].split("]")[0]
+
+
+def test_bucket_widths(spark, tmp_path):
+    ev = _events(spark)
+    day = rollup_partials(
+        ev, ts_col="ts", dims=[], value_col="value", bucket="day"
+    )
+    assert all(
+        r["bucket"] % 86400 == 0 for r in day.select("bucket").collect()
+    )
+    with pytest.raises(ValueError):
+        rollup_partials(
+            ev, ts_col="ts", dims=[], value_col="value", bucket="week"
+        )
+
+
+def test_append_requires_spec(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        append_rollup(ev, path, 1)
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """Ticked maintenance through the stream == one batch build, and a
+    restarted stream over the same source re-emits nothing (ledger)."""
+    from starknet_etl_spark.streaming.rollup import start_rollup_stream
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    # Two parquet files so availableNow replays deterministically.
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(
+        src, mode="overwrite"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev.limit(0), path,
+        ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    stream_src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_rollup_stream(
+        stream_src, rollup_path=path, checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
+    # replay: a fresh run over the same checkpoint emits nothing new
+    q2 = start_rollup_stream(
+        stream_src, rollup_path=path, checkpoint=str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
