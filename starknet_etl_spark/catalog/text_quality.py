@@ -616,6 +616,94 @@ QUERIES["doc_code_fim_stats"] = QuerySpec(
 )
 
 
+# --------------------------------------------------------------------------
+# T5-style span corruption (r9): operators/fim.py::span_corrupt —
+# deterministic where T5 samples (every full 20-token window hides one
+# md5-placed 3-token span = the canonical 0.15 noise density), so the
+# (inputs, targets) denoising pair is byte-identical across engines;
+# the differential compares md5 fingerprints of both texts plus the
+# exact span/corrupt-token counts. The round-trip inverse
+# (inputs + targets reconstruct the original token stream) is pinned
+# by tests/test_fim.py. Names sc_.
+# --------------------------------------------------------------------------
+
+_SC_W, _SC_L = 20, 3
+
+
+def _span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fim import span_corrupt
+
+    out = span_corrupt(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=_SC_W, span_len=_SC_L,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_corrupt",
+        F.md5("inputs").alias("inputs_fp"),
+        F.md5("targets").alias("targets_fp"),
+    )
+
+
+_SPAN_CORRUPTION_ORACLE = rf"""
+WITH sc_tok AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+         CAST(i - 1 AS BIGINT) AS pos0, ws[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+),
+sc_s AS (
+  SELECT doc_id, n, pos0, tok,
+         pos0 // {_SC_W} AS k, pos0 % {_SC_W} AS within,
+         (pos0 // {_SC_W} + 1) * {_SC_W} <= n AS full_w,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(pos0 // {_SC_W} AS VARCHAR)), 1, 4) AS BIGINT)
+           % {_SC_W - _SC_L + 1} AS s
+  FROM sc_tok
+),
+sc_p AS (
+  SELECT doc_id, n, pos0, tok, k,
+         full_w AND within >= s AND within < s + {_SC_L} AS in_span,
+         full_w AND within = s AS st
+  FROM sc_s
+),
+sc_agg AS (
+  SELECT doc_id, n,
+         string_agg(
+           CASE WHEN NOT in_span THEN tok
+                WHEN st THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+           END, ' ' ORDER BY pos0) AS inputs,
+         string_agg(
+           CASE WHEN st
+                THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                WHEN in_span THEN tok
+           END, ' ' ORDER BY pos0) AS tgt_body,
+         CAST(SUM(CASE WHEN in_span THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corrupt
+  FROM sc_p GROUP BY doc_id, n
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(n // {_SC_W} AS BIGINT) AS n_spans, n_corrupt,
+       md5(inputs) AS inputs_fp,
+       md5(CASE WHEN n // {_SC_W} > 0
+                THEN tgt_body || ' <extra_id_'
+                     || CAST(n // {_SC_W} AS VARCHAR) || '>'
+                ELSE '' END) AS targets_fp
+FROM sc_agg
+"""
+
+QUERIES["doc_span_corruption"] = QuerySpec(
+    _span_corruption,
+    _SPAN_CORRUPTION_ORACLE,
+    "T5 span corruption: md5-placed 3-of-20-token masked spans,"
+    " byte-identical (inputs, targets) denoising pairs (fingerprints)"
+    " + exact span/corrupt counts",
+)
+
+
 
 
 # --------------------------------------------------------------------------
@@ -888,4 +976,93 @@ QUERIES["doc_kn_heldout"] = QuerySpec(
     _KN_HELDOUT_ORACLE,
     "held-out KN scoring: train on the non-src0 corpus, score src0 —"
     " unseen-gram/context/word backoff branches differential-proven",
+)
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets (r9): text.perplexity_buckets +
+# text.bucket_sample — Wenzek et al.'s head/middle/tail recipe over
+# the corpus-unigram fluency signal, per source: NTILE terciles on a
+# deterministic total order, then the canonical keep-head /
+# thin-middle / drop-tail downsample via md5 gates. Names ccn_.
+# --------------------------------------------------------------------------
+
+_CCN_RATES = {1: 1.0, 2: 0.5}  # head kept, middle halved, tail dropped
+
+
+def _ccnet_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lp = X.unigram_logprob(docs, "doc_id", "text")
+    sig = docs.select("doc_id", "source").join(lp, "doc_id")
+    return X.perplexity_buckets(
+        sig, "source", "unigram_logprob", "doc_id", n_buckets=3
+    )
+
+
+def _ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ccnet_frame(spark, sf_dir).select(
+        "doc_id", "source", "unigram_logprob", "bucket"
+    )
+
+
+_CCN_CTES = r"""
+ccn_toks AS (
+  SELECT doc_id, t
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS s(t)
+  WHERE t <> ''
+),
+ccn_vocab AS (SELECT t, COUNT(*) AS c FROM ccn_toks GROUP BY t),
+ccn_tot AS (SELECT SUM(c) AS n FROM ccn_vocab),
+ccn_lp AS (
+  SELECT doc_id,
+         ROUND(AVG(log2(CAST(c AS DOUBLE) / n)), 6) AS unigram_logprob
+  FROM ccn_toks JOIN ccn_vocab USING (t), ccn_tot
+  GROUP BY doc_id
+),
+ccn_b AS (
+  SELECT d.doc_id, d.source, l.unigram_logprob,
+         CAST(NTILE(3) OVER (
+           PARTITION BY d.source
+           ORDER BY l.unigram_logprob DESC, d.doc_id ASC) AS BIGINT)
+           AS bucket
+  FROM documents d JOIN ccn_lp l USING (doc_id)
+)
+"""
+
+_CCN_BUCKETS_ORACLE = (
+    "WITH " + _CCN_CTES
+    + "SELECT doc_id, source, unigram_logprob, bucket FROM ccn_b"
+)
+
+QUERIES["doc_ccnet_buckets"] = QuerySpec(
+    _ccnet_buckets,
+    _CCN_BUCKETS_ORACLE,
+    "CCNet head/middle/tail: per-source NTILE terciles of the"
+    " unigram fluency signal on a deterministic total order",
+)
+
+
+def _ccnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = X.bucket_sample(
+        _ccnet_frame(spark, sf_dir), "doc_id", "bucket", _CCN_RATES
+    )
+    return kept.select("doc_id", "source", "bucket")
+
+
+_CCN_SAMPLE_ORACLE = (
+    "WITH " + _CCN_CTES
+    + r"""
+SELECT doc_id, source, bucket FROM ccn_b
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           AS BIGINT) % 1000
+      < CASE bucket WHEN 1 THEN 1000 WHEN 2 THEN 500 ELSE -1 END
+"""
+)
+
+QUERIES["doc_ccnet_sample"] = QuerySpec(
+    _ccnet_sample,
+    _CCN_SAMPLE_ORACLE,
+    "CCNet downsample: keep the head, md5-halve the middle, drop the"
+    " tail — deterministic, append-stable gates",
 )

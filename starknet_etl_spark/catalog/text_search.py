@@ -1006,3 +1006,203 @@ QUERIES["doc_retrieval_eval"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# tf-idf keyword extraction (r9): search.tfidf_keywords — each doc's
+# top-k terms by relative-tf × ln(N/df), the zero-model document
+# labeling every corpus browser/data card wants. min_df=2 exercises
+# the hapax filter; ties break (score desc, term asc). Names kw_.
+# --------------------------------------------------------------------------
+
+_KW_K, _KW_MIN_DF = 5, 2
+
+
+def _keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import tfidf_keywords
+
+    return tfidf_keywords(
+        _docs(spark, sf_dir), "doc_id", "text",
+        top_k=_KW_K, min_df=_KW_MIN_DF,
+    )
+
+
+_KEYWORDS_ORACLE = rf"""
+WITH kw_base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS dl,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+kw_tok AS (
+  SELECT doc_id, dl, unnest(ws) AS t FROM kw_base
+),
+kw_tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+  FROM kw_tok WHERE t <> '' GROUP BY doc_id, t
+),
+kw_df AS (
+  SELECT t, COUNT(*) AS dfreq FROM kw_tf
+  GROUP BY t HAVING COUNT(*) >= {_KW_MIN_DF}
+),
+kw_scored AS (
+  SELECT f.doc_id, f.t AS term, f.tf,
+         ROUND(f.tf * 1.0 / f.dl
+               * ln((SELECT COUNT(*) FROM documents) * 1.0 / d.dfreq),
+               6) AS score
+  FROM kw_tf f JOIN kw_df d ON d.t = f.t
+),
+kw_ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC)
+         AS BIGINT) AS rank
+  FROM kw_scored
+)
+SELECT doc_id, term, tf, score, rank
+FROM kw_ranked WHERE rank <= {_KW_K}
+"""
+
+QUERIES["doc_keywords"] = QuerySpec(
+    _keywords,
+    _KEYWORDS_ORACLE,
+    "per-doc top-k tf-idf keywords: relative tf x ln(N/df), hapax"
+    " filter, deterministic (score desc, term asc) cut",
+)
+
+
+# --------------------------------------------------------------------------
+# nDCG retrieval eval (r9): graded-position quality of the batched
+# hybrid fusion. The 1/log2(r+1) position gains and their cumulative
+# sums (the ideal-DCG table) are PYTHON-PRECOMPUTED LITERALS embedded
+# in both engines — no cross-engine libm log2 contract needed; the
+# only floating sums are <= k literal doubles, rounded at 6 dp.
+# Names ndcg_/_NDCG_.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_GAINS: tuple[float, ...] = tuple(
+    1.0 / _math.log2(r + 1) for r in range(1, _HYBRID_K + 1)
+)
+_NDCG_CUM: tuple[float, ...] = tuple(
+    sum(_NDCG_GAINS[: m + 1]) for m in range(_HYBRID_K)
+)
+
+
+def _retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    fused = _hybrid_batch(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    ranked = fused.withColumn("__r", F.row_number().over(w).cast("long"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rel_rows = []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(toks, t)
+        rel_rows.append(
+            docs.filter(cond).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+        )
+    rel = rel_rows[0]
+    for r in rel_rows[1:]:
+        rel = rel.unionByName(r)
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAINS])
+    cums = F.array(*[F.lit(c) for c in _NDCG_CUM])
+    j = ranked.join(
+        rel.withColumn("__rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__rel") == 1,
+                        F.element_at(gains, F.col("__r").cast("int")),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dcg")
+    )
+    out = dcg.join(n_rel, "query_id", "left").withColumn(
+        "n_rel", F.coalesce("n_rel", F.lit(0)).cast("long")
+    )
+    idcg = F.element_at(
+        cums, F.least(F.col("n_rel"), F.lit(_HYBRID_K)).cast("int")
+    )
+    return out.withColumn(
+        "ndcg",
+        F.when(F.col("n_rel") > 0, F.round(F.col("dcg") / idcg, 6))
+        .otherwise(F.lit(0.0)),
+    )
+
+
+def _retrieval_ndcg_oracle() -> str:
+    rrf = _hybrid_batch_oracle()
+    ctes = rrf.rsplit(")\n(SELECT 'q0'", 1)[0] + ")"
+    gain_case = " ".join(
+        f"WHEN {r + 1} THEN {g!r}" for r, g in enumerate(_NDCG_GAINS)
+    )
+    cum_case = " ".join(
+        f"WHEN {m + 1} THEN {c!r}" for m, c in enumerate(_NDCG_CUM)
+    )
+    blocks, selects = [], []
+    for qid, terms in _HYBRID_BATCH_QUERIES.items():
+        in_terms = ", ".join(f"'{t}'" for t in terms)
+        n_terms = len(set(terms))
+        blocks.append(f"""
+ndcg_top_{qid} AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+              AS BIGINT) AS r
+  FROM (SELECT * FROM fused_{qid}
+        ORDER BY rrf DESC, doc_id ASC LIMIT {_HYBRID_K})
+),
+ndcg_nrel_{qid} AS (
+  -- doc_id >= 0: htok's corpus carries the NEGATIVE-id pseudo docs
+  -- holding the query texts; a query trivially contains its own
+  -- terms and must not count as a relevant document.
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM (
+    SELECT h.doc_id FROM htok h
+    WHERE h.t IN ({in_terms}) AND h.doc_id >= 0
+    GROUP BY h.doc_id HAVING COUNT(DISTINCT h.t) = {n_terms})
+),
+ndcg_dcg_{qid} AS (
+  SELECT ROUND(COALESCE(SUM(
+           CASE WHEN {n_terms} = (
+                  SELECT COUNT(DISTINCT h.t) FROM htok h
+                  WHERE h.doc_id = t.doc_id AND h.t IN ({in_terms}))
+                THEN CASE t.r {gain_case} END END), 0.0), 6) AS dcg
+  FROM ndcg_top_{qid} t
+)""")
+        selects.append(f"""
+(SELECT '{qid}' AS query_id, n.n_rel, d.dcg,
+        CASE WHEN n.n_rel > 0
+             THEN ROUND(d.dcg / (CASE
+                    WHEN n.n_rel >= {_HYBRID_K} THEN {_NDCG_CUM[-1]!r}
+                    ELSE CASE n.n_rel {cum_case} END END), 6)
+             ELSE 0.0 END AS ndcg
+ FROM ndcg_dcg_{qid} d CROSS JOIN ndcg_nrel_{qid} n)""")
+    return (
+        ctes + "," + ",".join(blocks) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+QUERIES["doc_retrieval_ndcg"] = QuerySpec(
+    _retrieval_ndcg,
+    _retrieval_ndcg_oracle(),
+    "nDCG@k of the batched hybrid fusion vs contains-all-terms"
+    " relevance: literal gain/ideal tables shared by both engines",
+)

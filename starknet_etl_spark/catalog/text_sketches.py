@@ -123,3 +123,84 @@ QUERIES["doc_heavy_hitters"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# KMV source-overlap matrix (r9): sketches.kmv_overlap — pairwise
+# shared-vocabulary Jaccard estimates across sources from mergeable
+# KMV sketches (the cross-corpus contamination/redundancy telemetry a
+# mixture designer reads before weighting sources). Unlike HLL
+# overlap, every fraction is md5-derived and both the sketch contents
+# and the estimate differential-test bit-for-bit. Names so_.
+# --------------------------------------------------------------------------
+
+_SO_K = 128
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_overlap
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    out = kmv_overlap(toks, "source", "tok", k=_SO_K)
+    return out.select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "k_union",
+        "n_shared",
+        "jaccard_est",
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = rf"""
+WITH so_vals AS (
+  SELECT DISTINCT source AS g,
+         CAST('0x' || substr(md5(t), 1, 13) AS BIGINT)
+           / 4503599627370496.0 AS f
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+so_sk AS (
+  SELECT g, f FROM (
+    SELECT g, f, row_number() OVER (PARTITION BY g ORDER BY f) AS r
+    FROM so_vals) WHERE r <= {_SO_K}
+),
+so_pairs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM so_sk) a,
+       (SELECT DISTINCT g FROM so_sk) b
+  WHERE a.g < b.g
+),
+so_u AS (
+  SELECT ga, gb, f, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT p.ga, p.gb, s.f, 1 AS ia, 0 AS ib
+    FROM so_pairs p JOIN so_sk s ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.f, 0 AS ia, 1 AS ib
+    FROM so_pairs p JOIN so_sk s ON s.g = p.gb
+  ) GROUP BY ga, gb, f
+),
+so_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY f) AS r
+    FROM so_u) WHERE r <= {_SO_K}
+)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS k_union,
+       CAST(SUM(ia * ib) AS BIGINT) AS n_shared,
+       ROUND(SUM(ia * ib) * 1.0 / COUNT(*), 6) AS jaccard_est
+FROM so_top GROUP BY ga, gb
+"""
+
+QUERIES["doc_source_overlap"] = QuerySpec(
+    _source_overlap,
+    _SOURCE_OVERLAP_ORACLE,
+    "pairwise shared-vocabulary Jaccard across sources via mergeable"
+    " KMV sketch algebra — exact-integer shared counts, k-union cut",
+)

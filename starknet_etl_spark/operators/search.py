@@ -191,6 +191,63 @@ def bm25_scores(
     return _rank(tf, stats, terms, id_col, k1=k1, b=b, top_k=top_k)
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, term, tf, score, rank): each document's ``top_k``
+    keywords by tf-idf — relative term frequency (tf/doc_len) times
+    ln(N/df), rounded at 6 dp (the BM25 grid discipline; F.log is the
+    same libm call the oracle-green BM25 idf already relies on).
+
+    ``min_df`` drops hapax noise before ranking (a term seen in
+    fewer than ``min_df`` documents can't be a corpus-meaningful
+    keyword — and at 100 TB the df filter also shrinks the broadcast).
+    Ties break (score desc, term asc) so the cut is deterministic.
+
+    Scale: one token explode + two keyed aggregates; the per-term
+    document frequency is a broadcast (vocabulary-sized, not
+    corpus-sized); the top-k is a per-doc window over ≤ vocabulary
+    rows per doc, never a global sort."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    base = _doc_base(df.select(id_col, text_col), id_col, text_col)
+    tf = _term_freqs(base, id_col)
+    stats = base.agg(F.count(F.lit(1)).alias("__nd"))
+    dfreq = (
+        tf.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= F.lit(min_df))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("term"),
+            F.col("__tf").cast("long").alias("tf"),
+            F.round(
+                (F.col("__tf") / F.col("__dl"))
+                * F.log(F.col("__nd") / F.col("__df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(top_k))
+    )
+
+
 # --- materialized inverted index -----------------------------------
 
 def _paths(path: str) -> tuple[str, str, str]:

@@ -233,3 +233,87 @@ def cms_estimate(
         )
     )
     return est
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between groups from mergeable KMV
+    sketches (the Beyer et al. 2007 set algebra): per group keep the
+    k smallest md5 fractions of the distinct values; for a pair,
+    merge the two sketches, keep the k smallest of the union, and
+    estimate Jaccard as the fraction of those present in BOTH. When
+    the union sketch holds fewer than k fractions it is exhaustive
+    and the estimate is exact.
+
+    Returns one row per unordered pair (group_a < group_b):
+    (group_a, group_b, k_union, n_shared, jaccard_est). Every input
+    to the final division is an exact integer, and the fractions are
+    bit-identical across engines (hash_fraction) — the estimate is
+    differential-testable, unlike HLL-based overlap.
+
+    Scale: the per-group sketch is one distinct + one bounded
+    window; everything after operates on G·k rows (G = group count —
+    sources/shards, driver-small by contract). Sketches are states a
+    caller can persist and merge later; group pairs never touch the
+    raw data again.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("__g"), hash_fraction(F.col(col)).alias("__f"))
+        .distinct()
+    )
+    w = Window.partitionBy("__g").orderBy("__f")
+    sk = (
+        vals.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.lit(k))
+        .select("__g", "__f")
+    )
+    gdf = sk.select("__g").distinct()
+    pairs = (
+        gdf.select(F.col("__g").alias("__ga"))
+        .crossJoin(gdf.select(F.col("__g").alias("__gb")))
+        .filter(F.col("__ga") < F.col("__gb"))
+    )
+    ra = pairs.join(
+        sk.withColumnRenamed("__g", "__ga"), "__ga"
+    ).select(
+        "__ga", "__gb", "__f",
+        F.lit(1).alias("__ia"), F.lit(0).alias("__ib"),
+    )
+    rb = pairs.join(
+        sk.withColumnRenamed("__g", "__gb"), "__gb"
+    ).select(
+        "__ga", "__gb", "__f",
+        F.lit(0).alias("__ia"), F.lit(1).alias("__ib"),
+    )
+    u = (
+        ra.unionByName(rb)
+        .groupBy("__ga", "__gb", "__f")
+        .agg(F.max("__ia").alias("__ia"), F.max("__ib").alias("__ib"))
+    )
+    wp = Window.partitionBy("__ga", "__gb").orderBy("__f")
+    top = u.withColumn("__r", F.row_number().over(wp)).filter(
+        F.col("__r") <= F.lit(k)
+    )
+    return top.groupBy("__ga", "__gb").agg(
+        F.count(F.lit(1)).cast("long").alias("k_union"),
+        F.sum(F.col("__ia") * F.col("__ib")).cast("long").alias("n_shared"),
+        F.round(
+            F.sum(F.col("__ia") * F.col("__ib")) / F.count(F.lit(1)), 6
+        ).alias("jaccard_est"),
+    ).select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        "k_union",
+        "n_shared",
+        "jaccard_est",
+    )

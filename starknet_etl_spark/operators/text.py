@@ -1062,3 +1062,70 @@ def normalize_nfc(
         )
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def perplexity_buckets(
+    signals: DataFrame,
+    group_col: str,
+    signal_col: str,
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al.): NTILE
+    over the fluency signal per group (language/source), highest
+    signal first — bucket 1 is the head. The order is total
+    (signal desc, id asc), so bucket membership is deterministic and
+    NTILE's standard fill rule (first ``count % n`` buckets take the
+    extra row) agrees across engines.
+
+    Scale: one shuffle keyed by the group + a per-group sort —
+    groups are natural shards (lang/source), never a global order.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(signal_col), F.asc(id_col)
+    )
+    return signals.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("long")
+    )
+
+
+def bucket_sample(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    rates: dict[int, float],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-bucket downsampling — the CCNet recipe's
+    second half (keep the head, thin the middle, drop the tail):
+    a row survives iff md5(salt ‖ id)'s first 4 hex digits mod 1000
+    fall under its bucket's rate·1000 (the hash_split discipline —
+    reproducible across runs, engines, and appends; no RNG state).
+    Buckets absent from ``rates`` drop entirely."""
+    for b, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for bucket {b} not in [0, 1]: {r}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    gate = F.lit(-1).cast("long")
+    for b, r in sorted(rates.items()):
+        gate = F.when(
+            F.col(bucket_col) == F.lit(b), F.lit(int(r * 1000))
+        ).otherwise(gate)
+    return df.filter(h < gate)

@@ -112,3 +112,82 @@ def test_fim_validation(spark):
         fim_transform(df, rate=1.5)
     with pytest.raises(ValueError, match="mode"):
         fim_transform(df, mode="mps")
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption (r9)
+# ---------------------------------------------------------------------------
+
+def _sc_corpus(spark, n=40, max_len=55):
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range((i * 7) % max_len + 1)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sc_reconstruct(inputs: str, targets: str) -> str:
+    import re
+
+    spans = {}
+    if targets:
+        parts = re.split(r"<extra_id_(\d+)>", targets)
+        for i in range(1, len(parts) - 1, 2):
+            spans[int(parts[i])] = parts[i + 1].strip()
+    toks = []
+    for t in inputs.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", t)
+        if m:
+            toks.extend(spans[int(m.group(1))].split())
+        else:
+            toks.append(t)
+    return " ".join(toks)
+
+
+def test_span_corrupt_roundtrip_and_counts(spark):
+    from starknet_etl_spark.operators.fim import span_corrupt
+
+    df = _sc_corpus(spark)
+    orig = {r["doc_id"]: " ".join(r["text"].split()) for r in df.collect()}
+    for r in span_corrupt(df, window=10, span_len=2).collect():
+        did = r["doc_id"]
+        n = len(orig[did].split())
+        assert r["n_tokens"] == n
+        assert r["n_spans"] == n // 10
+        # every full window hides exactly span_len tokens
+        assert r["n_corrupt"] == (n // 10) * 2
+        # inverse: inputs + targets reconstruct the original stream
+        assert _sc_reconstruct(r["inputs"], r["targets"]) == orig[did]
+        # targets close with the final sentinel; short docs pass through
+        if r["n_spans"] == 0:
+            assert r["targets"] == ""
+            assert r["inputs"] == orig[did]
+        else:
+            assert r["targets"].endswith(f"<extra_id_{r['n_spans']}>")
+            assert f"<extra_id_{r['n_spans'] - 1}>" in r["inputs"]
+
+
+def test_span_corrupt_deterministic_and_append_stable(spark):
+    from starknet_etl_spark.operators.fim import span_corrupt
+
+    df = _sc_corpus(spark)
+    full = {r["doc_id"]: (r["inputs"], r["targets"])
+            for r in span_corrupt(df).collect()}
+    sub = {r["doc_id"]: (r["inputs"], r["targets"])
+           for r in span_corrupt(df.filter(F.col("doc_id") < 10)).collect()}
+    # per-doc hashing: a doc's corruption never depends on the corpus
+    assert sub == {k: v for k, v in full.items() if k < 10}
+    # a salt moves the spans
+    salted = {r["doc_id"]: (r["inputs"], r["targets"])
+              for r in span_corrupt(df, salt="v2").collect()}
+    assert salted != full
+
+
+def test_span_corrupt_validation(spark):
+    from starknet_etl_spark.operators.fim import span_corrupt
+
+    df = _sc_corpus(spark, n=3)
+    with pytest.raises(ValueError):
+        span_corrupt(df, span_len=0)
+    with pytest.raises(ValueError):
+        span_corrupt(df, window=3, span_len=3)

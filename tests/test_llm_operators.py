@@ -3225,3 +3225,106 @@ def test_curriculum_shards_order_and_append_stability(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_shards"):
         curriculum_shards(df, "doc_id", "sig", n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords (r9)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from starknet_etl_spark.operators.search import tfidf_keywords
+
+    rows = [
+        (1, "apple apple apple common common"),
+        (2, "banana banana common common common"),
+        (3, "cherry common apple banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, top_k=2, min_df=1)
+    got = {
+        (r["doc_id"], r["rank"]): r["term"] for r in out.collect()
+    }
+    # 'common' appears in every doc -> idf ln(1) = 0; distinctive
+    # terms outrank it everywhere
+    assert got[(1, 1)] == "apple"
+    assert got[(2, 1)] == "banana"
+    assert got[(3, 1)] == "cherry"
+    # min_df=2 drops the hapax 'cherry'
+    out2 = tfidf_keywords(df, top_k=2, min_df=2)
+    terms2 = {r["term"] for r in out2.collect()}
+    assert "cherry" not in terms2
+    # deterministic tie-break: rank is dense 1..k per doc
+    ranks = {}
+    for r in out.collect():
+        ranks.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
+
+
+def test_tfidf_keywords_validation(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.search import tfidf_keywords
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        tfidf_keywords(df, top_k=0)
+    with _pytest.raises(ValueError):
+        tfidf_keywords(df, min_df=0)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets + bucket sampling (r9)
+# ---------------------------------------------------------------------------
+
+def test_perplexity_buckets_order_and_fill(spark):
+    from starknet_etl_spark.operators.text import perplexity_buckets
+
+    rows = [("s", i, float(100 - i)) for i in range(7)] + [
+        ("t", 100 + i, float(i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, sig double")
+    out = {
+        (r["source"], r["doc_id"]): r["bucket"]
+        for r in perplexity_buckets(
+            df, "source", "sig", "doc_id", n_buckets=3
+        ).collect()
+    }
+    # source s: 7 docs -> buckets sized 3,2,2 in signal-desc order
+    assert [out[("s", i)] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+    # source t: highest signal (doc 102) leads bucket 1
+    assert out[("t", 102)] == 1 and out[("t", 100)] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        perplexity_buckets(df, "source", "sig", n_buckets=1)
+
+
+def test_bucket_sample_rates_and_determinism(spark):
+    from starknet_etl_spark.operators.text import bucket_sample
+
+    rows = [(i, 1 + (i % 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket long")
+    kept = bucket_sample(
+        df, "doc_id", "bucket", {1: 1.0, 2: 0.5}
+    )
+    by_bucket = {
+        r["bucket"]: r["n"]
+        for r in kept.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_bucket.get(1) == 1000          # head kept whole
+    assert 380 <= by_bucket.get(2, 0) <= 620  # middle ~half
+    assert 3 not in by_bucket                 # tail dropped
+    # determinism: same ids -> same survivors, independent of corpus
+    sub = bucket_sample(
+        df.filter(F.col("doc_id") < 100), "doc_id", "bucket",
+        {1: 1.0, 2: 0.5},
+    )
+    full_ids = {r["doc_id"] for r in kept.collect() if r["doc_id"] < 100}
+    assert {r["doc_id"] for r in sub.collect()} == full_ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bucket_sample(df, "doc_id", "bucket", {1: 1.5})

@@ -685,3 +685,52 @@ def test_line_dedup_equals_naive_reference(spark, docs):
         for r in line_dedup(df).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500_000),  # epoch seconds
+            st.integers(0, 2),  # dim value
+            st.one_of(
+                st.none(),
+                st.floats(-500, 500, allow_nan=False),
+            ),
+            st.integers(0, 2),  # batch assignment
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_rollup_partial_merge_bit_equal_any_batching(spark, rows):
+    """The continuous aggregate's core claim: folding per-batch
+    partials — ANY batch split — is bit-equal to aggregating the raw
+    rows once (dyadic sums are exact, min/max idempotent)."""
+    from starknet_etl_spark.operators.rollup import (
+        merge_partials,
+        rollup_partials,
+    )
+
+    df = spark.createDataFrame(rows, "e long, g int, v double, b int")
+    ev = df.select(
+        F.col("e").cast("timestamp").alias("ts"), "g", "v", "b"
+    )
+
+    def parts(frame):
+        return rollup_partials(
+            frame, ts_col="ts", dims=["g"], value_col="v", bucket="hour"
+        )
+
+    full = merge_partials(parts(ev), ["g"])
+    un = parts(ev.filter(F.col("b") == 0))
+    for i in (1, 2):
+        un = un.unionByName(parts(ev.filter(F.col("b") == i)))
+    merged = merge_partials(un, ["g"])
+    cols = [
+        "bucket", "g", "n_events", "n_value",
+        "sum_value", "min_value", "max_value", "avg_value",
+    ]
+    got = sorted(tuple(r) for r in merged.select(*cols).collect())
+    want = sorted(tuple(r) for r in full.select(*cols).collect())
+    assert got == want  # EXACT equality, not approx

@@ -236,3 +236,55 @@ def test_stream_kmv_state_swap_is_atomic(spark, tmp_path):
     want = kmv_distinct(df, "v", k=16).collect()[0]
     got = read_kmv(spark, state, k=16).collect()[0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# KMV overlap (r9)
+# ---------------------------------------------------------------------------
+
+def test_kmv_overlap_exact_when_exhaustive(spark):
+    from starknet_etl_spark.operators.sketches import kmv_overlap
+
+    rows = (
+        [("a", f"v{i}") for i in range(40)]
+        + [("b", f"v{i}") for i in range(20, 60)]   # |a∩b|=20, |a∪b|=60
+        + [("c", f"w{i}") for i in range(10)]       # disjoint from a, b
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    # k >= |union|: the sketch is exhaustive -> estimates are EXACT
+    got = {
+        (r["group_a"], r["group_b"]):
+            (r["k_union"], r["n_shared"], r["jaccard_est"])
+        for r in kmv_overlap(df, "g", "v", k=128).collect()
+    }
+    assert got[("a", "b")] == (60, 20, round(20 / 60, 6))
+    assert got[("a", "c")] == (50, 0, 0.0)
+    assert got[("b", "c")] == (50, 0, 0.0)
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    from starknet_etl_spark.operators.sketches import kmv_overlap
+
+    # true Jaccard 1000/3000 = 1/3; k=256 -> stderr ~ 1/sqrt(k) ≈ 0.06
+    rows = [("a", f"v{i}") for i in range(2000)] + [
+        ("b", f"v{i}") for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_overlap(df, "g", "v", k=256).collect()[0]
+    assert r["k_union"] == 256
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    # duplicates never change a set sketch
+    r2 = kmv_overlap(df.unionByName(df), "g", "v", k=256).collect()[0]
+    assert (r2["n_shared"], r2["jaccard_est"]) == (
+        r["n_shared"], r["jaccard_est"],
+    )
+
+
+def test_kmv_overlap_validation(spark):
+    import pytest as _pytest
+
+    from starknet_etl_spark.operators.sketches import kmv_overlap
+
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with _pytest.raises(ValueError):
+        kmv_overlap(df, "g", "v", k=1)
