@@ -99,6 +99,13 @@ HEADLINE_EXT = (
     "doc_code_fim",
     "doc_turn_pack_masks",
     "doc_curriculum_shards",
+    # r9 continuation tiers: continuous-aggregate lifecycle, T5 span
+    # corruption, tf-idf keywords, KMV source overlap, CCNet buckets
+    "events_rollup_incremental",
+    "doc_span_corruption",
+    "doc_keywords",
+    "doc_source_overlap",
+    "doc_ccnet_sample",
 )
 
 

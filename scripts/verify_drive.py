@@ -745,5 +745,101 @@ for _sh, _mem in _by.items():
     _keys = [(r["sig"], r["doc_id"]) for r in _mem]
     assert _keys == sorted(_keys), _sh
 
+# ---- segment 14 (r9 cont.): continuous-aggregate rollup lifecycle,
+# T5 span corruption round trip, KMV overlap exactness, CCNet NTILE.
+
+import datetime as _dt
+import re
+import tempfile as _tf
+
+from pyspark.sql import functions as _F
+
+from starknet_etl_spark.io import load_testdata as _ltd
+from starknet_etl_spark.operators.rollup import (
+    append_rollup,
+    build_rollup,
+    compact_rollup,
+    read_rollup,
+)
+
+_ru_ev = _ltd(spark, "/root/testdata/sf0.001", "events")
+with _tf.TemporaryDirectory() as _ru_dir:
+    _ru_p = f"{_ru_dir}/ru"
+    build_rollup(
+        _ru_ev.filter(_F.col("event_id") % 2 == 0), _ru_p,
+        ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    _ru_d = _ru_ev.filter(_F.col("event_id") % 2 == 1)
+    assert append_rollup(_ru_d, _ru_p, 1) is True
+    assert append_rollup(_ru_d, _ru_p, 1) is False  # replay no-op
+    compact_rollup(spark, _ru_p)
+    _ru_got = {
+        (r["bucket"], r["event_type"]):
+            (r["n_events"], r["n_value"], r["sum_value"],
+             r["min_value"], r["max_value"])
+        for r in read_rollup(spark, _ru_p).collect()
+    }
+    # independent recompute: python-side fold of the raw rows
+    _q20 = lambda x: _m.floor(x * 1048576.0 + 0.5) / 1048576.0  # noqa: E731
+    _ru_want = {}
+    for r in _ru_ev.select("ts", "event_type", "value").collect():
+        _bk = int(r["ts"].replace(tzinfo=_dt.timezone.utc).timestamp()
+                  // 3600) * 3600
+        _k = (_bk, r["event_type"])
+        n, nv, s, mn, mx = _ru_want.get(
+            _k, (0, 0, 0.0, float("inf"), float("-inf"))
+        )
+        v = _q20(r["value"])
+        _ru_want[_k] = (n + 1, nv + 1, s + v, min(mn, v), max(mx, v))
+    assert _ru_got.keys() == _ru_want.keys()
+    for _k, (_n, _nv, _s, _mn, _mx) in _ru_want.items():
+        _g = _ru_got[_k]
+        assert _g[0] == _n and _g[1] == _nv, (_k, _g)
+        assert abs(_g[2] - _s) < 1e-9 and _g[3] == _mn and _g[4] == _mx
+
+from starknet_etl_spark.operators.fim import span_corrupt as _sc
+
+_sc_doc = " ".join(f"tok{i}" for i in range(47))
+_sc_r = _sc(
+    spark.createDataFrame([(3, _sc_doc)], "doc_id long, text string"),
+    window=10, span_len=2,
+).first()
+assert _sc_r["n_spans"] == 4 and _sc_r["n_corrupt"] == 8
+_sc_spans = {}
+_sc_parts = re.split(r"<extra_id_(\d+)>", _sc_r["targets"])
+for _i in range(1, len(_sc_parts) - 1, 2):
+    _sc_spans[int(_sc_parts[_i])] = _sc_parts[_i + 1].strip()
+_sc_toks = []
+for _t in _sc_r["inputs"].split():
+    _m = re.fullmatch(r"<extra_id_(\d+)>", _t)
+    _sc_toks.extend(
+        _sc_spans[int(_m.group(1))].split() if _m else [_t]
+    )
+assert " ".join(_sc_toks) == _sc_doc
+
+from starknet_etl_spark.operators.sketches import kmv_overlap as _ko
+
+_ko_df = spark.createDataFrame(
+    [("a", f"v{i}") for i in range(30)]
+    + [("b", f"v{i}") for i in range(10, 40)],
+    "g string, v string",
+)
+_ko_r = _ko(_ko_df, "g", "v", k=64).first()
+assert (_ko_r["k_union"], _ko_r["n_shared"]) == (40, 20), _ko_r
+assert _ko_r["jaccard_est"] == 0.5
+
+from starknet_etl_spark.operators.text import perplexity_buckets as _pb
+
+_pb_df = spark.createDataFrame(
+    [("s", i, float(10 - i)) for i in range(8)],
+    "src string, doc_id long, sig double",
+)
+_pb_got = [
+    r["bucket"]
+    for r in _pb(_pb_df, "src", "sig", "doc_id", n_buckets=3)
+    .orderBy("doc_id").collect()
+]
+assert _pb_got == [1, 1, 1, 2, 2, 2, 3, 3]  # NTILE fill: 3,3,2
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -205,7 +205,13 @@ _FIRST_50: tuple[str, ...] = (
     "hex_roundtrip",
     "high_watermark",
     "events_last_day",
-    "events_hourly_windows",
+    # events_hourly_windows displaced to overflow in r9 (ST6 stays
+    # in-window via events_last_day; the streaming windowed aggregate
+    # keeps its unit tests) to admit the continuous-aggregate
+    # lifecycle row — the incremental + exactly-once (ST6/ST7) story
+    # at materialized-view strength: build ⊕ append ⊕ replayed-append
+    # no-op ⊕ compact == one-shot recompute, bit-equal, no rounding.
+    "events_rollup_incremental",
     "brand_stats",
     "customers_without_orders",
     # order_priority_semi displaced to overflow in r7 (the LeftSemi

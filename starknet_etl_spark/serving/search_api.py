@@ -652,6 +652,49 @@ def kmv_distinct_response(
     return _wrap(lambda: kmv_distinct_rows(spark, state_path, k=k))
 
 
+def rollup_range_rows(
+    spark,
+    rollup_path: str,
+    *,
+    bucket_min: int | None = None,
+    bucket_max: int | None = None,
+    max_rows: int = 10_000,
+) -> list[dict[str, Any]]:
+    """Merged continuous-aggregate rows for a bucket range — a
+    chunk-pruned read of the partial log (operators/rollup.py), which
+    is what makes a dashboard query servable off a 100 TB event
+    history: the scan touches only the asked chunks' directories.
+    ``max_rows`` guards the HTTP surface against an unbounded range
+    (ask a narrower range or coarser grain instead)."""
+    from ..operators.rollup import read_rollup
+
+    df = read_rollup(
+        spark, rollup_path, bucket_min=bucket_min, bucket_max=bucket_max
+    )
+    rows = df.orderBy(*df.columns[:2]).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise RuntimeError(
+            f"rollup range returns more than {max_rows} rows; "
+            "narrow the bucket range"
+        )
+    return [r.asDict() for r in rows]
+
+
+def rollup_response(
+    spark,
+    rollup_path: str,
+    *,
+    bucket_min: int | None = None,
+    bucket_max: int | None = None,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: rollup_range_rows(
+            spark, rollup_path,
+            bucket_min=bucket_min, bucket_max=bucket_max,
+        )
+    )
+
+
 def create_search_app(
     spark,
     *,
@@ -679,6 +722,7 @@ def create_search_app(
     cms_width: int = 64,
     kmv_state: str | None = None,
     kmv_k: int = 256,
+    rollup_path: str | None = None,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -704,6 +748,8 @@ def create_search_app(
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
       ``cms_depth``/``cms_width`` must match the stream's build)
     - ``GET /sketch/distinct`` (streaming KMV state, ``kmv_k`` ditto)
+    - ``GET /rollup?bucket_min=&bucket_max=`` (continuous aggregate:
+      chunk-pruned merged read of the persisted rollup)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -904,6 +950,19 @@ def create_search_app(
         def phrase(q: str):
             return run(
                 lambda: phrase_response(spark, positional_index, q.split())
+            )
+
+    if rollup_path is not None:
+
+        @app.get("/rollup")
+        def rollup(
+            bucket_min: int | None = None, bucket_max: int | None = None
+        ):
+            return run(
+                lambda: rollup_response(
+                    spark, rollup_path,
+                    bucket_min=bucket_min, bucket_max=bucket_max,
+                )
             )
 
     return app

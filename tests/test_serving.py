@@ -760,3 +760,51 @@ def test_tokenize_model_validation_fastapi_if_available(spark, tmp_path):
         "/tokenize", params={"t": "x", "model": "unigram"}
     ).json()
     assert "no unigram" in missing["message"]
+
+
+def test_rollup_serving_core(spark, tmp_path):
+    """Framework-free /rollup core: chunk-pruned merged read with the
+    bounded-range guard."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.rollup import build_rollup
+    from starknet_etl_spark.serving.search_api import rollup_range_rows
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    rows = rollup_range_rows(spark, path)
+    assert rows and {"bucket", "event_type", "n_events", "avg_value"} <= set(
+        rows[0]
+    )
+    lo = min(r["bucket"] for r in rows)
+    hi = lo + 3 * 3600
+    sub = rollup_range_rows(spark, path, bucket_min=lo, bucket_max=hi)
+    assert sub and all(lo <= r["bucket"] <= hi for r in sub)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        # max_rows guard trips on an unbounded ask
+        rollup_range_rows(spark, path, max_rows=2)
+
+
+def test_rollup_serving_fastapi_if_available(spark, tmp_path):
+    import pytest as _pytest
+
+    try:
+        from fastapi.testclient import TestClient
+    except ImportError:
+        _pytest.skip("fastapi not installed")
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.rollup import build_rollup
+    from starknet_etl_spark.serving.search_api import create_search_app
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    client = TestClient(create_search_app(spark, rollup_path=path))
+    got = client.get("/rollup").json()
+    assert got["rows"] and "bucket" in got["rows"][0]
