@@ -1310,3 +1310,87 @@ QUERIES["emb_index_stats"] = QuerySpec(
     _INDEX_STATS_ORACLE,
     "ANN index health card: fill skew + tombstone fraction",
 )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (r9): similarity.hard_negatives — the
+# contrastive miner's other half (nearest_in_cell ships positives):
+# each vector's top-k most-similar neighbors of a DIFFERENT label,
+# searched within its SRP locality bucket. Oracle replays the SRP
+# bucket construction (the emb_knn_lsh block) and the pair GEMM with
+# the cross-label filter. Names hn_.
+# --------------------------------------------------------------------------
+
+_HN_K = 2
+_HN_MIN_COS = 0.2
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "srp_cell", S.srp_bucket(F.col("embedding"), dim=DIM, planes=4)
+    )
+    return S.hard_negatives(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        class_col="label",
+        cell_col="srp_cell",
+        k=_HN_K,
+        min_cos=_HN_MIN_COS,
+    )
+
+
+_HARD_NEGATIVES_ORACLE = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS d),
+planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+hn_w AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+hn_proj AS (
+  SELECT e.vec_id, w.p,
+         SUM(w.wt * CAST(e.embedding[w.d] AS DOUBLE)) AS s
+  FROM embeddings e, hn_w w
+  GROUP BY e.vec_id, w.p
+),
+hn_b AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM hn_proj GROUP BY vec_id
+),
+hn_p AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         ROUND({_COS_PAIR}, 6) AS cos_sim
+  FROM embeddings a
+  JOIN hn_b ba ON ba.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id AND a.label <> b.label
+  JOIN hn_b bb ON bb.vec_id = b.vec_id AND bb.b = ba.b,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+hn_f AS (SELECT * FROM hn_p WHERE cos_sim >= {_HN_MIN_COS}),
+hn_sym AS (
+  SELECT id_1 AS anchor_id, id_2 AS negative_id, cos_sim FROM hn_f
+  UNION ALL
+  SELECT id_2, id_1, cos_sim FROM hn_f
+),
+hn_r AS (
+  SELECT anchor_id, negative_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY anchor_id
+           ORDER BY cos_sim DESC, negative_id ASC) AS BIGINT) AS rank
+  FROM hn_sym
+)
+SELECT anchor_id, negative_id, cos_sim, rank
+FROM hn_r WHERE rank <= {_HN_K}
+"""
+
+QUERIES["emb_hard_negatives"] = QuerySpec(
+    _hard_negatives,
+    _HARD_NEGATIVES_ORACLE,
+    "hard-negative mining: top-k cross-label neighbors within the"
+    " SRP locality cell (contrastive training-data export)",
+)

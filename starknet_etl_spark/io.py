@@ -21,6 +21,7 @@ downstream range predicates prune partitions at the source.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -407,6 +408,121 @@ def compact_table(
     return _count_files(spark, path, suffix=".parquet")
 
 
+def snapshot_table(spark: SparkSession, path: str) -> int:
+    """Pin the table's CURRENT data files as an immutable numbered
+    version under ``<path>/_snapshots/v<k>.json`` and return ``k`` —
+    the Iceberg/Delta snapshot idea reduced to its append-only core.
+
+    A training run that records the snapshot id it read from is
+    exactly reproducible later (``read_snapshot``) even while the
+    table keeps ingesting: appends create NEW files, so every file in
+    an old manifest is still byte-identical. What invalidates a
+    snapshot is a REWRITE (``compact_table``, keyed merges, purges) —
+    ``read_snapshot`` then fails loudly listing the missing files
+    rather than silently returning different data. Freeze-then-derive
+    pipelines should snapshot AFTER maintenance windows, or keep
+    maintenance off retained-snapshot tables (documented contract;
+    full rewrite-safe time travel needs a real table format's
+    transaction log).
+
+    File paths are stored RELATIVE to the table root, so a copied or
+    re-mounted table keeps its history. The manifest records file
+    sizes for a cheap integrity pre-check at read.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    root_q = fs.makeQualified(root).toString()
+    files = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        rel = p[len(root_q):].lstrip("/")
+        # skip metadata trees (_snapshots, _batches, _centroids, ...)
+        # and job markers — only real data files version
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        if not rel.endswith(".parquet"):
+            continue
+        files.append({"path": rel, "bytes": int(st.getLen())})
+    files.sort(key=lambda f: f["path"])
+    version = max(list_snapshots(spark, path), default=0) + 1
+    manifest = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_snapshots/v{version}.json"
+    )
+    out = fs.create(manifest, False)  # never overwrite a version
+    out.write(bytearray(json.dumps(
+        {"version": version, "files": files}, sort_keys=True
+    ).encode()))
+    out.close()
+    return version
+
+
+def list_snapshots(spark: SparkSession, path: str) -> list[int]:
+    """Sorted snapshot ids recorded for the table (empty when none)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    d = jvm.org.apache.hadoop.fs.Path(f"{path}/_snapshots")
+    fs = d.getFileSystem(conf)
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """Read the table EXACTLY as pinned by ``snapshot_table`` —
+    the manifest's file list, nothing newer. Fails loudly (naming the
+    files) when a rewrite has destroyed manifest files; a silent
+    partial read would be reproducibility theater."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    manifest = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_snapshots/v{version}.json"
+    )
+    fs = manifest.getFileSystem(conf)
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"no snapshot v{version} at {path}/_snapshots "
+            f"(have: {list_snapshots(spark, path)})"
+        )
+    stream = fs.open(manifest)
+    try:
+        meta = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    missing = []
+    full = []
+    for f in meta["files"]:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{f['path']}")
+        if not fs.exists(p) or int(fs.getFileStatus(p).getLen()) != f["bytes"]:
+            missing.append(f["path"])
+        else:
+            full.append(f"{path}/{f['path']}")
+    if missing:
+        raise IOError(
+            f"snapshot v{version} of {path} is no longer readable — "
+            f"{len(missing)} pinned files were rewritten or removed "
+            f"(compaction/merge/purge ran since): {missing[:5]}"
+        )
+    if not full:
+        return spark.createDataFrame([], spark.read.parquet(path).schema)
+    # basePath keeps partition-dir columns (col=value) in the schema
+    # even though we enumerate leaf files explicitly.
+    return spark.read.option("basePath", path).parquet(*full)
+
+
 def save_bucketed(
     df: DataFrame,
     name: str,
@@ -590,7 +706,13 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
 #: disposable.
 #: ``_rollup_spec`` is the continuous aggregate's persisted grain
 #: (operators/rollup.py) — losing it would orphan the partial log.
-_METADATA_DIRS = ("_centroids", "_codebooks", "_purged", "_rollup_spec")
+#: ``_snapshots`` is the time-travel manifest history — a rewrite
+#: invalidates pinned file lists (read_snapshot then fails LOUDLY),
+#: but destroying the manifests would downgrade that honest error to
+#: a silent "no snapshot".
+_METADATA_DIRS = (
+    "_centroids", "_codebooks", "_purged", "_rollup_spec", "_snapshots"
+)
 
 
 def _copy_metadata_dirs(spark: SparkSession, src: str, dst: str) -> None:

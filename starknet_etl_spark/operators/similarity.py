@@ -2002,3 +2002,77 @@ def nearest_in_cell(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    class_col: str = "label",
+    cell_col: str,
+    k: int = 1,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """(anchor_id, negative_id, cos_sim, rank): each vector's ``k``
+    most similar neighbors of a DIFFERENT class within its locality
+    cell — the hard-negative miner for contrastive/embedding training
+    (the complement of :func:`nearest_in_cell`'s positives: negatives
+    that are close enough to be informative, not random).
+
+    ``cell_col`` is the LOCALITY bucket (SRP/IVF cell) that prunes
+    the pair search; ``class_col`` is the label the negative must
+    differ on. Cross-cell near-misses are invisible by design — the
+    standard ANN-mining recall trade, the same contract as the
+    cell-scoped near-dup.
+
+    Scale: pair search is the cell-scoped blocked GEMM (Σ N_c²,
+    never corpus²); the class filter is an id-keyed projection join;
+    the top-k is one anchor-keyed window. Ranking uses the 6-dp
+    rounded score with an ascending-id tiebreak (deterministic).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = cosine_near_dup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=min_cos,
+        cell_col=cell_col,
+    )
+    cls = df.select(
+        F.col(id_col).alias("__cid"), F.col(class_col).alias("__cls")
+    )
+    sym = pairs.select(
+        F.col("id_1").alias("anchor_id"),
+        F.col("id_2").alias("negative_id"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_2").alias("anchor_id"),
+            F.col("id_1").alias("negative_id"),
+            "cos_sim",
+        )
+    )
+    j = (
+        sym.join(cls, sym.anchor_id == cls.__cid)
+        .withColumnRenamed("__cls", "__cls_a")
+        .drop("__cid")
+        .join(
+            df.select(
+                F.col(id_col).alias("__cid"),
+                F.col(class_col).alias("__cls_n"),
+            ),
+            F.col("negative_id") == F.col("__cid"),
+        )
+        .drop("__cid")
+        .filter(F.col("__cls_a") != F.col("__cls_n"))
+        .drop("__cls_a", "__cls_n")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(k))
+    )

@@ -453,3 +453,37 @@ def test_persisted_pq_index_recall_and_pruning(spark, tmp_path, clustered_emb):
         ),
     )
     assert rec >= 0.55, f"persisted PQ index recall collapsed: {rec}"
+
+
+def test_hard_negatives_cross_class_only(spark):
+    from starknet_etl_spark.operators.similarity import hard_negatives
+
+    # one locality cell (cell=0 for all), two classes; vectors along
+    # two axes so similarities are easy to reason about
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a", 0),
+        (2, [0.9, 0.1, 0.0], "a", 0),   # closest to 1, same class
+        (3, [0.8, 0.2, 0.0], "b", 0),   # closest cross-class to 1
+        (4, [0.0, 1.0, 0.0], "b", 0),
+        (5, [0.0, 0.0, 1.0], "c", 1),   # other cell: invisible to 1-4
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string, cell long"
+    )
+    out = hard_negatives(
+        df, class_col="label", cell_col="cell", k=1, min_cos=0.0
+    ).collect()
+    got = {r["anchor_id"]: r["negative_id"] for r in out}
+    # anchor 1's hardest negative is 3 (nearest DIFFERENT-class), not 2
+    assert got[1] == 3
+    # every emitted pair crosses classes
+    lab = {r[0]: r[2] for r in rows}
+    for r in out:
+        assert lab[r["anchor_id"]] != lab[r["negative_id"]]
+        assert r["rank"] == 1
+    # cell isolation: 5 has no same-cell cross-class neighbor
+    assert 5 not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negatives(df, class_col="label", cell_col="cell", k=0)

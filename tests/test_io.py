@@ -459,3 +459,75 @@ def test_maintain_table_big_files_not_drift(spark, tmp_path):
         spark, p, max_files=0, min_avg_file_mb=0.0
     )
     assert tick["action"] == "none"
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshots / time travel (r9)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_pins_exact_version(spark, tmp_path):
+    from starknet_etl_spark.io import (
+        append_once,
+        list_snapshots,
+        read_snapshot,
+        snapshot_table,
+    )
+
+    path = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    append_once(b0, path, 0)
+    v1 = snapshot_table(spark, path)
+    append_once(b1, path, 1)
+    v2 = snapshot_table(spark, path)
+    assert (v1, v2) == (1, 2)
+    assert list_snapshots(spark, path) == [1, 2]
+    # v1 reads ONLY the pre-append content, while the live table moved
+    got1 = sorted(
+        (r["id"], r["v"]) for r in read_snapshot(spark, path, 1).collect()
+    )
+    assert got1 == [(1, "a"), (2, "b")]
+    got2 = sorted(
+        (r["id"], r["v"]) for r in read_snapshot(spark, path, 2).collect()
+    )
+    assert got2 == [(1, "a"), (2, "b"), (3, "c")]
+    live = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert live == got2
+
+
+def test_snapshot_partitioned_table_keeps_partition_cols(spark, tmp_path):
+    from starknet_etl_spark.io import read_snapshot, save_table, snapshot_table
+
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "id long, v string, part int"
+    )
+    save_table(df, path, mode="overwrite", partition_by=["part"])
+    v = snapshot_table(spark, path)
+    snap = read_snapshot(spark, path, v)
+    assert "part" in snap.columns
+    assert sorted(r["part"] for r in snap.collect()) == [10, 20]
+
+
+def test_snapshot_rewrite_fails_loudly(spark, tmp_path):
+    import pytest as _pytest
+
+    from starknet_etl_spark.io import (
+        compact_table,
+        read_snapshot,
+        snapshot_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "v") for i in range(50)], "id long, v string"
+    ).repartition(4).write.parquet(path)
+    v = snapshot_table(spark, path)
+    assert read_snapshot(spark, path, v).count() == 50
+    compact_table(spark, path)
+    with _pytest.raises(IOError, match="no longer readable"):
+        read_snapshot(spark, path, v)
+    with _pytest.raises(FileNotFoundError, match="no snapshot"):
+        read_snapshot(spark, path, 99)

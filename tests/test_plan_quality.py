@@ -632,3 +632,22 @@ def test_normalize_unicode_is_codegen_map(spark):
     assert "Exchange" not in tree, tree
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in tree, tree
+
+
+def test_tfidf_keywords_broadcasts_vocab_sides(spark):
+    """doc_keywords: the document-frequency and corpus-count sides
+    are vocabulary-sized — they must broadcast, never shuffle the
+    posting relation into a SortMergeJoin."""
+    plan = _plan(spark, "doc_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_hourly_single_exchange(spark):
+    """events_rollup_hourly: partial build + read merge stay one
+    map-side-combinable aggregate pair around ONE shuffle of the
+    grain keys (the mergeable-summary contract)."""
+    plan = _plan(spark, "events_rollup_hourly")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in tree
