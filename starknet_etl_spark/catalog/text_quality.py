@@ -1066,3 +1066,188 @@ QUERIES["doc_ccnet_sample"] = QuerySpec(
     "CCNet downsample: keep the head, md5-halve the middle, drop the"
     " tail — deterministic, append-stable gates",
 )
+
+
+# --------------------------------------------------------------------------
+# Gopher rule gate (r9): text.gopher_rules — Rae et al.'s A1.1 rule
+# subset as exact-arithmetic per-rule flags (the canonical
+# MassiveText pre-filter; the clean gate and the trained classifier
+# are its successors in this suite). Names gph_.
+# --------------------------------------------------------------------------
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gopher_rules(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b')"
+    " THEN 1 ELSE 0 END"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_GOPHER_ORACLE = rf"""
+WITH gph AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         length(regexp_replace(trim(text), '\s+', '', 'g'))
+           AS nonspace,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stopwords
+  FROM documents
+),
+gph2 AS (
+  SELECT doc_id, n_words,
+         floor(nonspace * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           AS mean_word_len,
+         floor(n_sym * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           AS symbol_ratio,
+         floor(n_alpha * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           AS alpha_word_frac,
+         n_stopwords
+  FROM gph
+),
+gph3 AS (
+  SELECT *,
+         n_words BETWEEN 50 AND 100000 AS f_words,
+         mean_word_len BETWEEN 3.0 AND 10.0 AS f_word_len,
+         symbol_ratio <= 0.1 AS f_symbols,
+         alpha_word_frac >= 0.8 AS f_alpha,
+         n_stopwords >= 2 AS f_stopwords
+  FROM gph2
+)
+SELECT *,
+       f_words AND f_word_len AND f_symbols AND f_alpha AND f_stopwords
+         AS keep
+FROM gph3
+"""
+
+QUERIES["doc_gopher_rules"] = QuerySpec(
+    _gopher_rules,
+    _GOPHER_ORACLE,
+    "Gopher A1.1 rule gate: per-rule exact flags (word count, mean"
+    " word length, symbol ratio, alpha fraction, stopwords) + keep",
+)
+
+
+# --------------------------------------------------------------------------
+# Curation with the Gopher rule gate composed in (r9):
+# curate_corpus(gopher=...) — stage 0b drops rule-failing docs with
+# first-failing-rule audit reasons BEFORE the clean verdict; the
+# standard skeleton then runs over the survivors (corpus_block) and
+# the gopher drops append as their own audit arm. Thresholds tuned to
+# the synthetic corpus (min_words=10, min_stopwords=1) so the gate
+# bites without emptying the flow. Names gphc_.
+# --------------------------------------------------------------------------
+
+_GPHC_MIN_WORDS, _GPHC_MIN_STOP = 10, 1
+
+
+def _curation_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        gopher={"min_words": _GPHC_MIN_WORDS,
+                "min_stopwords": _GPHC_MIN_STOP},
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+_GPHC_STOP_SQL = " + ".join(
+    f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b')"
+    " THEN 1 ELSE 0 END"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_GPHC_CORPUS = rf"""gphc AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_words,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST({_GPHC_STOP_SQL} AS BIGINT) AS n_stop
+  FROM documents WHERE source <> 'src0'
+),
+gphf AS (
+  SELECT doc_id, text,
+         n_words BETWEEN {_GPHC_MIN_WORDS} AND 100000 AS f_words,
+         floor(nonspace * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           BETWEEN 3.0 AND 10.0 AS f_word_len,
+         floor(n_sym * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           <= 0.1 AS f_symbols,
+         floor(n_alpha * 1.0 / n_words * 1048576.0 + 0.5) / 1048576.0
+           >= 0.8 AS f_alpha,
+         n_stop >= {_GPHC_MIN_STOP} AS f_stopwords
+  FROM gphc
+),
+gph_drop AS (
+  SELECT doc_id,
+         CASE WHEN NOT f_words THEN 'gopher_words'
+              WHEN NOT f_word_len THEN 'gopher_word_len'
+              WHEN NOT f_symbols THEN 'gopher_symbols'
+              WHEN NOT f_alpha THEN 'gopher_alpha'
+              ELSE 'gopher_stopwords' END AS reason
+  FROM gphf
+  WHERE NOT (f_words AND f_word_len AND f_symbols
+             AND f_alpha AND f_stopwords)
+),
+corpus AS (
+  SELECT doc_id, text FROM gphf
+  WHERE f_words AND f_word_len AND f_symbols
+        AND f_alpha AND f_stopwords
+)"""
+
+_CURATION_GOPHER_ORACLE = (
+    _curation_oracle(corpus_block=_GPHC_CORPUS)
+    + """
+UNION ALL
+SELECT doc_id, 'gopher', reason, NULL, NULL, NULL FROM gph_drop
+"""
+)
+
+QUERIES["doc_curation_gopher"] = QuerySpec(
+    _curation_gopher,
+    _CURATION_GOPHER_ORACLE,
+    "curation with the Gopher rule gate composed in: stage-0b drops"
+    " with first-failing-rule reasons, skeleton over the survivors",
+)

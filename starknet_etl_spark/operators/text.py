@@ -1129,3 +1129,106 @@ def bucket_sample(
             F.col(bucket_col) == F.lit(b), F.lit(int(r * 1000))
         ).otherwise(gate)
     return df.filter(h < gate)
+
+
+#: Gopher stopword list (Rae et al. 2021 §A1.1): a doc must contain
+#: at least ``min_stopwords`` DISTINCT entries to pass the rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021, the A1.1
+    repetition-free subset) as exact-arithmetic flags — the canonical
+    rule gate MassiveText-style pipelines run BEFORE model-based
+    scoring. Each rule emits its measured signal plus a boolean, and
+    ``keep`` is their conjunction, so downstream audits see WHY a doc
+    dropped (the curation reason-string discipline).
+
+    Signals: word count; mean word length (non-space chars / words);
+    symbol-to-word ratio ('#' and '...' occurrences per word);
+    fraction of words containing an alphabetic char; DISTINCT
+    Gopher-stopword count. Ratios are dyadically quantized (q20) —
+    int/int ratios sit exactly on decimal midpoints where ROUND
+    splits engines (CLAUDE.md r6 lesson).
+
+    Scale: pure map — one codegen'd projection per doc; the alpha
+    fraction uses one array filter over the token split (interpreted
+    HOF, fine off the hot path — the gate runs once per corpus pass).
+    """
+    q20 = lambda c: F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1048576.0
+    )
+    text = F.col(text_col)
+    ws = F.split(F.trim(text), r"\s+")
+    n_words = F.size(ws).cast("long")
+    nonspace = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    mean_wl = q20(nonspace / n_words)
+    n_sym = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+    )
+    symbol_ratio = q20(n_sym / n_words)
+    n_alpha = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_frac = q20(n_alpha / n_words)
+    low = F.lower(text)
+    n_stop = sum(
+        (low.rlike(rf"\b{w}\b")).cast("long") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    flags = out.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("f_words"),
+        F.col("mean_word_len")
+        .between(min_mean_word_len, max_mean_word_len)
+        .alias("f_word_len"),
+        (F.col("symbol_ratio") <= F.lit(max_symbol_ratio)).alias("f_symbols"),
+        (F.col("alpha_word_frac") >= F.lit(min_alpha_word_frac)).alias(
+            "f_alpha"
+        ),
+        (F.col("n_stopwords") >= F.lit(min_stopwords)).alias("f_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("f_words")
+            & F.col("f_word_len")
+            & F.col("f_symbols")
+            & F.col("f_alpha")
+            & F.col("f_stopwords")
+        ).alias("keep"),
+    )
+
+
+def gopher_reason() -> Column:
+    """Audit reason for a Gopher-dropped doc: the FIRST failing rule
+    in fixed precedence (words, word_len, symbols, alpha, stopwords)
+    — exact strings, shared by the batch curation stage and the
+    streaming twin so the two flows audit identically."""
+    return (
+        F.when(~F.col("f_words"), F.lit("gopher_words"))
+        .when(~F.col("f_word_len"), F.lit("gopher_word_len"))
+        .when(~F.col("f_symbols"), F.lit("gopher_symbols"))
+        .when(~F.col("f_alpha"), F.lit("gopher_alpha"))
+        .otherwise(F.lit("gopher_stopwords"))
+    )

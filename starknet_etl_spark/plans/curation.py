@@ -56,6 +56,7 @@ def curate_corpus(
     min_words: int = 20,
     max_dup_word_frac: float = 0.7,
     langs: tuple[str, ...] = ("en",),
+    gopher: dict | None = None,
     max_shared_frac: float | None = None,
     span_n: int = 20,
     quality_floor_rank: float | None = None,
@@ -94,7 +95,7 @@ def curate_corpus(
     gate, split-assigned and scrubbed.
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
-    ``stage`` ∈ {clean, boilerplate, quality_floor, kn_floor,
+    ``stage`` ∈ {gopher, clean, boilerplate, quality_floor, kn_floor,
     near_dup, contamination}, ``reason`` is the clean verdict's drop_reason,
     ``shared_<frac>``, ``rank_<pct>``, ``dup_of_<cluster>``, or
     ``overlap_<frac>``.
@@ -240,6 +241,26 @@ def curate_corpus(
         )
 
     ids = F.col(id_col)
+
+    # -- stage 0b (optional): Gopher rule gate (Rae et al. A1.1,
+    # text.gopher_rules) — the canonical rule pre-filter, run BEFORE
+    # the clean verdict so the heuristic/learned gates never see
+    # rule-failing documents. Audit reasons name the FIRST failing
+    # rule in a fixed precedence (words, word_len, symbols, alpha,
+    # stopwords) — exact strings, differential-safe.
+    audit_gopher = None
+    if gopher is not None:
+        from ..operators.text import gopher_reason, gopher_rules
+
+        gr = gopher_rules(docs, id_col, text_col, **gopher)
+        audit_gopher = gr.filter(~F.col("keep")).select(
+            ids,
+            F.lit("gopher").alias("stage"),
+            gopher_reason().alias("reason"),
+        )
+        docs = docs.join(
+            gr.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
 
     # -- stage 1: clean (exact dup / length / repetition / language).
     # With a TRAINED language classifier the heuristic lang arm is
@@ -589,7 +610,7 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_langid, audit_model, audit_boiler,
+    for extra in (audit_gopher, audit_langid, audit_model, audit_boiler,
                   audit_quality, audit_kn, audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)

@@ -62,6 +62,7 @@ def start_curation_stream(
     min_words: int = 20,
     max_dup_word_frac: float = 0.7,
     langs: tuple[str, ...] = ("en",),
+    gopher: dict | None = None,
     threshold: float = 0.8,
     n: int = 3,
     num_hashes: int = 8,
@@ -113,6 +114,25 @@ def start_curation_stream(
         batch = batch.select(id_col, text_col)
         ids = F.col(id_col)
 
+        # 0. Gopher rule gate (optional) — the batch pipeline's
+        # stage 0b per tick: a pure map, so replay safety is free;
+        # audit reasons are the shared first-failing-rule strings.
+        gopher_audit = None
+        if gopher is not None:
+            from ..operators.text import gopher_reason, gopher_rules
+
+            gr = gopher_rules(batch, id_col, text_col, **gopher)
+            gopher_audit = gr.filter(~F.col("keep")).select(
+                ids,
+                F.lit("gopher").alias("stage"),
+                gopher_reason().alias("reason"),
+            )
+            batch = batch.join(
+                gr.filter(F.col("keep")).select(id_col),
+                id_col,
+                "left_semi",
+            )
+
         # 1. in-batch clean gates
         verdicts = clean_corpus(
             batch,
@@ -127,6 +147,8 @@ def start_curation_stream(
             F.lit("clean").alias("stage"),
             F.col("drop_reason").alias("reason"),
         )
+        if gopher_audit is not None:
+            audit = gopher_audit.unionByName(audit)
         kept = batch.join(
             verdicts.filter(F.col("keep")).select(
                 id_col, "n_words", "lang_guess"

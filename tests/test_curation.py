@@ -544,3 +544,38 @@ def test_langid_stage_replaces_heuristic_lang_gate(spark, corpus):
     )
     # the rest of the flow is unchanged: control doc survives
     assert 10 in cur
+
+
+def test_curation_gopher_stage_audits_and_filters(spark):
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    good = "the " + " ".join(f"word{i}" for i in range(30)) + (
+        " quick brown fox jumps with vigor and speed today"
+    )
+    # doc 3 keeps word lengths in-bounds but carries '#' symbol runs
+    rows = [
+        (1, good),
+        (2, "tiny doc"),
+        (3, "programming#### excellent#### wonderful#### " * 10 + good),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, audit = curate_corpus(
+        docs,
+        gopher={"min_words": 10, "min_stopwords": 1},
+        near_dup=None,
+        benchmark=None,
+        langs=None,
+        min_words=1,
+        redact=False,
+    )
+    reasons = {r["doc_id"]: (r["stage"], r["reason"])
+               for r in audit.collect()}
+    assert reasons[2] == ("gopher", "gopher_words")
+    assert reasons[3] == ("gopher", "gopher_symbols")
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert kept == {1}
+    # downstream stages never see rule-failing docs
+    assert not [r for r in audit.collect()
+                if r["doc_id"] in (2, 3) and r["stage"] != "gopher"]

@@ -3328,3 +3328,29 @@ def test_bucket_sample_rates_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         bucket_sample(df, "doc_id", "bucket", {1: 1.5})
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate (r9)
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_flags(spark):
+    from starknet_etl_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps with vigor and " * 8  # 64 words
+    rows = [
+        (1, good),
+        (2, "short text with the and of"),          # fails word count
+        (3, ("## ### #### " * 30) + good),          # symbol-heavy
+        (4, ("123 456 789 " * 30) + "the of and have with to be that"),
+        (5, "a b c " * 40 + "the of and"),          # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["f_words"] is False and out[2]["keep"] is False
+    assert out[3]["f_symbols"] is False and out[3]["keep"] is False
+    assert out[4]["f_alpha"] is False and out[4]["keep"] is False
+    assert out[5]["f_word_len"] is False and out[5]["keep"] is False
+    # stopword rule: distinct-entry count, not occurrences
+    assert out[1]["n_stopwords"] >= 2 and out[1]["f_stopwords"] is True

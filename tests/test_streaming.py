@@ -1387,3 +1387,39 @@ def test_stream_topic_assignment_and_drift(spark, tmp_path):
     }
     assert got2 == want
     assert spark.read.parquet(paths["assignments_path"]).count() == len(want)
+
+
+def test_curation_stream_gopher_gate(spark, tmp_path):
+    """The streaming gopher stage matches the batch stage: rule
+    failures audited with the shared first-failing-rule reasons,
+    survivors flow to the remaining gates."""
+    from starknet_etl_spark.streaming.curation import start_curation_stream
+
+    good = ("the release notes cover and explain features fixes "
+            "upgrades migrations rollbacks configs flags defaults "
+            "limits quotas alerts dashboards exports imports")
+    rows = [
+        (1, good),
+        (2, "the short note"),                       # gopher_words
+        (3, "pro#### exce#### wond#### " * 10 + good),
+    ]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = start_curation_stream(
+        spark.readStream.schema(schema).parquet(src),
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+        gopher={"min_words": 10, "min_stopwords": 1},
+        min_words=1,
+    )
+    q.awaitTermination(240)
+    cur = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "out")).collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in spark.read.parquet(str(tmp_path / "audit")).collect()}
+    assert cur == {1}
+    assert aud[2] == ("gopher", "gopher_words")
+    assert aud[3] == ("gopher", "gopher_symbols")
