@@ -763,3 +763,62 @@ QUERIES["events_rollup_incremental"] = QuerySpec(
     "persisted rollup lifecycle: build + incremental append +"
     " replayed-batch no-op + compact == one-shot recompute, bit-equal",
 )
+
+
+def _rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dims off the rollup grain: top-2 event types per DAY
+    bucket by event count (ties: higher sum_value, then type asc) —
+    the dashboard query a continuous aggregate exists to serve; reads
+    the merged grain, never the raw events."""
+    from pyspark.sql.window import Window
+
+    from ..operators.rollup import merge_partials, rollup_partials
+
+    ev = _ev(spark, sf_dir)
+    grain = merge_partials(
+        rollup_partials(
+            ev, ts_col="ts", dims=["event_type"], value_col="value",
+            bucket="day",
+        ),
+        ["event_type"],
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_events"), F.desc("sum_value"), F.asc("event_type")
+    )
+    return (
+        grain.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("bucket", "event_type", "n_events", "sum_value", "rank")
+    )
+
+
+_RU_TOPK_ORACLE = """
+WITH ru AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type,
+         floor(value * 1048576.0 + 0.5) / 1048576.0 AS v
+  FROM events
+),
+g AS (
+  SELECT bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(v) AS sum_value
+  FROM ru GROUP BY bucket, event_type
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY bucket
+          ORDER BY n_events DESC, sum_value DESC, event_type ASC)
+        AS BIGINT) AS rank
+  FROM g
+)
+SELECT bucket, event_type, n_events, sum_value, rank
+FROM r WHERE rank <= 2
+"""
+
+QUERIES["events_rollup_topk"] = QuerySpec(
+    _rollup_topk,
+    _RU_TOPK_ORACLE,
+    "trending dims per day bucket off the rollup grain: top-2 event"
+    " types by exact counts, dyadic-sum tie-break",
+)

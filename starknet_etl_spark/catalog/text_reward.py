@@ -277,3 +277,45 @@ QUERIES["doc_pref_best_rm"] = QuerySpec(
     "rejection sampling reranked by the trained reward model: top"
     " response per prompt by (reward desc, id asc)",
 )
+
+
+# --------------------------------------------------------------------------
+# Reward-model calibration (r9 cont.): accuracy by |margin| bucket —
+# the trust curve a best-of-n / filtering consumer reads. Buckets are
+# exact dyadic arithmetic (q20 margins x 8, floored, capped), so
+# membership is bit-identical across engines. Names rmc_.
+# --------------------------------------------------------------------------
+
+
+def _reward_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reward_model import reward_calibration
+
+    w = _rm_weights(spark, sf_dir)
+    _feats, pf = _rm_pair_features(spark, sf_dir)
+    return reward_calibration(pf, w, n_buckets=8, scale=8.0)
+
+
+_REWARD_CALIBRATION_ORACLE = (
+    "WITH " + _rm_ctes() + f""",
+rmsc AS MATERIALIZED ({_RM_SCORE_SQL})
+SELECT CAST(LEAST(floor(abs(c.reward - r.reward) * 8.0), 7) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.reward > r.reward THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       floor(SUM(CASE WHEN c.reward > r.reward THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+         AS accuracy
+FROM rm_pairs p
+JOIN rmsc c ON c.doc_id = p.cid
+JOIN rmsc r ON r.doc_id = p.rid
+GROUP BY 1
+"""
+)
+
+QUERIES["doc_reward_calibration"] = QuerySpec(
+    _reward_calibration,
+    _REWARD_CALIBRATION_ORACLE,
+    "reward-model trust curve: exact pairwise accuracy by dyadic"
+    " |margin| bucket",
+)

@@ -307,3 +307,48 @@ def best_of_n_by_reward(
         min_group=min_group,
         turn_sep=turn_sep, role_sep=role_sep, roles=roles,
     ).select("prompt_fp", id_col, "reward", "n_responses")
+
+
+def reward_calibration(
+    pairs: DataFrame,
+    weights: list[float],
+    *,
+    chosen_vec: str = "chosen_fv",
+    rejected_vec: str = "rejected_fv",
+    n_buckets: int = 8,
+    scale: float = 8.0,
+) -> DataFrame:
+    """(bucket, n_pairs, n_correct, accuracy): pairwise accuracy by
+    |score margin| bucket — the calibration card that tells a
+    best-of-n / data-filtering consumer how much to trust a given
+    margin (accuracy should rise with the bucket; a flat curve means
+    the scores carry no confidence signal).
+
+    Bucket = min(floor(|r_chosen − r_rejected|·scale), n_buckets−1).
+    Scores are q20-dyadic, so the margin, the product and the floor
+    are all EXACT — bucket membership is bit-identical across
+    engines and partitionings, like every count here."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    both = pairs.select(
+        score_col_expr(weights, chosen_vec).alias("__rc"),
+        score_col_expr(weights, rejected_vec).alias("__rr"),
+    )
+    bucket = F.least(
+        F.floor(F.abs(F.col("__rc") - F.col("__rr")) * F.lit(scale)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        both.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("__rc") > F.col("__rr")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+            _q20(
+                F.sum((F.col("__rc") > F.col("__rr")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )

@@ -531,3 +531,38 @@ def test_snapshot_rewrite_fails_loudly(spark, tmp_path):
         read_snapshot(spark, path, v)
     with _pytest.raises(FileNotFoundError, match="no snapshot"):
         read_snapshot(spark, path, 99)
+
+
+def test_snapshot_pins_training_export(spark, tmp_path):
+    """Reproducible-training composition: shard export from a
+    snapshot read is byte-stable even after the live table keeps
+    ingesting — the pin a training run records actually pins the
+    data its shards were cut from."""
+    from starknet_etl_spark.io import append_once, read_snapshot, snapshot_table
+    from starknet_etl_spark.operators.splits import shuffle_shards
+
+    path = str(tmp_path / "docs")
+    b0 = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    append_once(b0, path, 0)
+    v = snapshot_table(spark, path)
+
+    def shards_of(df):
+        return sorted(
+            (r["doc_id"], r["shard"], r["shard_pos"])
+            for r in shuffle_shards(df, "doc_id", n_shards=4).collect()
+        )
+
+    want = shards_of(read_snapshot(spark, path, v))
+    # live table moves on
+    append_once(
+        spark.createDataFrame(
+            [(i, f"text {i}") for i in range(40, 70)],
+            "doc_id long, text string",
+        ),
+        path,
+        1,
+    )
+    assert shards_of(read_snapshot(spark, path, v)) == want
+    assert shards_of(spark.read.parquet(path)) != want

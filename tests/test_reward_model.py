@@ -271,3 +271,33 @@ def test_reward_serving_rows(spark, tmp_path):
     with _pytest.raises(ValueError, match="model width"):
         reward_score_rows(spark, mp, ["x"], dim=9)
     assert reward_score_rows(spark, mp, [], dim=4) == []
+
+
+def test_reward_calibration_buckets_exact(spark):
+    from starknet_etl_spark.operators.reward_model import (
+        reward_calibration,
+        train_reward_model,
+    )
+
+    pairs = [
+        ([0.9, 0.1], [0.1, 0.9]),  # big margin
+        ([0.8, 0.2], [0.2, 0.7]),
+        ([0.55, 0.45], [0.45, 0.55]),  # small margin
+    ]
+    df = spark.createDataFrame(
+        [(f"c{i}", f"r{i}", list(c), list(r))
+         for i, (c, r) in enumerate(pairs)],
+        "chosen_id string, rejected_id string,"
+        " chosen_fv array<double>, rejected_fv array<double>",
+    )
+    w = train_reward_model(df, dim=2, n_rounds=4, lr=0.25)
+    out = reward_calibration(df, w, n_buckets=4, scale=4.0).collect()
+    assert sum(r["n_pairs"] for r in out) == 3
+    for r in out:
+        assert 0 <= r["bucket"] <= 3
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_pairs"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reward_calibration(df, w, n_buckets=1)
