@@ -822,3 +822,72 @@ QUERIES["events_rollup_topk"] = QuerySpec(
     "trending dims per day bucket off the rollup grain: top-2 event"
     " types by exact counts, dyadic-sum tie-break",
 )
+
+
+def _rollup_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure rollup: carrying [value, value²] makes the grain
+    a VARIANCE source — (n, Σx, Σx²) are the textbook sufficient
+    statistics, so stddev derives at read with no second pass over
+    the raw events. Day buckets per event type; q20 averages are
+    bit-equal inputs, sqrt is IEEE-correctly-rounded, so the derived
+    std is cross-engine-stable under the 6-dp round."""
+    from ..operators.rollup import merge_partials, rollup_partials
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    grain = merge_partials(
+        rollup_partials(
+            ev, ts_col="ts", dims=["event_type"],
+            value_col=["value", "value_sq"], bucket="day",
+        ),
+        ["event_type"],
+        ["value", "value_sq"],
+    )
+    var = F.greatest(
+        F.col("avg__value_sq") - F.col("avg__value") * F.col("avg__value"),
+        F.lit(0.0),
+    )
+    return grain.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("n__value").alias("n_value"),
+        F.col("sum__value").alias("sum_value"),
+        F.col("avg__value").alias("avg_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
+_RU_VARIANCE_ORACLE = """
+WITH ruv AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type,
+         floor(value * 1048576.0 + 0.5) / 1048576.0 AS v,
+         floor(value * value * 1048576.0 + 0.5) / 1048576.0 AS v2
+  FROM events
+),
+g AS (
+  SELECT bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(v) AS BIGINT) AS n_value,
+         SUM(v) AS sum_value,
+         floor(SUM(v) / COUNT(v) * 1048576.0 + 0.5) / 1048576.0
+           AS avg_v,
+         floor(SUM(v2) / COUNT(v2) * 1048576.0 + 0.5) / 1048576.0
+           AS avg_v2
+  FROM ruv GROUP BY bucket, event_type
+)
+SELECT bucket, event_type, n_events, n_value, sum_value,
+       avg_v AS avg_value,
+       ROUND(SQRT(GREATEST(avg_v2 - avg_v * avg_v, 0.0)), 6)
+         AS std_value
+FROM g
+"""
+
+QUERIES["events_rollup_variance"] = QuerySpec(
+    _rollup_variance,
+    _RU_VARIANCE_ORACLE,
+    "multi-measure rollup as a variance source: (n, Σx, Σx²)"
+    " sufficient statistics, stddev derived at read",
+)

@@ -85,40 +85,69 @@ def _chunk_of(bucket: Column, chunk: str) -> Column:
     return (F.floor(bucket / F.lit(width)) * F.lit(width)).cast("long")
 
 
+def _measure_names(
+    value_col: str | list[str],
+) -> list[tuple[str, str, str, str, str]]:
+    """Per-measure stored/derived column names: a plain string keeps
+    the original single-measure names (n_value/sum_value/...); a LIST
+    switches to per-column ``<stat>__<col>`` names — even a
+    one-element list, so the layout is decided by the API shape, not
+    the measure count."""
+    if isinstance(value_col, str):
+        return [
+            (value_col, "n_value", "sum_value", "min_value", "max_value")
+        ]
+    return [
+        (c, f"n__{c}", f"sum__{c}", f"min__{c}", f"max__{c}")
+        for c in value_col
+    ]
+
+
 def rollup_partials(
     df: DataFrame,
     *,
     ts_col: str,
     dims: list[str],
-    value_col: str,
+    value_col: str | list[str],
     bucket: str = "hour",
     chunk: str = "day",
 ) -> DataFrame:
     """One batch's partial rollup: the mergeable sufficient statistics
     at the ``(bucket, *dims)`` grain, tagged with the coarser
-    ``chunk`` partition key. Pure plan — one aggregate with map-side
-    combine; output size is bounded by group cardinality."""
+    ``chunk`` partition key. ``value_col`` may be a LIST of measure
+    columns — each gets its own count/sum/min/max block (a derived
+    squared column turns the rollup into a variance/stddev source:
+    (n, Σx, Σx²) are the textbook sufficient statistics). Pure plan —
+    one aggregate with map-side combine; output size is bounded by
+    group cardinality."""
     if bucket not in BUCKETS:
         raise ValueError(f"bucket must be one of {sorted(BUCKETS)}")
     if chunk not in CHUNKS or CHUNKS[chunk] < BUCKETS[bucket]:
         raise ValueError(
             f"chunk must be one of {sorted(CHUNKS)} and >= bucket width"
         )
-    v = _quant(F.col(value_col))
+    names = _measure_names(value_col)
+    sel = [
+        bucket_col(ts_col, bucket).alias("bucket"),
+        *[F.col(d) for d in dims],
+        *[
+            _quant(F.col(c)).alias(f"__v{i}")
+            for i, (c, *_rest) in enumerate(names)
+        ],
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for i, (_c, n_n, n_sum, n_min, n_max) in enumerate(names):
+        v = f"__v{i}"
+        aggs += [
+            F.count(v).cast("long").alias(n_n),
+            F.sum(v).alias(n_sum),
+            F.min(v).alias(n_min),
+            F.max(v).alias(n_max),
+        ]
     return (
-        df.select(
-            bucket_col(ts_col, bucket).alias("bucket"),
-            *[F.col(d) for d in dims],
-            v.alias("__v"),
-        )
+        df.select(*sel)
         .groupBy("bucket", *dims)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.count("__v").cast("long").alias("n_value"),
-            F.sum("__v").alias("sum_value"),
-            F.min("__v").alias("min_value"),
-            F.max("__v").alias("max_value"),
-        )
+        .agg(*aggs)
         .withColumn("chunk", _chunk_of(F.col("bucket"), chunk))
     )
 
@@ -161,7 +190,7 @@ def build_rollup(
     *,
     ts_col: str,
     dims: list[str],
-    value_col: str,
+    value_col: str | list[str],
     bucket: str = "hour",
     chunk: str = "day",
 ) -> None:
@@ -170,7 +199,13 @@ def build_rollup(
     persisted grain spec. The table is an append-only partial log
     from day one — the build is just batch 0's partials. Each chunk
     dir gets one file per write (the partial frame is repartitioned
-    on chunk first — it is tiny by construction)."""
+    on chunk first — it is tiny by construction).
+
+    Building from an EMPTY frame (the stream-first pattern) writes
+    the spec but no parquet footers, so ``read_rollup`` before the
+    first appended batch raises Spark's unable-to-infer-schema error
+    — build with the first real batch, or append one before reading
+    (streaming/rollup.py's contract)."""
     part = rollup_partials(
         df, ts_col=ts_col, dims=dims, value_col=value_col,
         bucket=bucket, chunk=chunk,
@@ -224,26 +259,41 @@ def _read_partials(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def merge_partials(df: DataFrame, dims: list[str]) -> DataFrame:
+def merge_partials(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str | list[str] = "value",
+) -> DataFrame:
     """Fold a partial-statistics frame per ``(bucket, *dims)`` and
-    derive ``avg_value`` — the read-side algebra, shared by
+    derive per-measure averages — the read-side algebra, shared by
     :func:`read_rollup`, :func:`compact_rollup`, and the catalog's
-    in-plan differential row so the oracle checks exactly the code the
-    lifecycle runs. Addition over the dyadic grid is exact, so folding
-    partials in any order is bit-equal to aggregating the raw rows."""
-    merged = df.groupBy("bucket", *dims).agg(
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.sum("n_value").cast("long").alias("n_value"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    )
-    return merged.withColumn(
-        "avg_value",
-        F.when(
-            F.col("n_value") > 0, _quant(F.col("sum_value") / F.col("n_value"))
-        ),
-    )
+    in-plan differential rows so the oracle checks exactly the code
+    the lifecycle runs. Addition over the dyadic grid is exact, so
+    folding partials in any order is bit-equal to aggregating the
+    raw rows. ``value_col`` only selects the column LAYOUT (string =
+    legacy single-measure names, list = ``<stat>__<col>``); derived
+    averages are ``avg_value`` / ``avg__<col>`` respectively."""
+    names = _measure_names(value_col)
+    aggs = [F.sum("n_events").cast("long").alias("n_events")]
+    for _c, n_n, n_sum, n_min, n_max in names:
+        aggs += [
+            F.sum(n_n).cast("long").alias(n_n),
+            F.sum(n_sum).alias(n_sum),
+            F.min(n_min).alias(n_min),
+            F.max(n_max).alias(n_max),
+        ]
+    merged = df.groupBy("bucket", *dims).agg(*aggs)
+    for c, n_n, n_sum, _n_min, _n_max in names:
+        avg_name = (
+            "avg_value" if isinstance(value_col, str) else f"avg__{c}"
+        )
+        merged = merged.withColumn(
+            avg_name,
+            F.when(
+                F.col(n_n) > 0, _quant(F.col(n_sum) / F.col(n_n))
+            ),
+        )
+    return merged
 
 
 def read_rollup(
@@ -270,7 +320,9 @@ def read_rollup(
         df = df.filter(
             F.col("chunk") <= F.lit((bucket_max // width) * width)
         ).filter(F.col("bucket") <= F.lit(bucket_max))
-    return merge_partials(df.drop("chunk"), spec["dims"])
+    return merge_partials(
+        df.drop("chunk"), spec["dims"], spec["value_col"]
+    )
 
 
 def compact_rollup(spark: SparkSession, path: str) -> None:
@@ -281,14 +333,16 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     swap (the io._replace_dir metadata discipline, r4/r5 lessons).
     Run on the same maintenance cadence as io.compact_table."""
     spec = read_spec(spark, path)
-    merged = (
-        merge_partials(
-            _read_partials(spark, path).drop("chunk"), spec["dims"]
-        )
-        # avg is DERIVED, never stored — the compacted log keeps only
-        # the sufficient statistics so future merges stay additive.
-        .drop("avg_value")
-        .withColumn("chunk", _chunk_of(F.col("bucket"), spec["chunk"]))
+    merged = merge_partials(
+        _read_partials(spark, path).drop("chunk"),
+        spec["dims"],
+        spec["value_col"],
+    )
+    # avg is DERIVED, never stored — the compacted log keeps only
+    # the sufficient statistics so future merges stay additive.
+    avg_cols = [c for c in merged.columns if c.startswith("avg")]
+    merged = merged.drop(*avg_cols).withColumn(
+        "chunk", _chunk_of(F.col("bucket"), spec["chunk"])
     )
     tmp = f"{path}__tmp_compact"
     merged.repartition("chunk").write.mode("overwrite").partitionBy(

@@ -189,3 +189,41 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
+
+
+def test_multi_measure_lifecycle(spark, tmp_path):
+    """List-valued value_col: per-measure stat blocks, spec
+    round-trips the list, incremental appends stay bit-equal."""
+    from starknet_etl_spark.operators.rollup import (
+        append_rollup as _ar,
+        build_rollup as _br,
+        read_rollup as _rr,
+        read_spec as _rs,
+    )
+
+    ev = _events(spark).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    path = str(tmp_path / "ru")
+    _br(
+        ev.filter(F.col("event_id") % 2 == 0), path,
+        ts_col="ts", dims=["event_type"],
+        value_col=["value", "value_sq"],
+    )
+    assert _rs(spark, path)["value_col"] == ["value", "value_sq"]
+    _ar(ev.filter(F.col("event_id") % 2 == 1), path, 1)
+    got = _rr(spark, path)
+    assert {"n__value", "sum__value_sq", "avg__value",
+            "avg__value_sq"} <= set(got.columns)
+    want = merge_partials(
+        rollup_partials(
+            ev, ts_col="ts", dims=["event_type"],
+            value_col=["value", "value_sq"],
+        ),
+        ["event_type"],
+        ["value", "value_sq"],
+    )
+    cols = sorted(set(got.columns) - {"chunk"})
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
+        tuple(r) for r in want.select(*cols).collect()
+    )
