@@ -891,3 +891,95 @@ QUERIES["events_rollup_variance"] = QuerySpec(
     "multi-measure rollup as a variance source: (n, Σx, Σx²)"
     " sufficient statistics, stddev derived at read",
 )
+
+
+def _rollup_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flags off the rollup grain: each (day bucket,
+    type) cell's event count z-scored against the TYPE's overall
+    bucket distribution — (B, Σn, Σn²) are exact integers, so mean/
+    std/z are identical doubles in both engines and the ±2σ flag
+    never sits on an engine seam. The ops alert a continuous
+    aggregate exists to drive, reading the grain, never raw events."""
+    from ..operators.rollup import merge_partials, rollup_partials
+
+    ev = _ev(spark, sf_dir)
+    q20 = lambda c: F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(  # noqa: E731
+        1048576.0
+    )
+    g = merge_partials(
+        rollup_partials(
+            ev, ts_col="ts", dims=["event_type"], value_col="value",
+            bucket="day",
+        ),
+        ["event_type"],
+    ).select("bucket", "event_type", "n_events")
+    stats = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__b"),
+        F.sum("n_events").alias("__s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        q20(F.col("__s") / F.col("__b")).alias("mean_events"),
+        F.sqrt(
+            F.greatest(
+                q20(F.col("__s2") / F.col("__b"))
+                - q20(F.col("__s") / F.col("__b"))
+                * q20(F.col("__s") / F.col("__b")),
+                F.lit(0.0),
+            )
+        ).alias("__std"),
+    )
+    j = g.join(F.broadcast(stats), "event_type")
+    dev = F.col("n_events") - F.col("mean_events")
+    return j.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        "mean_events",
+        F.when(F.col("__std") > 0, F.round(dev / F.col("__std"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+        (
+            (F.col("__std") > 0)
+            & (F.abs(dev) >= F.lit(2.0) * F.col("__std"))
+        ).alias("is_anomaly"),
+    )
+
+
+_RU_ANOMALY_ORACLE = """
+WITH rua AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ruas AS (
+  SELECT event_type,
+         floor(SUM(n_events) * 1.0 / COUNT(*) * 1048576.0 + 0.5)
+           / 1048576.0 AS mean_events,
+         SQRT(GREATEST(
+           floor(SUM(n_events * n_events) * 1.0 / COUNT(*)
+                 * 1048576.0 + 0.5) / 1048576.0
+           - (floor(SUM(n_events) * 1.0 / COUNT(*) * 1048576.0 + 0.5)
+              / 1048576.0)
+             * (floor(SUM(n_events) * 1.0 / COUNT(*) * 1048576.0 + 0.5)
+                / 1048576.0),
+           0.0)) AS std_e
+  FROM rua GROUP BY event_type
+)
+SELECT a.bucket, a.event_type, a.n_events, s.mean_events,
+       CASE WHEN s.std_e > 0
+            THEN ROUND((a.n_events - s.mean_events) / s.std_e, 6)
+            ELSE 0.0 END AS z,
+       s.std_e > 0
+         AND abs(a.n_events - s.mean_events) >= 2.0 * s.std_e
+         AS is_anomaly
+FROM rua a JOIN ruas s USING (event_type)
+"""
+
+QUERIES["events_rollup_anomaly"] = QuerySpec(
+    _rollup_anomaly,
+    _RU_ANOMALY_ORACLE,
+    "volume anomaly flags off the rollup grain: exact-integer"
+    " (B, Σn, Σn²) per type, identical-double z-scores, ±2σ flags",
+)

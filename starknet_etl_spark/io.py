@@ -427,7 +427,11 @@ def snapshot_table(spark: SparkSession, path: str) -> int:
 
     File paths are stored RELATIVE to the table root, so a copied or
     re-mounted table keeps its history. The manifest records file
-    sizes for a cheap integrity pre-check at read.
+    sizes for a cheap integrity pre-check at read. Parquet tables
+    only (the engine's storage format; csv/json are interchange
+    surfaces and don't version). Two concurrent snapshots race to
+    the same version id and the loser fails LOUDLY on the
+    no-overwrite manifest create — retry to take the next id.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

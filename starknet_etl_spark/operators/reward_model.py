@@ -330,6 +330,8 @@ def reward_calibration(
     engines and partitionings, like every count here."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
     both = pairs.select(
         score_col_expr(weights, chosen_vec).alias("__rc"),
         score_col_expr(weights, rejected_vec).alias("__rr"),
