@@ -734,3 +734,23 @@ def test_rollup_partial_merge_bit_equal_any_batching(spark, rows):
     got = sorted(tuple(r) for r in merged.select(*cols).collect())
     want = sorted(tuple(r) for r in full.select(*cols).collect())
     assert got == want  # EXACT equality, not approx
+
+
+@given(
+    xs=st.sets(st.integers(0, 60), min_size=1, max_size=40),
+    ys=st.sets(st.integers(0, 60), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_kmv_overlap_exact_when_k_covers_union(spark, xs, ys):
+    """KMV set algebra degenerates to EXACT Jaccard whenever the
+    union sketch is exhaustive (k >= |A ∪ B|) — for any input sets,
+    duplicates included."""
+    from starknet_etl_spark.operators.sketches import kmv_overlap
+
+    rows = [("a", f"v{i}") for i in xs] + [("b", f"v{i}") for i in ys]
+    df = spark.createDataFrame(rows * 2, "g string, v string")  # dups
+    r = kmv_overlap(df, "g", "v", k=128).collect()[0]
+    inter, union = len(xs & ys), len(xs | ys)
+    assert r["k_union"] == union
+    assert r["n_shared"] == inter
+    assert r["jaccard_est"] == round(inter / union, 6)
