@@ -339,8 +339,14 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
         spec["value_col"],
     )
     # avg is DERIVED, never stored — the compacted log keeps only
-    # the sufficient statistics so future merges stay additive.
-    avg_cols = [c for c in merged.columns if c.startswith("avg")]
+    # the sufficient statistics so future merges stay additive. The
+    # exact derived names come from the measure layout (a prefix
+    # match would eat a dim that happened to be named avg_*).
+    vc = spec["value_col"]
+    avg_cols = (
+        ["avg_value"] if isinstance(vc, str)
+        else [f"avg__{c}" for c in vc]
+    )
     merged = merged.drop(*avg_cols).withColumn(
         "chunk", _chunk_of(F.col("bucket"), spec["chunk"])
     )
