@@ -302,13 +302,20 @@ def read_rollup(
     *,
     bucket_min: int | None = None,
     bucket_max: int | None = None,
+    resample: str | None = None,
 ) -> DataFrame:
     """The merged rollup: fold the partial log per ``(bucket, *dims)``
     and derive ``avg_value``. A bucket range prunes on the CHUNK
     partition column BEFORE the merge (the range floored to the chunk
     grid) — the scan never touches other chunks' directories
     (plan-gated in tests); the fine bucket bound then trims inside the
-    boundary chunks."""
+    boundary chunks.
+
+    ``resample`` re-buckets the READ to a coarser grain (e.g. a
+    day-resolution dashboard view of an hourly table): buckets floor
+    to the coarser grid before the fold, and the merge algebra
+    absorbs the regroup exactly (sums/counts add, min/max are
+    idempotent, avg re-derives) — no second aggregate, no loss."""
     spec = read_spec(spark, path)
     df = _read_partials(spark, path)
     width = CHUNKS[spec["chunk"]]
@@ -320,6 +327,23 @@ def read_rollup(
         df = df.filter(
             F.col("chunk") <= F.lit((bucket_max // width) * width)
         ).filter(F.col("bucket") <= F.lit(bucket_max))
+    if resample is not None:
+        if resample not in BUCKETS:
+            raise ValueError(
+                f"resample must be one of {sorted(BUCKETS)}"
+            )
+        if BUCKETS[resample] < BUCKETS[spec["bucket"]]:
+            raise ValueError(
+                f"cannot resample {spec['bucket']!r} grain to the "
+                f"FINER {resample!r} — a rollup only coarsens"
+            )
+        rw = BUCKETS[resample]
+        df = df.withColumn(
+            "bucket",
+            (F.floor(F.col("bucket") / F.lit(rw)) * F.lit(rw)).cast(
+                "long"
+            ),
+        )
     return merge_partials(
         df.drop("chunk"), spec["dims"], spec["value_col"]
     )
@@ -358,6 +382,39 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     # io._METADATA_DIRS entry — _rollup_spec is registered there, so
     # the grain spec survives the swap (the r4 _batches-loss lesson).
     _io._replace_dir(spark, path, tmp)
+
+
+def expire_rollup_chunks(
+    spark: SparkSession, path: str, *, older_than_bucket: int
+) -> int:
+    """Retention: drop whole chunk DIRECTORIES strictly older than
+    the chunk containing ``older_than_bucket`` — the hypertable
+    drop-chunk policy. Deleting a directory is O(1) per chunk
+    regardless of row count (never a rewrite), and the chunk grid
+    guarantees no surviving bucket shares a dir with an expired one.
+    Returns the number of chunks dropped. Expired history is GONE —
+    pair with :func:`..io.snapshot_table` on an archive copy if the
+    raw grain must remain reachable."""
+    spec = read_spec(spark, path)
+    width = CHUNKS[spec["chunk"]]
+    cutoff = (older_than_bucket // width) * width
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    dropped = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("chunk=")):
+            continue
+        try:
+            val = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if val < cutoff:
+            fs.delete(st.getPath(), True)
+            dropped += 1
+    return dropped
 
 
 def rollup_stats(spark: SparkSession, path: str) -> dict:

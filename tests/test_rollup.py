@@ -227,3 +227,55 @@ def test_multi_measure_lifecycle(spark, tmp_path):
     assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
         tuple(r) for r in want.select(*cols).collect()
     )
+
+
+def test_resample_read_coarsens_exactly(spark, tmp_path):
+    """Day-resolution read of an hourly table == building the rollup
+    at day grain directly — the merge algebra absorbs the regroup."""
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+        bucket="hour",
+    )
+    got = _as_rows(read_rollup(spark, path, resample="day"))
+    want = _as_rows(
+        merge_partials(
+            rollup_partials(
+                ev, ts_col="ts", dims=["event_type"],
+                value_col="value", bucket="day",
+            ),
+            ["event_type"],
+        )
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        read_rollup(spark, path, resample="minute")  # finer: refuse
+    with pytest.raises(ValueError):
+        read_rollup(spark, path, resample="week")
+
+
+def test_expire_rollup_chunks(spark, tmp_path):
+    from starknet_etl_spark.operators.rollup import expire_rollup_chunks
+
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    build_rollup(
+        ev, path, ts_col="ts", dims=["event_type"], value_col="value",
+    )
+    buckets = sorted(
+        r["bucket"] for r in
+        read_rollup(spark, path).select("bucket").distinct().collect()
+    )
+    cutoff = buckets[len(buckets) // 2]
+    dropped = expire_rollup_chunks(spark, path, older_than_bucket=cutoff)
+    assert dropped >= 1
+    left = sorted(
+        r["bucket"] for r in
+        read_rollup(spark, path).select("bucket").distinct().collect()
+    )
+    cutoff_chunk = (cutoff // 86400) * 86400
+    assert all(b >= cutoff_chunk for b in left)
+    assert cutoff in left  # the cutoff's own chunk survives
+    # idempotent: nothing left to drop
+    assert expire_rollup_chunks(spark, path, older_than_bucket=cutoff) == 0
