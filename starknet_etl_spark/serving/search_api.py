@@ -658,6 +658,7 @@ def rollup_range_rows(
     *,
     bucket_min: int | None = None,
     bucket_max: int | None = None,
+    resample: str | None = None,
     max_rows: int = 10_000,
 ) -> list[dict[str, Any]]:
     """Merged continuous-aggregate rows for a bucket range — a
@@ -669,7 +670,8 @@ def rollup_range_rows(
     from ..operators.rollup import read_rollup
 
     df = read_rollup(
-        spark, rollup_path, bucket_min=bucket_min, bucket_max=bucket_max
+        spark, rollup_path,
+        bucket_min=bucket_min, bucket_max=bucket_max, resample=resample,
     )
     rows = df.orderBy(*df.columns[:2]).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -686,11 +688,13 @@ def rollup_response(
     *,
     bucket_min: int | None = None,
     bucket_max: int | None = None,
+    resample: str | None = None,
 ) -> dict[str, Any]:
     return _wrap(
         lambda: rollup_range_rows(
             spark, rollup_path,
             bucket_min=bucket_min, bucket_max=bucket_max,
+            resample=resample,
         )
     )
 
@@ -956,12 +960,15 @@ def create_search_app(
 
         @app.get("/rollup")
         def rollup(
-            bucket_min: int | None = None, bucket_max: int | None = None
+            bucket_min: int | None = None,
+            bucket_max: int | None = None,
+            resample: str | None = None,
         ):
             return run(
                 lambda: rollup_response(
                     spark, rollup_path,
                     bucket_min=bucket_min, bucket_max=bucket_max,
+                    resample=resample,
                 )
             )
 

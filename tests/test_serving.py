@@ -782,6 +782,13 @@ def test_rollup_serving_core(spark, tmp_path):
     hi = lo + 3 * 3600
     sub = rollup_range_rows(spark, path, bucket_min=lo, bucket_max=hi)
     assert sub and all(lo <= r["bucket"] <= hi for r in sub)
+    # coarse-resolution view: day buckets, fewer rows, same totals
+    daily = rollup_range_rows(spark, path, resample="day")
+    assert len(daily) < len(rows)
+    assert all(r["bucket"] % 86400 == 0 for r in daily)
+    assert sum(r["n_events"] for r in daily) == sum(
+        r["n_events"] for r in rows
+    )
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError):
