@@ -811,9 +811,10 @@ for _i in range(1, len(_sc_parts) - 1, 2):
     _sc_spans[int(_sc_parts[_i])] = _sc_parts[_i + 1].strip()
 _sc_toks = []
 for _t in _sc_r["inputs"].split():
-    _m = re.fullmatch(r"<extra_id_(\d+)>", _t)
+    # distinct name: _m is the math-module alias segments 11+ use
+    _mt = re.fullmatch(r"<extra_id_(\d+)>", _t)
     _sc_toks.extend(
-        _sc_spans[int(_m.group(1))].split() if _m else [_t]
+        _sc_spans[int(_mt.group(1))].split() if _mt else [_t]
     )
 assert " ".join(_sc_toks) == _sc_doc
 

@@ -741,11 +741,15 @@ def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 0), path,
         ts_col="ts", dims=["event_type"], value_col="value",
         bucket="hour",
+        reset=True,  # session-stable scratch path: reps rebuild
     )
     delta = ev.filter(F.col("event_id") % 2 == 1)
     append_rollup(delta, path, batch_id=1)
     replay_ran = append_rollup(delta, path, batch_id=1)
-    assert replay_ran is False, "replayed batch must no-op"
+    if replay_ran is not False:
+        # not a bare assert: this exactly-once evidence must survive
+        # python -O (a broken ledger would double-count the sums).
+        raise RuntimeError("replayed rollup batch must no-op")
     compact_rollup(spark, path)
     return read_rollup(spark, path)
 

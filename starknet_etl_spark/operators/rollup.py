@@ -193,6 +193,7 @@ def build_rollup(
     value_col: str | list[str],
     bucket: str = "hour",
     chunk: str = "day",
+    reset: bool = False,
 ) -> None:
     """Create the rollup table at ``path`` from an initial corpus:
     partials partitioned by the coarse ``chunk`` key plus the
@@ -205,7 +206,30 @@ def build_rollup(
     the spec but no parquet footers, so ``read_rollup`` before the
     first appended batch raises Spark's unable-to-infer-schema error
     — build with the first real batch, or append one before reading
-    (streaming/rollup.py's contract)."""
+    (streaming/rollup.py's contract).
+
+    Building over an EXISTING rollup table is refused by default:
+    it would destroy the table's ``_batches`` replay ledger and
+    ``_snapshots``, after which previously-committed batch ids could
+    re-append and double-count. Pass ``reset=True`` to explicitly
+    reset the TABLE IDENTITY — the whole directory (data, ledger,
+    snapshots, spec) is deleted first, so the new table starts with
+    an empty ledger by construction rather than by accident."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    spec_p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    if spec_p.getFileSystem(conf).exists(spec_p):
+        if not reset:
+            raise ValueError(
+                f"rollup table already exists at {path} (found "
+                "_rollup_spec). Building over a live table destroys "
+                "its _batches replay ledger — append_rollup into the "
+                "existing table, or pass reset=True to explicitly "
+                "reset the table identity (deletes data, ledger, "
+                "snapshots and spec)."
+            )
+        _io._delete_dir(spark, path)
     part = rollup_partials(
         df, ts_col=ts_col, dims=dims, value_col=value_col,
         bucket=bucket, chunk=chunk,

@@ -79,6 +79,27 @@ def test_replayed_batch_noops(spark, tmp_path):
     assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
 
 
+def test_build_over_live_table_refused(spark, tmp_path):
+    """Re-building over an existing rollup would destroy the replay
+    ledger (previously-committed batches could double-count) — build
+    refuses unless reset=True explicitly resets the table identity."""
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    kw = dict(ts_col="ts", dims=["event_type"], value_col="value")
+    build_rollup(ev.filter(F.col("event_id") % 2 == 0), path, **kw)
+    delta = ev.filter(F.col("event_id") % 2 == 1)
+    assert append_rollup(delta, path, 5) is True
+    with pytest.raises(ValueError, match="replay ledger"):
+        build_rollup(ev, path, **kw)
+    # ledger intact after the refused build: replay still no-ops
+    assert append_rollup(delta, path, 5) is False
+    # explicit reset = a NEW table identity with an empty ledger
+    build_rollup(ev, path, reset=True, **kw)
+    assert _as_rows(read_rollup(spark, path)) == _as_rows(_full(spark))
+    assert append_rollup(delta, path, 5) is True  # fresh ledger
+    assert append_rollup(delta, path, 5) is False
+
+
 def test_compact_preserves_result_ledger_and_spec(spark, tmp_path):
     ev = _events(spark)
     path = str(tmp_path / "ru")
