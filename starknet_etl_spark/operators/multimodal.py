@@ -336,17 +336,34 @@ def dhash_assets(df: DataFrame) -> DataFrame:
     )
 
 
+#: default hot-bucket cap for dhash_pairs. 8-bit bands give only 256
+#: buckets per band, so candidate pairs grow ~N²/256 per band on a
+#: large asset corpus; a (band, value) bucket deeper than this is a
+#: degenerate block (monochrome assets, constant byte planes) whose
+#: members are better handled by exact-hash dedup than by pairwise
+#: expansion. 1024 keeps the worst bucket's self-join under ~0.5M
+#: candidates while never binding on corpora smaller than 1024 assets.
+DHASH_MAX_BUCKET = 1024
+
+
 def dhash_pairs(
     assets: DataFrame,
     *,
     bands: int = 8,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DHASH_MAX_BUCKET,
 ) -> DataFrame:
     """(id_1, id_2, hamming): perceptual near-dup pairs — dHash the
     payloads, then banded Hamming LSH (dedup.hamming_pairs, the
     simhash_pairs machinery; sign-safe band extraction because a
-    dHash uses the full 64 bits). Never an all-pairs scan."""
+    dHash uses the full 64 bits). Never an all-pairs scan.
+
+    ``max_bucket`` defaults to :data:`DHASH_MAX_BUCKET` (the safe plan
+    is the default — the simhash_pairs lesson): (band, value) buckets
+    deeper than the cap are dropped from candidate generation, so a
+    degenerate block can never quadratically dominate the stage. Pass
+    ``max_bucket=None`` only when an exhaustive pair list is required
+    and the corpus is known small."""
     sig = dhash_assets(assets)
     from .dedup import hamming_pairs
 

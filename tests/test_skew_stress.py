@@ -65,3 +65,36 @@ def test_curation_completes_under_skew_with_exact_dedup_intact(spark):
     a = audit.groupBy("stage").count().toPandas()
     stages = dict(zip(a["stage"], a["count"]))
     assert stages.get("clean", 0) >= N_HOT - 1
+
+
+def test_dhash_default_cap_bounds_degenerate_block(spark):
+    """dhash_pairs ships capped BY DEFAULT (DHASH_MAX_BUCKET): a
+    degenerate asset block (identical payloads -> one 64-bit hash ->
+    every band bucket holds the whole block) must not expand
+    quadratically unless the caller explicitly uncaps. On corpora
+    smaller than the default cap the capped plan is exhaustive, so
+    the default changes nothing for the existing pigeonhole tests."""
+    from starknet_etl_spark.operators.multimodal import (
+        DHASH_MAX_BUCKET,
+        dhash_pairs,
+    )
+
+    hot = b"identical monochrome-ish payload bytes " * 4
+    rows = [(i, hot) for i in range(N_HOT)]
+    rows += [
+        (N_HOT + i, f"unique asset w{i} topic t{i} tail ".encode() * 3)
+        for i in range(N_COLD)
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    uncapped = dhash_pairs(df, max_bucket=None).count()
+    assert uncapped >= N_HOT * (N_HOT - 1) // 2  # the quadratic family
+    capped = dhash_pairs(df, max_bucket=32)
+    # hot buckets (size 90 > 32) dropped: no hot-block pair survives
+    assert capped.filter(
+        (F.col("id_1") < N_HOT) & (F.col("id_2") < N_HOT)
+    ).count() == 0
+    assert capped.count() < uncapped
+    # the DEFAULT cap never binds below 1024 assets: same pairs as
+    # the exhaustive plan on this corpus
+    assert DHASH_MAX_BUCKET >= 1024
+    assert dhash_pairs(df).count() == uncapped
