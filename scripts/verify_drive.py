@@ -842,5 +842,69 @@ _pb_got = [
 ]
 assert _pb_got == [1, 1, 1, 2, 2, 2, 3, 3]  # NTILE fill: 3,3,2
 
+# --- segment 15 (r10): DSIR importance resampling — one document's
+# summed log-ratio weight recomputed INDEPENDENTLY in pure Python
+# (md5 buckets, add-one LMs, q20 per term), must bit-equal the
+# engine; the md5 gate's determinism pinned by the -32-bit floor.
+from starknet_etl_spark.operators.selection import (
+    importance_resample as _ir,
+)
+
+_ds_rows = [
+    (_i, " ".join(f"aa bb c{_i} d{_j}" for _j in range(4)))
+    for _i in range(6)
+] + [
+    (10 + _i, " ".join(f"xx yy w{_i} v{_j}" for _j in range(4)))
+    for _i in range(6)
+]
+_ds_df = spark.createDataFrame(_ds_rows, ["doc_id", "text"])
+_ds_out = {
+    r["doc_id"]: (r["dsir_weight"], r["dsir_keep"])
+    for r in _ir(
+        _ds_df,
+        _ds_df.filter("doc_id < 3"),
+        n_buckets=32,
+        salt="vd",
+    ).collect()
+}
+
+
+def _ds_q20(x):
+    return _m.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+
+def _ds_h32(s):
+    return int(_hl.md5(s.encode()).hexdigest()[:8], 16)
+
+
+_ds_rc = [0] * 32
+_ds_tc = [0] * 32
+_ds_doc = {}
+for _did, _txt in _ds_rows:
+    _toks = _txt.strip().lower().split()
+    _gs = _toks + [f"{a} {b}" for a, b in zip(_toks, _toks[1:])]
+    for _g in _gs:
+        _b = _ds_h32(_g) % 32
+        _ds_rc[_b] += 1
+        if _did < 3:
+            _ds_tc[_b] += 1
+        _ds_doc.setdefault(_did, {})
+        _ds_doc[_did][_b] = _ds_doc[_did].get(_b, 0) + 1
+_ds_rt, _ds_tt = sum(_ds_rc), sum(_ds_tc)
+for _did in (0, 10):
+    _w = sum(
+        _n
+        * (
+            _ds_q20(_m.log2((_ds_tc[_b] + 1) / (_ds_tt + 32)))
+            - _ds_q20(_m.log2((_ds_rc[_b] + 1) / (_ds_rt + 32)))
+        )
+        for _b, _n in sorted(_ds_doc[_did].items())
+    )
+    _keep = 1 if _ds_q20(
+        _m.log2(_ds_h32(f"vd{_did}") + 1) - 32.0
+    ) < _w else 0
+    assert _ds_out[_did] == (_w, _keep), (_did, _ds_out[_did], _w)
+assert _ds_out[0][0] > 0 > _ds_out[10][0]  # target vs off-target
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -71,6 +71,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_quality,
         text_reward,
         text_search,
+        text_selection,
         text_sketches,
         text_spans,
         text_tokenizers,
@@ -96,6 +97,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_turns,
         text_langid,
         text_mixtures,
+        text_selection,
         text_pref,
         text_reward,
         text_packing,
@@ -144,7 +146,12 @@ _FIRST_50: tuple[str, ...] = (
     "doc_contamination",
     # LLM-data suite: splits / packing / sampling.
     "doc_train_split",
-    "doc_stratified_sample",
+    # doc_stratified_sample displaced to overflow in r10 (the md5-
+    # rank deterministic-sampling family stays in-window via
+    # doc_train_split's hash gate and the row below's md5-gated
+    # keep) to admit example-level data selection — the r9
+    # verdict's top ask.
+    "doc_dsir_sample",
     "doc_pack_sequences",
     # r6 verdict-asked trainers: the BPE merge table and the
     # GD-trained quality classifier (daily_stats /

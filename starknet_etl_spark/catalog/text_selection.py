@@ -1,0 +1,122 @@
+"""Example-level data selection rows: DSIR importance resampling.
+
+Split module (the r8 catalog discipline): one tier per file so
+module constants can never shadow another tier's. Registrations
+merge in catalog/__init__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _docs  # noqa: F401
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (r10, the r9 verdict's top ask): the
+# FULL recipe replayed in DuckDB — hashed unigram+bigram features,
+# both add-one-smoothed bag-of-ngrams LMs (target = lang='en' docs,
+# raw = the whole corpus), per-bucket q20 log-ratios, per-doc summed
+# importance weights (exact integer×dyadic arithmetic — no rounding
+# at the doc level), and the md5-gated keep with acceptance
+# probability min(1, 2^w). Weights are EXACT dyadic doubles on both
+# engines, so the differential pins bit-equality, not approximation.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed-feature buckets
+_DSIR_SALT = "dsir"
+
+
+def _dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import importance_resample
+
+    docs = _docs(spark, sf_dir)
+    out = importance_resample(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_B,
+        tau=0.0,
+        salt=_DSIR_SALT,
+    )
+    return out.select("doc_id", "lang", "dsir_weight", "dsir_keep")
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, ws[i] AS g
+  FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM grams
+),
+spine AS (
+  SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket
+),
+rc AS (SELECT bucket, count(*) AS c FROM bg GROUP BY bucket),
+tc AS (
+  SELECT bucket, count(*) AS c FROM bg WHERE lang = 'en'
+  GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) AS rt,
+         count(*) FILTER (WHERE lang = 'en') AS tt
+  FROM bg
+),
+lam AS MATERIALIZED (
+  SELECT s.bucket,
+         floor(log2((COALESCE(tc.c, 0) + 1)
+                    / (tot.tt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0
+         - floor(log2((COALESCE(rc.c, 0) + 1)
+                      / (tot.rt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0 AS lam
+  FROM spine s
+  LEFT JOIN rc ON s.bucket = rc.bucket
+  LEFT JOIN tc ON s.bucket = tc.bucket
+  CROSS JOIN tot
+),
+dw AS (
+  SELECT db.doc_id, SUM(db.n * lam.lam) AS w
+  FROM (
+    SELECT doc_id, bucket, count(*) AS n FROM bg GROUP BY 1, 2
+  ) db
+  JOIN lam USING (bucket)
+  GROUP BY db.doc_id
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(dw.w, 0.0) AS dsir_weight,
+       CAST(
+         floor((log2(CAST('0x' ||
+                 substr(md5('{_DSIR_SALT}'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) + 1) - 32.0) * 1048576.0 + 0.5)
+           / 1048576.0
+         < COALESCE(dw.w, 0.0)
+       AS BIGINT) AS dsir_keep
+FROM documents d
+LEFT JOIN dw ON d.doc_id = dw.doc_id
+"""
+
+QUERIES["doc_dsir_sample"] = QuerySpec(
+    _dsir_sample,
+    _DSIR_ORACLE,
+    "DSIR importance resampling (example-level data selection):"
+    " hashed n-gram LM log-ratio weights toward a target corpus,"
+    " exact dyadic arithmetic, deterministic md5-gated keep",
+)

@@ -1,0 +1,297 @@
+"""Example-level data selection: DSIR-style importance resampling.
+
+Every mixture operator in this package (mixing.mix_corpus,
+temperature_weights, learn_mixture_weights) reweights SOURCES — whole
+groups keyed by (source, lang). A modern pretraining pipeline also
+selects INDIVIDUAL documents toward a target distribution: given a
+small high-quality target corpus (wiki+books in the DSIR paper, Xie
+et al. 2023, "Data Selection for Language Models via Importance
+Resampling"), keep raw documents in proportion to how target-like
+they look. The reference's report DAG (generate_report_dag.py:34-115)
+delegates exactly this sampling-policy tier to its warehouse; this is
+the data-mix edition, Spark-first.
+
+The recipe, re-expressed on this repo's deterministic grid:
+
+1. **Hashed n-gram features.** Each document is a bag of hashed
+   unigrams + bigrams: bucket = md5(gram) mod ``n_buckets`` (the
+   text.hash_embed discipline — no vocabulary state, charset-safe,
+   identical in SQL).
+2. **Two from-scratch bag-of-ngrams LMs.** Per-bucket add-one-
+   smoothed probabilities under the target and the raw corpus; the
+   per-bucket log-ratio ``λ_b = q20(log2((ct_b+1)/(Tt+B)))
+   − q20(log2((cr_b+1)/(Tr+B)))`` is dyadically quantized per TERM,
+   so λ is exact on the 2^-20 grid (log2 of an organic count ratio
+   has no structural midpoints — the unigram-LM q20 rule).
+3. **Per-document importance weight.** ``w_i = Σ_b n_ib·λ_b`` — the
+   paper's log importance ratio ``log2(p̂_target(doc)/p̂_raw(doc))``
+   under the two bag-of-ngrams LMs. Integer×dyadic products sum
+   EXACTLY (no rounding anywhere at the doc level), so the aggregate
+   is bit-identical across engines and partitionings.
+4. **Deterministic md5-gated keep.** A document survives iff
+   ``q20(log2(h_i + 1) − 32) < w_i − τ`` where ``h_i`` is the first
+   8 hex digits of md5(salt‖id) — i.e. keep-probability
+   ``min(1, 2^(w_i − τ))``, evaluated against an md5 uniform instead
+   of RNG state. Every comparison is between exact dyadic doubles,
+   so the decision is bit-identical across engines, runs, and
+   partitionings, and each document's verdict is INDEPENDENT of
+   every other document: appending new raw documents never flips an
+   old one's gate (given frozen λ — see below). A rank/top-k sampler
+   could not promise that.
+
+Append stability has one caveat the API makes explicit: the λ table
+itself is a fit artifact. ``dsir_lambdas`` materializes it (B rows —
+index metadata, broadcastable by construction), and
+``importance_resample(lambdas=...)`` accepts a frozen table so
+production pipelines fit once and gate forever (the
+quality-model/langid save-load discipline); passing ``target=``
+instead refits in-plan from the inputs.
+
+Scale: ONE gram pass over the big corpus — the per-(doc, bucket)
+count frame feeds both the raw LM's bucket totals (a re-aggregation
+of the same frame, persisted under the eager_release contract — the
+r8 multi-consumer lesson) and the per-doc weights; the target corpus
+(small by DSIR's construction) gets its own pass. λ joins back as a
+BROADCAST (B rows). Linear in corpus tokens; no global sort, no
+driver loop, no all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _eager_release
+
+#: dyadic quantization grid (shared with quality_model/unigram).
+Q_SCALE = float(2**20)
+
+
+def _q20(col):
+    return F.floor(col * F.lit(Q_SCALE) + F.lit(0.5)) / F.lit(Q_SCALE)
+
+
+def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram): hashed-feature grams — unigrams plus space-joined
+    bigrams over the suite tokenization (lower, trim, \\s+ split).
+    Whitespace tokens cannot contain spaces, so the ' ' joiner is
+    unambiguous; empty tokens exist only for empty/whitespace-only
+    text and are filtered on both engines."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__pos", "__t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    uni = toks.filter(F.col("__t") != "").select(
+        id_col, F.col("__t").alias("gram")
+    )
+    big = (
+        toks.withColumn("__t2", F.lead("__t").over(w))
+        .filter((F.col("__t") != "") & (F.col("__t2") != ""))
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("__t"), F.col("__t2")).alias("gram"),
+        )
+    )
+    return uni.unionByName(big)
+
+
+def _bucket(col, n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def _doc_bucket_counts(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket, n): the document-feature frame — one gram pass."""
+    return (
+        _grams(df, id_col, text_col)
+        .select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _spine_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, cnt) over the FULL 0..n_buckets-1 spine (absent
+    buckets count 0 — add-one smoothing needs the spine, and both
+    corpora must share it for λ to align)."""
+    spark = counts.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+    )
+
+
+def _lam(tc: DataFrame, rc: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lam) from two spine-complete count tables."""
+    rt = rc.agg(F.sum("cnt").alias("__rt"))
+    tt = tc.agg(F.sum("cnt").alias("__tt"))
+    b = F.lit(float(n_buckets))
+    return (
+        tc.withColumnRenamed("cnt", "__tc")
+        .join(rc.withColumnRenamed("cnt", "__rc"), "bucket")
+        .join(F.broadcast(rt))
+        .join(F.broadcast(tt))
+        .select(
+            "bucket",
+            (
+                _q20(F.log2((F.col("__tc") + 1) / (F.col("__tt") + b)))
+                - _q20(F.log2((F.col("__rc") + 1) / (F.col("__rt") + b)))
+            ).alias("lam"),
+        )
+    )
+
+
+def _corpus_counts(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Spine-complete corpus bucket counts. Grams are formed PER
+    DOCUMENT (bigrams never cross a doc boundary — collapsing ids
+    would make the adjacency window nondeterministic across docs
+    sharing positions)."""
+    g = _grams(df.select(id_col, text_col), id_col, text_col)
+    return _spine_counts(
+        g.select(_bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        n_buckets,
+    )
+
+
+def dsir_lambdas(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """(bucket, lam): the per-bucket importance log-ratio table —
+    q20(log2 target-prob) − q20(log2 raw-prob), add-one smoothed.
+    B rows; persist with io.save_table to freeze a fit. Both frames
+    need ``id_col`` (bigram adjacency is per-document)."""
+    return _lam(
+        _corpus_counts(target, id_col, text_col, n_buckets),
+        _corpus_counts(raw, id_col, text_col, n_buckets),
+        n_buckets,
+    )
+
+
+def _weights_from(db: DataFrame, id_col: str, lambdas: DataFrame):
+    return (
+        db.join(F.broadcast(lambdas), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lam")).alias("dsir_weight"),
+        )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    *,
+    lambdas: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """(id, n_grams, dsir_weight): the summed log importance ratio
+    under a (frozen or freshly fit) λ table. Documents with no grams
+    weigh 0.0 (no evidence → neutral). ``n_buckets`` must match the
+    fit — the bucket spine IS the feature space."""
+    per_doc = _weights_from(
+        _doc_bucket_counts(df, id_col, text_col, n_buckets),
+        id_col,
+        lambdas,
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"),
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    tau: float = 0.0,
+    salt: str = "",
+    lambdas: DataFrame | None = None,
+    eager_release: bool = True,
+) -> DataFrame:
+    """All input columns plus ``dsir_weight`` (dyadic double) and
+    ``dsir_keep`` (0/1 bigint): keep-probability min(1, 2^(w−τ))
+    realized by the deterministic md5 gate. Pass ``target`` to fit λ
+    in-plan, or ``lambdas`` (a frozen dsir_lambdas table) to gate
+    against an existing fit — exactly one of the two.
+
+    ``tau`` shifts the acceptance bar: τ=0 keeps every doc whose
+    summed log-ratio is non-negative (looks at least as target-like
+    as raw) and thins the rest exponentially — a doc scoring −3 bits
+    survives 1 in 8; raise τ to sharpen toward the target. Choose τ
+    on the 2^-20 grid (integers, halves, 1/1048576-multiples) so the
+    gate comparison stays exact-dyadic-vs-exact-dyadic.
+
+    In-plan fitting consumes the document-feature frame TWICE (raw LM
+    totals + per-doc weights), so it is persisted and materialized
+    here unless ``eager_release=False`` (the dedup caller warning
+    applies: the default runs a job at build time; pass False when
+    embedding in a larger lazy plan and manage caching yourself)."""
+    if (target is None) == (lambdas is None):
+        raise ValueError(
+            "pass exactly one of target= (fit λ in-plan) or "
+            "lambdas= (a frozen dsir_lambdas table)"
+        )
+    cached: list[DataFrame] = []
+    if lambdas is None:
+        db = _doc_bucket_counts(df, id_col, text_col, n_buckets)
+        if eager_release:
+            db = db.persist()
+            cached.append(db)
+        rc = _spine_counts(
+            db.groupBy("bucket").agg(F.sum("n").alias("cnt")), n_buckets
+        )
+        tc = _corpus_counts(target, id_col, text_col, n_buckets)
+        lambdas = _lam(tc, rc, n_buckets)
+        per_doc = _weights_from(db, id_col, lambdas)
+    else:
+        per_doc = _weights_from(
+            _doc_bucket_counts(df, id_col, text_col, n_buckets),
+            id_col,
+            lambdas,
+        )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u_log = _q20(F.log2(h + F.lit(1)) - F.lit(32.0))
+    out = (
+        df.join(per_doc, id_col, "left")
+        .select(
+            *df.columns,
+            F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"),
+            (
+                u_log
+                < F.coalesce("dsir_weight", F.lit(0.0)) - F.lit(float(tau))
+            )
+            .cast("long")
+            .alias("dsir_keep"),
+        )
+    )
+    return _eager_release(out, cached, eager_release and bool(cached))

@@ -62,6 +62,11 @@ def curate_corpus(
     quality_floor_rank: float | None = None,
     quality_floor_group: str | None = None,
     kn_floor_rank: float | None = None,
+    target_corpus: DataFrame | None = None,
+    dsir_lambdas: DataFrame | None = None,
+    dsir_tau: float = 0.0,
+    dsir_buckets: int = 512,
+    dsir_salt: str = "",
     quality_model: list[float] | None = None,
     quality_model_threshold: float = 0.5,
     quality_model_dim: int = 16,
@@ -96,9 +101,19 @@ def curate_corpus(
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
     ``stage`` ∈ {gopher, clean, boilerplate, quality_floor, kn_floor,
-    near_dup, contamination}, ``reason`` is the clean verdict's drop_reason,
-    ``shared_<frac>``, ``rank_<pct>``, ``dup_of_<cluster>``, or
-    ``overlap_<frac>``.
+    dsir, near_dup, contamination}, ``reason`` is the clean verdict's
+    drop_reason, ``shared_<frac>``, ``rank_<pct>``,
+    ``dup_of_<cluster>``, or ``overlap_<frac>``.
+
+    ``target_corpus`` / ``dsir_lambdas``: optional EXAMPLE-LEVEL data
+    selection after the quality floors (operators/selection.py —
+    DSIR importance resampling): documents are kept with probability
+    min(1, 2^(w−τ)) where w is the summed hashed-ngram LM log-ratio
+    toward the target, realized by the deterministic md5 gate. Pass
+    a target corpus to fit λ in-plan, or a frozen ``dsir_lambdas``
+    table (fit once offline — the production shape). Drops audit as
+    stage ``dsir`` with reason ``dsir_w_<mill>`` (floor(w·1000), an
+    exact integer). ``dsir_tau`` on the 2^-20 grid.
 
     ``max_shared_frac``: optional boilerplate gate between clean and
     near-dup — drop documents whose cross-document repeated-span
@@ -444,6 +459,48 @@ def curate_corpus(
     else:
         audit_kn = None
 
+    # -- stage 1e (optional): DSIR example-level selection toward a
+    # target distribution (operators/selection.py). Runs after the
+    # quality floors so selection weighs documents that already pass
+    # the absolute gates; before near-dup so the pair search runs on
+    # the selected (smaller) corpus.
+    if target_corpus is not None or dsir_lambdas is not None:
+        from ..operators.selection import importance_resample
+
+        flagged = importance_resample(
+            kept,
+            target_corpus,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=dsir_buckets,
+            tau=dsir_tau,
+            salt=dsir_salt,
+            lambdas=dsir_lambdas,
+            eager_release=False,
+        )
+        low_dsir = flagged.filter(F.col("dsir_keep") == 0).select(
+            id_col, "dsir_weight"
+        )
+        # truncate the drop list's lineage (the kn_floor/langid
+        # lesson): the λ fit is a corpus aggregate every downstream
+        # consumer of `kept` would otherwise replay via the anti-join
+        from ..checkpointing import truncate as _truncate_dsir
+
+        low_dsir = _truncate_dsir(low_dsir)
+        audit_dsir = low_dsir.select(
+            ids,
+            F.lit("dsir").alias("stage"),
+            F.concat(
+                F.lit("dsir_w_"),
+                # integer mill of an exact dyadic double — the
+                # engine-exact audit-string discipline
+                F.floor(F.col("dsir_weight") * 1000).cast("long"),
+            ).alias("reason"),
+        )
+        kept = kept.join(low_dsir.select(id_col), id_col, "left_anti")
+    else:
+        audit_dsir = None
+
     # -- stage 2: near-dup clusters + quality-aware survivors
     if near_dup is not None:
         if near_dup == "jaccard":
@@ -611,7 +668,8 @@ def curate_corpus(
 
     audit = audit_clean
     for extra in (audit_gopher, audit_langid, audit_model, audit_boiler,
-                  audit_quality, audit_kn, audit_dups, audit_contam):
+                  audit_quality, audit_kn, audit_dsir, audit_dups,
+                  audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

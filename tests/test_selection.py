@@ -1,0 +1,198 @@
+"""DSIR importance resampling: bit-exact naive reference, planted
+discrimination, frozen-λ parity and append stability, curation stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_etl_spark.operators.selection import (
+    dsir_lambdas,
+    importance_resample,
+    importance_weights,
+)
+
+Q = float(2**20)
+
+
+def _q20(x: float) -> float:
+    return math.floor(x * Q + 0.5) / Q
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _grams_py(text: str) -> list[str]:
+    toks = [t for t in text.strip().lower().split() if t]
+    return toks + [
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    ]
+
+
+def _naive_dsir(rows, target_ids, n_buckets, tau, salt):
+    """The whole recipe in plain Python — the engine must bit-equal
+    this (every stored number is exact dyadic)."""
+    bucket = lambda g: _md5_32(g) % n_buckets  # noqa: E731
+    rc = [0] * n_buckets
+    tc = [0] * n_buckets
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text in rows:
+        d = per_doc.setdefault(doc_id, {})
+        for g in _grams_py(text):
+            b = bucket(g)
+            d[b] = d.get(b, 0) + 1
+            rc[b] += 1
+            if doc_id in target_ids:
+                tc[b] += 1
+    rt, tt = sum(rc), sum(tc)
+    lam = [
+        _q20(math.log2((tc[b] + 1) / (tt + n_buckets)))
+        - _q20(math.log2((rc[b] + 1) / (rt + n_buckets)))
+        for b in range(n_buckets)
+    ]
+    out = {}
+    for doc_id, _ in rows:
+        w = math.fsum(
+            n * lam[b] for b, n in sorted(per_doc[doc_id].items())
+        )
+        h = _md5_32(f"{salt}{doc_id}")
+        u_log = _q20(math.log2(h + 1) - 32.0)
+        out[doc_id] = (w, 1 if u_log < w - tau else 0)
+    return out
+
+
+def _corpus(spark):
+    """40 target-flavored docs (alpha/beta vocabulary) + 40 noise
+    docs (gamma/delta vocabulary); target = the first 12 alpha docs."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, " ".join(f"alpha beta a{i} s{j}" for j in range(8)))
+        )
+    for i in range(40):
+        rows.append(
+            (100 + i, " ".join(f"gamma delta z{i} n{j}" for j in range(8)))
+        )
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bit_equal_to_naive_reference(spark):
+    df = _corpus(spark)
+    target = df.filter(F.col("doc_id") < 12)
+    got = {
+        r["doc_id"]: (r["dsir_weight"], r["dsir_keep"])
+        for r in importance_resample(
+            df, target, n_buckets=64, tau=0.0, salt="s"
+        )
+        .select("doc_id", "dsir_weight", "dsir_keep")
+        .collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    want = _naive_dsir(rows, set(range(12)), 64, 0.0, "s")
+    assert got == want  # bit-equal: weights are exact dyadic sums
+
+
+def test_planted_discrimination(spark):
+    df = _corpus(spark)
+    target = df.filter(F.col("doc_id") < 12)
+    res = importance_resample(df, target, n_buckets=64).select(
+        "doc_id", "dsir_weight", "dsir_keep"
+    )
+    pdf = res.toPandas()
+    alpha = pdf[pdf.doc_id < 100]
+    noise = pdf[pdf.doc_id >= 100]
+    # every target-flavored doc outweighs every noise doc
+    assert alpha.dsir_weight.min() > noise.dsir_weight.max() + 50
+    assert alpha.dsir_keep.mean() > 0.7
+    # the md5 gate's uniform bottoms out at u_log = -32, so a weight
+    # below -32 bits is a DETERMINISTIC drop — all noise docs go
+    assert noise.dsir_weight.max() < -32
+    assert noise.dsir_keep.sum() == 0
+
+
+def test_frozen_lambdas_bit_equal_and_append_stable(spark):
+    df = _corpus(spark)
+    target = df.filter(F.col("doc_id") < 12)
+    lam = dsir_lambdas(df, target, n_buckets=64)
+    inplan = sorted(
+        tuple(r)
+        for r in importance_resample(df, target, n_buckets=64)
+        .select("doc_id", "dsir_weight", "dsir_keep")
+        .collect()
+    )
+    frozen = sorted(
+        tuple(r)
+        for r in importance_resample(df, lambdas=lam, n_buckets=64)
+        .select("doc_id", "dsir_weight", "dsir_keep")
+        .collect()
+    )
+    assert inplan == frozen
+    # append stability under the frozen fit: new docs never flip an
+    # old doc's weight or gate
+    extra = spark.createDataFrame(
+        [(900 + i, f"fresh append doc{i} alpha gamma " * 2) for i in range(7)],
+        ["doc_id", "text"],
+    )
+    appended = sorted(
+        tuple(r)
+        for r in importance_resample(
+            df.unionByName(extra), lambdas=lam, n_buckets=64
+        )
+        .select("doc_id", "dsir_weight", "dsir_keep")
+        .filter(F.col("doc_id") < 900)
+        .collect()
+    )
+    assert appended == frozen
+
+
+def test_importance_weights_ngram_counts(spark):
+    df = _corpus(spark)
+    lam = dsir_lambdas(df, df.filter(F.col("doc_id") < 12), n_buckets=64)
+    w = importance_weights(df, lambdas=lam, n_buckets=64)
+    r = {x["doc_id"]: x["n_grams"] for x in w.collect()}
+    # 32 tokens -> 32 unigrams + 31 bigrams
+    assert r[0] == 32 + 31
+
+
+def test_exactly_one_of_target_or_lambdas(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        importance_resample(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        importance_resample(
+            df, df, lambdas=dsir_lambdas(df, df, n_buckets=64)
+        )
+
+
+def test_curation_dsir_stage(spark):
+    from starknet_etl_spark.plans.curation import curate_corpus
+
+    df = _corpus(spark)
+    target = df.filter(F.col("doc_id") < 12)
+    base, _ = curate_corpus(df, langs=None, near_dup=None, redact=False)
+    curated, audit = curate_corpus(
+        df,
+        langs=None,
+        near_dup=None,
+        redact=False,
+        target_corpus=target,
+        dsir_salt="s",
+    )
+    dropped = audit.filter(F.col("stage") == "dsir")
+    n_dropped = dropped.count()
+    assert n_dropped > 0
+    assert curated.count() == base.count() - n_dropped
+    # audit reasons are engine-exact integer-mill strings
+    assert all(
+        r["reason"].startswith("dsir_w_") for r in dropped.collect()
+    )
+    # every noise doc drops deterministically (w < -32, under the
+    # md5 gate's floor); some off-target alphas may thin too
+    drop_ids = {r["doc_id"] for r in dropped.select("doc_id").collect()}
+    assert {100 + i for i in range(40)} <= drop_ids
+    assert len(drop_ids) < 80  # target-flavored docs survive
