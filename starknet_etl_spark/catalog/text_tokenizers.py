@@ -943,3 +943,67 @@ QUERIES["doc_unigram_pack"] = QuerySpec(
     _ULM_PACK_ORACLE,
     "sequence packing measured in unigram pieces",
 )
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE (r10, the r9 verdict's ask #4): the SAME trainer
+# over byte alphabets — symbols are 2-hex-digit byte tokens (hex of
+# the word's UTF-8 encoding: the charset-safe discipline), merges
+# are hex strings, byte fallback is structural (no OOV exists). The
+# oracle reuses the char trainer's round unroll verbatim; only the
+# s0 long form changes.
+# --------------------------------------------------------------------------
+
+_BPEB_CACHE: dict = {}
+
+
+def _bpe_bytes_merges(spark: SparkSession, sf_dir: str):
+    from ..operators import bpe as B
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPEB_CACHE:
+        _BPEB_CACHE[key] = B.train_bpe(
+            _docs(spark, sf_dir), "text",
+            n_merges=_BPE_N_MERGES, byte_level=True,
+        )
+    return _BPEB_CACHE[key]
+
+
+def _bpe_bytes_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    return B.merges_df(spark, _bpe_bytes_merges(spark, sf_dir))
+
+
+_BPEB_BASE_CTES = r"""
+w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
+         substr(hx, 2 * CAST(i AS INT) - 1, 2) AS sym
+  FROM (SELECT word, cnt, hex(encode(word)) AS hx FROM w0) h,
+       unnest(generate_series(1, length(hx) // 2)) AS t(i)
+),
+""" + _bpe_rounds_sql(_BPE_N_MERGES)
+
+_BPEB_VOCAB_ORACLE = (
+    "WITH "
+    + _BPEB_BASE_CTES
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged FROM b{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+)
+
+QUERIES["doc_bpe_bytes"] = QuerySpec(
+    _bpe_bytes_vocab,
+    _BPEB_VOCAB_ORACLE,
+    "byte-level BPE trainer (GPT-2 shape): learned merge table over"
+    " hex byte tokens, byte fallback structural (no OOV)",
+)

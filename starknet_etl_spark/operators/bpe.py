@@ -78,6 +78,28 @@ def _symbols(words: DataFrame) -> DataFrame:
     ).withColumn("sym", F.expr("substring(word, pos, 1)"))
 
 
+def _byte_symbols(words: DataFrame) -> DataFrame:
+    """(word, cnt, pos, sym): initial per-BYTE long form for
+    byte-level BPE — each UTF-8 byte as its 2-hex-digit token (the
+    charset-safe hex(encode(...)) discipline: Java regex segments by
+    UTF-16 code units and DuckDB by characters, so a char explode
+    diverges on non-BMP text; hex pairs are engine-stable). Merged
+    symbols concatenate to longer hex strings; every possible byte
+    is a base symbol, so byte fallback is STRUCTURAL — no OOV exists
+    by construction (the GPT-2 property)."""
+    return words.select(
+        "word",
+        "cnt",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.hex(F.encode(F.col("word"), "UTF-8")), F.lit(".."), 0
+            )
+        ).alias("pos0", "sym"),
+    ).select(
+        "word", "cnt", (F.col("pos0") + 1).alias("pos"), "sym"
+    )
+
+
 def _w_seq():
     # built lazily: a module-level WindowSpec needs an active session
     return Window.partitionBy("word").orderBy("pos")
@@ -144,6 +166,7 @@ def train_bpe(
     *,
     n_merges: int,
     min_count: int = 1,
+    byte_level: bool = False,
     reliable_checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
@@ -158,10 +181,18 @@ def train_bpe(
     or preemptible executors, pass a fault-tolerant FS path — the
     default localCheckpoint has no recomputation path and one lost
     executor kills the job at merge round k (checkpointing.truncate).
+
+    ``byte_level=True`` trains over byte sequences instead of char
+    sequences (production GPT-2-family shape): symbols are
+    2-hex-digit byte tokens (see ``_byte_symbols``), merges are hex
+    strings, and there is no OOV by construction. The trainer,
+    merge rule, argmax tie-break, save/load and streaming surfaces
+    are IDENTICAL — only the initial long form changes.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    sym = _symbols(_word_counts(df, text_col, min_count))
+    init = _byte_symbols if byte_level else _symbols
+    sym = init(_word_counts(df, text_col, min_count))
     # freeze the vocab-sized working set once; each round re-freezes
     # its output so the plan never stacks n_merges windows deep
     rot = RoundCheckpointer(reliable_checkpoint_dir)
@@ -201,6 +232,7 @@ def segment_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
     *,
+    byte_level: bool = False,
     reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(word, pos, sym): apply an ordered merge list to a (word, cnt)
@@ -211,7 +243,8 @@ def segment_words(
     if "cnt" not in words.columns:
         words = words.withColumn("cnt", F.lit(1).cast("long"))
     rot = RoundCheckpointer(reliable_checkpoint_dir)
-    sym = rot.truncate(_symbols(words))
+    init = _byte_symbols if byte_level else _symbols
+    sym = rot.truncate(init(words))
     for left, right in merges:
         sym = rot.truncate(_merge_round(sym, left, right))
     return sym.select("word", "pos", "sym")
@@ -222,6 +255,8 @@ def bpe_tokenize(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    *,
+    byte_level: bool = False,
 ) -> DataFrame:
     """(id, word_pos, sym_pos, subword): the corpus tokenized with a
     learned merge list. Distinct words are segmented once
@@ -235,7 +270,7 @@ def bpe_tokenize(
         ).alias("word_pos", "word"),
     ).filter(F.col("word") != "")
     vocab = toks.select("word").distinct()
-    seg = segment_words(vocab, merges)
+    seg = segment_words(vocab, merges, byte_level=byte_level)
     return (
         toks.join(seg, "word")
         .select(
@@ -252,13 +287,17 @@ def bpe_text(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    *,
+    byte_level: bool = False,
 ) -> DataFrame:
     """(id, bpe_text, n_subwords): the tokenized corpus re-serialized
     as a whitespace-joined subword stream (subwords in word order,
     words in document order) — build_vocab / vocab_coverage consume
     it unchanged, which is how the vocab-sizing curve runs over
     subword units."""
-    toks = bpe_tokenize(df, id_col, text_col, merges)
+    toks = bpe_tokenize(
+        df, id_col, text_col, merges, byte_level=byte_level
+    )
     # one deterministic pass: struct-led sort_array over the collected
     # (word_pos, sym_pos, subword) triples, then join with spaces
     per_doc = toks.groupBy(id_col).agg(

@@ -145,3 +145,66 @@ def test_streaming_bpe_tokenize_replay_safe(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replayed tick: append_once no-ops
     assert spark.read.parquet(out).count() == 2
+
+
+def test_byte_level_round_trip_non_ascii(spark):
+    """Byte-level BPE: non-ASCII text segments into hex byte tokens
+    (no OOV by construction) and round-trips EXACTLY — unhex of the
+    concatenated subwords per word re-decodes to the original."""
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["newest"] * 6 + ["café"] * 4))],
+        "doc_id bigint, text string",
+    )
+    merges = B.train_bpe(train, "text", n_merges=6, byte_level=True)
+    assert all(
+        len(le) % 2 == 0 and len(ri) % 2 == 0 for le, ri in merges
+    )  # symbols are whole bytes
+    probe = spark.createDataFrame(
+        [(2, "naïve café ☃ low x")], "doc_id bigint, text string"
+    )
+    tok = B.bpe_tokenize(probe, "doc_id", "text", merges, byte_level=True)
+    rt = (
+        tok.groupBy("doc_id", "word_pos")
+        .agg(
+            F.decode(
+                F.unhex(
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(F.struct("sym_pos", "subword"))
+                        ).getField("subword"),
+                        "",
+                    )
+                ),
+                "UTF-8",
+            ).alias("w")
+        )
+        .orderBy("word_pos")
+        .collect()
+    )
+    assert [r["w"] for r in rt] == ["naïve", "café", "☃", "low", "x"]
+
+
+def test_byte_level_trained_units_generalize(spark):
+    """A word built from learned byte units segments into them; a
+    word full of unseen bytes falls back to single-byte tokens."""
+    train = spark.createDataFrame(
+        [(1, " ".join(["abab"] * 9))], "doc_id bigint, text string"
+    )
+    merges = B.train_bpe(train, "text", n_merges=2, byte_level=True)
+    # 'a'=61, 'b'=62: (61,62) first, then (6162,6162)
+    assert merges == [("61", "62"), ("6162", "6162")]
+    seg = B.segment_words(
+        spark.createDataFrame(
+            [("ababab", 1), ("zq", 1)], "word string, cnt long"
+        ),
+        merges,
+        byte_level=True,
+    )
+    seqs = {}
+    for r in seg.collect():
+        seqs.setdefault(r["word"], []).append((r["pos"], r["sym"]))
+    seqs = {w: [s for _, s in sorted(v)] for w, v in seqs.items()}
+    assert seqs["ababab"] == ["61626162", "6162"]
+    assert seqs["zq"] == ["7A", "71"]  # structural byte fallback

@@ -566,6 +566,86 @@ def test_bpe_matches_sequential_reference(spark, words, n_merges):
     assert got_seqs == want_seqs
 
 
+def _reference_bpe_bytes(word_counts, n_merges):
+    """The classic reference over BYTE alphabets: sequences start as
+    2-hex-digit byte tokens of the UTF-8 encoding (uppercase — both
+    engines' hex())."""
+    seqs = {
+        w: [f"{b:02X}" for b in w.encode("utf-8")] for w in word_counts
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, seq in seqs.items():
+            c = word_counts[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@given(
+    st.lists(
+        st.text(alphabet="aé☃b", min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_byte_bpe_matches_sequential_reference(spark, words, n_merges):
+    """PROPERTY: byte-level BPE (the same run-parity trainer over
+    hex byte tokens) reproduces the classic sequential algorithm on
+    arbitrary corpora over a MULTI-BYTE alphabet (é = 2 bytes,
+    ☃ = 3 — shared byte prefixes across characters exercise merges
+    a char-level trainer can't express)."""
+    from collections import Counter
+
+    from starknet_etl_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    got_merges = B.train_bpe(
+        docs, "text", n_merges=n_merges, byte_level=True
+    )
+    want_merges, want_seqs = _reference_bpe_bytes(
+        Counter(words), n_merges
+    )
+    assert got_merges == want_merges
+
+    seg = B.segment_words(
+        spark.createDataFrame(
+            [(w, 1) for w in set(words)], "word string, cnt long"
+        ),
+        got_merges,
+        byte_level=True,
+    )
+    got_seqs = {}
+    for r in seg.collect():
+        got_seqs.setdefault(r["word"], []).append((r["pos"], r["sym"]))
+    got_seqs = {w: [s for _, s in sorted(v)] for w, v in got_seqs.items()}
+    assert got_seqs == want_seqs
+
+
 @given(
     st.lists(
         st.tuples(
