@@ -906,5 +906,46 @@ for _did in (0, 10):
     assert _ds_out[_did] == (_w, _keep), (_did, _ds_out[_did], _w)
 assert _ds_out[0][0] > 0 > _ds_out[10][0]  # target vs off-target
 
+# --- segment 16 (r10): persisted chunk-level semantic index —
+# exhaustive probe BIT-EQUAL to the one-shot scan path across a
+# build + append + replay-no-op lifecycle; document-level forget
+# excludes every chunk of the doc.
+from starknet_etl_spark.operators.search import (
+    append_chunk_index as _aci,
+    build_chunk_index as _bci,
+    chunk_indexed_search as _cis,
+    chunk_semantic_search as _css,
+    forget_chunk_docs as _fcd,
+)
+
+_ci_docs = eio.load_testdata(spark, SF, "documents").select(
+    "doc_id", "text"
+)
+_ci_q = " ".join(
+    _ci_docs.filter("doc_id = 0").first()["text"].split()[:8]
+)
+_ci_kw = dict(max_tokens=8, overlap=2, dim=16)
+with _tf.TemporaryDirectory() as _ci_dir:
+    _ci_p = f"{_ci_dir}/cidx"
+    _bci(_ci_docs.filter("doc_id % 2 = 0"), _ci_p, n_cells=4, **_ci_kw)
+    assert _aci(_ci_docs.filter("doc_id % 2 = 1"), _ci_p, 1, **_ci_kw)
+    assert not _aci(_ci_docs.filter("doc_id % 2 = 1"), _ci_p, 1, **_ci_kw)
+    _ci_scan = [
+        (r["doc_id"], r["best_cos"])
+        for r in _css(_ci_docs, _ci_q, k=5, **_ci_kw).collect()
+    ]
+    _ci_idx = [
+        (r["doc_id"], r["best_cos"])
+        for r in _cis(spark, _ci_p, _ci_q, dim=16, k=5).collect()
+    ]
+    assert _ci_idx == _ci_scan and _ci_idx[0] == (0, 1.0), (
+        _ci_idx, _ci_scan,
+    )
+    assert _fcd(spark, _ci_p, [0], 2)
+    assert all(
+        r["doc_id"] != 0
+        for r in _cis(spark, _ci_p, _ci_q, dim=16, k=5).collect()
+    )
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -1206,3 +1206,56 @@ QUERIES["doc_retrieval_ndcg"] = QuerySpec(
     "nDCG@k of the batched hybrid fusion vs contains-all-terms"
     " relevance: literal gain/ideal tables shared by both engines",
 )
+
+
+# --------------------------------------------------------------------------
+# Persisted chunk-level semantic index (r10, the r9 verdict's ask
+# #2): the standing-corpus lifecycle for multi-vector retrieval —
+# build (trained IVF over chunk vectors, even docs) ⊕ append (odd
+# docs, frozen centroids) ⊕ replayed-append no-op, then an
+# EXHAUSTIVE probe, which is BIT-EQUAL to the one-shot scan path
+# (doc_chunk_semantic_search) — so the two rows SHARE the oracle,
+# the phrase_indexed == phrase_search pattern. Cell-pruned probing
+# (n_probes=i) is the scale path, recall-traded like every IVF
+# probe; the differential pins the lossless configuration.
+# --------------------------------------------------------------------------
+
+
+def _chunk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _CHUNK_MAX, _CHUNK_OVERLAP, _HE_DIM
+    from ..operators.search import (
+        append_chunk_index,
+        build_chunk_index,
+        chunk_indexed_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qtext = docs.filter(F.col("doc_id") == 0).first()["text"]
+    path = scratch_path(spark, sf_dir, "chunk_index")
+    kw = dict(max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP, dim=_HE_DIM)
+    build_chunk_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path, n_cells=4, **kw
+    )
+    append_chunk_index(docs.filter(F.col("doc_id") % 2 == 1), path, 1, **kw)
+    replayed = append_chunk_index(
+        docs.filter(F.col("doc_id") % 2 == 1), path, 1, **kw
+    )
+    if replayed is not False:
+        # survives python -O (the r9 ADVICE discipline)
+        raise RuntimeError("replayed chunk-index batch must no-op")
+    return chunk_indexed_search(spark, path, qtext, dim=_HE_DIM, k=10)
+
+
+def _chunk_indexed_oracle() -> str:
+    from .text import _CHUNK_SEMANTIC_ORACLE
+
+    return _CHUNK_SEMANTIC_ORACLE
+
+
+QUERIES["doc_chunk_indexed"] = QuerySpec(
+    _chunk_indexed,
+    _chunk_indexed_oracle(),
+    "persisted chunk-level semantic index lifecycle: build + append"
+    " + replay no-op, exhaustive probe == the scan path (shared"
+    " oracle)",
+)

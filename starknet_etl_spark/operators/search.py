@@ -2056,3 +2056,207 @@ def proximity_batch(
     # cached positions deterministically — the round-1 leak lesson;
     # pass eager_release=False when embedding in a larger lazy plan.
     return _eager_release(out, [toks], eager_release)
+
+
+# --------------------------------------------------------------------------
+# Persisted chunk-level semantic index (r10, the r9 verdict's ask #2):
+# the standing-corpus twin of chunk_semantic_search. Chunk embeddings
+# ride the EXISTING trained-ANN lifecycle wholesale
+# (similarity.build_trained_ann_index / append_ann_index /
+# forget_vectors / purge_ann_index) — the index is a cell-partitioned
+# table of (vec_id, chunk_doc, embedding) where vec_id = doc·2^20 +
+# chunk_id and chunk_doc rides along so pooling never does division.
+# --------------------------------------------------------------------------
+
+#: chunk-uid radix: chunk ids live in [0, 2^20) (a 512-token stride
+#: per chunk puts the cap at ~0.5G tokens per document).
+CHUNK_UID_BASE = 1 << 20
+
+
+def chunk_embeddings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+    dim: int = 16,
+) -> DataFrame:
+    """(vec_id, chunk_doc, embedding): the chunk-vector frame both
+    the scan path and the persisted index score — chunk_documents
+    windows → hash_embed per chunk; zero-signal chunks (bag cancels
+    to the zero vector) drop, exactly as the scan path filters them.
+    Document ids must be NON-NEGATIVE (the uid radix packs
+    doc·2^20 + chunk_id into one BIGINT)."""
+    from .similarity import dot
+    from .text import chunk_documents, hash_embed
+
+    chunks = chunk_documents(
+        docs, id_col, text_col, max_tokens=max_tokens, overlap=overlap
+    ).select(
+        (
+            F.col(id_col).cast("long") * F.lit(CHUNK_UID_BASE)
+            + F.col("chunk_id")
+        ).alias("vec_id"),
+        F.col(id_col).cast("long").alias("chunk_doc"),
+        "chunk_text",
+    )
+    emb = hash_embed(chunks, "vec_id", "chunk_text", dim=dim)
+    return (
+        emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+        .join(chunks.select("vec_id", "chunk_doc"), "vec_id")
+        .select("vec_id", "chunk_doc", "embedding")
+    )
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+    dim: int = 16,
+    n_cells: int = 4,
+    n_iters: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize the chunk-level semantic index: from-scratch IVF
+    training over the chunk vectors, cell-partitioned layout,
+    centroids persisted INSIDE the index (_centroids) — one call on
+    the existing trained-ANN lifecycle. Returns the centroids."""
+    from .similarity import build_trained_ann_index
+
+    return build_trained_ann_index(
+        chunk_embeddings(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            max_tokens=max_tokens,
+            overlap=overlap,
+            dim=dim,
+        ),
+        path,
+        dim=dim,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        salt=salt,
+    )
+
+
+def append_chunk_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+    dim: int = 16,
+) -> bool:
+    """Fold a document batch's chunks into the index under the FROZEN
+    centroids (auto-loaded from _centroids) — an ``io.append_once``
+    keyed by ``batch_id``; replays no-op. Chunking parameters must
+    match the build (the layout is part of the model)."""
+    from .similarity import append_ann_index
+
+    return append_ann_index(
+        chunk_embeddings(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            max_tokens=max_tokens,
+            overlap=overlap,
+            dim=dim,
+        ),
+        path,
+        batch_id,
+    )
+
+
+def forget_chunk_docs(
+    spark, path: str, doc_ids, batch_id: int
+) -> bool:
+    """Right-to-be-forgotten at DOCUMENT granularity: tombstone every
+    chunk vector of the given docs (one metadata-sized index read to
+    resolve uids, then ``similarity.forget_vectors`` — probes exclude
+    them immediately; ``purge_ann_index`` reclaims physically)."""
+    from .similarity import forget_vectors
+
+    ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("chunk_doc").isin(list(doc_ids)))
+        .select("vec_id")
+        .collect()
+    ]
+    return forget_vectors(spark, path, ids, batch_id)
+
+
+def chunk_indexed_search(
+    spark,
+    path: str,
+    query_text: str,
+    *,
+    id_col: str = "doc_id",
+    dim: int = 16,
+    k: int = 10,
+    n_probes: int | None = None,
+) -> DataFrame:
+    """(id, best_cos): top-k documents by best-matching chunk, served
+    from the PERSISTED index — with ``n_probes=None`` (exhaustive:
+    every cell read) the result is BIT-EQUAL to
+    ``chunk_semantic_search`` over the same corpus (same embeddings,
+    same 6-dp cosine, same max-pool and tie-break; the
+    phrase_indexed == phrase_search pattern). ``n_probes=i`` is the
+    scale path: centroid-ranked cell pruning (1 − i/n_cells of the
+    chunk vectors never scanned), trading recall exactly as every
+    IVF probe in the suite does."""
+    from .dedup import _without_forgotten
+    from .similarity import _ranked_probe_cells, dot, load_centroids, norm
+    from .text import hash_embed
+
+    if not query_text or not query_text.strip():
+        raise ValueError("query_text is empty")
+    qemb = hash_embed(
+        spark.createDataFrame([(0, query_text)], "qid long, text string"),
+        "qid",
+        "text",
+        dim=dim,
+    )
+    qrow = qemb.first()
+    if qrow is None or all(x == 0.0 for x in qrow["embedding"]):
+        raise ValueError(
+            "query_text embeds to the zero vector (no tokens, or a "
+            "fully-cancelling bag) — no similarity signal exists"
+        )
+    idx = spark.read.parquet(path)
+    if n_probes is not None:
+        cents = load_centroids(spark, path)
+        if cents is None:
+            raise ValueError(
+                f"index at {path} has no _centroids metadata — "
+                "cell-pruned probing needs a trained index"
+            )
+        cells = _ranked_probe_cells(qemb, cents, n_probes=n_probes)
+        idx = idx.filter(F.col("label").isin(cells))
+    idx = _without_forgotten(spark, path, idx, "vec_id")
+    scored = idx.crossJoin(
+        F.broadcast(qemb.select(F.col("embedding").alias("__q")))
+    ).select(
+        "chunk_doc",
+        F.round(
+            dot(F.col("embedding"), F.col("__q"))
+            / (norm(F.col("embedding")) * norm(F.col("__q"))),
+            6,
+        ).alias("__cos"),
+    )
+    return (
+        scored.groupBy("chunk_doc")
+        .agg(F.max("__cos").alias("best_cos"))
+        .select(F.col("chunk_doc").alias(id_col), "best_cos")
+        .orderBy(F.desc("best_cos"), F.asc(id_col))
+        .limit(k)
+    )

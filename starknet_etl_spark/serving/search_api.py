@@ -699,6 +699,47 @@ def rollup_response(
     )
 
 
+def chunk_search_rows(
+    spark,
+    chunk_index: str,
+    query_text: str,
+    *,
+    dim: int = 16,
+    k: int = 10,
+    n_probes: int | None = None,
+) -> list[dict[str, Any]]:
+    """(doc_id, best_cos) from the persisted chunk-level semantic
+    index (``search.chunk_indexed_search``) — multi-vector retrieval
+    with per-doc max pooling; ``n_probes`` prunes to the top cells
+    (the scale path), None reads the whole index (lossless)."""
+    from ..operators.search import chunk_indexed_search
+
+    return [
+        {"doc_id": r["doc_id"], "best_cos": r["best_cos"]}
+        for r in chunk_indexed_search(
+            spark, chunk_index, query_text, dim=dim, k=k,
+            n_probes=n_probes,
+        ).collect()
+    ]
+
+
+def chunk_search_response(
+    spark,
+    chunk_index: str,
+    query_text: str,
+    *,
+    dim: int = 16,
+    k: int = 10,
+    n_probes: int | None = None,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: chunk_search_rows(
+            spark, chunk_index, query_text, dim=dim, k=k,
+            n_probes=n_probes,
+        )
+    )
+
+
 def create_search_app(
     spark,
     *,
@@ -727,6 +768,8 @@ def create_search_app(
     kmv_state: str | None = None,
     kmv_k: int = 256,
     rollup_path: str | None = None,
+    chunk_index: str | None = None,
+    chunk_dim: int = 16,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -754,6 +797,9 @@ def create_search_app(
     - ``GET /sketch/distinct`` (streaming KMV state, ``kmv_k`` ditto)
     - ``GET /rollup?bucket_min=&bucket_max=`` (continuous aggregate:
       chunk-pruned merged read of the persisted rollup)
+    - ``GET /chunks?q=query+text&k=10&n_probes=2`` (persisted
+      chunk-level semantic index: per-doc best-chunk cosine;
+      omit n_probes for the lossless exhaustive probe)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -969,6 +1015,17 @@ def create_search_app(
                     spark, rollup_path,
                     bucket_min=bucket_min, bucket_max=bucket_max,
                     resample=resample,
+                )
+            )
+
+    if chunk_index is not None:
+
+        @app.get("/chunks")
+        def chunks(q: str, k: int = 10, n_probes: int | None = None):
+            return run(
+                lambda: chunk_search_response(
+                    spark, chunk_index, q, dim=chunk_dim, k=k,
+                    n_probes=n_probes,
                 )
             )
 

@@ -3354,3 +3354,73 @@ def test_gopher_rules_flags(spark):
     assert out[5]["f_word_len"] is False and out[5]["keep"] is False
     # stopword rule: distinct-entry count, not occurrences
     assert out[1]["n_stopwords"] >= 2 and out[1]["f_stopwords"] is True
+
+
+def test_chunk_index_lifecycle_bit_equal_to_scan(spark, tmp_path):
+    """Persisted chunk-level semantic index: build (even docs) +
+    append (odd docs, frozen centroids) + replayed-append no-op, then
+    the EXHAUSTIVE probe is bit-equal to the one-shot scan path;
+    forgetting a doc excludes it from every later probe; cell-pruned
+    probing returns a subset of the exhaustively-scored docs."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.search import (
+        append_chunk_index,
+        build_chunk_index,
+        chunk_indexed_search,
+        chunk_semantic_search,
+        forget_chunk_docs,
+    )
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents")
+    q = docs.filter("doc_id = 0").first()["text"]
+    kw = dict(max_tokens=8, overlap=2, dim=16)
+    path = str(tmp_path / "cidx")
+    build_chunk_index(
+        docs.filter("doc_id % 2 = 0"), path, n_cells=4, **kw
+    )
+    assert append_chunk_index(
+        docs.filter("doc_id % 2 = 1"), path, 1, **kw
+    ) is True
+    assert append_chunk_index(
+        docs.filter("doc_id % 2 = 1"), path, 1, **kw
+    ) is False  # replay no-op
+
+    scan = [
+        (r["doc_id"], r["best_cos"])
+        for r in chunk_semantic_search(docs, q, k=10, **kw).collect()
+    ]
+    via_idx = [
+        (r["doc_id"], r["best_cos"])
+        for r in chunk_indexed_search(
+            spark, path, q, dim=16, k=10
+        ).collect()
+    ]
+    assert via_idx == scan  # bit-equal: same embeddings, same 6-dp cos
+
+    pruned = [
+        (r["doc_id"], r["best_cos"])
+        for r in chunk_indexed_search(
+            spark, path, q, dim=16, k=10, n_probes=2
+        ).collect()
+    ]
+    exhaustive_all = {
+        r["doc_id"]: r["best_cos"]
+        for r in chunk_indexed_search(
+            spark, path, q, dim=16, k=10_000
+        ).collect()
+    }
+    # pruning can only LOWER a doc's best chunk score, never raise it
+    assert all(
+        d in exhaustive_all and c <= exhaustive_all[d]
+        for d, c in pruned
+    )
+
+    top_doc = via_idx[0][0]
+    assert forget_chunk_docs(spark, path, [top_doc], 2) is True
+    after = chunk_indexed_search(spark, path, q, dim=16, k=10).collect()
+    assert all(r["doc_id"] != top_doc for r in after)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="query_text"):
+        chunk_indexed_search(spark, path, "   ")

@@ -815,3 +815,36 @@ def test_rollup_serving_fastapi_if_available(spark, tmp_path):
     client = TestClient(create_search_app(spark, rollup_path=path))
     got = client.get("/rollup").json()
     assert got["rows"] and "bucket" in got["rows"][0]
+
+
+def test_chunk_serving_core_and_route(spark, tmp_path):
+    """GET /chunks core rows + (fastapi-gated) the mounted route."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.search import build_chunk_index
+    from starknet_etl_spark.serving.search_api import chunk_search_rows
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents")
+    # query = doc 0's FIRST CHUNK verbatim (8 tokens), so its chunk
+    # embedding equals the query embedding exactly -> cos 1.0 anchor
+    q = " ".join(docs.filter("doc_id = 0").first()["text"].split()[:8])
+    path = str(tmp_path / "cidx")
+    build_chunk_index(
+        docs, path, n_cells=4, max_tokens=8, overlap=2, dim=16
+    )
+    rows = chunk_search_rows(spark, path, q, dim=16, k=5)
+    assert len(rows) == 5 and rows[0]["doc_id"] == 0
+    assert rows[0]["best_cos"] >= 0.99  # self-chunk anchors
+
+    import pytest as _pytest
+
+    try:
+        from fastapi.testclient import TestClient
+    except ImportError:
+        _pytest.skip("fastapi not installed")
+    from starknet_etl_spark.serving.search_api import create_search_app
+
+    client = TestClient(
+        create_search_app(spark, chunk_index=path, chunk_dim=16)
+    )
+    got = client.get("/chunks", params={"q": q, "k": 3}).json()
+    assert [r["doc_id"] for r in got["rows"]][0] == 0
