@@ -2879,3 +2879,32 @@ QUERIES = {
 }
 
 
+
+
+# k-anonymity release gate on the published data card (r10, the r9
+# verdict's ask #6): (section, key) rows describing fewer than
+# _KANON_MIN member docs suppress; n_docs = 0 rows stay (absence,
+# not members). Exact integer thresholding — the oracle is the
+# data-card oracle wrapped in one WHERE.
+_KANON_MIN = 30
+
+
+def _data_card_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.datacard import data_card
+
+    return data_card(
+        load_testdata(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        min_group=_KANON_MIN,
+    )
+
+
+QUERIES["doc_data_card_kanon"] = QuerySpec(
+    _data_card_kanon,
+    "SELECT * FROM ("
+    + _data_card_oracle()
+    + f") t WHERE n_docs = 0 OR n_docs >= {_KANON_MIN}",
+    "k-anonymized data card: small-group summary rows suppressed"
+    " before publication",
+)

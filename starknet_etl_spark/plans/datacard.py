@@ -41,6 +41,7 @@ def data_card(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_cols: Sequence[str] = ("lang", "source"),
+    min_group: int | None = None,
 ) -> DataFrame:
     """(section, key, n_docs, measure) summary rows for ``docs``.
 
@@ -49,6 +50,15 @@ def data_card(
     balance, default weights), ``pii`` (per pattern: docs exposed,
     total matches), ``dedup`` (docs inside exact-duplicate groups,
     number of groups).
+
+    ``min_group``: the k-anonymity release gate — suppress every
+    (section, key) row describing FEWER than ``min_group`` member
+    documents, so a published card can never narrow a group to a
+    handful of identifiable members (a lang×source slice of 2, a PII
+    pattern hitting 1 doc). Exact integer thresholding. Rows with
+    ``n_docs = 0`` stay: they describe ABSENCE (the dedup section's
+    no-duplicates row), not members, and dropping them would change
+    the card's fixed shape.
     """
     base = docs.select(
         F.col(id_col).alias("__id"),
@@ -146,6 +156,12 @@ def data_card(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if min_group is not None:
+        if min_group < 1:
+            raise ValueError(f"min_group must be >= 1, got {min_group}")
+        out = out.filter(
+            (F.col("n_docs") == 0) | (F.col("n_docs") >= min_group)
+        )
     return out
 
 

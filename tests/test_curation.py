@@ -579,3 +579,53 @@ def test_curation_gopher_stage_audits_and_filters(spark):
     # downstream stages never see rule-failing docs
     assert not [r for r in audit.collect()
                 if r["doc_id"] in (2, 3) and r["stage"] != "gopher"]
+
+
+def test_data_card_kanon_suppression(spark):
+    """min_group (k-anonymity release gate): rows describing fewer
+    than k member docs suppress; zero rows (absence) and big rows
+    stay. Exact integer thresholding over the same card."""
+    from starknet_etl_spark.plans.datacard import data_card
+
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "one two three"),
+            (2, "en", "web", "one two three"),
+            (3, "de", "code", "mail me at a@b.co now"),
+            (4, "en", "code", "four five"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    full = {
+        (r["section"], r["key"]): (r["n_docs"], r["measure"])
+        for r in data_card(docs).collect()
+    }
+    gated = {
+        (r["section"], r["key"]): (r["n_docs"], r["measure"])
+        for r in data_card(docs, min_group=2).collect()
+    }
+    # the k=1 rows are gone: lang de (1 doc), pii email (1 doc),
+    # and any 1-doc split bucket
+    assert ("lang", "de") not in gated
+    assert ("pii", "email") not in gated
+    # big rows and the corpus total survive unchanged
+    assert gated[("corpus", "all")] == full[("corpus", "all")]
+    assert gated[("lang", "en")] == full[("lang", "en")]
+    assert gated[("dedup", "exact_duplicates")] == (2, 1)
+    # absence rows (n_docs = 0) are NOT suppressed — the card's
+    # fixed shape survives the gate
+    assert all(
+        (s, k) in gated
+        for (s, k), v in full.items()
+        if s == "pii" and v == (0, 0)
+    )
+    # gated is exactly the thresholded full card
+    assert gated == {
+        sk: v
+        for sk, v in full.items()
+        if v[0] == 0 or v[0] >= 2
+    }
+    with _pt.raises(ValueError, match="min_group"):
+        data_card(docs, min_group=0)
