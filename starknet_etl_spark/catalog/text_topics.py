@@ -318,3 +318,81 @@ QUERIES["doc_topic_mix_tokens"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# Retrieval-coherent packing (r10, the r9 verdict's ask #3): the
+# in-context-pretraining layout — docs grouped by trained semantic
+# cell, within a cell ordered by descending own-centroid score, then
+# concat-and-split packed. The oracle extends the topic rows' Lloyd
+# unroll (same trainer, same params) with the score, the explicit
+# NULLS LAST order, and the running token sum.
+# --------------------------------------------------------------------------
+
+_CP_BUDGET = 512
+
+
+def _coherent_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import coherent_pack
+
+    return coherent_pack(
+        _docs(spark, sf_dir), "doc_id", "text",
+        budget=_CP_BUDGET,
+        dim=_HE_DIM, n_cells=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+
+
+_COHERENT_PACK_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + rf""",
+cpanc AS (
+  SELECT cell, MIN(doc_id) AS anchor_id FROM casg GROUP BY cell
+),
+cpav AS (
+  -- the anchor member's vector as exact 1e6-scaled integers: 6-dp
+  -- components sit within ~1e-9 of integers, never at a midpoint.
+  -- (A centroid-valued key was tried and REJECTED: ROUND(AVG)
+  -- centroid values carry latent 6-dp midpoint splits.)
+  SELECT c.cell, d.dim_i,
+         CAST(round(d.x * 1000000.0) AS BIGINT) AS ai
+  FROM cpanc c JOIN kdense d ON d.doc_id = c.anchor_id
+),
+cpsc AS (
+  SELECT d.doc_id, a.cell,
+         CAST(SUM(av.ai * CAST(round(d.x * 1000000.0) AS BIGINT))
+              AS BIGINT) AS anchor_dot
+  FROM kdense d
+  JOIN casg a USING (doc_id)
+  JOIN cpav av ON av.cell = a.cell AND av.dim_i = d.dim_i
+  GROUP BY d.doc_id, a.cell
+),
+cptok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cpord AS (
+  SELECT t.doc_id, s.cell, s.anchor_dot, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (
+           ORDER BY s.cell ASC NULLS LAST,
+                    s.anchor_dot DESC NULLS LAST,
+                    t.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t.n_tokens AS BIGINT) AS start_offset
+  FROM cptok t LEFT JOIN cpsc s USING (doc_id)
+)
+SELECT doc_id, CAST(cell AS BIGINT) AS cell, anchor_dot,
+       n_tokens, start_offset,
+       CAST(start_offset // {_CP_BUDGET} AS BIGINT) AS seq_id
+FROM cpord
+"""
+)
+
+QUERIES["doc_coherent_pack"] = QuerySpec(
+    _coherent_pack,
+    _COHERENT_PACK_ORACLE,
+    "retrieval-coherent packing: trained-cell + own-centroid-score"
+    " layout order, concat-and-split sequences",
+)

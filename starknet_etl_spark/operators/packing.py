@@ -29,14 +29,20 @@ def pack_sequences(
     *,
     budget: int,
     part_col: str | None = None,
+    order_by: list | None = None,
 ) -> DataFrame:
     """Attach ``start_offset`` (tokens before this doc within its
-    partition) and ``seq_id`` (= start_offset // budget)."""
+    partition) and ``seq_id`` (= start_offset // budget).
+
+    ``order_by``: optional explicit layout order (a list of Columns —
+    e.g. the coherent (cell, -anchor_score, id) order); default is
+    ascending ``id_col``. The order must be TOTAL (deterministic):
+    always end it with a unique key."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     w = (
         Window.partitionBy(part_col) if part_col else Window.partitionBy()
-    ).orderBy(id_col)
+    ).orderBy(*(order_by if order_by is not None else [id_col]))
     start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
     return df.withColumn("start_offset", start).withColumn(
         # floor division (Spark cast-to-long truncates, DuckDB CAST
@@ -218,3 +224,163 @@ def fill_stats(
             F.when(F.col("total_tokens") > 0, rate).alias("mask_rate"),
         ]
     return agg.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Retrieval-coherent packing (r10, the r9 verdict's ask #3): the
+# in-context-pretraining layout — RELATED documents packed
+# adjacently, so a training sequence carries topical context instead
+# of hash-random neighbors. Zero external models: the corpus's own
+# hash_embed vectors and the engine's Lloyd trainer define locality.
+# --------------------------------------------------------------------------
+
+
+def coherent_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget: int,
+    dim: int = 16,
+    n_cells: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """(id, cell, anchor_dot, n_tokens, start_offset, seq_id):
+    concat-and-split packing over the COHERENT order — documents
+    grouped by their trained semantic cell, and within a cell laid
+    out by DESCENDING similarity to the cell centroid (the cell's
+    densest neighborhood first), id-asc tie-break. Zero-signal
+    documents (empty bag) carry NULL cell/score and pack LAST
+    (explicit NULLS LAST on both engines — the curriculum_shards
+    discipline).
+
+    ``anchor_dot`` is the EXACT-INTEGER similarity key: each cell's
+    ANCHOR is its minimum-id member (deterministic), and every
+    member orders by its integer dot with the anchor's vector —
+    embedding components are 6-dp decimals by construction, so
+    scaling by 10^6 yields exact integers (never near a rounding
+    midpoint) and Σ ai·xi is exact BIGINT arithmetic, bit-identical
+    across engines and summation orders. The anchor itself tops its
+    cell (self-dot is maximal) and the layout walks outward by
+    similarity — the star-chain order. Two double-score keys were
+    tried and REJECTED by the differential: a 6-dp-rounded cosine
+    (0.8159885 split the engines' ROUND) and an integer dot with the
+    CENTROID (the Lloyd oracle's ROUND(AVG) centroid values
+    themselves carry latent 6-dp midpoint splits that argmax
+    assignment comparison never surfaces). Doc×doc dots touch only
+    hash_embed components, which are cross-engine exact.
+
+    The layout order is deterministic and oracle-replayable end to
+    end: hash_embed → train_ivf_centroids (the same Lloyd unroll the
+    topic rows replay in SQL) → assign_cells → integer anchor dot →
+    one global window sum. Scale: embedding/assignment are
+    doc-keyed; the anchor-vector side is n_cells×dim rows
+    (broadcast); the single global window is pack_sequences'
+    documented small-corpus mode — at real scale pack per shard by
+    composing with a part key (cells are natural shards).
+    """
+    from .similarity import assign_cells, dot, train_ivf_centroids
+    from .text import hash_embed
+
+    emb = hash_embed(docs, id_col, text_col, dim=dim)
+    live = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    cents = train_ivf_centroids(
+        live, id_col=id_col, vec_col="embedding",
+        dim=dim, n_cells=n_cells, n_iters=n_iters,
+    )
+    asg = assign_cells(
+        live, cents, id_col=id_col, vec_col="embedding", cell_col="cell"
+    )
+    long = live.select(
+        id_col, F.posexplode(F.col("embedding")).alias("__d0", "__x")
+    ).select(
+        id_col,
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.round(F.col("__x") * F.lit(1e6)).cast("long").alias("__xi"),
+    )
+    anchors = asg.groupBy("cell").agg(
+        F.min(id_col).alias("__anchor_id")
+    )
+    avec = (
+        anchors.join(
+            long.withColumnRenamed(id_col, "__anchor_id"), "__anchor_id"
+        )
+        .select("cell", "dim_i", F.col("__xi").alias("__ai"))
+    )
+    score = (
+        long.join(asg.select(id_col, "cell"), id_col)
+        .join(F.broadcast(avec), ["cell", "dim_i"])
+        .groupBy(id_col, "cell")
+        .agg(
+            F.sum(F.col("__ai") * F.col("__xi"))
+            .cast("long")
+            .alias("anchor_dot")
+        )
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    base = toks.join(score, id_col, "left")
+    packed = pack_sequences(
+        base,
+        id_col,
+        "n_tokens",
+        budget=budget,
+        order_by=[
+            F.col("cell").asc_nulls_last(),
+            F.col("anchor_dot").desc_nulls_last(),
+            F.col(id_col).asc(),
+        ],
+    )
+    return packed.select(
+        id_col,
+        F.col("cell").cast("long").alias("cell"),
+        "anchor_dot",
+        "n_tokens",
+        "start_offset",
+        "seq_id",
+    )
+
+
+def pack_locality(
+    packed: DataFrame,
+    emb: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """(mean_intra_cos, n_pairs): mean pairwise cosine between
+    documents sharing a packed sequence — the locality stat that
+    quantifies what coherent packing buys over hash order (compute
+    it for both layouts and compare; tests pin the win on clustered
+    corpora). Pairs form WITHIN sequences only (bins are
+    budget-bounded, so the self-join is Σ b² over bins — never
+    corpus²)."""
+    from .similarity import dot, norm
+
+    side = packed.select(F.col(id_col), F.col(seq_col).alias("__seq"))
+    vecs = side.join(emb.select(id_col, vec_col), id_col)
+    a = vecs.select(
+        F.col("__seq"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = vecs.select(
+        F.col("__seq"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pairs = a.join(b, "__seq").filter(F.col("__ida") < F.col("__idb"))
+    return pairs.select(
+        (
+            dot(F.col("__va"), F.col("__vb"))
+            / (norm(F.col("__va")) * norm(F.col("__vb")))
+        ).alias("__cos")
+    ).agg(
+        F.round(F.avg("__cos"), 6).alias("mean_intra_cos"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )

@@ -3424,3 +3424,57 @@ def test_chunk_index_lifecycle_bit_equal_to_scan(spark, tmp_path):
 
     with _pt.raises(ValueError, match="query_text"):
         chunk_indexed_search(spark, path, "   ")
+
+
+def test_coherent_pack_improves_intra_bin_locality(spark):
+    """Retrieval-coherent packing: on a topically-clustered corpus,
+    the coherent layout's mean intra-sequence cosine beats the
+    id-order baseline (related docs land adjacent), the order is
+    total (each doc in exactly one seq), and the anchor doc (the
+    cell's min-id member) tops its cell."""
+    from starknet_etl_spark.operators.packing import (
+        coherent_pack,
+        pack_locality,
+        pack_sequences,
+    )
+    from starknet_etl_spark.operators.text import hash_embed
+
+    # interleaved topics by id: id-order packing mixes topics, the
+    # coherent order should separate them
+    vocab = {
+        0: "alpha beta gamma corpus topic zero",
+        1: "delta epsilon zeta corpus topic one",
+        2: "eta theta iota corpus topic two",
+    }
+    rows = [
+        (i, f"{vocab[i % 3]} filler{i % 3} w{i % 3}x extra{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = coherent_pack(
+        docs, budget=40, dim=16, n_cells=3, n_iters=2
+    )
+    got = packed.collect()
+    assert len(got) == 60
+    assert {r["doc_id"] for r in got} == set(range(60))
+    # anchor tops its cell: within each cell, the min-id doc has the
+    # maximal anchor_dot (self-dot)
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        anchor = min(m["doc_id"] for m in members)
+        top = max(members, key=lambda m: (m["anchor_dot"], -m["doc_id"]))
+        assert top["doc_id"] == anchor
+
+    emb = hash_embed(docs, "doc_id", "text", dim=16)
+    coh = pack_locality(packed, emb).first()
+    base_packed = pack_sequences(
+        packed.select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        budget=40,
+    )
+    base = pack_locality(base_packed, emb).first()
+    assert coh["n_pairs"] > 0 and base["n_pairs"] > 0
+    assert coh["mean_intra_cos"] > base["mean_intra_cos"] + 0.1
