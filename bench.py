@@ -106,6 +106,14 @@ HEADLINE_EXT = (
     "doc_keywords",
     "doc_source_overlap",
     "doc_ccnet_sample",
+    # r10 tiers: DSIR example-level selection, byte-level BPE, the
+    # persisted chunk-index lifecycle, retrieval-coherent packing,
+    # interleaved multimodal assembly
+    "doc_dsir_sample",
+    "doc_bpe_bytes",
+    "doc_chunk_indexed",
+    "doc_coherent_pack",
+    "mm_interleaved",
 )
 
 

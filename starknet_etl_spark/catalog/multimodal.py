@@ -380,3 +380,171 @@ QUERIES["mm_phash_pairs"] = QuerySpec(
     "perceptual near-dup: dHash (exact integer luma/byte grid) +"
     " banded Hamming LSH — planted one-char-edit pairs surface",
 )
+
+
+# --------------------------------------------------------------------------
+# Interleaved multimodal assembly (r10, the r9 verdict's ask #5):
+# assets (doc texts + a tail marker, every 5th doc) assign to their
+# best text doc by SRP-bucket-scoped feature cosine, insert at
+# md5-derived token positions, and each doc emits interleaved
+# (text-span | asset-ref) segments with modality loss masks. The
+# oracle replays the whole chain byte-exactly: the hex(encode())
+# feature decode for BOTH sides, the Rademacher SRP buckets, the
+# rounded-cosine argmax, the md5 placement arithmetic, and the
+# span/mask layout.
+# --------------------------------------------------------------------------
+
+_MI_OFFSET = 10000  # asset_id = doc_id + offset
+_MI_TAIL = " mmtail"  # payload = encode(text || tail): near its source
+
+
+def _mi_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _MI_OFFSET).alias("asset_id"),
+        F.encode(
+            F.concat(F.col("text"), F.lit(_MI_TAIL)), "UTF-8"
+        ).alias("payload"),
+    )
+
+
+def _mm_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import interleave_assets
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return interleave_assets(docs, _mi_assets(spark, sf_dir))
+
+
+def _mi_feature_ctes(tag: str, src: str) -> str:
+    """Byte-exact feature chain for one side (the multimodal_features
+    replay): hex byte list -> dim-8 profile -> SRP bucket."""
+    return f"""
+{tag}fl AS MATERIALIZED (
+  SELECT id, j + 1 AS dim_i,
+         coalesce(list_sum(bs[j*step+1 : j*step+step]), 0)
+           / (255.0 * step) AS x
+  FROM (
+    SELECT id, bs, greatest(1, nb // 8) AS step FROM (
+      SELECT id, nb,
+             list_transform(
+               generate_series(1, CAST(nb AS INT)),
+               i -> (strpos('0123456789ABCDEF',
+                            substr(hx, 2*i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+             ) AS bs
+      FROM ({src}) h)),
+  unnest(generate_series(0, 7)) AS t(j)
+),
+{tag}bk AS MATERIALIZED (
+  SELECT id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS b
+  FROM (
+    SELECT f.id, w.p, SUM(w.wt * f.x) AS s
+    FROM {tag}fl f JOIN srpw w ON w.d = f.dim_i
+    GROUP BY f.id, w.p)
+  GROUP BY id
+)"""
+
+
+_MI_ORACLE = (
+    """
+WITH srpw AS (
+  SELECT p, d,
+    CASE WHEN strpos('89abcdef', substr(md5(p || '|' || d), 1, 1)) > 0
+         THEN 1.0 ELSE -1.0 END AS wt
+  FROM unnest(generate_series(0, 3)) AS tp(p),
+       unnest(generate_series(1, 8)) AS td(d)
+),"""
+    + _mi_feature_ctes(
+        "d",
+        "SELECT doc_id AS id, hex(encode(text)) AS hx,"
+        " CAST(octet_length(encode(text)) AS BIGINT) AS nb"
+        " FROM documents",
+    )
+    + ","
+    + _mi_feature_ctes(
+        "a",
+        f"SELECT doc_id + {_MI_OFFSET} AS id,"
+        f" hex(encode(text || '{_MI_TAIL}')) AS hx,"
+        f" CAST(octet_length(encode(text || '{_MI_TAIL}')) AS BIGINT)"
+        f" AS nb FROM documents WHERE doc_id % 5 = 0",
+    )
+    + f""",
+mi_best AS MATERIALIZED (
+  SELECT asset_id, doc_id FROM (
+    SELECT s.asset_id, s.doc_id,
+           row_number() OVER (
+             PARTITION BY s.asset_id
+             ORDER BY s.cos DESC, s.doc_id ASC) AS rn
+    FROM (
+      SELECT af.id AS asset_id, df.id AS doc_id,
+             ROUND(SUM(af.x * df.x)
+                   / (SQRT(SUM(af.x * af.x))
+                      * SQRT(SUM(df.x * df.x))), 6) AS cos
+      FROM afl af
+      JOIN abk ON abk.id = af.id
+      JOIN dbk ON dbk.b = abk.b
+      JOIN dfl df ON df.id = dbk.id AND df.dim_i = af.dim_i
+      GROUP BY af.id, df.id) s)
+  WHERE rn = 1
+),
+mi_tk AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS j, ws[i] AS tok
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+mi_nt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM mi_tk GROUP BY doc_id
+),
+mi_brk AS MATERIALIZED (
+  SELECT b.asset_id, b.doc_id,
+         CAST('0x' || substr(md5(CAST(b.asset_id AS VARCHAR) || '|'
+                 || CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % (nt.n + 1) AS pos
+  FROM mi_best b JOIN mi_nt nt ON nt.doc_id = b.doc_id
+),
+mi_brk2 AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY pos, asset_id) AS BIGINT) AS k
+  FROM mi_brk
+),
+mi_rk AS (
+  SELECT t.doc_id, t.j, t.tok,
+         COUNT(b.asset_id) FILTER (WHERE b.pos <= t.j) AS r
+  FROM mi_tk t LEFT JOIN mi_brk2 b ON b.doc_id = t.doc_id
+  GROUP BY t.doc_id, t.j, t.tok
+),
+mi_segs AS (
+  SELECT doc_id, r AS key1, 0 AS key2, 'text' AS modality,
+         string_agg(tok, ' ' ORDER BY j) AS content,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(1 AS BIGINT) AS loss_mask
+  FROM mi_rk GROUP BY doc_id, r
+  UNION ALL
+  SELECT doc_id, k - 1 AS key1, 1 AS key2, 'asset' AS modality,
+         'asset:' || CAST(asset_id AS VARCHAR) AS content,
+         CAST(1 AS BIGINT) AS n_tokens,
+         CAST(0 AS BIGINT) AS loss_mask
+  FROM mi_brk2
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY key1, key2) AS BIGINT) AS seg_idx,
+       modality, content, n_tokens, loss_mask
+FROM mi_segs
+"""
+)
+
+QUERIES["mm_interleaved"] = QuerySpec(
+    _mm_interleaved,
+    _MI_ORACLE,
+    "interleaved multimodal assembly: cosine asset->doc assignment,"
+    " md5-placed asset refs, modality loss masks",
+)

@@ -372,3 +372,211 @@ def dhash_pairs(
         bits=64, bands=bands,
         max_hamming=max_hamming, max_bucket=max_bucket,
     )
+
+
+# --------------------------------------------------------------------------
+# Interleaved multimodal document assembly (r10, the r9 verdict's
+# ask #5): assets and text compose into ONE training sequence —
+# each asset is assigned to its best-matching text document by
+# feature cosine (the mm_knn machinery: SRP-bucket-scoped argmax,
+# never assets×docs), placed at a deterministic md5-derived token
+# position (the FIM cut discipline — no RNG state), and the document
+# is emitted as interleaved (text-span | asset-ref) segments with
+# modality loss masks (text carries loss, assets don't — the
+# pack_turns mask_roles discipline one modality up).
+# --------------------------------------------------------------------------
+
+
+def assign_assets(
+    docs: DataFrame,
+    assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+    planes: int = 4,
+) -> DataFrame:
+    """(asset_id, doc_id, cos_sim): each asset's best text document
+    by decoded-feature cosine, scoped to the asset's SRP bucket (the
+    mm_knn shape — Σ N_bucket·M_bucket work, never assets×docs).
+    Document vectors are the feature decode of the doc's own UTF-8
+    bytes; ties break by rounded 6-dp score then ascending doc id.
+    An asset whose bucket holds no document emits nothing (no match
+    in its locality — widen planes↓ or assign those separately)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import dot, norm, srp_bucket
+
+    dvec = extract_features(
+        docs.select(
+            F.col(id_col).alias("asset_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        ),
+        dim=dim,
+    ).select(
+        F.col("asset_id").alias(id_col),
+        F.col("feature").alias("__dv"),
+    )
+    dvec = dvec.withColumn(
+        "__b", srp_bucket(F.col("__dv"), dim=dim, planes=planes)
+    )
+    avec = extract_features(assets, dim=dim).select(
+        "asset_id", F.col("feature").alias("__av")
+    )
+    avec = avec.withColumn(
+        "__b", srp_bucket(F.col("__av"), dim=dim, planes=planes)
+    )
+    scored = avec.join(dvec, "__b").select(
+        "asset_id",
+        id_col,
+        F.round(
+            dot(F.col("__av"), F.col("__dv"))
+            / (norm(F.col("__av")) * norm(F.col("__dv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("asset_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def interleave_assets(
+    docs: DataFrame,
+    assets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+    planes: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """(id, seg_idx, modality, content, n_tokens, loss_mask): the
+    interleaved training-sequence layout. Per document: its assigned
+    assets (``assign_assets``) insert at token position
+    ``md5(salt‖asset_id‖'|'‖doc_id) mod (n_tokens+1)`` — same-position
+    assets order by asset id — and the text splits into the spans
+    between insertions. Text segments carry ``loss_mask=1`` and their
+    token count; asset segments carry ``loss_mask=0``, ``n_tokens=1``
+    (one placeholder slot) and ``content='asset:<id>'`` — the
+    reference-not-bytes convention (payloads stay in the asset
+    table; the sequence carries the pointer, exactly like a
+    tokenizer's <image> sentinel). Empty text spans (two assets
+    back-to-back, an asset at position 0/n) emit nothing.
+
+    Deterministic end-to-end: the assignment is the rounded-cosine
+    argmax, positions are md5 arithmetic, segment order is
+    (break index, text-after-asset) — all engine-exact. Scale: the
+    assignment is bucket-scoped; placement and segmentation are
+    doc-keyed aggregates; per-token span ranking uses the per-doc
+    break ARRAY (assets per doc are few by construction — the array
+    is row-local metadata, the one sanctioned HOF use)."""
+    from pyspark.sql.window import Window
+
+    asg = assign_assets(
+        docs, assets, id_col=id_col, text_col=text_col,
+        dim=dim, planes=planes,
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__j", "__tok"),
+    ).filter(F.col("__tok") != "")
+    ntok = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    breaks = (
+        asg.join(ntok, id_col)
+        .select(
+            id_col,
+            "asset_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt),
+                                F.col("asset_id").cast("string"),
+                                F.lit("|"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (F.col("__n") + 1)
+            ).alias("__pos"),
+        )
+    )
+    wb = Window.partitionBy(id_col).orderBy("__pos", "asset_id")
+    breaks = breaks.withColumn(
+        "__k", F.row_number().over(wb).cast("long")
+    )
+    barr = breaks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("__pos", "asset_id"))).alias(
+            "__breaks"
+        )
+    )
+    ranked = toks.join(barr, id_col, "left").select(
+        id_col,
+        "__j",
+        "__tok",
+        F.when(
+            F.col("__breaks").isNull(), F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.col("__breaks"),
+                    lambda b: b["__pos"] <= F.col("__j"),
+                )
+            ).cast("long")
+        )
+        .alias("__r"),
+    )
+    text_segs = ranked.groupBy(id_col, "__r").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__j", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("content"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    ).select(
+        id_col,
+        F.col("__r").alias("__key1"),
+        F.lit(0).alias("__key2"),
+        F.lit("text").alias("modality"),
+        "content",
+        "n_tokens",
+        F.lit(1).cast("long").alias("loss_mask"),
+    )
+    asset_segs = breaks.select(
+        id_col,
+        (F.col("__k") - 1).alias("__key1"),
+        F.lit(1).alias("__key2"),
+        F.lit("asset").alias("modality"),
+        F.concat(
+            F.lit("asset:"), F.col("asset_id").cast("string")
+        ).alias("content"),
+        F.lit(1).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("loss_mask"),
+    )
+    allsegs = text_segs.unionByName(asset_segs)
+    ws = Window.partitionBy(id_col).orderBy("__key1", "__key2")
+    return allsegs.withColumn(
+        "seg_idx", F.row_number().over(ws).cast("long")
+    ).select(
+        id_col, "seg_idx", "modality", "content", "n_tokens", "loss_mask"
+    )

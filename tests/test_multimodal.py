@@ -274,3 +274,72 @@ def test_dhash_pairs_pigeonhole_matches_naive(spark):
     assert any(a == 0 and b == 100 for a, b, _ in naive)  # planted pair
     # at least one hash in this corpus should exercise long packing
     assert all(isinstance(h, int) for h in hashes.values())
+
+
+def test_interleave_assets_layout_and_masks(spark):
+    """Interleaved assembly: each asset lands in its best-cosine
+    doc's sequence at the md5-derived position, text spans reassemble
+    to the original document EXACTLY, masks are modality-pure
+    (text=1, asset=0), and seg_idx is contiguous from 1."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.multimodal import (
+        assign_assets,
+        interleave_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb"),
+            (2, "0000 1111 0000 1111 0000 1111 0000 1111 0000 1111"),
+            (3, "ZZZZ YYYY ZZZZ YYYY ZZZZ YYYY ZZZZ YYYY"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # assets = a doc's own bytes verbatim: cosine 1.0 to the source,
+    # and the three docs' byte profiles (lowercase / digits / upper)
+    # are far apart, so the argmax is unambiguous
+    assets = docs.filter("doc_id != 3").select(
+        (F.col("doc_id") + 100).alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    asg = {
+        r["asset_id"]: r["doc_id"]
+        for r in assign_assets(docs, assets).collect()
+    }
+    assert asg == {101: 1, 102: 2}
+
+    segs = interleave_assets(docs, assets).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["seg_idx"])
+        assert [r["seg_idx"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        text = " ".join(
+            r["content"] for r in rows if r["modality"] == "text"
+        )
+        want = {r["doc_id"]: r["text"] for r in docs.collect()}[d]
+        assert text == want  # spans reassemble exactly
+        for r in rows:
+            assert r["loss_mask"] == (1 if r["modality"] == "text" else 0)
+            if r["modality"] == "text":
+                assert r["n_tokens"] == len(r["content"].split())
+            else:
+                assert r["n_tokens"] == 1
+                assert r["content"].startswith("asset:")
+    # every assigned asset appears exactly once, in its doc
+    refs = [
+        (r["doc_id"], r["content"])
+        for r in segs
+        if r["modality"] == "asset"
+    ]
+    assert sorted(refs) == [(1, "asset:101"), (2, "asset:102")]
+    # doc 3 has no assets: one full-text segment
+    assert [r["modality"] for r in by_doc[3]] == ["text"]
+
+    # determinism: a rerun is byte-identical
+    again = interleave_assets(docs, assets).collect()
+    assert sorted(map(tuple, segs)) == sorted(map(tuple, again))
