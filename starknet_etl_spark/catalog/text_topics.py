@@ -396,3 +396,121 @@ QUERIES["doc_coherent_pack"] = QuerySpec(
     "retrieval-coherent packing: trained-cell + own-centroid-score"
     " layout order, concat-and-split sequences",
 )
+
+
+# --------------------------------------------------------------------------
+# Packing-locality stat (the r9 verdict ask #3's "prove the effect"
+# clause, differential edition): mean intra-sequence cosine of the
+# COHERENT layout vs the id-order baseline over the same corpus and
+# budget — two rows, the coherent one must win. Pairs form within
+# sequences only (budget-bounded bins, never corpus²).
+# --------------------------------------------------------------------------
+
+
+def _pack_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import (
+        coherent_pack,
+        pack_locality,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = X.hash_embed(docs, "doc_id", "text", dim=_HE_DIM)
+    coh = coherent_pack(
+        docs, "doc_id", "text",
+        budget=_CP_BUDGET,
+        dim=_HE_DIM, n_cells=_TOPIC_K, n_iters=_TOPIC_ITERS,
+    )
+    base = pack_sequences(
+        coh.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        budget=_CP_BUDGET,
+    )
+    return (
+        pack_locality(coh, emb)
+        .select(F.lit("coherent").alias("layout"), "mean_intra_cos",
+                "n_pairs")
+        .unionByName(
+            pack_locality(base, emb).select(
+                F.lit("id_order").alias("layout"), "mean_intra_cos",
+                "n_pairs",
+            )
+        )
+    )
+
+
+# shared pieces: the coherent order (the doc_coherent_pack chain) and
+# the hash-embed dense vectors (kdense, normalized rounded comps —
+# pack_locality's cosine runs over the SAME vectors). The id-order
+# baseline reuses cptok.
+_PACK_LOCALITY_ORACLE = (
+    "WITH "
+    + _TOPIC_CTES
+    + rf""",
+cpanc AS (
+  SELECT cell, MIN(doc_id) AS anchor_id FROM casg GROUP BY cell
+),
+cpav AS (
+  SELECT c.cell, d.dim_i,
+         CAST(round(d.x * 1000000.0) AS BIGINT) AS ai
+  FROM cpanc c JOIN kdense d ON d.doc_id = c.anchor_id
+),
+cpsc AS (
+  SELECT d.doc_id, a.cell,
+         CAST(SUM(av.ai * CAST(round(d.x * 1000000.0) AS BIGINT))
+              AS BIGINT) AS anchor_dot
+  FROM kdense d
+  JOIN casg a USING (doc_id)
+  JOIN cpav av ON av.cell = a.cell AND av.dim_i = d.dim_i
+  GROUP BY d.doc_id, a.cell
+),
+cptok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+plseq AS MATERIALIZED (
+  SELECT 'coherent' AS layout, doc_id,
+         CAST((SUM(n_tokens) OVER (
+             ORDER BY cell ASC NULLS LAST,
+                      anchor_dot DESC NULLS LAST, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens) // {_CP_BUDGET} AS BIGINT) AS seq_id
+  FROM cptok t LEFT JOIN cpsc s USING (doc_id)
+  UNION ALL
+  SELECT 'id_order' AS layout, doc_id,
+         CAST((SUM(n_tokens) OVER (
+             ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens) // {_CP_BUDGET} AS BIGINT) AS seq_id
+  FROM cptok
+),
+plnrm AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS nx FROM kdense GROUP BY doc_id
+),
+plpairs AS (
+  SELECT p1.layout, p1.doc_id AS id_a, p2.doc_id AS id_b,
+         SUM(da.x * db.x) / (ANY_VALUE(na.nx) * ANY_VALUE(nb.nx))
+           AS cos
+  FROM plseq p1
+  JOIN plseq p2 ON p2.layout = p1.layout
+               AND p2.seq_id = p1.seq_id
+               AND p1.doc_id < p2.doc_id
+  JOIN kdense da ON da.doc_id = p1.doc_id
+  JOIN kdense db ON db.doc_id = p2.doc_id AND db.dim_i = da.dim_i
+  JOIN plnrm na ON na.doc_id = p1.doc_id
+  JOIN plnrm nb ON nb.doc_id = p2.doc_id
+  GROUP BY p1.layout, p1.doc_id, p2.doc_id
+)
+SELECT layout, ROUND(AVG(cos), 6) AS mean_intra_cos,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM plpairs GROUP BY layout
+"""
+)
+
+QUERIES["doc_pack_locality"] = QuerySpec(
+    _pack_locality,
+    _PACK_LOCALITY_ORACLE,
+    "packing-locality proof: mean intra-sequence cosine, coherent"
+    " layout vs id-order baseline",
+)

@@ -740,6 +740,48 @@ def chunk_search_response(
     )
 
 
+def dsir_score_rows(
+    spark, lambdas_path: str, texts: list[str], *, n_buckets: int = 512
+) -> list[dict[str, Any]]:
+    """(text_idx, n_grams, dsir_weight) under a persisted frozen
+    λ table (selection.dsir_lambdas saved via io.save_table) — the
+    target-likeness score a routing/selection service asks for. The
+    md5 keep GATE is a pipeline concern (it needs a stable doc id);
+    serving returns the weight."""
+    from ..operators.selection import importance_weights
+
+    if not texts:
+        raise RuntimeError("no texts given")
+    lam = spark.read.parquet(lambdas_path)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"])
+        for r in importance_weights(
+            df, lambdas=lam, n_buckets=n_buckets
+        ).collect()
+    }
+    return [
+        {
+            "text_idx": i,
+            "n_grams": got[i][0],
+            "dsir_weight": got[i][1],
+        }
+        for i in range(len(texts))
+    ]
+
+
+def dsir_score_response(
+    spark, lambdas_path: str, texts: list[str], *, n_buckets: int = 512
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: dsir_score_rows(
+            spark, lambdas_path, texts, n_buckets=n_buckets
+        )
+    )
+
+
 def create_search_app(
     spark,
     *,
@@ -770,6 +812,8 @@ def create_search_app(
     rollup_path: str | None = None,
     chunk_index: str | None = None,
     chunk_dim: int = 16,
+    dsir_lambdas_path: str | None = None,
+    dsir_buckets: int = 512,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -800,6 +844,9 @@ def create_search_app(
     - ``GET /chunks?q=query+text&k=10&n_probes=2`` (persisted
       chunk-level semantic index: per-doc best-chunk cosine;
       omit n_probes for the lossless exhaustive probe)
+    - ``GET /dsir?t=some+document+text`` (persisted frozen DSIR λ
+      table: the summed log importance ratio toward the target —
+      the data-selection routing score)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -1026,6 +1073,17 @@ def create_search_app(
                 lambda: chunk_search_response(
                     spark, chunk_index, q, dim=chunk_dim, k=k,
                     n_probes=n_probes,
+                )
+            )
+
+    if dsir_lambdas_path is not None:
+
+        @app.get("/dsir")
+        def dsir(t: str):
+            return run(
+                lambda: dsir_score_response(
+                    spark, dsir_lambdas_path, [t],
+                    n_buckets=dsir_buckets,
                 )
             )
 

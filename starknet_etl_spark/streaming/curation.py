@@ -74,6 +74,10 @@ def start_curation_stream(
     quality_model: list[float] | None = None,
     quality_model_threshold: float = 0.5,
     quality_model_dim: int = 16,
+    dsir_lambdas: DataFrame | None = None,
+    dsir_tau: float = 0.0,
+    dsir_buckets: int = 512,
+    dsir_salt: str = "",
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
     redact: bool = True,
@@ -86,7 +90,12 @@ def start_curation_stream(
     pipeline's modes and audit reasons; ``quality_model`` (trained
     weights over quality_model.standard_quality_features) enables
     the learned gate with the batch stage's integer-permille audit
-    reasons — scoring is map-only per tick."""
+    reasons — scoring is map-only per tick. ``dsir_lambdas`` (a
+    FROZEN selection.dsir_lambdas table — a stream must gate against
+    a fixed fit, never refit per tick) enables DSIR example-level
+    selection with the batch stage's ``dsir_w_<mill>`` audit
+    reasons; each doc's verdict is independent and deterministic, so
+    replay safety is structural."""
     if contamination_mode not in ("ngram", "semantic", "bloom"):
         raise ValueError(
             f"unknown contamination_mode {contamination_mode!r}; "
@@ -106,6 +115,9 @@ def start_curation_stream(
         # — pin the source in memory once at stream construction so
         # every tick's benchmark job reads cache, not storage
         benchmark = benchmark.cache()
+    if dsir_lambdas is not None:
+        # same: the frozen fit is B rows, re-joined every tick
+        dsir_lambdas = dsir_lambdas.cache()
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -209,6 +221,43 @@ def start_curation_stream(
                 )
             )
             kept = kept.join(low_q.select(id_col), id_col, "left_anti")
+
+        # 2c. DSIR example-level selection (optional) — the batch
+        # pipeline's stage 1e against the FROZEN λ fit: one gram
+        # aggregate over the batch + a broadcast join + the md5
+        # gate. Deterministic per doc, so a replayed tick drops the
+        # same documents.
+        if dsir_lambdas is not None:
+            from ..operators.selection import importance_resample
+
+            flagged = importance_resample(
+                kept,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=dsir_buckets,
+                tau=dsir_tau,
+                salt=dsir_salt,
+                lambdas=dsir_lambdas,
+                eager_release=False,
+            )
+            low_dsir = flagged.filter(F.col("dsir_keep") == 0).select(
+                id_col, "dsir_weight"
+            )
+            audit = audit.unionByName(
+                low_dsir.select(
+                    ids,
+                    F.lit("dsir").alias("stage"),
+                    F.concat(
+                        F.lit("dsir_w_"),
+                        F.floor(F.col("dsir_weight") * 1000).cast(
+                            "long"
+                        ),
+                    ).alias("reason"),
+                )
+            )
+            kept = kept.join(
+                low_dsir.select(id_col), id_col, "left_anti"
+            )
 
         # 3. incremental near-dup, first-seen-wins
         pairs = merge_batch_minhash(

@@ -848,3 +848,62 @@ def test_chunk_serving_core_and_route(spark, tmp_path):
     )
     got = client.get("/chunks", params={"q": q, "k": 3}).json()
     assert [r["doc_id"] for r in got["rows"]][0] == 0
+
+
+def test_dsir_serving_core_and_route(spark, tmp_path):
+    """GET /dsir core rows: weights under a persisted frozen λ table
+    match the operator; fastapi route gated like the rest."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.io import save_table
+    from starknet_etl_spark.operators.selection import (
+        dsir_lambdas,
+        importance_weights,
+    )
+    from starknet_etl_spark.serving.search_api import dsir_score_rows
+
+    rows = [
+        (i, " ".join(f"alpha beta a{i} s{j}" for j in range(8)))
+        for i in range(8)
+    ]
+    rows += [
+        (100 + i, " ".join(f"gamma delta z{i} n{j}" for j in range(8)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lam = dsir_lambdas(docs, docs.filter(F.col("doc_id") < 4),
+                       n_buckets=64)
+    path = str(tmp_path / "lam")
+    save_table(lam, path, mode="overwrite")
+
+    texts = [rows[0][1], rows[8][1]]
+    got = dsir_score_rows(spark, path, texts, n_buckets=64)
+    want = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"])
+        for r in importance_weights(
+            spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string"
+            ),
+            lambdas=spark.read.parquet(path),
+            n_buckets=64,
+        ).collect()
+    }
+    assert got[0]["dsir_weight"] == want[0][1]
+    assert got[1]["dsir_weight"] == want[1][1]
+    assert got[0]["dsir_weight"] > 0 > got[1]["dsir_weight"]
+
+    import pytest as _pytest
+
+    try:
+        from fastapi.testclient import TestClient
+    except ImportError:
+        _pytest.skip("fastapi not installed")
+    from starknet_etl_spark.serving.search_api import create_search_app
+
+    client = TestClient(
+        create_search_app(
+            spark, dsir_lambdas_path=path, dsir_buckets=64
+        )
+    )
+    r = client.get("/dsir", params={"t": texts[0]}).json()
+    assert r["rows"][0]["dsir_weight"] == got[0]["dsir_weight"]

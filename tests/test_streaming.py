@@ -1423,3 +1423,80 @@ def test_curation_stream_gopher_gate(spark, tmp_path):
     assert cur == {1}
     assert aud[2] == ("gopher", "gopher_words")
     assert aud[3] == ("gopher", "gopher_symbols")
+
+
+def test_stream_curation_dsir_frozen_lambda_gate(spark, tmp_path):
+    """Streaming DSIR: a FROZEN λ fit gates each tick exactly like
+    the batch operator (per-doc verdicts are independent and
+    deterministic), audit reasons are the shared integer-mill
+    strings, and batch-vs-stream keep sets agree."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.selection import (
+        dsir_lambdas,
+        importance_resample,
+    )
+    from starknet_etl_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    # the test_selection corpus shape: class-shared vocab (strong
+    # DSIR signal) + a per-doc marker (no exact dups), shingle
+    # overlap well under the near-dup threshold
+    rows = [
+        (i, " ".join(f"alpha beta a{i} s{j}" for j in range(8)))
+        for i in range(10)
+    ]
+    rows += [
+        (100 + i, " ".join(f"gamma delta z{i} n{j}" for j in range(8)))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = docs.filter(F.col("doc_id") < 4)
+    lam = dsir_lambdas(docs, target, n_buckets=64).cache()
+
+    want = {
+        r["doc_id"]: r["dsir_keep"]
+        for r in importance_resample(
+            docs, lambdas=lam, n_buckets=64, salt="st"
+        ).collect()
+    }
+    assert 0 < sum(want.values()) < len(want)  # the gate bites
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows[:12], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[12:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q = start_curation_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        langs=None,
+        dsir_lambdas=lam,
+        dsir_salt="st",
+        dsir_buckets=64,
+        **paths,
+    )
+    q.awaitTermination(240)
+    cur = {
+        r["doc_id"]
+        for r in spark.read.parquet(paths["out_path"]).collect()
+    }
+    aud = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in spark.read.parquet(paths["audit_path"]).collect()
+    }
+    dsir_drops = {d for d, (s, _) in aud.items() if s == "dsir"}
+    assert dsir_drops == {d for d, k in want.items() if k == 0}
+    assert all(
+        aud[d][1].startswith("dsir_w_") for d in dsir_drops
+    )
+    assert cur == {d for d, k in want.items() if k == 1}
