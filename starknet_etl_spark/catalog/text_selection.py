@@ -120,3 +120,101 @@ QUERIES["doc_dsir_sample"] = QuerySpec(
     " hashed n-gram LM log-ratio weights toward a target corpus,"
     " exact dyadic arithmetic, deterministic md5-gated keep",
 )
+
+
+# --------------------------------------------------------------------------
+# λ-drift card (r10): the refit-policy stats between a frozen fit
+# (raw = all docs) and a candidate refit on a SHIFTED raw corpus
+# (even doc ids only), same target. Every number is exact dyadic
+# arithmetic over the 2^-20 λ grid — the differential pins
+# bit-equality of the whole card.
+# --------------------------------------------------------------------------
+
+
+def _dsir_drift_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_drift, dsir_lambdas
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    lam_old = dsir_lambdas(docs, target, n_buckets=_DSIR_B)
+    lam_new = dsir_lambdas(
+        docs.filter(F.col("doc_id") % 2 == 0), target,
+        n_buckets=_DSIR_B,
+    )
+    return dsir_drift(lam_old, lam_new)
+
+
+_DSIR_DRIFT_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, ws[i] AS g
+  FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM grams
+),
+spine AS (
+  SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket
+),
+tc AS (
+  SELECT bucket, count(*) AS c FROM bg WHERE lang = 'en'
+  GROUP BY bucket
+),
+rc1 AS (SELECT bucket, count(*) AS c FROM bg GROUP BY bucket),
+rc2 AS (
+  SELECT bucket, count(*) AS c FROM bg WHERE doc_id % 2 = 0
+  GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) FILTER (WHERE lang = 'en') AS tt,
+         count(*) AS rt1,
+         count(*) FILTER (WHERE doc_id % 2 = 0) AS rt2
+  FROM bg
+),
+lams AS (
+  SELECT s.bucket,
+         floor(log2((COALESCE(tc.c, 0) + 1)
+                    / (tot.tt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0
+         - floor(log2((COALESCE(rc1.c, 0) + 1)
+                      / (tot.rt1 + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0 AS lam_old,
+         floor(log2((COALESCE(tc.c, 0) + 1)
+                    / (tot.tt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0
+         - floor(log2((COALESCE(rc2.c, 0) + 1)
+                      / (tot.rt2 + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0 AS lam_new
+  FROM spine s
+  LEFT JOIN tc ON s.bucket = tc.bucket
+  LEFT JOIN rc1 ON s.bucket = rc1.bucket
+  LEFT JOIN rc2 ON s.bucket = rc2.bucket
+  CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN abs(lam_new - lam_old) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       SUM(abs(lam_new - lam_old)) AS sum_abs_delta,
+       MAX(abs(lam_new - lam_old)) AS max_abs_delta
+FROM lams
+"""
+
+QUERIES["doc_dsir_drift"] = QuerySpec(
+    _dsir_drift_row,
+    _DSIR_DRIFT_ORACLE,
+    "DSIR λ-drift card between a frozen fit and a shifted-raw refit"
+    " candidate — exact dyadic deltas, the refit-policy input",
+)

@@ -295,3 +295,41 @@ def importance_resample(
         )
     )
     return _eager_release(out, cached, eager_release and bool(cached))
+
+
+def dsir_drift(old_lambdas: DataFrame, new_lambdas: DataFrame) -> DataFrame:
+    """One-row drift card between a FROZEN λ fit and a fresh refit
+    candidate: (n_buckets, n_changed, sum_abs_delta, max_abs_delta).
+    λ values live on the 2^-20 dyadic grid, so every delta, the sum
+    and the max are EXACT — the card is bit-identical across engines
+    (the index-health discipline: stats first, then a pure threshold
+    policy). Fits must share the bucket spine (inner join on bucket —
+    a size mismatch shows up as n_buckets < the expected B)."""
+    j = old_lambdas.select(
+        "bucket", F.col("lam").alias("__o")
+    ).join(
+        new_lambdas.select("bucket", F.col("lam").alias("__n")),
+        "bucket",
+    )
+    d = F.abs(F.col("__n") - F.col("__o"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((d > 0).cast("long")).cast("long").alias("n_changed"),
+        F.sum(d).alias("sum_abs_delta"),
+        F.max(d).alias("max_abs_delta"),
+    )
+
+
+def dsir_needs_refit(
+    drift_row, *, max_mean_abs_delta: float = 0.05
+) -> bool:
+    """Pure threshold policy over a collected :func:`dsir_drift` row:
+    refit when the MEAN per-bucket |Δλ| exceeds the bar (default
+    0.05 bits — the fit's view of a bucket has moved a twentieth of
+    a doubling). Collected-row in, bool out — auditable, no I/O."""
+    if drift_row["n_buckets"] == 0:
+        raise ValueError("empty drift card: fits share no buckets")
+    return (
+        drift_row["sum_abs_delta"] / drift_row["n_buckets"]
+        > max_mean_abs_delta
+    )

@@ -3478,3 +3478,50 @@ def test_coherent_pack_improves_intra_bin_locality(spark):
     base = pack_locality(base_packed, emb).first()
     assert coh["n_pairs"] > 0 and base["n_pairs"] > 0
     assert coh["mean_intra_cos"] > base["mean_intra_cos"] + 0.1
+
+
+def test_chunk_index_rides_ann_maintenance(spark, tmp_path):
+    """The chunk index IS a trained ANN index, so the shared
+    maintenance tick works on it unchanged: heavy tombstones trigger
+    ONE purge, chunk_doc rides through the rewrite, and the
+    post-purge probe equals the pre-purge probe (tombstones were
+    already excluded logically)."""
+    from starknet_etl_spark.operators.index_health import (
+        maintain_ann_index,
+    )
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.search import (
+        build_chunk_index,
+        chunk_indexed_search,
+        forget_chunk_docs,
+    )
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents")
+    q = " ".join(docs.filter("doc_id = 1").first()["text"].split()[:8])
+    path = str(tmp_path / "cidx")
+    build_chunk_index(
+        docs, path, n_cells=4, max_tokens=8, overlap=2, dim=16
+    )
+    # forget a third of the docs: tombstone_frac breaches the policy
+    drop = [r["doc_id"] for r in docs.select("doc_id").collect()][::3]
+    drop = [d for d in drop if d != 1]
+    assert forget_chunk_docs(spark, path, drop, 1)
+    before = [
+        tuple(r)
+        for r in chunk_indexed_search(spark, path, q, dim=16, k=8).collect()
+    ]
+    tick = maintain_ann_index(spark, path, dim=16, n_cells=4)
+    assert tick["action"] in ("purge", "retrain")
+    after = [
+        tuple(r)
+        for r in chunk_indexed_search(spark, path, q, dim=16, k=8).collect()
+    ]
+    if tick["action"] == "purge":
+        # physical reclaim must not change logical results
+        assert after == before
+    assert all(r[0] not in set(drop) for r in after)
+    assert after[0][0] == 1  # the self-chunk query still anchors
+    # a second tick is a no-op (the drift is resolved)
+    assert maintain_ann_index(spark, path, dim=16, n_cells=4)[
+        "action"
+    ] in ("none", "retrain")

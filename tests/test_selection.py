@@ -196,3 +196,38 @@ def test_curation_dsir_stage(spark):
     drop_ids = {r["doc_id"] for r in dropped.select("doc_id").collect()}
     assert {100 + i for i in range(40)} <= drop_ids
     assert len(drop_ids) < 80  # target-flavored docs survive
+
+
+def test_dsir_drift_card_and_policy(spark):
+    """λ-drift card: exact dyadic deltas; zero drift against itself;
+    a distribution shift moves the card past the refit bar."""
+    from starknet_etl_spark.operators.selection import (
+        dsir_drift,
+        dsir_needs_refit,
+    )
+
+    df = _corpus(spark)
+    target = df.filter(F.col("doc_id") < 12)
+    lam = dsir_lambdas(df, target, n_buckets=64)
+    same = dsir_drift(lam, lam).first()
+    assert same["n_buckets"] == 64
+    assert same["n_changed"] == 0
+    assert same["sum_abs_delta"] == 0.0 == same["max_abs_delta"]
+    assert dsir_needs_refit(same) is False
+
+    # shifted raw corpus (drop the noise half): the raw LM moves
+    lam2 = dsir_lambdas(
+        df.filter(F.col("doc_id") < 100), target, n_buckets=64
+    )
+    moved = dsir_drift(lam, lam2).first()
+    assert moved["n_changed"] > 0
+    assert moved["sum_abs_delta"] > 0
+    assert dsir_needs_refit(moved) is True
+
+    import pytest as _pt
+
+    empty = dsir_drift(
+        lam.filter(F.col("bucket") < 0), lam
+    ).first()
+    with _pt.raises(ValueError, match="empty drift"):
+        dsir_needs_refit(empty)
