@@ -218,3 +218,164 @@ QUERIES["doc_dsir_drift"] = QuerySpec(
     "DSIR λ-drift card between a frozen fit and a shifted-raw refit"
     " candidate — exact dyadic deltas, the refit-policy input",
 )
+
+
+# --------------------------------------------------------------------------
+# Composed curation with the DSIR stage (r10): the full pipeline —
+# clean → DSIR example-level selection (λ fit in-plan: raw = the
+# clean survivors, target = the corpus's en docs) → jaccard near-dup
+# clusters → decontamination → redact/split — assembled through the
+# parameterized curation oracle skeleton (quality_block slot), so
+# the COMPOSITION with the new stage is differential-checked end to
+# end, not just the stage alone.
+# --------------------------------------------------------------------------
+
+
+def _curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    target = docs.filter(
+        (F.col("lang") == "en") & (F.col("source") != "src0")
+    ).select("doc_id", "text")
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        target_corpus=target,
+        dsir_buckets=_DSIR_B,
+        dsir_tau=0.0,
+        dsir_salt="",
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+# the quality_block slot: λ fit over kept0 (raw) vs the en target,
+# per-doc summed log-ratio, the md5 gate — qdrop(doc_id, q_score)
+# with q_score = the dsir weight (the reason expression reads it).
+_CURATION_DSIR_BLOCK = f"""dstoks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM kept0
+),
+dsgr AS (
+  SELECT doc_id, ws[i] AS g
+  FROM dstoks, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM dstoks,
+       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+dsbg AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM dsgr
+),
+dttoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE lang = 'en' AND source <> 'src0'
+),
+dtgr AS (
+  SELECT doc_id, ws[i] AS g
+  FROM dttoks, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM dttoks,
+       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+dtbg AS MATERIALIZED (
+  SELECT CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM dtgr
+),
+dsspine AS (
+  SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket
+),
+dsrc AS (SELECT bucket, count(*) AS c FROM dsbg GROUP BY bucket),
+dstc AS (SELECT bucket, count(*) AS c FROM dtbg GROUP BY bucket),
+dstot AS (
+  SELECT (SELECT count(*) FROM dsbg) AS rt,
+         (SELECT count(*) FROM dtbg) AS tt
+),
+dslam AS MATERIALIZED (
+  SELECT s.bucket,
+         floor(log2((COALESCE(dstc.c, 0) + 1)
+                    / (dstot.tt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0
+         - floor(log2((COALESCE(dsrc.c, 0) + 1)
+                      / (dstot.rt + {_DSIR_B}.0)) * 1048576.0 + 0.5)
+           / 1048576.0 AS lam
+  FROM dsspine s
+  LEFT JOIN dsrc ON s.bucket = dsrc.bucket
+  LEFT JOIN dstc ON s.bucket = dstc.bucket
+  CROSS JOIN dstot
+),
+dsw AS (
+  SELECT db.doc_id, SUM(db.n * l.lam) AS w
+  FROM (
+    SELECT doc_id, bucket, count(*) AS n FROM dsbg GROUP BY 1, 2
+  ) db
+  JOIN dslam l USING (bucket)
+  GROUP BY db.doc_id
+),
+qdrop AS (
+  SELECT k.doc_id, COALESCE(dsw.w, 0.0) AS q_score
+  FROM kept0 k LEFT JOIN dsw USING (doc_id)
+  WHERE NOT (
+    floor((log2(CAST('0x' ||
+            substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) + 1) - 32.0) * 1048576.0 + 0.5) / 1048576.0
+    < COALESCE(dsw.w, 0.0)
+  )
+)"""
+
+
+def _curation_dsir_oracle() -> str:
+    from .text import _curation_oracle
+
+    return _curation_oracle(
+        quality_block=_CURATION_DSIR_BLOCK,
+        quality_stage="dsir",
+        quality_reason=(
+            "'dsir_w_' || CAST(floor(q_score * 1000) AS BIGINT)"
+        ),
+    )
+
+
+QUERIES["doc_curation_dsir"] = QuerySpec(
+    _curation_dsir,
+    _curation_dsir_oracle(),
+    "composed curation with the DSIR selection stage: clean -> DSIR"
+    " (in-plan fit) -> near-dup -> decontamination -> redact/split",
+)
