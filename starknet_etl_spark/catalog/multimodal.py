@@ -548,3 +548,69 @@ QUERIES["mm_interleaved"] = QuerySpec(
     "interleaved multimodal assembly: cosine asset->doc assignment,"
     " md5-placed asset refs, modality loss masks",
 )
+
+
+def _mm_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved sequences into budgeted training batches: per-doc
+    (total slots, loss-carrying slots) from the interleaved layout,
+    concat-and-split packed, then the per-sequence mask-aware card —
+    (seq_id, n_docs, total_tokens, loss_tokens): how much of each
+    batch slot budget is text that carries loss vs asset
+    placeholders. The masks flowing into batch construction is the
+    point (the pack_turns/fill_stats discipline over modalities)."""
+    from ..operators.multimodal import interleave_assets
+    from ..operators.packing import pack_sequences
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    segs = interleave_assets(docs, _mi_assets(spark, sf_dir))
+    per_doc = segs.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("long").alias("n_slots"),
+        F.sum(F.col("n_tokens") * F.col("loss_mask"))
+        .cast("long")
+        .alias("n_loss"),
+    )
+    packed = pack_sequences(per_doc, "doc_id", "n_slots", budget=512)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_slots").cast("long").alias("total_tokens"),
+        F.sum("n_loss").cast("long").alias("loss_tokens"),
+    )
+
+
+_MI_PACK_ORACLE = (
+    _MI_ORACLE.replace(
+        """SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY key1, key2) AS BIGINT) AS seg_idx,
+       modality, content, n_tokens, loss_mask
+FROM mi_segs
+""",
+        """, mi_doc AS (
+  SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS n_slots,
+         CAST(SUM(n_tokens * loss_mask) AS BIGINT) AS n_loss
+  FROM mi_segs GROUP BY doc_id
+),
+mi_packed AS (
+  SELECT doc_id, n_slots, n_loss,
+         CAST(SUM(n_slots) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_slots
+           AS BIGINT) AS start_offset
+  FROM mi_doc
+)
+SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_slots) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_loss) AS BIGINT) AS loss_tokens
+FROM mi_packed GROUP BY CAST(start_offset // 512 AS BIGINT)
+""",
+    )
+)
+
+QUERIES["mm_interleaved_pack"] = QuerySpec(
+    _mm_interleaved_pack,
+    _MI_PACK_ORACLE,
+    "interleaved multimodal sequences packed into budgeted batches"
+    " with mask-aware per-sequence loss accounting",
+)
