@@ -1007,3 +1007,40 @@ QUERIES["doc_bpe_bytes"] = QuerySpec(
     "byte-level BPE trainer (GPT-2 shape): learned merge table over"
     " hex byte tokens, byte fallback structural (no OOV)",
 )
+
+
+def _bpe_bytes_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    return B.bpe_text(
+        _docs(spark, sf_dir), "doc_id", "text",
+        _bpe_bytes_merges(spark, sf_dir), byte_level=True,
+    )
+
+
+_BPEB_TOKENIZE_ORACLE = (
+    "WITH "
+    + _BPEB_BASE_CTES
+    + rf""",
+dtok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS word_pos, ws[i] AS word
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+)
+SELECT d.doc_id,
+       string_agg(s.sym, ' ' ORDER BY d.word_pos, s.pos) AS bpe_text,
+       CAST(COUNT(*) AS BIGINT) AS n_subwords
+FROM dtok d JOIN s{_BPE_N_MERGES} s ON s.word = d.word
+GROUP BY d.doc_id
+"""
+)
+
+QUERIES["doc_bpe_bytes_tokenize"] = QuerySpec(
+    _bpe_bytes_tokenized,
+    _BPEB_TOKENIZE_ORACLE,
+    "corpus tokenized with the learned BYTE-level merges (hex byte"
+    " subwords, no OOV by construction)",
+)
