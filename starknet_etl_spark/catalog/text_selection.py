@@ -379,3 +379,41 @@ QUERIES["doc_curation_dsir"] = QuerySpec(
     "composed curation with the DSIR selection stage: clean -> DSIR"
     " (in-plan fit) -> near-dup -> decontamination -> redact/split",
 )
+
+
+# --------------------------------------------------------------------------
+# Frozen-fit path (r10): λ persisted via io.save_table, reloaded,
+# and gated against — must be BIT-EQUAL to the in-plan fit (λ values
+# are exact dyadic, parquet round-trips doubles exactly), so the row
+# SHARES doc_dsir_sample's oracle: the persisted-artifact lifecycle
+# inside the differential gate, the phrase_indexed pattern.
+# --------------------------------------------------------------------------
+
+
+def _dsir_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import scratch_path
+    from ..io import save_table
+    from ..operators.selection import dsir_lambdas, importance_resample
+
+    docs = _docs(spark, sf_dir)
+    lam = dsir_lambdas(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )
+    path = scratch_path(spark, sf_dir, "dsir_lambdas")
+    save_table(lam, path, mode="overwrite")
+    out = importance_resample(
+        docs,
+        lambdas=spark.read.parquet(path),
+        n_buckets=_DSIR_B,
+        tau=0.0,
+        salt=_DSIR_SALT,
+    )
+    return out.select("doc_id", "lang", "dsir_weight", "dsir_keep")
+
+
+QUERIES["doc_dsir_frozen"] = QuerySpec(
+    _dsir_frozen,
+    _DSIR_ORACLE,
+    "DSIR gating against a PERSISTED frozen λ fit (save/reload)"
+    " == the in-plan fit, bit-equal (shared oracle)",
+)
