@@ -402,10 +402,23 @@ def assign_assets(
     Document vectors are the feature decode of the doc's own UTF-8
     bytes; ties break by rounded 6-dp score then ascending doc id.
     An asset whose bucket holds no document emits nothing (no match
-    in its locality — widen planes↓ or assign those separately)."""
+    in its locality — widen planes↓ or assign those separately).
+
+    Scoring is CODEGEN'D indexed arithmetic, not the interpreted
+    dot/norm HOFs: the per-pair expression runs Σ|bucket| pairs
+    times, and three interpreted array reductions per pair measured
+    10 s on the sf0.1 row (the HOF gotcha); indexed sums accumulate
+    in the same left-to-right order, so values are unchanged. Norms
+    precompute per VECTOR before the join, never per pair."""
     from pyspark.sql.window import Window
 
-    from .similarity import dot, norm, srp_bucket
+    from .similarity import srp_bucket
+
+    def idot(a, b):
+        s = a[0] * b[0]
+        for i in range(1, dim):
+            s = s + a[i] * b[i]
+        return s
 
     dvec = extract_features(
         docs.select(
@@ -419,19 +432,19 @@ def assign_assets(
     )
     dvec = dvec.withColumn(
         "__b", srp_bucket(F.col("__dv"), dim=dim, planes=planes)
-    )
+    ).withColumn("__dn", F.sqrt(idot(F.col("__dv"), F.col("__dv"))))
     avec = extract_features(assets, dim=dim).select(
         "asset_id", F.col("feature").alias("__av")
     )
     avec = avec.withColumn(
         "__b", srp_bucket(F.col("__av"), dim=dim, planes=planes)
-    )
+    ).withColumn("__an", F.sqrt(idot(F.col("__av"), F.col("__av"))))
     scored = avec.join(dvec, "__b").select(
         "asset_id",
         id_col,
         F.round(
-            dot(F.col("__av"), F.col("__dv"))
-            / (norm(F.col("__av")) * norm(F.col("__dv"))),
+            idot(F.col("__av"), F.col("__dv"))
+            / (F.col("__an") * F.col("__dn")),
             6,
         ).alias("cos_sim"),
     )
@@ -477,16 +490,25 @@ def interleave_assets(
     is row-local metadata, the one sanctioned HOF use)."""
     from pyspark.sql.window import Window
 
+    from ..checkpointing import truncate as _truncate
+
     asg = assign_assets(
         docs, assets, id_col=id_col, text_col=text_col,
         dim=dim, planes=planes,
     )
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.trim(F.col(text_col)), r"\s+")
-        ).alias("__j", "__tok"),
-    ).filter(F.col("__tok") != "")
+    # the token frame feeds two consumers (counts + span ranking) and
+    # the break frame two more (break arrays + asset segments); each
+    # would otherwise re-derive its whole subtree — for breaks that
+    # is the feature decode (two Arrow kernels) plus the assignment
+    # join, run again per consumer (the r8 multi-consumer lesson)
+    toks = _truncate(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("__j", "__tok"),
+        ).filter(F.col("__tok") != "")
+    )
     ntok = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
@@ -517,8 +539,8 @@ def interleave_assets(
         )
     )
     wb = Window.partitionBy(id_col).orderBy("__pos", "asset_id")
-    breaks = breaks.withColumn(
-        "__k", F.row_number().over(wb).cast("long")
+    breaks = _truncate(
+        breaks.withColumn("__k", F.row_number().over(wb).cast("long"))
     )
     barr = breaks.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("__pos", "asset_id"))).alias(

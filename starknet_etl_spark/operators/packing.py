@@ -279,17 +279,26 @@ def coherent_pack(
     documented small-corpus mode — at real scale pack per shard by
     composing with a part key (cells are natural shards).
     """
+    from ..checkpointing import truncate as _truncate
     from .similarity import assign_cells, dot, train_ivf_centroids
     from .text import hash_embed
 
     emb = hash_embed(docs, id_col, text_col, dim=dim)
-    live = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    # truncate: the trainer consumes the vectors once per Lloyd round
+    # and the assignment/anchor passes consume them twice more — each
+    # would otherwise re-run the embed chain (the r8 lesson)
+    live = _truncate(
+        emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
     cents = train_ivf_centroids(
         live, id_col=id_col, vec_col="embedding",
         dim=dim, n_cells=n_cells, n_iters=n_iters,
     )
-    asg = assign_cells(
-        live, cents, id_col=id_col, vec_col="embedding", cell_col="cell"
+    asg = _truncate(
+        assign_cells(
+            live, cents, id_col=id_col, vec_col="embedding",
+            cell_col="cell",
+        )
     )
     long = live.select(
         id_col, F.posexplode(F.col("embedding")).alias("__d0", "__x")

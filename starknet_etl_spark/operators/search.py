@@ -1274,7 +1274,6 @@ def chunk_semantic_search(
     standing corpus, persist the chunk embeddings through
     ``similarity.build_pq_index`` and probe instead — this operator
     is the one-shot scan path."""
-    from .similarity import dot, norm
     from .text import chunk_documents, hash_embed
 
     spark = docs.sparkSession
@@ -1302,16 +1301,22 @@ def chunk_semantic_search(
             "query_text embeds to the zero vector (no tokens, or a "
             "fully-cancelling bag) — no similarity signal exists"
         )
+    _id = lambda a, b: _chunk_idot(a, b, dim)  # noqa: E731
     scored = (
-        emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+        emb.filter(
+            _id(F.col("embedding"), F.col("embedding")) > 0
+        )
         .crossJoin(
             F.broadcast(qemb.select(F.col("embedding").alias("__q")))
         )
         .select(
             "__doc",
             F.round(
-                dot(F.col("embedding"), F.col("__q"))
-                / (norm(F.col("embedding")) * norm(F.col("__q"))),
+                _id(F.col("embedding"), F.col("__q"))
+                / (
+                    F.sqrt(_id(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_id(F.col("__q"), F.col("__q")))
+                ),
                 6,
             ).alias("__cos"),
         )
@@ -2073,6 +2078,17 @@ def proximity_batch(
 CHUNK_UID_BASE = 1 << 20
 
 
+def _chunk_idot(a, b, dim: int):
+    """CODEGEN'D left-to-right indexed dot — shared by the scan and
+    indexed chunk paths so their arithmetic stays literally identical
+    (the bit-equality contract). The interpreted dot/norm HOFs cost
+    three array reductions per scored row (the HOF gotcha)."""
+    s = a[0] * b[0]
+    for i in range(1, dim):
+        s = s + a[i] * b[i]
+    return s
+
+
 def chunk_embeddings(
     docs: DataFrame,
     *,
@@ -2088,7 +2104,6 @@ def chunk_embeddings(
     to the zero vector) drop, exactly as the scan path filters them.
     Document ids must be NON-NEGATIVE (the uid radix packs
     doc·2^20 + chunk_id into one BIGINT)."""
-    from .similarity import dot
     from .text import chunk_documents, hash_embed
 
     chunks = chunk_documents(
@@ -2098,14 +2113,20 @@ def chunk_embeddings(
             F.col(id_col).cast("long") * F.lit(CHUNK_UID_BASE)
             + F.col("chunk_id")
         ).alias("vec_id"),
-        F.col(id_col).cast("long").alias("chunk_doc"),
         "chunk_text",
     )
     emb = hash_embed(chunks, "vec_id", "chunk_text", dim=dim)
-    return (
-        emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
-        .join(chunks.select("vec_id", "chunk_doc"), "vec_id")
-        .select("vec_id", "chunk_doc", "embedding")
+    # chunk_doc by exact integer division, NOT a join back to the
+    # chunk frame: the join made `chunks` a second consumer and the
+    # whole chunk+tokenize chain re-derived per downstream pass (the
+    # r8 multi-consumer lesson); `div` is exact long arithmetic and
+    # equals floor for the non-negative uids this module requires.
+    return emb.filter(
+        _chunk_idot(F.col("embedding"), F.col("embedding"), dim) > 0
+    ).select(
+        "vec_id",
+        F.expr(f"vec_id div {CHUNK_UID_BASE}").alias("chunk_doc"),
+        "embedding",
     )
 
 
@@ -2125,10 +2146,17 @@ def build_chunk_index(
     """Materialize the chunk-level semantic index: from-scratch IVF
     training over the chunk vectors, cell-partitioned layout,
     centroids persisted INSIDE the index (_centroids) — one call on
-    the existing trained-ANN lifecycle. Returns the centroids."""
+    the existing trained-ANN lifecycle. Returns the centroids.
+
+    The chunk-vector frame is lineage-truncated before training: the
+    Lloyd trainer consumes its input once per refine round plus the
+    assignment and the write, and each pass would otherwise re-run
+    the whole chunk+tokenize+embed chain (measured 15 s → ~6 s on the
+    sf0.1 lifecycle row)."""
+    from ..checkpointing import truncate as _truncate
     from .similarity import build_trained_ann_index
 
-    return build_trained_ann_index(
+    emb = _truncate(
         chunk_embeddings(
             docs,
             id_col=id_col,
@@ -2136,7 +2164,10 @@ def build_chunk_index(
             max_tokens=max_tokens,
             overlap=overlap,
             dim=dim,
-        ),
+        )
+    )
+    return build_trained_ann_index(
+        emb,
         path,
         dim=dim,
         n_cells=n_cells,
@@ -2215,7 +2246,7 @@ def chunk_indexed_search(
     chunk vectors never scanned), trading recall exactly as every
     IVF probe in the suite does."""
     from .dedup import _without_forgotten
-    from .similarity import _ranked_probe_cells, dot, load_centroids, norm
+    from .similarity import _ranked_probe_cells, load_centroids
     from .text import hash_embed
 
     if not query_text or not query_text.strip():
@@ -2243,13 +2274,17 @@ def chunk_indexed_search(
         cells = _ranked_probe_cells(qemb, cents, n_probes=n_probes)
         idx = idx.filter(F.col("label").isin(cells))
     idx = _without_forgotten(spark, path, idx, "vec_id")
+    _id = lambda a, b: _chunk_idot(a, b, dim)  # noqa: E731
     scored = idx.crossJoin(
         F.broadcast(qemb.select(F.col("embedding").alias("__q")))
     ).select(
         "chunk_doc",
         F.round(
-            dot(F.col("embedding"), F.col("__q"))
-            / (norm(F.col("embedding")) * norm(F.col("__q"))),
+            _id(F.col("embedding"), F.col("__q"))
+            / (
+                F.sqrt(_id(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_id(F.col("__q"), F.col("__q")))
+            ),
             6,
         ).alias("__cos"),
     )
