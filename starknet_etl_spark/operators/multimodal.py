@@ -496,22 +496,26 @@ def interleave_assets(
         docs, assets, id_col=id_col, text_col=text_col,
         dim=dim, planes=planes,
     )
-    # the token frame feeds two consumers (counts + span ranking) and
-    # the break frame two more (break arrays + asset segments); each
-    # would otherwise re-derive its whole subtree — for breaks that
-    # is the feature decode (two Arrow kernels) plus the assignment
-    # join, run again per consumer (the r8 multi-consumer lesson)
-    toks = _truncate(
-        docs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.split(F.trim(F.col(text_col)), r"\s+")
-            ).alias("__j", "__tok"),
-        ).filter(F.col("__tok") != "")
-    )
-    ntok = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__j", "__tok"),
+    ).filter(F.col("__tok") != "")
+    # per-doc token counts as a PROJECTION over docs, never an
+    # aggregate of the token explode — the explode then has exactly
+    # one consumer (span ranking) and nothing corpus-sized needs a
+    # lineage cut. trim == '' is the only way \s+ split yields an
+    # empty token, so the filter(n > 0) reproduces the exploded
+    # count's inner-join semantics exactly: token-less docs place no
+    # assets (consistent with the oracle's filtered-count join).
+    ntok = docs.select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+        .alias("__n"),
+    ).filter(F.col("__n") > 0)
     breaks = (
         asg.join(ntok, id_col)
         .select(
@@ -539,6 +543,10 @@ def interleave_assets(
         )
     )
     wb = Window.partitionBy(id_col).orderBy("__pos", "asset_id")
+    # the break frame feeds two consumers (break arrays + asset
+    # segments) and its subtree is the two Arrow feature kernels plus
+    # the assignment join — truncate so neither consumer re-derives
+    # it (the r8 multi-consumer lesson); it is assets-sized, tiny.
     breaks = _truncate(
         breaks.withColumn("__k", F.row_number().over(wb).cast("long"))
     )
