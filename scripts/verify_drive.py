@@ -902,7 +902,7 @@ for _did in (0, 10):
     )
     _keep = 1 if _ds_q20(
         _m.log2(_ds_h32(f"vd{_did}") + 1) - 32.0
-    ) < _w else 0
+    ) <= _w else 0
     assert _ds_out[_did] == (_w, _keep), (_did, _ds_out[_did], _w)
 assert _ds_out[0][0] > 0 > _ds_out[10][0]  # target vs off-target
 

@@ -488,7 +488,8 @@ mi_best AS MATERIALIZED (
       JOIN abk ON abk.id = af.id
       JOIN dbk ON dbk.b = abk.b
       JOIN dfl df ON df.id = dbk.id AND df.dim_i = af.dim_i
-      GROUP BY af.id, df.id) s)
+      GROUP BY af.id, df.id
+      HAVING SUM(af.x * af.x) > 0 AND SUM(df.x * df.x) > 0) s)
   WHERE rn = 1
 ),
 mi_tk AS MATERIALIZED (

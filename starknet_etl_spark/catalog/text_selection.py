@@ -107,7 +107,7 @@ SELECT d.doc_id, d.lang,
                             || CAST(d.doc_id AS VARCHAR)), 1, 8)
                  AS BIGINT) + 1) - 32.0) * 1048576.0 + 0.5)
            / 1048576.0
-         < COALESCE(dw.w, 0.0)
+         <= COALESCE(dw.w, 0.0)
        AS BIGINT) AS dsir_keep
 FROM documents d
 LEFT JOIN dw ON d.doc_id = dw.doc_id
@@ -356,7 +356,7 @@ qdrop AS (
     floor((log2(CAST('0x' ||
             substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
             AS BIGINT) + 1) - 32.0) * 1048576.0 + 0.5) / 1048576.0
-    < COALESCE(dsw.w, 0.0)
+    <= COALESCE(dsw.w, 0.0)
   )
 )"""
 

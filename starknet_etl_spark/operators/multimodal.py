@@ -430,15 +430,27 @@ def assign_assets(
         F.col("asset_id").alias(id_col),
         F.col("feature").alias("__dv"),
     )
-    dvec = dvec.withColumn(
-        "__b", srp_bucket(F.col("__dv"), dim=dim, planes=planes)
-    ).withColumn("__dn", F.sqrt(idot(F.col("__dv"), F.col("__dv"))))
+    dvec = (
+        dvec.withColumn(
+            "__b", srp_bucket(F.col("__dv"), dim=dim, planes=planes)
+        )
+        .withColumn("__dn", F.sqrt(idot(F.col("__dv"), F.col("__dv"))))
+        # zero-norm features (empty text / empty payload decode to the
+        # all-zero vector) would make cos_sim NaN and let a degenerate
+        # doc win every argmax under desc-NaN-first ordering — drop
+        # them, mirroring chunk_semantic_search's self-dot > 0 filter.
+        .filter(F.col("__dn") > 0)
+    )
     avec = extract_features(assets, dim=dim).select(
         "asset_id", F.col("feature").alias("__av")
     )
-    avec = avec.withColumn(
-        "__b", srp_bucket(F.col("__av"), dim=dim, planes=planes)
-    ).withColumn("__an", F.sqrt(idot(F.col("__av"), F.col("__av"))))
+    avec = (
+        avec.withColumn(
+            "__b", srp_bucket(F.col("__av"), dim=dim, planes=planes)
+        )
+        .withColumn("__an", F.sqrt(idot(F.col("__av"), F.col("__av"))))
+        .filter(F.col("__an") > 0)
+    )
     scored = avec.join(dvec, "__b").select(
         "asset_id",
         id_col,

@@ -2106,13 +2106,37 @@ def chunk_embeddings(
     doc·2^20 + chunk_id into one BIGINT)."""
     from .text import chunk_documents, hash_embed
 
+    uid = (
+        F.col(id_col).cast("long") * F.lit(CHUNK_UID_BASE)
+        + F.col("chunk_id")
+    )
+    # the radix pack is only invertible for doc_id >= 0 and
+    # chunk_id < CHUNK_UID_BASE (`div` truncates toward zero, so a
+    # negative doc would silently decode to the WRONG chunk_doc and
+    # poison indexed search + forget) — fail loudly, not in a docstring
     chunks = chunk_documents(
         docs, id_col, text_col, max_tokens=max_tokens, overlap=overlap
     ).select(
-        (
-            F.col(id_col).cast("long") * F.lit(CHUNK_UID_BASE)
-            + F.col("chunk_id")
-        ).alias("vec_id"),
+        F.when(
+            (F.col(id_col).cast("long") >= 0)
+            & (F.col("chunk_id") < F.lit(CHUNK_UID_BASE)),
+            uid,
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "chunk_embeddings: uid radix violated "
+                        "(need doc_id >= 0 and chunk_id < "
+                        f"{CHUNK_UID_BASE}): doc_id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" chunk_id="),
+                    F.col("chunk_id").cast("string"),
+                )
+            )
+        )
+        .alias("vec_id"),
         "chunk_text",
     )
     emb = hash_embed(chunks, "vec_id", "chunk_text", dim=dim)

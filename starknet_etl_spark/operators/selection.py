@@ -29,7 +29,7 @@ The recipe, re-expressed on this repo's deterministic grid:
    EXACTLY (no rounding anywhere at the doc level), so the aggregate
    is bit-identical across engines and partitionings.
 4. **Deterministic md5-gated keep.** A document survives iff
-   ``q20(log2(h_i + 1) − 32) < w_i − τ`` where ``h_i`` is the first
+   ``q20(log2(h_i + 1) − 32) ≤ w_i − τ`` where ``h_i`` is the first
    8 hex digits of md5(salt‖id) — i.e. keep-probability
    ``min(1, 2^(w_i − τ))``, evaluated against an md5 uniform instead
    of RNG state. Every comparison is between exact dyadic doubles,
@@ -288,7 +288,7 @@ def importance_resample(
             F.coalesce("dsir_weight", F.lit(0.0)).alias("dsir_weight"),
             (
                 u_log
-                < F.coalesce("dsir_weight", F.lit(0.0)) - F.lit(float(tau))
+                <= F.coalesce("dsir_weight", F.lit(0.0)) - F.lit(float(tau))
             )
             .cast("long")
             .alias("dsir_keep"),

@@ -3426,6 +3426,29 @@ def test_chunk_index_lifecycle_bit_equal_to_scan(spark, tmp_path):
         chunk_indexed_search(spark, path, "   ")
 
 
+def test_chunk_embeddings_rejects_radix_violations(spark):
+    """r10 ADVICE: vec_id packs doc·2^20 + chunk_id — `div` truncates
+    toward zero, so a NEGATIVE doc id would silently decode to the
+    wrong chunk_doc and poison indexed search + forget. The pack now
+    raises loudly at runtime instead of documenting the precondition."""
+    import pytest as _pt
+
+    from starknet_etl_spark.operators.search import chunk_embeddings
+
+    bad = spark.createDataFrame(
+        [(-1, "some tokens here for a chunk " * 4)],
+        "doc_id bigint, text string",
+    )
+    with _pt.raises(Exception, match="uid radix violated"):
+        chunk_embeddings(bad, dim=16).collect()
+    good = spark.createDataFrame(
+        [(7, "some tokens here for a chunk " * 4)],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_embeddings(good, dim=16).collect()
+    assert rows and all(r["chunk_doc"] == 7 for r in rows)
+
+
 def test_coherent_pack_improves_intra_bin_locality(spark):
     """Retrieval-coherent packing: on a topically-clustered corpus,
     the coherent layout's mean intra-sequence cosine beats the

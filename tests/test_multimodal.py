@@ -343,3 +343,57 @@ def test_interleave_assets_layout_and_masks(spark):
     # determinism: a rerun is byte-identical
     again = interleave_assets(docs, assets).collect()
     assert sorted(map(tuple, segs)) == sorted(map(tuple, again))
+
+
+def test_assign_assets_drops_zero_norm_vectors(spark):
+    """r10 ADVICE: an empty doc text (or empty asset payload) decodes
+    to the all-zero feature vector, whose cosine is NaN — under
+    desc-NaN-first ordering the degenerate doc would win the argmax
+    for every asset in its SRP bucket. Both zero-norm sides are now
+    filtered: the empty doc never wins, and a zero-norm asset simply
+    gets no assignment row (interleave places nothing for it)."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.multimodal import (
+        assign_assets,
+        interleave_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb"),
+            (9, ""),  # zero-norm feature vector
+        ],
+        "doc_id bigint, text string",
+    )
+    assets = spark.createDataFrame(
+        [(101,)], "asset_id bigint"
+    ).select(
+        "asset_id",
+        F.encode(
+            F.lit("aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb"), "UTF-8"
+        ).alias("payload"),
+    )
+    asg = {
+        r["asset_id"]: r["doc_id"]
+        for r in assign_assets(docs, assets).collect()
+    }
+    assert asg == {101: 1}  # the empty doc never wins
+
+    zero_assets = assets.unionByName(
+        spark.createDataFrame([(102,)], "asset_id bigint").select(
+            "asset_id", F.encode(F.lit(""), "UTF-8").alias("payload")
+        )
+    )
+    asg2 = {
+        r["asset_id"]: r["doc_id"]
+        for r in assign_assets(docs, zero_assets).collect()
+    }
+    assert asg2 == {101: 1}  # the zero-norm asset has no row
+    # and the interleave simply places nothing for it
+    refs = [
+        (r["doc_id"], r["content"])
+        for r in interleave_assets(docs, zero_assets).collect()
+        if r["modality"] == "asset"
+    ]
+    assert refs == [(1, "asset:101")]

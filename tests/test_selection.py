@@ -62,7 +62,7 @@ def _naive_dsir(rows, target_ids, n_buckets, tau, salt):
         )
         h = _md5_32(f"{salt}{doc_id}")
         u_log = _q20(math.log2(h + 1) - 32.0)
-        out[doc_id] = (w, 1 if u_log < w - tau else 0)
+        out[doc_id] = (w, 1 if u_log <= w - tau else 0)
     return out
 
 

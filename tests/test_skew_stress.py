@@ -94,7 +94,12 @@ def test_dhash_default_cap_bounds_degenerate_block(spark):
         (F.col("id_1") < N_HOT) & (F.col("id_2") < N_HOT)
     ).count() == 0
     assert capped.count() < uncapped
-    # the DEFAULT cap never binds below 1024 assets: same pairs as
-    # the exhaustive plan on this corpus
+    # the DEFAULT cap never binds below 1024 assets: the exact same
+    # PAIR SET as the exhaustive plan on this corpus, not just count
     assert DHASH_MAX_BUCKET >= 1024
-    assert dhash_pairs(df).count() == uncapped
+    pset = lambda d: {  # noqa: E731
+        (r["id_1"], r["id_2"]) for r in d.select("id_1", "id_2").collect()
+    }
+    default_pairs = dhash_pairs(df)
+    assert pset(default_pairs) == pset(dhash_pairs(df, max_bucket=None))
+    assert default_pairs.count() == uncapped
