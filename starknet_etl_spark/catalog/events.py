@@ -987,3 +987,97 @@ QUERIES["events_rollup_anomaly"] = QuerySpec(
     "volume anomaly flags off the rollup grain: exact-integer"
     " (B, Σn, Σn²) per type, identical-double z-scores, ±2σ flags",
 )
+
+
+# --------------------------------------------------------------------------
+# Behavioral-sequence analytics (r11): ordered multi-step funnel and
+# first-seen cohort retention (operators/funnel.py). Both are
+# exact-integer analytics — counts and integer period arithmetic —
+# so the differential is bit-exact with no rounding discipline.
+# Names _FN_/_CH_.
+# --------------------------------------------------------------------------
+
+_FN_STEPS = ["view", "click", "purchase"]
+_FN_WITHIN = 172800  # 48 h per step, anchored at first touch
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type",
+        _FN_STEPS, within_seconds=_FN_WITHIN,
+    )
+
+
+_FN_ORACLE = f"""
+WITH fn0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = '{_FN_STEPS[0]}' GROUP BY user_id
+),
+fn1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN fn0 ON e.user_id = fn0.user_id
+  WHERE e.event_type = '{_FN_STEPS[1]}'
+    AND e.ts > fn0.t0
+    AND e.ts <= fn0.t0 + INTERVAL {_FN_WITHIN} SECOND
+  GROUP BY e.user_id
+),
+fn2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN fn1 ON e.user_id = fn1.user_id
+  WHERE e.event_type = '{_FN_STEPS[2]}'
+    AND e.ts > fn1.t1
+    AND e.ts <= fn1.t1 + INTERVAL {_FN_WITHIN} SECOND
+  GROUP BY e.user_id
+)
+SELECT CAST(0 AS BIGINT) AS step, '{_FN_STEPS[0]}' AS step_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM fn0) AS n_users
+UNION ALL
+SELECT CAST(1 AS BIGINT), '{_FN_STEPS[1]}',
+       (SELECT CAST(count(*) AS BIGINT) FROM fn1)
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{_FN_STEPS[2]}',
+       (SELECT CAST(count(*) AS BIGINT) FROM fn2)
+"""
+
+QUERIES["events_funnel"] = QuerySpec(
+    _funnel,
+    _FN_ORACLE,
+    "ordered multi-step funnel (view→click→purchase, 48h per-step"
+    " windows anchored at first touch) — per-step co-partitioned"
+    " join+min chain, exact integer conversions",
+)
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(
+        _ev(spark, sf_dir), "user_id", "ts", period_days=7
+    )
+
+
+_CH_ORACLE = """
+WITH ch_act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS period
+  FROM events
+),
+ch_first AS (
+  SELECT user_id, min(period) AS p0 FROM ch_act GROUP BY user_id
+)
+SELECT CAST(f.p0 * 7 AS BIGINT) AS cohort_day,
+       CAST(a.period - f.p0 AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ch_act a JOIN ch_first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["events_cohort_retention"] = QuerySpec(
+    _cohort_retention,
+    _CH_ORACLE,
+    "first-seen weekly cohort retention matrix — integer epoch-day"
+    " period ids (no calendar/ISO-week cross-engine hazards), two"
+    " aggregates + one group-count, exact integers",
+)

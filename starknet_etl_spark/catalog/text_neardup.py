@@ -169,3 +169,207 @@ QUERIES["doc_containment_clusters"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# Edit-distance pairs (r11): the TYPO-class near-dup family neither
+# Jaccard nor SimHash expresses — a one-character edit perturbs every
+# shingle crossing the position yet leaves Levenshtein distance at 1,
+# while a high-Jaccard pair can be many edits apart. Candidates come
+# from the shared-shingle inverted index (blocked, never all-pairs),
+# the lossless |len Δ| ≤ k prune runs first, and the verify is the
+# early-abandoning threshold levenshtein (operators/editdist.py).
+# Synthesis (the preference-pairs precedent, regeneration-robust):
+# every 25th doc gains a variant with the 15th char deleted, every
+# 50th additionally a substituted char — planted pairs at distance
+# 1 and 2 that BOTH engines derive from the same expressions.
+# Names _ED_/ed_.
+# --------------------------------------------------------------------------
+
+_ED_OFFSET = 1_000_000
+_ED_VAR1 = "substr(text, 1, 14) || substr(text, 16)"
+_ED_VAR2 = (
+    "substr(text, 1, 14) || substr(text, 16, 14) || 'Z' "
+    "|| substr(text, 31)"
+)
+
+
+def _ed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = (
+        docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.length("text") >= 60)
+        )
+        .select(
+            (F.col("doc_id") + _ED_OFFSET).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 50 == 0, F.expr(_ED_VAR2)
+            )
+            .otherwise(F.expr(_ED_VAR1))
+            .alias("text"),
+        )
+    )
+    return docs.unionByName(variants)
+
+
+def _edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.editdist import edit_pairs
+
+    return edit_pairs(
+        _ed_corpus(spark, sf_dir), "doc_id", "text",
+        max_dist=2, n=3,
+    )
+
+
+_ED_ORACLE = f"""
+WITH ed_corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + {_ED_OFFSET} AS doc_id,
+         CASE WHEN d.doc_id % 50 = 0 THEN {_ED_VAR2}
+              ELSE {_ED_VAR1} END AS text
+  FROM documents d
+  WHERE d.doc_id % 25 = 0 AND length(text) >= 60
+),
+ed_words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM ed_corpus
+),
+ed_sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM ed_words,
+       unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+ed_cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM ed_sh a JOIN ed_sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+ed_tx AS (
+  SELECT doc_id, text, length(text) AS l FROM ed_corpus
+)
+SELECT c.id_1, c.id_2,
+       CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist
+FROM ed_cand c
+JOIN ed_tx t1 ON t1.doc_id = c.id_1
+JOIN ed_tx t2 ON t2.doc_id = c.id_2
+WHERE abs(t1.l - t2.l) <= 2
+  AND levenshtein(t1.text, t2.text) <= 2
+"""
+
+QUERIES["doc_edit_pairs"] = QuerySpec(
+    _edit_pairs,
+    _ED_ORACLE,
+    "Levenshtein near-dup pairs: shingle-blocked candidates, lossless"
+    " length prune, early-abandoning threshold-DP verify — the"
+    " typo-class dedup family Jaccard/SimHash cannot express",
+)
+
+
+# --------------------------------------------------------------------------
+# Graph centrality over the near-dup graph (r11): dyadic fixed-round
+# PageRank (operators/graph.py) on the Jaccard-pair edge set — the
+# ranking that surfaces template hubs / boilerplate attractors for
+# canonical-representative selection. Every per-round quantity lives
+# on the 2^-20 grid, the damping 7/8 multiply is exact, so the WHOLE
+# 5-round iteration unrolls into chained MATERIALIZED CTEs and the
+# differential pins bit-equality (the Lloyd/GD precedent).
+# Names _PR_/pr.
+# --------------------------------------------------------------------------
+
+_PR_ROUNDS = 5
+_PR_THRESHOLD = 0.5
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=_PR_THRESHOLD, max_df_frac=0.10,
+    )
+    return pagerank(edges, rounds=_PR_ROUNDS).select(
+        F.col("node").cast("long").alias("doc_id"), "rank"
+    )
+
+
+def _pr_round_cte(k: int) -> str:
+    return f"""prk{k} AS MATERIALIZED (
+  SELECT n.node, n.base,
+         floor((n.base + 7.0 * COALESCE(s.acc, 0.0) / 8.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS rank
+  FROM prbase n LEFT JOIN (
+    SELECT e.d AS node,
+           SUM(floor(r.rank / e.deg * 1048576.0 + 0.5)
+               / 1048576.0) AS acc
+    FROM predge e JOIN prk{k - 1} r ON r.node = e.s
+    GROUP BY e.d
+  ) s ON s.node = n.node
+)"""
+
+
+_PR_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE.strip().rstrip()
+    + f""",
+prhot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+prshc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM prhot)
+),
+przs AS (SELECT doc_id, COUNT(*) AS n_sh FROM prshc GROUP BY doc_id),
+printer AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM prshc a JOIN prshc b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prpairs AS MATERIALIZED (
+  SELECT id_1, id_2 FROM printer
+  JOIN przs s1 ON s1.doc_id = id_1
+  JOIN przs s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= {_PR_THRESHOLD}
+),
+predge0 AS (
+  SELECT id_1 AS s, id_2 AS d FROM prpairs
+  UNION
+  SELECT id_2, id_1 FROM prpairs
+),
+prdeg AS (SELECT s, COUNT(*) AS deg FROM predge0 GROUP BY s),
+predge AS MATERIALIZED (
+  SELECT e.s, e.d, g.deg FROM predge0 e JOIN prdeg g ON g.s = e.s
+),
+prn AS (
+  SELECT COUNT(DISTINCT node) AS n FROM (
+    SELECT s AS node FROM predge0
+    UNION ALL SELECT d FROM predge0)
+),
+prbase AS MATERIALIZED (
+  SELECT node,
+         floor(1.0 / prn.n * 1048576.0 + 0.5) / 1048576.0 AS rank,
+         floor((1.0 / 8.0 / prn.n) * 1048576.0 + 0.5)
+           / 1048576.0 AS base
+  FROM (SELECT DISTINCT s AS node FROM predge0), prn
+),
+prk0 AS (SELECT node, base, rank FROM prbase),
+"""
+    + ",\n".join(_pr_round_cte(k) for k in range(1, _PR_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, rank
+FROM prk{_PR_ROUNDS}
+"""
+)
+
+QUERIES["doc_graph_pagerank"] = QuerySpec(
+    _graph_pagerank,
+    _PR_ORACLE,
+    "dyadic fixed-round PageRank over the Jaccard near-dup graph —"
+    " 2^-20-grid ranks, exact 7/8 damping, the full 5-round power"
+    " iteration unrolled and bit-equal in the oracle",
+)

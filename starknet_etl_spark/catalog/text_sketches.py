@@ -204,3 +204,76 @@ QUERIES["doc_source_overlap"] = QuerySpec(
     "pairwise shared-vocabulary Jaccard across sources via mergeable"
     " KMV sketch algebra — exact-integer shared counts, k-union cut",
 )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram quantiles (r11): the deterministic mergeable
+# distribution summary (operators/sketches.value_histogram /
+# histogram_quantiles). Per-source p50/p90/p99 of document length —
+# the crossing test is pure BIGINT arithmetic (cum·100 >= pct·total),
+# the bin bounds are exact with the dyadic 8.0 width. Unlike
+# approx_percentile (engine-private KLL/GK) every number here is
+# bit-reproducible and the histogram merges by counter addition.
+# Names _HQ_.
+# --------------------------------------------------------------------------
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1024.0, 128  # width 8.0, dyadic
+_HQ_PCTS = [50, 90, 99]
+
+
+def _length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    h = value_histogram(
+        _docs(spark, sf_dir), "n_chars",
+        lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS, group_cols=["source"],
+    )
+    return histogram_quantiles(
+        h, _HQ_PCTS,
+        lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS, group_cols=["source"],
+    )
+
+
+_HQ_ORACLE = f"""
+WITH hq_h AS (
+  SELECT source,
+         least(greatest(CAST(floor((n_chars - {_HQ_LO}) / 8.0)
+                             AS BIGINT), 0), {_HQ_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents
+  WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+hq_c AS (
+  SELECT source, bin,
+         CAST(SUM(cnt) OVER (
+           PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM hq_h
+),
+hq_x AS (
+  SELECT source, p.pct, bin, cum, total,
+         row_number() OVER (
+           PARTITION BY source, p.pct ORDER BY bin) AS rn
+  FROM hq_c,
+       (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}])
+          AS pct) p
+  WHERE cum * 100 >= p.pct * total
+)
+SELECT source, CAST(pct AS BIGINT) AS pct, bin,
+       ROUND({_HQ_LO} + bin * 8.0, 6) AS bin_lo,
+       ROUND({_HQ_LO} + (bin + 1) * 8.0, 6) AS bin_hi,
+       cum, total
+FROM hq_x WHERE rn = 1
+"""
+
+QUERIES["doc_length_quantiles"] = QuerySpec(
+    _length_quantiles,
+    _HQ_ORACLE,
+    "per-source p50/p90/p99 via a mergeable equi-width histogram —"
+    " exact integer counters, BIGINT crossing arithmetic, dyadic"
+    " bin bounds; the differential-testable approx_percentile",
+)

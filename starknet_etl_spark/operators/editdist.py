@@ -1,0 +1,136 @@
+"""Edit-distance (Levenshtein) near-duplicate pairs.
+
+A similarity family the shingle/Jaccard tier cannot express: two
+strings can be one TYPO apart yet score arbitrarily on set overlap
+(every shingle crossing the edited position changes), and conversely
+a high Jaccard pair can be many edits apart (reordered content).
+Character-level edit distance is the canonical signal for
+typo-class / OCR-noise / template-fill duplicates.
+
+Reference anchor: the reference's dedup story is ClickHouse
+ReplacingMergeTree exact keys (clickhouse.py:18, SURVEY §2 S9);
+this tier extends it the way the MinHash/SimHash operators do —
+but with a bounded-distance guarantee instead of a probabilistic
+overlap one.
+
+Spark-first design, 100 TB shape:
+
+- **Candidates, never all-pairs.** An inverted token-shingle index
+  (the ``dedup.shingles`` machinery) equi-joins docs sharing ≥ 1
+  shingle — two texts within ``max_dist`` edits of each other share
+  all shingles not crossing an edited position, so any non-degenerate
+  corpus blocks them together (texts shorter than one shingle window
+  are the degenerate case the caller handles by lowering ``n``).
+  ``max_df`` / ``max_df_frac`` drop stop-shingles exactly as
+  ``jaccard_pairs`` does — the skew cap that keeps hot blocks linear.
+- **Lossless length prune.** ``|len(a) − len(b)| ≤ max_dist`` is a
+  necessary condition — applied before any distance work, it costs
+  one integer compare per candidate.
+- **Early-abandoning verify.** ``levenshtein(a, b, threshold)``
+  (Spark ≥ 3.5, JVM codegen) runs the banded O(max_dist·L) DP and
+  bails at ``-1`` once the distance provably exceeds the threshold —
+  NOT the O(L²) full matrix. The oracle's plain ``levenshtein() <= k``
+  is the semantic contract; the threshold form is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _eager_release, shingles
+
+
+def edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 2,
+    n: int = 3,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    min_df_cap: int = 25,
+    eager_release: bool = True,
+) -> DataFrame:
+    """(id_1, id_2, dist): unordered pairs with Levenshtein distance
+    ``dist ≤ max_dist`` among docs sharing at least one token
+    ``n``-shingle (the blocking contract — pairs sharing NO shingle
+    are not candidates and are not reported; near-identical texts
+    always share shingles away from the edited positions).
+
+    ``max_df`` / ``max_df_frac`` (+ ``min_df_cap``) mirror
+    ``jaccard_pairs``: drop shingles present in too many docs so a
+    boilerplate shingle can't detonate the candidate join.
+
+    ``dist`` is exact (0 = identical text). The shingle index is
+    consumed twice (both join sides); it is persisted and — under
+    ``eager_release`` (default) — materialized here and released."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    sh = (
+        shingles(df, id_col, text_col, n=n)
+        .select(id_col, F.xxhash64("shingle").alias("sh_h"))
+        .persist()
+    )
+    if max_df is not None or max_df_frac is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            hot = dfreq.filter(F.col("df") > max_df).select("sh_h")
+        else:
+            cap = df.agg(
+                F.greatest(
+                    F.lit(min_df_cap).cast("long"),
+                    F.floor(F.lit(max_df_frac) * F.count(F.lit(1))),
+                ).alias("__cap")
+            )
+            hot = (
+                dfreq.join(F.broadcast(cap))
+                .filter(F.col("df") > F.col("__cap"))
+                .select("sh_h")
+            )
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_1"), "sh_h")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh_h")
+    cand = (
+        a.join(b, "sh_h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    texts = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__l"),
+    )
+    t1 = texts.select(
+        F.col(id_col).alias("id_1"),
+        F.col("__t").alias("__t1"),
+        F.col("__l").alias("__l1"),
+    )
+    t2 = texts.select(
+        F.col(id_col).alias("id_2"),
+        F.col("__t").alias("__t2"),
+        F.col("__l").alias("__l2"),
+    )
+    verified = (
+        cand.join(t1, "id_1")
+        .join(t2, "id_2")
+        # lossless necessary condition: cheap prune before the DP
+        .filter(
+            F.abs(F.col("__l1") - F.col("__l2")) <= F.lit(max_dist)
+        )
+        .select(
+            "id_1",
+            "id_2",
+            # threshold form: banded DP, early-abandon to -1
+            F.levenshtein(
+                F.col("__t1"), F.col("__t2"), max_dist
+            ).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    out = verified.select(
+        "id_1", "id_2", F.col("dist").cast("long").alias("dist")
+    )
+    return _eager_release(out, [sh], eager_release)

@@ -1,0 +1,162 @@
+"""Behavioral-sequence analytics over event streams: funnels and
+cohort retention.
+
+The reference's report tier (generate_report_dag.py:34-115) computes
+volume aggregates per pair; production event pipelines sit exactly one
+step further: ordered multi-step conversion (funnel) and
+first-seen-cohort retention matrices. Both are EXACT-INTEGER
+analytics — counts and integer day/period arithmetic only — so they
+differential-test bit-for-bit with no rounding discipline needed.
+
+Scale shape:
+
+- ``funnel``: step k is one equi-join of the step-k event slice onto
+  the step-(k−1) completion frame (both keyed by user) plus one
+  min-aggregate — K−1 co-partitioned shuffles on the user key, never
+  a sort or a collect. An events table at 100 TB fans each step's
+  filter down to the scan (predicate pushdown on ``type_col``).
+- ``cohort_retention``: two aggregates over (user, period) — the
+  first-activity fold and the distinct-activity fold — then one
+  integer-difference group-count. Period ids are ``epoch-day //
+  period_days`` integers: no calendar functions, no timezone or
+  ISO-week cross-engine hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user earliest strictly-ordered completion chain:
+    ``(user, t_0, …, t_{k−1})`` where ``t_i`` is the earliest event of
+    ``steps[i]`` at a timestamp STRICTLY after ``t_{i−1}`` (and, with
+    ``within_seconds``, no later than ``t_{i−1} + within``). Users who
+    never reach step 0 are absent; a user's ``t_i`` is NULL from the
+    first step they fail to reach.
+
+    Semantics are GREEDY EARLIEST-CHAIN. Without ``within_seconds``
+    this is exact: taking the earliest valid event at each step can
+    never block a later step. With ``within_seconds`` it is the
+    first-touch-anchored convention (the standard product-analytics
+    one): a user whose FIRST step-i event starts a window that
+    expires before step i+1 does not convert, even if a later
+    step-i event would have — windows anchor at first touch, they
+    don't slide to the most favorable chain."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    out = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i in range(1, len(steps)):
+        ev = df.filter(F.col(type_col) == steps[i]).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("__ts")
+        )
+        prev = f"t_{i - 1}"
+        cond = F.col("__ts") > F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__ts")
+                <= F.col(prev)
+                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            )
+        nxt = (
+            ev.join(out.select("user", prev), "user")
+            .filter(cond)
+            .groupBy("user")
+            .agg(F.min("__ts").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """(step, step_name, n_users): how many users reached each funnel
+    step — the report-shaped view over :func:`funnel`. ``n_users`` is
+    monotone non-increasing by construction (step i requires step
+    i−1). Exact integers."""
+    per_user = funnel(
+        df, user_col, ts_col, type_col, steps,
+        within_seconds=within_seconds,
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t_{i}").cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    # unpivot the 1-row aggregate: stack is a pure projection
+    stack = ", ".join(
+        f"{i}L, '{steps[i]}', __n{i}" for i in range(len(steps))
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period_days: int = 7,
+) -> DataFrame:
+    """(cohort_day, period_offset, n_users): users whose FIRST activity
+    fell in cohort period ``p0`` and who were active in period
+    ``p0 + period_offset``. ``cohort_day = p0 · period_days`` (the
+    period's first epoch-day — a stable integer label), offsets start
+    at 0 (the cohort's own period; its n_users is the cohort size).
+
+    Period ids are ``floor(epoch_seconds / 86400) // period_days`` —
+    pure integer arithmetic, no calendar/ISO-week/timezone semantics
+    to disagree across engines."""
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    p = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+        .cast("long")
+        / F.lit(period_days)
+    )
+    act = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.floor(p).cast("long").alias("period"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user").agg(F.min("period").alias("p0"))
+    return (
+        act.join(first, "user")
+        .groupBy(
+            (F.col("p0") * F.lit(period_days)).cast("long").alias(
+                "cohort_day"
+            ),
+            (F.col("period") - F.col("p0")).cast("long").alias(
+                "period_offset"
+            ),
+        )
+        # (user, period) is distinct upstream and p0 is functional on
+        # user, so each user hits a (cohort, offset) group at most
+        # once — plain count, no distinct-aggregate shuffle needed
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -1,0 +1,140 @@
+"""Graph centrality over edge frames — dyadic fixed-round PageRank.
+
+Corpus-graph analytics the pair operators feed: near-dup edges
+(jaccard/simhash/containment pairs) induce a document graph whose
+central nodes are template hubs / heavily-quoted sources — the
+ranking a curation pass uses to pick canonical representatives or
+flag boilerplate attractors. Same role the reference's report DAG
+(generate_report_dag.py:34-115) delegates to warehouse SQL, graph
+edition.
+
+Numeric discipline (the CLAUDE.md dyadic rule): every per-round
+quantity is quantized to the 2^-20 grid — floor(x·2^20 + 0.5)/2^20 —
+so sums are EXACT IEEE arithmetic, bit-identical across engines and
+partitionings, and the whole K-round iteration can be unrolled as
+chained MATERIALIZED CTEs in an oracle. The damping factor is a
+DYADIC RATIONAL (default 7/8): multiplying a 2^-20-grid sum by 7 and
+dividing by 8 stays exact (grid 2^-23), so the only rounding anywhere
+is the explicit per-round q20 — no libm, no ROUND midpoints.
+
+Scale shape: ranks and degrees are one row per node; each round is
+one equi-join of the rank frame onto the (pre-degree-joined) edge
+frame plus one groupBy-sum on the destination — linear shuffles on
+the node key, K rounds. Lineage is cut every round (localCheckpoint;
+pass ``reliable_checkpoint_dir`` for preemptible clusters — the
+trainer contract in SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_GRID = 1048576.0  # 2^20
+
+
+def _q20(c: Column) -> Column:
+    return F.floor(c * F.lit(_GRID) + F.lit(0.5)) / F.lit(_GRID)
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "id_1",
+    dst: str = "id_2",
+    directed: bool = False,
+    rounds: int = 5,
+    damping_num: int = 7,
+    damping_den: int = 8,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank) after ``rounds`` dyadic power-iteration steps over
+    the edge-induced node set.
+
+    ``directed=False`` (default) symmetrizes the edge list (the
+    near-dup-pair case: every node then has out-degree ≥ 1, no
+    dangling mass). ``directed=True`` ranks over the edges as given;
+    mass reaching a node with no out-edges is NOT redistributed (the
+    pruned-PageRank convention — deterministic, and documented rather
+    than patched, since redistribution needs a global scalar per
+    round).
+
+    Per round: ``rank' = q20(base + (num/den)·Σ_in q20(rank/deg))``
+    with ``base = q20(((den−num)/den)/N)``. ``damping_num/den`` must
+    be a dyadic rational (den a power of two) to keep the scale
+    multiply exact — the default 7/8 is the classic 0.85 snapped to
+    the grid."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if damping_den & (damping_den - 1) or not (
+        0 < damping_num < damping_den
+    ):
+        raise ValueError(
+            "damping must be a dyadic rational in (0,1): "
+            f"got {damping_num}/{damping_den}"
+        )
+    from ..checkpointing import RoundCheckpointer, truncate
+
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+            )
+        )
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree rides the edge frame once; every round reuses it
+    ed = truncate(
+        e.join(deg, "__s"),
+        reliable_checkpoint_dir,
+    )
+    # N as a 1-row broadcast scalar: the base term stays in-plan
+    n_df = F.broadcast(
+        nodes.agg(F.count(F.lit(1)).alias("__n"))
+    )
+    leak = F.lit(float(damping_den - damping_num))
+    den = F.lit(float(damping_den))
+    num = F.lit(float(damping_num))
+    # per-round frames rotate (keep=2); the pinned edge frame above
+    # used the plain truncate — the trainers' lifetime contract
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    ranks = rot.truncate(
+        nodes.join(n_df).select(
+            "node",
+            _q20(F.lit(1.0) / F.col("__n")).alias("rank"),
+            _q20(leak / den / F.col("__n")).alias("__base"),
+        )
+    )
+    for _ in range(rounds):
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                _q20(F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = rot.truncate(
+            ranks.select("node", "__base")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                _q20(
+                    F.col("__base")
+                    + num * F.coalesce("__in", F.lit(0.0)) / den
+                ).alias("rank"),
+                "__base",
+            )
+        )
+    # the final rotated round dirs outlive the loop (the
+    # RoundCheckpointer contract): the caller materializes the result
+    # and then cleans up — same as connected_components.
+    return ranks.select("node", "rank")

@@ -317,3 +317,144 @@ def kmv_overlap(
         "n_shared",
         "jaccard_est",
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram + quantiles (r11): the deterministic mergeable
+# distribution summary. Spark's approx_percentile (KLL/GK-style) is
+# engine-private like HLL++ — its answers can't differential-test.
+# A fixed-bin histogram is exact-integer counters: mergeable by plain
+# addition (the CMS property), so it streams/appends for free, and
+# the quantile read-out is pure integer threshold arithmetic — the
+# first bin whose cumulative count reaches ceil(pct·N/100), spelled
+# cum·100 >= pct·N so no division ever happens. At 100 TB the build
+# is one map-side-combinable aggregate to n_bins rows per group; the
+# read-out is a window over n_bins rows. Choose (hi−lo)/n_bins
+# dyadic-exact (e.g. 2048/256 = 8.0) and the bin arithmetic is exact
+# IEEE in both engines.
+# --------------------------------------------------------------------------
+
+
+def histogram_bin(
+    col: Column, *, lo: float, hi: float, n_bins: int
+) -> Column:
+    """Clamped equi-width bin id: floor((x − lo)/width) clipped into
+    [0, n_bins−1] — out-of-range values land in the edge bins (a
+    documented clip, not a drop: totals stay exact)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(
+        F.greatest(raw, F.lit(0).cast("long")),
+        F.lit(n_bins - 1).cast("long"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols…, bin, cnt): exact equi-width histogram counters.
+    NULL values are dropped (counted by no bin). Mergeable: union two
+    histograms and re-sum — see :func:`merge_histograms`."""
+    if hi <= lo:
+        raise ValueError("need hi > lo")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    g = list(group_cols or [])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *g,
+            histogram_bin(
+                F.col(value_col), lo=lo, hi=hi, n_bins=n_bins
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_histograms(
+    *hists: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Counter addition over any number of histogram frames built with
+    the SAME (lo, hi, n_bins) — the mergeability that makes the sketch
+    append/stream-safe. Exact integers in, exact integers out."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    g = list(group_cols or [])
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionByName(h)
+    return u.groupBy(*g, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    pcts: list[int],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols…, pct, bin, bin_lo, bin_hi, cum, total): for each
+    integer percentile the FIRST bin whose cumulative count reaches
+    ceil(pct·total/100) — the bin bracketing the exact order
+    statistic. The crossing test is ``cum·100 >= pct·total``: pure
+    BIGINT arithmetic, no division, no rounding, bit-identical
+    everywhere. ``bin_lo``/``bin_hi`` are the value bounds the
+    percentile is guaranteed to lie in (6-dp rounded doubles; exact
+    when the bin width is dyadic)."""
+    for p in pcts:
+        if not (isinstance(p, int) and 0 < p <= 100):
+            raise ValueError(f"pcts must be integers in (0, 100]: {p}")
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*[F.col(c) for c in g])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*[F.col(c) for c in g])
+    cum = hist.select(
+        *g,
+        "bin",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("total"),
+    )
+    pdf = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+    ).alias("pct")
+    crossed = cum.select(*cum.columns, pdf).filter(
+        F.col("cum") * F.lit(100) >= F.col("pct") * F.col("total")
+    )
+    wr = Window.partitionBy(
+        *[F.col(c) for c in g], F.col("pct")
+    ).orderBy("bin")
+    first = (
+        crossed.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return first.select(
+        *g,
+        "pct",
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias(
+            "bin_lo"
+        ),
+        F.round(
+            F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6
+        ).alias("bin_hi"),
+        "cum",
+        "total",
+    )

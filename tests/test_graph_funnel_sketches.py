@@ -1,0 +1,418 @@
+"""r11 operators: dyadic PageRank, funnels, cohort retention,
+edit-distance pairs, histogram quantiles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _lev(a: str, b: str) -> int:
+    """Naive reference Levenshtein."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _q20(x: float) -> float:
+    import math
+
+    return math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+
+def test_pagerank_star_center_wins(spark):
+    from starknet_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_1 long, id_2 long"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, rounds=5).collect()
+    }
+    assert set(r) == {0, 1, 2, 3, 4}
+    assert all(r[0] > r[i] for i in (1, 2, 3, 4))
+    assert len({r[1], r[2], r[3], r[4]}) == 1  # leaves symmetric
+    # conservation: undirected graph loses no mass beyond q20 dust
+    assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_matches_naive_reference(spark):
+    """5 rounds on a small asymmetric graph bit-equal a pure-Python
+    replay of the same dyadic recurrence."""
+    from starknet_etl_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4), (4, 5), (5, 0)]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, rounds=4).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = _q20(1.0 / 8.0 / n)
+    rank = {v: _q20(1.0 / n) for v in adj}
+    for _ in range(4):
+        acc = {v: 0.0 for v in adj}
+        for u, nbrs in adj.items():
+            c = _q20(rank[u] / len(nbrs))
+            for v in nbrs:
+                acc[v] += c
+        rank = {v: _q20(base + 7.0 * acc[v] / 8.0) for v in adj}
+    assert got == rank  # bit-equal, not approximately
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from starknet_etl_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(23)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e1 = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    r1 = sorted(map(tuple, pagerank(e1, rounds=3).collect()))
+    r2 = sorted(
+        map(tuple, pagerank(e1.repartition(13), rounds=3).collect())
+    )
+    assert r1 == r2
+
+
+def test_pagerank_directed_dangling_documented(spark):
+    """Directed chain 0->1->2: node 2 has no out-edges; its mass is
+    NOT redistributed (the pruned convention) so total rank < 1."""
+    from starknet_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_1 long, id_2 long"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, directed=True, rounds=5).collect()
+    }
+    assert sum(r.values()) < 1.0
+    assert r[2] > r[1] > 0  # downstream accumulates
+
+
+def test_pagerank_validation(spark):
+    from starknet_etl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1)], "id_1 long, id_2 long")
+    with pytest.raises(ValueError, match="rounds"):
+        pagerank(e, rounds=0)
+    with pytest.raises(ValueError, match="dyadic"):
+        pagerank(e, damping_num=85, damping_den=100)
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_funnel_counts_and_order(spark):
+    from starknet_etl_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1 completes in order
+        (1, _ts(0), "view"),
+        (1, _ts(10), "click"),
+        (1, _ts(20), "purchase"),
+        # u2: click BEFORE view — not a conversion past step 0
+        (2, _ts(50), "click"),
+        (2, _ts(60), "view"),
+        # u3: view+click only
+        (3, _ts(0), "view"),
+        (3, _ts(5), "click"),
+        # u4: never views
+        (4, _ts(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_window_anchors_at_first_touch(spark):
+    """The documented first-touch semantics: u1's first view at t=0
+    opens a 100 s window that expires before the click at t=150,
+    even though the SECOND view (t=100) would have caught it."""
+    from starknet_etl_spark.operators.funnel import funnel_counts
+
+    rows = [
+        (1, _ts(0), "view"),
+        (1, _ts(100), "view"),
+        (1, _ts(150), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click"],
+            within_seconds=100,
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+    # without the window the chain completes
+    got2 = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert got2 == {"view": 1, "click": 1}
+
+
+def test_funnel_strictly_after(spark):
+    """A same-timestamp next-step event does NOT count (strict >)."""
+    from starknet_etl_spark.operators.funnel import funnel_counts
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), "view"), (1, _ts(0), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+
+
+def test_funnel_validation(spark):
+    from starknet_etl_spark.operators.funnel import funnel
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="steps"):
+        funnel(df, "user_id", "ts", "event_type", [])
+
+
+# ---------------------------------------------------------- cohort
+
+
+def test_cohort_retention_offsets(spark):
+    from starknet_etl_spark.operators.funnel import cohort_retention
+
+    day = 86400
+    rows = [
+        # u1 first seen day 0, active again day 8 (offset 1) + day 15 (offset 2)
+        (1, _ts(0)),
+        (1, _ts(8 * day)),
+        (1, _ts(15 * day)),
+        # u2 first seen day 1 (same cohort period as day 0), active day 9
+        (2, _ts(1 * day)),
+        (2, _ts(9 * day)),
+        # u3 first seen day 7 — the NEXT weekly cohort
+        (3, _ts(7 * day)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_day"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(
+            df, "user_id", "ts", period_days=7
+        ).collect()
+    }
+    d0 = 19723 // 7 * 7  # 2024-01-01 epoch-day snapped to the period
+    assert got[(d0, 0)] == 2  # u1, u2
+    assert got[(d0, 1)] == 2  # both active next period
+    assert got[(d0, 2)] == 1  # u1 only
+    assert got[(d0 + 7, 0)] == 1  # u3's own cohort
+    assert sum(v for (c, o), v in got.items() if o == 0) == 3
+
+
+def test_cohort_validation(spark):
+    from starknet_etl_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame([(1, _ts(0))], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(df, "user_id", "ts", period_days=0)
+
+
+# ---------------------------------------------------------- edit pairs
+
+
+def test_edit_pairs_planted_and_naive(spark):
+    from starknet_etl_spark.operators.editdist import edit_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base.replace("gamma", "gamme")),  # 1 substitution
+        (2, base.replace("delta ", "delta")),  # hmm: deletes a space
+        (3, "completely different words entirely unrelated text here now ok"),
+        (4, base.replace("beta", "beta") + " tail tokens appended here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_1"], r["id_2"]): r["dist"]
+        for r in edit_pairs(
+            df, "doc_id", "text", max_dist=2, n=3
+        ).collect()
+    }
+    # reference: all pairs sharing a 3-shingle within distance 2
+    def sh(t):
+        ws = t.split()
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+
+    want = {}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            a, b = rows[i][1], rows[j][1]
+            if not (sh(a) & sh(b)):
+                continue
+            d = _lev(a, b)
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (0, 2) in got and got[(0, 2)] == 1
+    assert (1, 2) in got and got[(1, 2)] == 2
+
+
+def test_edit_pairs_max_df_cap_drops_stop_shingles(spark):
+    from starknet_etl_spark.operators.editdist import edit_pairs
+
+    hot = "the same boilerplate shingle everywhere"
+    rows = [(i, f"{hot} unique{i} tail{i} distinct{i}") for i in range(10)]
+    rows.append((100, f"{hot} unique0 tail0 distinct0 x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = edit_pairs(df, "doc_id", "text", max_dist=2, n=3)
+    capped = edit_pairs(
+        df, "doc_id", "text", max_dist=2, n=3, max_df=5
+    )
+    # the hot boilerplate block is the only thing connecting most
+    # docs; with it capped away only docs sharing a RARE shingle pair
+    assert capped.count() <= uncapped.count()
+    got = {
+        (r["id_1"], r["id_2"]) for r in capped.collect()
+    }
+    assert (0, 100) in got  # still blocked via the rare shingle
+
+
+def test_edit_pairs_validation(spark):
+    from starknet_etl_spark.operators.editdist import edit_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_pairs(df, "doc_id", "text", max_dist=-1)
+    with pytest.raises(ValueError, match="not both"):
+        edit_pairs(
+            df, "doc_id", "text", max_df=1, max_df_frac=0.5
+        )
+
+
+# ---------------------------------------------------------- histogram
+
+
+def test_histogram_merge_equals_full(spark):
+    from starknet_etl_spark.operators.sketches import (
+        merge_histograms,
+        value_histogram,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    kw = dict(lo=0.0, hi=100.0, n_bins=10)
+    full = value_histogram(df, "v", **kw)
+    a = value_histogram(df.filter("id % 2 = 0"), "v", **kw)
+    b = value_histogram(df.filter("id % 2 = 1"), "v", **kw)
+    merged = merge_histograms(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_histogram_quantiles_bracket_exact_order_stat(spark):
+    from starknet_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    import math
+
+    vals = [float((i * 13) % 97) for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    kw = dict(lo=0.0, hi=100.0, n_bins=25)  # width 4.0
+    h = value_histogram(df, "v", **kw)
+    out = {
+        r["pct"]: r
+        for r in histogram_quantiles(h, [50, 90, 99], **kw).collect()
+    }
+    s = sorted(vals)
+    for pct in (50, 90, 99):
+        exact = s[math.ceil(pct * len(s) / 100) - 1]
+        r = out[pct]
+        assert r["bin_lo"] <= exact < r["bin_hi"]
+        assert r["total"] == len(s)
+        assert r["cum"] * 100 >= pct * r["total"]
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from starknet_etl_spark.operators.sketches import value_histogram
+
+    df = spark.createDataFrame(
+        [(0, -5.0), (1, 500.0), (2, 50.0), (3, None)],
+        "id long, v double",
+    )
+    got = {
+        r["bin"]: r["cnt"]
+        for r in value_histogram(
+            df, "v", lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert got == {0: 1, 9: 1, 5: 1}  # NULL dropped, edges clamped
+
+
+def test_histogram_validation(spark):
+    from starknet_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_histograms,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(0, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(df, "v", lo=1.0, hi=1.0, n_bins=4)
+    with pytest.raises(ValueError, match="n_bins"):
+        value_histogram(df, "v", lo=0.0, hi=1.0, n_bins=0)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_histograms()
+    h = value_histogram(df, "v", lo=0.0, hi=1.0, n_bins=4)
+    with pytest.raises(ValueError, match="integers"):
+        histogram_quantiles(h, [0], lo=0.0, hi=1.0, n_bins=4)
+    with pytest.raises(ValueError, match="integers"):
+        histogram_quantiles(h, [50.5], lo=0.0, hi=1.0, n_bins=4)
