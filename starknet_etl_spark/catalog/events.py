@@ -1081,3 +1081,64 @@ QUERIES["events_cohort_retention"] = QuerySpec(
     " period ids (no calendar/ISO-week cross-engine hazards), two"
     " aggregates + one group-count, exact integers",
 )
+
+
+# --------------------------------------------------------------------------
+# Point-in-interval join (r11): events inside per-user error windows
+# via operators/rangejoin.interval_join — the chunked-explode equi-
+# join that replaces the O(N·M) BroadcastNestedLoopJoin for variable-
+# length intervals. All time arithmetic in exact BIGINT MICROSECONDS
+# (unix_micros / epoch_us): no epoch-double boundary hazards.
+# Names _EW_.
+# --------------------------------------------------------------------------
+
+_EW_SPAN_US = 1_800_000_000  # 30 min
+
+
+def _error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_join
+
+    ev = _ev(spark, sf_dir)
+    pts = ev.select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    wins = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("user_id").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("lo"),
+        (F.unix_micros(F.col("ts")) + F.lit(_EW_SPAN_US)).alias("hi"),
+    )
+    j = interval_join(
+        pts, wins,
+        point_val="p_us", start_val="lo", end_val="hi",
+        chunk_width=float(_EW_SPAN_US),
+        extra_on=F.col("p_user") == F.col("user_id"),
+    )
+    return j.groupBy("win_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inside")
+    )
+
+
+_EW_ORACLE = f"""
+WITH ew_w AS (
+  SELECT event_id AS win_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_EW_SPAN_US} AS hi
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.win_id, CAST(w.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_inside
+FROM ew_w w JOIN events e
+  ON e.user_id = w.user_id
+ AND epoch_us(CAST(e.ts AS TIMESTAMP)) BETWEEN w.lo AND w.hi
+GROUP BY 1, 2
+"""
+
+QUERIES["events_error_windows"] = QuerySpec(
+    _error_windows,
+    _EW_ORACLE,
+    "point-in-interval join (chunked explode → hash equi-join, never"
+    " a nested loop): per-user activity inside 30-min error windows,"
+    " exact BIGINT microsecond arithmetic",
+)

@@ -1251,3 +1251,188 @@ QUERIES["doc_curation_gopher"] = QuerySpec(
     "curation with the Gopher rule gate composed in: stage-0b drops"
     " with first-failing-rule reasons, skeleton over the survivors",
 )
+
+
+# --------------------------------------------------------------------------
+# Blocklist gate (r11): banned-vocabulary hits per document
+# (operators/text.blocklist_flags) — the standard NSFW/banned-term
+# curation gate. Token explode joins a BROADCAST term dim; counts
+# are exact integers. Names _BL_.
+# --------------------------------------------------------------------------
+
+_BL_TERMS = ["slow", "merge", "vector", "error"]
+
+
+def _blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import blocklist_flags
+
+    terms = spark.createDataFrame(
+        [(t,) for t in _BL_TERMS], "term string"
+    )
+    return blocklist_flags(_docs(spark, sf_dir), terms)
+
+
+_BL_ORACLE = f"""
+WITH bl_tk AS (
+  SELECT doc_id, ws[i] AS tok
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS ws
+    FROM documents
+  ), unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+       min(tok) AS first_term
+FROM bl_tk
+WHERE tok IN ({", ".join("'" + t + "'" for t in _BL_TERMS)})
+GROUP BY doc_id
+"""
+
+QUERIES["doc_blocklist"] = QuerySpec(
+    _blocklist,
+    _BL_ORACLE,
+    "blocklist gate: per-doc banned-term hit counts via a broadcast"
+    " term dim over the token explode — exact integers",
+)
+
+
+# --------------------------------------------------------------------------
+# BLEU eval stats (r11): candidate = the doc with every 7th token
+# dropped, reference = the doc (the preference-pairs synthesis
+# precedent — both engines derive the pair from the same
+# expressions). operators/evalmetrics.bleu_stats: clipped n-gram
+# matches are EXACT INTEGERS; log2_bleu follows the dyadic rule
+# (q20 per log2 term, exact sums). Names _BLEU_.
+# --------------------------------------------------------------------------
+
+
+def _bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evalmetrics import bleu_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    cand = (
+        toks.filter(F.col("pos") % 7 != 6)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("cand")
+        )
+    )
+    pairs = cand.join(
+        docs.select("doc_id", F.col("text").alias("ref")), "doc_id"
+    )
+    return bleu_stats(pairs, "doc_id", "cand", "ref", max_n=4)
+
+
+def _bleu_gram_cte(tag: str, src: str) -> str:
+    """n-gram counts for n in 1..4 over a (doc_id, ws list) CTE."""
+    arms = []
+    for n in range(1, 5):
+        gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n)).replace(
+            "ws[i+0]", "ws[i]"
+        )
+        arms.append(
+            f"SELECT doc_id, {n} AS n, {gram} AS gram\n"
+            f"    FROM {src},"
+            f" unnest(generate_series(1, greatest(len(ws) - {n - 1},"
+            f" 0))) AS t(i)"
+        )
+    return (
+        f"{tag} AS MATERIALIZED (\n  SELECT doc_id, n, gram,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM (\n    "
+        + "\n    UNION ALL ".join(arms)
+        + "\n  ) GROUP BY 1, 2, 3\n)"
+    )
+
+
+_BLEU_Q20 = "floor(({x}) * 1048576.0 + 0.5) / 1048576.0"
+
+
+def _bleu_oracle() -> str:
+    q20 = _BLEU_Q20
+    prec = " + ".join(
+        q20.format(x=f"log2(m_{k} / (c_{k} * 1.0))") for k in range(1, 5)
+    )
+    ok = " AND ".join(f"COALESCE(m_{k}, 0) > 0" for k in range(1, 5))
+    bp = (
+        "CASE WHEN c_1 >= ref_len THEN 0.0 ELSE "
+        + q20.format(
+            x="(1.0 - ref_len / (c_1 * 1.0))" " * 1.4426950408889634"
+        )
+        + " END"
+    )
+    return f"""
+WITH bleu_ws AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+bleu_rtk AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM bleu_ws, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+bleu_rws AS MATERIALIZED (
+  SELECT doc_id, list(w ORDER BY i) AS ws
+  FROM bleu_rtk GROUP BY doc_id
+),
+bleu_cws AS MATERIALIZED (
+  SELECT doc_id,
+         list(w ORDER BY i) AS ws
+  FROM bleu_rtk WHERE (i - 1) % 7 <> 6 GROUP BY doc_id
+),
+{_bleu_gram_cte("bleu_cg", "bleu_cws")},
+{_bleu_gram_cte("bleu_rg", "bleu_rws")},
+bleu_j AS (
+  SELECT c.doc_id, c.n, c.cnt AS c_cnt,
+         least(c.cnt, COALESCE(r.cnt, 0)) AS clip
+  FROM bleu_cg c LEFT JOIN bleu_rg r
+    ON r.doc_id = c.doc_id AND r.n = c.n AND r.gram = c.gram
+),
+bleu_pn AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 1 THEN clip END) AS m_1,
+         SUM(CASE WHEN n = 2 THEN clip END) AS m_2,
+         SUM(CASE WHEN n = 3 THEN clip END) AS m_3,
+         SUM(CASE WHEN n = 4 THEN clip END) AS m_4,
+         SUM(CASE WHEN n = 1 THEN c_cnt END) AS c_1,
+         SUM(CASE WHEN n = 2 THEN c_cnt END) AS c_2,
+         SUM(CASE WHEN n = 3 THEN c_cnt END) AS c_3,
+         SUM(CASE WHEN n = 4 THEN c_cnt END) AS c_4
+  FROM bleu_j GROUP BY doc_id
+),
+bleu_rl AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS ref_len FROM bleu_rws
+)
+SELECT p.doc_id,
+       CAST(c_1 AS BIGINT) AS cand_len, r.ref_len,
+       CAST(m_1 AS BIGINT) AS m_1, CAST(m_2 AS BIGINT) AS m_2,
+       CAST(m_3 AS BIGINT) AS m_3, CAST(m_4 AS BIGINT) AS m_4,
+       CAST(c_1 AS BIGINT) AS c_1, CAST(c_2 AS BIGINT) AS c_2,
+       CAST(c_3 AS BIGINT) AS c_3, CAST(c_4 AS BIGINT) AS c_4,
+       CASE WHEN {ok} THEN ({bp}) + ({prec}) / 4.0 END AS log2_bleu
+FROM bleu_pn p JOIN bleu_rl r ON r.doc_id = p.doc_id
+"""
+
+
+QUERIES["doc_bleu_eval"] = QuerySpec(
+    _bleu_eval,
+    _bleu_oracle(),
+    "BLEU-4 sufficient statistics + combined score over synthesized"
+    " (candidate, reference) pairs — exact-integer clipped matches,"
+    " dyadic log2 combination (unsmoothed, NULL on zero precision)",
+)

@@ -1,0 +1,147 @@
+"""Generation-eval metrics over (candidate, reference) pair frames:
+BLEU sufficient statistics at corpus scale.
+
+The eval side of a training-data pipeline: scoring model outputs (or
+pseudo-candidates in data-quality ablations) against references.
+BLEU's sufficient statistics are EXACT INTEGERS — clipped n-gram
+matches and totals — so the metric differential-tests bit-for-bit;
+only the final log-combination touches doubles, and that follows the
+repo's dyadic discipline (q20 per log2 term, exact sums — the
+Kneser-Ney/unigram-LM rule; log2 of an organic ratio has no
+structural midpoints).
+
+``log2_bleu`` is the base-2 log of the standard unsmoothed BLEU-4:
+``min(0, (1 − r/c)·log2 e) + (Σ_n log2 p_n)/N`` — NULL when any
+modified precision is zero (the unsmoothed convention; smoothing
+variants belong to the caller, the integer stats support any of
+them).
+
+Scale shape: one token explode per side, n-grams by per-doc window
+``lead`` (the shingles discipline — never a HOF in the hot path),
+counts keyed by (id, n, gram) with map-side combine, one join of the
+two count frames, one per-id fold. Linear in corpus token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_GRID = 1048576.0  # 2^20
+_LOG2E = 1.4426950408889634
+
+
+def _q20(c):
+    return F.floor(c * F.lit(_GRID) + F.lit(0.5)) / F.lit(_GRID)
+
+
+def _gram_counts(
+    df: DataFrame, id_col: str, text_col: str, max_n: int, tag: str
+) -> DataFrame:
+    """(id, n, gram, cnt) for n in 1..max_n — one explode, one
+    window, the stack projection."""
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__pos", "__w0"),
+    ).filter(F.col("__w0") != "")
+    leads = tok.select(
+        id_col,
+        F.col("__w0"),
+        *[
+            F.lead("__w0", j).over(w).alias(f"__w{j}")
+            for j in range(1, max_n)
+        ],
+    )
+    grams = []
+    for n in range(1, max_n + 1):
+        g = F.when(
+            F.col(f"__w{n - 1}").isNotNull() if n > 1 else F.lit(True),
+            F.concat_ws(" ", *[f"__w{j}" for j in range(n)]),
+        )
+        grams.append(F.struct(F.lit(n).alias("n"), g.alias("gram")))
+    return (
+        leads.select(
+            id_col, F.explode(F.array(*grams)).alias("__g")
+        )
+        .select(id_col, F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias(f"{tag}_cnt"))
+    )
+
+
+def bleu_stats(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    *,
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair BLEU sufficient statistics + the combined score:
+    ``(id_col, cand_len, ref_len, m_1..m_N, c_1..c_N, log2_bleu)``.
+
+    ``m_n`` = clipped n-gram matches (min of candidate and reference
+    occurrence counts, summed over grams), ``c_n`` = candidate n-gram
+    total — all BIGINT. ``log2_bleu`` is NULL when any ``m_n`` (or
+    ``c_n``) is zero. ``cand_len``/``ref_len`` are whitespace token
+    counts (= ``c_1`` and the reference 1-gram total)."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    cg = _gram_counts(df, id_col, cand_col, max_n, "c")
+    rg = _gram_counts(df, id_col, ref_col, max_n, "r")
+    j = cg.join(rg, [id_col, "n", "gram"], "left").select(
+        id_col,
+        "n",
+        F.col("c_cnt"),
+        F.least(
+            F.col("c_cnt"), F.coalesce("r_cnt", F.lit(0))
+        ).alias("clip"),
+    )
+    per_n = j.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("clip")))
+            .cast("long")
+            .alias(f"m_{k}")
+            for k in range(1, max_n + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("c_cnt")))
+            .cast("long")
+            .alias(f"c_{k}")
+            for k in range(1, max_n + 1)
+        ],
+    )
+    rlen = (
+        rg.filter(F.col("n") == 1)
+        .groupBy(id_col)
+        .agg(F.sum("r_cnt").cast("long").alias("ref_len"))
+    )
+    full = per_n.join(rlen, id_col)
+    ok = F.lit(True)
+    for k in range(1, max_n + 1):
+        ok = ok & (F.coalesce(F.col(f"m_{k}"), F.lit(0)) > 0)
+    bp = F.when(
+        F.col("c_1") >= F.col("ref_len"), F.lit(0.0)
+    ).otherwise(
+        _q20(
+            (F.lit(1.0) - F.col("ref_len") / F.col("c_1"))
+            * F.lit(_LOG2E)
+        )
+    )
+    prec = None
+    for k in range(1, max_n + 1):
+        t = _q20(F.log2(F.col(f"m_{k}") / F.col(f"c_{k}")))
+        prec = t if prec is None else prec + t
+    score = bp + prec / F.lit(float(max_n))
+    return full.select(
+        id_col,
+        F.col("c_1").alias("cand_len"),
+        "ref_len",
+        *[f"m_{k}" for k in range(1, max_n + 1)],
+        *[f"c_{k}" for k in range(1, max_n + 1)],
+        F.when(ok, score).alias("log2_bleu"),
+    )

@@ -64,3 +64,58 @@ def bucketed_range_join(
     if extra_on is not None:
         cond = cond & extra_on
     return l_b.join(r_b, cond, how).drop("__lb", "__rb")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_val: str,
+    start_val: str,
+    end_val: str,
+    chunk_width: float,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval equi-join (r11): pairs with
+    ``start_val <= point_val <= end_val`` — the variable-length-
+    interval sibling of :func:`bucketed_range_join`.
+
+    Each interval explodes to every chunk of width ``chunk_width`` it
+    overlaps (``floor(start/w) … floor(end/w)`` — replication factor
+    ``len/w + 1``, so pick ``w`` near the TYPICAL interval length);
+    each point maps to exactly ONE chunk; the join is a plain hash
+    equi-join on the chunk id plus the exact containment predicate.
+    Never a BroadcastNestedLoopJoin, never O(N·M).
+
+    Columns are numeric (epoch seconds, block heights, prices —
+    convert timestamps with ``unix_timestamp`` first). Intervals
+    where ``end < start`` match nothing (the sequence is empty, the
+    row drops — a documented contract, not an error). ``extra_on``
+    adds a conjunct evaluated after the chunk equi-join (e.g. a
+    same-user requirement — it also tightens the shuffle key the
+    optimizer hashes on)."""
+    if chunk_width <= 0:
+        raise ValueError("chunk_width must be > 0")
+    w = F.lit(float(chunk_width))
+    p = points.withColumn(
+        "__chunk", F.floor(F.col(point_val) / w).cast("long")
+    )
+    iv = intervals.filter(
+        F.col(end_val) >= F.col(start_val)
+    ).withColumn(
+        "__chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_val) / w).cast("long"),
+                F.floor(F.col(end_val) / w).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (p["__chunk"] == iv["__chunk"])
+        & (F.col(point_val) >= F.col(start_val))
+        & (F.col(point_val) <= F.col(end_val))
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return p.join(iv, cond).drop("__chunk")

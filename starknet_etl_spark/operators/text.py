@@ -1232,3 +1232,48 @@ def gopher_reason() -> Column:
         .when(~F.col("f_alpha"), F.lit("gopher_alpha"))
         .otherwise(F.lit("gopher_stopwords"))
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    terms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-document blocklist hits (r11): ``(id_col, n_hits,
+    n_terms, first_term)`` for every doc with at least one
+    whitespace-token exactly matching a blocklist term
+    (case-folded on both sides). The standard curation gate for
+    banned-vocabulary / NSFW-term lists.
+
+    Scale shape: the token explode joins a BROADCAST of the term
+    dim (blocklists are thousands of rows, never corpus-sized), then
+    one per-doc aggregate — a map-side-combinable count, no skew
+    surface beyond the token explode the quality signals already do.
+    ``first_term`` is the alphabetically first matched term (a
+    deterministic audit sample, not a full list — the full list is
+    a collect_set away if a caller wants it)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    t = F.broadcast(
+        terms.select(
+            F.lower(F.col(term_col)).alias("__tok")
+        ).distinct()
+    )
+    return (
+        toks.join(t, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.count_distinct(F.col("__tok")).cast("long").alias(
+                "n_terms"
+            ),
+            F.min("__tok").alias("first_term"),
+        )
+    )

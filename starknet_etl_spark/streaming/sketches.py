@@ -131,3 +131,56 @@ def read_kmv(spark: SparkSession, state_path: str, *, k: int) -> DataFrame:
     """The one-row KMV estimate from the persisted state (same
     arithmetic as the batch operator's report)."""
     return kmv_report(spark.read.parquet(state_path), k)
+
+
+def start_histogram_stream(
+    rows: DataFrame,
+    *,
+    hist_path: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    group_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain an equi-width histogram over a streaming value column
+    (r11): counters are ADDITIVE like count-min, so each micro-batch
+    appends its partial (group…, bin, cnt) under an append_once
+    marker and :func:`read_histogram` merges at read — the same
+    exactly-once-by-ledger design, giving streaming quantiles via
+    sketches.histogram_quantiles over the merged frame."""
+    from ..operators.sketches import value_histogram
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        part = value_histogram(
+            batch, value_col,
+            lo=lo, hi=hi, n_bins=n_bins, group_cols=group_cols,
+        )
+        _io.append_once(part, hist_path, batch_id)
+
+    writer = rows.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram(
+    spark: SparkSession,
+    hist_path: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The merged histogram: sum the appended per-batch counters.
+    Feed straight into sketches.histogram_quantiles."""
+    g = list(group_cols or [])
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy(*g, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

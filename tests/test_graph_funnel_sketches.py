@@ -416,3 +416,165 @@ def test_histogram_validation(spark):
         histogram_quantiles(h, [0], lo=0.0, hi=1.0, n_bins=4)
     with pytest.raises(ValueError, match="integers"):
         histogram_quantiles(h, [50.5], lo=0.0, hi=1.0, n_bins=4)
+
+
+# ---------------------------------------------------------- interval join
+
+
+def test_interval_join_matches_naive(spark):
+    from starknet_etl_spark.operators.rangejoin import interval_join
+
+    pts = [(i, float((i * 31) % 200)) for i in range(80)]
+    ivs = [
+        (100, 10.0, 35.0),
+        (101, 30.0, 30.0),   # degenerate single point
+        (102, 150.0, 40.0),  # end < start: matches nothing
+        (103, 180.0, 205.0), # spans past the point range
+    ]
+    points = spark.createDataFrame(pts, "pid long, v double")
+    intervals = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_join(
+            points, intervals,
+            point_val="v", start_val="lo", end_val="hi",
+            chunk_width=25.0,
+        ).collect()
+    }
+    want = {
+        (iid, pid)
+        for iid, lo, hi in ivs
+        for pid, v in pts
+        if lo <= v <= hi
+    }
+    assert got == want
+    assert not any(i == 102 for i, _ in got)
+
+
+def test_interval_join_extra_on_and_width_validation(spark):
+    from starknet_etl_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0, "u1"), (2, 5.0, "u2")], "pid long, v double, pu string"
+    )
+    intervals = spark.createDataFrame(
+        [(9, 0.0, 10.0, "u1")], "iid long, lo double, hi double, iu string"
+    )
+    got = interval_join(
+        points, intervals,
+        point_val="v", start_val="lo", end_val="hi", chunk_width=10.0,
+        extra_on=F.col("pu") == F.col("iu"),
+    ).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 9)]
+    with pytest.raises(ValueError, match="chunk_width"):
+        interval_join(
+            points, intervals,
+            point_val="v", start_val="lo", end_val="hi", chunk_width=0,
+        )
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The design claim: chunked explode turns the inequality join
+    into a hash equi-join — never a BroadcastNestedLoopJoin."""
+    from starknet_etl_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "pid long, v double"
+    )
+    intervals = spark.createDataFrame(
+        [(i, float(i), float(i + 3)) for i in range(0, 50, 5)],
+        "iid long, lo double, hi double",
+    )
+    plan = interval_join(
+        points, intervals,
+        point_val="v", start_val="lo", end_val="hi", chunk_width=5.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------- blocklist
+
+
+def test_blocklist_flags(spark):
+    from starknet_etl_spark.operators.text import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the Quick brown fox jumps"),
+            (1, "clean words only here"),
+            (2, "quick quick badword and more BADWORD"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame(
+        [("quick",), ("badword",), ("QUICK",)], "term string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_terms"], r["first_term"])
+        for r in blocklist_flags(docs, terms).collect()
+    }
+    # doc 1 has no hits -> absent; case folds on BOTH sides
+    assert got == {
+        0: (1, 1, "quick"),
+        2: (4, 2, "badword"),
+    }
+
+
+# ---------------------------------------------------------- bleu
+
+
+def test_bleu_identity_scores_zero(spark):
+    from starknet_etl_spark.operators.evalmetrics import bleu_stats
+
+    txt = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(0, txt, txt)], "id long, cand string, ref string"
+    )
+    r = bleu_stats(df, "id", "cand", "ref").collect()[0]
+    assert r["cand_len"] == r["ref_len"] == 10
+    assert all(r[f"m_{k}"] == r[f"c_{k}"] for k in range(1, 5))
+    assert r["log2_bleu"] == 0.0  # p_n = 1 for all n, BP = 1
+
+
+def test_bleu_hand_counts(spark):
+    """The classic clipping example: candidate 'the the the' against
+    reference 'the cat' — unigram matches clip at the reference's
+    count (1), higher-order precision is zero -> NULL score."""
+    from starknet_etl_spark.operators.evalmetrics import bleu_stats
+
+    df = spark.createDataFrame(
+        [(0, "the the the", "the cat")],
+        "id long, cand string, ref string",
+    )
+    r = bleu_stats(df, "id", "cand", "ref").collect()[0]
+    assert (r["cand_len"], r["ref_len"]) == (3, 2)
+    assert (r["m_1"], r["c_1"]) == (1, 3)  # clipped at ref's 1
+    assert (r["m_2"], r["c_2"]) == (0, 2)  # 'the the' not in ref
+    assert r["log2_bleu"] is None  # unsmoothed zero precision
+
+
+def test_bleu_brevity_penalty_direction(spark):
+    """A shorter candidate with perfect precision scores below 0
+    (pure BP), and a doubly-shorter one scores lower still."""
+    from starknet_etl_spark.operators.evalmetrics import bleu_stats
+
+    ref = " ".join(f"w{i}" for i in range(12))
+    c1 = " ".join(f"w{i}" for i in range(8))
+    c2 = " ".join(f"w{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, c1, ref), (2, c2, ref)], "id long, cand string, ref string"
+    )
+    got = {r["id"]: r["log2_bleu"] for r in bleu_stats(
+        df, "id", "cand", "ref"
+    ).collect()}
+    assert got[1] < 0 and got[2] < got[1]
+
+
+def test_bleu_validation(spark):
+    from starknet_etl_spark.operators.evalmetrics import bleu_stats
+
+    df = spark.createDataFrame(
+        [(0, "a", "a")], "id long, cand string, ref string"
+    )
+    with pytest.raises(ValueError, match="max_n"):
+        bleu_stats(df, "id", "cand", "ref", max_n=0)

@@ -288,3 +288,81 @@ def test_kmv_overlap_validation(spark):
     df = spark.createDataFrame([("a", "x")], "g string, v string")
     with _pytest.raises(ValueError):
         kmv_overlap(df, "g", "v", k=1)
+
+
+def test_stream_histogram_matches_batch_and_replay(spark, tmp_path):
+    """Streaming histogram (r11): appended per-batch counters merge
+    to the one-shot batch histogram; a replayed tick no-ops on the
+    append_once ledger — same additive-mergeable design as CMS, and
+    the quantile read-out works unchanged over the merged frame."""
+    import os
+    import shutil
+
+    from starknet_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from starknet_etl_spark.streaming.sketches import (
+        read_histogram,
+        start_histogram_stream,
+    )
+
+    rows = [(f"{'ab'[i % 2]}{i}",) for i in range(60)]
+    src, df = _two_batch_src(spark, tmp_path, rows)
+    vals = df.select(
+        F.length("v").cast("double").alias("x")
+    )
+    # stream over the same source, projecting the value in-stream
+    kw = dict(lo=0.0, hi=8.0, n_bins=8)
+    paths = dict(
+        hist_path=str(tmp_path / "hist"),
+        checkpoint=str(tmp_path / "hckpt"),
+    )
+
+    def go():
+        q = start_histogram_stream(
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(F.length("v").cast("double").alias("x")),
+            value_col="x",
+            **kw,
+            **paths,
+        )
+        q.awaitTermination(180)
+
+    go()
+    want = sorted(
+        map(tuple, value_histogram(vals, "x", **kw).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_histogram(spark, paths["hist_path"]).collect(),
+        )
+    )
+    assert got == want
+
+    shutil.rmtree(os.path.join(paths["checkpoint"], "commits"))
+    go()
+    got2 = sorted(
+        map(
+            tuple,
+            read_histogram(spark, paths["hist_path"]).collect(),
+        )
+    )
+    assert got2 == want
+    # quantiles read straight off the merged stream state
+    q50 = {
+        r["pct"]: r["bin"]
+        for r in histogram_quantiles(
+            read_histogram(spark, paths["hist_path"]), [50], **kw
+        ).collect()
+    }
+    want_q = {
+        r["pct"]: r["bin"]
+        for r in histogram_quantiles(
+            value_histogram(vals, "x", **kw), [50], **kw
+        ).collect()
+    }
+    assert q50 == want_q
