@@ -1394,3 +1394,70 @@ QUERIES["emb_hard_negatives"] = QuerySpec(
     "hard-negative mining: top-k cross-label neighbors within the"
     " SRP locality cell (contrastive training-data export)",
 )
+
+
+# --------------------------------------------------------------------------
+# Bitext / parallel-pair mining (r11): the margin criterion over the
+# label-cell-scoped cross-side GEMM (similarity.mine_bitext). Sides
+# synthesized from vec_id parity (even = source language, odd =
+# target) — regeneration-robust; cells = the label column, so the
+# candidate pass is Σ_c N_c², never |src|·|tgt|. Ranking follows the
+# nearest_in_cell discipline: 6-dp-rounded scores, ascending-id
+# tiebreak. Names _BT_.
+# --------------------------------------------------------------------------
+
+_BT_MIN_COS = 0.2
+_BT_MIN_MARGIN = 0.02
+
+
+def _bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "label",
+        (F.col("vec_id") % 2).alias("side"),
+    )
+    return S.mine_bitext(
+        emb,
+        side_col="side",
+        src_side=0,
+        tgt_side=1,
+        cell_col="label",
+        min_cos=_BT_MIN_COS,
+        min_margin=_BT_MIN_MARGIN,
+    )
+
+
+_BT_ORACLE = f"""
+WITH bt0 AS MATERIALIZED (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, {_COS_PAIR} AS cos
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.label = b.label
+   AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1,
+  unnest(generate_series(1, {DIM})) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+bt1 AS (
+  SELECT src_id, tgt_id, ROUND(cos, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY src_id
+           ORDER BY ROUND(cos, 6) DESC, tgt_id) AS rn,
+         lead(ROUND(cos, 6)) OVER (
+           PARTITION BY src_id
+           ORDER BY ROUND(cos, 6) DESC, tgt_id) AS c2
+  FROM bt0 WHERE cos >= {_BT_MIN_COS}
+)
+SELECT src_id, tgt_id, cos_sim,
+       cos_sim - COALESCE(c2, 0.0) AS margin
+FROM bt1
+WHERE rn = 1 AND cos_sim - COALESCE(c2, 0.0) >= {_BT_MIN_MARGIN}
+"""
+
+QUERIES["emb_bitext_mining"] = QuerySpec(
+    _bitext_mining,
+    _BT_ORACLE,
+    "bitext mining with the margin criterion: best cross-side"
+    " neighbor per source vector, kept only when separated from the"
+    " runner-up — cell-scoped GEMM candidates, precision-biased pairs",
+)

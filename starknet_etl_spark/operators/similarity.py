@@ -2076,3 +2076,94 @@ def hard_negatives(
         j.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= F.lit(k))
     )
+
+
+def mine_bitext(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    side_col: str = "side",
+    src_side,
+    tgt_side,
+    cell_col: str | None = None,
+    min_cos: float = 0.0,
+    min_margin: float = 0.0,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Bitext / parallel-pair mining with the margin criterion (r11):
+    ``(src_id, tgt_id, cos_sim, margin)`` — for each source-side
+    vector its best target-side neighbor, kept only when the best is
+    SEPARATED from the runner-up by ``min_margin`` (the
+    LASER/CCMatrix-family rule: absolute-margin variant — an
+    ambiguous source with two near-equal candidates mines nothing,
+    which is what makes mined pairs precision-biased).
+
+    ``margin = cos₁ − cos₂`` over 6-dp-rounded scores (the
+    nearest_in_cell ranking discipline: deterministic cross-engine
+    order with an ascending-id tiebreak); a source with a SINGLE
+    above-threshold candidate gets ``margin = cos₁`` (runner-up 0 —
+    documented, callers wanting strictness raise ``min_margin``).
+
+    Scale: candidates come from the cell-scoped blocked GEMM
+    (``cosine_near_dup_pairs`` — Σ_c N_c², never |src|·|tgt|), the
+    top-2 is one source-keyed window. Cross-side orientation is a
+    post-filter on the undirected pair set, so both directions ride
+    ONE GEMM pass."""
+    pairs = cosine_near_dup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=min_cos,
+        n_blocks=n_blocks,
+        cell_col=cell_col,
+    )
+    s1 = df.select(
+        F.col(id_col).alias("id_1"), F.col(side_col).alias("__s1")
+    )
+    s2 = df.select(
+        F.col(id_col).alias("id_2"), F.col(side_col).alias("__s2")
+    )
+    p = pairs.join(s1, "id_1").join(s2, "id_2").select(
+        "id_1", "id_2", F.round("cos_sim", 6).alias("cos_sim"),
+        "__s1", "__s2",
+    )
+    cross = p.filter(
+        (F.col("__s1") == F.lit(src_side))
+        & (F.col("__s2") == F.lit(tgt_side))
+    ).select(
+        F.col("id_1").alias("src_id"),
+        F.col("id_2").alias("tgt_id"),
+        "cos_sim",
+    ).unionByName(
+        p.filter(
+            (F.col("__s1") == F.lit(tgt_side))
+            & (F.col("__s2") == F.lit(src_side))
+        ).select(
+            F.col("id_2").alias("src_id"),
+            F.col("id_1").alias("tgt_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    ranked = cross.select(
+        "src_id",
+        "tgt_id",
+        "cos_sim",
+        F.row_number().over(w).alias("__rn"),
+        F.lead("cos_sim").over(w).alias("__c2"),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            (
+                F.col("cos_sim") - F.coalesce("__c2", F.lit(0.0))
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(float(min_margin)))
+    )

@@ -578,3 +578,58 @@ def test_bleu_validation(spark):
     )
     with pytest.raises(ValueError, match="max_n"):
         bleu_stats(df, "id", "cand", "ref", max_n=0)
+
+
+# ---------------------------------------------------------- bitext
+
+
+def test_mine_bitext_margin_criterion(spark):
+    """A source with ONE clear target twin mines; a source with two
+    near-equal candidates (ambiguous) is rejected by the margin."""
+    from starknet_etl_spark.operators.similarity import mine_bitext
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        # cell 0: src 0 has a clear twin (101) and a far distractor
+        (0, v(1, 0, 0, 0), 0, "src"),
+        (101, v(0.95, 0.1, 0, 0), 0, "tgt"),
+        (103, v(0, 0, 1, 0), 0, "tgt"),
+        # cell 1: src 2 sees two near-identical candidates -> ambiguous
+        (2, v(0, 1, 0, 0), 1, "src"),
+        (105, v(0.1, 0.9, 0, 0), 1, "tgt"),
+        (107, v(0.1, 0.9, 0.001, 0), 1, "tgt"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, side string"
+    )
+    got = {
+        r["src_id"]: (r["tgt_id"], r["margin"])
+        for r in mine_bitext(
+            df,
+            side_col="side",
+            src_side="src",
+            tgt_side="tgt",
+            cell_col="label",
+            min_cos=0.2,
+            min_margin=0.1,
+        ).collect()
+    }
+    assert set(got) == {0}
+    assert got[0][0] == 101 and got[0][1] > 0.5
+    # with the margin bar dropped, the ambiguous source mines its
+    # (deterministic, id-tiebroken) best too
+    got2 = {
+        r["src_id"]: r["tgt_id"]
+        for r in mine_bitext(
+            df,
+            side_col="side",
+            src_side="src",
+            tgt_side="tgt",
+            cell_col="label",
+            min_cos=0.2,
+            min_margin=0.0,
+        ).collect()
+    }
+    assert got2 == {0: 101, 2: 105}
