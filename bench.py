@@ -114,6 +114,16 @@ HEADLINE_EXT = (
     "doc_chunk_indexed",
     "doc_coherent_pack",
     "mm_interleaved",
+    # r11 tiers: edit-distance dedup, dyadic PageRank over the
+    # near-dup graph, funnel + interval join, histogram quantiles,
+    # BLEU eval, bitext mining
+    "doc_edit_pairs",
+    "doc_graph_pagerank",
+    "events_funnel",
+    "events_error_windows",
+    "doc_length_quantiles",
+    "doc_bleu_eval",
+    "emb_bitext_mining",
 )
 
 

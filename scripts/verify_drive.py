@@ -947,5 +947,93 @@ with _tf.TemporaryDirectory() as _ci_dir:
         for r in _cis(spark, _ci_p, _ci_q, dim=16, k=5).collect()
     )
 
+# --- segment 17 (r11): dyadic PageRank recomputed INDEPENDENTLY in
+# pure Python over the same edge set (q20 grid, 7/8 damping) must be
+# BIT-EQUAL; histogram quantiles must bracket the exact order
+# statistic; edit-distance pairs re-verified with a naive DP.
+from starknet_etl_spark.operators.graph import pagerank as _pr
+
+_pr_edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+_pr_got = {
+    r["node"]: r["rank"]
+    for r in _pr(
+        spark.createDataFrame(_pr_edges, "id_1 long, id_2 long"),
+        rounds=4,
+    ).collect()
+}
+_pr_adj: dict[int, set[int]] = {}
+for _a, _b in _pr_edges:
+    _pr_adj.setdefault(_a, set()).add(_b)
+    _pr_adj.setdefault(_b, set()).add(_a)
+_pr_n = len(_pr_adj)
+_pr_base = _ds_q20(1.0 / 8.0 / _pr_n)
+_pr_rank = {v: _ds_q20(1.0 / _pr_n) for v in _pr_adj}
+for _ in range(4):
+    _pr_acc = {v: 0.0 for v in _pr_adj}
+    for _u, _nb in _pr_adj.items():
+        _c = _ds_q20(_pr_rank[_u] / len(_nb))
+        for _v in _nb:
+            _pr_acc[_v] += _c
+    _pr_rank = {
+        v: _ds_q20(_pr_base + 7.0 * _pr_acc[v] / 8.0) for v in _pr_adj
+    }
+assert _pr_got == _pr_rank, (_pr_got, _pr_rank)
+
+from starknet_etl_spark.operators.sketches import (
+    histogram_quantiles as _hq,
+    value_histogram as _vh,
+)
+
+_hq_vals = [float((i * 29) % 83) for i in range(240)]
+_hq_df = spark.createDataFrame(
+    [(i, v) for i, v in enumerate(_hq_vals)], "id long, v double"
+)
+_hq_kw = dict(lo=0.0, hi=96.0, n_bins=24)  # width 4.0, dyadic
+_hq_out = {
+    r["pct"]: r
+    for r in _hq(
+        _vh(_hq_df, "v", **_hq_kw), [50, 90, 99], **_hq_kw
+    ).collect()
+}
+_hq_sorted = sorted(_hq_vals)
+for _p in (50, 90, 99):
+    _exact = _hq_sorted[-(-(_p * len(_hq_sorted)) // 100) - 1]
+    _r = _hq_out[_p]
+    assert _r["bin_lo"] <= _exact < _r["bin_hi"], (_p, _r, _exact)
+    assert _r["cum"] * 100 >= _p * _r["total"]
+
+from starknet_etl_spark.operators.editdist import edit_pairs as _ep
+
+
+def _vd_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for _i, _ca in enumerate(a, 1):
+        cur = [_i]
+        for _j, _cb in enumerate(b, 1):
+            cur.append(
+                min(prev[_j] + 1, cur[_j - 1] + 1,
+                    prev[_j - 1] + (_ca != _cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_ep_base = "red green blue cyan magenta yellow black white gray pink"
+_ep_rows = [
+    (0, _ep_base),
+    (1, _ep_base.replace("cyan", "cyen")),
+    (2, _ep_base + "s"),
+]
+_ep_got = {
+    (r["id_1"], r["id_2"]): r["dist"]
+    for r in _ep(
+        spark.createDataFrame(_ep_rows, ["doc_id", "text"]),
+        "doc_id", "text", max_dist=2, n=3,
+    ).collect()
+}
+for (_i, _j), _d in _ep_got.items():
+    assert _d == _vd_lev(_ep_rows[_i][1], _ep_rows[_j][1]) <= 2
+assert set(_ep_got) == {(0, 1), (0, 2), (1, 2)}, _ep_got
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

@@ -128,7 +128,12 @@ _FIRST_50: tuple[str, ...] = (
     "domain_token_universe",
     "domain_swaps_nested",
     # LLM-data suite: dedup.
-    "doc_exact_dup_groups",
+    # doc_exact_dup_groups displaced to overflow in r11 (exact dedup
+    # stays in-window via doc_clean_corpus's exact_dup stage, and the
+    # row is a 0-row check at sf0.01) to admit the edit-distance
+    # near-dup family — the typo-class signal Jaccard/SimHash
+    # structurally cannot express.
+    "doc_edit_pairs",
     "doc_jaccard_pairs",
     "doc_minhash_lsh_pairs",
     "doc_simhash",

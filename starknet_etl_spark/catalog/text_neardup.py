@@ -373,3 +373,52 @@ QUERIES["doc_graph_pagerank"] = QuerySpec(
     " 2^-20-grid ranks, exact 7/8 damping, the full 5-round power"
     " iteration unrolled and bit-equal in the oracle",
 )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance clusters (r11): connected components over the
+# Levenshtein pair edges — typo-variant families collapse to one
+# cluster id (the containment_clusters composition, edit edition).
+# --------------------------------------------------------------------------
+
+
+def _edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    cc = connected_components(
+        _edit_pairs(spark, sf_dir), "id_1", "id_2"
+    )
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+
+
+_ED_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE edpairs AS (\n"
+    + _ED_ORACLE
+    + """
+),
+ede AS (SELECT id_1 AS a, id_2 AS b FROM edpairs
+        UNION SELECT id_2, id_1 FROM edpairs),
+edreach(a, b) AS (
+  SELECT a, b FROM ede
+  UNION
+  SELECT r.a, ede.b FROM edreach r JOIN ede ON r.b = ede.a
+),
+edclusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM edreach GROUP BY a
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id
+FROM edclusters
+"""
+)
+
+QUERIES["doc_edit_clusters"] = QuerySpec(
+    _edit_clusters,
+    _ED_CLUSTERS_ORACLE,
+    "dedup clusters over the Levenshtein pair edges — typo-variant"
+    " families collapse to one cluster id",
+)

@@ -1436,3 +1436,96 @@ QUERIES["doc_bleu_eval"] = QuerySpec(
     " (candidate, reference) pairs — exact-integer clipped matches,"
     " dyadic log2 combination (unsmoothed, NULL on zero precision)",
 )
+
+
+# --------------------------------------------------------------------------
+# Composed curation with the blocklist stage (r11): clean → blocklist
+# gate (banned term 'dup', max_hits=0) → jaccard near-dup clusters →
+# decontamination → redact/split, assembled through the curation
+# oracle skeleton's quality_block slot — the COMPOSITION with the new
+# stage is differential-checked end to end. Names _CBL_.
+# --------------------------------------------------------------------------
+
+_CBL_TERMS = ["dup"]
+
+
+def _curation_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    terms = spark.createDataFrame(
+        [(t,) for t in _CBL_TERMS], "term string"
+    )
+    curated, audit = curate_corpus(
+        corpus,
+        benchmark=bench,
+        blocklist_terms=terms,
+        blocklist_max_hits=0,
+        near_dup="jaccard",
+        threshold=0.8,
+        n=3,
+        max_df=None,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+_CBL_BLOCK = f"""bltk AS (
+  SELECT doc_id, ws[i] AS tok
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS ws
+    FROM kept0
+  ), unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+qdrop AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS q_score
+  FROM bltk
+  WHERE tok IN ({", ".join("'" + t + "'" for t in _CBL_TERMS)})
+  GROUP BY doc_id HAVING count(*) > 0
+)"""
+
+
+def _curation_blocklist_oracle() -> str:
+    from .text import _curation_oracle
+
+    return _curation_oracle(
+        quality_block=_CBL_BLOCK,
+        quality_stage="blocklist",
+        quality_reason=(
+            "'hits_' || CAST(CAST(q_score AS BIGINT) AS VARCHAR)"
+        ),
+    )
+
+
+QUERIES["doc_curation_blocklist"] = QuerySpec(
+    _curation_blocklist,
+    _curation_blocklist_oracle(),
+    "composed curation with the blocklist stage: clean -> banned-term"
+    " gate -> near-dup clusters -> decontamination -> redact/split,"
+    " end-to-end differential via the oracle skeleton",
+)

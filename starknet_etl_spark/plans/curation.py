@@ -74,6 +74,8 @@ def curate_corpus(
     langid_dim: int = 32,
     langid_allow: tuple[str, ...] = ("en",),
     langid_classes: tuple[str, ...] | None = None,
+    blocklist_terms: DataFrame | None = None,
+    blocklist_max_hits: int = 0,
     near_dup: str | None = "jaccard",
     threshold: float = 0.8,
     n: int = 3,
@@ -100,8 +102,9 @@ def curate_corpus(
     gate, split-assigned and scrubbed.
 
     ``audit``: (id, stage, reason) — one row per DROPPED document;
-    ``stage`` ∈ {gopher, clean, boilerplate, quality_floor, kn_floor,
-    dsir, near_dup, contamination}, ``reason`` is the clean verdict's
+    ``stage`` ∈ {gopher, clean, blocklist, boilerplate, quality_floor,
+    kn_floor, dsir, near_dup, contamination}, ``reason`` is the clean
+    verdict's
     drop_reason, ``shared_<frac>``, ``rank_<pct>``,
     ``dup_of_<cluster>``, or ``overlap_<frac>``.
 
@@ -336,6 +339,27 @@ def curate_corpus(
         kept = kept.join(bad_lang.select(id_col), id_col, "left_anti")
     else:
         audit_langid = None
+
+    # -- stage 1a1 (optional): blocklist gate (r11) — drop documents
+    # with more than ``blocklist_max_hits`` banned-term token matches
+    # (operators/text.blocklist_flags: token explode ⋈ broadcast term
+    # dim). Reason carries the exact integer hit count.
+    if blocklist_terms is not None:
+        from ..operators.text import blocklist_flags
+
+        bl = blocklist_flags(
+            kept, blocklist_terms, id_col=id_col, text_col=text_col
+        ).filter(F.col("n_hits") > F.lit(int(blocklist_max_hits)))
+        audit_block = bl.select(
+            ids,
+            F.lit("blocklist").alias("stage"),
+            F.concat(
+                F.lit("hits_"), F.col("n_hits").cast("string")
+            ).alias("reason"),
+        )
+        kept = kept.join(bl.select(id_col), id_col, "left_anti")
+    else:
+        audit_block = None
 
     # -- stage 1a (optional): learned quality gate
     if quality_model is not None:
@@ -667,9 +691,9 @@ def curate_corpus(
     ).drop("bucket")
 
     audit = audit_clean
-    for extra in (audit_gopher, audit_langid, audit_model, audit_boiler,
-                  audit_quality, audit_kn, audit_dsir, audit_dups,
-                  audit_contam):
+    for extra in (audit_gopher, audit_langid, audit_block, audit_model,
+                  audit_boiler, audit_quality, audit_kn, audit_dsir,
+                  audit_dups, audit_contam):
         if extra is not None:
             audit = audit.unionByName(extra)
     return curated, audit

@@ -483,6 +483,58 @@ def kmv_distinct_rows(
     ]
 
 
+def histogram_quantile_rows(
+    spark,
+    hist_path: str,
+    pcts: list[int],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> list[dict[str, Any]]:
+    """(pct, bin, bin_lo, bin_hi, cum, total) from the persisted
+    streaming histogram (streaming/sketches.start_histogram_stream):
+    merge the appended per-batch counters, read the quantiles off the
+    merged frame — n_bins rows of state no matter how much the stream
+    has seen. ``lo``/``hi``/``n_bins`` must match the stream's."""
+    from ..operators.sketches import histogram_quantiles
+    from ..streaming.sketches import read_histogram
+
+    if not pcts:
+        return []
+    out = histogram_quantiles(
+        read_histogram(spark, hist_path), pcts,
+        lo=lo, hi=hi, n_bins=n_bins,
+    ).orderBy("pct").collect()
+    return [
+        {
+            "pct": int(r["pct"]),
+            "bin": int(r["bin"]),
+            "bin_lo": float(r["bin_lo"]),
+            "bin_hi": float(r["bin_hi"]),
+            "cum": int(r["cum"]),
+            "total": int(r["total"]),
+        }
+        for r in out
+    ]
+
+
+def histogram_quantile_response(
+    spark,
+    hist_path: str,
+    pcts: list[int],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: histogram_quantile_rows(
+            spark, hist_path, pcts, lo=lo, hi=hi, n_bins=n_bins
+        )
+    )
+
+
 def quality_score_response(
     spark, model_path: str, texts: list[str], *, dim: int = 16
 ) -> dict[str, Any]:
@@ -809,6 +861,10 @@ def create_search_app(
     cms_width: int = 64,
     kmv_state: str | None = None,
     kmv_k: int = 256,
+    hist_state: str | None = None,
+    hist_lo: float = 0.0,
+    hist_hi: float = 1024.0,
+    hist_bins: int = 128,
     rollup_path: str | None = None,
     chunk_index: str | None = None,
     chunk_dim: int = 16,
@@ -839,6 +895,8 @@ def create_search_app(
     - ``GET /sketch/count?v=tok1,tok2`` (streaming count-min state;
       ``cms_depth``/``cms_width`` must match the stream's build)
     - ``GET /sketch/distinct`` (streaming KMV state, ``kmv_k`` ditto)
+    - ``GET /sketch/quantile?p=50,90,99`` (streaming histogram state;
+      ``hist_lo/hist_hi/hist_bins`` must match the stream's build)
     - ``GET /rollup?bucket_min=&bucket_max=`` (continuous aggregate:
       chunk-pruned merged read of the persisted rollup)
     - ``GET /chunks?q=query+text&k=10&n_probes=2`` (persisted
@@ -1031,6 +1089,18 @@ def create_search_app(
         def sketch_distinct():
             return run(
                 lambda: kmv_distinct_response(spark, kmv_state, k=kmv_k)
+            )
+
+    if hist_state is not None:
+
+        @app.get("/sketch/quantile")
+        def sketch_quantile(p: str = "50,90,99"):
+            return run(
+                lambda: histogram_quantile_response(
+                    spark, hist_state,
+                    [int(x) for x in p.split(",") if x],
+                    lo=hist_lo, hi=hist_hi, n_bins=hist_bins,
+                )
             )
 
     if positional_index is not None:

@@ -78,6 +78,8 @@ def start_curation_stream(
     dsir_tau: float = 0.0,
     dsir_buckets: int = 512,
     dsir_salt: str = "",
+    blocklist_terms: DataFrame | None = None,
+    blocklist_max_hits: int = 0,
     split_weights: dict[str, int] | None = None,
     split_salt: str = "",
     redact: bool = True,
@@ -118,6 +120,9 @@ def start_curation_stream(
     if dsir_lambdas is not None:
         # same: the frozen fit is B rows, re-joined every tick
         dsir_lambdas = dsir_lambdas.cache()
+    if blocklist_terms is not None:
+        # the term dim is KBs, re-broadcast every tick — pin it
+        blocklist_terms = blocklist_terms.cache()
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -192,6 +197,30 @@ def start_curation_stream(
             batch_id,
         )
         kept = kept.drop("__h").localCheckpoint()
+
+        # 2a1. blocklist gate (optional, r11) — the batch pipeline's
+        # stage 1a1 per tick: token explode ⋈ the cached broadcast
+        # term dim. Per-doc verdicts are independent + deterministic,
+        # so replay safety is structural.
+        if blocklist_terms is not None:
+            from ..operators.text import blocklist_flags
+
+            bl = blocklist_flags(
+                kept, blocklist_terms,
+                id_col=id_col, text_col=text_col,
+            ).filter(
+                F.col("n_hits") > F.lit(int(blocklist_max_hits))
+            )
+            audit = audit.unionByName(
+                bl.select(
+                    ids,
+                    F.lit("blocklist").alias("stage"),
+                    F.concat(
+                        F.lit("hits_"), F.col("n_hits").cast("string")
+                    ).alias("reason"),
+                )
+            )
+            kept = kept.join(bl.select(id_col), id_col, "left_anti")
 
         # 2b. learned quality gate (optional) — the batch pipeline's
         # quality_model stage, per tick; map-only scoring

@@ -907,3 +907,33 @@ def test_dsir_serving_core_and_route(spark, tmp_path):
     )
     r = client.get("/dsir", params={"t": texts[0]}).json()
     assert r["rows"][0]["dsir_weight"] == got[0]["dsir_weight"]
+
+
+def test_histogram_quantile_serving_core(spark, tmp_path):
+    """GET /sketch/quantile core: quantiles off persisted histogram
+    state bracket the exact order statistics; empty pct list -> []."""
+    import math
+
+    from starknet_etl_spark.operators.sketches import value_histogram
+    from starknet_etl_spark.serving.search_api import (
+        histogram_quantile_rows,
+    )
+
+    vals = [float((i * 11) % 64) for i in range(128)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    hp = str(tmp_path / "hist")
+    value_histogram(df, "v", lo=0.0, hi=64.0, n_bins=16).write.parquet(hp)
+    got = histogram_quantile_rows(
+        spark, hp, [50, 99], lo=0.0, hi=64.0, n_bins=16
+    )
+    assert [r["pct"] for r in got] == [50, 99]
+    s = sorted(vals)
+    for r in got:
+        exact = s[math.ceil(r["pct"] * len(s) / 100) - 1]
+        assert r["bin_lo"] <= exact < r["bin_hi"]
+        assert r["total"] == len(s)
+    assert histogram_quantile_rows(
+        spark, hp, [], lo=0.0, hi=64.0, n_bins=16
+    ) == []

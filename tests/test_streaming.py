@@ -1500,3 +1500,54 @@ def test_stream_curation_dsir_frozen_lambda_gate(spark, tmp_path):
         aud[d][1].startswith("dsir_w_") for d in dsir_drops
     )
     assert cur == {d for d, k in want.items() if k == 1}
+
+
+def test_curation_stream_blocklist_gate(spark, tmp_path):
+    """The streaming blocklist stage matches the batch stage: hit
+    docs audited with the exact-integer hits_<n> reason, the keep
+    sets agree with curate_corpus on the same corpus."""
+    from starknet_etl_spark.plans.curation import curate_corpus
+    from starknet_etl_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    filler = " ".join(f"tok{i} the and of to a value" for i in range(5))
+    rows = [
+        (1, f"clean document {filler}"),
+        (2, f"BANNED document {filler}"),
+        (3, f"banned banned document {filler}"),
+    ]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    terms = spark.createDataFrame([("banned",)], "term string")
+    q = start_curation_stream(
+        spark.readStream.schema(schema).parquet(src),
+        index_path=str(tmp_path / "index"),
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+        blocklist_terms=terms,
+        min_words=5,
+    )
+    q.awaitTermination(240)
+    cur = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "out")).collect()}
+    aud = {r["doc_id"]: (r["stage"], r["reason"])
+           for r in spark.read.parquet(str(tmp_path / "audit")).collect()}
+    assert cur == {1}
+    assert aud[2] == ("blocklist", "hits_1")  # case-folded match
+    assert aud[3] == ("blocklist", "hits_2")
+
+    # batch parity: curate_corpus with the same terms drops the same
+    batch_docs = spark.createDataFrame(rows, schema)
+    curated, audit = curate_corpus(
+        batch_docs, blocklist_terms=terms, min_words=5,
+        near_dup=None, redact=False,
+    )
+    assert {r["doc_id"] for r in curated.collect()} == cur
+    b_aud = {
+        r["doc_id"]: (r["stage"], r["reason"])
+        for r in audit.collect()
+    }
+    assert b_aud[2] == aud[2] and b_aud[3] == aud[3]
