@@ -50,14 +50,29 @@ def funnel(
     one): a user whose FIRST step-i event starts a window that
     expires before step i+1 does not convert, even if a later
     step-i event would have — windows anchor at first touch, they
-    don't slide to the most favorable chain."""
+    don't slide to the most favorable chain.
+
+    Builds EAGERLY for multi-step funnels (the eager_release
+    contract): each step's running frame is consumed twice (next
+    step's probe + the carry join), so it is localCheckpoint-ed per
+    step — without it step k re-scans the step-0 slice 2^(k−1)
+    times (measured: 7 scans for 3 steps)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from ..checkpointing import truncate
+
     out = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("user"))
         .agg(F.min(ts_col).alias("t_0"))
     )
+    if len(steps) > 1:
+        # every step consumes the running frame TWICE (the next
+        # step's join probe + the left side of the carry join) — the
+        # multi-consumer rule: truncate, or step k re-scans the
+        # step-0 event slice 2^(k-1) times (7 scans measured for a
+        # 3-step funnel before this)
+        out = truncate(out, None)
     for i in range(1, len(steps)):
         ev = df.filter(F.col(type_col) == steps[i]).select(
             F.col(user_col).alias("user"), F.col(ts_col).alias("__ts")
@@ -77,6 +92,8 @@ def funnel(
             .agg(F.min("__ts").alias(f"t_{i}"))
         )
         out = out.join(nxt, "user", "left")
+        if i < len(steps) - 1:
+            out = truncate(out, None)
     return out
 
 

@@ -651,3 +651,43 @@ def test_rollup_hourly_single_exchange(spark):
     tree = _tree(plan)
     assert tree.count("Exchange") == 1
     assert "HashAggregate" in tree
+
+
+def test_blocklist_broadcasts_term_dim(spark):
+    """The blocklist gate's scale property: the term dim joins as a
+    broadcast hash join (blocklists are KBs), never a shuffle."""
+    plan = _plan(spark, "doc_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_hash_equi_join(spark):
+    """The chunked-explode design claim at the catalog row: a hash
+    equi-join on the chunk id — never a BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "events_error_windows")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_pushes_step_filters_to_scan(spark):
+    """Each funnel step's event_type filter must reach the parquet
+    scan (PushedFilters), and the step chain must never cartesian."""
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # the final (live) step's equality predicate is pushed to its
+    # scan; earlier steps were eagerly truncated at build time — the
+    # multi-consumer rule: without it each step slice re-scanned
+    # 2^(k-1) times (7 scans measured for 3 steps before the fix),
+    # so their scans must NOT appear in the final plan at all.
+    assert "PushedFilters: [EqualTo(event_type,purchase)]" in plan
+    assert "EqualTo(event_type,view)" not in plan
+    assert "EqualTo(event_type,click)" not in plan
+
+
+def test_pagerank_no_cartesian(spark):
+    """Every pagerank round is an equi-join + dst-keyed sum; nothing
+    in the 5-round plan may degrade to a cartesian/nested loop."""
+    plan = _plan(spark, "doc_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan

@@ -834,3 +834,81 @@ def test_kmv_overlap_exact_when_k_covers_union(spark, xs, ys):
     assert r["k_union"] == union
     assert r["n_shared"] == inter
     assert r["jaccard_est"] == round(inter / union, 6)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    rounds=st.integers(1, 4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_bit_equals_naive_on_any_graph(spark, edges, rounds):
+    """r11: the distributed dyadic PageRank is BIT-EQUAL to a pure
+    sequential replay of the same recurrence on ANY small undirected
+    graph — the dyadic grid makes the claim exact, not approximate."""
+    import math
+
+    from starknet_etl_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, rounds=rounds).collect()
+    }
+
+    def q20(x):
+        return math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    base = q20(1.0 / 8.0 / n)
+    rank = {v: q20(1.0 / n) for v in adj}
+    for _ in range(rounds):
+        acc = {v: 0.0 for v in adj}
+        for u, nbrs in adj.items():
+            c = q20(rank[u] / len(nbrs))
+            for v in sorted(nbrs):
+                acc[v] += c
+        rank = {v: q20(base + 7.0 * acc[v] / 8.0) for v in adj}
+    assert got == rank
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_histogram_merge_invariant_under_any_split(spark, vals, split):
+    """r11: histogram(⊕ parts) == histogram(whole) for ANY way of
+    splitting the input — the mergeable-counter property that makes
+    the sketch append/stream-safe."""
+    from starknet_etl_spark.operators.sketches import (
+        merge_histograms,
+        value_histogram,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    kw = dict(lo=0.0, hi=100.0, n_bins=10)
+    whole = value_histogram(df, "v", **kw)
+    parts = [
+        value_histogram(df.filter(f"id % {split} = {j}"), "v", **kw)
+        for j in range(split)
+    ]
+    merged = merge_histograms(*parts)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
