@@ -91,8 +91,14 @@ def bleu_stats(
     counts (= ``c_1`` and the reference 1-gram total)."""
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
+    # multi-consumer rule (the r8 lesson, twice over): the input pair
+    # frame feeds BOTH sides' gram chains, and the reference chain
+    # feeds both the clip join and the ref-length fold — without the
+    # persists Catalyst re-derives the pair synthesis 3x and the ref
+    # explode+window 2x per action.
+    df = df.persist()
     cg = _gram_counts(df, id_col, cand_col, max_n, "c")
-    rg = _gram_counts(df, id_col, ref_col, max_n, "r")
+    rg = _gram_counts(df, id_col, ref_col, max_n, "r").persist()
     j = cg.join(rg, [id_col, "n", "gram"], "left").select(
         id_col,
         "n",
@@ -137,7 +143,7 @@ def bleu_stats(
         t = _q20(F.log2(F.col(f"m_{k}") / F.col(f"c_{k}")))
         prec = t if prec is None else prec + t
     score = bp + prec / F.lit(float(max_n))
-    return full.select(
+    out = full.select(
         id_col,
         F.col("c_1").alias("cand_len"),
         "ref_len",
@@ -145,3 +151,10 @@ def bleu_stats(
         *[f"c_{k}" for k in range(1, max_n + 1)],
         F.when(ok, score).alias("log2_bleu"),
     )
+    # eager_release contract: materialize the (pair-count-sized)
+    # result, then drop the two working caches deterministically
+    out = out.persist()
+    out.count()
+    rg.unpersist()
+    df.unpersist()
+    return out

@@ -339,14 +339,23 @@ def histogram_bin(
     col: Column, *, lo: float, hi: float, n_bins: int
 ) -> Column:
     """Clamped equi-width bin id: floor((x − lo)/width) clipped into
-    [0, n_bins−1] — out-of-range values land in the edge bins (a
-    documented clip, not a drop: totals stay exact)."""
+    [0, n_bins−1] — out-of-range values (±inf included) land in the
+    edge bins (a documented clip, not a drop: totals stay exact).
+
+    The clamp runs in DOUBLE space BEFORE the floor: ANSI mode's
+    floor(double)→BIGINT throws on non-finite input, so clamping
+    after would crash on ±inf. For finite x the two orders agree
+    (the clamp bounds are integers). NaN is the caller's problem —
+    value_histogram drops it via isnan (NaN == NaN is TRUE and NaN
+    orders GREATEST in Spark, so neither an equality self-check nor
+    the clamp catches it — an unfiltered NaN silently lands in the
+    TOP bin)."""
     width = (hi - lo) / n_bins
-    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
-    return F.least(
-        F.greatest(raw, F.lit(0).cast("long")),
-        F.lit(n_bins - 1).cast("long"),
+    clamped = F.least(
+        F.greatest((col - F.lit(lo)) / F.lit(width), F.lit(0.0)),
+        F.lit(float(n_bins - 1)),
     )
+    return F.floor(clamped).cast("long")
 
 
 def value_histogram(
@@ -366,8 +375,19 @@ def value_histogram(
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     g = list(group_cols or [])
+    # drop NULL and NaN: Spark's NaN semantics make NaN == NaN TRUE
+    # and order NaN GREATEST, so an unfiltered NaN silently counts in
+    # the top bin; isnan() only exists for floating types, so gate on
+    # the column's dtype
+    from pyspark.sql.types import DoubleType, FloatType
+
+    keep = F.col(value_col).isNotNull()
+    if isinstance(
+        df.schema[value_col].dataType, (DoubleType, FloatType)
+    ):
+        keep = keep & ~F.isnan(F.col(value_col))
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(keep)
         .groupBy(
             *g,
             histogram_bin(

@@ -633,3 +633,28 @@ def test_mine_bitext_margin_criterion(spark):
         ).collect()
     }
     assert got2 == {0: 101, 2: 105}
+
+
+def test_histogram_nonfinite_hardening(spark):
+    """r11 self-review: ANSI floor(double)->long throws on ±inf, and
+    NaN compares greatest in Spark ordering — the histogram clamps
+    infinities into the edge bins and DROPS NaN (with NULL)."""
+    df = spark.createDataFrame(
+        [
+            (0, float("inf")),
+            (1, float("-inf")),
+            (2, float("nan")),
+            (3, 55.0),
+            (4, None),
+        ],
+        "id long, v double",
+    )
+    from starknet_etl_spark.operators.sketches import value_histogram
+
+    got = {
+        r["bin"]: r["cnt"]
+        for r in value_histogram(
+            df, "v", lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    assert got == {9: 1, 0: 1, 5: 1}  # inf->top, -inf->0, NaN+NULL dropped
