@@ -103,3 +103,26 @@ def test_dhash_default_cap_bounds_degenerate_block(spark):
     default_pairs = dhash_pairs(df)
     assert pset(default_pairs) == pset(dhash_pairs(df, max_bucket=None))
     assert default_pairs.count() == uncapped
+
+
+def test_edit_pairs_max_df_bounds_hot_block(spark):
+    """r11: an identical-text hot block shares EVERY shingle — the
+    uncapped inverted index emits O(n_hot^2) candidates. With
+    max_df the hot shingles drop and no hot-block pair survives
+    (identical texts are the exact-dedup stage's job — edit_pairs'
+    cap semantics match minhash/jaccard: hot families are dropped,
+    not enumerated). The benign tail is unaffected."""
+    from starknet_etl_spark.operators.editdist import edit_pairs
+
+    df = _skewed(spark)
+    capped = edit_pairs(
+        df, "doc_id", "text", max_dist=2, n=3, max_df=30
+    )
+    rows = capped.collect()
+    # the hot block (N_HOT identical docs) forms no pair through the
+    # capped index: every shingle it shares has df = N_HOT > 30
+    assert not [
+        r for r in rows if r["id_1"] < N_HOT and r["id_2"] < N_HOT
+    ]
+    # cold docs differ by >2 edits pairwise: nothing else either
+    assert rows == []
