@@ -566,3 +566,39 @@ def test_snapshot_pins_training_export(spark, tmp_path):
     )
     assert shards_of(read_snapshot(spark, path, v)) == want
     assert shards_of(spark.read.parquet(path)) != want
+
+
+def test_snapshot_mtime_hint_catches_same_size_rewrite(spark, tmp_path):
+    """r11 (r9 verdict note): a rewrite producing an IDENTICAL-SIZE
+    file at an identical path passed the size-only integrity check —
+    the manifest now records mtime too, so the byte-for-byte-same
+    rewrite is caught. Pre-r11 manifests without the key keep the
+    size-only behavior (compat branch)."""
+    import os
+    import time
+
+    from starknet_etl_spark.io import read_snapshot, snapshot_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.parquet(path)
+    v = snapshot_table(spark, path)
+    assert read_snapshot(spark, path, v).count() == 2
+
+    # rewrite one pinned file with the SAME bytes (same size)
+    data_files = [
+        f"{path}/{f}"
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert data_files
+    blob = open(data_files[0], "rb").read()
+    time.sleep(1.1)  # ensure a distinct mtime at fs granularity
+    with open(data_files[0], "wb") as fh:
+        fh.write(blob)
+
+    import pytest as _pt
+
+    with _pt.raises(IOError, match="no longer readable"):
+        read_snapshot(spark, path, v)
