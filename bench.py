@@ -329,6 +329,7 @@ def main_skew() -> None:
         jaccard_pairs,
         minhash_lsh_pairs,
     )
+    from starknet_etl_spark.operators.editdist import edit_pairs
     from starknet_etl_spark.plans.curation import curate_corpus
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -345,6 +346,10 @@ def main_skew() -> None:
             ).count(),
             "jaccard_capped": lambda: jaccard_pairs(
                 skewed, "doc_id", "text", max_df_frac=0.1
+            ).count(),
+            "edit_capped": lambda: edit_pairs(
+                skewed, "doc_id", "text",
+                max_dist=2, n=3, max_df_frac=0.1,
             ).count(),
             "curate_corpus": lambda: curate_corpus(skewed)[0].count(),
         }
