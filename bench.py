@@ -124,6 +124,7 @@ HEADLINE_EXT = (
     "doc_length_quantiles",
     "doc_bleu_eval",
     "emb_bitext_mining",
+    "cust_fuzzy_match",
 )
 
 

@@ -973,3 +973,81 @@ QUERIES = {
         "global-avg scalar + NOT EXISTS anti-join (Q22 shape)",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity resolution (r11): cross-table record linkage via
+# character-q-gram-blocked Levenshtein (operators/editdist.fuzzy_join)
+# — the warehouse dedup-across-systems workload. The right side is a
+# deterministic typo mirror (every 10th customer's name with its 10th
+# character deleted) derived from the same expression in BOTH
+# engines; max_df=64 drops the identifier prefix / zero-run grams so
+# only discriminative tail grams block. Names _FZ_.
+# --------------------------------------------------------------------------
+
+_FZ_MIRROR = "substr(c_name, 1, 9) || substr(c_name, 11)"
+
+
+def _cust_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.editdist import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name"
+    )
+    right = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("m_custkey"),
+        F.expr(_FZ_MIRROR).alias("m_name"),
+    )
+    return fuzzy_join(
+        left, right,
+        left_id="c_custkey", left_text="c_name",
+        right_id="m_custkey", right_text="m_name",
+        max_dist=2, q=3, max_df=64,
+    )
+
+
+_FZ_ORACLE = f"""
+WITH fz_l AS MATERIALIZED (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 = 0
+),
+fz_r AS MATERIALIZED (
+  SELECT c_custkey AS m_custkey, {_FZ_MIRROR} AS m_name
+  FROM customer WHERE c_custkey % 10 = 0
+),
+fz_lg AS (
+  SELECT DISTINCT c_custkey AS id, substr(c_name, i, 3) AS g
+  FROM fz_l, unnest(generate_series(1, length(c_name) - 2)) AS t(i)
+  WHERE length(c_name) >= 3
+),
+fz_rg AS (
+  SELECT DISTINCT m_custkey AS id, substr(m_name, i, 3) AS g
+  FROM fz_r, unnest(generate_series(1, length(m_name) - 2)) AS t(i)
+  WHERE length(m_name) >= 3
+),
+fz_hot AS (
+  SELECT g FROM (
+    SELECT g FROM fz_lg UNION ALL SELECT g FROM fz_rg
+  ) GROUP BY g HAVING COUNT(*) > 64
+),
+fz_cand AS (
+  SELECT DISTINCT l.id AS c_custkey, r.id AS m_custkey
+  FROM (SELECT * FROM fz_lg WHERE g NOT IN (SELECT g FROM fz_hot)) l
+  JOIN (SELECT * FROM fz_rg WHERE g NOT IN (SELECT g FROM fz_hot)) r
+    ON l.g = r.g
+)
+SELECT c.c_custkey, c.m_custkey,
+       CAST(levenshtein(l.c_name, r.m_name) AS BIGINT) AS dist
+FROM fz_cand c
+JOIN fz_l l ON l.c_custkey = c.c_custkey
+JOIN fz_r r ON r.m_custkey = c.m_custkey
+WHERE abs(length(l.c_name) - length(r.m_name)) <= 2
+  AND levenshtein(l.c_name, r.m_name) <= 2
+"""
+
+QUERIES["cust_fuzzy_match"] = QuerySpec(
+    _cust_fuzzy_match,
+    _FZ_ORACLE,
+    "cross-table fuzzy entity resolution: character-q-gram-blocked"
+    " Levenshtein join (typo mirror), identifier-prefix grams capped",
+)

@@ -1529,3 +1529,136 @@ QUERIES["doc_curation_blocklist"] = QuerySpec(
     " gate -> near-dup clusters -> decontamination -> redact/split,"
     " end-to-end differential via the oracle skeleton",
 )
+
+
+# --------------------------------------------------------------------------
+# ROUGE eval stats (r11): the recall-side twin of doc_bleu_eval over
+# the same synthesized (candidate = every-7th-token-dropped, ref =
+# the doc) pairs — exact-integer clipped matches and totals, 6-dp
+# organic ratios (identical doubles from identical integers).
+# Names _RG_.
+# --------------------------------------------------------------------------
+
+
+def _rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evalmetrics import rouge_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    cand = (
+        toks.filter(F.col("pos") % 7 != 6)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("cand")
+        )
+    )
+    pairs = cand.join(
+        docs.select("doc_id", F.col("text").alias("ref")), "doc_id"
+    )
+    return rouge_stats(pairs, "doc_id", "cand", "ref", max_n=2)
+
+
+def _rg_gram_cte(tag: str, src: str) -> str:
+    arms = []
+    for n in (1, 2):
+        gram = "ws[i]" if n == 1 else "ws[i] || ' ' || ws[i+1]"
+        arms.append(
+            f"SELECT doc_id, {n} AS n, {gram} AS gram\n"
+            f"    FROM {src},"
+            f" unnest(generate_series(1, greatest(len(ws) - {n - 1},"
+            f" 0))) AS t(i)"
+        )
+    return (
+        f"{tag} AS MATERIALIZED (\n  SELECT doc_id, n, gram,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM (\n    "
+        + "\n    UNION ALL ".join(arms)
+        + "\n  ) GROUP BY 1, 2, 3\n)"
+    )
+
+
+def _rouge_oracle() -> str:
+    per_k = []
+    for k in (1, 2):
+        p = f"COALESCE(m_{k}, 0) * 1.0 / ct_{k}"
+        r = f"COALESCE(m_{k}, 0) * 1.0 / rt_{k}"
+        per_k.append(
+            f"CAST(COALESCE(m_{k}, 0) AS BIGINT) AS m_{k},\n"
+            f"       CAST(ct_{k} AS BIGINT) AS ct_{k},\n"
+            f"       CAST(rt_{k} AS BIGINT) AS rt_{k},\n"
+            f"       ROUND(CASE WHEN ct_{k} > 0 THEN {p} END, 6)"
+            f" AS rouge_{k}_p,\n"
+            f"       ROUND(CASE WHEN rt_{k} > 0 THEN {r} END, 6)"
+            f" AS rouge_{k}_r,\n"
+            f"       ROUND(CASE WHEN ct_{k} > 0 AND rt_{k} > 0"
+            f" AND COALESCE(m_{k}, 0) > 0 THEN"
+            f" 2.0 * ({p}) * ({r}) / (({p}) + ({r})) END, 6)"
+            f" AS rouge_{k}_f"
+        )
+    per_k_sql = ",\n       ".join(per_k)
+    return f"""
+WITH rg_ws AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+rg_rtk AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM rg_ws, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] <> ''
+),
+rg_rws AS MATERIALIZED (
+  SELECT doc_id, list(w ORDER BY i) AS ws FROM rg_rtk GROUP BY doc_id
+),
+rg_cws AS MATERIALIZED (
+  SELECT doc_id, list(w ORDER BY i) AS ws
+  FROM rg_rtk WHERE (i - 1) % 7 <> 6 GROUP BY doc_id
+),
+{_rg_gram_cte("rg_cg", "rg_cws")},
+{_rg_gram_cte("rg_rg", "rg_rws")},
+rg_m AS (
+  SELECT c.doc_id,
+         SUM(CASE WHEN c.n = 1 THEN least(c.cnt, r.cnt) END) AS m_1,
+         SUM(CASE WHEN c.n = 2 THEN least(c.cnt, r.cnt) END) AS m_2
+  FROM rg_cg c JOIN rg_rg r
+    ON r.doc_id = c.doc_id AND r.n = c.n AND r.gram = c.gram
+  GROUP BY c.doc_id
+),
+rg_ct AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 1 THEN cnt END) AS ct_1,
+         SUM(CASE WHEN n = 2 THEN cnt END) AS ct_2
+  FROM rg_cg GROUP BY doc_id
+),
+rg_rt AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 1 THEN cnt END) AS rt_1,
+         SUM(CASE WHEN n = 2 THEN cnt END) AS rt_2
+  FROM rg_rg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       {per_k_sql}
+FROM rg_rt t
+LEFT JOIN rg_ct c ON c.doc_id = t.doc_id
+LEFT JOIN rg_m m ON m.doc_id = t.doc_id
+"""
+
+
+QUERIES["doc_rouge_eval"] = QuerySpec(
+    _rouge_eval,
+    _rouge_oracle(),
+    "ROUGE-1/2 sufficient statistics + P/R/F1 over the synthesized"
+    " eval pairs — the recall-side twin of doc_bleu_eval, exact"
+    " integer matches, 6-dp organic ratios",
+)

@@ -134,3 +134,111 @@ def edit_pairs(
         "id_1", "id_2", F.col("dist").cast("long").alias("dist")
     )
     return _eager_release(out, [sh], eager_release)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-table entity resolution: ``(left_id, right_id, dist)``
+    for every cross pair within Levenshtein distance ``max_dist``,
+    among pairs sharing at least one character ``q``-gram (the
+    blocking contract — record-linkage keys are single tokens, so
+    blocking is CHARACTER q-grams here, not the token shingles
+    ``edit_pairs`` uses for documents).
+
+    ``max_df`` drops q-grams whose document frequency ACROSS BOTH
+    SIDES exceeds the cap — shared prefixes and zero-runs in
+    identifier-shaped keys ("Customer#000…") put every row in one
+    block; the discriminative tail grams stay. Two strings within
+    ``max_dist`` edits share every q-gram not within ``q−1`` chars of
+    an edit, so capping common grams keeps recall for keys whose
+    distinguishing characters are rare (document the cap with the
+    key shape in mind).
+
+    Same verify as ``edit_pairs``: lossless |lenΔ| ≤ k prune, then
+    the early-abandoning threshold DP."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+
+    def grams(df: DataFrame, id_c: str, t_c: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_c).alias("__id"),
+                F.col(t_c).alias("__t"),
+            )
+            # strings shorter than q have no q-gram and can't block
+            # (documented: they only pair when BOTH fall back to... —
+            # they don't; callers lower q for very short keys).
+            # Spark's sequence(1, stop) DESCENDS when stop < 1, so
+            # the filter also guards the position explode.
+            .filter(F.length("__t") >= q)
+            .select(
+                "__id",
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.length("__t") - F.lit(q - 1)
+                    )
+                ).alias("__i"),
+                "__t",
+            )
+            .select(
+                "__id",
+                F.xxhash64(
+                    F.expr(f"substring(__t, __i, {int(q)})")
+                ).alias("__g"),
+            )
+            .distinct()
+        )
+
+    lg = grams(left, left_id, left_text)
+    rg = grams(right, right_id, right_text)
+    if max_df is not None:
+        dfreq = (
+            lg.unionByName(rg)
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+        hot = dfreq.filter(F.col("__df") > max_df).select("__g")
+        lg = lg.join(F.broadcast(hot), "__g", "left_anti")
+        rg = rg.join(F.broadcast(hot), "__g", "left_anti")
+    cand = (
+        lg.select(F.col("__id").alias("__lid"), "__g")
+        .join(rg.select(F.col("__id").alias("__rid"), "__g"), "__g")
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    lt = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_text).alias("__lt"),
+        F.length(left_text).alias("__ll"),
+    )
+    rt = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_text).alias("__rt"),
+        F.length(right_text).alias("__rl"),
+    )
+    return (
+        cand.join(lt, "__lid")
+        .join(rt, "__rid")
+        .filter(F.abs(F.col("__ll") - F.col("__rl")) <= F.lit(max_dist))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.levenshtein(
+                F.col("__lt"), F.col("__rt"), max_dist
+            ).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(left_id, right_id, F.col("dist").cast("long").alias("dist"))
+    )

@@ -158,3 +158,88 @@ def bleu_stats(
     rg.unpersist()
     df.unpersist()
     return out
+
+
+def rouge_stats(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    *,
+    max_n: int = 2,
+) -> DataFrame:
+    """Per-pair ROUGE-N sufficient statistics + scores: for each
+    n ≤ max_n, ``m_n`` (clipped n-gram matches), ``ct_n`` (candidate
+    totals), ``rt_n`` (reference totals) — all BIGINT — plus
+    ``rouge_<n>_r`` (recall m/rt), ``rouge_<n>_p`` (precision m/ct)
+    and ``rouge_<n>_f`` (F1), 6-dp rounded. Integer inputs make the
+    ratios identical doubles in every engine; only the final rounding
+    touches the emission (organic ratios — the 6-dp discipline).
+
+    BLEU asks "how much of the candidate is in the reference"
+    (precision, length-penalized); ROUGE asks the recall question —
+    both ride the same gram machinery (one explode + window per
+    side)."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    # multi-consumer rule: BOTH gram chains feed two consumers here
+    # (the clip intersection + their own totals fold)
+    df = df.persist()
+    cg = _gram_counts(df, id_col, cand_col, max_n, "c").persist()
+    rg = _gram_counts(df, id_col, ref_col, max_n, "r").persist()
+    inter = cg.join(rg, [id_col, "n", "gram"]).select(
+        id_col,
+        "n",
+        F.least("c_cnt", "r_cnt").alias("clip"),
+    )
+    m = inter.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("clip")))
+            .cast("long")
+            .alias(f"m_{k}")
+            for k in range(1, max_n + 1)
+        ]
+    )
+    ct = cg.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("c_cnt")))
+            .cast("long")
+            .alias(f"ct_{k}")
+            for k in range(1, max_n + 1)
+        ]
+    )
+    rt = rg.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("n") == k, F.col("r_cnt")))
+            .cast("long")
+            .alias(f"rt_{k}")
+            for k in range(1, max_n + 1)
+        ]
+    )
+    full = rt.join(ct, id_col, "left").join(m, id_col, "left")
+    cols = [F.col(id_col)]
+    for k in range(1, max_n + 1):
+        mk = F.coalesce(F.col(f"m_{k}"), F.lit(0))
+        ctk = F.coalesce(F.col(f"ct_{k}"), F.lit(0))
+        rtk = F.col(f"rt_{k}")
+        p = F.when(ctk > 0, mk / ctk)
+        r = F.when(rtk > 0, mk / rtk)
+        f1 = F.when(
+            (ctk > 0) & (rtk > 0) & (mk > 0),
+            2.0 * (mk / ctk) * (mk / rtk)
+            / (mk / ctk + mk / rtk),
+        )
+        cols += [
+            mk.cast("long").alias(f"m_{k}"),
+            ctk.cast("long").alias(f"ct_{k}"),
+            rtk.cast("long").alias(f"rt_{k}"),
+            F.round(p, 6).alias(f"rouge_{k}_p"),
+            F.round(r, 6).alias(f"rouge_{k}_r"),
+            F.round(f1, 6).alias(f"rouge_{k}_f"),
+        ]
+    out = full.select(*cols).persist()
+    out.count()
+    cg.unpersist()
+    rg.unpersist()
+    df.unpersist()
+    return out

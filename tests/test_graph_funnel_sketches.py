@@ -658,3 +658,127 @@ def test_histogram_nonfinite_hardening(spark):
         ).collect()
     }
     assert got == {9: 1, 0: 1, 5: 1}  # inf->top, -inf->0, NaN+NULL dropped
+
+
+# ---------------------------------------------------------- fuzzy join
+
+
+def test_fuzzy_join_matches_naive(spark):
+    from starknet_etl_spark.operators.editdist import fuzzy_join
+
+    lrows = [(1, "jonathan smith"), (2, "mary jones"), (3, "bob")]
+    rrows = [
+        (10, "jonathan smyth"),   # dist 1 to 1
+        (11, "marie jones"),      # dist 2 to 2
+        (12, "completely other"), # no match
+        (13, "bo"),               # shorter than q=3: never blocks
+    ]
+    left = spark.createDataFrame(lrows, "lid long, name string")
+    right = spark.createDataFrame(rrows, "rid long, name string")
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(
+            left, right,
+            left_id="lid", left_text="name",
+            right_id="rid", right_text="name",
+            max_dist=2, q=3,
+        ).collect()
+    }
+
+    def qg(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    want = {
+        (li, ri): _lev(ln, rn)
+        for li, ln in lrows
+        for ri, rn in rrows
+        if qg(ln) & qg(rn) and _lev(ln, rn) <= 2
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 1
+    assert (2, 11) in got and got[(2, 11)] == 2
+    assert not any(r == 13 for _, r in got)  # sub-q key never blocks
+
+
+def test_fuzzy_join_max_df_drops_shared_prefix(spark):
+    from starknet_etl_spark.operators.editdist import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(i, f"Customer#00000{i:04d}") for i in range(0, 40, 2)],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"Customer#0000{i:04d}") for i in range(0, 40, 4)],
+        "rid long, name string",
+    )
+    out = fuzzy_join(
+        left, right,
+        left_id="lid", left_text="name",
+        right_id="rid", right_text="name",
+        max_dist=1, q=3, max_df=10,
+    ).collect()
+    # every mirror with a DISCRIMINATIVE tail still links its source
+    # (dist 1: one deleted zero); the all-zero key (i=0) is the
+    # documented recall caveat — every one of its q-grams is a common
+    # zero-run, so under the cap it cannot block at all
+    linked = {(r["lid"], r["rid"]) for r in out}
+    for i in range(4, 40, 4):
+        assert (i, 100 + i) in linked
+    assert (0, 100) not in linked  # the documented cap/recall tradeoff
+    assert all(r["dist"] <= 1 for r in out)
+
+
+def test_fuzzy_join_validation(spark):
+    from starknet_etl_spark.operators.editdist import fuzzy_join
+
+    df = spark.createDataFrame([(1, "ab")], "id long, name string")
+    kw = dict(left_id="id", left_text="name",
+              right_id="id", right_text="name")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_dist"):
+        fuzzy_join(df, df, max_dist=-1, **kw)
+    with _pt.raises(ValueError, match="q must"):
+        fuzzy_join(df, df, q=0, **kw)
+
+
+# ---------------------------------------------------------- rouge
+
+
+def test_rouge_identity_and_clipping(spark):
+    from starknet_etl_spark.operators.evalmetrics import rouge_stats
+
+    txt = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (0, txt, txt),                 # identity: P=R=F=1
+            (1, "the the the", "the cat"), # clip at ref count
+            (2, "xx yy", "aa bb"),         # zero overlap
+        ],
+        "id long, cand string, ref string",
+    )
+    got = {r["id"]: r for r in rouge_stats(
+        df, "id", "cand", "ref", max_n=2
+    ).collect()}
+    r0 = got[0]
+    assert (r0["rouge_1_p"], r0["rouge_1_r"], r0["rouge_1_f"]) == (
+        1.0, 1.0, 1.0,
+    )
+    assert r0["rouge_2_f"] == 1.0
+    r1 = got[1]
+    assert (r1["m_1"], r1["ct_1"], r1["rt_1"]) == (1, 3, 2)
+    assert r1["rouge_1_r"] == 0.5  # 1 clipped match of 2 ref grams
+    assert r1["m_2"] == 0 and r1["rouge_2_f"] is None
+    r2 = got[2]
+    assert r2["m_1"] == 0 and r2["rouge_1_p"] == 0.0
+    assert r2["rouge_1_f"] is None  # F1 undefined at zero overlap
+
+
+def test_rouge_validation(spark):
+    from starknet_etl_spark.operators.evalmetrics import rouge_stats
+
+    df = spark.createDataFrame(
+        [(0, "a", "a")], "id long, cand string, ref string"
+    )
+    with pytest.raises(ValueError, match="max_n"):
+        rouge_stats(df, "id", "cand", "ref", max_n=0)
