@@ -912,3 +912,112 @@ def test_histogram_merge_invariant_under_any_split(spark, vals, split):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=3, max_size=8),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_join_matches_bruteforce(spark, names):
+    """r11: fuzzy_join == brute force (shared-q-gram AND lev <= k)
+    on arbitrary short keys over a colliding alphabet."""
+    from starknet_etl_spark.operators.editdist import fuzzy_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def qg(s):
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    left = spark.createDataFrame(
+        list(enumerate(names)), "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n[::-1]) for i, n in enumerate(names)],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(
+            left, right,
+            left_id="lid", left_text="name",
+            right_id="rid", right_text="name",
+            max_dist=2, q=3,
+        ).collect()
+    }
+    want = {
+        (li, 100 + ri): lev(ln, rn)
+        for li, ln in enumerate(names)
+        for ri, rn_orig in enumerate(names)
+        for rn in [rn_orig[::-1]]
+        if qg(ln) & qg(rn) and lev(ln, rn) <= 2
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),            # user
+            st.integers(0, 50),           # ts offset
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_counts_monotone_and_match_naive(spark, rows):
+    """r11: funnel step counts are monotone non-increasing and equal
+    a sequential greedy replay on arbitrary event streams."""
+    import datetime as _dt
+
+    from starknet_etl_spark.operators.funnel import funnel_counts
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + _dt.timedelta(seconds=s), t) for u, s, t in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+    steps = ["a", "b", "c"]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert got[0] >= got[1] >= got[2]
+
+    # naive greedy earliest-chain replay
+    per_user: dict[int, list] = {}
+    for u, ts, t in data:
+        per_user.setdefault(u, []).append((ts, t))
+    want = [0, 0, 0]
+    for u, evs in per_user.items():
+        prev = None
+        for i, s in enumerate(steps):
+            cands = [
+                ts for ts, t in evs
+                if t == s and (prev is None or ts > prev)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            want[i] += 1
+    assert [got[i] for i in range(3)] == want
