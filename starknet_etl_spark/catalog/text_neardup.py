@@ -422,3 +422,112 @@ QUERIES["doc_edit_clusters"] = QuerySpec(
     "dedup clusters over the Levenshtein pair edges — typo-variant"
     " families collapse to one cluster id",
 )
+
+
+# --------------------------------------------------------------------------
+# WEIGHTED PageRank (r11 cont.): mass flows proportionally to the
+# Jaccard edge weight — a strong near-dup tie pulls more rank than a
+# borderline one. Weights are q20-quantized on ingest (an organic-
+# double weighted degree would be partition-order-dependent; dyadic
+# weights sum exactly), so the full unroll stays bit-equal.
+# Names _PRW_/prw.
+# --------------------------------------------------------------------------
+
+
+def _graph_pagerank_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=_PR_THRESHOLD, max_df_frac=0.10,
+    )
+    return pagerank(
+        edges, weight="jaccard", rounds=_PR_ROUNDS
+    ).select(F.col("node").cast("long").alias("doc_id"), "rank")
+
+
+def _prw_round_cte(k: int) -> str:
+    return f"""prwk{k} AS MATERIALIZED (
+  SELECT n.node, n.base,
+         floor((n.base + 7.0 * COALESCE(s.acc, 0.0) / 8.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS rank
+  FROM prwbase n LEFT JOIN (
+    SELECT e.d AS node,
+           SUM(floor(r.rank * e.w / e.wdeg * 1048576.0 + 0.5)
+               / 1048576.0) AS acc
+    FROM prwedge e JOIN prwk{k - 1} r ON r.node = e.s
+    GROUP BY e.d
+  ) s ON s.node = n.node
+)"""
+
+
+_PRW_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE.strip().rstrip()
+    + f""",
+prwhot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+prwshc AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM prwhot)
+),
+prwzs AS (SELECT doc_id, COUNT(*) AS n_sh FROM prwshc GROUP BY doc_id),
+prwinter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+  FROM prwshc a JOIN prwshc b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prwpairs AS MATERIALIZED (
+  SELECT id_1, id_2,
+         floor(ROUND(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6)
+               * 1048576.0 + 0.5) / 1048576.0 AS w
+  FROM prwinter
+  JOIN prwzs s1 ON s1.doc_id = id_1
+  JOIN prwzs s2 ON s2.doc_id = id_2
+  WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= {_PR_THRESHOLD}
+),
+prwe0 AS (
+  SELECT id_1 AS s, id_2 AS d, w FROM prwpairs WHERE w > 0
+  UNION ALL
+  SELECT id_2, id_1, w FROM prwpairs WHERE w > 0
+),
+prwdeg AS (SELECT s, SUM(w) AS wdeg FROM prwe0 GROUP BY s),
+prwedge AS MATERIALIZED (
+  SELECT e.s, e.d, e.w, g.wdeg
+  FROM prwe0 e JOIN prwdeg g ON g.s = e.s
+),
+prwn AS (
+  SELECT COUNT(DISTINCT node) AS n FROM (
+    SELECT s AS node FROM prwe0
+    UNION ALL SELECT d FROM prwe0)
+),
+prwbase AS MATERIALIZED (
+  SELECT node,
+         floor(1.0 / prwn.n * 1048576.0 + 0.5) / 1048576.0 AS rank,
+         floor((1.0 / 8.0 / prwn.n) * 1048576.0 + 0.5)
+           / 1048576.0 AS base
+  FROM (SELECT DISTINCT s AS node FROM prwe0), prwn
+),
+prwk0 AS (SELECT node, base, rank FROM prwbase),
+"""
+    + ",\n".join(_prw_round_cte(k) for k in range(1, _PR_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, rank
+FROM prwk{_PR_ROUNDS}
+"""
+)
+
+QUERIES["doc_graph_pagerank_weighted"] = QuerySpec(
+    _graph_pagerank_weighted,
+    _PRW_ORACLE,
+    "WEIGHTED dyadic PageRank over the Jaccard near-dup graph —"
+    " q20-quantized edge weights (exact weighted degrees), the full"
+    " 5-round proportional-mass unroll bit-equal in the oracle",
+)

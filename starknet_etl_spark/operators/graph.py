@@ -41,6 +41,7 @@ def pagerank(
     *,
     src: str = "id_1",
     dst: str = "id_2",
+    weight: str | None = None,
     directed: bool = False,
     rounds: int = 5,
     damping_num: int = 7,
@@ -62,7 +63,17 @@ def pagerank(
     with ``base = q20(((den−num)/den)/N)``. ``damping_num/den`` must
     be a dyadic rational (den a power of two) to keep the scale
     multiply exact — the default 7/8 is the classic 0.85 snapped to
-    the grid."""
+    the grid.
+
+    ``weight`` (optional): an edge-weight column — mass flows
+    proportionally (``contrib = q20(rank·w / Σw_out)``, evaluated
+    per edge). Weights are QUANTIZED to the 2^-20 grid on ingest so
+    the weighted out-degrees sum EXACTLY (an organic-double sum is
+    partition-order-dependent — the bit-parity claim would die
+    there); a rank (2^-20) × weight (2^-20) product is a 2^-40-grid
+    value, exact in IEEE. Parallel edges ACCUMULATE weight (the
+    unweighted path dedupes them instead — its historical
+    semantics, kept bit-identical)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if damping_den & (damping_den - 1) or not (
@@ -74,22 +85,43 @@ def pagerank(
         )
     from ..checkpointing import RoundCheckpointer, truncate
 
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    )
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d")
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            _q20(F.col(weight)).alias("__w"),
+        )
     if not directed:
         e = e.unionByName(
             e.select(
-                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+                F.col("__d").alias("__s"),
+                F.col("__s").alias("__d"),
+                *(["__w"] if weight is not None else []),
             )
         )
-    e = e.distinct()
+    if weight is None:
+        e = e.distinct()
+        deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    else:
+        # parallel edges accumulate; dyadic weights sum exactly.
+        # A weight that quantizes to <= 0 carries no mass — drop it
+        # BEFORE degrees, or an all-zero-out node's wdeg of 0 turns
+        # rank·0/0 into NaN and poisons every downstream sum.
+        e = (
+            e.filter(F.col("__w") > 0)
+            .groupBy("__s", "__d")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        deg = e.groupBy("__s").agg(F.sum("__w").alias("__wdeg"))
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     # degree rides the edge frame once; every round reuses it
     ed = truncate(
         e.join(deg, "__s"),
@@ -112,12 +144,17 @@ def pagerank(
             _q20(leak / den / F.col("__n")).alias("__base"),
         )
     )
+    c_expr = (
+        (F.col("rank") / F.col("__deg"))
+        if weight is None
+        else (F.col("rank") * F.col("__w") / F.col("__wdeg"))
+    )
     for _ in range(rounds):
         contrib = (
             ranks.join(ed, ranks["node"] == ed["__s"])
             .select(
                 F.col("__d").alias("node"),
-                _q20(F.col("rank") / F.col("__deg")).alias("__c"),
+                _q20(c_expr).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))

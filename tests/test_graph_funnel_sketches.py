@@ -782,3 +782,62 @@ def test_rouge_validation(spark):
     )
     with pytest.raises(ValueError, match="max_n"):
         rouge_stats(df, "id", "cand", "ref", max_n=0)
+
+
+def test_pagerank_weighted_matches_naive_and_shifts_mass(spark):
+    """Weighted PageRank: bit-equal to a pure replay of the
+    proportional-mass recurrence, and a heavy edge pulls more rank
+    to its endpoint than the unweighted run gives it."""
+    from starknet_etl_spark.operators.graph import pagerank
+
+    # star: center 0; edge to 1 is 9x heavier than to 2/3
+    pairs = [(0, 1, 0.9), (0, 2, 0.1), (0, 3, 0.1)]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, weight="w", rounds=4).collect()
+    }
+
+    adj: dict[int, dict[int, float]] = {}
+    for a, b, w in pairs:
+        w = _q20(w)
+        adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + w
+        adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + w
+    n = len(adj)
+    base = _q20(1.0 / 8.0 / n)
+    rank = {v: _q20(1.0 / n) for v in adj}
+    for _ in range(4):
+        acc = {v: 0.0 for v in adj}
+        for u, nbrs in adj.items():
+            wdeg = sum(nbrs.values())
+            for v, w in nbrs.items():
+                acc[v] += _q20(rank[u] * w / wdeg)
+        rank = {v: _q20(base + 7.0 * acc[v] / 8.0) for v in adj}
+    assert got == rank  # bit-equal
+
+    unw = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges.select("id_1", "id_2"), rounds=4
+        ).collect()
+    }
+    assert got[1] > unw[1]  # the heavy edge pulls mass to node 1
+    assert got[2] < unw[2]
+
+
+def test_pagerank_weighted_drops_zero_weight_edges(spark):
+    """A weight that q20-quantizes to <= 0 carries no mass: the edge
+    drops, its endpoints only rank if another edge names them."""
+    from starknet_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 9, 1e-9)], "id_1 long, id_2 long, w double"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, weight="w", rounds=3).collect()
+    }
+    assert set(r) == {0, 1}  # node 9's only edge quantized away
+    import math
+    for v in r.values():
+        assert not math.isnan(v)
