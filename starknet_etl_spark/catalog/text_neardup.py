@@ -531,3 +531,76 @@ QUERIES["doc_graph_pagerank_weighted"] = QuerySpec(
     " q20-quantized edge weights (exact weighted degrees), the full"
     " 5-round proportional-mass unroll bit-equal in the oracle",
 )
+
+
+# --------------------------------------------------------------------------
+# PERSONALIZED PageRank (r11 cont.): restart mass returns only to a
+# seed set — ranks measure proximity TO the seeds (the retrieval-
+# expansion / related-documents variant). Seeds are a PREDICATE
+# (node % 3 == 0), not an id list, so the row is regeneration-robust.
+# Names _PPR_/ppr.
+# --------------------------------------------------------------------------
+
+
+def _graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = D.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=_PR_THRESHOLD, max_df_frac=0.10,
+    )
+    return pagerank(
+        edges, seeds=F.col("node") % 3 == 0, rounds=_PR_ROUNDS
+    ).select(F.col("node").cast("long").alias("doc_id"), "rank")
+
+
+def _ppr_round_cte(k: int) -> str:
+    return f"""pprk{k} AS MATERIALIZED (
+  SELECT n.node, n.base,
+         floor((n.base + 7.0 * COALESCE(s.acc, 0.0) / 8.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS rank
+  FROM pprbase n LEFT JOIN (
+    SELECT e.d AS node,
+           SUM(floor(r.rank / e.deg * 1048576.0 + 0.5)
+               / 1048576.0) AS acc
+    FROM predge e JOIN pprk{k - 1} r ON r.node = e.s
+    GROUP BY e.d
+  ) s ON s.node = n.node
+)"""
+
+
+# reuses the unweighted graph CTEs (predge/prn) from _PR_ORACLE: the
+# chain below re-spells them under the same names.
+_PPR_ORACLE = (
+    _PR_ORACLE[: _PR_ORACLE.index("prbase AS MATERIALIZED")]
+    + f"""pprns AS (
+  SELECT COUNT(*) AS ns FROM (
+    SELECT DISTINCT s AS node FROM predge0) WHERE node % 3 = 0
+),
+pprbase AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node % 3 = 0
+              THEN floor(1.0 / pprns.ns * 1048576.0 + 0.5) / 1048576.0
+              ELSE 0.0 END AS rank,
+         CASE WHEN node % 3 = 0
+              THEN floor((1.0 / 8.0 / pprns.ns) * 1048576.0 + 0.5)
+                   / 1048576.0
+              ELSE 0.0 END AS base
+  FROM (SELECT DISTINCT s AS node FROM predge0), pprns
+),
+pprk0 AS (SELECT node, base, rank FROM pprbase),
+"""
+    + ",\n".join(_ppr_round_cte(k) for k in range(1, _PR_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, rank
+FROM pprk{_PR_ROUNDS}
+"""
+)
+
+QUERIES["doc_graph_ppr"] = QuerySpec(
+    _graph_ppr,
+    _PPR_ORACLE,
+    "personalized PageRank: restart mass only to the seed predicate"
+    " (node % 3 == 0) — proximity-to-seeds ranking for retrieval"
+    " expansion, the full 5-round unroll bit-equal in the oracle",
+)

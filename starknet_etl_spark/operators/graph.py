@@ -42,6 +42,7 @@ def pagerank(
     src: str = "id_1",
     dst: str = "id_2",
     weight: str | None = None,
+    seeds: Column | None = None,
     directed: bool = False,
     rounds: int = 5,
     damping_num: int = 7,
@@ -73,7 +74,17 @@ def pagerank(
     there); a rank (2^-20) × weight (2^-20) product is a 2^-40-grid
     value, exact in IEEE. Parallel edges ACCUMULATE weight (the
     unweighted path dedupes them instead — its historical
-    semantics, kept bit-identical)."""
+    semantics, kept bit-identical).
+
+    ``seeds`` (optional): a boolean predicate over the ``node``
+    column — PERSONALIZED PageRank: restart mass returns only to
+    seed nodes (``base = q20(((den−num)/den)/|S|)`` on seeds, 0
+    elsewhere; ``rank₀`` likewise), so ranks measure proximity TO
+    the seed set — the retrieval-expansion / related-documents
+    variant. The predicate form (not an id list) keeps the call
+    regeneration-robust. At least one node must satisfy it (a
+    zero-seed graph has no restart distribution — the base division
+    fails loudly under ANSI)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if damping_den & (damping_den - 1) or not (
@@ -127,23 +138,37 @@ def pagerank(
         e.join(deg, "__s"),
         reliable_checkpoint_dir,
     )
-    # N as a 1-row broadcast scalar: the base term stays in-plan
-    n_df = F.broadcast(
-        nodes.agg(F.count(F.lit(1)).alias("__n"))
-    )
+    # N (or |seeds|) as a 1-row broadcast scalar: the base term
+    # stays in-plan
     leak = F.lit(float(damping_den - damping_num))
     den = F.lit(float(damping_den))
     num = F.lit(float(damping_num))
     # per-round frames rotate (keep=2); the pinned edge frame above
     # used the plain truncate — the trainers' lifetime contract
     rot = RoundCheckpointer(reliable_checkpoint_dir)
-    ranks = rot.truncate(
-        nodes.join(n_df).select(
+    if seeds is None:
+        n_df = F.broadcast(
+            nodes.agg(F.count(F.lit(1)).alias("__n"))
+        )
+        init = nodes.join(n_df).select(
             "node",
             _q20(F.lit(1.0) / F.col("__n")).alias("rank"),
             _q20(leak / den / F.col("__n")).alias("__base"),
         )
-    )
+    else:
+        s_df = F.broadcast(
+            nodes.filter(seeds).agg(F.count(F.lit(1)).alias("__ns"))
+        )
+        init = nodes.join(s_df).select(
+            "node",
+            F.when(seeds, _q20(F.lit(1.0) / F.col("__ns")))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+            F.when(seeds, _q20(leak / den / F.col("__ns")))
+            .otherwise(F.lit(0.0))
+            .alias("__base"),
+        )
+    ranks = rot.truncate(init)
     c_expr = (
         (F.col("rank") / F.col("__deg"))
         if weight is None
