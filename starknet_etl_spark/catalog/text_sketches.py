@@ -264,8 +264,8 @@ hq_x AS (
   WHERE cum * 100 >= p.pct * total
 )
 SELECT source, CAST(pct AS BIGINT) AS pct, bin,
-       ROUND({_HQ_LO} + bin * 8.0, 6) AS bin_lo,
-       ROUND({_HQ_LO} + (bin + 1) * 8.0, 6) AS bin_hi,
+       CAST(ROUND({_HQ_LO} + bin * 8.0, 6) AS DOUBLE) AS bin_lo,
+       CAST(ROUND({_HQ_LO} + (bin + 1) * 8.0, 6) AS DOUBLE) AS bin_hi,
        cum, total
 FROM hq_x WHERE rn = 1
 """

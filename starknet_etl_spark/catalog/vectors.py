@@ -1408,6 +1408,10 @@ QUERIES["emb_hard_negatives"] = QuerySpec(
 
 _BT_MIN_COS = 0.2
 _BT_MIN_MARGIN = 0.02
+# margin-visibility floor (r12 ADVICE): candidates mined at
+# min_cos − min_margin so every runner-up able to flip the margin
+# decision is observed; min_cos gates the best pair only.
+_BT_FLOOR = max(0.0, _BT_MIN_COS - _BT_MIN_MARGIN)
 
 
 def _bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,12 +1450,13 @@ bt1 AS (
          lead(ROUND(cos, 6)) OVER (
            PARTITION BY src_id
            ORDER BY ROUND(cos, 6) DESC, tgt_id) AS c2
-  FROM bt0 WHERE cos >= {_BT_MIN_COS}
+  FROM bt0 WHERE ROUND(cos, 6) >= {_BT_FLOOR}
 )
 SELECT src_id, tgt_id, cos_sim,
-       cos_sim - COALESCE(c2, 0.0) AS margin
+       cos_sim - COALESCE(c2, {_BT_FLOOR}) AS margin
 FROM bt1
-WHERE rn = 1 AND cos_sim - COALESCE(c2, 0.0) >= {_BT_MIN_MARGIN}
+WHERE rn = 1 AND cos_sim >= {_BT_MIN_COS}
+  AND cos_sim - COALESCE(c2, {_BT_FLOOR}) >= {_BT_MIN_MARGIN}
 """
 
 QUERIES["emb_bitext_mining"] = QuerySpec(

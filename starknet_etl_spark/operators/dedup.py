@@ -138,12 +138,13 @@ def jaccard_pairs(
     """
     if max_df is not None and max_df_frac is not None:
         raise ValueError("pass max_df or max_df_frac, not both")
-    sh = shingles(df, id_col, text_col, n=n).select(
+    sh_cached = shingles(df, id_col, text_col, n=n).select(
         id_col,
         # join on the 64-bit hash, not the string: ~5x less shuffle
         # volume; collision odds are ~n_pairs/2^64, irrelevant.
         F.xxhash64("shingle").alias("sh_h"),
     ).persist()  # consumed 3x below (sizes + both join sides)
+    sh = sh_cached
     if max_df is not None or max_df_frac is not None:
         dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
         if max_df is not None:
@@ -195,7 +196,9 @@ def jaccard_pairs(
     out = jac.filter(F.col("jaccard") >= threshold).select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     )
-    return _eager_release(out, [sh], eager_release)
+    # release the PERSISTED frame (`sh` is reassigned under the df
+    # caps — unpersisting the derived frame would leak the cache)
+    return _eager_release(out, [sh_cached], eager_release)
 
 
 def containment_pairs(
@@ -232,10 +235,11 @@ def containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if max_df is not None and max_df_frac is not None:
         raise ValueError("pass max_df or max_df_frac, not both")
-    sh = shingles(df, id_col, text_col, n=n).select(
+    sh_cached = shingles(df, id_col, text_col, n=n).select(
         id_col,
         F.xxhash64("shingle").alias("sh_h"),
     ).persist()  # sizes + both join sides (the jaccard_pairs layout)
+    sh = sh_cached
     if max_df is not None or max_df_frac is not None:
         dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
         if max_df is not None:
@@ -290,7 +294,8 @@ def containment_pairs(
             F.round("containment", 6).alias("containment"),
         )
     )
-    return _eager_release(out, [sh], eager_release)
+    # the persisted handle, not the cap-reassigned `sh` (leak class)
+    return _eager_release(out, [sh_cached], eager_release)
 
 
 # --------------------------------------------------------------------------

@@ -69,11 +69,12 @@ def edit_pairs(
         raise ValueError("max_dist must be >= 0")
     if max_df is not None and max_df_frac is not None:
         raise ValueError("pass max_df or max_df_frac, not both")
-    sh = (
+    sh_cached = (
         shingles(df, id_col, text_col, n=n)
         .select(id_col, F.xxhash64("shingle").alias("sh_h"))
         .persist()
     )
+    sh = sh_cached
     if max_df is not None or max_df_frac is not None:
         dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
         if max_df is not None:
@@ -133,7 +134,10 @@ def edit_pairs(
     out = verified.select(
         "id_1", "id_2", F.col("dist").cast("long").alias("dist")
     )
-    return _eager_release(out, [sh], eager_release)
+    # release the PERSISTED frame, not the cap-filtered derivation of
+    # it (`sh` is reassigned under max_df — unpersisting the derived
+    # frame is a no-op and the index cache leaks for the session)
+    return _eager_release(out, [sh_cached], eager_release)
 
 
 def fuzzy_join(

@@ -120,14 +120,23 @@ def funnel_counts(
             for i in range(len(steps))
         ]
     )
-    # unpivot the 1-row aggregate: stack is a pure projection
-    stack = ", ".join(
-        f"{i}L, '{steps[i]}', __n{i}" for i in range(len(steps))
-    )
-    return counts.select(
-        F.expr(
-            f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
+    # unpivot the 1-row aggregate as a pure column expression — never
+    # SQL text (a step name containing a quote must be DATA, not
+    # syntax; the parse_turns lesson)
+    row = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("step"),
+                    F.lit(steps[i]).alias("step_name"),
+                    F.col(f"__n{i}").alias("n_users"),
+                )
+                for i in range(len(steps))
+            ]
         )
+    )
+    return counts.select(row.alias("__r")).select(
+        "__r.step", "__r.step_name", "__r.n_users"
     )
 
 

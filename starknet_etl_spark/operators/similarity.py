@@ -2101,20 +2101,27 @@ def mine_bitext(
 
     ``margin = cos₁ − cos₂`` over 6-dp-rounded scores (the
     nearest_in_cell ranking discipline: deterministic cross-engine
-    order with an ascending-id tiebreak); a source with a SINGLE
-    above-threshold candidate gets ``margin = cos₁`` (runner-up 0 —
-    documented, callers wanting strictness raise ``min_margin``).
+    order with an ascending-id tiebreak). Candidates are mined at a
+    LOWER floor than ``min_cos`` — ``max(0, min_cos − min_margin)``
+    — so any runner-up close enough to flip the margin decision is
+    OBSERVED (a runner-up below that floor proves the true margin
+    exceeds ``min_margin``, so censoring can never admit an
+    ambiguous pair); ``min_cos`` then applies to the BEST pair only.
+    A source whose runner-up sits below the mining floor gets
+    ``margin = cos₁ − floor`` — a conservative LOWER bound on the
+    true margin (never overstated).
 
     Scale: candidates come from the cell-scoped blocked GEMM
     (``cosine_near_dup_pairs`` — Σ_c N_c², never |src|·|tgt|), the
     top-2 is one source-keyed window. Cross-side orientation is a
     post-filter on the undirected pair set, so both directions ride
     ONE GEMM pass."""
+    floor = max(0.0, float(min_cos) - float(min_margin))
     pairs = cosine_near_dup_pairs(
         df,
         id_col=id_col,
         vec_col=vec_col,
-        threshold=min_cos,
+        threshold=floor,
         n_blocks=n_blocks,
         cell_col=cell_col,
     )
@@ -2157,12 +2164,15 @@ def mine_bitext(
     )
     return (
         ranked.filter(F.col("__rn") == 1)
+        # min_cos gates the BEST pair only; candidates were mined at
+        # the lower margin-visibility floor
+        .filter(F.col("cos_sim") >= F.lit(float(min_cos)))
         .select(
             "src_id",
             "tgt_id",
             "cos_sim",
             (
-                F.col("cos_sim") - F.coalesce("__c2", F.lit(0.0))
+                F.col("cos_sim") - F.coalesce("__c2", F.lit(floor))
             ).alias("margin"),
         )
         .filter(F.col("margin") >= F.lit(float(min_margin)))

@@ -157,6 +157,35 @@ def test_funnel_counts_and_order(spark):
     assert got == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_funnel_counts_quoted_step_names(spark):
+    """Step names containing SQL syntax are DATA, not syntax — the
+    unpivot is a pure column expression, never interpolated text
+    (r11 ADVICE: a quote in a step name broke the stack() expr)."""
+    from starknet_etl_spark.operators.funnel import funnel_counts
+
+    steps = ["it's a view", "cli'ck -- )", "purchase"]
+    rows = [
+        (1, _ts(0), steps[0]),
+        (1, _ts(10), steps[1]),
+        (1, _ts(20), steps[2]),
+        (2, _ts(0), steps[0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["step_name"]: (r["step"], r["n_users"])
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert got == {
+        steps[0]: (0, 2),
+        steps[1]: (1, 1),
+        steps[2]: (2, 1),
+    }
+
+
 def test_funnel_window_anchors_at_first_touch(spark):
     """The documented first-touch semantics: u1's first view at t=0
     opens a 100 s window that expires before the click at t=150,
@@ -633,6 +662,54 @@ def test_mine_bitext_margin_criterion(spark):
         ).collect()
     }
     assert got2 == {0: 101, 2: 105}
+
+
+def test_mine_bitext_subthreshold_runner_up_observed(spark):
+    """r11 ADVICE: a runner-up sitting just BELOW min_cos but within
+    min_margin of the best must REJECT the pair — candidates are
+    mined at the min_cos − min_margin floor so the runner-up is
+    observed, not censored into a fake margin of cos₁ − 0."""
+    from starknet_etl_spark.operators.similarity import mine_bitext
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        # src 0: best cos ≈ 0.9, runner-up cos ≈ 0.85 —
+        # runner-up is BELOW min_cos=0.88 but within min_margin=0.1
+        (0, v(1, 0, 0, 0), 0, "src"),
+        (101, v(0.9, 0.435890, 0, 0), 0, "tgt"),   # cos = 0.9
+        (103, v(0.85, 0.526783, 0, 0), 0, "tgt"),  # cos = 0.85
+        # src 2: clear twin, runner-up far below the floor — mines,
+        # and its margin is the conservative cos₁ − floor bound
+        (2, v(0, 1, 0, 0), 1, "src"),
+        (105, v(0.1, 0.99, 0, 0), 1, "tgt"),
+        (107, v(1, 0, 0, 0), 1, "tgt"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, side string"
+    )
+    got = {
+        r["src_id"]: (r["tgt_id"], r["cos_sim"], r["margin"])
+        for r in mine_bitext(
+            df,
+            side_col="side",
+            src_side="src",
+            tgt_side="tgt",
+            cell_col="label",
+            min_cos=0.88,
+            min_margin=0.1,
+        ).collect()
+    }
+    # src 0 is ambiguous (0.9 vs 0.85 < 0.1 apart) — rejected even
+    # though the runner-up itself fails min_cos
+    assert 0 not in got
+    assert set(got) == {2}
+    tgt, cos1, margin = got[2]
+    assert tgt == 105
+    # runner-up (cos 0) below the 0.78 floor: margin is the lower
+    # bound cos₁ − floor, never the overstated cos₁ − 0
+    assert abs(margin - (cos1 - 0.78)) < 1e-9
 
 
 def test_histogram_nonfinite_hardening(spark):
