@@ -1,0 +1,416 @@
+"""Learned dense word embeddings — distributed SGNS-equivalent
+shifted-PPMI factorization on the dyadic grid.
+
+Every semantic tier in the engine (semantic dedup, bitext mining,
+coherent packing, topic clusters, the chunk index) consumes
+``text.hash_embed`` — a RANDOM md5 projection of token counts. That
+is the right zero-model bridge, but nothing TRAINS a vector space:
+two synonyms hash to unrelated directions forever. This module
+learns one, Spark-first and engine-exact, and every downstream
+vector operator upgrades by swapping the embedding column.
+
+Algorithm — SGNS as explicit matrix factorization (public result:
+Levy & Goldberg 2014, "Neural Word Embedding as Implicit Matrix
+Factorization": skip-gram with k negative samples converges to a
+factorization of the PMI matrix shifted by log k). The stochastic
+per-pair SGD of word2vec is order-dependent by construction and can
+never be bit-reproduced across partitionings, so the engine trains
+the EQUIVALENT objective deterministically:
+
+1. **Co-occurrence**: exact integer counts of (center, context)
+   token pairs within a ±``window`` offset of the original token
+   positions (OOV tokens keep their position — gaps count toward
+   distance, exactly like word2vec's window over the raw stream).
+2. **Targets**: ``tgt(w,c) = q20(max(0, log2(n_wc·T / (n_w·n_c))
+   − shift_log2) / target_scale)`` — shifted positive PMI, log2 +
+   dyadic quantize (the knlm.py discipline: organic count ratios
+   have no structural midpoints), scaled by a power of two into
+   [0, ~1.3] so every later gradient sum stays inside the exact
+   dyadic budget.
+3. **Factorization**: two factor matrices U (center) and V
+   (context), md5-initialized on the grid, trained by ``n_rounds``
+   of full-batch JACOBI gradient descent on the squared error
+   ``Σ_(w,c) (u_w·v_c − tgt)²`` over the nonzero-target pairs —
+   both gradients evaluated against the SAME current (U, V), so the
+   update is order-free. Per round and per (word, dim):
+   ``g_u = q20(Σ_c r·v_cd / n_ctx(w))``, ``u ← q20(u − lr·g_u)``
+   with ``r = q20(u_w·v_c − tgt)`` and ``lr`` a dyadic rational.
+
+Numeric contract (the quality_model/graph discipline): every stored
+value is on the 2^-20 grid, every product of two grid values is a
+2^-40-grid double (exact while |x| < 2^13), every aggregate sums
+bounded exact terms — order-independent integer arithmetic in
+disguise, bit-identical across engines AND partitionings. The whole
+R-round training unrolls as chained MATERIALIZED CTEs in the DuckDB
+oracle (catalog/text_embeddings.py) and replays bit-equal in
+sequential numpy (tests/test_embeddings.py hypothesis property).
+
+Scale shape: tokenize + one broadcast vocab join; co-occurrence is
+``window`` positional equi-joins (linear in corpus tokens, never a
+per-doc quadratic self-join); the pair/target frame is at most
+|vocab|² rows; each GD round is two (pairs ⋈ U ⋈ V) joins + two
+(word, dim)-keyed aggregate — linear shuffles on model-sized
+frames, lineage cut per round (RoundCheckpointer; pass
+``reliable_checkpoint_dir`` on preemptible fleets, SCALING.md).
+
+Reference anchor: the representation-learning tier the reference's
+report pipeline (generate_report_dag.py:34-115) would delegate to
+its warehouse — built from scratch here because no public warehouse
+ships a deterministic distributed word2vec.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..checkpointing import RoundCheckpointer, truncate as _truncate
+
+_GRID = 1048576.0  # 2^20
+_H32 = 4294967296.0  # 2^32
+
+
+def _q20(c):
+    return F.floor(c * F.lit(_GRID) + F.lit(0.5)) / F.lit(_GRID)
+
+
+def _clamp2(c):
+    """[−2, 2] factor clamp — ±2 are on-grid, greatest/least are
+    exact; a diverging learning rate saturates instead of NaN-ing."""
+    return F.greatest(F.lit(-2.0), F.least(F.lit(2.0), c))
+
+
+def _tokens_with_pos(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, t): whitespace tokens at their ORIGINAL 0-based
+    split positions (empty tokens drop but their position gap
+    remains — window distances match the raw stream)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "__t"),
+    ).filter(F.col("__t") != "")
+
+
+def _init_factor(vocab: DataFrame, dim: int, tag: str) -> DataFrame:
+    """(word_id, d, val): md5-derived init in [−0.125, 0.125) on the
+    q20 grid — ``q20((h32(tag:word_id:d)/2^32 − 0.5) / 4)``. Every
+    step (division by a power of two, subtraction of 0.5) is exact;
+    the recipe replays verbatim in DuckDB and hashlib."""
+    dims = vocab.sparkSession.range(dim).select(
+        F.col("id").cast("int").alias("d")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(tag),
+                    F.col("word_id").cast("string"),
+                    F.col("d").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return vocab.select("word_id").crossJoin(F.broadcast(dims)).select(
+        "word_id",
+        "d",
+        _q20((h / F.lit(_H32) - F.lit(0.5)) / F.lit(4.0)).alias("val"),
+    )
+
+
+def build_cooc_targets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int,
+    window: int,
+    shift_log2: int = 0,
+    target_scale: float = 16.0,
+) -> tuple[DataFrame, DataFrame]:
+    """(vocab, targets): ``vocab`` = (token, word_id, cnt) — the top
+    ``vocab_size`` tokens by (count DESC, token ASC), word_id the
+    0-based dense rank; ``targets`` = (w, c, tgt) — the q20 shifted
+    positive PMI of every co-occurring in-vocab pair (tgt > 0 rows
+    only; the factorization's sparse supervision)."""
+    toks = _tokens_with_pos(df, id_col, text_col)
+    # top-V cut via TakeOrderedAndProject (distributed top-k — never
+    # a global sort; the build_vocab discipline), then the dense
+    # word_id rank is a window over the V-row result only.
+    top = (
+        toks.groupBy(F.col("__t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    wd = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = top.select(
+        "token",
+        "cnt",
+        (F.row_number().over(wd) - 1).cast("long").alias("word_id"),
+    )
+    vt = toks.join(
+        F.broadcast(vocab.select(F.col("token").alias("__t"), "word_id")),
+        "__t",
+    ).select(F.col(id_col).alias("__doc"), "pos", "word_id")
+    # forward pairs at exact offsets 1..window (linear positional
+    # equi-joins — never a per-doc quadratic self-join), symmetrized
+    # by counting each unordered occurrence in both orientations.
+    offs = F.explode(
+        F.array(*[F.lit(k) for k in range(1, window + 1)])
+    ).alias("__k")
+    probe = vt.select(
+        "__doc", "pos", F.col("word_id").alias("__wa"), offs
+    ).select(
+        "__doc",
+        (F.col("pos") + F.col("__k")).alias("pos"),
+        "__wa",
+    )
+    # probe.pos == b.pos ⇔ b sits at exact forward offset k of a —
+    # ONE (doc, pos) equi-key, window× probe replication, linear.
+    fwd = probe.join(
+        vt.select("__doc", "pos", F.col("word_id").alias("__wb")),
+        ["__doc", "pos"],
+    )
+    pairs = fwd.select(
+        F.col("__wa").alias("w"), F.col("__wb").alias("c")
+    ).unionByName(
+        fwd.select(F.col("__wb").alias("w"), F.col("__wa").alias("c"))
+    )
+    cooc = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).alias("n_wc"))
+    mw = cooc.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    mc = cooc.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    tot = F.broadcast(cooc.agg(F.sum("n_wc").alias("__tot")))
+    ratio = (
+        F.col("n_wc").cast("double") * F.col("__tot").cast("double")
+    ) / (F.col("n_w").cast("double") * F.col("n_c").cast("double"))
+    targets = (
+        cooc.join(mw, "w")
+        .join(mc, "c")
+        .join(tot)
+        .select(
+            "w",
+            "c",
+            _q20(
+                F.greatest(
+                    F.lit(0.0), F.log2(ratio) - F.lit(float(shift_log2))
+                )
+                / F.lit(float(target_scale))
+            ).alias("tgt"),
+        )
+        .filter(F.col("tgt") > 0)
+    )
+    return vocab, targets
+
+
+def train_word_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 256,
+    dim: int = 8,
+    window: int = 2,
+    n_rounds: int = 6,
+    lr: float = 2.0,
+    shift_log2: int = 0,
+    target_scale: float = 4.0,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Train word vectors; returns the CENTER factor U long-form —
+    ``(token, word_id, d, val)`` — the model artifact (the context
+    factor V is training scaffolding, as in word2vec exports).
+
+    ``lr`` and ``target_scale`` must be powers of two (dyadic grid
+    preservation); ``shift_log2`` is the negative-sampling shift in
+    log2 space (``k`` negatives ⇔ ``shift_log2 = log2 k``), exact by
+    construction.
+
+    Factor values are clamped to [−2, 2] after every update (greatest/
+    least — deterministic and grid-preserving), so a diverging lr
+    degrades gracefully instead of overflowing to NaN. In the
+    convergent regime (the defaults; planted-synonym recall 1.0 in
+    tests) magnitudes stay ≤ ~1 and every gradient sum sits orders of
+    magnitude inside the 2^-40-grid exactness window (|Σ| < 2^13)."""
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if lr <= 0 or not math.log2(lr).is_integer():
+        raise ValueError(f"lr must be a power of two, got {lr}")
+    if target_scale <= 0 or not math.log2(target_scale).is_integer():
+        raise ValueError(
+            f"target_scale must be a power of two, got {target_scale}"
+        )
+    vocab, targets = build_cooc_targets(
+        df,
+        id_col,
+        text_col,
+        vocab_size=vocab_size,
+        window=window,
+        shift_log2=shift_log2,
+        target_scale=target_scale,
+    )
+    vocab = _truncate(vocab, reliable_checkpoint_dir)
+    tg = _truncate(targets, reliable_checkpoint_dir)
+    # per-word/per-context pair counts: the gradient normalizers
+    ncw = _truncate(
+        tg.groupBy("w").agg(F.count(F.lit(1)).alias("n_ctx")),
+        reliable_checkpoint_dir,
+    )
+    ncc = _truncate(
+        tg.groupBy("c").agg(F.count(F.lit(1)).alias("n_ctx")),
+        reliable_checkpoint_dir,
+    )
+    rot_u = RoundCheckpointer(reliable_checkpoint_dir)
+    rot_v = RoundCheckpointer(reliable_checkpoint_dir)
+    rot_r = RoundCheckpointer(reliable_checkpoint_dir)
+    u = rot_u.truncate(_init_factor(vocab, dim, "u"))
+    v = rot_v.truncate(_init_factor(vocab, dim, "v"))
+    lrl = F.lit(float(lr))
+    for _ in range(n_rounds):
+        dots = (
+            tg.join(
+                u.select(F.col("word_id").alias("w"), "d", F.col("val").alias("__u")),
+                "w",
+            )
+            .join(
+                v.select(F.col("word_id").alias("c"), "d", F.col("val").alias("__v")),
+                ["c", "d"],
+            )
+            .groupBy("w", "c", "tgt")
+            .agg(F.sum(F.col("__u") * F.col("__v")).alias("__dot"))
+        )
+        resid = dots.select(
+            "w", "c", _q20(F.col("__dot") - F.col("tgt")).alias("r")
+        )
+        # Jacobi: BOTH gradients read the same frozen (U, V); resid
+        # feeds two arms — frozen per round, superseded rounds
+        # deleted (the RoundCheckpointer lifetime contract).
+        resid = rot_r.truncate(resid)
+        gu = (
+            resid.join(
+                v.select(F.col("word_id").alias("c"), "d", F.col("val").alias("__v")),
+                "c",
+            )
+            .groupBy("w", "d")
+            .agg(F.sum(F.col("r") * F.col("__v")).alias("__g"))
+            .join(ncw, "w")
+            .select(
+                F.col("w").alias("word_id"),
+                "d",
+                _q20(F.col("__g") / F.col("n_ctx")).alias("g"),
+            )
+        )
+        gv = (
+            resid.join(
+                u.select(F.col("word_id").alias("w"), "d", F.col("val").alias("__u")),
+                "w",
+            )
+            .groupBy("c", "d")
+            .agg(F.sum(F.col("r") * F.col("__u")).alias("__g"))
+            .join(ncc, "c")
+            .select(
+                F.col("c").alias("word_id"),
+                "d",
+                _q20(F.col("__g") / F.col("n_ctx")).alias("g"),
+            )
+        )
+        new_u = (
+            u.join(gu, ["word_id", "d"], "left")
+            .select(
+                "word_id",
+                "d",
+                _clamp2(
+                    _q20(
+                        F.col("val") - lrl * F.coalesce("g", F.lit(0.0))
+                    )
+                ).alias("val"),
+            )
+        )
+        new_v = (
+            v.join(gv, ["word_id", "d"], "left")
+            .select(
+                "word_id",
+                "d",
+                _clamp2(
+                    _q20(
+                        F.col("val") - lrl * F.coalesce("g", F.lit(0.0))
+                    )
+                ).alias("val"),
+            )
+        )
+        u = rot_u.truncate(new_u)
+        v = rot_v.truncate(new_v)
+    return vocab.select("token", "word_id").join(u, "word_id").select(
+        "token", "word_id", "d", "val"
+    )
+
+
+def embed_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vectors: DataFrame,
+    *,
+    dim: int,
+) -> DataFrame:
+    """(id, embedding array<double>): mean-pooled learned word
+    vectors over a document's in-vocab tokens (multiplicity counts,
+    exactly like the bag hash_embed pools) — ``q20(Σ val / n_tok)``
+    per dimension. Documents with NO in-vocab token emit no row
+    (they have no representation in the learned space — callers
+    union a fallback if needed). One explode + one broadcast model
+    join + one (id, d) aggregate: doc-keyed shuffles only."""
+    toks = _tokens_with_pos(df, id_col, text_col).select(
+        id_col, F.col("__t").alias("token")
+    )
+    hit = toks.join(
+        F.broadcast(vectors.select("token", "d", "val")), "token"
+    )
+    # every in-vocab token contributes one row PER dim, so the
+    # per-(id, d) row count IS the in-vocab token count — one
+    # aggregate serves sum and normalizer (no second consumer arm)
+    pooled = hit.groupBy(id_col, "d").agg(
+        _q20(F.sum("val") / F.count(F.lit(1))).alias("__x")
+    )
+    return (
+        pooled.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "__x"))
+            ).alias("__sx")
+        )
+        .select(
+            id_col,
+            F.col("__sx.__x").alias("embedding"),
+        )
+    )
+
+
+def save_word_vectors(vectors: DataFrame, path: str) -> None:
+    """Persist the model long-form, keyed by (word_id, d) — the
+    io.save_table keyed-merge contract (idempotent re-save)."""
+    from .. import io as _io
+
+    _io.save_table(
+        vectors.select("token", "word_id", "d", "val"),
+        path,
+        dedup_keys=["word_id", "d"],
+    )
+
+
+def load_word_vectors(spark, path: str) -> DataFrame:
+    from .. import io as _io
+
+    return _io.load_table(spark, path)

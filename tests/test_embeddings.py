@@ -1,0 +1,292 @@
+"""Learned word embeddings (operators/embeddings.py): bit-equality
+vs a sequential Python replay of the exact algorithm, the
+planted-synonym recall gate vs hash_embed, pooling semantics, and
+the save/load lifecycle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from starknet_etl_spark.operators.embeddings import (
+    embed_docs,
+    load_word_vectors,
+    save_word_vectors,
+    train_word_vectors,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _q20f(x: float) -> float:
+    return math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+
+def _ref_train(
+    docs,
+    *,
+    vocab_size,
+    dim,
+    window,
+    n_rounds,
+    lr=2.0,
+    shift_log2=0,
+    target_scale=4.0,
+):
+    """Sequential replica of train_word_vectors. Every aggregate in
+    the distributed trainer sums EXACT dyadic terms, so this in-order
+    loop must produce bit-identical doubles."""
+    toks = {}
+    for did, text in docs:
+        parts = re.split(r"\s+", text.strip().lower())
+        toks[did] = [(p, t) for p, t in enumerate(parts) if t != ""]
+    cnt = Counter(t for ts in toks.values() for _, t in ts)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    wid = {t: i for i, (t, _) in enumerate(top)}
+    cooc: Counter = Counter()
+    for ts in toks.values():
+        posmap = {p: wid[t] for p, t in ts if t in wid}
+        for p, w in posmap.items():
+            for k in range(1, window + 1):
+                b = posmap.get(p + k)
+                if b is not None:
+                    cooc[(w, b)] += 1
+                    cooc[(b, w)] += 1
+    n_w: Counter = Counter()
+    n_c: Counter = Counter()
+    T = 0
+    for (w, c), n in cooc.items():
+        n_w[w] += n
+        n_c[c] += n
+        T += n
+    tgt = {}
+    for (w, c), n in cooc.items():
+        # float() each count BEFORE multiplying — the engines compute
+        # double products, not exact bigint rationals
+        ratio = (float(n) * float(T)) / (float(n_w[w]) * float(n_c[c]))
+        v = _q20f(
+            max(0.0, math.log2(ratio) - float(shift_log2)) / target_scale
+        )
+        if v > 0:
+            tgt[(w, c)] = v
+
+    def init(tag, w, d):
+        h = int(
+            hashlib.md5(f"{tag}:{w}:{d}".encode()).hexdigest()[:8], 16
+        )
+        return _q20f((h / 4294967296.0 - 0.5) / 4.0)
+
+    V = len(wid)
+    u = {(w, d): init("u", w, d) for w in range(V) for d in range(dim)}
+    v = {(w, d): init("v", w, d) for w in range(V) for d in range(dim)}
+    ncw: Counter = Counter()
+    ncc: Counter = Counter()
+    for w, c in tgt:
+        ncw[w] += 1
+        ncc[c] += 1
+    for _ in range(n_rounds):
+        r = {}
+        for (w, c), t in tgt.items():
+            dot = sum(u[(w, d)] * v[(c, d)] for d in range(dim))
+            r[(w, c)] = _q20f(dot - t)
+        gu: dict = {}
+        gv: dict = {}
+        for (w, c), rr in r.items():
+            for d in range(dim):
+                gu[(w, d)] = gu.get((w, d), 0.0) + rr * v[(c, d)]
+                gv[(c, d)] = gv.get((c, d), 0.0) + rr * u[(w, d)]
+        nu = {}
+        nv = {}
+        for key in u:
+            w, d = key
+            g = _q20f(gu[key] / ncw[w]) if key in gu else 0.0
+            nu[key] = min(2.0, max(-2.0, _q20f(u[key] - lr * g)))
+        for key in v:
+            c, d = key
+            g = _q20f(gv[key] / ncc[c]) if key in gv else 0.0
+            nv[key] = min(2.0, max(-2.0, _q20f(v[key] - lr * g)))
+        u, v = nu, nv
+    inv = {i: t for t, i in wid.items()}
+    return {(inv[w], w, d): val for (w, d), val in u.items()}
+
+
+_CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the rug"),
+    (2, "a cat and a dog played"),
+    (3, "the mat and the rug are red"),
+    (4, "cat dog cat dog cat"),
+]
+
+
+def test_bit_equal_to_sequential_replay(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    got = {
+        (r["token"], r["word_id"], r["d"]): r["val"]
+        for r in train_word_vectors(
+            df, "doc_id", "text",
+            vocab_size=12, dim=4, window=2, n_rounds=3,
+        ).collect()
+    }
+    want = _ref_train(
+        _CORPUS, vocab_size=12, dim=4, window=2, n_rounds=3
+    )
+    assert got == want  # EXACT double equality — the dyadic claim
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    window=st.integers(min_value=1, max_value=3),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_bit_equal_on_arbitrary_corpora(spark, texts, window, rounds):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["token"], r["word_id"], r["d"]): r["val"]
+        for r in train_word_vectors(
+            df, "doc_id", "text",
+            vocab_size=6, dim=2, window=window, n_rounds=rounds,
+        ).collect()
+    }
+    want = _ref_train(
+        docs, vocab_size=6, dim=2, window=window, n_rounds=rounds
+    )
+    assert got == want
+
+
+def _cosine(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0 or nb == 0:
+        return 0.0
+    return num / (na * nb)
+
+
+def test_planted_synonym_recall_beats_hash_embed(spark):
+    """Five planted synonym pairs (identical context distributions).
+    The trained space puts each word's nearest vocab neighbor at its
+    synonym; hash_embed structurally cannot (random directions)."""
+    from starknet_etl_spark.operators.text import hash_embed
+
+    docs = []
+    i = 0
+    for p in range(5):
+        for rep in range(6):
+            docs.append((i, f"left{p} syn{p}a right{p} tail{rep % 3}"))
+            i += 1
+            docs.append((i, f"left{p} syn{p}b right{p} tail{rep % 3}"))
+            i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vecs = train_word_vectors(
+        df, "doc_id", "text",
+        vocab_size=32, dim=8, window=2, n_rounds=6, lr=2.0,
+        target_scale=4.0,
+    )
+    by_tok: dict = {}
+    for r in vecs.collect():
+        by_tok.setdefault(r["token"], [0.0] * 8)[r["d"]] = r["val"]
+    syn_words = [f"syn{p}{s}" for p in range(5) for s in "ab"]
+
+    def recall(space):
+        hits = 0
+        for p in range(5):
+            for a, b in ((f"syn{p}a", f"syn{p}b"), (f"syn{p}b", f"syn{p}a")):
+                best = max(
+                    (w for w in space if w != a),
+                    key=lambda w: (_cosine(space[a], space[w]), w),
+                )
+                hits += best == b
+        return hits / 10.0
+
+    trained_recall = recall(
+        {w: by_tok[w] for w in syn_words if w in by_tok}
+        | {w: v for w, v in by_tok.items()}
+    )
+    # hash_embed the single-token "documents" — each word's random
+    # hashing-trick direction
+    hdf = spark.createDataFrame(
+        [(j, w) for j, w in enumerate(by_tok)], "doc_id long, text string"
+    )
+    hspace = {
+        list(by_tok)[r["doc_id"]]: list(r["embedding"])
+        for r in hash_embed(hdf, "doc_id", "text", dim=8).collect()
+    }
+    hash_recall = recall(hspace)
+    assert trained_recall >= 0.9
+    assert trained_recall > hash_recall
+
+
+def test_embed_docs_mean_pooling(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    vecs = train_word_vectors(
+        df, "doc_id", "text", vocab_size=12, dim=4, window=2, n_rounds=2
+    )
+    model = {
+        (r["token"], r["d"]): r["val"] for r in vecs.collect()
+    }
+    vocab = {t for t, _ in model}
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_docs(df, "doc_id", "text", vecs, dim=4).collect()
+    }
+    for did, text in _CORPUS:
+        toks = [t for t in re.split(r"\s+", text.strip().lower())
+                if t and t in vocab]
+        want = [
+            _q20f(sum(model[(t, d)] for t in toks) / len(toks))
+            for d in range(4)
+        ]
+        assert got[did] == want
+    # a doc with no in-vocab token emits NO row
+    df2 = spark.createDataFrame(
+        [(99, "zzz qqq")], "doc_id long, text string"
+    )
+    assert embed_docs(df2, "doc_id", "text", vecs, dim=4).count() == 0
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    vecs = train_word_vectors(
+        df, "doc_id", "text", vocab_size=8, dim=2, window=2, n_rounds=1
+    )
+    want = sorted(map(tuple, vecs.collect()))
+    path = str(tmp_path / "wv")
+    save_word_vectors(vecs, path)
+    got = sorted(
+        map(tuple, load_word_vectors(spark, path)
+            .select("token", "word_id", "d", "val").collect())
+    )
+    assert got == want
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        train_word_vectors(df, "doc_id", "text", lr=0.3)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_word_vectors(df, "doc_id", "text", vocab_size=1)
+    with pytest.raises(ValueError, match="n_rounds"):
+        train_word_vectors(df, "doc_id", "text", n_rounds=0)
+    with pytest.raises(ValueError, match="window"):
+        train_word_vectors(df, "doc_id", "text", window=0)
