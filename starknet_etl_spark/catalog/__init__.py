@@ -63,6 +63,7 @@ def _merged() -> dict[str, QuerySpec]:
         relational,
         text,
         text_contamination,
+        text_embeddings,
         text_langid,
         text_mixtures,
         text_neardup,
@@ -97,6 +98,7 @@ def _merged() -> dict[str, QuerySpec]:
         text_turns,
         text_langid,
         text_mixtures,
+        text_embeddings,
         text_selection,
         text_pref,
         text_reward,
@@ -169,7 +171,11 @@ _FIRST_50: tuple[str, ...] = (
     "emb_knn_bruteforce",
     "emb_knn_ivf",
     "emb_knn_ivf_indexed",
-    "emb_knn_lsh",
+    # emb_knn_lsh displaced to overflow in r12 (the ANN family keeps
+    # three in-window rows; LSH stays oracle-checked) to admit the
+    # learned-embedding trainer — the tier every semantic surface
+    # upgrades through.
+    "doc_learned_embed",
     "emb_near_dup_pairs",
     # emb_centroids displaced to overflow in r8 (the k-means family
     # stays in-window via emb_knn_ivf, whose trained centroids

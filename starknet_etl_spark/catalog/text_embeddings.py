@@ -1,0 +1,270 @@
+"""Learned dense embedding rows (r12): the distributed
+SGNS-equivalent shifted-PPMI factorization (operators/embeddings.py)
+differential-trained in both engines, plus the composed row swapping
+the TRAINED space into semantic near-dup in place of hash_embed's
+random projection.
+
+The full trainer unrolls in the oracle (the Lloyd/KN/BPE precedent):
+exact-integer co-occurrence counts at original token positions, q20
+log2 PPMI targets, md5 grid init, and every GD round as a chained
+block of MATERIALIZED CTEs (DuckDB re-inlines plain CTEs per
+reference — the WITH RECURSIVE/Lloyd lesson). Every stored value is
+a 2^-20-grid double, so cross-engine equality is exact-by-IEEE, not
+rounding luck. Names _LE_.
+
+Operators under test: operators/embeddings.py (train_word_vectors,
+embed_docs), composed with operators/similarity.py
+(cosine_near_dup_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import QuerySpec
+from .text import _docs
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_LE_VOCAB = 48
+_LE_DIM = 4
+_LE_WINDOW = 2
+_LE_ROUNDS = 2
+_LE_LR = 2.0
+_LE_SCALE = 4.0  # target_scale: sppmi / 4 on the q20 grid
+
+
+def _le_q20(x: str) -> str:
+    return f"floor(({x}) * 1048576.0 + 0.5) / 1048576.0"
+
+
+def _le_clamp(x: str) -> str:
+    return f"greatest(-2.0, least(2.0, {x}))"
+
+
+def _le_train_block(rounds: int = _LE_ROUNDS) -> str:
+    """CTE chain: documents → trained center factor ``le_u{rounds}``
+    (wid, d, val). Chained after a WITH that already opened."""
+    def init(tag: str) -> str:
+        # q20((h32(tag:wid:d)/2^32 − 0.5) / 4) — the md5 grid init
+        h = (
+            f"CAST('0x' || substr(md5('{tag}:' || CAST(v.wid AS VARCHAR)"
+            f" || ':' || CAST(dd.d AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+        return _le_q20(f"({h} / 4294967296.0 - 0.5) / 4.0")
+
+    head = rf"""
+le_tok AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS t
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[i] <> ''
+),
+le_voc AS MATERIALIZED (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+              AS BIGINT) AS wid
+  FROM (SELECT t AS token, count(*) AS cnt FROM le_tok GROUP BY t
+        ORDER BY cnt DESC, token ASC LIMIT {_LE_VOCAB})
+),
+le_vt AS MATERIALIZED (
+  SELECT le_tok.doc_id, le_tok.pos, le_voc.wid
+  FROM le_tok JOIN le_voc ON le_tok.t = le_voc.token
+),
+le_pr AS (
+  SELECT a.wid AS w, b.wid AS c
+  FROM le_vt a JOIN le_vt b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_LE_WINDOW}
+  UNION ALL
+  SELECT b.wid AS w, a.wid AS c
+  FROM le_vt a JOIN le_vt b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {_LE_WINDOW}
+),
+le_cooc AS MATERIALIZED (
+  SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc
+  FROM le_pr GROUP BY w, c
+),
+le_tg AS MATERIALIZED (
+  SELECT w, c, tgt FROM (
+    SELECT co.w, co.c,
+           {_le_q20(
+               "greatest(0.0, log2((CAST(co.n_wc AS DOUBLE)"
+               " * CAST(tt.tot AS DOUBLE))"
+               " / (CAST(mw.n_w AS DOUBLE) * CAST(mc.n_c AS DOUBLE))))"
+               f" / {_LE_SCALE}"
+           )} AS tgt
+    FROM le_cooc co
+    JOIN (SELECT w, SUM(n_wc) AS n_w FROM le_cooc GROUP BY w) mw
+      ON mw.w = co.w
+    JOIN (SELECT c, SUM(n_wc) AS n_c FROM le_cooc GROUP BY c) mc
+      ON mc.c = co.c
+    CROSS JOIN (SELECT SUM(n_wc) AS tot FROM le_cooc) tt
+  ) WHERE tgt > 0
+),
+le_ncw AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM le_tg GROUP BY w),
+le_ncc AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM le_tg GROUP BY c),
+le_dims AS (SELECT CAST(u.i AS INT) AS d
+            FROM unnest(generate_series(0, {_LE_DIM - 1})) AS u(i)),
+le_u0 AS MATERIALIZED (
+  SELECT v.wid, dd.d, {init("u")} AS val
+  FROM le_voc v CROSS JOIN le_dims dd
+),
+le_v0 AS MATERIALIZED (
+  SELECT v.wid, dd.d, {init("v")} AS val
+  FROM le_voc v CROSS JOIN le_dims dd
+)"""
+    rounds_sql = []
+    for r in range(rounds):
+        u, v = f"le_u{r}", f"le_v{r}"
+        rounds_sql.append(
+            f""",
+le_r{r + 1} AS MATERIALIZED (
+  SELECT t.w, t.c,
+         {_le_q20("SUM(u.val * v.val) - t.tgt")} AS r
+  FROM le_tg t
+  JOIN {u} u ON u.wid = t.w
+  JOIN {v} v ON v.wid = t.c AND v.d = u.d
+  GROUP BY t.w, t.c, t.tgt
+),
+le_u{r + 1} AS MATERIALIZED (
+  SELECT u.wid, u.d,
+         {_le_clamp(_le_q20(f"u.val - {_LE_LR} * COALESCE(g.g, 0.0)"))}
+           AS val
+  FROM {u} u
+  LEFT JOIN (
+    SELECT g0.wid, g0.d, {_le_q20("g0.s / n.n")} AS g
+    FROM (SELECT r.w AS wid, v.d, SUM(r.r * v.val) AS s
+          FROM le_r{r + 1} r JOIN {v} v ON v.wid = r.c
+          GROUP BY r.w, v.d) g0
+    JOIN le_ncw n ON n.w = g0.wid
+  ) g ON g.wid = u.wid AND g.d = u.d
+),
+le_v{r + 1} AS MATERIALIZED (
+  SELECT v.wid, v.d,
+         {_le_clamp(_le_q20(f"v.val - {_LE_LR} * COALESCE(g.g, 0.0)"))}
+           AS val
+  FROM {v} v
+  LEFT JOIN (
+    SELECT g0.wid, g0.d, {_le_q20("g0.s / n.n")} AS g
+    FROM (SELECT r.c AS wid, u.d, SUM(r.r * u.val) AS s
+          FROM le_r{r + 1} r JOIN {u} u ON u.wid = r.w
+          GROUP BY r.c, u.d) g0
+    JOIN le_ncc n ON n.c = g0.wid
+  ) g ON g.wid = v.wid AND g.d = v.d
+)"""
+        )
+    return head + "".join(rounds_sql)
+
+
+def _learned_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import train_word_vectors
+
+    vecs = train_word_vectors(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        vocab_size=_LE_VOCAB,
+        dim=_LE_DIM,
+        window=_LE_WINDOW,
+        n_rounds=_LE_ROUNDS,
+        lr=_LE_LR,
+        target_scale=_LE_SCALE,
+    )
+    return vecs.select(
+        "token", "word_id", F.col("d").cast("int").alias("d"), "val"
+    )
+
+
+_LEARNED_EMBED_ORACLE = (
+    "WITH "
+    + _le_train_block()
+    + f"""
+SELECT le_voc.token, le_voc.wid AS word_id, u.d, u.val
+FROM le_u{_LE_ROUNDS} u JOIN le_voc ON le_voc.wid = u.wid
+"""
+)
+
+QUERIES["doc_learned_embed"] = QuerySpec(
+    _learned_embed,
+    _LEARNED_EMBED_ORACLE,
+    "learned dense word embeddings: SGNS-equivalent shifted-PPMI"
+    " factorization, full-batch Jacobi GD on the dyadic grid — the"
+    " whole trainer (cooc counts, q20 log2 targets, md5 init, every"
+    " round) replayed as chained MATERIALIZED CTEs",
+)
+
+
+# --------------------------------------------------------------------------
+# Composed row: semantic near-dup over the TRAINED space — embed_docs
+# mean-pools the learned vectors per document, cosine_near_dup_pairs
+# scores all pairs. Replaces hash_embed's random projection with the
+# trained one; the oracle replays training + pooling + the full pair
+# GEMM with full-vector norms (the doc_semantic_dup lesson).
+# --------------------------------------------------------------------------
+
+_LE_PAIR_T = 0.999
+
+
+def _learned_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import embed_docs, train_word_vectors
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    vecs = train_word_vectors(
+        docs,
+        "doc_id",
+        "text",
+        vocab_size=_LE_VOCAB,
+        dim=_LE_DIM,
+        window=_LE_WINDOW,
+        n_rounds=_LE_ROUNDS,
+        lr=_LE_LR,
+        target_scale=_LE_SCALE,
+    )
+    emb = embed_docs(docs, "doc_id", "text", vecs, dim=_LE_DIM)
+    return cosine_near_dup_pairs(
+        emb,
+        id_col="doc_id",
+        vec_col="embedding",
+        threshold=_LE_PAIR_T,
+    ).select("id_1", "id_2", "cos_sim")
+
+
+_LEARNED_SEMANTIC_DUP_ORACLE = (
+    "WITH "
+    + _le_train_block()
+    + f""",
+le_wv AS MATERIALIZED (
+  SELECT le_voc.token, u.d, u.val
+  FROM le_u{_LE_ROUNDS} u JOIN le_voc ON le_voc.wid = u.wid
+),
+le_emb AS MATERIALIZED (
+  SELECT t.doc_id, w.d,
+         {_le_q20("SUM(w.val) / count(*)")} AS x
+  FROM le_tok t JOIN le_wv w ON w.token = t.t
+  GROUP BY t.doc_id, w.d
+),
+le_nrm AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS nn FROM le_emb GROUP BY doc_id
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       ROUND(SUM(a.x * b.x) / (na.nn * nb.nn), 6) AS cos_sim
+FROM le_emb a
+JOIN le_emb b ON a.d = b.d AND a.doc_id < b.doc_id
+JOIN le_nrm na ON na.doc_id = a.doc_id
+JOIN le_nrm nb ON nb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, na.nn, nb.nn
+HAVING ROUND(SUM(a.x * b.x) / (na.nn * nb.nn), 6) >= {_LE_PAIR_T}
+"""
+)
+
+QUERIES["doc_learned_semantic_dup"] = QuerySpec(
+    _learned_semantic_dup,
+    _LEARNED_SEMANTIC_DUP_ORACLE,
+    "semantic near-dup over the TRAINED embedding space: learned"
+    " word vectors mean-pooled per doc, blocked-GEMM cosine pairs —"
+    " the hash_embed random projection swapped for a trained one",
+)

@@ -139,6 +139,12 @@ def build_cooc_targets(
     0-based dense rank; ``targets`` = (w, c, tgt) — the q20 shifted
     positive PMI of every co-occurring in-vocab pair (tgt > 0 rows
     only; the factorization's sparse supervision)."""
+    # the token frame feeds the vocab count AND the positional join —
+    # deliberately NOT persisted (measured neutral-to-negative at
+    # sf0.1 and worse at scale: caching the EXPLODED token stream
+    # writes+reads a frame larger than the corpus, while re-deriving
+    # it is one map-only scan; the r8 multi-consumer rule applies to
+    # expensive-to-recompute chains, not cheap projections)
     toks = _tokens_with_pos(df, id_col, text_col)
     # top-V cut via TakeOrderedAndProject (distributed top-k — never
     # a global sort; the build_vocab discipline), then the dense

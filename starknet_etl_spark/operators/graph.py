@@ -200,3 +200,144 @@ def pagerank(
     # RoundCheckpointer contract): the caller materializes the result
     # and then cleans up — same as connected_components.
     return ranks.select("node", "rank")
+
+
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized, deduped, self-loop-free (__s, __d) edge frame."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    return (
+        e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "id_1",
+    dst: str = "id_2",
+    iterations: int | None = None,
+    max_iterations: int = 64,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, degree): the ``k``-core of the undirected edge-induced
+    graph — the maximal subgraph where every node keeps degree ≥ k —
+    by the classic iterative PEEL: drop nodes with degree < k,
+    recompute degrees on the surviving subgraph, repeat. This is the
+    density tier BETWEEN connected components (transitive closure)
+    and PageRank (centrality): a template farm shows up as a dense
+    core long before its members are transitively exact duplicates.
+
+    ``iterations=None`` (default) peels to the FIXPOINT (a driver
+    edge-count check per round — one exact integer action, bounded
+    by ``max_iterations``); an explicit ``iterations`` runs exactly
+    that many peels (the bounded-unroll differential mode, the
+    span-dedup precedent: with iterations ≥ the peel depth the
+    result equals the fixpoint — peeling is idempotent once
+    converged). Exact integer arithmetic end-to-end: bit-reproducible
+    across engines and partitionings by construction.
+
+    Scale: each peel is one degree aggregate + two semi-joins on the
+    node key — linear shuffles; peel depth is the degeneracy
+    ordering's round count (small for near-dup graphs). Lineage cut
+    per round (RoundCheckpointer; reliable_checkpoint_dir on
+    preemptible fleets)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations is not None and iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from ..checkpointing import RoundCheckpointer
+
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    e = rot.truncate(_sym_edges(edges, src, dst))
+    n_edges = e.count() if iterations is None else None
+    rounds = 0
+    while True:
+        deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("__s")
+        e2 = rot.truncate(
+            e.join(keep, "__s", "left_semi").join(
+                keep.select(F.col("__s").alias("__d")), "__d", "left_semi"
+            )
+        )
+        rounds += 1
+        if iterations is not None:
+            e = e2
+            if rounds >= iterations:
+                break
+        else:
+            n2 = e2.count()
+            e = e2
+            if n2 == n_edges:
+                break
+            n_edges = n2
+            if rounds >= max_iterations:
+                raise RuntimeError(
+                    f"kcore did not converge in {max_iterations} peels"
+                )
+    return e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 5,
+    src: str = "id_1",
+    dst: str = "id_2",
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, label): synchronous label-propagation communities over
+    the undirected edge-induced graph — labels start as node ids;
+    each round every node adopts its neighbors' MOST FREQUENT label
+    with the deterministic (count DESC, label ASC) tie-break (a
+    min-struct winner aggregate — never a per-key row_number window
+    over big data). Communities are denser-than-component groups:
+    the boilerplate-farm shape (high mutual similarity, not
+    transitively exact) that connected_components over-merges and
+    pagerank only ranks.
+
+    Neighbor-only votes (a node's own label does not vote) — on
+    bipartite-ish structures labels can oscillate between rounds,
+    the same documented phase behavior as seed-restart PPR; the
+    fixed-round result is deterministic and bit-reproducible either
+    way (exact integer counts, total-order tie-break).
+
+    Scale: per round one equi-join of the label frame onto the edge
+    frame + one (node, label) count + one node-keyed winner
+    aggregate — linear shuffles on the node key."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from ..checkpointing import RoundCheckpointer, truncate
+
+    rot = RoundCheckpointer(reliable_checkpoint_dir)
+    e = truncate(_sym_edges(edges, src, dst), reliable_checkpoint_dir)
+    labels = rot.truncate(
+        e.select(F.col("__s").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["__s"] == labels["node"])
+            .groupBy(F.col("__d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = rot.truncate(
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"),
+                        F.col("label").alias("__l"),
+                    )
+                ).alias("__w")
+            )
+            .select("node", F.col("__w.__l").alias("label"))
+        )
+    return labels
