@@ -126,9 +126,12 @@ HEADLINE_EXT = (
     "emb_bitext_mining",
     "cust_fuzzy_match",
     # r12 tiers: learned dense embeddings + the trained-space
-    # semantic near-dup swap
+    # semantic near-dup swap; k-core + LPA communities over the
+    # co-shingle candidate graph
     "doc_learned_embed",
     "doc_learned_semantic_dup",
+    "doc_graph_kcore",
+    "doc_graph_communities",
 )
 
 

@@ -604,3 +604,146 @@ QUERIES["doc_graph_ppr"] = QuerySpec(
     " (node % 3 == 0) — proximity-to-seeds ranking for retrieval"
     " expansion, the full 5-round unroll bit-equal in the oracle",
 )
+
+
+# --------------------------------------------------------------------------
+# Graph structure BETWEEN components and centrality (r12): k-core
+# decomposition + label-propagation communities (operators/graph.py)
+# over the CO-SHINGLE candidate graph (dedup.coshingle_pairs — pairs
+# sharing >= 3 capped shingles; denser than the >= 0.5-Jaccard edge
+# set, which is the point: a template farm is a dense core long
+# before any pair is transitively exact). Exact integers end-to-end,
+# so the bounded peel and every LPA round unroll verbatim. The peel
+# at this corpus is NOT yet a fixpoint after 4 rounds (chains peel
+# one layer per round) — the row pins the bounded-iteration
+# semantics, the operator's default mode peels to convergence.
+# Names _KC_/_LPA_.
+# --------------------------------------------------------------------------
+
+_KC_MIN_SHARED = 3
+_KC_K = 2
+_KC_PEELS = 4
+_LPA_ROUNDS = 4
+
+_KC_EDGE_BLOCK = (
+    _SHINGLES_CTE.strip().rstrip()
+    + f""",
+kchot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > (
+    SELECT greatest(25, CAST(floor(0.10 * COUNT(*)) AS BIGINT))
+    FROM documents
+  )
+),
+kcsh AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM kchot)
+),
+kcpairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM kcsh a JOIN kcsh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_KC_MIN_SHARED}
+),
+kce0 AS MATERIALIZED (
+  SELECT id_1 AS s, id_2 AS d FROM kcpairs
+  UNION
+  SELECT id_2, id_1 FROM kcpairs
+)"""
+)
+
+
+def _kc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.coshingle_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, min_shared=_KC_MIN_SHARED, max_df_frac=0.10,
+    )
+
+
+def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    return kcore(
+        _kc_edges(spark, sf_dir), k=_KC_K, iterations=_KC_PEELS
+    ).select(F.col("node").cast("long").alias("doc_id"), "degree")
+
+
+def _kc_peel_cte(r: int) -> str:
+    return f"""kcd{r} AS MATERIALIZED (
+  SELECT s FROM (SELECT s, COUNT(*) AS c FROM kce{r - 1} GROUP BY s)
+  WHERE c >= {_KC_K}
+),
+kce{r} AS MATERIALIZED (
+  SELECT g.s, g.d FROM kce{r - 1} g
+  JOIN kcd{r} a ON a.s = g.s
+  JOIN kcd{r} b ON b.s = g.d
+)"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _KC_EDGE_BLOCK
+    + ",\n"
+    + ",\n".join(_kc_peel_cte(r) for r in range(1, _KC_PEELS + 1))
+    + f"""
+SELECT CAST(s AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS degree
+FROM kce{_KC_PEELS} GROUP BY s
+"""
+)
+
+QUERIES["doc_graph_kcore"] = QuerySpec(
+    _graph_kcore,
+    _KCORE_ORACLE,
+    "k-core of the co-shingle candidate graph by bounded iterative"
+    " peel — the density tier between connected components and"
+    " PageRank; exact-integer degrees, every peel unrolled",
+)
+
+
+def _graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    return label_propagation(
+        _kc_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _lpa_round_cte(r: int) -> str:
+    return f"""lpl{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM (SELECT e.d AS node, l.label, COUNT(*) AS c
+          FROM kce0 e JOIN lpl{r - 1} l ON l.node = e.s
+          GROUP BY e.d, l.label)
+  ) WHERE rn = 1
+)"""
+
+
+_COMMUNITIES_ORACLE = (
+    "WITH "
+    + _KC_EDGE_BLOCK
+    + """,
+lpl0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, s AS label FROM kce0
+),
+"""
+    + ",\n".join(_lpa_round_cte(r) for r in range(1, _LPA_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label
+FROM lpl{_LPA_ROUNDS}
+"""
+)
+
+QUERIES["doc_graph_communities"] = QuerySpec(
+    _graph_communities,
+    _COMMUNITIES_ORACLE,
+    "label-propagation communities over the co-shingle graph —"
+    " neighbor-majority labels with the (count DESC, label ASC)"
+    " deterministic tie-break, every round unrolled; the"
+    " boilerplate-farm shape components over-merge",
+)

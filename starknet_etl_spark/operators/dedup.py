@@ -298,6 +298,66 @@ def containment_pairs(
     return _eager_release(out, [sh_cached], eager_release)
 
 
+def coshingle_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+    min_df_cap: int = 25,
+    eager_release: bool = True,
+) -> DataFrame:
+    """(id_1, id_2, n_shared): unordered pairs sharing at least
+    ``min_shared`` distinct token n-shingles — the CANDIDATE graph
+    itself, exposed as a relation. This is the edge set the graph
+    tiers (k-core, label-propagation communities, PageRank) want
+    when the question is "which documents overlap AT ALL and how
+    much", not "which clear a Jaccard ratio": a boilerplate farm is
+    a dense co-shingle core long before any pair's Jaccard is high.
+
+    Exact integers; same inverted-index self-join and ``max_df`` /
+    ``max_df_frac`` stop-shingle caps as ``jaccard_pairs`` (skew
+    discipline identical), minus the size join — one aggregate
+    cheaper."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    sh_cached = shingles(df, id_col, text_col, n=n).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    ).persist()  # both join sides
+    sh = sh_cached
+    if max_df is not None or max_df_frac is not None:
+        dfreq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            hot = dfreq.filter(F.col("df") > max_df).select("sh_h")
+        else:
+            cap = df.agg(
+                F.greatest(
+                    F.lit(min_df_cap).cast("long"),
+                    F.floor(F.lit(max_df_frac) * F.count(F.lit(1))),
+                ).alias("__cap")
+            )
+            hot = (
+                dfreq.join(F.broadcast(cap))
+                .filter(F.col("df") > F.col("__cap"))
+                .select("sh_h")
+            )
+        sh = sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    out = (
+        sh.select(F.col(id_col).alias("id_1"), "sh_h")
+        .join(sh.select(F.col(id_col).alias("id_2"), "sh_h"), "sh_h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return _eager_release(out, [sh_cached], eager_release)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -26,6 +26,137 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _naive_kcore(pairs, k):
+    """Sequential peel over an undirected edge list."""
+    edges = {(a, b) for a, b in pairs if a != b}
+    edges |= {(b, a) for a, b in edges}
+    while True:
+        deg: dict = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(a, b) for a, b in edges if a in keep and b in keep}
+        if e2 == edges:
+            break
+        edges = e2
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def _naive_lpa(pairs, rounds):
+    """Sequential synchronous LPA, (count DESC, label ASC) ties."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+def test_kcore_two_triangles_bridge(spark):
+    """Two triangles joined by a bridge: the 2-core keeps both
+    triangles and the bridge endpoints; a pendant node peels."""
+    from starknet_etl_spark.operators.graph import kcore
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),           # triangle A
+        (3, 4), (4, 5), (5, 3),           # triangle B
+        (2, 3),                           # bridge
+        (5, 6),                           # pendant
+    ]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(edges, k=2).collect()
+    }
+    assert got == _naive_kcore(pairs, 2)
+    assert 6 not in got and set(got) == {0, 1, 2, 3, 4, 5}
+    # the 3-core is empty (triangles have max degree 2... plus the
+    # bridge gives 2 and 3 degree 3 but their neighbors peel)
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_cascade_peel(spark):
+    """A chain hanging off a clique peels layer by layer — the
+    fixpoint needs MULTIPLE rounds (pinning the iteration, not just
+    one filter pass)."""
+    from starknet_etl_spark.operators.graph import kcore
+
+    # K4 clique + chain 3-10-11-12
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert got == _naive_kcore(pairs, 2) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # bounded-iteration mode: 1 peel is NOT yet the fixpoint (11
+    # still has degree 2 via 10 and 12 before 12 peels)
+    got1 = {
+        r["node"]: r["degree"]
+        for r in kcore(edges, k=2, iterations=1).collect()
+    }
+    assert 11 in got1 and 11 not in got
+    # enough iterations == fixpoint
+    got3 = {
+        r["node"]: r["degree"]
+        for r in kcore(edges, k=2, iterations=3).collect()
+    }
+    assert got3 == got
+
+
+def test_label_propagation_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each
+    clique one label and keeps the cliques apart (the shape
+    connected_components over-merges into one)."""
+    from starknet_etl_spark.operators.components import (
+        connected_components,
+    )
+    from starknet_etl_spark.operators.graph import label_propagation
+
+    cliq_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cliq_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = cliq_a + cliq_b + [(3, 10)]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == _naive_lpa(pairs, 4)
+    a_labels = {got[n] for n in range(4)}
+    b_labels = {got[n] for n in range(10, 14)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # components would merge everything across the bridge
+    cc = connected_components(edges, "id_1", "id_2")
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_kcore_lpa_validation(spark):
+    from starknet_etl_spark.operators.graph import (
+        kcore,
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([(0, 1)], "id_1 long, id_2 long")
+    with pytest.raises(ValueError, match="k must"):
+        kcore(e, k=0)
+    with pytest.raises(ValueError, match="iterations"):
+        kcore(e, k=1, iterations=0)
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(e, rounds=0)
+
+
 # ---------------------------------------------------------------- pagerank
 
 

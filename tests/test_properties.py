@@ -1021,3 +1021,46 @@ def test_funnel_counts_monotone_and_match_naive(spark, rows):
             prev = min(cands)
             want[i] += 1
     assert [got[i] for i in range(3)] == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    k=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_equals_naive_peel_on_any_graph(spark, edges, k):
+    from starknet_etl_spark.operators.graph import kcore
+    from tests.test_graph_funnel_sketches import _naive_kcore
+
+    df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+    assert got == _naive_kcore(edges, k)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    rounds=st.integers(1, 4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_label_propagation_equals_sequential_on_any_graph(
+    spark, edges, rounds
+):
+    from starknet_etl_spark.operators.graph import label_propagation
+    from tests.test_graph_funnel_sketches import _naive_lpa
+
+    df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == _naive_lpa(edges, rounds)
