@@ -747,3 +747,91 @@ QUERIES["doc_graph_communities"] = QuerySpec(
     " deterministic tie-break, every round unrolled; the"
     " boilerplate-farm shape components over-merge",
 )
+
+
+# --------------------------------------------------------------------------
+# Persisted graph lifecycle (r12): build ⊕ exactly-once append ⊕
+# replayed-append no-op ⊕ atomic rank refresh == one-shot PageRank
+# over the union edge frame, BIT-EQUAL (the events_rollup_incremental
+# shape for graphs; operators/graphstore.py). The Spark side drives
+# the full lifecycle against a session-scoped scratch table; the
+# oracle recomputes the dyadic 5-round PageRank one-shot over the
+# same co-shingle edge set. Names _GL_/gl.
+# --------------------------------------------------------------------------
+
+_GL_ROUNDS = 5
+
+
+def _graph_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graphstore as G
+
+    edges = _kc_edges(spark, sf_dir).select("id_1", "id_2")
+    half_a = edges.filter((F.col("id_1") + F.col("id_2")) % 2 == 0)
+    half_b = edges.filter((F.col("id_1") + F.col("id_2")) % 2 == 1)
+    path = scratch_path(spark, sf_dir, "graph_lifecycle")
+    G.build_graph(half_a, path, reset=_gl_exists(spark, path))
+    G.append_edges(half_b, path, batch_id=1)
+    if G.append_edges(half_b, path, batch_id=1):
+        raise RuntimeError(
+            "replayed graph append was not a no-op — exactly-once "
+            "ledger violated"
+        )
+    G.refresh_ranks(spark, path, rounds=_GL_ROUNDS)
+    return G.read_ranks(spark, path).select(
+        F.col("node").cast("long").alias("doc_id"), "rank"
+    )
+
+
+def _gl_exists(spark: SparkSession, path: str) -> bool:
+    from .. import io as _io
+
+    return _io._exists(spark, f"{path}/_graph_spec")
+
+
+def _gl_round_cte(k: int) -> str:
+    return f"""glk{k} AS MATERIALIZED (
+  SELECT n.node, n.base,
+         floor((n.base + 7.0 * COALESCE(s.acc, 0.0) / 8.0)
+               * 1048576.0 + 0.5) / 1048576.0 AS rank
+  FROM glbase n LEFT JOIN (
+    SELECT e.d AS node,
+           SUM(floor(r.rank / e.deg * 1048576.0 + 0.5)
+               / 1048576.0) AS acc
+    FROM gledge e JOIN glk{k - 1} r ON r.node = e.s
+    GROUP BY e.d
+  ) s ON s.node = n.node
+)"""
+
+
+_GL_ORACLE = (
+    "WITH "
+    + _KC_EDGE_BLOCK
+    + """,
+gldeg AS (SELECT s, COUNT(*) AS deg FROM kce0 GROUP BY s),
+gledge AS MATERIALIZED (
+  SELECT e.s, e.d, g.deg FROM kce0 e JOIN gldeg g ON g.s = e.s
+),
+gln AS (SELECT COUNT(DISTINCT s) AS n FROM kce0),
+glbase AS MATERIALIZED (
+  SELECT node,
+         floor(1.0 / gln.n * 1048576.0 + 0.5) / 1048576.0 AS rank,
+         floor((1.0 / 8.0 / gln.n) * 1048576.0 + 0.5)
+           / 1048576.0 AS base
+  FROM (SELECT DISTINCT s AS node FROM kce0), gln
+),
+glk0 AS (SELECT node, base, rank FROM glbase),
+"""
+    + ",\n".join(_gl_round_cte(k) for k in range(1, _GL_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, rank
+FROM glk{_GL_ROUNDS}
+"""
+)
+
+QUERIES["doc_graph_lifecycle"] = QuerySpec(
+    _graph_lifecycle,
+    _GL_ORACLE,
+    "persisted graph lifecycle: build + exactly-once append +"
+    " replayed-append no-op + atomic rank refresh served from the"
+    " table — bit-equal to a one-shot PageRank over the union edges",
+)

@@ -732,7 +732,8 @@ def _copy_batch_markers(spark: SparkSession, src: str, dst: str) -> None:
 #: but destroying the manifests would downgrade that honest error to
 #: a silent "no snapshot".
 _METADATA_DIRS = (
-    "_centroids", "_codebooks", "_purged", "_rollup_spec", "_snapshots"
+    "_centroids", "_codebooks", "_purged", "_rollup_spec", "_snapshots",
+    "_graph_spec", "_ranks",
 )
 
 

@@ -1,0 +1,253 @@
+"""Persisted graph lifecycle — build / append / serve / maintain for
+edge frames, the same table discipline every other analytics family
+already has (rollup, postings, ANN indexes).
+
+Without this, every graph call (pagerank / kcore / label_propagation
+/ connected_components) recomputes from a transient edge frame. The
+lifecycle makes the edge set a TABLE: bucket-partitioned edges with a
+persisted ``_graph_spec``, exactly-once appends under the
+``io.append_once`` replay ledger, ranks REFRESHED atomically into a
+``_ranks`` metadata dir and served from there, and a drift-policy
+maintenance tick (the index_health pattern: one stated breach → one
+expensive verb, stats ride along in the return value).
+
+Invariant (differential-proven by the doc_graph_lifecycle row, the
+events_rollup_incremental shape): build ⊕ append ⊕ replayed-append
+no-op, then refresh — the served ranks are BIT-EQUAL to a one-shot
+``pagerank`` over the union edge frame, because the dyadic PageRank
+is a pure function of the edge SET and ``append_once`` makes every
+batch exactly-once. (With ``weight``, parallel edge ROWS accumulate
+mass — exactly-once appends are what keep that sum stable across
+replays.)
+
+Scale: appends are one bounded write (no read-modify-write of
+history); rank refresh is the pagerank analysis (linear shuffles per
+round); the bucket partitioning keeps per-node neighbor reads
+pruned and gives compaction a stable layout. ``_graph_spec``/
+``_ranks`` are registered in ``io._METADATA_DIRS`` so compaction
+carries them (the r4/r5 ledger-loss lessons).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import io as _io
+
+
+def _spec_path(path: str) -> str:
+    return f"{path}/_graph_spec/spec.json"
+
+
+def _write_spec(spark: SparkSession, path: str, spec: dict) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(spec, sort_keys=True).encode()))
+    out.close()
+
+
+def read_graph_spec(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no graph spec at {_spec_path(path)}")
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _bucketed(df: DataFrame, spec: dict) -> DataFrame:
+    return df.select(
+        F.col(spec["src"]),
+        F.col(spec["dst"]),
+        *([F.col(spec["weight"])] if spec.get("weight") else []),
+        F.pmod(
+            F.xxhash64(F.col(spec["src"])), F.lit(spec["n_buckets"])
+        ).cast("int").alias("bucket"),
+    ).repartition("bucket")
+
+
+def build_graph(
+    edges: DataFrame,
+    path: str,
+    *,
+    src: str = "id_1",
+    dst: str = "id_2",
+    weight: str | None = None,
+    n_buckets: int = 32,
+    reset: bool = False,
+) -> None:
+    """Create the edge table at ``path``: rows partitioned by a
+    source-hash bucket plus the persisted ``_graph_spec``. The table
+    is an append-only edge log from day one (the build is batch 0).
+
+    Building over an existing graph table is refused unless
+    ``reset=True`` (explicit new table identity — data, replay
+    ledger, ranks and spec all deleted first), the build_rollup
+    contract: silently resetting the ``_batches`` ledger would let
+    committed batch ids re-append."""
+    spark = edges.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    spec_p = jvm.org.apache.hadoop.fs.Path(_spec_path(path))
+    if spec_p.getFileSystem(conf).exists(spec_p):
+        if not reset:
+            raise ValueError(
+                f"graph table already exists at {path} (found "
+                "_graph_spec). append_edges into it, or pass "
+                "reset=True to reset the table identity (deletes "
+                "data, replay ledger, ranks and spec)."
+            )
+        _io._delete_dir(spark, path)
+    spec = {
+        "src": src,
+        "dst": dst,
+        "weight": weight,
+        "n_buckets": int(n_buckets),
+        "rank_params": None,
+        "ranked_at_edges": None,
+    }
+    _bucketed(edges, spec).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    _write_spec(spark, path, spec)
+
+
+def append_edges(delta: DataFrame, path: str, batch_id: int) -> bool:
+    """Exactly-once edge append (one bounded write, no history
+    read). Returns False when ``batch_id`` already committed — the
+    replay no-op the lifecycle invariant leans on."""
+    spark = delta.sparkSession
+    spec = read_graph_spec(spark, path)
+    return _io.append_once(
+        _bucketed(delta, spec), path, batch_id, partition_by=["bucket"]
+    )
+
+
+def read_edges(spark: SparkSession, path: str) -> DataFrame:
+    """The edge frame under its original column names (bucket
+    dropped; partition-col type pinned — the r9 re-inference
+    gotcha)."""
+    spec = read_graph_spec(spark, path)
+    cols = [spec["src"], spec["dst"]] + (
+        [spec["weight"]] if spec.get("weight") else []
+    )
+    return spark.read.parquet(path).select(*cols)
+
+
+def refresh_ranks(
+    spark: SparkSession,
+    path: str,
+    *,
+    rounds: int = 5,
+    damping_num: int = 7,
+    damping_den: int = 8,
+    reliable_checkpoint_dir: str | None = None,
+) -> None:
+    """Recompute PageRank over the CURRENT edge set and swap it into
+    ``<path>/_ranks`` atomically (temp-write + dir swap). The spec
+    records the edge count and parameters the ranks were computed at
+    — ``maintain_graph``'s drift policy reads them. Crash between
+    the swap and the spec update leaves fresh ranks with a stale
+    counter; the next maintenance tick refreshes again — idempotent,
+    never wrong, documented rather than patched."""
+    from .graph import pagerank
+
+    spec = read_graph_spec(spark, path)
+    edges = read_edges(spark, path)
+    n_edges = edges.count()
+    ranks = pagerank(
+        edges,
+        src=spec["src"],
+        dst=spec["dst"],
+        weight=spec.get("weight"),
+        rounds=rounds,
+        damping_num=damping_num,
+        damping_den=damping_den,
+        reliable_checkpoint_dir=reliable_checkpoint_dir,
+    )
+    tmp = f"{path}/_ranks__tmp"
+    ranks.write.mode("overwrite").parquet(tmp)
+    _io._replace_dir(spark, f"{path}/_ranks", tmp)
+    spec["rank_params"] = {
+        "rounds": int(rounds),
+        "damping_num": int(damping_num),
+        "damping_den": int(damping_den),
+    }
+    spec["ranked_at_edges"] = int(n_edges)
+    _write_spec(spark, path, spec)
+
+
+def read_ranks(spark: SparkSession, path: str) -> DataFrame:
+    """(node, rank) as of the last refresh — the serving read."""
+    if not _io._exists(spark, f"{path}/_ranks"):
+        raise FileNotFoundError(
+            f"no ranks at {path}/_ranks — run refresh_ranks first"
+        )
+    return spark.read.parquet(f"{path}/_ranks")
+
+
+def graph_stats(spark: SparkSession, path: str) -> dict:
+    """Drift card: current edge-row count vs the count ranks were
+    refreshed at, plus the generic table-layout stats."""
+    spec = read_graph_spec(spark, path)
+    n_edges = spark.read.parquet(path).count()
+    ranked_at = spec.get("ranked_at_edges")
+    if ranked_at:
+        growth_frac = round((n_edges - ranked_at) / ranked_at, 6)
+    else:
+        growth_frac = None  # never ranked: infinite drift
+    return {
+        "n_edges": int(n_edges),
+        "ranked_at_edges": ranked_at,
+        "growth_frac": growth_frac,
+        "table": _io.table_stats(spark, path),
+    }
+
+
+def maintain_graph(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_growth_frac: float = 0.2,
+    rank_rounds: int = 5,
+    max_files: int = 512,
+    min_avg_file_mb: float = 8.0,
+    reliable_checkpoint_dir: str | None = None,
+) -> dict:
+    """One maintenance tick (the index_health pattern): refresh the
+    ranks when edge growth since the last refresh exceeds
+    ``max_growth_frac`` (or when ranks never existed), and delegate
+    layout drift to ``io.maintain_table`` (small-file compaction +
+    marker pruning; metadata dirs survive). Exactly one expensive
+    verb per breach; the stats that justified it ride along."""
+    stats = graph_stats(spark, path)
+    action = "none"
+    if stats["growth_frac"] is None or (
+        stats["growth_frac"] > max_growth_frac
+    ):
+        refresh_ranks(
+            spark,
+            path,
+            rounds=rank_rounds,
+            reliable_checkpoint_dir=reliable_checkpoint_dir,
+        )
+        action = "refresh_ranks"
+    layout = _io.maintain_table(
+        spark,
+        path,
+        max_files=max_files,
+        min_avg_file_mb=min_avg_file_mb,
+        partition_by=["bucket"],
+    )
+    return {"action": action, "stats": stats, "layout": layout}

@@ -1,0 +1,131 @@
+"""Persisted graph lifecycle (operators/graphstore.py): build /
+exactly-once append / atomic rank refresh / drift-policy maintain —
+the events_rollup_incremental invariant for graphs: lifecycle ==
+one-shot recompute, bit-equal."""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_etl_spark.operators.graph import pagerank
+from starknet_etl_spark.operators.graphstore import (
+    append_edges,
+    build_graph,
+    graph_stats,
+    maintain_graph,
+    read_edges,
+    read_graph_spec,
+    read_ranks,
+    refresh_ranks,
+)
+
+_A = [(0, 1), (1, 2), (2, 0), (2, 3)]
+_B = [(3, 4), (4, 5), (5, 3), (0, 5)]
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_1 long, id_2 long")
+
+
+def test_lifecycle_equals_one_shot(spark, tmp_path):
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    assert append_edges(_edges(spark, _B), path, batch_id=1) is True
+    # replayed append is a no-op (the exactly-once guard)
+    assert append_edges(_edges(spark, _B), path, batch_id=1) is False
+    assert read_edges(spark, path).count() == len(_A) + len(_B)
+    refresh_ranks(spark, path, rounds=3)
+    got = sorted(map(tuple, read_ranks(spark, path).collect()))
+    want = sorted(
+        map(
+            tuple,
+            pagerank(_edges(spark, _A + _B), rounds=3).collect(),
+        )
+    )
+    assert got == want  # bit-equal: lifecycle == one-shot recompute
+
+
+def test_build_refuses_live_table_and_reset(spark, tmp_path):
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    append_edges(_edges(spark, _B), path, batch_id=1)
+    with pytest.raises(ValueError, match="already exists"):
+        build_graph(_edges(spark, _A), path)
+    # reset = new table identity: the old ledger is gone, so the
+    # previously-committed batch id appends again by construction
+    build_graph(_edges(spark, _A), path, reset=True)
+    assert append_edges(_edges(spark, _B), path, batch_id=1) is True
+
+
+def test_read_ranks_before_refresh_raises(spark, tmp_path):
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    with pytest.raises(FileNotFoundError, match="_ranks"):
+        read_ranks(spark, path)
+
+
+def test_maintain_refresh_policy(spark, tmp_path):
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    # never ranked -> the tick refreshes
+    out = maintain_graph(spark, path, rank_rounds=2)
+    assert out["action"] == "refresh_ranks"
+    spec = read_graph_spec(spark, path)
+    assert spec["ranked_at_edges"] == len(_A)
+    assert spec["rank_params"]["rounds"] == 2
+    # no growth -> no action
+    out2 = maintain_graph(spark, path, rank_rounds=2)
+    assert out2["action"] == "none"
+    assert out2["stats"]["growth_frac"] == 0.0
+    # 100% growth -> exactly one refresh, ranks now match the union
+    append_edges(_edges(spark, _B), path, batch_id=7)
+    out3 = maintain_graph(spark, path, rank_rounds=2)
+    assert out3["action"] == "refresh_ranks"
+    got = sorted(map(tuple, read_ranks(spark, path).collect()))
+    want = sorted(
+        map(
+            tuple,
+            pagerank(_edges(spark, _A + _B), rounds=2).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ranks_survive_compaction(spark, tmp_path):
+    """_graph_spec and _ranks are metadata dirs — a generic
+    compaction must carry them (the r4/r5 ledger-loss class)."""
+    from starknet_etl_spark import io as _io
+
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    for b in range(1, 4):
+        append_edges(_edges(spark, _B), path, batch_id=b)
+    refresh_ranks(spark, path, rounds=2)
+    before = sorted(map(tuple, read_ranks(spark, path).collect()))
+    _io.compact_table(spark, path, partition_by=["bucket"])
+    assert sorted(map(tuple, read_ranks(spark, path).collect())) == before
+    assert read_graph_spec(spark, path)["ranked_at_edges"] is not None
+    # the replay ledger also survived: batch 2 still refuses
+    assert append_edges(_edges(spark, _B), path, batch_id=2) is False
+
+
+def test_weighted_graph_lifecycle(spark, tmp_path):
+    """Weighted edges: parallel rows accumulate — exactly-once
+    appends keep the mass stable, lifecycle == one-shot."""
+    path = str(tmp_path / "gw")
+    wa = [(0, 1, 0.5), (1, 2, 0.25)]
+    wb = [(0, 1, 0.25), (2, 0, 1.0)]
+    dfa = spark.createDataFrame(wa, "id_1 long, id_2 long, w double")
+    dfb = spark.createDataFrame(wb, "id_1 long, id_2 long, w double")
+    build_graph(dfa, path, weight="w")
+    append_edges(dfb, path, batch_id=1)
+    assert append_edges(dfb, path, batch_id=1) is False
+    refresh_ranks(spark, path, rounds=3)
+    got = sorted(map(tuple, read_ranks(spark, path).collect()))
+    union = spark.createDataFrame(
+        wa + wb, "id_1 long, id_2 long, w double"
+    )
+    want = sorted(
+        map(tuple, pagerank(union, weight="w", rounds=3).collect())
+    )
+    assert got == want
