@@ -1259,3 +1259,162 @@ QUERIES["doc_chunk_indexed"] = QuerySpec(
     " + replay no-op, exhaustive probe == the scan path (shared"
     " oracle)",
 )
+
+
+# --------------------------------------------------------------------------
+# Learned PAIRWISE rerank over the hybrid pool (r12): ltr_score is a
+# POINTWISE linear fusion of the two arm scores; this tier reranks
+# with the richer per-(query, doc) evidence a production pipeline
+# uses — exact term-overlap fraction, both raw arm scores, both
+# reciprocal ranks, a bounded length prior — trained by the
+# reward-model machinery (squared-hinge dyadic GD over feature
+# DIFFERENCES of relevant×irrelevant click-proxy pairs). The oracle
+# retrains the WHOLE chain on the same pool (the doc_hybrid_ltr
+# pattern: pool CTEs reused verbatim, pairs + 8 GD rounds unrolled).
+# Names _RR_/rr.
+# --------------------------------------------------------------------------
+
+_RR_ROUNDS = 8
+_RR_LR = 0.25
+_RR_CACHE: dict = {}
+
+
+def _hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import (
+        rerank,
+        rerank_features,
+        train_reranker,
+    )
+
+    cand, labeled = _ltr_candidates(spark, sf_dir)
+    feats = rerank_features(
+        cand, _docs(spark, sf_dir), list(_BM25_TERMS),
+        rrf_k=_HYBRID_RRF_K,
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, "rerank")
+    if key not in _RR_CACHE:
+        _RR_CACHE[key] = train_reranker(
+            feats.join(labeled.select("doc_id", "__rel"), "doc_id"),
+            "__rel",
+            n_rounds=_RR_ROUNDS,
+            lr=_RR_LR,
+        )
+    return rerank(feats, _RR_CACHE[key], k=_HYBRID_K)
+
+
+def _rr_rounds_sql() -> str:
+    from ..operators.search import RERANK_DIM
+
+    rounds = [
+        f"""
+rrw0 AS (
+  SELECT CAST(u.j AS INT) AS j, 0.0 AS w
+  FROM unnest(generate_series(0, {RERANK_DIM - 1})) AS u(j)
+)"""
+    ]
+    for k in range(_RR_ROUNDS):
+        rounds.append(f"""
+rrp{k} AS (
+  SELECT cid, rid,
+         floor(SUM(dx * w) * 1048576.0 + 0.5) / 1048576.0 AS p
+  FROM rr_dx JOIN rrw{k} USING (j) GROUP BY cid, rid
+),
+rrg{k} AS (
+  SELECT d.j,
+         floor(SUM(-2.0 * greatest(1.0 - p.p, 0.0) * d.dx) / n.n
+               * 1048576.0 + 0.5) / 1048576.0 AS g
+  FROM rr_dx d
+  JOIN rrp{k} p ON p.cid = d.cid AND p.rid = d.rid
+  CROSS JOIN rr_n n
+  GROUP BY d.j, n.n
+),
+rrw{k + 1} AS MATERIALIZED (
+  SELECT w.j,
+         floor((w.w - {_RR_LR} * g.g) * 1048576.0 + 0.5) / 1048576.0
+           AS w
+  FROM rrw{k} w JOIN rrg{k} g USING (j)
+)""")
+    return ",".join(rounds)
+
+
+_RR_TERMS_IN = ", ".join(
+    "'" + t + "'" for t in sorted(set(_BM25_TERMS))
+)
+
+_HYBRID_RERANK_ORACLE = f"""
+WITH {_HYBRID_CHAIN_CTES},
+rr_cand AS MATERIALIZED (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         COALESCE(l.bm25, 0.0) AS bm25,
+         COALESCE(s.cos_sim, 0.0) AS cos_sim,
+         lr.lex_rank, sr.sem_rank
+  FROM lexr lr
+  FULL OUTER JOIN semr sr ON sr.doc_id = lr.doc_id
+  LEFT JOIN lex l ON l.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+  LEFT JOIN sem s ON s.doc_id = COALESCE(lr.doc_id, sr.doc_id)
+),
+rr_y AS MATERIALIZED (
+  SELECT c.doc_id,
+         CASE WHEN {len(set(_BM25_TERMS))} = (
+                SELECT COUNT(DISTINCT h.t) FROM htok h
+                WHERE h.doc_id = c.doc_id
+                  AND h.t IN ({_RR_TERMS_IN}))
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM rr_cand c
+),
+rr_x AS MATERIALIZED (
+  SELECT doc_id, j, floor(x0 * 1048576.0 + 0.5) / 1048576.0 AS x
+  FROM (
+    SELECT c.doc_id, 0 AS j,
+           CAST((SELECT COUNT(DISTINCT h.t) FROM htok h
+                 WHERE h.doc_id = c.doc_id
+                   AND h.t IN ({_RR_TERMS_IN})) AS DOUBLE)
+             / {len(set(_BM25_TERMS))}.0 AS x0
+    FROM rr_cand c
+    UNION ALL SELECT doc_id, 1, bm25 FROM rr_cand
+    UNION ALL SELECT doc_id, 2, cos_sim FROM rr_cand
+    UNION ALL
+    SELECT doc_id, 3,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + lex_rank), 0.0)
+    FROM rr_cand
+    UNION ALL
+    SELECT doc_id, 4,
+           COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
+    FROM rr_cand
+    UNION ALL
+    SELECT c.doc_id, 5, length(d.text) / 4096.0
+    FROM rr_cand c JOIN documents d ON d.doc_id = c.doc_id
+  )
+),
+rr_pairs AS MATERIALIZED (
+  SELECT a.doc_id AS cid, b.doc_id AS rid
+  FROM rr_y a JOIN rr_y b ON a.y = 1.0 AND b.y = 0.0
+),
+rr_dx AS MATERIALIZED (
+  SELECT p.cid, p.rid, xc.j, xc.x - xr.x AS dx
+  FROM rr_pairs p
+  JOIN rr_x xc ON xc.doc_id = p.cid
+  JOIN rr_x xr ON xr.doc_id = p.rid AND xr.j = xc.j
+),
+rr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM rr_pairs),
+{_rr_rounds_sql()},
+rrs AS (
+  SELECT x.doc_id,
+         floor(SUM(x.x * w.w) * 1048576.0 + 0.5) / 1048576.0
+           AS rerank
+  FROM rr_x x JOIN rrw{_RR_ROUNDS} w USING (j)
+  GROUP BY x.doc_id
+)
+SELECT c.doc_id, c.lex_rank, c.sem_rank, s.rerank
+FROM rr_cand c JOIN rrs s USING (doc_id)
+ORDER BY s.rerank DESC, c.doc_id ASC LIMIT {_HYBRID_K}
+"""
+
+QUERIES["doc_hybrid_rerank"] = QuerySpec(
+    _hybrid_rerank,
+    _HYBRID_RERANK_ORACLE,
+    "learned pairwise rerank over the hybrid candidate pool:"
+    " squared-hinge dyadic GD on feature DIFFERENCES of"
+    " relevant×irrelevant pairs (term overlap, arm scores,"
+    " reciprocal ranks, length prior) — the full retrain unrolled",
+)

@@ -1864,6 +1864,177 @@ def hybrid_batch_ltr(
     )
 
 
+#: rerank feature width: [term-overlap frac, bm25, cos, rrf_lex,
+#: rrf_sem, char_len/4096] — no bias (pairwise differences cancel it)
+RERANK_DIM = 6
+
+
+def rerank_features(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """(doc_id, bm25, cos_sim, lex_rank, sem_rank, fv): the PAIRWISE
+    rerank feature frame over a ``hybrid_candidates`` pool — the
+    richer per-(query, doc) evidence a real pipeline reranks with
+    beyond the two fused arm scores: exact term-overlap fraction
+    (how many distinct query terms the document contains), both raw
+    arm scores, both reciprocal ranks, and a bounded length prior
+    (chars / 4096 — a dyadic scale, exact). Candidate pools are
+    model-sized by construction (n_candidates per query), so the
+    docs join is broadcast-shaped; the corpus is touched only for
+    the pool rows."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    overlap = F.lit(0)
+    for t in terms:
+        overlap = overlap + F.array_contains(toks, t).cast("int")
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (overlap / F.lit(float(len(terms)))).alias("__ov"),
+        (F.length(F.col(text_col)) / F.lit(4096.0)).alias("__ln"),
+    )
+    return candidates.join(feats, "doc_id").select(
+        "doc_id",
+        "bm25",
+        "cos_sim",
+        "lex_rank",
+        "sem_rank",
+        F.array(
+            F.col("__ov"),
+            F.col("bm25"),
+            F.col("cos_sim"),
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+                F.lit(0.0),
+            ),
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+                F.lit(0.0),
+            ),
+            F.col("__ln"),
+        ).alias("fv"),
+    )
+
+
+def train_reranker(
+    feat_candidates: DataFrame,
+    label_col: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+    n_rounds: int = 8,
+    lr: float = 0.25,
+    reliable_checkpoint_dir: str | None = None,
+) -> list[float]:
+    """Fit ``RERANK_DIM`` weights by the reward-model machinery —
+    squared-hinge dyadic GD over PAIRWISE feature differences
+    (relevant > irrelevant within a query) — from a labeled
+    ``rerank_features`` frame. Click-proxy training: every
+    (relevant, irrelevant) pair in a pool is one preference. Pass
+    ``group_cols=("query_id",)`` for multi-query pools (pairs never
+    cross queries); the default single-pool form pairs within the
+    one candidate set (model-sized — the pair product is bounded by
+    n_candidates²)."""
+    from .reward_model import train_reward_model
+
+    pos = feat_candidates.filter(F.col(label_col) == 1.0).select(
+        *group_cols,
+        F.col("doc_id").alias("chosen_id"),
+        F.col("fv").alias("chosen_fv"),
+    )
+    neg = feat_candidates.filter(F.col(label_col) == 0.0).select(
+        *group_cols,
+        F.col("doc_id").alias("rejected_id"),
+        F.col("fv").alias("rejected_fv"),
+    )
+    if group_cols:
+        pairs = pos.join(neg, list(group_cols))
+    else:
+        # pool-sized × pool-sized: bounded by n_candidates² rows
+        pairs = pos.crossJoin(neg)
+    return train_reward_model(
+        pairs,
+        dim=RERANK_DIM,
+        n_rounds=n_rounds,
+        lr=lr,
+        reliable_checkpoint_dir=reliable_checkpoint_dir,
+    )
+
+
+def rerank(
+    feat_candidates: DataFrame,
+    weights: list[float],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, lex_rank, sem_rank, rerank): the pool re-ranked by
+    the trained pairwise weights — one map-only codegen'd scorer
+    (reward_model.score_reward), top ``k`` by (rerank DESC, doc_id
+    ASC). Bit-identical across engines by the dyadic argument."""
+    if len(weights) != RERANK_DIM:
+        raise ValueError(
+            f"weights must be length {RERANK_DIM}, got {len(weights)}"
+        )
+    from .reward_model import score_reward
+
+    scored = score_reward(
+        feat_candidates,
+        weights,
+        id_col="doc_id",
+        vec_col="fv",
+        out_col="rerank",
+    )
+    return (
+        feat_candidates.select("doc_id", "lex_rank", "sem_rank")
+        .join(scored, "doc_id")
+        .orderBy(F.desc("rerank"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_search_rerank(
+    spark: SparkSession,
+    postings_path: str,
+    ann_path: str,
+    query_terms: list[str],
+    query: DataFrame,
+    docs: DataFrame,
+    weights: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_probes: int = 1,
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
+    ann_cell_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``hybrid_search`` with the trained PAIRWISE reranker: the same
+    two pruned index probes, features attached from ``docs``, pool
+    re-scored by the squared-hinge weights."""
+    cand = hybrid_candidates(
+        spark, postings_path, ann_path, query_terms, query,
+        n_candidates=n_candidates, k1=k1, b=b, n_probes=n_probes,
+        ann_id_col=ann_id_col, ann_vec_col=ann_vec_col,
+        ann_cell_col=ann_cell_col,
+    )
+    feats = rerank_features(
+        cand, docs, query_terms,
+        id_col=id_col, text_col=text_col, rrf_k=rrf_k,
+    )
+    return rerank(feats, weights, k=k)
+
+
 def _proximity_terms(terms: list[str]) -> list[str]:
     uniq = sorted({t.lower() for t in terms})
     if len(uniq) < 2 or any(not t or " " in t for t in uniq):

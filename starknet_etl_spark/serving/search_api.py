@@ -269,6 +269,87 @@ def hybrid_ltr_response(
     )
 
 
+def rerank_rows(
+    spark,
+    bm25_index: str,
+    ann_index: str,
+    docs_path: str,
+    terms: list[str],
+    vector: list[float],
+    weights: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 20,
+    n_probes: int = 1,
+    cell_col: str = "label",
+    srp_planes: int | None = None,
+    centroids_path: str | None = None,
+) -> list[dict[str, Any]]:
+    """(doc_id, lex_rank, sem_rank, rerank) for one query — the
+    trained PAIRWISE reranker (``search.hybrid_search_rerank``): the
+    same two pruned index probes, pool features attached from the
+    corpus at ``docs_path``, squared-hinge weights. Query-cell
+    assignment follows ``hybrid_rows``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.search import hybrid_search_rerank
+    from ..operators.similarity import srp_bucket
+
+    query = spark.createDataFrame(
+        [(0, [float(x) for x in vector])],
+        "vec_id long, embedding array<double>",
+    )
+    if srp_planes is not None:
+        query = query.withColumn(
+            cell_col,
+            srp_bucket(
+                F.col("embedding"), dim=len(vector), planes=srp_planes
+            ),
+        )
+    elif centroids_path is not None:
+        from ..operators.similarity import assign_cells
+
+        query = assign_cells(
+            query, spark.read.parquet(centroids_path), cell_col=cell_col
+        )
+    docs = spark.read.parquet(docs_path)
+    return [
+        {
+            "doc_id": r["doc_id"],
+            "lex_rank": r["lex_rank"],
+            "sem_rank": r["sem_rank"],
+            "rerank": r["rerank"],
+        }
+        for r in hybrid_search_rerank(
+            spark,
+            bm25_index,
+            ann_index,
+            terms,
+            query,
+            docs,
+            [float(w) for w in weights],
+            k=k,
+            rrf_k=rrf_k,
+            n_candidates=n_candidates,
+            n_probes=n_probes,
+            ann_cell_col=cell_col,
+        ).collect()
+    ]
+
+
+def rerank_response(
+    spark, bm25_index, ann_index, docs_path, terms, vector, weights,
+    **kw,
+) -> dict[str, Any]:
+    return _wrap(
+        lambda: rerank_rows(
+            spark, bm25_index, ann_index, docs_path, terms, vector,
+            weights, **kw,
+        )
+    )
+
+
 def tokenize_rows(
     spark,
     texts: list[str],
@@ -845,6 +926,8 @@ def create_search_app(
     ann_cell_col: str = "label",
     ann_srp_planes: int | None = None,
     ltr_weights: list[float] | None = None,
+    rerank_weights: list[float] | None = None,
+    rerank_docs_path: str | None = None,
     bpe_merges: str | None = None,
     unigram_pieces: str | None = None,
     unigram_max_piece_len: int = 4,
@@ -883,6 +966,9 @@ def create_search_app(
     - ``GET /hybrid?q=term+term&v=0.1,...&k=10`` (needs BOTH indexes)
     - ``GET /hybrid_ltr?q=...&v=...&k=10`` (both indexes +
       ``ltr_weights``: learned fusion instead of RRF)
+    - ``GET /rerank?q=...&v=...&k=10`` (both indexes +
+      ``rerank_weights`` + ``rerank_docs_path``: the trained
+      pairwise reranker over the hybrid pool)
     - ``GET /quality?t=some+document+text`` (persisted quality model)
     - ``GET /reward?t=user:+...%0Aassistant:+...`` (persisted pairwise
       reward model scoring the conversation's response)
@@ -988,6 +1074,29 @@ def create_search_app(
                 lambda: hybrid_ltr_response(
                     spark, bm25_index, ann_index, q.split(), vec,
                     ltr_weights,
+                    k=k, n_candidates=n_candidates, n_probes=n_probes,
+                    cell_col=ann_cell_col, srp_planes=ann_srp_planes,
+                    centroids_path=ann_centroids,
+                )
+            )
+
+    if (
+        bm25_index is not None
+        and ann_index is not None
+        and rerank_weights is not None
+        and rerank_docs_path is not None
+    ):
+
+        @app.get("/rerank")
+        def rerank_route(
+            q: str, v: str, k: int = 10, n_candidates: int = 20,
+            n_probes: int = 1,
+        ):
+            vec = [float(x) for x in v.split(",")]
+            return run(
+                lambda: rerank_response(
+                    spark, bm25_index, ann_index, rerank_docs_path,
+                    q.split(), vec, rerank_weights,
                     k=k, n_candidates=n_candidates, n_probes=n_probes,
                     cell_col=ann_cell_col, srp_planes=ann_srp_planes,
                     centroids_path=ann_centroids,

@@ -937,3 +937,139 @@ def test_histogram_quantile_serving_core(spark, tmp_path):
     assert histogram_quantile_rows(
         spark, hp, [], lo=0.0, hi=64.0, n_bins=16
     ) == []
+
+
+def test_rerank_pairwise_learned(spark, tmp_path):
+    """train_reranker fits squared-hinge weights over pairwise
+    feature differences; rerank's ordering equals a manual Python
+    recompute of the quantized linear score (bit-equal by the dyadic
+    argument), and hybrid_search_rerank == candidates + features +
+    score."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.search import (
+        RERANK_DIM,
+        hybrid_candidates,
+        hybrid_search_rerank,
+        rerank,
+        rerank_features,
+        train_reranker,
+    )
+    from starknet_etl_spark.operators.similarity import assign_cells
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the pond"),
+        ],
+        "doc_id bigint, text string",
+    )
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    query = assign_cells(query, spark.read.parquet(cents_p))
+    terms = ["spark", "catalyst"]
+    cand = hybrid_candidates(spark, bm25_p, ann_p, terms, query)
+    feats = rerank_features(cand, docs, terms)
+    # the overlap feature is exact: doc 1 has 'spark' only (0.5),
+    # doc 2 has 'catalyst' only (0.5)
+    fv = {r["doc_id"]: list(r["fv"]) for r in feats.collect()}
+    assert fv[1][0] == 0.5 and fv[2][0] == 0.5
+    labeled = feats.withColumn(
+        "y", (F.col("doc_id") == 1).cast("double")
+    )
+    w = train_reranker(labeled, "y", n_rounds=4)
+    assert len(w) == RERANK_DIM
+
+    q20 = lambda x: math.floor(x * 2**20 + 0.5) / 2**20  # noqa: E731
+
+    def manual(vec):
+        return q20(sum(wj * q20(x) for wj, x in zip(w, vec)))
+
+    want = sorted(
+        ((d, manual(v)) for d, v in fv.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r["doc_id"], r["rerank"])
+        for r in rerank(feats, w, k=10).collect()
+    ]
+    assert got == want
+
+    full = [
+        (r["doc_id"], r["rerank"])
+        for r in hybrid_search_rerank(
+            spark, bm25_p, ann_p, terms, query, docs, w, k=10
+        ).collect()
+    ]
+    assert full == got
+    # the trained reranker puts the labeled-relevant doc first
+    assert got[0][0] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="weights"):
+        rerank(feats, [0.1, 0.2], k=5)
+    with pytest.raises(ValueError, match="query_terms"):
+        rerank_features(cand, docs, [])
+
+
+def test_rerank_serving_core(spark, tmp_path):
+    from starknet_etl_spark.serving.search_api import rerank_response
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    docs_p = str(tmp_path / "rr_docs")
+    spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the catalyst optimizer prunes columns"),
+            (3, "ducks on the pond"),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(docs_p)
+    w = [1.0, 0.5, 0.5, 0.25, 0.25, 0.0]
+    out = rerank_response(
+        spark, bm25_p, ann_p, docs_p, ["spark", "catalyst"],
+        [1.0, 0.0, 0.0, 0.0], w, centroids_path=cents_p,
+    )
+    assert {r["doc_id"] for r in out["data"]} == {1, 2}
+    assert set(out["data"][0]) == {
+        "doc_id", "lex_rank", "sem_rank", "rerank",
+    }
+
+
+def test_rerank_fastapi_route_if_available(spark, tmp_path):
+    import pytest
+
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        pytest.skip("fastapi not installed")
+
+    bm25_p, ann_p, cents_p = _build_hybrid_fixtures(spark, tmp_path)
+    docs_p = str(tmp_path / "rr_docs2")
+    spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "catalyst prunes columns"),
+         (3, "ducks on the pond")],
+        "doc_id bigint, text string",
+    ).write.parquet(docs_p)
+    client = TestClient(
+        create_search_app(
+            spark,
+            bm25_index=bm25_p,
+            ann_index=ann_p,
+            ann_centroids=cents_p,
+            rerank_weights=[1.0, 0.5, 0.5, 0.25, 0.25, 0.0],
+            rerank_docs_path=docs_p,
+        )
+    )
+    got = client.get(
+        "/rerank", params={"q": "spark catalyst", "v": "1.0,0,0,0"}
+    ).json()
+    assert got["data"] and "rerank" in got["data"][0]
