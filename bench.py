@@ -134,6 +134,7 @@ HEADLINE_EXT = (
     "doc_graph_communities",
     "doc_graph_lifecycle",
     "doc_hybrid_rerank",
+    "doc_canary_audit",
 )
 
 

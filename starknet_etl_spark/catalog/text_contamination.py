@@ -100,3 +100,135 @@ QUERIES["doc_bloom_contamination"] = QuerySpec(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# Canary / leakage audit (r12): prove the PIPELINE catches planted
+# leaks end-to-end (operators/contamination.plant_canaries +
+# canary_audit). Every 10th train doc gets one benchmark 5-gram
+# payload inserted contiguously at an md5-derived token position;
+# both exact gates re-run over the planted corpus; the card's
+# n_missed MUST be 0 — for the exact join because the payload is
+# contiguous, for the bloom because it never false-negatives vs the
+# join. A nonzero n_missed is a decon-tier regression, which is what
+# makes this row a standing gate. Names _CAN_.
+# --------------------------------------------------------------------------
+
+_CAN_EVERY = 10
+
+
+def _canary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contamination import canary_audit
+
+    docs = _docs(spark, sf_dir)
+    return canary_audit(
+        docs.filter(F.col("source") != "src0").select("doc_id", "text"),
+        docs.filter(F.col("source") == "src0").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=5,
+        every=_CAN_EVERY,
+        m=_BLOOM_M,
+        j=_BLOOM_J,
+    )
+
+
+_CANARY_ORACLE = rf"""
+WITH words0 AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+can_bench AS MATERIALIZED (
+  SELECT DISTINCT
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM words0, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+  WHERE source = 'src0'
+),
+can_bnum AS (
+  SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS BIGINT) AS rn
+  FROM can_bench
+),
+can_bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM can_bench),
+can_mark AS (
+  SELECT doc_id, ws, doc_id % {_CAN_EVERY} = 0 AS canary,
+         CAST('0x' || substr(md5('canary-pick:'
+              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('canary-pos:'
+              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h2
+  FROM words0 WHERE source <> 'src0'
+),
+can_planted AS MATERIALIZED (
+  SELECT m.doc_id, m.canary,
+         CASE WHEN m.canary THEN
+           array_to_string(
+             list_concat(
+               list_concat(ws[1:CAST(m.h2 % (len(ws) + 1) AS INT)],
+                           [b.g]),
+               ws[CAST(m.h2 % (len(ws) + 1) AS INT) + 1:len(ws)]),
+             ' ')
+         ELSE array_to_string(ws, ' ') END AS text
+  FROM can_mark m
+  CROSS JOIN can_bcnt
+  JOIN can_bnum b ON b.rn = m.h1 % can_bcnt.nb
+),
+can_sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+          || ' ' || ws[i+4] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM can_planted),
+       unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+),
+can_hit_exact AS (
+  SELECT DISTINCT doc_id FROM can_sh JOIN can_bench USING (g)
+),
+can_bbits AS MATERIALIZED (
+  SELECT DISTINCT
+    CAST('0x' || substr(
+      md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM can_bench, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
+),
+can_hit_bloom AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, g
+    FROM (
+      SELECT doc_id, g, i,
+        CAST('0x' || substr(
+          md5(CAST(i AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
+          % {_BLOOM_M} AS pos
+      FROM can_sh, unnest(generate_series(0, {_BLOOM_J - 1})) AS t(i)
+    ) tp JOIN can_bbits USING (pos)
+    GROUP BY doc_id, g HAVING COUNT(*) = {_BLOOM_J}
+  )
+),
+can_card AS (
+  SELECT 'ngram' AS mode, p.canary,
+         p.doc_id IN (SELECT doc_id FROM can_hit_exact) AS hit
+  FROM can_planted p
+  UNION ALL
+  SELECT 'bloom', p.canary,
+         p.doc_id IN (SELECT doc_id FROM can_hit_bloom)
+  FROM can_planted p
+)
+SELECT mode,
+       CAST(SUM(CASE WHEN canary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_planted,
+       CAST(SUM(CASE WHEN canary AND hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(SUM(CASE WHEN canary AND NOT hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missed,
+       CAST(SUM(CASE WHEN NOT canary AND hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean_flagged
+FROM can_card GROUP BY mode
+"""
+
+QUERIES["doc_canary_audit"] = QuerySpec(
+    _canary_audit,
+    _CANARY_ORACLE,
+    "end-to-end leakage audit: md5-placed benchmark canaries planted"
+    " into a corpus copy, both exact decon gates re-run — n_missed"
+    " must be 0 (contiguous payload / bloom no-false-negative), a"
+    " standing regression gate on the decontamination tiers",
+)

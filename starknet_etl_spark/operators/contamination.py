@@ -299,3 +299,158 @@ def probe_ngram_bloom(
         F.round(frac, 6).alias("bloom_frac"),
         (frac >= F.lit(threshold)).alias("flagged"),
     )
+
+
+def plant_canaries(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    every: int = 10,
+) -> DataFrame:
+    """(id, text, canary): a copy of the corpus where every document
+    with ``id % every == 0`` gets ONE benchmark ``n``-gram payload
+    inserted CONTIGUOUSLY at an md5-derived token position — the
+    planted-leak synthesis a decontamination audit needs. Payload
+    choice (which benchmark gram) and insertion position are both
+    md5(id)-derived: deterministic, regeneration-robust, replayable
+    verbatim in SQL.
+
+    The payload stays contiguous, so the planted document's
+    ``n``-gram set PROVABLY contains at least one benchmark gram —
+    the audit's missed-count-is-zero claim rests on this."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    from pyspark.sql import Window
+
+    bsh = (
+        shingles(benchmark, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    w = Window.orderBy("shingle")
+    bnum = bsh.select(
+        "shingle",
+        (F.row_number().over(w) - 1).cast("long").alias("__rn"),
+    )
+    bcnt = F.broadcast(bnum.agg(F.count(F.lit(1)).alias("__nb")))
+
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(tag), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    marked = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        (F.col(id_col) % every == 0).alias("canary"),
+        _h("canary-pick").alias("__h1"),
+        _h("canary-pos").alias("__h2"),
+    )
+    toks = F.split(F.trim(F.col("__t")), r"\s+")
+    picked = (
+        marked.join(bcnt)
+        .withColumn("__rn", F.pmod(F.col("__h1"), F.col("__nb")))
+        .join(F.broadcast(bnum), "__rn", "left")
+    )
+    pos = F.pmod(F.col("__h2"), F.size(toks) + 1).cast("int")
+    planted_text = F.array_join(
+        F.concat(
+            F.slice(toks, 1, pos),
+            F.array(F.col("shingle")),
+            F.slice(toks, pos + 1, F.size(toks) - pos),
+        ),
+        " ",
+    )
+    return picked.select(
+        id_col,
+        F.when(F.col("canary"), planted_text)
+        .otherwise(F.col("__t"))
+        .alias(text_col),
+        "canary",
+    )
+
+
+def canary_audit(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    every: int = 10,
+    m: int = 16384,
+    j: int = 3,
+) -> DataFrame:
+    """End-to-end leakage audit of the decontamination tiers: plant
+    md5-placed benchmark canaries into a corpus copy, run BOTH exact
+    gates over the planted corpus, and emit one exact-integer card
+    per mode — ``(mode, n_planted, n_caught, n_missed,
+    n_clean_flagged)``. "Caught" means the gate saw ≥ 1 benchmark
+    gram in the document (detection, not the production
+    threshold-flag: one planted gram among hundreds is exactly the
+    needle the audit must see). By construction:
+
+    - ``ngram`` (exact join): a contiguous payload guarantees ≥ 1
+      overlap gram, so ``n_missed`` MUST be 0 — a nonzero value is a
+      pipeline regression, which is what makes this a standing gate.
+    - ``bloom``: never a false negative vs the exact join (bloom
+      hits ⊇ exact overlaps), so ``n_missed`` MUST be 0 there too,
+      and ``n_clean_flagged`` ≥ the exact mode's (false positives
+      are the bloom trade).
+
+    Scale: one planted-corpus derivation (map-side except the tiny
+    broadcast payload pick), then the two gates' own analyses
+    (broadcast benchmark join; pure-map bloom probe)."""
+    from .dedup import _eager_release
+
+    # three consumers (flags + both gates) — persist, release after
+    # the two-row card materializes (the r8 multi-consumer rule)
+    planted = plant_canaries(
+        train, benchmark, id_col, text_col, n=n, every=every
+    ).persist()
+    flags = planted.select(id_col, "canary")
+    exact = ngram_overlap(
+        planted, benchmark, id_col, text_col, n=n, threshold=0.2
+    ).select(id_col, (F.col("n_overlap") >= 1).alias("__hit"))
+    blm = bloom_overlap(
+        planted, benchmark, id_col, text_col,
+        n=n, m=m, j=j, threshold=0.2,
+    ).select(id_col, (F.col("n_bloom_hits") >= 1).alias("__hit"))
+
+    def card(mode: str, hits: DataFrame) -> DataFrame:
+        joined = flags.join(hits, id_col, "left").select(
+            "canary", F.coalesce("__hit", F.lit(False)).alias("__hit")
+        )
+        return joined.agg(
+            F.lit(mode).alias("mode"),
+            F.sum(F.col("canary").cast("long"))
+            .cast("long")
+            .alias("n_planted"),
+            F.sum((F.col("canary") & F.col("__hit")).cast("long"))
+            .cast("long")
+            .alias("n_caught"),
+            F.sum((F.col("canary") & ~F.col("__hit")).cast("long"))
+            .cast("long")
+            .alias("n_missed"),
+            F.sum((~F.col("canary") & F.col("__hit")).cast("long"))
+            .cast("long")
+            .alias("n_clean_flagged"),
+        )
+
+    out = card("ngram", exact).unionByName(card("bloom", blm))
+    return _eager_release(out, [planted], True)

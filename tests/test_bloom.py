@@ -109,3 +109,84 @@ def test_curation_unknown_mode_still_raises(spark, tb):
     train, bench = tb
     with pytest.raises(ValueError, match="contamination_mode"):
         curate_corpus(train, benchmark=bench, contamination_mode="blom")
+
+
+def test_plant_canaries_contiguous_payload(spark):
+    """Planted docs carry EXACTLY one contiguous benchmark 5-gram;
+    non-selected docs are byte-identical to their originals."""
+    from starknet_etl_spark.operators.contamination import (
+        plant_canaries,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7"),
+            (1, "u0 u1 u2 u3 u4 u5 u6 u7"),
+            (10, "v0 v1 v2 v3 v4 v5 v6 v7"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "b0 b1 b2 b3 b4 b5")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["canary"])
+        for r in plant_canaries(train, bench, every=10).collect()
+    }
+    assert got[1] == ("u0 u1 u2 u3 u4 u5 u6 u7", False)
+    for did in (0, 10):
+        text, canary = got[did]
+        assert canary
+        toks = text.split(" ")
+        assert len(toks) == 8 + 5
+        # the payload is one of the benchmark's two 5-grams, intact
+        grams = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+        assert grams & {"b0 b1 b2 b3 b4", "b1 b2 b3 b4 b5"}
+
+
+def test_canary_audit_zero_missed(spark):
+    """The standing-gate claim: n_missed == 0 in BOTH modes, and the
+    bloom's clean-flag count dominates the exact join's."""
+    from starknet_etl_spark.operators.contamination import canary_audit
+
+    train = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(12)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, "p0 p1 p2 p3 p4 p5 p6")], "doc_id long, text string"
+    )
+    got = {
+        r["mode"]: r for r in canary_audit(
+            train, bench, every=3, m=4096, j=2
+        ).collect()
+    }
+    assert set(got) == {"ngram", "bloom"}
+    for mode in ("ngram", "bloom"):
+        assert got[mode]["n_planted"] == 10
+        assert got[mode]["n_caught"] == 10
+        assert got[mode]["n_missed"] == 0
+    assert (
+        got["bloom"]["n_clean_flagged"]
+        >= got["ngram"]["n_clean_flagged"]
+    )
+    # disjoint vocab: the exact join can never flag a clean doc
+    assert got["ngram"]["n_clean_flagged"] == 0
+
+
+def test_canary_validation(spark):
+    from starknet_etl_spark.operators.contamination import (
+        plant_canaries,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="every"):
+        plant_canaries(df, df, every=0)
+    with pytest.raises(ValueError, match="n must"):
+        plant_canaries(df, df, n=0)
