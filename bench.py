@@ -135,6 +135,7 @@ HEADLINE_EXT = (
     "doc_graph_lifecycle",
     "doc_hybrid_rerank",
     "doc_canary_audit",
+    "doc_kn_curriculum",
 )
 
 

@@ -1662,3 +1662,65 @@ QUERIES["doc_rouge_eval"] = QuerySpec(
     " eval pairs — the recall-side twin of doc_bleu_eval, exact"
     " integer matches, 6-dp organic ratios",
 )
+
+
+# --------------------------------------------------------------------------
+# KN-perplexity curriculum (r12): the composed tier — kn_logprob (the
+# CCNet fluency signal) drives curriculum_shards' intra-shard order
+# (fluent-first = easy-to-hard), proving the modeling tier and the
+# shard layout CHAIN: exact-integer shard assignment (append-stable
+# md5), dyadic difficulty order, NULL-signal docs (fewer than 3
+# tokens — no trigram evidence) deterministically LAST in every
+# shard. Names _KNC_.
+# --------------------------------------------------------------------------
+
+_KNC_SHARDS = 8
+
+
+def _kn_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knlm import kn_logprob
+    from ..operators.splits import curriculum_shards
+
+    docs = _docs(spark, sf_dir)
+    lp = kn_logprob(docs, "doc_id", "text")
+    base = docs.select("doc_id").join(
+        lp.select("doc_id", "kn_logprob"), "doc_id", "left"
+    )
+    return curriculum_shards(
+        base, "doc_id", "kn_logprob",
+        n_shards=_KNC_SHARDS, ascending=False,
+    )
+
+
+_KN_CURRICULUM_ORACLE = (
+    "WITH "
+    + _KN_CTES
+    + f""",
+knc_lp AS (
+  SELECT doc_id,
+         floor(SUM(lp) / COUNT(*) * 1048576.0 + 0.5) / 1048576.0
+           AS kn_logprob
+  FROM kn_lp GROUP BY doc_id
+),
+knc AS (
+  SELECT d.doc_id, l.kn_logprob,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_KNC_SHARDS} AS shard
+  FROM documents d LEFT JOIN knc_lp l USING (doc_id)
+)
+SELECT doc_id, kn_logprob, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY shard
+              ORDER BY kn_logprob DESC NULLS LAST, doc_id ASC)
+            AS BIGINT) AS shard_pos
+FROM knc
+"""
+)
+
+QUERIES["doc_kn_curriculum"] = QuerySpec(
+    _kn_curriculum,
+    _KN_CURRICULUM_ORACLE,
+    "KN-perplexity curriculum: the trained LM's fluency signal"
+    " ordering append-stable md5 shards fluent-first — the modeling"
+    " and layout tiers composed, NULL-signal docs last by contract",
+)
