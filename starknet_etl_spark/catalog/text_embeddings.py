@@ -159,22 +159,40 @@ le_v{r + 1} AS MATERIALIZED (
     return head + "".join(rounds_sql)
 
 
-def _learned_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+_LE_CACHE: dict = {}
+
+
+def _le_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model, cached per (session, sf) as collected rows
+    (it IS driver-sized — ≤ vocab × dim values) so the three rows
+    sharing it train once per session (the _LTR_CACHE discipline)."""
     from ..operators.embeddings import train_word_vectors
 
-    vecs = train_word_vectors(
-        _docs(spark, sf_dir),
-        "doc_id",
-        "text",
-        vocab_size=_LE_VOCAB,
-        dim=_LE_DIM,
-        window=_LE_WINDOW,
-        n_rounds=_LE_ROUNDS,
-        lr=_LE_LR,
-        target_scale=_LE_SCALE,
+    key = (spark.sparkContext.applicationId, sf_dir, "wordvecs")
+    if key not in _LE_CACHE:
+        _LE_CACHE[key] = [
+            (r["token"], r["word_id"], int(r["d"]), r["val"])
+            for r in train_word_vectors(
+                _docs(spark, sf_dir),
+                "doc_id",
+                "text",
+                vocab_size=_LE_VOCAB,
+                dim=_LE_DIM,
+                window=_LE_WINDOW,
+                n_rounds=_LE_ROUNDS,
+                lr=_LE_LR,
+                target_scale=_LE_SCALE,
+            ).collect()
+        ]
+    return spark.createDataFrame(
+        _LE_CACHE[key],
+        "token string, word_id long, d int, val double",
     )
-    return vecs.select(
-        "token", "word_id", F.col("d").cast("int").alias("d"), "val"
+
+
+def _learned_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _le_vectors(spark, sf_dir).select(
+        "token", "word_id", "d", "val"
     )
 
 
@@ -209,21 +227,11 @@ _LE_PAIR_T = 0.999
 
 
 def _learned_semantic_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.embeddings import embed_docs, train_word_vectors
+    from ..operators.embeddings import embed_docs
     from ..operators.similarity import cosine_near_dup_pairs
 
     docs = _docs(spark, sf_dir)
-    vecs = train_word_vectors(
-        docs,
-        "doc_id",
-        "text",
-        vocab_size=_LE_VOCAB,
-        dim=_LE_DIM,
-        window=_LE_WINDOW,
-        n_rounds=_LE_ROUNDS,
-        lr=_LE_LR,
-        target_scale=_LE_SCALE,
-    )
+    vecs = _le_vectors(spark, sf_dir)
     emb = embed_docs(docs, "doc_id", "text", vecs, dim=_LE_DIM)
     return cosine_near_dup_pairs(
         emb,
@@ -267,4 +275,103 @@ QUERIES["doc_learned_semantic_dup"] = QuerySpec(
     "semantic near-dup over the TRAINED embedding space: learned"
     " word vectors mean-pooled per doc, blocked-GEMM cosine pairs —"
     " the hash_embed random projection swapped for a trained one",
+)
+
+
+# --------------------------------------------------------------------------
+# Trained-space word neighbors (r12): each vocab word's nearest other
+# word by trained cosine — the similar-words analytics view only a
+# LEARNED space can produce (hash_embed's random directions carry no
+# such structure). Oracle replays training + the full pairwise
+# argmax. Names _WN_.
+# --------------------------------------------------------------------------
+
+
+def _word_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import word_neighbors
+
+    return word_neighbors(_le_vectors(spark, sf_dir), k=1)
+
+
+_WORD_NEIGHBORS_ORACLE = (
+    "WITH "
+    + _le_train_block()
+    + f""",
+wn_n AS MATERIALIZED (
+  SELECT wid, SQRT(SUM(val * val)) AS nn
+  FROM le_u{_LE_ROUNDS} GROUP BY wid
+  HAVING SQRT(SUM(val * val)) > 0
+),
+wn_cos AS MATERIALIZED (
+  SELECT a.wid AS w1, b.wid AS w2,
+         ROUND(SUM(a.val * b.val) / (na.nn * nb.nn), 6) AS cos_sim
+  FROM le_u{_LE_ROUNDS} a
+  JOIN le_u{_LE_ROUNDS} b ON a.d = b.d AND a.wid <> b.wid
+  JOIN wn_n na ON na.wid = a.wid
+  JOIN wn_n nb ON nb.wid = b.wid
+  GROUP BY a.wid, b.wid, na.nn, nb.nn
+),
+wn_r AS (
+  SELECT w1, w2, cos_sim,
+         row_number() OVER (
+           PARTITION BY w1 ORDER BY cos_sim DESC, w2 ASC) AS rk
+  FROM wn_cos
+)
+SELECT va.token, CAST(r.w1 AS BIGINT) AS word_id,
+       vb.token AS nn_token, CAST(r.w2 AS BIGINT) AS nn_word_id,
+       r.cos_sim
+FROM wn_r r
+JOIN le_voc va ON va.wid = r.w1
+JOIN le_voc vb ON vb.wid = r.w2
+WHERE r.rk <= 1
+"""
+)
+
+QUERIES["doc_word_neighbors"] = QuerySpec(
+    _word_neighbors,
+    _WORD_NEIGHBORS_ORACLE,
+    "nearest trained-space neighbor per vocab word — the"
+    " similar-words view only a learned embedding can produce;"
+    " training + pairwise argmax fully replayed",
+)
+
+
+# --------------------------------------------------------------------------
+# Embedding drift card (r12): the fraction of corpus token MASS the
+# persisted model cannot represent (embeddings.embedding_coverage) —
+# the stats input maintain_word_vectors' retrain policy reads.
+# Names _EC_.
+# --------------------------------------------------------------------------
+
+
+def _embed_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import embedding_coverage
+
+    return embedding_coverage(
+        _docs(spark, sf_dir),
+        _le_vectors(spark, sf_dir),
+        "doc_id",
+        "text",
+    )
+
+
+_EMBED_COVERAGE_ORACLE = (
+    "WITH "
+    + _le_train_block(0).split(",\nle_pr AS")[0]
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_vocab,
+       ROUND(1.0 - SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0
+                       END) * 1.0 / COUNT(*), 6) AS oov_mass_frac,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM le_voc) AS n_vocab
+FROM le_tok t LEFT JOIN le_voc v ON v.token = t.t
+"""
+)
+
+QUERIES["doc_embed_coverage"] = QuerySpec(
+    _embed_coverage,
+    _EMBED_COVERAGE_ORACLE,
+    "embedding drift card: corpus token mass outside the model vocab"
+    " — the exact-integer stats the retrain policy tick reads",
 )

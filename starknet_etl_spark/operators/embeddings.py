@@ -420,3 +420,196 @@ def load_word_vectors(spark, path: str) -> DataFrame:
     from .. import io as _io
 
     return _io.load_table(spark, path)
+
+
+def word_neighbors(
+    vectors: DataFrame,
+    *,
+    k: int = 1,
+) -> DataFrame:
+    """(token, word_id, nn_token, nn_word_id, cos_sim): each vocab
+    word's ``k`` nearest OTHER words by trained cosine — the
+    similar-words analytics view of the learned space (synonyms and
+    co-usage surface here; hash_embed structurally cannot produce
+    this). Model-sized throughout: the pairwise frame is |vocab|²
+    rows; zero-norm vectors (cannot happen from the md5 init, but a
+    hand-edited artifact could) are excluded rather than poisoning
+    the argmax with NaN."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    norms = vectors.groupBy("word_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("__n")
+    ).filter(F.col("__n") > 0)
+    a = vectors.select(
+        F.col("word_id").alias("__w1"), "d", F.col("val").alias("__v1")
+    )
+    b = vectors.select(
+        F.col("word_id").alias("__w2"), "d", F.col("val").alias("__v2")
+    )
+    cos = (
+        a.join(b, "d")
+        .filter(F.col("__w1") != F.col("__w2"))
+        .groupBy("__w1", "__w2")
+        .agg(F.sum(F.col("__v1") * F.col("__v2")).alias("__dot"))
+        .join(norms.select(F.col("word_id").alias("__w1"),
+                           F.col("__n").alias("__n1")), "__w1")
+        .join(norms.select(F.col("word_id").alias("__w2"),
+                           F.col("__n").alias("__n2")), "__w2")
+        .select(
+            "__w1",
+            "__w2",
+            F.round(
+                F.col("__dot") / (F.col("__n1") * F.col("__n2")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("__w1").orderBy(
+        F.desc("cos_sim"), F.asc("__w2")
+    )
+    ranked = cos.withColumn(
+        "__rk", F.row_number().over(w)
+    ).filter(F.col("__rk") <= k)
+    toks = vectors.select("token", "word_id").distinct()
+    return (
+        ranked.join(
+            toks.select(F.col("word_id").alias("__w1"),
+                        F.col("token")), "__w1"
+        )
+        .join(
+            toks.select(F.col("word_id").alias("__w2"),
+                        F.col("token").alias("nn_token")), "__w2"
+        )
+        .select(
+            "token",
+            F.col("__w1").alias("word_id"),
+            "nn_token",
+            F.col("__w2").alias("nn_word_id"),
+            "cos_sim",
+        )
+    )
+
+
+def embedding_coverage(
+    df: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One-row drift card for a persisted embedding model vs a
+    corpus: ``(n_tokens, n_in_vocab, oov_mass_frac, n_vocab)`` — the
+    fraction of corpus TOKEN MASS the model cannot represent. Exact
+    integer counts; one tokenize pass + one broadcast vocab join
+    (the index-health card discipline: stats first, policy
+    separate)."""
+    toks = _tokens_with_pos(df, id_col, text_col).select(
+        F.col("__t").alias("token")
+    )
+    vocab = vectors.select("token").distinct()
+    nv = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("n_vocab")))
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("__in", F.lit(1))),
+            "token",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("__in", F.lit(0)))
+            .cast("long")
+            .alias("n_in_vocab"),
+        )
+        .join(nv)
+        .select(
+            "n_tokens",
+            "n_in_vocab",
+            # ANSI: x/0 throws — an empty corpus card carries NULL
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_in_vocab") / F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("oov_mass_frac"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+        )
+    )
+
+
+def embedding_stats(
+    df: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """The :func:`embedding_coverage` card collected to a dict — the
+    policy-tick input shape."""
+    r = embedding_coverage(df, vectors, id_col, text_col).collect()[0]
+    return {
+        "n_tokens": int(r["n_tokens"]),
+        "n_in_vocab": int(r["n_in_vocab"]),
+        "oov_mass_frac": (
+            float(r["oov_mass_frac"])
+            if r["oov_mass_frac"] is not None
+            else None
+        ),
+        "n_vocab": int(r["n_vocab"]),
+    }
+
+
+def needs_embedding_retrain(
+    stats: dict, *, max_oov_mass_frac: float = 0.5
+) -> bool:
+    """Policy over the drift card: retrain when the corpus token
+    mass outside the model vocab exceeds the cap (or the card could
+    not be computed)."""
+    f = stats.get("oov_mass_frac")
+    return f is None or f > max_oov_mass_frac
+
+
+def retrain_word_vectors(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    **train_kwargs,
+) -> None:
+    """Retrain from the CURRENT corpus and swap the artifact
+    atomically (temp-write + tombstone dir swap — never a keyed
+    merge: a retrain changes the vocab, and merging would leave
+    dead words from the old vocab in the table)."""
+    from .. import io as _io
+
+    spark = df.sparkSession
+    vecs = train_word_vectors(df, id_col, text_col, **train_kwargs)
+    tmp = f"{path}__tmp_retrain"
+    vecs.select("token", "word_id", "d", "val").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _io._replace_dir(spark, path, tmp)
+
+
+def maintain_word_vectors(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    max_oov_mass_frac: float = 0.5,
+    **train_kwargs,
+) -> dict:
+    """One maintenance tick: measure drift, retrain ONCE on breach
+    (the index_health pattern — one stated policy, one expensive
+    verb, stats ride along)."""
+    spark = df.sparkSession
+    vectors = load_word_vectors(spark, path)
+    stats = embedding_stats(df, vectors, id_col, text_col)
+    action = "none"
+    if needs_embedding_retrain(
+        stats, max_oov_mass_frac=max_oov_mass_frac
+    ):
+        retrain_word_vectors(df, path, id_col, text_col, **train_kwargs)
+        action = "retrain"
+    return {"action": action, "stats": stats}

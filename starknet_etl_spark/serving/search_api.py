@@ -517,6 +517,36 @@ def hybrid_response(
     )
 
 
+def embed_rows(
+    spark,
+    vectors_path: str,
+    texts: list[str],
+    *,
+    dim: int,
+) -> list[dict[str, Any]]:
+    """(i, embedding) per input text — mean-pooled PERSISTED learned
+    word vectors (embeddings.embed_docs over a tiny driver frame).
+    Texts with no in-vocab token return embedding None (the
+    no-representation contract, surfaced rather than zero-filled)."""
+    from ..operators.embeddings import embed_docs, load_word_vectors
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vecs = load_word_vectors(spark, vectors_path)
+    by = {
+        r["doc_id"]: [float(x) for x in r["embedding"]]
+        for r in embed_docs(df, "doc_id", "text", vecs, dim=dim).collect()
+    }
+    return [
+        {"i": i, "embedding": by.get(i)} for i in range(len(texts))
+    ]
+
+
+def embed_response(spark, vectors_path, texts, **kw) -> dict[str, Any]:
+    return _wrap(lambda: embed_rows(spark, vectors_path, texts, **kw))
+
+
 def cms_count_rows(
     spark,
     sketch_path: str,
@@ -953,6 +983,8 @@ def create_search_app(
     chunk_dim: int = 16,
     dsir_lambdas_path: str | None = None,
     dsir_buckets: int = 512,
+    word_vectors_path: str | None = None,
+    word_vectors_dim: int = 8,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -991,6 +1023,9 @@ def create_search_app(
     - ``GET /dsir?t=some+document+text`` (persisted frozen DSIR λ
       table: the summed log importance ratio toward the target —
       the data-selection routing score)
+    - ``GET /embed?t=some+text`` (persisted LEARNED word vectors:
+      the mean-pooled document embedding; null when no token is in
+      the model vocab)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -1263,6 +1298,17 @@ def create_search_app(
                 lambda: dsir_score_response(
                     spark, dsir_lambdas_path, [t],
                     n_buckets=dsir_buckets,
+                )
+            )
+
+    if word_vectors_path is not None:
+
+        @app.get("/embed")
+        def embed(t: str):
+            return run(
+                lambda: embed_response(
+                    spark, word_vectors_path, [t],
+                    dim=word_vectors_dim,
                 )
             )
 

@@ -1,0 +1,59 @@
+"""Streaming document embedding with a FROZEN persisted word-vector
+model (the streaming/knlm.py discipline): the model
+(``embeddings.save_word_vectors`` / ``retrain_word_vectors``
+artifact) trains offline on a corpus snapshot; each micro-batch of
+documents mean-pools the PERSISTED vectors (one broadcast model join
+per tick — the model frame is cached once at first batch), and
+(id, embedding) rows append exactly-once via ``io.append_once``.
+Model updates are a retrain + new path, never in-place: two ticks
+pooled under different vector spaces are silently incomparable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..io import append_once
+from ..operators.embeddings import embed_docs, load_word_vectors
+
+
+def start_doc_embedding_stream(
+    docs: DataFrame,
+    *,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Embed a streaming document source with the persisted word
+    vectors at ``model_path``; exactly-once append to ``out_path``.
+    Documents with no in-vocab token emit no row (the batch
+    ``embed_docs`` contract — replay-safe either way)."""
+
+    model_cache: list = []
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if not model_cache:
+            model_cache.append(
+                load_word_vectors(
+                    batch.sparkSession, model_path
+                ).persist()
+            )
+        out = embed_docs(
+            batch, id_col, text_col, model_cache[0], dim=dim
+        )
+        append_once(out, out_path, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -290,3 +290,156 @@ def test_validation(spark):
         train_word_vectors(df, "doc_id", "text", n_rounds=0)
     with pytest.raises(ValueError, match="window"):
         train_word_vectors(df, "doc_id", "text", window=0)
+
+
+def test_word_neighbors_toy_model(spark):
+    """Argmax + tie-break semantics on a hand-built model: parallel
+    vectors are nearest; a zero-norm row is excluded, not NaN."""
+    from starknet_etl_spark.operators.embeddings import word_neighbors
+
+    rows = [
+        # a (0) and b (1) parallel; c (2) orthogonal; z (3) zero
+        ("a", 0, 0, 1.0), ("a", 0, 1, 0.0),
+        ("b", 1, 0, 2.0), ("b", 1, 1, 0.0),
+        ("c", 2, 0, 0.0), ("c", 2, 1, 1.0),
+        ("z", 3, 0, 0.0), ("z", 3, 1, 0.0),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "token string, word_id long, d int, val double"
+    )
+    got = {
+        r["token"]: (r["nn_token"], r["cos_sim"])
+        for r in word_neighbors(vecs, k=1).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # z excluded (zero norm)
+    assert got["a"] == ("b", 1.0)
+    assert got["b"] == ("a", 1.0)
+    # c ties between a and b at cos 0 — lowest word_id wins
+    assert got["c"] == ("a", 0.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        word_neighbors(vecs, k=0)
+
+
+def test_embedding_coverage_and_maintain(spark, tmp_path):
+    from starknet_etl_spark.operators.embeddings import (
+        embedding_coverage,
+        embedding_stats,
+        load_word_vectors,
+        maintain_word_vectors,
+        save_word_vectors,
+        train_word_vectors,
+    )
+
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    vecs = train_word_vectors(
+        df, "doc_id", "text", vocab_size=6, dim=2, window=2, n_rounds=1
+    )
+    card = embedding_coverage(df, vecs, "doc_id", "text").collect()[0]
+    # vocab_size=6 over a richer corpus: real OOV mass, exact counts
+    assert card["n_vocab"] == 6
+    assert 0 < card["n_in_vocab"] < card["n_tokens"]
+    assert card["oov_mass_frac"] == round(
+        1.0 - card["n_in_vocab"] / card["n_tokens"], 6
+    )
+    path = str(tmp_path / "wv")
+    save_word_vectors(vecs, path)
+    # low cap -> drift breach -> exactly one retrain with NEW kwargs
+    out = maintain_word_vectors(
+        df, path, "doc_id", "text",
+        max_oov_mass_frac=0.01,
+        vocab_size=12, dim=2, window=2, n_rounds=1,
+    )
+    assert out["action"] == "retrain"
+    reloaded = load_word_vectors(spark, path)
+    assert reloaded.select("token").distinct().count() == 12
+    # the retrain was a SWAP: no dead rows from the 6-word model
+    # beyond the new vocab (a keyed merge would have left them if
+    # word_ids collided differently)
+    stats2 = embedding_stats(df, reloaded, "doc_id", "text")
+    assert stats2["n_vocab"] == 12
+    # healthy model -> no action
+    out2 = maintain_word_vectors(
+        df, path, "doc_id", "text",
+        max_oov_mass_frac=0.99,
+        vocab_size=12, dim=2, window=2, n_rounds=1,
+    )
+    assert out2["action"] == "none"
+
+
+def test_streaming_doc_embedding_twin(spark, tmp_path):
+    """The frozen-model stream == batch embed_docs, replay-safe."""
+    from starknet_etl_spark.operators.embeddings import (
+        embed_docs,
+        load_word_vectors,
+        save_word_vectors,
+        train_word_vectors,
+    )
+    from starknet_etl_spark.streaming.embeddings import (
+        start_doc_embedding_stream,
+    )
+
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    model_p = str(tmp_path / "wv")
+    save_word_vectors(
+        train_word_vectors(
+            df, "doc_id", "text",
+            vocab_size=8, dim=2, window=2, n_rounds=1,
+        ),
+        model_p,
+    )
+    src_p = str(tmp_path / "src")
+    df.write.parquet(src_p)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src_p)
+    out_p = str(tmp_path / "emb_out")
+    ck = str(tmp_path / "ck")
+    q = start_doc_embedding_stream(
+        stream, model_path=model_p, out_path=out_p,
+        checkpoint=ck, dim=2,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in spark.read.parquet(out_p).collect()
+    }
+    vecs = load_word_vectors(spark, model_p)
+    want = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_docs(df, "doc_id", "text", vecs, dim=2).collect()
+    }
+    assert got == want
+    # replay: restart over the same source appends nothing
+    q2 = start_doc_embedding_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src_p),
+        model_path=model_p, out_path=out_p,
+        checkpoint=str(tmp_path / "ck2"), dim=2,
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out_p).count()
+    assert again == len(want)
+
+
+def test_embed_serving_rows(spark, tmp_path):
+    from starknet_etl_spark.operators.embeddings import (
+        save_word_vectors,
+        train_word_vectors,
+    )
+    from starknet_etl_spark.serving.search_api import embed_rows
+
+    df = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    model_p = str(tmp_path / "wv")
+    save_word_vectors(
+        train_word_vectors(
+            df, "doc_id", "text",
+            vocab_size=8, dim=2, window=2, n_rounds=1,
+        ),
+        model_p,
+    )
+    got = embed_rows(
+        spark, model_p, ["the cat", "zzz qqq"], dim=2
+    )
+    assert got[0]["i"] == 0 and len(got[0]["embedding"]) == 2
+    assert got[1]["embedding"] is None  # no in-vocab token
