@@ -691,3 +691,64 @@ def test_pagerank_no_cartesian(spark):
     plan = _plan(spark, "doc_graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_kcore_and_lpa_no_cartesian(spark):
+    """Every peel is a degree aggregate + two node-keyed semi-joins;
+    every LPA round an equi-join + winner aggregate — no plan may
+    degrade to a cartesian/nested loop."""
+    for name in ("doc_graph_kcore", "doc_graph_communities"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_embeddings_trainer_no_cartesian_and_topk_vocab(spark):
+    """The cooc pass is positional equi-joins (never a per-doc
+    quadratic self-join degrading to a nested loop) and the vocab
+    cut is distributed top-k, not a global sort. Gated on the LAZY
+    target frame (the catalog row serves a session-cached collected
+    model, whose plan is an ExistingRDD scan by design)."""
+    from starknet_etl_spark.io import load_testdata
+    from starknet_etl_spark.operators.embeddings import (
+        build_cooc_targets,
+    )
+
+    docs = load_testdata(spark, SF_DIR, "documents")
+    vocab, targets = build_cooc_targets(
+        docs, "doc_id", "text", vocab_size=16, window=2
+    )
+    tplan = targets._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "CartesianProduct" not in tplan
+    # the 1-row total-count broadcast legitimately plans as a
+    # BroadcastNestedLoopJoin (the kn-gate precedent); the positional
+    # pair join itself must be an equi join
+    assert "NestedLoop" not in tplan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
+    vplan = vocab._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in vplan
+
+
+def test_rerank_no_cartesian(spark):
+    """The rerank chain (two pruned index probes + pool-row feature
+    join + map-only scorer) must never degrade to a true cartesian
+    (1-row broadcast scalar joins plan as BroadcastNestedLoopJoin
+    and are fine — the kn-gate precedent)."""
+    plan = _plan(spark, "doc_hybrid_rerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_canary_plant_broadcasts_payload_pick(spark):
+    """The payload-pick join (corpus x benchmark-gram table) must
+    broadcast the benchmark side — the gram table is eval-set-sized
+    by contract, never a shuffle over the corpus."""
+    plan = _plan(spark, "doc_canary_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
