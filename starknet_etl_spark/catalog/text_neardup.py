@@ -835,3 +835,61 @@ QUERIES["doc_graph_lifecycle"] = QuerySpec(
     " replayed-append no-op + atomic rank refresh served from the"
     " table — bit-equal to a one-shot PageRank over the union edges",
 )
+
+
+# --------------------------------------------------------------------------
+# Community representatives (r12): the curation hookup for the LPA
+# communities — quality-aware survivor pick per community
+# (components.cluster_representatives reused wholesale: LPA's
+# (node, label) IS a cluster frame), singleton docs their own
+# cluster. The boilerplate-farm suppression step: keep the best copy
+# per dense community, drop the rest. Names _CR_.
+# --------------------------------------------------------------------------
+
+
+def _community_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import cluster_representatives
+    from ..operators.graph import label_propagation
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    labels = label_propagation(
+        _kc_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    )
+    return cluster_representatives(
+        docs, labels, "doc_id", "score", comp_col="label"
+    )
+
+
+_COMMUNITY_REPS_ORACLE = (
+    "WITH "
+    + _KC_EDGE_BLOCK
+    + """,
+lpl0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, s AS label FROM kce0
+),
+"""
+    + ",\n".join(_lpa_round_cte(r) for r in range(1, _LPA_ROUNDS + 1))
+    + f""",
+crs AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+         CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN lpl{_LPA_ROUNDS} l ON l.node = d.doc_id
+)
+SELECT doc_id, score, cluster_id,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY score DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+FROM crs
+"""
+)
+
+QUERIES["doc_community_reps"] = QuerySpec(
+    _community_reps,
+    _COMMUNITY_REPS_ORACLE,
+    "quality-aware survivor per LPA community — the boilerplate-farm"
+    " suppression hookup: best copy kept per dense community,"
+    " singletons their own cluster",
+)

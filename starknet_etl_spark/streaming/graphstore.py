@@ -1,0 +1,41 @@
+"""Streaming edge ingestion into the persisted graph lifecycle
+(operators/graphstore.py) — the rollup-stream discipline: each
+micro-batch of edge rows appends under the table's ``append_once``
+ledger (foreachBatch is at-least-once; the ledger makes the append
+exactly-once), and rank maintenance stays a SEPARATE scheduled tick
+(``maintain_graph``) — never inline per batch, which would recompute
+PageRank at stream cadence."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.graphstore import append_edges
+
+
+def start_edge_stream(
+    edges: DataFrame,
+    *,
+    graph_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Append a streaming edge source into the graph table at
+    ``graph_path`` (built beforehand with ``build_graph`` — the spec
+    must exist; column names come from it). Replays are no-ops by
+    the ledger."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_edges(batch, graph_path, batch_id)
+
+    writer = (
+        edges.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

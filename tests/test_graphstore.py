@@ -129,3 +129,39 @@ def test_weighted_graph_lifecycle(spark, tmp_path):
         map(tuple, pagerank(union, weight="w", rounds=3).collect())
     )
     assert got == want
+
+
+def test_streaming_edge_ingestion_twin(spark, tmp_path):
+    """Streamed edge appends == batch appends (exactly-once via the
+    ledger); ranks refreshed afterwards equal the one-shot."""
+    from starknet_etl_spark.streaming.graphstore import (
+        start_edge_stream,
+    )
+
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    src_p = str(tmp_path / "src")
+    _edges(spark, _B).write.parquet(src_p)
+    stream = spark.readStream.schema("id_1 long, id_2 long").parquet(
+        src_p
+    )
+    q = start_edge_stream(
+        stream, graph_path=path, checkpoint=str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert read_edges(spark, path).count() == len(_A) + len(_B)
+    # replay with a fresh checkpoint over the same source: the
+    # ledger keys on batch_id, which restarts at 0 — same id, no-op
+    q2 = start_edge_stream(
+        spark.readStream.schema("id_1 long, id_2 long").parquet(src_p),
+        graph_path=path,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert read_edges(spark, path).count() == len(_A) + len(_B)
+    refresh_ranks(spark, path, rounds=3)
+    got = sorted(map(tuple, read_ranks(spark, path).collect()))
+    want = sorted(
+        map(tuple, pagerank(_edges(spark, _A + _B), rounds=3).collect())
+    )
+    assert got == want
