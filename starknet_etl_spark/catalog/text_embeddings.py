@@ -375,3 +375,112 @@ QUERIES["doc_embed_coverage"] = QuerySpec(
     "embedding drift card: corpus token mass outside the model vocab"
     " — the exact-integer stats the retrain policy tick reads",
 )
+
+
+# --------------------------------------------------------------------------
+# Composed row (r12): the FULL curation pipeline with the TRAINED
+# embedding space driving the near-dup tier — embed_docs pools the
+# learned vectors per corpus doc, curate_corpus(near_dup="embedding")
+# mines pairs over the kept survivors. The oracle is the shared
+# curation skeleton with a pairs block that UNROLLS THE TRAINER
+# inside it (model trains on the full documents table, exactly the
+# session-cached _le_vectors), so the entire learned-representation →
+# dedup → decontaminate → split composition is differential-checked.
+# Names _CT_.
+# --------------------------------------------------------------------------
+
+
+def _curation_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import embed_docs
+    from ..plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    emb = embed_docs(
+        corpus, "doc_id", "text", _le_vectors(spark, sf_dir),
+        dim=_LE_DIM,
+    )
+    curated, audit = curate_corpus(
+        corpus.join(emb, "doc_id", "left"),
+        benchmark=bench,
+        near_dup="embedding",
+        embedding_col="embedding",
+        threshold=_LE_PAIR_T,
+        contamination_threshold=0.2,
+        redact=True,
+    )
+    kept_rows = curated.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("string").alias("reason"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        F.md5("text").alias("redacted_fp"),
+    )
+    drop_rows = audit.select(
+        "doc_id",
+        F.col("stage").alias("status"),
+        "reason",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("string").alias("redacted_fp"),
+    )
+    return kept_rows.unionByName(drop_rows)
+
+
+def _ct_pairs_block() -> str:
+    # the _CURATION_SEMANTIC_PAIRS shape with the trained pooling
+    # swapped in; every trainer CTE MATERIALIZED (the skeleton is
+    # one WITH RECURSIVE list — the DuckDB re-inlining hazard)
+    return (
+        _le_train_block().lstrip("\n")
+        + f""",
+ct_wv AS MATERIALIZED (
+  SELECT le_voc.token, u.d, u.val
+  FROM le_u{_LE_ROUNDS} u JOIN le_voc ON le_voc.wid = u.wid
+),
+ct_tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM kept
+),
+ct_emb AS MATERIALIZED (
+  SELECT k.doc_id, w.d,
+         {_le_q20("SUM(w.val) / count(*)")} AS x
+  FROM ct_tok k JOIN ct_wv w ON w.token = k.t
+  GROUP BY k.doc_id, w.d
+),
+ct_nrm AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(x * x)) AS nn FROM ct_emb GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM ct_emb a
+  JOIN ct_emb b ON a.d = b.d AND a.doc_id < b.doc_id
+  JOIN ct_nrm na ON na.doc_id = a.doc_id
+  JOIN ct_nrm nb ON nb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.nn, nb.nn
+  HAVING ROUND(SUM(a.x * b.x) / (na.nn * nb.nn), 6) >= {_LE_PAIR_T}
+),
+"""
+    )
+
+
+def _ct_oracle() -> str:
+    from .text import _curation_oracle
+
+    return _curation_oracle(_ct_pairs_block())
+
+
+QUERIES["doc_curation_trained"] = QuerySpec(
+    _curation_trained,
+    _ct_oracle(),
+    "composed curation with the TRAINED embedding space driving the"
+    " near-dup tier — the whole learned-representation → dedup →"
+    " decontaminate → split chain replayed in one oracle",
+)
