@@ -1900,14 +1900,17 @@ def rerank_features(
         (overlap / F.lit(float(len(terms)))).alias("__ov"),
         (F.length(F.col(text_col)) / F.lit(4096.0)).alias("__ln"),
     )
-    return candidates.join(feats, "doc_id").select(
+    # LEFT join: a pool doc missing from the docs frame (stale index
+    # vs fresh corpus) keeps its arm scores and reranks with zero
+    # text features, rather than silently vanishing from the pool
+    return candidates.join(feats, "doc_id", "left").select(
         "doc_id",
         "bm25",
         "cos_sim",
         "lex_rank",
         "sem_rank",
         F.array(
-            F.col("__ov"),
+            F.coalesce(F.col("__ov"), F.lit(0.0)),
             F.col("bm25"),
             F.col("cos_sim"),
             F.coalesce(
@@ -1918,7 +1921,7 @@ def rerank_features(
                 F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
                 F.lit(0.0),
             ),
-            F.col("__ln"),
+            F.coalesce(F.col("__ln"), F.lit(0.0)),
         ).alias("fv"),
     )
 

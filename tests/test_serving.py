@@ -1017,6 +1017,21 @@ def test_rerank_pairwise_learned(spark, tmp_path):
     with pytest.raises(ValueError, match="query_terms"):
         rerank_features(cand, docs, [])
 
+    # a pool doc MISSING from the docs frame (stale index vs fresh
+    # corpus) must survive the feature join with its arm scores and
+    # zeroed text features, not silently vanish from the pool
+    pool_ids = {r["doc_id"] for r in cand.select("doc_id").collect()}
+    assert 1 in pool_ids
+    stale = rerank_features(
+        cand, docs.filter(F.col("doc_id") != 1), terms
+    )
+    srow = {r["doc_id"]: r for r in stale.collect()}
+    assert set(srow) == pool_ids
+    assert list(srow[1]["fv"])[0] == 0.0  # overlap zeroed
+    assert list(srow[1]["fv"])[5] == 0.0  # length prior zeroed
+    assert srow[1]["bm25"] == fv[1][1]  # arm scores intact
+    assert list(srow[2]["fv"]) == fv[2]  # present docs unchanged
+
 
 def test_rerank_serving_core(spark, tmp_path):
     from starknet_etl_spark.serving.search_api import rerank_response
