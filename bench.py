@@ -132,6 +132,7 @@ HEADLINE_EXT = (
     "doc_learned_semantic_dup",
     "doc_graph_kcore",
     "doc_graph_communities",
+    "doc_graph_triangles",
     "doc_graph_lifecycle",
     "doc_hybrid_rerank",
     "doc_canary_audit",

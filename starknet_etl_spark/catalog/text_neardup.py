@@ -750,6 +750,79 @@ QUERIES["doc_graph_communities"] = QuerySpec(
 
 
 # --------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient (r12): the LOCAL
+# density signal between k-core (dense region) and LPA (community
+# membership) — a template farm's members close triangles, a hub
+# quoted by unrelated docs does not. Degree-ordered orientation finds
+# each triangle exactly once as the wedge x→y→z closed by x→z; the
+# coefficient 2T/(d(d-1)) is one division of identical exact integers
+# quantized to the 2^-20 dyadic grid (never decimal ROUND). Same
+# co-shingle edge set as the kcore/LPA rows. Names _TRI_/t.
+# --------------------------------------------------------------------------
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangles
+
+    return triangles(_kc_edges(spark, sf_dir)).select(
+        F.col("node").cast("long").alias("doc_id"),
+        "triangles",
+        "degree",
+        "clustering_q20",
+    )
+
+
+_TRIANGLES_ORACLE = (
+    "WITH "
+    + _KC_EDGE_BLOCK
+    + """,
+tdeg AS MATERIALIZED (
+  SELECT s AS node, COUNT(*) AS deg FROM kce0 GROUP BY s
+),
+tdir AS MATERIALIZED (
+  SELECT e.s, e.d FROM kce0 e
+  JOIN tdeg a ON a.node = e.s
+  JOIN tdeg b ON b.node = e.d
+  WHERE a.deg < b.deg OR (a.deg = b.deg AND e.s < e.d)
+),
+ttri AS MATERIALIZED (
+  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+  FROM tdir e1
+  JOIN tdir e2 ON e2.s = e1.d
+  WHERE EXISTS (
+    SELECT 1 FROM tdir e3 WHERE e3.s = e1.s AND e3.d = e2.d
+  )
+),
+tcnt AS (
+  SELECT node, COUNT(*) AS tri FROM (
+    SELECT a AS node FROM ttri
+    UNION ALL SELECT b FROM ttri
+    UNION ALL SELECT c FROM ttri
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS doc_id,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+       CAST(d.deg AS BIGINT) AS degree,
+       CASE WHEN d.deg >= 2
+            THEN floor(2.0 * COALESCE(t.tri, 0)
+                       / (d.deg * (d.deg - 1.0))
+                       * 1048576.0 + 0.5) / 1048576.0
+            ELSE 0.0 END AS clustering_q20
+FROM tdeg d LEFT JOIN tcnt t ON t.node = d.node
+"""
+)
+
+QUERIES["doc_graph_triangles"] = QuerySpec(
+    _graph_triangles,
+    _TRIANGLES_ORACLE,
+    "per-node triangle counts + local clustering coefficient over"
+    " the co-shingle graph by degree-ordered orientation — each"
+    " triangle found once as a closed wedge; exact integers, dyadic"
+    " coefficient",
+)
+
+
+# --------------------------------------------------------------------------
 # Persisted graph lifecycle (r12): build ⊕ exactly-once append ⊕
 # replayed-append no-op ⊕ atomic rank refresh == one-shot PageRank
 # over the union edge frame, BIT-EQUAL (the events_rollup_incremental

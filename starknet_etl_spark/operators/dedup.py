@@ -1133,3 +1133,119 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def neardup_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+    eager_release: bool = True,
+) -> DataFrame:
+    """One-row EVALUATION card for the MinHash-LSH tier against
+    exact ground truth: (n_true, n_candidates, n_caught, recall_q20,
+    cand_precision_q20).
+
+    - ``n_true``: pairs whose EXACT shingle Jaccard ≥ threshold,
+      found through the uncapped inverted index (any pair with
+      J ≥ t > 0 shares a shingle, so this IS the exact truth set —
+      no LSH involved).
+    - ``n_candidates``: distinct band-bucket collision pairs the LSH
+      stage would verify.
+    - ``n_caught``: true pairs among the candidates. Because the
+      production path (``minhash_lsh_pairs``) verifies every
+      candidate with exact Jaccard, its OUTPUT is exactly the caught
+      set — so ``recall_q20`` = n_caught/n_true is the tier's real
+      recall and ``cand_precision_q20`` = n_caught/n_candidates is
+      its verification efficiency (how much of the candidate join
+      was wasted). Banding bounds recall only; precision is 1.0 by
+      construction downstream.
+
+    Exact BIGINT counts; the two ratios are single divisions of
+    identical integers quantized to the 2^-20 dyadic grid (never
+    decimal ROUND), 0.0 on an empty denominator.
+
+    Scale: this is a HARNESS row — truth is exact, so run it on a
+    bounded sample of the corpus (the uncapped inverted index is the
+    cost of exactness); the production miner keeps its max_df /
+    max_bucket caps. One shingle pass feeds truth, signatures, and
+    verification (persisted, released on materialize)."""
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must be a multiple of band_size")
+    n_bands = num_hashes // band_size
+    sh = shingles(df, id_col, text_col, n=n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_1")),
+            "id_1",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_2")),
+            "id_2",
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("id_1", "id_2", F.lit(1).alias("__t"))
+    )
+    bands = _bands_from(
+        _signatures_from(sh, id_col, num_hashes), id_col, band_size, n_bands
+    )
+    cand = (
+        bands.select(F.col(id_col).alias("id_1"), "band", "bucket")
+        .join(
+            bands.select(F.col(id_col).alias("id_2"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+        .select("id_1", "id_2", F.lit(1).alias("__c"))
+    )
+    grid = F.lit(1048576.0)
+    q20 = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    card = (
+        truth.join(cand, ["id_1", "id_2"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                q20(F.col("n_caught") / F.col("n_true")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_q20"),
+            F.when(
+                F.col("n_candidates") > 0,
+                q20(F.col("n_caught") / F.col("n_candidates")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cand_precision_q20"),
+        )
+    )
+    return _eager_release(card, [sh], eager_release)

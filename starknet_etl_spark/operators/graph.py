@@ -341,3 +341,111 @@ def label_propagation(
             .select("node", F.col("__w.__l").alias("label"))
         )
     return labels
+
+
+def triangles(
+    edges: DataFrame,
+    *,
+    src: str = "id_1",
+    dst: str = "id_2",
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, triangles, degree, clustering_q20): per-node triangle
+    count and local clustering coefficient over the undirected
+    edge-induced graph — the LOCAL density signal the global tiers
+    miss: k-core says "this node sits in a dense region", the
+    clustering coefficient says "this node's own neighborhood is
+    mutually connected" (a template farm's members close triangles;
+    a hub quoted by unrelated docs does not).
+
+    Algorithm: the degree-ordered orientation — each undirected edge
+    is directed from its lower to its higher endpoint in the
+    (degree, node) total order, so every triangle {x < y < z} is
+    found EXACTLY once as the wedge x→y→z closed by x→z ∈ dir.
+    The orientation bounds the wedge fan-out by the graph's
+    degeneracy (max out-degree O(√m) on arbitrary graphs) — the
+    standard distributed-triangle trick that keeps the wedge join
+    linear-ish instead of Σ deg² on hub-heavy graphs.
+
+    Exact integer arithmetic throughout; the clustering coefficient
+    2T/(d(d-1)) is one division of identical exact integers (the
+    same IEEE double in any engine) quantized to the 2^-20 dyadic
+    grid — never decimal ROUND (the CLAUDE.md midpoint rule).
+    Nodes with degree < 2 carry coefficient 0.0.
+
+    Scale: one degree aggregate, one orientation join, one wedge
+    join + one closing semi-join — all equi-joins on node keys,
+    linear shuffles; the directed frame is truncated once and read
+    by its three join arms (the r8 multi-consumer lesson)."""
+    from ..checkpointing import truncate
+
+    e = _sym_edges(edges, src, dst)
+    deg = truncate(
+        e.groupBy(F.col("__s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        ),
+        reliable_checkpoint_dir,
+    )
+    # orient low → high in the (degree, node) total order
+    dir_e = truncate(
+        e.join(
+            deg.select(
+                F.col("node").alias("__s"), F.col("degree").alias("__ds")
+            ),
+            "__s",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("__d"), F.col("degree").alias("__dd")
+            ),
+            "__d",
+        )
+        .filter(
+            (F.col("__ds") < F.col("__dd"))
+            | ((F.col("__ds") == F.col("__dd")) & (F.col("__s") < F.col("__d")))
+        )
+        .select("__s", "__d"),
+        reliable_checkpoint_dir,
+    )
+    wedge = dir_e.alias("e1").join(
+        dir_e.alias("e2"), F.col("e1.__d") == F.col("e2.__s")
+    ).select(
+        F.col("e1.__s").alias("__a"),
+        F.col("e1.__d").alias("__b"),
+        F.col("e2.__d").alias("__c"),
+    )
+    tri = wedge.join(
+        dir_e.select(
+            F.col("__s").alias("__a"), F.col("__d").alias("__c")
+        ),
+        ["__a", "__c"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.col("__a").alias("node"))
+        .unionByName(tri.select(F.col("__b").alias("node")))
+        .unionByName(tri.select(F.col("__c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                _q20(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (d * (d - F.lit(1.0)))
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_q20"),
+        )
+    )

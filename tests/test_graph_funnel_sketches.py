@@ -1091,3 +1091,86 @@ def test_pagerank_personalized_concentrates_near_seed(spark):
     # legitimately overtake 1-hop ones on alternating rounds)
     assert all(v >= 0.0 for v in got.values())
     assert sum(got.values()) <= 1.0 + 1e-4  # no mass created
+
+
+def _naive_triangles(pairs):
+    """{node: (tri, deg, cc_q20)} by brute-force enumeration."""
+    import itertools
+    import math
+
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        t = sum(
+            1 for u, v in itertools.combinations(sorted(nbrs), 2)
+            if v in adj.get(u, ())
+        )
+        d = len(nbrs)
+        cc = (
+            math.floor(2.0 * t / (d * (d - 1.0)) * 2**20 + 0.5) / 2**20
+            if d >= 2 else 0.0
+        )
+        out[n] = (t, d, cc)
+    return out
+
+
+def test_triangles_known_graphs(spark):
+    """K4 + pendant + an open wedge: per-node triangle counts and
+    clustering coefficients equal brute-force enumeration; each
+    triangle is counted once per member node, never 3x or 6x."""
+    from starknet_etl_spark.operators.graph import triangles
+
+    # K4 (every node: 3 triangles, cc=1), pendant 3-10 (10: 0 tri),
+    # open wedge 20-21, 21-22 (21: deg 2, 0 tri, cc 0)
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 10), (20, 21), (21, 22)]
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r["node"]: (r["triangles"], r["degree"], r["clustering_q20"])
+        for r in triangles(edges).collect()
+    }
+    assert got == _naive_triangles(pairs)
+    assert got[0] == (3, 3, 1.0)
+    assert got[10][0] == 0 and got[21] == (0, 2, 0.0)
+
+    # duplicate + reversed + self-loop input rows don't change the
+    # graph (the _sym_edges normalization)
+    noisy = spark.createDataFrame(
+        pairs + [(1, 0), (0, 1), (7, 7)], "id_1 long, id_2 long"
+    )
+    got2 = {
+        r["node"]: (r["triangles"], r["degree"], r["clustering_q20"])
+        for r in triangles(noisy).collect()
+    }
+    assert got2 == got
+
+
+def test_triangles_random_vs_naive(spark):
+    """A deterministic pseudo-random graph (md5-derived edges, hub
+    skew) matches brute force — covers tie-broken orientation (equal
+    degrees) and hub wedges."""
+    import hashlib
+
+    from starknet_etl_spark.operators.graph import triangles
+
+    pairs = []
+    for i in range(220):
+        h = hashlib.md5(f"tri{i}".encode()).hexdigest()
+        a = int(h[:4], 16) % 40
+        b = int(h[4:8], 16) % 40
+        if int(h[8:10], 16) < 64:
+            b = a % 5  # hub skew
+        if a != b:
+            pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "id_1 long, id_2 long")
+    got = {
+        r["node"]: (r["triangles"], r["degree"], r["clustering_q20"])
+        for r in triangles(edges).collect()
+    }
+    assert got == _naive_triangles(pairs)
+    assert any(t > 0 for t, _, _ in got.values())

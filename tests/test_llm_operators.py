@@ -3548,3 +3548,106 @@ def test_chunk_index_rides_ann_maintenance(spark, tmp_path):
     assert maintain_ann_index(spark, path, dim=16, n_cells=4)[
         "action"
     ] in ("none", "retrain")
+
+
+def test_neardup_eval_matches_naive(spark):
+    """The LSH evaluation card equals a full naive recompute: exact
+    brute-force truth, md5-replicated banding candidates, dyadic
+    ratios — and is consistent with minhash_lsh_pairs' output (the
+    caught set IS the production output)."""
+    import hashlib
+    import math
+
+    md5 = lambda x: hashlib.md5(x.encode()).hexdigest()  # noqa: E731
+    texts = {}
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    words = base.split()
+    for i in range(24):
+        toks = list(words)
+        # perturb a suffix whose length grows with i: a spectrum of
+        # Jaccard values around the threshold
+        for j in range(i % 5):
+            toks[-(j + 1)] = f"mut{i}_{j}"
+        texts[i] = " ".join(toks)
+    texts[30] = "zulu yankee xray whiskey victor uniform tango sierra"
+    rows = sorted(texts.items())
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in rows], "doc_id bigint, text string"
+    )
+
+    n, num_hashes, band_size, thr = 3, 8, 2, 0.5
+    shing = {}
+    for d, t in rows:
+        toks = t.split()
+        if len(toks) >= n:
+            shing[d] = {
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            }
+    ids = sorted(shing)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shing[a] & shing[b])
+            if inter and inter / (
+                len(shing[a]) + len(shing[b]) - inter
+            ) >= thr:
+                truth.add((a, b))
+    sig = {
+        d: [
+            min(md5(f"{s}|{sh}") for sh in shing[d])
+            for s in range(num_hashes)
+        ]
+        for d in ids
+    }
+    buckets: dict = {}
+    for d in ids:
+        for bnd in range(num_hashes // band_size):
+            key = (
+                bnd,
+                md5(
+                    "".join(
+                        sig[d][bnd * band_size : (bnd + 1) * band_size]
+                    )
+                ),
+            )
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((a, b))
+    caught = truth & cand
+    q20 = lambda x: math.floor(x * 2**20 + 0.5) / 2**20  # noqa: E731
+
+    card = D.neardup_eval(
+        docs, "doc_id", "text",
+        n=n, num_hashes=num_hashes, band_size=band_size, threshold=thr,
+    ).collect()
+    assert len(card) == 1
+    r = card[0]
+    assert r["n_true"] == len(truth)
+    assert r["n_candidates"] == len(cand)
+    assert r["n_caught"] == len(caught)
+    assert r["recall_q20"] == (
+        q20(len(caught) / len(truth)) if truth else 0.0
+    )
+    assert r["cand_precision_q20"] == (
+        q20(len(caught) / len(cand)) if cand else 0.0
+    )
+    assert r["n_true"] > 0 and r["n_candidates"] > 0
+
+    # the caught set IS minhash_lsh_pairs' output for the same params
+    prod = {
+        (p["id_1"], p["id_2"])
+        for p in D.minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            n=n, num_hashes=num_hashes, band_size=band_size,
+            threshold=thr,
+        ).collect()
+    }
+    assert prod == caught
+
+    with pytest.raises(ValueError, match="multiple"):
+        D.neardup_eval(docs, "doc_id", "text", num_hashes=8, band_size=3)
