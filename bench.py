@@ -133,6 +133,7 @@ HEADLINE_EXT = (
     "doc_graph_kcore",
     "doc_graph_communities",
     "doc_graph_triangles",
+    "doc_neardup_eval",
     "doc_graph_lifecycle",
     "doc_hybrid_rerank",
     "doc_canary_audit",

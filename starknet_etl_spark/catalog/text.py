@@ -2908,3 +2908,104 @@ QUERIES["doc_data_card_kanon"] = QuerySpec(
     "k-anonymized data card: small-group summary rows suppressed"
     " before publication",
 )
+
+
+# --------------------------------------------------------------------------
+# LSH recall evaluation card (r12): dedup.neardup_eval — exact truth
+# (brute inverted-index Jaccard, no LSH) vs the banding candidates at
+# threshold 0.5. This corpus's pair-Jaccard distribution is bimodal
+# (planted near-dups ≥ 0.5, everything else far below), so the card
+# CERTIFIES recall 1.0 here and measures candidate precision (25/29
+# at sf0.01 — the verification waste the banding admits); the unit
+# test's mutation-spectrum corpus exercises genuine partial recall.
+# Exact BIGINT counts + dyadic ratios; a harness row, meant to run
+# on a bounded sample at scale. Names _NDE_.
+# --------------------------------------------------------------------------
+
+_NDE_THRESHOLD = 0.5
+
+
+def _neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.neardup_eval(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n=3, num_hashes=8, band_size=2, threshold=_NDE_THRESHOLD,
+    )
+
+
+_NDE_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + rf""",
+ndemins AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+  FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+  GROUP BY doc_id, seed
+),
+ndesig AS (
+  SELECT doc_id,
+    MIN(CASE WHEN seed = 0 THEN mh END) AS m0,
+    MIN(CASE WHEN seed = 1 THEN mh END) AS m1,
+    MIN(CASE WHEN seed = 2 THEN mh END) AS m2,
+    MIN(CASE WHEN seed = 3 THEN mh END) AS m3,
+    MIN(CASE WHEN seed = 4 THEN mh END) AS m4,
+    MIN(CASE WHEN seed = 5 THEN mh END) AS m5,
+    MIN(CASE WHEN seed = 6 THEN mh END) AS m6,
+    MIN(CASE WHEN seed = 7 THEN mh END) AS m7
+  FROM ndemins GROUP BY doc_id
+),
+ndebands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM ndesig
+  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM ndesig
+  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM ndesig
+  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM ndesig
+),
+ndecand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM ndebands a JOIN ndebands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ndesizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ndetruth AS MATERIALIZED (
+  SELECT i.id_1, i.id_2 FROM (
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i
+  JOIN ndesizes s1 ON s1.doc_id = i.id_1
+  JOIN ndesizes s2 ON s2.doc_id = i.id_2
+  WHERE i.i * 1.0 / (s1.n_sh + s2.n_sh - i.i) >= {_NDE_THRESHOLD}
+),
+ndej AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN t.id_1 IS NOT NULL THEN 1 END), 0) AS n_true,
+    COALESCE(SUM(CASE WHEN c.id_1 IS NOT NULL THEN 1 END), 0)
+      AS n_candidates,
+    COALESCE(SUM(CASE WHEN t.id_1 IS NOT NULL AND c.id_1 IS NOT NULL
+                      THEN 1 END), 0) AS n_caught
+  FROM ndetruth t
+  FULL OUTER JOIN ndecand c ON c.id_1 = t.id_1 AND c.id_2 = t.id_2
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CASE WHEN n_true > 0
+            THEN floor(n_caught * 1.0 / n_true * 1048576.0 + 0.5)
+                 / 1048576.0
+            ELSE 0.0 END AS recall_q20,
+       CASE WHEN n_candidates > 0
+            THEN floor(n_caught * 1.0 / n_candidates * 1048576.0 + 0.5)
+                 / 1048576.0
+            ELSE 0.0 END AS cand_precision_q20
+FROM ndej
+"""
+)
+
+QUERIES["doc_neardup_eval"] = QuerySpec(
+    _neardup_eval,
+    _NDE_ORACLE,
+    "MinHash-LSH recall evaluation card: exact inverted-index truth"
+    " vs banding candidates at threshold 0.5 — exact counts + dyadic"
+    " recall and candidate precision; the harness row for the"
+    " near-dup tier's one approximation",
+)
