@@ -235,8 +235,12 @@ _FIRST_50: tuple[str, ...] = (
     # order_priority_semi displaced to overflow in r7 (the LeftSemi
     # plan gate keeps the surface pinned; join family in-window via
     # brand_stats/customers_without_orders) to admit the learned-
-    # fusion row the r6 verdict asked for.
-    "doc_hybrid_ltr",
+    # fusion row the r6 verdict asked for; doc_hybrid_ltr displaced
+    # to overflow in r12 — the learned-fusion family stays in-window
+    # via the strictly richer PAIRWISE rerank tier (the r11 verdict's
+    # #3 ask), and the pointwise LTR row keeps its differential +
+    # plan gates in overflow.
+    "doc_hybrid_rerank",
     "top_customers",
     "rollup_sales",
     # cube_orders / grouping_sets_sales displaced to overflow in r6
