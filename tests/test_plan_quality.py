@@ -752,3 +752,23 @@ def test_canary_plant_broadcasts_payload_pick(spark):
     plan = _plan(spark, "doc_canary_audit")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangles_no_cartesian(spark):
+    """The triangle chain (degree join -> orientation filter -> wedge
+    equi-join -> closing semi-join) must stay hash-join shaped: a
+    cartesian/nested-loop wedge would be Σ deg² over the RAW graph,
+    exactly what the degree-ordered orientation exists to avoid."""
+    plan = _plan(spark, "doc_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_neardup_eval_no_cartesian(spark):
+    """The eval card joins two pair frames full-outer on the pair
+    key — equi-join shaped, never a cartesian. (The shingle scan
+    sharing is enforced by the operator's persist + eager_release
+    contract, not plan-gated here: the returned card is an
+    InMemoryTableScan whose cached lineage the explain repeats.)"""
+    plan = _plan(spark, "doc_neardup_eval")
+    assert "CartesianProduct" not in plan
