@@ -1187,7 +1187,8 @@ ndcg_dcg_{qid} AS (
   FROM ndcg_top_{qid} t
 )""")
         selects.append(f"""
-(SELECT '{qid}' AS query_id, n.n_rel, d.dcg,
+(SELECT '{qid}' AS query_id, n.n_rel,
+        CAST(d.dcg AS DOUBLE) AS dcg,
         CASE WHEN n.n_rel > 0
              THEN ROUND(d.dcg / (CASE
                     WHEN n.n_rel >= {_HYBRID_K} THEN {_NDCG_CUM[-1]!r}
