@@ -547,6 +547,45 @@ def embed_response(spark, vectors_path, texts, **kw) -> dict[str, Any]:
     return _wrap(lambda: embed_rows(spark, vectors_path, texts, **kw))
 
 
+def graph_rank_rows(
+    spark,
+    graph_path: str,
+    *,
+    nodes: list[int] | None = None,
+    k: int = 10,
+) -> list[dict[str, Any]]:
+    """Ranks from the persisted graph table's ``_ranks`` dir (as of
+    the last ``refresh_ranks`` — the graphstore serving contract:
+    reads never trigger a recompute). With ``nodes``, a point lookup
+    (rank null for nodes absent from the ranked set); without, the
+    top-``k`` by (rank DESC, node ASC) — the template-hub report."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graphstore import read_ranks
+
+    ranks = read_ranks(spark, graph_path)
+    if nodes is not None:
+        if not nodes:
+            return []
+        got = {
+            r["node"]: r["rank"]
+            for r in ranks.filter(F.col("node").isin(nodes)).collect()
+        }
+        return [{"node": n, "rank": got.get(n)} for n in nodes]
+    return [
+        {"node": r["node"], "rank": r["rank"]}
+        for r in ranks.orderBy(
+            F.desc("rank"), F.asc("node")
+        ).limit(k).collect()
+    ]
+
+
+def graph_rank_response(
+    spark, graph_path: str, **kw
+) -> dict[str, Any]:
+    return _wrap(lambda: graph_rank_rows(spark, graph_path, **kw))
+
+
 def cms_count_rows(
     spark,
     sketch_path: str,
@@ -985,6 +1024,7 @@ def create_search_app(
     dsir_buckets: int = 512,
     word_vectors_path: str | None = None,
     word_vectors_dim: int = 8,
+    graph_path: str | None = None,
 ):
     """FastAPI app serving the persisted indexes. Import-gated like
     ``api.create_app``; endpoints mount only for the indexes whose
@@ -1026,6 +1066,9 @@ def create_search_app(
     - ``GET /embed?t=some+text`` (persisted LEARNED word vectors:
       the mean-pooled document embedding; null when no token is in
       the model vocab)
+    - ``GET /graphrank?nodes=1,2,3`` or ``GET /graphrank?k=10``
+      (persisted graph table's ranks as of the last refresh: point
+      lookups, or the top-k template-hub report)
     """
     try:
         from fastapi import FastAPI, HTTPException
@@ -1309,6 +1352,21 @@ def create_search_app(
                 lambda: embed_response(
                     spark, word_vectors_path, [t],
                     dim=word_vectors_dim,
+                )
+            )
+
+    if graph_path is not None:
+
+        @app.get("/graphrank")
+        def graphrank(nodes: str | None = None, k: int = 10):
+            parsed = (
+                [int(x) for x in nodes.split(",") if x != ""]
+                if nodes is not None
+                else None
+            )
+            return run(
+                lambda: graph_rank_response(
+                    spark, graph_path, nodes=parsed, k=k
                 )
             )
 

@@ -165,3 +165,56 @@ def test_streaming_edge_ingestion_twin(spark, tmp_path):
         map(tuple, pagerank(_edges(spark, _A + _B), rounds=3).collect())
     )
     assert got == want
+
+
+def test_graph_rank_serving_rows(spark, tmp_path):
+    """graph_rank_rows serves point lookups (null for unranked
+    nodes) and the top-k hub report from the persisted _ranks dir,
+    and matches read_ranks exactly."""
+    from starknet_etl_spark.operators import graphstore as G
+    from starknet_etl_spark.serving.search_api import graph_rank_rows
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "id_1 long, id_2 long"
+    )
+    path = str(tmp_path / "g")
+    G.build_graph(edges, path)
+    G.refresh_ranks(spark, path, rounds=2)
+    want = {
+        r["node"]: r["rank"] for r in G.read_ranks(spark, path).collect()
+    }
+
+    got = graph_rank_rows(spark, path, nodes=[2, 0, 99])
+    assert [g["node"] for g in got] == [2, 0, 99]
+    assert got[0]["rank"] == want[2] and got[1]["rank"] == want[0]
+    assert got[2]["rank"] is None  # never in the graph
+    assert graph_rank_rows(spark, path, nodes=[]) == []
+
+    top = graph_rank_rows(spark, path, k=2)
+    ordered = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:2]
+    assert [(t["node"], t["rank"]) for t in top] == ordered
+
+
+def test_graphrank_endpoint_if_available(spark, tmp_path):
+    try:
+        from fastapi.testclient import TestClient
+
+        from starknet_etl_spark.serving.search_api import create_search_app
+    except ImportError:
+        import pytest
+
+        pytest.skip("fastapi not installed")
+    from starknet_etl_spark.operators import graphstore as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "id_1 long, id_2 long"
+    )
+    path = str(tmp_path / "g")
+    G.build_graph(edges, path)
+    G.refresh_ranks(spark, path, rounds=1)
+    client = TestClient(create_search_app(spark, graph_path=path))
+    out = client.get("/graphrank", params={"nodes": "1,99"}).json()
+    assert out["data"][0]["node"] == 1 and out["data"][0]["rank"] is not None
+    assert out["data"][1]["rank"] is None
+    out = client.get("/graphrank", params={"k": 2}).json()
+    assert len(out["data"]) == 2
