@@ -57,10 +57,12 @@ def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
     S.build_ann_index(bucketed, apath, cell_col="cell")
 
-    qdf = spark.createDataFrame(
-        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
-    )
-    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+    # in-row one-query embedder (r13): identical values to the old
+    # 1-row hash_embed plan, no shuffles to re-run per action
+    query = X.hash_embed_text(
+        spark, _HYBRID_QUERY_TEXT, dim=_HE_DIM,
+        id_col="doc_id", id_value=-1,
+    ).withColumn(
         "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
     )
     return hybrid_search(
@@ -669,10 +671,12 @@ def _ltr_fixtures(spark: SparkSession, sf_dir: str):
     )
     apath = scratch_path(spark, sf_dir, "ltr_ann_catalog")
     S.build_ann_index(bucketed, apath, cell_col="cell")
-    qdf = spark.createDataFrame(
-        [(-1, _HYBRID_QUERY_TEXT)], "doc_id bigint, text string"
-    )
-    query = X.hash_embed(qdf, "doc_id", "text", dim=_HE_DIM).withColumn(
+    # in-row one-query embedder (r13): identical values to the old
+    # 1-row hash_embed plan, no shuffles to re-run per action
+    query = X.hash_embed_text(
+        spark, _HYBRID_QUERY_TEXT, dim=_HE_DIM,
+        id_col="doc_id", id_value=-1,
+    ).withColumn(
         "cell", S.srp_bucket(F.col("embedding"), dim=_HE_DIM, planes=4)
     )
     return docs, ppath, apath, query

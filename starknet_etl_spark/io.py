@@ -210,6 +210,17 @@ def save_table(
     writer.format(format).save(path)
 
 
+def has_batch(spark: SparkSession, path: str, batch_id: int) -> bool:
+    """True when ``append_once`` has already committed ``batch_id``
+    into the table at ``path`` (the ``_batches`` replay marker
+    exists). Appenders that derive their batch frame through an
+    expensive plan (chunking + embedding + cell assignment, postings
+    tokenization, ...) check this FIRST so a replayed batch no-ops
+    before any plan construction or metadata read — the plan-building
+    alone cost ~1 s per replay on the lifecycle bench rows (r13)."""
+    return _exists(spark, f"{path}/_batches/{batch_id}")
+
+
 def append_once(
     df: DataFrame,
     path: str,

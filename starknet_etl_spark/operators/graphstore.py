@@ -128,6 +128,9 @@ def append_edges(delta: DataFrame, path: str, batch_id: int) -> bool:
     read). Returns False when ``batch_id`` already committed — the
     replay no-op the lifecycle invariant leans on."""
     spark = delta.sparkSession
+    if _io.has_batch(spark, path, batch_id):
+        # replay: no-op BEFORE the spec read / bucketing plan
+        return False
     spec = read_graph_spec(spark, path)
     return _io.append_once(
         _bucketed(delta, spec), path, batch_id, partition_by=["bucket"]

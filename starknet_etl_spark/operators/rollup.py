@@ -263,6 +263,9 @@ def append_rollup(
     bounded aggregate plus one append, regardless of table history.
     """
     spark = delta.sparkSession
+    if _io.has_batch(spark, path, batch_id):
+        # replay: no-op BEFORE the spec read / partials plan
+        return False
     spec = read_spec(spark, path)
     part = rollup_partials(
         delta,

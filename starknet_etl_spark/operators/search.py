@@ -363,9 +363,17 @@ def append_postings(
     cleared its tombstone.
     """
     from .. import io as _io
-    from ..io import append_once
+    from ..io import append_once, has_batch
 
     spark = df.sparkSession
+    postings_p0, stats_p0, _ = _paths(path)
+    if has_batch(spark, postings_p0, batch_id) and has_batch(
+        spark, stats_p0, batch_id
+    ):
+        # fully-replayed batch: no-op BEFORE the tokenize plan and
+        # meta read (a half-landed batch still takes the slow path,
+        # whose per-sink append_once markers self-heal as before)
+        return False
     n_buckets = _read_meta(spark, path)
     postings_p, stats_p, _ = _paths(path)
     tomb = f"{path}__tombstones"
@@ -1031,9 +1039,14 @@ def append_positional(
     corpus-wide stats, so the ONE partition-scoped ``append_once``
     (keyed by ``batch_id``, replays no-op) is the whole story. Same
     NEW-documents contract as every incremental index here."""
-    from ..io import append_once
+    from ..io import append_once, has_batch
 
     spark = df.sparkSession
+    if has_batch(
+        spark, os.path.join(path, "positions"), batch_id
+    ):
+        # replay: no-op BEFORE the tokenize plan / meta read
+        return False
     n_buckets = int(
         spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
     )
@@ -1274,7 +1287,7 @@ def chunk_semantic_search(
     standing corpus, persist the chunk embeddings through
     ``similarity.build_pq_index`` and probe instead — this operator
     is the one-shot scan path."""
-    from .text import chunk_documents, hash_embed
+    from .text import chunk_documents, hash_embed, hash_embed_text
 
     spark = docs.sparkSession
     if not query_text or not query_text.strip():
@@ -1289,18 +1302,18 @@ def chunk_semantic_search(
     emb = hash_embed(
         chunks, "__cuid", "chunk_text", dim=dim
     ).join(chunks.select("__cuid", "__doc"), "__cuid")
-    qemb = hash_embed(
-        spark.createDataFrame([(0, query_text)], "qid long, text string"),
-        "qid",
-        "text",
-        dim=dim,
-    )
+    # in-row one-query embedder: identical values to hash_embed over
+    # a 1-row frame, with no shuffles to re-run per action (r13)
+    qemb = hash_embed_text(spark, query_text, dim=dim)
     qrow = qemb.first()
     if qrow is None or all(x == 0.0 for x in qrow["embedding"]):
         raise ValueError(
             "query_text embeds to the zero vector (no tokens, or a "
             "fully-cancelling bag) — no similarity signal exists"
         )
+    # inline the computed embedding as a literal so the scoring
+    # crossJoin carries a plain constant
+    qemb = spark.createDataFrame([qrow], qemb.schema)
     _id = lambda a, b: _chunk_idot(a, b, dim)  # noqa: E731
     scored = (
         emb.filter(
@@ -1886,8 +1899,14 @@ def rerank_features(
     arm scores, both reciprocal ranks, and a bounded length prior
     (chars / 4096 — a dyadic scale, exact). Candidate pools are
     model-sized by construction (n_candidates per query), so the
-    docs join is broadcast-shaped; the corpus is touched only for
-    the pool rows."""
+    corpus side is SEMI-FILTERED by the broadcast candidate ids
+    BEFORE any feature is computed (r13: the previous plan computed
+    features over every corpus row and LEFT-joined the pool against
+    it — fine under the broadcast threshold, but past it the plan
+    degraded to a full corpus shuffle by doc_id to serve a ~20-row
+    pool); features are then computed on the pool-sized result and
+    broadcast back into the LEFT join, so the corpus is never
+    shuffled at any size."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
@@ -1895,15 +1914,26 @@ def rerank_features(
     overlap = F.lit(0)
     for t in terms:
         overlap = overlap + F.array_contains(toks, t).cast("int")
-    feats = docs.select(
+    pool_docs = docs.join(
+        F.broadcast(
+            candidates.select(
+                F.col("doc_id").alias(id_col)
+            ).distinct()
+        ),
+        id_col,
+        "left_semi",
+    )
+    feats = pool_docs.select(
         F.col(id_col).alias("doc_id"),
         (overlap / F.lit(float(len(terms)))).alias("__ov"),
         (F.length(F.col(text_col)) / F.lit(4096.0)).alias("__ln"),
     )
     # LEFT join: a pool doc missing from the docs frame (stale index
     # vs fresh corpus) keeps its arm scores and reranks with zero
-    # text features, rather than silently vanishing from the pool
-    return candidates.join(feats, "doc_id", "left").select(
+    # text features, rather than silently vanishing from the pool —
+    # the semi-filter above preserves this exactly (a missing doc is
+    # absent from feats either way)
+    return candidates.join(F.broadcast(feats), "doc_id", "left").select(
         "doc_id",
         "bm25",
         "cos_sim",
@@ -2389,8 +2419,12 @@ def append_chunk_index(
     centroids (auto-loaded from _centroids) — an ``io.append_once``
     keyed by ``batch_id``; replays no-op. Chunking parameters must
     match the build (the layout is part of the model)."""
+    from ..io import has_batch
     from .similarity import append_ann_index
 
+    if has_batch(docs.sparkSession, path, batch_id):
+        # replay: no-op BEFORE building the chunk+embed plan
+        return False
     return append_ann_index(
         chunk_embeddings(
             docs,
@@ -2445,22 +2479,22 @@ def chunk_indexed_search(
     IVF probe in the suite does."""
     from .dedup import _without_forgotten
     from .similarity import _ranked_probe_cells, load_centroids
-    from .text import hash_embed
+    from .text import hash_embed_text
 
     if not query_text or not query_text.strip():
         raise ValueError("query_text is empty")
-    qemb = hash_embed(
-        spark.createDataFrame([(0, query_text)], "qid long, text string"),
-        "qid",
-        "text",
-        dim=dim,
-    )
+    # in-row one-query embedder: identical values to hash_embed over
+    # a 1-row frame, with no shuffles to re-run per action (r13)
+    qemb = hash_embed_text(spark, query_text, dim=dim)
     qrow = qemb.first()
     if qrow is None or all(x == 0.0 for x in qrow["embedding"]):
         raise ValueError(
             "query_text embeds to the zero vector (no tokens, or a "
             "fully-cancelling bag) — no similarity signal exists"
         )
+    # inline the computed embedding as a literal so the probe GEMM
+    # and the ranked-cell collect carry a plain constant
+    qemb = spark.createDataFrame([qrow], qemb.schema)
     idx = spark.read.parquet(path)
     if n_probes is not None:
         cents = load_centroids(spark, path)

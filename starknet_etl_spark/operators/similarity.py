@@ -461,44 +461,77 @@ def assign_cells(
     The IVF contract: after index build, centroids are metadata —
     new vectors join the existing cells; re-clustering is a separate,
     deliberate re-index. ``centroids_df`` is :func:`centroids` output
-    (cell, dim_i, centroid) — n_cells×dim rows, broadcast. Cost: one
-    scan of the batch (posexplode → broadcast join → per-id argmax
-    window keyed on the batch id — no corpus access at all).
+    (cell, dim_i, centroid) — n_cells×dim rows, driver-sized by
+    contract, so it is COLLECTED and inlined as literal coefficients:
+    assignment is one MAP-ONLY codegen'd projection over the batch
+    (r13; the previous posexplode → broadcast join → two aggregates →
+    per-id row_number window → join-back plan spent 2 shuffles + a
+    window + a join per call on metadata-sized math — measured on the
+    lifecycle bench rows; at scale the shuffles were batch-sized).
+    Per cell: dot = Σ_i x[i]·c[i] ascending i (the exact order the
+    old per-(id,cell) group sum used), norm over the dims PRESENT in
+    the vector (the old join-intersection semantics for short
+    vectors), round(dot/√norm, 6), argmax with cell-asc tiebreak via
+    one array_max over (score, -position) structs (the langid
+    array-argmax pattern — never a chained when per cell).
 
     Ties (exactly equal rounded cosine) break toward the smaller
-    cell id, deterministically. NULL vectors are dropped (the
-    similarity suite's convention — a vector that doesn't exist has
-    no nearest cell), explicitly here rather than silently via the
-    posexplode: callers indexing a corpus should count in vs. out.
+    cell id, deterministically. NULL and EMPTY vectors are dropped
+    (the similarity suite's convention — a vector that doesn't exist
+    has no nearest cell; the old plan dropped empties via the
+    posexplode + inner join): callers indexing a corpus should count
+    in vs. out.
     """
-    df = df.filter(F.col(vec_col).isNotNull())
-    long = df.select(
-        id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
-    ).select(
-        id_col,
-        (F.col("__d0") + 1).cast("long").alias("dim_i"),
-        F.col("__x").cast("double").alias("__x"),
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     )
-    scores = (
-        long.join(F.broadcast(centroids_df), "dim_i")
-        .groupBy(id_col, "cell")
-        .agg(
-            # same rounded-before-rank discipline as knn_ivf's probe
-            # ranking: ~1 ulp summation drift must not flip a cell.
-            F.round(
-                F.sum(F.col("centroid") * F.col("__x"))
-                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
-                6,
-            ).alias("__s")
+    crows = centroids_df.select("cell", "dim_i", "centroid").collect()
+    by_cell: dict = {}
+    for r in crows:
+        by_cell.setdefault(r["cell"], {})[int(r["dim_i"])] = float(
+            r["centroid"]
         )
+    cells = sorted(by_cell)
+    other_cols = [
+        c for c in df.columns if c not in (id_col, cell_col)
+    ]
+    cell_type = centroids_df.schema["cell"].dataType
+    if not cells:
+        # no centroids → the old inner join assigned nothing
+        return df.filter(F.lit(False)).select(
+            id_col,
+            *other_cols,
+            F.lit(None).cast(cell_type).alias(cell_col),
+        )
+    v = F.col(vec_col)
+    structs = []
+    for pos, cell in enumerate(cells):
+        cd = by_cell[cell]
+        dot = F.lit(0.0)
+        nrm = F.lit(0.0)
+        for dim_i in sorted(cd):
+            x = v[dim_i - 1]  # getItem: NULL when out of bounds
+            dot = dot + F.coalesce(x * F.lit(cd[dim_i]), F.lit(0.0))
+            # norm counts every dim PRESENT in the vector (the old
+            # join-intersection semantics), NULL elements included
+            nrm = nrm + F.when(
+                F.lit(dim_i - 1) < F.size(v),
+                F.lit(cd[dim_i] * cd[dim_i]),
+            ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.round(dot / F.sqrt(nrm), 6).alias("s"),
+                F.lit(-pos).alias("p"),
+            )
+        )
+    best_pos = -F.array_max(F.array(*structs))["p"]
+    cell_lit = F.element_at(
+        F.array(*[F.lit(c).cast(cell_type) for c in cells]),
+        best_pos + 1,
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cell"))
-    best = (
-        scores.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, F.col("cell").alias(cell_col))
+    return df.select(
+        id_col, *other_cols, cell_lit.alias(cell_col)
     )
-    return df.drop(cell_col).join(best, id_col)
 
 
 def append_ann_index(
@@ -529,8 +562,11 @@ def append_ann_index(
 
     Returns True when the append ran, False for a replayed batch.
     """
-    from ..io import append_once
+    from ..io import append_once, has_batch
 
+    if has_batch(df.sparkSession, index_path, batch_id):
+        # replay: no-op BEFORE the assignment plan / metadata read
+        return False
     if centroids_df is None and cell_col not in df.columns:
         # a trained index assigns its own batches
         centroids_df = load_centroids(df.sparkSession, index_path)
@@ -623,6 +659,24 @@ def purge_ann_index(
     return len(touched)
 
 
+def _literal_query(query: DataFrame, cols: list) -> DataFrame | None:
+    """Collapse a (by-contract single-row) probe query into a one-row
+    LITERAL DataFrame (r13): a probe query is often a derived plan
+    (hash_embed + srp/cell assignment over one row of text), and every
+    downstream consumer — the cell collect, the ranked-cell probe, the
+    broadcast side of the scoring crossJoin — re-ran that whole plan
+    once per action. Collecting it once and inlining the computed
+    values removes the duplicate subtree evaluations without changing
+    a single value (the literals ARE the computed, already-rounded
+    values). Returns None when the query isn't exactly one row, so
+    callers keep the original plan for any off-contract input."""
+    proj = query.select(*cols)
+    rows = proj.limit(2).collect()
+    if len(rows) != 1:
+        return None
+    return proj.sparkSession.createDataFrame(rows, proj.schema)
+
+
 def _ranked_probe_cells(
     query: DataFrame,
     centroids_df: DataFrame,
@@ -700,6 +754,15 @@ def knn_ivf_indexed(
     """
     from .dedup import _without_forgotten
 
+    # one collect up front replaces per-action re-evaluation of the
+    # query's derivation plan (see _literal_query)
+    lit_q = _literal_query(
+        query,
+        [vec_col]
+        + ([cell_col] if cell_col in query.columns else []),
+    )
+    if lit_q is not None:
+        query = lit_q
     if centroids_df is None and (
         n_probes > 1 or cell_col not in query.columns
     ):
@@ -1688,9 +1751,12 @@ def append_pq_index(
     by ``batch_id`` (replays no-op), ``partition_by=[cell_col]`` —
     only touched cell directories gain files. Returns True when the
     append ran, False for a replayed batch."""
-    from ..io import append_once
+    from ..io import append_once, has_batch
 
     spark = df.sparkSession
+    if has_batch(spark, index_path, batch_id):
+        # replay: no-op BEFORE the encode plan / metadata reads
+        return False
     if codebooks_df is None:
         codebooks_df = load_codebooks(spark, index_path)
     if codebooks_df is None:

@@ -695,6 +695,79 @@ def hash_embed(
     return dense.select(id_col, embedding.alias("embedding"))
 
 
+def hash_embed_text(
+    spark,
+    text: str,
+    *,
+    dim: int = 16,
+    id_col: str = "qid",
+    id_value: int = 0,
+) -> DataFrame:
+    """One-row :func:`hash_embed` for a DRIVER-LITERAL query text —
+    identical arithmetic (same md5 index/sign, same ±1 component
+    sums, same L2 norm and 6-dp round; the ±1 sums are exact integer
+    arithmetic, so per-component order cannot matter), expressed as
+    in-row array expressions over a one-row local relation instead of
+    the explode → two aggregates → join plan. Catalyst's
+    ConvertToLocalRelation folds the whole thing into a literal at
+    optimization time, so probe paths that previously re-ran a
+    1-row hash_embed plan once per action (two shuffles + a join,
+    ~0.5-1 s each on the bench probes — r13) now carry a constant.
+
+    HOFs are interpreted, which is exactly why the corpus-sized
+    :func:`hash_embed` avoids them — here they run once, on one row,
+    in the optimizer."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    df = spark.createDataFrame(
+        [(id_value, text)], f"{id_col} long, __text string"
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("__text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    def _h(t):
+        return F.md5(t)
+    mapped = F.transform(
+        toks,
+        lambda t: F.struct(
+            (F.conv(F.substring(_h(t), 1, 8), 16, 10).cast("long")
+             % dim).cast("int").alias("i"),
+            F.when(
+                F.substring(_h(t), 9, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias("s"),
+        ),
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            mapped,
+            F.lit(0.0),
+            lambda acc, e: acc
+            + F.when(e["i"] == i, e["s"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    df = df.withColumn("__raw", raw).withColumn(
+        "__n",
+        F.sqrt(
+            F.aggregate(
+                F.col("__raw"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    embedding = F.when(
+        F.col("__n") == 0, F.col("__raw")
+    ).otherwise(
+        F.transform(
+            F.col("__raw"), lambda x: F.round(x / F.col("__n"), 6)
+        )
+    )
+    return df.select(id_col, embedding.alias("embedding"))
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",
