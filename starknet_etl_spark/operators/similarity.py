@@ -492,6 +492,12 @@ def assign_cells(
             r["centroid"]
         )
     cells = sorted(by_cell)
+    if sum(len(v) for v in by_cell.values()) > _INROW_LITERAL_MAX:
+        # generated-code size: keep the pre-r13 exploded plan
+        return _assign_cells_exploded(
+            df, centroids_df, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col,
+        )
     other_cols = [
         c for c in df.columns if c not in (id_col, cell_col)
     ]
@@ -532,6 +538,44 @@ def assign_cells(
     return df.select(
         id_col, *other_cols, cell_lit.alias(cell_col)
     )
+
+
+def _assign_cells_exploded(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """The pre-r13 :func:`assign_cells` plan — kept as the path for
+    centroid tables too large to inline (see ``_INROW_LITERAL_MAX``).
+    The caller already applied the NULL/empty-vector filter."""
+    long = df.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("__d0", "__x")
+    ).select(
+        id_col,
+        (F.col("__d0") + 1).cast("long").alias("dim_i"),
+        F.col("__x").cast("double").alias("__x"),
+    )
+    scores = (
+        long.join(F.broadcast(centroids_df), "dim_i")
+        .groupBy(id_col, "cell")
+        .agg(
+            F.round(
+                F.sum(F.col("centroid") * F.col("__x"))
+                / F.sqrt(F.sum(F.col("centroid") * F.col("centroid"))),
+                6,
+            ).alias("__s")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cell"))
+    best = (
+        scores.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, F.col("cell").alias(cell_col))
+    )
+    return df.drop(cell_col).join(best, id_col)
 
 
 def append_ann_index(
@@ -1413,6 +1457,60 @@ def train_pq_codebooks(
     )
 
 
+#: Max literal codebook/centroid ENTRIES (Σ cells·dims) inlined as
+#: in-row expressions. Past this, generated code is big enough that
+#: janino compilation can OOM a default-heap (1 GiB) driver — the
+#: 1024-entry PQ codebook (m=8, ksub=16, dim=64) did, while every
+#: IVF/centroid table (≤ n_cells·dim ≤ 512) compiles comfortably.
+#: Larger codebooks keep the original explode + broadcast-join plan.
+_INROW_LITERAL_MAX = 512
+
+
+def _literal_codebooks(codebooks_df: DataFrame) -> dict:
+    """Collect a (sub, code, dim_i, cvalue) codebook frame — index
+    metadata, driver-sized by contract — into
+    ``{(sub, code): {dim_i: cvalue}}`` for in-row literal encoding."""
+    cbd: dict = {}
+    for r in codebooks_df.select(
+        "sub", "code", "dim_i", "cvalue"
+    ).collect():
+        cbd.setdefault((int(r["sub"]), int(r["code"])), {})[
+            int(r["dim_i"])
+        ] = float(r["cvalue"])
+    return cbd
+
+
+def _pq_code_exprs(cbd: dict, vec_col: str):
+    """Per-subspace in-row argmin-code expressions over LITERAL
+    codebooks (r13): per (sub, code), dist = Σ_i (x[i] − c[i])² in
+    ascending dim order (the exact order the old per-(id, sub, code)
+    group sum used), rounded 6 dp, argmin with code-asc tiebreak via
+    one array_min over (dist, code) structs. Returns (subs sorted
+    ascending, [one code Column per sub])."""
+    v = F.col(vec_col)
+    subs = sorted({s for (s, _) in cbd})
+    exprs = []
+    for s in subs:
+        structs = []
+        for c in sorted(c2 for (s2, c2) in cbd if s2 == s):
+            cd = cbd[(s, c)]
+            dist = F.lit(0.0)
+            for d_i in sorted(cd):
+                x = v[d_i - 1]  # getItem: NULL when out of bounds
+                dist = dist + F.coalesce(
+                    (x - F.lit(cd[d_i])) * (x - F.lit(cd[d_i])),
+                    F.lit(0.0),
+                )
+            structs.append(
+                F.struct(
+                    F.round(dist, 6).alias("d"),
+                    F.lit(c).cast("long").alias("c"),
+                )
+            )
+        exprs.append(F.array_min(F.array(*structs))["c"])
+    return subs, exprs
+
+
 def pq_encode(
     df: DataFrame,
     codebooks_df: DataFrame,
@@ -1426,13 +1524,52 @@ def pq_encode(
     Distances round to 6 dp before the argmin with a code-asc
     tiebreak (the same rounded-before-rank discipline as
     ``assign_cells`` — ~1 ulp summation drift must not flip an
-    assignment between engines). Plan: narrow posexplode → broadcast
-    codebook join → (id, sub, code) partial-aggregated distance →
-    per-(id, sub) argmin window → one array_agg back to wide. All
-    shuffles key on the vector id; the ksub fan-out exists only
-    between the projection and the first aggregate. A GEMM kernel
-    (cosine_scores_gemm-style) is the drop-in for CPU-bound corpora.
+    assignment between engines). Plan (r13): codebooks are index
+    metadata, driver-sized by contract, so they are COLLECTED and
+    inlined — encoding is one MAP-ONLY codegen'd projection (the
+    previous posexplode → broadcast join → partial-aggregate →
+    per-(id, sub) window → array_agg plan paid 3 shuffles per call
+    for metadata-sized math; dist sums keep the old ascending-dim
+    order, so every rounded distance is bit-identical). NULL and
+    EMPTY vectors drop, exactly as the old explode-based plan
+    dropped them.
+
+    Codebooks past ``_INROW_LITERAL_MAX`` entries keep the original
+    explode → broadcast-join → window plan (generated-code size).
     """
+    cbd = _literal_codebooks(codebooks_df)
+    n_entries = sum(len(v) for v in cbd.values())
+    if n_entries > _INROW_LITERAL_MAX:
+        spark = df.sparkSession
+        lit_cb = spark.createDataFrame(
+            [
+                (s, c, d_i, val)
+                for (s, c), dims in sorted(cbd.items())
+                for d_i, val in sorted(dims.items())
+            ],
+            "sub long, code long, dim_i long, cvalue double",
+        )
+        return _pq_encode_exploded(
+            df, lit_cb, id_col=id_col, vec_col=vec_col
+        )
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    _, code_exprs = _pq_code_exprs(cbd, vec_col)
+    return base.select(
+        id_col, F.array(*code_exprs).alias("pq_codes")
+    )
+
+
+def _pq_encode_exploded(
+    df: DataFrame,
+    codebooks_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-r13 :func:`pq_encode` plan — kept as the path for
+    codebooks too large to inline (see ``_INROW_LITERAL_MAX``)."""
     long = (
         df.filter(F.col(vec_col).isNotNull())
         .select(
@@ -1553,15 +1690,103 @@ def pq_refine(
     the same long form.
 
     This is an ITERATIVE TRAINING loop, so it is deliberately eager:
-    each round runs one assignment job over the corpus and collects
-    the resulting dim·ksub codebook to the driver (index metadata,
-    driver-sized by contract — 64-dim × ksub=256 is 16k rows), which
-    also truncates the lineage between rounds. Distortion (sum of
-    assigned distances) is non-increasing round over round up to the
-    rounding grain — property-tested.
+    each round runs one assignment-and-mean job over the corpus and
+    collects the resulting dim·ksub codebook to the driver (index
+    metadata, driver-sized by contract — 64-dim × ksub=256 is 16k
+    rows), which also truncates the lineage between rounds.
+    Distortion (sum of assigned distances) is non-increasing round
+    over round up to the rounding grain — property-tested.
+
+    Plan (r13): the round's codebook lives on the driver anyway, so
+    assignment is the in-row literal argmin of :func:`_pq_code_exprs`
+    (bit-identical rounded distances — same ascending-dim sum order,
+    same code-asc tiebreak) attached BEFORE one posexplode; the round
+    is then ONE (sub, code, dim_i) aggregate and one driver merge of
+    the means into the previous codebook. The previous plan per round
+    was: explode → broadcast join → (id, sub, code) aggregate →
+    per-(id, sub) row_number window → join back to the exploded frame
+    → aggregate → join to the codebook — 4 shuffles and ~4 AQE jobs,
+    measured ~1.5-3 s of the sf0.1 trainer rows.
     """
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    if n_iters == 0:
+        return codebooks_df
+    spark = df.sparkSession
+    cb_rows = [
+        (int(r["sub"]), int(r["code"]), int(r["dim_i"]), float(r["cvalue"]))
+        for r in codebooks_df.select(
+            "sub", "code", "dim_i", "cvalue"
+        ).collect()
+    ]
+    if len(cb_rows) > _INROW_LITERAL_MAX:
+        # generated-code size: keep the pre-r13 exploded plan
+        return _pq_refine_exploded(
+            df,
+            spark.createDataFrame(
+                cb_rows, "sub long, code long, dim_i long, cvalue double"
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            n_iters=n_iters,
+        )
+    dim = max(r[2] for r in cb_rows)
+    m = max(r[0] for r in cb_rows) + 1
+    dsub = dim // m
+    base = df.filter(F.col(vec_col).isNotNull())
+    for _ in range(n_iters):
+        cbd: dict = {}
+        for s, c, d_i, val in cb_rows:
+            cbd.setdefault((s, c), {})[d_i] = val
+        _, code_exprs = _pq_code_exprs(cbd, vec_col)
+        # two chained selects (they fuse in codegen): the analyzer
+        # mangles struct field names when a generator shares a select
+        # with a struct-field extraction over the same input column
+        long = base.select(
+            F.col(vec_col), F.array(*code_exprs).alias("__codes")
+        ).select(
+            F.posexplode(F.col(vec_col)).alias("__d0", "__x"),
+            F.col("__codes"),
+        ).filter(F.col("__d0") < dim).select(
+            (F.col("__d0") + 1).cast("long").alias("dim_i"),
+            (F.col("__d0") / F.lit(dsub)).cast("long").alias("sub"),
+            F.col("__x").cast("double").alias("__x"),
+            F.element_at(
+                F.col("__codes"),
+                (F.col("__d0") / F.lit(dsub)).cast("int") + 1,
+            ).alias("code"),
+        )
+        means = (
+            long.groupBy("sub", "code", "dim_i")
+            .agg(F.round(F.avg("__x"), 6).alias("__mean"))
+            .collect()
+        )
+        mean_map = {
+            (int(r["sub"]), int(r["code"]), int(r["dim_i"])): float(
+                r["__mean"]
+            )
+            for r in means
+        }
+        # codes that captured no vectors keep their previous codeword
+        cb_rows = [
+            (s, c, d_i, mean_map.get((s, c, d_i), val))
+            for (s, c, d_i, val) in cb_rows
+        ]
+    return spark.createDataFrame(
+        cb_rows, "sub long, code long, dim_i long, cvalue double"
+    )
+
+
+def _pq_refine_exploded(
+    df: DataFrame,
+    codebooks_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 1,
+) -> DataFrame:
+    """The pre-r13 :func:`pq_refine` round — kept as the path for
+    codebooks too large to inline (see ``_INROW_LITERAL_MAX``)."""
     spark = df.sparkSession
     meta = codebooks_df.agg(
         F.max("dim_i").alias("d"), F.max("sub").alias("s")
