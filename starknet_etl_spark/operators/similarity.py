@@ -513,17 +513,35 @@ def assign_cells(
     structs = []
     for pos, cell in enumerate(cells):
         cd = by_cell[cell]
-        dot = F.lit(0.0)
-        nrm = F.lit(0.0)
-        for dim_i in sorted(cd):
-            x = v[dim_i - 1]  # getItem: NULL when out of bounds
-            dot = dot + F.coalesce(x * F.lit(cd[dim_i]), F.lit(0.0))
-            # norm counts every dim PRESENT in the vector (the old
-            # join-intersection semantics), NULL elements included
-            nrm = nrm + F.when(
-                F.lit(dim_i - 1) < F.size(v),
-                F.lit(cd[dim_i] * cd[dim_i]),
-            ).otherwise(F.lit(0.0))
+        # one ARRAY literal per centroid (not per-dim scalar
+        # literals): the generated code stays identical across
+        # centroid values, so re-trained centroids never trigger a
+        # janino recompile (measured ~2 s per distinct literal set),
+        # and the expression builds in O(1) py4j calls per cell
+        carr = F.lit([cd[i] for i in sorted(cd)])
+        # dot: Σ x[i]·c[i] ascending (zip_with pads the shorter side
+        # with NULL → coalesce 0, the old join-intersection behavior
+        # for length mismatches in either direction)
+        dot = F.aggregate(
+            F.zip_with(
+                v, carr, lambda x, c: F.coalesce(x * c, F.lit(0.0))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        # norm: Σ c[i]² over dims PRESENT in the vector (x non-NULL
+        # ⇔ i < len(v) for the NULL-free vectors this suite builds)
+        nrm = F.aggregate(
+            F.zip_with(
+                v,
+                carr,
+                lambda x, c: F.when(
+                    x.isNotNull(), F.coalesce(c * c, F.lit(0.0))
+                ).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
         structs.append(
             F.struct(
                 F.round(dot / F.sqrt(nrm), 6).alias("s"),
@@ -1485,7 +1503,10 @@ def _pq_code_exprs(cbd: dict, vec_col: str):
     codebooks (r13): per (sub, code), dist = Σ_i (x[i] − c[i])² in
     ascending dim order (the exact order the old per-(id, sub, code)
     group sum used), rounded 6 dp, argmin with code-asc tiebreak via
-    one array_min over (dist, code) structs. Returns (subs sorted
+    one array_min over (dist, code) structs. Each codeword is ONE
+    array literal (stable generated code across re-trained values —
+    scalar literals made janino recompile per Lloyd round) zipped
+    against the subspace slice of the vector. Returns (subs sorted
     ascending, [one code Column per sub])."""
     v = F.col(vec_col)
     subs = sorted({s for (s, _) in cbd})
@@ -1494,13 +1515,24 @@ def _pq_code_exprs(cbd: dict, vec_col: str):
         structs = []
         for c in sorted(c2 for (s2, c2) in cbd if s2 == s):
             cd = cbd[(s, c)]
-            dist = F.lit(0.0)
-            for d_i in sorted(cd):
-                x = v[d_i - 1]  # getItem: NULL when out of bounds
-                dist = dist + F.coalesce(
-                    (x - F.lit(cd[d_i])) * (x - F.lit(cd[d_i])),
-                    F.lit(0.0),
-                )
+            dims = sorted(cd)
+            if dims == list(range(dims[0], dims[0] + len(dims))):
+                # subspace dims are contiguous by layout: one slice
+                vsub = F.slice(v, dims[0], len(dims))
+            else:  # defensive: arbitrary dim sets still work
+                vsub = F.array(*[v[i - 1] for i in dims])
+            carr = F.lit([cd[i] for i in dims])
+            dist = F.aggregate(
+                F.zip_with(
+                    vsub,
+                    carr,
+                    lambda x, cc: F.coalesce(
+                        (x - cc) * (x - cc), F.lit(0.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
             structs.append(
                 F.struct(
                     F.round(dist, 6).alias("d"),
