@@ -1,0 +1,62 @@
+"""Dump `.explain("formatted")` for the r13-touched queries.
+
+Usage: python scripts/dump_r13_plans.py <outdir> <suffix>
+Run once from the pre-r13 tree (suffix `before`, via a git worktree
+at the baseline commit) and once from the optimized tree (suffix
+`after`); the judge diffs the pairs in plans/r13/.
+sf0.01 inputs — plan structure is SF-independent before AQE.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from starknet_etl_spark.catalog import QUERIES  # noqa: E402
+from starknet_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: Queries whose operators round 13 touched (plus the two headline
+#: ANN rows as controls).
+TOUCHED = (
+    "doc_hybrid_search",
+    "doc_hybrid_ltr",
+    "doc_hybrid_rerank",
+    "doc_chunk_indexed",
+    "doc_coherent_pack",
+    "mm_knn",
+    "emb_knn_ivf",
+    "emb_knn_ivf_indexed",
+    "emb_knn_pq",
+    "emb_ivf_trained",
+    "emb_ivfpq_indexed",
+    "doc_topic_clusters",
+    "events_rollup_incremental",
+    "doc_graph_lifecycle",
+)
+
+
+def main() -> None:
+    outdir, suffix = sys.argv[1], sys.argv[2]
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark(
+        "dump-r13-plans", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in TOUCHED:
+        df = QUERIES[name].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(mode)
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

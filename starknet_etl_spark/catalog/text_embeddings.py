@@ -19,6 +19,7 @@ embed_docs), composed with operators/similarity.py
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 
 from . import QuerySpec
 from .text import _docs
@@ -184,7 +185,7 @@ def _le_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 target_scale=_LE_SCALE,
             ).collect()
         ]
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         _LE_CACHE[key],
         "token string, word_id long, d int, val double",
     )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from . import QuerySpec, scratch_path
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 
 from .text import (  # noqa: F401
     _docs,
@@ -104,7 +105,7 @@ def _learned_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         loss, "lang", "__loss",
         n_rounds=_LMIX_ROUNDS, eta=_LMIX_ETA, factor_floor=_LMIX_FLOOR,
     )
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         sorted(w.items()), "grp string, weight double"
     )
 

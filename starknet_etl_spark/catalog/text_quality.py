@@ -9,6 +9,7 @@ from __future__ import annotations
 from . import QuerySpec, scratch_path
 from ..operators import text as X
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 
 from .text import (  # noqa: F401
     _HE_DIM,
@@ -1266,7 +1267,7 @@ _BL_TERMS = ["slow", "merge", "vector", "error"]
 def _blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import blocklist_flags
 
-    terms = spark.createDataFrame(
+    terms = _local_frame(spark, 
         [(t,) for t in _BL_TERMS], "term string"
     )
     return blocklist_flags(_docs(spark, sf_dir), terms)
@@ -1459,7 +1460,7 @@ def _curation_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == "src0").select(
         "doc_id", "text"
     )
-    terms = spark.createDataFrame(
+    terms = _local_frame(spark, 
         [(t,) for t in _CBL_TERMS], "term string"
     )
     curated, audit = curate_corpus(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from . import QuerySpec, scratch_path
 from ..operators import text as X
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 
 from .text import (  # noqa: F401
     _BM25_ORACLE,
@@ -222,7 +223,7 @@ def _hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     apath = scratch_path(spark, sf_dir, "hybrid_ann_catalog")
     S.build_ann_index(bucketed, apath, cell_col="cell")
 
-    qtexts = spark.createDataFrame(
+    qtexts = _local_frame(spark, 
         [
             (-(i + 1), " ".join(terms))
             for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
@@ -854,7 +855,7 @@ def _hybrid_ltr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             rrf_k=_HYBRID_RRF_K, n_rounds=_LTR_ROUNDS, lr=_LTR_LR,
         )
 
-    qtexts = spark.createDataFrame(
+    qtexts = _local_frame(spark, 
         [
             (-(i + 1), " ".join(terms))
             for i, terms in enumerate(_HYBRID_BATCH_QUERIES.values())
@@ -1387,8 +1388,11 @@ rr_x AS MATERIALIZED (
            COALESCE(1.0 / ({_HYBRID_RRF_K} + sem_rank), 0.0)
     FROM rr_cand
     UNION ALL
-    SELECT c.doc_id, 5, length(d.text) / 4096.0
-    FROM rr_cand c JOIN documents d ON d.doc_id = c.doc_id
+    -- LEFT + COALESCE mirrors the Spark contract: a pool doc
+    -- missing from the corpus frame reranks with a ZERO length
+    -- feature (stale-index robustness), it does not vanish
+    SELECT c.doc_id, 5, COALESCE(length(d.text) / 4096.0, 0.0)
+    FROM rr_cand c LEFT JOIN documents d ON d.doc_id = c.doc_id
   )
 ),
 rr_pairs AS MATERIALIZED (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from . import QuerySpec, scratch_path
 from ..operators import text as X
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 
 from .text import (  # noqa: F401
     _docs,
@@ -827,7 +828,7 @@ def _ulm_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_ULM_PLEN, max_word_len=_ULM_WLEN,
     )
     pieces = F.broadcast(
-        spark.createDataFrame(model, "piece string, logp double")
+        _local_frame(spark, model, "piece string, logp double")
     )
     q20 = lambda c: F.floor(c * F.lit(1048576.0) + F.lit(0.5)) / F.lit(  # noqa: E731
         1048576.0

@@ -30,6 +30,68 @@ from pyspark.sql.window import Window
 from .schemas import TESTDATA_DDL, TESTDATA_TABLES
 
 
+def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
+    """A driver-literal DataFrame backed by a JVM ``LocalRelation``.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows
+    into ``defaultParallelism`` PICKLED slices, so every downstream
+    action schedules a 32-task stage and round-trips a Python worker
+    just to re-deserialize the same handful of rows — measured
+    ~350 ms per trivial action on local[32] vs ~7 ms for a
+    LocalRelation (r13). The arrow/pandas ``createDataFrame`` path
+    builds the LocalRelation directly; this helper routes small
+    literal frames (probe queries, candidate pools, codebooks, spec
+    rows) through it, falling back to the classic path when pandas /
+    arrow is unavailable or the types don't convert.
+
+    Values are identical either way — rows are materialized Python
+    values; arrow carries longs/doubles/strings/arrays exactly. The
+    ONE exception is NaN, which the pandas path coerces to null
+    (verified empirically) — rows containing any NaN take the
+    classic path.
+    """
+    rows = list(rows)
+
+    def _no_nan(v) -> bool:
+        if isinstance(v, float):
+            return v == v
+        if isinstance(v, (list, tuple)):
+            return all(_no_nan(x) for x in v)
+        if isinstance(v, dict):
+            return all(_no_nan(x) for x in v.values())
+        return True
+
+    if schema is None:
+        # schema inference needs the classic path
+        return spark.createDataFrame(rows)
+    if not all(_no_nan(c) for r in rows for c in r):
+        return spark.createDataFrame(rows, schema)
+    try:
+        import pandas as pd
+
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(schema)
+        else:
+            st = schema
+        names = [f.name for f in st.fields]
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows], columns=names
+        )
+        df = spark.createDataFrame(pdf, schema=st)
+        # the arrow path may silently fall back to the parallelize
+        # path (fallback.enabled default true); only accept a true
+        # LocalRelation, otherwise use the classic path below
+        if df._jdf.queryExecution().optimizedPlan().nodeName() in (
+            "LocalRelation",
+        ):
+            return df
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)
+
+
 def dedup_latest(
     df: DataFrame, keys: list[str], order_by: list[str] | None = None
 ) -> DataFrame:

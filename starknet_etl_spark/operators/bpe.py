@@ -45,6 +45,7 @@ unchanged).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 from ..checkpointing import RoundCheckpointer
@@ -219,7 +220,7 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """(merge_rank, lhs, rhs, merged) — the model artifact as a
     DataFrame (persist with io.save_table next to the corpus).
     lhs/rhs, not left/right: the natural names are SQL keywords."""
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         [
             (i, le, ri, le + ri)
             for i, (le, ri) in enumerate(merges)

@@ -332,6 +332,15 @@ def plant_canaries(
         .select("shingle")
         .distinct()
     )
+    if bsh.first() is None:
+        # __nb = 0 would otherwise surface as an opaque ANSI
+        # pmod-by-zero at execution time, and the audit's
+        # n_missed-is-zero guarantee would fail confusingly
+        raise ValueError(
+            f"benchmark produced no n-grams at n={n} (every "
+            "benchmark document is shorter than n tokens) — "
+            "nothing can be planted"
+        )
     w = Window.orderBy("shingle")
     bnum = bsh.select(
         "shingle",

@@ -22,6 +22,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 # --------------------------------------------------------------------------
@@ -568,7 +569,7 @@ def forget(
     from .. import io as _io
 
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
+        ids = _local_frame(spark, 
             [(int(i),) for i in ids], f"{id_col} bigint"
         )
     else:

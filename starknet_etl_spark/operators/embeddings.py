@@ -377,7 +377,17 @@ def embed_docs(
     per dimension. Documents with NO in-vocab token emit no row
     (they have no representation in the learned space — callers
     union a fallback if needed). One explode + one broadcast model
-    join + one (id, d) aggregate: doc-keyed shuffles only."""
+    join + one (id, d) aggregate: doc-keyed shuffles only.
+
+    ``dim`` is validated against the model (max(d)+1 == dim): a
+    caller passing the wrong dim previously got silent acceptance
+    of a parameter the body never used."""
+    mdim = vectors.agg(F.max("d")).first()[0]
+    if mdim is not None and int(mdim) + 1 != dim:
+        raise ValueError(
+            f"dim={dim} does not match the loaded model "
+            f"(max(d)+1 == {int(mdim) + 1})"
+        )
     toks = _tokens_with_pos(df, id_col, text_col).select(
         id_col, F.col("__t").alias("token")
     )

@@ -206,8 +206,14 @@ def graph_stats(spark: SparkSession, path: str) -> dict:
     spec = read_graph_spec(spark, path)
     n_edges = spark.read.parquet(path).count()
     ranked_at = spec.get("ranked_at_edges")
-    if ranked_at:
-        growth_frac = round((n_edges - ranked_at) / ranked_at, 6)
+    if ranked_at is not None:
+        # ranked-while-empty (ranked_at == 0) is a legitimate state:
+        # growth is 0 until edges arrive (truthiness here made
+        # maintain_graph re-refresh such a table every tick)
+        if ranked_at == 0:
+            growth_frac = 0.0 if n_edges == 0 else None
+        else:
+            growth_frac = round((n_edges - ranked_at) / ranked_at, 6)
     else:
         growth_frac = None  # never ranked: infinite drift
     return {

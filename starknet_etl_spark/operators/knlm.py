@@ -49,6 +49,7 @@ driver-side state beyond the totals row; no windows over the vocab.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 #: dyadic quantization grid (shared discipline with quality_model.py)
@@ -340,7 +341,7 @@ def save_kn_lm(model: dict[str, object], path: str) -> None:
     spark = model["top"].sparkSession
     for name in names:
         save_table(model[name], f"{path}/{name}", mode="overwrite")
-    meta = spark.createDataFrame(
+    meta = _local_frame(spark, 
         [(int(model["n"]), float(model["discount"]))],
         "n int, discount double",
     )

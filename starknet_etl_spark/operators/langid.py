@@ -32,6 +32,7 @@ driver-sized (C × (dim+1) doubles).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..io import local_frame as _local_frame
 
 from ..checkpointing import truncate as _truncate
 from .quality_model import _features_long, _q20
@@ -78,7 +79,7 @@ def train_langid(
         _features_long(base, id_col, vec_col), reliable_checkpoint_dir
     )
     cls_df = F.broadcast(
-        spark.createDataFrame([(c,) for c in classes], "cls string")
+        _local_frame(spark, [(c,) for c in classes], "cls string")
     )
     labels = _truncate(
         base.select(id_col, "__lab")
@@ -99,7 +100,7 @@ def train_langid(
     w = {c: [0.0] * (dim + 1) for c in classes}
     for _ in range(n_rounds):
         wdf = F.broadcast(
-            spark.createDataFrame(
+            _local_frame(spark, 
                 [
                     (c, j, wj)
                     for c in classes
@@ -187,7 +188,7 @@ def save_langid(spark, models: dict[str, list[float]], path: str) -> None:
     from ..io import save_table
 
     save_table(
-        spark.createDataFrame(
+        _local_frame(spark, 
             [
                 (c, j, float(wj))
                 for c, ws in models.items()

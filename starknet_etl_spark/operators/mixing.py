@@ -37,6 +37,7 @@ way ``randomSplit``/``sampleBy`` would.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 
@@ -94,7 +95,7 @@ def mix_corpus(
     # min. (A map-lookup over observed groups had exactly that hole.)
     spark = df.sparkSession
     gtype = df.schema[group_col].dataType.simpleString()
-    wdf = spark.createDataFrame(
+    wdf = _local_frame(spark, 
         [(g, float(x)) for g, x in weights.items()],
         f"{group_col} {gtype}, __w double",
     )

@@ -46,6 +46,7 @@ disagree on the same double — observed twice during r6 development
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 
 from ..checkpointing import truncate as _truncate
 
@@ -127,7 +128,7 @@ def train_quality_model(
     w = [0.0] * (dim + 1)
     for _ in range(n_rounds):
         wdf = F.broadcast(
-            spark.createDataFrame(
+            _local_frame(spark, 
                 [(j, wj) for j, wj in enumerate(w)], "j int, w double"
             )
         )
@@ -221,7 +222,7 @@ def save_model(spark, weights: list[float], path: str) -> None:
     from ..io import save_table
 
     save_table(
-        spark.createDataFrame(
+        _local_frame(spark, 
             [(j, float(w)) for j, w in enumerate(weights)],
             "j int, w double",
         ),

@@ -46,6 +46,7 @@ r8 VERDICT's top next-round ask.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 
 from ..checkpointing import truncate as _truncate
 from .quality_model import _q20
@@ -182,7 +183,7 @@ def train_reward_model(
     w = [0.0] * dim
     for _ in range(n_rounds):
         wdf = F.broadcast(
-            spark.createDataFrame(
+            _local_frame(spark, 
                 [(j, wj) for j, wj in enumerate(w)], "j int, w double"
             )
         )

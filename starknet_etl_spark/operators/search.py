@@ -53,6 +53,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 
@@ -320,7 +321,7 @@ def build_postings_index(
         mode="overwrite",
     )
     save_table(
-        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        _local_frame(spark, [(n_buckets,)], "n_buckets int"),
         meta_p,
         mode="overwrite",
     )
@@ -439,7 +440,7 @@ def rebucket_postings(
     # rows — replays must keep no-oping after the swap
     _io._copy_batch_markers(spark, postings_p, tmp_postings)
     _io._copy_dir(spark, stats_p, tmp_stats)  # ledger + its markers
-    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+    _local_frame(spark, [(n_buckets,)], "n_buckets int").write.mode(
         "overwrite"
     ).parquet(tmp_meta)
     _io._replace_dir(spark, path, tmp_root)
@@ -531,7 +532,7 @@ def forget_postings(
 
     postings_p, _, _ = _paths(path)
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
+        ids = _local_frame(spark, 
             [(int(i),) for i in ids], "doc_id bigint"
         )
     else:
@@ -698,7 +699,7 @@ def purge_postings(spark: SparkSession, path: str) -> int:
             )
             .first()
         )
-        new_stats = spark.createDataFrame(
+        new_stats = _local_frame(spark, 
             [(int(tot["n_docs"]), int(tot["sum_dl"]), 0)],
             "n_docs long, sum_dl long, batch_id long",
         )
@@ -741,7 +742,7 @@ def bm25_indexed(
     buckets = sorted(
         {
             r["b"]
-            for r in spark.createDataFrame(
+            for r in _local_frame(spark, 
                 [(t,) for t in terms], "term string"
             )
             .select(_bucket(F.col("term"), n_buckets).alias("b"))
@@ -809,7 +810,7 @@ def bm25_batch(
     buckets = sorted(
         {
             r["b"]
-            for r in spark.createDataFrame(
+            for r in _local_frame(spark, 
                 [(t,) for t in all_terms], "term string"
             )
             .select(_bucket(F.col("term"), n_buckets).alias("b"))
@@ -852,7 +853,7 @@ def bm25_batch(
     )
     scored = scored.select("doc_id", "__t", contrib.alias("__c"))
 
-    qmap = spark.createDataFrame(
+    qmap = _local_frame(spark, 
         [
             (qid, t, i)
             for qid, ts in norm_q.items()
@@ -1020,7 +1021,7 @@ def build_positional_index(
         partition_by=["bucket"],
     )
     save_table(
-        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        _local_frame(spark, [(n_buckets,)], "n_buckets int"),
         os.path.join(path, "meta"),
         mode="overwrite",
     )
@@ -1082,7 +1083,7 @@ def phrase_indexed(
     uniq = sorted(set(terms))
     buckets = [
         r["b"]
-        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        for r in _local_frame(spark, [(t,) for t in uniq], "t string")
         .select(_bucket(F.col("t"), n_buckets).alias("b"))
         .distinct()
         .collect()
@@ -1125,7 +1126,7 @@ def rebucket_positional(
     )
     rebucketed.write.mode("overwrite").partitionBy("bucket").parquet(tmp_pos)
     _io._copy_batch_markers(spark, pos_p, tmp_pos)
-    spark.createDataFrame([(n_buckets,)], "n_buckets int").write.mode(
+    _local_frame(spark, [(n_buckets,)], "n_buckets int").write.mode(
         "overwrite"
     ).parquet(os.path.join(tmp_root, "meta"))
     _io._replace_dir(spark, path, tmp_root)
@@ -1210,8 +1211,8 @@ def phrase_batch(
         for i, w in enumerate(terms):
             qrows.append((str(qid), i, w))
         qlens.append((str(qid), len(terms)))
-    qdf = spark.createDataFrame(qrows, "query_id string, i int, w string")
-    qlen = spark.createDataFrame(qlens, "query_id string, qlen int")
+    qdf = _local_frame(spark, qrows, "query_id string, i int, w string")
+    qlen = _local_frame(spark, qlens, "query_id string, qlen int")
 
     n_buckets = int(
         spark.read.parquet(os.path.join(path, "meta")).first()["n_buckets"]
@@ -1219,7 +1220,7 @@ def phrase_batch(
     uniq = sorted({w for _, _, w in qrows})
     buckets = [
         r["b"]
-        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        for r in _local_frame(spark, [(t,) for t in uniq], "t string")
         .select(_bucket(F.col("t"), n_buckets).alias("b"))
         .distinct()
         .collect()
@@ -1313,7 +1314,7 @@ def chunk_semantic_search(
         )
     # inline the computed embedding as a literal so the scoring
     # crossJoin carries a plain constant
-    qemb = spark.createDataFrame([qrow], qemb.schema)
+    qemb = _local_frame(spark, [qrow], qemb.schema)
     _id = lambda a, b: _chunk_idot(a, b, dim)  # noqa: E731
     scored = (
         emb.filter(
@@ -1522,7 +1523,7 @@ def _hybrid_batch_candidates(
     if not cells:
         raise ValueError("hybrid_batch: every query has a NULL cell")
     qdf = F.broadcast(
-        spark.createDataFrame(
+        _local_frame(spark, 
             [
                 (str(r[q_id_col]), r[q_cell_col],
                  [float(x) for x in r[q_vec_col]])
@@ -1555,7 +1556,7 @@ def _hybrid_batch_candidates(
         .select("query_id", "doc_id", "cos_sim", "sem_rank")
     )
 
-    return lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
+    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
         F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
@@ -1563,6 +1564,10 @@ def _hybrid_batch_candidates(
         "lex_rank",
         "sem_rank",
     )
+    # ≤ queries·2·n_candidates rows, consumed repeatedly downstream
+    # (fusion arms, LTR/rerank training, per-query top-k): localized
+    # so the two index reads run exactly once (r13)
+    return _localize_pool(fused)
 
 
 def hybrid_batch(
@@ -1715,13 +1720,17 @@ def hybrid_candidates(
         "cos_sim",
         F.row_number().over(w_sem).cast("long").alias("sem_rank"),
     )
-    return lexr.join(semr, "doc_id", "full_outer").select(
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
         "doc_id",
         F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
         F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
         "lex_rank",
         "sem_rank",
     )
+    # ≤ 2·n_candidates rows by construction, consumed repeatedly by
+    # every downstream trainer/scorer: return it LOCALIZED so the
+    # probe trees run exactly once (r13)
+    return _localize_pool(fused)
 
 
 def train_ltr(
@@ -1740,6 +1749,9 @@ def train_ltr(
     "doc_id")) plus a {0,1} relevance column."""
     from .quality_model import train_quality_model
 
+    # pool-sized by contract (union of per-query pools at most) —
+    # GD rounds iterate literals, not probe trees
+    candidates = _localize_pool(candidates)
     cid = F.concat_ws(
         "|", *[F.col(c).cast("string") for c in id_cols]
     )
@@ -1881,6 +1893,29 @@ def hybrid_batch_ltr(
 #: rrf_sem, char_len/4096] — no bias (pairwise differences cancel it)
 RERANK_DIM = 6
 
+#: localization cap for candidate pools (way above any real
+#: n_candidates; a frame past it stays lazy)
+_POOL_LOCALIZE_MAX = 100_000
+
+
+def _localize_pool(df: DataFrame) -> DataFrame:
+    """Collect a pool-sized frame once and return it as a literal
+    local relation (r13). Candidate pools are ≤ n_candidates rows by
+    contract but their PLANS are the two index probes — and the
+    rerank/LTR chain consumes the pool several times per action
+    (feature semi-join build side, outer join stream side, pairwise
+    training arms, the scorer join), re-running the probes each
+    time. Values are identical by construction (the literals ARE the
+    computed rows). One plain ``collect()`` — a large ``take(n)``
+    executes as a chain of incremental scale-up jobs (measured 14
+    jobs for one pool). ``_POOL_LOCALIZE_MAX`` stays the documented
+    contract bound; a pathological caller is stopped loudly by
+    ``spark.driver.maxResultSize`` either way."""
+    rows = df.collect()
+    if len(rows) > _POOL_LOCALIZE_MAX:
+        return df
+    return _local_frame(df.sparkSession, rows, df.schema)
+
 
 def rerank_features(
     candidates: DataFrame,
@@ -1909,6 +1944,10 @@ def rerank_features(
     shuffled at any size."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # pool-sized by contract: one collect here replaces a probe-tree
+    # re-evaluation per downstream consumer (semi-join build side +
+    # outer join stream side at minimum)
+    candidates = _localize_pool(candidates)
     terms = sorted({t.lower() for t in query_terms})
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     overlap = F.lit(0)
@@ -1976,6 +2015,10 @@ def train_reranker(
     n_candidates²)."""
     from .reward_model import train_reward_model
 
+    # pool-sized by contract: the GD loop evaluates the pair frame
+    # once per round — localize so rounds iterate over literals, not
+    # over the index-probe trees
+    feat_candidates = _localize_pool(feat_candidates)
     pos = feat_candidates.filter(F.col(label_col) == 1.0).select(
         *group_cols,
         F.col("doc_id").alias("chosen_id"),
@@ -2016,6 +2059,9 @@ def rerank(
         )
     from .reward_model import score_reward
 
+    # pool-sized by contract, consumed twice below (rank projection
+    # + scorer join) — localize once
+    feat_candidates = _localize_pool(feat_candidates)
     scored = score_reward(
         feat_candidates,
         weights,
@@ -2176,7 +2222,7 @@ def proximity_indexed(
     )
     buckets = [
         r["b"]
-        for r in spark.createDataFrame([(t,) for t in uniq], "t string")
+        for r in _local_frame(spark, [(t,) for t in uniq], "t string")
         .select(_bucket(F.col("t"), n_buckets).alias("b"))
         .distinct()
         .collect()
@@ -2231,7 +2277,7 @@ def proximity_batch(
     )
     buckets = [
         r["b"]
-        for r in spark.createDataFrame(
+        for r in _local_frame(spark, 
             [(t,) for t in all_terms], "t string"
         )
         .select(_bucket(F.col("t"), n_buckets).alias("b"))
@@ -2494,7 +2540,7 @@ def chunk_indexed_search(
         )
     # inline the computed embedding as a literal so the probe GEMM
     # and the ranked-cell collect carry a plain constant
-    qemb = spark.createDataFrame([qrow], qemb.schema)
+    qemb = _local_frame(spark, [qrow], qemb.schema)
     idx = spark.read.parquet(path)
     if n_probes is not None:
         cents = load_centroids(spark, path)

@@ -36,6 +36,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 
@@ -721,24 +722,6 @@ def purge_ann_index(
     return len(touched)
 
 
-def _literal_query(query: DataFrame, cols: list) -> DataFrame | None:
-    """Collapse a (by-contract single-row) probe query into a one-row
-    LITERAL DataFrame (r13): a probe query is often a derived plan
-    (hash_embed + srp/cell assignment over one row of text), and every
-    downstream consumer — the cell collect, the ranked-cell probe, the
-    broadcast side of the scoring crossJoin — re-ran that whole plan
-    once per action. Collecting it once and inlining the computed
-    values removes the duplicate subtree evaluations without changing
-    a single value (the literals ARE the computed, already-rounded
-    values). Returns None when the query isn't exactly one row, so
-    callers keep the original plan for any off-contract input."""
-    proj = query.select(*cols)
-    rows = proj.limit(2).collect()
-    if len(rows) != 1:
-        return None
-    return proj.sparkSession.createDataFrame(rows, proj.schema)
-
-
 def _ranked_probe_cells(
     query: DataFrame,
     centroids_df: DataFrame,
@@ -816,15 +799,20 @@ def knn_ivf_indexed(
     """
     from .dedup import _without_forgotten
 
-    # one collect up front replaces per-action re-evaluation of the
-    # query's derivation plan (see _literal_query)
-    lit_q = _literal_query(
-        query,
-        [vec_col]
-        + ([cell_col] if cell_col in query.columns else []),
+    # collect the by-contract single-row query up front (take(1)
+    # keeps the early-exit incremental execution first() had) and
+    # inline the computed values as a one-row literal: the cell
+    # read, the ranked-cell probe and the scoring crossJoin stop
+    # re-running the query's derivation plan once per action each.
+    # An empty query keeps the original plan → the loud error paths.
+    qcols = [vec_col] + (
+        [cell_col] if cell_col in query.columns else []
     )
-    if lit_q is not None:
-        query = lit_q
+    qproj = query.select(*qcols)
+    qrows = qproj.take(1)
+    qrow = qrows[0] if qrows else None
+    if qrow is not None:
+        query = _local_frame(qproj.sparkSession, qrows, qproj.schema)
     if centroids_df is None and (
         n_probes > 1 or cell_col not in query.columns
     ):
@@ -836,8 +824,13 @@ def knn_ivf_indexed(
                 "has no _centroids metadata; pass centroids_df"
             )
     if n_probes <= 1 and centroids_df is None:
-        # query pre-assigned to its cell (index-build-time assignment)
-        cell = query.select(F.col(cell_col)).first()[0]
+        # query pre-assigned to its cell (index-build-time
+        # assignment) — read off the collected row, no extra job
+        cell = (
+            qrow[cell_col]
+            if qrow is not None
+            else query.select(F.col(cell_col)).first()[0]
+        )
         corpus = spark.read.parquet(index_path).filter(
             F.col(cell_col) == F.lit(cell)
         )
@@ -1003,7 +996,7 @@ def knn_ivf_batch(
     qrows = _collect_queries(
         queries, q_id_col, q_vec_col, max_queries, "knn_ivf_batch"
     )
-    qv = spark.createDataFrame(
+    qv = _local_frame(spark, 
         [(qid, [float(x) for x in v]) for qid, v in qrows],
         f"{q_id_col} long, {q_vec_col} array<double>",
     )
@@ -1573,7 +1566,7 @@ def pq_encode(
     n_entries = sum(len(v) for v in cbd.values())
     if n_entries > _INROW_LITERAL_MAX:
         spark = df.sparkSession
-        lit_cb = spark.createDataFrame(
+        lit_cb = _local_frame(spark, 
             [
                 (s, c, d_i, val)
                 for (s, c), dims in sorted(cbd.items())
@@ -1755,7 +1748,7 @@ def pq_refine(
         # generated-code size: keep the pre-r13 exploded plan
         return _pq_refine_exploded(
             df,
-            spark.createDataFrame(
+            _local_frame(spark, 
                 cb_rows, "sub long, code long, dim_i long, cvalue double"
             ),
             id_col=id_col,
@@ -1804,7 +1797,7 @@ def pq_refine(
             (s, c, d_i, mean_map.get((s, c, d_i), val))
             for (s, c, d_i, val) in cb_rows
         ]
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         cb_rows, "sub long, code long, dim_i long, cvalue double"
     )
 
@@ -1881,7 +1874,7 @@ def _pq_refine_exploded(
             (int(r["sub"]), int(r["code"]), int(r["dim_i"]), float(r["cvalue"]))
             for r in merged.collect()
         ]
-        cb = spark.createDataFrame(
+        cb = _local_frame(spark, 
             rows, "sub long, code long, dim_i long, cvalue double"
         )
     return cb
@@ -2139,7 +2132,7 @@ def knn_pq_batch(
     qrows = _collect_queries(
         queries, q_id_col, q_vec_col, max_queries, "knn_pq_batch"
     )
-    qv = spark.createDataFrame(
+    qv = _local_frame(spark, 
         [(qid, [float(x) for x in v]) for qid, v in qrows],
         f"{q_id_col} long, {q_vec_col} array<double>",
     )
@@ -2147,7 +2140,7 @@ def knn_pq_batch(
         qv, centroids_df, q_id_col=q_id_col, q_vec_col=q_vec_col,
         n_probes=n_probes,
     )
-    pairs = spark.createDataFrame(probe_rows)  # (__qid, cell), typed
+    pairs = _local_frame(spark, probe_rows)  # (__qid, cell), typed
     all_cells = sorted({r["cell"] for r in probe_rows})
 
     qlong = qv.select(

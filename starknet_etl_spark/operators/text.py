@@ -11,6 +11,7 @@ deterministic and SQL-replicable for oracle differential testing.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..io import local_frame as _local_frame
 from pyspark.sql.window import Window
 
 #: BPE-ish tokenization: letter runs, digit runs, single punctuation.
@@ -719,7 +720,7 @@ def hash_embed_text(
     in the optimizer."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         [(id_value, text)], f"{id_col} long, __text string"
     )
     toks = F.filter(

@@ -59,6 +59,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, functions as F
+from ..io import local_frame as _local_frame
 
 from ..checkpointing import RoundCheckpointer
 from ..checkpointing import truncate as _truncate
@@ -262,7 +263,7 @@ def train_unigram(
     # ---- hard-EM rounds
     for _ in range(n_rounds):
         vocab = F.broadcast(
-            spark.createDataFrame(model, "piece string, w double")
+            _local_frame(spark, model, "piece string, w double")
         )
         edges = subs.join(vocab, "piece").select(
             "word", "cnt", "a", "b", "piece", F.col("w").alias("d")
@@ -297,7 +298,7 @@ def train_unigram(
 def pieces_df(spark, model: list[tuple[str, float]]) -> DataFrame:
     """(piece, logp, piece_len) — the model artifact as a DataFrame
     (persist with io.save_table like merges_df)."""
-    return spark.createDataFrame(
+    return _local_frame(spark, 
         [(p, w, len(p)) for p, w in model],
         "piece string, logp double, piece_len int",
     )
@@ -362,7 +363,7 @@ def _segment_vocab_words(
     fallback = words.join(ok.select("word"), "word", "left_anti")
 
     vocab = F.broadcast(
-        spark.createDataFrame(model, "piece string, w double")
+        _local_frame(spark, model, "piece string, w double")
     )
     edges = _substrings(ok, max_piece_len).join(vocab, "piece").select(
         "word", "cnt", "a", "b", "piece", F.col("w").alias("d")

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Any
 
+from ..io import local_frame as _local_frame
+
 
 def bm25_query_rows(
     spark, index_path: str, terms: list[str], *, top_k: int = 10
@@ -61,7 +63,7 @@ def ann_probe_rows(
         if centroids_path is not None
         else None  # knn_ivf_indexed auto-loads <index>/_centroids
     )
-    query = spark.createDataFrame(
+    query = _local_frame(spark, 
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
     )
@@ -96,7 +98,7 @@ def pq_probe_rows(
     index no longer fits the latency or storage budget)."""
     from ..operators.similarity import knn_pq_indexed
 
-    query = spark.createDataFrame(
+    query = _local_frame(spark, 
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
     )
@@ -154,7 +156,7 @@ def hybrid_rows(
     from ..operators.search import hybrid_search
     from ..operators.similarity import srp_bucket
 
-    query = spark.createDataFrame(
+    query = _local_frame(spark, 
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
     )
@@ -219,7 +221,7 @@ def hybrid_ltr_rows(
     from ..operators.search import hybrid_search_ltr
     from ..operators.similarity import srp_bucket
 
-    query = spark.createDataFrame(
+    query = _local_frame(spark, 
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
     )
@@ -296,7 +298,7 @@ def rerank_rows(
     from ..operators.search import hybrid_search_rerank
     from ..operators.similarity import srp_bucket
 
-    query = spark.createDataFrame(
+    query = _local_frame(spark, 
         [(0, [float(x) for x in vector])],
         "vec_id long, embedding array<double>",
     )
@@ -370,7 +372,7 @@ def tokenize_rows(
         return []
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         [(i, t) for i, t in enumerate(texts)], "text_idx int, text string"
     )
     if merges_path is not None:
@@ -431,7 +433,7 @@ def quality_score_rows(
             f"model width {len(w)} != bias+4 scalars+dim ({5 + dim}); "
             "pass the dim the model was trained with"
         )
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         list(enumerate(texts)), "doc_id bigint, text string"
     )
     fv = standard_quality_features(df, dim=dim)
@@ -530,7 +532,7 @@ def embed_rows(
     no-representation contract, surfaced rather than zero-filled)."""
     from ..operators.embeddings import embed_docs, load_word_vectors
 
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         list(enumerate(texts)), "doc_id long, text string"
     )
     vecs = load_word_vectors(spark, vectors_path)
@@ -606,7 +608,7 @@ def cms_count_rows(
     if not values:
         return []
     sk = read_cms(spark, sketch_path)
-    cand = spark.createDataFrame([(v,) for v in values], "value string")
+    cand = _local_frame(spark, [(v,) for v in values], "value string")
     got = {
         r["value"]: int(r["est_n"])
         for r in cms_estimate(
@@ -716,7 +718,7 @@ def reward_score_rows(
             f"model width {len(w)} != 2 scalars+dim ({2 + dim}); "
             "pass the dim the model was trained with"
         )
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         list(enumerate(texts)), "doc_id bigint, text string"
     )
     feats = response_features(df, "doc_id", "text", dim=dim)
@@ -757,7 +759,7 @@ def langid_rows(
             f"model widths {sorted(widths)} != bias+dim ({dim + 1}); "
             "pass the dim the model was trained with"
         )
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         list(enumerate(texts)), "doc_id bigint, text string"
     )
     emb = hash_embed(df, "doc_id", "text", dim=dim)
@@ -786,7 +788,7 @@ def kn_score_rows(
     if not texts:
         return []
     model = load_kn_lm(spark, model_path)
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         [(i, t) for i, t in enumerate(texts)], ["text_idx", "text"]
     )
     scored = {
@@ -955,7 +957,7 @@ def dsir_score_rows(
     if not texts:
         raise RuntimeError("no texts given")
     lam = spark.read.parquet(lambdas_path)
-    df = spark.createDataFrame(
+    df = _local_frame(spark, 
         list(enumerate(texts)), "doc_id long, text string"
     )
     got = {

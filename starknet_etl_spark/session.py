@@ -52,6 +52,15 @@ _RUNTIME_CONF = {
     # build (the driver's default 200 wastes task overhead at test SF;
     # AQE coalesces further). Deployments override per cluster size.
     "spark.sql.shuffle.partitions": "32",
+    # Arrow-backed pandas interchange. Runtime-settable, and load-
+    # bearing beyond toPandas speed (r13): io.local_frame builds
+    # driver-literal frames through the arrow/pandas createDataFrame
+    # path because it yields a JVM LocalRelation — the plain-list
+    # path parallelizes pickled rows and re-runs a Python worker on
+    # EVERY downstream action (~350 ms per trivial action measured
+    # vs ~7 ms for the LocalRelation). The driver's own session gets
+    # this via tune().
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Constraint propagation infers isnotnull(<join key expr>) filters
     # and pushes them below joins. When the join key is an expensive
     # derived expression (JSON parse + hex decode on the fact side —
@@ -67,7 +76,6 @@ _STATIC_CONF = {
     # Dimension tables (token/nation/part-like) are broadcast;
     # 64 MiB covers every dim in this workload with headroom.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
 

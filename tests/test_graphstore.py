@@ -91,6 +91,36 @@ def test_maintain_refresh_policy(spark, tmp_path):
     assert got == want
 
 
+def test_ranked_while_empty_is_not_never_ranked(spark, tmp_path):
+    """ranked_at_edges == 0 (ranks recorded against an empty edge
+    count) is a legitimate ranked state, not 'never ranked' — a
+    truthiness check made graph_stats report infinite drift for it
+    (r12 ADVICE). The state is pinned via the spec (an all-empty
+    TABLE cannot be round-tripped through parquet, a separate
+    pre-existing limitation), and the edges-present case must still
+    read as drift → exactly one refresh."""
+    from starknet_etl_spark.operators import graphstore as G
+
+    path = str(tmp_path / "g")
+    build_graph(_edges(spark, _A), path)
+    refresh_ranks(spark, path, rounds=1)
+    spec = G.read_graph_spec(spark, path)
+    assert spec["ranked_at_edges"] == len(_A)
+    # pin the ranked-while-empty state: ranked_at_edges == 0
+    spec["ranked_at_edges"] = 0
+    G._write_spec(spark, path, spec)
+    stats = G.graph_stats(spark, path)
+    assert stats["ranked_at_edges"] == 0
+    # edges exist but the ranked count is 0: infinite drift, not
+    # "never ranked"-forever — one refresh, then steady state
+    assert stats["growth_frac"] is None
+    out = maintain_graph(spark, path, rank_rounds=1)
+    assert out["action"] == "refresh_ranks"
+    out2 = maintain_graph(spark, path, rank_rounds=1)
+    assert out2["action"] == "none"
+    assert out2["stats"]["growth_frac"] == 0.0
+
+
 def test_ranks_survive_compaction(spark, tmp_path):
     """_graph_spec and _ranks are metadata dirs — a generic
     compaction must carry them (the r4/r5 ledger-loss class)."""

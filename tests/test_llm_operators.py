@@ -1660,6 +1660,38 @@ def test_hash_embed_properties(spark):
         X.hash_embed(docs, "doc_id", "text", dim=0)
 
 
+def test_hash_embed_text_equivalence(spark):
+    """hash_embed_text (the in-row one-query embedder the probe
+    paths use — r13) is BIT-EQUAL to hash_embed over a 1-row frame
+    for every dim, including unicode, duplicate tokens, messy
+    whitespace, and a single token."""
+    texts = [
+        "the quick brown fox",
+        "a a a b",
+        "Héllo wörld ☃ tokens",
+        "  spaced   out\ttabs  ",
+        "x",
+    ]
+    for dim in (4, 16):
+        for t in texts:
+            old = X.hash_embed(
+                spark.createDataFrame(
+                    [(0, t)], "qid long, text string"
+                ),
+                "qid",
+                "text",
+                dim=dim,
+            ).first()["embedding"]
+            new = X.hash_embed_text(spark, t, dim=dim).first()[
+                "embedding"
+            ]
+            assert old == new, (t, dim)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        X.hash_embed_text(spark, "x", dim=0)
+
+
 def test_bm25_batch_equals_per_query_indexed(spark, tmp_path):
     """bm25_batch: many queries in one bucket-pruned index read,
     per-query results BIT-EQUAL to running bm25_indexed per query

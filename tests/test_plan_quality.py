@@ -745,6 +745,39 @@ def test_rerank_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_rerank_features_pool_restricts_corpus(spark):
+    """rerank_features must SEMI-FILTER the corpus by the broadcast
+    candidate ids before computing text features (r13, closes the
+    r12 verdict's 'weak'): the corpus side must never shuffle — no
+    sort-merge exchange — to serve a pool of ~n_candidates rows,
+    at ANY corpus size."""
+    from pyspark.sql import functions as F
+
+    from starknet_etl_spark.operators.search import rerank_features
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"),
+    )
+    cand = spark.createDataFrame(
+        [(3, 1.0, 0.5, 1, 2), (7, 0.8, 0.9, 2, 1)],
+        "doc_id long, bm25 double, cos_sim double, "
+        "lex_rank long, sem_rank long",
+    )
+    feats = rerank_features(cand, docs, ["alpha", "beta"])
+    plan = feats._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    # the corpus is reduced by a broadcast LEFT SEMI join on the
+    # candidate ids, and nothing in the chain is sort-merge shaped
+    assert "LeftSemi" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Exchange hashpartitioning" not in tree
+
+
 def test_canary_plant_broadcasts_payload_pick(spark):
     """The payload-pick join (corpus x benchmark-gram table) must
     broadcast the benchmark side — the gram table is eval-set-sized
