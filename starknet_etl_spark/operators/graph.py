@@ -48,6 +48,7 @@ def pagerank(
     damping_num: int = 7,
     damping_den: int = 8,
     reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(node, rank) after ``rounds`` dyadic power-iteration steps over
     the edge-induced node set.
@@ -87,6 +88,8 @@ def pagerank(
     fails loudly under ANSI)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     if damping_den & (damping_den - 1) or not (
         0 < damping_num < damping_den
     ):
@@ -128,23 +131,28 @@ def pagerank(
             .agg(F.sum("__w").alias("__w"))
         )
         deg = e.groupBy("__s").agg(F.sum("__w").alias("__wdeg"))
-    nodes = (
-        e.select(F.col("__s").alias("node"))
-        .unionByName(e.select(F.col("__d").alias("node")))
-        .distinct()
-    )
     # degree rides the edge frame once; every round reuses it
     ed = truncate(
         e.join(deg, "__s"),
         reliable_checkpoint_dir,
+    )
+    # node set derived from the CHECKPOINTED edge frame (ed is an
+    # inner join on a degree table covering every __s, so its row set
+    # IS e's) — the base-frame job then never re-derives the caller's
+    # edge plan.
+    nodes = (
+        ed.select(F.col("__s").alias("node"))
+        .unionByName(ed.select(F.col("__d").alias("node")))
+        .distinct()
     )
     # N (or |seeds|) as a 1-row broadcast scalar: the base term
     # stays in-plan
     leak = F.lit(float(damping_den - damping_num))
     den = F.lit(float(damping_den))
     num = F.lit(float(damping_num))
-    # per-round frames rotate (keep=2); the pinned edge frame above
-    # used the plain truncate — the trainers' lifetime contract
+    # per-round frames rotate (keep=2) only at the checkpoint cadence;
+    # the pinned edge/base frames use the plain truncate — the
+    # trainers' lifetime contract
     rot = RoundCheckpointer(reliable_checkpoint_dir)
     if seeds is None:
         n_df = F.broadcast(
@@ -168,13 +176,26 @@ def pagerank(
             .otherwise(F.lit(0.0))
             .alias("__base"),
         )
-    ranks = rot.truncate(init)
+    # the base frame is STATIC across rounds (node, __base never
+    # change — every round preserves the node set): pin it once and
+    # join each round's contributions against it, so the rank frame
+    # has exactly ONE consumer per round. That keeps the lazily
+    # chained plan LINEAR in `rounds` (a rank frame consumed twice
+    # per round doubles the plan tree per round — the r14 lesson:
+    # exponential TREES kill the driver in generateTreeString long
+    # before execution matters), which is what lets rounds chain
+    # WITHOUT a per-round materialization: one eager checkpoint every
+    # `checkpoint_every` rounds bounds plan depth and recompute-on-
+    # loss; everything between cadence points is one fused execution.
+    base = truncate(init, reliable_checkpoint_dir)
+    ranks = base
     c_expr = (
         (F.col("rank") / F.col("__deg"))
         if weight is None
         else (F.col("rank") * F.col("__w") / F.col("__wdeg"))
     )
-    for _ in range(rounds):
+    since_ckpt = 0
+    for r in range(rounds):
         contrib = (
             ranks.join(ed, ranks["node"] == ed["__s"])
             .select(
@@ -184,8 +205,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = rot.truncate(
-            ranks.select("node", "__base")
+        ranks = (
+            base.select("node", "__base")
             .join(contrib, "node", "left")
             .select(
                 "node",
@@ -196,9 +217,15 @@ def pagerank(
                 "__base",
             )
         )
-    # the final rotated round dirs outlive the loop (the
-    # RoundCheckpointer contract): the caller materializes the result
-    # and then cleans up — same as connected_components.
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every and r < rounds - 1:
+            ranks = rot.truncate(ranks)
+            since_ckpt = 0
+    # the final rounds stay LAZY — the caller's one action computes
+    # them off the pinned base/edge checkpoints (no extra job); any
+    # rotated cadence dirs outlive the loop (the RoundCheckpointer
+    # contract): the caller materializes the result and then cleans
+    # up — same as connected_components.
     return ranks.select("node", "rank")
 
 
@@ -223,6 +250,7 @@ def kcore(
     iterations: int | None = None,
     max_iterations: int = 64,
     reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(node, degree): the ``k``-core of the undirected edge-induced
     graph — the maximal subgraph where every node keeps degree ≥ k —
@@ -252,24 +280,40 @@ def kcore(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     from ..checkpointing import RoundCheckpointer
 
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     rot = RoundCheckpointer(reliable_checkpoint_dir)
     e = rot.truncate(_sym_edges(edges, src, dst))
     n_edges = e.count() if iterations is None else None
     rounds = 0
+    since_ckpt = 0
     while True:
         deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select("__s")
-        e2 = rot.truncate(
-            e.join(keep, "__s", "left_semi").join(
-                keep.select(F.col("__s").alias("__d")), "__d", "left_semi"
-            )
+        e2 = e.join(keep, "__s", "left_semi").join(
+            keep.select(F.col("__s").alias("__d")), "__d", "left_semi"
         )
         rounds += 1
         if iterations is not None:
+            # bounded-unroll mode: peels CHAIN LAZILY and materialize
+            # in the caller's one action — the peel frame is consumed
+            # twice per round (degree + semi-join), but both arms'
+            # exchanges are canonically identical, so exchange reuse
+            # dedups execution; an eager checkpoint every
+            # `checkpoint_every` peels bounds the doubled plan tree
+            # (2^cadence subtree copies, never 2^iterations).
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_every and rounds < iterations:
+                e2 = rot.truncate(e2)
+                since_ckpt = 0
             e = e2
             if rounds >= iterations:
                 break
         else:
+            # fixpoint mode: the per-peel edge COUNT is the
+            # convergence probe, so each peel materializes anyway —
+            # checkpoint it (the count then reads the fresh blocks).
+            e2 = rot.truncate(e2)
             n2 = e2.count()
             e = e2
             if n2 == n_edges:
@@ -291,6 +335,7 @@ def label_propagation(
     src: str = "id_1",
     dst: str = "id_2",
     reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(node, label): synchronous label-propagation communities over
     the undirected edge-induced graph — labels start as node ids;
@@ -313,22 +358,28 @@ def label_propagation(
     aggregate — linear shuffles on the node key."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     from ..checkpointing import RoundCheckpointer, truncate
 
     rot = RoundCheckpointer(reliable_checkpoint_dir)
     e = truncate(_sym_edges(edges, src, dst), reliable_checkpoint_dir)
-    labels = rot.truncate(
-        e.select(F.col("__s").alias("node")).distinct().select(
-            "node", F.col("node").alias("label")
-        )
+    # the label frame has exactly ONE consumer per round (the vote
+    # join), so rounds CHAIN LAZILY — plan depth is linear in
+    # `rounds`, one fused execution per cadence window instead of a
+    # materialization per round; an eager checkpoint every
+    # `checkpoint_every` rounds bounds plan depth and recompute.
+    labels = e.select(F.col("__s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
     )
-    for _ in range(rounds):
+    since_ckpt = 0
+    for r in range(rounds):
         votes = (
             e.join(labels, e["__s"] == labels["node"])
             .groupBy(F.col("__d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = rot.truncate(
+        labels = (
             votes.groupBy("node")
             .agg(
                 F.min(
@@ -340,6 +391,10 @@ def label_propagation(
             )
             .select("node", F.col("__w.__l").alias("label"))
         )
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every and r < rounds - 1:
+            labels = rot.truncate(labels)
+            since_ckpt = 0
     return labels
 
 
@@ -379,15 +434,19 @@ def triangles(
     by its three join arms (the r8 multi-consumer lesson)."""
     from ..checkpointing import truncate
 
-    e = _sym_edges(edges, src, dst)
-    deg = truncate(
-        e.groupBy(F.col("__s").alias("node")).agg(
-            F.count(F.lit(1)).cast("long").alias("degree")
-        ),
-        reliable_checkpoint_dir,
+    # ONE eager truncate of the symmetrized edge frame cuts the
+    # caller's lineage; the degree aggregate and the oriented frame
+    # stay LAZY — their subtrees appear under several consumers, but
+    # every duplicated subtree is canonically identical, so exchange
+    # reuse executes each shuffle once (the r14 lesson: a lazily
+    # shared identical subtree is free; only a frame consumed through
+    # DIFFERENT projections needs a materialization).
+    e = truncate(_sym_edges(edges, src, dst), reliable_checkpoint_dir)
+    deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
     )
     # orient low → high in the (degree, node) total order
-    dir_e = truncate(
+    dir_e = (
         e.join(
             deg.select(
                 F.col("node").alias("__s"), F.col("degree").alias("__ds")
@@ -404,8 +463,7 @@ def triangles(
             (F.col("__ds") < F.col("__dd"))
             | ((F.col("__ds") == F.col("__dd")) & (F.col("__s") < F.col("__d")))
         )
-        .select("__s", "__d"),
-        reliable_checkpoint_dir,
+        .select("__s", "__d")
     )
     wedge = dir_e.alias("e1").join(
         dir_e.alias("e2"), F.col("e1.__d") == F.col("e2.__s")
