@@ -229,25 +229,140 @@ def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+#: size gate for the in-row merge applier: each merge is one chained
+#: array expression in a single projection, so a real 32k-merge list
+#: would build an unanalyzable expression tree — lists longer than
+#: this keep the distributed window path (the exploded plan).
+_INROW_MERGES_MAX = 64
+
+
+def _hex_utf8(s: str) -> str:
+    return s.encode("utf-8").hex().upper()
+
+
+def _inrow_segment(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    byte_level: bool,
+) -> DataFrame:
+    """(word, pos, sym): the merge list applied IN-ROW — each word's
+    symbol sequence is ONE comma-separated hex string and every merge
+    round is ONE ``regexp_replace``, so the whole applier is a single
+    narrow projection (no windows, no shuffles, no per-round jobs)
+    running entirely in JVM regex code (never an interpreted
+    higher-order scan — a per-element ``aggregate`` version of this
+    measured minutes at sf0.1).
+
+    Java's ``replaceAll`` scans left-to-right and never rematches
+    inside a replacement, which IS classic BPE's greedy rule: within
+    a run of consecutive matches exactly the odd-offset ones merge —
+    the run-parity rule the window path computes — so the two paths
+    are value-identical (pinned by the differential rows and the
+    vs-classic property tests).
+
+    Representation: every symbol is hex-encoded and PREFIXED by a
+    comma (",68,65,6C" …). Hex never contains regex metacharacters
+    and the comma never appears inside a symbol, so the pattern
+    ``,L,R(?=,|$)`` matches exactly a whole-symbol adjacent pair (the
+    lookahead stops a prefix of a longer right symbol from matching)
+    and the replacement ``,LR`` is the merged symbol. Char-level
+    symbols hex their UTF-8 encoding (exact for BMP text — the
+    engine's char-unit semantics, same as ``_symbols``); byte-level
+    symbols are the 2-hex-digit byte tokens natively."""
+    if byte_level:
+        seq = F.regexp_replace(
+            F.hex(F.encode(F.col("word"), "UTF-8")), "(..)", ",$1"
+        )
+    else:
+        # one interpreted pass builds the initial encoding; substring
+        # needs a column position (the r11 expr() lesson)
+        seq = F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            " i -> ',' || hex(encode(substring(word, i, 1), 'UTF-8'))), '')"
+        )
+    out = words.select("word", seq.alias("__seq"))
+    for left, right in merges:
+        hl, hr = (
+            (left, right)
+            if byte_level
+            else (_hex_utf8(left), _hex_utf8(right))
+        )
+        out = out.select(
+            "word",
+            F.regexp_replace(
+                F.col("__seq"),
+                f",{hl},{hr}(?=,|$)",
+                f",{hl}{hr}",
+            ).alias("__seq"),
+        )
+    # empty payload → empty symbol list (the _byte_symbols contract:
+    # regexp_extract_all('') is [], so an empty word emits no rows)
+    syms_arr = F.when(
+        F.col("__seq") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.expr("substring(__seq, 2)"), ","))
+    out = out.select(
+        "word",
+        F.posexplode(syms_arr).alias("pos0", "__h"),
+    )
+    sym = (
+        F.col("__h")
+        if byte_level
+        else F.decode(F.unhex(F.col("__h")), "UTF-8")
+    )
+    # pos typed like the window path's row_number (INT)
+    return out.select(
+        "word",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        sym.alias("sym"),
+    )
+
+
 def segment_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
     *,
     byte_level: bool = False,
     reliable_checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(word, pos, sym): apply an ordered merge list to a (word, cnt)
     vocabulary — the shared applier for training replays and corpus
     tokenization. Merge work is vocab-sized; ``cnt`` is carried only
     because the round transform expects it. See ``train_bpe`` for the
-    ``reliable_checkpoint_dir`` cluster contract."""
+    ``reliable_checkpoint_dir`` cluster contract.
+
+    Unlike the trainer (whose per-round argmax collect forces a
+    materialization anyway), the APPLY path has no mid-loop action and
+    each round consumes its predecessor exactly once, so merge rounds
+    CHAIN LAZILY: every window in ``_merge_round`` partitions by
+    ``word`` (or a superset), which one hash partitioning satisfies —
+    a cadence window of ``checkpoint_every`` rounds therefore executes
+    as ONE exchange plus chained sorts instead of a job per merge. The
+    eager checkpoint every ``checkpoint_every`` rounds bounds plan
+    depth for real (32k-merge) lists.
+
+    Merge lists up to ``_INROW_MERGES_MAX`` apply IN-ROW instead
+    (``_inrow_segment``): one narrow projection, no windows or
+    shuffles at all — value-identical by the greedy-scan == run-parity
+    argument, pinned by the differential rows and the vs-classic
+    property test. Longer lists keep the distributed window path."""
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if 0 < len(merges) <= _INROW_MERGES_MAX:
+        return _inrow_segment(words, merges, byte_level=byte_level)
     if "cnt" not in words.columns:
         words = words.withColumn("cnt", F.lit(1).cast("long"))
     rot = RoundCheckpointer(reliable_checkpoint_dir)
     init = _byte_symbols if byte_level else _symbols
     sym = rot.truncate(init(words))
-    for left, right in merges:
-        sym = rot.truncate(_merge_round(sym, left, right))
+    since_ckpt = 0
+    for i, (left, right) in enumerate(merges):
+        sym = _merge_round(sym, left, right)
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every and i < len(merges) - 1:
+            sym = rot.truncate(sym)
+            since_ckpt = 0
     return sym.select("word", "pos", "sym")
 
 

@@ -133,14 +133,24 @@ def _renormalize(
     )
 
 
-def _closure(edges: DataFrame, rounds: int, reliable_dir) -> DataFrame:
+def _closure(
+    edges: DataFrame, rounds: int, reliable_dir, *, checkpoint_every: int = 2
+) -> DataFrame:
     """Max-plus transitive closure of (word, a, b, d) by repeated
     squaring: after k rounds, d(a,b) is the best path of <= 2^k
-    edges. ``rounds`` = ceil(log2(max path length))."""
+    edges. ``rounds`` = ceil(log2(max path length)).
+
+    Rounds between cadence points CHAIN LAZILY: the distance frame
+    appears three times per round (both self-join arms + the union),
+    but the three subtrees are canonically identical so exchange
+    reuse executes each shuffle once; the eager checkpoint every
+    ``checkpoint_every`` rounds bounds the 3^cadence plan-tree
+    duplication (keep the cadence SMALL for 3-way consumers)."""
     d = edges.groupBy("word", "a", "b").agg(F.max("d").alias("d"))
     rot = RoundCheckpointer(reliable_dir)
     d = rot.truncate(d)
-    for _ in range(rounds):
+    since_ckpt = 0
+    for r in range(rounds):
         via = (
             d.alias("x")
             .join(
@@ -164,7 +174,10 @@ def _closure(edges: DataFrame, rounds: int, reliable_dir) -> DataFrame:
             .groupBy("word", "a", "b")
             .agg(F.max("d").alias("d"))
         )
-        d = rot.truncate(d)
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every and r < rounds - 1:
+            d = rot.truncate(d)
+            since_ckpt = 0
     return d
 
 
@@ -331,6 +344,151 @@ def load_pieces(spark, path: str) -> list[tuple[str, float]]:
     return [(r["piece"], float(r["logp"])) for r in rows]
 
 
+#: size gate for the in-row Viterbi segmenter: the model becomes one
+#: map literal inside the projection; larger models keep the
+#: distributed closure plan (the r13 literal-inlining discipline).
+_INROW_PIECES_MAX = 512
+
+
+def _inrow_segment_ok_words(
+    ok: DataFrame,
+    model: list[tuple[str, float]],
+    *,
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """(word, piece_pos, piece) for the segmentable words, computed
+    IN-ROW: the max-plus closure collapses to a forward/backward DP
+    over each word's ≤ ``max_word_len`` positions, and the
+    greedy-longest path extraction to a bounded walk — one narrow
+    projection instead of the closure's log-depth self-join rounds
+    and the pointer-doubling chain.
+
+    Value-identical to the distributed path: every weight sits on the
+    2^-20 dyadic grid, so path sums are EXACT IEEE arithmetic in any
+    association — fwd[a] equals the closure's d(0,a) bit-for-bit, the
+    on-optimal-edge equality (fwd[a] + w + bwd[b] == best) is the
+    same exact comparison, and from each position the walk takes the
+    largest on-optimal end exactly like the next()-orbit (pinned by
+    the differential rows and the tokenize unit tests)."""
+    pieces = F.array(*[F.lit(p) for p, _ in model])
+    weights = F.array(*[F.lit(float(w)) for _, w in model])
+    m = F.map_from_arrays(pieces, weights)
+    n = F.length("word").cast("int")
+    plen = F.lit(max_piece_len)
+    w = F.col("word")
+
+    def edge_w(a, ln):
+        # weight of the piece covering [a, a+ln), NULL when absent
+        return F.element_at(m, w.substr(a + F.lit(1), ln))
+
+    # fwd[j] = best score of a segmentation of word[0:j]; stored at
+    # element j+1. Built left to right: one aggregate over positions.
+    fwd = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0.0)),
+        lambda acc, b: F.concat(
+            acc,
+            F.array(
+                F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(1), F.least(plen, b)),
+                        lambda ln: F.element_at(acc, b - ln + 1)
+                        + edge_w(b - ln, ln),
+                    )
+                )
+            ),
+        ),
+    )
+    # bwdr[k] = best score of a segmentation of word[n-k+1:n]; element
+    # k+1 holds position n-k (built right to left).
+    bwdr = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.lit(0.0)),
+        lambda acc, k: F.concat(
+            acc,
+            F.array(
+                F.array_max(
+                    F.transform(
+                        F.sequence(F.lit(1), F.least(plen, k)),
+                        lambda ln: edge_w(n - k, ln)
+                        + F.element_at(acc, k - ln + 1),
+                    )
+                )
+            ),
+        ),
+    )
+    best = F.element_at(fwd, n + 1)
+
+    def on_optimal(fw, br, bst, a, ln):
+        # edge (a, a+ln) lies on some optimal segmentation — exact
+        # dyadic equality, the closure's criterion verbatim
+        s = (
+            F.element_at(fw, a + 1)
+            + edge_w(a, ln)
+            + F.element_at(br, n - (a + ln) + 1)
+        )
+        return s == bst
+
+    # greedy-longest walk from position 0: at cur take the LARGEST
+    # on-optimal end (the next()-orbit); each step advances >= 1, so
+    # n steps always reach position n.
+    walk = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.lit(0).cast("int").alias("cur"),
+            F.array().cast("array<string>").alias("out"),
+        ),
+        lambda acc, _i: F.when(
+            acc["cur"] >= n, acc
+        ).otherwise(
+            F.struct(
+                F.array_max(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.least(plen, n - acc["cur"])
+                        ),
+                        lambda ln: F.when(
+                            on_optimal(fwd, bwdr, best, acc["cur"], ln),
+                            (acc["cur"] + ln).cast("int"),
+                        ),
+                    )
+                ).alias("cur"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        w.substr(
+                            acc["cur"] + F.lit(1),
+                            F.array_max(
+                                F.transform(
+                                    F.sequence(
+                                        F.lit(1),
+                                        F.least(plen, n - acc["cur"]),
+                                    ),
+                                    lambda ln: F.when(
+                                        on_optimal(
+                                            fwd, bwdr, best, acc["cur"], ln
+                                        ),
+                                        ln,
+                                    ),
+                                )
+                            ),
+                        )
+                    ),
+                ).alias("out"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+    return ok.select(
+        "word", F.posexplode(walk).alias("__p0", "piece")
+    ).select(
+        "word",
+        (F.col("__p0") + 1).cast("int").alias("piece_pos"),
+        "piece",
+    )
+
+
 def _segment_vocab_words(
     words: DataFrame,
     model: list[tuple[str, float]],
@@ -362,6 +520,23 @@ def _segment_vocab_words(
     ).select("word").withColumn("cnt", F.lit(1).cast("long"))
     fallback = words.join(ok.select("word"), "word", "left_anti")
 
+    fb = fallback.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("piece_pos"),
+    ).select(
+        "word",
+        F.col("piece_pos").cast("int").alias("piece_pos"),
+        F.expr("substring(word, piece_pos, 1)").alias("piece"),
+    )
+    if len(model) <= _INROW_PIECES_MAX:
+        segmented = _inrow_segment_ok_words(
+            ok.select("word"),
+            model,
+            max_piece_len=max_piece_len,
+            max_word_len=max_word_len,
+        )
+        return segmented.unionByName(fb)
+
     vocab = F.broadcast(
         _local_frame(spark, model, "piece string, w double")
     )
@@ -376,10 +551,14 @@ def _segment_vocab_words(
         "word", "a", F.col("__e.b").alias("b"), F.col("__e.piece").alias("piece")
     )
     nxt = _truncate(nxt, reliable_dir)
-    # pointer-doubling reachability from position 0 along next()
+    # pointer-doubling reachability from position 0 along next() —
+    # rounds chain lazily with a small cadence (the _closure
+    # discipline: three canonically identical references per round,
+    # exchange reuse dedups execution, the cadence bounds the tree)
     rot = RoundCheckpointer(reliable_dir)
     r = nxt.select("word", "a", "b")
-    for _ in range(t):
+    since_ckpt = 0
+    for k in range(t):
         r2 = (
             r.alias("x")
             .join(
@@ -392,7 +571,11 @@ def _segment_vocab_words(
             )
             .select("word", "a", F.col("c").alias("b"))
         )
-        r = rot.truncate(r.unionByName(r2).distinct())
+        r = r.unionByName(r2).distinct()
+        since_ckpt += 1
+        if since_ckpt >= 2 and k < t - 1:
+            r = rot.truncate(r)
+            since_ckpt = 0
     reach = (
         r.filter(F.col("a") == 0)
         .select("word", F.col("b").alias("a"))
@@ -407,14 +590,6 @@ def _segment_vocab_words(
         "word",
         F.row_number().over(w_seq).cast("int").alias("piece_pos"),
         "piece",
-    )
-    fb = fallback.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("piece_pos"),
-    ).select(
-        "word",
-        F.col("piece_pos").cast("int").alias("piece_pos"),
-        F.expr("substring(word, piece_pos, 1)").alias("piece"),
     )
     return segmented.unionByName(fb)
 

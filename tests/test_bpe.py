@@ -208,3 +208,58 @@ def test_byte_level_trained_units_generalize(spark):
     seqs = {w: [s for _, s in sorted(v)] for w, v in seqs.items()}
     assert seqs["ababab"] == ["61626162", "6162"]
     assert seqs["zq"] == ["7A", "71"]  # structural byte fallback
+
+
+def test_inrow_segment_matches_window_path(spark):
+    """The in-row regex applier (gate-sized merge lists) is
+    value-identical to the distributed window path on run-parity
+    stress shapes: overlapping self-pairs (aaaa), alternating pairs,
+    merged-symbol follow-ups, and multi-char boundaries — plus the
+    classic sequential reference."""
+    words = [
+        "aaaa", "aaaaa", "abab", "aabb", "banana", "naan",
+        "low", "lowest", "née",
+    ]
+    merges = [("a", "a"), ("a", "b"), ("aa", "aa"), ("b", "an"),
+              ("l", "o"), ("lo", "w")]
+
+    def classic(word, ms):
+        syms = list(word)
+        for le, ri in ms:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    syms[i] == le
+                    and i + 1 < len(syms)
+                    and syms[i + 1] == ri
+                ):
+                    out.append(le + ri)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    w = spark.createDataFrame([(x,) for x in words], ["word"])
+    got = sorted(
+        (r["word"], r["pos"], r["sym"])
+        for r in B._inrow_segment(w, merges, byte_level=False).collect()
+    )
+    want = sorted(
+        (word, i + 1, s)
+        for word in words
+        for i, s in enumerate(classic(word, merges))
+    )
+    assert got == want
+    # window-path parity on the same corpus
+    import pyspark.sql.functions as F
+
+    sym = B._symbols(w.withColumn("cnt", F.lit(1).cast("long")))
+    for le, ri in merges:
+        sym = B._merge_round(sym, le, ri)
+    old = sorted(
+        (r["word"], r["pos"], r["sym"])
+        for r in sym.select("word", "pos", "sym").collect()
+    )
+    assert old == got

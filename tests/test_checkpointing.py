@@ -48,9 +48,29 @@ def test_bpe_reliable_checkpoint_identical(spark, tmp_path):
         ).collect()
     )
     assert a == b
-    # segment_words RETURNS a frame built on the final rounds — it
-    # cannot clean up; the residue is the caller's (SCALING.md)
-    assert _tree_nonempty(ck_seg)
+    # a gate-sized merge list applies IN-ROW (one narrow projection:
+    # no lineage, so nothing to checkpoint — the reliable dir stays
+    # untouched); the distributed window path, forced here via the
+    # size gate, still leaves its final-round residue for the caller
+    # (SCALING.md)
+    assert not _tree_nonempty(ck_seg)
+    import starknet_etl_spark.operators.bpe as _bpe_mod
+
+    old_gate = _bpe_mod._INROW_MERGES_MAX
+    _bpe_mod._INROW_MERGES_MAX = 0
+    try:
+        ck_seg2 = str(tmp_path / "ck_seg2")
+        c = sorted(
+            tuple(r)
+            for r in segment_words(
+                words, local, reliable_checkpoint_dir=ck_seg2,
+                checkpoint_every=1,
+            ).collect()
+        )
+        assert c == a
+        assert _tree_nonempty(ck_seg2)
+    finally:
+        _bpe_mod._INROW_MERGES_MAX = old_gate
 
 
 def test_quality_model_reliable_checkpoint_identical(spark, tmp_path):

@@ -292,3 +292,42 @@ def test_streaming_unigram_tokenize_replay_safe(spark, tmp_path):
     shutil.rmtree(os.path.join(ckpt, "commits"))
     _go()  # replayed tick: append_once no-ops
     assert spark.read.parquet(out).count() == 2
+
+
+def test_inrow_viterbi_matches_closure_path(spark):
+    """The in-row forward/backward DP segmenter (gate-sized models)
+    is value-identical to the distributed closure + pointer-doubling
+    path: same optimal scores on the exact dyadic grid, same
+    greedy-longest tie resolution, same per-char fallback."""
+    import starknet_etl_spark.operators.unigram as U_mod
+
+    docs = spark.createDataFrame(
+        [(i, "abc ab bc abcabc a b c " * 3) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    model = train_unigram(
+        docs, "text", vocab_size=6, seed_size=12,
+        max_piece_len=3, max_word_len=8, n_rounds=1,
+    )
+    words = spark.createDataFrame(
+        [("abcabc",), ("ab",), ("abcab",), ("zzz",),
+         ("toolongword123",), ("cba",)],
+        ["word"],
+    )
+    kw = dict(max_piece_len=3, max_word_len=8, reliable_dir=None)
+    new = sorted(
+        tuple(r)
+        for r in U_mod._segment_vocab_words(words, model, **kw).collect()
+    )
+    old_gate = U_mod._INROW_PIECES_MAX
+    U_mod._INROW_PIECES_MAX = 0
+    try:
+        old = sorted(
+            tuple(r)
+            for r in U_mod._segment_vocab_words(
+                words, model, **kw
+            ).collect()
+        )
+    finally:
+        U_mod._INROW_PIECES_MAX = old_gate
+    assert new == old
