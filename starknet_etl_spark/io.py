@@ -147,11 +147,21 @@ def save_table(
     """
 
     def _laidout(d: DataFrame) -> DataFrame:
-        if not cluster_by:
-            return d
-        return d.repartitionByRange(*cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        if cluster_by:
+            return d.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        if partition_by:
+            # AQE-aware rebalance on the partition columns before a
+            # partitioned write: without it every write task emits one
+            # file per partition value it sees (measured 98 × ~1.5 KB
+            # files for a 1.2 MB 16-bucket postings index; at scale
+            # that is tasks × partitions small files — the
+            # read-side listing/open tax, guide §6). REBALANCE
+            # coalesces to advisory-size tasks per partition value and
+            # still SPLITS a skewed partition, unlike repartition(cols).
+            return d.hint("rebalance", *partition_by)
+        return d
 
     if dedup_keys:
         spark = df.sparkSession

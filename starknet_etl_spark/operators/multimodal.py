@@ -52,6 +52,30 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+def _fake_decode_np(payload: bytes, dim: int) -> list[float]:
+    """``fake_decode`` with the byte-summing vectorized through numpy
+    — bit-identical values (uint8 sums are exact int64, the final
+    division is the same IEEE double op), ~an order of magnitude less
+    Python time per payload. The extract kernel uses this when no
+    custom ``decode_fn`` is injected (guide §4.2: hand whole buffers
+    to native code inside the Arrow kernel, never loop over bytes in
+    Python)."""
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return [0.0] * dim
+    step = max(1, n // dim)
+    need = step * dim
+    a = np.frombuffer(payload, dtype=np.uint8)
+    if a.size < need:  # n < dim: trailing slices are empty -> 0
+        a = np.concatenate([a, np.zeros(need - a.size, np.uint8)])
+    else:
+        a = a[:need]
+    s = a.reshape(dim, step).sum(axis=1, dtype=np.int64)
+    return (s / (255.0 * step)).tolist()
+
+
 def ppm_decode(payload: bytes, dim: int = 8) -> list[float]:
     """REAL image codec (binary PPM / P6, no external deps): parses
     the header, reshapes the raw RGB plane with numpy, and emits
@@ -158,7 +182,7 @@ def extract_features(
     """
     import hashlib
 
-    fn = decode_fn or (lambda b: fake_decode(b, dim))
+    fn = decode_fn or (lambda b: _fake_decode_np(b, dim))
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
