@@ -45,10 +45,13 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
     arrow is unavailable or the types don't convert.
 
     Values are identical either way — rows are materialized Python
-    values; arrow carries longs/doubles/strings/arrays exactly. The
-    ONE exception is NaN, which the pandas path coerces to null
-    (verified empirically) — rows containing any NaN take the
-    classic path.
+    values; arrow carries longs/doubles/strings/arrays exactly. TWO
+    exceptions take the classic path (verified empirically): NaN,
+    which pandas coerces to null; and an integral column holding a
+    None, which pandas would widen to float64 — a > 2^53 long (a
+    vec_id-scale id) would silently snap to the nearest double and
+    still pass the LocalRelation acceptance check (2^60+1 round-trips
+    as 2^60 — the r13 ADVICE repro).
     """
     rows = list(rows)
 
@@ -68,6 +71,7 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     try:
         import pandas as pd
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         if isinstance(schema, str):
             from pyspark.sql.types import _parse_datatype_string
@@ -75,6 +79,17 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
             st = _parse_datatype_string(schema)
         else:
             st = schema
+        integral = {
+            i
+            for i, f in enumerate(st.fields)
+            if isinstance(
+                f.dataType, (ByteType, ShortType, IntegerType, LongType)
+            )
+        }
+        if any(r[i] is None for r in rows for i in integral):
+            # nullable integral column: the pandas frame would pass
+            # through float64 and corrupt > 2^53 longs — classic path
+            return spark.createDataFrame(rows, schema)
         names = [f.name for f in st.fields]
         pdf = pd.DataFrame.from_records(
             [tuple(r) for r in rows], columns=names

@@ -1908,9 +1908,13 @@ def _localize_pool(df: DataFrame) -> DataFrame:
     time. Values are identical by construction (the literals ARE the
     computed rows). One plain ``collect()`` — a large ``take(n)``
     executes as a chain of incremental scale-up jobs (measured 14
-    jobs for one pool). ``_POOL_LOCALIZE_MAX`` stays the documented
-    contract bound; a pathological caller is stopped loudly by
-    ``spark.driver.maxResultSize`` either way."""
+    jobs for one pool), so a ``limit(cap+1)`` pre-probe would tax
+    every LEGITIMATE call with extra jobs to protect only a
+    contract-violating one. ``_POOL_LOCALIZE_MAX`` therefore gates
+    REUSE, not the collect itself: an over-cap frame pays one full
+    collect and then stays lazy; the hard driver-memory guard for a
+    pathological caller is ``spark.driver.maxResultSize`` (1 GB
+    default), which stops the collect loudly."""
     rows = df.collect()
     if len(rows) > _POOL_LOCALIZE_MAX:
         return df

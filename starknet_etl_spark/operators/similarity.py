@@ -493,8 +493,18 @@ def assign_cells(
             r["centroid"]
         )
     cells = sorted(by_cell)
-    if sum(len(v) for v in by_cell.values()) > _INROW_LITERAL_MAX:
-        # generated-code size: keep the pre-r13 exploded plan
+    if sum(len(v) for v in by_cell.values()) > _INROW_LITERAL_MAX or any(
+        # the literal path zips sorted centroid dims POSITIONALLY
+        # against the vector — a sparse or offset dim_i table would
+        # silently mis-pair dims (the r13 ADVICE). Contiguous 1-based
+        # dims are this suite's layout; anything else keeps the
+        # join-on-dim_i exploded plan, which is correct regardless
+        # (the _pq_code_exprs defensive-branch discipline).
+        sorted(cd) != list(range(1, len(cd) + 1))
+        for cd in by_cell.values()
+    ):
+        # generated-code size / non-contiguous dims: keep the
+        # pre-r13 exploded plan
         return _assign_cells_exploded(
             df, centroids_df, id_col=id_col, vec_col=vec_col,
             cell_col=cell_col,
@@ -809,7 +819,17 @@ def knn_ivf_indexed(
         [cell_col] if cell_col in query.columns else []
     )
     qproj = query.select(*qcols)
-    qrows = qproj.take(1)
+    # take(2): a second row means the caller broke the single-row
+    # contract — fail LOUDLY instead of silently scoring only row 1
+    # (the r13 ADVICE truncation; pre-r13 every row participated, so
+    # neither behavior is something to preserve quietly)
+    qrows = qproj.take(2)
+    if len(qrows) > 1:
+        raise ValueError(
+            "knn_ivf_indexed expects a single-row query frame; got "
+            "more than one row — probe per query or use knn_ivf_batch"
+        )
+    qrows = qrows[:1]
     qrow = qrows[0] if qrows else None
     if qrow is not None:
         query = _local_frame(qproj.sparkSession, qrows, qproj.schema)

@@ -602,3 +602,26 @@ def test_snapshot_mtime_hint_catches_same_size_rewrite(spark, tmp_path):
 
     with _pt.raises(IOError, match="no longer readable"):
         read_snapshot(spark, path, v)
+
+
+def test_local_frame_nullable_bigint_exact(spark):
+    """A nullable integral column must round-trip > 2^53 longs
+    exactly: the pandas fast path would widen int64+None to float64
+    and silently snap 2**60+1 to 2**60 (the r13 ADVICE repro) — such
+    frames take the classic path."""
+    from starknet_etl_spark.io import local_frame
+
+    big = 2**60 + 1
+    df = local_frame(
+        spark,
+        [(1, big), (2, None)],
+        "k long, v long",
+    )
+    vals = {r["k"]: r["v"] for r in df.collect()}
+    assert vals == {1: big, 2: None}
+    # the NaN-free, None-free frame still takes the LocalRelation path
+    df2 = local_frame(spark, [(1, big)], "k long, v long")
+    assert df2._jdf.queryExecution().optimizedPlan().nodeName() == (
+        "LocalRelation"
+    )
+    assert df2.first()["v"] == big

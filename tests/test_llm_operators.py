@@ -3683,3 +3683,44 @@ def test_neardup_eval_matches_naive(spark):
 
     with pytest.raises(ValueError, match="multiple"):
         D.neardup_eval(docs, "doc_id", "text", num_hashes=8, band_size=3)
+
+
+def test_knn_ivf_indexed_rejects_multi_row_query(spark, tmp_path):
+    """A query frame with more than one row violates the single-row
+    contract and must raise loudly (never silently score only row 1 —
+    the r13 take(1) truncation)."""
+    import pytest
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "ann_index_multi")
+    S.build_ann_index(df, path, cell_col="label")
+    with pytest.raises(ValueError, match="single-row query"):
+        S.knn_ivf_indexed(spark, path, df, k=2)
+
+
+def test_assign_cells_noncontiguous_dims_route_to_exploded(spark):
+    """A centroid table with sparse / offset dim_i must NOT take the
+    positional literal path (it would mis-pair dims): it routes to
+    the join-on-dim_i exploded plan and scores like a manual replay."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [0.0, 3.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # cell 0 weights dims {1, 3} (dim 2 missing), cell 1 dims {2, 3}
+    cents = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 3, 1.0), (1, 2, 1.0), (1, 3, 1.0)],
+        "cell int, dim_i int, centroid double",
+    )
+    got = {
+        r["vec_id"]: r["label"]
+        for r in S.assign_cells(vecs, cents).collect()
+    }
+    # manual: vec1 cell0 dot=1*1+2*1=3 /sqrt(2); cell1 dot=0+2 /sqrt(2)
+    #         vec2 cell0 dot=0; cell1 dot=3 /sqrt(2)
+    assert got == {1: 0, 2: 1}
