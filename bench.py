@@ -227,8 +227,17 @@ def main() -> None:
     # 4g driver heap (the tests' conftest setting): the trainer rows'
     # checkpoint blocks + 114 query executions need headroom over the
     # 1g local-mode default even with per-query hygiene.
+    # SPARK_GRAFT_DRIVER_MEM (opt-in) sizes it for larger-SF captures —
+    # at 50x data, 32 local task threads sharing the fixed 4g heap GC-
+    # thrash so badly that 8 cores BEAT 32 (measured; the scaling
+    # capture needs heap proportional to concurrent task state, §5).
     spark = get_spark(
-        "bench", extra_conf={"spark.driver.memory": "4g"}
+        "bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "4g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
@@ -244,6 +253,17 @@ def main() -> None:
     reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     ticks0 = _cpu_ticks()
     all_names = HEADLINE + HEADLINE_EXT
+    # SPARK_GRAFT_BENCH_ONLY (opt-in, comma list): restrict the run to
+    # a subset — used for the large-SF core-scaling captures where the
+    # full ext group would take hours. UNSET (the driver's case) runs
+    # everything; the emitted JSON keeps its exact shape either way.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(all_names)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
+        all_names = tuple(n for n in all_names if n in keep)
     samples: dict[str, list[float]] = {name: [] for name in all_names}
     for _ in range(reps):
         for name in all_names:
@@ -253,8 +273,14 @@ def main() -> None:
         name: round(statistics.median(ts), 3)
         for name, ts in samples.items()
     }
-    timings = {name: med[name] for name in HEADLINE}
-    ext = {name: med[name] for name in HEADLINE_EXT}
+    # rep0 alongside the median (r13 verdict #8): session-memoized
+    # trainer rows (_BPE_CACHE/_ULM_CACHE/...) pay their training only
+    # in rep 0, which the median then discards — rep0 keeps the cold
+    # per-query cost on the record so cross-round movement on those
+    # rows can be read honestly.
+    rep0 = {name: round(ts[0], 3) for name, ts in samples.items()}
+    timings = {name: med[name] for name in HEADLINE if name in med}
+    ext = {name: med[name] for name in HEADLINE_EXT if name in med}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -266,6 +292,7 @@ def main() -> None:
                 "queries": timings,
                 "ext_total": round(sum(ext.values()), 3),
                 "ext_queries": ext,
+                "rep0": rep0,
                 "sf": sf,
                 "host": _host_state(ticks0),
             }

@@ -1,0 +1,87 @@
+"""Synthesize a larger-SF TESTDATA replica for core-scaling captures.
+
+The driver benches at sf0.1, where every headline query is sub-second
+and fixed per-query cost (plan construction, codegen, job scheduling)
+dominates — the 8-vs-32-core ratios read ~1.0-1.3 and CANNOT show
+parallel speedup (r13 verdict #5). This script replicates the sf0.1
+tables K times with DISJOINT key ranges (every id-ish column shifts by
+replica * OFFSET; the nation/region dimensions stay single) so the
+relational and per-doc headline rows grow linearly and stay
+semantically equivalent to a genuinely larger corpus. Pair-forming
+rows (jaccard/simhash/LSH) are NOT replica-safe — identical texts
+across replicas would explode candidate pairs quadratically — so the
+scaling capture restricts itself to the replica-safe rows via
+SPARK_GRAFT_BENCH_ONLY (see plans/r14/SCALING_CAPTURE.md).
+
+Usage:
+    python scripts/make_scale_corpus.py /root/testdata/sf0.1 \
+        /tmp/sf5.0_scaled 50
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from starknet_etl_spark.session import get_spark  # noqa: E402
+
+#: replica key shift — far above any sf0.1 key range
+OFFSET = 10_000_000
+
+#: id-ish columns to shift per table (dimensions stay single-copy)
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["nation", "region"]
+
+
+def main() -> None:
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = get_spark(
+        "make-scale-corpus",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            )
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reps = spark.range(k).select(
+        (F.col("id") * OFFSET).alias("__shift")
+    )
+    for name in COPY:
+        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+        print(f"{name}: copied", flush=True)
+    for name, cols in SHIFTS.items():
+        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        out = df.crossJoin(F.broadcast(reps))
+        for c in cols:
+            out = out.withColumn(c, F.col(c) + F.col("__shift"))
+        # the broadcast replication is narrow, so without a
+        # repartition the output inherits the SOURCE's 1-2 file
+        # splits and the capture's scans cap at a handful of tasks —
+        # exactly the parallelism ceiling this corpus exists to
+        # remove; 64 files ≈ a real multi-writer table layout
+        out.drop("__shift").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: x{k}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
